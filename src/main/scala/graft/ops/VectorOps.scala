@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector operators over `array<float>` columns: cosine
+  * similarity, brute-force k-NN (the correctness baseline) and
+  * random-hyperplane LSH ANN (the scale path).
+  *
+  * Dot products are `aggregate(zip_with(...))` folds — codegen'd per-row
+  * expressions, no UDF. Norms are computed once and carried, so a pair
+  * costs one fused multiply-add pass. */
+object VectorOps {
+
+  /** Sequential-fold dot product of two array<float/double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine from precomputed norms (guard against zero vectors). */
+  def cosineFromParts(dotCol: Column, normA: Column, normB: Column): Column =
+    dotCol / nullif(normA * normB, lit(0.0))
+
+  /** vecs(id, vec) with an added precomputed norm column. */
+  def withNorm(vecs: DataFrame, vecCol: String): DataFrame =
+    vecs.withColumn("_norm", norm(col(vecCol)))
+
+  /** Brute-force top-k cosine neighbors for each query row.
+    * Queries should be small (broadcast); base is the full corpus. The
+    * per-query ranking is a window top-k: one shuffle on query id. */
+  def knnBrute(queries: DataFrame, base: DataFrame, idCol: String,
+               vecCol: String, k: Int): DataFrame = {
+    val q = withNorm(queries, vecCol)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("_norm").as("qnorm"))
+    val b = withNorm(base, vecCol)
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"), col("_norm").as("nnorm"))
+    val scored = b.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", cosineFromParts(dot(col("qvec"), col("nvec")),
+        col("qnorm"), col("nnorm")))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("rk").cast("int").as("rk"))
+  }
+
+  /** All pairs with cosine >= threshold (exact; quadratic — the dedup
+    * verifier / small-corpus path; LSH below bounds the pair generation). */
+  def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val v = withNorm(vecs, vecCol)
+    val a = v.select(col(idCol).as("a_id"), col(vecCol).as("va"), col("_norm").as("na"))
+    val b = v.select(col(idCol).as("b_id"), col(vecCol).as("vb"), col("_norm").as("nb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos", cosineFromParts(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id")
+  }
+
+  /** Fixed-seed random hyperplanes: planes(t)(bit)(dim). */
+  private def planes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(tables, bits, dim)(rnd.nextGaussian())
+  }
+
+  /** Random-hyperplane LSH bucket keys: one (table, key) row per vector per
+    * table. Vectors whose cosine is high agree on most sign bits, so they
+    * collide in some table w.h.p. Shuffles only (id, table, int key). */
+  def lshBuckets(vecs: DataFrame, idCol: String, vecCol: String,
+                 tables: Int = 8, bits: Int = 12, dim: Int = 64): DataFrame = {
+    val pl = planes(tables, bits, dim)
+    val keyed = vecs.select(col(idCol), col(vecCol),
+      explode(array((0 until tables).map { t =>
+        val key = (0 until bits).map { b =>
+          val proj = aggregate(
+            zip_with(col(vecCol), typedlit(pl(t)(b).toSeq), (x, w) => x.cast("double") * w),
+            lit(0.0), (acc, v) => acc + v)
+          when(proj > 0, lit(1 << b)).otherwise(lit(0))
+        }.reduce(_ + _)
+        struct(lit(t).as("table"), key.as("key"))
+      }: _*)).as("tk"))
+    keyed.select(col(idCol), col(vecCol), col("tk.table"), col("tk.key"))
+  }
+
+  /** ANN top-k: rank only within LSH bucket collisions. */
+  def knnLsh(queries: DataFrame, base: DataFrame, idCol: String, vecCol: String,
+             k: Int, tables: Int = 8, bits: Int = 12, dim: Int = 64): DataFrame = {
+    val qb = lshBuckets(withNorm(queries, vecCol), idCol, vecCol, tables, bits, dim)
+      .join(withNorm(queries, vecCol).select(col(idCol), col("_norm")), idCol)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("_norm").as("qnorm"),
+        col("table"), col("key"))
+    val bb = lshBuckets(withNorm(base, vecCol), idCol, vecCol, tables, bits, dim)
+      .join(withNorm(base, vecCol).select(col(idCol), col("_norm")), idCol)
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"), col("_norm").as("nnorm"),
+        col("table").as("btable"), col("key").as("bkey"))
+    val cand = qb.join(bb,
+        col("table") === col("btable") && col("key") === col("bkey") &&
+          col("qid") =!= col("nid"))
+      .select("qid", "qvec", "qnorm", "nid", "nvec", "nnorm")
+      .dropDuplicates("qid", "nid")
+      .withColumn("cos", cosineFromParts(dot(col("qvec"), col("nvec")),
+        col("qnorm"), col("nnorm")))
+    cand
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("rk").cast("int").as("rk"), col("cos"))
+  }
+}

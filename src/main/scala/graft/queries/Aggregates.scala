@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Aggregate surface: exact + approximate distinct counts, moment-based
+  * statistics, ordered-set percentiles, median/mode, conditional aggregates.
+  * (SURVEY.md §2B "Aggregations"; SA:31/37/43/60/72 cites.)
+  *
+  * Statistics are computed on small-magnitude columns (quantity/discount)
+  * and rounded: both engines use numerically stable one-pass/merge
+  * formulations whose results differ only in accumulation order (~1e-12
+  * relative), far below the rounding grain.
+  */
+object Aggregates {
+
+  val queries: Map[String, Q] = Map(
+    "q21_count_distinct" -> ((s, d) => {
+      T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          countDistinct(col("l_orderkey")).as("nd_order"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q22_stats" -> ((s, d) => {
+      T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(stddev_pop(col("l_quantity")), 4).as("sdp_qty"),
+          round(var_pop(col("l_quantity")), 4).as("varp_qty"),
+          round(stddev_samp(col("l_discount")), 6).as("sd_disc"),
+          round(corr(col("l_quantity"), col("l_discount")), 6).as("corr_qd"),
+          round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("covp_qd"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covs_qd"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q23_percentiles" -> ((s, d) => T.sql(s, d, "lineitem")(Oracle.q23)),
+
+    "q24_median_mode" -> ((s, d) => T.sql(s, d, "lineitem")(Oracle.q24)),
+
+    "q25_conditional_agg" -> ((s, d) => {
+      T.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(
+          count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
+          sum(when(col("o_orderpriority") === "1-URGENT", dec(col("o_totalprice"))))
+            .cast(DoubleType).as("urgent_rev"),
+          (sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice"))).otherwise(lit(0).cast(D)))
+            .cast(DoubleType) / nullif(count(when(col("o_orderstatus") === "F", 1)), lit(0)))
+            .as("avg_f_price"))
+        .orderBy("month")
+    }),
+
+    // Approximate distinct (HLL++): implementation-specific ⇒ no DuckDB
+    // oracle (driver records a rows-only check). The scale story: at 100 TB
+    // COUNT(DISTINCT) is a full shuffle of the distinct keys, while
+    // approx_count_distinct is a fixed-size mergeable sketch per group.
+    "q26_approx_distinct" -> ((s, d) => {
+      T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_orderkey")).as("exact_nd"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_nd"))
+        .withColumn("rel_err",
+          abs(col("approx_nd") - col("exact_nd")) / col("exact_nd"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  object Oracle {
+    val q23: String =
+      """SELECT l_returnflag,
+        | round(percentile_cont(0.01) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p01,
+        | round(percentile_cont(0.05) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p05,
+        | round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p25,
+        | round(percentile_cont(0.50) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p50,
+        | round(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p75,
+        | round(percentile_cont(0.90) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p90,
+        | round(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p95,
+        | round(percentile_cont(0.99) WITHIN GROUP (ORDER BY l_extendedprice), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+    // mode() tie-break differs across engines ⇒ deterministic manual mode
+    // (highest count, then smallest value) on both sides.
+    val q24: String =
+      """WITH c AS (
+        |  SELECT l_linestatus AS ls, l_quantity AS v, COUNT(*) AS n
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT ls, v AS mode_qty, n AS mode_n,
+        |         ROW_NUMBER() OVER (PARTITION BY ls ORDER BY n DESC, v) AS rk
+        |  FROM c),
+        |med AS (
+        |  SELECT l_linestatus AS ls, median(l_quantity) AS median_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT m.ls, m.mode_qty, m.mode_n, med.median_qty
+        |FROM m JOIN med ON m.ls = med.ls WHERE m.rk = 1 ORDER BY m.ls""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q21_count_distinct" ->
+      """SELECT l_returnflag,
+        | COUNT(DISTINCT l_partkey) AS nd_part,
+        | COUNT(DISTINCT l_suppkey) AS nd_supp,
+        | COUNT(DISTINCT l_orderkey) AS nd_order,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q22_stats" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 4) AS sd_qty,
+        | round(var_samp(l_quantity), 4) AS var_qty,
+        | round(stddev_pop(l_quantity), 4) AS sdp_qty,
+        | round(var_pop(l_quantity), 4) AS varp_qty,
+        | round(stddev_samp(l_discount), 6) AS sd_disc,
+        | round(corr(l_quantity, l_discount), 6) AS corr_qd,
+        | round(covar_pop(l_quantity, l_discount), 6) AS covp_qd,
+        | round(covar_samp(l_quantity, l_discount), 6) AS covs_qd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q23_percentiles" -> Oracle.q23,
+    "q24_median_mode" -> Oracle.q24,
+
+    "q25_conditional_agg" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        | COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        | COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        | CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+        |               THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS urgent_rev,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |               THEN CAST(o_totalprice AS DECIMAL(18,2))
+        |               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |   / NULLIF(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS avg_f_price
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin
+  )
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.ops.{MinHash, Shingles, SimHash, VectorOps}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators — the training-data-pipeline dedup suite:
+  * exact (hash groupBy), normalized fingerprint, n-gram Jaccard, MinHash
+  * LSH, SimHash, embedding-cosine near-dup.
+  *
+  * Exact/fingerprint/Jaccard/cosine have DuckDB oracles; MinHash and
+  * SimHash depend on engine hash functions, so the driver records
+  * rows-only checks and the ScalaTest suite pins their semantics (LSH
+  * candidates ⊇ high-Jaccard pairs, etc.). */
+object DedupQ {
+
+  val queries: Map[String, Q] = Map(
+    // -- exact dedup: hash-group on content, keep smallest id.
+    "d01_dedup_exact" -> ((s, d) => {
+      T.documents(s, d)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(md5(col("text")).as("fp"), col("keep_id"), col("n_copies"))
+        .orderBy("fp")
+    }),
+
+    // -- normalized-content fingerprints: raw, whitespace-normalized and
+    //    bag-of-words (order-insensitive) md5.
+    "d02_fingerprint" -> ((s, d) => {
+      val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      T.documents(s, d)
+        .select(
+          col("doc_id"),
+          md5(col("text")).as("fp_raw"),
+          md5(norm).as("fp_norm"),
+          md5(concat_ws(" ", array_sort(split(norm, " ")))).as("fp_bow"))
+        .orderBy("doc_id")
+    }),
+
+    // -- exact n-gram (3-shingle) Jaccard near-dup pairs.
+    "d03_ngram_jaccard" -> ((s, d) =>
+      Shingles.jaccardPairs(T.documents(s, d), "doc_id", "text", k = 3, threshold = 0.2)
+        .orderBy("a_id", "b_id")),
+
+    // -- MinHash + banded LSH (rows-only check; semantics pinned in tests).
+    "d04_minhash_lsh" -> ((s, d) =>
+      MinHash.nearDuplicates(T.documents(s, d), "doc_id", "text",
+          k = 3, threshold = 0.2, bands = 16)
+        .orderBy("a_id", "b_id")),
+
+    // -- SimHash fingerprints + small-Hamming pairs (rows-only check).
+    "d05_simhash" -> ((s, d) => {
+      val fps = SimHash.fingerprints(T.documents(s, d), "doc_id", "text")
+      SimHash.nearPairs(fps, "doc_id", maxDist = 16).orderBy("a_id", "b_id")
+    }),
+
+    // -- embedding cosine near-dup pairs (synthetic corpus ⇒ 0.4 stands in
+    //    for the usual 0.95; chosen away from the cosine mass so the
+    //    float32 oracle and double Spark path agree on the cut).
+    "d06_embedding_dup" -> ((s, d) =>
+      VectorOps.cosinePairs(T.embeddings(s, d), "vec_id", "embedding", 0.4)
+        .orderBy("a_id", "b_id"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY fp""".stripMargin,
+
+    "d02_fingerprint" ->
+      """SELECT doc_id,
+        | md5(text) AS fp_raw,
+        | md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_norm,
+        | md5(array_to_string(list_sort(string_split(
+        |     trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')), ' ')) AS fp_bow
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d03_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |s AS (SELECT DISTINCT doc_id,
+        |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)),
+        |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT a_id, b_id, common, na.n_sh AS na, nb.n_sh AS nb,
+        |       CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) AS jaccard
+        |FROM c JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+        |WHERE CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) >= 0.2
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "d06_embedding_dup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin
+  )
+}

@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.ops.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (array<float>, dim 64):
+  * brute-force cosine top-k as the correctness baseline, random-hyperplane
+  * LSH ANN as the scale path (recall pinned by ScalaTest, not by oracle —
+  * bucket membership depends on engine-side float folds). */
+object SimilarityQ {
+
+  val queries: Map[String, Q] = Map(
+    // -- brute-force top-5 cosine neighbors for query vectors vec_id < 20.
+    "s01_knn_brute" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      VectorOps.knnBrute(
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5)
+        .orderBy("qid", "rk")
+    }),
+
+    // -- LSH-bucketed ANN for the same queries (rows-only check).
+    "s02_ann_lsh" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      VectorOps.knnLsh(
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+          k = 5, tables = 8, bits = 10)
+        .select("qid", "nid", "rk")
+        .orderBy("qid", "rk")
+    }),
+
+    // -- centroid similarity per label: average vector per label, then
+    //    each vector's cosine to its own label centroid (exact decimal-free
+    //    arithmetic is impossible here ⇒ aggregate stats only, rounded).
+    "s03_centroid_stats" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      emb.groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(VectorOps.norm(col("embedding"))), 4).as("avg_norm"),
+          round(min(VectorOps.norm(col("embedding"))), 4).as("min_norm"),
+          round(max(VectorOps.norm(col("embedding"))), 4).as("max_norm"))
+        .orderBy("label")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s01_knn_brute" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+        |p AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+        |             list_cosine_similarity(q.embedding, e.embedding) AS cos
+        |      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id),
+        |r AS (SELECT qid, nid,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rk
+        |      FROM p)
+        |SELECT qid, nid, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
+    // s02/s03: no oracle — LSH bucketing is hash-impl-specific, and
+    // min/max/avg of float32 norms vs double norms drift past rounding.
+  )
+}

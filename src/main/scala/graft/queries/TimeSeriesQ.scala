@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.ops.AsOfJoin
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Event/time-series operators over the `events` table: time bucketing,
+  * gap-based sessionization, as-of join.
+  *
+  * These go beyond the reference's own SQL corpus (batch-only; SURVEY.md
+  * §2B "Streaming — N/A") and model the event-pipeline workloads a
+  * large-scale engine must serve. All are single-shuffle-by-user plans.
+  */
+object TimeSeriesQ {
+
+  val queries: Map[String, Q] = Map(
+    // -- tumbling time buckets (batch shape of a streaming windowed agg).
+    "q33_time_bucket" -> ((s, d) => {
+      T.events(s, d)
+        .groupBy(
+          date_trunc("hour", col("ts")).as("bucket"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          countDistinct(col("user_id")).as("nd_users"))
+        .orderBy("bucket", "event_type")
+    }),
+
+    // -- gap-based sessionization (30-min inactivity): lag → flag → running
+    //    sum, all inside one window partitioning by user.
+    "q35_sessionization" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val gapUs = 1800000000L // 30 min in microseconds
+      val run = w.rowsBetween(Window.unboundedPreceding, 0)
+      T.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_s")).over(run).cast(LongType))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts")).as("start_ts"),
+          max(col("ts")).as("end_ts"),
+          dsum(col("value")).as("session_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // -- as-of join: each purchase matched to the user's most recent
+    //    signup at-or-before it (oracle: native DuckDB ASOF LEFT JOIN).
+    "q36_asof_join" -> ((s, d) => {
+      val e = T.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts", "value")
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("s_eid"), col("ts").as("s_ts"))
+      AsOfJoin.asof(
+        purchases, signups,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "s_ts",
+        rightCols = Map("s_eid" -> "ref_event_id"))
+        .select("event_id", "user_id", "ts", "value", "ref_event_id")
+        .orderBy("event_id")
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q33_time_bucket" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | MIN(value) AS min_value,
+        | MAX(value) AS max_value,
+        | COUNT(DISTINCT user_id) AS nd_users
+        |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin,
+
+    "q35_sessionization" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM e)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |  MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+
+    "q36_asof_join" ->
+      """SELECT p.event_id, p.user_id, p.ts, p.value, l.s_eid AS ref_event_id
+        |FROM (SELECT user_id, event_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, event_id AS s_eid, ts AS s_ts FROM events
+        |                WHERE event_type = 'signup') l
+        |  ON p.user_id = l.user_id AND p.ts >= l.s_ts
+        |ORDER BY p.event_id""".stripMargin
+  )
+}

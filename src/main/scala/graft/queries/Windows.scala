@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Window-function surface: lag/lead, ranking family, rolling and running
+  * frames, first/last/nth, lateral column aliases.
+  * (SURVEY.md §2B "Window functions"; SA:37/43/54/66 cites.)
+  *
+  * Every window ORDER BY includes a unique key suffix so both engines see a
+  * total order (ties would otherwise make lag/row_number nondeterministic).
+  * Rolling sums go through DECIMAL so segment-tree (DuckDB) vs. running
+  * (Spark) evaluation produce identical values.
+  *
+  * Scale note: one shuffle per distinct partitioning; queries below reuse a
+  * single `Window.partitionBy` so Spark plans exactly one exchange + sort.
+  */
+object Windows {
+
+  val queries: Map[String, Q] = Map(
+    "q27_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      T.events(s, d)
+        .select(
+          col("event_id"), col("user_id"), col("ts"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+          lag(col("event_type"), 1, "none").over(w).as("prev_type"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    "q28_window_rank" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T.orders(s, d)
+        .select(
+          col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rk"),
+          dense_rank().over(w).as("drk"),
+          round(percent_rank().over(w), 6).as("prk"),
+          round(cume_dist().over(w), 6).as("cd"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    "q29_window_rolling" -> ((s, d) => {
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      val w7 = w.rowsBetween(-6, 0)
+      val w30 = w.rowsBetween(-29, 0)
+      T.lineitem(s, d)
+        .select(
+          col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          sum(dec(col("l_quantity"))).over(w7).cast(DoubleType).as("roll7_qty"),
+          (sum(dec(col("l_quantity"))).over(w7).cast(DoubleType) /
+            count(lit(1)).over(w7)).as("roll7_avg"),
+          sum(dec(col("l_extendedprice"))).over(w30).cast(DoubleType).as("roll30_price"),
+          count(lit(1)).over(w30).as("roll30_n"))
+        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+    }),
+
+    "q30_window_running" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val run = w.rowsBetween(Window.unboundedPreceding, 0)
+      T.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"),
+          sum(dec(col("o_totalprice"))).over(run).cast(DoubleType).as("run_total"),
+          count(lit(1)).over(run).as("run_n"),
+          max(col("o_totalprice")).over(run).as("run_max"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    "q31_window_lead_firstlast" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          first(col("o_orderkey")).over(full).as("first_key"),
+          last(col("o_orderkey")).over(full).as("last_key"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_key"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    // Lateral column aliases: a SELECT item referencing an alias defined
+    // earlier in the same SELECT (SA:54) — native in Spark ≥3.4 and DuckDB.
+    "q32_lateral_alias" -> ((s, d) => T.sql(s, d, "lineitem")(Oracle.q32))
+  )
+
+  object Oracle {
+    // the raw decimal `net` stays inside the subquery: its inferred
+    // precision differs across engines, so only DOUBLE casts are emitted.
+    val q32: String =
+      """SELECT l_orderkey, l_linenumber, net_tax, net_d FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |   CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2))) AS net,
+        |   CAST(net * (1 + CAST(l_tax AS DECIMAL(3,2))) AS DOUBLE) AS net_tax,
+        |   CAST(net AS DOUBLE) AS net_d
+        |  FROM lineitem WHERE l_orderkey < 2000) t
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q27_window_lag" ->
+      """SELECT event_id, user_id, ts, value,
+        | LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+        | value - LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta,
+        | LAG(event_type, 1, 'none') OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q28_window_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        | CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+        | CAST(RANK() OVER w AS INT) AS rk,
+        | CAST(DENSE_RANK() OVER w AS INT) AS drk,
+        | round(PERCENT_RANK() OVER w, 6) AS prk,
+        | round(CUME_DIST() OVER w, 6) AS cd,
+        | CAST(NTILE(4) OVER w AS INT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q29_window_rolling" ->
+      """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w7 AS DOUBLE) AS roll7_qty,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER w7 AS DOUBLE)
+        |   / (COUNT(*) OVER w7) AS roll7_avg,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w30 AS DOUBLE) AS roll30_price,
+        | COUNT(*) OVER w30 AS roll30_n
+        |FROM lineitem
+        |WINDOW
+        | w7 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+        | w30 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
+
+    "q30_window_running" ->
+      """SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER run AS DOUBLE) AS run_total,
+        | COUNT(*) OVER run AS run_n,
+        | MAX(o_totalprice) OVER run AS run_max
+        |FROM orders
+        |WINDOW run AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q31_window_lead_firstlast" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | LEAD(o_totalprice, 1) OVER w AS next_price,
+        | FIRST_VALUE(o_orderkey) OVER wf AS first_key,
+        | LAST_VALUE(o_orderkey) OVER wf AS last_key,
+        | NTH_VALUE(o_orderkey, 2) OVER wf AS second_key
+        |FROM orders
+        |WINDOW
+        | w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        | wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q32_lateral_alias" -> Oracle.q32
+  )
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Query-pack plumbing shared by every `SparkEntry.queries` entry.
+  *
+  * Conventions that make the DuckDB-oracle differential (the driver's
+  * correctness gate) bit-exact rather than "close":
+  *
+  *  - Money/quantity aggregation goes through DECIMAL(18,2): decimal
+  *    addition is associative, so a distributed Spark sum and a
+  *    single-threaded DuckDB sum produce the *same* value regardless of
+  *    partitioning / merge order. The final value is cast back to DOUBLE
+  *    (exactly representable: scaled sums stay far below 2^53).
+  *  - Every query ends in a total ORDER BY over a unique key set.
+  *  - Integer-ish results are kept in BIGINT/INT on both sides (DuckDB
+  *    SUM(int) returns HUGEINT — oracles cast it back).
+  *  - Genuinely floating-point statistics (stddev/corr/percentile) are
+  *    rounded to a precision far coarser than the cross-engine
+  *    accumulation-order error but far finer than data resolution.
+  */
+package object queries {
+  /** A query over the driver-provided scale-factor dir. */
+  type Q = (SparkSession, String) => DataFrame
+
+  val D: DecimalType = DecimalType(18, 2)
+
+  /** Exact decimal view of a 2-decimal DOUBLE column. */
+  def dec(c: Column): Column = c.cast(D)
+
+  /** Order-independent exact sum of a 2-decimal DOUBLE column, as DOUBLE. */
+  def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Exact average: exact decimal sum divided by count (double division —
+    * identical operands on both engines give identical doubles). */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** price * (1 - discount), all in decimal — exact on both engines. */
+  def netPrice(price: Column, disc: Column): Column =
+    dec(price) * (lit(1).cast(D) - dec(disc))
+}
+
+package queries {
+  /** Parquet table loaders for the driver testdata layout. */
+  object T {
+    def load(s: SparkSession, dir: String, name: String): DataFrame =
+      s.read.parquet(s"$dir/$name.parquet")
+    def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+    def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+    def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+    def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+    def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+    def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+    def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+    def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+    def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+    def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+    /** Register the named tables as temp views and run one Spark SQL
+      * statement — used by queries whose SQL text is dialect-common with
+      * the DuckDB oracle. */
+    def sql(s: SparkSession, dir: String, names: String*)(q: String): DataFrame = {
+      names.foreach(n => load(s, dir, n).createOrReplaceTempView(n))
+      s.sql(q)
+    }
+  }
+}
