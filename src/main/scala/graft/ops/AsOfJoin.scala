@@ -58,8 +58,11 @@ object AsOfJoin {
         leftCols.filterNot(keys.contains).map(c => lit(null).as(c)) ++
         rightCols.map { case (src, dst) => col(src).as(dst) }.toSeq: _*)
 
+    // Tie-break: among right rows sharing (key, ts), order by the carried
+    // payload itself so `last(...)` resolves ties identically every run
+    // (left rows carry a null struct, but tag already separates them).
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts), col(tag))
+      .orderBy(col(ts), col(tag), struct(rightCols.values.toSeq.sorted.map(col): _*))
       .rowsBetween(Window.unboundedPreceding, 0)
 
     val filled = l.unionByName(r)

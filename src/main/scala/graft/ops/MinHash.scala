@@ -22,14 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object MinHash {
 
-  private val P = 2305843009213693951L // 2^61 - 1 (Mersenne)
+  // 31-bit Mersenne prime: with h, a, b < 2^31, a*h + b < 2^62 — no 64-bit
+  // overflow, so (a*h + b) mod P really is the textbook universal hash and
+  // the classic MinHash collision bound P(min_a = min_b) = J(A,B) holds.
+  private val P = 2147483647L // 2^31 - 1
   val NumHashes = 64
 
-  /** Fixed-seed universal-hash coefficients (public textbook scheme). */
+  /** Fixed-seed universal-hash coefficients a ∈ [1, P-1], b ∈ [0, P-1]. */
   private val coef: Array[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(NumHashes)((math.abs(rnd.nextLong()) % (P - 1) + 1,
-      math.abs(rnd.nextLong()) % P))
+    Array.fill(NumHashes)(
+      (rnd.nextInt((P - 1).toInt).toLong + 1L, rnd.nextInt(P.toInt).toLong))
   }
 
   /** 64-element MinHash signature of a distinct-shingle array column. */

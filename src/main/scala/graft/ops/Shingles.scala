@@ -12,9 +12,14 @@ object Shingles {
     * "a b c d" = ["a b c", "b c d"]). */
   def shingles(text: Column, k: Int = 3): Column = {
     val words = split(text, " ")
+    // Docs shorter than k words have no k-shingle: sequence(1, n) with
+    // n < 1 would count DOWN through 0 and element_at(words, 0) throws,
+    // so clamp to an empty shingle set instead.
     array_distinct(
-      transform(sequence(lit(1), size(words) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(o => element_at(words, i + o)): _*)))
+      when(size(words) >= k,
+        transform(sequence(lit(1), size(words) - (k - 1)),
+          i => concat_ws(" ", (0 until k).map(o => element_at(words, i + o)): _*)))
+        .otherwise(array().cast("array<string>")))
   }
 
   /** doc_id → exploded distinct shingle rows. */

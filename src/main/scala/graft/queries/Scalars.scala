@@ -35,7 +35,12 @@ object Scalars {
         .orderBy("p_partkey")
     }),
 
-    "q17_date_funcs" -> ((s, d) => T.sql(s, d, "orders")(Oracle.q17)),
+    // Spark's EXTRACT(DOW) is 1-7 Sunday=1 while DuckDB's is 0-6 Sunday=0:
+    // the Spark text subtracts 1; everything else is dialect-common.
+    "q17_date_funcs" -> ((s, d) =>
+      T.sql(s, d, "orders")(Oracle.q17.replace(
+        "EXTRACT(DOW FROM o_orderdate) AS INT) AS dow",
+        "EXTRACT(DOW FROM o_orderdate) AS INT) - 1 AS dow"))),
 
     "q18_casts" -> ((s, d) => T.sql(s, d, "lineitem")(Oracle.q18)),
 
@@ -44,7 +49,10 @@ object Scalars {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           abs(col("l_discount") - 0.05).as("abs_d"),
-          round(col("l_extendedprice") * 0.01, 2).as("pct_price"),
+          // round-on-double differs across engines at half-way points;
+          // exact decimal multiply + decimal round matches bit-for-bit.
+          round(dec(col("l_extendedprice")) * lit(0.01).cast(DecimalType(3, 2)), 2)
+            .cast(DoubleType).as("pct_price"),
           ceil(col("l_extendedprice")).cast(LongType).as("price_ceil"),
           floor(col("l_extendedprice")).cast(LongType).as("price_floor"),
           pow(col("l_quantity"), 2).as("qty_sq"),
@@ -104,8 +112,8 @@ object Scalars {
     val q18: String =
       """SELECT l_orderkey, l_linenumber,
         | l_quantity::INT AS qty_int,
-        | l_orderkey::VARCHAR AS key_str,
-        | CAST(l_extendedprice AS DECIMAL(18,2))::VARCHAR AS price_str,
+        | l_orderkey::STRING AS key_str,
+        | CAST(l_extendedprice AS DECIMAL(18,2))::STRING AS price_str,
         | '2020-06-15'::DATE AS const_date,
         | CAST('2020-06-15 10:30:00' AS TIMESTAMP) AS const_ts,
         | 'true'::BOOLEAN AS const_bool,
@@ -135,7 +143,7 @@ object Scalars {
     "q19_math" ->
       """SELECT l_orderkey, l_linenumber,
         | abs(l_discount - 0.05) AS abs_d,
-        | round(l_extendedprice * 0.01, 2) AS pct_price,
+        | CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 0.01, 2) AS DOUBLE) AS pct_price,
         | CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
         | CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
         | pow(l_quantity, 2) AS qty_sq,

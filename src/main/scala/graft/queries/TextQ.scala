@@ -75,7 +75,7 @@ object TextQ {
         .orderBy("doc_id")
     }),
 
-    // -- per-lang/source corpus stats.
+    // -- per-lang/source corpus stats (dialect-common SQL text).
     "t04_doc_stats" -> ((s, d) => T.sql(s, d, "documents")(Oracle.t04)),
 
     // -- multimodal plumbing shape: opaque binary column + typed metadata.
@@ -94,5 +94,70 @@ object TextQ {
     })
   )
 
-  val oracles: Map[String, String] = Map()
+  /** Dialect-common SQL reused verbatim by Spark and the DuckDB oracle. */
+  object Oracle {
+    val t04: String =
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        | CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        | CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        | CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+        | CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+  }
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "t01_token_count" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS INT) AS n_chars_obs,
+        | CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[a-z]+')) AS INT) AS word_tokens,
+        | CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t02_quality_score" ->
+      s"""SELECT doc_id, n_words, n_distinct, n_stop,
+         | CAST(n_distinct AS DOUBLE) / n_words AS distinct_ratio,
+         | CAST(n_stop AS DOUBLE) / n_words AS stop_ratio,
+         | CAST(n_chars_obs - n_words + 1 AS DOUBLE) / n_words AS avg_word_len,
+         | round(CAST(n_distinct AS DOUBLE) / n_words * 0.5
+         |     + CAST(n_stop AS DOUBLE) / n_words * 0.3
+         |     + CASE WHEN n_words BETWEEN 30 AND 90 THEN 0.2 ELSE 0.0 END, 6) AS quality
+         |FROM (
+         |  SELECT doc_id, CAST(length(text) AS INT) AS n_chars_obs,
+         |    CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |         w -> w IN ${inList(Seq("the", "a", "of"))})) AS INT) AS n_stop
+         |  FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
+
+    "t03_langid" ->
+      s"""SELECT doc_id, lang, s_en, s_es, s_de,
+         | CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+         |      WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS predicted,
+         | (CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+         |       WHEN s_es >= s_de THEN 'es' ELSE 'de' END) = lang AS hit
+         |FROM (
+         |  SELECT doc_id, lang, text,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |         w -> w IN ${inList(markers("en"))})) AS INT) AS s_en,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |         w -> w IN ${inList(markers("es"))})) AS INT) AS s_es,
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |         w -> w IN ${inList(markers("de"))})) AS INT) AS s_de
+         |  FROM documents) t
+         |ORDER BY doc_id""".stripMargin,
+
+    "t04_doc_stats" -> Oracle.t04,
+
+    "m01_binary_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+        | md5(text) AS content_sig,
+        | substring(text, 1, 16) AS header_probe
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -54,7 +54,17 @@ package queries {
     def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
     def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
     def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-    def events(s: SparkSession, d: String): DataFrame    = load(s, d, "events")
+
+    /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot represent
+      * natively (PARQUET_TYPE_ILLEGAL). Read it as a raw nanos LONG
+      * (`nanosAsLong`) and floor-divide to microseconds — the same
+      * truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, so both
+      * engines see identical µs timestamps. */
+    def events(s: SparkSession, d: String): DataFrame = {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      load(s, d, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
     def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
     def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
@@ -62,7 +72,10 @@ package queries {
       * statement — used by queries whose SQL text is dialect-common with
       * the DuckDB oracle. */
     def sql(s: SparkSession, dir: String, names: String*)(q: String): DataFrame = {
-      names.foreach(n => load(s, dir, n).createOrReplaceTempView(n))
+      names.foreach { n =>
+        val df = if (n == "events") events(s, dir) else load(s, dir, n)
+        df.createOrReplaceTempView(n)
+      }
       s.sql(q)
     }
   }
