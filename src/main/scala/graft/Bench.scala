@@ -25,7 +25,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -36,7 +37,9 @@ object Bench {
 
     // A crashing query must not masquerade as a fast success: it reports
     // -1 sec and lands in the "failed" list so the driver can tell.
-    val results = headline.map { name =>
+    // GRAFT_ONLY=d04_minhash_lsh restricts the run for local iteration.
+    val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
+    val results = headline.filter(n => only.forall(_.contains(n))).map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try {

@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the embedding-vector hot paths.
+  *
+  * Spark's higher-order functions (`transform`/`aggregate`/`zip_with`) are
+  * `CodegenFallback`: every element evaluation walks the interpreter with a
+  * lambda-variable binding — fatal inside a pairwise join that evaluates
+  * millions of 64-dim dot products. These expressions generate a tight
+  * primitive loop inside whole-stage codegen instead (preference order per
+  * SURVEY.md §7: compose built-ins < custom Expression < custom plan).
+  */
+object VectorExprs {
+  /** Codegen'd dot product of two array<float> columns, as double. */
+  def dotF32(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotF32(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Codegen'd L2 norm of an array<float> column, as double. */
+  def normF32(a: Column): Column = {
+    val e = GraftSqlBridge.expression(a)
+    GraftSqlBridge.column(NormF32(e))
+  }
+
+  /** All random-hyperplane LSH bucket keys of a vector in one pass:
+    * array<int> of length `tables`, key t = sign-bit pattern of the
+    * `bits` plane projections of table t. */
+  def lshKeys(a: Column, planes: Array[Array[Array[Double]]]): Column =
+    GraftSqlBridge.column(LshKeys(GraftSqlBridge.expression(a), planes))
+}
+
+/** array<int>: one bucket key per LSH table; key bit b = sign of the
+  * projection onto plane (t, b). Flattened plane matrix is evaluated in a
+  * single cache-friendly loop — the HOF formulation evaluates tables×bits
+  * interpreted folds per row. */
+case class LshKeys(child: Expression, planes: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  private val tables = planes.length
+  private val bits = if (tables > 0) planes(0).length else 0
+  // flat(t*bits*dim + b*dim + d)
+  @transient private lazy val dim = if (bits > 0) planes(0)(0).length else 0
+  @transient private lazy val flat: Array[Double] = planes.flatten.flatten
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "lsh_keys"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), dim)
+    val v = new Array[Double](n)
+    var d = 0
+    while (d < n) { v(d) = x.getFloat(d).toDouble; d += 1 }
+    val keys = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var key = 0
+      var b = 0
+      while (b < bits) {
+        val base = (t * bits + b) * dim
+        var s = 0.0
+        d = 0
+        while (d < n) { s += v(d) * flat(base + d); d += 1 }
+        if (s > 0) key |= (1 << b)
+        b += 1
+      }
+      keys(t) = key
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("lshKeys", this, classOf[LshKeys].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.nullSafeEval($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshKeys =
+    copy(child = newChild)
+}
+
+/** `dot(a, b) = Σ a_i * b_i` over array<float>, accumulated in double. */
+case class DotF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_f32"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  s += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |}
+         |${ev.value} = s;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotF32 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `sqrt(dot(a, a))` in one pass over array<float>. */
+case class NormF32(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "norm_f32"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0
+    var i = 0
+    while (i < x.numElements()) {
+      val v = x.getFloat(i).toDouble; s += v * v; i += 1
+    }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |double s = 0.0;
+         |int n = $a.numElements();
+         |for (int i = 0; i < n; i++) {
+         |  double v = (double) $a.getFloat(i);
+         |  s += v * v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt(s);
+       """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): NormF32 =
+    copy(child = newChild)
+}

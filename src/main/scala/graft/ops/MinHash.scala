@@ -1,14 +1,15 @@
 package graft.ops
 
+import graft.functions.TextExprs
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** MinHash + LSH near-duplicate detection, the scale path for corpus dedup.
   *
   * Pipeline (all deterministic, seed-fixed):
-  *   1. per doc: distinct word shingles → 64-slot MinHash signature via
-  *      universal hashes h_i(x) = (a_i·x + b_i) mod p over xxhash64(shingle)
-  *      — a single narrow projection, no shuffle, codegen'd array exprs;
+  *   1. per doc: distinct word-shingle hashes → 64-slot MinHash signature
+  *      via universal hashes h_i(x) = (a_i·x + b_i) mod p — ONE native
+  *      codegen'd pass per row (graft.functions.MinHash64), no shuffle;
   *   2. band the signature (bands × rowsPerBand = 64), explode one row per
   *      band, shuffle ONCE on (band, band-signature);
   *   3. docs sharing a band bucket become candidate pairs (self-join inside
@@ -29,24 +30,20 @@ object MinHash {
   val NumHashes = 64
 
   /** Fixed-seed universal-hash coefficients a ∈ [1, P-1], b ∈ [0, P-1]. */
-  private val coef: Array[(Long, Long)] = {
+  private val (coefA, coefB): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(42)
-    Array.fill(NumHashes)(
-      (rnd.nextInt((P - 1).toInt).toLong + 1L, rnd.nextInt(P.toInt).toLong))
+    val a = Array.fill(NumHashes)(rnd.nextInt((P - 1).toInt).toLong + 1L)
+    val b = Array.fill(NumHashes)(rnd.nextInt(P.toInt).toLong)
+    (a, b)
   }
 
-  /** 64-element MinHash signature of a distinct-shingle array column. */
-  def signature(shingleArr: Column): Column = {
-    val hashed = transform(shingleArr, s => pmod(xxhash64(s), lit(P)))
-    array((0 until NumHashes).map { i =>
-      val (a, b) = coef(i)
-      array_min(transform(hashed, h => pmod(h * a + b, lit(P))))
-    }: _*)
-  }
+  /** 64-element MinHash signature of a text column (single-pass expr). */
+  def signature(text: Column, k: Int = 3): Column =
+    TextExprs.minhash64(text, k, coefA, coefB, P)
 
   /** docs(idCol, textCol) → (idCol, minhash: array<bigint>). */
   def signatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
-    docs.select(col(idCol), signature(Shingles.shingles(col(textCol), k)).as("minhash"))
+    docs.select(col(idCol), signature(col(textCol), k).as("minhash"))
 
   /** Candidate pairs via banded LSH (bands=16, rows=4 by default). */
   def candidatePairs(sigs: DataFrame, idCol: String,
@@ -56,7 +53,7 @@ object MinHash {
       col(idCol),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          concat_ws("_", (0 until rows).map(r =>
+          xxhash64((0 until rows).map(r =>
             element_at(col("minhash"), b * rows + r + 1)): _*).as("sig"))
       }: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.sig"))
@@ -67,7 +64,8 @@ object MinHash {
       .distinct()
   }
 
-  /** Full pipeline: LSH candidates verified with exact Jaccard. */
+  /** Full pipeline: LSH candidates verified with exact Jaccard over the
+    * shingle-hash sets. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 3, threshold: Double = 0.2,
                      bands: Int = 16): DataFrame = {

@@ -1,28 +1,25 @@
 package graft.ops
 
+import graft.functions.TextExprs
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Word-shingle (n-gram) machinery shared by exact-Jaccard, MinHash and
-  * SimHash dedup. Everything is per-row array expressions — fully
-  * codegen'd, zero shuffle until a pairing step needs one. */
+  * SimHash dedup.
+  *
+  * Shingle identity is the 64-bit xxhash of the k-gram (native codegen'd
+  * expression, one pass per row — see graft.functions.ShingleHashes), not
+  * the shingle string: set sizes/intersections/Jaccard are identical
+  * (collision odds ~n²/2⁶⁴), downstream shuffles carry 8-byte keys, and the
+  * interpreted higher-order-function pipeline is gone. */
 object Shingles {
 
-  /** Distinct word k-shingles of a text column ("a b c" 3-shingles of
-    * "a b c d" = ["a b c", "b c d"]). */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val words = split(text, " ")
-    // Docs shorter than k words have no k-shingle: sequence(1, n) with
-    // n < 1 would count DOWN through 0 and element_at(words, 0) throws,
-    // so clamp to an empty shingle set instead.
-    array_distinct(
-      when(size(words) >= k,
-        transform(sequence(lit(1), size(words) - (k - 1)),
-          i => concat_ws(" ", (0 until k).map(o => element_at(words, i + o)): _*)))
-        .otherwise(array().cast("array<string>")))
-  }
+  /** Distinct xxhash64 values of the word k-shingles of a text column.
+    * Docs shorter than k words yield an empty array. */
+  def shingles(text: Column, k: Int = 3): Column =
+    TextExprs.shingleHashes(text, k)
 
-  /** doc_id → exploded distinct shingle rows. */
+  /** doc_id → exploded distinct shingle-hash rows. */
   def docShingles(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
     docs.select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
 

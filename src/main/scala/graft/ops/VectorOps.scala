@@ -13,12 +13,12 @@ import org.apache.spark.sql.functions._
   * costs one fused multiply-add pass. */
 object VectorOps {
 
-  /** Sequential-fold dot product of two array<float/double> columns. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Codegen'd dot product of two array<float> columns (native Catalyst
+    * expression — the HOF fold is interpreted and ~50× slower inside
+    * pairwise joins; see graft.functions.VectorExprs). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dotF32(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = graft.functions.VectorExprs.normF32(a)
 
   /** cosine from precomputed norms (guard against zero vectors). */
   def cosineFromParts(dotCol: Column, normA: Column, normB: Column): Column =
@@ -35,8 +35,12 @@ object VectorOps {
                vecCol: String, k: Int): DataFrame = {
     val q = withNorm(queries, vecCol)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("_norm").as("qnorm"))
+    // A single parquet file scans as one partition, which would run the
+    // whole broadcast-nested-loop scoring on one core; spread the corpus.
+    val par = base.sparkSession.sparkContext.defaultParallelism
     val b = withNorm(base, vecCol)
       .select(col(idCol).as("nid"), col(vecCol).as("nvec"), col("_norm").as("nnorm"))
+      .repartition(par)
     val scored = b.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", cosineFromParts(dot(col("qvec"), col("nvec")),
@@ -53,7 +57,9 @@ object VectorOps {
   def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
     val v = withNorm(vecs, vecCol)
+    val par = vecs.sparkSession.sparkContext.defaultParallelism
     val a = v.select(col(idCol).as("a_id"), col(vecCol).as("va"), col("_norm").as("na"))
+      .repartition(par) // stream side of the nested-loop join: use all cores
     val b = v.select(col(idCol).as("b_id"), col(vecCol).as("vb"), col("_norm").as("nb"))
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("cos", cosineFromParts(dot(col("va"), col("vb")), col("na"), col("nb")))
@@ -69,21 +75,17 @@ object VectorOps {
 
   /** Random-hyperplane LSH bucket keys: one (table, key) row per vector per
     * table. Vectors whose cosine is high agree on most sign bits, so they
-    * collide in some table w.h.p. Shuffles only (id, table, int key). */
+    * collide in some table w.h.p. Shuffles only (id, table, int key).
+    * All tables×bits projections are one native single-pass expression
+    * (graft.functions.LshKeys). */
   def lshBuckets(vecs: DataFrame, idCol: String, vecCol: String,
                  tables: Int = 8, bits: Int = 12, dim: Int = 64): DataFrame = {
     val pl = planes(tables, bits, dim)
-    val keyed = vecs.select(col(idCol), col(vecCol),
-      explode(array((0 until tables).map { t =>
-        val key = (0 until bits).map { b =>
-          val proj = aggregate(
-            zip_with(col(vecCol), typedlit(pl(t)(b).toSeq), (x, w) => x.cast("double") * w),
-            lit(0.0), (acc, v) => acc + v)
-          when(proj > 0, lit(1 << b)).otherwise(lit(0))
-        }.reduce(_ + _)
-        struct(lit(t).as("table"), key.as("key"))
-      }: _*)).as("tk"))
-    keyed.select(col(idCol), col(vecCol), col("tk.table"), col("tk.key"))
+    vecs
+      .select(col(idCol), col(vecCol),
+        graft.functions.VectorExprs.lshKeys(col(vecCol), pl).as("__keys"))
+      .select(col(idCol), col(vecCol),
+        posexplode(col("__keys")).as(Seq("table", "key")))
   }
 
   /** ANN top-k: rank only within LSH bucket collisions. */

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge for graft's native Catalyst expressions.
+  * `ExpressionUtils` is `private[sql]`, so the two conversions are
+  * re-exported from inside the package — the standard technique for Spark
+  * extension libraries that ship custom expressions without a
+  * SparkSessionExtensions registration step. */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
