@@ -1,0 +1,80 @@
+package graft.component
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** The end-to-end transformation component over a Keboola-style data
+  * directory (reference `src/component.py:36-56` lifecycle):
+  *
+  *   1. parse `config.json`;
+  *   2. warehouse passthrough: tables persisted by a previous run under
+  *      `in/files/warehouse/<t>` re-register (the Spark analogue of the
+  *      `.duck.db` file move, A11);
+  *   3. ingest the input mappings as temp views (A1–A5, A12);
+  *   4. plan: dependency analysis → producer map → per-block Kahn batches
+  *      (A13–A16);
+  *   5. execute blocks sequentially, batches thread-parallel (A17) — new
+  *      tables materialize into `out/files/warehouse/`;
+  *   6. export each output mapping as single-file quoted CSV + manifest
+  *      (A6–A10).
+  *
+  * Sync actions (`syntax_check`, `expected_input_tables`, `lineage`,
+  * `execution_plan`) dispatch without executing (A19–A22).
+  */
+object Component {
+
+  final case class RunResult(stats: ExecutionStats, actionOutput: Option[String])
+
+  def run(spark: SparkSession, dataDir: String): RunResult = {
+    val config = Config.parse(
+      Files.readString(Paths.get(dataDir, "config.json")))
+
+    config.action match {
+      case Some("syntax_check") =>
+        val issues = Actions.syntaxCheck(spark, config)
+        val out = if (issues.isEmpty) "OK"
+          else issues.map(i => s"${i.query}: ${i.message}").mkString("\n")
+        return RunResult(ExecutionStats(Nil), Some(out))
+      case Some("expected_input_tables") =>
+        return RunResult(ExecutionStats(Nil),
+          Some(Actions.expectedInputTables(spark, config).mkString("\n")))
+      case Some("lineage_visualization") =>
+        return RunResult(ExecutionStats(Nil), Some(Actions.lineage(spark, config)))
+      case Some("execution_plan_visualization") =>
+        return RunResult(ExecutionStats(Nil), Some(Actions.executionPlan(spark, config)))
+      case _ => // run
+    }
+
+    if (config.syntaxCheckOnStartup) {
+      val issues = Actions.syntaxCheck(spark, config)
+        .filter(_.message.startsWith("parse error"))
+      if (issues.nonEmpty)
+        throw new UserException("syntax check failed:\n" +
+          issues.map(i => s"${i.query}: ${i.message}").mkString("\n"))
+    }
+
+    // 2. warehouse passthrough (prior run's materialized tables)
+    val inWarehouse = Paths.get(dataDir, "in", "files", "warehouse")
+    if (Files.isDirectory(inWarehouse)) {
+      Files.list(inWarehouse).forEach { p =>
+        if (Files.isDirectory(p))
+          spark.read.parquet(p.toString)
+            .createOrReplaceTempView(Names.view(p.getFileName.toString))
+      }
+    }
+
+    // 3. ingest
+    Ingest.loadAll(spark, dataDir, config)
+
+    // 4-5. plan + execute
+    val outWarehouse = Paths.get(dataDir, "out", "files", "warehouse")
+    Files.createDirectories(outWarehouse)
+    val plan = Planner.plan(spark, config)
+    val stats = new Executor(spark, outWarehouse.toString, config.threads).execute(plan)
+
+    // 6. export
+    Export.exportAll(spark, dataDir, config)
+    RunResult(stats, None)
+  }
+}

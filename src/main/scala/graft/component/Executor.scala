@@ -1,0 +1,161 @@
+package graft.component
+
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.functions.{col, when}
+
+/** Block-sequential / batch-parallel executor over one SparkSession
+  * (reference A17, `src/query_orchestrator.py:271-402`). Spark actions are
+  * thread-safe on a shared session, so a fixed pool of `threads` futures
+  * mirrors the reference's per-thread cursors; Spark additionally
+  * parallelizes *inside* each statement, so intra-block parallelism mostly
+  * buys latency on many small queries.
+  *
+  * Mutable-table semantics over immutable DataFrames (SURVEY §7 "hard
+  * parts"): CREATE VIEW registers lazily; CREATE TABLE materializes to the
+  * warehouse directory (parquet) and registers the read-back — which also
+  * implements the reference's database-passthrough (A11); INSERT unions and
+  * re-registers; UPDATE/DELETE re-derive with when()/filter() from the
+  * parsed assignments/condition.
+  */
+final case class QueryTiming(name: String, seconds: Double)
+final case class ExecutionStats(timings: List[QueryTiming]) {
+  def total: Double = timings.map(_.seconds).sum
+}
+
+class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
+
+  private val createView =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+`?([^`\s]+)`?\s+AS\s+(.*)$""".r
+  private val createTable =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+`?([^`\s(]+)`?\s+AS\s+(.*)$""".r
+  private val insertInto =
+    """(?is)^\s*INSERT\s+INTO\s+`?([^`\s(]+)`?\s*(?:\(([^)]*)\))?\s+(.*)$""".r
+
+  def execute(plan: ExecutionPlan): ExecutionStats = {
+    val pool = Executors.newFixedThreadPool(math.max(1, threads))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val timings = scala.collection.mutable.ListBuffer[QueryTiming]()
+    try {
+      for (block <- plan.blocks; batch <- block.batches) {
+        val fs = batch.queries.map { q =>
+          Future {
+            val t0 = System.nanoTime()
+            q.statements.foreach(runStatement)
+            QueryTiming(q.name, (System.nanoTime() - t0) / 1e9)
+          }
+        }
+        // any failure aborts the run (reference: collect failures, cancel rest)
+        timings ++= Await.result(Future.sequence(fs), Duration.Inf)
+      }
+    } finally pool.shutdown()
+    ExecutionStats(timings.toList)
+  }
+
+  /** Run one rewritten statement against the session catalog. */
+  def runStatement(stmt: String): Unit = stmt match {
+    case createView(name, body) =>
+      register(name, spark.sql(body))
+
+    case createTable(name, body) =>
+      register(name, materialize(name, spark.sql(body)))
+
+    case insertInto(name, colList, body) =>
+      val existing = spark.table(s"`${Names.view(name)}`")
+      val added0 = spark.sql(body)
+      val added = Option(colList).filter(_.trim.nonEmpty) match {
+        case Some(cs) => added0.toDF(cs.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")): _*)
+        case None     => added0.toDF(existing.columns: _*)
+      }
+      val unioned = existing.unionByName(
+        added.select(existing.columns.map(c => col(c).cast(existing.schema(c).dataType)): _*))
+      register(name, materialize(name, unioned))
+
+    case _ =>
+      val plan = spark.sessionState.sqlParser.parsePlan(stmt)
+      plan.getClass.getSimpleName match {
+        case "DeleteFromTable" =>
+          val name = targetName(plan)
+          val cond = plan.productIterator.collectFirst {
+            case e: org.apache.spark.sql.catalyst.expressions.Expression => e
+            case Some(e: org.apache.spark.sql.catalyst.expressions.Expression) => e
+          }
+          val df = spark.table(s"`${Names.view(name)}`")
+          val out = cond.map(e => df.filter(!GraftSqlBridge.column(e))).getOrElse(df.limit(0))
+          register(name, materialize(name, out))
+
+        case "UpdateTable" =>
+          val name = targetName(plan)
+          val df = spark.table(s"`${Names.view(name)}`")
+          val (assigns, cond) = updateParts(plan)
+          val out = assigns.foldLeft(df) { case (d, (colName, value)) =>
+            d.withColumn(colName, cond match {
+              case Some(c) => when(GraftSqlBridge.column(c),
+                GraftSqlBridge.column(value)).otherwise(col(colName))
+              case None => GraftSqlBridge.column(value)
+            })
+          }
+          register(name, materialize(name, out))
+
+        case _ =>
+          // plain SELECT / SET / etc.: execute for effect + error surfacing
+          spark.sql(stmt).queryExecution.assertAnalyzed()
+      }
+  }
+
+  private def targetName(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String =
+    plan.collectFirst {
+      case r: UnresolvedRelation => r.multipartIdentifier.mkString(".")
+    }.getOrElse(throw new UserException(s"cannot resolve statement target in: $plan"))
+
+  /** (assignments, condition) out of a parsed UpdateTable node. */
+  private def updateParts(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : (Seq[(String, org.apache.spark.sql.catalyst.expressions.Expression)],
+         Option[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    var assigns = Seq.empty[(String, Expression)]
+    var cond: Option[Expression] = None
+    plan.productIterator.foreach {
+      case s: Seq[_] =>
+        assigns = s.collect {
+          case a if a.getClass.getSimpleName == "Assignment" =>
+            val it = a.asInstanceOf[Product].productIterator.toList
+            (it.head.asInstanceOf[Expression].sql.stripPrefix("`").stripSuffix("`"),
+              it(1).asInstanceOf[Expression])
+        }
+      case Some(e: Expression) => cond = Some(e)
+      case _ =>
+    }
+    (assigns, cond)
+  }
+
+  private val version = new java.util.concurrent.atomic.AtomicLong()
+
+  /** CREATE TABLE semantics: persist to the warehouse dir (parquet) and
+    * return the read-back frame — cuts lineage, survives into the next
+    * run's input (A11 database passthrough). Writes stage into a fresh
+    * directory and swap in afterwards: INSERT/UPDATE/DELETE re-derivations
+    * READ the current files of the same table while writing the new state,
+    * so an in-place overwrite would consume its own deletes. */
+  private def materialize(name: String, df: DataFrame): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get(warehouseDir, Names.view(name))
+    val staging = Paths.get(warehouseDir,
+      s".staging_${Names.view(name)}_${version.incrementAndGet()}")
+    df.write.mode("overwrite").parquet(staging.toString)
+    if (Files.exists(dir)) { // replace previous state
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+    Files.move(staging, dir)
+    spark.read.parquet(dir.toString)
+  }
+
+  private def register(name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(Names.view(name))
+}

@@ -1,0 +1,37 @@
+package graft.component
+
+import org.apache.spark.sql.SparkSession
+
+/** Component entrypoint: `graft.component.Main <dataDir> [action]` — the
+  * Spark analogue of the reference's `component.py` run (KBC_DATADIR
+  * layout: config.json, in/tables, in/files, out/tables, out/files).
+  * Threads/memory come from the config (A23/A24 analogue: local[threads]).
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: graft.component.Main <dataDir> [action]")
+    val dataDir = args(0)
+    val config = Config.parse(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(dataDir, "config.json")))
+    val threads = math.max(1, config.threads)
+    val spark = SparkSession.builder()
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val t0 = System.nanoTime()
+      val result = Component.run(spark, dataDir)
+      result.actionOutput match {
+        case Some(out) => println(out)
+        case None =>
+          for (t <- result.stats.timings)
+            println(f"Query '${t.name}' completed in ${t.seconds}%.2fs")
+          println(f"Total component execution time: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+    } finally spark.stop()
+  }
+}

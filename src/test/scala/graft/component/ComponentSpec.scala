@@ -1,0 +1,201 @@
+package graft.component
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpec
+
+/** End-to-end datadir runs, modeled on the reference's golden-directory
+  * functional corpus (fixtures authored fresh per FIXTURES.md — shapes, not
+  * copies). */
+class ComponentSpec extends SparkSpec {
+
+  private def write(p: Path, content: String): Unit = {
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  private def datadir(): Path = Files.createTempDirectory("graft_dd_")
+
+  private def daysCsv: String =
+    "\"id\",\"name\"\n\"1\",\"Monday\"\n\"2\",\"Tuesday\"\n\"3\",\"Wednesday\"\n" +
+    "\"4\",\"Thursday\"\n\"5\",\"Friday\"\n\"6\",\"Saturday\"\n\"7\",\"Sunday\"\n"
+
+  test("simple: sliced csv + header csv, quoted views, ::INT filter, join, export") {
+    val dd = datadir()
+    write(dd.resolve("in/tables/days.csv"), daysCsv)
+    write(dd.resolve("in/tables/days.csv.manifest"), """{"id": "in.c-x.days"}""")
+    write(dd.resolve("in/tables/sliced/a.csv"), "\"1\",\"10\",\"a\"\n\"2\",\"20\",\"b\"\n")
+    write(dd.resolve("in/tables/sliced/b.csv"), "\"3\",\"30\",\"c\"\n\"6\",\"60\",\"d\"\n")
+    write(dd.resolve("in/tables/sliced.manifest"),
+      """{"id": "in.c-x.sliced", "columns": ["id", "value", "role"],
+        | "column_metadata": {
+        |  "id":    [{"key": "KBC.datatype.basetype", "value": "INTEGER"}],
+        |  "value": [{"key": "KBC.datatype.basetype", "value": "INTEGER"}],
+        |  "role":  [{"key": "KBC.datatype.basetype", "value": "STRING"}]}}""".stripMargin)
+    write(dd.resolve("config.json"),
+      """{"parameters": {"blocks": [{"name": "Block 1", "codes": [
+        |   {"name": "week", "script": [
+        |     "CREATE VIEW 'week.csv' AS (SELECT * FROM 'days.csv' WHERE id::INT <= 5) ORDER BY id;"]},
+        |   {"name": "joined", "script": [
+        |     "CREATE VIEW 'out-table.csv' AS (SELECT s.id, s.value, s.role, d.name FROM sliced s LEFT JOIN 'days.csv' d USING (id)) ORDER BY id;"]}
+        | ]}]},
+        | "storage": {
+        |  "input": {"tables": [
+        |    {"source": "in.c-x.days", "destination": "days.csv"},
+        |    {"source": "in.c-x.sliced", "destination": "sliced"}]},
+        |  "output": {"tables": [
+        |    {"source": "week.csv", "destination": "out.c-y.week"},
+        |    {"source": "out-table.csv", "destination": "out.c-y.table"}]}}}""".stripMargin)
+
+    Component.run(spark, dd.toString)
+
+    val week = Files.readString(dd.resolve("out/tables/week.csv"))
+    assert(week.startsWith("\"id\",\"name\"\n\"1\",\"Monday\""))
+    assert(week.linesIterator.size == 6) // header + 5 rows
+    val table = Files.readString(dd.resolve("out/tables/out-table.csv"))
+    assert(table.linesIterator.toList ==
+      List("\"id\",\"value\",\"role\",\"name\"",
+        "\"1\",\"10\",\"a\",\"Monday\"", "\"2\",\"20\",\"b\",\"Tuesday\"",
+        "\"3\",\"30\",\"c\",\"Wednesday\"", "\"6\",\"60\",\"d\",\"Saturday\""))
+    val manifest = Files.readString(dd.resolve("out/tables/out-table.csv.manifest"))
+    assert(manifest.contains("\"destination\": \"out.c-y.table\""))
+    assert(manifest.contains("\"type\": \"INTEGER\"")) // id/value from declared schema
+    assert(manifest.contains("\"type\": \"STRING\""))
+  }
+
+  test("dtypes rule: declared columns without types load as STRING; no manifest infers") {
+    val dd = datadir()
+    write(dd.resolve("in/tables/days.csv"), daysCsv)
+    write(dd.resolve("in/tables/days.csv.manifest"),
+      """{"id": "in.c-days.csv", "incremental": false, "columns": ["id", "name"]}""")
+    write(dd.resolve("config.json"),
+      """{"parameters": {"blocks": [{"name": "b", "codes": [{"name": "c", "script": [
+        |  "CREATE VIEW week AS (SELECT * FROM 'days.csv' WHERE id::INT <= 5) ORDER BY id"]}]}]},
+        | "storage": {"input": {"tables": [{"source": "in.c-days.csv", "destination": "days.csv"}]},
+        |             "output": {"tables": [{"source": "week", "destination": "out.c-out.week"}]}}}""".stripMargin)
+    Component.run(spark, dd.toString)
+    val m = Files.readString(dd.resolve("out/tables/week.manifest"))
+    // both columns STRING (declared, untyped) — the fixture-3 golden rule
+    assert(!m.contains("\"type\": \"INTEGER\""))
+    assert(m.contains("\"type\": \"STRING\""))
+
+    // same data with a schema-free manifest ⇒ inference ⇒ id INTEGER
+    val dd2 = datadir()
+    write(dd2.resolve("in/tables/days.csv"), daysCsv)
+    write(dd2.resolve("in/tables/days.csv.manifest"), """{"id": "in.c-days.csv"}""")
+    write(dd2.resolve("config.json"),
+      Files.readString(dd.resolve("config.json")))
+    Component.run(spark, dd2.toString)
+    val m2 = Files.readString(dd2.resolve("out/tables/week.manifest"))
+    assert(m2.contains("\"name\": \"id\", \"data_type\": {\"base\": {\"type\": \"INTEGER\"}}"))
+  }
+
+  test("parquet ingest with DECIMAL(38,0)→BIGINT cast for INTEGER-flagged columns") {
+    val dd = datadir()
+    val pdir = dd.resolve("in/tables/pq.parquet")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    Seq(("1", "foo"), ("2", "bar")).toDF("id", "value")
+      .select(col("id").cast("decimal(38,0)").as("id"), col("value"))
+      .coalesce(1).write.mode("overwrite").parquet(pdir.toString)
+    write(dd.resolve("in/tables/pq.parquet.manifest"),
+      """{"id": "in.c-x.pq", "column_metadata": {
+        |  "id": [{"key": "KBC.datatype.basetype", "value": "INTEGER"}]}}""".stripMargin)
+    write(dd.resolve("config.json"),
+      """{"parameters": {"blocks": [{"name": "b", "codes": [{"name": "c", "script": [
+        |  "CREATE VIEW out_pq AS (SELECT * FROM 'pq.parquet') ORDER BY id"]}]}]},
+        | "storage": {"input": {"tables": [{"source": "in.c-x.pq", "destination": "pq.parquet", "file_type": "parquet"}]},
+        |             "output": {"tables": [{"source": "out_pq", "destination": "out.c-y.pq"}]}}}""".stripMargin)
+    Component.run(spark, dd.toString)
+    val m = Files.readString(dd.resolve("out/tables/out_pq.manifest"))
+    assert(m.contains("\"name\": \"id\", \"data_type\": {\"base\": {\"type\": \"INTEGER\"}}"))
+    assert(Files.readString(dd.resolve("out/tables/out_pq"))
+      .startsWith("\"id\",\"value\"\n\"1\",\"foo\""))
+  }
+
+  test("DAG with CTAS chain, INSERT, UPDATE, DELETE re-derivation") {
+    val dd = datadir()
+    write(dd.resolve("config.json"),
+      """{"parameters": {"blocks": [{"name": "b", "codes": [{"name": "dag", "script": [
+        |  "CREATE TABLE \"t1\" AS SELECT 1 AS x;",
+        |  "INSERT INTO \"t1\" SELECT 2 AS x;",
+        |  "INSERT INTO \"t1\" SELECT 3 AS x;",
+        |  "UPDATE \"t1\" SET x = x * 10 WHERE x >= 2;",
+        |  "DELETE FROM \"t1\" WHERE x = 30;",
+        |  "CREATE VIEW \"t2\" AS (SELECT * FROM \"t1\") ORDER BY x;"
+        | ]}]}]},
+        | "storage": {"input": {"tables": []},
+        |             "output": {"tables": [{"source": "t2", "destination": "out.c-y.t2"}]}}}""".stripMargin)
+    Component.run(spark, dd.toString)
+    assert(Files.readString(dd.resolve("out/tables/t2")).linesIterator.toList ==
+      List("\"x\"", "\"1\"", "\"20\""))
+  }
+
+  test("multi-statement scripts run in order within one query") {
+    val dd = datadir()
+    write(dd.resolve("config.json"),
+      """{"parameters": {"blocks": [{"name": "b", "codes": [{"name": "multi", "script": [
+        |  "CREATE TABLE base AS SELECT 10 AS v; CREATE VIEW doubled AS SELECT v * 2 AS v2 FROM base"
+        | ]}]}]},
+        | "storage": {"input": {"tables": []},
+        |             "output": {"tables": [{"source": "doubled", "destination": "out.c-y.d"}]}}}""".stripMargin)
+    Component.run(spark, dd.toString)
+    assert(Files.readString(dd.resolve("out/tables/doubled")).contains("\"20\""))
+  }
+
+  test("warehouse passthrough: tables created in run 1 are readable in run 2") {
+    val dd1 = datadir()
+    write(dd1.resolve("config.json"),
+      """{"parameters": {"blocks": [{"name": "b", "codes": [{"name": "mk", "script": [
+        |  "CREATE TABLE persisted AS SELECT 42 AS answer"]}]}]},
+        | "storage": {"input": {"tables": []}, "output": {"tables": []}}}""".stripMargin)
+    Component.run(spark, dd1.toString)
+    assert(Files.isDirectory(dd1.resolve("out/files/warehouse/persisted")))
+
+    val dd2 = datadir()
+    // ship run 1's warehouse as run 2's input files
+    val in2 = dd2.resolve("in/files/warehouse/persisted")
+    Files.createDirectories(in2.getParent)
+    Files.walk(dd1.resolve("out/files/warehouse/persisted")).forEach { p =>
+      val rel = dd1.resolve("out/files/warehouse/persisted").relativize(p)
+      if (Files.isRegularFile(p)) {
+        Files.createDirectories(in2.resolve(rel.toString).getParent)
+        Files.copy(p, in2.resolve(rel.toString))
+      }
+    }
+    write(dd2.resolve("config.json"),
+      """{"parameters": {"blocks": [{"name": "b", "codes": [{"name": "rd", "script": [
+        |  "CREATE VIEW echo AS SELECT answer FROM persisted"]}]}]},
+        | "storage": {"input": {"tables": []},
+        |             "output": {"tables": [{"source": "echo", "destination": "out.c-y.echo"}]}}}""".stripMargin)
+    Component.run(spark, dd2.toString)
+    assert(Files.readString(dd2.resolve("out/tables/echo")).contains("\"42\""))
+  }
+
+  test("sync actions: expected_input_tables, lineage, execution plan, syntax check") {
+    val cfgJson =
+      """{"parameters": {"blocks": [{"name": "b", "codes": [
+        |   {"name": "q1", "script": ["CREATE TABLE mid AS SELECT * FROM external_src"]},
+        |   {"name": "q2", "script": ["CREATE VIEW out_v AS SELECT * FROM mid JOIN other_ext USING (id)"]}
+        | ]}]},
+        | "storage": {"input": {"tables": []}, "output": {"tables": []}}}""".stripMargin
+    val config = Config.parse(cfgJson)
+    assert(Actions.expectedInputTables(spark, config) == List("external_src", "other_ext"))
+
+    val lineage = Actions.lineage(spark, config)
+    assert(lineage.contains("## mid") && lineage.contains("created by: q1"))
+    assert(lineage.contains("read by: q2"))
+
+    val planMd = Actions.executionPlan(spark, config)
+    assert(planMd.contains("batch 1") && planMd.contains("q1"))
+
+    val bad = Config.parse(cfgJson.replace("SELECT * FROM mid", "SELEC * FRM ((mid"))
+    assert(Actions.syntaxCheck(spark, bad).nonEmpty)
+    assert(Actions.syntaxCheck(spark, config).isEmpty)
+  }
+
+  test("version query shape works in Spark SQL") {
+    val df = spark.sql("SELECT version() AS version")
+    assert(df.collect().head.getString(0).nonEmpty)
+  }
+}

@@ -1,0 +1,48 @@
+package graft.component
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class DialectSpec extends AnyFunSuite {
+
+  test("splitStatements splits on ; outside quotes and comments") {
+    val script =
+      """CREATE VIEW a AS SELECT 'x;y' AS s; -- trailing; comment
+        |SELECT * FROM a;
+        |/* block; comment */ SELECT 2""".stripMargin
+    val stmts = Dialect.splitStatements(script)
+    assert(stmts.length == 3)
+    assert(stmts.head.contains("'x;y'"))
+    // the line comment (with its ';') attaches to the following statement
+    assert(stmts(1).endsWith("SELECT * FROM a"))
+    assert(stmts(1).startsWith("--"))
+  }
+
+  test("double-quoted names become backticked identifiers everywhere") {
+    assert(Dialect.rewrite("""select "t1"."c" from "t1"""") ==
+      "select `t1`.`c` from `t1`")
+  }
+
+  test("single-quoted names are identifiers only in table position") {
+    val in = """CREATE VIEW 'out-table.csv' AS SELECT 'lit' AS v FROM 'days.csv'"""
+    val out = Dialect.rewrite(in)
+    assert(out.contains("`out_table_csv`"))
+    assert(out.contains("'lit'"))           // string literal untouched
+    assert(out.contains("FROM `days_csv`"))
+  }
+
+  test("::VARCHAR becomes ::STRING; other casts pass through") {
+    assert(Dialect.rewrite("SELECT a::VARCHAR, b::INT FROM t") ==
+      "SELECT a::STRING, b::INT FROM t")
+  }
+
+  test("escaped quote inside string literal survives") {
+    val s = "SELECT 'it''s fine' FROM t"
+    assert(Dialect.rewrite(s) == s)
+  }
+
+  test("Names round-trips originals") {
+    val v = Names.view("out-table.csv")
+    assert(v == "out_table_csv")
+    assert(Names.original(v) == "out-table.csv")
+  }
+}

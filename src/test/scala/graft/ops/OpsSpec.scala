@@ -1,0 +1,132 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.{TextExprs, VectorExprs}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("shingles: k-gram hash count and short-doc guard") {
+    val df = docs((1L, "a b c d"), (2L, "a b"), (3L, "a b c"))
+      .select($"doc_id", size(Shingles.shingles($"text", 3)).as("n"))
+    assert(df.orderBy("doc_id").collect().map(_.getInt(1)).toList == List(2, 0, 1))
+  }
+
+  test("shingle hashes are set-identical for same word sequences") {
+    val df = docs((1L, "x y z w"), (2L, "x y z w"), (3L, "w z y x"))
+      .select($"doc_id", Shingles.shingles($"text", 3).as("sh"))
+    val rows = df.orderBy("doc_id").collect().map(_.getSeq[Long](1).toSet)
+    assert(rows(0) == rows(1))
+    assert(rows(0) != rows(2))
+  }
+
+  test("exact jaccard pairs match hand computation") {
+    // doc1: shingles {ab, bc, cd}; doc2: {ab, bc, ce}→ no... use clear case:
+    // "a b c d" → {abc, bcd}; "a b c e" → {abc, bce}: common=1, union=3
+    val out = Shingles.jaccardPairs(docs((1L, "a b c d"), (2L, "a b c e")),
+      "doc_id", "text", k = 3, threshold = 0.0).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("common") == 1 && r.getAs[Double]("jaccard") == 1.0 / 3)
+  }
+
+  test("minhash LSH candidates contain all high-jaccard pairs (recall)") {
+    val base = (0 until 40).map(i => s"w$i").mkString(" ")
+    val near = (0 until 40).map(i => if (i == 7) "CHANGED" else s"w$i").mkString(" ")
+    val far = (100 until 140).map(i => s"w$i").mkString(" ")
+    val d = docs((1L, base), (2L, near), (3L, far))
+    val exact = Shingles.jaccardPairs(d, "doc_id", "text", 3, 0.2)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L)))
+    val lsh = MinHash.nearDuplicates(d, "doc_id", "text", 3, 0.2)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact) // verified candidates = exact high-jaccard pairs
+  }
+
+  test("simhash: identical docs collide at distance 0; disjoint docs stay apart") {
+    val base = (0 until 64).map(i => s"tok$i").mkString(" ")
+    val far = (200 until 264).map(i => s"tok$i").mkString(" ")
+    val fps = SimHash.fingerprints(docs((1L, base), (2L, base), (3L, far)), "doc_id", "text")
+    val pairs = SimHash.nearPairs(fps, "doc_id", maxDist = 3)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash distance grows with edit fraction") {
+    val base = (0 until 256).map(i => s"tok$i").mkString(" ")
+    val near = (0 until 256).map(i => if (i % 64 == 0) s"chg$i" else s"tok$i").mkString(" ")
+    val far = (500 until 756).map(i => s"tok$i").mkString(" ")
+    val fp = SimHash.fingerprints(docs((1L, base), (2L, near), (3L, far)), "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getAs[Long]("simhash"))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(0), fp(1)) < ham(fp(0), fp(2)))
+  }
+
+  test("dotF32/normF32 match manual math") {
+    val df = Seq((1L, Array(1.0f, 2.0f, 2.0f), Array(3.0f, 0.0f, 4.0f)))
+      .toDF("id", "a", "b")
+      .select(
+        VectorExprs.dotF32($"a", $"b").as("dot"),
+        VectorExprs.normF32($"a").as("na"),
+        VectorExprs.normF32($"b").as("nb"))
+    val r = df.collect().head
+    assert(r.getDouble(0) == 11.0 && r.getDouble(1) == 3.0 && r.getDouble(2) == 5.0)
+  }
+
+  test("knnBrute returns the true top-k by cosine") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.knnBrute(vecs.filter($"vec_id" === 0), vecs,
+      "vec_id", "embedding", k = 2).orderBy("rk").collect()
+    assert(out.map(_.getAs[Long]("nid")).toList == List(1L, 2L))
+  }
+
+  test("LSH ANN finds the near neighbor for clustered vectors") {
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def jitter(eps: Double) = base.map(v => v + (rnd.nextGaussian() * eps).toFloat)
+    val vecs = (Seq((0L, base), (1L, jitter(0.01))) ++
+      (2 until 50).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.knnLsh(vecs.filter($"vec_id" === 0), vecs,
+      "vec_id", "embedding", k = 1).collect()
+    assert(out.nonEmpty && out.head.getAs[Long]("nid") == 1L)
+  }
+
+  test("asof join picks most recent right row at-or-before, deterministically on ties") {
+    val purchases = Seq((1L, 100L, "2024-01-01 10:00:00", 5.0))
+      .toDF("user_id", "event_id", "ts", "value")
+      .select($"user_id", $"event_id", to_timestamp($"ts").as("ts"), $"value")
+    // two signups share the exact match timestamp → payload tie-break (max)
+    val signups = Seq(
+      (1L, 7L, "2024-01-01 09:00:00"), (1L, 9L, "2024-01-01 09:00:00"),
+      (1L, 3L, "2024-01-01 11:00:00"))
+      .toDF("user_id", "s_eid", "s_ts")
+      .select($"user_id", $"s_eid", to_timestamp($"s_ts").as("s_ts"))
+    val out = (1 to 3).map { _ =>
+      AsOfJoin.asof(purchases, signups, Seq("user_id"), "ts", "s_ts",
+        Map("s_eid" -> "ref")).collect().head.getAs[Long]("ref")
+    }
+    assert(out.toSet.size == 1) // deterministic across runs
+    assert(out.head == 9L)      // ties resolve to the greatest payload
+  }
+
+  test("asof join: no match before ⇒ null (left semantics)") {
+    val p = Seq((1L, 1L, "2024-01-01 08:00:00", 1.0))
+      .toDF("user_id", "event_id", "ts", "value")
+      .select($"user_id", $"event_id", to_timestamp($"ts").as("ts"), $"value")
+    val s = Seq((1L, 5L, "2024-01-01 09:00:00"))
+      .toDF("user_id", "s_eid", "s_ts")
+      .select($"user_id", $"s_eid", to_timestamp($"s_ts").as("s_ts"))
+    val r = AsOfJoin.asof(p, s, Seq("user_id"), "ts", "s_ts", Map("s_eid" -> "ref"))
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("ref")))
+  }
+}
