@@ -91,6 +91,25 @@ object TextQ {
           md5(col("media")).as("content_sig"),
           substring(col("text"), 1, 16).as("header_probe"))
         .orderBy("doc_id")
+    }),
+
+    // -- multimodal batch decode + embedding (stubbed codec, real
+    //    mapPartitions plumbing; rows-only check — see graft.ops.Multimodal).
+    "m02_media_features" -> ((s, d) => {
+      graft.ops.Multimodal.decodeAndFeaturize(
+        graft.ops.Multimodal.mediaFromDocuments(T.documents(s, d)))
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width"), col("height"),
+          round(col("mean_intensity"), 6).as("mean_intensity"),
+          size(col("embedding")).as("dim"))
+        .orderBy("media_id")
+    }),
+
+    // -- uniform video frame sampling (fan-out shape; rows-only check).
+    "m03_frame_sample" -> ((s, d) => {
+      graft.ops.Multimodal.sampleFrames(
+        graft.ops.Multimodal.mediaFromDocuments(T.documents(s, d)), n = 4)
+        .orderBy("media_id", "frame_idx")
     })
   )
 

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the event schema — the streaming
+  * shape of the batch event pipeline (q33 time buckets, q35 sessions).
+  * The reference is batch-only (SURVEY §2B "Streaming — N/A"); these cover
+  * the north-star streaming surface: watermarked windowed aggregation and
+  * stateful gap sessionization.
+  *
+  * All transforms take ANY events DataFrame (batch or streaming) — source
+  * binding (`spark.readStream.format(...)` vs a test MemoryStream) stays
+  * with the caller, which is what makes them unit-testable and
+  * deployment-agnostic.
+  *
+  * Scale notes: the windowed aggregation is a streaming partial+final hash
+  * agg keyed on (window, event_type) with watermark-driven state eviction;
+  * sessionization keys state by user_id — state size is O(active users),
+  * and the processing-time timeout evicts idle users.
+  */
+object EventStream {
+
+  /** Tumbling-window counts/sums with late-data handling: the streaming
+    * twin of q33_time_bucket. */
+  def windowedStats(events: DataFrame,
+                    windowLen: String = "1 hour",
+                    lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen).as("bucket"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("bucket.start").as("bucket_start"), col("event_type"),
+        col("n"), col("sum_value"), col("approx_users"))
+
+  final case class Event(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(sessionId: Long, lastTsMicros: Long,
+                                nEvents: Long, sumValue: Double)
+  final case class Session(user_id: Long, session_id: Long, n_events: Long,
+                           sum_value: Double)
+
+  /** Gap-based sessionization with explicit state — the streaming twin of
+    * q35_sessionization (30-minute inactivity gap). A session closes when
+    * a later event arrives past the gap, or when the event-time watermark
+    * passes lastTs + gap (EventTimeTimeout — processing-time timeouts
+    * would busy-loop the microbatch engine and keep state alive on quiet
+    * streams forever). */
+  def sessionize(events: Dataset[Event],
+                 gapMinutes: Int = 30,
+                 lateness: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val gapMillis = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              Session(userId, s.sessionId, s.nEvents, s.sumValue))
+            state.remove()
+            out.iterator
+          } else {
+            var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
+            val closed = scala.collection.mutable.ListBuffer[Session]()
+            for (e <- rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+              val tsMicros = e.ts.getTime * 1000L
+              if (s.lastTsMicros != Long.MinValue &&
+                tsMicros - s.lastTsMicros > gapMicros) {
+                closed += Session(userId, s.sessionId, s.nEvents, s.sumValue)
+                s = SessionState(s.sessionId + 1, tsMicros, 1L, e.value)
+              } else {
+                s = SessionState(s.sessionId, tsMicros,
+                  s.nEvents + 1, s.sumValue + e.value)
+              }
+            }
+            state.update(s)
+            // close via watermark once the stream goes quiet past the gap
+            state.setTimeoutTimestamp(s.lastTsMicros / 1000L + gapMillis)
+            closed.iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+
+  import EventStream.Event
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowedStats over a memory stream produces watermarked buckets") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val events = input.toDF()
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+
+    val query = EventStream.windowedStats(events, "1 hour", "30 minutes")
+      .writeStream.format("memory").queryName("buckets")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(
+        (1L, 1L, ts("2024-01-01 10:05:00"), "click", 1.0),
+        (1L, 2L, ts("2024-01-01 10:40:00"), "click", 2.0),
+        (2L, 3L, ts("2024-01-01 11:10:00"), "view", 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("buckets").collect()
+        .map(r => (r.getAs[Timestamp]("bucket_start").toString,
+          r.getAs[String]("event_type"), r.getAs[Long]("n"),
+          r.getAs[Double]("sum_value"))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
+    } finally query.stop()
+  }
+
+  test("sessionize emits a closed session when the gap is exceeded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val query = EventStream.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // session 0: two events 5 min apart; then a 2-hour gap closes it
+      input.addData(
+        Event(1L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+        Event(1L, 2L, ts("2024-01-01 10:05:00"), 2.0))
+      query.processAllAvailable()
+      input.addData(Event(1L, 3L, ts("2024-01-01 12:30:00"), 7.0))
+      query.processAllAvailable()
+      val rows = spark.table("sessions").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+          r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+      assert(rows == Set((1L, 0L, 2L, 3.0)))
+    } finally query.stop()
+  }
+}
