@@ -35,6 +35,13 @@ object Bench {
     // the engine, not first-query class-loading.
     SparkEntry.entry(spark).count()
 
+    // Harness floor: a trivial aggregate on a tiny parquet scan — the
+    // per-query constant (planning + AQE + stage scheduling) every number
+    // below carries regardless of data size.
+    val noop0 = System.nanoTime()
+    spark.read.parquet(s"$sfDir/region.parquet").groupBy().count().count()
+    val noopSec = (System.nanoTime() - noop0) / 1e9
+
     // A crashing query must not masquerade as a fast success: it reports
     // -1 sec and lands in the "failed" list so the driver can tell.
     // GRAFT_ONLY=d04_minhash_lsh restricts the run for local iteration.
@@ -56,7 +63,7 @@ object Bench {
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"noop_sec":$noopSec%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

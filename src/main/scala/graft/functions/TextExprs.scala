@@ -30,6 +30,12 @@ object TextExprs {
   /** 64-bit SimHash of the distinct words of a text column. */
   def simhash64(text: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(text)))
+
+  /** LSH band signatures of a MinHash signature array: one 64-bit hash per
+    * band over its `rowsPerBand` slots. */
+  def bandSigs(minhash: Column, bands: Int, rowsPerBand: Int): Column =
+    GraftSqlBridge.column(
+      BandSigs(GraftSqlBridge.expression(minhash), bands, rowsPerBand))
 }
 
 private[functions] object Words {
@@ -113,6 +119,40 @@ case class MinHash64(child: Expression, coefA: Array[Long], coefB: Array[Long], 
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHash64 =
+    copy(child = newChild)
+}
+
+/** array<bigint> length-`bands`: one xxhash64-style mix per band over its
+  * `rowsPerBand` MinHash slots. The composed-expression version (an
+  * `array(struct(...)×16)` with 64 `element_at`s) generates so much Java
+  * that Janino compile time dominates the whole LSH query at small scale. */
+case class BandSigs(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_sigs"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L
+      var r = 0
+      while (r < rowsPerBand) {
+        // XXH64-ish avalanche fold per slot (deterministic, seed-fixed)
+        val x = arr.getLong(b * rowsPerBand + r)
+        h = java.lang.Long.rotateLeft(h + x * -7046029288634856825L, 31) * -4417276706812531889L
+        r += 1
+      }
+      h ^= (h >>> 33); h *= -49064778989728563L; h ^= (h >>> 29)
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BandSigs =
     copy(child = newChild)
 }
 

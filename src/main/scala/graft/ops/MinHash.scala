@@ -49,14 +49,10 @@ object MinHash {
   def candidatePairs(sigs: DataFrame, idCol: String,
                      bands: Int = 16): DataFrame = {
     val rows = NumHashes / bands
-    val banded = sigs.select(
-      col(idCol),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          xxhash64((0 until rows).map(r =>
-            element_at(col("minhash"), b * rows + r + 1)): _*).as("sig"))
-      }: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.sig"))
+    val banded = sigs
+      .select(col(idCol),
+        TextExprs.bandSigs(col("minhash"), bands, rows).as("__bs"))
+      .select(col(idCol), posexplode(col("__bs")).as(Seq("band", "sig")))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
