@@ -23,12 +23,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Scalars.queries ++ Aggregates.queries ++
       Windows.queries ++ TimeSeriesQ.queries ++ TextQ.queries ++
-      DedupQ.queries ++ SimilarityQ.queries
+      DedupQ.queries ++ SimilarityQ.queries ++ Extended.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Scalars.oracles ++ Aggregates.oracles ++
       Windows.oracles ++ TimeSeriesQ.oracles ++ TextQ.oracles ++
-      DedupQ.oracles ++ SimilarityQ.oracles
+      DedupQ.oracles ++ SimilarityQ.oracles ++ Extended.oracles
 }

@@ -1,0 +1,191 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Extended SQL surface beyond the reference corpus's own exercises —
+  * operators a user of the reference CAN write (scripts pass verbatim to
+  * the engine, SURVEY §2B "in principle all of DuckDB SQL") re-expressed
+  * Spark-first: grouping sets, outer joins, [NOT] IN subqueries, correlated
+  * scalar subqueries, extended string/date functions, JSON extraction,
+  * time-range window frames, gap filling, keep-best dedup, higher moments.
+  */
+object Extended {
+
+  val queries: Map[String, Q] = Map(
+    "q37_grouping_sets" -> ((s, d) => T.sql(s, d, "lineitem")(Oracle.q37)),
+    "q38_outer_joins" -> ((s, d) => T.sql(s, d, "customer", "orders")(Oracle.q38)),
+    "q39_in_subquery" -> ((s, d) => T.sql(s, d, "customer", "orders")(Oracle.q39)),
+    "q40_string_funcs2" -> ((s, d) => T.sql(s, d, "part")(Oracle.q40)),
+    "q41_date_funcs2" -> ((s, d) => T.sql(s, d, "orders")(Oracle.q41)),
+
+    // JSON path extraction: Spark get_json_object vs DuckDB json_extract
+    // (engine-specific function names ⇒ split texts, same shape).
+    "q42_json_path" -> ((s, d) => {
+      T.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+        .filter(col("k") % 7 === 0)
+        .orderBy("event_id")
+    }),
+
+    // time-based RANGE frame: trailing 1-hour sum per user, ordered by
+    // epoch seconds so both engines share the numeric frame semantics.
+    "q43_time_range_window" -> ((s, d) => {
+      val sec = expr("unix_micros(ts) div 1000000")
+      val w = Window.partitionBy("user_id").orderBy(sec.as("sec"))
+        .rangeBetween(-3599, 0)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), sec.as("sec"), col("value"),
+          sum(dec(col("value"))).over(w).cast(DoubleType).as("trail_1h_value"),
+          count(lit(1)).over(w).as("trail_1h_n"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // gap filling: dense hourly series per user, missing buckets = 0.
+    "q44_gap_fill" -> ((s, d) => {
+      val e = T.events(s, d)
+      val bounds = e.groupBy("user_id")
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+      val grid = bounds.select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("bucket"))
+      val counts = e.groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("n_raw"), dsum(col("value")).as("v_raw"))
+      grid.join(counts, Seq("user_id", "bucket"), "left")
+        .select(col("user_id"), col("bucket"),
+          coalesce(col("n_raw"), lit(0L)).as("n"),
+          coalesce(col("v_raw"), lit(0.0)).as("sum_value"))
+        .orderBy("user_id", "bucket")
+    }),
+
+    "q45_dedup_rank" -> ((s, d) => T.sql(s, d, "lineitem")(Oracle.q45)),
+    "q46_moments" -> ((s, d) => T.sql(s, d, "lineitem")(Oracle.q46)),
+    "q47_correlated_scalar" -> ((s, d) => T.sql(s, d, "orders")(Oracle.q47))
+  )
+
+  object Oracle {
+    val q37: String =
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY g_rf, g_ls, rf, ls""".stripMargin
+
+    val q38: String =
+      """SELECT COALESCE(c.c_custkey, o.o_custkey) AS k, c.c_name, o.n_orders, o.rev
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0) c
+        |FULL JOIN (SELECT o_custkey, COUNT(*) AS n_orders,
+        |                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |           FROM orders WHERE o_custkey % 2 = 0 GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY k""".stripMargin
+
+    val q39: String =
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin
+
+    val q40: String =
+      """SELECT p_partkey,
+        | left(p_name, 5) AS l5,
+        | right(p_name, 4) AS r4,
+        | translate(p_type, ' ', '_') AS t_snake,
+        | repeat(substr(p_brand, 1, 3), 2) AS rep2,
+        | CAST(position('ED' IN p_type) AS INT) AS ed_pos,
+        | CAST(ascii(p_name) AS INT) AS first_code,
+        | chr(65 + CAST(p_partkey % 26 AS INT)) AS bucket_chr,
+        | (p_name LIKE '%ol%') AS has_ol
+        |FROM part ORDER BY p_partkey""".stripMargin
+
+    val q41: String =
+      """SELECT o_orderkey,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | make_date(2030, CAST(EXTRACT(MONTH FROM o_orderdate) AS INT), 1) AS proj_month,
+        | CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m,
+        | CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS q_start,
+        | CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS y_start,
+        | CAST(EXTRACT(WEEK FROM o_orderdate) AS INT) AS iso_week
+        |FROM orders ORDER BY o_orderkey""".stripMargin
+
+    val q45: String =
+      """WITH r AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |                            ORDER BY l_extendedprice DESC, l_linenumber) AS rk
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM r WHERE rk = 1 ORDER BY l_orderkey""".stripMargin
+
+    // skewness/kurtosis via explicit central moments: Spark's and DuckDB's
+    // built-ins use population vs sample corrections (systematic drift), so
+    // both engines evaluate the same moment arithmetic instead.
+    val q46: String =
+      """WITH mu AS (
+        |  SELECT l_returnflag AS rf, AVG(l_quantity) AS m FROM lineitem GROUP BY 1)
+        |SELECT l.l_returnflag,
+        | round(AVG(POWER(l.l_quantity - mu.m, 3))
+        |   / POWER(AVG(POWER(l.l_quantity - mu.m, 2)), 1.5), 6) AS skew,
+        | round(AVG(POWER(l.l_quantity - mu.m, 4))
+        |   / POWER(AVG(POWER(l.l_quantity - mu.m, 2)), 2) - 3, 6) AS kurt
+        |FROM lineitem l JOIN mu ON l.l_returnflag = mu.rf
+        |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin
+
+    val q47: String =
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+        |WHERE o_totalprice > 1.5 * (
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q37_grouping_sets" -> Oracle.q37,
+    "q38_outer_joins" -> Oracle.q38,
+    "q39_in_subquery" -> Oracle.q39,
+    "q40_string_funcs2" -> Oracle.q40,
+    "q41_date_funcs2" -> Oracle.q41,
+
+    "q42_json_path" ->
+      """SELECT event_id, k FROM (
+        |  SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |  FROM events) t
+        |WHERE k % 7 = 0 ORDER BY event_id""".stripMargin,
+
+    "q43_time_range_window" ->
+      """SELECT user_id, event_id, sec, value,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_1h_value,
+        | COUNT(*) OVER w AS trail_1h_n
+        |FROM (SELECT user_id, event_id, epoch_us(ts) // 1000000 AS sec, value
+        |      FROM events) t
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |             RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q44_gap_fill" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', MIN(ts)) AS h0,
+        |         date_trunc('hour', MAX(ts)) AS h1
+        |  FROM events GROUP BY user_id),
+        |g AS (SELECT user_id, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket
+        |      FROM b),
+        |c AS (SELECT user_id, date_trunc('hour', ts) AS bucket, COUNT(*) AS n_raw,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v_raw
+        |      FROM events GROUP BY 1, 2)
+        |SELECT g.user_id, CAST(g.bucket AS TIMESTAMP) AS bucket,
+        |       COALESCE(c.n_raw, 0) AS n, COALESCE(c.v_raw, 0.0) AS sum_value
+        |FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.bucket = c.bucket
+        |ORDER BY g.user_id, g.bucket""".stripMargin,
+
+    "q45_dedup_rank" -> Oracle.q45,
+    "q46_moments" -> Oracle.q46,
+    "q47_correlated_scalar" -> Oracle.q47
+  )
+}
