@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-path join machinery: skew salting and bucketed co-location —
+  * the two levers (besides AQE) that keep 100 TB joins off the
+  * single-hot-partition and full-shuffle cliffs.
+  */
+object ScaleOps {
+
+  /** Salted equi-join for skew: the big side gets a deterministic salt in
+    * [0, salts) (hash of its full row — no rand(), so retries/speculative
+    * tasks agree), the small side is replicated once per salt, and the join
+    * key becomes (key, salt). A key holding S% of the rows spreads over
+    * `salts` partitions instead of one. Use when AQE's skew-join splitting
+    * isn't available (e.g. the skewed side feeds a co-partitioned window).
+    *
+    * joinType: "inner" or "left" (left = big side preserved). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int, joinType: String = "inner"): DataFrame = {
+    require(salts > 0, "salts must be positive")
+    val saltCol = "__salt"
+    val bigS = big.withColumn(saltCol,
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int"))
+    val smallS = small.withColumn(saltCol,
+      explode(array((0 until salts).map(lit): _*)))
+    bigS.join(smallS, Seq(key, saltCol), joinType).drop(saltCol)
+  }
+
+  /** Write a DataFrame as a bucketed+sorted table: joins and aggregations
+    * on the bucket key then need NO exchange (co-located, pre-sorted).
+    * The 100 TB pattern: bucket both fact tables on the join key once at
+    * ingest; every subsequent equi-join on that key is shuffle-free. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** True iff the physical plan of `df` contains no shuffle exchange
+    * (evidence helper for co-located joins; also used by specs). */
+  def isShuffleFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+}

@@ -88,15 +88,20 @@ object VectorOps {
         posexplode(col("__keys")).as(Seq("table", "key")))
   }
 
-  /** ANN top-k: rank only within LSH bucket collisions. */
+  /** ANN top-k: rank only within LSH bucket collisions. Keys + norm are
+    * computed in one projection per side (no self-join re-derivation). */
   def knnLsh(queries: DataFrame, base: DataFrame, idCol: String, vecCol: String,
              k: Int, tables: Int = 8, bits: Int = 12, dim: Int = 64): DataFrame = {
-    val qb = lshBuckets(withNorm(queries, vecCol), idCol, vecCol, tables, bits, dim)
-      .join(withNorm(queries, vecCol).select(col(idCol), col("_norm")), idCol)
+    val pl = planes(tables, bits, dim)
+    def keyed(df: DataFrame): DataFrame = df
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("_norm"),
+        graft.functions.VectorExprs.lshKeys(col(vecCol), pl).as("__keys"))
+      .select(col(idCol), col(vecCol), col("_norm"),
+        posexplode(col("__keys")).as(Seq("table", "key")))
+    val qb = keyed(queries)
       .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("_norm").as("qnorm"),
         col("table"), col("key"))
-    val bb = lshBuckets(withNorm(base, vecCol), idCol, vecCol, tables, bits, dim)
-      .join(withNorm(base, vecCol).select(col(idCol), col("_norm")), idCol)
+    val bb = keyed(base)
       .select(col(idCol).as("nid"), col(vecCol).as("nvec"), col("_norm").as("nnorm"),
         col("table").as("btable"), col("key").as("bkey"))
     val cand = qb.join(bb,
