@@ -11,8 +11,12 @@ object Main {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: graft.component.Main <dataDir> [action]")
     val dataDir = args(0)
-    val config = Config.parse(
-      java.nio.file.Files.readString(java.nio.file.Paths.get(dataDir, "config.json")))
+    val configPath = java.nio.file.Paths.get(dataDir, "config.json")
+    if (!java.nio.file.Files.exists(configPath)) {
+      System.err.println(s"error: data directory has no config.json: $dataDir")
+      sys.exit(1)
+    }
+    val config = Config.parse(java.nio.file.Files.readString(configPath))
     val threads = math.max(1, config.threads)
     val spark = SparkSession.builder()
       .master(s"local[$threads]")

@@ -33,12 +33,23 @@ object ScaleOps {
     * The 100 TB pattern: bucket both fact tables on the join key once at
     * ingest; every subsequent equi-join on that key is shuffle-free. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // an orphan warehouse dir (table unknown to this session's in-memory
+    // catalog) still blocks CREATE — clear it
+    val loc = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (java.nio.file.Files.exists(loc))
+      java.nio.file.Files.walk(loc)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
     df.write.mode("overwrite")
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** True iff the physical plan of `df` contains no shuffle exchange
     * (evidence helper for co-located joins; also used by specs). */

@@ -72,6 +72,23 @@ object Aggregates {
         .withColumn("rel_err",
           abs(col("approx_nd") - col("exact_nd")) / col("exact_nd"))
         .orderBy("l_returnflag")
+    }),
+
+    // Approximate percentiles (GK sketch): the scale path where exact
+    // percentile_cont's per-group sort is the bottleneck. Sketch output is
+    // impl-specific ⇒ rows-only check; the query carries its own exact
+    // baseline + relative error columns (spec pins the bound).
+    "q48_approx_percentile" -> ((s, d) => {
+      T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("ap95"),
+          expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("ex50"),
+          expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("ex95"))
+        .withColumn("err50", abs(col("ap50") - col("ex50")) / col("ex50"))
+        .withColumn("err95", abs(col("ap95") - col("ex95")) / col("ex95"))
+        .orderBy("l_returnflag")
     })
   )
 
