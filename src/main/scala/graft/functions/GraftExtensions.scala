@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions registration exposing graft's native expressions
+  * as SQL functions, so `spark.sql("SELECT simhash64(text) ...")` works
+  * next to the Column API. Enable with:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)
+  *   // or: .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, usage, arity, build) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
+        GraftExtensions.checked(name, arity, build)))
+    }
+}
+
+object GraftExtensions {
+  private def checked(name: String, arity: Int,
+                      build: Seq[Expression] => Expression)
+      : Seq[Expression] => Expression =
+    args => {
+      require(args.length == arity,
+        s"$name expects $arity arguments, got ${args.length}")
+      build(args)
+    }
+
+  private val functions: Seq[(String, String, Int, Seq[Expression] => Expression)] = Seq(
+    ("dot_f32", "dot_f32(a, b) - dot product of two array<float>", 2,
+      args => DotF32(args.head, args(1))),
+    ("norm_f32", "norm_f32(a) - L2 norm of an array<float>", 1,
+      args => NormF32(args.head)),
+    ("simhash64", "simhash64(text) - 64-bit SimHash of the distinct words", 1,
+      args => SimHash64(args.head)),
+    ("shingle_hashes", "shingle_hashes(text) - distinct xxhash64 of the word 3-shingles", 1,
+      args => ShingleHashes(args.head, 3)))
+
+  /** Register on an already-running session (extensions only bind at
+    * session construction). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, _, arity, build) =>
+      org.apache.spark.sql.GraftSqlBridge.registerFunction(
+        spark, name, checked(name, arity, build))
+    }
+}

@@ -25,20 +25,26 @@ object Shingles {
 
   /** Exact pairwise Jaccard over shingle sets for all pairs sharing at
     * least one shingle. Cost is Σ_s df(s)² — fine when no shingle is hot;
-    * the MinHash path bounds that blow-up for 100 TB corpora. */
+    * the MinHash path bounds that blow-up for 100 TB corpora.
+    *
+    * The set size rides along each exploded row (one extra int), so the
+    * pair aggregation already has |A| and |B| — no separate counts
+    * aggregation or post-join. One exchange (by shingle hash, reused for
+    * both self-join sides) + one pair-key exchange. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, threshold: Double = 0.2): DataFrame = {
-    val sh = docShingles(docs, idCol, textCol, k)
-    val counts = sh.groupBy(idCol).agg(count(lit(1)).as("n_sh"))
+    val sh = docs
+      .select(col(idCol), shingles(col(textCol), k).as("__sh"))
+      .select(col(idCol), size(col("__sh")).cast("long").as("n_sh"),
+        explode(col("__sh")).as("shingle"))
     val common = sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"))
+      .groupBy(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("common"))
     common
-      .join(counts.withColumnRenamed(idCol, "a_id").withColumnRenamed("n_sh", "na"), "a_id")
-      .join(counts.withColumnRenamed(idCol, "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)

@@ -1,0 +1,26 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("native expressions register as SQL functions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT dot_f32(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+        |       norm_f32(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n,
+        |       simhash64('a b c') AS sh,
+        |       size(shingle_hashes('a b c d')) AS nsh""".stripMargin).collect().head
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 5.0)
+    assert(r.getLong(2) != 0L)
+    assert(r.getInt(3) == 2)
+  }
+
+  test("arity violations surface as clear errors") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception](spark.sql("SELECT norm_f32(array(1.0F), 2)").collect())
+    assert(e.getMessage.contains("norm_f32"))
+  }
+}
