@@ -194,6 +194,35 @@ class ComponentSpec extends SparkSpec {
     assert(Actions.syntaxCheck(spark, config).isEmpty)
   }
 
+  test("cross-block dependency: block 2 reads block 1's table") {
+    val dd = datadir()
+    write(dd.resolve("config.json"),
+      """{"parameters": {"blocks": [
+        |  {"name": "first", "codes": [{"name": "mk", "script": [
+        |    "CREATE TABLE base AS SELECT 7 AS v"]}]},
+        |  {"name": "second", "codes": [{"name": "use", "script": [
+        |    "CREATE VIEW out_x AS SELECT v * 3 AS v3 FROM base"]}]}]},
+        | "storage": {"input": {"tables": []},
+        |             "output": {"tables": [{"source": "out_x", "destination": "o"}]}}}""".stripMargin)
+    Component.run(spark, dd.toString)
+    assert(Files.readString(dd.resolve("out/tables/out_x")).contains("\"21\""))
+  }
+
+  test("INSERT with explicit column list maps by name") {
+    val dd = datadir()
+    write(dd.resolve("config.json"),
+      """{"parameters": {"blocks": [{"name": "b", "codes": [{"name": "ins", "script": [
+        |  "CREATE TABLE t AS SELECT 1 AS a, 'x' AS b;",
+        |  "INSERT INTO t (b, a) SELECT 'y', 2;",
+        |  "CREATE VIEW out_t AS (SELECT * FROM t) ORDER BY a"
+        | ]}]}]},
+        | "storage": {"input": {"tables": []},
+        |             "output": {"tables": [{"source": "out_t", "destination": "o"}]}}}""".stripMargin)
+    Component.run(spark, dd.toString)
+    assert(Files.readString(dd.resolve("out/tables/out_t")).linesIterator.toList ==
+      List("\"a\",\"b\"", "\"1\",\"x\"", "\"2\",\"y\""))
+  }
+
   test("version query shape works in Spark SQL") {
     val df = spark.sql("SELECT version() AS version")
     assert(df.collect().head.getString(0).nonEmpty)
