@@ -75,6 +75,14 @@ object Component {
 
     // 6. export
     Export.exportAll(spark, dataDir, config)
+
+    // A25: debug introspection — catalog contents + per-table row counts
+    if (config.debug) {
+      spark.catalog.listTables().collect().foreach { t =>
+        val n = try spark.table(s"`${t.name}`").count() catch { case _: Exception => -1L }
+        System.err.println(s"[debug] table ${t.name} (${t.tableType}): $n rows")
+      }
+    }
     RunResult(stats, None)
   }
 }

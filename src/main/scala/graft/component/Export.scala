@@ -19,8 +19,24 @@ import org.apache.spark.sql.SparkSession
   */
 object Export {
 
-  def exportAll(spark: SparkSession, dataDir: String, config: Config): Unit =
+  def exportAll(spark: SparkSession, dataDir: String, config: Config): Unit = {
     config.outputTables.foreach(t => exportTable(spark, dataDir, t))
+    exportFileManifests(dataDir)
+  }
+
+  /** A10: every regular file under out/files (manifests and the warehouse
+    * excluded) gets a file manifest so the platform ships it onward. */
+  def exportFileManifests(dataDir: String): Unit = {
+    val filesDir = Paths.get(dataDir, "out", "files")
+    if (!Files.isDirectory(filesDir)) return
+    Files.list(filesDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && !p.toString.endsWith(".manifest"))
+      .foreach { p =>
+        val m = Paths.get(p.toString + ".manifest")
+        if (!Files.exists(m))
+          Files.writeString(m, """{"tags": [], "is_permanent": false}""")
+      }
+  }
 
   def exportTable(spark: SparkSession, dataDir: String, out: OutputTable): Unit = {
     val df = spark.table(s"`${Names.view(out.source)}`")
