@@ -30,6 +30,10 @@ object Component {
     val config = Config.parse(
       Files.readString(Paths.get(dataDir, "config.json")))
 
+    // graft's native SQL functions (dot_f32, simhash64, ...) are available
+    // to user scripts, like any engine built-in
+    graft.functions.GraftExtensions.register(spark)
+
     config.action match {
       case Some("syntax_check") =>
         val issues = Actions.syntaxCheck(spark, config)

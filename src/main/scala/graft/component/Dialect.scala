@@ -92,6 +92,8 @@ object Dialect {
     }
     sb.toString
       .replaceAll("(?i)::\\s*VARCHAR\\b", "::STRING")
+      // DuckDB star modifier: SELECT * EXCLUDE (c) ≡ Spark * EXCEPT (c)
+      .replaceAll("(?i)\\*\\s*EXCLUDE\\s*\\(", "* EXCEPT(")
   }
 
   /** Full script → rewritten single statements. */

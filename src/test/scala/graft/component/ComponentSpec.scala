@@ -223,6 +223,20 @@ class ComponentSpec extends SparkSpec {
       List("\"a\",\"b\"", "\"1\",\"x\"", "\"2\",\"y\""))
   }
 
+  test("EXCLUDE star modifier and graft SQL functions work in scripts") {
+    val dd = datadir()
+    write(dd.resolve("config.json"),
+      """{"parameters": {"blocks": [{"name": "b", "codes": [{"name": "c", "script": [
+        |  "CREATE TABLE src AS SELECT 1 AS a, 2 AS b, 'x y z' AS txt;",
+        |  "CREATE VIEW out_e AS SELECT * EXCLUDE (b), simhash64(txt) AS fp FROM src"
+        | ]}]}]},
+        | "storage": {"input": {"tables": []},
+        |             "output": {"tables": [{"source": "out_e", "destination": "o"}]}}}""".stripMargin)
+    Component.run(spark, dd.toString)
+    val lines = Files.readString(dd.resolve("out/tables/out_e")).linesIterator.toList
+    assert(lines.head == "\"a\",\"txt\",\"fp\"")
+  }
+
   test("version query shape works in Spark SQL") {
     val df = spark.sql("SELECT version() AS version")
     assert(df.collect().head.getString(0).nonEmpty)
