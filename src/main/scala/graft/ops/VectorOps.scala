@@ -88,6 +88,54 @@ object VectorOps {
         posexplode(col("__keys")).as(Seq("table", "key")))
   }
 
+  /** IVF (inverted-file) ANN: a fixed seeded codebook of `lists` coarse
+    * centroids; every base vector is assigned to its nearest centroid (one
+    * broadcast pass), and a query scans only its `nprobe` nearest lists.
+    *
+    * At 100 TB: the codebook is a few thousand rows (always broadcast),
+    * assignment is a map-side argmin (no shuffle), and the probe join is an
+    * equi-join on the int list id — candidate volume is nprobe/lists of the
+    * corpus. Real deployments train the codebook with k-means; the seeded
+    * random codebook here keeps the operator deterministic while the
+    * distributed shape (broadcast codebook + list equi-join) is identical. */
+  def knnIvf(queries: DataFrame, base: DataFrame, idCol: String, vecCol: String,
+             k: Int, lists: Int = 16, nprobe: Int = 4, dim: Int = 64): DataFrame = {
+    val rnd = new scala.util.Random(11)
+    val codebook = Array.fill(lists, dim)(rnd.nextGaussian())
+    val spark = base.sparkSession
+    val cb = spark.createDataFrame(
+      codebook.zipWithIndex.toSeq.map { case (v, i) => (i, v.map(_.toFloat).toSeq) })
+      .toDF("list_id", "centroid")
+
+    // nearest-centroid assignment: broadcast codebook, per-row argmin
+    def assign(df: DataFrame, n: Int): DataFrame = {
+      val scored = df.crossJoin(broadcast(cb))
+        .withColumn("d", dot(col(vecCol), col("centroid")) /
+          nullif(norm(col("centroid")), lit(0.0)))
+      scored.withColumn("rk", row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("d").desc, col("list_id"))))
+        .filter(col("rk") <= n)
+        .drop("centroid", "d", "rk")
+    }
+
+    val b = assign(withNorm(base, vecCol), 1)
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+        col("_norm").as("nnorm"), col("list_id"))
+    val q = assign(withNorm(queries, vecCol), nprobe)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        col("_norm").as("qnorm"), col("list_id"))
+
+    q.join(b, Seq("list_id"))
+      .filter(col("qid") =!= col("nid"))
+      .dropDuplicates("qid", "nid")
+      .withColumn("cos", cosineFromParts(dot(col("qvec"), col("nvec")),
+        col("qnorm"), col("nnorm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("rk").cast("int").as("rk"), col("cos"))
+  }
+
   /** ANN top-k: rank only within LSH bucket collisions. Keys + norm are
     * computed in one projection per side (no self-join re-derivation). */
   def knnLsh(queries: DataFrame, base: DataFrame, idCol: String, vecCol: String,

@@ -28,6 +28,17 @@ object SimilarityQ {
         .orderBy("qid", "rk")
     }),
 
+    // -- IVF ANN for the same queries (rows-only check; recall pinned in
+    //    OpsSpec against the brute-force baseline).
+    "s04_ann_ivf" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      VectorOps.knnIvf(
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+          k = 5, lists = 16, nprobe = 4)
+        .select("qid", "nid", "rk")
+        .orderBy("qid", "rk")
+    }),
+
     // -- centroid similarity per label: average vector per label, then
     //    each vector's cosine to its own label centroid (exact decimal-free
     //    arithmetic is impossible here ⇒ aggregate stats only, rounded).

@@ -100,6 +100,19 @@ class OpsSpec extends SparkSpec {
     assert(out.nonEmpty && out.head.getAs[Long]("nid") == 1L)
   }
 
+  test("IVF ANN finds the planted near neighbor and stays a candidate subset") {
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+    def jitter(eps: Double) = base.map(v => v + (rnd.nextGaussian() * eps).toFloat)
+    val vecs = (Seq((0L, base), (1L, jitter(0.01))) ++
+      (2 until 60).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    val out = VectorOps.knnIvf(vecs.filter($"vec_id" === 0), vecs,
+      "vec_id", "embedding", k = 1, lists = 8, nprobe = 3).collect()
+    // the planted twin shares the coarse cell w.h.p. at nprobe=3/8
+    assert(out.nonEmpty && out.head.getAs[Long]("nid") == 1L)
+  }
+
   test("asof join picks most recent right row at-or-before, deterministically on ties") {
     val purchases = Seq((1L, 100L, "2024-01-01 10:00:00", 5.0))
       .toDF("user_id", "event_id", "ts", "value")
