@@ -64,7 +64,10 @@ object Extended {
 
     "q45_dedup_rank" -> ((s, d) => T.sql(s, d, "lineitem")(Oracle.q45)),
     "q46_moments" -> ((s, d) => T.sql(s, d, "lineitem")(Oracle.q46)),
-    "q47_correlated_scalar" -> ((s, d) => T.sql(s, d, "orders")(Oracle.q47))
+    "q47_correlated_scalar" -> ((s, d) => T.sql(s, d, "orders")(Oracle.q47)),
+    "q49_cube" -> ((s, d) => T.sql(s, d, "orders")(Oracle.q49)),
+    "q50_default_frame" -> ((s, d) => T.sql(s, d, "orders")(Oracle.q50)),
+    "q51_union_offset" -> ((s, d) => T.sql(s, d, "orders")(Oracle.q51))
   )
 
   object Oracle {
@@ -144,6 +147,33 @@ object Extended {
         |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
         |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin
+
+    val q49: String =
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st, COALESCE(o_orderpriority, 'ALL') AS pr,
+        |       CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+        |       CAST(GROUPING(o_orderpriority) AS INT) AS g_pr,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g_st, g_pr, st, pr""".stripMargin
+
+    // No frame spec with ORDER BY ⇒ RANGE UNBOUNDED PRECEDING..CURRENT ROW:
+    // all peers (ties on the order key) share the running value — the date
+    // ordering is deliberately tie-heavy to pin the peer semantics.
+    val q50: String =
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS DOUBLE) AS run_default,
+        | COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS n_default
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+    val q51: String =
+      """SELECT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH') u
+        |ORDER BY o_custkey LIMIT 200 OFFSET 50""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -186,6 +216,9 @@ object Extended {
 
     "q45_dedup_rank" -> Oracle.q45,
     "q46_moments" -> Oracle.q46,
-    "q47_correlated_scalar" -> Oracle.q47
+    "q47_correlated_scalar" -> Oracle.q47,
+    "q49_cube" -> Oracle.q49,
+    "q50_default_frame" -> Oracle.q50,
+    "q51_union_offset" -> Oracle.q51
   )
 }
