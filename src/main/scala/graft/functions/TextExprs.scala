@@ -36,6 +36,10 @@ object TextExprs {
   def bandSigs(minhash: Column, bands: Int, rowsPerBand: Int): Column =
     GraftSqlBridge.column(
       BandSigs(GraftSqlBridge.expression(minhash), bands, rowsPerBand))
+
+  /** Winnowing fingerprints (rolling k-gram hash + sliding-window minima). */
+  def winnow(text: Column, k: Int, window: Int): Column =
+    GraftSqlBridge.column(Winnow(GraftSqlBridge.expression(text), k, window))
 }
 
 private[functions] object Words {
@@ -119,6 +123,79 @@ case class MinHash64(child: Expression, coefA: Array[Long], coefB: Array[Long], 
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHash64 =
+    copy(child = newChild)
+}
+
+/** array<bigint>: winnowing document fingerprints — the standard
+  * rolling-hash selection scheme (Schleimer/Wilkerson/Aiken, "Winnowing:
+  * Local Algorithms for Document Fingerprinting", SIGMOD'03):
+  *
+  *   1. Rabin-Karp rolling hash over byte k-grams (one multiply-add-
+  *      subtract per position — O(n), not O(n·k));
+  *   2. slide a window of `window` consecutive k-gram hashes and keep each
+  *      window's minimum (rightmost on ties), deduplicated.
+  *
+  * Guarantees: any shared substring of length >= window + k - 1 between
+  * two documents yields at least one shared fingerprint, and fingerprint
+  * density is ~2/(window+1) — a fixed-size-ish sketch per doc that survives
+  * insertions/reorderings far better than whole-doc hashes (the scale story
+  * for plagiarism/near-dup detection over 100 TB of text). */
+case class Winnow(child: Expression, k: Int, window: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  private val B = 1000000007L // rolling base
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val n = bytes.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
+    // rolling k-gram hashes
+    val hs = new Array[Long](n)
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xFF); i += 1 }
+    hs(0) = mix(h)
+    i = 1
+    while (i < n) {
+      h = (h - (bytes(i - 1) & 0xFF) * pow) * B + (bytes(i + k - 1) & 0xFF)
+      hs(i) = mix(h)
+      i += 1
+    }
+    if (n <= window) { // short doc: single global minimum
+      var m = hs(0)
+      i = 1
+      while (i < n) { if (hs(i) <= m) m = hs(i); i += 1 }
+      return new GenericArrayData(Array(m))
+    }
+    // sliding-window minima (rightmost min on ties), deduplicated
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var w = 0
+    while (w + window <= n) {
+      var m = hs(w)
+      var j = w + 1
+      while (j < w + window) { if (hs(j) <= m) m = hs(j); j += 1 }
+      seen.add(m)
+      w += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  private def mix(x: Long): Long = {
+    var h = x * -7046029288634856825L
+    h ^= (h >>> 32); h *= -4417276706812531889L; h ^= (h >>> 29)
+    h
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Winnow =
     copy(child = newChild)
 }
 

@@ -58,7 +58,20 @@ object DedupQ {
     //    float32 oracle and double Spark path agree on the cut).
     "d06_embedding_dup" -> ((s, d) =>
       VectorOps.cosinePairs(T.embeddings(s, d), "vec_id", "embedding", 0.4)
-        .orderBy("a_id", "b_id"))
+        .orderBy("a_id", "b_id")),
+
+    // -- winnowing (rolling-hash) fingerprints: docs sharing any window+k-1
+    //    byte substring share a fingerprint (rows-only; pinned by spec).
+    "d07_winnow" -> ((s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextExprs.winnow(col("text"), k = 8, window = 16).as("fps"))
+        .select(col("doc_id"), size(col("fps")).as("n_fps"),
+          explode(col("fps")).as("fp"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("fp"))
   )
 
   val oracles: Map[String, String] = Map(

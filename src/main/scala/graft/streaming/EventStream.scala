@@ -39,6 +39,15 @@ object EventStream {
       .select(col("bucket.start").as("bucket_start"), col("event_type"),
         col("n"), col("sum_value"), col("approx_users"))
 
+  /** Streaming exact dedup: keep the first arrival per key, with per-key
+    * state evicted once the watermark passes (state stays O(keys inside the
+    * lateness window) instead of growing with the stream) — the streaming
+    * twin of d01_dedup_exact. */
+  def dedup(events: DataFrame, keys: Seq[String],
+            lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keys)
+
   final case class Event(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(sessionId: Long, lastTsMicros: Long,
                                 nEvents: Long, sumValue: Double)

@@ -67,6 +67,27 @@ class OpsSpec extends SparkSpec {
     assert(ham(fp(0), fp(1)) < ham(fp(0), fp(2)))
   }
 
+  test("winnowing: shared long substrings share fingerprints; short docs covered") {
+    import graft.functions.TextExprs
+    val k = 8; val w = 16
+    // doc2 = doc1 with a large shared middle; doc3 disjoint
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val df = docs(
+      (1L, s"prefix one $shared suffix one"),
+      (2L, s"other lead-in $shared different tail"),
+      (3L, "completely unrelated content with no overlap whatsoever here"),
+      (4L, "tiny")) // shorter than k ⇒ still one fingerprint? (len<k ⇒ empty)
+      .select($"doc_id", TextExprs.winnow($"text", k, w).as("fps"))
+    val rows = df.orderBy("doc_id").collect()
+      .map(r => r.getSeq[Long](1).toSet)
+    assert((rows(0) intersect rows(1)).nonEmpty)    // guarantee: shared >= w+k-1 substring
+    assert((rows(0) intersect rows(2)).isEmpty)
+    assert(rows(3).isEmpty)                          // len < k
+    // determinism
+    val again = df.orderBy("doc_id").collect().map(_.getSeq[Long](1).toSet)
+    assert(rows.sameElements(again))
+  }
+
   test("dotF32/normF32 match manual math") {
     val df = Seq((1L, Array(1.0f, 2.0f, 2.0f), Array(3.0f, 0.0f, 4.0f)))
       .toDF("id", "a", "b")

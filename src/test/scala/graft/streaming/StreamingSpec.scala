@@ -38,6 +38,27 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup keeps the first arrival per key across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "ts", "payload")
+    val query = EventStream.dedup(events, Seq("event_id"), "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), "first"),
+        (1L, ts("2024-01-01 10:00:01"), "dup-same-batch"))
+      query.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 10:10:00"), "dup-later-batch"),
+        (2L, ts("2024-01-01 10:11:00"), "new-key"))
+      query.processAllAvailable()
+      val rows = spark.table("deduped").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("payload"))).toSet
+      assert(rows == Set((1L, "first"), (2L, "new-key")))
+    } finally query.stop()
+  }
+
   test("sessionize emits a closed session when the gap is exceeded") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
