@@ -15,7 +15,7 @@ object Actions {
   /** syntax_check (A18): every statement must parse; plus the reference's
     * heuristic lints that survive translation. */
   def syntaxCheck(spark: SparkSession, config: Config): List[ValidationIssue] =
-    config.namedScripts.flatMap { case (_, name, sql) =>
+    config.namedScripts.flatMap { case (_, _, name, sql) =>
       Dialect.prepare(sql).flatMap { stmt =>
         val parseIssue = Try(spark.sessionState.sqlParser.parsePlan(stmt)) match {
           case Failure(e) => List(ValidationIssue(name, s"parse error: ${e.getMessage}"))
@@ -27,10 +27,13 @@ object Actions {
     }
 
   private[component] def lint(stmt: String): List[String] = {
-    val up = stmt.toUpperCase
+    // textual heuristics must not see quoted literals or comments — a ')'
+    // inside a string is not a paren
+    val masked = Dialect.maskQuoted(stmt)
+    val up = masked.toUpperCase
     val issues = scala.collection.mutable.ListBuffer[String]()
-    val opens = stmt.count(_ == '(')
-    val closes = stmt.count(_ == ')')
+    val opens = masked.count(_ == '(')
+    val closes = masked.count(_ == ')')
     if (opens != closes)
       issues += s"unmatched parentheses ($opens open, $closes close)"
     if (up.contains("PERCENTILE_CONT") && !up.contains("WITHIN GROUP"))
@@ -41,7 +44,7 @@ object Actions {
   /** expected_input_tables (A19): external tables = all deps − all outputs;
     * reported under the user's original names. */
   def expectedInputTables(spark: SparkSession, config: Config): List[String] = {
-    val analyses = config.namedScripts.map { case (_, _, sql) =>
+    val analyses = config.namedScripts.map { case (_, _, _, sql) =>
       SqlAnalyzer.analyzeScript(spark, sql)
     }
     val outs = analyses.flatMap(_.outputs).toSet

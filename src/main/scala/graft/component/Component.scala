@@ -61,11 +61,12 @@ object Component {
     // 2. warehouse passthrough (prior run's materialized tables)
     val inWarehouse = Paths.get(dataDir, "in", "files", "warehouse")
     if (Files.isDirectory(inWarehouse)) {
-      Files.list(inWarehouse).forEach { p =>
+      val listing = Files.list(inWarehouse)
+      try listing.forEach { p =>
         if (Files.isDirectory(p))
           spark.read.parquet(p.toString)
             .createOrReplaceTempView(Names.view(p.getFileName.toString))
-      }
+      } finally listing.close()
     }
 
     // 3. ingest

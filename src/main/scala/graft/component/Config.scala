@@ -37,14 +37,16 @@ final case class Config(
     action: Option[String] = None
 ) {
   /** Flatten to named queries: `{code}` for single-script codes,
-    * `{code}_{i}` for multi-script (reference `src/sql_parser.py:146-160`). */
-  def namedScripts: List[(String, String, String)] = // (block, queryName, sql)
+    * `{code}_{i}` for multi-script (reference `src/sql_parser.py:146-160`).
+    * Blocks are identified POSITIONALLY (index) — two config blocks may
+    * legally share a display name and must still run as separate blocks. */
+  def namedScripts: List[(Int, String, String, String)] = // (blockIdx, blockName, queryName, sql)
     for {
-      b <- blocks
+      (b, bi) <- blocks.zipWithIndex
       c <- b.codes
       (sql, i) <- c.script.zipWithIndex
       name = if (c.script.sizeIs > 1) s"${c.name}_${i + 1}" else c.name
-    } yield (b.name, name, sql)
+    } yield (bi, b.name, name, sql)
 }
 
 object Config {

@@ -56,44 +56,97 @@ object Dialect {
   private val tableKeyword =
     """(?is)\b(FROM|JOIN|INTO|UPDATE|TABLE|VIEW)\s*$""".r
 
-  /** Rewrite one DuckDB statement into Spark SQL. */
+  /** Scan past a single-quoted token starting at `start` (which must point
+    * at the opening quote), honoring `''` escapes; returns the index just
+    * AFTER the closing quote (or length if unterminated). */
+  private def quotedEnd(stmt: String, start: Int): Int = {
+    var i = start + 1
+    while (i < stmt.length) {
+      if (stmt.charAt(i) == '\'') {
+        if (i + 1 < stmt.length && stmt.charAt(i + 1) == '\'') i += 2 // escape
+        else return i + 1
+      } else i += 1
+    }
+    stmt.length
+  }
+
+  /** Rewrite one DuckDB statement into Spark SQL. Textual rewrites
+    * (`::VARCHAR`, `* EXCLUDE (`) apply only OUTSIDE quoted regions. */
   def rewrite(stmt: String): String = {
-    val sb = new StringBuilder
+    val out = new StringBuilder
+    val plain = new StringBuilder // non-quoted text pending regex rewrites
+
+    def flushPlain(): Unit = {
+      out.append(plain.toString
+        .replaceAll("(?i)::\\s*VARCHAR\\b", "::STRING")
+        // DuckDB star modifier: SELECT * EXCLUDE (c) ≡ Spark * EXCEPT (c)
+        .replaceAll("(?i)\\*\\s*EXCLUDE\\s*\\(", "* EXCEPT("))
+      plain.clear()
+    }
+
     var i = 0
     while (i < stmt.length) {
       val c = stmt.charAt(i)
       if (c == '"') {
         val end = stmt.indexOf('"', i + 1)
-        if (end < 0) { sb.append(stmt.substring(i)); i = stmt.length }
+        if (end < 0) { plain.append(stmt.substring(i)); i = stmt.length }
         else {
           val name = stmt.substring(i + 1, end)
-          sb.append('`').append(Names.view(name)).append('`')
+          val inTablePos = tableKeyword.findFirstIn(plain.toString).isDefined
+          flushPlain()
+          // table names must be sanitized (temp views reject dots); quoted
+          // COLUMN names are backticked verbatim — they exist as-is in the
+          // DataFrame schema
+          val ident = if (inTablePos) Names.view(name) else name
+          out.append('`').append(ident).append('`')
           i = end + 1
         }
       } else if (c == '\'') {
-        val end = stmt.indexOf('\'', i + 1)
-        if (end < 0) { sb.append(stmt.substring(i)); i = stmt.length }
-        else if (end + 1 < stmt.length && stmt.charAt(end + 1) == '\'') {
-          // escaped quote inside a string literal: copy verbatim through it
-          sb.append(stmt.substring(i, end + 2)); i = end + 2
+        val end = quotedEnd(stmt, i)
+        val body = stmt.substring(i + 1, math.max(i + 1, end - 1))
+        val isIdentifier = !body.contains("''") &&
+          tableKeyword.findFirstIn(plain.toString).isDefined
+        if (isIdentifier) {
+          flushPlain()
+          out.append('`').append(Names.view(body)).append('`')
         } else {
-          val name = stmt.substring(i + 1, end)
-          // identifier only in table position; string literal otherwise
-          if (tableKeyword.findFirstIn(sb.toString).isDefined)
-            sb.append('`').append(Names.view(name)).append('`')
-          else sb.append(stmt.substring(i, end + 1))
-          i = end + 1
+          flushPlain()
+          out.append(stmt.substring(i, end)) // literal, verbatim
         }
+        i = end
       } else if (c == '-' && i + 1 < stmt.length && stmt.charAt(i + 1) == '-') {
         val end = stmt.indexOf('\n', i)
         val stop = if (end < 0) stmt.length else end + 1
-        sb.append(stmt.substring(i, stop)); i = stop
+        flushPlain()
+        out.append(stmt.substring(i, stop))
+        i = stop
+      } else { plain.append(c); i += 1 }
+    }
+    flushPlain()
+    out.toString
+  }
+
+  /** The statement with quoted regions and comments blanked — for textual
+    * heuristics (lint) that must not see literal content. */
+  def maskQuoted(stmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < stmt.length) {
+      val c = stmt.charAt(i)
+      if (c == '\'') {
+        val end = quotedEnd(stmt, i)
+        sb.append(" " * (end - i)); i = end
+      } else if (c == '"' || c == '`') {
+        val end = stmt.indexOf(c, i + 1)
+        val stop = if (end < 0) stmt.length else end + 1
+        sb.append(" " * (stop - i)); i = stop
+      } else if (c == '-' && i + 1 < stmt.length && stmt.charAt(i + 1) == '-') {
+        val end = stmt.indexOf('\n', i)
+        val stop = if (end < 0) stmt.length else end + 1
+        sb.append(" " * (stop - i)); i = stop
       } else { sb.append(c); i += 1 }
     }
     sb.toString
-      .replaceAll("(?i)::\\s*VARCHAR\\b", "::STRING")
-      // DuckDB star modifier: SELECT * EXCLUDE (c) ≡ Spark * EXCEPT (c)
-      .replaceAll("(?i)\\*\\s*EXCLUDE\\s*\\(", "* EXCEPT(")
   }
 
   /** Full script → rewritten single statements. */

@@ -7,7 +7,7 @@ import scala.concurrent.duration.Duration
 
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.functions.{col, when}
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 
 /** Block-sequential / batch-parallel executor over one SparkSession
   * (reference A17, `src/query_orchestrator.py:271-402`). Spark actions are
@@ -72,9 +72,14 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
         case Some(cs) => added0.toDF(cs.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")): _*)
         case None     => added0.toDF(existing.columns: _*)
       }
-      val unioned = existing.unionByName(
-        added.select(existing.columns.map(c => col(c).cast(existing.schema(c).dataType)): _*))
-      register(name, materialize(name, unioned))
+      // columns absent from an explicit column list are NULL-filled, like
+      // SQL INSERT with a partial column list
+      val addedCols = added.columns.toSet
+      val aligned = added.select(existing.columns.map { c =>
+        if (addedCols(c)) col(c).cast(existing.schema(c).dataType).as(c)
+        else lit(null).cast(existing.schema(c).dataType).as(c)
+      }: _*)
+      register(name, materialize(name, existing.unionByName(aligned)))
 
     case _ =>
       val plan = spark.sessionState.sqlParser.parsePlan(stmt)
@@ -86,20 +91,31 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
             case Some(e: org.apache.spark.sql.catalyst.expressions.Expression) => e
           }
           val df = spark.table(s"`${Names.view(name)}`")
-          val out = cond.map(e => df.filter(!GraftSqlBridge.column(e))).getOrElse(df.limit(0))
+          // SQL DELETE keeps rows whose predicate is NULL (unknown); a bare
+          // filter(!p) would drop them, so fold NULL to false first
+          val out = cond
+            .map(e => df.filter(!coalesce(GraftSqlBridge.column(e), lit(false))))
+            .getOrElse(df.limit(0))
           register(name, materialize(name, out))
 
         case "UpdateTable" =>
           val name = targetName(plan)
           val df = spark.table(s"`${Names.view(name)}`")
           val (assigns, cond) = updateParts(plan)
-          val out = assigns.foldLeft(df) { case (d, (colName, value)) =>
-            d.withColumn(colName, cond match {
-              case Some(c) => when(GraftSqlBridge.column(c),
-                GraftSqlBridge.column(value)).otherwise(col(colName))
-              case None => GraftSqlBridge.column(value)
-            })
-          }
+          // all SET expressions evaluate against the PRE-update row (SQL
+          // simultaneous-assignment semantics: `SET a = b, b = a` swaps),
+          // so build every output column in a single projection
+          val assigned = assigns.toMap
+          val out = df.select(df.columns.map { c =>
+            assigned.get(c) match {
+              case Some(value) => (cond match {
+                case Some(p) => when(GraftSqlBridge.column(p),
+                  GraftSqlBridge.column(value)).otherwise(col(c))
+                case None => GraftSqlBridge.column(value)
+              }).as(c)
+              case None => col(c)
+            }
+          }: _*)
           register(name, materialize(name, out))
 
         case _ =>

@@ -29,13 +29,15 @@ object Export {
   def exportFileManifests(dataDir: String): Unit = {
     val filesDir = Paths.get(dataDir, "out", "files")
     if (!Files.isDirectory(filesDir)) return
-    Files.list(filesDir).iterator().asScala
+    val listing = Files.list(filesDir)
+    try listing.iterator().asScala
       .filter(p => Files.isRegularFile(p) && !p.toString.endsWith(".manifest"))
       .foreach { p =>
         val m = Paths.get(p.toString + ".manifest")
         if (!Files.exists(m))
           Files.writeString(m, """{"tags": [], "is_permanent": false}""")
       }
+    finally listing.close()
   }
 
   def exportTable(spark: SparkSession, dataDir: String, out: OutputTable): Unit = {
@@ -57,13 +59,18 @@ object Export {
       .option("dateFormat", "yyyy-MM-dd")
       .mode("overwrite")
       .csv(stage)
-    val part = Files.list(Paths.get(stage)).iterator().asScala
-      .find(_.getFileName.toString.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException(s"no part file written in $stage"))
+    val listing = Files.list(Paths.get(stage))
+    val part =
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no part file written in $stage"))
+      finally listing.close()
     Files.createDirectories(dest.getParent)
     Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
     // best-effort cleanup of the staging dir
-    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(p =>
+    val walk = Files.walk(tmp)
+    try walk.iterator().asScala.toSeq.reverse.foreach(p =>
       try Files.deleteIfExists(p) catch { case _: Exception => () })
+    finally walk.close()
   }
 }

@@ -13,7 +13,8 @@ import org.apache.spark.sql.SparkSession
   * orders same-table statements; a cycle is a user error.
   */
 final case class Query(
-    block: String,
+    blockIdx: Int,    // positional block identity (names may repeat)
+    block: String,    // display name
     name: String,
     sql: String,
     statements: List[String], // rewritten, one per statement
@@ -30,9 +31,10 @@ class UserException(msg: String) extends RuntimeException(msg)
 object Planner {
 
   def analyze(spark: SparkSession, config: Config): List[Query] =
-    config.namedScripts.map { case (block, name, sql) =>
+    config.namedScripts.map { case (blockIdx, block, name, sql) =>
       val a = SqlAnalyzer.analyzeScript(spark, sql)
-      Query(block, name, sql, Dialect.prepare(sql), a.dependencies, a.outputs, a.statementType)
+      Query(blockIdx, block, name, sql, Dialect.prepare(sql),
+        a.dependencies, a.outputs, a.statementType)
     }
 
   /** Global producer map: INSERT beats CREATE; last INSERT wins. */
@@ -52,10 +54,11 @@ object Planner {
   def plan(spark: SparkSession, config: Config): ExecutionPlan = {
     val queries = analyze(spark, config)
     val prod = producers(queries)
-    val blocks = queries.groupBy(_.block)
-    val ordered = config.blocks.map(_.name).filter(blocks.contains)
+    val byIdx = queries.groupBy(_.blockIdx)
     ExecutionPlan(
-      ordered.map(b => PlannedBlock(b, batchBlock(blocks(b), prod))),
+      byIdx.keys.toList.sorted.map { bi =>
+        PlannedBlock(byIdx(bi).head.block, batchBlock(byIdx(bi), prod))
+      },
       prod)
   }
 
@@ -78,11 +81,11 @@ object Planner {
       // before the reader (a reader must see the final state: CREATE, all
       // INSERTs, and any UPDATE/DELETE re-derivations)
       for (d <- q.dependencies;
-           w <- queries if w.outputs.contains(d) && w.block == q.block)
+           w <- queries if w.outputs.contains(d) && w.blockIdx == q.blockIdx)
         addEdge(w.name, q.name)
       // cross-block producers need no edge (blocks are sequential), but
       // validate the producer exists or the table is external
-      for (d <- q.dependencies; p <- prod.get(d) if p.block == q.block)
+      for (d <- q.dependencies; p <- prod.get(d) if p.blockIdx == q.blockIdx)
         addEdge(p.name, q.name)
     }
     // writers of the same table serialize: CREATE first (the reference's

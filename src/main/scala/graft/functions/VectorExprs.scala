@@ -49,12 +49,14 @@ case class LshKeys(child: Expression, planes: Array[Array[Array[Double]]])
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "lsh_keys"
 
+  @transient private lazy val kc = VecType.code(prettyName, child.dataType)
+
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), dim)
     val v = new Array[Double](n)
     var d = 0
-    while (d < n) { v(d) = x.getFloat(d).toDouble; d += 1 }
+    while (d < n) { v(d) = VecType.get(x, d, kc); d += 1 }
     val keys = new Array[Int](tables)
     var t = 0
     while (t < tables) {
@@ -87,9 +89,29 @@ case class LshKeys(child: Expression, planes: Array[Array[Array[Double]]])
     copy(child = newChild)
 }
 
-/** `dot(a, b) = Σ a_i * b_i` over array<float>, accumulated in double. */
+/** Float/double array element access resolved from the child's type —
+  * `dot_f32(array(1.0, 2.0), ...)` in user SQL produces array<double>, and
+  * reading doubles with getFloat would silently return garbage. */
+private[functions] object VecType {
+  /** "F" for array<float>, "D" for array<double>; error otherwise. */
+  def code(fn: String, dt: DataType): String = dt match {
+    case ArrayType(FloatType, _)  => "F"
+    case ArrayType(DoubleType, _) => "D"
+    case other => throw new IllegalArgumentException(
+      s"$fn requires array<float> or array<double>, got ${other.sql}")
+  }
+  def get(arr: ArrayData, i: Int, code: String): Double =
+    if (code == "F") arr.getFloat(i).toDouble else arr.getDouble(i)
+  def accessor(code: String): String =
+    if (code == "F") "getFloat" else "getDouble"
+}
+
+/** `dot(a, b) = Σ a_i * b_i` over array<float|double>, accumulated in double. */
 case class DotF32(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  @transient private lazy val lc = VecType.code(prettyName, left.dataType)
+  @transient private lazy val rc = VecType.code(prettyName, right.dataType)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f32"
@@ -100,7 +122,7 @@ case class DotF32(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) { s += VecType.get(x, i, lc) * VecType.get(y, i, rc); i += 1 }
     s
   }
 
@@ -110,7 +132,7 @@ case class DotF32(left: Expression, right: Expression)
          |int n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double s = 0.0;
          |for (int i = 0; i < n; i++) {
-         |  s += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+         |  s += (double) $a.${VecType.accessor(lc)}(i) * (double) $b.${VecType.accessor(rc)}(i);
          |}
          |${ev.value} = s;
        """.stripMargin)
@@ -127,12 +149,14 @@ case class NormF32(child: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "norm_f32"
 
+  @transient private lazy val cc = VecType.code(prettyName, child.dataType)
+
   override protected def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     var s = 0.0
     var i = 0
     while (i < x.numElements()) {
-      val v = x.getFloat(i).toDouble; s += v * v; i += 1
+      val v = VecType.get(x, i, cc); s += v * v; i += 1
     }
     math.sqrt(s)
   }
@@ -143,7 +167,7 @@ case class NormF32(child: Expression)
          |double s = 0.0;
          |int n = $a.numElements();
          |for (int i = 0; i < n; i++) {
-         |  double v = (double) $a.getFloat(i);
+         |  double v = (double) $a.${VecType.accessor(cc)}(i);
          |  s += v * v;
          |}
          |${ev.value} = java.lang.Math.sqrt(s);

@@ -20,7 +20,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale notes: the windowed aggregation is a streaming partial+final hash
   * agg keyed on (window, event_type) with watermark-driven state eviction;
   * sessionization keys state by user_id — state size is O(active users),
-  * and the processing-time timeout evicts idle users.
+  * and the event-time timeout evicts idle users.
   */
 object EventStream {
 
@@ -49,7 +49,8 @@ object EventStream {
       .dropDuplicatesWithinWatermark(keys)
 
   final case class Event(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
-  final case class SessionState(sessionId: Long, lastTsMicros: Long,
+  final case class SessionState(sessionId: Long, // first-event ts micros
+                                lastTsMicros: Long,
                                 nEvents: Long, sumValue: Double)
   final case class Session(user_id: Long, session_id: Long, n_events: Long,
                            sum_value: Double)
@@ -78,14 +79,18 @@ object EventStream {
             state.remove()
             out.iterator
           } else {
-            var s = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
+            // session_id = the session's first-event timestamp (micros):
+            // globally unique per user even after state eviction — a
+            // counter would restart at 0 when the timeout removes state
+            var s = state.getOption.getOrElse(SessionState(-1L, Long.MinValue, 0L, 0.0))
             val closed = scala.collection.mutable.ListBuffer[Session]()
             for (e <- rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
               val tsMicros = e.ts.getTime * 1000L
-              if (s.lastTsMicros != Long.MinValue &&
-                tsMicros - s.lastTsMicros > gapMicros) {
+              if (s.lastTsMicros == Long.MinValue) {
+                s = SessionState(tsMicros, tsMicros, 1L, e.value)
+              } else if (tsMicros - s.lastTsMicros > gapMicros) {
                 closed += Session(userId, s.sessionId, s.nEvents, s.sumValue)
-                s = SessionState(s.sessionId + 1, tsMicros, 1L, e.value)
+                s = SessionState(tsMicros, tsMicros, 1L, e.value)
               } else {
                 s = SessionState(s.sessionId, tsMicros,
                   s.nEvents + 1, s.sumValue + e.value)

@@ -223,6 +223,51 @@ class ComponentSpec extends SparkSpec {
       List("\"a\",\"b\"", "\"1\",\"x\"", "\"2\",\"y\""))
   }
 
+  test("DELETE keeps NULL-predicate rows; UPDATE assigns simultaneously") {
+    val dd = datadir()
+    write(dd.resolve("config.json"),
+      """{"parameters": {"blocks": [{"name": "b", "codes": [{"name": "dml", "script": [
+        |  "CREATE TABLE t AS SELECT * FROM (SELECT 1 AS a, 10 AS b UNION ALL SELECT 2, 20 UNION ALL SELECT CAST(NULL AS INT), 30);",
+        |  "DELETE FROM t WHERE a = 2;",
+        |  "UPDATE t SET a = b, b = a;",
+        |  "CREATE VIEW out_t AS (SELECT * FROM t) ORDER BY a"
+        | ]}]}]},
+        | "storage": {"input": {"tables": []},
+        |             "output": {"tables": [{"source": "out_t", "destination": "o"}]}}}""".stripMargin)
+    Component.run(spark, dd.toString)
+    val lines = Files.readString(dd.resolve("out/tables/out_t")).linesIterator.toList
+    // NULL-a row survives DELETE (unknown predicate); UPDATE swaps a<->b
+    assert(lines == List("\"a\",\"b\"", "\"10\",\"1\"", "\"30\",\"\""))
+  }
+
+  test("duplicate block names run as separate blocks, once each") {
+    val dd = datadir()
+    write(dd.resolve("config.json"),
+      """{"parameters": {"blocks": [
+        |  {"name": "Block 1", "codes": [{"name": "mk", "script": ["CREATE TABLE t AS SELECT 1 AS x"]}]},
+        |  {"name": "Block 1", "codes": [{"name": "add", "script": ["INSERT INTO t SELECT 2 AS x"]}]}]},
+        | "storage": {"input": {"tables": []},
+        |             "output": {"tables": [{"source": "t", "destination": "o"}]}}}""".stripMargin)
+    Component.run(spark, dd.toString)
+    assert(Files.readString(dd.resolve("out/tables/t")).linesIterator.toList.sorted ==
+      List("\"1\"", "\"2\"", "\"x\""))
+  }
+
+  test("INSERT with a partial column list NULL-fills missing columns") {
+    val dd = datadir()
+    write(dd.resolve("config.json"),
+      """{"parameters": {"blocks": [{"name": "b", "codes": [{"name": "ins", "script": [
+        |  "CREATE TABLE t AS SELECT 1 AS a, 'x' AS b;",
+        |  "INSERT INTO t (a) SELECT 2;",
+        |  "CREATE VIEW out_t AS (SELECT * FROM t) ORDER BY a"
+        | ]}]}]},
+        | "storage": {"input": {"tables": []},
+        |             "output": {"tables": [{"source": "out_t", "destination": "o"}]}}}""".stripMargin)
+    Component.run(spark, dd.toString)
+    assert(Files.readString(dd.resolve("out/tables/out_t")).linesIterator.toList ==
+      List("\"a\",\"b\"", "\"1\",\"x\"", "\"2\",\"\""))
+  }
+
   test("EXCLUDE star modifier and graft SQL functions work in scripts") {
     val dd = datadir()
     write(dd.resolve("config.json"),

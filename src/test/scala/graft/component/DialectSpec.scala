@@ -40,6 +40,31 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.rewrite(s) == s)
   }
 
+  test("escaped quote before a table-position identifier stays in sync") {
+    val out = Dialect.rewrite("SELECT 'it''s' AS v FROM 'days.csv'")
+    assert(out == "SELECT 'it''s' AS v FROM `days_csv`")
+  }
+
+  test("double-quoted COLUMN names are backticked verbatim, not sanitized") {
+    assert(Dialect.rewrite("""SELECT "my col" FROM t""") == "SELECT `my col` FROM t")
+    // table position still sanitizes
+    assert(Dialect.rewrite("""SELECT x FROM "my.table"""") == "SELECT x FROM `my_table`")
+  }
+
+  test("textual rewrites never touch string literals") {
+    val s = "SELECT a::VARCHAR FROM t WHERE note = 'a::VARCHAR b' AND x = '* EXCLUDE ('"
+    val out = Dialect.rewrite(s)
+    assert(out.contains("a::STRING FROM"))
+    assert(out.contains("'a::VARCHAR b'"))
+    assert(out.contains("'* EXCLUDE ('"))
+  }
+
+  test("lint ignores parens and keywords inside literals") {
+    assert(Actions.lint("SELECT ':-)' AS emoji FROM t").isEmpty)
+    assert(Actions.lint("SELECT 'PERCENTILE_CONT(' FROM t").isEmpty)
+    assert(Actions.lint("SELECT ((1").nonEmpty)
+  }
+
   test("Names round-trips originals") {
     val v = Names.view("out-table.csv")
     assert(v == "out_table_csv")

@@ -77,7 +77,7 @@ class StreamingSpec extends SparkSpec {
       val rows = spark.table("sessions").collect()
         .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
           r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
-      assert(rows == Set((1L, 0L, 2L, 3.0)))
+      assert(rows == Set((1L, ts("2024-01-01 10:00:00").getTime * 1000L, 2L, 3.0)))
     } finally query.stop()
   }
 }
