@@ -74,6 +74,28 @@ def main():
             print(f"FAIL {name}: columns spark={sc} duck={dc}")
             n_fail += 1
             continue
+        # type comparison (warn-level: the driver's exact mapping is unknown)
+        ARROW2DUCK = {"int64": "BIGINT", "int32": "INTEGER", "int16": "SMALLINT",
+                      "double": "DOUBLE", "float": "FLOAT", "string": "VARCHAR",
+                      "large_string": "VARCHAR", "bool": "BOOLEAN",
+                      "date32[day]": "DATE"}
+        try:
+            rel = con.sql(sql)
+            d_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
+        except Exception:
+            d_types = {}
+        for i, col_name in enumerate(tbl.column_names):
+            at = str(tbl.schema.field(col_name).type)
+            dt = str(d_types.get(col_name, "?"))
+            exp = ARROW2DUCK.get(at)
+            if at.startswith("timestamp"):
+                exp = "TIMESTAMP"
+            elif at.startswith("decimal"):
+                exp = "DECIMAL"
+            if exp is None:
+                continue
+            if not dt.startswith(exp):
+                print(f"WARN {name}: column {col_name} type spark={at} duck={dt}")
         if len(sv) != len(dv):
             print(f"FAIL {name}: rows spark={len(sv)} duck={len(dv)}")
             n_fail += 1
