@@ -40,6 +40,46 @@ object TextExprs {
   /** Winnowing fingerprints (rolling k-gram hash + sliding-window minima). */
   def winnow(text: Column, k: Int, window: Int): Column =
     GraftSqlBridge.column(Winnow(GraftSqlBridge.expression(text), k, window))
+
+  /** Occurrence counts of each marker set's words in one tokenize pass. */
+  def markerCounts(text: Column, markerSets: Seq[Seq[String]]): Column =
+    GraftSqlBridge.column(
+      MarkerCounts(GraftSqlBridge.expression(text), markerSets.map(_.toArray).toArray))
+}
+
+/** array<int> length = number of marker sets: how many word occurrences of
+  * the text fall in each set — language-ID / stopword scoring in a single
+  * pass instead of one interpreted `filter` HOF per set. */
+case class MarkerCounts(child: Expression, markerSets: Array[Array[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    markerSets.map { ws =>
+      val s = new java.util.HashSet[UTF8String](ws.length * 2)
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "marker_counts"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = Words.split(input.asInstanceOf[UTF8String])
+    val counts = new Array[Int](sets.length)
+    var i = 0
+    while (i < words.length) {
+      var j = 0
+      while (j < sets.length) {
+        if (sets(j).contains(words(i))) counts(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MarkerCounts =
+    copy(child = newChild)
 }
 
 private[functions] object Words {

@@ -21,8 +21,10 @@ object TextQ {
     "es" -> Seq("scan", "merge", "data"),
     "de" -> Seq("hash", "join", "stream"))
 
-  private def markerCount(words: org.apache.spark.sql.Column, ws: Seq[String]) =
-    size(filter(words, w => ws.map(m => w === m).reduce((a, b) => a || b)))
+  /** Occurrence count of `ws` members — one native pass over the words
+    * (graft.functions.MarkerCounts; the `filter` HOF is interpreted). */
+  private def markerCount(text: org.apache.spark.sql.Column, ws: Seq[String]) =
+    element_at(graft.functions.TextExprs.markerCounts(text, Seq(ws)), 1)
 
   val queries: Map[String, Q] = Map(
     // -- token counting: whitespace split + regexp token extraction.
@@ -44,7 +46,7 @@ object TextQ {
       T.documents(s, d)
         .withColumn("n_words", size(words))
         .withColumn("n_distinct", size(array_distinct(words)))
-        .withColumn("n_stop", markerCount(words, stop))
+        .withColumn("n_stop", markerCount(col("text"), stop))
         .select(
           col("doc_id"), col("n_words"), col("n_distinct"), col("n_stop"),
           (col("n_distinct").cast(DoubleType) / col("n_words")).as("distinct_ratio"),
@@ -59,13 +61,16 @@ object TextQ {
         .orderBy("doc_id")
     }),
 
-    // -- language ID: marker counts + deterministic argmax.
+    // -- language ID: marker counts (one native pass for all three
+    //    profiles) + deterministic argmax.
     "t03_langid" -> ((s, d) => {
-      val words = split(col("text"), " ")
+      val mc = graft.functions.TextExprs.markerCounts(col("text"),
+        Seq(markers("en"), markers("es"), markers("de")))
       T.documents(s, d)
-        .withColumn("s_en", markerCount(words, markers("en")))
-        .withColumn("s_es", markerCount(words, markers("es")))
-        .withColumn("s_de", markerCount(words, markers("de")))
+        .withColumn("__mc", mc)
+        .withColumn("s_en", element_at(col("__mc"), 1))
+        .withColumn("s_es", element_at(col("__mc"), 2))
+        .withColumn("s_de", element_at(col("__mc"), 3))
         .withColumn("predicted",
           when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de"), "en")
             .when(col("s_es") >= col("s_de"), "es")
