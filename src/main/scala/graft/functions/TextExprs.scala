@@ -143,11 +143,16 @@ case class MinHash64(child: Expression, coefA: Array[Long], coefB: Array[Long], 
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash64"
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    // empty shingle set ⇒ NULL signature: a shared sentinel signature would
+    // collide every short doc into one degenerate LSH bucket (quadratic
+    // candidate blowup); NULL rows simply drop out of the banding explode
+    if (arr.numElements() == 0) return null
     val mins = new Array[Long](numHashes)
-    java.util.Arrays.fill(mins, prime) // sentinel: empty set ⇒ all slots = prime
+    java.util.Arrays.fill(mins, prime)
     var i = 0
     while (i < arr.numElements()) {
       val x = ((arr.getLong(i) % prime) + prime) % prime
@@ -212,15 +217,20 @@ case class Winnow(child: Expression, k: Int, window: Int)
       while (i < n) { if (hs(i) <= m) m = hs(i); i += 1 }
       return new GenericArrayData(Array(m))
     }
-    // sliding-window minima (rightmost min on ties), deduplicated
+    // sliding-window minima (rightmost min on ties), deduplicated —
+    // monotonic deque of indices: O(n) total instead of O(n·window)
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    var w = 0
-    while (w + window <= n) {
-      var m = hs(w)
-      var j = w + 1
-      while (j < w + window) { if (hs(j) <= m) m = hs(j); j += 1 }
-      seen.add(m)
-      w += 1
+    val deque = new Array[Int](n)
+    var head = 0
+    var tail = 0 // deque holds indices with strictly increasing hs values
+    var j = 0
+    while (j < n) {
+      // `<=` pops equal values so the RIGHTMOST minimum survives
+      while (tail > head && hs(deque(tail - 1)) >= hs(j)) tail -= 1
+      deque(tail) = j; tail += 1
+      if (deque(head) <= j - window) head += 1
+      if (j >= window - 1) seen.add(hs(deque(head)))
+      j += 1
     }
     val out = new Array[Long](seen.size)
     val it = seen.iterator()

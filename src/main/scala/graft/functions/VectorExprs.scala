@@ -106,7 +106,10 @@ private[functions] object VecType {
     if (code == "F") "getFloat" else "getDouble"
 }
 
-/** `dot(a, b) = Σ a_i * b_i` over array<float|double>, accumulated in double. */
+/** `dot(a, b) = Σ a_i * b_i` over array<float|double>, accumulated in
+  * double. Mismatched dimensions ERROR (like DuckDB's list arithmetic) —
+  * a truncated dot product is a plausible-but-wrong cosine. A null element
+  * makes the result NULL (the semantics of the arithmetic it replaces). */
 case class DotF32(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -115,63 +118,68 @@ case class DotF32(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot_f32"
+  override def nullable: Boolean = true
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
+  override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dimensions differ ($n vs ${y.numElements()})")
     var s = 0.0
     var i = 0
-    while (i < n) { s += VecType.get(x, i, lc) * VecType.get(y, i, rc); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += VecType.get(x, i, lc) * VecType.get(y, i, rc)
+      i += 1
+    }
     s
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("dotF32", this, classOf[DotF32].getName)
     nullSafeCodeGen(ctx, ev, (a, b) =>
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  s += (double) $a.${VecType.accessor(lc)}(i) * (double) $b.${VecType.accessor(rc)}(i);
-         |}
-         |${ev.value} = s;
+         |Object r = $self.nullSafeEval($a, $b);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
        """.stripMargin)
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotF32 =
     copy(left = newLeft, right = newRight)
 }
 
-/** `sqrt(dot(a, a))` in one pass over array<float>. */
+/** `sqrt(dot(a, a))` in one pass; NULL if any element is null. */
 case class NormF32(child: Expression)
     extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "norm_f32"
+  override def nullable: Boolean = true
 
   @transient private lazy val cc = VecType.code(prettyName, child.dataType)
 
-  override protected def nullSafeEval(a: Any): Any = {
+  override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     var s = 0.0
     var i = 0
     while (i < x.numElements()) {
+      if (x.isNullAt(i)) return null
       val v = VecType.get(x, i, cc); s += v * v; i += 1
     }
     math.sqrt(s)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("normF32", this, classOf[NormF32].getName)
     nullSafeCodeGen(ctx, ev, a =>
       s"""
-         |double s = 0.0;
-         |int n = $a.numElements();
-         |for (int i = 0; i < n; i++) {
-         |  double v = (double) $a.${VecType.accessor(cc)}(i);
-         |  s += v * v;
-         |}
-         |${ev.value} = java.lang.Math.sqrt(s);
+         |Object r = $self.nullSafeEval($a);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((Double) r).doubleValue(); }
        """.stripMargin)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): NormF32 =
     copy(child = newChild)

@@ -66,8 +66,7 @@ object DedupQ {
       T.documents(s, d)
         .select(col("doc_id"),
           graft.functions.TextExprs.winnow(col("text"), k = 8, window = 16).as("fps"))
-        .select(col("doc_id"), size(col("fps")).as("n_fps"),
-          explode(col("fps")).as("fp"))
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
         .groupBy("fp")
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .filter(col("n_docs") > 1)

@@ -37,10 +37,14 @@ object Scalars {
 
     // Spark's EXTRACT(DOW) is 1-7 Sunday=1 while DuckDB's is 0-6 Sunday=0:
     // the Spark text subtracts 1; everything else is dialect-common.
-    "q17_date_funcs" -> ((s, d) =>
-      T.sql(s, d, "orders")(Oracle.q17.replace(
+    "q17_date_funcs" -> ((s, d) => {
+      val sparkText = Oracle.q17.replace(
         "EXTRACT(DOW FROM o_orderdate) AS INT) AS dow",
-        "EXTRACT(DOW FROM o_orderdate) AS INT) - 1 AS dow"))),
+        "EXTRACT(DOW FROM o_orderdate) AS INT) - 1 AS dow")
+      require(sparkText != Oracle.q17,
+        "q17 DOW dialect patch no longer matches the oracle text")
+      T.sql(s, d, "orders")(sparkText)
+    }),
 
     "q18_casts" -> ((s, d) => T.sql(s, d, "lineitem")(Oracle.q18)),
 
