@@ -48,6 +48,14 @@ class OpsSpec extends SparkSpec {
     assert(lsh == exact) // verified candidates = exact high-jaccard pairs
   }
 
+  test("short docs (no shingles) produce no LSH candidates, not a shared bucket") {
+    // many sub-k-word docs: a shared sentinel signature would emit all pairs
+    val d = docs((1L to 20L).map(i => (i, s"w$i")): _*)
+    assert(MinHash.candidatePairs(
+      MinHash.signatures(d, "doc_id", "text"), "doc_id").count() == 0)
+    assert(MinHash.nearDuplicates(d, "doc_id", "text").count() == 0)
+  }
+
   test("simhash: identical docs collide at distance 0; disjoint docs stay apart") {
     val base = (0 until 64).map(i => s"tok$i").mkString(" ")
     val far = (200 until 264).map(i => s"tok$i").mkString(" ")
