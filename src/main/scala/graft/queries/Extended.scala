@@ -67,7 +67,31 @@ object Extended {
     "q47_correlated_scalar" -> ((s, d) => T.sql(s, d, "orders")(Oracle.q47)),
     "q49_cube" -> ((s, d) => T.sql(s, d, "orders")(Oracle.q49)),
     "q50_default_frame" -> ((s, d) => T.sql(s, d, "orders")(Oracle.q50)),
-    "q51_union_offset" -> ((s, d) => T.sql(s, d, "orders")(Oracle.q51))
+    "q51_union_offset" -> ((s, d) => T.sql(s, d, "orders")(Oracle.q51)),
+
+    // forward fill (LOCF): last non-null reading per user carried forward —
+    // the canonical sensor-gap treatment. Engines place IGNORE NULLS
+    // differently (Spark: after the call; DuckDB: inside the parens).
+    "q52_forward_fill" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      T.events(s, d)
+        .withColumn("reading", when(col("event_type") === "error", lit(null))
+          .otherwise(col("value")))
+        .select(col("user_id"), col("event_id"), col("ts"), col("reading"),
+          last(col("reading"), ignoreNulls = true).over(w).as("filled"))
+        .orderBy("user_id", "ts", "event_id")
+    }),
+
+    // ordered string aggregation (group concat) — names differ per engine
+    // (Spark 4 listagg vs DuckDB string_agg) but semantics align with an
+    // explicit ORDER BY.
+    "q54_string_agg" -> ((s, d) => {
+      T.nation(s, d)
+        .groupBy("n_regionkey")
+        .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("n_regionkey")
+    })
   )
 
   object Oracle {
@@ -219,6 +243,19 @@ object Extended {
     "q47_correlated_scalar" -> Oracle.q47,
     "q49_cube" -> Oracle.q49,
     "q50_default_frame" -> Oracle.q50,
-    "q51_union_offset" -> Oracle.q51
+    "q51_union_offset" -> Oracle.q51,
+
+    "q52_forward_fill" ->
+      """SELECT user_id, event_id, ts,
+        | CASE WHEN event_type = 'error' THEN NULL ELSE value END AS reading,
+        | last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+        |            IGNORE NULLS)
+        |   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS filled
+        |FROM events ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q54_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        | COUNT(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
   )
 }
