@@ -18,4 +18,20 @@ object GraftSqlBridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** DataFrame from a raw LogicalPlan (for custom plan nodes). */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame. */
+  def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].logicalPlan
+
+  /** Register an extra planner strategy on a running session. */
+  def injectStrategy(spark: SparkSession, s: execution.SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(s))
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
+  }
 }
