@@ -38,7 +38,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // a null SQL value (e.g. an object-initialization-order bug) must not
+    // crash the writer — that would leave a stale/absent oracle file and
+    // silently void the round's correctness gate
     val json = SparkEntry.oracleSql
+      .filter { case (k, v) =>
+        if (v == null) System.err.println(s"[verify] oracle for $k is null — skipped")
+        v != null
+      }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

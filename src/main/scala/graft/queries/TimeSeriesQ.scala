@@ -65,8 +65,34 @@ object TimeSeriesQ {
         rightCols = Map("s_eid" -> "ref_event_id"))
         .select("event_id", "user_id", "ts", "value", "ref_event_id")
         .orderBy("event_id")
+    }),
+
+    // -- the same as-of join through the custom Catalyst plan
+    //    (graft.plans.AsOfJoinExec) — both implementations are checked
+    //    against the same DuckDB ASOF LEFT JOIN oracle.
+    "q36b_asof_native" -> ((s, d) => {
+      val e = T.events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select("user_id", "event_id", "ts", "value")
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("s_eid"), col("ts").as("s_ts"))
+      graft.plans.AsOfJoinPlan.asof(
+        purchases, signups,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "s_ts",
+        rightCols = Map("s_eid" -> "ref_event_id"))
+        .select("event_id", "user_id", "ts", "value", "ref_event_id")
+        .orderBy("event_id")
     })
   )
+
+  private val Oracle36: String =
+      """SELECT p.event_id, p.user_id, p.ts, p.value, l.s_eid AS ref_event_id
+        |FROM (SELECT user_id, event_id, ts, value FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, event_id AS s_eid, ts AS s_ts FROM events
+        |                WHERE event_type = 'signup') l
+        |  ON p.user_id = l.user_id AND p.ts >= l.s_ts
+        |ORDER BY p.event_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q33_time_bucket" ->
@@ -96,13 +122,8 @@ object TimeSeriesQ {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
 
-    "q36_asof_join" ->
-      """SELECT p.event_id, p.user_id, p.ts, p.value, l.s_eid AS ref_event_id
-        |FROM (SELECT user_id, event_id, ts, value FROM events
-        |      WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT user_id, event_id AS s_eid, ts AS s_ts FROM events
-        |                WHERE event_type = 'signup') l
-        |  ON p.user_id = l.user_id AND p.ts >= l.s_ts
-        |ORDER BY p.event_id""".stripMargin
+    "q36_asof_join" -> Oracle36,
+    "q36b_asof_native" -> Oracle36
   )
+
 }
