@@ -72,7 +72,8 @@ object Dialect {
 
   /** Rewrite one DuckDB statement into Spark SQL. Textual rewrites
     * (`::VARCHAR`, `* EXCLUDE (`) apply only OUTSIDE quoted regions. */
-  def rewrite(stmt: String): String = {
+  def rewrite(stmt0: String): String = {
+    val stmt = rewriteQualify(stmt0)
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
 
@@ -124,6 +125,45 @@ object Dialect {
     }
     flushPlain()
     out.toString
+  }
+
+  /** DuckDB QUALIFY (filter on window-function results) has no Spark
+    * equivalent; rewrite
+    * `SELECT <sel> FROM <rest> QUALIFY <pred> [<tail>]` into
+    * `SELECT * EXCEPT (__q) FROM (SELECT <sel>, (<pred>) AS __q FROM <rest>)
+    *  WHERE __q [<tail>]`.
+    * Keyword positions are located on the masked text so literals and
+    * subqueries (depth > 0) can't confuse the split; subqueries inside the
+    * statement keep their own QUALIFYs via recursion. */
+  private def rewriteQualify(stmt: String): String = {
+    val masked = maskQuoted(stmt)
+    // depth-0 keyword offsets
+    def topLevel(regex: scala.util.matching.Regex): List[Int] = {
+      var depth = 0
+      val depthAt = masked.map { c =>
+        if (c == '(') { depth += 1; depth - 1 } // the paren itself is outside
+        else if (c == ')') { depth -= 1; depth }
+        else depth
+      }
+      regex.findAllMatchIn(masked).map(_.start).filter(depthAt(_) == 0).toList
+    }
+    val qualifies = topLevel("(?i)\\bQUALIFY\\b".r)
+    if (qualifies.isEmpty) return stmt
+    val qStart = qualifies.head
+    val selects = topLevel("(?i)\\bSELECT\\b".r).filter(_ < qStart)
+    val froms = topLevel("(?i)\\bFROM\\b".r).filter(f => f < qStart)
+    if (selects.isEmpty || froms.isEmpty) return stmt
+    val selStart = selects.head + "SELECT".length
+    val fromStart = froms.head
+    // the predicate runs until a depth-0 ORDER/LIMIT/OFFSET or end
+    val tailStart = topLevel("(?i)\\b(ORDER|LIMIT|OFFSET)\\b".r)
+      .filter(_ > qStart).headOption.getOrElse(stmt.length)
+    val prefix = stmt.substring(0, selects.head) // e.g. "CREATE VIEW x AS ("
+    val sel = stmt.substring(selStart, fromStart)
+    val rest = stmt.substring(fromStart, qStart)
+    val pred = stmt.substring(qStart + "QUALIFY".length, tailStart).trim
+    val tail = stmt.substring(tailStart)
+    s"${prefix}SELECT * EXCEPT (__q) FROM (SELECT $sel, ($pred) AS __q $rest) WHERE __q $tail"
   }
 
   /** The statement with quoted regions and comments blanked — for textual

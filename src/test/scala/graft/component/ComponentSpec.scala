@@ -282,6 +282,20 @@ class ComponentSpec extends SparkSpec {
     assert(lines.head == "\"a\",\"txt\",\"fp\"")
   }
 
+  test("QUALIFY rewrites to a window subquery filter end-to-end") {
+    val dd = datadir()
+    write(dd.resolve("config.json"),
+      """{"parameters": {"blocks": [{"name": "b", "codes": [{"name": "q", "script": [
+        |  "CREATE TABLE src AS SELECT * FROM (SELECT 1 AS k, 'a' AS v UNION ALL SELECT 1, 'b' UNION ALL SELECT 2, 'c');",
+        |  "CREATE VIEW out_q AS SELECT k, v FROM src QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY v) = 1 ORDER BY k"
+        | ]}]}]},
+        | "storage": {"input": {"tables": []},
+        |             "output": {"tables": [{"source": "out_q", "destination": "o"}]}}}""".stripMargin)
+    Component.run(spark, dd.toString)
+    assert(Files.readString(dd.resolve("out/tables/out_q")).linesIterator.toList ==
+      List("\"k\",\"v\"", "\"1\",\"a\"", "\"2\",\"c\""))
+  }
+
   test("version query shape works in Spark SQL") {
     val df = spark.sql("SELECT version() AS version")
     assert(df.collect().head.getString(0).nonEmpty)
