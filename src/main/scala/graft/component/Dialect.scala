@@ -73,7 +73,7 @@ object Dialect {
   /** Rewrite one DuckDB statement into Spark SQL. Textual rewrites
     * (`::VARCHAR`, `* EXCLUDE (`) apply only OUTSIDE quoted regions. */
   def rewrite(stmt0: String): String = {
-    val stmt = rewriteQualify(stmt0)
+    val stmt = rewriteQualify(rewriteDistinctOn(stmt0))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
 
@@ -125,6 +125,55 @@ object Dialect {
     }
     flushPlain()
     out.toString
+  }
+
+  /** DuckDB `SELECT DISTINCT ON (keys) ...` (keep the first row per key
+    * group under the statement's ORDER BY) rewrites to a QUALIFY
+    * row_number filter, which [[rewriteQualify]] then lowers to a window
+    * subquery. The outer ORDER BY is preserved; it also orders the window
+    * (DuckDB's documented picking rule). */
+  private def rewriteDistinctOn(stmt: String): String = {
+    val masked = maskQuoted(stmt)
+    val m = "(?is)\\bSELECT\\s+DISTINCT\\s+ON\\s*\\(".r.findFirstMatchIn(masked)
+      .getOrElse(return stmt)
+    // extract the key list (balanced parens, from masked positions)
+    var depth = 1
+    var i = m.end
+    while (i < stmt.length && depth > 0) {
+      val c = masked.charAt(i)
+      if (c == '(') depth += 1 else if (c == ')') depth -= 1
+      i += 1
+    }
+    if (depth != 0) return stmt
+    val keys = stmt.substring(m.end, i - 1).trim
+    val afterKeys = stmt.substring(i)
+    // depth-0 ORDER BY in the remainder orders the picking window
+    val maskedAfter = maskQuoted(afterKeys)
+    var d2 = 0
+    val depthAt = maskedAfter.map { c =>
+      if (c == '(') { d2 += 1; d2 - 1 }
+      else if (c == ')') { d2 -= 1; d2 }
+      else d2
+    }
+    val ob = "(?i)\\bORDER\\s+BY\\b".r.findAllMatchIn(maskedAfter)
+      .find(mm => depthAt(mm.start) == 0)
+    val windowOrder = ob match {
+      case Some(mm) =>
+        val stop = "(?i)\\b(LIMIT|OFFSET)\\b".r.findAllMatchIn(maskedAfter)
+          .find(x => x.start > mm.end && depthAt(x.start) == 0)
+          .map(_.start).getOrElse(afterKeys.length)
+        afterKeys.substring(mm.end, stop).trim
+      case None => keys
+    }
+    val prefix = stmt.substring(0, m.start)
+    val qualify =
+      s"QUALIFY ROW_NUMBER() OVER (PARTITION BY $keys ORDER BY $windowOrder) = 1"
+    ob match {
+      case Some(mm) => // splice before the depth-0 ORDER BY (position-exact)
+        s"${prefix}SELECT ${afterKeys.substring(0, mm.start)} $qualify ${afterKeys.substring(mm.start)}"
+      case None =>
+        s"${prefix}SELECT $afterKeys $qualify"
+    }
   }
 
   /** DuckDB QUALIFY (filter on window-function results) has no Spark

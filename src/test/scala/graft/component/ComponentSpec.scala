@@ -296,6 +296,21 @@ class ComponentSpec extends SparkSpec {
       List("\"k\",\"v\"", "\"1\",\"a\"", "\"2\",\"c\""))
   }
 
+  test("DISTINCT ON keeps the first row per key under the statement order") {
+    val dd = datadir()
+    write(dd.resolve("config.json"),
+      """{"parameters": {"blocks": [{"name": "b", "codes": [{"name": "q", "script": [
+        |  "CREATE TABLE src AS SELECT * FROM (SELECT 1 AS k, 'b' AS v, 10 AS p UNION ALL SELECT 1, 'a', 20 UNION ALL SELECT 2, 'c', 5);",
+        |  "CREATE VIEW out_d AS SELECT DISTINCT ON (k) k, v, p FROM src ORDER BY k, p DESC"
+        | ]}]}]},
+        | "storage": {"input": {"tables": []},
+        |             "output": {"tables": [{"source": "out_d", "destination": "o"}]}}}""".stripMargin)
+    Component.run(spark, dd.toString)
+    // per key: highest p wins (ORDER BY k, p DESC)
+    assert(Files.readString(dd.resolve("out/tables/out_d")).linesIterator.toList ==
+      List("\"k\",\"v\",\"p\"", "\"1\",\"a\",\"20\"", "\"2\",\"c\",\"5\""))
+  }
+
   test("version query shape works in Spark SQL") {
     val df = spark.sql("SELECT version() AS version")
     assert(df.collect().head.getString(0).nonEmpty)
