@@ -48,6 +48,21 @@ object EventStream {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Watermarked stream-stream inner join: each left event paired with
+    * right events for the same key within a bounded look-back interval —
+    * the join-state window Spark needs to evict both sides' buffers
+    * (an unbounded stream-stream join would hold all history). */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   lookBack: String = "1 hour",
+                   lateness: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", lateness)
+    val r = right.withColumnRenamed("ts", "r_ts")
+      .withColumnRenamed(key, s"r_$key")
+      .withWatermark("r_ts", lateness)
+    l.join(r,
+      expr(s"$key = r_$key AND r_ts BETWEEN ts - INTERVAL $lookBack AND ts"))
+  }
+
   final case class Event(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(sessionId: Long, // first-event ts micros
                                 lastTsMicros: Long,

@@ -59,6 +59,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join pairs events within the look-back window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val views = MemoryStream[(Long, Timestamp, String)]
+    val joined = EventStream.intervalJoin(
+      clicks.toDF().toDF("user_id", "ts", "click_id"),
+      views.toDF().toDF("user_id", "ts", "view_id"),
+      key = "user_id", lookBack = "1 hour")
+    val query = joined.select("click_id", "view_id")
+      .writeStream.format("memory").queryName("paired")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData((1L, ts("2024-01-01 10:00:00"), "v_recent"),
+        (1L, ts("2024-01-01 08:00:00"), "v_stale"),
+        (2L, ts("2024-01-01 10:20:00"), "v_otheruser"))
+      clicks.addData((1L, ts("2024-01-01 10:30:00"), "c1"))
+      query.processAllAvailable()
+      val rows = spark.table("paired").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      // within 1h look-back: only v_recent; v_stale too old, user 2 no click
+      assert(rows == Set(("c1", "v_recent")))
+    } finally query.stop()
+  }
+
   test("sessionize emits a closed session when the gap is exceeded") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
