@@ -127,53 +127,72 @@ object Dialect {
     out.toString
   }
 
-  /** DuckDB `SELECT DISTINCT ON (keys) ...` (keep the first row per key
-    * group under the statement's ORDER BY) rewrites to a QUALIFY
-    * row_number filter, which [[rewriteQualify]] then lowers to a window
-    * subquery. The outer ORDER BY is preserved; it also orders the window
-    * (DuckDB's documented picking rule). */
-  private def rewriteDistinctOn(stmt: String): String = {
-    val masked = maskQuoted(stmt)
-    val m = "(?is)\\bSELECT\\s+DISTINCT\\s+ON\\s*\\(".r.findFirstMatchIn(masked)
-      .getOrElse(return stmt)
-    // extract the key list (balanced parens, from masked positions)
-    var depth = 1
-    var i = m.end
-    while (i < stmt.length && depth > 0) {
+  /** Paren depth at every masked-text position (the paren chars
+    * themselves report the OUTER depth). */
+  private def depths(masked: String): Array[Int] = {
+    val out = new Array[Int](masked.length)
+    var d = 0
+    var i = 0
+    while (i < masked.length) {
       val c = masked.charAt(i)
-      if (c == '(') depth += 1 else if (c == ')') depth -= 1
+      if (c == '(') { out(i) = d; d += 1 }
+      else if (c == ')') { d -= 1; out(i) = d }
+      else out(i) = d
       i += 1
     }
-    if (depth != 0) return stmt
-    val keys = stmt.substring(m.end, i - 1).trim
-    val afterKeys = stmt.substring(i)
-    // depth-0 ORDER BY in the remainder orders the picking window
-    val maskedAfter = maskQuoted(afterKeys)
-    var d2 = 0
-    val depthAt = maskedAfter.map { c =>
-      if (c == '(') { d2 += 1; d2 - 1 }
-      else if (c == ')') { d2 -= 1; d2 }
-      else d2
+    out
+  }
+
+  /** DuckDB `SELECT DISTINCT ON (keys) ...` (keep the first row per key
+    * group under the block's ORDER BY) rewrites to a QUALIFY row_number
+    * filter, which [[rewriteQualify]] then lowers to a window subquery.
+    * Block-scoped: a DISTINCT ON inside a subquery/CTE/parenthesized view
+    * body is rewritten within ITS query block (depth-relative offsets),
+    * iterating until none remain. */
+  private def rewriteDistinctOn(stmt0: String): String = {
+    var stmt = stmt0
+    var guard = 0
+    while (guard < 16) {
+      guard += 1
+      val masked = maskQuoted(stmt)
+      val dep = depths(masked)
+      val m = "(?is)\\bSELECT\\s+DISTINCT\\s+ON\\s*\\(".r.findFirstMatchIn(masked)
+        .getOrElse(return stmt)
+      val blockDepth = dep(m.start)
+      // key list: balanced parens from the opening paren
+      var d = 1
+      var i = m.end
+      while (i < stmt.length && d > 0) {
+        val c = masked.charAt(i)
+        if (c == '(') d += 1 else if (c == ')') d -= 1
+        i += 1
+      }
+      if (d != 0) return stmt
+      val keys = stmt.substring(m.end, i - 1).trim
+      // block extent: until depth drops below blockDepth (closing paren of
+      // the enclosing subquery/view body) or end of statement
+      var blockEnd = i
+      while (blockEnd < stmt.length && dep(blockEnd) >= blockDepth) blockEnd += 1
+      def findAt(regex: String, from: Int): Option[Int] =
+        regex.r.findAllMatchIn(masked).map(_.start)
+          .find(p => p >= from && p < blockEnd && dep(p) == blockDepth)
+      val ob = findAt("(?i)\\bORDER\\s+BY\\b", i)
+      val lim = findAt("(?i)\\b(LIMIT|OFFSET)\\b", i)
+      val windowOrder = ob match {
+        case Some(p) =>
+          val obEnd = "(?i)\\bORDER\\s+BY\\b".r.findFirstMatchIn(masked.substring(p)).get.end + p
+          stmt.substring(obEnd, lim.getOrElse(blockEnd)).trim
+        case None => keys
+      }
+      val qualify =
+        s"QUALIFY ROW_NUMBER() OVER (PARTITION BY $keys ORDER BY $windowOrder) = 1"
+      // splice before ORDER BY if present, else before LIMIT/OFFSET, else
+      // at block end — the filter must precede the final LIMIT
+      val at = ob.orElse(lim).getOrElse(blockEnd)
+      stmt = stmt.substring(0, m.start) + "SELECT" + stmt.substring(i, at) +
+        s" $qualify " + stmt.substring(at)
     }
-    val ob = "(?i)\\bORDER\\s+BY\\b".r.findAllMatchIn(maskedAfter)
-      .find(mm => depthAt(mm.start) == 0)
-    val windowOrder = ob match {
-      case Some(mm) =>
-        val stop = "(?i)\\b(LIMIT|OFFSET)\\b".r.findAllMatchIn(maskedAfter)
-          .find(x => x.start > mm.end && depthAt(x.start) == 0)
-          .map(_.start).getOrElse(afterKeys.length)
-        afterKeys.substring(mm.end, stop).trim
-      case None => keys
-    }
-    val prefix = stmt.substring(0, m.start)
-    val qualify =
-      s"QUALIFY ROW_NUMBER() OVER (PARTITION BY $keys ORDER BY $windowOrder) = 1"
-    ob match {
-      case Some(mm) => // splice before the depth-0 ORDER BY (position-exact)
-        s"${prefix}SELECT ${afterKeys.substring(0, mm.start)} $qualify ${afterKeys.substring(mm.start)}"
-      case None =>
-        s"${prefix}SELECT $afterKeys $qualify"
-    }
+    stmt
   }
 
   /** DuckDB QUALIFY (filter on window-function results) has no Spark
@@ -181,38 +200,40 @@ object Dialect {
     * `SELECT <sel> FROM <rest> QUALIFY <pred> [<tail>]` into
     * `SELECT * EXCEPT (__q) FROM (SELECT <sel>, (<pred>) AS __q FROM <rest>)
     *  WHERE __q [<tail>]`.
-    * Keyword positions are located on the masked text so literals and
-    * subqueries (depth > 0) can't confuse the split; subqueries inside the
-    * statement keep their own QUALIFYs via recursion. */
-  private def rewriteQualify(stmt: String): String = {
-    val masked = maskQuoted(stmt)
-    // depth-0 keyword offsets
-    def topLevel(regex: scala.util.matching.Regex): List[Int] = {
-      var depth = 0
-      val depthAt = masked.map { c =>
-        if (c == '(') { depth += 1; depth - 1 } // the paren itself is outside
-        else if (c == ')') { depth -= 1; depth }
-        else depth
-      }
-      regex.findAllMatchIn(masked).map(_.start).filter(depthAt(_) == 0).toList
+    * Block-scoped: each QUALIFY is rewritten within its own query block
+    * (subqueries, CTE bodies, parenthesized view bodies), iterating until
+    * none remain. */
+  private def rewriteQualify(stmt0: String): String = {
+    var stmt = stmt0
+    var guard = 0
+    while (guard < 16) {
+      guard += 1
+      val masked = maskQuoted(stmt)
+      val dep = depths(masked)
+      val q = "(?i)\\bQUALIFY\\b".r.findAllMatchIn(masked).map(_.start).toList
+        .headOption.getOrElse(return stmt)
+      val blockDepth = dep(q)
+      var blockEnd = q
+      while (blockEnd < stmt.length && dep(blockEnd) >= blockDepth) blockEnd += 1
+      def positions(regex: String): List[Int] =
+        regex.r.findAllMatchIn(masked).map(_.start)
+          .filter(p => p < blockEnd && dep(p) == blockDepth).toList
+      val selects = positions("(?i)\\bSELECT\\b").filter(_ < q)
+      val froms = positions("(?i)\\bFROM\\b").filter(_ < q)
+      if (selects.isEmpty || froms.isEmpty) return stmt
+      val selKw = selects.last // the block's own SELECT (closest before QUALIFY)
+      val selStart = selKw + "SELECT".length
+      val fromStart = froms.filter(_ > selKw).headOption.getOrElse(return stmt)
+      val tailStart = positions("(?i)\\b(ORDER|LIMIT|OFFSET)\\b")
+        .filter(_ > q).headOption.getOrElse(blockEnd)
+      val sel = stmt.substring(selStart, fromStart)
+      val rest = stmt.substring(fromStart, q)
+      val pred = stmt.substring(q + "QUALIFY".length, tailStart).trim
+      stmt = stmt.substring(0, selKw) +
+        s"SELECT * EXCEPT (__q) FROM (SELECT $sel, ($pred) AS __q $rest) WHERE __q " +
+        stmt.substring(tailStart)
     }
-    val qualifies = topLevel("(?i)\\bQUALIFY\\b".r)
-    if (qualifies.isEmpty) return stmt
-    val qStart = qualifies.head
-    val selects = topLevel("(?i)\\bSELECT\\b".r).filter(_ < qStart)
-    val froms = topLevel("(?i)\\bFROM\\b".r).filter(f => f < qStart)
-    if (selects.isEmpty || froms.isEmpty) return stmt
-    val selStart = selects.head + "SELECT".length
-    val fromStart = froms.head
-    // the predicate runs until a depth-0 ORDER/LIMIT/OFFSET or end
-    val tailStart = topLevel("(?i)\\b(ORDER|LIMIT|OFFSET)\\b".r)
-      .filter(_ > qStart).headOption.getOrElse(stmt.length)
-    val prefix = stmt.substring(0, selects.head) // e.g. "CREATE VIEW x AS ("
-    val sel = stmt.substring(selStart, fromStart)
-    val rest = stmt.substring(fromStart, qStart)
-    val pred = stmt.substring(qStart + "QUALIFY".length, tailStart).trim
-    val tail = stmt.substring(tailStart)
-    s"${prefix}SELECT * EXCEPT (__q) FROM (SELECT $sel, ($pred) AS __q $rest) WHERE __q $tail"
+    stmt
   }
 
   /** The statement with quoted regions and comments blanked — for textual

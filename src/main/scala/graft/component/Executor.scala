@@ -73,10 +73,11 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
         case None     => added0.toDF(existing.columns: _*)
       }
       // columns absent from an explicit column list are NULL-filled, like
-      // SQL INSERT with a partial column list
-      val addedCols = added.columns.toSet
+      // SQL INSERT with a partial column list; matching is case-insensitive
+      // (the resolver default, and DuckDB's behavior)
+      val addedCols = added.columns.map(_.toLowerCase).toSet
       val aligned = added.select(existing.columns.map { c =>
-        if (addedCols(c)) col(c).cast(existing.schema(c).dataType).as(c)
+        if (addedCols(c.toLowerCase)) col(c).cast(existing.schema(c).dataType).as(c)
         else lit(null).cast(existing.schema(c).dataType).as(c)
       }: _*)
       register(name, materialize(name, existing.unionByName(aligned)))
@@ -104,10 +105,11 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
           val (assigns, cond) = updateParts(plan)
           // all SET expressions evaluate against the PRE-update row (SQL
           // simultaneous-assignment semantics: `SET a = b, b = a` swaps),
-          // so build every output column in a single projection
-          val assigned = assigns.toMap
+          // so build every output column in a single projection; SET
+          // targets match case-insensitively like the resolver
+          val assigned = assigns.map { case (k, v) => k.toLowerCase -> v }.toMap
           val out = df.select(df.columns.map { c =>
-            assigned.get(c) match {
+            assigned.get(c.toLowerCase) match {
               case Some(value) => (cond match {
                 case Some(p) => when(GraftSqlBridge.column(p),
                   GraftSqlBridge.column(value)).otherwise(col(c))

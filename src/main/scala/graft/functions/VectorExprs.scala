@@ -102,8 +102,6 @@ private[functions] object VecType {
   }
   def get(arr: ArrayData, i: Int, code: String): Double =
     if (code == "F") arr.getFloat(i).toDouble else arr.getDouble(i)
-  def accessor(code: String): String =
-    if (code == "F") "getFloat" else "getDouble"
 }
 
 /** `dot(a, b) = Σ a_i * b_i` over array<float|double>, accumulated in

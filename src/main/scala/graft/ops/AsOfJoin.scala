@@ -52,6 +52,10 @@ object AsOfJoin {
         rightCols.values.toSeq.map(c => lit(null).as(c)): _*)
 
     val r = right
+      // a NULL right timestamp can never satisfy left.ts >= right.ts
+      // (unknown in SQL); nulls-first ordering would otherwise carry its
+      // payload into every row of the key
+      .filter(col(rightTs).isNotNull)
       .withColumn(ts, col(rightTs))
       .withColumn(tag, lit(0))
       .select((keys ++ Seq(ts, tag)).map(col) ++

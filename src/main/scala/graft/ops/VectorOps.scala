@@ -92,12 +92,15 @@ object VectorOps {
     * centroids; every base vector is assigned to its nearest centroid (one
     * broadcast pass), and a query scans only its `nprobe` nearest lists.
     *
-    * At 100 TB: the codebook is a few thousand rows (always broadcast),
-    * assignment is a map-side argmin (no shuffle), and the probe join is an
-    * equi-join on the int list id — candidate volume is nprobe/lists of the
-    * corpus. Real deployments train the codebook with k-means; the seeded
-    * random codebook here keeps the operator deterministic while the
-    * distributed shape (broadcast codebook + list equi-join) is identical. */
+    * At 100 TB: the codebook is a few thousand rows (always broadcast) and
+    * the probe join is an equi-join on the int list id — candidate volume
+    * is nprobe/lists of the corpus. Assignment here is crossJoin(broadcast
+    * codebook) + a per-id top-n window, which shuffles lists x corpus rows;
+    * a production deployment replaces it with a single-pass argmin native
+    * expression (the LshKeys pattern) to keep assignment fully map-side.
+    * Real deployments also train the codebook with k-means; the seeded
+    * random codebook keeps the operator deterministic while the
+    * distributed probe shape is identical. */
   def knnIvf(queries: DataFrame, base: DataFrame, idCol: String, vecCol: String,
              k: Int, lists: Int = 16, nprobe: Int = 4, dim: Int = 64): DataFrame = {
     val rnd = new scala.util.Random(11)

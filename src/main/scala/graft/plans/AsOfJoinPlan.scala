@@ -68,9 +68,12 @@ final case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
+  // the right side additionally orders by the payload columns so ties on
+  // (key, ts) resolve deterministically (the LAST row held wins = max
+  // payload), matching the window rewrite's tie-break
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTs).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)),
-    (rightKeys :+ rightTs).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)))
+    ((rightKeys :+ rightTs) ++ rightPayload).map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)))
 
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
@@ -105,9 +108,13 @@ final case class AsOfJoinExec(
       var heldTs: Long = Long.MinValue
       var heldPayload: InternalRow = null
 
+      // NULL timestamps never match (left.ts >= right.ts is unknown):
+      // null right rows are consumed without being held; null left rows
+      // emit the null payload
+      val NullTs = Long.MinValue
       def tsOf(proj: UnsafeProjection, row: InternalRow): Long = {
         val r = proj(row)
-        if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+        if (r.isNullAt(0)) NullTs else r.getLong(0)
       }
 
       lIter.map { lRow =>
@@ -120,15 +127,17 @@ final case class AsOfJoinExec(
           val rRow = rBuf.head
           val rKey = rKeyProj(rRow)
           val cmp = keyOrdering.compare(rKey, lKey)
+          val rTime = tsOf(rTsProj, rRow)
           if (cmp < 0) { rBuf.next() } // earlier key: skip (its matches are done)
-          else if (cmp == 0 && tsOf(rTsProj, rRow) <= lTime) {
+          else if (cmp == 0 && rTime == NullTs) { rBuf.next() } // null ts: never matches
+          else if (cmp == 0 && lTime != NullTs && rTime <= lTime) {
             heldKey = rKey.copy()
-            heldTs = tsOf(rTsProj, rRow)
+            heldTs = rTime
             heldPayload = payloadProj(rRow).copy()
             rBuf.next()
           } else advancing = false
         }
-        val matches = heldPayload != null && heldKey != null &&
+        val matches = heldPayload != null && heldKey != null && lTime != NullTs &&
           keyOrdering.compare(heldKey, lKey) == 0 && heldTs <= lTime
         outProj(joined(lRow, if (matches) heldPayload else nullPayload))
       }

@@ -65,6 +65,26 @@ class DialectSpec extends AnyFunSuite {
     assert(Actions.lint("SELECT ((1").nonEmpty)
   }
 
+  test("QUALIFY inside a parenthesized view body or CTE is rewritten in its block") {
+    val view = Dialect.rewrite(
+      "CREATE VIEW v AS (SELECT k, x FROM t QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY x) = 1)")
+    assert(!view.toUpperCase.contains("QUALIFY"))
+    assert(view.startsWith("CREATE VIEW v AS (SELECT * EXCEPT (__q)"))
+    assert(view.endsWith(")"))
+    val cte = Dialect.rewrite(
+      "WITH c AS (SELECT k FROM t QUALIFY RANK() OVER (ORDER BY k) = 1) SELECT * FROM c")
+    assert(!cte.toUpperCase.contains("QUALIFY"))
+    assert(cte.startsWith("WITH c AS (SELECT * EXCEPT (__q)"))
+    assert(cte.endsWith("SELECT * FROM c"))
+  }
+
+  test("DISTINCT ON with LIMIT but no ORDER BY dedups before limiting") {
+    val out = Dialect.rewrite("SELECT DISTINCT ON (k) k, v FROM t LIMIT 5")
+    assert(!out.toUpperCase.contains("DISTINCT ON"))
+    // the generated filter must precede LIMIT so the limit applies after dedup
+    assert(out.indexOf("WHERE __q") < out.indexOf("LIMIT 5"))
+  }
+
   test("Names round-trips originals") {
     val v = Names.view("out-table.csv")
     assert(v == "out_table_csv")
