@@ -31,6 +31,71 @@ object VectorExprs {
     * `bits` plane projections of table t. */
   def lshKeys(a: Column, planes: Array[Array[Array[Double]]]): Column =
     GraftSqlBridge.column(LshKeys(GraftSqlBridge.expression(a), planes))
+
+  /** Ids of the `n` nearest codebook centroids (by cosine) in one pass —
+    * the map-side IVF coarse-quantizer assignment. */
+  def nearestCentroids(a: Column, codebook: Array[Array[Double]], n: Int): Column =
+    GraftSqlBridge.column(
+      NearestCentroids(GraftSqlBridge.expression(a), codebook, n))
+}
+
+/** array<int> length-n: indices of the `n` codebook rows with the highest
+  * cosine to the input vector (ties to the lower id) — a single map-side
+  * pass over the broadcast-as-literal codebook; no shuffle, no join. */
+case class NearestCentroids(child: Expression, codebook: Array[Array[Double]], n: Int)
+    extends UnaryExpression {
+
+  @transient private lazy val cc = VecType.code(prettyName, child.dataType)
+  @transient private lazy val norms: Array[Double] =
+    codebook.map(c => math.sqrt(c.map(x => x * x).sum))
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val len = x.numElements()
+    val sims = new Array[Double](codebook.length)
+    var c = 0
+    while (c < codebook.length) {
+      val cb = codebook(c)
+      val d = math.min(len, cb.length)
+      var s = 0.0
+      var i = 0
+      while (i < d) { s += VecType.get(x, i, cc) * cb(i); i += 1 }
+      sims(c) = if (norms(c) > 0) s / norms(c) else Double.NegativeInfinity
+      c += 1
+    }
+    // top-n by similarity, ties to the lower id (selection over small k)
+    val picked = new Array[Int](math.min(n, codebook.length))
+    val used = new Array[Boolean](codebook.length)
+    var p = 0
+    while (p < picked.length) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      c = 0
+      while (c < codebook.length) {
+        if (!used(c) && sims(c) > bestSim) { best = c; bestSim = sims(c) }
+        c += 1
+      }
+      used(best) = true
+      picked(p) = best
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(picked)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("nc", this, classOf[NearestCentroids].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.nullSafeEval($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
 }
 
 /** array<int>: one bucket key per LSH table; key bit b = sign of the

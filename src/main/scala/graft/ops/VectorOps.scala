@@ -89,37 +89,27 @@ object VectorOps {
   }
 
   /** IVF (inverted-file) ANN: a fixed seeded codebook of `lists` coarse
-    * centroids; every base vector is assigned to its nearest centroid (one
-    * broadcast pass), and a query scans only its `nprobe` nearest lists.
+    * centroids; every base vector is assigned to its nearest centroid, and
+    * a query scans only its `nprobe` nearest lists.
     *
-    * At 100 TB: the codebook is a few thousand rows (always broadcast) and
-    * the probe join is an equi-join on the int list id — candidate volume
-    * is nprobe/lists of the corpus. Assignment here is crossJoin(broadcast
-    * codebook) + a per-id top-n window, which shuffles lists x corpus rows;
-    * a production deployment replaces it with a single-pass argmin native
-    * expression (the LshKeys pattern) to keep assignment fully map-side.
-    * Real deployments also train the codebook with k-means; the seeded
-    * random codebook keeps the operator deterministic while the
-    * distributed probe shape is identical. */
+    * At 100 TB: assignment is one map-side pass per row over the
+    * literal codebook (graft.functions.NearestCentroids — no shuffle, no
+    * join), and the probe join is an equi-join on the int list id, so
+    * candidate volume is nprobe/lists of the corpus. Real deployments
+    * train the codebook with k-means; the seeded random codebook keeps the
+    * operator deterministic while the distributed shape is identical. */
   def knnIvf(queries: DataFrame, base: DataFrame, idCol: String, vecCol: String,
              k: Int, lists: Int = 16, nprobe: Int = 4, dim: Int = 64): DataFrame = {
     val rnd = new scala.util.Random(11)
     val codebook = Array.fill(lists, dim)(rnd.nextGaussian())
-    val spark = base.sparkSession
-    val cb = spark.createDataFrame(
-      codebook.zipWithIndex.toSeq.map { case (v, i) => (i, v.map(_.toFloat).toSeq) })
-      .toDF("list_id", "centroid")
 
-    // nearest-centroid assignment: broadcast codebook, per-row argmin
-    def assign(df: DataFrame, n: Int): DataFrame = {
-      val scored = df.crossJoin(broadcast(cb))
-        .withColumn("d", dot(col(vecCol), col("centroid")) /
-          nullif(norm(col("centroid")), lit(0.0)))
-      scored.withColumn("rk", row_number().over(
-          Window.partitionBy(col(idCol)).orderBy(col("d").desc, col("list_id"))))
-        .filter(col("rk") <= n)
-        .drop("centroid", "d", "rk")
-    }
+    // nearest-centroid assignment: single-pass native expression, exploded
+    // to one row per probed list
+    def assign(df: DataFrame, n: Int): DataFrame = df
+      .withColumn("__lists",
+        graft.functions.VectorExprs.nearestCentroids(col(vecCol), codebook, n))
+      .withColumn("list_id", explode(col("__lists")))
+      .drop("__lists")
 
     val b = assign(withNorm(base, vecCol), 1)
       .select(col(idCol).as("nid"), col(vecCol).as("nvec"),
