@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// BENCH_r02.json#parsed was null because sbt's logger wraps forked-process
+// stdout as "[info] {...}" — pass it through raw so the driver's JSON-line
+// parser sees the bare bench line.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -70,7 +70,14 @@ object Bench {
     val failed = results.collect { case (k, _, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _, true) => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_warm":$warmQs,"failed":$failed,"noop_sec":$noopSec%.3f,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_warm":$warmQs,"failed":$failed,"noop_sec":$noopSec%.3f,"sf":"$sfDir"}"""
+    // Belt and braces for driver legibility: the line goes to stdout (sbt is
+    // configured with StdoutOutput so it arrives unprefixed) AND to a file,
+    // so a mangled stdout can never void the benchmark again (BENCH_r02).
+    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_local.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

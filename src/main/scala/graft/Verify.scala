@@ -41,11 +41,16 @@ object Verify {
     // a null SQL value (e.g. an object-initialization-order bug) must not
     // crash the writer — that would leave a stale/absent oracle file and
     // silently void the round's correctness gate
+    // CORRECTNESS_r02 keyed every entry "<name>.parquet" with err=no_oracle:
+    // the driver looks oracles up by OUTPUT FILE NAME. Emit every oracle under
+    // both the bare query name and the "<name>.parquet" file name so either
+    // lookup convention hits.
     val json = SparkEntry.oracleSql
       .filter { case (k, v) =>
         if (v == null) System.err.println(s"[verify] oracle for $k is null — skipped")
         v != null
       }
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -4,6 +4,12 @@
 Reads the Verify dump (outDir/<name>.parquet + oracle_sql.json), runs each
 oracle SQL in DuckDB over the same sf-dir parquet tables, sorts columns by
 name / rows by all columns, and compares row counts, schemas and values.
+
+Usage: check_correctness.py [sfDir] [outDir] [only] [--json PATH]
+  --json PATH also writes a driver-schema result file
+  ({"<name>.parquet": {rows_match, schema_match, hash_match, spark_rows,
+  oracle_rows, err}}) — committed as CORRECTNESS_local.json each round so
+  the gate result is on the ledger even if the driver's own leg fails.
 """
 import json
 import math
@@ -35,17 +41,37 @@ def canon(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
-    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    argv, args, json_out = sys.argv[1:], [], None
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--json":
+            json_out = argv[i + 1]
+            i += 2
+        else:
+            args.append(argv[i])
+            i += 1
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    out_dir = args[1] if len(args) > 1 else "/tmp/verify_out"
+    only = set(args[2].split(",")) if len(args) > 2 else None
 
     with open(f"{out_dir}/oracle_sql.json") as f:
-        oracles = json.load(f)
+        raw = json.load(f)
+    # oracle_sql.json now carries each SQL under both "name" and
+    # "name.parquet" (driver keys by file name) — dedupe to bare names here.
+    oracles = {k.removesuffix(".parquet"): v for k, v in raw.items()}
 
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    record = {}  # "<name>.parquet" -> driver-schema dict
+
+    def rec(name, **kw):
+        d = {"rows_match": None, "schema_match": None, "hash_match": None,
+             "spark_rows": None, "oracle_rows": None, "err": None}
+        d.update(kw)
+        record[f"{name}.parquet"] = d
 
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
@@ -57,6 +83,7 @@ def main():
             s_rows = [tuple(r.values()) for r in tbl.to_pylist()]
         except Exception as e:
             print(f"FAIL {name}: spark result unreadable: {e}")
+            rec(name, err=f"spark_unreadable: {e}")
             n_fail += 1
             continue
         try:
@@ -65,13 +92,16 @@ def main():
             d_rows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
+            rec(name, spark_rows=len(s_rows), err=f"oracle_sql_error: {e}")
             n_fail += 1
             continue
 
         sc, sv = canon(s_rows, s_cols)
         dc, dv = canon(d_rows, d_cols)
+        base = dict(spark_rows=len(sv), oracle_rows=len(dv))
         if sc != dc:
             print(f"FAIL {name}: columns spark={sc} duck={dc}")
+            rec(name, schema_match=False, err="columns_differ", **base)
             n_fail += 1
             continue
         # type comparison (warn-level: the driver's exact mapping is unknown)
@@ -98,6 +128,7 @@ def main():
                 print(f"WARN {name}: column {col_name} type spark={at} duck={dt}")
         if len(sv) != len(dv):
             print(f"FAIL {name}: rows spark={len(sv)} duck={len(dv)}")
+            rec(name, rows_match=False, schema_match=True, err="row_count", **base)
             n_fail += 1
             continue
         if sv != dv:
@@ -106,9 +137,12 @@ def main():
             print(f"  cols : {sc}")
             print(f"  spark: {sv[bad]}")
             print(f"  duck : {dv[bad]}")
+            rec(name, rows_match=True, schema_match=True, hash_match=False,
+                err="values_differ", **base)
             n_fail += 1
             continue
         print(f"PASS {name} ({len(sv)} rows)")
+        rec(name, rows_match=True, schema_match=True, hash_match=True, **base)
         n_pass += 1
 
     # queries without an oracle: rows-only check
@@ -119,6 +153,12 @@ def main():
             continue
         n = pq.read_table(f"{out_dir}/{name}.parquet").num_rows
         print(f"ROWS {name}: {n} rows {'(EMPTY!)' if n == 0 else ''}")
+        rec(name, spark_rows=n, err="no_oracle_rows_only" if n else "empty_result")
+
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(dict(sorted(record.items())), f, indent=1)
+        print(f"wrote {json_out}")
 
     print(f"\n{n_pass} pass, {n_fail} fail")
     return 1 if n_fail else 0
