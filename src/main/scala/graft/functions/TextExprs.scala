@@ -2,10 +2,35 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
+
+/** doGenCode for a per-row scratch-buffer expression: delegate to
+  * `nullSafeEval` through a codegen reference object. The eval itself isn't
+  * inlined (it needs hash sets / deques), but the expression no longer being
+  * `CodegenFallback` keeps the ENCLOSING operators inside whole-stage
+  * codegen — a fallback expression demotes its entire stage to interpreted
+  * mode, which is what made d03/d04 the two slowest headline queries.
+  * Pattern proven in [[VectorExprs]] (`NearestCentroids.doGenCode`). */
+private[functions] trait EvalDelegatingCodegen { self: UnaryExpression =>
+  /** Java cast applied to the `nullSafeEval` result in generated code. */
+  protected def resultJavaType: String = "org.apache.spark.sql.catalyst.util.ArrayData"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("expr", this, getClass.getName)
+    if (nullable)
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""
+           |Object r = $ref.nullSafeEval($a);
+           |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ($resultJavaType) r; }
+         """.stripMargin)
+    else
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = ($resultJavaType) $ref.nullSafeEval($a);")
+  }
+}
 
 /** Native Catalyst expressions for the corpus-dedup hot paths (shingling,
   * MinHash, SimHash).
@@ -51,7 +76,7 @@ object TextExprs {
   * the text fall in each set — language-ID / stopword scoring in a single
   * pass instead of one interpreted `filter` HOF per set. */
 case class MarkerCounts(child: Expression, markerSets: Array[Array[String]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with EvalDelegatingCodegen {
 
   @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
     markerSets.map { ws =>
@@ -94,7 +119,7 @@ private[functions] object Words {
 
 /** array<bigint>: distinct xxhash64 values of the k-word shingles. */
 case class ShingleHashes(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with EvalDelegatingCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
@@ -137,7 +162,7 @@ case class ShingleHashes(child: Expression, k: Int)
 /** array<bigint> length-64: MinHash signature of a shingle-hash array via
   * universal hashes (a_i·x + b_i) mod prime over x = hash mod prime. */
 case class MinHash64(child: Expression, coefA: Array[Long], coefB: Array[Long], prime: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with EvalDelegatingCodegen {
 
   private val numHashes = coefA.length
 
@@ -186,7 +211,7 @@ case class MinHash64(child: Expression, coefA: Array[Long], coefB: Array[Long], 
   * insertions/reorderings far better than whole-doc hashes (the scale story
   * for plagiarism/near-dup detection over 100 TB of text). */
 case class Winnow(child: Expression, k: Int, window: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with EvalDelegatingCodegen {
 
   private val B = 1000000007L // rolling base
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -254,7 +279,7 @@ case class Winnow(child: Expression, k: Int, window: Int)
   * `array(struct(...)×16)` with 64 `element_at`s) generates so much Java
   * that Janino compile time dominates the whole LSH query at small scale. */
 case class BandSigs(child: Expression, bands: Int, rowsPerBand: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with EvalDelegatingCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "band_sigs"
@@ -286,8 +311,10 @@ case class BandSigs(child: Expression, bands: Int, rowsPerBand: Int)
 /** bigint: 64-bit SimHash over the doc's distinct words — bit j of the
   * fingerprint is the sign of Σ_tokens (bit_j(xxhash64(token)) ? +1 : -1). */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with EvalDelegatingCodegen {
 
+  // boxed-Long cast auto-unboxes into the primitive ev.value slot
+  override protected def resultJavaType: String = "java.lang.Long"
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 

@@ -78,6 +78,17 @@ case class NearestCentroids(child: Expression, codebook: Array[Array[Double]], n
         if (!used(c) && sims(c) > bestSim) { best = c; bestSim = sims(c) }
         c += 1
       }
+      if (best < 0) {
+        // every remaining sim is NaN (NaN input element) or -Infinity
+        // (zero-norm codebook row): `> bestSim` never fires. Fall back to
+        // the lowest unused id — deterministic, and one degenerate vector
+        // can't crash the whole query with used(-1).
+        c = 0
+        while (best < 0 && c < codebook.length) {
+          if (!used(c)) best = c
+          c += 1
+        }
+      }
       used(best) = true
       picked(p) = best
       p += 1
