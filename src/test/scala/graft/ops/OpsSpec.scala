@@ -35,6 +35,24 @@ class OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("common") == 1 && r.getAs[Double]("jaccard") == 1.0 / 3)
   }
 
+  test("jaccard df cap drops hot shingles and bounds candidate pairs") {
+    // 20 docs share one boilerplate shingle (h1 h2 h3); the rest of each
+    // doc is unique. Uncapped: C(20,2) = 190 candidate pairs, all at
+    // jaccard = 1/5 — the quadratic hot-key blowup in miniature.
+    val d = docs((1L to 20L).map(i => (i, s"h1 h2 h3 x$i y$i")): _*)
+    val uncapped = Shingles.jaccardPairs(d, "doc_id", "text", k = 3, threshold = 0.2)
+    assert(uncapped.count() == 190)
+    // cap below the hot shingle's df=20: it is dropped before the
+    // self-join, no pair shares a retained shingle, zero candidates
+    val capped = Shingles.jaccardPairs(d, "doc_id", "text", k = 3,
+      threshold = 0.0, maxDf = 10)
+    assert(capped.count() == 0)
+    // cap at exactly df: nothing dropped — boundary is "strictly above"
+    val boundary = Shingles.jaccardPairs(d, "doc_id", "text", k = 3,
+      threshold = 0.2, maxDf = 20)
+    assert(boundary.count() == 190)
+  }
+
   test("minhash LSH candidates contain all high-jaccard pairs (recall)") {
     val base = (0 until 40).map(i => s"w$i").mkString(" ")
     val near = (0 until 40).map(i => if (i == 7) "CHANGED" else s"w$i").mkString(" ")
