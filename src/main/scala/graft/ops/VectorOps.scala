@@ -52,8 +52,11 @@ object VectorOps {
       .select(col("qid"), col("nid"), col("rk").cast("int").as("rk"))
   }
 
-  /** All pairs with cosine >= threshold (exact; quadratic — the dedup
-    * verifier / small-corpus path; LSH below bounds the pair generation). */
+  /** All pairs with cosine >= threshold — EXACT and QUADRATIC (nested-loop
+    * all-pairs join). This is the correctness baseline / oracle verifier,
+    * the embedding analogue of `knnBrute` and of d03's exact Jaccard: use
+    * it on small corpora and to pin the recall of the scale path. The
+    * designated 100 TB entry point is [[nearDuplicates]]. */
   def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
     val v = withNorm(vecs, vecCol)
@@ -71,6 +74,45 @@ object VectorOps {
   private def planes(tables: Int, bits: Int, dim: Int): Array[Array[Array[Double]]] = {
     val rnd = new scala.util.Random(7)
     Array.fill(tables, bits, dim)(rnd.nextGaussian())
+  }
+
+  /** Scale-safe embedding near-duplicate pairs — the DEFAULT dedup entry
+    * point: random-hyperplane LSH bucket candidates confirmed by an exact
+    * cosine check (mirrors the MinHash-then-verify pattern of d04).
+    *
+    * Plan shape: one projection computes all tables×bits keys per row in a
+    * single native pass (LshKeys), candidates come from an EQUI-join on
+    * (table, key) — shuffle-partitionable, no nested-loop all-pairs — and
+    * only bucket collisions pay a dot product. Identical vectors share
+    * every bucket key, so exact duplicates are found with probability 1.
+    *
+    * Regime: built for near-duplicate thresholds (≈0.85+), where a pair's
+    * per-bit collision rate 1−θ/π is high and a few tables give ~certain
+    * recall with strong pruning. At loose thresholds (e.g. cosine 0.4,
+    * θ≈66°) NO sub-quadratic method holds recall 1.0 — per-bit agreement
+    * is 0.63, so parameters strong enough to keep recall generate more
+    * candidates than the n² they replace; that regime belongs to
+    * [[cosinePairs]] on a bounded corpus. */
+  def nearDuplicates(vecs: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.9,
+                     tables: Int = 8, bits: Int = 16, dim: Int = 64): DataFrame = {
+    val pl = planes(tables, bits, dim)
+    val keyed = withNorm(vecs, vecCol)
+      .select(col(idCol), col(vecCol), col("_norm"),
+        posexplode(graft.functions.VectorExprs.lshKeys(col(vecCol), pl))
+          .as(Seq("table", "key")))
+    val a = keyed.select(col(idCol).as("a_id"), col(vecCol).as("va"),
+      col("_norm").as("na"), col("table"), col("key"))
+    val b = keyed.select(col(idCol).as("b_id"), col(vecCol).as("vb"),
+      col("_norm").as("nb"), col("table").as("bt"), col("key").as("bk"))
+    a.join(b,
+        col("table") === col("bt") && col("key") === col("bk") &&
+          col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "va", "na", "vb", "nb")
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cos", cosineFromParts(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("a_id", "b_id")
   }
 
   /** Random-hyperplane LSH bucket keys: one (table, key) row per vector per

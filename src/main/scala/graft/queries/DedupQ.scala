@@ -53,12 +53,30 @@ object DedupQ {
       SimHash.nearPairs(fps, "doc_id", maxDist = 16).orderBy("a_id", "b_id")
     }),
 
-    // -- embedding cosine near-dup pairs (synthetic corpus ⇒ 0.4 stands in
-    //    for the usual 0.95; chosen away from the cosine mass so the
-    //    float32 oracle and double Spark path agree on the cut).
+    // -- embedding cosine near-dup pairs, EXACT baseline (synthetic corpus
+    //    ⇒ 0.4 stands in for the usual 0.95; chosen away from the cosine
+    //    mass so the float32 oracle and double Spark path agree on the
+    //    cut). Quadratic by definition — the correctness oracle for d06b,
+    //    the way s01 is for s02/s04. At cosine 0.4 (θ≈66°) no sub-quadratic
+    //    method holds recall 1.0, so the exact pass IS the right tool here.
     "d06_embedding_dup" -> ((s, d) =>
       VectorOps.cosinePairs(T.embeddings(s, d), "vec_id", "embedding", 0.4)
         .orderBy("a_id", "b_id")),
+
+    // -- embedding near-dup via the scale path: LSH bucket candidates +
+    //    exact cosine confirm (VectorOps.nearDuplicates — equi-join on
+    //    bucket keys, no all-pairs). The corpus is unioned with an
+    //    id-shifted copy of itself so true near-duplicates exist at a
+    //    realistic threshold; identical vectors collide in every LSH
+    //    table, so recall is structurally 1.0 and the quadratic DuckDB
+    //    oracle must match exactly.
+    "d06b_embedding_dup_lsh" -> ((s, d) => {
+      val e = T.embeddings(s, d).select("vec_id", "embedding")
+      val planted = e.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      VectorOps.nearDuplicates(e.unionAll(planted), "vec_id", "embedding",
+          threshold = 0.95)
+        .orderBy("a_id", "b_id")
+    }),
 
     // -- winnowing (rolling-hash) fingerprints: docs sharing any window+k-1
     //    byte substring share a fingerprint (rows-only; pinned by spec).
@@ -105,6 +123,19 @@ object DedupQ {
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // the oracle runs the quadratic exact join over the planted-duplicate
+    // corpus; Spark runs the LSH + verify path — a true differential of
+    // the scale algorithm against brute force
+    "d06b_embedding_dup_lsh" ->
+      """WITH u AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000, embedding FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM u a JOIN u b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
         |ORDER BY a_id, b_id""".stripMargin
   )
 }

@@ -147,6 +147,35 @@ class OpsSpec extends SparkSpec {
     assert(out.nonEmpty && out.head.getAs[Long]("nid") == 1L)
   }
 
+  test("nearDuplicates matches exact cosinePairs on clustered vectors (recall 1.0)") {
+    // 5 clusters of 6 jittered copies each + noise: within-cluster cosine
+    // ~0.99, cross-cluster ~0 — the regime the LSH path is built for
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 5).flatMap { c =>
+      val center = Array.fill(64)(rnd.nextGaussian().toFloat)
+      (0 until 6).map { j =>
+        ((c * 6 + j).toLong,
+          center.map(v => v + (rnd.nextGaussian() * 0.02).toFloat))
+      }
+    }.++((30 until 60).map(i => (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))))
+      .toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(VectorOps.cosinePairs(vecs, "vec_id", "embedding", 0.9))
+    val lsh = pairs(VectorOps.nearDuplicates(vecs, "vec_id", "embedding", 0.9))
+    assert(exact.nonEmpty, "test corpus must contain true near-dups")
+    assert(lsh == exact, s"recall/precision drift: missing=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("nearDuplicates plan has no all-pairs nested-loop join") {
+    val vecs = (0 until 20).map(i => (i.toLong, Array.fill(8)(i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = VectorOps.nearDuplicates(vecs, "vec_id", "embedding", 0.9, dim = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"expected equi-join candidate generation:\n$plan")
+  }
+
   test("IVF ANN finds the planted near neighbor and stays a candidate subset") {
     val rnd = new scala.util.Random(5)
     val base = Array.fill(64)(rnd.nextGaussian().toFloat)
