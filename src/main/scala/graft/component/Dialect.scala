@@ -76,6 +76,10 @@ object Dialect {
     val stmt = rewriteQualify(rewriteDistinctOn(stmt0))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
+    // all non-quoted, non-comment text seen so far — table-position
+    // detection must survive flushes and skip comments, mirroring
+    // splitStatements' state machine
+    val context = new StringBuilder
 
     def flushPlain(): Unit = {
       out.append(plain.toString
@@ -93,35 +97,52 @@ object Dialect {
         if (end < 0) { plain.append(stmt.substring(i)); i = stmt.length }
         else {
           val name = stmt.substring(i + 1, end)
-          val inTablePos = tableKeyword.findFirstIn(plain.toString).isDefined
+          val inTablePos = tableKeyword.findFirstIn(context.toString).isDefined
           flushPlain()
           // table names must be sanitized (temp views reject dots); quoted
           // COLUMN names are backticked verbatim — they exist as-is in the
           // DataFrame schema
           val ident = if (inTablePos) Names.view(name) else name
           out.append('`').append(ident).append('`')
+          context.append('x') // the identifier reads as one plain token
           i = end + 1
         }
       } else if (c == '\'') {
         val end = quotedEnd(stmt, i)
         val body = stmt.substring(i + 1, math.max(i + 1, end - 1))
         val isIdentifier = !body.contains("''") &&
-          tableKeyword.findFirstIn(plain.toString).isDefined
-        if (isIdentifier) {
-          flushPlain()
-          out.append('`').append(Names.view(body)).append('`')
-        } else {
-          flushPlain()
-          out.append(stmt.substring(i, end)) // literal, verbatim
-        }
+          tableKeyword.findFirstIn(context.toString).isDefined
+        flushPlain()
+        if (isIdentifier) out.append('`').append(Names.view(body)).append('`')
+        else out.append(stmt.substring(i, end)) // literal, verbatim
+        context.append('x')
         i = end
+      } else if (c == '`') {
+        // backtick-quoted identifier: verbatim, shielded from the regex
+        // rewrites (a ::VARCHAR inside one is part of the name)
+        val end = stmt.indexOf('`', i + 1)
+        val stop = if (end < 0) stmt.length else end + 1
+        flushPlain()
+        out.append(stmt.substring(i, stop))
+        context.append('x')
+        i = stop
       } else if (c == '-' && i + 1 < stmt.length && stmt.charAt(i + 1) == '-') {
         val end = stmt.indexOf('\n', i)
         val stop = if (end < 0) stmt.length else end + 1
         flushPlain()
         out.append(stmt.substring(i, stop))
+        context.append(' ')
         i = stop
-      } else { plain.append(c); i += 1 }
+      } else if (c == '/' && i + 1 < stmt.length && stmt.charAt(i + 1) == '*') {
+        // block comment: verbatim, invisible to rewrites and to the
+        // table-position / quote state (a quote inside one is not SQL)
+        val end = stmt.indexOf("*/", i + 2)
+        val stop = if (end < 0) stmt.length else end + 2
+        flushPlain()
+        out.append(stmt.substring(i, stop))
+        context.append(' ')
+        i = stop
+      } else { plain.append(c); context.append(c); i += 1 }
     }
     flushPlain()
     out.toString
@@ -253,6 +274,10 @@ object Dialect {
       } else if (c == '-' && i + 1 < stmt.length && stmt.charAt(i + 1) == '-') {
         val end = stmt.indexOf('\n', i)
         val stop = if (end < 0) stmt.length else end + 1
+        sb.append(" " * (stop - i)); i = stop
+      } else if (c == '/' && i + 1 < stmt.length && stmt.charAt(i + 1) == '*') {
+        val end = stmt.indexOf("*/", i + 2)
+        val stop = if (end < 0) stmt.length else end + 2
         sb.append(" " * (stop - i)); i = stop
       } else { sb.append(c); i += 1 }
     }

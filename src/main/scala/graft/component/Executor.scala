@@ -35,7 +35,33 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
   private val createTable =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+`?([^`\s(]+)`?\s+AS\s+(.*)$""".r
   private val insertInto =
-    """(?is)^\s*INSERT\s+INTO\s+`?([^`\s(]+)`?\s*(?:\(([^)]*)\))?\s+(.*)$""".r
+    """(?is)^\s*INSERT\s+INTO\s+`?([^`\s(]+)`?\s*(.*)$""".r
+
+  /** View definitions registered this run, in creation order:
+    * lowercased sanitized name → (sanitized name, body SQL, direct deps).
+    * Registering a view stores the eagerly-analyzed plan, which pins the
+    * backing parquet file listing of every table it reads; the reference's
+    * DuckDB views are late-bound instead. [[rebind]] restores that
+    * semantics after DML swaps a table's files. */
+  private val viewDefs =
+    new java.util.LinkedHashMap[String, (String, String, Set[String])]()
+
+  /** Re-register every view that (transitively) depends on `changed` after
+    * its backing files were swapped by a DML re-materialization — otherwise
+    * a block-1 view read after a block-2 INSERT/UPDATE/DELETE throws
+    * FileNotFoundException on the deleted old files. Creation order is a
+    * valid re-bind order: a view body can only reference objects that
+    * already existed when it was created. */
+  private def rebind(changed: String): Unit = viewDefs.synchronized {
+    val affected = scala.collection.mutable.Set(changed)
+    viewDefs.forEach { (key, defn) =>
+      val (sanitized, body, deps) = defn
+      if (deps.exists(affected)) {
+        spark.sql(body).createOrReplaceTempView(sanitized)
+        affected += key
+      }
+    }
+  }
 
   def execute(plan: ExecutionPlan): ExecutionStats = {
     val pool = Executors.newFixedThreadPool(math.max(1, threads))
@@ -60,12 +86,33 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
   /** Run one rewritten statement against the session catalog. */
   def runStatement(stmt: String): Unit = stmt match {
     case createView(name, body) =>
+      val sanitized = Names.view(name)
+      val deps = SqlAnalyzer.analyzeStatement(spark, body).dependencies
+      viewDefs.synchronized {
+        // re-insert on replace so creation order tracks the LATEST definition
+        viewDefs.remove(sanitized.toLowerCase)
+        viewDefs.put(sanitized.toLowerCase, (sanitized, body, deps))
+      }
       register(name, spark.sql(body))
 
     case createTable(name, body) =>
       register(name, materialize(name, spark.sql(body)))
+      rebind(Names.view(name).toLowerCase)
 
-    case insertInto(name, colList, body) =>
+    case insertInto(name, rest0) =>
+      // The group after the table name is a COLUMN LIST only when the
+      // parenthesized text is not itself a query — DuckDB accepts
+      // `INSERT INTO t (SELECT ...)` (parenthesized source), and a
+      // depth-scanned split also survives ')' inside the list.
+      val rest = rest0.trim
+      val (colList, body) =
+        if (rest.startsWith("(")) {
+          val close = matchingParen(rest, 0)
+          val inner = rest.substring(1, close).trim
+          val firstWord = inner.split("[\\s(]", 2).head.toUpperCase
+          if (Set("SELECT", "WITH", "VALUES", "FROM", "TABLE")(firstWord)) (null, rest)
+          else (inner, rest.substring(close + 1).trim)
+        } else (null, rest)
       val existing = spark.table(s"`${Names.view(name)}`")
       val added0 = spark.sql(body)
       val added = Option(colList).filter(_.trim.nonEmpty) match {
@@ -81,6 +128,7 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
         else lit(null).cast(existing.schema(c).dataType).as(c)
       }: _*)
       register(name, materialize(name, existing.unionByName(aligned)))
+      rebind(Names.view(name).toLowerCase)
 
     case _ =>
       val plan = spark.sessionState.sqlParser.parsePlan(stmt)
@@ -98,6 +146,7 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
             .map(e => df.filter(!coalesce(GraftSqlBridge.column(e), lit(false))))
             .getOrElse(df.limit(0))
           register(name, materialize(name, out))
+          rebind(Names.view(name).toLowerCase)
 
         case "UpdateTable" =>
           val name = targetName(plan)
@@ -119,11 +168,31 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
             }
           }: _*)
           register(name, materialize(name, out))
+          rebind(Names.view(name).toLowerCase)
 
         case _ =>
           // plain SELECT / SET / etc.: execute for effect + error surfacing
           spark.sql(stmt).queryExecution.assertAnalyzed()
       }
+  }
+
+  /** Index of the ')' matching the '(' at `open`, skipping quoted regions. */
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c
+        case '('         => depth += 1
+        case ')'         => depth -= 1; if (depth == 0) return i
+        case _           =>
+      }
+      i += 1
+    }
+    throw new UserException(s"unbalanced parentheses in INSERT: $s")
   }
 
   private def targetName(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): String =

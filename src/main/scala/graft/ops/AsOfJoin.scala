@@ -54,8 +54,12 @@ object AsOfJoin {
     val r = right
       // a NULL right timestamp can never satisfy left.ts >= right.ts
       // (unknown in SQL); nulls-first ordering would otherwise carry its
-      // payload into every row of the key
-      .filter(col(rightTs).isNotNull)
+      // payload into every row of the key. Likewise a NULL key never
+      // equals anything in join semantics — but partitionBy groups NULLs
+      // together, so drop NULL-key right rows up front; NULL-key left
+      // rows then see no right payload in their partition and fall out
+      // with NULLs, exactly like an equi-join miss.
+      .filter(keys.foldLeft(col(rightTs).isNotNull)((acc, k) => acc && col(k).isNotNull))
       .withColumn(ts, col(rightTs))
       .withColumn(tag, lit(0))
       .select((keys ++ Seq(ts, tag)).map(col) ++

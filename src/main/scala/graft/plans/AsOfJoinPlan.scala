@@ -116,6 +116,15 @@ final case class AsOfJoinExec(
         val r = proj(row)
         if (r.isNullAt(0)) NullTs else r.getLong(0)
       }
+      // NULL join keys never equal anything (equi-join semantics), but
+      // RowOrdering.compare treats NULLs as equal — a NULL-key left row
+      // would otherwise take the payload of a NULL-key right row
+      val nKeys = lKeyExprs.length
+      def anyNullKey(key: InternalRow): Boolean = {
+        var i = 0
+        while (i < nKeys) { if (key.isNullAt(i)) return true; i += 1 }
+        false
+      }
 
       lIter.map { lRow =>
         val lKey = lKeyProj(lRow).copy()
@@ -129,7 +138,9 @@ final case class AsOfJoinExec(
           val cmp = keyOrdering.compare(rKey, lKey)
           val rTime = tsOf(rTsProj, rRow)
           if (cmp < 0) { rBuf.next() } // earlier key: skip (its matches are done)
-          else if (cmp == 0 && rTime == NullTs) { rBuf.next() } // null ts: never matches
+          else if (cmp == 0 && (rTime == NullTs || anyNullKey(rKey))) {
+            rBuf.next() // null ts or null key: never matches anything
+          }
           else if (cmp == 0 && lTime != NullTs && rTime <= lTime) {
             heldKey = rKey.copy()
             heldTs = rTime
@@ -137,7 +148,8 @@ final case class AsOfJoinExec(
             rBuf.next()
           } else advancing = false
         }
-        val matches = heldPayload != null && heldKey != null && lTime != NullTs &&
+        val matches = heldPayload != null && heldKey != null &&
+          lTime != NullTs && !anyNullKey(lKey) &&
           keyOrdering.compare(heldKey, lKey) == 0 && heldTs <= lTime
         outProj(joined(lRow, if (matches) heldPayload else nullPayload))
       }

@@ -240,6 +240,32 @@ class ComponentSpec extends SparkSpec {
     assert(lines == List("\"a\",\"b\"", "\"10\",\"1\"", "\"30\",\"\""))
   }
 
+  test("views are late-bound: a later block's DML is visible through an earlier view") {
+    // block-1 view pins t's original parquet files in its analyzed plan;
+    // block-2 DML deletes/swaps those files. Without re-binding, block-3's
+    // read of the view (and of the view-on-view) throws
+    // FileNotFoundException or returns stale rows — the reference's DuckDB
+    // views resolve at read time instead.
+    val dd = datadir()
+    write(dd.resolve("config.json"),
+      """{"parameters": {"blocks": [
+        |  {"name": "b1", "codes": [{"name": "mk", "script": [
+        |    "CREATE TABLE t AS SELECT 1 AS a;",
+        |    "CREATE VIEW v AS SELECT a * 10 AS a10 FROM t;",
+        |    "CREATE VIEW vv AS SELECT a10 + 1 AS a11 FROM v"]}]},
+        |  {"name": "b2", "codes": [{"name": "dml", "script": [
+        |    "INSERT INTO t SELECT 2;",
+        |    "UPDATE t SET a = a + 100 WHERE a = 1"]}]},
+        |  {"name": "b3", "codes": [{"name": "read", "script": [
+        |    "CREATE TABLE out_v AS (SELECT a11 FROM vv) ORDER BY a11"]}]}]},
+        | "storage": {"input": {"tables": []},
+        |             "output": {"tables": [{"source": "out_v", "destination": "o"}]}}}""".stripMargin)
+    Component.run(spark, dd.toString)
+    // t = {101, 2} → v = {1010, 20} → vv = {1011, 21}
+    assert(Files.readString(dd.resolve("out/tables/out_v")).linesIterator.toList ==
+      List("\"a11\"", "\"21\"", "\"1011\""))
+  }
+
   test("duplicate block names run as separate blocks, once each") {
     val dd = datadir()
     write(dd.resolve("config.json"),
@@ -251,6 +277,22 @@ class ComponentSpec extends SparkSpec {
     Component.run(spark, dd.toString)
     assert(Files.readString(dd.resolve("out/tables/t")).linesIterator.toList.sorted ==
       List("\"1\"", "\"2\"", "\"x\""))
+  }
+
+  test("INSERT with a parenthesized source query is a source, not a column list") {
+    val dd = datadir()
+    write(dd.resolve("config.json"),
+      """{"parameters": {"blocks": [{"name": "b", "codes": [{"name": "ins", "script": [
+        |  "CREATE TABLE t AS SELECT 1 AS a;",
+        |  "INSERT INTO t (SELECT 2 AS a);",
+        |  "INSERT INTO t (WITH c AS (SELECT 3 AS a) SELECT a FROM c);",
+        |  "CREATE VIEW out_t AS (SELECT * FROM t) ORDER BY a"
+        | ]}]}]},
+        | "storage": {"input": {"tables": []},
+        |             "output": {"tables": [{"source": "out_t", "destination": "o"}]}}}""".stripMargin)
+    Component.run(spark, dd.toString)
+    assert(Files.readString(dd.resolve("out/tables/out_t")).linesIterator.toList ==
+      List("\"a\"", "\"1\"", "\"2\"", "\"3\""))
   }
 
   test("INSERT with a partial column list NULL-fills missing columns") {

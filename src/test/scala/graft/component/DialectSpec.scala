@@ -85,6 +85,27 @@ class DialectSpec extends AnyFunSuite {
     assert(out.indexOf("WHERE __q") < out.indexOf("LIMIT 5"))
   }
 
+  test("block comments shield their content from every rewrite and scanner") {
+    // QUALIFY / DISTINCT ON / ::VARCHAR / EXCLUDE inside /* */ are not SQL
+    val s = "SELECT a /* QUALIFY rank() = 1 */ FROM t /* x::VARCHAR ' ( */ WHERE a > 0"
+    assert(Dialect.rewrite(s) == s)
+    val d = "SELECT a /* SELECT DISTINCT ON (k) */ FROM t"
+    assert(Dialect.rewrite(d) == d)
+    // maskQuoted blanks block comments like splitStatements does
+    assert(Dialect.maskQuoted("a /* 'lit' QUALIFY */ b") == "a                     b")
+    // an apostrophe inside a block comment must not desync quote state:
+    // the ::VARCHAR AFTER the comment is live SQL and still rewrites
+    val desync = "SELECT a /* it's */ , b::VARCHAR FROM t"
+    assert(Dialect.rewrite(desync) == "SELECT a /* it's */ , b::STRING FROM t")
+    // a table name after a block comment is still in table position
+    assert(Dialect.rewrite("FROM /*c*/ \"x.y\"").contains("`x_y`"))
+  }
+
+  test("backtick-quoted identifiers pass through rewrites verbatim") {
+    val s = "SELECT `weird::VARCHAR name` FROM t"
+    assert(Dialect.rewrite(s) == s)
+  }
+
   test("Names round-trips originals") {
     val v = Names.view("out-table.csv")
     assert(v == "out_table_csv")

@@ -41,6 +41,30 @@ class AsOfJoinPlanSpec extends SparkSpec {
     }
   }
 
+  test("NULL join keys never match each other (both implementations)") {
+    def ts(base: Long) = new Timestamp(1700000000000L + base * 1000L)
+    val left = Seq(
+      (Option(1L), 10L, ts(100)),
+      (None: Option[Long], 11L, ts(100)), // NULL key: must get NULL payload
+      (Option(2L), 12L, ts(100)))
+      .toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (Option(1L), 900L, ts(50)),
+      (None: Option[Long], 901L, ts(50)), // NULL key: must never donate
+      (Option(2L), 902L, ts(50)))
+      .toDF("user_id", "s_eid", "s_ts")
+    for ((label, out) <- Seq(
+      "window" -> AsOfJoin.asof(left, right, Seq("user_id"), "ts", "s_ts",
+        Map("s_eid" -> "ref")),
+      "native" -> AsOfJoinPlan.asof(left, right, Seq("user_id"), "ts", "s_ts",
+        Map("s_eid" -> "ref")))) {
+      val got = out.select("event_id", "ref").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted
+      assert(got.toList == List((10L, 900L), (11L, -1L), (12L, 902L)),
+        s"$label path: NULL keys must not match (got ${got.toList})")
+    }
+  }
+
   test("self-derived sides (shared source) agree with the window rewrite") {
     // both sides filter the SAME DataFrame — the attribute-collision case
     // DeduplicateRelations rewrites under custom nodes
