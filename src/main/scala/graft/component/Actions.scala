@@ -28,16 +28,36 @@ object Actions {
 
   private[component] def lint(stmt: String): List[String] = {
     // textual heuristics must not see quoted literals or comments — a ')'
-    // inside a string is not a paren
+    // inside a string is not a paren (reference lint set:
+    // `src/validators/sql_validator.py:104-145`, with word-boundary
+    // matching where the reference's bare substring check would misfire,
+    // e.g. its "IN" matching the INTO of every INSERT)
     val masked = Dialect.maskQuoted(stmt)
     val up = masked.toUpperCase
+    def word(w: String): Boolean = ("\\b" + w + "\\b").r.findFirstIn(up).isDefined
     val issues = scala.collection.mutable.ListBuffer[String]()
     val opens = masked.count(_ == '(')
     val closes = masked.count(_ == ')')
     if (opens != closes)
       issues += s"unmatched parentheses ($opens open, $closes close)"
+    if (up.contains("CREATE OR RE PLACE"))
+      issues += "'RE PLACE' should be 'REPLACE'"
+    if ("CREATE\\s+OR\\s+REPLACE\\s+VIEW".r.findFirstIn(up).isDefined && !word("AS"))
+      issues += "CREATE VIEW missing 'AS' keyword"
+    if (word("SELECT") && !word("FROM"))
+      issues += "SELECT statement missing 'FROM' clause"
+    if (word("WHERE") &&
+        !Seq("=", ">", "<", "!=").exists(masked.contains) &&
+        !Seq("LIKE", "IN", "BETWEEN", "IS").exists(word))
+      issues += "WHERE clause missing comparison operator"
+    if (up.contains("PERCENTILE(") && up.contains("WITHIN GROUP"))
+      issues += "use PERCENTILE_CONT() or PERCENTILE_DISC() instead of PERCENTILE()"
     if (up.contains("PERCENTILE_CONT") && !up.contains("WITHIN GROUP"))
       issues += "PERCENTILE_CONT requires WITHIN GROUP (ORDER BY ...)"
+    if (up.contains("CAST(") && up.contains("AS VARCHAR") &&
+        Seq("+", "-", "*", "/", ">", "<", "=").exists(masked.contains) &&
+        !masked.contains("||"))
+      issues += "arithmetic on VARCHAR-cast values may fail to bind"
     issues.toList
   }
 

@@ -72,20 +72,37 @@ object Component {
     // 3. ingest
     Ingest.loadAll(spark, dataDir, config)
 
+    // A26-lite: a configured engine version is surfaced, not silently
+    // eaten — this build is single-version (no interpreter re-exec to
+    // route to), so the setting is recorded for the run log
+    config.duckdbVersion.foreach(v => System.err.println(
+      s"[component] configured engine version: $v " +
+        "(single-version Spark build; setting recorded, not routed)"))
+
     // 4-5. plan + execute
     val outWarehouse = Paths.get(dataDir, "out", "files", "warehouse")
     Files.createDirectories(outWarehouse)
     val plan = Planner.plan(spark, config)
-    val stats = new Executor(spark, outWarehouse.toString, config.threads).execute(plan)
+    val threads = SystemResources.resolveThreads(config.threads)
+    val stats = new Executor(spark, outWarehouse.toString, threads).execute(plan)
 
     // 6. export
     Export.exportAll(spark, dataDir, config)
 
     // A25: debug introspection — catalog contents + per-table row counts
+    // + memory report (the analogue of the reference's temp-dir/memory dump)
     if (config.debug) {
       spark.catalog.listTables().collect().foreach { t =>
         val n = try spark.table(s"`${t.name}`").count() catch { case _: Exception => -1L }
         System.err.println(s"[debug] table ${t.name} (${t.tableType}): $n rows")
+      }
+      val rt = Runtime.getRuntime
+      System.err.println(s"[debug] memory: jvm heap used " +
+        s"${(rt.totalMemory - rt.freeMemory) / 1048576} MB of ${rt.maxMemory / 1048576} MB max, " +
+        s"budget ${SystemResources.resolveMemoryMb(config.maxMemoryMb)} MB")
+      spark.sparkContext.getExecutorMemoryStatus.foreach { case (exec, (max, free)) =>
+        System.err.println(
+          s"[debug] memory: block manager $exec storage ${max / 1048576} MB max, ${free / 1048576} MB free")
       }
     }
     RunResult(stats, None)

@@ -29,8 +29,9 @@ final case class Config(
     blocks: List[Block],
     inputTables: List[InputTable],
     outputTables: List[OutputTable],
-    threads: Int = 4,
+    threads: Option[Int] = None,
     maxMemoryMb: Option[Long] = None,
+    duckdbVersion: Option[String] = None,
     dtypesInfer: Boolean = false,
     debug: Boolean = false,
     syntaxCheckOnStartup: Boolean = false,
@@ -110,10 +111,13 @@ object Config {
       inputTables = inTables,
       outputTables = outTables,
       threads = (params \ "threads") match {
-        case JInt(n) => n.toInt; case _ => 4
+        case JInt(n) => Some(n.toInt); case _ => None
       },
       maxMemoryMb = (params \ "max_memory_mb") match {
         case JInt(n) => Some(n.toLong); case _ => None
+      },
+      duckdbVersion = (params \ "duckdb_version") match {
+        case JString(v) if v.nonEmpty => Some(v); case _ => None
       },
       dtypesInfer = bool(params \ "dtypes_infer", d = false),
       debug = bool(params \ "debug", d = false),

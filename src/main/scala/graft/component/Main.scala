@@ -5,7 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Component entrypoint: `graft.component.Main <dataDir> [action]` — the
   * Spark analogue of the reference's `component.py` run (KBC_DATADIR
   * layout: config.json, in/tables, in/files, out/tables, out/files).
-  * Threads/memory come from the config (A23/A24 analogue: local[threads]).
+  * Threads/memory resolve config-first, then cgroup detection, then
+  * defaults (A23/A24: local[threads], shuffle partitions, partition-size
+  * budget from the memory limit).
   */
 object Main {
   def main(args: Array[String]): Unit = {
@@ -17,10 +19,21 @@ object Main {
       sys.exit(1)
     }
     val config = Config.parse(java.nio.file.Files.readString(configPath))
-    val threads = math.max(1, config.threads)
+    val threads = SystemResources.resolveThreads(config.threads)
+    val memMb = SystemResources.resolveMemoryMb(config.maxMemoryMb)
+    // `threads` tasks scan concurrently; size input splits so their working
+    // set (~8× on-disk bytes after decompression + exec structures) fits
+    // the memory budget, clamped to Spark's sane [16 MB, 128 MB] band
+    val maxPartitionBytes = math.min(128L << 20,
+      math.max(16L << 20, memMb * 1048576L / (threads * 8L)))
+    System.err.println(
+      s"[component] resources: threads=$threads (config=${config.threads.getOrElse("auto")}), " +
+        s"memory=${memMb}MB (config=${config.maxMemoryMb.getOrElse("auto")}), " +
+        s"maxPartitionBytes=$maxPartitionBytes")
     val spark = SparkSession.builder()
       .master(s"local[$threads]")
       .config("spark.sql.shuffle.partitions", threads)
+      .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

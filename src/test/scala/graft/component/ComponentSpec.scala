@@ -266,6 +266,25 @@ class ComponentSpec extends SparkSpec {
       List("\"a11\"", "\"21\"", "\"1011\""))
   }
 
+  test("debug run reports engine version and a memory figure (A25/A26-lite)") {
+    val dd = datadir()
+    write(dd.resolve("config.json"),
+      """{"parameters": {"debug": true, "duckdb_version": "1.2.3",
+        |  "blocks": [{"name": "b", "codes": [{"name": "mk", "script": [
+        |    "CREATE TABLE t AS SELECT 1 AS x"]}]}]},
+        | "storage": {"input": {"tables": []},
+        |             "output": {"tables": [{"source": "t", "destination": "o"}]}}}""".stripMargin)
+    val buf = new java.io.ByteArrayOutputStream()
+    val prev = System.err
+    System.setErr(new java.io.PrintStream(buf, true))
+    try Component.run(spark, dd.toString)
+    finally System.setErr(prev)
+    val err = buf.toString
+    assert(err.contains("configured engine version: 1.2.3"), err)
+    assert(err.contains("[debug] memory:") && err.contains("MB"), err)
+    assert(err.contains("[debug] table"), err)
+  }
+
   test("duplicate block names run as separate blocks, once each") {
     val dd = datadir()
     write(dd.resolve("config.json"),
