@@ -48,19 +48,26 @@ object EventStream {
     events.withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark(keys)
 
-  /** Watermarked stream-stream inner join: each left event paired with
-    * right events for the same key within a bounded look-back interval —
-    * the join-state window Spark needs to evict both sides' buffers
-    * (an unbounded stream-stream join would hold all history). */
+  /** Watermarked stream-stream join: each left event paired with right
+    * events for the same key within a bounded look-back interval — the
+    * join-state window Spark needs to evict both sides' buffers (an
+    * unbounded stream-stream join would hold all history).
+    *
+    * `joinType = "left_outer"` is the enrich-with-missing shape: a left
+    * event with no right match within the interval still comes out, with
+    * NULL right columns — emitted only once the watermark passes the end
+    * of its join window (before that a match could still arrive). */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    lookBack: String = "1 hour",
-                   lateness: String = "10 minutes"): DataFrame = {
+                   lateness: String = "10 minutes",
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", lateness)
     val r = right.withColumnRenamed("ts", "r_ts")
       .withColumnRenamed(key, s"r_$key")
       .withWatermark("r_ts", lateness)
     l.join(r,
-      expr(s"$key = r_$key AND r_ts BETWEEN ts - INTERVAL $lookBack AND ts"))
+      expr(s"$key = r_$key AND r_ts BETWEEN ts - INTERVAL $lookBack AND ts"),
+      joinType)
   }
 
   final case class Event(user_id: Long, event_id: Long, ts: Timestamp, value: Double)

@@ -84,6 +84,40 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("left-outer interval join keeps unmatched left events with null right") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[(Long, Timestamp, String)]
+    val views = MemoryStream[(Long, Timestamp, String)]
+    val joined = EventStream.intervalJoin(
+      clicks.toDF().toDF("user_id", "ts", "click_id"),
+      views.toDF().toDF("user_id", "ts", "view_id"),
+      key = "user_id", lookBack = "1 hour", joinType = "left_outer")
+    val query = joined.select("click_id", "view_id")
+      .writeStream.format("memory").queryName("paired_outer")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData((1L, ts("2024-01-01 10:00:00"), "v1"))
+      clicks.addData(
+        (1L, ts("2024-01-01 10:30:00"), "c_matched"),
+        (2L, ts("2024-01-01 10:30:00"), "c_orphan")) // no view for user 2
+      query.processAllAvailable()
+      // advance both watermarks far past c_orphan's join window so the
+      // outer side gives up waiting for a late match and emits the NULL row
+      views.addData((9L, ts("2024-01-01 14:00:00"), "v_late"))
+      clicks.addData((9L, ts("2024-01-01 14:00:00"), "c_late"))
+      query.processAllAvailable()
+      // one more microbatch so the state-eviction results land in the sink
+      clicks.addData((9L, ts("2024-01-01 15:00:00"), "c_later"))
+      query.processAllAvailable()
+      val rows = spark.table("paired_outer").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)).getOrElse("NULL"))).toSet
+      assert(rows.contains(("c_matched", "v1")), rows)
+      assert(rows.contains(("c_orphan", "NULL")),
+        s"unmatched left event must survive with null right columns: $rows")
+    } finally query.stop()
+  }
+
   test("sessionize emits a closed session when the gap is exceeded") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
