@@ -45,8 +45,17 @@ package object queries {
 package queries {
   /** Parquet table loaders for the driver testdata layout. */
   object T {
+    /** Session-scoped DataFrame cache: `spark.read.parquet` re-lists files
+      * and re-reads footers on every call, which at 23 headline queries x
+      * ~3 tables each is a measurable slice of the per-query constant. The
+      * cached value is an immutable logical plan whose relation holds the
+      * already-built file index, so reuse skips listing + schema inference
+      * entirely. Keyed by session so test-created sessions don't collide. */
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
     def load(s: SparkSession, dir: String, name: String): DataFrame =
-      s.read.parquet(s"$dir/$name.parquet")
+      cache.getOrElseUpdate((s, dir, name), s.read.parquet(s"$dir/$name.parquet"))
     def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
     def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
     def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
@@ -60,11 +69,12 @@ package queries {
       * (`nanosAsLong`) and floor-divide to microseconds — the same
       * truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, so both
       * engines see identical µs timestamps. */
-    def events(s: SparkSession, d: String): DataFrame = {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      load(s, d, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    }
+    def events(s: SparkSession, d: String): DataFrame =
+      cache.getOrElseUpdate((s, d, "events§µs"), {
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        load(s, d, "events")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      })
     def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
     def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
