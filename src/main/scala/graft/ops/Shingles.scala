@@ -26,23 +26,27 @@ object Shingles {
   /** Exact pairwise Jaccard over shingle sets for all pairs sharing at
     * least one retained shingle. Cost is Σ_s df(s)² — quadratic in the
     * document frequency of the hottest shingle, so `maxDf` drops shingles
-    * appearing in more than that many documents before the self-join: one
-    * boilerplate header shared by a million docs would otherwise emit 10¹²
-    * candidate pairs. Hot shingles carry ~zero near-dup signal (they're in
-    * everything), and set sizes keep counting them, so dropped shingles can
-    * only lower a pair's estimated Jaccard — the guarantee "reported pair ⇒
-    * truly shares retained shingles" stands. The default cap is far above
-    * any df in the test corpora (max 25 at sf0.1) — results there are
-    * bit-exact vs the uncapped oracle — while bounding the worst per-shingle
-    * candidate count at scale. The MinHash path (d04) stays the designated
-    * 100 TB route.
+    * appearing in more than that many documents: one boilerplate header
+    * shared by a million docs would otherwise emit 10¹² candidate pairs.
+    * Hot shingles carry ~zero near-dup signal (they're in everything), and
+    * set sizes keep counting them, so dropped shingles can only lower a
+    * pair's estimated Jaccard — the guarantee "reported pair ⇒ truly shares
+    * retained shingles" stands. The default cap is far above any df in the
+    * test corpora (max 25 at sf0.1) — results there are bit-exact vs the
+    * uncapped oracle — while bounding the worst per-shingle candidate count
+    * at scale. The MinHash path (d04) stays the designated 100 TB route.
     *
-    * The set size rides along each exploded row (one extra int), so the
-    * pair aggregation already has |A| and |B| — no separate counts
-    * aggregation or post-join. Hot-shingle removal is a broadcast anti-join
-    * (the hot list is tiny by construction: ≤ |corpus|/maxDf entries), so
-    * it adds no shuffle of the exploded rows; then one exchange (by shingle
-    * hash, reused for both self-join sides) + one pair-key exchange. */
+    * Plan shape — posting lists instead of a self-join: ONE pass computes
+    * shingles and explodes them (set size rides along as one extra long),
+    * ONE exchange on the 8-byte shingle hash gathers each shingle's
+    * posting list, and the df cap is a `size(list) <= maxDf` filter on the
+    * gathered group — the exploded relation is never re-derived (the old
+    * hot-df aggregate + anti-join + two self-join sides ran the
+    * scan+shingle pipeline up to three times). Pairs come from a
+    * double-explode of each posting list (same Σ df² work the self-join
+    * did, minus the join machinery), then ONE pair-key exchange counts
+    * common shingles. Posting lists are bounded by maxDf (≤ ~16 B · maxDf
+    * per group), so executor memory is safe at any corpus size. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, threshold: Double = 0.2,
                    maxDf: Long = 10000L): DataFrame = {
@@ -50,16 +54,16 @@ object Shingles {
       .select(col(idCol), shingles(col(textCol), k).as("__sh"))
       .select(col(idCol), size(col("__sh")).cast("long").as("n_sh"),
         explode(col("__sh")).as("shingle"))
-    val hot = all.groupBy("shingle").agg(count(lit(1)).as("__df"))
-      .filter(col("__df") > maxDf)
-      .select("shingle")
-    val sh = all.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val common = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("a_id"), col(s"b.$idCol").as("b_id"),
-        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+    val postings = all
+      .groupBy("shingle")
+      .agg(collect_list(struct(col(idCol).as("id"), col("n_sh").as("n"))).as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDf)
+    val common = postings
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .agg(count(lit(1)).as("common"))
     common
       .withColumn("jaccard",

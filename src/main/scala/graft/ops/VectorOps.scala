@@ -97,19 +97,25 @@ object VectorOps {
                      threshold: Double = 0.9,
                      tables: Int = 8, bits: Int = 16, dim: Int = 64): DataFrame = {
     val pl = planes(tables, bits, dim)
-    val keyed = withNorm(vecs, vecCol)
-      .select(col(idCol), col(vecCol), col("_norm"),
+    // Candidate generation shuffles ONLY (id, table, int key): the 256 B
+    // embedding would otherwise ride every one of the `tables` bucket rows
+    // through the join exchange AND the pair dedup — ~30× the shuffle
+    // volume at scale. Vectors are joined back exactly once per side, after
+    // the id-pair dedup, for the exact cosine verify.
+    val keyed = vecs
+      .select(col(idCol),
         posexplode(graft.functions.VectorExprs.lshKeys(col(vecCol), pl))
           .as(Seq("table", "key")))
-    val a = keyed.select(col(idCol).as("a_id"), col(vecCol).as("va"),
-      col("_norm").as("na"), col("table"), col("key"))
-    val b = keyed.select(col(idCol).as("b_id"), col(vecCol).as("vb"),
-      col("_norm").as("nb"), col("table").as("bt"), col("key").as("bk"))
-    a.join(b,
+    val candidates = keyed.select(col(idCol).as("a_id"), col("table"), col("key"))
+      .join(keyed.select(col(idCol).as("b_id"), col("table").as("bt"), col("key").as("bk")),
         col("table") === col("bt") && col("key") === col("bk") &&
           col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "va", "na", "vb", "nb")
+      .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
+    val vn = withNorm(vecs, vecCol)
+    candidates
+      .join(vn.select(col(idCol).as("a_id"), col(vecCol).as("va"), col("_norm").as("na")), "a_id")
+      .join(vn.select(col(idCol).as("b_id"), col(vecCol).as("vb"), col("_norm").as("nb")), "b_id")
       .withColumn("cos", cosineFromParts(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select("a_id", "b_id")
@@ -171,30 +177,33 @@ object VectorOps {
       .select(col("qid"), col("nid"), col("rk").cast("int").as("rk"), col("cos"))
   }
 
-  /** ANN top-k: rank only within LSH bucket collisions. Keys + norm are
-    * computed in one projection per side (no self-join re-derivation). */
+  /** ANN top-k: rank only within LSH bucket collisions. The bucket join
+    * shuffles only (id, table, int key) — vectors and norms are joined
+    * back once per side after the id-pair dedup (see [[nearDuplicates]]
+    * for the shuffle-volume rationale). */
   def knnLsh(queries: DataFrame, base: DataFrame, idCol: String, vecCol: String,
              k: Int, tables: Int = 8, bits: Int = 12, dim: Int = 64): DataFrame = {
     val pl = planes(tables, bits, dim)
     def keyed(df: DataFrame): DataFrame = df
-      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("_norm"),
-        graft.functions.VectorExprs.lshKeys(col(vecCol), pl).as("__keys"))
-      .select(col(idCol), col(vecCol), col("_norm"),
-        posexplode(col("__keys")).as(Seq("table", "key")))
-    val qb = keyed(queries)
-      .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("_norm").as("qnorm"),
-        col("table"), col("key"))
-    val bb = keyed(base)
-      .select(col(idCol).as("nid"), col(vecCol).as("nvec"), col("_norm").as("nnorm"),
-        col("table").as("btable"), col("key").as("bkey"))
-    val cand = qb.join(bb,
+      .select(col(idCol),
+        posexplode(graft.functions.VectorExprs.lshKeys(col(vecCol), pl))
+          .as(Seq("table", "key")))
+    val cand = keyed(queries).select(col(idCol).as("qid"), col("table"), col("key"))
+      .join(keyed(base)
+          .select(col(idCol).as("nid"), col("table").as("btable"), col("key").as("bkey")),
         col("table") === col("btable") && col("key") === col("bkey") &&
           col("qid") =!= col("nid"))
-      .select("qid", "qvec", "qnorm", "nid", "nvec", "nnorm")
+      .select("qid", "nid")
       .dropDuplicates("qid", "nid")
+    val qv = withNorm(queries, vecCol)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("_norm").as("qnorm"))
+    val bv = withNorm(base, vecCol)
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"), col("_norm").as("nnorm"))
+    cand
+      .join(qv, "qid")
+      .join(bv, "nid")
       .withColumn("cos", cosineFromParts(dot(col("qvec"), col("nvec")),
         col("qnorm"), col("nnorm")))
-    cand
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
       .filter(col("rk") <= k)

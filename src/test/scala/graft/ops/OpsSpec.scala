@@ -176,6 +176,41 @@ class OpsSpec extends SparkSpec {
       s"expected equi-join candidate generation:\n$plan")
   }
 
+  test("LSH bucket-join exchanges carry no embedding payload") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    // AQE + broadcast off so the bucket join materializes as shuffle
+    // exchanges whose output we can inspect structurally.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val vecs = (0 until 20).map(i => (i.toLong, Array.fill(8)(i.toFloat)))
+        .toDF("vec_id", "embedding")
+      val plans = Seq(
+        VectorOps.nearDuplicates(vecs, "vec_id", "embedding", 0.9, dim = 8),
+        VectorOps.knnLsh(vecs.limit(3), vecs, "vec_id", "embedding", k = 2, dim = 8))
+      plans.foreach { df =>
+        val bucketExchanges = df.queryExecution.executedPlan.collect {
+          case e: ShuffleExchangeExec if (e.outputPartitioning match {
+            case h: HashPartitioning => h.expressions.exists(_.references.exists(a =>
+              Set("table", "bt", "btable").contains(a.name)))
+            case _ => false
+          }) => e
+        }
+        assert(bucketExchanges.nonEmpty, "expected shuffle exchanges on the bucket keys")
+        bucketExchanges.foreach { e =>
+          assert(!e.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+            s"embedding payload rides the bucket-key exchange: ${e.output.mkString(", ")}")
+        }
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("IVF ANN finds the planted near neighbor and stays a candidate subset") {
     val rnd = new scala.util.Random(5)
     val base = Array.fill(64)(rnd.nextGaussian().toFloat)
