@@ -36,6 +36,10 @@ object Main {
       .config("spark.sql.files.maxPartitionBytes", maxPartitionBytes)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // post-shuffle partition count follows data volume (advisory size),
+      // not defaultParallelism — small intermediate results don't pay a
+      // full-width task launch per stage
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

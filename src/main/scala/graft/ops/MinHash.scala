@@ -41,9 +41,11 @@ object MinHash {
   def signature(text: Column, k: Int = 3): Column =
     TextExprs.minhash64(text, k, coefA, coefB, P)
 
-  /** docs(idCol, textCol) → (idCol, minhash: array<bigint>). */
+  /** docs(idCol, textCol) → (idCol, minhash: array<bigint>). The signature
+    * computation is the CPU-heavy per-row pass, so a narrow input (one
+    * small parquet file = one scan partition) is widened first. */
   def signatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
-    docs.select(col(idCol), signature(col(textCol), k).as("minhash"))
+    ScaleOps.spread(docs).select(col(idCol), signature(col(textCol), k).as("minhash"))
 
   /** Candidate pairs via banded LSH (bands=16, rows=4 by default). */
   def candidatePairs(sigs: DataFrame, idCol: String,
@@ -65,8 +67,9 @@ object MinHash {
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 3, threshold: Double = 0.2,
                      bands: Int = 16): DataFrame = {
-    val cands = candidatePairs(signatures(docs, idCol, textCol, k), idCol, bands)
-    val sets = docs.select(col(idCol),
+    val spreadDocs = ScaleOps.spread(docs)
+    val cands = candidatePairs(signatures(spreadDocs, idCol, textCol, k), idCol, bands)
+    val sets = spreadDocs.select(col(idCol),
       Shingles.shingles(col(textCol), k).as("sh"))
     cands
       .join(sets.select(col(idCol).as("a_id"), col("sh").as("sh_a")), "a_id")

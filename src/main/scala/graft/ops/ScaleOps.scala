@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
   */
 object ScaleOps {
 
+  /** Widen a narrow input before compute-heavy per-row work. Scan-stage
+    * parallelism follows FILE SPLITS, not cluster width: a single small
+    * parquet file scans as one partition, which would run an expensive
+    * per-row expression (shingling, MinHash, winnowing, LSH keying) on one
+    * core while the rest idle. Conditional on the actual partition count,
+    * so on a real corpus (thousands of splits) it is a no-op — no shuffle
+    * is added at scale; only pathologically narrow inputs pay one
+    * round-robin exchange of the raw rows. */
+  def spread(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < par) df.repartition(par) else df
+  }
+
   /** Salted equi-join for skew: the big side gets a deterministic salt in
     * [0, salts) (hash of its full row — no rand(), so retries/speculative
     * tasks agree), the small side is replicated once per salt, and the join

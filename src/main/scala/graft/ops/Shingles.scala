@@ -50,11 +50,19 @@ object Shingles {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, threshold: Double = 0.2,
                    maxDf: Long = 10000L): DataFrame = {
-    val all = docs
+    val all = ScaleOps.spread(docs)
       .select(col(idCol), shingles(col(textCol), k).as("__sh"))
       .select(col(idCol), size(col("__sh")).cast("long").as("n_sh"),
         explode(col("__sh")).as("shingle"))
+    // Strict-width repartition on the shingle key: the next stage's cost is
+    // the GENERATED pair count (Σ df² per group), not its input bytes, so
+    // AQE's size-based partition coalescing would misjudge it and collapse
+    // the heavy double-explode onto one or two tasks. A user-specified
+    // partition count is exempt from coalescing and keeps the pair
+    // generation at full width.
+    val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val postings = all
+      .repartition(nPart, col("shingle"))
       .groupBy("shingle")
       .agg(collect_list(struct(col(idCol).as("id"), col("n_sh").as("n"))).as("docs"))
       .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDf)

@@ -102,7 +102,8 @@ object VectorOps {
     // through the join exchange AND the pair dedup — ~30× the shuffle
     // volume at scale. Vectors are joined back exactly once per side, after
     // the id-pair dedup, for the exact cosine verify.
-    val keyed = vecs
+    val src = ScaleOps.spread(vecs)
+    val keyed = src
       .select(col(idCol),
         posexplode(graft.functions.VectorExprs.lshKeys(col(vecCol), pl))
           .as(Seq("table", "key")))
@@ -112,7 +113,7 @@ object VectorOps {
           col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .dropDuplicates("a_id", "b_id")
-    val vn = withNorm(vecs, vecCol)
+    val vn = withNorm(src, vecCol)
     candidates
       .join(vn.select(col(idCol).as("a_id"), col(vecCol).as("va"), col("_norm").as("na")), "a_id")
       .join(vn.select(col(idCol).as("b_id"), col(vecCol).as("vb"), col("_norm").as("nb")), "b_id")
