@@ -57,7 +57,8 @@ object Bench {
     if (sys.env.getOrElse("GRAFT_WARMUP", "true").toBoolean &&
         warmDir.isDirectory && warmDir.getPath != new java.io.File(sfDir).getPath) {
       headline.filter(n => only.forall(_.contains(n))).foreach { name =>
-        try SparkEntry.queries(name)(spark, warmDir.getPath).count()
+        try SparkEntry.queries(name)(spark, warmDir.getPath).queryExecution.toRdd
+          .foreachPartition { it => while (it.hasNext) it.next() }
         catch { case _: Throwable => () } // timed run will surface real failures
       }
     }
@@ -86,9 +87,19 @@ object Bench {
     // restricts the run for local iteration; GRAFT_BENCH_N overrides the
     // iteration count.
     val iters = sys.env.getOrElse("GRAFT_BENCH_N", "5").toInt.max(2)
+    // Materialize the FULL result (every output column of every row), not
+    // count(): under count() Catalyst prunes any computation no one needs —
+    // window functions, scalar projections, even whole shuffles vanish from
+    // the plan, so count() times a collapsed query, not the one the user
+    // wrote. Iterating the internal-row RDD evaluates the plan exactly as
+    // written (the same work Verify's parquet dump and the DuckDB oracle's
+    // result materialization pay), without row→external conversion cost.
+    def runFully(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd
+        .foreachPartition { it => while (it.hasNext) it.next() }
     def once(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count(); ((System.nanoTime() - t0) / 1e9, true) }
+      try { runFully(name); ((System.nanoTime() - t0) / 1e9, true) }
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, JoinedRow, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.expressions.SortOrder
@@ -43,14 +43,127 @@ final case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Planner rule: AsOfJoinPlan → AsOfJoinExec. */
+/** Single-exchange as-of over the tagged union: the child is
+  * `left´(tag=1) ∪ right´(tag=0)` projected to a common schema; this node
+  * requires one hash-cluster on the key and a sort by
+  * (key, ts, tag, tie-break payload), then emits each left row joined with
+  * the payload of the most recent right row seen in its key group — a
+  * one-pass carry-forward with O(1) state.
+  *
+  * Cost profile: ONE exchange + sort of |L|+|R| rows (identical to the
+  * window rewrite in [[graft.ops.AsOfJoin]]) but no WindowExec frame
+  * buffering and no `last(_, ignoreNulls)` aggregation machinery — the
+  * cheapest possible per-row work after the sort. The two-sided merge
+  * variant ([[AsOfJoinPlan]]) shuffles each input separately, which wins
+  * when the inputs are already co-partitioned (bucketed by key: zero
+  * exchanges); this one wins when both must shuffle anyway. */
+final case class AsOfFillPlan(
+    child: LogicalPlan,
+    keys: Seq[Attribute],
+    ts: Attribute,
+    tag: Attribute,
+    leftAttrs: Seq[Attribute],
+    payload: Seq[Attribute])
+  extends org.apache.spark.sql.catalyst.plans.logical.UnaryNode {
+
+  override def output: Seq[Attribute] =
+    leftAttrs ++ payload.map(_.withNullability(true))
+
+  override protected def withNewChildInternal(newChild: LogicalPlan): AsOfFillPlan =
+    copy(child = newChild)
+}
+
+/** Planner rule: AsOfJoinPlan → AsOfJoinExec, AsOfFillPlan → AsOfFillExec. */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   import org.apache.spark.sql.execution.SparkPlan
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lts, rts, payload) =>
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, payload) :: Nil
+    case AsOfFillPlan(c, keys, ts, tag, leftAttrs, payload) =>
+      AsOfFillExec(planLater(c), keys, ts, tag, leftAttrs, payload) :: Nil
     case _ => Nil
   }
+}
+
+final case class AsOfFillExec(
+    child: SparkPlan,
+    keys: Seq[Attribute],
+    ts: Attribute,
+    tag: Attribute,
+    leftAttrs: Seq[Attribute],
+    payload: Seq[Attribute]) extends org.apache.spark.sql.execution.UnaryExecNode {
+
+  override def output: Seq[Attribute] =
+    leftAttrs ++ payload.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+
+  // ts ASC NULLS FIRST puts null-ts left rows before every right row of
+  // their key (they can never match); tag 0 < 1 makes the bound inclusive
+  // (right rows at equal ts precede left rows); the name-sorted payload
+  // ordering resolves (key, ts) ties deterministically (max payload wins),
+  // matching the window rewrite
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    ((keys :+ ts :+ tag) ++ payload.sortBy(_.name))
+      .map(SortOrder(_, org.apache.spark.sql.catalyst.expressions.Ascending)))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOut = child.output
+    val keyAttrs = keys
+    val tagAttr = tag
+    val lAttrs = leftAttrs
+    val pAttrs = payload
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keyAttrs, childOut)
+      val leftProj = UnsafeProjection.create(lAttrs, childOut)
+      val payloadProj = UnsafeProjection.create(pAttrs, childOut)
+      val tagIdx = childOut.indexWhere(_.exprId == tagAttr.exprId)
+      val payloadNullable = pAttrs.map(_.withNullability(true))
+      import org.apache.spark.sql.types.{StructField, StructType}
+      def schemaOf(attrs: Seq[Attribute]) =
+        StructType(attrs.map(a => StructField(a.name, a.dataType, a.nullable)))
+      val joiner = org.apache.spark.sql.catalyst.expressions.codegen
+        .GenerateUnsafeRowJoiner.create(schemaOf(lAttrs), schemaOf(payloadNullable))
+      val nullPayload: UnsafeRow =
+        UnsafeProjection.create(payloadNullable, payloadNullable)(
+          InternalRow.fromSeq(Seq.fill[Any](pAttrs.length)(null))).copy()
+      val keyOrdering = org.apache.spark.sql.catalyst.expressions.codegen
+        .GenerateOrdering.create(schemaOf(keyAttrs.map(_.withNullability(true))))
+
+      new Iterator[InternalRow] {
+        private var held: UnsafeRow = null      // payload of last right row in group
+        private var prevKey: UnsafeRow = null   // current key group
+        private var pending: InternalRow = null
+
+        private def computeNext(): Unit = {
+          while (pending == null && iter.hasNext) {
+            val row = iter.next()
+            val k = keyProj(row)
+            if (prevKey == null || keyOrdering.compare(k, prevKey) != 0) {
+              held = null
+              prevKey = k.copy()
+            }
+            if (row.getInt(tagIdx) == 0) {
+              held = payloadProj(row).copy() // later rows of the group overwrite
+            } else {
+              pending = joiner.join(leftProj(row),
+                if (held != null) held else nullPayload)
+            }
+          }
+        }
+        override def hasNext: Boolean = { if (pending == null) computeNext(); pending != null }
+        override def next(): InternalRow = {
+          if (pending == null) computeNext()
+          if (pending == null) throw new NoSuchElementException("empty iterator")
+          val r = pending; pending = null; r
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): AsOfFillExec =
+    copy(child = newChild)
 }
 
 final case class AsOfJoinExec(
@@ -96,17 +209,35 @@ final case class AsOfJoinExec(
       // unmatched rows carry null payload: the projection must see the
       // payload attributes as NULLABLE or its generated code skips the
       // null-bit writes and emits stale/zero values instead of NULL
-      val outAttrs = lOut ++ payload.map(_.withNullability(true))
+      val payloadNullable = payload.map(_.withNullability(true))
+      val outAttrs = lOut ++ payloadNullable
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
-      val nullPayload = InternalRow.fromSeq(Seq.fill[Any](nPayload)(null))
       val joined = new JoinedRow
 
-      val keyOrdering = org.apache.spark.sql.catalyst.expressions.RowOrdering
-        .createNaturalAscendingOrdering(lKeyExprs.map(_.dataType))
+      import org.apache.spark.sql.types.{StructField, StructType}
+      def schemaOf(attrs: Seq[Attribute]) =
+        StructType(attrs.map(a => StructField(a.name, a.dataType, a.nullable)))
+      // fast output path: generated row joiner concatenates the two
+      // UnsafeRows with bulk copies instead of a field-by-field projection
+      // (the merge loop's dominant per-row cost — every left row pays it)
+      val joiner = org.apache.spark.sql.catalyst.expressions.codegen
+        .GenerateUnsafeRowJoiner.create(schemaOf(lOut), schemaOf(payloadNullable))
+      val nullPayloadUnsafe: UnsafeRow =
+        UnsafeProjection.create(payloadNullable, payloadNullable)(
+          InternalRow.fromSeq(Seq.fill[Any](nPayload)(null))).copy()
+      // generated (codegen'd) comparator — the interpreted natural ordering
+      // costs a virtual dispatch per field per comparison
+      val keySchema = schemaOf(
+        lKeyExprs.zipWithIndex.map { case (e, i) =>
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            s"k$i", e.dataType, nullable = true)()
+        })
+      val keyOrdering = org.apache.spark.sql.catalyst.expressions.codegen
+        .GenerateOrdering.create(keySchema)
       val rBuf = rIter.buffered
       var heldKey: InternalRow = null
       var heldTs: Long = Long.MinValue
-      var heldPayload: InternalRow = null
+      var heldPayload: UnsafeRow = null
 
       // NULL timestamps never match (left.ts >= right.ts is unknown):
       // null right rows are consumed without being held; null left rows
@@ -117,7 +248,7 @@ final case class AsOfJoinExec(
         if (r.isNullAt(0)) NullTs else r.getLong(0)
       }
       // NULL join keys never equal anything (equi-join semantics), but
-      // RowOrdering.compare treats NULLs as equal — a NULL-key left row
+      // ordering.compare treats NULLs as equal — a NULL-key left row
       // would otherwise take the payload of a NULL-key right row
       val nKeys = lKeyExprs.length
       def anyNullKey(key: InternalRow): Boolean = {
@@ -127,7 +258,9 @@ final case class AsOfJoinExec(
       }
 
       lIter.map { lRow =>
-        val lKey = lKeyProj(lRow).copy()
+        // no defensive copy: lKeyProj's buffer stays valid until the next
+        // left row, and rKeyProj (a distinct projection) can't clobber it
+        val lKey = lKeyProj(lRow)
         val lTime = tsOf(lTsProj, lRow)
         // advance the right side through rows with key < lKey and, within
         // lKey, ts <= lTime, remembering the last row of the current key
@@ -136,22 +269,28 @@ final case class AsOfJoinExec(
           val rRow = rBuf.head
           val rKey = rKeyProj(rRow)
           val cmp = keyOrdering.compare(rKey, lKey)
-          val rTime = tsOf(rTsProj, rRow)
           if (cmp < 0) { rBuf.next() } // earlier key: skip (its matches are done)
-          else if (cmp == 0 && (rTime == NullTs || anyNullKey(rKey))) {
-            rBuf.next() // null ts or null key: never matches anything
+          else if (cmp > 0) { advancing = false }
+          else {
+            val rTime = tsOf(rTsProj, rRow)
+            if (rTime == NullTs || anyNullKey(rKey)) {
+              rBuf.next() // null ts or null key: never matches anything
+            } else if (lTime != NullTs && rTime <= lTime) {
+              heldKey = rKey.copy()
+              heldTs = rTime
+              heldPayload = payloadProj(rRow).copy()
+              rBuf.next()
+            } else advancing = false
           }
-          else if (cmp == 0 && lTime != NullTs && rTime <= lTime) {
-            heldKey = rKey.copy()
-            heldTs = rTime
-            heldPayload = payloadProj(rRow).copy()
-            rBuf.next()
-          } else advancing = false
         }
         val matches = heldPayload != null && heldKey != null &&
           lTime != NullTs && !anyNullKey(lKey) &&
           keyOrdering.compare(heldKey, lKey) == 0 && heldTs <= lTime
-        outProj(joined(lRow, if (matches) heldPayload else nullPayload))
+        val p = if (matches) heldPayload else nullPayloadUnsafe
+        lRow match {
+          case u: UnsafeRow => joiner.join(u, p)
+          case _ => outProj(joined(lRow, p)) // non-unsafe input (rare): project
+        }
       }
     }
   }
@@ -162,12 +301,62 @@ final case class AsOfJoinExec(
 }
 
 object AsOfJoinPlan {
-  /** Native-plan as-of join (ASOF LEFT, `left.ts >= right.ts`): requires
-    * timestamp columns (compared as epoch micros). Registers the strategy
-    * on the session on first use. */
+  /** Native-plan as-of join (ASOF LEFT, `left.ts >= right.ts`). Default is
+    * the single-exchange carry-forward plan ([[AsOfFillExec]]); pass
+    * `merge = true` for the two-sided merge plan ([[AsOfJoinExec]]), which
+    * avoids the union and wins when both inputs are already partitioned by
+    * the key (bucketed tables: zero exchanges). Registers the strategy on
+    * the session on first use. */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String,
-           rightCols: Map[String, String]): DataFrame = {
+           rightCols: Map[String, String],
+           merge: Boolean = false): DataFrame =
+    if (merge) asofMerge(left, right, keys, leftTs, rightTs, rightCols)
+    else asofFill(left, right, keys, leftTs, rightTs, rightCols)
+
+  /** Single-exchange variant: tagged union + [[AsOfFillExec]] carry-forward. */
+  def asofFill(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String,
+               rightCols: Map[String, String]): DataFrame = {
+    val spark: SparkSession = left.sparkSession
+    GraftSqlBridge.injectStrategy(spark, AsOfJoinStrategy)
+    import org.apache.spark.sql.functions.{col, lit}
+    val ts = "__asof_ts"
+    val tag = "__asof_tag"
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn(ts, col(leftTs))
+      .withColumn(tag, lit(1))
+      .select((keys ++ Seq(ts, tag)).map(col) ++
+        leftCols.filterNot(keys.contains).map(col) ++
+        rightCols.values.toSeq.map(c => lit(null).as(c)): _*)
+    val r = right
+      // NULL right ts / keys can never match (SQL unknown) — drop up front
+      // so their payload is never carried
+      .filter(keys.foldLeft(col(rightTs).isNotNull)((acc, k) => acc && col(k).isNotNull))
+      .withColumn(ts, col(rightTs))
+      .withColumn(tag, lit(0))
+      .select((keys ++ Seq(ts, tag)).map(col) ++
+        leftCols.filterNot(keys.contains).map(c => lit(null).as(c)) ++
+        rightCols.map { case (src, dst) => col(src).as(dst) }.toSeq: _*)
+    val u = l.unionByName(r)
+    val uPlan = GraftSqlBridge.logicalPlan(u)
+    def attr(name: String): Attribute =
+      uPlan.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    GraftSqlBridge.ofRows(spark, AsOfFillPlan(
+      uPlan,
+      keys.map(attr),
+      attr(ts),
+      attr(tag),
+      leftCols.map(attr),
+      rightCols.values.toSeq.map(attr)))
+  }
+
+  /** Two-sided merge variant: one exchange + sort per side, O(1) merge. */
+  def asofMerge(left: DataFrame, right: DataFrame, keys: Seq[String],
+                leftTs: String, rightTs: String,
+                rightCols: Map[String, String]): DataFrame = {
     val spark: SparkSession = left.sparkSession
     GraftSqlBridge.injectStrategy(spark, AsOfJoinStrategy)
     // project/rename the right side to carried payload names first

@@ -37,7 +37,10 @@ object Extended {
       val sec = expr("unix_micros(ts) div 1000000")
       val w = Window.partitionBy("user_id").orderBy(sec.as("sec"))
         .rangeBetween(-3599, 0)
+      // range-partitioned on the window key so the final ORDER BY adds no
+      // exchange (see Windows.q27 note)
       T.events(s, d)
+        .repartitionByRange(col("user_id"))
         .select(col("user_id"), col("event_id"), sec.as("sec"), col("value"),
           sum(dec(col("value"))).over(w).cast(DoubleType).as("trail_1h_value"),
           count(lit(1)).over(w).as("trail_1h_n"))
@@ -75,6 +78,7 @@ object Extended {
     "q52_forward_fill" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       T.events(s, d)
+        .repartitionByRange(col("user_id")) // final ORDER BY: no exchange
         .withColumn("reading", when(col("event_type") === "error", lit(null))
           .otherwise(col("value")))
         .select(col("user_id"), col("event_id"), col("ts"), col("reading"),

@@ -36,7 +36,12 @@ object TimeSeriesQ {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val gapUs = 1800000000L // 30 min in microseconds
       val run = w.rowsBetween(Window.unboundedPreceding, 0)
+      // range-partition on the window key: satisfies the window's
+      // clustering AND the final ORDER BY's distribution, so the trailing
+      // global sort needs no exchange (and no double execution of the
+      // pipeline for range-boundary sampling)
       T.events(s, d)
+        .repartitionByRange(col("user_id"))
         .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
         .withColumn("new_s",
           when(col("prev_us").isNull ||

@@ -19,9 +19,16 @@ import org.apache.spark.sql.types._
 object Windows {
 
   val queries: Map[String, Q] = Map(
+    // All four window queries below RANGE-partition on the window key:
+    // RangePartitioning keeps equal keys together (valid for the window's
+    // ClusteredDistribution) and is a prefix of the final ORDER BY's
+    // OrderedDistribution, so the trailing global sort planner-eliminates.
+    // With hash partitioning, the final sort's range exchange re-executes
+    // the entire window pipeline a second time just to sample sort keys.
     "q27_window_lag" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       T.events(s, d)
+        .repartitionByRange(col("user_id"))
         .select(
           col("event_id"), col("user_id"), col("ts"), col("value"),
           lag(col("value"), 1).over(w).as("prev_value"),
@@ -34,6 +41,7 @@ object Windows {
       val w = Window.partitionBy("o_orderpriority")
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       T.orders(s, d)
+        .repartitionByRange(col("o_orderpriority"))
         .select(
           col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
           row_number().over(w).as("rn"),
@@ -45,19 +53,52 @@ object Windows {
         .orderBy("o_orderpriority", "rn")
     }),
 
+    // Rolling sums as running-sum differences: Spark's sliding ROWS frame
+    // has no retraction, so SUM OVER (k PRECEDING..CURRENT) re-aggregates
+    // all k+1 rows for EVERY row (k=30 ⇒ 30 decimal adds per output row —
+    // the dominant cost of this query when fully materialized). A running
+    // sum S is maintained incrementally (O(1)/row), and the k-row rolling
+    // sum is exactly S − lag(S, k) — decimal arithmetic, so the difference
+    // is bit-identical to the direct frame sum. Counts likewise collapse
+    // to least(row_number, k). Same one shuffle + sort; 30× less frame
+    // work per row — the shape that survives at 100 TB.
     "q29_window_rolling" -> ((s, d) => {
       val w = Window.partitionBy("l_suppkey")
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-      val w7 = w.rowsBetween(-6, 0)
-      val w30 = w.rowsBetween(-29, 0)
-      T.lineitem(s, d)
+      val run = w.rowsBetween(Window.unboundedPreceding, 0)
+      // DECIMAL(8,2) instead of the usual (18,2): quantity (< 100) and
+      // extendedprice (< 1M) fit, and sum(DECIMAL(8,2)) keeps result
+      // precision at 8+10 = 18 digits, which the DecimalAggregates rule
+      // lowers to UNSCALED LONG arithmetic — exact like any decimal sum
+      // (same values as the oracle's DECIMAL(18,2) sums), minus the boxed
+      // BigDecimal per add that a precision-28 accumulator would pay.
+      val d8 = DecimalType(8, 2)
+      val zero = lit(0).cast(d8)
+      // stage 1: O(1)-per-row running sums + row number (one sort); stage 2
+      // lags over the SAME partitioning/ordering — no extra exchange/sort.
+      // The window is RANGE-partitioned on the key: RangePartitioning
+      // keeps equal keys together (satisfies the window's clustering) AND
+      // is a valid prefix of the final ORDER BY's OrderedDistribution, so
+      // the trailing global sort planner-eliminates — without this, the
+      // range-sort exchange re-executes the whole window pipeline once
+      // more just to sample its sort keys.
+      val ranked = T.lineitem(s, d)
+        .repartitionByRange(col("l_suppkey"))
         .select(
           col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-          sum(dec(col("l_quantity"))).over(w7).cast(DoubleType).as("roll7_qty"),
-          (sum(dec(col("l_quantity"))).over(w7).cast(DoubleType) /
-            count(lit(1)).over(w7)).as("roll7_avg"),
-          sum(dec(col("l_extendedprice"))).over(w30).cast(DoubleType).as("roll30_price"),
-          count(lit(1)).over(w30).as("roll30_n"))
+          sum(col("l_quantity").cast(d8)).over(run).as("sq"),
+          sum(col("l_extendedprice").cast(d8)).over(run).as("sp"),
+          row_number().over(w).as("rn"))
+      ranked
+        .select(
+          col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          (col("sq") - coalesce(lag(col("sq"), 7).over(w), zero))
+            .cast(DoubleType).as("roll7_qty"),
+          ((col("sq") - coalesce(lag(col("sq"), 7).over(w), zero)).cast(DoubleType) /
+            least(col("rn"), lit(7))).as("roll7_avg"),
+          (col("sp") - coalesce(lag(col("sp"), 30).over(w), zero))
+            .cast(DoubleType).as("roll30_price"),
+          least(col("rn"), lit(30)).cast(LongType).as("roll30_n"))
         .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
     }),
 
@@ -65,6 +106,7 @@ object Windows {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       val run = w.rowsBetween(Window.unboundedPreceding, 0)
       T.orders(s, d)
+        .repartitionByRange(col("o_custkey"))
         .select(
           col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"),
           sum(dec(col("o_totalprice"))).over(run).cast(DoubleType).as("run_total"),
@@ -77,6 +119,7 @@ object Windows {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       T.orders(s, d)
+        .repartitionByRange(col("o_custkey"))
         .select(
           col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           lead(col("o_totalprice"), 1).over(w).as("next_price"),

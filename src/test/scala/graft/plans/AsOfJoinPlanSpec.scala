@@ -25,7 +25,7 @@ class AsOfJoinPlanSpec extends SparkSpec {
     (left, right)
   }
 
-  test("native plan agrees with the window rewrite on random data") {
+  test("native plans (fill + merge) agree with the window rewrite on random data") {
     for (seed <- Seq(1, 7, 42)) {
       val (left, right) = randomCase(seed, nLeft = 300, nRight = 120)
       // dedupe identical (key, ts) right rows so both impls face a unique
@@ -34,10 +34,12 @@ class AsOfJoinPlanSpec extends SparkSpec {
       val expected = AsOfJoin.asof(left, r, Seq("user_id"), "ts", "s_ts",
         Map("s_eid" -> "ref")).select("event_id", "ref")
         .collect().map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).sorted
-      val actual = AsOfJoinPlan.asof(left, r, Seq("user_id"), "ts", "s_ts",
-        Map("s_eid" -> "ref")).select("event_id", "ref")
-        .collect().map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).sorted
-      assert(actual.sameElements(expected), s"seed $seed disagreed")
+      for (merge <- Seq(false, true)) {
+        val actual = AsOfJoinPlan.asof(left, r, Seq("user_id"), "ts", "s_ts",
+          Map("s_eid" -> "ref"), merge = merge).select("event_id", "ref")
+          .collect().map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).sorted
+        assert(actual.sameElements(expected), s"seed $seed (merge=$merge) disagreed")
+      }
     }
   }
 
@@ -56,8 +58,10 @@ class AsOfJoinPlanSpec extends SparkSpec {
     for ((label, out) <- Seq(
       "window" -> AsOfJoin.asof(left, right, Seq("user_id"), "ts", "s_ts",
         Map("s_eid" -> "ref")),
-      "native" -> AsOfJoinPlan.asof(left, right, Seq("user_id"), "ts", "s_ts",
-        Map("s_eid" -> "ref")))) {
+      "fill" -> AsOfJoinPlan.asof(left, right, Seq("user_id"), "ts", "s_ts",
+        Map("s_eid" -> "ref")),
+      "merge" -> AsOfJoinPlan.asof(left, right, Seq("user_id"), "ts", "s_ts",
+        Map("s_eid" -> "ref"), merge = true))) {
       val got = out.select("event_id", "ref").collect()
         .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted
       assert(got.toList == List((10L, 900L), (11L, -1L), (12L, 902L)),
@@ -78,9 +82,11 @@ class AsOfJoinPlanSpec extends SparkSpec {
         .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted
     val expected = collectRefs(AsOfJoin.asof(purchases, signups,
       Seq("user_id"), "ts", "s_ts", Map("s_eid" -> "ref")))
-    val actual = collectRefs(AsOfJoinPlan.asof(purchases, signups,
-      Seq("user_id"), "ts", "s_ts", Map("s_eid" -> "ref")))
-    assert(actual.length > 0 && actual.sameElements(expected))
+    for (merge <- Seq(false, true)) {
+      val actual = collectRefs(AsOfJoinPlan.asof(purchases, signups,
+        Seq("user_id"), "ts", "s_ts", Map("s_eid" -> "ref"), merge = merge))
+      assert(actual.length > 0 && actual.sameElements(expected), s"merge=$merge")
+    }
   }
 
   test("boundary semantics: inclusive match at equal ts, null when none before") {
@@ -89,19 +95,32 @@ class AsOfJoinPlanSpec extends SparkSpec {
       .toDF("user_id", "event_id", "ts", "value")
     val right = Seq((1L, 100L, Timestamp.valueOf("2024-01-01 10:00:00")))
       .toDF("user_id", "s_eid", "s_ts")
-    val out = AsOfJoinPlan.asof(left, right, Seq("user_id"), "ts", "s_ts",
-      Map("s_eid" -> "ref")).orderBy("event_id").collect()
-    assert(out(0).getLong(out(0).fieldIndex("ref")) == 100L) // equal ts matches
-    assert(out(1).isNullAt(out(1).fieldIndex("ref")))        // earlier row: no match
+    for (merge <- Seq(false, true)) {
+      val out = AsOfJoinPlan.asof(left, right, Seq("user_id"), "ts", "s_ts",
+        Map("s_eid" -> "ref"), merge = merge).orderBy("event_id").collect()
+      assert(out(0).getLong(out(0).fieldIndex("ref")) == 100L) // equal ts matches
+      assert(out(1).isNullAt(out(1).fieldIndex("ref")))        // earlier row: no match
+    }
   }
 
-  test("physical plan is a single exchange+sort per side (no window, no union)") {
+  test("merge plan: a single exchange+sort per side (no window, no union)") {
     val (left, right) = randomCase(3, 50, 20)
     val df = AsOfJoinPlan.asof(left, right, Seq("user_id"), "ts", "s_ts",
-      Map("s_eid" -> "ref"))
+      Map("s_eid" -> "ref"), merge = true)
     val physical = df.queryExecution.executedPlan.toString
     assert(physical.contains("AsOfJoin ")) // nodeName strips the Exec suffix
     assert(!physical.contains("Window"))
     assert(!physical.contains("Union"))
+  }
+
+  test("fill plan: ONE exchange total, no window machinery") {
+    val (left, right) = randomCase(3, 50, 20)
+    val df = AsOfJoinPlan.asof(left, right, Seq("user_id"), "ts", "s_ts",
+      Map("s_eid" -> "ref"))
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("AsOfFill"))
+    assert(!physical.contains("Window"))
+    assert(physical.split("Exchange hashpartitioning").length == 2,
+      s"expected exactly one hash exchange:\n$physical")
   }
 }
