@@ -104,6 +104,32 @@ object Component {
         System.err.println(
           s"[debug] memory: block manager $exec storage ${max / 1048576} MB max, ${free / 1048576} MB free")
       }
+      // spill/scratch usage: size of each spark.local.dir (shuffle + spill
+      // files) — the analogue of the reference's DuckDB temp-file listing
+      val localDirs = spark.sparkContext.getConf
+        .get("spark.local.dir", sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+        .split(",")
+      localDirs.foreach { dir =>
+        val p = java.nio.file.Paths.get(dir.trim)
+        val (files, bytes) =
+          if (!java.nio.file.Files.isDirectory(p)) (0L, 0L)
+          else {
+            val s = java.nio.file.Files.walk(p)
+            try {
+              var n = 0L
+              var b = 0L
+              s.forEach { f =>
+                if (java.nio.file.Files.isRegularFile(f)) {
+                  n += 1
+                  b += (try java.nio.file.Files.size(f) catch { case _: Exception => 0L })
+                }
+              }
+              (n, b)
+            } finally s.close()
+          }
+        System.err.println(
+          s"[debug] spill: local dir $dir holds $files files, ${bytes / 1048576} MB")
+      }
     }
     RunResult(stats, None)
   }

@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   *
   * Media are opaque `binary` columns + typed metadata structs; the
   * Spark-side plumbing — schemas, per-partition batch processing, output
-  * shapes, partitioning — is real and tested. The codec calls themselves
-  * are STUBBED with deterministic byte-derived fakes (this container ships
-  * no image/audio libraries): each stub is a single clearly-marked function
-  * a deployment replaces with its real decoder (JNI/FFI or a sidecar),
-  * keeping the distributed shape intact.
+  * shapes, partitioning — is real and tested. IMAGE decode is real
+  * (javax.imageio: the JDK's PNG/BMP/GIF/JPEG readers, zero external
+  * dependencies); bytes imageio cannot read, and the audio/video codecs
+  * (not in the JDK), fall back to deterministic byte-derived STUBS — each
+  * a single clearly-marked function a deployment replaces with its real
+  * decoder (JNI/FFI or a sidecar), keeping the distributed shape intact.
   *
   * Scale notes (100 TB of media): all operators are `mapPartitions` over
   * the binary column — no shuffle, no driver involvement, one codec
@@ -34,7 +35,40 @@ object Multimodal {
       StructField("duration_ms", IntegerType),
       StructField("sample_rate", IntegerType))))))
 
-  /** ======== STUBS — replace with real codecs in deployment ======== */
+  /** ======== Codecs ======== */
+
+  /** REAL image decode via javax.imageio — the PNG/BMP/GIF/JPEG decoders
+    * the JDK ships, no external dependency. Returns the luma (grayscale)
+    * raster plus true dimensions, or None when the bytes are not a
+    * readable image (imageio sniffs the magic bytes cheaply), in which
+    * case the deterministic stub below keeps the pipeline total. Audio
+    * and video decoding remain stubbed — those codecs aren't in the JDK. */
+  private[ops] def imageioDecode(bytes: Array[Byte]): Option[(Array[Byte], Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Byte](w * h)
+        var i = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            // ITU-R BT.601 luma
+            val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            out(i) = lum.toByte
+            i += 1
+            x += 1
+          }
+          y += 1
+        }
+        Some((out, w, h))
+      }
+    } catch { case _: Throwable => None }
 
   /** STUB decode: a real implementation returns the decoded raster; here
     * the "pixels" are a deterministic xxhash-seeded byte expansion so
@@ -99,9 +133,14 @@ object Multimodal {
         // real codecs initialize their context HERE, once per partition
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("bytes")
-          val w = r.getAs[Int]("width")
-          val h = r.getAs[Int]("height")
-          val raster = stubDecode(bytes, w, h)
+          val mw = r.getAs[Int]("width")
+          val mh = r.getAs[Int]("height")
+          // real imageio decode first (PNG/BMP/GIF/JPEG); the metadata
+          // dimensions are trusted only when the bytes aren't decodable
+          val (raster, w, h) = imageioDecode(bytes) match {
+            case Some((ras, rw, rh)) => (ras, rw, rh)
+            case None => (stubDecode(bytes, mw, mh), mw, mh)
+          }
           var sum = 0.0
           raster.foreach(b => sum += (b & 0xFF))
           Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),

@@ -1,0 +1,116 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact multi-percentile (percentile_cont semantics) via distributed
+  * selection — the scale path for "exact quantiles of a huge column".
+  *
+  * The obvious plans both fail at scale: Spark's `Percentile` aggregate
+  * buffers every value per group in a boxed map (memory-bound, slow), and
+  * a `row_number` window partitioned by the group key sorts each group in
+  * ONE task (a 3-group table uses 3 of N cores no matter the data size).
+  *
+  * This operator is the textbook two-pass selection instead:
+  *   1. range-partition by (group, value) at full cluster width and sort
+  *      within partitions — each group spans MANY partitions, in global
+  *      value order across them;
+  *   2. count rows per (partition, group) — an O(partitions × groups)
+  *      driver collect, independent of row count — and prefix-sum into
+  *      each partition's global rank offset;
+  *   3. second pass over the SAME shuffle output (the map stage is
+  *      skipped via shuffle reuse): a row's global rank is offset + local
+  *      index, so only the ≤ 2·|fractions| interpolation rows per group
+  *      are emitted.
+  * Interpolation (`lower + frac·(upper − lower)`, h = p·(n−1)) matches
+  * DuckDB/PostgreSQL percentile_cont; NULL values are excluded up front,
+  * like the SQL aggregate. */
+object Percentiles {
+
+  /** @param fractions (fraction, outputColumn) pairs, e.g. (0.5, "p50").
+    * @return one row per group: (groupCol, outputColumn...), unrounded. */
+  def exactCont(df: DataFrame, groupCol: String, valueCol: String,
+                fractions: Seq[(Double, String)]): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val sorted = df
+      .select(col(groupCol).as("g"), col(valueCol).cast(DoubleType).as("v"))
+      .filter(col("v").isNotNull)
+      .repartitionByRange(nPart, col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+    // built ONCE: both jobs below derive from this RDD, so the second job
+    // finds the shuffle map outputs registered and skips the map stage
+    val rdd = sorted.rdd
+
+    // pass 1: per-(partition, group) row counts (groups are contiguous)
+    val counts: Array[(Int, Any, Long)] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val acc = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        it.foreach { r => val g = r.get(0); acc.update(g, acc.getOrElse(g, 0L) + 1L) }
+        acc.iterator.map { case (g, n) => (pid, g, n) }
+      }.collect()
+
+    // per-group totals and per-partition global-rank offsets
+    val totals: Map[Any, Long] =
+      counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
+    val offsets: Map[(Int, Any), Long] = {
+      val m = scala.collection.mutable.Map.empty[(Int, Any), Long]
+      counts.groupBy(_._2).foreach { case (g, cs) =>
+        var run = 0L
+        cs.sortBy(_._1).foreach { case (pid, _, n) => m((pid, g)) = run; run += n }
+      }
+      m.toMap
+    }
+    // 0-indexed ranks needed per group: floor/ceil of h = p·(n−1)
+    val needed: Map[Any, Set[Long]] = totals.map { case (g, n) =>
+      g -> fractions.flatMap { case (p, _) =>
+        val h = p * (n - 1)
+        Seq(math.floor(h).toLong, math.ceil(h).toLong)
+      }.toSet
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    val bcNeeded = spark.sparkContext.broadcast(needed)
+
+    // pass 2 (map stage skipped — same shuffle): emit interpolation rows
+    val picked: Array[(Any, Long, Double)] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val off = bcOffsets.value
+        val need = bcNeeded.value
+        var curG: Any = null
+        var local = -1L
+        var base = 0L
+        var want: Set[Long] = Set.empty
+        it.flatMap { r =>
+          val g = r.get(0)
+          if (g != curG || local < 0) {
+            curG = g; local = -1L
+            base = off.getOrElse((pid, g), 0L)
+            want = need.getOrElse(g, Set.empty)
+          }
+          local += 1
+          val rank = base + local
+          if (want.contains(rank)) Some((g, rank, r.getDouble(1))) else None
+        }
+      }.collect()
+
+    val byGroup = picked.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(t => t._2 -> t._3).toMap
+    }
+    val groupField = df.schema(groupCol)
+    val outSchema = StructType(
+      StructField(groupCol, groupField.dataType, groupField.nullable) +:
+        fractions.map { case (_, name) => StructField(name, DoubleType, nullable = true) })
+    val rows = byGroup.toSeq.map { case (g, ranks) =>
+      val vals = fractions.map { case (p, _) =>
+        val n = totals(g)
+        val h = p * (n - 1)
+        val lo = ranks(math.floor(h).toLong)
+        val hi = ranks(math.ceil(h).toLong)
+        lo + (h - math.floor(h)) * (hi - lo) // percentile_cont interpolation
+      }
+      Row.fromSeq(g +: vals)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), outSchema)
+  }
+}

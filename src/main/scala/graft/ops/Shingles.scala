@@ -66,6 +66,12 @@ object Shingles {
       .groupBy("shingle")
       .agg(collect_list(struct(col(idCol).as("id"), col("n_sh").as("n"))).as("docs"))
       .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDf)
+    // Pair aggregation: the set sizes ride inside the group key (they are
+    // functionally determined by the ids), so no post-join is needed to
+    // compute Jaccard. (Measured alternative — grouping on ids alone and
+    // broadcast-joining sizes back from a posting-derived length table —
+    // was ~40% slower: the extra branch + broadcast dependency cost more
+    // than the narrower key saved.)
     val common = postings
       .select(explode(col("docs")).as("a"), col("docs"))
       .select(col("a"), explode(col("docs")).as("b"))

@@ -15,14 +15,23 @@ import org.apache.spark.sql.types._
 object Aggregates {
 
   val queries: Map[String, Q] = Map(
+    // Three independent distinct pipelines + a 3-row join instead of one
+    // groupBy with three countDistinct: Spark plans multi-distinct as an
+    // Expand (3× every row through one aggregation chain); separate
+    // branches dedupe map-side per column and shuffle far less, and the
+    // final joins are over 3-row results (broadcast).
     "q21_count_distinct" -> ((s, d) => {
-      T.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          countDistinct(col("l_partkey")).as("nd_part"),
-          countDistinct(col("l_suppkey")).as("nd_supp"),
-          countDistinct(col("l_orderkey")).as("nd_order"),
-          count(lit(1)).as("n"))
+      val li = T.lineitem(s, d)
+      def nd(c: String, alias: String) =
+        li.select(col("l_returnflag"), col(c)).distinct()
+          .groupBy("l_returnflag").agg(count(lit(1)).as(alias))
+      val n = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      nd("l_partkey", "nd_part")
+        .join(nd("l_suppkey", "nd_supp"), "l_returnflag")
+        .join(nd("l_orderkey", "nd_order"), "l_returnflag")
+        .join(n, "l_returnflag")
+        .select(col("l_returnflag"), col("nd_part"), col("nd_supp"),
+          col("nd_order"), col("n"))
         .orderBy("l_returnflag")
     }),
 
@@ -41,45 +50,20 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
-    // Exact percentile_cont via ONE window sort + conditional aggregation
-    // instead of Spark's Percentile aggregate: eight WITHIN GROUP
-    // percentiles would each buffer every value in a boxed per-group hash
-    // map (~10× slower than the scan itself, and executor-memory-bound at
-    // scale). Here each group is sorted once, every row learns its
-    // 0-indexed rank rn and group size n, and percentile p interpolates
-    // between the rows at floor/ceil of h = p·(n−1) — grabbed by a
-    // conditional max. Arithmetic mirrors DuckDB's lower + frac·(upper −
-    // lower) exactly. One shuffle on the group key, O(1) state per row,
-    // no value buffering anywhere.
+    // Exact percentile_cont via distributed selection (ops/Percentiles):
+    // Spark's Percentile aggregate buffers every value per group in a
+    // boxed map, and a rank-window plan sorts each group in ONE task (3
+    // groups = 3 of 32 cores busy). The selection operator sorts at full
+    // width and extracts only the interpolation rows — see
+    // [[graft.ops.Percentiles.exactCont]].
     "q23_percentiles" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val ps = Seq(0.01 -> "p01", 0.05 -> "p05", 0.25 -> "p25", 0.50 -> "p50",
         0.75 -> "p75", 0.90 -> "p90", 0.95 -> "p95", 0.99 -> "p99")
-      val w = Window.partitionBy("l_returnflag").orderBy("v")
-      val wAll = Window.partitionBy("l_returnflag")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      // range-partitioned on the group key: one partitioning serves the
-      // window, the aggregation AND the final ORDER BY (no re-execution
-      // of the pipeline for range-boundary sampling)
-      val ranked = T.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_extendedprice").as("v"))
-        .repartitionByRange(col("l_returnflag"))
-        .withColumn("rn", row_number().over(w).cast(LongType) - 1)
-        .withColumn("n", count(lit(1)).over(wAll))
-      val grabs = ps.flatMap { case (p, name) =>
-        val h = (col("n") - 1).cast(DoubleType) * lit(p)
-        Seq(
-          max(when(col("rn") === floor(h), col("v"))).as(s"lo_$name"),
-          max(when(col("rn") === ceil(h), col("v"))).as(s"hi_$name"))
-      }
-      val g = ranked.groupBy("l_returnflag")
-        .agg(count(lit(1)).as("nn"), grabs: _*)
-      val outs = ps.map { case (p, name) =>
-        val h = (col("nn") - 1).cast(DoubleType) * lit(p)
-        val frac = h - floor(h).cast(DoubleType)
-        round(col(s"lo_$name") + frac * (col(s"hi_$name") - col(s"lo_$name")), 4).as(name)
-      }
-      g.select(col("l_returnflag") +: outs: _*).orderBy("l_returnflag")
+      graft.ops.Percentiles
+        .exactCont(T.lineitem(s, d), "l_returnflag", "l_extendedprice", ps)
+        .select(col("l_returnflag") +:
+          ps.map { case (_, n) => round(col(n), 4).as(n) }: _*)
+        .orderBy("l_returnflag")
     }),
 
     "q24_median_mode" -> ((s, d) => T.sql(s, d, "lineitem")(Oracle.q24)),

@@ -48,20 +48,27 @@ object Extended {
     }),
 
     // gap filling: dense hourly series per user, missing buckets = 0.
+    // No bounds/grid join: each occupied bucket emits itself PLUS the
+    // empty buckets since its predecessor (lag → explode sequence), so
+    // the whole query is ONE range exchange on user_id feeding the
+    // aggregation, the window and the final ORDER BY — the grid-join
+    // formulation paid a second full execution of the join just to
+    // sample the final sort's range boundaries.
     "q44_gap_fill" -> ((s, d) => {
-      val e = T.events(s, d)
-      val bounds = e.groupBy("user_id")
-        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
-          date_trunc("hour", max(col("ts"))).as("h1"))
-      val grid = bounds.select(col("user_id"),
-        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("bucket"))
-      val counts = e.groupBy(col("user_id"),
-          date_trunc("hour", col("ts")).as("bucket"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("b1")
+      T.events(s, d)
+        .repartitionByRange(col("user_id"))
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("b1"))
         .agg(count(lit(1)).as("n_raw"), dsum(col("value")).as("v_raw"))
-      grid.join(counts, Seq("user_id", "bucket"), "left")
+        .withColumn("prev", lag(col("b1"), 1).over(w))
+        .select(col("user_id"), col("n_raw"), col("v_raw"), col("b1"),
+          explode(sequence(
+            coalesce(col("prev") + expr("INTERVAL 1 HOUR"), col("b1")),
+            col("b1"), expr("INTERVAL 1 HOUR"))).as("bucket"))
         .select(col("user_id"), col("bucket"),
-          coalesce(col("n_raw"), lit(0L)).as("n"),
-          coalesce(col("v_raw"), lit(0.0)).as("sum_value"))
+          when(col("bucket") === col("b1"), col("n_raw")).otherwise(lit(0L)).as("n"),
+          when(col("bucket") === col("b1"), col("v_raw")).otherwise(lit(0.0)).as("sum_value"))
         .orderBy("user_id", "bucket")
     }),
 

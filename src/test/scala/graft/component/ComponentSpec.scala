@@ -283,6 +283,9 @@ class ComponentSpec extends SparkSpec {
     assert(err.contains("configured engine version: 1.2.3"), err)
     assert(err.contains("[debug] memory:") && err.contains("MB"), err)
     assert(err.contains("[debug] table"), err)
+    // A25 parity: the spill/scratch-dir report (reference lists DuckDB
+    // temp files alongside its memory dump)
+    assert(err.contains("[debug] spill: local dir"), err)
   }
 
   test("duplicate block names run as separate blocks, once each") {

@@ -37,6 +37,36 @@ class MultimodalSpec extends SparkSpec {
     assert(knn.length == 1)
   }
 
+  test("real PNG bytes decode through javax.imageio with true dimensions") {
+    // 2×1 PNG: one white pixel, one black pixel → mean luma 0.5
+    val img = new java.awt.image.BufferedImage(2, 1,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFFFFFF)
+    img.setRGB(1, 0, 0x000000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+
+    val media = Seq((42L, "image", png, (999, 999, 0, 0)))
+      .toDF("media_id", "kind", "bytes", "m")
+      .select(col("media_id"), col("kind"), col("bytes"),
+        struct(col("m._1").as("width"), col("m._2").as("height"),
+          col("m._3").as("duration_ms"), col("m._4").as("sample_rate")).as("meta"))
+    val out = Multimodal.decodeAndFeaturize(media).collect().head
+    // true decoded dimensions win over the (bogus) metadata
+    assert(out.getAs[Int]("width") == 2 && out.getAs[Int]("height") == 1)
+    val mean = out.getAs[Double]("mean_intensity")
+    assert(math.abs(mean - 0.5) < 0.01, s"white+black mean luma should be ~0.5, got $mean")
+    // non-image bytes still flow through the stub (pipeline stays total)
+    val text = Seq((7L, "audio", "not an image".getBytes, (8, 8, 100, 16000)))
+      .toDF("media_id", "kind", "bytes", "m")
+      .select(col("media_id"), col("kind"), col("bytes"),
+        struct(col("m._1").as("width"), col("m._2").as("height"),
+          col("m._3").as("duration_ms"), col("m._4").as("sample_rate")).as("meta"))
+    val stubbed = Multimodal.decodeAndFeaturize(text).collect().head
+    assert(stubbed.getAs[Int]("width") == 8 && stubbed.getAs[Int]("height") == 8)
+  }
+
   test("sampleFrames fans out n frames per video, 1 per non-video") {
     val m = Multimodal.mediaFromDocuments(docs)
     val frames = Multimodal.sampleFrames(m, n = 4)

@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The distributed-selection exact percentile must agree with Spark's own
+  * percentile_cont aggregate (itself the SQL-standard semantics) on random
+  * data — including single-row groups, duplicate values and NULLs. */
+class PercentilesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val ps = Seq(0.01 -> "p01", 0.25 -> "p25", 0.5 -> "p50",
+    0.9 -> "p90", 0.99 -> "p99")
+
+  test("exactCont matches percentile_cont on random grouped data") {
+    val rnd = new scala.util.Random(19)
+    val rows = (1 to 5000).map { i =>
+      val g = s"g${rnd.nextInt(4)}"
+      // duplicates on purpose; ~2% NULLs
+      val v: java.lang.Double =
+        if (rnd.nextInt(50) == 0) null else rnd.nextInt(500).toDouble / 4
+      (g, v, i)
+    }
+    val df = rows.toDF("g", "v", "i")
+    val got = Percentiles.exactCont(df, "g", "v", ps)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), ps.indices.map(j => r.getDouble(1 + j))))
+    val exprs = ps.map { case (p, name) =>
+      expr(s"percentile_cont($p) WITHIN GROUP (ORDER BY v)").as(name)
+    }
+    val want = df.filter($"v".isNotNull).groupBy("g").agg(exprs.head, exprs.tail: _*)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), ps.indices.map(j => r.getDouble(1 + j))))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((g1, vs1), (g2, vs2)) =>
+      assert(g1 == g2)
+      vs1.zip(vs2).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"group $g1: $vs1 vs $vs2")
+      }
+    }
+  }
+
+  test("exactCont: single-row group and constant group") {
+    val df = Seq(("a", 7.0), ("b", 1.0), ("b", 1.0), ("b", 1.0)).toDF("g", "v")
+    val out = Percentiles.exactCont(df, "g", "v", Seq(0.5 -> "p50"))
+      .orderBy("g").collect()
+    assert(out(0).getString(0) == "a" && out(0).getDouble(1) == 7.0)
+    assert(out(1).getString(0) == "b" && out(1).getDouble(1) == 1.0)
+  }
+}
