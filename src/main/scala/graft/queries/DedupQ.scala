@@ -27,7 +27,7 @@ object DedupQ {
     //    bag-of-words (order-insensitive) md5.
     "d02_fingerprint" -> ((s, d) => {
       val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-      T.documents(s, d)
+      byRange(T.documents(s, d), "doc_id")
         .select(
           col("doc_id"),
           md5(col("text")).as("fp_raw"),

@@ -29,7 +29,7 @@ object TextQ {
   val queries: Map[String, Q] = Map(
     // -- token counting: whitespace split + regexp token extraction.
     "t01_token_count" -> ((s, d) => {
-      T.documents(s, d)
+      byRange(T.documents(s, d), "doc_id")
         .select(
           col("doc_id"),
           length(col("text")).as("n_chars_obs"),
@@ -43,7 +43,7 @@ object TextQ {
     "t02_quality_score" -> ((s, d) => {
       val words = split(col("text"), " ")
       val stop = Seq("the", "a", "of")
-      T.documents(s, d)
+      byRange(T.documents(s, d), "doc_id")
         .withColumn("n_words", size(words))
         .withColumn("n_distinct", size(array_distinct(words)))
         .withColumn("n_stop", markerCount(col("text"), stop))
@@ -66,7 +66,7 @@ object TextQ {
     "t03_langid" -> ((s, d) => {
       val mc = graft.functions.TextExprs.markerCounts(col("text"),
         Seq(markers("en"), markers("es"), markers("de")))
-      T.documents(s, d)
+      byRange(T.documents(s, d), "doc_id")
         .withColumn("__mc", mc)
         .withColumn("s_en", element_at(col("__mc"), 1))
         .withColumn("s_es", element_at(col("__mc"), 2))
@@ -88,7 +88,7 @@ object TextQ {
     //    full binary pipeline (batch decode stubs) lives in
     //    graft.ops.Multimodal.
     "m01_binary_meta" -> ((s, d) => {
-      T.documents(s, d)
+      byRange(T.documents(s, d), "doc_id")
         .withColumn("media", col("text").cast(BinaryType))
         .select(
           col("doc_id"),

@@ -17,10 +17,12 @@ object TimeSeriesQ {
   val queries: Map[String, Q] = Map(
     // -- tumbling time buckets (batch shape of a streaming windowed agg).
     "q33_time_bucket" -> ((s, d) => {
+      // bucket computed first so the range partitioning serves the groupBy
+      // AND the final ORDER BY (no trailing exchange / double execution)
       T.events(s, d)
-        .groupBy(
-          date_trunc("hour", col("ts")).as("bucket"),
-          col("event_type"))
+        .withColumn("bucket", date_trunc("hour", col("ts")))
+        .repartitionByRange(col("bucket"), col("event_type"))
+        .groupBy(col("bucket"), col("event_type"))
         .agg(
           count(lit(1)).as("n"),
           dsum(col("value")).as("sum_value"),

