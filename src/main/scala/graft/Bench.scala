@@ -111,9 +111,14 @@ object Bench {
       val (cold, ok) = once(name)
       if (!ok) R(name, -1.0, -1.0, -1.0, ok = false)
       else {
-        val warmRuns = Seq.fill(iters - 1)(once(name)._1).sorted
-        val median = warmRuns(warmRuns.size / 2)
-        R(name, cold, median, (cold +: warmRuns).min, ok = true)
+        val warmRuns = Seq.fill(iters - 1)(once(name)._1)
+        // a flaky warm failure must not masquerade as a fast minimum or a
+        // negative median — the query lands in "failed" instead
+        if (warmRuns.exists(_ < 0)) R(name, cold, -1.0, -1.0, ok = false)
+        else {
+          val sortedRuns = warmRuns.sorted
+          R(name, cold, sortedRuns(sortedRuns.size / 2), (cold +: sortedRuns).min, ok = true)
+        }
       }
     }
     def field(f: R => Double): String = results

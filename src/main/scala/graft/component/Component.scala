@@ -111,23 +111,32 @@ object Component {
         .split(",")
       localDirs.foreach { dir =>
         val p = java.nio.file.Paths.get(dir.trim)
+        // the walk races concurrent shuffle-file cleanup and may hit
+        // unreadable entries (shared /tmp): a debug report must never
+        // fail the run, so the whole traversal is best-effort
         val (files, bytes) =
-          if (!java.nio.file.Files.isDirectory(p)) (0L, 0L)
-          else {
-            val s = java.nio.file.Files.walk(p)
-            try {
-              var n = 0L
-              var b = 0L
-              s.forEach { f =>
-                if (java.nio.file.Files.isRegularFile(f)) {
-                  n += 1
-                  b += (try java.nio.file.Files.size(f) catch { case _: Exception => 0L })
+          try {
+            if (!java.nio.file.Files.isDirectory(p)) (0L, 0L)
+            else {
+              val s = java.nio.file.Files.walk(p)
+              try {
+                var n = 0L
+                var b = 0L
+                s.forEach { f =>
+                  try {
+                    if (java.nio.file.Files.isRegularFile(f)) {
+                      n += 1
+                      b += java.nio.file.Files.size(f)
+                    }
+                  } catch { case _: Exception => () } // deleted/unreadable mid-walk
                 }
-              }
-              (n, b)
-            } finally s.close()
-          }
-        System.err.println(
+                (n, b)
+              } finally s.close()
+            }
+          } catch { case _: Exception => (-1L, 0L) }
+        if (files < 0)
+          System.err.println(s"[debug] spill: local dir $dir unreadable")
+        else System.err.println(
           s"[debug] spill: local dir $dir holds $files files, ${bytes / 1048576} MB")
       }
     }

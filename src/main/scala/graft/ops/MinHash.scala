@@ -45,7 +45,10 @@ object MinHash {
     * computation is the CPU-heavy per-row pass, so a narrow input (one
     * small parquet file = one scan partition) is widened first. */
   def signatures(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
-    ScaleOps.spread(docs).select(col(idCol), signature(col(textCol), k).as("minhash"))
+    sigProjection(ScaleOps.spread(docs), idCol, textCol, k)
+
+  private def sigProjection(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol), signature(col(textCol), k).as("minhash"))
 
   /** Candidate pairs via banded LSH (bands=16, rows=4 by default). */
   def candidatePairs(sigs: DataFrame, idCol: String,
@@ -67,8 +70,8 @@ object MinHash {
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 3, threshold: Double = 0.2,
                      bands: Int = 16): DataFrame = {
-    val spreadDocs = ScaleOps.spread(docs)
-    val cands = candidatePairs(signatures(spreadDocs, idCol, textCol, k), idCol, bands)
+    val spreadDocs = ScaleOps.spread(docs) // widened ONCE for both passes
+    val cands = candidatePairs(sigProjection(spreadDocs, idCol, textCol, k), idCol, bands)
     val sets = spreadDocs.select(col(idCol),
       Shingles.shingles(col(textCol), k).as("sh"))
     cands

@@ -130,14 +130,19 @@ object Multimodal {
     val enc = RowEncoder.encoderFor(decodedSchema)
     media.select("media_id", "kind", "bytes", "meta.width", "meta.height")
       .mapPartitions { rows =>
-        // real codecs initialize their context HERE, once per partition
+        // real codecs initialize their context HERE, once per partition;
+        // for imageio that means: no per-call temp-file cache (the default
+        // FileCacheImageInputStream creates+deletes a disk file per decode)
+        javax.imageio.ImageIO.setUseCache(false)
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("bytes")
           val mw = r.getAs[Int]("width")
           val mh = r.getAs[Int]("height")
-          // real imageio decode first (PNG/BMP/GIF/JPEG); the metadata
-          // dimensions are trusted only when the bytes aren't decodable
-          val (raster, w, h) = imageioDecode(bytes) match {
+          // imageio decode for image rows only (PNG/BMP/GIF/JPEG); the
+          // metadata dimensions are trusted when the bytes aren't decodable
+          val attempt =
+            if (r.getAs[String]("kind") == "image") imageioDecode(bytes) else None
+          val (raster, w, h) = attempt match {
             case Some((ras, rw, rh)) => (ras, rw, rh)
             case None => (stubDecode(bytes, mw, mh), mw, mh)
           }

@@ -28,30 +28,41 @@ import org.apache.spark.sql.types._
   * like the SQL aggregate. */
 object Percentiles {
 
+  /** Group-tracking sentinel distinct from any data value (incl. null). */
+  private case object Unset
+
   /** @param fractions (fraction, outputColumn) pairs, e.g. (0.5, "p50").
     * @return one row per group: (groupCol, outputColumn...), unrounded. */
   def exactCont(df: DataFrame, groupCol: String, valueCol: String,
                 fractions: Seq[(Double, String)]): DataFrame = {
     val spark = df.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions
+    // NULL values stay in (percentile_cont semantics: a group of only
+    // NULLs still yields an output row, with NULL percentiles); ASC
+    // NULLS-FIRST ordering makes them a contiguous prefix of each group,
+    // so the non-null rank arithmetic below simply skips them
     val sorted = df
       .select(col(groupCol).as("g"), col(valueCol).cast(DoubleType).as("v"))
-      .filter(col("v").isNotNull)
       .repartitionByRange(nPart, col("g"), col("v"))
       .sortWithinPartitions("g", "v")
     // built ONCE: both jobs below derive from this RDD, so the second job
     // finds the shuffle map outputs registered and skips the map stage
     val rdd = sorted.rdd
 
-    // pass 1: per-(partition, group) row counts (groups are contiguous)
+    // pass 1: per-(partition, group) NON-NULL row counts (groups are
+    // contiguous); groups whose rows are all NULL appear with count 0
     val counts: Array[(Int, Any, Long)] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val acc = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
-        it.foreach { r => val g = r.get(0); acc.update(g, acc.getOrElse(g, 0L) + 1L) }
+        it.foreach { r =>
+          val g = r.get(0)
+          val inc = if (r.isNullAt(1)) 0L else 1L
+          acc.update(g, acc.getOrElse(g, 0L) + inc)
+        }
         acc.iterator.map { case (g, n) => (pid, g, n) }
       }.collect()
 
-    // per-group totals and per-partition global-rank offsets
+    // per-group non-null totals and per-partition global-rank offsets
     val totals: Map[Any, Long] =
       counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
     val offsets: Map[(Int, Any), Long] = {
@@ -63,7 +74,7 @@ object Percentiles {
       m.toMap
     }
     // 0-indexed ranks needed per group: floor/ceil of h = p·(n−1)
-    val needed: Map[Any, Set[Long]] = totals.map { case (g, n) =>
+    val needed: Map[Any, Set[Long]] = totals.collect { case (g, n) if n > 0 =>
       g -> fractions.flatMap { case (p, _) =>
         val h = p * (n - 1)
         Seq(math.floor(h).toLong, math.ceil(h).toLong)
@@ -72,25 +83,30 @@ object Percentiles {
     val bcOffsets = spark.sparkContext.broadcast(offsets)
     val bcNeeded = spark.sparkContext.broadcast(needed)
 
-    // pass 2 (map stage skipped — same shuffle): emit interpolation rows
+    // pass 2 (map stage skipped — same shuffle): emit interpolation rows.
+    // NULL values (the sorted prefix of each group) don't advance the
+    // non-null rank counter and are never emitted.
     val picked: Array[(Any, Long, Double)] = rdd
       .mapPartitionsWithIndex { (pid, it) =>
         val off = bcOffsets.value
         val need = bcNeeded.value
-        var curG: Any = null
+        var curG: Any = Unset
         var local = -1L
         var base = 0L
         var want: Set[Long] = Set.empty
         it.flatMap { r =>
           val g = r.get(0)
-          if (g != curG || local < 0) {
+          if (curG == Unset || g != curG) {
             curG = g; local = -1L
             base = off.getOrElse((pid, g), 0L)
             want = need.getOrElse(g, Set.empty)
           }
-          local += 1
-          val rank = base + local
-          if (want.contains(rank)) Some((g, rank, r.getDouble(1))) else None
+          if (r.isNullAt(1)) None
+          else {
+            local += 1
+            val rank = base + local
+            if (want.contains(rank)) Some((g, rank, r.getDouble(1))) else None
+          }
         }
       }.collect()
 
@@ -101,15 +117,19 @@ object Percentiles {
     val outSchema = StructType(
       StructField(groupCol, groupField.dataType, groupField.nullable) +:
         fractions.map { case (_, name) => StructField(name, DoubleType, nullable = true) })
-    val rows = byGroup.toSeq.map { case (g, ranks) =>
-      val vals = fractions.map { case (p, _) =>
-        val n = totals(g)
-        val h = p * (n - 1)
-        val lo = ranks(math.floor(h).toLong)
-        val hi = ranks(math.ceil(h).toLong)
-        lo + (h - math.floor(h)) * (hi - lo) // percentile_cont interpolation
+    // one output row per observed group; all-NULL groups yield NULLs
+    val rows = totals.toSeq.map { case (g, n) =>
+      if (n == 0L) Row.fromSeq(g +: fractions.map(_ => null))
+      else {
+        val ranks = byGroup(g)
+        val vals = fractions.map { case (p, _) =>
+          val h = p * (n - 1)
+          val lo = ranks(math.floor(h).toLong)
+          val hi = ranks(math.ceil(h).toLong)
+          lo + (h - math.floor(h)) * (hi - lo) // percentile_cont interpolation
+        }
+        Row.fromSeq(g +: vals)
       }
-      Row.fromSeq(g +: vals)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), outSchema)
   }

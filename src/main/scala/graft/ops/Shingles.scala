@@ -38,15 +38,15 @@ object Shingles {
     *
     * Plan shape — posting lists instead of a self-join: ONE pass computes
     * shingles and explodes them (set size rides along as one extra long),
-    * ONE exchange on the 8-byte shingle hash gathers each shingle's
-    * posting list, and the df cap is a `size(list) <= maxDf` filter on the
-    * gathered group — the exploded relation is never re-derived (the old
-    * hot-df aggregate + anti-join + two self-join sides ran the
-    * scan+shingle pipeline up to three times). Pairs come from a
-    * double-explode of each posting list (same Σ df² work the self-join
-    * did, minus the join machinery), then ONE pair-key exchange counts
-    * common shingles. Posting lists are bounded by maxDf (≤ ~16 B · maxDf
-    * per group), so executor memory is safe at any corpus size. */
+    * ONE exchange on the 8-byte shingle hash; the hot-shingle set is
+    * counted from that same exchange (ReusedExchange — the scan+shingle
+    * pipeline never re-runs) and removed by broadcast anti-join BEFORE
+    * posting lists are gathered, so no aggregation group ever exceeds
+    * maxDf entries (collect_list cannot spill within a group). Pairs come
+    * from a double-explode of each posting list (same Σ df² work the
+    * self-join did, minus the join machinery), then ONE pair-key exchange
+    * counts common shingles. Executor memory is bounded by ~16 B · maxDf
+    * per group at any corpus size. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, threshold: Double = 0.2,
                    maxDf: Long = 10000L): DataFrame = {
@@ -61,11 +61,22 @@ object Shingles {
     // partition count is exempt from coalescing and keeps the pair
     // generation at full width.
     val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val postings = all
-      .repartition(nPart, col("shingle"))
+    val exchanged = all.repartition(nPart, col("shingle"))
+    // Hot shingles must be dropped BEFORE gathering posting lists:
+    // collect_list buffers a whole group in memory (it cannot spill within
+    // a group), so a boilerplate shingle shared by 10^6 docs would OOM the
+    // executor before any size filter ran. The hot set comes from a COUNT
+    // over the same exchange (ReusedExchange — the scan+shingle pipeline
+    // still runs once), is tiny by construction (≤ |corpus|/maxDf keys),
+    // and is applied as a broadcast anti-join on the shuffled rows.
+    val hot = exchanged.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("shingle")
+    val postings = exchanged
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
       .groupBy("shingle")
       .agg(collect_list(struct(col(idCol).as("id"), col("n_sh").as("n"))).as("docs"))
-      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxDf)
+      .filter(size(col("docs")) > 1)
     // Pair aggregation: the set sizes ride inside the group key (they are
     // functionally determined by the ids), so no post-join is needed to
     // compute Jaccard. (Measured alternative — grouping on ids alone and

@@ -22,8 +22,11 @@ object Aggregates {
     // final joins are over 3-row results (broadcast).
     "q21_count_distinct" -> ((s, d) => {
       val li = T.lineitem(s, d)
+      // NULL keys filtered first: COUNT(DISTINCT c) excludes NULLs, but a
+      // distinct-rows count would tally a NULL as one extra value
       def nd(c: String, alias: String) =
-        li.select(col("l_returnflag"), col(c)).distinct()
+        li.filter(col(c).isNotNull)
+          .select(col("l_returnflag"), col(c)).distinct()
           .groupBy("l_returnflag").agg(count(lit(1)).as(alias))
       val n = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
       nd("l_partkey", "nd_part")
@@ -74,9 +77,9 @@ object Aggregates {
         .agg(
           count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
           count(when(col("o_orderstatus") === "O", 1)).as("n_o"),
-          sum(when(col("o_orderpriority") === "1-URGENT", dec(col("o_totalprice"))))
+          sum(when(col("o_orderpriority") === "1-URGENT", mdec(col("o_totalprice"))))
             .cast(DoubleType).as("urgent_rev"),
-          (sum(when(col("o_orderstatus") === "F", dec(col("o_totalprice"))).otherwise(lit(0).cast(D)))
+          (sum(when(col("o_orderstatus") === "F", mdec(col("o_totalprice"))).otherwise(lit(0).cast(M)))
             .cast(DoubleType) / nullif(count(when(col("o_orderstatus") === "F", 1)), lit(0)))
             .as("avg_f_price"))
         .orderBy("month")

@@ -24,12 +24,12 @@ object Relational {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
+          msum(col("l_quantity")).as("sum_qty"),
+          msum(col("l_extendedprice")).as("sum_base_price"),
           sum(netPrice(col("l_extendedprice"), col("l_discount")))
             .cast(DoubleType).as("sum_disc_price"),
-          davg(col("l_quantity")).as("avg_qty"),
-          davg(col("l_extendedprice")).as("avg_price"),
+          mavg(col("l_quantity")).as("avg_qty"),
+          mavg(col("l_extendedprice")).as("avg_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
@@ -127,7 +127,7 @@ object Relational {
         .withColumn("is_urgent",
           col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
         .groupBy("price_band", "is_urgent")
-        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .agg(count(lit(1)).as("n"), msum(col("o_totalprice")).as("total"))
         .orderBy("price_band", "is_urgent")
     }),
 
@@ -135,7 +135,7 @@ object Relational {
     "q11_having" -> ((s, d) => {
       T.lineitem(s, d)
         .groupBy("l_suppkey")
-        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("total_qty"))
+        .agg(count(lit(1)).as("n_items"), msum(col("l_quantity")).as("total_qty"))
         .filter(col("n_items") > 100)
         .orderBy("l_suppkey")
     }),

@@ -16,13 +16,16 @@ object TimeSeriesQ {
 
   val queries: Map[String, Q] = Map(
     // -- tumbling time buckets (batch shape of a streaming windowed agg).
+    // Plain partial+final aggregation: pre-range-partitioning the RAW rows
+    // would forfeit map-side combine (O(all rows) through the exchange vs
+    // O(buckets × map partitions) partials — the wrong trade at scale).
+    // The final ORDER BY's sampling pass re-runs only the cheap reduce
+    // side: the aggregation's shuffle map stage is shared and skipped.
     "q33_time_bucket" -> ((s, d) => {
-      // bucket computed first so the range partitioning serves the groupBy
-      // AND the final ORDER BY (no trailing exchange / double execution)
       T.events(s, d)
-        .withColumn("bucket", date_trunc("hour", col("ts")))
-        .repartitionByRange(col("bucket"), col("event_type"))
-        .groupBy(col("bucket"), col("event_type"))
+        .groupBy(
+          date_trunc("hour", col("ts")).as("bucket"),
+          col("event_type"))
         .agg(
           count(lit(1)).as("n"),
           dsum(col("value")).as("sum_value"),

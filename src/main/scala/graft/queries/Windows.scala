@@ -109,7 +109,7 @@ object Windows {
         .repartitionByRange(col("o_custkey"))
         .select(
           col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"),
-          sum(dec(col("o_totalprice"))).over(run).cast(DoubleType).as("run_total"),
+          sum(mdec(col("o_totalprice"))).over(run).cast(DoubleType).as("run_total"),
           count(lit(1)).over(run).as("run_n"),
           max(col("o_totalprice")).over(run).as("run_max"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")

@@ -25,14 +25,19 @@ package object queries {
   /** A query over the driver-provided scale-factor dir. */
   type Q = (SparkSession, String) => DataFrame
 
-  /** Money/quantity columns in the corpus are all < 10^6 with 2 decimals,
-    * so (8,2) holds every value, and sum(DECIMAL(8,2)) caps at precision
-    * 8+10 = 18 — the bound under which Catalyst's DecimalAggregates rule
-    * lowers the aggregation to UNSCALED LONG arithmetic (no BigDecimal
-    * boxing per add). Still exact: a decimal sum is exact at any width,
-    * and the 18-digit cap (10^16) exceeds the 2^53 double-exactness bound
-    * the final cast relies on anyway. */
-  val D: DecimalType = DecimalType(8, 2)
+  /** Generic exact-decimal type for any 2-decimal column. */
+  val D: DecimalType = DecimalType(18, 2)
+
+  /** TPC-H monetary/quantity columns (l_quantity, l_extendedprice,
+    * l_discount, o_totalprice) are spec-bounded well below 10^6 with 2
+    * decimals, so (8,2) holds every value and sum(DECIMAL(8,2)) caps at
+    * precision 8+10 = 18 — the bound under which Catalyst's
+    * DecimalAggregates rule lowers aggregation to UNSCALED LONG
+    * arithmetic (no BigDecimal boxing per add). NOT for general columns:
+    * with ANSI off, a value >= 10^6 would overflow the cast to NULL and
+    * silently drop out of the sum — use dec/dsum/davg for anything
+    * without a proven bound. */
+  val M: DecimalType = DecimalType(8, 2)
 
   /** Exact decimal view of a 2-decimal DOUBLE column. */
   def dec(c: Column): Column = c.cast(D)
@@ -44,9 +49,19 @@ package object queries {
     * identical operands on both engines give identical doubles). */
   def davg(c: Column): Column = dsum(c) / count(c)
 
-  /** price * (1 - discount), all in decimal — exact on both engines. */
+  /** Exact decimal view of a bounded (< 10^6) money column — see [[M]]. */
+  def mdec(c: Column): Column = c.cast(M)
+
+  /** Long-backed exact sum for bounded money columns, as DOUBLE. */
+  def msum(c: Column): Column = sum(mdec(c)).cast(DoubleType)
+
+  /** Exact average for bounded money columns. */
+  def mavg(c: Column): Column = msum(c) / count(c)
+
+  /** price * (1 - discount), all in decimal — exact on both engines
+    * (TPC-H-bounded inputs). */
   def netPrice(price: Column, disc: Column): Column =
-    dec(price) * (lit(1).cast(D) - dec(disc))
+    mdec(price) * (lit(1).cast(M) - mdec(disc))
 
   /** Pre-partition the SOURCE by range on the final ORDER BY key. A
     * trailing global sort plans a range exchange whose boundary sampling

@@ -29,7 +29,9 @@ class PercentilesSpec extends SparkSpec {
     val exprs = ps.map { case (p, name) =>
       expr(s"percentile_cont($p) WITHIN GROUP (ORDER BY v)").as(name)
     }
-    val want = df.filter($"v".isNotNull).groupBy("g").agg(exprs.head, exprs.tail: _*)
+    // no NULL pre-filter on the expected side: percentile_cont ignores
+    // NULL values natively, and exactCont must match that contract
+    val want = df.groupBy("g").agg(exprs.head, exprs.tail: _*)
       .orderBy("g").collect()
       .map(r => (r.getString(0), ps.indices.map(j => r.getDouble(1 + j))))
     assert(got.length == want.length)
@@ -41,11 +43,16 @@ class PercentilesSpec extends SparkSpec {
     }
   }
 
-  test("exactCont: single-row group and constant group") {
-    val df = Seq(("a", 7.0), ("b", 1.0), ("b", 1.0), ("b", 1.0)).toDF("g", "v")
+  test("exactCont: single-row group, constant group, all-NULL group") {
+    val df = Seq(("a", Option(7.0)), ("b", Option(1.0)), ("b", Option(1.0)),
+      ("b", Option(1.0)), ("c", None: Option[Double]), ("c", None: Option[Double]))
+      .toDF("g", "v")
     val out = Percentiles.exactCont(df, "g", "v", Seq(0.5 -> "p50"))
       .orderBy("g").collect()
+    assert(out.length == 3)
     assert(out(0).getString(0) == "a" && out(0).getDouble(1) == 7.0)
     assert(out(1).getString(0) == "b" && out(1).getDouble(1) == 1.0)
+    // a group of only NULLs still yields a row, with NULL percentiles
+    assert(out(2).getString(0) == "c" && out(2).isNullAt(1))
   }
 }
