@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed per-group row numbering — the scale path for the ranking
+  * window family when a group spans the whole cluster.
+  *
+  * `row_number() OVER (PARTITION BY g ORDER BY ...)` sorts each group in
+  * ONE task: a table with 5 groups uses 5 cores no matter the data size
+  * (and at 100 TB each task would sort 20 TB). This operator instead
+  * range-partitions by (group, order...) at full width, sorts within
+  * partitions, counts rows per (partition, group) — an
+  * O(partitions × groups) driver collect — and attaches each row's global
+  * rank as offset + local index in a second pass over the SAME shuffle
+  * (map stage skipped via shuffle reuse). Output rows stream in global
+  * (group, order) order.
+  *
+  * Contract: the per-group ordering must be TOTAL (append a unique
+  * tiebreak column — the repo's window convention already does). Under a
+  * total ordering the whole rank family is arithmetic over (rn, n):
+  * rank = dense_rank = rn, percent_rank = (rn−1)/(n−1), cume_dist = rn/n,
+  * and ntile(k) splits by the SQL rule (first n mod k tiles one larger). */
+object Ranking {
+
+  /** Appends `rnName` (1-based global row number within the group) and
+    * `nName` (group row count) to `df`. `sortCols` may carry directions
+    * (e.g. `col("x").desc`); rows with NULL group keys form their own
+    * group, like SQL PARTITION BY. */
+  def withRowNumbers(df: DataFrame, groupCol: String, sortCols: Seq[Column],
+                     rnName: String = "rn", nName: String = "n"): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val sortKeys = col(groupCol) +: sortCols
+    val sorted = df
+      .repartitionByRange(nPart, sortKeys: _*)
+      .sortWithinPartitions(sortKeys: _*)
+    val gIdx = df.schema.fieldIndex(groupCol)
+    val rdd = sorted.rdd // one lineage: pass 2 reuses pass 1's shuffle
+
+    val counts: Array[(Int, Any, Long)] = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val acc = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        it.foreach { r => val g = r.get(gIdx); acc.update(g, acc.getOrElse(g, 0L) + 1L) }
+        acc.iterator.map { case (g, n) => (pid, g, n) }
+      }.collect()
+    val totals: Map[Any, Long] =
+      counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
+    val offsets: Map[(Int, Any), Long] = {
+      val m = scala.collection.mutable.Map.empty[(Int, Any), Long]
+      counts.groupBy(_._2).foreach { case (g, cs) =>
+        var run = 0L
+        cs.sortBy(_._1).foreach { case (pid, _, n) => m((pid, g)) = run; run += n }
+      }
+      m.toMap
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    val bcTotals = spark.sparkContext.broadcast(totals)
+
+    val outSchema = StructType(df.schema.fields ++
+      Seq(StructField(rnName, LongType, nullable = false),
+        StructField(nName, LongType, nullable = false)))
+    val outRows = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val off = bcOffsets.value
+      val tot = bcTotals.value
+      var curG: Any = Ranking.Unset
+      var local = 0L
+      var base = 0L
+      var n = 0L
+      it.map { r =>
+        val g = r.get(gIdx)
+        if (curG == Ranking.Unset || g != curG) {
+          curG = g
+          local = 0L
+          base = off.getOrElse((pid, g), 0L)
+          n = tot.getOrElse(g, 0L)
+        }
+        local += 1
+        Row.fromSeq(r.toSeq ++ Seq(base + local, n))
+      }
+    }
+    spark.createDataFrame(outRows, outSchema)
+  }
+
+  /** Group-tracking sentinel distinct from any data value (incl. null). */
+  private case object Unset
+
+  /** SQL NTILE(k) from a 1-based row number and the group size: the first
+    * `n mod k` tiles hold ⌈n/k⌉ rows, the rest ⌊n/k⌋. (Spark's `/` on
+    * integer columns is DOUBLE division — every quotient here is floored
+    * back to integer explicitly.) */
+  def ntileFrom(rn: Column, n: Column, k: Int): Column = {
+    def fdiv(a: Column, b: Column): Column = floor(a / b).cast(LongType)
+    val base = fdiv(n, lit(k))
+    val rem = n % k
+    val bigSpan = (base + 1) * rem
+    when(rn <= bigSpan, fdiv(rn - 1, base + 1) + 1)
+      .otherwise(rem + fdiv(rn - 1 - bigSpan, base) + 1)
+  }
+}

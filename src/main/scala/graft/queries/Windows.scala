@@ -37,19 +37,29 @@ object Windows {
         .orderBy("user_id", "ts", "event_id")
     }),
 
+    // Ranking family via the distributed row-number operator
+    // (ops/Ranking): PARTITION BY has only 5 distinct priorities, so a
+    // window plan sorts 1/5 of the table per task at ANY scale. The
+    // ordering is total (orderkey tiebreak — the suite's convention), so
+    // rank = dense_rank = row_number and percent_rank / cume_dist /
+    // ntile are arithmetic over (rn, n).
     "q28_window_rank" -> ((s, d) => {
-      val w = Window.partitionBy("o_orderpriority")
-        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
-      T.orders(s, d)
-        .repartitionByRange(col("o_orderpriority"))
+      val ranked = graft.ops.Ranking.withRowNumbers(
+        T.orders(s, d).select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        "o_orderpriority",
+        Seq(col("o_totalprice").desc, col("o_orderkey")),
+        rnName = "rn64", nName = "nn")
+      ranked
         .select(
           col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-          row_number().over(w).as("rn"),
-          rank().over(w).as("rk"),
-          dense_rank().over(w).as("drk"),
-          round(percent_rank().over(w), 6).as("prk"),
-          round(cume_dist().over(w), 6).as("cd"),
-          ntile(4).over(w).as("quartile"))
+          col("rn64").cast(IntegerType).as("rn"),
+          col("rn64").cast(IntegerType).as("rk"),
+          col("rn64").cast(IntegerType).as("drk"),
+          round(when(col("nn") === 1, 0.0).otherwise(
+            (col("rn64") - 1).cast(DoubleType) / (col("nn") - 1)), 6).as("prk"),
+          round(col("rn64").cast(DoubleType) / col("nn"), 6).as("cd"),
+          graft.ops.Ranking.ntileFrom(col("rn64"), col("nn"), 4)
+            .cast(IntegerType).as("quartile"))
         .orderBy("o_orderpriority", "rn")
     }),
 
