@@ -28,9 +28,6 @@ import org.apache.spark.sql.types._
   * like the SQL aggregate. */
 object Percentiles {
 
-  /** Group-tracking sentinel distinct from any data value (incl. null). */
-  private case object Unset
-
   /** @param fractions (fraction, outputColumn) pairs, e.g. (0.5, "p50").
     * @return one row per group: (groupCol, outputColumn...), unrounded. */
   def exactCont(df: DataFrame, groupCol: String, valueCol: String,
@@ -51,28 +48,9 @@ object Percentiles {
 
     // pass 1: per-(partition, group) NON-NULL row counts (groups are
     // contiguous); groups whose rows are all NULL appear with count 0
-    val counts: Array[(Int, Any, Long)] = rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        val acc = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
-        it.foreach { r =>
-          val g = r.get(0)
-          val inc = if (r.isNullAt(1)) 0L else 1L
-          acc.update(g, acc.getOrElse(g, 0L) + inc)
-        }
-        acc.iterator.map { case (g, n) => (pid, g, n) }
-      }.collect()
-
-    // per-group non-null totals and per-partition global-rank offsets
-    val totals: Map[Any, Long] =
-      counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
-    val offsets: Map[(Int, Any), Long] = {
-      val m = scala.collection.mutable.Map.empty[(Int, Any), Long]
-      counts.groupBy(_._2).foreach { case (g, cs) =>
-        var run = 0L
-        cs.sortBy(_._1).foreach { case (pid, _, n) => m((pid, g)) = run; run += n }
-      }
-      m.toMap
-    }
+    val counts = TwoPhase.groupCounts(rdd, gIdx = 0,
+      weight = r => if (r.isNullAt(1)) 0L else 1L)
+    val (totals, offsets) = TwoPhase.totalsAndOffsets(counts)
     // 0-indexed ranks needed per group: floor/ceil of h = p·(n−1)
     val needed: Map[Any, Set[Long]] = totals.collect { case (g, n) if n > 0 =>
       g -> fractions.flatMap { case (p, _) =>
@@ -90,13 +68,13 @@ object Percentiles {
       .mapPartitionsWithIndex { (pid, it) =>
         val off = bcOffsets.value
         val need = bcNeeded.value
-        var curG: Any = Unset
+        var curG: Any = TwoPhase.Unset
         var local = -1L
         var base = 0L
         var want: Set[Long] = Set.empty
         it.flatMap { r =>
           val g = r.get(0)
-          if (curG == Unset || g != curG) {
+          if (curG == TwoPhase.Unset || g != curG) {
             curG = g; local = -1L
             base = off.getOrElse((pid, g), 0L)
             want = need.getOrElse(g, Set.empty)

@@ -39,52 +39,40 @@ object Ranking {
     val gIdx = df.schema.fieldIndex(groupCol)
     val rdd = sorted.rdd // one lineage: pass 2 reuses pass 1's shuffle
 
-    val counts: Array[(Int, Any, Long)] = rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        val acc = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
-        it.foreach { r => val g = r.get(gIdx); acc.update(g, acc.getOrElse(g, 0L) + 1L) }
-        acc.iterator.map { case (g, n) => (pid, g, n) }
-      }.collect()
-    val totals: Map[Any, Long] =
-      counts.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._3).sum }
-    val offsets: Map[(Int, Any), Long] = {
-      val m = scala.collection.mutable.Map.empty[(Int, Any), Long]
-      counts.groupBy(_._2).foreach { case (g, cs) =>
-        var run = 0L
-        cs.sortBy(_._1).foreach { case (pid, _, n) => m((pid, g)) = run; run += n }
-      }
-      m.toMap
-    }
+    val (totals, offsets) = TwoPhase.totalsAndOffsets(TwoPhase.groupCounts(rdd, gIdx))
     val bcOffsets = spark.sparkContext.broadcast(offsets)
     val bcTotals = spark.sparkContext.broadcast(totals)
 
     val outSchema = StructType(df.schema.fields ++
       Seq(StructField(rnName, LongType, nullable = false),
         StructField(nName, LongType, nullable = false)))
+    val width = df.schema.size
     val outRows = rdd.mapPartitionsWithIndex { (pid, it) =>
       val off = bcOffsets.value
       val tot = bcTotals.value
-      var curG: Any = Ranking.Unset
+      var curG: Any = TwoPhase.Unset
       var local = 0L
       var base = 0L
       var n = 0L
       it.map { r =>
         val g = r.get(gIdx)
-        if (curG == Ranking.Unset || g != curG) {
+        if (curG == TwoPhase.Unset || g != curG) {
           curG = g
           local = 0L
           base = off.getOrElse((pid, g), 0L)
           n = tot.getOrElse(g, 0L)
         }
         local += 1
-        Row.fromSeq(r.toSeq ++ Seq(base + local, n))
+        val out = new Array[Any](width + 2)
+        var i = 0
+        while (i < width) { out(i) = r.get(i); i += 1 }
+        out(width) = base + local
+        out(width + 1) = n
+        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
       }
     }
     spark.createDataFrame(outRows, outSchema)
   }
-
-  /** Group-tracking sentinel distinct from any data value (incl. null). */
-  private case object Unset
 
   /** SQL NTILE(k) from a 1-based row number and the group size: the first
     * `n mod k` tiles hold ⌈n/k⌉ rows, the rest ⌊n/k⌋. (Spark's `/` on

@@ -85,6 +85,30 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   }
 }
 
+/** Shared per-partition setup for the two as-of exec nodes. */
+private[plans] object AsOfExecUtil {
+  import org.apache.spark.sql.types.{StructField, StructType}
+
+  def schemaOf(attrs: Seq[Attribute]): StructType =
+    StructType(attrs.map(a => StructField(a.name, a.dataType, a.nullable)))
+
+  /** Generated bulk row joiner over (left, nullable payload) plus the
+    * all-NULL payload row for unmatched left rows. */
+  def joinerAndNullPayload(lAttrs: Seq[Attribute], payloadNullable: Seq[Attribute])
+      : (org.apache.spark.sql.catalyst.expressions.codegen.UnsafeRowJoiner, UnsafeRow) = {
+    val joiner = org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateUnsafeRowJoiner.create(schemaOf(lAttrs), schemaOf(payloadNullable))
+    val nullPayload = UnsafeProjection.create(payloadNullable, payloadNullable)(
+      InternalRow.fromSeq(Seq.fill[Any](payloadNullable.length)(null))).copy()
+    (joiner, nullPayload)
+  }
+
+  /** Generated comparator over the (nullable) key schema. */
+  def keyOrdering(keyAttrs: Seq[Attribute]): Ordering[InternalRow] =
+    org.apache.spark.sql.catalyst.expressions.codegen
+      .GenerateOrdering.create(schemaOf(keyAttrs.map(_.withNullability(true))))
+}
+
 final case class AsOfFillExec(
     child: SparkPlan,
     keys: Seq[Attribute],
@@ -120,16 +144,8 @@ final case class AsOfFillExec(
       val payloadProj = UnsafeProjection.create(pAttrs, childOut)
       val tagIdx = childOut.indexWhere(_.exprId == tagAttr.exprId)
       val payloadNullable = pAttrs.map(_.withNullability(true))
-      import org.apache.spark.sql.types.{StructField, StructType}
-      def schemaOf(attrs: Seq[Attribute]) =
-        StructType(attrs.map(a => StructField(a.name, a.dataType, a.nullable)))
-      val joiner = org.apache.spark.sql.catalyst.expressions.codegen
-        .GenerateUnsafeRowJoiner.create(schemaOf(lAttrs), schemaOf(payloadNullable))
-      val nullPayload: UnsafeRow =
-        UnsafeProjection.create(payloadNullable, payloadNullable)(
-          InternalRow.fromSeq(Seq.fill[Any](pAttrs.length)(null))).copy()
-      val keyOrdering = org.apache.spark.sql.catalyst.expressions.codegen
-        .GenerateOrdering.create(schemaOf(keyAttrs.map(_.withNullability(true))))
+      val (joiner, nullPayload) = AsOfExecUtil.joinerAndNullPayload(lAttrs, payloadNullable)
+      val keyOrdering = AsOfExecUtil.keyOrdering(keyAttrs)
 
       new Iterator[InternalRow] {
         private var held: UnsafeRow = null      // payload of last right row in group
@@ -198,7 +214,6 @@ final case class AsOfJoinExec(
     val lTsExpr = leftTs
     val rTsExpr = rightTs
     val payload = rightPayload
-    val nPayload = payload.length
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeyExprs, lOut)
@@ -214,26 +229,18 @@ final case class AsOfJoinExec(
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
 
-      import org.apache.spark.sql.types.{StructField, StructType}
-      def schemaOf(attrs: Seq[Attribute]) =
-        StructType(attrs.map(a => StructField(a.name, a.dataType, a.nullable)))
       // fast output path: generated row joiner concatenates the two
       // UnsafeRows with bulk copies instead of a field-by-field projection
-      // (the merge loop's dominant per-row cost — every left row pays it)
-      val joiner = org.apache.spark.sql.catalyst.expressions.codegen
-        .GenerateUnsafeRowJoiner.create(schemaOf(lOut), schemaOf(payloadNullable))
-      val nullPayloadUnsafe: UnsafeRow =
-        UnsafeProjection.create(payloadNullable, payloadNullable)(
-          InternalRow.fromSeq(Seq.fill[Any](nPayload)(null))).copy()
-      // generated (codegen'd) comparator — the interpreted natural ordering
-      // costs a virtual dispatch per field per comparison
-      val keySchema = schemaOf(
+      // (the merge loop's dominant per-row cost — every left row pays it);
+      // generated comparator — the interpreted natural ordering costs a
+      // virtual dispatch per field per comparison
+      val (joiner, nullPayloadUnsafe) =
+        AsOfExecUtil.joinerAndNullPayload(lOut, payloadNullable)
+      val keyOrdering = AsOfExecUtil.keyOrdering(
         lKeyExprs.zipWithIndex.map { case (e, i) =>
           org.apache.spark.sql.catalyst.expressions.AttributeReference(
             s"k$i", e.dataType, nullable = true)()
         })
-      val keyOrdering = org.apache.spark.sql.catalyst.expressions.codegen
-        .GenerateOrdering.create(keySchema)
       val rBuf = rIter.buffered
       var heldKey: InternalRow = null
       var heldTs: Long = Long.MinValue
