@@ -83,6 +83,49 @@ object TextQ {
     // -- per-lang/source corpus stats (dialect-common SQL text).
     "t04_doc_stats" -> ((s, d) => T.sql(s, d, "documents")(Oracle.t04)),
 
+    // -- TF-IDF: top-3 scoring terms per document. Classic corpus
+    //    relevance weighting in three aggregations: term frequency per
+    //    (doc, term), document frequency per term, corpus size broadcast —
+    //    tf · ln(N/df) rounded to the cross-engine grain. At 100 TB: two
+    //    shuffles of the exploded term relation (tf, then df over the
+    //    already-deduped tf rows) and a broadcast scalar; the per-doc
+    //    top-k window partitions by doc_id (millions of groups = full
+    //    width).
+    "t05_tfidf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = T.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "term")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("tfidf"))
+        .orderBy("doc_id", "rk")
+    }),
+
+    // -- deterministic train/val/test split (~80/10/10): bucket by a hex
+    //    prefix of md5(doc_id || salt) — stable across engines, runs and
+    //    cluster sizes, no RNG state. The per-language breakdown is the
+    //    usual stratification check.
+    "t06_train_split" -> ((s, d) => {
+      val h = substring(md5(concat(col("doc_id").cast(StringType), lit(":graft"))), 1, 4)
+      T.documents(s, d)
+        .withColumn("split",
+          when(h < "cccd", "train").when(h < "e666", "val").otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang", "split")
+    }),
+
     // -- multimodal plumbing shape: opaque binary column + typed metadata.
     //    Text stands in for media bytes (no codecs in this container); the
     //    full binary pipeline (batch decode stubs) lives in
@@ -176,6 +219,30 @@ object TextQ {
          |ORDER BY doc_id""".stripMargin,
 
     "t04_doc_stats" -> Oracle.t04,
+
+    "t05_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf, d.df,
+        |         round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
+        |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (
+        |        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        |      FROM scored)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, df, tfidf
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "t06_train_split" ->
+      """SELECT lang,
+        | CASE WHEN substring(md5(doc_id || ':graft'), 1, 4) < 'cccd' THEN 'train'
+        |      WHEN substring(md5(doc_id || ':graft'), 1, 4) < 'e666' THEN 'val'
+        |      ELSE 'test' END AS split,
+        | COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
     "m01_binary_meta" ->
       """SELECT doc_id,
