@@ -88,7 +88,23 @@ object DedupQ {
         .groupBy("fp")
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .filter(col("n_docs") > 1)
-        .orderBy("fp"))
+        .orderBy("fp")),
+
+    // -- train/test contamination: eval-set documents sharing long literal
+    //    substrings with training documents, via winnowing fingerprints
+    //    (guarantee: any shared substring of >= window+k-1 bytes yields a
+    //    shared fingerprint). The "test set" here is the doc_id%10==0
+    //    slice of the corpus. At 100 TB: equi-join on 8-byte fingerprint
+    //    keys with a df cap on boilerplate fingerprints (same hot-key
+    //    bound as exact Jaccard); rows-only check (hash-impl-specific),
+    //    semantics pinned by OpsSpec.
+    "d08_contamination" -> ((s, d) => {
+      graft.ops.Contamination.sharedFingerprintPairs(
+        T.documents(s, d).filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        T.documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", minShared = 10)
+        .orderBy("train_id", "test_id")
+    })
   )
 
   val oracles: Map[String, String] = Map(

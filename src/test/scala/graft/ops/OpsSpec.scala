@@ -74,6 +74,20 @@ class OpsSpec extends SparkSpec {
     assert(MinHash.nearDuplicates(d, "doc_id", "text").count() == 0)
   }
 
+  test("contamination: planted shared substring across train/test is caught") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val train = docs(
+      (1L, s"train lead-in $shared train tail"),
+      (2L, "completely unrelated training content with no overlap at all"))
+    val test = docs(
+      (10L, s"eval preamble $shared eval suffix"),
+      (20L, "another disjoint evaluation document entirely"))
+    val pairs = Contamination.sharedFingerprintPairs(train, test, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("train_id"), r.getAs[Long]("test_id"))).toSet
+    assert(pairs == Set((1L, 10L)),
+      s"expected exactly the planted contamination pair, got $pairs")
+  }
+
   test("simhash: identical docs collide at distance 0; disjoint docs stay apart") {
     val base = (0 until 64).map(i => s"tok$i").mkString(" ")
     val far = (200 until 264).map(i => s"tok$i").mkString(" ")
