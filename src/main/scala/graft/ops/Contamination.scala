@@ -30,12 +30,20 @@ object Contamination {
       .select(col(idCol).as(idAs),
         explode(TextExprs.winnow(col(textCol), k, window)).as("fp"))
     val trainFps = fps(train, "train_id")
-    val hot = trainFps.groupBy("fp").agg(count(lit(1)).as("df"))
+    val testFps = fps(test, "test_id")
+    // the df cap counts BOTH corpora: a fingerprint rare in train but
+    // boilerplate-hot in test would otherwise still blow up the join on
+    // its single key. The count pass re-derives the fingerprint relations
+    // (one extra scan+winnow per side — measured cheaper than forcing a
+    // reusable strict-width exchange, which more than doubled the query);
+    // at persistent-pipeline scale, checkpoint the fps relations instead.
+    val hot = trainFps.select("fp").unionAll(testFps.select("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select("fp")
     trainFps
       .join(broadcast(hot), Seq("fp"), "left_anti")
-      .join(fps(test, "test_id"), "fp")
+      .join(testFps.join(broadcast(hot), Seq("fp"), "left_anti"), "fp")
       .groupBy("train_id", "test_id")
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)

@@ -32,6 +32,12 @@ object Percentiles {
     * @return one row per group: (groupCol, outputColumn...), unrounded. */
   def exactCont(df: DataFrame, groupCol: String, valueCol: String,
                 fractions: Seq[(Double, String)]): DataFrame = {
+    // group values become driver-side map keys (see Ranking): reject types
+    // with reference equality or broken reflexivity
+    val gType = df.schema(groupCol).dataType
+    require(!gType.isInstanceOf[BinaryType] && gType != DoubleType && gType != FloatType,
+      s"group column $groupCol: $gType has unreliable JVM equality for driver-side " +
+        "bucketing; use an integral/string/date key")
     val spark = df.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions
     // NULL values stay in (percentile_cont semantics: a group of only

@@ -30,6 +30,13 @@ object Ranking {
     * group, like SQL PARTITION BY. */
   def withRowNumbers(df: DataFrame, groupCol: String, sortCols: Seq[Column],
                      rnName: String = "rn", nName: String = "n"): DataFrame = {
+    // group values are driver-side map keys: types whose JVM equality is
+    // reference-based (binary) or reflexivity-broken (NaN doubles) would
+    // silently mis-bucket — reject them up front
+    val gType = df.schema(groupCol).dataType
+    require(!gType.isInstanceOf[BinaryType] && gType != DoubleType && gType != FloatType,
+      s"group column $groupCol: $gType has unreliable JVM equality for driver-side " +
+        "bucketing; use an integral/string/date key (hash binary keys first)")
     val spark = df.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions
     val sortKeys = col(groupCol) +: sortCols

@@ -103,9 +103,15 @@ object TextQ {
         .crossJoin(broadcast(nDocs))
         .withColumn("tfidf",
           round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))
+      // ranking on the ROUNDED score (an output column — any cross-engine
+      // ln/rounding boundary flip would fail the hash gate through the
+      // column itself, so ranking adds no new failure mode) with integer
+      // tie-breaks (tf, df, term) so equal-scored terms order identically
+      // on both engines
       scored
         .withColumn("rk", row_number().over(
-          Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))))
+          Window.partitionBy("doc_id").orderBy(col("tfidf").desc,
+            col("tf").desc, col("df"), col("term"))))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("tfidf"))
         .orderBy("doc_id", "rk")
@@ -231,7 +237,7 @@ object TextQ {
         |         round(t.tf * ln(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf
         |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n),
         |r AS (SELECT *, ROW_NUMBER() OVER (
-        |        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+        |        PARTITION BY doc_id ORDER BY tfidf DESC, tf DESC, df, term) AS rk
         |      FROM scored)
         |SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, df, tfidf
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,

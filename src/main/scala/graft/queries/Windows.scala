@@ -49,6 +49,10 @@ object Windows {
         "o_orderpriority",
         Seq(col("o_totalprice").desc, col("o_orderkey")),
         rnName = "rn64", nName = "nn")
+      // INT casts mirror the oracle's schema (rank functions are INT in
+      // both engines' displayed types); they pin an implicit <= 2^31
+      // rows-per-group assumption — the operator itself produces exact
+      // longs, so a larger deployment keeps rn64
       ranked
         .select(
           col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
