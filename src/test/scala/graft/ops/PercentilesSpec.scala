@@ -10,8 +10,9 @@ class PercentilesSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private val ps = Seq(0.01 -> "p01", 0.25 -> "p25", 0.5 -> "p50",
-    0.9 -> "p90", 0.99 -> "p99")
+  // includes the exact boundaries (h = 0 and h = n−1)
+  private val ps = Seq(0.0 -> "p00", 0.01 -> "p01", 0.25 -> "p25", 0.5 -> "p50",
+    0.9 -> "p90", 0.99 -> "p99", 1.0 -> "p100")
 
   test("exactCont matches percentile_cont on random grouped data") {
     val rnd = new scala.util.Random(19)

@@ -43,6 +43,36 @@ class AsOfJoinPlanSpec extends SparkSpec {
     }
   }
 
+  test("all three impls agree on random data WITH NULL keys and timestamps") {
+    for (seed <- Seq(5, 13)) {
+      val rnd = new scala.util.Random(seed)
+      def ts(base: Long): Option[Timestamp] =
+        if (rnd.nextInt(12) == 0) None
+        else Some(new Timestamp(1700000000000L + base * 1000L))
+      def key(): Option[Long] =
+        if (rnd.nextInt(15) == 0) None else Some(rnd.nextInt(6).toLong)
+      val left = (1 to 250).map { i =>
+        (key(), i.toLong, ts(rnd.nextInt(8000).toLong))
+      }.toDF("user_id", "event_id", "ts")
+      // unique (key, ts) on the right so tie-resolution can't differ
+      val right = (1 to 100).map { i =>
+        (key(), (1000 + i).toLong, ts(rnd.nextInt(8000).toLong))
+      }.toDF("user_id", "s_eid", "s_ts")
+        .groupBy("user_id", "s_ts").agg(max("s_eid").as("s_eid"))
+      def run(df: org.apache.spark.sql.DataFrame) =
+        df.select("event_id", "ref").collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).sorted.toSeq
+      val window = run(AsOfJoin.asof(left, right, Seq("user_id"), "ts", "s_ts",
+        Map("s_eid" -> "ref")))
+      val fill = run(AsOfJoinPlan.asof(left, right, Seq("user_id"), "ts", "s_ts",
+        Map("s_eid" -> "ref")))
+      val merge = run(AsOfJoinPlan.asof(left, right, Seq("user_id"), "ts", "s_ts",
+        Map("s_eid" -> "ref"), merge = true))
+      assert(fill == window, s"seed $seed: fill differs from window rewrite")
+      assert(merge == window, s"seed $seed: merge differs from window rewrite")
+    }
+  }
+
   test("NULL join keys never match each other (both implementations)") {
     def ts(base: Long) = new Timestamp(1700000000000L + base * 1000L)
     val left = Seq(
