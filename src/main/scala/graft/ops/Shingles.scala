@@ -36,17 +36,20 @@ object Shingles {
     * uncapped oracle — while bounding the worst per-shingle candidate count
     * at scale. The MinHash path (d04) stays the designated 100 TB route.
     *
-    * Plan shape — posting lists instead of a self-join: ONE pass computes
-    * shingles and explodes them (set size rides along as one extra long),
-    * ONE exchange on the 8-byte shingle hash; the hot-shingle set is
-    * counted from that same exchange (ReusedExchange — the scan+shingle
-    * pipeline never re-runs) and removed by broadcast anti-join BEFORE
-    * posting lists are gathered, so no aggregation group ever exceeds
-    * maxDf entries (collect_list cannot spill within a group). Pairs come
-    * from a double-explode of each posting list (same Σ df² work the
+    * Plan shape — posting lists instead of a self-join: the exploded
+    * shingle relation shuffles ONCE on the 8-byte hash (strict width: the
+    * downstream cost is generated pairs, not input bytes, so AQE must not
+    * coalesce it), hot shingles are removed by broadcast anti-join BEFORE
+    * posting lists are gathered — so no aggregation group ever exceeds
+    * maxDf entries (collect_list cannot spill within a group) — pairs
+    * come from a double-explode of each posting list (same Σ df² work the
     * self-join did, minus the join machinery), then ONE pair-key exchange
-    * counts common shingles. Executor memory is bounded by ~16 B · maxDf
-    * per group at any corpus size. */
+    * counts common shingles. The hot-df count is a second derivation of
+    * the scan+shingle pipeline (plan-audited: PushDownLeftSemiAntiJoin
+    * rewrites the main branch under the repartition, so the two branches'
+    * exchanges never canonicalize equal and ReusedExchange cannot fire);
+    * the memory bound is worth the extra text pass on this, the exact
+    * BASELINE — d04's MinHash route stays the designated 100 TB path. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, threshold: Double = 0.2,
                    maxDf: Long = 10000L): DataFrame = {
@@ -61,19 +64,19 @@ object Shingles {
     // partition count is exempt from coalescing and keeps the pair
     // generation at full width.
     val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val exchanged = all.repartition(nPart, col("shingle"))
     // Hot shingles must be dropped BEFORE gathering posting lists:
     // collect_list buffers a whole group in memory (it cannot spill within
     // a group), so a boilerplate shingle shared by 10^6 docs would OOM the
-    // executor before any size filter ran. The hot set comes from a COUNT
-    // over the same exchange (ReusedExchange — the scan+shingle pipeline
-    // still runs once), is tiny by construction (≤ |corpus|/maxDf keys),
-    // and is applied as a broadcast anti-join on the shuffled rows.
-    val hot = exchanged.groupBy("shingle").agg(count(lit(1)).as("df"))
+    // executor before any size filter ran. The hot set is tiny by
+    // construction (≤ |corpus|/maxDf keys) and is applied as a broadcast
+    // anti-join; its COUNT pass re-derives the exploded relation (see the
+    // scaladoc for why exchange reuse is structurally impossible here).
+    val hot = all.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
       .select("shingle")
-    val postings = exchanged
+    val postings = all
       .join(broadcast(hot), Seq("shingle"), "left_anti")
+      .repartition(nPart, col("shingle"))
       .groupBy("shingle")
       .agg(collect_list(struct(col(idCol).as("id"), col("n_sh").as("n"))).as("docs"))
       .filter(size(col("docs")) > 1)
