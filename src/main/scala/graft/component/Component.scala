@@ -72,12 +72,22 @@ object Component {
     // 3. ingest
     Ingest.loadAll(spark, dataDir, config)
 
-    // A26-lite: a configured engine version is surfaced, not silently
-    // eaten — this build is single-version (no interpreter re-exec to
-    // route to), so the setting is recorded for the run log
-    config.duckdbVersion.foreach(v => System.err.println(
-      s"[component] configured engine version: $v " +
-        "(single-version Spark build; setting recorded, not routed)"))
+    // A26: resolve the configured engine version through the registry
+    // (alias + unsupported-falls-back-to-default, the reference launcher's
+    // contract); the in-process hop of the reference's venv re-exec is a
+    // container-level concern here, so resolution is surfaced loudly
+    config.duckdbVersion.foreach { v =>
+      val resolved = Versions.resolve(v)
+      if (Versions.isFallback(v))
+        System.err.println(
+          s"[component] configured engine version: $v is not in this build's " +
+            s"registry ${Versions.Supported.mkString("{", ", ", "}")}; " +
+            s"falling back to $resolved (launcher routes versions per container)")
+      else
+        System.err.println(
+          s"[component] configured engine version: $v resolved to $resolved " +
+            s"(running ${spark.version})")
+    }
 
     // 4-5. plan + execute
     val outWarehouse = Paths.get(dataDir, "out", "files", "warehouse")
