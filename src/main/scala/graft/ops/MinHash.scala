@@ -58,6 +58,12 @@ object MinHash {
       .select(col(idCol),
         TextExprs.bandSigs(col("minhash"), bands, rows).as("__bs"))
       .select(col(idCol), posexplode(col("__bs")).as(Seq("band", "sig")))
+      // SHUFFLE_HASH: AQE would otherwise broadcast one side of the
+      // self-join, whose plan then differs from the streamed side and the
+      // whole scan+signature pipeline runs twice; with both sides
+      // exchanged on (band, sig) the exchanges canonicalize equal and the
+      // second one is a ReusedExchange — signatures are computed ONCE
+      .hint("shuffle_hash")
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
