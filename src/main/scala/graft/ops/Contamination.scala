@@ -13,39 +13,37 @@ import org.apache.spark.sql.functions._
   * yields at least one shared fingerprint, so requiring `minShared`
   * matches trades recall for precision against short boilerplate hits.
   *
-  * Scale shape: one fingerprint explode per side (map-side native
-  * expression), an equi-join on the 8-byte fingerprint key, and a pair
-  * aggregation — the same inverted-index cost profile as exact Jaccard
-  * (ops/Shingles), including the df cap: a fingerprint appearing in more
-  * than `maxDf` training docs is boilerplate (license headers, templates)
-  * and is dropped via broadcast anti-join before the join, bounding the
-  * per-key candidate blowup. */
+  * Scale shape: both corpora's fingerprints explode into ONE tagged
+  * relation (map-side native expression), which shuffles once on the
+  * 8-byte fingerprint key — the same posting-list machinery as exact
+  * Jaccard (see [[Postings]]). The df cap counts BOTH corpora (a
+  * fingerprint rare in train but boilerplate-hot in test would otherwise
+  * still blow up its key's fan-out) as a spillable window count inside
+  * that one exchange; per-fingerprint train/test posting lists are
+  * gathered by conditional collect_list (null-skipping) from the same
+  * exchange; train×test candidate pairs come from a double-explode; and
+  * the pair aggregation range-partitions on (train_id, test_id) so the
+  * trailing ORDER BY plans no exchange. */
 object Contamination {
 
   def sharedFingerprintPairs(train: DataFrame, test: DataFrame,
                              idCol: String, textCol: String,
                              k: Int = 8, window: Int = 16,
                              minShared: Long = 2, maxDf: Long = 10000L): DataFrame = {
-    def fps(df: DataFrame, idAs: String) = ScaleOps.spread(df)
-      .select(col(idCol).as(idAs),
+    def fps(df: DataFrame, side: Int) = ScaleOps.spread(df)
+      .select(col(idCol).as("id"), lit(side).as("side"),
         explode(TextExprs.winnow(col(textCol), k, window)).as("fp"))
-    val trainFps = fps(train, "train_id")
-    val testFps = fps(test, "test_id")
-    // the df cap counts BOTH corpora: a fingerprint rare in train but
-    // boilerplate-hot in test would otherwise still blow up the join on
-    // its single key. The count pass re-derives the fingerprint relations
-    // (one extra scan+winnow per side — measured cheaper than forcing a
-    // reusable strict-width exchange, which more than doubled the query);
-    // at persistent-pipeline scale, checkpoint the fps relations instead.
-    val hot = trainFps.select("fp").unionAll(testFps.select("fp"))
-      .groupBy("fp").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf)
-      .select("fp")
-    trainFps
-      .join(broadcast(hot), Seq("fp"), "left_anti")
-      .join(testFps.join(broadcast(hot), Seq("fp"), "left_anti"), "fp")
-      .groupBy("train_id", "test_id")
-      .agg(count(lit(1)).as("shared_fps"))
+    val tagged = fps(train, 0).unionAll(fps(test, 1))
+    val lists = Postings.dfCapped(tagged, "fp", maxDf)
+      .groupBy("fp")
+      .agg(collect_list(when(col("side") === 0, col("id"))).as("train_ids"),
+        collect_list(when(col("side") === 1, col("id"))).as("test_ids"))
+      .filter(size(col("train_ids")) > 0 && size(col("test_ids")) > 0)
+    val pairs = lists
+      .select(explode(col("train_ids")).as("train_id"), col("test_ids"))
+      .select(col("train_id"), explode(col("test_ids")).as("test_id"))
+    Postings.pairAgg(pairs, "train_id", "test_id", Nil,
+        count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
   }
 }

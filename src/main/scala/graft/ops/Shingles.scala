@@ -36,20 +36,18 @@ object Shingles {
     * uncapped oracle — while bounding the worst per-shingle candidate count
     * at scale. The MinHash path (d04) stays the designated 100 TB route.
     *
-    * Plan shape — posting lists instead of a self-join: the exploded
-    * shingle relation shuffles ONCE on the 8-byte hash (strict width: the
-    * downstream cost is generated pairs, not input bytes, so AQE must not
-    * coalesce it), hot shingles are removed by broadcast anti-join BEFORE
-    * posting lists are gathered — so no aggregation group ever exceeds
-    * maxDf entries (collect_list cannot spill within a group) — pairs
-    * come from a double-explode of each posting list (same Σ df² work the
-    * self-join did, minus the join machinery), then ONE pair-key exchange
-    * counts common shingles. The hot-df count is a second derivation of
-    * the scan+shingle pipeline (plan-audited: PushDownLeftSemiAntiJoin
-    * rewrites the main branch under the repartition, so the two branches'
-    * exchanges never canonicalize equal and ReusedExchange cannot fire);
-    * the memory bound is worth the extra text pass on this, the exact
-    * BASELINE — d04's MinHash route stays the designated 100 TB path. */
+    * Plan shape — posting lists instead of a self-join, TWO exchanges end
+    * to end (see [[Postings]] for the shared machinery and its 100 TB
+    * rationale): the exploded shingle relation shuffles ONCE on the 8-byte
+    * hash at strict width (AQE's byte-based coalescing would collapse the
+    * pair fan-out, whose cost is generated rows, onto one task); each
+    * shingle's df is a spillable window count inside that same exchange,
+    * so hot shingles are dropped before any collect_list buffers them;
+    * pairs come from a double-explode of each posting list (same Σ df²
+    * work the self-join did, minus the join machinery); and the pair
+    * aggregation hash-partitions on (a_id, b_id) at strict width so the
+    * trailing ORDER BY's boundary sampling re-executes only the cheap
+    * parallel final aggregate. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, threshold: Double = 0.2,
                    maxDf: Long = 10000L): DataFrame = {
@@ -57,26 +55,7 @@ object Shingles {
       .select(col(idCol), shingles(col(textCol), k).as("__sh"))
       .select(col(idCol), size(col("__sh")).cast("long").as("n_sh"),
         explode(col("__sh")).as("shingle"))
-    // Strict-width repartition on the shingle key: the next stage's cost is
-    // the GENERATED pair count (Σ df² per group), not its input bytes, so
-    // AQE's size-based partition coalescing would misjudge it and collapse
-    // the heavy double-explode onto one or two tasks. A user-specified
-    // partition count is exempt from coalescing and keeps the pair
-    // generation at full width.
-    val nPart = docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // Hot shingles must be dropped BEFORE gathering posting lists:
-    // collect_list buffers a whole group in memory (it cannot spill within
-    // a group), so a boilerplate shingle shared by 10^6 docs would OOM the
-    // executor before any size filter ran. The hot set is tiny by
-    // construction (≤ |corpus|/maxDf keys) and is applied as a broadcast
-    // anti-join; its COUNT pass re-derives the exploded relation (see the
-    // scaladoc for why exchange reuse is structurally impossible here).
-    val hot = all.groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf)
-      .select("shingle")
-    val postings = all
-      .join(broadcast(hot), Seq("shingle"), "left_anti")
-      .repartition(nPart, col("shingle"))
+    val postings = Postings.dfCapped(all, "shingle", maxDf)
       .groupBy("shingle")
       .agg(collect_list(struct(col(idCol).as("id"), col("n_sh").as("n"))).as("docs"))
       .filter(size(col("docs")) > 1)
@@ -86,13 +65,14 @@ object Shingles {
     // broadcast-joining sizes back from a posting-derived length table —
     // was ~40% slower: the extra branch + broadcast dependency cost more
     // than the narrower key saved.)
-    val common = postings
+    val pairs = postings
       .select(explode(col("docs")).as("a"), col("docs"))
       .select(col("a"), explode(col("docs")).as("b"))
       .filter(col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("a_id"), col("b.id").as("b_id"),
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("common"))
+    val common = Postings.pairAgg(pairs, "a_id", "b_id",
+      Seq("na", "nb"), count(lit(1)).as("common"))
     common
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")))
