@@ -40,7 +40,7 @@ object Extended {
       // range-partitioned on the window key so the final ORDER BY adds no
       // exchange (see Windows.q27 note)
       T.events(s, d)
-        .repartitionByRange(col("user_id"))
+        .transform(df => byRangeCols(df, col("user_id")))
         .select(col("user_id"), col("event_id"), sec.as("sec"), col("value"),
           sum(dec(col("value"))).over(w).cast(DoubleType).as("trail_1h_value"),
           count(lit(1)).over(w).as("trail_1h_n"))
@@ -58,7 +58,7 @@ object Extended {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("b1")
       T.events(s, d)
-        .repartitionByRange(col("user_id"))
+        .transform(df => byRangeCols(df, col("user_id")))
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("b1"))
         .agg(count(lit(1)).as("n_raw"), dsum(col("value")).as("v_raw"))
         .withColumn("prev", lag(col("b1"), 1).over(w))
@@ -85,7 +85,7 @@ object Extended {
     "q52_forward_fill" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       T.events(s, d)
-        .repartitionByRange(col("user_id")) // final ORDER BY: no exchange
+        .transform(df => byRangeCols(df, col("user_id"))) // final ORDER BY: no exchange
         .withColumn("reading", when(col("event_type") === "error", lit(null))
           .otherwise(col("value")))
         .select(col("user_id"), col("event_id"), col("ts"), col("reading"),

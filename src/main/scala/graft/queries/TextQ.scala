@@ -83,23 +83,28 @@ object TextQ {
     // -- per-lang/source corpus stats (dialect-common SQL text).
     "t04_doc_stats" -> ((s, d) => T.sql(s, d, "documents")(Oracle.t04)),
 
-    // -- TF-IDF: top-3 scoring terms per document. Classic corpus
-    //    relevance weighting in three aggregations: term frequency per
-    //    (doc, term), document frequency per term, corpus size broadcast —
-    //    tf · ln(N/df) rounded to the cross-engine grain. At 100 TB: two
-    //    shuffles of the exploded term relation (tf, then df over the
-    //    already-deduped tf rows) and a broadcast scalar; the per-doc
-    //    top-k window partitions by doc_id (millions of groups = full
-    //    width).
+    // -- TF-IDF: top-3 scoring terms per document — tf · ln(N/df) rounded
+    //    to the cross-engine grain, in TWO exchanges end to end. The
+    //    exploded term relation shuffles once on `term` at strict width
+    //    (HashPartitioning(term) satisfies the (doc_id, term) tf grouping
+    //    — subset — so the tf aggregate plans no exchange of its own, and
+    //    a per-term window count over the SAME exchange is exactly the
+    //    document frequency, replacing the separate dfreq aggregate + its
+    //    term-key join). Corpus size joins as a broadcast scalar. The
+    //    per-doc top-k window then range-partitions on doc_id (millions
+    //    of groups at corpus scale = full width), which the trailing
+    //    ORDER BY (doc_id, rk) reuses exchange-free.
     "t05_tfidf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = T.documents(s, d)
+      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
       val tf = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .repartition(n, col("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(dfreq, "term")
+      val scored = tf
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
         .crossJoin(broadcast(nDocs))
         .withColumn("tfidf",
           round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))
@@ -108,7 +113,7 @@ object TextQ {
       // column itself, so ranking adds no new failure mode) with integer
       // tie-breaks (tf, df, term) so equal-scored terms order identically
       // on both engines
-      scored
+      byRangeCols(scored, col("doc_id"))
         .withColumn("rk", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("tfidf").desc,
             col("tf").desc, col("df"), col("term"))))

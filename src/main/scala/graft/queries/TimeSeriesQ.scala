@@ -46,7 +46,7 @@ object TimeSeriesQ {
       // global sort needs no exchange (and no double execution of the
       // pipeline for range-boundary sampling)
       T.events(s, d)
-        .repartitionByRange(col("user_id"))
+        .transform(df => byRangeCols(df, col("user_id")))
         .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
         .withColumn("new_s",
           when(col("prev_us").isNull ||

@@ -28,7 +28,7 @@ object Windows {
     "q27_window_lag" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       T.events(s, d)
-        .repartitionByRange(col("user_id"))
+        .transform(df => byRangeCols(df, col("user_id")))
         .select(
           col("event_id"), col("user_id"), col("ts"), col("value"),
           lag(col("value"), 1).over(w).as("prev_value"),
@@ -97,7 +97,7 @@ object Windows {
       // range-sort exchange re-executes the whole window pipeline once
       // more just to sample its sort keys.
       val ranked = T.lineitem(s, d)
-        .repartitionByRange(col("l_suppkey"))
+        .transform(df => byRangeCols(df, col("l_suppkey")))
         .select(
           col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
           sum(col("l_quantity").cast(d8)).over(run).as("sq"),
@@ -120,7 +120,7 @@ object Windows {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       val run = w.rowsBetween(Window.unboundedPreceding, 0)
       T.orders(s, d)
-        .repartitionByRange(col("o_custkey"))
+        .transform(df => byRangeCols(df, col("o_custkey")))
         .select(
           col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"),
           sum(mdec(col("o_totalprice"))).over(run).cast(DoubleType).as("run_total"),
@@ -133,7 +133,7 @@ object Windows {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       T.orders(s, d)
-        .repartitionByRange(col("o_custkey"))
+        .transform(df => byRangeCols(df, col("o_custkey")))
         .select(
           col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           lead(col("o_totalprice"), 1).over(w).as("next_price"),

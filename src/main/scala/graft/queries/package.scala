@@ -69,9 +69,22 @@ package object queries {
     * the source range-partitioned up front, the sampling pass touches only
     * the raw scan, the per-row work runs once, and the final sort needs no
     * exchange at all (RangePartitioning(k) is a valid prefix of
-    * OrderedDistribution(k, ...); aliases propagate through projections). */
+    * OrderedDistribution(k, ...); aliases propagate through projections).
+    *
+    * The partition count is pinned to spark.sql.shuffle.partitions: these
+    * exchanges feed per-row compute (windows, regex scoring, decimal
+    * arithmetic), whose cost AQE's byte-based coalescing cannot see — at
+    * sf0.1 it was collapsing a 600k-row window pipeline onto ONE task
+    * because the shuffle was only ~20 MB. A user-specified count is exempt
+    * from coalescing; on a cluster the same conf tracks cluster width. */
   def byRange(df: DataFrame, cols: String*): DataFrame =
-    df.repartitionByRange(cols.map(col): _*)
+    byRangeCols(df, cols.map(col): _*)
+
+  /** [[byRange]] over arbitrary Column expressions. */
+  def byRangeCols(df: DataFrame, cols: Column*): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartitionByRange(n, cols: _*)
+  }
 }
 
 package queries {
