@@ -54,13 +54,20 @@ object Bench {
     // still reported separately ("queries") from steady state
     // ("queries_warm" medians). Disable with GRAFT_WARMUP=false.
     val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
-    val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
-    if (sys.env.getOrElse("GRAFT_WARMUP", "true").toBoolean &&
-        warmDir.isDirectory && warmDir.getPath != new java.io.File(sfDir).getPath) {
-      headline.filter(n => only.forall(_.contains(n))).foreach { name =>
-        try SparkEntry.queries(name)(spark, warmDir.getPath).queryExecution.toRdd
-          .foreachPartition { it => while (it.hasNext) it.next() }
-        catch { case _: Throwable => () } // timed run will surface real failures
+    // Two warmup tiers: sf0.001 compiles each query's small-data codegen
+    // cheaply, then sf0.01 compiles the stages AQE only plans at realistic
+    // sizes (shuffle-path joins instead of broadcasts, multi-partition
+    // aggregates) — without it the first sf0.1 run pays Janino compiles
+    // for every plan shape the tiny tier never produced.
+    for (tier <- Seq("sf0.001", "sf0.01")) {
+      val warmDir = new java.io.File(new java.io.File(sfDir).getParentFile, tier)
+      if (sys.env.getOrElse("GRAFT_WARMUP", "true").toBoolean &&
+          warmDir.isDirectory && warmDir.getPath != new java.io.File(sfDir).getPath) {
+        headline.filter(n => only.forall(_.contains(n))).foreach { name =>
+          try SparkEntry.queries(name)(spark, warmDir.getPath).queryExecution.toRdd
+            .foreachPartition { it => while (it.hasNext) it.next() }
+          catch { case _: Throwable => () } // timed run will surface real failures
+        }
       }
     }
 

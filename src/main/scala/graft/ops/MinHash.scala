@@ -54,6 +54,7 @@ object MinHash {
   def candidatePairs(sigs: DataFrame, idCol: String,
                      bands: Int = 16): DataFrame = {
     val rows = NumHashes / bands
+    val n = sigs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val banded = sigs
       .select(col(idCol),
         TextExprs.bandSigs(col("minhash"), bands, rows).as("__bs"))
@@ -62,12 +63,19 @@ object MinHash {
       // self-join, whose plan then differs from the streamed side and the
       // whole scan+signature pipeline runs twice; with both sides
       // exchanged on (band, sig) the exchanges canonicalize equal and the
-      // second one is a ReusedExchange — signatures are computed ONCE
+      // second one is a ReusedExchange — signatures are computed ONCE.
+      // (A user repartition on (band, sig) would pin the bucket join's
+      // width, but the self-join's right-side attribute dedup makes the
+      // two user exchanges structurally unequal — reuse dies and the
+      // signature pass runs twice, measured strictly worse than letting
+      // AQE size the bucket join.)
       .hint("shuffle_hash")
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      // pair dedup at strict width on the pair key (same rationale)
+      .repartition(n, col("a_id"), col("b_id"))
       .distinct()
   }
 
