@@ -90,6 +90,21 @@ object DedupQ {
         .filter(col("n_docs") > 1)
         .orderBy("fp")),
 
+    // -- duplicate CLUSTERS: connected components over the exact-Jaccard
+    //    near-dup pairs (A~B, B~C ⇒ {A,B,C} is one dedup unit; keeping
+    //    "one per pair" would over- and under-delete). Hash-to-min label
+    //    propagation, one join+min-agg round per graph-diameter step —
+    //    see [[graft.ops.Components]] for the 100 TB iteration story.
+    //    cluster_id = min doc_id in the component (deterministic ⇒ the
+    //    DuckDB recursive-CTE closure must match exactly).
+    "d09_dup_clusters" -> ((s, d) => {
+      val pairs = Shingles.jaccardPairs(T.documents(s, d), "doc_id", "text",
+        k = 3, threshold = 0.2)
+      graft.ops.Components.clusters(pairs, "a_id", "b_id")
+        .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
+        .orderBy("doc_id")
+    }),
+
     // -- train/test contamination: eval-set documents sharing long literal
     //    substrings with training documents, via winnowing fingerprints
     //    (guarantee: any shared substring of >= window+k-1 bytes yields a
@@ -134,6 +149,29 @@ object DedupQ {
         |FROM c JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
         |WHERE CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) >= 0.2
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // transitive closure of the d03 pair relation via recursive CTE:
+    // min reachable id = cluster id, distinct reachable = cluster size
+    "d09_dup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |s AS (SELECT DISTINCT doc_id,
+        |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)),
+        |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |p AS (SELECT a_id, b_id
+        |      FROM c JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+        |      WHERE CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) >= 0.2),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM p
+        |      UNION ALL SELECT b_id, a_id FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
+        |SELECT id AS doc_id, MIN(r) AS cluster_id, COUNT(DISTINCT r) AS cluster_size
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "d06_embedding_dup" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id

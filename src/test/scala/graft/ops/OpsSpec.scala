@@ -267,4 +267,38 @@ class OpsSpec extends SparkSpec {
       .collect().head
     assert(r.isNullAt(r.fieldIndex("ref")))
   }
+
+  test("connected components match a union-find reference on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 40
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(ra max rb) = ra min rb
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> {
+          // min node id in the component, among nodes that appear in edges
+          val r = find(id.toInt)
+          edges.flatMap(e => Seq(e._1, e._2)).distinct.filter(x => find(x.toInt) == r).min
+        }).toMap
+      val got = Components.connected(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial")
+    }
+  }
+
+  test("cluster sizes count component members once each") {
+    // path 1-2-3 plus pair 10-11: clusters {1,2,3} and {10,11}
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Components.clusters(edges, "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
 }
