@@ -112,12 +112,18 @@ object DedupQ {
     //    slice of the corpus. At 100 TB: equi-join on 8-byte fingerprint
     //    keys with a df cap on boilerplate fingerprints (same hot-key
     //    bound as exact Jaccard); rows-only check (hash-impl-specific),
-    //    semantics pinned by OpsSpec.
+    //    semantics pinned by OpsSpec. Gram size is CORPUS tuning, not a
+    //    constant: this synthetic corpus draws from a ~15-word vocabulary,
+    //    so 23-byte grams (the library default k=8/window=16) repeat
+    //    everywhere — 3.3k distinct fingerprints over 142k rows and a
+    //    4.4M-row candidate join at sf0.1, all noise. k=16/window=32
+    //    (shared substring >= 47 bytes ≈ 8 words) is selective here:
+    //    100× fewer candidate rows, and the survivors are real overlaps.
     "d08_contamination" -> ((s, d) => {
       graft.ops.Contamination.sharedFingerprintPairs(
         T.documents(s, d).filter(pmod(col("doc_id"), lit(10)) =!= 0),
         T.documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0),
-        "doc_id", "text", minShared = 10)
+        "doc_id", "text", k = 16, window = 32, minShared = 10)
         .orderBy("train_id", "test_id")
     })
   )
