@@ -38,6 +38,15 @@ object Bench {
       // recompiles evicted stages with Janino — steady-state times become
       // first-run times. Static conf: must be set before session creation.
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      // Single-host tuning, mirrors what a resident local engine would run
+      // with: no locality wait (every task is process-local), no shuffle
+      // block compression (blocks live on local tmpfs/page cache; lz4
+      // costs CPU per block with nothing to save on a loopback "network").
+      // On a real cluster leave compression on — these are bench-session
+      // settings, not library defaults.
+      .config("spark.locality.wait", "0s")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -42,23 +42,29 @@ object Components {
     var labels = und.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint()
+    // One hash-to-min step: each node takes the min label among itself and
+    // its neighbors. The self row carries the previous label through the
+    // same union + min-agg, so every output row has BOTH the new and the
+    // prior label and the convergence probe is a filter — no second join
+    // (labels only ever decrease, so "< previous" ⇔ changed).
+    def step(ls: DataFrame): DataFrame = und
+      .join(ls.select(col("id"), col("label")), col("dst") === col("id"))
+      .select(col("src").as("id"), col("label"), lit(null).cast("long").as("self"))
+      .unionAll(ls.select(col("id"), col("label"), col("label").as("self")))
+      .groupBy("id")
+      .agg(min("label").as("label"), min("self").as("prev"))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // The self row (flagged) rides through the same union + min-agg, so
-      // each output row carries BOTH the new and the previous label — the
-      // convergence probe is then a filter on the checkpointed result, not
-      // another join (labels only ever decrease, so "< previous" ⇔ changed).
-      val stepped = und
-        .join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("label"), lit(null).cast("long").as("self"))
-        .unionAll(labels.select(col("id"), col("label"), col("label").as("self")))
-        .groupBy("id")
-        .agg(min("label").as("label"), min("self").as("prev"))
-        .localCheckpoint()
+      // two steps per checkpoint+probe: a checkpoint and a convergence
+      // probe are one driver job each, which dominates a round on small
+      // graphs — lineage depth 2 is still flat, and the probe's "prev" is
+      // the label one step back, so convergence (no change across the
+      // LAST step) is detected one step late at worst, never wrongly.
+      val stepped = step(step(labels)).localCheckpoint()
       converged = stepped.filter(col("label") < col("prev")).limit(1).count() == 0L
       labels = stepped.select("id", "label")
-      iter += 1
+      iter += 2
     }
     labels
   }
