@@ -37,6 +37,14 @@ object VectorExprs {
   def nearestCentroids(a: Column, codebook: Array[Array[Double]], n: Int): Column =
     GraftSqlBridge.column(
       NearestCentroids(GraftSqlBridge.expression(a), codebook, n))
+
+  /** Max-abs int8 quantization: struct<scale: double, codes: array<tinyint>>. */
+  def quantizeI8(a: Column): Column =
+    GraftSqlBridge.column(QuantizeI8(GraftSqlBridge.expression(a)))
+
+  /** Codegen'd integer dot product of two int8 code vectors. */
+  def dotI8(a: Column, b: Column): Column =
+    GraftSqlBridge.column(DotI8(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }
 
 /** array<int> length-n: indices of the `n` codebook rows with the highest
@@ -257,4 +265,95 @@ case class NormF32(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): NormF32 =
     copy(child = newChild)
+}
+
+/** struct<scale: double, codes: array<tinyint>> — max-abs scalar int8
+  * quantization of a float/double vector: code_i = round(v_i · 127/max|v|),
+  * dequantize as code_i / scale. The 100 TB story: a 64-float embedding
+  * (256 B + array header) becomes 64 bytes + one double — 4× less scan IO,
+  * shuffle volume and memory bandwidth on every ANN stage — and COSINE is
+  * scale-invariant, so ranking by quantized integer dot products needs no
+  * dequantization at all (see [[DotI8]]). Deterministic (half-up rounding),
+  * so quantized results are stable across partitionings and engines. */
+case class QuantizeI8(child: Expression) extends UnaryExpression {
+
+  @transient private lazy val cc = VecType.code(prettyName, child.dataType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("codes", ArrayType(ByteType, containsNull = false), nullable = false)))
+  override def prettyName: String = "quantize_i8"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val v = math.abs(VecType.get(x, i, cc))
+      if (v > maxAbs) maxAbs = v
+      i += 1
+    }
+    val scale = if (maxAbs > 0) 127.0 / maxAbs else 0.0
+    val codes = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      val q = Math.round(VecType.get(x, i, cc) * scale) // half-up, in [-127, 127]
+      codes(i) = q.toByte
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      scale, new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        codes.map(b => b: Any)))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("qi8", this, classOf[QuantizeI8].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |Object r = $self.nullSafeEval($a);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r; }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeI8 =
+    copy(child = newChild)
+}
+
+/** int: dot product of two array<tinyint> code vectors (≤ 2^24 for 1024
+  * dims at |code| ≤ 127 — no overflow). Pure integer arithmetic inside
+  * whole-stage codegen; cosine over codes = cosine over the dequantized
+  * vectors because the per-vector scales cancel. */
+case class DotI8(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "dot_i8"
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0
+    var i = 0
+    while (i < n) { s += x.getByte(i) * y.getByte(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int s = 0;
+         |for (int i = 0; i < n; i++) { s += $a.getByte(i) * $b.getByte(i); }
+         |${ev.value} = s;
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotI8 =
+    copy(left = newLeft, right = newRight)
 }

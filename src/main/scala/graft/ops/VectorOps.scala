@@ -28,6 +28,36 @@ object VectorOps {
   def withNorm(vecs: DataFrame, vecCol: String): DataFrame =
     vecs.withColumn("_norm", norm(col(vecCol)))
 
+  /** Top-k cosine neighbors over int8-QUANTIZED vectors — the embedding
+    * compression path for 100 TB corpora: max-abs scalar quantization
+    * (graft.functions.QuantizeI8) shrinks a 64-float embedding 4×, so
+    * every scan, shuffle and in-memory probe moves 4× fewer bytes, and
+    * cosine is scale-invariant so ranking uses pure INTEGER dot products
+    * (DotI8, codegen'd) with no dequantization. Same plan shape as
+    * [[knnBrute]] (broadcast queries × spread corpus, window top-k);
+    * recall vs the exact baseline is pinned by ScalaTest. Rounding makes
+    * near-ties implementation-specific ⇒ rows-only driver check. */
+  def knnQuantized(queries: DataFrame, base: DataFrame, idCol: String,
+                   vecCol: String, k: Int): DataFrame = {
+    import graft.functions.VectorExprs.{dotI8, quantizeI8}
+    def quant(df: DataFrame, id: String) = df
+      .select(col(idCol).as(id), quantizeI8(col(vecCol)).as("__q"))
+      .select(col(id), col("__q.codes").as(s"${id}_codes"))
+      .withColumn(s"${id}_n2", dotI8(col(s"${id}_codes"), col(s"${id}_codes")))
+      .filter(col(s"${id}_n2") > 0)
+    val q = quant(queries, "qid")
+    val par = base.sparkSession.sparkContext.defaultParallelism
+    val b = quant(base, "nid").repartition(par)
+    b.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", dotI8(col("qid_codes"), col("nid_codes")).cast("double") /
+        (sqrt(col("qid_n2")) * sqrt(col("nid_n2"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("rk").cast("int").as("rk"))
+  }
+
   /** Brute-force top-k cosine neighbors for each query row.
     * Queries should be small (broadcast); base is the full corpus. The
     * per-query ranking is a window top-k: one shuffle on query id. */

@@ -39,6 +39,17 @@ object SimilarityQ {
         .orderBy("qid", "rk")
     }),
 
+    // -- int8-quantized kNN for the same queries: 4× smaller vectors,
+    //    integer dot products, no dequantization (cosine is
+    //    scale-invariant). Rows-only check; recall vs s01 pinned in
+    //    OpsSpec.
+    "s05_ann_i8" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      VectorOps.knnQuantized(
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5)
+        .orderBy("qid", "rk")
+    }),
+
     // -- centroid similarity per label: average vector per label, then
     //    each vector's cosine to its own label centroid (exact decimal-free
     //    arithmetic is impossible here ⇒ aggregate stats only, rounded).

@@ -137,6 +137,38 @@ object TextQ {
         .orderBy("lang", "split")
     }),
 
+    // -- vocabulary pruning: drop terms too rare (typos, hapax noise,
+    //    df < 5) or too common (stopword-like, df > 40% of corpus) and
+    //    report per-document retention — the standard preprocessing step
+    //    before embedding/LM training. Same two-exchange shape as t05:
+    //    term-partitioned tf with df as a window count over the SAME
+    //    exchange, corpus size broadcast, then a doc_id range exchange
+    //    that the trailing ORDER BY reuses.
+    "t07_vocab_prune" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = T.documents(s, d)
+      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .repartition(n, col("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val kept = tf
+        .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("keep", col("df") >= 5 && col("df") <= lit(0.4) * col("n_docs"))
+      byRangeCols(kept, col("doc_id"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_terms"),
+          sum(col("tf")).as("n_tokens"),
+          count(when(col("keep"), 1)).as("kept_terms"),
+          coalesce(sum(when(col("keep"), col("tf"))), lit(0L)).as("kept_tokens"))
+        .withColumn("kept_ratio",
+          round(col("kept_tokens").cast(DoubleType) / col("n_tokens"), 6))
+        .orderBy("doc_id")
+    }),
+
     // -- multimodal plumbing shape: opaque binary column + typed metadata.
     //    Text stands in for media bytes (no codecs in this container); the
     //    full binary pipeline (batch decode stubs) lives in
@@ -254,6 +286,25 @@ object TextQ {
         |      ELSE 'test' END AS split,
         | COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+
+    "t07_vocab_prune" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |agg AS (
+        |  SELECT t.doc_id,
+        |    COUNT(*) AS n_terms,
+        |    CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+        |    COUNT(CASE WHEN d.df >= 5 AND d.df <= 0.4 * n.n_docs THEN 1 END) AS kept_terms,
+        |    CAST(COALESCE(SUM(CASE WHEN d.df >= 5 AND d.df <= 0.4 * n.n_docs
+        |                           THEN t.tf END), 0) AS BIGINT) AS kept_tokens
+        |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, n_terms, n_tokens, kept_terms, kept_tokens,
+        |       round(CAST(kept_tokens AS DOUBLE) / n_tokens, 6) AS kept_ratio
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     "m01_binary_meta" ->
       """SELECT doc_id,

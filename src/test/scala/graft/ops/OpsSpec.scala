@@ -301,4 +301,40 @@ class OpsSpec extends SparkSpec {
     assert(out == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
+
+  test("int8-quantized knn holds high recall vs the exact baseline") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val q = vecs.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val exact = pairs(VectorOps.knnBrute(q, vecs, "vec_id", "embedding", k = 10))
+    val quant = pairs(VectorOps.knnQuantized(q, vecs, "vec_id", "embedding", k = 10))
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below 0.9")
+  }
+
+  test("int8 quantization: cosine error is bounded and codes span the range") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val rows = vecs.select($"vec_id",
+        graft.functions.VectorExprs.quantizeI8($"embedding").as("q"),
+        $"embedding")
+      .select($"vec_id", $"q.scale".as("scale"), $"q.codes".as("codes"), $"embedding")
+      .collect()
+    rows.foreach { r =>
+      val emb = r.getSeq[Float](3)
+      val codes = r.getSeq[Byte](2)
+      val scale = r.getDouble(1)
+      assert(codes.length == emb.length)
+      // max-abs element maps to ±127 exactly; every roundtrip error <= 0.5/scale
+      assert(codes.map(_.toInt.abs).max == 127)
+      emb.zip(codes).foreach { case (v, c) =>
+        assert(math.abs(v - c / scale) <= 0.5 / scale + 1e-9,
+          s"roundtrip error too large for $v -> $c at scale $scale")
+      }
+    }
+  }
 }
