@@ -70,6 +70,16 @@ object EventStream {
       joinType)
   }
 
+  /** Stream-static enrichment: join each event against a (slowly-changing)
+    * dimension table. The static side is broadcast — re-resolved per
+    * micro-batch, so a refreshed dim DataFrame is picked up without
+    * restarting the query — and no stream state is kept at all (unlike
+    * stream-stream joins there is nothing to watermark: the static side is
+    * fully available every batch). `left` keeps events with no dim row. */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String,
+             joinType: String = "left"): DataFrame =
+    stream.join(broadcast(dim), Seq(key), joinType)
+
   final case class Event(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(sessionId: Long, // first-event ts micros
                                 lastTsMicros: Long,

@@ -139,4 +139,23 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set((1L, ts("2024-01-01 10:00:00").getTime * 1000L, 2L, 3.0)))
     } finally query.stop()
   }
+
+  test("stream-static enrich joins dim rows per micro-batch, keeps misses") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = EventStream.enrich(input.toDF(), dim, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1L, 10L, ts("2024-01-01 10:00:00"), 1.0),
+        Event(9L, 11L, ts("2024-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("tier"))).toSet
+      assert(rows == Set((1L, "gold"), (9L, null)))
+    } finally q.stop()
+  }
 }
