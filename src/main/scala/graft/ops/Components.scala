@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
   * the edge relation). Near-dup graphs are unions of small dense
   * clusters — diameter is tiny (≤ 3–4), so the loop exits after a
   * handful of rounds; the early-exit check is a LIMIT 1 existence probe,
-  * not a full count. For adversarial long-path graphs at 100 TB, the
-  * documented upgrade is alternating large-star/small-star contraction
-  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-  * SoCC'14), which bounds rounds at O(log n) with the same per-round
-  * join shape — the propagation loop below is the same skeleton.
+  * not a full count. For adversarial long-path graphs (where diameter
+  * rounds would be fatal at 100 TB), [[connectedStar]] implements
+  * alternating large-star/small-star contraction with an O(log n) round
+  * bound — spec-verified equivalent on random graphs and on a 64-node
+  * chain. Near-dup graphs keep hash-to-min as the default: fewer, cheaper
+  * rounds when the diameter is small.
   *
   * Each round's result is localCheckpoint'ed: without it round N's plan
   * replays rounds 0..N−1 (lineage grows quadratically), and the upstream
@@ -67,6 +68,68 @@ object Components {
       iter += 2
     }
     labels
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the adversarial-graph path: converges in
+    * O(log n) rounds on ANY graph, where hash-to-min needs
+    * graph-diameter rounds (a 10⁶-node chain = 10⁶ rounds vs ~20).
+    *
+    * Round shape (all one exchange each, same posting-list machinery as
+    * [[Postings]]): orient edges both ways, attach m(u) = min(N(u) ∪ u)
+    * as a window min over the u-partitioned exchange, then
+    *   large-star: re-link every neighbor v > u to m(u);
+    *   small-star: re-link every neighbor v ≤ u (and u itself) to m(u).
+    * The edge set monotonically contracts toward stars rooted at each
+    * component's minimum; convergence = the round leaves the edge set
+    * unchanged (count + order-independent checksum over the checkpointed
+    * result — no join). Result contract matches [[connected]]. */
+  def connectedStar(edges: DataFrame, aCol: String, bCol: String,
+                    maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    var e = edges
+      .select(col(aCol).cast("long").as("u"), col(bCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    def sig(df: DataFrame): (Long, Long) = {
+      // order-independent, overflow-free set checksum (ANSI-safe)
+      val r = df.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    def round(in: DataFrame, large: Boolean): DataFrame = {
+      val und = in.select(col("u"), col("v"))
+        .unionAll(in.select(col("v").as("u"), col("u").as("v")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
+      val withMin = und.withColumn("m", least(min(col("v")).over(w), col("u")))
+      val relinked =
+        if (large) withMin.filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+        else withMin.filter(col("v") <= col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionAll(withMin.select(col("u"), col("m").as("v")))
+      relinked.filter(col("u") =!= col("v")).distinct()
+    }
+
+    var s = sig(e)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = round(round(e, large = true), large = false).localCheckpoint()
+      val ns = sig(next)
+      converged = ns == s
+      e = next; s = ns
+      iter += 1
+    }
+    // converged edge set is a union of stars (v → component minimum);
+    // roots appear only on the right side, so union them in as self-labels
+    val members = e.select(col("u").as("id"), col("v").as("label"))
+    val roots = e.select(col("v").as("id")).distinct().withColumn("label", col("id"))
+    members.unionAll(roots)
+      .groupBy("id").agg(min("label").as("label"))
   }
 
   /** Per-node cluster assignment with cluster sizes:

@@ -70,6 +70,27 @@ object EventStream {
       joinType)
   }
 
+  /** Streaming corpus dedup by MinHash signature — the streaming twin of
+    * the batch d04 pipeline's first stage: a document whose full 64-slot
+    * MinHash signature was already seen inside the watermark window is
+    * dropped (identical signature ⇒ near-identical shingle set; exact
+    * duplicates and trivial re-paginations collide with certainty, and
+    * state is one 8-byte hash per surviving doc, watermark-evicted).
+    * Banded candidate pairing needs a join and stays batch; this is the
+    * cheap streaming front-filter a training-data ingest runs first.
+    * Docs too short to shingle fall back to exact-text identity rather
+    * than colliding on a shared NULL signature. */
+  def dedupBySignature(docs: DataFrame, textCol: String, tsCol: String = "ts",
+                       lateness: String = "1 hour", k: Int = 3): DataFrame = {
+    val sig = graft.ops.MinHash.signature(col(textCol), k)
+    docs
+      .withColumn("__sig",
+        when(sig.isNotNull, xxhash64(sig)).otherwise(xxhash64(col(textCol))))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
+  }
+
   /** Stream-static enrichment: join each event against a (slowly-changing)
     * dimension table. The static side is broadcast — re-resolved per
     * micro-batch, so a refreshed dim DataFrame is picked up without

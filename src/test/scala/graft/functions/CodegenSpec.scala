@@ -45,6 +45,23 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization + integer dot compile under strict codegen") {
+    withStrictCodegen {
+      val df = Seq((1L, Array(1.0f, -2.0f, 0.5f)), (2L, Array(0.0f, 0.0f, 0.0f)))
+        .toDF("id", "v")
+        .select($"id",
+          VectorExprs.quantizeI8($"v").as("q"))
+        .select($"id", $"q.scale".as("s"),
+          VectorExprs.dotI8($"q.codes", $"q.codes").as("selfdot"))
+      val rows = df.orderBy("id").collect()
+      // max-abs element (−2.0) maps to −127 ⇒ self-dot ≥ 127²
+      assert(rows(0).getInt(2) >= 127 * 127)
+      assert(rows(0).getDouble(1) == 127.0 / 2.0)
+      // zero vector: scale 0, all-zero codes, dot 0
+      assert(rows(1).getDouble(1) == 0.0 && rows(1).getInt(2) == 0)
+    }
+  }
+
   test("band signatures compile under strict codegen") {
     withStrictCodegen {
       val coefA = Array.tabulate(8)(i => 2L * i + 3)

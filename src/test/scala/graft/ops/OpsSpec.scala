@@ -337,4 +337,25 @@ class OpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("star-contraction components match hash-to-min on random graphs and long chains") {
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 2) {
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("a", "b")
+      val hm = Components.connected(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val st = Components.connectedStar(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(st == hm, s"trial $trial")
+    }
+    // 64-node chain: diameter 63 — star contraction must still converge
+    // (O(log n) rounds) and label every node with the minimum, 0
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Components.connectedStar(chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 64 && labels.values.forall(_ == 0L))
+  }
 }

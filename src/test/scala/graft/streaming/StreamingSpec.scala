@@ -158,4 +158,25 @@ class StreamingSpec extends SparkSpec {
       assert(rows == Set((1L, "gold"), (9L, null)))
     } finally q.stop()
   }
+
+  test("streaming signature dedup drops near-identical docs, keeps shorts distinct") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = EventStream.dedupBySignature(docs, "text")
+      .writeStream.format("memory").queryName("sigdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val body = (0 until 30).map("w" + _).mkString(" ")
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), body),
+        (2L, ts("2024-01-01 10:01:00"), body),          // same shingles -> dropped
+        (3L, ts("2024-01-01 10:02:00"), "zz qq"),       // too short to shingle
+        (4L, ts("2024-01-01 10:03:00"), "aa bb"))       // also short but distinct -> kept
+      q.processAllAvailable()
+      val kept = spark.table("sigdedup").collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(kept == Set(1L, 3L, 4L))
+    } finally q.stop()
+  }
 }
