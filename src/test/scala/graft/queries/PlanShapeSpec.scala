@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Plan-shape regression guards for the queries whose performance work
+  * was all about exchange structure: if a refactor re-introduces an
+  * extra shuffle (a second derivation of a text pipeline, a lost
+  * exchange reuse, a planner-added range exchange for a trailing ORDER
+  * BY), these counts move and the spec names the query that regressed.
+  * Counts are taken from the INITIAL adaptive physical plan (before
+  * execution), where every planned exchange is visible. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfd = "/root/testdata/sf0.001"
+
+  private def shuffles(name: String): Int =
+    "Exchange (hash|range)partitioning".r
+      .findAllIn(graft.SparkEntry.queries(name)(spark, sfd)
+        .queryExecution.executedPlan.toString)
+      .length
+
+  test("tf-idf plans exactly two shuffles (term window + doc top-k)") {
+    assert(shuffles("t05_tfidf") == 2)
+  }
+
+  test("vocab pruning plans exactly two shuffles") {
+    assert(shuffles("t07_vocab_prune") == 2)
+  }
+
+  test("exact jaccard plans three shuffles (shingle, pair, result sort)") {
+    // one-exchange df cap + posting lists, strict-width pair agg, and the
+    // tiny aggregated relation's ORDER BY exchange — a second text-scan
+    // derivation would add two more
+    assert(shuffles("d03_ngram_jaccard") == 3)
+  }
+
+  test("contamination plans three shuffles") {
+    assert(shuffles("d08_contamination") == 3)
+  }
+
+  test("rolling windows plan one range exchange, ORDER BY planner-eliminated") {
+    assert(shuffles("q29_window_rolling") == 1)
+  }
+
+  test("quantized knn plans one shuffle (corpus spread) plus broadcast") {
+    val plan = graft.SparkEntry.queries("s05_ann_i8")(spark, sfd)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), "queries side must broadcast")
+  }
+}
