@@ -105,6 +105,36 @@ object DedupQ {
         .orderBy("doc_id")
     }),
 
+    // -- the dedup END PRODUCT: a per-document keep/drop manifest. Exact
+    //    duplicates defer to the minimum doc_id of their text group
+    //    (window min over ONE text-keyed exchange); surviving docs that
+    //    sit in a near-dup cluster (d09's components over exact-Jaccard
+    //    pairs) defer to the cluster minimum. Precedence exact-then-near
+    //    is what a 100 TB ingest runs: cheap hash dedup first, expensive
+    //    similarity dedup on the survivors' clusters.
+    "d10_dedup_manifest" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = T.documents(s, d).select("doc_id", "text")
+      val withExact = docs.withColumn("exact_keep",
+        min("doc_id").over(Window.partitionBy("text")))
+      val pairs = Shingles.jaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.2)
+      val cc = graft.ops.Components.connected(pairs, "a_id", "b_id")
+        .select(col("id").as("doc_id"), col("label").as("cluster_keep"))
+      withExact.join(cc, Seq("doc_id"), "left")
+        .withColumn("verdict",
+          when(col("doc_id") =!= col("exact_keep"), "drop_exact")
+            .when(col("cluster_keep").isNotNull &&
+              col("doc_id") =!= col("cluster_keep"), "drop_near")
+            .otherwise("keep"))
+        .withColumn("canonical_id",
+          when(col("doc_id") =!= col("exact_keep"), col("exact_keep"))
+            .when(col("cluster_keep").isNotNull, col("cluster_keep"))
+            .otherwise(col("doc_id")))
+        .select("doc_id", "verdict", "canonical_id")
+        .orderBy("doc_id")
+    }),
+
     // -- train/test contamination: eval-set documents sharing long literal
     //    substrings with training documents, via winnowing fingerprints
     //    (guarantee: any shared substring of >= window+k-1 bytes yields a
@@ -178,6 +208,39 @@ object DedupQ {
         |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id)
         |SELECT id AS doc_id, MIN(r) AS cluster_id, COUNT(DISTINCT r) AS cluster_size
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // exact groups via window min; near-dup clusters via the d09 closure;
+    // exact-then-near precedence identical to the Spark side
+    "d10_dedup_manifest" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |s AS (SELECT DISTINCT doc_id,
+        |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)),
+        |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |p AS (SELECT a_id, b_id
+        |      FROM c JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+        |      WHERE CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) >= 0.2),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM p
+        |      UNION ALL SELECT b_id, a_id FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        |cl AS (SELECT id AS doc_id, MIN(r) AS cluster_keep FROM reach GROUP BY id),
+        |ex AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS exact_keep
+        |       FROM documents)
+        |SELECT ex.doc_id,
+        |  CASE WHEN ex.exact_keep <> ex.doc_id THEN 'drop_exact'
+        |       WHEN cl.cluster_keep IS NOT NULL AND cl.cluster_keep <> ex.doc_id
+        |            THEN 'drop_near'
+        |       ELSE 'keep' END AS verdict,
+        |  CASE WHEN ex.exact_keep <> ex.doc_id THEN ex.exact_keep
+        |       WHEN cl.cluster_keep IS NOT NULL THEN cl.cluster_keep
+        |       ELSE ex.doc_id END AS canonical_id
+        |FROM ex LEFT JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "d06_embedding_dup" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id
