@@ -111,7 +111,10 @@ object DedupQ {
     //    sit in a near-dup cluster (d09's components over exact-Jaccard
     //    pairs) defer to the cluster minimum. Precedence exact-then-near
     //    is what a 100 TB ingest runs: cheap hash dedup first, expensive
-    //    similarity dedup on the survivors' clusters.
+    //    similarity dedup on the survivors' clusters. canonical_id is the
+    //    IMMEDIATE representative (an exact-dup's canonical may itself be
+    //    near-dup-dropped; consumers wanting transitive roots follow the
+    //    one extra hop) — identical rule on both engines.
     "d10_dedup_manifest" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = T.documents(s, d).select("doc_id", "text")

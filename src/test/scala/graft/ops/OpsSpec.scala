@@ -358,4 +358,26 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == 64 && labels.values.forall(_ == 0L))
   }
+
+  test("jaccard pairs match an in-memory reference on random corpora") {
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 12).map("v" + _)
+    for (trial <- 0 until 2) {
+      val corpus = (1L to 25L).map(i =>
+        (i, Seq.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      def shset(t: String) =
+        t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      val expected = (for {
+        (a, ta) <- corpus
+        (b, tb) <- corpus if a < b
+        sa = shset(ta); sb = shset(tb) if sa.nonEmpty && sb.nonEmpty
+        common = (sa intersect sb).size
+        if common > 0 && common.toDouble / (sa.size + sb.size - common) >= 0.2
+      } yield (a, b)).toSet
+      val got = Shingles.jaccardPairs(corpus.toDF("doc_id", "text"),
+          "doc_id", "text", k = 3, threshold = 0.2)
+        .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+      assert(got == expected, s"trial $trial")
+    }
+  }
 }
