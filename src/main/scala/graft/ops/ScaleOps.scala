@@ -13,13 +13,22 @@ object ScaleOps {
     * parallelism follows FILE SPLITS, not cluster width: a single small
     * parquet file scans as one partition, which would run an expensive
     * per-row expression (shingling, MinHash, winnowing, LSH keying) on one
-    * core while the rest idle. Conditional on the actual partition count,
-    * so on a real corpus (thousands of splits) it is a no-op — no shuffle
-    * is added at scale; only pathologically narrow inputs pay one
-    * round-robin exchange of the raw rows. */
+    * core while the rest idle. Two conditions, both cheap driver-side:
+    *
+    *  - narrow (partitions ≪ parallelism) — on a real corpus (thousands
+    *    of splits) this fails and spread is a no-op, so no shuffle is
+    *    ever added at scale;
+    *  - big enough to matter (optimizer size estimate ≥ 4 MiB): the text
+    *    expressions cost ~10–30 µs per ~300 B row (measured,
+    *    tools/MicroBench), so below a few MiB the whole pass is tens of
+    *    ms single-threaded — CHEAPER than the extra stage's task+schedule
+    *    overhead it would take to parallelize it (measured: dropping the
+    *    exchange cut d08 ~25% at sf0.1 while sf≥1 corpora still spread). */
   def spread(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < par) df.repartition(par) else df
+    val narrow = df.rdd.getNumPartitions * 2 < par
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (narrow && bytes >= (4L << 20)) df.repartition(par) else df
   }
 
   /** Salted equi-join for skew: the big side gets a deterministic salt in

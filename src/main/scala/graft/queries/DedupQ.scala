@@ -48,8 +48,12 @@ object DedupQ {
         .orderBy("a_id", "b_id")),
 
     // -- SimHash fingerprints + small-Hamming pairs (rows-only check).
+    //    Fingerprints are checkpointed (5000 × 16 B): nearPairs' strict
+    //    bucket-join width defeats exchange reuse, so an uncached input
+    //    would run the simhash scan twice.
     "d05_simhash" -> ((s, d) => {
       val fps = SimHash.fingerprints(T.documents(s, d), "doc_id", "text")
+        .localCheckpoint()
       SimHash.nearPairs(fps, "doc_id", maxDist = 16).orderBy("a_id", "b_id")
     }),
 
