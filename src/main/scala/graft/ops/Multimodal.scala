@@ -43,8 +43,20 @@ object Multimodal {
     * readable image (imageio sniffs the magic bytes cheaply), in which
     * case the deterministic stub below keeps the pipeline total. Audio
     * and video decoding remain stubbed — those codecs aren't in the JDK. */
+  /** Magic-byte sniff for the formats the JDK can decode — rejecting
+    * non-image bytes BEFORE ImageIO spins up its reader-probing machinery
+    * (stream wrapper + registry iteration per call: ~0.5 ms per row of
+    * garbage, which on an opaque-binary corpus is most rows). */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 &&
+      (((b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+        ((b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) || // JPEG
+        (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+        (b(0) == 'B' && b(1) == 'M')) // BMP
+
   private[ops] def imageioDecode(bytes: Array[Byte]): Option[(Array[Byte], Int, Int)] =
     try {
+      if (!looksLikeImage(bytes)) return None
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) None
       else {
@@ -128,7 +140,12 @@ object Multimodal {
     * "context" per partition (the stub's accumulator stands in for it). */
   def decodeAndFeaturize(media: DataFrame): DataFrame = {
     val enc = RowEncoder.encoderFor(decodedSchema)
-    media.select("media_id", "kind", "bytes", "meta.width", "meta.height")
+    // media decode is heavy per ROW regardless of byte volume (a codec
+    // touches every pixel of the decoded raster, not every input byte),
+    // so a narrow input spreads unconditionally (minBytes = 0) — unlike
+    // the text expressions, whose per-row cost tracks input bytes
+    ScaleOps.spread(media, minBytes = 0L)
+      .select("media_id", "kind", "bytes", "meta.width", "meta.height")
       .mapPartitions { rows =>
         // real codecs initialize their context HERE, once per partition;
         // for imageio that means: no per-call temp-file cache (the default
@@ -175,7 +192,8 @@ object Multimodal {
     * single frame. */
   def sampleFrames(media: DataFrame, n: Int): DataFrame = {
     val enc = RowEncoder.encoderFor(frameSchema)
-    media.select("media_id", "kind", "bytes", "meta.duration_ms")
+    ScaleOps.spread(media, minBytes = 0L) // same per-row-cost rationale as decode
+      .select("media_id", "kind", "bytes", "meta.duration_ms")
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getAs[Long]("media_id")

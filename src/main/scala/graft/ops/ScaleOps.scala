@@ -24,11 +24,11 @@ object ScaleOps {
     *    ms single-threaded — CHEAPER than the extra stage's task+schedule
     *    overhead it would take to parallelize it (measured: dropping the
     *    exchange cut d08 ~25% at sf0.1 while sf≥1 corpora still spread). */
-  def spread(df: DataFrame): DataFrame = {
+  def spread(df: DataFrame, minBytes: Long = 4L << 20): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val narrow = df.rdd.getNumPartitions * 2 < par
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (narrow && bytes >= (4L << 20)) df.repartition(par) else df
+    if (narrow && bytes >= minBytes) df.repartition(par) else df
   }
 
   /** Salted equi-join for skew: the big side gets a deterministic salt in

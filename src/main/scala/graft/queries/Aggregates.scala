@@ -91,14 +91,22 @@ object Aggregates {
     // oracle (driver records a rows-only check). The scale story: at 100 TB
     // COUNT(DISTINCT) is a full shuffle of the distinct keys, while
     // approx_count_distinct is a fixed-size mergeable sketch per group.
+    // The exact and approx sides are SEPARATE aggregations joined on the
+    // 3-row key: mixing a distinct aggregate with approx_count_distinct in
+    // one agg makes Spark's one-distinct rewrite evaluate the HLL partial
+    // under the (group, distinct-key) pre-aggregation — one 2^14-register
+    // sketch buffer per (flag, orderkey) pair, ~150k sketches and 22s at
+    // sf0.1 for what is otherwise a sub-second query.
     "q26_approx_distinct" -> ((s, d) => {
-      T.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          countDistinct(col("l_orderkey")).as("exact_nd"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_nd"))
+      val li = T.lineitem(s, d)
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("exact_nd"))
+      val approx = li.groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_orderkey"), 0.01).as("approx_nd"))
+      exact.join(approx, "l_returnflag")
         .withColumn("rel_err",
           abs(col("approx_nd") - col("exact_nd")) / col("exact_nd"))
+        .select("l_returnflag", "exact_nd", "approx_nd", "rel_err")
         .orderBy("l_returnflag")
     }),
 
@@ -106,16 +114,22 @@ object Aggregates {
     // percentile_cont's per-group sort is the bottleneck. Sketch output is
     // impl-specific ⇒ rows-only check; the query carries its own exact
     // baseline + relative error columns (spec pins the bound).
+    // The exact baseline columns come from ops/Percentiles.exactCont (the
+    // same distributed selection q23 uses) joined to the sketch agg on the
+    // 3-row key: Spark's own percentile_cont aggregate buffers every value
+    // per group in a boxed map — 5.4s at sf0.1 just to report the error.
     "q48_approx_percentile" -> ((s, d) => {
-      T.lineitem(s, d)
-        .groupBy("l_returnflag")
+      val li = T.lineitem(s, d)
+      val approx = li.groupBy("l_returnflag")
         .agg(
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("ap95"),
-          expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("ex50"),
-          expr("percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)").as("ex95"))
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("ap95"))
+      val exact = graft.ops.Percentiles.exactCont(li, "l_returnflag",
+        "l_extendedprice", Seq(0.5 -> "ex50", 0.95 -> "ex95"))
+      approx.join(exact, "l_returnflag")
         .withColumn("err50", abs(col("ap50") - col("ex50")) / col("ex50"))
         .withColumn("err95", abs(col("ap95") - col("ex95")) / col("ex95"))
+        .select("l_returnflag", "ap50", "ap95", "ex50", "ex95", "err50", "err95")
         .orderBy("l_returnflag")
     })
   )
