@@ -39,4 +39,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(ScaleOps.isShuffleFree(joined),
       s"expected bucket join without exchange:\n${joined.queryExecution.executedPlan}")
   }
+
+  test("spread widens narrow inputs only when per-row work can amortize it") {
+    import spark.implicits._
+    val tiny = (1 to 100).map(i => (i.toLong, s"doc $i")).toDF("id", "text").coalesce(1)
+    // small bytes: the extra exchange costs more than the serialized work
+    assert(ScaleOps.spread(tiny).rdd.getNumPartitions == 1)
+    // caller signals heavy per-row cost (media decode): narrowness alone decides
+    assert(ScaleOps.spread(tiny, minBytes = 0L).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // already-wide inputs are never reshuffled
+    val wide = tiny.repartition(spark.sparkContext.defaultParallelism)
+    assert(ScaleOps.spread(wide, minBytes = 0L).rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+  }
 }
