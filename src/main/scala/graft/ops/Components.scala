@@ -40,8 +40,13 @@ object Components {
       .unionAll(edges.select(col(bCol).cast("long").as("src"),
         col(aCol).cast("long").as("dst")))
       .localCheckpoint() // mined pairs must not be recomputed per round
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // round 1 fused into initialization: with identity starting labels the
+    // first step is just min(self, neighbors) — one aggregation over und,
+    // no separate node-distinct relation or its checkpoint
+    var labels: DataFrame = und.groupBy("src")
+      .agg(min("dst").as("__mind"))
+      .select(col("src").as("id"),
+        least(col("src"), col("__mind")).as("label"))
       .localCheckpoint()
     // One hash-to-min step: each node takes the min label among itself and
     // its neighbors. The self row carries the previous label through the
@@ -133,11 +138,12 @@ object Components {
   }
 
   /** Per-node cluster assignment with cluster sizes:
-    * (id, cluster_id = min id in component, cluster_size). */
-  def clusters(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cc = connected(edges, aCol, bCol)
-    val sizes = cc.groupBy("label").agg(count(lit(1)).as("cluster_size"))
-    cc.join(sizes, "label")
+    * (id, cluster_id = min id in component, cluster_size) — the size is a
+    * window count over one label-keyed exchange (no separate aggregate +
+    * join-back; label groups are component-sized, trivially buffered). */
+  def clusters(edges: DataFrame, aCol: String, bCol: String): DataFrame =
+    connected(edges, aCol, bCol)
+      .withColumn("cluster_size", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("label")))
       .select(col("id"), col("label").as("cluster_id"), col("cluster_size"))
-  }
 }
