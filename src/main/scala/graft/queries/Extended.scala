@@ -79,6 +79,33 @@ object Extended {
     "q50_default_frame" -> ((s, d) => T.sql(s, d, "orders")(Oracle.q50)),
     "q51_union_offset" -> ((s, d) => T.sql(s, d, "orders")(Oracle.q51)),
 
+    // PIVOT: monthly order counts and exact revenue spread across status
+    // columns — Spark's relational pivot operator with pinned pivot values
+    // (never let the engine scan for them: a DISTINCT pass at 100 TB just
+    // to learn the column set). Oracle uses conditional aggregation —
+    // dialect-portable and the same result by construction.
+    "q53_pivot" -> ((s, d) => {
+      T.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), msum(col("o_totalprice")).as("rev"))
+        .na.fill(0L, Seq("F_n", "O_n", "P_n"))
+        .orderBy("month")
+    }),
+
+    // UNPIVOT (melt): wide per-part size columns back to long (dimension,
+    // value) rows — Spark's unpivot operator; DuckDB oracle as the
+    // portable UNION ALL expansion.
+    "q55_unpivot" -> ((s, d) => {
+      T.part(s, d)
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retail"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("retail")), "measure", "value")
+        .orderBy("p_partkey", "measure")
+    }),
+
     // forward fill (LOCF): last non-null reading per user carried forward —
     // the canonical sensor-gap treatment. Engines place IGNORE NULLS
     // differently (Spark: after the call; DuckDB: inside the parens).
@@ -267,6 +294,28 @@ object Extended {
     "q54_string_agg" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
         | COUNT(*) AS n
-        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+
+    // conditional aggregation = the portable PIVOT expansion; COUNT gives
+    // 0 (not NULL) for absent combos, matching the Spark side's na.fill
+    "q53_pivot" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        | COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F_n,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |               THEN CAST(o_totalprice AS DECIMAL(8,2)) END) AS DOUBLE) AS F_rev,
+        | COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O_n,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'O'
+        |               THEN CAST(o_totalprice AS DECIMAL(8,2)) END) AS DOUBLE) AS O_rev,
+        | COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P_n,
+        | CAST(SUM(CASE WHEN o_orderstatus = 'P'
+        |               THEN CAST(o_totalprice AS DECIMAL(8,2)) END) AS DOUBLE) AS P_rev
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+
+    // UNION ALL = the portable UNPIVOT expansion
+    "q55_unpivot" ->
+      """SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'retail', p_retailprice FROM part
+        |ORDER BY p_partkey, measure""".stripMargin
   )
 }
