@@ -15,28 +15,20 @@ import org.apache.spark.sql.types._
 object Aggregates {
 
   val queries: Map[String, Q] = Map(
-    // Three independent distinct pipelines + a 3-row join instead of one
-    // groupBy with three countDistinct: Spark plans multi-distinct as an
-    // Expand (every row projected once per distinct column through one
-    // aggregation chain, then deduped in a single byte-coalesced stage —
-    // measured 2× slower at sf0.1); separate branches dedupe map-side per
-    // column (the shuffle-volume win that matters at 100 TB), run
-    // concurrently under AQE, and join 3-row results (broadcast).
+    // ONE hash aggregate over ONE exchange for three exact distincts: each
+    // distinct column is a [[graft.functions.ExactDistinctLong]] typed
+    // aggregate (primitive long hash-set buffer, merged map-side), replacing
+    // both of the slower plans — Spark's multi-distinct Expand (row ×
+    // column fan-out, measured 2× slower) and the round-3 separate-branch
+    // rewrite (8 exchanges + 3 result joins, warm 0.70 s vs DuckDB 0.16 s).
     "q21_count_distinct" -> ((s, d) => {
-      val li = T.lineitem(s, d)
-      // NULL keys filtered first: COUNT(DISTINCT c) excludes NULLs, but a
-      // distinct-rows count would tally a NULL as one extra value
-      def nd(c: String, alias: String) =
-        li.filter(col(c).isNotNull)
-          .select(col("l_returnflag"), col(c)).distinct()
-          .groupBy("l_returnflag").agg(count(lit(1)).as(alias))
-      val n = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-      nd("l_partkey", "nd_part")
-        .join(nd("l_suppkey", "nd_supp"), "l_returnflag")
-        .join(nd("l_orderkey", "nd_order"), "l_returnflag")
-        .join(n, "l_returnflag")
-        .select(col("l_returnflag"), col("nd_part"), col("nd_supp"),
-          col("nd_order"), col("n"))
+      val nd = graft.functions.AggExprs.exactDistinct _
+      T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(nd(col("l_partkey")).as("nd_part"),
+          nd(col("l_suppkey")).as("nd_supp"),
+          nd(col("l_orderkey")).as("nd_order"),
+          count(lit(1)).as("n"))
         .orderBy("l_returnflag")
     }),
 

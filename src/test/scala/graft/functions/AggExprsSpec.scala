@@ -1,0 +1,57 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AggExprsSpec extends SparkSpec {
+
+  test("LongSet: add/merge/count with zero, negatives, duplicates") {
+    val a = new LongSet()
+    Seq(0L, 0L, 1L, -1L, Long.MinValue, Long.MaxValue, 1L).foreach(a.add)
+    assert(a.count === 5)
+    val b = new LongSet()
+    Seq(2L, 1L, 0L).foreach(b.add)
+    assert(a.merge(b).count === 6)
+  }
+
+  test("LongSet: serde roundtrip preserves membership") {
+    val a = new LongSet()
+    val vals = (1L to 1000L).map(_ * 7919L - 500L) :+ 0L
+    vals.foreach(a.add)
+    val back = LongSet.fromBytes(a.toBytes)
+    assert(back.count === a.count)
+    // merging the roundtrip into the original adds nothing new
+    assert(a.merge(back).count === vals.distinct.size)
+  }
+
+  test("LongSet: growth past initial capacity stays exact") {
+    val a = new LongSet(8)
+    (1L to 100000L).foreach(v => a.add(v % 37777)) // forced collisions + growth
+    assert(a.count === 37777) // 0..37776, zero included via v%37777==0
+  }
+
+  test("exactDistinct matches countDistinct per group, ignores NULLs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val df = (1 to 20000).map { i =>
+      (i % 7, if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(500).toLong))
+    }.toDF("g", "v").repartition(4) // multi-partition: exercises merge path
+    val got = df.groupBy("g")
+      .agg(AggExprs.exactDistinct(col("v")).as("nd"))
+      .orderBy("g").collect().map(r => (r.getInt(0), r.getLong(1)))
+    val want = df.groupBy("g")
+      .agg(countDistinct(col("v")).as("nd"))
+      .orderBy("g").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("exactDistinct on int column casts up and stays exact") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1, 10), (1, 10), (1, 20), (2, 30)).toDF("g", "v")
+    val got = df.groupBy("g").agg(AggExprs.exactDistinct(col("v")).as("nd"))
+      .orderBy("g").collect().map(_.getLong(1)).toSeq
+    assert(got === Seq(2L, 1L))
+  }
+}
