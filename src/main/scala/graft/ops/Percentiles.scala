@@ -29,9 +29,18 @@ import org.apache.spark.sql.types._
 object Percentiles {
 
   /** @param fractions (fraction, outputColumn) pairs, e.g. (0.5, "p50").
-    * @return one row per group: (groupCol, outputColumn...), unrounded. */
+    * @return one row per group: (groupCol, outputColumn...), unrounded.
+    *
+    * Guarded like [[Ranking.withRowNumbers]]: above `maxGroups` distinct
+    * groups the driver fold (and the broadcast rank maps) would scale
+    * with cardinality, so the operator falls back to a per-group
+    * `percentile` hash aggregate — identical percentile_cont semantics
+    * (exact interpolation, NULLs ignored, all-NULL group → NULL), and
+    * with plentiful small groups its per-group value buffering is bounded
+    * by rows/groups, which is exactly when buffering is cheap. */
   def exactCont(df: DataFrame, groupCol: String, valueCol: String,
-                fractions: Seq[(Double, String)]): DataFrame = {
+                fractions: Seq[(Double, String)],
+                maxGroups: Int = TwoPhase.MaxGroups): DataFrame = {
     // group values become driver-side map keys (see Ranking): reject types
     // with reference equality or broken reflexivity
     val gType = df.schema(groupCol).dataType
@@ -54,9 +63,16 @@ object Percentiles {
 
     // pass 1: per-(partition, group) NON-NULL row counts (groups are
     // contiguous); groups whose rows are all NULL appear with count 0
-    val counts = TwoPhase.groupCounts(rdd, gIdx = 0,
+    val countsOpt = TwoPhase.groupCountsCapped(rdd, gIdx = 0, maxGroups,
       weight = r => if (r.isNullAt(1)) 0L else 1L)
-    val (totals, offsets) = TwoPhase.totalsAndOffsets(counts)
+    if (countsOpt.isEmpty) {
+      // high-cardinality fallback: exact per-group percentile aggregate
+      val aggs = fractions.map { case (p, name) =>
+        percentile(col(valueCol).cast(DoubleType), lit(p)).as(name)
+      }
+      return df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    }
+    val (totals, offsets) = TwoPhase.totalsAndOffsets(countsOpt.get)
     // 0-indexed ranks needed per group: floor/ceil of h = p·(n−1)
     val needed: Map[Any, Set[Long]] = totals.collect { case (g, n) if n > 0 =>
       g -> fractions.flatMap { case (p, _) =>

@@ -27,9 +27,19 @@ object Ranking {
   /** Appends `rnName` (1-based global row number within the group) and
     * `nName` (group row count) to `df`. `sortCols` may carry directions
     * (e.g. `col("x").desc`); rows with NULL group keys form their own
-    * group, like SQL PARTITION BY. */
+    * group, like SQL PARTITION BY.
+    *
+    * Guarded: when the group column turns out to be high-cardinality
+    * (> `maxGroups` distinct values), the two-phase driver fold would
+    * ship every key to the driver — and the plain window plan is the
+    * better one anyway (each group is small, parallelism = groups). The
+    * cap check rides pass 1, so the few-group fast path pays nothing;
+    * tripping it costs the one probe shuffle before falling back. The
+    * fallback does NOT stream in global (group, order) order — every
+    * caller that needs an ordering sorts downstream. */
   def withRowNumbers(df: DataFrame, groupCol: String, sortCols: Seq[Column],
-                     rnName: String = "rn", nName: String = "n"): DataFrame = {
+                     rnName: String = "rn", nName: String = "n",
+                     maxGroups: Int = TwoPhase.MaxGroups): DataFrame = {
     // group values are driver-side map keys: types whose JVM equality is
     // reference-based (binary) or reflexivity-broken (NaN doubles) would
     // silently mis-bucket — reject them up front
@@ -46,7 +56,16 @@ object Ranking {
     val gIdx = df.schema.fieldIndex(groupCol)
     val rdd = sorted.rdd // one lineage: pass 2 reuses pass 1's shuffle
 
-    val (totals, offsets) = TwoPhase.totalsAndOffsets(TwoPhase.groupCounts(rdd, gIdx))
+    val countsOpt = TwoPhase.groupCountsCapped(rdd, gIdx, maxGroups)
+    if (countsOpt.isEmpty) {
+      // high-cardinality fallback: per-group window, hash-clustered on g
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol)).orderBy(sortCols: _*)
+      val wg = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      return df.withColumn(rnName, row_number().over(w).cast(LongType))
+        .withColumn(nName, count(lit(1)).over(wg))
+    }
+    val (totals, offsets) = TwoPhase.totalsAndOffsets(countsOpt.get)
     val bcOffsets = spark.sparkContext.broadcast(offsets)
     val bcTotals = spark.sparkContext.broadcast(totals)
 

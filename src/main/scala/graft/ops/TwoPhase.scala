@@ -7,24 +7,55 @@ import org.apache.spark.sql.Row
   * ([[Percentiles]], [[Ranking]]): per-(partition, group) counts over a
   * range-sorted RDD, folded into per-group totals and per-partition
   * global-rank offsets on the driver (O(partitions × groups) state,
-  * independent of row count). */
+  * independent of row count).
+  *
+  * The driver collect is the one piece that does NOT scale with group
+  * cardinality: a FEW-group table (the operators' reason to exist — a
+  * handful of groups each spanning the cluster) collects a handful of
+  * tuples, but a high-cardinality group column would ship every distinct
+  * key to the driver. [[groupCountsCapped]] therefore bounds both the
+  * per-partition map AND the total distinct-group count; when either cap
+  * trips, the caller falls back to the plain per-group path (window /
+  * hash aggregate), which is exactly the plan that IS right when groups
+  * are plentiful (parallelism = groups). */
 private[ops] object TwoPhase {
 
   /** Group-tracking sentinel distinct from any data value (incl. null). */
   case object Unset
 
-  /** Pass 1: per-(partition, group) counts. `weight` lets a caller count
-    * a subset (e.g. non-null values) while still observing every group. */
-  def groupCounts(rdd: RDD[Row], gIdx: Int,
-                  weight: Row => Long = _ => 1L): Array[(Int, Any, Long)] =
-    rdd.mapPartitionsWithIndex { (pid, it) =>
+  /** Above this many distinct groups the two-phase driver fold is the
+    * wrong plan — the caller's per-group fallback both bounds driver
+    * memory and parallelizes better. 16k groups × ≤32 byte keys is well
+    * under a megabyte of driver state; the per-partition marker bounds
+    * the worst-case collect at partitions × cap tuples even when every
+    * partition is saturated. */
+  val MaxGroups = 16384
+
+  /** Pass 1: per-(partition, group) counts, capped. Returns None as soon
+    * as any partition sees more than `maxGroups` distinct groups (the
+    * partition stops scanning and emits a single overflow marker), or
+    * when the collected counts span more than `maxGroups` groups overall.
+    * `weight` lets a caller count a subset (e.g. non-null values) while
+    * still observing every group. */
+  def groupCountsCapped(rdd: RDD[Row], gIdx: Int, maxGroups: Int = MaxGroups,
+                        weight: Row => Long = _ => 1L): Option[Array[(Int, Any, Long)]] = {
+    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
       val acc = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
-      it.foreach { r =>
+      var overflow = false
+      while (!overflow && it.hasNext) {
+        val r = it.next()
         val g = r.get(gIdx)
-        acc.update(g, acc.getOrElse(g, 0L) + weight(r))
+        if (acc.contains(g)) acc.update(g, acc(g) + weight(r))
+        else if (acc.size >= maxGroups) overflow = true // stop scanning: caller falls back
+        else acc.update(g, weight(r))
       }
-      acc.iterator.map { case (g, n) => (pid, g, n) }
+      if (overflow) Iterator.single((pid, Unset: Any, -1L))
+      else acc.iterator.map { case (g, n) => (pid, g, n) }
     }.collect()
+    val overflowed = counts.exists(_._3 < 0L) ||
+      counts.iterator.map(_._2).distinct.size > maxGroups
+    if (overflowed) None else Some(counts)
+  }
 
   /** Driver fold: (per-group totals, per-(partition, group) rank offsets —
     * the number of counted rows of the group in EARLIER partitions). */
