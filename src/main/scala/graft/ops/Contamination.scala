@@ -26,6 +26,47 @@ import org.apache.spark.sql.functions._
   * trailing ORDER BY plans no exchange. */
 object Contamination {
 
+  /** Pick the winnow gram size from the data instead of a constant.
+    *
+    * A fixed k is corpus tuning in disguise: 8-byte grams are selective
+    * on natural text but pure boilerplate on a small-vocabulary corpus
+    * (every gram repeats everywhere → posting lists explode), while
+    * 32-byte grams on natural text just lower recall for nothing. The
+    * discriminating statistic is the REPETITION FACTOR of the sampled
+    * fingerprint df distribution, rep = Σdf²/Σdf — the expected posting-
+    * list size containing a random fingerprint occurrence (and Σdf² is
+    * exactly the candidate-pair mass the join downstream pays). Natural
+    * text sits near 1; a degenerate vocabulary pushes it orders of
+    * magnitude up.
+    *
+    * One small job: `sampleDocs` docs from each side, every candidate k
+    * fingerprinted in a single pass (one struct per candidate, exploded),
+    * one tiny groupBy. Returns the smallest candidate k — smallest = best
+    * recall, the match guarantee is substrings ≥ 3k−1 bytes — whose
+    * sampled rep stays under `maxRep`, with window = 2k; falls back to
+    * the largest candidate when even that is repetitive (the corpus is
+    * then mostly boilerplate and precision is all that's left). The
+    * candidate bounds ARE the old hand-tuned constants — the data picks
+    * the point between them. */
+  def autoParams(train: DataFrame, test: DataFrame, textCol: String,
+                 candidates: Seq[Int] = Seq(8, 12, 16, 24, 32),
+                 sampleDocs: Int = 256, maxRep: Double = 4.0): (Int, Int) = {
+    require(candidates.nonEmpty)
+    val sample = train.select(col(textCol).as("t")).limit(sampleDocs)
+      .unionAll(test.select(col(textCol).as("t")).limit(sampleDocs))
+    val perK = sample
+      .select(explode(array(candidates.map(k =>
+        struct(lit(k).as("k"),
+          TextExprs.winnow(col("t"), k, 2 * k).as("fps"))): _*)).as("s"))
+      .select(col("s.k").as("k"), explode(col("s.fps")).as("fp"))
+      .groupBy("k", "fp").agg(count(lit(1)).as("df"))
+      .groupBy("k").agg((sum(col("df") * col("df")) / sum(col("df"))).as("rep"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val k = candidates.sorted.find(k => perK.get(k).exists(_ <= maxRep))
+      .getOrElse(candidates.max)
+    (k, 2 * k)
+  }
+
   def sharedFingerprintPairs(train: DataFrame, test: DataFrame,
                              idCol: String, textCol: String,
                              k: Int = 8, window: Int = 16,

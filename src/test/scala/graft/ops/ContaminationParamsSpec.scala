@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** autoParams must pick the gram size from the corpus, not a constant:
+  * small on natural text (selective already, best recall), large on a
+  * degenerate vocabulary (short grams are boilerplate), and the pick's
+  * downstream candidate mass must stay within 4× of the hand-tuned
+  * setting on the corpus the constant was tuned for. */
+class ContaminationParamsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ~15-word vocabulary, like the synthetic documents table: every short
+  // gram repeats across the corpus
+  private def tinyVocab(n: Int): DataFrame = {
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "nov", "oscar")
+    val rnd = new scala.util.Random(7)
+    (1 to n).map(i => (i.toLong, Seq.fill(40)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+  }
+
+  // natural-ish text: a wide vocabulary of distinct word shapes
+  private def naturalText(n: Int): DataFrame = {
+    val rnd = new scala.util.Random(13)
+    def word() = (1 to 3 + rnd.nextInt(6)).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    (1 to n).map(i => (i.toLong, Seq.fill(40)(word()).mkString(" "))).toDF("doc_id", "text")
+  }
+
+  private def split(df: DataFrame): (DataFrame, DataFrame) =
+    (df.filter(col("doc_id") % 10 =!= 0), df.filter(col("doc_id") % 10 === 0))
+
+  private def candidateMass(train: DataFrame, test: DataFrame, k: Int, w: Int): Long = {
+    val rows = Contamination.sharedFingerprintPairs(
+        train, test, "doc_id", "text", k = k, window = w, minShared = 1)
+      .agg(coalesce(sum(col("shared_fps")), lit(0L))).collect()
+    rows(0).getLong(0)
+  }
+
+  test("tiny-vocab corpus: auto k is large (short grams are boilerplate)") {
+    val (train, test) = split(tinyVocab(400))
+    val (k, w) = Contamination.autoParams(train, test, "text")
+    info(s"tiny-vocab picked k=$k window=$w")
+    assert(k >= 16, s"tiny vocabulary needs long grams, picked k=$k")
+    assert(w == 2 * k)
+    // within 4× of the hand-tuned (16, 32) candidate mass
+    val auto = candidateMass(train, test, k, w)
+    val hand = candidateMass(train, test, 16, 32)
+    info(s"candidate mass auto=$auto hand=$hand")
+    assert(auto <= 4 * math.max(hand, 1L), s"auto=$auto hand=$hand")
+  }
+
+  test("natural text: auto k is the smallest candidate (already selective)") {
+    val (train, test) = split(naturalText(400))
+    val (k, w) = Contamination.autoParams(train, test, "text")
+    info(s"natural-text picked k=$k window=$w")
+    assert(k == 8, s"natural text should keep max recall, picked k=$k")
+    // candidate mass at the auto pick stays within 4× of the hand-tuned
+    // LARGE setting too — selectivity comes from the corpus, not the k
+    val auto = candidateMass(train, test, k, w)
+    val hand = candidateMass(train, test, 16, 32)
+    info(s"candidate mass auto=$auto hand=$hand")
+    assert(auto <= 4 * math.max(hand, 1L), s"auto=$auto hand=$hand")
+  }
+
+  test("real synthetic documents table: auto pick matches the hand-tuned region") {
+    val docs = graft.queries.T.documents(spark, sf)
+    val (train, test) = split(docs)
+    val (k, w) = Contamination.autoParams(train, test, "text")
+    info(s"documents@sf0.001 picked k=$k window=$w")
+    assert(k >= 12, s"the 15-word synthetic corpus needs long grams, picked k=$k")
+    assert(w == 2 * k)
+  }
+}
