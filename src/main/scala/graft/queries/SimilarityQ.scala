@@ -73,9 +73,23 @@ object SimilarityQ {
         |r AS (SELECT qid, nid,
         |             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rk
         |      FROM p)
-        |SELECT qid, nid, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+        |SELECT qid, nid, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
-    // s02/s03: no oracle — LSH bucketing is hash-impl-specific, and
-    // min/max/avg of float32 norms vs double norms drift past rounding.
+    // s03 IS oracle-able: NormF32 sums float squares left-to-right in
+    // DOUBLE, so the DuckDB twin must also widen each element to double
+    // BEFORE squaring (list_transform + list_sum evaluates in list order
+    // → bit-identical per-row norms; min/max exact, avg robust at 4dp).
+    // A float32 list_dot_product would drift past the rounding instead.
+    "s03_centroid_stats" ->
+      """SELECT label, count(*) AS n_vecs,
+        |  round(avg(sqrt(list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm,
+        |  round(min(sqrt(list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS min_norm,
+        |  round(max(sqrt(list_sum(list_transform(embedding,
+        |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS max_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+
+    // s02/s04/s05: no oracle — LSH/IVF bucketing is hash-impl-specific.
   )
 }
