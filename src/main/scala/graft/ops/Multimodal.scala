@@ -11,7 +11,9 @@ import org.apache.spark.sql.types._
   * Spark-side plumbing — schemas, per-partition batch processing, output
   * shapes, partitioning — is real and tested. IMAGE decode is real
   * (javax.imageio: the JDK's PNG/BMP/GIF/JPEG readers, zero external
-  * dependencies); bytes imageio cannot read, and the audio/video codecs
+  * dependencies), and AUDIO decode is real for uncompressed RIFF/WAVE PCM
+  * (hand-rolled chunk walk — fixed-size chunks and LE integers need no
+  * codec). Bytes neither can read, and the compressed audio/video codecs
   * (not in the JDK), fall back to deterministic byte-derived STUBS — each
   * a single clearly-marked function a deployment replaces with its real
   * decoder (JNI/FFI or a sidecar), keeping the distributed shape intact.
@@ -80,6 +82,84 @@ object Multimodal {
         }
         Some((out, w, h))
       }
+    } catch { case _: Throwable => None }
+
+  /** REAL audio decode for uncompressed RIFF/WAVE PCM — the one audio
+    * container decodable with zero dependencies (fixed-size chunks, LE
+    * integers, no entropy coding). 8-bit unsigned and 16-bit signed PCM,
+    * any channel count (mixed down to mono). Compressed codecs (MP3/AAC/
+    * Opus — not in the JDK) still fall to the deterministic stub. */
+  private[ops] case class WavAudio(samples: Array[Float], sampleRate: Int) {
+    def durationMs: Int =
+      if (sampleRate <= 0) 0 else (samples.length.toLong * 1000 / sampleRate).toInt
+    /** Mono samples re-quantized to unsigned bytes — the "raster" the
+      * shared feature path (mean intensity, moment embedding) consumes. */
+    def raster: Array[Byte] = {
+      val out = new Array[Byte](math.max(1, samples.length))
+      var i = 0
+      while (i < samples.length) {
+        out(i) = math.round(math.min(1f, math.max(-1f, samples(i))) * 127f + 127f).toByte
+        i += 1
+      }
+      out
+    }
+  }
+
+  private def looksLikeWav(b: Array[Byte]): Boolean =
+    b.length >= 44 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    le16(b, off) | (le16(b, off + 2) << 16)
+
+  private[ops] def wavDecode(bytes: Array[Byte]): Option[WavAudio] =
+    try {
+      if (!looksLikeWav(bytes)) return None
+      var off = 12
+      var fmtOk = false
+      var channels = 0
+      var rate = 0
+      var bits = 0
+      var out: Option[WavAudio] = None
+      // chunk walk: 4-byte id, 4-byte LE size, payload (word-aligned)
+      while (out.isEmpty && off + 8 <= bytes.length) {
+        val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val size = le32(bytes, off + 4)
+        if (size < 0 || off + 8 + size > bytes.length) return None
+        if (id == "fmt ") {
+          if (size < 16) return None
+          val audioFormat = le16(bytes, off + 8)
+          channels = le16(bytes, off + 10)
+          rate = le32(bytes, off + 12)
+          bits = le16(bytes, off + 22)
+          fmtOk = audioFormat == 1 && channels > 0 && rate > 0 &&
+            (bits == 8 || bits == 16)
+        } else if (id == "data") {
+          if (!fmtOk) return None // fmt must precede data
+          val bytesPerSample = bits / 8
+          val frames = size / (bytesPerSample * channels)
+          val mono = new Array[Float](frames)
+          var f = 0
+          while (f < frames) {
+            var acc = 0f
+            var c = 0
+            while (c < channels) {
+              val p = off + 8 + (f * channels + c) * bytesPerSample
+              acc += (if (bits == 8) ((bytes(p) & 0xFF) - 128) / 128f
+                      else le16(bytes, p).toShort / 32768f)
+              c += 1
+            }
+            mono(f) = acc / channels
+            f += 1
+          }
+          out = Some(WavAudio(mono, rate))
+        }
+        off += 8 + size + (size & 1)
+      }
+      out
     } catch { case _: Throwable => None }
 
   /** STUB decode: a real implementation returns the decoded raster; here
@@ -155,10 +235,16 @@ object Multimodal {
           val bytes = r.getAs[Array[Byte]]("bytes")
           val mw = r.getAs[Int]("width")
           val mh = r.getAs[Int]("height")
-          // imageio decode for image rows only (PNG/BMP/GIF/JPEG); the
-          // metadata dimensions are trusted when the bytes aren't decodable
-          val attempt =
-            if (r.getAs[String]("kind") == "image") imageioDecode(bytes) else None
+          // real decode where the JDK suffices: imageio for image rows
+          // (PNG/BMP/GIF/JPEG), RIFF/WAVE PCM for audio rows (mono-mixed
+          // samples re-quantized to the byte "raster" the shared feature
+          // path consumes); metadata dimensions are trusted when the
+          // bytes aren't decodable and the stub keeps the pipeline total
+          val attempt = r.getAs[String]("kind") match {
+            case "image" => imageioDecode(bytes)
+            case "audio" => wavDecode(bytes).map(w => (w.raster, w.samples.length, 1))
+            case _ => None
+          }
           val (raster, w, h) = attempt match {
             case Some((ras, rw, rh)) => (ras, rw, rh)
             case None => (stubDecode(bytes, mw, mh), mw, mh)
@@ -186,10 +272,17 @@ object Multimodal {
     StructField("ts_ms", IntegerType, nullable = false),
     StructField("frame_sig", LongType, nullable = false)))
 
-  /** Uniform frame sampling for video rows: n frames per video, exploded
-    * to one row per frame with its timestamp — the canonical fan-out shape
-    * for frame-level dedup/captioning. Non-video rows pass through with a
-    * single frame. */
+  /** Uniform frame/window sampling: n frames per video (and n real PCM
+    * windows per decodable WAV audio row), exploded to one row per frame
+    * with its timestamp — the canonical fan-out shape for frame-level
+    * dedup/captioning. Other rows pass through with a single frame.
+    *
+    * For RIFF/WAVE PCM audio the sampling is REAL: timestamps come from
+    * the decoded duration (data bytes / byte rate, not metadata), and
+    * each window's signature hashes the actual re-quantized samples of
+    * the n-th of n equal slices — two WAVs differing only inside one
+    * slice differ in exactly that frame_sig. Video (no JDK codec) keeps
+    * the deterministic whole-bytes stub signature. */
   def sampleFrames(media: DataFrame, n: Int): DataFrame = {
     val enc = RowEncoder.encoderFor(frameSchema)
     ScaleOps.spread(media, minBytes = 0L) // same per-row-cost rationale as decode
@@ -197,15 +290,32 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getAs[Long]("media_id")
-          val isVideo = r.getAs[String]("kind") == "video"
-          val dur = r.getAs[Int]("duration_ms")
+          val kind = r.getAs[String]("kind")
           val bytes = r.getAs[Array[Byte]]("bytes")
-          val frames = if (isVideo) n else 1
-          (0 until frames).map { i =>
-            val ts = if (frames == 1) 0 else i * dur / (frames - 1)
-            // STUB frame signature: real impl hashes the decoded frame
-            val sig = bytes.foldLeft(ts.toLong * 31 + id)((a, b) => a * 131 + b)
-            Row(id, i, ts, sig)
+          val wav = if (kind == "audio") wavDecode(bytes) else None
+          wav match {
+            case Some(audio) =>
+              val raster = audio.raster
+              val dur = audio.durationMs
+              val span = math.max(1, raster.length / n)
+              (0 until n).map { i =>
+                val from = i * raster.length / n
+                val until = math.min(raster.length, from + span)
+                var sig = id * 31 + i
+                var p = from
+                while (p < until) { sig = sig * 131 + raster(p); p += 1 }
+                Row(id, i, i * dur / n, sig)
+              }
+            case None =>
+              val isVideo = kind == "video"
+              val dur = r.getAs[Int]("duration_ms")
+              val frames = if (isVideo) n else 1
+              (0 until frames).map { i =>
+                val ts = if (frames == 1) 0 else i * dur / (frames - 1)
+                // STUB frame signature: real impl hashes the decoded frame
+                val sig = bytes.foldLeft(ts.toLong * 31 + id)((a, b) => a * 131 + b)
+                Row(id, i, ts, sig)
+              }
           }
         }
       }(enc)

@@ -67,6 +67,67 @@ class MultimodalSpec extends SparkSpec {
     assert(stubbed.getAs[Int]("width") == 8 && stubbed.getAs[Int]("height") == 8)
   }
 
+  /** Minimal RIFF/WAVE writer: 16-bit LE PCM, interleaved channels. */
+  private def wavBytes(samples: Array[Short], channels: Int, rate: Int): Array[Byte] = {
+    val data = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + data).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels.toShort)
+      .putInt(rate).putInt(rate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+    buf.put("data".getBytes).putInt(data)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  private def audioRow(id: Long, bytes: Array[Byte]) =
+    Seq((id, "audio", bytes, (8, 8, 12345, 16000)))
+      .toDF("media_id", "kind", "bytes", "m")
+      .select(col("media_id"), col("kind"), col("bytes"),
+        struct(col("m._1").as("width"), col("m._2").as("height"),
+          col("m._3").as("duration_ms"), col("m._4").as("sample_rate")).as("meta"))
+
+  test("wavDecode parses 16-bit PCM with stereo mixdown and real duration") {
+    // 100 stereo frames at 1 kHz: L = 16384 (0.5), R = -16384 → mono 0
+    val interleaved = Array.tabulate[Short](200)(i => if (i % 2 == 0) 16384 else -16384)
+    val wav = Multimodal.wavDecode(wavBytes(interleaved, channels = 2, rate = 1000))
+    assert(wav.isDefined)
+    assert(wav.get.sampleRate == 1000)
+    assert(wav.get.samples.length == 100)
+    assert(wav.get.durationMs == 100) // 100 frames @ 1 kHz — not the metadata
+    assert(wav.get.samples.forall(s => math.abs(s) < 1e-6))
+    // garbage and truncated bytes decode to None, never throw
+    assert(Multimodal.wavDecode("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.wavDecode(wavBytes(interleaved, 2, 1000).take(50)).isEmpty)
+  }
+
+  test("decodeAndFeaturize uses real WAV samples for audio rows") {
+    // constant zero amplitude → every raster byte is 127 → mean 127/255
+    val silent = wavBytes(new Array[Short](400), channels = 1, rate = 8000)
+    val out = Multimodal.decodeAndFeaturize(audioRow(3L, silent)).collect().head
+    assert(out.getAs[Int]("width") == 400) // true sample count, not metadata
+    assert(math.abs(out.getAs[Double]("mean_intensity") - 127.0 / 255) < 1e-6)
+  }
+
+  test("sampleFrames samples real PCM windows for WAV audio") {
+    val base = Array.tabulate[Short](800)(i => (i * 37 % 2000).toShort)
+    val tweaked = base.clone()
+    tweaked(700) = (tweaked(700) + 999).toShort // only the last quarter differs
+    val m = audioRow(1L, wavBytes(base, 1, 8000))
+      .unionAll(audioRow(1L, wavBytes(tweaked, 1, 8000)))
+    val frames = Multimodal.sampleFrames(m, n = 4).collect()
+      .groupBy(_.getAs[Int]("frame_idx"))
+    assert(frames.size == 4)
+    // real timestamps: 800 samples @ 8 kHz = 100 ms, windows every 25 ms
+    assert(frames.keySet.map(i => frames(i).head.getAs[Int]("ts_ms")) == Set(0, 25, 50, 75))
+    // identical slices hash identically; the perturbed slice differs
+    for (i <- 0 to 3) {
+      val sigs = frames(i).map(_.getAs[Long]("frame_sig")).distinct
+      assert(sigs.length == (if (i == 3) 2 else 1), s"window $i")
+    }
+  }
+
   test("sampleFrames fans out n frames per video, 1 per non-video") {
     val m = Multimodal.mediaFromDocuments(docs)
     val frames = Multimodal.sampleFrames(m, n = 4)
