@@ -82,9 +82,11 @@ object Contamination {
       .agg(collect_list(when(col("side") === 0, col("id"))).as("train_ids"),
         collect_list(when(col("side") === 1, col("id"))).as("test_ids"))
       .filter(size(col("train_ids")) > 0 && size(col("test_ids")) > 0)
+    // native cross-product generator: one pass per fingerprint, no
+    // nested explode carrying the test list through every train row
     val pairs = lists
-      .select(explode(col("train_ids")).as("train_id"), col("test_ids"))
-      .select(col("train_id"), explode(col("test_ids")).as("test_id"))
+      .select(graft.functions.PairGen.crossPairs(col("train_ids"), col("test_ids"))
+        .as(Seq("train_id", "test_id")))
     Postings.pairAgg(pairs, "train_id", "test_id", Nil,
         count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)

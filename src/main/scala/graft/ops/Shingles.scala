@@ -43,8 +43,9 @@ object Shingles {
     * pair fan-out, whose cost is generated rows, onto one task); each
     * shingle's df is a spillable window count inside that same exchange,
     * so hot shingles are dropped before any collect_list buffers them;
-    * pairs come from a double-explode of each posting list (same Σ df²
-    * work the self-join did, minus the join machinery); and the pair
+    * pairs stream from a native generator over each posting list (same
+    * Σ df² output the self-join had, minus the join machinery and the
+    * intermediate-row array carrying); and the pair
     * aggregation hash-partitions on (a_id, b_id) at strict width so the
     * trailing ORDER BY's boundary sampling re-executes only the cheap
     * parallel final aggregate. */
@@ -73,19 +74,20 @@ object Shingles {
     // broadcast-joining sizes back from a posting-derived length table —
     // was ~40% slower: the extra branch + broadcast dependency cost more
     // than the narrower key saved.)
-    // Ordered-pair generation: sort each posting list once (≤ maxDf
-    // elements, struct sort keys on id first), then pair element i only
-    // with the slice AFTER it — emits exactly df·(df−1)/2 rows where the
-    // symmetric double-explode generated df² and filtered half away
-    // (measured: the discarded a≥b rows were ~40% of the fan-out stage).
+    // Ordered-pair generation: a native generator streams each list's
+    // df·(df−1)/2 pairs (min id first — canonical without a sort) in one
+    // pass. The previous posexplode + slice + explode pipeline carried
+    // the whole posting array through every intermediate row and
+    // allocated a fresh slice per element — O(df²) element copies before
+    // any pair existed (and before that, the symmetric double-explode
+    // generated df² rows and filtered half away).
+    // threshold-aware generation: the similarity-join length filter
+    // (J ≤ min(na,nb)/max(na,nb), see PairGen.idPairs) drops pairs that
+    // can never reach the threshold before they are generated — provably
+    // output-identical, and the cut rows never hit the pair exchange.
     val pairs = postings
-      .select(array_sort(col("docs")).as("docs"))
-      .select(col("docs"), posexplode(col("docs")).as(Seq("i", "a")))
-      .select(col("a"),
-        explode(slice(col("docs"), col("i") + lit(2),
-          size(col("docs")) - col("i") - lit(1))).as("b"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.n").as("na"), col("b.n").as("nb"))
+      .select(graft.functions.PairGen.idPairs(col("docs"), threshold)
+        .as(Seq("a_id", "b_id", "na", "nb")))
     val common = Postings.pairAgg(pairs, "a_id", "b_id",
       Seq("na", "nb"), count(lit(1)).as("common"))
     common

@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The native pair generators must agree with the composed formulations
+  * they replaced: df·(df−1)/2 canonical (min-first) id pairs per posting
+  * list, the provably-safe length filter, and the full cross product. */
+class PairGenSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("idPairs emits each unordered pair once, min id first") {
+    val df = Seq(Seq((5L, 10L), (2L, 20L), (9L, 30L))).toDF("raw")
+      .select(transform(col("raw"), e =>
+        struct(e.getField("_1").as("id"), e.getField("_2").as("n"))).as("docs"))
+    val got = df.select(PairGen.idPairs(col("docs")).as(Seq("a_id", "b_id", "na", "nb")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((2L, 5L, 20L, 10L), (2L, 9L, 20L, 30L), (5L, 9L, 10L, 30L)))
+  }
+
+  test("idPairs: empty and single-element lists yield nothing") {
+    val df = Seq(Seq.empty[(Long, Long)], Seq((1L, 5L))).toDF("raw")
+      .select(transform(col("raw"), e =>
+        struct(e.getField("_1").as("id"), e.getField("_2").as("n"))).as("docs"))
+    assert(df.select(PairGen.idPairs(col("docs")).as(Seq("a", "b", "na", "nb"))).count() == 0)
+  }
+
+  test("idPairs length filter drops exactly the pairs that cannot reach the threshold") {
+    // sizes 10, 40, 9 at t=0.25: (10,40) keeps (10 ≥ 0.25·40), (10,9)
+    // keeps (9 ≥ 2.5), (40,9) drops (9 < 10)
+    val df = Seq(Seq((1L, 10L), (2L, 40L), (3L, 9L))).toDF("raw")
+      .select(transform(col("raw"), e =>
+        struct(e.getField("_1").as("id"), e.getField("_2").as("n"))).as("docs"))
+    val got = df.select(PairGen.idPairs(col("docs"), 0.25).as(Seq("a", "b", "na", "nb")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L)))
+    // and the unfiltered generator agrees with the filter applied after the fact
+    val all = df.select(PairGen.idPairs(col("docs")).as(Seq("a", "b", "na", "nb")))
+      .filter(least(col("na"), col("nb")) >= lit(0.25) * greatest(col("na"), col("nb")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all == got)
+  }
+
+  test("crossPairs is the full cross product, empty sides yield nothing") {
+    val df = Seq(
+      (Seq(1L, 2L), Seq(10L, 20L, 30L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(3L), Seq.empty[Long])).toDF("a", "b")
+    val got = df.select(PairGen.crossPairs(col("a"), col("b")).as(Seq("x", "y")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L), (2L, 30L)))
+  }
+}
