@@ -1,0 +1,55 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** sf1.0 rehearsal data generator: replicates the sf0.1 tables ~10× into
+  * GRAFT_SCALEUP_OUT (default target/sf1.0) for the scale rehearsal of
+  * the heavy operators (d03, d09, q21, q23).
+  *
+  * Replication model: 10 independent shards of similar corpora — the
+  * right scaling fiction for dedup/distinct work. Keys shift by
+  * replica × (max+1) so per-replica distinct structure is preserved and
+  * totals scale 10×; document TEXT is alphabet-rotated per replica
+  * (translate over a–z, word structure intact) so shingle/fingerprint
+  * CONTENT is disjoint across replicas — naive duplication would square
+  * the posting-list fan-out (every df × 10 ⇒ Σdf² × 100) instead of
+  * scaling it linearly, which is exactly what real 10× data does not do. */
+object ScaleUp {
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = sys.env.getOrElse("GRAFT_SCALEUP_OUT", "target/sf1.0")
+    val factor = sys.env.getOrElse("GRAFT_SCALEUP_FACTOR", "10").toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def rot(i: Int): String = alpha.drop(i % 26) + alpha.take(i % 26)
+
+    def replicate(df: DataFrame, build: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => build(df, i)).reduce(_ unionAll _)
+
+    val docs = graft.queries.T.documents(spark, src)
+    replicate(docs, (d, i) => d.select(
+        (col("doc_id") + lit(i * 5000L)).as("doc_id"),
+        translate(col("text"), alpha, rot(i)).as("text"),
+        col("lang"), col("source"), col("n_chars")))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val li = graft.queries.T.lineitem(spark, src)
+    replicate(li, (d, i) => d
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * 150000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * 20000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * 1000L)))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    println(s"SCALEUP done: $out factor $factor")
+    spark.stop()
+  }
+}
