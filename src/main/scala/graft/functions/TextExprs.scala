@@ -62,6 +62,11 @@ object TextExprs {
     GraftSqlBridge.column(
       BandSigs(GraftSqlBridge.expression(minhash), bands, rowsPerBand))
 
+  /** Repetition stats (term-frequency max, distinct-bigram count) for
+    * boilerplate filtering — struct<n_words, max_tf, n_bigrams, nd_bigrams>. */
+  def repetitionStats(text: Column): Column =
+    GraftSqlBridge.column(RepetitionStats(GraftSqlBridge.expression(text)))
+
   /** Winnowing fingerprints (rolling k-gram hash + sliding-window minima). */
   def winnow(text: Column, k: Int, window: Int): Column =
     GraftSqlBridge.column(Winnow(GraftSqlBridge.expression(text), k, window))
@@ -341,5 +346,52 @@ case class SimHash64(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** struct<n_words, max_tf, n_bigrams, nd_bigrams> (all bigint): the
+  * repetition statistics behind boilerplate filters (the "repetition"
+  * family of corpus-curation quality filters: max-term-frequency and
+  * duplicate-n-gram fractions): one pass over the words, a term-frequency
+  * map and a distinct-bigram set per row. Word split matches string_split
+  * semantics (every space delimits; empty segments count), so the DuckDB
+  * oracle agrees token for token; ratios are computed downstream as exact
+  * integer-over-integer double division. Bigram identity is the exact
+  * space-joined word pair (words cannot contain the delimiter they were
+  * split on), not a hash — no collision risk against the oracle. */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with EvalDelegatingCodegen {
+
+  override protected def resultJavaType: String =
+    "org.apache.spark.sql.catalyst.InternalRow"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("max_tf", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("nd_bigrams", LongType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = Words.split(input.asInstanceOf[UTF8String])
+    val tf = new java.util.HashMap[UTF8String, Integer](words.length * 2)
+    var maxTf = 0
+    var i = 0
+    while (i < words.length) {
+      val c = tf.merge(words(i), 1, (a, b) => a + b)
+      if (c > maxTf) maxTf = c
+      i += 1
+    }
+    val nBi = math.max(0, words.length - 1)
+    val biSet = new java.util.HashSet[String](nBi * 2)
+    i = 0
+    while (i < nBi) {
+      biSet.add(words(i).toString + " " + words(i + 1).toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](words.length.toLong, maxTf.toLong, nBi.toLong, biSet.size.toLong))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
     copy(child = newChild)
 }

@@ -169,6 +169,26 @@ object TextQ {
         .orderBy("doc_id")
     }),
 
+    // -- repetition / boilerplate scoring: max-term-frequency ratio and
+    //    duplicate-bigram fraction per document — the repetition family
+    //    of corpus-curation quality filters. One native pass per row
+    //    (graft.functions.RepetitionStats), ratios as exact
+    //    integer-over-integer double division; no shuffle until the
+    //    trailing ORDER BY (pre-range-partitioned like the other t ops).
+    "t08_repetition" -> ((s, d) => {
+      byRange(T.documents(s, d), "doc_id")
+        .withColumn("__r", graft.functions.TextExprs.repetitionStats(col("text")))
+        .select(col("doc_id"),
+          col("__r.n_words").as("n_words"),
+          col("__r.max_tf").as("max_tf"),
+          (col("__r.max_tf").cast(DoubleType) / col("__r.n_words")).as("top_tf_ratio"),
+          col("__r.n_bigrams").as("n_bigrams"),
+          when(col("__r.n_bigrams") > 0,
+            lit(1.0) - col("__r.nd_bigrams").cast(DoubleType) / col("__r.n_bigrams"))
+            .as("dup_bigram_ratio"))
+        .orderBy("doc_id")
+    }),
+
     // -- multimodal plumbing shape: opaque binary column + typed metadata.
     //    Text stands in for media bytes (no codecs in this container); the
     //    full binary pipeline (batch decode stubs) lives in
@@ -219,6 +239,26 @@ object TextQ {
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "t08_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+        |         generate_subscripts(string_split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+        |t AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        |             CAST(MAX(c) AS BIGINT) AS max_tf FROM tf GROUP BY doc_id),
+        |b AS (SELECT doc_id, w, lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM w),
+        |bi AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |              CAST(COUNT(DISTINCT w || ' ' || w2) AS BIGINT) AS nd_bigrams
+        |       FROM b WHERE w2 IS NOT NULL GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_words, t.max_tf,
+        |  CAST(t.max_tf AS DOUBLE) / t.n_words AS top_tf_ratio,
+        |  COALESCE(bi.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        |  CASE WHEN bi.n_bigrams > 0
+        |       THEN 1.0 - CAST(bi.nd_bigrams AS DOUBLE) / bi.n_bigrams END AS dup_bigram_ratio
+        |FROM t LEFT JOIN bi ON t.doc_id = bi.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
     "t01_token_count" ->
       """SELECT doc_id,
         | CAST(length(text) AS INT) AS n_chars_obs,

@@ -45,6 +45,23 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("repetition stats compile under strict codegen and count exactly") {
+    withStrictCodegen {
+      val df = Seq(
+        (1L, "a a a b"),          // max_tf 3; bigrams: (a a)x2, (a b) -> 2 distinct of 3
+        (2L, "x"),                // single word: no bigrams
+        (3L, "p q p q p"))        // max_tf 3; bigrams: (p q)x2, (q p)x2 -> 2 distinct of 4
+        .toDF("doc_id", "text")
+        .select($"doc_id", TextExprs.repetitionStats($"text").as("r"))
+        .select($"doc_id", $"r.n_words", $"r.max_tf", $"r.n_bigrams", $"r.nd_bigrams")
+      val rows = df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(rows(0) == ((4L, 3L, 3L, 2L)))
+      assert(rows(1) == ((1L, 1L, 0L, 0L)))
+      assert(rows(2) == ((5L, 3L, 4L, 2L)))
+    }
+  }
+
   test("int8 quantization + integer dot compile under strict codegen") {
     withStrictCodegen {
       val df = Seq((1L, Array(1.0f, -2.0f, 0.5f)), (2L, Array(0.0f, 0.0f, 0.0f)))
