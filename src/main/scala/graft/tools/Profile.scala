@@ -35,7 +35,8 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    case class St(name: String, tasks: Int, wallMs: Long, taskMs: Long, submitted: Long)
+    case class St(name: String, tasks: Int, wallMs: Long, taskMs: Long, submitted: Long,
+                  spillMem: Long, spillDisk: Long)
     val stages = mutable.ArrayBuffer.empty[St]
     var jobs = 0
     val listener = new SparkListener {
@@ -44,7 +45,8 @@ object Profile {
         val si = sc.stageInfo
         val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
         stages += St(si.name.takeWhile(_ != '\n'), si.numTasks, wall,
-          si.taskMetrics.executorRunTime, si.submissionTime.getOrElse(-1L))
+          si.taskMetrics.executorRunTime, si.submissionTime.getOrElse(-1L),
+          si.taskMetrics.memoryBytesSpilled, si.taskMetrics.diskBytesSpilled)
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -62,9 +64,11 @@ object Profile {
         // listener events are posted asynchronously; give the bus a moment
         Thread.sleep(300)
         println(f"== $name run $i: wall ${wall}%.0f ms, $jobs jobs, ${stages.size} stages, " +
-          f"stage-wall sum ${stages.map(_.wallMs).sum} ms, task-time sum ${stages.map(_.taskMs).sum} ms")
+          f"stage-wall sum ${stages.map(_.wallMs).sum} ms, task-time sum ${stages.map(_.taskMs).sum} ms, " +
+          f"spill mem ${stages.map(_.spillMem).sum / 1048576} MiB disk ${stages.map(_.spillDisk).sum / 1048576} MiB")
         stages.sortBy(-_.wallMs).take(12).foreach { s =>
-          println(f"   ${s.wallMs}%6d ms wall ${s.taskMs}%7d ms task ${s.tasks}%4d tasks  ${s.name}")
+          println(f"   ${s.wallMs}%6d ms wall ${s.taskMs}%7d ms task ${s.tasks}%4d tasks " +
+            f"${s.spillDisk / 1048576}%4d MiB spill  ${s.name}")
         }
       }
     }
