@@ -189,6 +189,27 @@ object TextQ {
         .orderBy("doc_id")
     }),
 
+    // -- stratified corpus sampling: a deterministic 40% quota per
+    //    (lang, source) stratum, ranked by md5(doc_id) — the "downsample
+    //    to a token budget, reproducibly, without a global sort" pipeline
+    //    step. Rank-within-stratum uses the guarded distributed
+    //    row-numbering operator (ops/Ranking): few strata spanning the
+    //    whole cluster is exactly its two-phase case, and a
+    //    high-cardinality stratum column would fall back to the window
+    //    plan on its own.
+    "t09_stratified_sample" -> ((s, d) => {
+      val docs = T.documents(s, d)
+        .withColumn("stratum", concat_ws("|", col("lang"), col("source")))
+        .withColumn("rk_key", md5(col("doc_id").cast(StringType).cast(BinaryType)))
+      graft.ops.Ranking
+        .withRowNumbers(docs, "stratum", Seq(col("rk_key"), col("doc_id")),
+          rnName = "rk", nName = "stratum_size")
+        .filter(col("rk") <= ceil(lit(0.4) * col("stratum_size")))
+        .select(col("doc_id"), col("lang"), col("source"), col("rk"),
+          col("stratum_size"))
+        .orderBy("lang", "source", "rk")
+    }),
+
     // -- multimodal plumbing shape: opaque binary column + typed metadata.
     //    Text stands in for media bytes (no codecs in this container); the
     //    full binary pipeline (batch decode stubs) lives in
@@ -239,6 +260,18 @@ object TextQ {
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "t09_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, source,
+        |         ROW_NUMBER() OVER (PARTITION BY lang, source
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |         COUNT(*) OVER (PARTITION BY lang, source) AS stratum_size
+        |  FROM documents)
+        |SELECT doc_id, lang, source, CAST(rk AS BIGINT) AS rk,
+        |       CAST(stratum_size AS BIGINT) AS stratum_size
+        |FROM r WHERE rk <= ceil(0.4 * stratum_size)
+        |ORDER BY lang, source, rk""".stripMargin,
+
     "t08_repetition" ->
       """WITH w AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
