@@ -157,6 +157,177 @@ case class ExactDistinctLong(
   override def prettyName: String = "graft_exact_distinct"
 }
 
+/** Space-Saving stream summary (Metwally/Agrawal/El Abbadi, ICDT'05) — the
+  * aggregation buffer for [[SpaceSavingTopK]]. Tracks at most `capacity`
+  * terms as (count, error): `count` upper-bounds the term's true
+  * frequency, `count − error` lower-bounds it, and any term whose true
+  * frequency exceeds the summary's minimum tracked count is guaranteed
+  * tracked (the ε = 1/capacity heavy-hitter guarantee). When fewer than
+  * `capacity` distinct terms were ever seen the summary is EXACT
+  * (`minBound` 0, no evictions) — which is also what makes the merge
+  * below exact in that regime.
+  *
+  * Eviction scans for the minimum (O(capacity)) — fine for the few
+  * evictions a skewed stream triggers at bench scale; a production
+  * deployment swaps in the linked-bucket "stream summary" structure for
+  * O(1) eviction without changing any bound. */
+final class SpaceSaving(val capacity: Int) {
+  val entries = new java.util.HashMap[String, Array[Long]]() // term -> [count, error]
+
+  /** Upper bound on the true count of a term this summary does NOT track:
+    * 0 while no eviction ever happened (everything seen is tracked),
+    * else the minimum tracked count. */
+  def minBound: Long =
+    if (entries.size < capacity) 0L
+    else {
+      var m = Long.MaxValue
+      val it = entries.values().iterator()
+      while (it.hasNext) { val c = it.next()(0); if (c < m) m = c }
+      if (m == Long.MaxValue) 0L else m
+    }
+
+  def add(term: String, by: Long = 1L, err: Long = 0L): Unit = {
+    val cur = entries.get(term)
+    if (cur != null) { cur(0) += by; cur(1) += err }
+    else if (entries.size < capacity) entries.put(term, Array(by, err))
+    else {
+      // evict the min-count entry; the newcomer inherits its count as error
+      var minK: String = null
+      var minC = Long.MaxValue
+      val it = entries.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue()(0) < minC) { minC = e.getValue()(0); minK = e.getKey }
+      }
+      entries.remove(minK)
+      entries.put(term, Array(minC + by, minC + err))
+    }
+  }
+
+  /** Bound-preserving merge: a term absent from one side contributes that
+    * side's `minBound` to the upper bound and 0 to the lower bound; the
+    * union is re-truncated to the top `capacity` by upper bound. */
+  def merge(other: SpaceSaving): SpaceSaving = {
+    val mbThis = minBound
+    val mbOther = other.minBound
+    val keys = new java.util.HashSet[String](entries.keySet())
+    keys.addAll(other.entries.keySet())
+    val merged = new java.util.ArrayList[(String, Long, Long)](keys.size())
+    val it = keys.iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      val a = entries.get(k)
+      val b = other.entries.get(k)
+      val up = (if (a != null) a(0) else mbThis) + (if (b != null) b(0) else mbOther)
+      val low = (if (a != null) a(0) - a(1) else 0L) + (if (b != null) b(0) - b(1) else 0L)
+      merged.add((k, up, up - low))
+    }
+    merged.sort((x: (String, Long, Long), y: (String, Long, Long)) =>
+      if (x._2 != y._2) java.lang.Long.compare(y._2, x._2) else x._1.compareTo(y._1))
+    entries.clear()
+    var i = 0
+    while (i < merged.size() && i < capacity) {
+      val (k, up, err) = merged.get(i)
+      entries.put(k, Array(up, err))
+      i += 1
+    }
+    this
+  }
+}
+
+/** Approximate corpus-wide top terms as ONE mergeable aggregate — the
+  * heavy-hitters primitive for 100 TB streams: fixed-size (capacity)
+  * partials combine map-side and merge associatively like a sketch, so
+  * the whole query is a single partial/final aggregate pair over one
+  * exchange of O(capacity) state — no term-keyed shuffle of the corpus.
+  * Returns array<struct<term, cnt, err>> sorted by (cnt desc, term):
+  * cnt ≥ true ≥ cnt − err, exact (err 0) whenever the stream's distinct
+  * count fits the capacity. The exact-count sibling of q26's HLL path. */
+case class SpaceSavingTopK(
+    child: Expression,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSaving] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING input, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): SpaceSaving = new SpaceSaving(capacity)
+
+  override def update(buffer: SpaceSaving, input: InternalRow): SpaceSaving = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.toString)
+    buffer
+  }
+
+  override def merge(buffer: SpaceSaving, other: SpaceSaving): SpaceSaving =
+    buffer.merge(other)
+
+  override def eval(buffer: SpaceSaving): Any = {
+    val out = new java.util.ArrayList[(String, Long, Long)](buffer.entries.size())
+    val it = buffer.entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.add((e.getKey, e.getValue()(0), e.getValue()(1)))
+    }
+    out.sort((x: (String, Long, Long), y: (String, Long, Long)) =>
+      if (x._2 != y._2) java.lang.Long.compare(y._2, x._2) else x._1.compareTo(y._1))
+    val rows = new Array[Any](out.size())
+    var i = 0
+    while (i < out.size()) {
+      val (t, c, e) = out.get(i)
+      rows(i) = org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t), c, e)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
+  }
+
+  override def serialize(buffer: SpaceSaving): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buffer.capacity)
+    out.writeInt(buffer.entries.size())
+    val it = buffer.entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeUTF(e.getKey)
+      out.writeLong(e.getValue()(0))
+      out.writeLong(e.getValue()(1))
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): SpaceSaving = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val s = new SpaceSaving(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      s.entries.put(in.readUTF(), Array(in.readLong(), in.readLong()))
+      i += 1
+    }
+    s
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingTopK =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingTopK =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): SpaceSavingTopK =
+    copy(child = newChild)
+  override def prettyName: String = "graft_topk_sketch"
+}
+
 /** Column-API entry points for graft's native aggregate functions. */
 object AggExprs {
   /** Exact distinct count of an integral column — one mergeable aggregate,
@@ -164,4 +335,10 @@ object AggExprs {
   def exactDistinct(c: Column): Column =
     GraftSqlBridge.column(
       ExactDistinctLong(GraftSqlBridge.expression(c.cast("long"))).toAggregateExpression())
+
+  /** Space-Saving heavy hitters of a string column: fixed-size mergeable
+    * summary, array<struct<term, cnt, err>> by (cnt desc, term). */
+  def topKSketch(c: Column, capacity: Int): Column =
+    GraftSqlBridge.column(
+      SpaceSavingTopK(GraftSqlBridge.expression(c), capacity).toAggregateExpression())
 }

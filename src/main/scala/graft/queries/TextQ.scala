@@ -210,6 +210,23 @@ object TextQ {
         .orderBy("lang", "source", "rk")
     }),
 
+    // -- corpus-wide heavy hitters via the Space-Saving sketch: ONE
+    //    mergeable fixed-size aggregate (map-side partials, one exchange
+    //    of O(capacity) state) instead of a term-keyed shuffle of the
+    //    corpus — the 100 TB shape for "top terms". At capacity 256 the
+    //    summary tracks this corpus's whole vocabulary, so counts are
+    //    exact and the DuckDB oracle matches hash-for-hash; the
+    //    constrained regime (capacity < distinct) is pinned by
+    //    AggExprsSpec's sandwich-bound and hitter-containment tests.
+    "t10_heavy_hitters" -> ((s, d) => {
+      T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .agg(graft.functions.AggExprs.topKSketch(col("term"), 256).as("top"))
+        .select(explode(slice(col("top"), 1, 10)).as("e"))
+        .select(col("e.term").as("term"), col("e.cnt").as("cnt"))
+        .orderBy(desc("cnt"), col("term"))
+    }),
+
     // -- multimodal plumbing shape: opaque binary column + typed metadata.
     //    Text stands in for media bytes (no codecs in this container); the
     //    full binary pipeline (batch decode stubs) lives in
@@ -260,6 +277,11 @@ object TextQ {
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "t10_heavy_hitters" ->
+      """SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY w ORDER BY cnt DESC, term LIMIT 10""".stripMargin,
+
     "t09_stratified_sample" ->
       """WITH r AS (
         |  SELECT doc_id, lang, source,

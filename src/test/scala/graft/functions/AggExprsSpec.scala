@@ -54,4 +54,50 @@ class AggExprsSpec extends SparkSpec {
       .orderBy("g").collect().map(_.getLong(1)).toSeq
     assert(got === Seq(2L, 1L))
   }
+
+  test("topKSketch is exact when the vocabulary fits the capacity") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val terms = (1 to 50000).map(_ => s"w${rnd.nextInt(30)}")
+    val df = terms.toDF("t").repartition(7) // multi-partition: merge path
+    val got = df.agg(AggExprs.topKSketch(col("t"), 64).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select("e.term", "e.cnt", "e.err").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = terms.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got.length == want.size)
+    assert(got.forall(_._3 == 0L), "no evictions anywhere => zero error")
+    assert(got.map(e => e._1 -> e._2).toMap == want)
+    // sorted by (cnt desc, term asc)
+    assert(got.sortBy(e => (-e._2, e._1)).toSeq == got.toSeq)
+  }
+
+  test("topKSketch under capacity pressure: sandwich bound + hitter containment") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // zipf-ish: 20 hot terms + a 5000-term noise tail
+    val terms = (1 to 60000).map { _ =>
+      if (rnd.nextInt(3) > 0) s"hot${rnd.nextInt(20)}" else s"cold${rnd.nextInt(5000)}"
+    }
+    val truth = terms.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = terms.size.toLong
+    val cap = 64
+    val got = terms.toDF("t").repartition(5)
+      .agg(AggExprs.topKSketch(col("t"), cap).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select("e.term", "e.cnt", "e.err").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == cap)
+    got.foreach { case (t, cnt, err) =>
+      val truthCnt = truth.getOrElse(t, 0L)
+      assert(truthCnt <= cnt, s"$t: upper bound violated ($truthCnt > $cnt)")
+      assert(truthCnt >= cnt - err, s"$t: lower bound violated")
+    }
+    // every term above the n/capacity threshold must be reported
+    val reported = got.map(_._1).toSet
+    truth.collect { case (t, c) if c > n / cap => t }
+      .foreach(t => assert(reported.contains(t), s"heavy hitter $t missing"))
+  }
 }
