@@ -235,6 +235,49 @@ final class SpaceSaving(val capacity: Int) {
   }
 }
 
+object SpaceSaving {
+  /** Summary ⇄ bytes — shared by the aggregate's partial-exchange serde
+    * and the streaming state store (graft.streaming topTermsStream). */
+  def toBytes(s: SpaceSaving): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(s.capacity)
+    out.writeInt(s.entries.size())
+    val it = s.entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeUTF(e.getKey)
+      out.writeLong(e.getValue()(0))
+      out.writeLong(e.getValue()(1))
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  def fromBytes(bytes: Array[Byte]): SpaceSaving = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val s = new SpaceSaving(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      s.entries.put(in.readUTF(), Array(in.readLong(), in.readLong()))
+      i += 1
+    }
+    s
+  }
+
+  /** (term, upper count, error) entries by (cnt desc, term asc). */
+  def sorted(s: SpaceSaving): IndexedSeq[(String, Long, Long)] = {
+    val out = new scala.collection.mutable.ArrayBuffer[(String, Long, Long)](s.entries.size())
+    val it = s.entries.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out += ((e.getKey, e.getValue()(0), e.getValue()(1)))
+    }
+    out.sortBy(e => (-e._2, e._1)).toIndexedSeq
+  }
+}
+
 /** Approximate corpus-wide top terms as ONE mergeable aggregate — the
   * heavy-hitters primitive for 100 TB streams: fixed-size (capacity)
   * partials combine map-side and merge associatively like a sketch, so
@@ -272,18 +315,11 @@ case class SpaceSavingTopK(
     buffer.merge(other)
 
   override def eval(buffer: SpaceSaving): Any = {
-    val out = new java.util.ArrayList[(String, Long, Long)](buffer.entries.size())
-    val it = buffer.entries.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      out.add((e.getKey, e.getValue()(0), e.getValue()(1)))
-    }
-    out.sort((x: (String, Long, Long), y: (String, Long, Long)) =>
-      if (x._2 != y._2) java.lang.Long.compare(y._2, x._2) else x._1.compareTo(y._1))
-    val rows = new Array[Any](out.size())
+    val sorted = SpaceSaving.sorted(buffer)
+    val rows = new Array[Any](sorted.size)
     var i = 0
-    while (i < out.size()) {
-      val (t, c, e) = out.get(i)
+    while (i < sorted.size) {
+      val (t, c, e) = sorted(i)
       rows(i) = org.apache.spark.sql.catalyst.InternalRow(
         org.apache.spark.unsafe.types.UTF8String.fromString(t), c, e)
       i += 1
@@ -291,33 +327,9 @@ case class SpaceSavingTopK(
     new org.apache.spark.sql.catalyst.util.GenericArrayData(rows)
   }
 
-  override def serialize(buffer: SpaceSaving): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val out = new java.io.DataOutputStream(bos)
-    out.writeInt(buffer.capacity)
-    out.writeInt(buffer.entries.size())
-    val it = buffer.entries.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      out.writeUTF(e.getKey)
-      out.writeLong(e.getValue()(0))
-      out.writeLong(e.getValue()(1))
-    }
-    out.flush()
-    bos.toByteArray
-  }
+  override def serialize(buffer: SpaceSaving): Array[Byte] = SpaceSaving.toBytes(buffer)
 
-  override def deserialize(bytes: Array[Byte]): SpaceSaving = {
-    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
-    val s = new SpaceSaving(in.readInt())
-    val n = in.readInt()
-    var i = 0
-    while (i < n) {
-      s.entries.put(in.readUTF(), Array(in.readLong(), in.readLong()))
-      i += 1
-    }
-    s
-  }
+  override def deserialize(bytes: Array[Byte]): SpaceSaving = SpaceSaving.fromBytes(bytes)
 
   override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingTopK =
     copy(mutableAggBufferOffset = newOffset)

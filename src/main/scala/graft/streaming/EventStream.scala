@@ -101,6 +101,58 @@ object EventStream {
              joinType: String = "left"): DataFrame =
     stream.join(broadcast(dim), Seq(key), joinType)
 
+  final case class TopTerm(window_start: Timestamp, term: String,
+                           cnt: Long, err: Long, rk: Int)
+
+  /** Per-window heavy hitters over a text stream — the streaming twin of
+    * t10: each tumbling window keeps ONE fixed-size Space-Saving summary
+    * (graft.functions.SpaceSaving, the same mergeable structure the batch
+    * aggregate exchanges), updated in place per micro-batch, and emits its
+    * top `k` terms exactly once when the event-time watermark closes the
+    * window. State is O(open windows × capacity) regardless of stream
+    * volume or vocabulary — the property that makes corpus-wide "what's
+    * trending" viable on an unbounded ingest. Counts carry the same
+    * cnt ≥ true ≥ cnt − err contract as the batch sketch (exact while a
+    * window's vocabulary fits the capacity). */
+  def topTermsStream(docs: DataFrame, textCol: String, tsCol: String = "ts",
+                     windowMinutes: Int = 60, lateness: String = "10 minutes",
+                     capacity: Int = 256, k: Int = 10): Dataset[TopTerm] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.SpaceSaving
+    val windowMillis = windowMinutes * 60L * 1000L
+    docs
+      .select(col(tsCol).cast("timestamp").as("ts"), col(textCol).as("text"))
+      .withWatermark("ts", lateness)
+      .as[(Timestamp, String)]
+      .groupByKey { case (ts, _) => ts.getTime / windowMillis * windowMillis }
+      .flatMapGroupsWithState[Array[Byte], TopTerm](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (winStart: Long, rows: Iterator[(Timestamp, String)],
+         state: GroupState[Array[Byte]]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.toSeq.flatMap { bytes =>
+              SpaceSaving.sorted(SpaceSaving.fromBytes(bytes)).take(k)
+                .zipWithIndex.map { case ((t, c, e), i) =>
+                  TopTerm(new Timestamp(winStart), t, c, e, i + 1)
+                }
+            }
+            state.remove()
+            out.iterator
+          } else {
+            val s = state.getOption.map(SpaceSaving.fromBytes)
+              .getOrElse(new SpaceSaving(capacity))
+            rows.foreach { case (_, text) =>
+              text.split(' ').foreach(w => s.add(w))
+            }
+            state.update(SpaceSaving.toBytes(s))
+            // emit when the watermark passes the window end (lateness is
+            // already inside the watermark; no extra slack needed)
+            state.setTimeoutTimestamp(winStart + windowMillis)
+            Iterator.empty
+          }
+      }
+  }
+
   final case class Event(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(sessionId: Long, // first-event ts micros
                                 lastTsMicros: Long,

@@ -38,6 +38,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming top terms emits a window's heavy hitters when it closes") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)]
+    val docs = input.toDF().toDF("ts", "text")
+    val query = EventStream.topTermsStream(docs, "text",
+        windowMinutes = 60, lateness = "10 minutes", capacity = 64, k = 3)
+      .writeStream.format("memory").queryName("hitters")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "spark spark table row"),
+        (ts("2024-01-01 10:20:00"), "spark table table"))
+      query.processAllAvailable()
+      // window still open: nothing emitted yet
+      assert(spark.table("hitters").isEmpty)
+      // an event far past 11:00 + lateness closes the 10:00 window
+      input.addData((ts("2024-01-01 12:00:00"), "later window"))
+      query.processAllAvailable()
+      val rows = spark.table("hitters").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString,
+          r.getAs[String]("term"), r.getAs[Long]("cnt"),
+          r.getAs[Long]("err"), r.getAs[Int]("rk"))).toSet
+      // capacity >> vocabulary: exact counts, deterministic (cnt desc, term) order
+      assert(rows == Set(
+        ("2024-01-01 10:00:00.0", "spark", 3L, 0L, 1),
+        ("2024-01-01 10:00:00.0", "table", 3L, 0L, 2),
+        ("2024-01-01 10:00:00.0", "row", 1L, 0L, 3)))
+    } finally query.stop()
+  }
+
   test("streaming dedup keeps the first arrival per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
