@@ -227,6 +227,27 @@ object TextQ {
         .orderBy(desc("cnt"), col("term"))
     }),
 
+    // -- sequence packing for LM training: concatenate the corpus in
+    //    doc_id order and cut fixed 512-token sequences; each document
+    //    gets its global token offset, its sequence id, and whether it
+    //    straddles a cut. The global running total rides the distributed
+    //    prefix-sum operator (ops/PrefixSum) — a bare
+    //    `sum() OVER (ORDER BY ...)` would run the whole corpus in ONE
+    //    window task.
+    "t11_sequence_pack" -> ((s, d) => {
+      val budget = 512
+      val docs = T.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      graft.ops.PrefixSum.exclusive(docs, Seq(col("doc_id")), "n_tokens", "tok_offset")
+        .withColumn("seq_id",
+          floor(col("tok_offset") / lit(budget.toDouble)).cast("long"))
+        .withColumn("end_seq",
+          floor((col("tok_offset") + col("n_tokens") - 1) / lit(budget.toDouble)).cast("long"))
+        .withColumn("crosses_cut", col("seq_id") =!= col("end_seq"))
+        .orderBy("doc_id")
+    }),
+
     // -- multimodal plumbing shape: opaque binary column + typed metadata.
     //    Text stands in for media bytes (no codecs in this container); the
     //    full binary pipeline (batch decode stubs) lives in
@@ -277,6 +298,21 @@ object TextQ {
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "t11_sequence_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |           FROM documents),
+        |o AS (SELECT doc_id, n_tokens,
+        |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |      FROM t)
+        |SELECT doc_id, n_tokens, tok_offset,
+        |  CAST(floor(tok_offset / 512.0) AS BIGINT) AS seq_id,
+        |  CAST(floor((tok_offset + n_tokens - 1) / 512.0) AS BIGINT) AS end_seq,
+        |  CAST(floor(tok_offset / 512.0) AS BIGINT)
+        |    <> CAST(floor((tok_offset + n_tokens - 1) / 512.0) AS BIGINT) AS crosses_cut
+        |FROM o ORDER BY doc_id""".stripMargin,
+
     "t10_heavy_hitters" ->
       """SELECT w AS term, CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
