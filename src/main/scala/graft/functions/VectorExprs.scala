@@ -38,6 +38,15 @@ object VectorExprs {
     GraftSqlBridge.column(
       NearestCentroids(GraftSqlBridge.expression(a), codebook, n))
 
+  /** Deterministic Rademacher random projection to `outDim` dims — the
+    * other embedding-compression axis next to int8 quantization: ±1
+    * entries derived from a hash of (seed, i, j), so no matrix is stored
+    * or broadcast, and the same seed projects identically on every
+    * executor. Scaled 1/√outDim: inner products are preserved in
+    * expectation (Johnson–Lindenstrauss / Achlioptas sign projections). */
+  def randomProject(a: Column, outDim: Int, seed: Long = 7L): Column =
+    GraftSqlBridge.column(RandomProject(GraftSqlBridge.expression(a), outDim, seed))
+
   /** Max-abs int8 quantization: struct<scale: double, codes: array<tinyint>>. */
   def quantizeI8(a: Column): Column =
     GraftSqlBridge.column(QuantizeI8(GraftSqlBridge.expression(a)))
@@ -234,6 +243,61 @@ case class DotF32(left: Expression, right: Expression)
 }
 
 /** `sqrt(dot(a, a))` in one pass; NULL if any element is null. */
+/** array<float> length-`outDim`: hash-derived ±1 (Rademacher) sign
+  * projection, scaled 1/√outDim. One pass per output slot over the input;
+  * no stored matrix (the "matrix" IS the hash), so the projection needs
+  * no broadcast and is bit-identical across executors and engines. NULL
+  * elements make the result NULL, like the arithmetic it replaces. */
+case class RandomProject(child: Expression, outDim: Int, seed: Long)
+    extends UnaryExpression {
+  require(outDim > 0, "outDim must be positive")
+
+  @transient private lazy val cc = VecType.code(prettyName, child.dataType)
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "random_project"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val d = x.numElements()
+    val out = new Array[Float](outDim)
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    var j = 0
+    while (j < outDim) {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        if (x.isNullAt(i)) return null
+        // splitmix64-style finalizer over (seed, i, j): sign = low bit
+        var h = seed + i * -7046029254386353131L + j * -4417276706812531889L
+        h ^= h >>> 30; h *= -4658895280553007687L; h ^= h >>> 27
+        val v = VecType.get(x, i, cc)
+        s += (if ((h & 1L) == 0L) v else -v)
+        i += 1
+      }
+      out(j) = (s * scale).toFloat
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val self = ctx.addReferenceObj("rp", this, classOf[RandomProject].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""
+         |Object r = $self.nullSafeEval($a);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r; }
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProject =
+    copy(child = newChild)
+}
+
 case class NormF32(child: Expression)
     extends UnaryExpression {
 

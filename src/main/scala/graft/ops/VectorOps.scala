@@ -61,6 +61,22 @@ object VectorOps {
   /** Brute-force top-k cosine neighbors for each query row.
     * Queries should be small (broadcast); base is the full corpus. The
     * per-query ranking is a window top-k: one shuffle on query id. */
+  /** kNN in a Rademacher-projected low-dim space — the
+    * dimensionality-reduction compression axis next to int8 quantization
+    * (s05): 64→`outDim` floats cuts the scored bytes 4× at outDim 16,
+    * and the hash-derived projection needs no stored/broadcast matrix.
+    * Ranking happens entirely in the projected space (JL: inner products
+    * preserved in expectation, so well-separated neighbors survive);
+    * exact re-ranking of the survivors is the caller's refinement step. */
+  def knnProjected(queries: DataFrame, base: DataFrame, idCol: String,
+                   vecCol: String, k: Int, outDim: Int = 16,
+                   seed: Long = 7L): DataFrame = {
+    import graft.functions.VectorExprs.randomProject
+    def proj(df: DataFrame) = df.select(
+      col(idCol), randomProject(col(vecCol), outDim, seed).as(vecCol))
+    knnBrute(proj(queries), proj(base), idCol, vecCol, k)
+  }
+
   def knnBrute(queries: DataFrame, base: DataFrame, idCol: String,
                vecCol: String, k: Int): DataFrame = {
     val q = withNorm(queries, vecCol)

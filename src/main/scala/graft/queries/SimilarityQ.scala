@@ -50,6 +50,19 @@ object SimilarityQ {
         .orderBy("qid", "rk")
     }),
 
+    // -- kNN in a 16-dim Rademacher projection of the 64-dim embeddings
+    //    (hash-derived ±1 matrix, nothing stored or broadcast): the
+    //    dimensionality-reduction compression path next to s05's int8
+    //    quantization. Rows-only check; neighbor quality vs s01 pinned
+    //    in OpsSpec on clustered vectors.
+    "s06_ann_project" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      VectorOps.knnProjected(
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+          k = 5, outDim = 16)
+        .orderBy("qid", "rk")
+    }),
+
     // -- centroid similarity per label: average vector per label, then
     //    each vector's cosine to its own label centroid (exact decimal-free
     //    arithmetic is impossible here ⇒ aggregate stats only, rounded).

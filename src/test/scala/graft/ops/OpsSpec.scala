@@ -181,6 +181,29 @@ class OpsSpec extends SparkSpec {
     assert(lsh == exact, s"recall/precision drift: missing=${exact -- lsh} extra=${lsh -- exact}")
   }
 
+  test("projected kNN keeps within-cluster neighbors (JL sign projection)") {
+    // 5 well-separated clusters of 6 jittered copies: at 64->16 dims the
+    // JL distortion is far smaller than the cluster separation, so every
+    // projected neighbor list stays within the query's own cluster
+    val rnd = new scala.util.Random(29)
+    val vecs = (0 until 5).flatMap { c =>
+      val center = Array.fill(64)(rnd.nextGaussian().toFloat)
+      (0 until 6).map(j =>
+        ((c * 6 + j).toLong, center.map(v => v + (rnd.nextGaussian() * 0.02).toFloat)))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter($"vec_id" % 6 === 0)
+    val got = VectorOps.knnProjected(queries, vecs, "vec_id", "embedding", k = 5, outDim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 5 * 5)
+    got.foreach { case (q, n) =>
+      assert(q / 6 == n / 6, s"projected neighbor $n left query $q's cluster")
+    }
+    // determinism: same seed => identical neighbor lists
+    val again = VectorOps.knnProjected(queries, vecs, "vec_id", "embedding", k = 5, outDim = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("nearDuplicates plan has no all-pairs nested-loop join") {
     val vecs = (0 until 20).map(i => (i.toLong, Array.fill(8)(i.toFloat)))
       .toDF("vec_id", "embedding")
