@@ -43,7 +43,10 @@ object GraftExtensions {
     ("simhash64", "simhash64(text) - 64-bit SimHash of the distinct words", 1,
       args => SimHash64(args.head)),
     ("shingle_hashes", "shingle_hashes(text) - distinct xxhash64 of the word 3-shingles", 1,
-      args => ShingleHashes(args.head, 3)))
+      args => ShingleHashes(args.head, 3)),
+    ("repetition_stats",
+      "repetition_stats(text) - struct<n_words, max_tf, n_bigrams, nd_bigrams>", 1,
+      args => RepetitionStats(args.head)))
 
   /** Register on an already-running session (extensions only bind at
     * session construction). */

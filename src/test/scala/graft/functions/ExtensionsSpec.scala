@@ -11,11 +11,13 @@ class ExtensionsSpec extends SparkSpec {
         |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
         |       norm_f32(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n,
         |       simhash64('a b c') AS sh,
-        |       size(shingle_hashes('a b c d')) AS nsh""".stripMargin).collect().head
+        |       size(shingle_hashes('a b c d')) AS nsh,
+        |       repetition_stats('a a b').max_tf AS mtf""".stripMargin).collect().head
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 5.0)
     assert(r.getLong(2) != 0L)
     assert(r.getInt(3) == 2)
+    assert(r.getLong(4) == 2L)
   }
 
   test("arity violations surface as clear errors") {
