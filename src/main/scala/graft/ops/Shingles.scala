@@ -64,7 +64,11 @@ object Shingles {
     // minDf = 2: singleton shingles (the vast majority on natural text)
     // can't pair — dropped by the window filter, so collect_list never
     // allocates a buffer for them and the old size(docs) > 1 post-filter
-    // is subsumed.
+    // is subsumed. (Measured dead end, round 5: enforcing the df band
+    // inside a single capped-collect TypedImperativeAggregate — no
+    // WindowExec sort — was ~35% SLOWER: the partial→final aggregate
+    // boundary serializes every group's buffer including the singleton
+    // majority the window filter drops before any buffer exists.)
     val postings = Postings.dfCapped(all, "shingle", maxDf, minDf = 2)
       .groupBy("shingle")
       .agg(collect_list(struct(col(idCol).as("id"), col("n_sh").as("n"))).as("docs"))
