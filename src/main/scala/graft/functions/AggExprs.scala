@@ -126,10 +126,12 @@ case class ExactDistinctLong(
   extends TypedImperativeAggregate[LongSet] with UnaryLike[Expression] {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    if (Seq(ByteType, ShortType, IntegerType, LongType).contains(child.dataType))
+      TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a BIGINT input, got ${child.dataType.simpleString}" +
-        " — cast integral columns up (the AggExprs.exactDistinct entry point does)")
+      s"$prettyName requires an integral input, got ${child.dataType.simpleString}" +
+        " — string/decimal distinct stays on the built-in paths (a silent" +
+        " cast would truncate or null values and miscount)")
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
 
@@ -137,7 +139,8 @@ case class ExactDistinctLong(
 
   override def update(buffer: LongSet, input: InternalRow): LongSet = {
     val v = child.eval(input)
-    if (v != null) buffer.add(v.asInstanceOf[Long]) // COUNT(DISTINCT) skips NULLs
+    // COUNT(DISTINCT) skips NULLs; any integral widens losslessly to long
+    if (v != null) buffer.add(v.asInstanceOf[Number].longValue())
     buffer
   }
 
@@ -186,10 +189,11 @@ final class SpaceSaving(val capacity: Int) {
       if (m == Long.MaxValue) 0L else m
     }
 
-  def add(term: String, by: Long = 1L, err: Long = 0L): Unit = {
+  /** The textbook Space-Saving update: count one occurrence of `term`. */
+  def add(term: String): Unit = {
     val cur = entries.get(term)
-    if (cur != null) { cur(0) += by; cur(1) += err }
-    else if (entries.size < capacity) entries.put(term, Array(by, err))
+    if (cur != null) cur(0) += 1
+    else if (entries.size < capacity) entries.put(term, Array(1L, 0L))
     else {
       // evict the min-count entry; the newcomer inherits its count as error
       var minK: String = null
@@ -200,7 +204,7 @@ final class SpaceSaving(val capacity: Int) {
         if (e.getValue()(0) < minC) { minC = e.getValue()(0); minK = e.getKey }
       }
       entries.remove(minK)
-      entries.put(term, Array(minC + by, minC + err))
+      entries.put(term, Array(minC + 1, minC))
     }
   }
 
@@ -343,10 +347,13 @@ case class SpaceSavingTopK(
 /** Column-API entry points for graft's native aggregate functions. */
 object AggExprs {
   /** Exact distinct count of an integral column — one mergeable aggregate,
-    * no Expand, no per-column exchange. */
+    * no Expand, no per-column exchange. Non-integral inputs are a TYPE
+    * ERROR, not a silent cast: `CAST(decimal AS BIGINT)` truncates (1.1
+    * and 1.2 would count as one) and string casts NULL out, both of which
+    * would miscount where the built-in countDistinct is correct. */
   def exactDistinct(c: Column): Column =
     GraftSqlBridge.column(
-      ExactDistinctLong(GraftSqlBridge.expression(c.cast("long"))).toAggregateExpression())
+      ExactDistinctLong(GraftSqlBridge.expression(c)).toAggregateExpression())
 
   /** Space-Saving heavy hitters of a string column: fixed-size mergeable
     * summary, array<struct<term, cnt, err>> by (cnt desc, term). */

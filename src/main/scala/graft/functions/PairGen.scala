@@ -69,17 +69,24 @@ case class SortedIdPairs(child: Expression, minSizeRatio: Double = 0.0)
     val a = child.eval(input)
     if (a == null) return Iterator.empty
     val arr = a.asInstanceOf[ArrayData]
-    val m = arr.numElements()
-    if (m < 2) return Iterator.empty
-    val ids = new Array[Long](m)
-    val ns = new Array[Long](m)
+    val total = arr.numElements()
+    // NULL elements contribute nothing (the containsNull flag is
+    // wildcarded in the type check, so user arrays may carry them;
+    // blindly reading would emit garbage ids instead of erroring)
+    val ids = new Array[Long](total)
+    val ns = new Array[Long](total)
+    var m = 0
     var k = 0
-    while (k < m) {
-      val s = arr.getStruct(k, 2)
-      ids(k) = s.getLong(0)
-      ns(k) = s.getLong(1)
+    while (k < total) {
+      if (!arr.isNullAt(k)) {
+        val s = arr.getStruct(k, 2)
+        ids(m) = s.getLong(0)
+        ns(m) = s.getLong(1)
+        m += 1
+      }
       k += 1
     }
+    if (m < 2) return Iterator.empty
     val r = minSizeRatio
     new Iterator[InternalRow] {
       private val row = new GenericInternalRow(4) // copied by the exec's projection
@@ -134,8 +141,21 @@ case class CrossPairs(left: Expression, right: Expression)
     val la = left.eval(input)
     val ra = right.eval(input)
     if (la == null || ra == null) return Iterator.empty
-    val as = la.asInstanceOf[ArrayData].toLongArray()
-    val bs = ra.asInstanceOf[ArrayData].toLongArray()
+    // NULL elements contribute nothing — toLongArray on an UnsafeArrayData
+    // ignores the null bitmap and would silently read zeros in their place
+    def nonNullLongs(a: ArrayData): Array[Long] = {
+      val n = a.numElements()
+      val out = new Array[Long](n)
+      var m = 0
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i)) { out(m) = a.getLong(i); m += 1 }
+        i += 1
+      }
+      if (m == n) out else java.util.Arrays.copyOf(out, m)
+    }
+    val as = nonNullLongs(la.asInstanceOf[ArrayData])
+    val bs = nonNullLongs(ra.asInstanceOf[ArrayData])
     if (as.isEmpty || bs.isEmpty) return Iterator.empty
     new Iterator[InternalRow] {
       private val row = new GenericInternalRow(2)

@@ -297,10 +297,13 @@ object Multimodal {
             case Some(audio) =>
               val raster = audio.raster
               val dur = audio.durationMs
-              val span = math.max(1, raster.length / n)
+              // n contiguous slices covering EVERY sample: slice i is
+              // [i·len/n, (i+1)·len/n) — a fixed floor(len/n) span would
+              // leave unhashed gap bytes whenever n doesn't divide len,
+              // and differences there would change no frame_sig
               (0 until n).map { i =>
                 val from = i * raster.length / n
-                val until = math.min(raster.length, from + span)
+                val until = (i + 1) * raster.length / n
                 var sig = id * 31 + i
                 var p = from
                 while (p < until) { sig = sig * 131 + raster(p); p += 1 }

@@ -142,7 +142,9 @@ object EventStream {
             val s = state.getOption.map(SpaceSaving.fromBytes)
               .getOrElse(new SpaceSaving(capacity))
             rows.foreach { case (_, text) =>
-              text.split(' ').foreach(w => s.add(w))
+              // limit -1 keeps trailing empty segments — the same "every
+              // space delimits" tokenization as the batch t10 split()
+              text.split(" ", -1).foreach(w => s.add(w))
             }
             state.update(SpaceSaving.toBytes(s))
             // emit when the watermark passes the window end (lateness is

@@ -33,19 +33,29 @@ object ScaleUp {
     def replicate(df: DataFrame, build: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map(i => build(df, i)).reduce(_ unionAll _)
 
+    // replica stride = max(key)+1 measured from the SOURCE, not a constant:
+    // hardcoded sf0.1 ranges would silently collide replica keys on any
+    // other source (e.g. chaining ScaleUp on its own output)
+    def stride(df: DataFrame, keys: String*): Map[String, Long] = {
+      val r = df.agg(max(col(keys.head)), keys.tail.map(k => max(col(k))): _*).collect()(0)
+      keys.zipWithIndex.map { case (k, i) => k -> (r.getLong(i) + 1L) }.toMap
+    }
+
     val docs = graft.queries.T.documents(spark, src)
+    val dStride = stride(docs, "doc_id")
     replicate(docs, (d, i) => d.select(
-        (col("doc_id") + lit(i * 5000L)).as("doc_id"),
+        (col("doc_id") + lit(i * dStride("doc_id"))).as("doc_id"),
         translate(col("text"), alpha, rot(i)).as("text"),
         col("lang"), col("source"), col("n_chars")))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val li = graft.queries.T.lineitem(spark, src)
+    val lStride = stride(li, "l_orderkey", "l_partkey", "l_suppkey")
     replicate(li, (d, i) => d
-        .withColumn("l_orderkey", col("l_orderkey") + lit(i * 150000L))
-        .withColumn("l_partkey", col("l_partkey") + lit(i * 20000L))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(i * 1000L)))
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * lStride("l_orderkey")))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * lStride("l_partkey")))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * lStride("l_suppkey"))))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 

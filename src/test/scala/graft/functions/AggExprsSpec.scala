@@ -55,6 +55,20 @@ class AggExprsSpec extends SparkSpec {
     assert(got === Seq(2L, 1L))
   }
 
+  test("exactDistinct rejects non-integral inputs instead of silently casting") {
+    val s = spark
+    import s.implicits._
+    // decimal would truncate (1.1 and 1.2 -> one value), string would null out
+    val dec = Seq(BigDecimal("1.1"), BigDecimal("1.2")).toDF("v")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      dec.agg(AggExprs.exactDistinct(col("v"))).collect()
+    }
+    val str = Seq("a", "b").toDF("v")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      str.agg(AggExprs.exactDistinct(col("v"))).collect()
+    }
+  }
+
   test("topKSketch is exact when the vocabulary fits the capacity") {
     val s = spark
     import s.implicits._

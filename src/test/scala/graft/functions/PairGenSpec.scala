@@ -42,6 +42,24 @@ class PairGenSpec extends SparkSpec {
     assert(all == got)
   }
 
+  test("NULL array elements contribute nothing (no garbage ids, no NPE)") {
+    val withNullStruct = Seq(1).toDF("x").select(array(
+      struct(lit(1L).as("id"), lit(10L).as("n")),
+      lit(null).cast("struct<id:bigint,n:bigint>"),
+      struct(lit(3L).as("id"), lit(30L).as("n"))).as("docs"))
+    val got = withNullStruct
+      .select(PairGen.idPairs(col("docs")).as(Seq("a", "b", "na", "nb")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 3L)))
+    val withNullLong = Seq(1).toDF("x").select(
+      array(lit(1L), lit(null).cast("long")).as("a"),
+      array(lit(5L)).as("b"))
+    val cross = withNullLong
+      .select(PairGen.crossPairs(col("a"), col("b")).as(Seq("x", "y")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross == Set((1L, 5L))) // not (0, 5) from a raw bitmap-blind read
+  }
+
   test("crossPairs is the full cross product, empty sides yield nothing") {
     val df = Seq(
       (Seq(1L, 2L), Seq(10L, 20L, 30L)),

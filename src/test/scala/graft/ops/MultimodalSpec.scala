@@ -128,6 +128,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("sampleFrames windows cover every sample when n does not divide the length") {
+    // 801 samples, n=4: a fixed floor(len/n) span would never hash the
+    // last sample — perturbing it must still change the last window's sig
+    val base = Array.tabulate[Short](801)(i => (i * 13 % 1000).toShort)
+    val tweaked = base.clone()
+    tweaked(800) = (tweaked(800) + 500).toShort
+    val m = audioRow(9L, wavBytes(base, 1, 8000))
+      .unionAll(audioRow(9L, wavBytes(tweaked, 1, 8000)))
+    val frames = Multimodal.sampleFrames(m, n = 4).collect()
+      .groupBy(_.getAs[Int]("frame_idx"))
+    for (i <- 0 to 3) {
+      val sigs = frames(i).map(_.getAs[Long]("frame_sig")).distinct
+      assert(sigs.length == (if (i == 3) 2 else 1), s"window $i")
+    }
+  }
+
   test("sampleFrames fans out n frames per video, 1 per non-video") {
     val m = Multimodal.mediaFromDocuments(docs)
     val frames = Multimodal.sampleFrames(m, n = 4)
