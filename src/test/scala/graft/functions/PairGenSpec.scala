@@ -60,6 +60,33 @@ class PairGenSpec extends SparkSpec {
     assert(cross == Set((1L, 5L))) // not (0, 5) from a raw bitmap-blind read
   }
 
+  test("idPairs agrees with the composed posexplode+slice formulation on random lists") {
+    val rnd = new scala.util.Random(41)
+    // 200 posting lists of random sizes 0..12 with distinct ids
+    val lists = (1 to 200).map { _ =>
+      val m = rnd.nextInt(13)
+      rnd.shuffle((1 to 500).toList).take(m).map(id => (id.toLong, 1L + rnd.nextInt(40)))
+    }
+    val df = lists.toDF("raw")
+      .select(monotonically_increasing_id().as("row"), transform(col("raw"), e =>
+        struct(e.getField("_1").as("id"), e.getField("_2").as("n"))).as("docs"))
+    val got = df.select(col("row"), PairGen.idPairs(col("docs")).as(Seq("a", "b", "na", "nb")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    // the composed formulation the generator replaced
+    val composed = df
+      .select(col("row"), array_sort(col("docs")).as("docs"))
+      .select(col("row"), col("docs"), posexplode(col("docs")).as(Seq("i", "x")))
+      .select(col("row"), col("x"),
+        explode(slice(col("docs"), col("i") + lit(2),
+          greatest(size(col("docs")) - col("i") - lit(1), lit(0)))).as("y"))
+      .select(col("row"), col("x.id").as("a"), col("y.id").as("b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == composed)
+  }
+
   test("crossPairs is the full cross product, empty sides yield nothing") {
     val df = Seq(
       (Seq(1L, 2L), Seq(10L, 20L, 30L)),
