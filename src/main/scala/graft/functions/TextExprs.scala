@@ -75,6 +75,10 @@ object TextExprs {
   def markerCounts(text: Column, markerSets: Seq[Seq[String]]): Column =
     GraftSqlBridge.column(
       MarkerCounts(GraftSqlBridge.expression(text), markerSets.map(_.toArray).toArray))
+
+  /** Per-document term frequencies — array<struct<term, tf>> in one pass. */
+  def termCounts(text: Column): Column =
+    GraftSqlBridge.column(TermCounts(GraftSqlBridge.expression(text)))
 }
 
 /** array<int> length = number of marker sets: how many word occurrences of
@@ -393,5 +397,49 @@ case class RepetitionStats(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+/** array<struct<term:string, tf:bigint>>: per-document term frequencies in
+  * ONE pass — the map-side TF for t05/t07. `explode(term_counts(text))`
+  * replaces explode-every-token + repartition + groupBy(doc, term): the
+  * term exchange then carries one row per DISTINCT (doc, term) pair
+  * instead of every token occurrence, and the TF aggregate disappears
+  * entirely (it happens inside this expression at scan time). Word split
+  * matches string_split semantics (every space delimits; empty segments
+  * count) so the DuckDB oracle agrees token for token; terms are emitted
+  * in first-occurrence order (deterministic, not hash-ordered). */
+case class TermCounts(child: Expression)
+    extends UnaryExpression with EvalDelegatingCodegen {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "term_counts"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = Words.split(input.asInstanceOf[UTF8String])
+    val tf = new java.util.LinkedHashMap[UTF8String, Array[Long]](words.length * 2)
+    var i = 0
+    while (i < words.length) {
+      val cell = tf.get(words(i))
+      if (cell == null) tf.put(words(i), Array(1L)) else cell(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](tf.size)
+    val it = tf.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey, e.getValue()(0)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
     copy(child = newChild)
 }

@@ -52,8 +52,14 @@ object Contamination {
                  candidates: Seq[Int] = Seq(8, 12, 16, 24, 32),
                  sampleDocs: Int = 256, maxRep: Double = 4.0): (Int, Int) = {
     require(candidates.nonEmpty)
-    val sample = train.select(col(textCol).as("t")).limit(sampleDocs)
-      .unionAll(test.select(col(textCol).as("t")).limit(sampleDocs))
+    // Deterministic sample: an unordered limit() depends on partition scan
+    // order, so the picked k (and d08's output) could drift across runs.
+    // orderBy(hash)+limit plans as TakeOrderedAndProject — one pass, an
+    // O(sampleDocs) heap per partition, no data shuffle — and ties only
+    // occur for identical text, which fingerprints identically anyway.
+    def det(df: DataFrame) = df.select(col(textCol).as("t"))
+      .orderBy(xxhash64(col(textCol)), col(textCol)).limit(sampleDocs)
+    val sample = det(train).unionAll(det(test))
     val perK = sample
       .select(explode(array(candidates.map(k =>
         struct(lit(k).as("k"),

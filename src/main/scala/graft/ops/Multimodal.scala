@@ -82,7 +82,7 @@ object Multimodal {
         }
         Some((out, w, h))
       }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** REAL audio decode for uncompressed RIFF/WAVE PCM — the one audio
     * container decodable with zero dependencies (fixed-size chunks, LE
@@ -128,7 +128,10 @@ object Multimodal {
       while (out.isEmpty && off + 8 <= bytes.length) {
         val id = new String(bytes, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
         val size = le32(bytes, off + 4)
-        if (size < 0 || off + 8 + size > bytes.length) return None
+        // Long arithmetic: a crafted size near Int.MaxValue would wrap the
+        // Int sum negative and slip past this guard (then attempt a huge
+        // allocation in the data branch).
+        if (size < 0 || off.toLong + 8L + size > bytes.length) return None
         if (id == "fmt ") {
           if (size < 16) return None
           val audioFormat = le16(bytes, off + 8)
@@ -160,7 +163,7 @@ object Multimodal {
         off += 8 + size + (size & 1)
       }
       out
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** STUB decode: a real implementation returns the decoded raster; here
     * the "pixels" are a deterministic xxhash-seeded byte expansion so

@@ -37,10 +37,19 @@ object Percentiles {
     * `percentile` hash aggregate — identical percentile_cont semantics
     * (exact interpolation, NULLs ignored, all-NULL group → NULL), and
     * with plentiful small groups its per-group value buffering is bounded
-    * by rows/groups, which is exactly when buffering is cheap. */
+    * by rows/groups, which is exactly when buffering is cheap.
+    *
+    * Size-gated at the other end too: below `smallInputBytes` of scan
+    * input (plan statistics — free, no job) the two-pass selection's three
+    * driver jobs are pure overhead against a single `percentile` hash
+    * aggregate whose value buffers trivially fit in memory, so the small
+    * path runs ONE job. The two-phase plan is the >256 MiB path — the
+    * regime where per-group buffering (and the one-task-per-group window)
+    * actually breaks. */
   def exactCont(df: DataFrame, groupCol: String, valueCol: String,
                 fractions: Seq[(Double, String)],
-                maxGroups: Int = TwoPhase.MaxGroups): DataFrame = {
+                maxGroups: Int = TwoPhase.MaxGroups,
+                smallInputBytes: Long = 256L << 20): DataFrame = {
     // group values become driver-side map keys (see Ranking): reject types
     // with reference equality or broken reflexivity
     val gType = df.schema(groupCol).dataType
@@ -48,6 +57,22 @@ object Percentiles {
       s"group column $groupCol: $gType has unreliable JVM equality for driver-side " +
         "bucketing; use an integral/string/date key")
     val spark = df.sparkSession
+    // exact percentile_cont via the native primitive-buffer aggregate —
+    // shared by the small-input gate and the high-cardinality fallback
+    // below. ONE aggregate for all fractions; Spark's own percentile()
+    // buffers boxed doubles in an OpenHashMap (measured 3.2 s where this
+    // is ~0.2 s on sf0.1 lineitem), so it is never the right plan here.
+    def aggregatePlan(): DataFrame = {
+      df.groupBy(col(groupCol))
+        .agg(graft.functions.AggExprs
+          .percentileCont(col(valueCol).cast(DoubleType), fractions.map(_._1))
+          .as("__ps"))
+        .select(col(groupCol) +: fractions.zipWithIndex.map { case ((_, name), i) =>
+          element_at(col("__ps"), i + 1).as(name)
+        }: _*)
+    }
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallInputBytes)
+      return aggregatePlan()
     val nPart = spark.sessionState.conf.numShufflePartitions
     // NULL values stay in (percentile_cont semantics: a group of only
     // NULLs still yields an output row, with NULL percentiles); ASC
@@ -67,10 +92,7 @@ object Percentiles {
       weight = r => if (r.isNullAt(1)) 0L else 1L)
     if (countsOpt.isEmpty) {
       // high-cardinality fallback: exact per-group percentile aggregate
-      val aggs = fractions.map { case (p, name) =>
-        percentile(col(valueCol).cast(DoubleType), lit(p)).as(name)
-      }
-      return df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      return aggregatePlan()
     }
     val (totals, offsets) = TwoPhase.totalsAndOffsets(countsOpt.get)
     // 0-indexed ranks needed per group: floor/ceil of h = p·(n−1)

@@ -33,28 +33,55 @@ private[ops] object TwoPhase {
 
   /** Pass 1: per-(partition, group) counts, capped. Returns None as soon
     * as any partition sees more than `maxGroups` distinct groups (the
-    * partition stops scanning and emits a single overflow marker), or
-    * when the collected counts span more than `maxGroups` groups overall.
-    * `weight` lets a caller count a subset (e.g. non-null values) while
-    * still observing every group. */
+    * partition stops scanning and emits a single overflow marker), when
+    * the merged counts span more than `maxGroups` groups overall, or when
+    * the merged (partition, group) tuple count exceeds the range-partition
+    * budget. `weight` lets a caller count a subset (e.g. non-null values)
+    * while still observing every group.
+    *
+    * The merge runs as a `treeReduce` (one job, executor-side combine),
+    * not a raw `collect`: the per-partition cap alone would still let the
+    * driver receive partitions × maxGroups tuples when groups are
+    * hash-scattered across every partition (each partition under its local
+    * cap). Every intermediate merge is bounded by `tupleBudget` — on the
+    * intended range-partitioned input, groups are contiguous so the true
+    * tuple count is ≤ groups + partitions (boundary overlap only); anything
+    * far above that means the input is not the few-groups shape this plan
+    * is for, and the merge collapses to the overflow sentinel (None) so the
+    * caller takes its per-group fallback. */
   def groupCountsCapped(rdd: RDD[Row], gIdx: Int, maxGroups: Int = MaxGroups,
                         weight: Row => Long = _ => 1L): Option[Array[(Int, Any, Long)]] = {
-    val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
-      val acc = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
-      var overflow = false
-      while (!overflow && it.hasNext) {
-        val r = it.next()
-        val g = r.get(gIdx)
-        if (acc.contains(g)) acc.update(g, acc(g) + weight(r))
-        else if (acc.size >= maxGroups) overflow = true // stop scanning: caller falls back
-        else acc.update(g, weight(r))
+    val parts = rdd.getNumPartitions
+    if (parts == 0) return Some(Array.empty)
+    // 2× slack over the contiguous-groups bound: legit range-partitioned
+    // inputs sit far below it; adversarial scatter trips it early.
+    val tupleBudget = 2 * (maxGroups + parts)
+    val perPart: RDD[Option[Vector[(Int, Any, Long)]]] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val acc = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        var overflow = false
+        while (!overflow && it.hasNext) {
+          val r = it.next()
+          val g = r.get(gIdx)
+          if (acc.contains(g)) acc.update(g, acc(g) + weight(r))
+          else if (acc.size >= maxGroups) overflow = true // stop scanning: caller falls back
+          else acc.update(g, weight(r))
+        }
+        Iterator.single(
+          if (overflow) None
+          else Some(acc.iterator.map { case (g, n) => (pid, g, n) }.toVector))
       }
-      if (overflow) Iterator.single((pid, Unset: Any, -1L))
-      else acc.iterator.map { case (g, n) => (pid, g, n) }
-    }.collect()
-    val overflowed = counts.exists(_._3 < 0L) ||
-      counts.iterator.map(_._2).distinct.size > maxGroups
-    if (overflowed) None else Some(counts)
+    val merged = perPart.treeReduce({ (a, b) =>
+      (a, b) match {
+        case (Some(x), Some(y)) =>
+          val c = x ++ y
+          if (c.length > tupleBudget ||
+              c.iterator.map(_._2).distinct.size > maxGroups) None
+          else Some(c)
+        case _ => None
+      }
+    }, depth = 2)
+    merged.map(_.toArray)
   }
 
   /** Driver fold: (per-group totals, per-(partition, group) rank offsets —

@@ -97,11 +97,16 @@ object TextQ {
     "t05_tfidf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = T.documents(s, d)
-      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // TF is computed map-side by the native term_counts expression (one
+      // pass per document at scan time), so the term exchange below — the
+      // df window's — carries one row per DISTINCT (doc, term) pair, not
+      // every token occurrence, and there is no (doc, term) aggregate at
+      // all. Round-5 shape (explode every token → repartition(term) →
+      // groupBy) shuffled the raw token stream for the same result.
       val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .repartition(n, col("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextExprs.termCounts(col("text"))).as("e"))
+        .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf
         .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
@@ -147,11 +152,12 @@ object TextQ {
     "t07_vocab_prune" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = T.documents(s, d)
-      val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+      // same map-side-TF shape as t05: term_counts at scan time, the df
+      // window's term exchange carries distinct (doc, term) pairs only
       val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-        .repartition(n, col("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextExprs.termCounts(col("text"))).as("e"))
+        .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val kept = tf
         .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
@@ -239,13 +245,16 @@ object TextQ {
       val docs = T.documents(s, d)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      // no trailing orderBy: PrefixSum's output already streams in global
+      // doc_id order (range partition + in-partition sort), but the RDD
+      // boundary hides that from Catalyst, so an ORDER BY here would plan
+      // a redundant full exchange + sort — a third job for nothing
       graft.ops.PrefixSum.exclusive(docs, Seq(col("doc_id")), "n_tokens", "tok_offset")
         .withColumn("seq_id",
           floor(col("tok_offset") / lit(budget.toDouble)).cast("long"))
         .withColumn("end_seq",
           floor((col("tok_offset") + col("n_tokens") - 1) / lit(budget.toDouble)).cast("long"))
         .withColumn("crosses_cut", col("seq_id") =!= col("end_seq"))
-        .orderBy("doc_id")
     }),
 
     // -- multimodal plumbing shape: opaque binary column + typed metadata.
@@ -303,8 +312,8 @@ object TextQ {
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |           FROM documents),
         |o AS (SELECT doc_id, n_tokens,
-        |        COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
         |      FROM t)
         |SELECT doc_id, n_tokens, tok_offset,
         |  CAST(floor(tok_offset / 512.0) AS BIGINT) AS seq_id,

@@ -48,7 +48,10 @@ class TwoPhaseGuardSpec extends SparkSpec {
     val df = spark.range(200000)
       .select((col("id") % 100000).cast("long").as("g"),
         (col("id") * 2).cast("double").as("v"))
-    val out = Percentiles.exactCont(df, "g", "v", Seq(0.5 -> "p50"))
+    // smallInputBytes = 0 so the CARDINALITY guard (not the small-input
+    // gate) is what routes to the aggregate plan here
+    val out = Percentiles.exactCont(df, "g", "v", Seq(0.5 -> "p50"),
+      smallInputBytes = 0L)
     val p = plan(out)
     assert(p.contains("percentile"), s"expected the percentile-aggregate fallback, got:\n$p")
     // group 7 holds v ∈ {14, 200014} → p50 = 100014 by linear interpolation
@@ -63,7 +66,7 @@ class TwoPhaseGuardSpec extends SparkSpec {
         if (rnd.nextInt(20) == 0) null else java.lang.Double.valueOf(rnd.nextDouble() * 100))
     }.toDF("g", "v")
     val fracs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90")
-    val twoPhase = Percentiles.exactCont(df, "g", "v", fracs)
+    val twoPhase = Percentiles.exactCont(df, "g", "v", fracs, smallInputBytes = 0L)
     assert(!plan(twoPhase).contains("percentile"))
     val fallback = Percentiles.exactCont(df, "g", "v", fracs, maxGroups = 2)
     def key(d: org.apache.spark.sql.DataFrame) = d.collect().map { r =>
@@ -71,5 +74,24 @@ class TwoPhaseGuardSpec extends SparkSpec {
         if (r.isNullAt(i)) null else math.round(r.getDouble(i) * 1e9)).toSeq
     }.toMap
     assert(key(twoPhase) == key(fallback))
+  }
+
+  test("exactCont small-input gate takes the one-job aggregate plan and agrees") {
+    val rnd = new scala.util.Random(17)
+    val df = (1 to 3000).map { i =>
+      (s"g${rnd.nextInt(4)}",
+        if (rnd.nextInt(20) == 0) null else java.lang.Double.valueOf(rnd.nextDouble() * 100))
+    }.toDF("g", "v")
+    val fracs = Seq(0.25 -> "p25", 0.5 -> "p50", 0.9 -> "p90")
+    // default gate: a 3000-row local relation is far below 256 MiB
+    val small = Percentiles.exactCont(df, "g", "v", fracs)
+    assert(plan(small).contains("percentile"),
+      "expected the small-input aggregate plan")
+    val twoPhase = Percentiles.exactCont(df, "g", "v", fracs, smallInputBytes = 0L)
+    def key(d: org.apache.spark.sql.DataFrame) = d.collect().map { r =>
+      r.getString(0) -> (1 to 3).map(i =>
+        if (r.isNullAt(i)) null else math.round(r.getDouble(i) * 1e9)).toSeq
+    }.toMap
+    assert(key(small) == key(twoPhase))
   }
 }

@@ -104,7 +104,9 @@ def main():
             rec(name, schema_match=False, err="columns_differ", **base)
             n_fail += 1
             continue
-        # type comparison (warn-level: the driver's exact mapping is unknown)
+        # type comparison (FAIL-level since round 6: a HUGEINT/decimal oracle
+        # column hashes differently on the driver's stricter DuckDB even when
+        # values agree on local 1.0.0 — see VERDICT r5 #1 / t11)
         ARROW2DUCK = {"int64": "BIGINT", "int32": "INTEGER", "int16": "SMALLINT",
                       "double": "DOUBLE", "float": "FLOAT", "string": "VARCHAR",
                       "large_string": "VARCHAR", "bool": "BOOLEAN",
@@ -114,6 +116,7 @@ def main():
             d_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
         except Exception:
             d_types = {}
+        type_mismatch = []
         for i, col_name in enumerate(tbl.column_names):
             at = str(tbl.schema.field(col_name).type)
             dt = str(d_types.get(col_name, "?"))
@@ -125,7 +128,13 @@ def main():
             if exp is None:
                 continue
             if not dt.startswith(exp):
-                print(f"WARN {name}: column {col_name} type spark={at} duck={dt}")
+                type_mismatch.append(f"{col_name} spark={at} duck={dt}")
+        if type_mismatch:
+            print(f"FAIL {name}: column types differ: {'; '.join(type_mismatch)}")
+            rec(name, schema_match=False, err=f"types_differ: {'; '.join(type_mismatch)}",
+                **base)
+            n_fail += 1
+            continue
         if len(sv) != len(dv):
             print(f"FAIL {name}: rows spark={len(sv)} duck={len(dv)}")
             rec(name, rows_match=False, schema_match=True, err="row_count", **base)
