@@ -107,12 +107,15 @@ object TextQ {
         .select(col("doc_id"),
           explode(graft.functions.TextExprs.termCounts(col("text"))).as("e"))
         .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
-      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      // corpus size as an eager metadata-only count (parquet row-group
+      // stats — no column reads), folded in as a literal: a broadcast
+      // aggregate here costs a full second scan of documents plus a
+      // broadcast-build job per run
+      val nDocs = docs.count()
       val scored = tf
         .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
-        .crossJoin(broadcast(nDocs))
         .withColumn("tfidf",
-          round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 6))
+          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
       // ranking on the ROUNDED score (an output column — any cross-engine
       // ln/rounding boundary flip would fail the hash gate through the
       // column itself, so ranking adds no new failure mode) with integer
@@ -158,11 +161,11 @@ object TextQ {
         .select(col("doc_id"),
           explode(graft.functions.TextExprs.termCounts(col("text"))).as("e"))
         .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
-      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      // corpus size folded in as a literal (metadata-only count) — see t05
+      val nDocs = docs.count()
       val kept = tf
         .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
-        .crossJoin(broadcast(nDocs))
-        .withColumn("keep", col("df") >= 5 && col("df") <= lit(0.4) * col("n_docs"))
+        .withColumn("keep", col("df") >= 5 && col("df") <= lit(0.4 * nDocs))
       byRangeCols(kept, col("doc_id"))
         .groupBy("doc_id")
         .agg(

@@ -155,6 +155,58 @@ object EventStream {
       }
   }
 
+  final case class PackState(lastId: Long, offset: Long)
+  final case class PackedDoc(stream_id: Long, doc_id: Long, n_tokens: Long,
+                             tok_offset: Long, seq_id: Long, end_seq: Long,
+                             crosses_cut: Boolean)
+
+  /** Streaming LM sequence packing — the streaming twin of
+    * t11_sequence_pack: documents arrive on sharded streams, each stream
+    * keeps ONE running token offset and emits every document's global
+    * offset / sequence id / cut-straddle flag exactly once, with the same
+    * `floor(offset / budget)` arithmetic as the batch operator
+    * (ops/PrefixSum + the t11 projection), so the two agree row for row on
+    * any in-order prefix (pinned by StreamingSpec).
+    *
+    * State is O(1) per stream key — (last doc id, running offset) — with
+    * NO timeout: a running offset must survive quiet periods (evicting it
+    * would restart packing at 0). In-order delivery per stream is the
+    * operator's contract (the batch twin's ORDER BY doc_id); rows within a
+    * micro-batch are sorted by doc_id, and a doc at-or-below the
+    * high-water doc_id (a late or duplicate delivery) is dropped rather
+    * than packed at the wrong offset. Sharding note: each stream key packs
+    * its OWN sequence space — the per-shard shape a 100 TB ingest actually
+    * wants, since a single global offset would serialize the stream. */
+  def packSequences(docs: DataFrame, budget: Int = 512): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("stream_id").cast("long"), col("doc_id").cast("long"),
+        col("n_tokens").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PackState, PackedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (streamId: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[PackState]) =>
+          var s = state.getOption.getOrElse(PackState(Long.MinValue, 0L))
+          val out = scala.collection.mutable.ListBuffer[PackedDoc]()
+          for ((_, docId, nTok) <- rows.toSeq.sortBy(_._2)) {
+            if (docId > s.lastId) {
+              val off = s.offset
+              // identical arithmetic to the batch t11 projection (floor
+              // over double), including the empty-document edge case
+              val seqId = math.floor(off / budget.toDouble).toLong
+              val endSeq = math.floor((off + nTok - 1) / budget.toDouble).toLong
+              out += PackedDoc(streamId, docId, nTok, off, seqId, endSeq,
+                seqId != endSeq)
+              s = PackState(docId, off + nTok)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+
   final case class Event(user_id: Long, event_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(sessionId: Long, // first-event ts micros
                                 lastTsMicros: Long,

@@ -34,6 +34,12 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_CONF="spark.sql.adaptive.advisoryPartitionSizeInBytes=4m;..." —
+    // apply runtime confs for A/B experiments without recompiling
+    sys.env.get("GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k, v)
+    })
 
     case class St(name: String, tasks: Int, wallMs: Long, taskMs: Long, submitted: Long,
                   spillMem: Long, spillDisk: Long)

@@ -190,6 +190,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sequence packing emits the batch operator's exact cuts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, floor, lit}
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val budget = 16
+    // (doc_id, n_tokens) corpus with docs that land inside, exactly on,
+    // and across cut boundaries — including an empty doc (n_tokens 0)
+    val corpus = Seq(1L -> 7L, 2L -> 9L, 3L -> 16L, 4L -> 0L, 5L -> 3L,
+      6L -> 40L, 7L -> 1L, 8L -> 12L)
+
+    // batch reference: the same PrefixSum + floor projection t11 uses
+    val batch = graft.ops.PrefixSum.exclusive(
+        corpus.toDF("doc_id", "n_tokens"),
+        Seq(col("doc_id")), "n_tokens", "tok_offset")
+      .withColumn("seq_id", floor(col("tok_offset") / lit(budget.toDouble)).cast("long"))
+      .withColumn("end_seq",
+        floor((col("tok_offset") + col("n_tokens") - 1) / lit(budget.toDouble)).cast("long"))
+      .withColumn("crosses_cut", col("seq_id") =!= col("end_seq"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("tok_offset"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("end_seq"), r.getAs[Boolean]("crosses_cut"))).toSet
+
+    val input = MemoryStream[(Long, Long, Long)] // (stream_id, doc_id, n_tokens)
+    val q = EventStream.packSequences(
+        input.toDF().toDF("stream_id", "doc_id", "n_tokens"), budget = budget)
+      .writeStream.format("memory").queryName("packed")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // same prefix split across two micro-batches: the running offset
+      // must survive the batch boundary in state
+      input.addData(corpus.take(4).map { case (id, n) => (0L, id, n) }: _*)
+      q.processAllAvailable()
+      input.addData(corpus.drop(4).map { case (id, n) => (0L, id, n) }: _*)
+      // a late re-delivery of doc 2 must be dropped, not re-packed
+      input.addData((0L, 2L, 9L))
+      q.processAllAvailable()
+      val streamed = spark.table("packed").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("tok_offset"), r.getAs[Long]("seq_id"),
+          r.getAs[Long]("end_seq"), r.getAs[Boolean]("crosses_cut"))).toSet
+      assert(streamed == batch,
+        s"stream/batch cut mismatch:\n stream=$streamed\n batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming signature dedup drops near-identical docs, keeps shorts distinct") {
     import spark.implicits._
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
