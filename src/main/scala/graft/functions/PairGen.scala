@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftSqlBridge}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -46,6 +46,18 @@ object PairGen {
     * d08's train×test candidate pairs without the nested explode. */
   def crossPairs(a: Column, b: Column): Column =
     GraftSqlBridge.column(CrossPairs(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** A reusable UnsafeRow of `n` non-null long fields backed by a plain
+    * byte array — `setLong` writes bytes directly (no boxing), and the
+    * consuming exec's projection copies the row before the next emit. */
+  private[functions] def fixedLongRow(n: Int): org.apache.spark.sql.catalyst.expressions.UnsafeRow = {
+    val nullBytes =
+      org.apache.spark.sql.catalyst.expressions.UnsafeRow.calculateBitSetWidthInBytes(n)
+    val data = new Array[Byte](nullBytes + 8 * n)
+    val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(n)
+    row.pointTo(data, data.length)
+    row
+  }
 }
 
 case class SortedIdPairs(child: Expression, minSizeRatio: Double = 0.0)
@@ -89,7 +101,10 @@ case class SortedIdPairs(child: Expression, minSizeRatio: Double = 0.0)
     if (m < 2) return Iterator.empty
     val r = minSizeRatio
     new Iterator[InternalRow] {
-      private val row = new GenericInternalRow(4) // copied by the exec's projection
+      // one reused fixed-width UnsafeRow (copied by the exec's projection):
+      // GenericInternalRow.update boxes every long — 4 allocations per
+      // pair × the Σdf² pair mass was measurable generator-stage CPU
+      private val row = PairGen.fixedLongRow(4)
       private var i = 0
       private var j = 0
       advance()
@@ -107,11 +122,11 @@ case class SortedIdPairs(child: Expression, minSizeRatio: Double = 0.0)
       override def hasNext: Boolean = i < m - 1
       override def next(): InternalRow = {
         if (ids(i) < ids(j)) {
-          row.update(0, ids(i)); row.update(1, ids(j))
-          row.update(2, ns(i)); row.update(3, ns(j))
+          row.setLong(0, ids(i)); row.setLong(1, ids(j))
+          row.setLong(2, ns(i)); row.setLong(3, ns(j))
         } else {
-          row.update(0, ids(j)); row.update(1, ids(i))
-          row.update(2, ns(j)); row.update(3, ns(i))
+          row.setLong(0, ids(j)); row.setLong(1, ids(i))
+          row.setLong(2, ns(j)); row.setLong(3, ns(i))
         }
         advance()
         row
@@ -158,13 +173,13 @@ case class CrossPairs(left: Expression, right: Expression)
     val bs = nonNullLongs(ra.asInstanceOf[ArrayData])
     if (as.isEmpty || bs.isEmpty) return Iterator.empty
     new Iterator[InternalRow] {
-      private val row = new GenericInternalRow(2)
+      private val row = PairGen.fixedLongRow(2) // no per-pair boxing, see idPairs
       private var i = 0
       private var j = 0
       override def hasNext: Boolean = i < as.length
       override def next(): InternalRow = {
-        row.update(0, as(i))
-        row.update(1, bs(j))
+        row.setLong(0, as(i))
+        row.setLong(1, bs(j))
         j += 1
         if (j == bs.length) { i += 1; j = 0 }
         row

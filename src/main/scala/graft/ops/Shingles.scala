@@ -56,7 +56,20 @@ object Shingles {
     // corpus) was measured 26% SLOWER end-to-end — the ~250 ms serial
     // shingle+explode stage is cheaper than the extra exchange + stage
     // schedule it takes to parallelize it. Corpora big enough to clear
-    // the 4 MiB gate spread as before.
+    // the 4 MiB gate spread as before. (Re-measured round 6 after the
+    // UnsafeRow pair generator landed: still 24% slower warm, 1.13 s vs
+    // 0.91 s.)
+    //
+    // Round-6 profile of the remaining ~0.9 s warm (JFR ExecutionSamples,
+    // 8 runs): the top frames are RadixSort (the df window's sort + the
+    // shuffle sorters), the pair aggregation's FastHashMap/
+    // RowBasedKeyValueBatch, and shuffle stream IO — parallel engine
+    // machinery across 13–14 s of task time, NOT our generator (absent
+    // from the top 25) and not scheduling floor (stage-wall ≈ 0.8 of
+    // ~1.0 s wall). The 1.27M-pair mass (Σdf² at sf0.1's 15-word
+    // synthetic vocabulary) is simply heavier relative to the corpus than
+    // natural text would produce; the per-pair path is already
+    // allocation-free end to end.
     val all = ScaleOps.spread(docs)
       .select(col(idCol), shingles(col(textCol), k).as("__sh"))
       .select(col(idCol), size(col("__sh")).cast("long").as("n_sh"),
