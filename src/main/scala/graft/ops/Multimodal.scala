@@ -11,12 +11,14 @@ import org.apache.spark.sql.types._
   * Spark-side plumbing — schemas, per-partition batch processing, output
   * shapes, partitioning — is real and tested. IMAGE decode is real
   * (javax.imageio: the JDK's PNG/BMP/GIF/JPEG readers, zero external
-  * dependencies), and AUDIO decode is real for uncompressed RIFF/WAVE PCM
+  * dependencies), AUDIO decode is real for uncompressed RIFF/WAVE PCM
   * (hand-rolled chunk walk — fixed-size chunks and LE integers need no
-  * codec). Bytes neither can read, and the compressed audio/video codecs
-  * (not in the JDK), fall back to deterministic byte-derived STUBS — each
-  * a single clearly-marked function a deployment replaces with its real
-  * decoder (JNI/FFI or a sidecar), keeping the distributed shape intact.
+  * codec), and VIDEO decode is real for uncompressed YUV4MPEG2 (.y4m —
+  * ASCII header + raw planar frames). Bytes none of them can read, and
+  * the compressed codecs (not in the JDK), fall back to deterministic
+  * byte-derived STUBS — each a single clearly-marked function a
+  * deployment replaces with its real decoder (JNI/FFI or a sidecar),
+  * keeping the distributed shape intact.
   *
   * Scale notes (100 TB of media): all operators are `mapPartitions` over
   * the binary column — no shuffle, no driver involvement, one codec
@@ -44,7 +46,8 @@ object Multimodal {
     * raster plus true dimensions, or None when the bytes are not a
     * readable image (imageio sniffs the magic bytes cheaply), in which
     * case the deterministic stub below keeps the pipeline total. Audio
-    * and video decoding remain stubbed — those codecs aren't in the JDK. */
+    * (WAV PCM) and video (Y4M) have their own hand-rolled decoders below;
+    * compressed codecs aren't in the JDK and stay stubbed. */
   /** Magic-byte sniff for the formats the JDK can decode — rejecting
     * non-image bytes BEFORE ImageIO spins up its reader-probing machinery
     * (stream wrapper + registry iteration per call: ~0.5 ms per row of
@@ -165,6 +168,80 @@ object Multimodal {
       out
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** REAL video decode for uncompressed YUV4MPEG2 (.y4m) — the one video
+    * container decodable with zero dependencies (plain-ASCII stream
+    * header, per-frame "FRAME\n" markers, raw planar YUV — no entropy
+    * coding), the video sibling of the RIFF/WAVE PCM path. Supports the
+    * 420/422/444/mono colorspaces; only the luma (Y) plane is kept per
+    * frame — it IS the grayscale raster the shared feature path consumes.
+    * Compressed codecs (H.264/VP9/AV1 — not in the JDK) still fall to the
+    * deterministic stub. */
+  private[ops] case class Y4mVideo(width: Int, height: Int,
+                                   fpsNum: Int, fpsDen: Int,
+                                   frames: Array[Array[Byte]]) {
+    def durationMs: Int =
+      if (fpsNum <= 0) 0
+      else (frames.length.toLong * 1000L * fpsDen / fpsNum).toInt
+    /** Timestamp of frame `i` in ms (frame i spans [i, i+1)·den/num s). */
+    def frameTsMs(i: Int): Int = (i.toLong * 1000L * fpsDen / fpsNum).toInt
+  }
+
+  private def looksLikeY4m(b: Array[Byte]): Boolean =
+    b.length > 10 &&
+      new String(b, 0, 10, java.nio.charset.StandardCharsets.US_ASCII) == "YUV4MPEG2 "
+
+  private[ops] def y4mDecode(bytes: Array[Byte]): Option[Y4mVideo] =
+    try {
+      if (!looksLikeY4m(bytes)) return None
+      val hdrEnd = bytes.indexOf('\n'.toByte)
+      if (hdrEnd < 0 || hdrEnd > 512) return None
+      var w = 0
+      var h = 0
+      var fn = 30
+      var fd = 1
+      var cs = "420" // spec default when no C param is present
+      new String(bytes, 0, hdrEnd, java.nio.charset.StandardCharsets.US_ASCII)
+        .split(" ").drop(1).filter(_.nonEmpty).foreach { p =>
+          p.charAt(0) match {
+            case 'W' => w = p.substring(1).toInt
+            case 'H' => h = p.substring(1).toInt
+            case 'F' =>
+              val fr = p.substring(1).split(":")
+              if (fr.length != 2) return None
+              fn = fr(0).toInt
+              fd = fr(1).toInt
+            case 'C' => cs = p.substring(1)
+            case _ => () // I (interlacing), A (aspect), X (comment): ignored
+          }
+        }
+      // sanity bounds: dimensions positive, luma plane ≤ 64 MiB (Long
+      // arithmetic — crafted headers must not wrap to a small allocation)
+      if (w <= 0 || h <= 0 || fn <= 0 || fd <= 0 || w.toLong * h > (64L << 20))
+        return None
+      val ySize = w * h
+      val frameSize: Long =
+        if (cs.startsWith("420")) ySize + 2L * ((w / 2) * (h / 2))
+        else if (cs.startsWith("422")) ySize + 2L * ((w / 2).toLong * h)
+        else if (cs.startsWith("444")) 3L * ySize
+        else if (cs.startsWith("mono")) ySize.toLong
+        else return None
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var off = hdrEnd + 1
+      while (off < bytes.length) {
+        if (off + 5 > bytes.length ||
+            new String(bytes, off, 5,
+              java.nio.charset.StandardCharsets.US_ASCII) != "FRAME") return None
+        val nl = bytes.indexOf('\n'.toByte, off)
+        if (nl < 0) return None
+        val dataStart = nl + 1
+        if (dataStart.toLong + frameSize > bytes.length) return None
+        frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + ySize)
+        off = dataStart + frameSize.toInt
+      }
+      if (frames.isEmpty) None
+      else Some(Y4mVideo(w, h, fn, fd, frames.toArray))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** STUB decode: a real implementation returns the decoded raster; here
     * the "pixels" are a deterministic xxhash-seeded byte expansion so
     * every downstream shape/statistic is reproducible. */
@@ -241,11 +318,14 @@ object Multimodal {
           // real decode where the JDK suffices: imageio for image rows
           // (PNG/BMP/GIF/JPEG), RIFF/WAVE PCM for audio rows (mono-mixed
           // samples re-quantized to the byte "raster" the shared feature
-          // path consumes); metadata dimensions are trusted when the
-          // bytes aren't decodable and the stub keeps the pipeline total
+          // path consumes), YUV4MPEG2 for video rows (first frame's luma
+          // plane as the raster, true dimensions from the stream header);
+          // metadata dimensions are trusted when the bytes aren't
+          // decodable and the stub keeps the pipeline total
           val attempt = r.getAs[String]("kind") match {
             case "image" => imageioDecode(bytes)
             case "audio" => wavDecode(bytes).map(w => (w.raster, w.samples.length, 1))
+            case "video" => y4mDecode(bytes).map(v => (v.frames(0), v.width, v.height))
             case _ => None
           }
           val (raster, w, h) = attempt match {
@@ -284,8 +364,12 @@ object Multimodal {
     * the decoded duration (data bytes / byte rate, not metadata), and
     * each window's signature hashes the actual re-quantized samples of
     * the n-th of n equal slices — two WAVs differing only inside one
-    * slice differ in exactly that frame_sig. Video (no JDK codec) keeps
-    * the deterministic whole-bytes stub signature. */
+    * slice differ in exactly that frame_sig. For YUV4MPEG2 video the
+    * sampling is REAL too: n frames uniformly over the decoded frame
+    * list, timestamps from the stream's F rate, signatures over the
+    * sampled frame's actual luma plane — two streams differing in one
+    * frame differ in exactly the sigs that sampled it. Compressed codecs
+    * keep the deterministic whole-bytes stub signature. */
   def sampleFrames(media: DataFrame, n: Int): DataFrame = {
     val enc = RowEncoder.encoderFor(frameSchema)
     ScaleOps.spread(media, minBytes = 0L) // same per-row-cost rationale as decode
@@ -295,9 +379,14 @@ object Multimodal {
           val id = r.getAs[Long]("media_id")
           val kind = r.getAs[String]("kind")
           val bytes = r.getAs[Array[Byte]]("bytes")
-          val wav = if (kind == "audio") wavDecode(bytes) else None
-          wav match {
-            case Some(audio) =>
+          def hashRange(a: Array[Byte], from: Int, until: Int, seed: Long): Long = {
+            var sig = seed
+            var p = from
+            while (p < until) { sig = sig * 131 + a(p); p += 1 }
+            sig
+          }
+          val real: Option[IndexedSeq[Row]] = kind match {
+            case "audio" => wavDecode(bytes).map { audio =>
               val raster = audio.raster
               val dur = audio.durationMs
               // n contiguous slices covering EVERY sample: slice i is
@@ -307,21 +396,32 @@ object Multimodal {
               (0 until n).map { i =>
                 val from = i * raster.length / n
                 val until = (i + 1) * raster.length / n
-                var sig = id * 31 + i
-                var p = from
-                while (p < until) { sig = sig * 131 + raster(p); p += 1 }
-                Row(id, i, i * dur / n, sig)
+                Row(id, i, i * dur / n, hashRange(raster, from, until, id * 31 + i))
               }
-            case None =>
-              val isVideo = kind == "video"
-              val dur = r.getAs[Int]("duration_ms")
-              val frames = if (isVideo) n else 1
-              (0 until frames).map { i =>
-                val ts = if (frames == 1) 0 else i * dur / (frames - 1)
-                // STUB frame signature: real impl hashes the decoded frame
-                val sig = bytes.foldLeft(ts.toLong * 31 + id)((a, b) => a * 131 + b)
-                Row(id, i, ts, sig)
+            }
+            case "video" => y4mDecode(bytes).map { v =>
+              // uniform sample over the DECODED frames: sample i takes
+              // frame round(i·(F−1)/(n−1)), ts from the stream's own rate
+              val last = v.frames.length - 1
+              (0 until n).map { i =>
+                val fi = if (n == 1) 0 else (i.toLong * last / (n - 1)).toInt
+                val fr = v.frames(fi)
+                Row(id, i, v.frameTsMs(fi),
+                  hashRange(fr, 0, fr.length, id * 31 + i))
               }
+            }
+            case _ => None
+          }
+          real.getOrElse {
+            val isVideo = kind == "video"
+            val dur = r.getAs[Int]("duration_ms")
+            val frames = if (isVideo) n else 1
+            (0 until frames).map { i =>
+              val ts = if (frames == 1) 0 else i * dur / (frames - 1)
+              // STUB frame signature: real impl hashes the decoded frame
+              val sig = bytes.foldLeft(ts.toLong * 31 + id)((a, b) => a * 131 + b)
+              Row(id, i, ts, sig)
+            }
           }
         }
       }(enc)

@@ -144,6 +144,76 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** Minimal YUV4MPEG2 writer: C420, each frame's luma plane given
+    * explicitly, chroma planes zero-filled. */
+  private def y4mBytes(w: Int, h: Int, fpsNum: Int, fpsDen: Int,
+                       lumas: Array[Byte]*): Array[Byte] = {
+    val header = s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C420\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val chroma = 2 * ((w / 2) * (h / 2))
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write(header)
+    lumas.foreach { y =>
+      require(y.length == w * h)
+      buf.write("FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      buf.write(y)
+      buf.write(new Array[Byte](chroma))
+    }
+    buf.toByteArray
+  }
+
+  private def videoRow(id: Long, bytes: Array[Byte]) =
+    Seq((id, "video", bytes, (8, 8, 99999, 16000)))
+      .toDF("media_id", "kind", "bytes", "m")
+      .select(col("media_id"), col("kind"), col("bytes"),
+        struct(col("m._1").as("width"), col("m._2").as("height"),
+          col("m._3").as("duration_ms"), col("m._4").as("sample_rate")).as("meta"))
+
+  test("y4mDecode parses header, frame count and luma planes") {
+    val f0 = Array.fill[Byte](16 * 8)(10)
+    val f1 = Array.fill[Byte](16 * 8)(20)
+    val v = Multimodal.y4mDecode(y4mBytes(16, 8, 25, 1, f0, f1))
+    assert(v.isDefined)
+    assert(v.get.width == 16 && v.get.height == 8)
+    assert(v.get.frames.length == 2)
+    assert(v.get.frames(0).sameElements(f0) && v.get.frames(1).sameElements(f1))
+    assert(v.get.durationMs == 80) // 2 frames @ 25 fps
+    // garbage, truncated and alien-colorspace bytes decode to None
+    assert(Multimodal.y4mDecode("YUV4MPEG2 W16 H8".getBytes).isEmpty)
+    assert(Multimodal.y4mDecode(y4mBytes(16, 8, 25, 1, f0).take(40)).isEmpty)
+    assert(Multimodal.y4mDecode(
+      "YUV4MPEG2 W16 H8 F25:1 C555\nFRAME\n".getBytes).isEmpty)
+  }
+
+  test("decodeAndFeaturize uses the first real luma plane for video rows") {
+    // constant luma 51 → mean intensity 51/255, true 16×8 dimensions
+    val f0 = Array.fill[Byte](16 * 8)(51)
+    val out = Multimodal.decodeAndFeaturize(videoRow(4L, y4mBytes(16, 8, 30, 1, f0)))
+      .collect().head
+    assert(out.getAs[Int]("width") == 16 && out.getAs[Int]("height") == 8)
+    assert(math.abs(out.getAs[Double]("mean_intensity") - 51.0 / 255) < 1e-6)
+  }
+
+  test("sampleFrames samples real decoded frames with stream-rate timestamps") {
+    // 7 frames @ 10 fps; two streams differ ONLY in frame 6 (the last)
+    def luma(seed: Int) = Array.tabulate[Byte](8 * 8)(i => ((i * 31 + seed) % 127).toByte)
+    val base = (0 until 7).map(luma).toArray
+    val tweaked = base.clone()
+    tweaked(6) = luma(99)
+    val m = videoRow(5L, y4mBytes(8, 8, 10, 1, base: _*))
+      .unionAll(videoRow(5L, y4mBytes(8, 8, 10, 1, tweaked: _*)))
+    val frames = Multimodal.sampleFrames(m, n = 4).collect()
+      .groupBy(_.getAs[Int]("frame_idx"))
+    assert(frames.size == 4)
+    // sample i takes frame i·6/3 = {0,2,4,6}; ts = frame·100 ms @ 10 fps
+    assert((0 to 3).map(i => frames(i).head.getAs[Int]("ts_ms")) == Seq(0, 200, 400, 600))
+    // only the sample that hit frame 6 sees the difference
+    for (i <- 0 to 3) {
+      val sigs = frames(i).map(_.getAs[Long]("frame_sig")).distinct
+      assert(sigs.length == (if (i == 3) 2 else 1), s"sample $i")
+    }
+  }
+
   test("sampleFrames fans out n frames per video, 1 per non-video") {
     val m = Multimodal.mediaFromDocuments(docs)
     val frames = Multimodal.sampleFrames(m, n = 4)
