@@ -46,7 +46,10 @@ object GraftExtensions {
       args => ShingleHashes(args.head, 3)),
     ("repetition_stats",
       "repetition_stats(text) - struct<n_words, max_tf, n_bigrams, nd_bigrams>", 1,
-      args => RepetitionStats(args.head)))
+      args => RepetitionStats(args.head)),
+    ("term_counts",
+      "term_counts(text) - array<struct<term, tf>>: per-document term frequencies", 1,
+      args => TermCounts(args.head)))
 
   /** Register on an already-running session (extensions only bind at
     * session construction). */

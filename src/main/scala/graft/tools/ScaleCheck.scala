@@ -1,0 +1,147 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.collection.mutable
+
+/** Scale-rehearsal ledger: runs the heavy operators at sf0.1 AND the
+  * ScaleUp-generated ~10× dir, and emits SCALE_local.json with per-query
+  * wall (cold + warm median), job count, spill bytes and peak stage task
+  * count at each scale, plus the 10× wall ratio.
+  *
+  * What "good" looks like on fixed local[32] cores: 10× the data in
+  * ≤ ~10× the wall (linear in work — the cores are the constant), and
+  * commonly LESS because sf0.1 walls are mostly per-job scheduling floors
+  * that do not scale with data. A ratio well ABOVE 10× means superlinear
+  * work (e.g. pair-mass Σdf² growing faster than the corpus) — exactly
+  * what this ledger exists to catch. Zero spill at sf1.0 is part of the
+  * contract (partitions must still fit in memory at 10×).
+  *
+  * Tracked set: every headline query that reads only the two tables
+  * ScaleUp replicates (documents, lineitem), plus a forced-two-phase q23
+  * variant — the size gate (ops/Percentiles) otherwise routes both scale
+  * factors to the small-input aggregate plan, and the scale story of the
+  * two-phase selection is the point of rehearsing it.
+  *
+  * Usage:
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 GRAFT_SCALEUP_OUT=target/sf1.0 \
+  *     java -cp ... graft.tools.ScaleUp     # generate once
+  *   java -cp ... graft.tools.ScaleCheck    # then measure
+  */
+object ScaleCheck {
+  private val tracked = Seq(
+    "q01_agg_groupby", "q21_count_distinct", "q23_percentiles",
+    "q28_window_rank", "d01_dedup_exact", "d03_ngram_jaccard",
+    "d04_minhash_lsh", "d05_simhash", "d09_dup_clusters",
+    "t05_tfidf", "t07_vocab_prune", "t10_heavy_hitters", "t11_sequence_pack")
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val big = sys.env.getOrElse("GRAFT_SCALEUP_OUT", "target/sf1.0")
+    val iters = sys.env.getOrElse("GRAFT_BENCH_N", "3").toInt.max(2)
+    val outFile = sys.env.getOrElse("GRAFT_SCALE_OUT", "SCALE_local.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.locality.wait", "0s")
+      // match graft.Bench's session exactly so base walls are comparable
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    var jobs = 0
+    var spillMem = 0L
+    var spillDisk = 0L
+    var maxTasks = 0
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        synchronized { jobs += 1 }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        synchronized {
+          spillMem += sc.stageInfo.taskMetrics.memoryBytesSpilled
+          spillDisk += sc.stageInfo.taskMetrics.diskBytesSpilled
+          maxTasks = math.max(maxTasks, sc.stageInfo.numTasks)
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+
+    // the forced-two-phase q23 rides the same tracked loop
+    def query(name: String, dir: String): DataFrame = name match {
+      case "q23_twophase" =>
+        graft.ops.Percentiles.exactCont(
+          graft.queries.T.lineitem(spark, dir), "l_returnflag",
+          "l_extendedprice",
+          Seq(0.5 -> "p50", 0.95 -> "p95"), smallInputBytes = 0L)
+      case n => graft.SparkEntry.queries(n)(spark, dir)
+    }
+    val names = sys.env.get("GRAFT_ONLY").map(_.split(",").toSeq)
+      .getOrElse(tracked :+ "q23_twophase")
+
+    case class M(cold: Double, warm: Double, jobs: Int,
+                 spillMemMb: Long, spillDiskMb: Long, maxTasks: Int)
+    def measure(name: String, dir: String): M = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        query(name, dir).queryExecution.toRdd
+          .foreachPartition { it => while (it.hasNext) it.next() }
+        (System.nanoTime() - t0) / 1e9
+      }
+      synchronized { jobs = 0; spillMem = 0L; spillDisk = 0L; maxTasks = 0 }
+      val cold = once()
+      val (coldJobs, sm, sd, mt) = synchronized {
+        (jobs, spillMem, spillDisk, maxTasks)
+      }
+      val warms = Seq.fill(iters - 1)(once()).sorted
+      M(cold, warms(warms.size / 2), coldJobs, sm >> 20, sd >> 20, mt)
+    }
+
+    // shape warmup at the small tier so sf0.1 colds aren't Janino compiles
+    val warmDir = new java.io.File(new java.io.File(base).getParentFile, "sf0.01")
+    if (warmDir.isDirectory) names.foreach { n =>
+      try query(n, warmDir.getPath).queryExecution.toRdd
+        .foreachPartition { it => while (it.hasNext) it.next() }
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+
+    val rows = names.flatMap { n =>
+      try {
+        val a = measure(n, base)
+        val b = measure(n, big)
+        val ratio = if (a.warm > 0) b.warm / a.warm else -1.0
+        println(f"$n%-24s sf0.1 ${a.warm}%6.2f s  sf1.0 ${b.warm}%6.2f s  " +
+          f"ratio ${ratio}%5.2f  jobs ${a.jobs}/${b.jobs}  " +
+          f"spill ${b.spillDiskMb} MiB  maxTasks ${a.maxTasks}/${b.maxTasks}")
+        Some(n -> (a, b, ratio))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // a missing table / failed query must not void the whole ledger
+          System.err.println(s"[scale] $n FAILED: ${e.getMessage}")
+          println(f"$n%-24s FAILED (see stderr)")
+          None
+      }
+    }
+    def j(n: String, a: M, b: M, ratio: Double): String =
+      f""""$n":{"base_cold":${a.cold}%.3f,"base_warm":${a.warm}%.3f,""" +
+        f""""big_cold":${b.cold}%.3f,"big_warm":${b.warm}%.3f,""" +
+        f""""warm_ratio_10x":$ratio%.2f,"jobs":${b.jobs},""" +
+        f""""big_spill_mem_mb":${b.spillMemMb},"big_spill_disk_mb":${b.spillDiskMb},""" +
+        f""""peak_stage_tasks":${b.maxTasks}}"""
+    val body = rows.map { case (n, (a, b, r)) => j(n, a, b, r) }.mkString(",")
+    val meta = s""""method":"warm = median of ${iters - 1} runs after a cold run, """ +
+      s"""full internal-row materialization; base=$base big=$big (ScaleUp 10x: """ +
+      """key strides + alphabet-rotated text, so distinct/pair structure scales """ +
+      """linearly); ratio = big_warm/base_warm on fixed local cores (linear work = ~10x or less)""""
+    val json = s"{$meta,${'"'}queries${'"'}:{$body}}"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    println(s"wrote $outFile")
+    spark.stop()
+  }
+}

@@ -59,6 +59,14 @@ object ScaleUp {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
+    val ord = graft.queries.T.orders(spark, src)
+    val oStride = stride(ord, "o_orderkey", "o_custkey")
+    replicate(ord, (d, i) => d
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * oStride("o_orderkey")))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * oStride("o_custkey"))))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
     println(s"SCALEUP done: $out factor $factor")
     spark.stop()
   }

@@ -62,6 +62,25 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("term counts compile under strict codegen and match explode(split) exactly") {
+    withStrictCodegen {
+      // includes consecutive / leading / trailing spaces: term_counts must
+      // reproduce split(text, ' ')'s empty-segment semantics token for
+      // token, or the t05/t07 rewrite would drift from the DuckDB oracle
+      val docs = Seq((1L, "a b a  c"), (2L, " x"), (3L, "y "), (4L, ""))
+        .toDF("doc_id", "text")
+      val viaExpr = docs
+        .select($"doc_id", explode(TextExprs.termCounts($"text")).as("e"))
+        .select($"doc_id", $"e.term", $"e.tf")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val viaSplit = docs
+        .select($"doc_id", explode(split($"text", " ")).as("term"))
+        .groupBy("doc_id", "term").count()
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(viaExpr == viaSplit)
+    }
+  }
+
   test("int8 quantization + integer dot compile under strict codegen") {
     withStrictCodegen {
       val df = Seq((1L, Array(1.0f, -2.0f, 0.5f)), (2L, Array(0.0f, 0.0f, 0.0f)))

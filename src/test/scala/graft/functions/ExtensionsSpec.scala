@@ -12,12 +12,16 @@ class ExtensionsSpec extends SparkSpec {
         |       norm_f32(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n,
         |       simhash64('a b c') AS sh,
         |       size(shingle_hashes('a b c d')) AS nsh,
-        |       repetition_stats('a a b').max_tf AS mtf""".stripMargin).collect().head
+        |       repetition_stats('a a b').max_tf AS mtf,
+        |       term_counts('a a b') AS tc""".stripMargin).collect().head
     assert(r.getDouble(0) == 11.0)
     assert(r.getDouble(1) == 5.0)
     assert(r.getLong(2) != 0L)
     assert(r.getInt(3) == 2)
     assert(r.getLong(4) == 2L)
+    val tc = r.getSeq[org.apache.spark.sql.Row](5)
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(tc == Map("a" -> 2L, "b" -> 1L))
   }
 
   test("arity violations surface as clear errors") {
