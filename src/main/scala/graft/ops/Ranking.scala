@@ -36,7 +36,15 @@ object Ranking {
     * cap check rides pass 1, so the few-group fast path pays nothing;
     * tripping it costs the one probe shuffle before falling back. The
     * fallback does NOT stream in global (group, order) order — every
-    * caller that needs an ordering sorts downstream. */
+    * caller that needs an ordering sorts downstream.
+    *
+    * Measured dead end (round 6): a small-input gate to the window plan —
+    * the q23 trick ([[Percentiles.exactCont]]) — made q28 SLOWER at sf0.1
+    * (1.02 s vs 0.63 s warm). Unlike the percentile aggregate, the window
+    * fallback emits the full relation, so its plan pays a hash exchange,
+    * two window sorts, AND a full range sort for the caller's ORDER BY —
+    * while the two-phase plan's output already streams in (group, order)
+    * order. Job count is not the only constant; do not re-add the gate. */
   def withRowNumbers(df: DataFrame, groupCol: String, sortCols: Seq[Column],
                      rnName: String = "rn", nName: String = "n",
                      maxGroups: Int = TwoPhase.MaxGroups): DataFrame = {
