@@ -104,7 +104,9 @@ object Bench {
     // dictionary decode) — ~2.7 s of the round-5 driver total billed to
     // two queries that measure aggregation, not disk. One full scan per
     // table moves that cost to warmup, where a resident engine pays it.
-    if (sys.env.getOrElse("GRAFT_WARMUP", "true").toBoolean) {
+    // skipped under GRAFT_ONLY: a one-query iteration loop shouldn't pay a
+    // full 10-table scan per cycle (the selected query warms its own reads)
+    if (sys.env.getOrElse("GRAFT_WARMUP", "true").toBoolean && only.isEmpty) {
       for (t <- Seq("region", "nation", "customer", "supplier", "part",
                     "orders", "lineitem", "events", "documents", "embeddings")) {
         try spark.read.parquet(s"$sfDir/$t.parquet").queryExecution.toRdd

@@ -353,15 +353,30 @@ case class SpaceSavingTopK(
 final class DoubleBuf private (private var data: Array[Double], private var n: Int) {
   def this(initialCapacity: Int = 64) = this(new Array[Double](initialCapacity), 0)
 
+  // 2^28 values = 2 GiB of doubles: past this, 8·n wraps Int arithmetic
+  // (serialize) and highestOneBit<<1 goes negative (grow). A buffer this
+  // big means the caller's size gate is mis-set — fail with the reason,
+  // not an arithmetic artifact.
+  private def checkCap(target: Int): Unit =
+    require(target <= DoubleBuf.MaxValues && target >= 0,
+      s"percentile buffer would hold >${DoubleBuf.MaxValues} values; " +
+        "input too large for the value-buffering plan — raise is a size-gate bug " +
+        "(ops/Percentiles routes large inputs to the two-phase selection)")
+
   def add(v: Double): Unit = {
-    if (n == data.length) data = java.util.Arrays.copyOf(data, n << 1)
+    if (n == data.length) {
+      checkCap(n + 1)
+      data = java.util.Arrays.copyOf(data, math.min(n.toLong << 1, DoubleBuf.MaxValues).toInt)
+    }
     data(n) = v
     n += 1
   }
 
   def mergeFrom(o: DoubleBuf): DoubleBuf = {
+    checkCap(n + o.n)
     if (n + o.n > data.length)
-      data = java.util.Arrays.copyOf(data, Integer.highestOneBit(n + o.n) << 1)
+      data = java.util.Arrays.copyOf(data,
+        math.min(Integer.highestOneBit(n + o.n).toLong << 1, DoubleBuf.MaxValues).toInt)
     System.arraycopy(o.data, 0, data, n, o.n)
     n += o.n
     this
@@ -384,6 +399,8 @@ final class DoubleBuf private (private var data: Array[Double], private var n: I
 }
 
 object DoubleBuf {
+  val MaxValues: Int = 1 << 28
+
   def fromBytes(bytes: Array[Byte]): DoubleBuf = {
     val n = bytes.length / 8
     val b = new DoubleBuf(math.max(n, 8))
@@ -410,6 +427,11 @@ case class PercentileContAgg(
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[DoubleBuf] with UnaryLike[Expression] {
+
+  // analysis-time, like Spark's percentile(): an out-of-range fraction
+  // would otherwise surface as an index error deep in an executor task
+  require(fractions.forall(p => p >= 0.0 && p <= 1.0),
+    s"percentile fractions must be in [0, 1], got ${fractions.mkString(", ")}")
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess

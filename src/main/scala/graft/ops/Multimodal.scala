@@ -176,12 +176,21 @@ object Multimodal {
     * frame — it IS the grayscale raster the shared feature path consumes.
     * Compressed codecs (H.264/VP9/AV1 — not in the JDK) still fall to the
     * deterministic stub. */
+  /** Lazy view over a parsed stream: frames are OFFSETS into the original
+    * bytes, and `luma(i)` copies one plane on demand — a consumer reading
+    * one frame (decodeAndFeaturize) or n of F (sampleFrames) never holds
+    * every plane of a long video resident at once. */
   private[ops] case class Y4mVideo(width: Int, height: Int,
                                    fpsNum: Int, fpsDen: Int,
-                                   frames: Array[Array[Byte]]) {
+                                   bytes: Array[Byte], frameOffsets: Array[Int]) {
+    def numFrames: Int = frameOffsets.length
+    /** The i-th frame's luma plane (grayscale raster), copied on demand. */
+    def luma(i: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(bytes, frameOffsets(i),
+        frameOffsets(i) + width * height)
     def durationMs: Int =
       if (fpsNum <= 0) 0
-      else (frames.length.toLong * 1000L * fpsDen / fpsNum).toInt
+      else (numFrames.toLong * 1000L * fpsDen / fpsNum).toInt
     /** Timestamp of frame `i` in ms (frame i spans [i, i+1)·den/num s). */
     def frameTsMs(i: Int): Int = (i.toLong * 1000L * fpsDen / fpsNum).toInt
   }
@@ -225,7 +234,7 @@ object Multimodal {
         else if (cs.startsWith("444")) 3L * ySize
         else if (cs.startsWith("mono")) ySize.toLong
         else return None
-      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
       var off = hdrEnd + 1
       while (off < bytes.length) {
         if (off + 5 > bytes.length ||
@@ -235,11 +244,11 @@ object Multimodal {
         if (nl < 0) return None
         val dataStart = nl + 1
         if (dataStart.toLong + frameSize > bytes.length) return None
-        frames += java.util.Arrays.copyOfRange(bytes, dataStart, dataStart + ySize)
+        offsets += dataStart // luma plane starts here; copied lazily
         off = dataStart + frameSize.toInt
       }
-      if (frames.isEmpty) None
-      else Some(Y4mVideo(w, h, fn, fd, frames.toArray))
+      if (offsets.isEmpty) None
+      else Some(Y4mVideo(w, h, fn, fd, bytes, offsets.toArray))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** STUB decode: a real implementation returns the decoded raster; here
@@ -325,7 +334,7 @@ object Multimodal {
           val attempt = r.getAs[String]("kind") match {
             case "image" => imageioDecode(bytes)
             case "audio" => wavDecode(bytes).map(w => (w.raster, w.samples.length, 1))
-            case "video" => y4mDecode(bytes).map(v => (v.frames(0), v.width, v.height))
+            case "video" => y4mDecode(bytes).map(v => (v.luma(0), v.width, v.height))
             case _ => None
           }
           val (raster, w, h) = attempt match {
@@ -402,10 +411,10 @@ object Multimodal {
             case "video" => y4mDecode(bytes).map { v =>
               // uniform sample over the DECODED frames: sample i takes
               // frame round(i·(F−1)/(n−1)), ts from the stream's own rate
-              val last = v.frames.length - 1
+              val last = v.numFrames - 1
               (0 until n).map { i =>
                 val fi = if (n == 1) 0 else (i.toLong * last / (n - 1)).toInt
-                val fr = v.frames(fi)
+                val fr = v.luma(fi) // one plane copied per sample, not all F
                 Row(id, i, v.frameTsMs(fi),
                   hashRange(fr, 0, fr.length, id * 31 + i))
               }

@@ -57,22 +57,21 @@ object Percentiles {
       s"group column $groupCol: $gType has unreliable JVM equality for driver-side " +
         "bucketing; use an integral/string/date key")
     val spark = df.sparkSession
-    // exact percentile_cont via the native primitive-buffer aggregate —
-    // shared by the small-input gate and the high-cardinality fallback
-    // below. ONE aggregate for all fractions; Spark's own percentile()
-    // buffers boxed doubles in an OpenHashMap (measured 3.2 s where this
-    // is ~0.2 s on sf0.1 lineitem), so it is never the right plan here.
-    def aggregatePlan(): DataFrame = {
-      df.groupBy(col(groupCol))
+    // Small-input plan: ONE aggregate for all fractions via the native
+    // primitive-double buffer (Spark's own percentile() buffers boxed
+    // doubles in an OpenHashMap — measured 3.2 s where this is ~0.2 s on
+    // sf0.1 lineitem). Value-buffering is SAFE here because the gate
+    // bounds the whole input; it is NOT the right fallback above
+    // `maxGroups` (a huge low-distinct group would buffer 8 B/row where
+    // percentile()'s value→count map stays O(distinct) — see below).
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallInputBytes)
+      return df.groupBy(col(groupCol))
         .agg(graft.functions.AggExprs
           .percentileCont(col(valueCol).cast(DoubleType), fractions.map(_._1))
           .as("__ps"))
         .select(col(groupCol) +: fractions.zipWithIndex.map { case ((_, name), i) =>
           element_at(col("__ps"), i + 1).as(name)
         }: _*)
-    }
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallInputBytes)
-      return aggregatePlan()
     val nPart = spark.sessionState.conf.numShufflePartitions
     // NULL values stay in (percentile_cont semantics: a group of only
     // NULLs still yields an output row, with NULL percentiles); ASC
@@ -91,8 +90,14 @@ object Percentiles {
     val countsOpt = TwoPhase.groupCountsCapped(rdd, gIdx = 0, maxGroups,
       weight = r => if (r.isNullAt(1)) 0L else 1L)
     if (countsOpt.isEmpty) {
-      // high-cardinality fallback: exact per-group percentile aggregate
-      return aggregatePlan()
+      // High-cardinality fallback: Spark's own percentile aggregate — its
+      // boxed value→count map is slower per row but O(distinct values)
+      // per group, the safe memory shape when a group can be arbitrarily
+      // large (the input here is above the size gate by construction).
+      val aggs = fractions.map { case (p, name) =>
+        percentile(col(valueCol).cast(DoubleType), lit(p)).as(name)
+      }
+      return df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
     }
     val (totals, offsets) = TwoPhase.totalsAndOffsets(countsOpt.get)
     // 0-indexed ranks needed per group: floor/ceil of h = p·(n−1)

@@ -103,6 +103,9 @@ object TextQ {
       // every token occurrence, and there is no (doc, term) aggregate at
       // all. Round-5 shape (explode every token → repartition(term) →
       // groupBy) shuffled the raw token stream for the same result.
+      // Contract: doc_id is the documents PK (unique) — per-ROW term
+      // counts ARE per-document counts. A duplicated doc_id would need
+      // the old (doc, term) aggregate back to match the oracle's GROUP BY.
       val tf = docs
         .select(col("doc_id"),
           explode(graft.functions.TextExprs.termCounts(col("text"))).as("e"))

@@ -37,8 +37,10 @@ object Profile {
     // GRAFT_CONF="spark.sql.adaptive.advisoryPartitionSizeInBytes=4m;..." —
     // apply runtime confs for A/B experiments without recompiling
     sys.env.get("GRAFT_CONF").foreach(_.split(";").filter(_.nonEmpty).foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k, v)
+      kv.split("=", 2) match {
+        case Array(k, v) => spark.conf.set(k, v)
+        case _ => sys.error(s"GRAFT_CONF entry '$kv' is not key=value")
+      }
     })
 
     case class St(name: String, tasks: Int, wallMs: Long, taskMs: Long, submitted: Long,

@@ -96,6 +96,9 @@ object ScaleCheck {
       }
       synchronized { jobs = 0; spillMem = 0L; spillDisk = 0L; maxTasks = 0 }
       val cold = once()
+      // listener events post on an async bus: without the drain, the cold
+      // run's trailing stage events are lost or charged to the NEXT query
+      Thread.sleep(300)
       val (coldJobs, sm, sd, mt) = synchronized {
         (jobs, spillMem, spillDisk, maxTasks)
       }

@@ -51,18 +51,23 @@ object ScaleUp {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
     val li = graft.queries.T.lineitem(spark, src)
+    val ord = graft.queries.T.orders(spark, src)
     val lStride = stride(li, "l_orderkey", "l_partkey", "l_suppkey")
+    val oStride = stride(ord, "o_orderkey", "o_custkey")
+    // ONE orderkey stride for both tables: independent maxima would shift
+    // lineitem and orders orderkeys by different amounts whenever some
+    // orders have no lineitems, silently emptying any li⋈orders join for
+    // every replica >= 1
+    val okStride = math.max(lStride("l_orderkey"), oStride("o_orderkey"))
     replicate(li, (d, i) => d
-        .withColumn("l_orderkey", col("l_orderkey") + lit(i * lStride("l_orderkey")))
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * okStride))
         .withColumn("l_partkey", col("l_partkey") + lit(i * lStride("l_partkey")))
         .withColumn("l_suppkey", col("l_suppkey") + lit(i * lStride("l_suppkey"))))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
-    val ord = graft.queries.T.orders(spark, src)
-    val oStride = stride(ord, "o_orderkey", "o_custkey")
     replicate(ord, (d, i) => d
-        .withColumn("o_orderkey", col("o_orderkey") + lit(i * oStride("o_orderkey")))
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * okStride))
         .withColumn("o_custkey", col("o_custkey") + lit(i * oStride("o_custkey"))))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")

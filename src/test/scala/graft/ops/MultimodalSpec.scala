@@ -175,8 +175,8 @@ class MultimodalSpec extends SparkSpec {
     val v = Multimodal.y4mDecode(y4mBytes(16, 8, 25, 1, f0, f1))
     assert(v.isDefined)
     assert(v.get.width == 16 && v.get.height == 8)
-    assert(v.get.frames.length == 2)
-    assert(v.get.frames(0).sameElements(f0) && v.get.frames(1).sameElements(f1))
+    assert(v.get.numFrames == 2)
+    assert(v.get.luma(0).sameElements(f0) && v.get.luma(1).sameElements(f1))
     assert(v.get.durationMs == 80) // 2 frames @ 25 fps
     // garbage, truncated and alien-colorspace bytes decode to None
     assert(Multimodal.y4mDecode("YUV4MPEG2 W16 H8".getBytes).isEmpty)

@@ -115,9 +115,13 @@ def main():
             rel = con.sql(sql)
             d_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
         except Exception:
-            d_types = {}
+            # introspection failure is not evidence of drift: degrade to the
+            # value compare (pre-round-6 behavior) rather than hard-failing
+            # every column against an unknown type
+            print(f"WARN {name}: duckdb relation introspection failed; type check skipped")
+            d_types = None
         type_mismatch = []
-        for i, col_name in enumerate(tbl.column_names):
+        for i, col_name in enumerate(tbl.column_names if d_types is not None else []):
             at = str(tbl.schema.field(col_name).type)
             dt = str(d_types.get(col_name, "?"))
             exp = ARROW2DUCK.get(at)
