@@ -263,6 +263,35 @@ object TextQ {
         .withColumn("crosses_cut", col("seq_id") =!= col("end_seq"))
     }),
 
+    // -- PII redaction: the corpus-curation scrub step (emails, IPv4) with
+    //    per-doc match counts and a fingerprint of the redacted text. The
+    //    synthetic corpus carries no PII, so deterministic PII is injected
+    //    per doc FIRST (both engines derive the identical pii_text), which
+    //    makes this a real cross-engine regex-semantics check: patterns
+    //    are kept in the Java-regex ∩ RE2 common subset (char classes,
+    //    bounded repeats, no backreferences/lookaround), counts come from
+    //    regexp_extract_all and the fingerprint from nested global
+    //    regexp_replace. Narrow per-row work, no shuffle until ORDER BY —
+    //    the same 100 TB shape as t01–t03.
+    "t12_pii_redact" -> ((s, d) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+      byRange(T.documents(s, d), "doc_id")
+        .withColumn("pii_text",
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or 10."), pmod(col("doc_id"), lit(256)),
+            lit(".0.1 now")))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("pii_text"), lit(emailRe), lit(0)))
+            .cast(LongType).as("n_emails"),
+          size(regexp_extract_all(col("pii_text"), lit(ipRe), lit(0)))
+            .cast(LongType).as("n_ips"),
+          md5(regexp_replace(regexp_replace(col("pii_text"), lit(emailRe), lit("<EMAIL>")),
+            lit(ipRe), lit("<IP>"))).as("redacted_fp"))
+        .orderBy("doc_id")
+    }),
+
     // -- multimodal plumbing shape: opaque binary column + typed metadata.
     //    Text stands in for media bytes (no codecs in this container); the
     //    full binary pipeline (batch decode stubs) lives in
@@ -313,6 +342,19 @@ object TextQ {
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "t12_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.'
+        |       || CAST(doc_id % 256 AS VARCHAR) || '.0.1 now' AS pii_text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii_text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(pii_text, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(pii_text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g')) AS redacted_fp
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     "t11_sequence_pack" ->
       """WITH t AS (SELECT doc_id,
         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens

@@ -155,6 +155,45 @@ object EventStream {
       }
   }
 
+  /** Streaming train/test contamination guard — the streaming twin of
+    * batch d08 (`ops/Contamination`): each incoming document's winnowing
+    * fingerprints are checked against a STATIC reference corpus (the held-
+    * out eval set), and a document is flagged once it shares at least
+    * `minShared` fingerprints — the same "shared substring ≥ window+k−1
+    * bytes ⇒ shared fingerprint" guarantee, applied at ingest time so
+    * contaminated training documents never reach the corpus.
+    *
+    * Shape: the stream side explodes to (doc, fingerprint) rows (native
+    * one-pass winnow expression), equi-joins the reference fingerprint
+    * relation — CACHE IT: a stream-static join re-evaluates the static
+    * plan every micro-batch — and counts shared fingerprints per document
+    * in a watermarked tumbling window (append-mode emission when the
+    * window closes). State is O(open windows × flagged docs), and the
+    * join is the same 8-byte-key equi-join the batch operator shuffles. */
+  def contaminationFlags(docs: DataFrame, reference: DataFrame,
+                         textCol: String = "text", tsCol: String = "ts",
+                         idCol: String = "doc_id",
+                         k: Int = 8, winnowWindow: Int = 16,
+                         minShared: Long = 2,
+                         windowLen: String = "1 hour",
+                         lateness: String = "10 minutes"): DataFrame = {
+    val refFps = reference
+      .select(explode(graft.functions.TextExprs
+        .winnow(col(textCol), k, winnowWindow)).as("fp"))
+      .distinct()
+    docs
+      .withWatermark(tsCol, lateness)
+      .select(col(tsCol), col(idCol),
+        explode(graft.functions.TextExprs
+          .winnow(col(textCol), k, winnowWindow)).as("fp"))
+      .join(refFps, "fp") // stream-static equi-join on the 8-byte key
+      .groupBy(window(col(tsCol), windowLen), col(idCol))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .select(col(s"window.start").as("window_start"), col(idCol),
+        col("shared_fps"))
+  }
+
   final case class PackState(lastId: Long, offset: Long)
   final case class PackedDoc(stream_id: Long, doc_id: Long, n_tokens: Long,
                              tok_offset: Long, seq_id: Long, end_seq: Long,

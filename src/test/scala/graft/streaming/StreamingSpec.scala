@@ -190,6 +190,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming contamination guard flags docs sharing long substrings with the reference") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // reference (eval) doc with a distinctive long passage
+    val passage = (0 until 24).map(i => s"secret$i").mkString(" ")
+    val reference = Seq(100L -> s"eval doc begins $passage and ends here")
+      .toDF("doc_id", "text").cache()
+    val filler = (0 until 40).map(i => s"filler$i").mkString(" ")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.contaminationFlags(
+        input.toDF().toDF("doc_id", "ts", "text"), reference,
+        windowLen = "1 hour", lateness = "1 minute")
+      .writeStream.format("memory").queryName("contam")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), s"train doc copying $passage verbatim"),
+        (2L, ts("2024-01-01 10:01:00"), filler))
+      q.processAllAvailable()
+      // watermark past the window end closes it and emits the flags
+      input.addData((3L, ts("2024-01-01 12:30:00"), filler))
+      q.processAllAvailable()
+      val flagged = spark.table("contam").collect()
+        .map(r => r.getAs[Long]("doc_id")).toSet
+      assert(flagged == Set(1L), s"expected only doc 1 flagged, got $flagged")
+    } finally q.stop()
+  }
+
   test("streaming sequence packing emits the batch operator's exact cuts") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, floor, lit}
