@@ -30,6 +30,40 @@ class AggExprsSpec extends SparkSpec {
     assert(a.count === 37777) // 0..37776, zero included via v%37777==0
   }
 
+  test("DoubleBuf: serde roundtrip + split-merge percentiles match one buffer") {
+    val rnd = new scala.util.Random(31)
+    val values = Array.fill(5000)(rnd.nextDouble() * 1000 - 500)
+    // one buffer vs three serde-roundtripped partials merged in
+    val whole = new DoubleBuf()
+    values.foreach(whole.add)
+    val partials = values.grouped(1700).map { chunk =>
+      val b = new DoubleBuf()
+      chunk.foreach(b.add)
+      DoubleBuf.fromBytes(b.toBytes) // serde roundtrip per partial
+    }.toSeq
+    val merged = partials.reduce(_ mergeFrom _)
+    assert(merged.size == whole.size)
+    val (ws, ms) = (whole.sorted(), merged.sorted())
+    assert((0 until whole.size).forall(i => ws(i) == ms(i)))
+    // percentile arithmetic from the merged buffer matches a direct sort
+    val direct = values.sorted
+    for (p <- Seq(0.0, 0.25, 0.5, 0.99, 1.0)) {
+      val h = p * (values.length - 1)
+      val want = direct(math.floor(h).toInt) +
+        (h - math.floor(h)) * (direct(math.ceil(h).toInt) - direct(math.floor(h).toInt))
+      val got = ms(math.floor(h).toInt) +
+        (h - math.floor(h)) * (ms(math.ceil(h).toInt) - ms(math.floor(h).toInt))
+      assert(got == want, s"p=$p")
+    }
+  }
+
+  test("PercentileContAgg rejects out-of-range fractions at construction") {
+    val e = intercept[IllegalArgumentException] {
+      AggExprs.percentileCont(lit(1.0).cast("double"), Seq(0.5, 1.5))
+    }
+    assert(e.getMessage.contains("[0, 1]"))
+  }
+
   test("exactDistinct matches countDistinct per group, ignores NULLs") {
     val s = spark
     import s.implicits._
