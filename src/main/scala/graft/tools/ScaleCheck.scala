@@ -33,8 +33,9 @@ object ScaleCheck {
   private val tracked = Seq(
     "q01_agg_groupby", "q21_count_distinct", "q23_percentiles",
     "q28_window_rank", "d01_dedup_exact", "d03_ngram_jaccard",
-    "d04_minhash_lsh", "d05_simhash", "d09_dup_clusters",
-    "t05_tfidf", "t07_vocab_prune", "t10_heavy_hitters", "t11_sequence_pack")
+    "d04_minhash_lsh", "d05_simhash", "d08_contamination", "d09_dup_clusters",
+    "t05_tfidf", "t07_vocab_prune", "t10_heavy_hitters", "t11_sequence_pack",
+    "t12_pii_redact")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -85,7 +86,7 @@ object ScaleCheck {
     val names = sys.env.get("GRAFT_ONLY").map(_.split(",").toSeq)
       .getOrElse(tracked :+ "q23_twophase")
 
-    case class M(cold: Double, warm: Double, jobs: Int,
+    case class M(cold: Double, warm: Double, min: Double, jobs: Int,
                  spillMemMb: Long, spillDiskMb: Long, maxTasks: Int)
     def measure(name: String, dir: String): M = {
       def once(): Double = {
@@ -103,7 +104,8 @@ object ScaleCheck {
         (jobs, spillMem, spillDisk, maxTasks)
       }
       val warms = Seq.fill(iters - 1)(once()).sorted
-      M(cold, warms(warms.size / 2), coldJobs, sm >> 20, sd >> 20, mt)
+      M(cold, warms(warms.size / 2), (cold +: warms).min, coldJobs,
+        sm >> 20, sd >> 20, mt)
     }
 
     // shape warmup at the small tier so sf0.1 colds aren't Janino compiles
@@ -118,8 +120,12 @@ object ScaleCheck {
       try {
         val a = measure(n, base)
         val b = measure(n, big)
-        val ratio = if (a.warm > 0) b.warm / a.warm else -1.0
-        println(f"$n%-24s sf0.1 ${a.warm}%6.2f s  sf1.0 ${b.warm}%6.2f s  " +
+        // ratio on MIN of runs: this VM has documented multi-second
+        // ambient stalls that poison one run in ~16; the min is the
+        // noise-resistant steady-state statistic (the medians are still
+        // recorded per scale for reference)
+        val ratio = if (a.min > 0) b.min / a.min else -1.0
+        println(f"$n%-24s sf0.1 ${a.min}%6.2f s  sf1.0 ${b.min}%6.2f s  " +
           f"ratio ${ratio}%5.2f  jobs ${a.jobs}/${b.jobs}  " +
           f"spill ${b.spillDiskMb} MiB  maxTasks ${a.maxTasks}/${b.maxTasks}")
         Some(n -> (a, b, ratio))
@@ -132,16 +138,18 @@ object ScaleCheck {
       }
     }
     def j(n: String, a: M, b: M, ratio: Double): String =
-      f""""$n":{"base_cold":${a.cold}%.3f,"base_warm":${a.warm}%.3f,""" +
-        f""""big_cold":${b.cold}%.3f,"big_warm":${b.warm}%.3f,""" +
-        f""""warm_ratio_10x":$ratio%.2f,"jobs":${b.jobs},""" +
+      f""""$n":{"base_cold":${a.cold}%.3f,"base_warm":${a.warm}%.3f,"base_min":${a.min}%.3f,""" +
+        f""""big_cold":${b.cold}%.3f,"big_warm":${b.warm}%.3f,"big_min":${b.min}%.3f,""" +
+        f""""min_ratio_10x":$ratio%.2f,"jobs":${b.jobs},""" +
         f""""big_spill_mem_mb":${b.spillMemMb},"big_spill_disk_mb":${b.spillDiskMb},""" +
         f""""peak_stage_tasks":${b.maxTasks}}"""
     val body = rows.map { case (n, (a, b, r)) => j(n, a, b, r) }.mkString(",")
-    val meta = s""""method":"warm = median of ${iters - 1} runs after a cold run, """ +
-      s"""full internal-row materialization; base=$base big=$big (ScaleUp 10x: """ +
-      """key strides + alphabet-rotated text, so distinct/pair structure scales """ +
-      """linearly); ratio = big_warm/base_warm on fixed local cores (linear work = ~10x or less)""""
+    val meta = s""""method":"cold + ${iters - 1} warm runs, full internal-row """ +
+      s"""materialization; base=$base big=$big (ScaleUp 10x: key strides + """ +
+      """alphabet-rotated text, so distinct/pair structure scales linearly); """ +
+      """ratio = big_min/base_min on fixed local cores (min of runs — this VM's """ +
+      """ambient stalls poison ~1 run in 16, the min is the steady-state """ +
+      """statistic; linear work = ~10x or less)""""
     val json = s"{$meta,${'"'}queries${'"'}:{$body}}"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     println(s"wrote $outFile")
