@@ -79,6 +79,10 @@ object TextExprs {
   /** Per-document term frequencies — array<struct<term, tf>> in one pass. */
   def termCounts(text: Column): Column =
     GraftSqlBridge.column(TermCounts(GraftSqlBridge.expression(text)))
+
+  /** Shannon entropy (log2) of the text's byte distribution in one pass. */
+  def charEntropy(text: Column): Column =
+    GraftSqlBridge.column(CharEntropy(GraftSqlBridge.expression(text)))
 }
 
 /** array<int> length = number of marker sets: how many word occurrences of
@@ -397,6 +401,46 @@ case class RepetitionStats(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+/** double: Shannon entropy (log2) of the text's BYTE distribution — the
+  * gibberish/low-quality signal next to t02's ratio features (natural text
+  * sits near the language's character entropy; key-mash and binary-ish
+  * content drift far from it). One pass into a fixed 256-slot count array;
+  * the entropy sum iterates slots in ascending byte order, so the result
+  * is deterministic (no hash-map iteration order). On ASCII corpora byte
+  * entropy IS character entropy, matching the per-character SQL oracle;
+  * multi-byte UTF-8 would diverge (byte- vs codepoint-distribution) — the
+  * doc comment, not the expression, is the contract there. */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with EvalDelegatingCodegen {
+
+  override protected def resultJavaType: String = "java.lang.Double"
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    if (bytes.length == 0) return java.lang.Double.valueOf(0.0)
+    val counts = new Array[Long](256)
+    var i = 0
+    while (i < bytes.length) { counts(bytes(i) & 0xFF) += 1; i += 1 }
+    val n = bytes.length.toDouble
+    val ln2 = math.log(2.0)
+    var h = 0.0
+    var j = 0
+    while (j < 256) {
+      if (counts(j) > 0) {
+        val p = counts(j) / n
+        h -= p * (math.log(p) / ln2)
+      }
+      j += 1
+    }
+    java.lang.Double.valueOf(h)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
     copy(child = newChild)
 }
 

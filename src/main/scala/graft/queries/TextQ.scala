@@ -300,6 +300,21 @@ object TextQ {
         .orderBy("doc_id")
     }),
 
+    // -- character-entropy quality signal: Shannon entropy (log2) of each
+    //    document's character distribution — the gibberish detector next
+    //    to t02's ratio features. Native one-pass expression (fixed-order
+    //    summation); the oracle recomputes it per character with DuckDB's
+    //    entropy() aggregate, so the rounded values are a genuine
+    //    cross-engine floating-point check. Narrow per-row shape.
+    "t13_char_entropy" -> ((s, d) => {
+      byRange(T.documents(s, d), "doc_id")
+        .select(col("doc_id"),
+          length(col("text")).cast(LongType).as("n_chars_obs"),
+          round(graft.functions.TextExprs.charEntropy(col("text")), 6)
+            .as("char_entropy"))
+        .orderBy("doc_id")
+    }),
+
     // -- multimodal plumbing shape: opaque binary column + typed metadata.
     //    Text stands in for media bytes (no codecs in this container); the
     //    full binary pipeline (batch decode stubs) lives in
@@ -350,6 +365,12 @@ object TextQ {
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "t13_char_entropy" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_obs,
+        |       round(entropy(substring(text, CAST(i AS INTEGER), 1)), 6) AS char_entropy
+        |FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+        |GROUP BY doc_id, text ORDER BY doc_id""".stripMargin,
+
     "t12_pii_redact" ->
       """WITH p AS (SELECT doc_id,
         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.'

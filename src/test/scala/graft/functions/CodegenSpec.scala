@@ -81,6 +81,19 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("char entropy compiles under strict codegen and matches hand values") {
+    withStrictCodegen {
+      val rows = Seq((1L, "aaaa"), (2L, "ab"), (3L, "abcd"), (4L, ""))
+        .toDF("doc_id", "text")
+        .select($"doc_id", TextExprs.charEntropy($"text").as("h"))
+        .orderBy("doc_id").collect().map(_.getDouble(1))
+      assert(rows(0) == 0.0)                      // one symbol: zero entropy
+      assert(math.abs(rows(1) - 1.0) < 1e-12)     // two equiprobable: 1 bit
+      assert(math.abs(rows(2) - 2.0) < 1e-12)     // four equiprobable: 2 bits
+      assert(rows(3) == 0.0)                      // empty text
+    }
+  }
+
   test("int8 quantization + integer dot compile under strict codegen") {
     withStrictCodegen {
       val df = Seq((1L, Array(1.0f, -2.0f, 0.5f)), (2L, Array(0.0f, 0.0f, 0.0f)))
