@@ -194,6 +194,76 @@ object EventStream {
         col("shared_fps"))
   }
 
+  final case class SampledDoc(window_start: Timestamp, stratum: String,
+                              doc_id: Long, rk: Int)
+
+  /** Streaming deterministic stratified sampling — the streaming twin of
+    * batch t09: each (tumbling window, stratum) keeps the k documents
+    * with the SMALLEST md5(doc_id) rank (the batch operator's exact rank
+    * key: md5 over the decimal-string bytes, doc_id tiebreak) and emits
+    * them with ranks 1..k when the event-time watermark closes the
+    * window. Same hash, same data ⇒ same winners as the batch md5-ranked
+    * quota on that window's slice — no RNG, reproducible across runs and
+    * cluster sizes, pinned by StreamingSpec.
+    *
+    * The batch operator's FRACTION quota (top 40% of a stratum) would
+    * need the whole window buffered (the cutoff rank is unknown until the
+    * window closes); the streaming shape is therefore top-K — bounded
+    * O(open windows × strata × k) state, the right primitive for
+    * "downsample an unbounded ingest per language/source". */
+  def sampleStratifiedStream(docs: DataFrame, k: Int,
+                             strataCols: Seq[String] = Seq("lang", "source"),
+                             idCol: String = "doc_id", tsCol: String = "ts",
+                             windowLen: String = "1 hour",
+                             lateness: String = "10 minutes"): Dataset[SampledDoc] = {
+    import docs.sparkSession.implicits._
+    require(k > 0)
+    val windowMillis = {
+      val d = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(windowLen))
+      require(d.months == 0, "calendar-month windows are not supported here")
+      d.days * 86400000L + d.microseconds / 1000L
+    }
+    docs
+      .select(col(tsCol).cast("timestamp").as("ts"),
+        concat_ws("|", strataCols.map(col): _*).as("stratum"),
+        col(idCol).cast("long").as("id"))
+      .withWatermark("ts", lateness) // after the cast: a projection over the
+      // watermarked column would drop the watermark tag
+      .as[(Timestamp, String, Long)]
+      .groupByKey { case (ts, stratum, _) =>
+        (ts.getTime / windowMillis * windowMillis, stratum)
+      }
+      .flatMapGroupsWithState[Seq[(String, Long)], SampledDoc](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String), rows: Iterator[(Timestamp, String, Long)],
+         state: GroupState[Seq[(String, Long)]]) =>
+          val (winStart, stratum) = key
+          if (state.hasTimedOut) {
+            val out = state.getOption.getOrElse(Nil).zipWithIndex.map {
+              case ((_, id), i) =>
+                SampledDoc(new Timestamp(winStart), stratum, id, i + 1)
+            }
+            state.remove()
+            out.iterator
+          } else {
+            // the batch rank key: md5 over the id's decimal-string bytes
+            def rkKey(id: Long): String = {
+              val d = java.security.MessageDigest.getInstance("MD5")
+                .digest(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              d.map(b => f"$b%02x").mkString
+            }
+            val merged = (state.getOption.getOrElse(Nil) ++
+                rows.map { case (_, _, id) => rkKey(id) -> id })
+              .distinct.sortBy { case (rk, id) => (rk, id) }
+              .take(k)
+            state.update(merged)
+            state.setTimeoutTimestamp(winStart + windowMillis)
+            Iterator.empty
+          }
+      }
+  }
+
   final case class PackState(lastId: Long, offset: Long)
   final case class PackedDoc(stream_id: Long, doc_id: Long, n_tokens: Long,
                              tok_offset: Long, seq_id: Long, end_seq: Long,

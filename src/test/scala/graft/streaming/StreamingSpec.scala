@@ -218,6 +218,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming stratified sampling emits the batch md5-rank winners per stratum") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 2
+    val docs = Seq( // (doc_id, lang, source)
+      1L -> ("en", "web"), 2L -> ("en", "web"), 3L -> ("en", "web"),
+      4L -> ("en", "web"), 5L -> ("de", "web"), 6L -> ("de", "web"))
+    // batch reference: same md5-over-decimal-string rank, same top-k
+    def rk(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val want = docs.groupBy { case (_, (l, s)) => s"$l|$s" }.flatMap {
+      case (stratum, ds) =>
+        ds.map(_._1).sortBy(id => (rk(id), id)).take(k)
+          .zipWithIndex.map { case (id, i) => (stratum, id, i + 1) }
+    }.toSet
+
+    val input = MemoryStream[(Long, String, String, Timestamp)]
+    val q = EventStream.sampleStratifiedStream(
+        input.toDF().toDF("doc_id", "lang", "source", "ts"), k = k,
+        windowLen = "1 hour", lateness = "1 minute")
+      .writeStream.format("memory").queryName("strat")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two micro-batches inside one window: state must merge across them
+      input.addData(docs.take(3).map { case (id, (l, s)) =>
+        (id, l, s, ts("2024-01-01 10:05:00")) }: _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(3).map { case (id, (l, s)) =>
+        (id, l, s, ts("2024-01-01 10:20:00")) }: _*)
+      q.processAllAvailable()
+      assert(spark.table("strat").collect().isEmpty) // window still open
+      input.addData((99L, "fr", "web", ts("2024-01-01 12:30:00"))) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("strat").collect()
+        .map(r => (r.getAs[String]("stratum"), r.getAs[Long]("doc_id"),
+          r.getAs[Int]("rk"))).toSet
+      assert(got == want, s"\n got=$got\nwant=$want")
+    } finally q.stop()
+  }
+
   test("streaming sequence packing emits the batch operator's exact cuts") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, floor, lit}
