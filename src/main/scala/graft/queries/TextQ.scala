@@ -315,6 +315,30 @@ object TextQ {
         .orderBy("doc_id")
     }),
 
+    // -- document chunking: fixed-size overlapping character windows with
+    //    offsets — the context-window splitting step before embedding /
+    //    LM ingestion (chunk 40, overlap 10 ⇒ stride 30; every doc yields
+    //    at least one chunk, the last chunk covers the tail). Pure
+    //    fan-out: explode(sequence) + substring, no shuffle until the
+    //    trailing ORDER BY; at 100 TB the chunk relation is the narrow
+    //    map-side input to the embedding stage.
+    "t14_doc_chunks" -> ((s, d) => {
+      val C = 40
+      val V = 10
+      val S = C - V
+      byRange(T.documents(s, d), "doc_id")
+        .withColumn("n_chunks",
+          greatest(lit(1L),
+            ceil((length(col("text")) - lit(V)).cast(DoubleType) / S).cast(LongType)))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+        .withColumn("start_off", col("chunk_idx") * S)
+        .withColumn("chunk", expr(s"substring(text, CAST(start_off + 1 AS INT), $C)"))
+        .select(col("doc_id"), col("chunk_idx"), col("start_off"),
+          col("chunk"), length(col("chunk")).cast(LongType).as("chunk_len"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // -- multimodal plumbing shape: opaque binary column + typed metadata.
     //    Text stands in for media bytes (no codecs in this container); the
     //    full binary pipeline (batch decode stubs) lives in
@@ -365,6 +389,17 @@ object TextQ {
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "t14_doc_chunks" ->
+      """WITH n AS (SELECT doc_id, text,
+        |  GREATEST(1, CAST(ceil((length(text) - 10) / 30.0) AS BIGINT)) AS n_chunks
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |       CAST(i * 30 AS BIGINT) AS start_off,
+        |       substring(text, CAST(i * 30 + 1 AS INTEGER), 40) AS chunk,
+        |       CAST(length(substring(text, CAST(i * 30 + 1 AS INTEGER), 40)) AS BIGINT) AS chunk_len
+        |FROM n, UNNEST(range(0, n_chunks)) AS t(i)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
     "t13_char_entropy" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_obs,
         |       round(entropy(substring(text, CAST(i AS INTEGER), 1)), 6) AS char_entropy
