@@ -339,6 +339,36 @@ object TextQ {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // -- bigram log-probability scoring: train a corpus bigram model
+    //    (unconditional p = c/total) and score every document by its
+    //    average bigram log-likelihood — the perplexity-style quality
+    //    filter (low avg_logp = improbable word sequences = likely junk).
+    //    Shape: the bigram relation derives once; the model aggregate and
+    //    the score join both shuffle on the bigram key (the standard
+    //    100 TB model join), corpus total folds in as a broadcast scalar,
+    //    and the per-doc aggregate rides a doc_id range exchange the
+    //    trailing ORDER BY reuses. Docs with <2 words have no bigrams and
+    //    drop out on both engines alike. ln() cross-engine agreement at
+    //    round(6) is proven by t05's tfidf.
+    "t15_bigram_logprob" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val bigramsOf = expr(
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),
+          |  i -> concat(element_at(split(text, ' '), i), ' ',
+          |              element_at(split(text, ' '), i + 1)))""".stripMargin)
+      val db = docs.select(col("doc_id"), explode(bigramsOf).as("bigram"))
+      val model = db.groupBy("bigram").agg(count(lit(1)).as("c"))
+      val total = db.agg(count(lit(1)).as("total"))
+      val scored = db.join(model, "bigram")
+        .crossJoin(broadcast(total))
+        .withColumn("logp", log(col("c").cast(DoubleType) / col("total")))
+      byRangeCols(scored, col("doc_id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+          round(avg(col("logp")), 6).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
     // -- multimodal plumbing shape: opaque binary column + typed metadata.
     //    Text stands in for media bytes (no codecs in this container); the
     //    full binary pipeline (batch decode stubs) lives in
@@ -389,6 +419,17 @@ object TextQ {
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "t15_bigram_logprob" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |b AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS bigram
+        |      FROM w, UNNEST(range(1, len(words))) AS t(i)),
+        |m AS (SELECT bigram, COUNT(*) AS c FROM b GROUP BY bigram),
+        |tot AS (SELECT COUNT(*) AS total FROM b)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       round(avg(ln(CAST(c AS DOUBLE) / total)), 6) AS avg_logp
+        |FROM b JOIN m USING (bigram) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "t14_doc_chunks" ->
       """WITH n AS (SELECT doc_id, text,
         |  GREATEST(1, CAST(ceil((length(text) - 10) / 30.0) AS BIGINT)) AS n_chunks
