@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -19,17 +20,29 @@ object Relational {
 
   val queries: Map[String, Q] = Map(
     // -- TPC-H Q1-style wide aggregation: partial+final hash agg, no join.
+    //    The single-row-group scan fuses the partial aggregate onto one
+    //    task, so per-row cost IS the query cost at bench scale: below the
+    //    stats gate the money sums run on the cents-long fast path
+    //    (functions.MoneyExprs — bit-equal output, primitive arithmetic
+    //    instead of a per-row BigDecimal); above it the portable decimal
+    //    formulation keeps overflow-proof exactness.
     "q01_agg_groupby" -> ((s, d) => {
-      T.lineitem(s, d)
+      import graft.functions.{MoneyExprs => ME}
+      val li = T.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
-        .groupBy("l_returnflag", "l_linestatus")
+      val fast = ME.fastOk(li)
+      def sumQ(c: Column) = if (fast) ME.fsum(c) else msum(c)
+      def avgQ(c: Column) = if (fast) ME.favg(c) else mavg(c)
+      val discPrice =
+        if (fast) ME.fnetSum(col("l_extendedprice"), col("l_discount"))
+        else sum(netPrice(col("l_extendedprice"), col("l_discount"))).cast(DoubleType)
+      li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-          msum(col("l_quantity")).as("sum_qty"),
-          msum(col("l_extendedprice")).as("sum_base_price"),
-          sum(netPrice(col("l_extendedprice"), col("l_discount")))
-            .cast(DoubleType).as("sum_disc_price"),
-          mavg(col("l_quantity")).as("avg_qty"),
-          mavg(col("l_extendedprice")).as("avg_price"),
+          sumQ(col("l_quantity")).as("sum_qty"),
+          sumQ(col("l_extendedprice")).as("sum_base_price"),
+          discPrice.as("sum_disc_price"),
+          avgQ(col("l_quantity")).as("avg_qty"),
+          avgQ(col("l_extendedprice")).as("avg_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),

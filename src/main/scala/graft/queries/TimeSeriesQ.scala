@@ -21,17 +21,44 @@ object TimeSeriesQ {
     // O(buckets × map partitions) partials — the wrong trade at scale).
     // The final ORDER BY's sampling pass re-runs only the cheap reduce
     // side: the aggregation's shuffle map stage is shared and skipped.
+    // COUNT(DISTINCT user) next to plain aggregates: Spark's built-in plan
+    // is an Expand (2 rows per input) + two exchanges, and an
+    // ExactDistinctLong set-per-group is the wrong shape for many groups ×
+    // few rows each. Instead, ONE range exchange on (bucket, event_type)
+    // satisfies every downstream requirement (the q28/t11 pattern):
+    // RangePartitioning(bucket, type) is a valid clustering for BOTH
+    // aggregation levels — level 1 de-duplicates (bucket, type, user)
+    // triples, level 2 re-aggregates with the distinct count reduced to a
+    // plain COUNT — and a valid prefix of the final ORDER BY, so both
+    // aggs plan complete-mode codegen'd HashAggregates on the 32 range
+    // partitions and the trailing sort needs no exchange or sampling of
+    // the aggregated relation. Money sums ride the cents-long fast path
+    // below the stats gate (see q01).
     "q33_time_bucket" -> ((s, d) => {
-      T.events(s, d)
-        .groupBy(
-          date_trunc("hour", col("ts")).as("bucket"),
-          col("event_type"))
+      import graft.functions.{MoneyExprs => ME}
+      val ev = T.events(s, d)
+      val fast = ME.fastOk(ev)
+      val keyed = ev.select(
+        date_trunc("hour", col("ts")).as("bucket"),
+        col("event_type"),
+        col("user_id").as("u"),
+        col("value"))
+      val parted = byRangeCols(keyed, col("bucket"), col("event_type"))
+      val v1 = if (fast) sum(ME.cents(col("value"))) else sum(dec(col("value")))
+      val lvl1 = parted
+        .groupBy("bucket", "event_type", "u")
+        .agg(count(lit(1)).as("n1"), v1.as("v1"),
+          min(col("value")).as("mn1"), max(col("value")).as("mx1"))
+      val sumV =
+        if (fast) ME.fromUnscaled(sum(col("v1")), 2)
+        else sum(col("v1")).cast(DoubleType)
+      lvl1.groupBy("bucket", "event_type")
         .agg(
-          count(lit(1)).as("n"),
-          dsum(col("value")).as("sum_value"),
-          min(col("value")).as("min_value"),
-          max(col("value")).as("max_value"),
-          countDistinct(col("user_id")).as("nd_users"))
+          sum(col("n1")).as("n"),
+          sumV.as("sum_value"),
+          min(col("mn1")).as("min_value"),
+          max(col("mx1")).as("max_value"),
+          count(col("u")).as("nd_users"))
         .orderBy("bucket", "event_type")
     }),
 
