@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -369,6 +370,51 @@ object TextQ {
         .orderBy("doc_id")
     }),
 
+    // -- BM25 lexical retrieval: score every document against a fixed
+    //    term query and return the global top 10 — the decontamination /
+    //    targeted-audit search primitive next to the vector ANN ops
+    //    (s01–s06 search by embedding; this searches by words). Shape:
+    //    NO explode and NO wide exchange — per-term tf is an element_at
+    //    on the native term_counts map computed at scan time, corpus
+    //    stats (Σdl for avgdl, per-term document frequency) are ONE tiny
+    //    aggregate collected as bounded O(|Q|+1) literals, the score is a
+    //    fixed-order expression over the |Q| terms, and the global top-k
+    //    plans as TakeOrderedAndProject (per-partition top-k, O(k) driver
+    //    merge — no sort or exchange of the scored relation). The oracle
+    //    mirrors the same fixed-order arithmetic term by term, so there
+    //    is no summation-order drift; ln() cross-engine agreement at
+    //    round(6) is the t05/t15 precedent.
+    "t16_bm25" -> ((s, d) => {
+      val qTerms = Seq("hash", "join", "scan")
+      val docs = T.documents(s, d)
+      val nDocs = nDocsCache.getOrElseUpdate(d, docs.count())
+      val base = docs.select(
+        col("doc_id"),
+        size(split(col("text"), " ", -1)).cast(LongType).as("dl"),
+        map_from_entries(
+          graft.functions.TextExprs.termCounts(col("text"))).as("tc"))
+      def tfOf(t: String): Column = coalesce(element_at(col("tc"), lit(t)), lit(0L))
+      val st = base.agg(
+        sum(col("dl")).as("toktot"),
+        qTerms.map(t => sum((tfOf(t) > 0).cast(LongType)).as(s"df_$t")): _*).head()
+      val avgdl = st.getLong(0).toDouble / nDocs.toDouble
+      val score = qTerms.zipWithIndex.map { case (t, i) =>
+        val df = st.getLong(i + 1)
+        val idf = math.log(1.0 + (nDocs.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5))
+        val tf = tfOf(t)
+        when(tf > 0,
+          lit(idf) * (tf * lit(2.2)) /
+            (tf + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+          .otherwise(lit(0.0))
+      }.reduce(_ + _)
+      val hits = qTerms.map(t => (tfOf(t) > 0).cast(LongType)).reduce(_ + _)
+      base.select(col("doc_id"), col("dl"), hits.as("hits"),
+          round(score, 6).as("score_bm25"))
+        .filter(col("hits") > 0)
+        .orderBy(col("score_bm25").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // -- multimodal plumbing shape: opaque binary column + typed metadata.
     //    Text stands in for media bytes (no codecs in this container); the
     //    full binary pipeline (batch decode stubs) lives in
@@ -419,6 +465,48 @@ object TextQ {
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    // Mirrors t16's fixed-order per-term arithmetic exactly (same literal
+    // constants, same left-associative operand order), so the only
+    // cross-engine float boundary is ln() at round(6) — t05/t15 precedent.
+    "t16_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'hash')) AS BIGINT) AS tf1,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'join')) AS BIGINT) AS tf2,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x = 'scan')) AS BIGINT) AS tf3
+        |  FROM documents),
+        |st AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+        |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2,
+        |    CAST(SUM(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df3
+        |  FROM tok)
+        |SELECT doc_id, dl,
+        |  CAST((CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  round(
+        |    (CASE WHEN tf1 > 0 THEN
+        |       ln(1.0 + (CAST(n AS DOUBLE) - CAST(df1 AS DOUBLE) + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+        |         * (tf1 * 2.2) / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |     ELSE 0.0 END)
+        |    + (CASE WHEN tf2 > 0 THEN
+        |       ln(1.0 + (CAST(n AS DOUBLE) - CAST(df2 AS DOUBLE) + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+        |         * (tf2 * 2.2) / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |     ELSE 0.0 END)
+        |    + (CASE WHEN tf3 > 0 THEN
+        |       ln(1.0 + (CAST(n AS DOUBLE) - CAST(df3 AS DOUBLE) + 0.5) / (CAST(df3 AS DOUBLE) + 0.5))
+        |         * (tf3 * 2.2) / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |     ELSE 0.0 END), 6) AS score_bm25
+        |FROM tok, st
+        |WHERE (CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) > 0
+        |ORDER BY score_bm25 DESC, doc_id
+        |LIMIT 10""".stripMargin,
+
     "t15_bigram_logprob" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |b AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS bigram

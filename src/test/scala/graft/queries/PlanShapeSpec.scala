@@ -42,6 +42,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles("q29_window_rolling") == 1)
   }
 
+  test("bm25 top-k plans zero shuffles: TakeOrderedAndProject over the scan") {
+    val df = graft.SparkEntry.queries("t16_bm25")(spark, sfd)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(shuffles("t16_bm25") == 0)
+    assert(plan.contains("TakeOrderedAndProject"),
+      "global top-10 must plan as per-partition top-k + driver merge, not a sort")
+    // retrieval sanity: scores positive and non-increasing, k rows
+    val rows = df.collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.forall(_ > 0))
+    assert(scores.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("q33 plans exactly one exchange: range partition feeds both agg levels and the sort") {
+    assert(shuffles("q33_time_bucket") == 1)
+  }
+
   test("quantized knn plans one shuffle (corpus spread) plus broadcast") {
     val plan = graft.SparkEntry.queries("s05_ann_i8")(spark, sfd)
       .queryExecution.executedPlan.toString
