@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-pair-encoding merge learning — the tokenizer-training primitive of
+  * an LM data pipeline (reference scope: the reference ships data to
+  * tokenizer training but has no trainer; this closes the loop the same
+  * way t05/t15 add model-side scoring).
+  *
+  * Classic BPE (Sennrich et al. 2016, public) trains on the WORD VOCAB,
+  * not the corpus: one corpus pass reduces text to (word, count), and
+  * every merge iteration only touches unique words. That reduction is the
+  * scalability story at 100 TB — the corpus-wide aggregate shuffles
+  * (word, partial count) pairs once, after which iteration cost is
+  * O(vocab), independent of corpus size.
+  *
+  * Two execution paths, gated on the measured vocab size (the
+  * ops.TwoPhase / ops.Percentiles pattern):
+  *
+  *  - vocab ≤ `driverVocabCap` (default 1M rows): collect the vocab and
+  *    run the exact textbook loop on the driver — a bounded collect (the
+  *    cap is checked BEFORE collecting) and zero per-iteration jobs.
+  *  - larger vocabs: distributed iterations — per-iteration pair counts
+  *    via explode + one aggregate over the vocab relation, the argmax
+  *    pair brought back with LIMIT 1, and the merge applied to the symbol
+  *    arrays with a fold expression. `localCheckpoint` every iteration
+  *    keeps the plan from growing linearly with merge count.
+  *
+  * Both paths are deterministic (ties broken by count desc, then left,
+  * then right symbol) and produce identical merge tables on the same
+  * data — pinned by BpeSpec.
+  */
+object Bpe {
+
+  val DriverVocabCap = 1 << 20
+
+  /** (word, cnt) corpus vocabulary — the one corpus-wide pass. */
+  def vocab(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ", -1)).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Learn `merges` BPE merges; returns (step, left, right, pair_count)
+    * ordered by step. Words are split to characters; merged symbols
+    * concatenate (no end-of-word marker — the in-word pair statistics the
+    * merge ranking needs are unaffected at this corpus's granularity). */
+  def learn(docs: DataFrame, textCol: String, merges: Int,
+            driverVocabCap: Int = DriverVocabCap): DataFrame = {
+    val spark = docs.sparkSession
+    val v = vocab(docs, textCol)
+    // bounded-collect gate: count first, collect only under the cap
+    val vocabRows = v.limit(driverVocabCap + 1).count()
+    val table =
+      if (vocabRows <= driverVocabCap) learnOnDriver(v, merges)
+      else learnDistributed(v, merges)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(table.zipWithIndex.map { case ((l, r, c), i) =>
+        Row(i.toLong, l, r, c)
+      }, 1),
+      StructType(Seq(
+        StructField("step", LongType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false),
+        StructField("pair_count", LongType, nullable = false))))
+  }
+
+  /** Exact textbook loop over the collected vocab. */
+  private def learnOnDriver(v: DataFrame, merges: Int): Seq[(String, String, Long)] = {
+    var words: Array[(Array[String], Long)] = v.collect().map { r =>
+      (r.getString(0).map(_.toString).toArray, r.getLong(1))
+    }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var step = 0
+    while (step < merges) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      for ((syms, c) <- words) {
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) return out.result()
+      val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+      out += ((l, r, c))
+      words = words.map { case (syms, cnt) => (applyMerge(syms, l, r), cnt) }
+      step += 1
+    }
+    out.result()
+  }
+
+  /** One left-to-right merge pass (greedy, non-overlapping: "aaa" with
+    * merge (a,a) → ["aa","a"]) — the textbook application order. */
+  private[ops] def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Distributed iterations for vocabs past the driver cap. The merge
+    * application is the same greedy left-to-right pass as the driver
+    * path, expressed as an aggregate-fold over the symbol array (the
+    * accumulator's last element merges with the next symbol when it
+    * equals `left` and the next equals `right` AND the accumulator tail
+    * wasn't itself just merged — tracked by a sentinel flag element). */
+  private def learnDistributed(v: DataFrame, merges: Int): Seq[(String, String, Long)] = {
+    // symbol arrays once; iterate on (syms, cnt)
+    var cur = v.select(
+      expr("transform(split(word, ''), x -> x)").as("syms"),
+      col("cnt")).localCheckpoint(true)
+    val out = Seq.newBuilder[(String, String, Long)]
+    var step = 0
+    var done = false
+    while (step < merges && !done) {
+      // NB sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — words
+      // reduced to one symbol must short-circuit to an empty pair array
+      val top = cur.select(
+          explode(expr(
+            "case when size(syms) < 2 then cast(array() as array<struct<l:string,r:string>>) " +
+              "else transform(sequence(1, size(syms) - 1), " +
+              "i -> struct(element_at(syms, i) as l, element_at(syms, i + 1) as r)) end"))
+            .as("p"), col("cnt"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((l, r, c))
+        val merged = mergeFold(l, r)
+        cur = cur.select(expr(merged).as("syms"), col("cnt")).localCheckpoint(true)
+        step += 1
+      }
+    }
+    out.result()
+  }
+
+  /** SQL fold implementing the greedy non-overlapping pass: accumulator is
+    * struct(acc array, just bool) — `just` true iff the previous step
+    * emitted a merge (so the merged token never re-merges as a `left`). */
+  private def mergeFold(l: String, r: String): String = {
+    def q(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    s"""aggregate(
+       |  syms,
+       |  struct(cast(array() as array<string>) as acc, false as just),
+       |  (s, x) -> if(
+       |    size(s.acc) > 0 AND NOT s.just
+       |      AND element_at(s.acc, -1) = ${q(l)} AND x = ${q(r)},
+       |    struct(concat(slice(s.acc, 1, size(s.acc) - 1),
+       |                  array(${q(l + r)})) as acc, true as just),
+       |    struct(concat(s.acc, array(x)) as acc, false as just)),
+       |  s -> s.acc)""".stripMargin
+  }
+}

@@ -415,6 +415,14 @@ object TextQ {
         .limit(10)
     }),
 
+    // -- BPE merge learning (rows-only: iterative training has no single
+    //    SQL oracle; BpeSpec pins the algorithm on hand-computed fixtures
+    //    and driver/distributed path agreement). One corpus pass reduces
+    //    to the (word, count) vocab; 10 merge iterations run over the
+    //    vocab relation only — see graft.ops.Bpe.
+    "t17_bpe_merges" -> ((s, d) =>
+      graft.ops.Bpe.learn(T.documents(s, d), "text", merges = 10)),
+
     // -- multimodal plumbing shape: opaque binary column + typed metadata.
     //    Text stands in for media bytes (no codecs in this container); the
     //    full binary pipeline (batch decode stubs) lives in
