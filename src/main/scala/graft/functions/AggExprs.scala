@@ -480,6 +480,120 @@ case class PercentileContAgg(
   override def prettyName: String = "graft_percentile_cont"
 }
 
+/** Element-wise vector-sum buffer: O(dim) state regardless of input size.
+  * Dimension is learned from the first vector; a mismatched later vector
+  * ERRORS (a silently truncated centroid is plausible-but-wrong). */
+final class VecBuf(var sum: Array[Double], var n: Long) {
+  def this() = this(null, 0L)
+
+  def add(arr: org.apache.spark.sql.catalyst.util.ArrayData, code: String): Unit = {
+    val d = arr.numElements()
+    if (sum == null) sum = new Array[Double](d)
+    else if (sum.length != d)
+      throw new IllegalArgumentException(
+        s"vec_sum: dimension mismatch (${sum.length} vs $d)")
+    var i = 0
+    while (i < d) { sum(i) += VecType.get(arr, i, code); i += 1 }
+    n += 1
+  }
+
+  def mergeFrom(o: VecBuf): VecBuf = {
+    if (o.sum != null) {
+      if (sum == null) { sum = o.sum.clone(); n = o.n }
+      else {
+        if (sum.length != o.sum.length)
+          throw new IllegalArgumentException(
+            s"vec_sum: dimension mismatch (${sum.length} vs ${o.sum.length})")
+        var i = 0
+        while (i < sum.length) { sum(i) += o.sum(i); i += 1 }
+        n += o.n
+      }
+    }
+    this
+  }
+
+  def toBytes: Array[Byte] = {
+    val d = if (sum == null) 0 else sum.length
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 * d)
+    bb.putLong(n).putInt(d)
+    var i = 0
+    while (i < d) { bb.putDouble(sum(i)); i += 1 }
+    bb.array()
+  }
+}
+
+object VecBuf {
+  def fromBytes(bytes: Array[Byte]): VecBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getLong
+    val d = bb.getInt
+    if (d == 0) new VecBuf(null, n)
+    else {
+      val s = new Array[Double](d)
+      var i = 0
+      while (i < d) { s(i) = bb.getDouble; i += 1 }
+      new VecBuf(s, n)
+    }
+  }
+}
+
+/** Element-wise sum of an array<float|double> column as
+  * struct<sum: array<double>, n: bigint> — the mergeable centroid
+  * aggregate behind ops.KMeans: map-side partials carry one O(dim)
+  * buffer per (partition, group), so Lloyd iterations never shuffle the
+  * vectors themselves. NULL vectors are skipped (SQL aggregate
+  * semantics); an all-NULL group returns NULL. */
+case class VecSumD(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[VecBuf] with UnaryLike[Expression] {
+
+  @transient private lazy val cc = VecType.code(prettyName, child.dataType)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sum", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("n", LongType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): VecBuf = new VecBuf()
+
+  override def update(buffer: VecBuf, input: InternalRow): VecBuf = {
+    val v = child.eval(input)
+    if (v != null)
+      buffer.add(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cc)
+    buffer
+  }
+
+  override def merge(buffer: VecBuf, other: VecBuf): VecBuf = buffer.mergeFrom(other)
+
+  override def eval(buffer: VecBuf): Any = {
+    if (buffer.sum == null) return null
+    InternalRow(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        buffer.sum.map(x => x: Any)),
+      buffer.n)
+  }
+
+  override def serialize(buffer: VecBuf): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): VecBuf = VecBuf.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSumD =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSumD =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VecSumD =
+    copy(child = newChild)
+  override def prettyName: String = "vec_sum"
+}
+
 /** Column-API entry points for graft's native aggregate functions. */
 object AggExprs {
   /** Exact distinct count of an integral column — one mergeable aggregate,
@@ -504,4 +618,10 @@ object AggExprs {
     GraftSqlBridge.column(
       PercentileContAgg(GraftSqlBridge.expression(c), fractions.toArray)
         .toAggregateExpression())
+
+  /** Element-wise vector sum + count: struct<sum array<double>, n bigint>.
+    * O(dim) mergeable state — the centroid aggregate of ops.KMeans. */
+  def vecSum(c: Column): Column =
+    GraftSqlBridge.column(
+      VecSumD(GraftSqlBridge.expression(c)).toAggregateExpression())
 }

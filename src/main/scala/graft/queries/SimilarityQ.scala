@@ -63,6 +63,16 @@ object SimilarityQ {
         .orderBy("qid", "rk")
     }),
 
+    // -- k-means codebook training (rows-only: iterative training has no
+    //    single SQL oracle; KMeansSpec pins planted-cluster recovery,
+    //    determinism and the empty-cluster contract). Spherical variant —
+    //    cosine assignment, the metric the IVF index retrieves by — with
+    //    every Lloyd iteration ONE aggregation job over mergeable O(dim)
+    //    VecSumD buffers; see graft.ops.KMeans.
+    "s07_kmeans_codebook" -> ((s, d) =>
+      graft.ops.KMeans.summary(
+        T.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 3)),
+
     // -- centroid similarity per label: average vector per label, then
     //    each vector's cosine to its own label centroid (exact decimal-free
     //    arithmetic is impossible here ⇒ aggregate stats only, rounded).
