@@ -49,7 +49,19 @@ object GraftExtensions {
       args => RepetitionStats(args.head)),
     ("term_counts",
       "term_counts(text) - array<struct<term, tf>>: per-document term frequencies", 1,
-      args => TermCounts(args.head)))
+      args => TermCounts(args.head)),
+    ("char_entropy",
+      "char_entropy(text) - Shannon byte entropy (log2), one pass", 1,
+      args => CharEntropy(args.head)),
+    ("cents_long",
+      "cents_long(v) - exact integer cents of a 2-decimal double (errors otherwise)", 1,
+      args => CentsLong(args.head)),
+    ("vec_sum",
+      "vec_sum(vec) - aggregate: element-wise array sum + count, struct<sum, n>", 1,
+      args => VecSumD(args.head).toAggregateExpression()),
+    ("exact_distinct",
+      "exact_distinct(x) - aggregate: exact distinct count of an integral column", 1,
+      args => ExactDistinctLong(args.head).toAggregateExpression()))
 
   /** Register on an already-running session (extensions only bind at
     * session construction). */
