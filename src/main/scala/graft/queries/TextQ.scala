@@ -22,6 +22,11 @@ object TextQ {
   private val nDocsCache =
     scala.collection.concurrent.TrieMap.empty[String, Long]
 
+  /** j01's JSONL serialization of a dir's documents, written once per dir
+    * (same memoization contract as nDocsCache; lives under target/). */
+  private val jsonlCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Tiny per-language marker-word profiles. Real deployments plug in
     * n-gram frequency profiles; the *mechanism* (count markers per
     * language, deterministic argmax) is what scales — one pass, no UDF. */
@@ -423,6 +428,28 @@ object TextQ {
     "t17_bpe_merges" -> ((s, d) =>
       graft.ops.Bpe.learn(T.documents(s, d), "text", merges = 10)),
 
+    // -- JSONL corpus ingestion round-trip (raw → curated): documents are
+    //    serialized to newline-delimited JSON, re-read with the explicit
+    //    schema in FAILFAST mode (no inference pass — the 100 TB
+    //    contract), and curated with one-pass quality metadata (sources/
+    //    JsonlCorpus). The oracle computes the same metrics DIRECTLY from
+    //    the parquet table: content-identity through the JSONL round-trip
+    //    is exactly what the hash check proves — any serialization
+    //    corruption or metric drift fails it.
+    "j01_jsonl_ingest" -> ((s, d) => {
+      val path = jsonlCache.getOrElseUpdate(d, {
+        val p = "target/jsonl/" + d.replaceAll("[^a-zA-Z0-9.]", "_")
+        graft.sources.JsonlCorpus.write(T.documents(s, d), p)
+        p
+      })
+      val curated = graft.sources.JsonlCorpus.curate(
+        graft.sources.JsonlCorpus.read(s, path, strict = true))
+      byRange(curated, "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+          col("char_entropy"), col("content_fp"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // -- multimodal plumbing shape: opaque binary column + typed metadata.
     //    Text stands in for media bytes (no codecs in this container); the
     //    full binary pipeline (batch decode stubs) lives in
@@ -473,6 +500,25 @@ object TextQ {
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    // j01: metrics computed DIRECTLY from the parquet table — the Spark
+    // side's JSONL round-trip must be content-identity for the hash to
+    // match (entropy device shared with t13).
+    "j01_jsonl_ingest" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |         round(entropy(substring(text, CAST(i AS INTEGER), 1)), 6) AS char_entropy
+        |  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)
+        |  GROUP BY doc_id, text),
+        |m AS (
+        |  SELECT doc_id, lang, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         md5(text) AS content_fp
+        |  FROM documents)
+        |SELECT m.doc_id, lang, source, n_tokens, char_entropy, content_fp,
+        |       (n_tokens >= 5 AND char_entropy > 1.0) AS keep
+        |FROM m JOIN e ON m.doc_id = e.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
+
     // Mirrors t16's fixed-order per-term arithmetic exactly (same literal
     // constants, same left-associative operand order), so the only
     // cross-engine float boundary is ln() at round(6) — t05/t15 precedent.

@@ -113,12 +113,17 @@ package queries {
       * natively (PARQUET_TYPE_ILLEGAL). Read it as a raw nanos LONG
       * (`nanosAsLong`) and floor-divide to microseconds — the same
       * truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, so both
-      * engines see identical µs timestamps. */
+      * engines see identical µs timestamps. Schema-adaptive: a rewritten
+      * events table (e.g. tools.ScaleUp's rehearsal dir) carries a native
+      * µs TIMESTAMP, which `nanosAsLong` leaves untouched — only a LONG
+      * ts actually needs the nanos conversion. */
     def events(s: SparkSession, d: String): DataFrame =
       cache.getOrElseUpdate((s, d, "events§µs"), {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        load(s, d, "events")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        val raw = load(s, d, "events")
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
       })
     def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
     def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

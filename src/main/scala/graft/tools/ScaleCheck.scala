@@ -18,8 +18,9 @@ import scala.collection.mutable
   * what this ledger exists to catch. Zero spill at sf1.0 is part of the
   * contract (partitions must still fit in memory at 10×).
   *
-  * Tracked set: every headline query that reads only the two tables
-  * ScaleUp replicates (documents, lineitem), plus a forced-two-phase q23
+  * Tracked set: every headline query that reads only tables ScaleUp
+  * replicates (documents, lineitem, orders, events), plus the new
+  * retrieval/tokenizer ops (t16, t17) and a forced-two-phase q23
   * variant — the size gate (ops/Percentiles) otherwise routes both scale
   * factors to the small-input aggregate plan, and the scale story of the
   * two-phase selection is the point of rehearsing it.
@@ -32,10 +33,11 @@ import scala.collection.mutable
 object ScaleCheck {
   private val tracked = Seq(
     "q01_agg_groupby", "q21_count_distinct", "q23_percentiles",
-    "q28_window_rank", "d01_dedup_exact", "d03_ngram_jaccard",
-    "d04_minhash_lsh", "d05_simhash", "d08_contamination", "d09_dup_clusters",
+    "q28_window_rank", "q33_time_bucket", "d01_dedup_exact",
+    "d03_ngram_jaccard", "d04_minhash_lsh", "d05_simhash",
+    "d08_contamination", "d09_dup_clusters",
     "t05_tfidf", "t07_vocab_prune", "t10_heavy_hitters", "t11_sequence_pack",
-    "t12_pii_redact")
+    "t12_pii_redact", "t16_bm25", "t17_bpe_merges")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -72,6 +72,18 @@ object ScaleUp {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
+    // events: same time range, `factor`× the users and traffic — the 10×
+    // scaling fiction for the time-bucket/sessionization family (bucket
+    // count constant, rows and distinct users scale linearly). ts is
+    // written as a native µs TIMESTAMP; T.events adapts to it.
+    val ev = graft.queries.T.events(spark, src)
+    val eStride = stride(ev, "event_id", "user_id")
+    replicate(ev, (d, i) => d
+        .withColumn("event_id", col("event_id") + lit(i * eStride("event_id")))
+        .withColumn("user_id", col("user_id") + lit(i * eStride("user_id"))))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
     println(s"SCALEUP done: $out factor $factor")
     spark.stop()
   }
