@@ -57,6 +57,18 @@ final class LongSet private (private var data: Array[Long],
     }
   }
 
+  def contains(v: Long): Boolean = {
+    if (v == 0L) return zero
+    var i = slot(v)
+    while (true) {
+      val cur = data(i)
+      if (cur == v) return true
+      if (cur == 0L) return false
+      i = (i + 1) & mask
+    }
+    false // unreachable
+  }
+
   def merge(other: LongSet): LongSet = {
     if (other.zero) zero = true
     val od = other.data
@@ -594,6 +606,147 @@ case class VecSumD(
   override def prettyName: String = "vec_sum"
 }
 
+/** k-minimum-values buffer: the k smallest DISTINCT hash values seen.
+  * Max-heap of primitive longs (unsigned order) + a LongSet for
+  * membership — O(k) state, O(log k) insert, no boxing. */
+final class KmvBuf(val k: Int) {
+  // heap of the current members, unsigned order, root = largest
+  private[functions] var heap = new Array[Long](k)
+  private[functions] var size = 0
+  // every value ever inserted (including later-evicted ones — a duplicate
+  // of an evicted value is ≥ the current root and skips insertion anyway,
+  // so the extra membership is harmless). Expected size O(k ln n) for the
+  // hash inputs this sketch takes (random insertion order): the i-th value
+  // inserts with probability ~k/i.
+  private val seen = new LongSet(math.min(k * 2, 1 << 16))
+
+  @inline private def lt(a: Long, b: Long): Boolean =
+    (a ^ Long.MinValue) < (b ^ Long.MinValue) // unsigned compare
+
+  def add(v: Long): Unit = {
+    if (seen.contains(v)) return
+    if (size < k) {
+      seen.add(v)
+      heap(size) = v; size += 1
+      var i = size - 1 // sift up
+      while (i > 0 && lt(heap((i - 1) / 2), heap(i))) {
+        val t = heap(i); heap(i) = heap((i - 1) / 2); heap((i - 1) / 2) = t
+        i = (i - 1) / 2
+      }
+    } else if (lt(v, heap(0))) {
+      seen.add(v) // evicted values stay in `seen`: they are still > v
+      heap(0) = v
+      var i = 0 // sift down
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = 2 * i + 2
+        var m = i
+        if (l < size && lt(heap(m), heap(l))) m = l
+        if (r < size && lt(heap(m), heap(r))) m = r
+        if (m == i) done = true
+        else { val t = heap(i); heap(i) = heap(m); heap(m) = t; i = m }
+      }
+    }
+  }
+
+  def mergeFrom(o: KmvBuf): KmvBuf = { var i = 0; while (i < o.size) { add(o.heap(i)); i += 1 }; this }
+
+  /** Members in ascending unsigned order. */
+  def sortedValues: Array[Long] = {
+    val out = java.util.Arrays.copyOf(heap, size)
+    val shifted = out.map(_ ^ Long.MinValue)
+    java.util.Arrays.sort(shifted)
+    shifted.map(_ ^ Long.MinValue)
+  }
+
+  def toBytes: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 + 8 * size)
+    bb.putInt(k).putInt(size)
+    var i = 0
+    while (i < size) { bb.putLong(heap(i)); i += 1 }
+    bb.array()
+  }
+}
+
+object KmvBuf {
+  def fromBytes(bytes: Array[Byte]): KmvBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val b = new KmvBuf(bb.getInt)
+    val n = bb.getInt
+    var i = 0
+    while (i < n) { b.add(bb.getLong); i += 1 }
+    b
+  }
+
+  /** Estimated distinct count from a sorted k-min array (hashes uniform
+    * over the full unsigned 64-bit range): (k-1) / u(kth-min), where u
+    * maps to (0, 1]. For fewer than k values the count is exact. */
+  def distinctEst(sorted: Array[Long], k: Int): Double =
+    if (sorted.length < k) sorted.length.toDouble
+    else (k - 1).toDouble / unit(sorted(k - 1))
+
+  /** Jaccard estimate of two sketches: the matching fraction within the
+    * combined k smallest of the union (standard KMV set-similarity). */
+  def jaccardEst(a: Array[Long], b: Array[Long], k: Int): Double = {
+    val union = (a ++ b).distinct.map(_ ^ Long.MinValue).sorted.take(k).map(_ ^ Long.MinValue)
+    if (union.isEmpty) return 0.0
+    val sa = a.toSet; val sb = b.toSet
+    union.count(v => sa.contains(v) && sb.contains(v)).toDouble / union.length
+  }
+
+  @inline private def unit(v: Long): Double =
+    ((v ^ Long.MinValue).toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
+}
+
+/** KMV distinct sketch of an integral (hash) column: array<bigint> of the
+  * k smallest distinct unsigned values — the mergeable sketch that, unlike
+  * HLL, supports SET operations downstream (union by merge-and-trim,
+  * Jaccard by matching fraction, intersection by inclusion–exclusion).
+  * NULLs are skipped. */
+case class KmvSketch(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuf] with UnaryLike[Expression] {
+
+  require(k >= 2 && k <= (1 << 20), s"kmv k must be in [2, 1M], got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName takes the 64-bit HASH column (xxhash64(...)), got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): KmvBuf = new KmvBuf(k)
+
+  override def update(buffer: KmvBuf, input: InternalRow): KmvBuf = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: KmvBuf, other: KmvBuf): KmvBuf = buffer.mergeFrom(other)
+
+  override def eval(buffer: KmvBuf): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      buffer.sortedValues.map(x => x: Any))
+
+  override def serialize(buffer: KmvBuf): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): KmvBuf = KmvBuf.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSketch =
+    copy(child = newChild)
+  override def prettyName: String = "kmv_sketch"
+}
+
 /** Column-API entry points for graft's native aggregate functions. */
 object AggExprs {
   /** Exact distinct count of an integral column — one mergeable aggregate,
@@ -624,4 +777,12 @@ object AggExprs {
   def vecSum(c: Column): Column =
     GraftSqlBridge.column(
       VecSumD(GraftSqlBridge.expression(c)).toAggregateExpression())
+
+  /** KMV distinct sketch of a 64-bit hash column: the k smallest distinct
+    * values (ascending array<bigint>) — supports downstream union /
+    * Jaccard / intersection estimation (see [[KmvBuf.distinctEst]],
+    * [[KmvBuf.jaccardEst]]). */
+  def kmvSketch(c: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      KmvSketch(GraftSqlBridge.expression(c), k).toAggregateExpression())
 }

@@ -102,6 +102,38 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
+    // KMV cross-slice set-similarity (rows-only: sketch contents are
+    // impl-specific; KmvSpec pins the estimator error bounds). The sketch
+    // HLL can't be: k-minimum-values supports SET OPERATIONS after
+    // aggregation — union by merge-and-trim, Jaccard as the matching
+    // fraction in the combined k-min — so per-slice vocabulary overlap
+    // needs one aggregation pass + an O(slices² × k) driver combine of
+    // the collected sketches (bounded: slices × k longs), NOT a
+    // cross-slice join of the term relations.
+    "q26b_kmv_overlap" -> ((s, d) => {
+      val K = 256
+      val sk = T.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ", -1)).as("term"))
+        .filter(length(col("term")) > 0)
+        .select(col("source"), xxhash64(col("term")).as("h"))
+        .groupBy("source")
+        .agg(graft.functions.AggExprs.kmvSketch(col("h"), K).as("sk"))
+        .orderBy("source").collect()
+      import graft.functions.KmvBuf
+      val rows = for {
+        i <- sk.indices
+        j <- sk.indices if j > i
+      } yield {
+        val (sa, a) = (sk(i).getString(0), sk(i).getSeq[Long](1).toArray)
+        val (sb, b) = (sk(j).getString(0), sk(j).getSeq[Long](1).toArray)
+        (sa, sb,
+          math.round(KmvBuf.distinctEst(a, K)),
+          math.round(KmvBuf.distinctEst(b, K)),
+          math.rint(KmvBuf.jaccardEst(a, b, K) * 10000) / 10000)
+      }
+      s.createDataFrame(rows).toDF("src_a", "src_b", "nd_a_est", "nd_b_est", "jaccard_est")
+    }),
+
     // Approximate percentiles (GK sketch): the scale path where exact
     // percentile_cont's per-group sort is the bottleneck. Sketch output is
     // impl-specific ⇒ rows-only check; the query carries its own exact
