@@ -163,6 +163,12 @@ object Relational {
     }),
 
     // -- CTE chain + window over aggregate (dialect-common SQL text).
+    //    NB: the global ROW_NUMBER here triggers WindowExec's
+    //    "No Partition Defined" warning — intentionally benign: the
+    //    windowed relation is the AGGREGATED months (bounded at any
+    //    corpus scale), not the raw orders, so the single partition holds
+    //    dozens of rows. The unbounded-relation global rankings elsewhere
+    //    use ops.Ranking instead.
     "q13_cte" -> ((s, d) => T.sql(s, d, "orders")(Oracle.q13)),
 
     // -- scalar subquery in a predicate (exact avg ⇒ deterministic cut).
