@@ -304,6 +304,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("JSONL curation stage runs unchanged on a stream: metrics match batch") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, "en", "s", 11L, "one two three four five six"),
+      (2L, "en", "s", 7L, "aaaaaaa"))
+    val input = MemoryStream[(Long, String, String, Long, String)]
+    val docs = input.toDF().toDF("doc_id", "lang", "source", "n_chars", "text")
+    // curate is a stateless narrow projection — the ingest stage composes
+    // onto readStream unchanged (batch/stream symmetry for j01)
+    val q = graft.sources.JsonlCorpus.curate(docs)
+      .writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("curated").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("char_entropy"), r.getAs[Boolean]("keep"))).toSet
+      val batch = graft.sources.JsonlCorpus.curate(
+          rows.toDF("doc_id", "lang", "source", "n_chars", "text")).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("char_entropy"), r.getAs[Boolean]("keep"))).toSet
+      assert(streamed == batch)
+      assert(streamed.exists(t => t._1 == 2L && !t._4)) // low-entropy doc dropped
+    } finally q.stop()
+  }
+
   test("streaming signature dedup drops near-identical docs, keeps shorts distinct") {
     import spark.implicits._
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
