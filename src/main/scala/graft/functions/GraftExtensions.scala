@@ -61,7 +61,10 @@ object GraftExtensions {
       args => VecSumD(args.head).toAggregateExpression()),
     ("exact_distinct",
       "exact_distinct(x) - aggregate: exact distinct count of an integral column", 1,
-      args => ExactDistinctLong(args.head).toAggregateExpression()))
+      args => ExactDistinctLong(args.head).toAggregateExpression()),
+    ("kmv_sketch256",
+      "kmv_sketch256(h) - aggregate: 256 smallest distinct values of a 64-bit hash column", 1,
+      args => KmvSketch(args.head, 256).toAggregateExpression()))
 
   /** Register on an already-running session (extensions only bind at
     * session construction). */

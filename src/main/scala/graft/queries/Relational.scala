@@ -64,8 +64,10 @@ object Relational {
         .orderBy("o_orderkey")
     }),
 
-    // -- TPC-H Q5-style 6-table join; dims broadcast, facts shuffle on keys.
+    // -- TPC-H Q5-style 6-table join; dims broadcast, facts shuffle on
+    //    keys. Revenue takes the cents-long fast path under the q01 gate.
     "q04_join_multi" -> ((s, d) => {
+      import graft.functions.{MoneyExprs => ME}
       val l = T.lineitem(s, d)
       val o = T.orders(s, d)
         .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
@@ -81,8 +83,10 @@ object Relational {
         .join(n, col("s_nationkey") === col("n_nationkey"))
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
-        .agg(sum(netPrice(col("l_extendedprice"), col("l_discount")))
-          .cast(DoubleType).as("revenue"),
+        .agg(
+          (if (ME.fastOk(l)) ME.fnetSum(col("l_extendedprice"), col("l_discount"))
+           else sum(netPrice(col("l_extendedprice"), col("l_discount"))).cast(DoubleType))
+            .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),

@@ -65,9 +65,13 @@ object TimeSeriesQ {
     // -- gap-based sessionization (30-min inactivity): lag → flag → running
     //    sum, all inside one window partitioning by user.
     "q35_sessionization" -> ((s, d) => {
+      import graft.functions.{MoneyExprs => ME}
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val gapUs = 1800000000L // 30 min in microseconds
       val run = w.rowsBetween(Window.unboundedPreceding, 0)
+      val sv =
+        if (ME.fastOk(T.events(s, d))) ME.fsum(col("value"))
+        else dsum(col("value"))
       // range-partition on the window key: satisfies the window's
       // clustering AND the final ORDER BY's distribution, so the trailing
       // global sort needs no exchange (and no double execution of the
@@ -84,7 +88,7 @@ object TimeSeriesQ {
           count(lit(1)).as("n_events"),
           min(col("ts")).as("start_ts"),
           max(col("ts")).as("end_ts"),
-          dsum(col("value")).as("session_value"))
+          sv.as("session_value"))
         .orderBy("user_id", "session_id")
     }),
 
