@@ -97,6 +97,35 @@ class OpsSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("simhash bucket cap: over-cap buckets drop from candidates, normal pairs survive") {
+    import spark.implicits._
+    // 50 identical fingerprints = one mega-bucket per chunk (the
+    // quadratic core); two close fingerprints (distance 1) in normal buckets
+    val mega = (100L to 149L).map(id => (id, 0x1234567890abcdefL))
+    val close = Seq((1L, 0x0f0f0f0f0f0f0f0fL), (2L, 0x0f0f0f0f0f0f0f0eL))
+    val fps = (mega ++ close).toDF("doc_id", "simhash")
+    val capped = SimHash.nearPairs(fps, "doc_id", maxDist = 3, maxBucket = 10)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(capped == Set((1L, 2L)), s"got $capped")
+    // the audit surface names exactly the planted mega-buckets
+    val hot = SimHash.hotBuckets(fps, "doc_id", maxBucket = 10).collect()
+    assert(hot.length == SimHash.Chunks && hot.forall(_.getAs[Long]("n") == 50L))
+    // uncapped, the mega-bucket pairs come back
+    val uncapped = SimHash.nearPairs(fps, "doc_id", maxDist = 3,
+      maxBucket = Int.MaxValue).count()
+    assert(uncapped == 50L * 49 / 2 + 1)
+  }
+
+  test("simhash: default cap is inert on small corpora (d05 unchanged)") {
+    val fps = SimHash.fingerprints(
+      graft.queries.T.documents(spark, sf), "doc_id", "text").localCheckpoint(true)
+    val a = SimHash.nearPairs(fps, "doc_id", maxDist = 16)
+      .orderBy("a_id", "b_id").collect().map(_.toSeq)
+    val b = SimHash.nearPairs(fps, "doc_id", maxDist = 16, maxBucket = Int.MaxValue)
+      .orderBy("a_id", "b_id").collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("simhash distance grows with edit fraction") {
     val base = (0 until 256).map(i => s"tok$i").mkString(" ")
     val near = (0 until 256).map(i => if (i % 64 == 0) s"chg$i" else s"tok$i").mkString(" ")
