@@ -500,11 +500,16 @@ final class VecBuf(var sum: Array[Double], var n: Long) {
 
   def add(arr: org.apache.spark.sql.catalyst.util.ArrayData, code: String): Unit = {
     val d = arr.numElements()
+    // a vector containing a NULL element is skipped whole (the aggregate
+    // analogue of DotF32/NormF32's null-element-poisons-the-row rule —
+    // counting a partially-read vector would silently skew the centroid)
+    var i = 0
+    while (i < d) { if (arr.isNullAt(i)) return; i += 1 }
     if (sum == null) sum = new Array[Double](d)
     else if (sum.length != d)
       throw new IllegalArgumentException(
         s"vec_sum: dimension mismatch (${sum.length} vs $d)")
-    var i = 0
+    i = 0
     while (i < d) { sum(i) += VecType.get(arr, i, code); i += 1 }
     n += 1
   }

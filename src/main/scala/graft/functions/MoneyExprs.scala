@@ -84,18 +84,22 @@ case class CentsLong(child: Expression) extends UnaryExpression {
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[Double]
     val c = java.lang.Math.round(v * 100.0)
-    if (c / 100.0 != v)
+    if (c / 100.0 != v || java.lang.Math.abs(v) >= 1.0e6)
       throw new ArithmeticException(
-        s"$prettyName: $v is not a 2-decimal money value — use the decimal path")
+        s"$prettyName: $v is not a bounded 2-decimal money value — use the decimal path")
     c
   }
 
+  // the magnitude bound is ENFORCED, not assumed: it is what makes the
+  // callers' no-overflow arithmetic (MoneyExprs scaladoc) sound — an
+  // arbitrarily large 2-decimal double would pass the round-trip check
+  // alone and could wrap the long total where the decimal path is exact
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => s"""
       |${ev.value} = java.lang.Math.round($v * 100.0D);
-      |if (${ev.value} / 100.0D != $v) {
+      |if (${ev.value} / 100.0D != $v || java.lang.Math.abs($v) >= 1.0e6D) {
       |  throw new ArithmeticException(
-      |    "cents_long: " + $v + " is not a 2-decimal money value — use the decimal path");
+      |    "cents_long: " + $v + " is not a bounded 2-decimal money value — use the decimal path");
       |}
       |""".stripMargin)
 

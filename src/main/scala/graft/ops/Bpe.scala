@@ -49,7 +49,10 @@ object Bpe {
   def learn(docs: DataFrame, textCol: String, merges: Int,
             driverVocabCap: Int = DriverVocabCap): DataFrame = {
     val spark = docs.sparkSession
-    val v = vocab(docs, textCol)
+    // materialize the corpus-wide pass ONCE: the gate count and the
+    // collect/first-iteration both read the checkpointed vocab instead of
+    // re-running the explode+aggregate from the scan
+    val v = vocab(docs, textCol).localCheckpoint(true)
     // bounded-collect gate: count first, collect only under the cap
     val vocabRows = v.limit(driverVocabCap + 1).count()
     val table =
@@ -66,10 +69,15 @@ object Bpe {
         StructField("pair_count", LongType, nullable = false))))
   }
 
-  /** Exact textbook loop over the collected vocab. */
+  /** Exact textbook loop over the collected vocab. Symbols are Unicode
+    * CODE POINTS (not UTF-16 code units) and count ties break in UTF-8
+    * binary order — both matching the distributed path exactly (Spark's
+    * split('', …) slices per code point and its string ORDER BY compares
+    * UTF-8 bytes; a Java chars/compareTo loop diverges on any
+    * supplementary-plane symbol). */
   private def learnOnDriver(v: DataFrame, merges: Int): Seq[(String, String, Long)] = {
     var words: Array[(Array[String], Long)] = v.collect().map { r =>
-      (r.getString(0).map(_.toString).toArray, r.getLong(1))
+      (codePoints(r.getString(0)), r.getLong(1))
     }
     val out = Seq.newBuilder[(String, String, Long)]
     var step = 0
@@ -84,12 +92,40 @@ object Bpe {
         }
       }
       if (counts.isEmpty) return out.result()
-      val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+      val ((l, r), c) = counts.min(tieOrdering)
       out += ((l, r, c))
       words = words.map { case (syms, cnt) => (applyMerge(syms, l, r), cnt) }
       step += 1
     }
     out.result()
+  }
+
+  private[ops] def codePoints(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
+  /** (count desc, left asc, right asc) with strings in UTF-8 binary
+    * order — the ordering Spark's ORDER BY applies on the other path. */
+  private val tieOrdering: Ordering[((String, String), Long)] =
+    new Ordering[((String, String), Long)] {
+      def compare(a: ((String, String), Long), b: ((String, String), Long)): Int = {
+        val byCount = java.lang.Long.compare(b._2, a._2) // desc
+        if (byCount != 0) return byCount
+        val byL = utf8Compare(a._1._1, b._1._1)
+        if (byL != 0) byL else utf8Compare(a._1._2, b._1._2)
+      }
+    }
+
+  private def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xFF, y(i) & 0xFF)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
   }
 
   /** One left-to-right merge pass (greedy, non-overlapping: "aaa" with
@@ -144,20 +180,19 @@ object Bpe {
     out.result()
   }
 
-  /** SQL fold implementing the greedy non-overlapping pass: accumulator is
-    * struct(acc array, just bool) — `just` true iff the previous step
-    * emitted a merge (so the merged token never re-merges as a `left`). */
+  /** SQL fold implementing the greedy non-overlapping pass. No "was the
+    * last element just merged" flag is needed: the merged token l+r can
+    * never equal `l` (r is non-empty), so a freshly-merged tail can
+    * never match as the next pair's left — whole-element comparison
+    * alone gives the textbook i+=2 semantics. */
   private def mergeFold(l: String, r: String): String = {
     def q(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     s"""aggregate(
        |  syms,
-       |  struct(cast(array() as array<string>) as acc, false as just),
-       |  (s, x) -> if(
-       |    size(s.acc) > 0 AND NOT s.just
-       |      AND element_at(s.acc, -1) = ${q(l)} AND x = ${q(r)},
-       |    struct(concat(slice(s.acc, 1, size(s.acc) - 1),
-       |                  array(${q(l + r)})) as acc, true as just),
-       |    struct(concat(s.acc, array(x)) as acc, false as just)),
-       |  s -> s.acc)""".stripMargin
+       |  cast(array() as array<string>),
+       |  (acc, x) -> if(
+       |    size(acc) > 0 AND element_at(acc, -1) = ${q(l)} AND x = ${q(r)},
+       |    concat(slice(acc, 1, size(acc) - 1), array(${q(l + r)})),
+       |    concat(acc, array(x))))""".stripMargin
   }
 }

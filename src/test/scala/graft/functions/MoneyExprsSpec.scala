@@ -67,6 +67,16 @@ class MoneyExprsSpec extends SparkSpec {
     assert(f(1).isNullAt(1))
   }
 
+  test("cents THROWS past the 10^6 money bound (the no-overflow contract is enforced)") {
+    // 2^52 round-trips through the 2-decimal check exactly, so without
+    // the magnitude guard ~21 such rows would wrap a long cents total
+    val e = CentsLong(org.apache.spark.sql.GraftSqlBridge.expression(col("v")))
+    intercept[ArithmeticException](e.nullSafeEval(4.503599627370496e15))
+    intercept[ArithmeticException](e.nullSafeEval(1.0e6))
+    assert(e.nullSafeEval(999999.99) === 99999999L)
+    assert(e.nullSafeEval(-999999.99) === -99999999L)
+  }
+
   test("cents THROWS on non-2-decimal input instead of drifting") {
     import spark.implicits._
     val bad = Seq(1.005, 0.12345, Double.NaN).toDF("v")

@@ -51,6 +51,38 @@ class BpeSpec extends SparkSpec {
     assert(dist.toSeq == redist.toSeq)
   }
 
+  test("non-BMP corpus: driver and distributed paths still agree (code points, utf8 ties)") {
+    // supplementary-plane symbols (surrogate pairs in UTF-16): a code-unit
+    // split would shred these into lone surrogates on the driver path,
+    // and Java compareTo would order U+FFFD-area vs astral symbols
+    // differently from UTF-8 binary order
+    val df = corpus(
+      "😀ab 😀ab 😀cd",
+      "ab� ab� 😀ab",
+      "cd� cd� cd�")
+    val fast = Bpe.learn(df, "text", merges = 5).collect().map(_.toSeq)
+    val dist = Bpe.learn(df, "text", merges = 5, driverVocabCap = 0)
+      .collect().map(_.toSeq)
+    assert(fast.toSeq == dist.toSeq)
+    // merge tokens must be whole code points, never lone surrogates
+    def wellFormed(s: String): Boolean = {
+      var i = 0
+      while (i < s.length) {
+        if (Character.isHighSurrogate(s(i))) {
+          if (i + 1 >= s.length || !Character.isLowSurrogate(s(i + 1))) return false
+          i += 2
+        } else if (Character.isLowSurrogate(s(i))) return false
+        else i += 1
+      }
+      true
+    }
+    fast.foreach { row =>
+      Seq(row(1), row(2)).map(_.asInstanceOf[String]).foreach { s =>
+        assert(wellFormed(s), s"lone surrogate in merge token: $s")
+      }
+    }
+  }
+
   test("merge count stops early when no pairs remain") {
     val df = corpus("a b c a b c")
     // single-char words only — after zero possible merges the table is empty

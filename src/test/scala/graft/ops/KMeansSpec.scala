@@ -61,6 +61,19 @@ class KMeansSpec extends SparkSpec {
     assert(s.map(_.getLong(1)).sum == 3L)
   }
 
+  test("vec_sum skips vectors containing a NULL element (whole, uncounted)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq[Option[Double]](Some(1.0), Some(2.0))),
+      (2L, Seq[Option[Double]](Some(3.0), None)), // null element -> skipped whole
+      (3L, Seq[Option[Double]](Some(5.0), Some(6.0))))
+      .toDF("id", "v")
+    val r = df.agg(graft.functions.AggExprs.vecSum(
+      org.apache.spark.sql.functions.col("v"))).head.getStruct(0)
+    assert(r.getSeq[Double](0) == Seq(6.0, 8.0))
+    assert(r.getLong(1) == 2L)
+  }
+
   test("VecBuf: serde roundtrip and merge") {
     val a = new VecBuf(Array(1.0, 2.0, 3.0), 2L)
     val b = VecBuf.fromBytes(a.toBytes)
