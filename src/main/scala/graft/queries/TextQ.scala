@@ -420,6 +420,38 @@ object TextQ {
         .limit(10)
     }),
 
+    // -- held-out perplexity scoring: the methodologically honest version
+    //    of t15 — the bigram model trains ONLY on t06's train split
+    //    (same md5 hex-prefix rule), and scores the HELD-OUT docs with
+    //    Laplace smoothing (unseen bigrams are expected off-split, so the
+    //    model join is LEFT and p = (c+1)/(total+V)). Same 100 TB shape
+    //    as t15: model aggregate + score join on the bigram key, corpus
+    //    scalars broadcast, per-doc aggregate on a doc_id range exchange.
+    "t18_heldout_logprob" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val h = substring(md5(concat(col("doc_id").cast(StringType), lit(":graft"))), 1, 4)
+      val bigramsOf = expr(
+        """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),
+          |  i -> concat(element_at(split(text, ' '), i), ' ',
+          |              element_at(split(text, ' '), i + 1)))""".stripMargin)
+      val tb = docs.filter(h < "cccd").select(explode(bigramsOf).as("bigram"))
+      val model = tb.groupBy("bigram").agg(count(lit(1)).as("c"))
+      val stats = model.agg(sum(col("c")).as("total"), count(lit(1)).as("v"))
+      val hb = docs.filter(h >= "cccd")
+        .select(col("doc_id"), explode(bigramsOf).as("bigram"))
+      val scored = hb.join(model, Seq("bigram"), "left")
+        .crossJoin(broadcast(stats))
+        .withColumn("logp",
+          log((coalesce(col("c"), lit(0L)).cast(DoubleType) + lit(1.0)) /
+            (col("total") + col("v"))))
+      byRangeCols(scored, col("doc_id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
+          sum(col("c").isNull.cast(LongType)).as("n_unseen"),
+          round(avg(col("logp")), 6).as("avg_logp"))
+        .orderBy("doc_id")
+    }),
+
     // -- BPE merge learning (rows-only: iterative training has no single
     //    SQL oracle; BpeSpec pins the algorithm on hand-computed fixtures
     //    and driver/distributed path agreement). One corpus pass reduces
@@ -500,6 +532,21 @@ object TextQ {
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
+    "t18_heldout_logprob" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
+        |                  substring(md5(doc_id || ':graft'), 1, 4) AS h
+        |           FROM documents),
+        |b AS (SELECT doc_id, h, words[i] || ' ' || words[i+1] AS bigram
+        |      FROM w, UNNEST(range(1, len(words))) AS t(i)),
+        |m AS (SELECT bigram, COUNT(*) AS c FROM b WHERE h < 'cccd' GROUP BY bigram),
+        |st AS (SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS v FROM m)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN m.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+        |  round(avg(ln((CAST(COALESCE(m.c, 0) AS DOUBLE) + 1.0) / (total + v))), 6) AS avg_logp
+        |FROM b LEFT JOIN m USING (bigram) CROSS JOIN st
+        |WHERE b.h >= 'cccd'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // j01: metrics computed DIRECTLY from the parquet table — the Spark
     // side's JSONL round-trip must be content-identity for the hash to
     // match (entropy device shared with t13).
