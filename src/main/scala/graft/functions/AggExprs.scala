@@ -411,7 +411,10 @@ final class DoubleBuf private (private var data: Array[Double], private var n: I
 }
 
 object DoubleBuf {
-  val MaxValues: Int = 1 << 28
+  // One below 2^28 so 8*MaxValues stays under Int.MaxValue: at exactly
+  // 2^28 the toBytes allocation (8*n) would wrap negative and throw an
+  // opaque ByteBuffer error instead of the size-gate message.
+  val MaxValues: Int = (1 << 28) - 1
 
   def fromBytes(bytes: Array[Byte]): DoubleBuf = {
     val n = bytes.length / 8
@@ -699,8 +702,10 @@ object KmvBuf {
     union.count(v => sa.contains(v) && sb.contains(v)).toDouble / union.length
   }
 
+  // Unsigned hash → (0, 1]: the +1 removes the v == 0 singularity (a
+  // zero k-th hash would otherwise make distinctEst divide by zero).
   @inline private def unit(v: Long): Double =
-    ((v ^ Long.MinValue).toDouble - Long.MinValue.toDouble) / math.pow(2.0, 64)
+    ((v ^ Long.MinValue).toDouble - Long.MinValue.toDouble + 1.0) / math.pow(2.0, 64)
 }
 
 /** KMV distinct sketch of an integral (hash) column: array<bigint> of the

@@ -35,8 +35,13 @@ object KMeans {
   def fit(df: DataFrame, idCol: String, vecCol: String,
           k: Int, iters: Int): Array[Array[Double]] = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got $k, $iters)")
+    // Drop null vectors AND vectors containing null elements: VecBuf.add
+    // skips null elements, so an all-null-element group would aggregate to
+    // a NULL struct (NPE below), and the seeding row-decode would
+    // MatchError on a null element.
     val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
-      .filter(col("__vec").isNotNull)
+      .filter(col("__vec").isNotNull &&
+        !exists(col("__vec"), _.isNull))
     // deterministic seeding: k smallest (xxhash64(id), id) — TakeOrdered,
     // no global sort
     var codebook: Array[Array[Double]] = vecs
@@ -60,9 +65,13 @@ object KMeans {
       sums.foreach { r =>
         val c = r.getInt(0)
         val s = r.getStruct(1)
-        val sum = s.getSeq[Double](0)
-        val n = s.getLong(1).toDouble
-        next(c) = sum.map(_ / n).toArray
+        // NULL struct ⇒ the group contributed no usable vectors; keep the
+        // previous centroid (same rule as an empty cluster).
+        if (s != null) {
+          val sum = s.getSeq[Double](0)
+          val n = s.getLong(1).toDouble
+          if (n > 0) next(c) = sum.map(_ / n).toArray
+        }
       }
       codebook = next
       it += 1

@@ -177,10 +177,16 @@ object EventStream {
                          minShared: Long = 2,
                          windowLen: String = "1 hour",
                          lateness: String = "10 minutes"): DataFrame = {
+    // Persist the static side: a stream-static join re-evaluates the
+    // static plan every micro-batch, so without this the winnow+explode+
+    // distinct over the whole reference corpus re-runs per batch. The
+    // distinct fingerprint set is the small derived relation (8-byte keys),
+    // exactly what belongs in the block cache for the life of the stream.
     val refFps = reference
       .select(explode(graft.functions.TextExprs
         .winnow(col(textCol), k, winnowWindow)).as("fp"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     docs
       .withWatermark(tsCol, lateness)
       .select(col(tsCol), col(idCol),

@@ -88,6 +88,35 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("null vectors and null-element vectors are skipped, not NPE") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // explicit nullable schema: element containsNull=true so a genuinely
+    // null element survives the encoder
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("planted", IntegerType, nullable = false),
+      StructField("embedding",
+        ArrayType(FloatType, containsNull = true), nullable = true)))
+    val dirtyRows = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(900L, 0, null),
+        Row(902L, 0, Seq[Any](1.0f, null, 0.0f, 0.0f)))),
+      schema)
+    import org.apache.spark.sql.functions.col
+    val clean0 = planted
+    val df = clean0
+      .select(col("vec_id"), col("planted"),
+        col("embedding").cast(ArrayType(FloatType, containsNull = true))
+          .as("embedding"))
+      .union(dirtyRows)
+    val cb = KMeans.fit(df, "vec_id", "embedding", k = 3, iters = 3)
+    assert(cb.length == 3 && cb.forall(_.length == 4))
+    // same clusters as the clean fit — dirty rows contribute nothing
+    val clean = KMeans.fit(planted, "vec_id", "embedding", k = 3, iters = 3)
+    assert(cb.map(_.toSeq).toSeq == clean.map(_.toSeq).toSeq)
+  }
+
   test("real embeddings table: s07 query returns k rows with full coverage") {
     val out = graft.SparkEntry.queries("s07_kmeans_codebook")(spark, sf).collect()
     assert(out.nonEmpty && out.length <= 8)
