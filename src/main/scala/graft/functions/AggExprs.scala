@@ -693,6 +693,19 @@ object KmvBuf {
     if (sorted.length < k) sorted.length.toDouble
     else (k - 1).toDouble / unit(sorted(k - 1))
 
+  /** Engine-independent integer variant of [[distinctEst]]:
+    * floor((k-1)·2^64 / (u_k + 1)) computed exactly over BigInt, where
+    * u_k is the k-th smallest hash as unsigned. No float rounding point
+    * anywhere, so an SQL engine evaluating the same HUGEINT expression is
+    * bit-identical — what makes a KMV estimate oracle-checkable when the
+    * hash itself is portable (md5-derived). Exact below k. */
+  def distinctEstLong(sorted: Array[Long], k: Int): Long =
+    if (sorted.length < k) sorted.length.toLong
+    else {
+      val u = (BigInt(sorted(k - 1)) & ((BigInt(1) << 64) - 1)) + 1
+      ((BigInt(k - 1) << 64) / u).toLong
+    }
+
   /** Jaccard estimate of two sketches: the matching fraction within the
     * combined k smallest of the union (standard KMV set-similarity). */
   def jaccardEst(a: Array[Long], b: Array[Long], k: Int): Double = {

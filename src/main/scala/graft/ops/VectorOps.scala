@@ -224,6 +224,33 @@ object VectorOps {
       .select(col("qid"), col("nid"), col("rk").cast("int").as("rk"), col("cos"))
   }
 
+  /** Exact-cosine re-rank of an ANN candidate relation (qid, nid): join
+    * the float vectors back once per side, score exact double cosine,
+    * keep the top-k per query — the refinement stage every production ANN
+    * route ends with. The candidate set is approximate and
+    * impl-specific, but the reranked top-k is ENGINE-INDEPENDENT whenever
+    * the candidates cover the true top-k (candidate margin pinned by
+    * spec), which is what makes the compressed-ANN routes
+    * oracle-checkable against the brute-force relation. At scale: the
+    * query side is broadcast, the base join is an equi-join on id over
+    * |Q|×margin candidate rows — no all-pairs anywhere. */
+  def rerankExact(candidates: DataFrame, queries: DataFrame, base: DataFrame,
+                  idCol: String, vecCol: String, k: Int): DataFrame = {
+    val qv = withNorm(queries, vecCol)
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"), col("_norm").as("qnorm"))
+    val bv = withNorm(base, vecCol)
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"), col("_norm").as("nnorm"))
+    candidates.select("qid", "nid")
+      .join(broadcast(qv), "qid")
+      .join(bv, "nid")
+      .withColumn("cos", cosineFromParts(dot(col("qvec"), col("nvec")),
+        col("qnorm"), col("nnorm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("rk").cast("int").as("rk"))
+  }
+
   /** ANN top-k: rank only within LSH bucket collisions. The bucket join
     * shuffles only (id, table, int key) — vectors and norms are joined
     * back once per side after the id-pair dedup (see [[nearDuplicates]]

@@ -102,20 +102,27 @@ object Aggregates {
         .orderBy("l_returnflag")
     }),
 
-    // KMV cross-slice set-similarity (rows-only: sketch contents are
-    // impl-specific; KmvSpec pins the estimator error bounds). The sketch
-    // HLL can't be: k-minimum-values supports SET OPERATIONS after
-    // aggregation — union by merge-and-trim, Jaccard as the matching
-    // fraction in the combined k-min — so per-slice vocabulary overlap
-    // needs one aggregation pass + an O(slices² × k) driver combine of
-    // the collected sketches (bounded: slices × k longs), NOT a
-    // cross-slice join of the term relations.
+    // KMV cross-slice set-similarity. The sketch HLL can't be:
+    // k-minimum-values supports SET OPERATIONS after aggregation — union
+    // by merge-and-trim, Jaccard as the matching fraction in the combined
+    // k-min — so per-slice vocabulary overlap needs one aggregation pass
+    // + an O(slices² × k) driver combine of the collected sketches
+    // (bounded: slices × k longs), NOT a cross-slice join of the term
+    // relations. ORACLE-EXACT: the hash is the portable low-64-of-md5
+    // (identical in any engine with md5), the distinct estimate uses
+    // exact integer arithmetic (KmvBuf.distinctEstLong — no float
+    // rounding point), and the Jaccard is the raw m/u double division —
+    // so DuckDB recomputes the identical sketch AND the identical
+    // estimates. KmvSpec still pins the estimator's error bounds; the
+    // xxhash64 default stays the library fast path.
     "q26b_kmv_overlap" -> ((s, d) => {
       val K = 256
       val sk = T.documents(s, d)
         .select(col("source"), explode(split(col("text"), " ", -1)).as("term"))
         .filter(length(col("term")) > 0)
-        .select(col("source"), xxhash64(col("term")).as("h"))
+        .select(col("source"),
+          conv(substring(md5(col("term")), 17, 16), 16, -10)
+            .cast("long").as("h"))
         .groupBy("source")
         .agg(graft.functions.AggExprs.kmvSketch(col("h"), K).as("sk"))
         .orderBy("source").collect()
@@ -127,9 +134,9 @@ object Aggregates {
         val (sa, a) = (sk(i).getString(0), sk(i).getSeq[Long](1).toArray)
         val (sb, b) = (sk(j).getString(0), sk(j).getSeq[Long](1).toArray)
         (sa, sb,
-          math.round(KmvBuf.distinctEst(a, K)),
-          math.round(KmvBuf.distinctEst(b, K)),
-          math.rint(KmvBuf.jaccardEst(a, b, K) * 10000) / 10000)
+          KmvBuf.distinctEstLong(a, K),
+          KmvBuf.distinctEstLong(b, K),
+          KmvBuf.jaccardEst(a, b, K))
       }
       s.createDataFrame(rows).toDF("src_a", "src_b", "nd_a_est", "nd_b_est", "jaccard_est")
     }),
@@ -189,6 +196,34 @@ object Aggregates {
   }
 
   val oracles: Map[String, String] = Map(
+    // q26b: the full KMV pipeline recomputed in SQL — portable md5-low64
+    // hash (signed wrap identical to Spark's conv(..,16,-10)), per-source
+    // 256 smallest distinct unsigned hashes, exact HUGEINT estimator
+    // floor((k-1)·2^64/(u_k+1)), raw m/u Jaccard within the combined
+    // 256-min of the union. Engine-independent end to end.
+    "q26b_kmv_overlap" ->
+      """WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents),
+        |h AS (SELECT DISTINCT source, ('0x' || substr(md5(term), 17, 16))::UBIGINT AS u
+        |      FROM t WHERE len(term) > 0),
+        |r AS (SELECT source, u, ROW_NUMBER() OVER (PARTITION BY source ORDER BY u) AS rn
+        |      FROM h),
+        |sk AS (SELECT source, list(u ORDER BY u) AS mins, count(*) AS sz
+        |       FROM r WHERE rn <= 256 GROUP BY source),
+        |pairs AS (SELECT a.source AS src_a, b.source AS src_b,
+        |                 a.mins AS am, a.sz AS asz, b.mins AS bm, b.sz AS bsz,
+        |                 list_sort(list_distinct(a.mins || b.mins))[1:256] AS uk
+        |          FROM sk a JOIN sk b ON a.source < b.source)
+        |SELECT src_a, src_b,
+        |  CASE WHEN asz < 256 THEN asz
+        |       ELSE CAST((255::HUGEINT * 18446744073709551616::HUGEINT)
+        |                 / (am[256]::HUGEINT + 1) AS BIGINT) END AS nd_a_est,
+        |  CASE WHEN bsz < 256 THEN bsz
+        |       ELSE CAST((255::HUGEINT * 18446744073709551616::HUGEINT)
+        |                 / (bm[256]::HUGEINT + 1) AS BIGINT) END AS nd_b_est,
+        |  CAST(len(list_filter(uk, x -> list_contains(am, x) AND list_contains(bm, x)))
+        |       AS DOUBLE) / len(uk) AS jaccard_est
+        |FROM pairs ORDER BY src_a, src_b""".stripMargin,
+
     "q21_count_distinct" ->
       """SELECT l_returnflag,
         | COUNT(DISTINCT l_partkey) AS nd_part,

@@ -41,20 +41,32 @@ object SimilarityQ {
 
     // -- int8-quantized kNN for the same queries: 4× smaller vectors,
     //    integer dot products, no dequantization (cosine is
-    //    scale-invariant). Rows-only check; recall vs s01 pinned in
-    //    OpsSpec.
+    //    scale-invariant). Candidate top-25 by int8 score, then the
+    //    standard exact-cosine RERANK down to top-5 — candidate
+    //    generation is impl-specific, the reranked top-5 is the exact
+    //    relation (= s01's), so the driver's DuckDB oracle checks the
+    //    whole compressed route end to end. Raw-variant recall vs s01 is
+    //    still pinned in OpsSpec.
     "s05_ann_i8" -> ((s, d) => {
       val emb = T.embeddings(s, d)
-      VectorOps.knnQuantized(
-          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5)
+      val q = emb.filter(col("vec_id") < 20)
+      VectorOps.rerankExact(
+          VectorOps.knnQuantized(q, emb, "vec_id", "embedding", k = 25),
+          q, emb, "vec_id", "embedding", k = 5)
         .orderBy("qid", "rk")
     }),
 
     // -- kNN in a 16-dim Rademacher projection of the 64-dim embeddings
     //    (hash-derived ±1 matrix, nothing stored or broadcast): the
     //    dimensionality-reduction compression path next to s05's int8
-    //    quantization. Rows-only check; neighbor quality vs s01 pinned
-    //    in OpsSpec on clustered vectors.
+    //    quantization. Rows-only check — an exact-rerank oracle (the s05
+    //    treatment) was MEASURED and rejected: this corpus is
+    //    near-isotropic (max query cosine 0.37), so JL noise at outDim 16
+    //    sinks true top-5 members to projected rank 405/500 (221/500 even
+    //    at outDim 32 — graft.tools.S06Probe), and no honest candidate
+    //    margin covers that. Neighbor quality vs s01 is pinned in OpsSpec
+    //    on clustered vectors, where the projection actually preserves
+    //    structure.
     "s06_ann_project" -> ((s, d) => {
       val emb = T.embeddings(s, d)
       VectorOps.knnProjected(
@@ -98,6 +110,21 @@ object SimilarityQ {
         |      FROM p)
         |SELECT qid, nid, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
 
+    // s05 outputs the exact-reranked top-5 — identical relation to s01
+    // computed through the int8-quantized candidate route (5× candidate
+    // margin, int8 error ≪ neighbor gaps), so the brute-force SQL is its
+    // oracle too: a genuine differential of the compression path against
+    // exact search.
+    "s05_ann_i8" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+        |p AS (SELECT q.vec_id AS qid, e.vec_id AS nid,
+        |             list_cosine_similarity(q.embedding, e.embedding) AS cos
+        |      FROM q JOIN embeddings e ON e.vec_id <> q.vec_id),
+        |r AS (SELECT qid, nid,
+        |             CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS INT) AS rk
+        |      FROM p)
+        |SELECT qid, nid, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+
     // s03 IS oracle-able: NormF32 sums float squares left-to-right in
     // DOUBLE, so the DuckDB twin must also widen each element to double
     // BEFORE squaring (list_transform + list_sum evaluates in list order
@@ -113,6 +140,10 @@ object SimilarityQ {
         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS max_norm
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
 
-    // s02/s04/s05: no oracle — LSH/IVF bucketing is hash-impl-specific.
+    // s02/s04/s06: no oracle — LSH/IVF candidate sets are
+    // hash-impl-specific with no exactness guarantee at their pruning
+    // strength, and the 16-dim projection measurably cannot cover the
+    // exact top-5 on this isotropic corpus (S06Probe); recall/quality vs
+    // s01 is pinned in OpsSpec instead.
   )
 }
