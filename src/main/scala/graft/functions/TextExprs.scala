@@ -56,6 +56,11 @@ object TextExprs {
   def simhash64(text: Column): Column =
     GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(text)))
 
+  /** Portable (md5-term-hash) SimHash — engine-independent, see
+    * [[SimHash64]]. */
+  def simhash64Portable(text: Column): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(text), portable = true))
+
   /** LSH band signatures of a MinHash signature array: one 64-bit hash per
     * band over its `rowsPerBand` slots. */
   def bandSigs(minhash: Column, bands: Int, rowsPerBand: Int): Column =
@@ -128,6 +133,17 @@ private[functions] object Words {
 
   def xx(s: UTF8String): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+
+  /** Low 64 bits of md5 as a signed big-endian long — the PORTABLE term
+    * hash: any engine with md5 reproduces it ('0x' || substr(md5(s),17,16)
+    * parsed unsigned, wrapped to signed), which is what makes
+    * md5-hash-based operators oracle-checkable. ~5× slower than xx();
+    * use only where portability buys a differential check. */
+  def md5Low64(s: UTF8String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s.getBytes)
+    java.nio.ByteBuffer.wrap(d, 8, 8).getLong
+  }
 }
 
 /** array<bigint>: distinct xxhash64 values of the k-word shingles. */
@@ -322,8 +338,11 @@ case class BandSigs(child: Expression, bands: Int, rowsPerBand: Int)
 }
 
 /** bigint: 64-bit SimHash over the doc's distinct words — bit j of the
-  * fingerprint is the sign of Σ_tokens (bit_j(xxhash64(token)) ? +1 : -1). */
-case class SimHash64(child: Expression)
+  * fingerprint is the sign of Σ_tokens (bit_j(h(token)) ? +1 : -1).
+  * `portable = true` swaps the xxhash64 term hash for the low 64 bits of
+  * md5 (Words.md5Low64), making the fingerprint engine-independent — the
+  * d05 oracle recomputes it in DuckDB SQL. */
+case class SimHash64(child: Expression, portable: Boolean = false)
     extends UnaryExpression with EvalDelegatingCodegen {
 
   // boxed-Long cast auto-unboxes into the primitive ev.value slot
@@ -337,7 +356,7 @@ case class SimHash64(child: Expression)
     val balance = new Array[Int](64)
     var i = 0
     while (i < words.length) {
-      val h = Words.xx(words(i))
+      val h = if (portable) Words.md5Low64(words(i)) else Words.xx(words(i))
       if (seen.add(h)) {
         var j = 0
         while (j < 64) {

@@ -47,18 +47,40 @@ object DedupQ {
       Shingles.jaccardPairs(T.documents(s, d), "doc_id", "text", k = 3, threshold = 0.2)
         .orderBy("a_id", "b_id")),
 
-    // -- MinHash + banded LSH (rows-only check; semantics pinned in tests).
-    "d04_minhash_lsh" -> ((s, d) =>
-      MinHash.nearDuplicates(T.documents(s, d), "doc_id", "text",
-          k = 3, threshold = 0.2, bands = 16)
-        .orderBy("a_id", "b_id")),
+    // -- MinHash + banded LSH, exact-verified, UNION the exact-Jaccard
+    //    relation: the output is "all pairs with exact Jaccard ≥ τ,
+    //    found by either route" — engine-independent (the LSH candidate
+    //    set is hash-impl-specific, but candidates are rescored with
+    //    exact Jaccard and exact pairs backfill any LSH recall miss), so
+    //    DuckDB recomputes the identical relation. The dedup is on ALL
+    //    THREE columns: an LSH-path jaccard that disagreed with the
+    //    posting-list jaccard for the same pair would survive as a second
+    //    row and fail the oracle — the union is a cross-check of the two
+    //    Spark routes, not just a backfill. LSH recall itself stays
+    //    pinned in OpsSpec.
+    "d04_minhash_lsh" -> ((s, d) => {
+      val docs = T.documents(s, d)
+      val lsh = MinHash.nearDuplicates(docs, "doc_id", "text",
+        k = 3, threshold = 0.2, bands = 16)
+      val exact = Shingles.jaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.2).select("a_id", "b_id", "jaccard")
+      lsh.unionByName(exact)
+        .dropDuplicates("a_id", "b_id", "jaccard")
+        .orderBy("a_id", "b_id")
+    }),
 
-    // -- SimHash fingerprints + small-Hamming pairs (rows-only check).
-    //    Fingerprints are checkpointed (5000 × 16 B): nearPairs' strict
-    //    bucket-join width defeats exchange reuse, so an uncached input
-    //    would run the simhash scan twice.
+    // -- SimHash fingerprints + small-Hamming pairs, ORACLE-EXACT: the
+    //    PORTABLE fingerprint (md5 term hash) and the deterministic
+    //    candidate rule (pairs sharing ≥1 of the 4 16-bit chunks with
+    //    Hamming ≤ 16 — the pigeonhole, exact below Chunks, a defined
+    //    recall heuristic beyond) are both recomputable in DuckDB SQL, so
+    //    the driver differentials the whole bucketed pipeline against a
+    //    quadratic recomputation. Fingerprints are checkpointed (5000 ×
+    //    16 B): nearPairs' strict bucket-join width defeats exchange
+    //    reuse, so an uncached input would run the simhash scan twice.
+    //    The xxhash64 fast path stays the library default.
     "d05_simhash" -> ((s, d) => {
-      val fps = SimHash.fingerprints(T.documents(s, d), "doc_id", "text")
+      val fps = SimHash.fingerprintsPortable(T.documents(s, d), "doc_id", "text")
         .localCheckpoint()
       SimHash.nearPairs(fps, "doc_id", maxDist = 16).orderBy("a_id", "b_id")
     }),
@@ -201,6 +223,51 @@ object DedupQ {
         |       CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) AS jaccard
         |FROM c JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
         |WHERE CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) >= 0.2
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // d04 = the same exact-Jaccard relation as d03 (projected to the pair
+    // + score), reached through MinHash LSH + exact verify + exact-pair
+    // backfill on the Spark side — a differential of the scale route
+    // against brute force, like s05-vs-s01 and d06b-vs-d06.
+    "d04_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |s AS (SELECT DISTINCT doc_id,
+        |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)),
+        |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT a_id, b_id,
+        |       CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) AS jaccard
+        |FROM c JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+        |WHERE CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) >= 0.2
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // d05: the full SimHash pipeline recomputed quadratically — portable
+    // md5-low64 term hash over DISTINCT words (split keeps empties, like
+    // Spark's split(text,' ')), bit j set iff the ±1 balance over bit j
+    // of the term hashes is positive, pairs = share ≥1 of 4 16-bit
+    // chunks AND Hamming ≤ 16.
+    "d05_simhash" ->
+      """WITH dw AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |            FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(w), 17, 16))::UBIGINT AS u FROM dw),
+        |bits AS (SELECT doc_id, j,
+        |                SUM(CASE WHEN (u >> j) & 1 = 1 THEN 1 ELSE -1 END) AS bal
+        |         FROM h, UNNEST(range(0, 64)) t(j) GROUP BY doc_id, j),
+        |fp AS (SELECT doc_id,
+        |              CAST(SUM(CASE WHEN bal > 0 THEN (1::UBIGINT << j)::HUGEINT
+        |                            ELSE 0::HUGEINT END) AS UBIGINT) AS u
+        |       FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(bit_count(xor(a.u, b.u)) AS INT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.u, b.u)) <= 16
+        |  AND ((a.u >> 0)  & 65535 = (b.u >> 0)  & 65535 OR
+        |       (a.u >> 16) & 65535 = (b.u >> 16) & 65535 OR
+        |       (a.u >> 32) & 65535 = (b.u >> 32) & 65535 OR
+        |       (a.u >> 48) & 65535 = (b.u >> 48) & 65535)
         |ORDER BY a_id, b_id""".stripMargin,
 
     // transitive closure of the d03 pair relation via recursive CTE:
