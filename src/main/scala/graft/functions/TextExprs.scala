@@ -76,6 +76,12 @@ object TextExprs {
   def winnow(text: Column, k: Int, window: Int): Column =
     GraftSqlBridge.column(Winnow(GraftSqlBridge.expression(text), k, window))
 
+  /** Portable (md5-gram-hash) winnowing — engine-independent, see
+    * [[Winnow]]. */
+  def winnowPortable(text: Column, k: Int, window: Int): Column =
+    GraftSqlBridge.column(
+      Winnow(GraftSqlBridge.expression(text), k, window, portable = true))
+
   /** Occurrence counts of each marker set's words in one tokenize pass. */
   def markerCounts(text: Column, markerSets: Seq[Seq[String]]): Column =
     GraftSqlBridge.column(
@@ -238,8 +244,16 @@ case class MinHash64(child: Expression, coefA: Array[Long], coefB: Array[Long], 
   * two documents yields at least one shared fingerprint, and fingerprint
   * density is ~2/(window+1) — a fixed-size-ish sketch per doc that survives
   * insertions/reorderings far better than whole-doc hashes (the scale story
-  * for plagiarism/near-dup detection over 100 TB of text). */
-case class Winnow(child: Expression, k: Int, window: Int)
+  * for plagiarism/near-dup detection over 100 TB of text).
+  *
+  * `portable = true` swaps the rolling hash for the low 64 bits of md5 per
+  * k-gram (Words.md5Low64 on the byte slice) — O(n·k) instead of O(n), but
+  * engine-independent: the selected-fingerprint SET is then exactly
+  * "distinct window minima of the per-gram md5 hash" (the tie rule picks an
+  * INDEX, never a different VALUE, so the set is tie-rule-free), which an
+  * SQL engine recomputes with substr+md5+window-min — the d07/d08 oracles. */
+case class Winnow(child: Expression, k: Int, window: Int,
+                  portable: Boolean = false)
     extends UnaryExpression with EvalDelegatingCodegen {
 
   private val B = 1000000007L // rolling base
@@ -250,21 +264,17 @@ case class Winnow(child: Expression, k: Int, window: Int)
     val bytes = input.asInstanceOf[UTF8String].getBytes
     val n = bytes.length - k + 1
     if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
-    // rolling k-gram hashes
     val hs = new Array[Long](n)
-    var pow = 1L
-    var i = 1
-    while (i < k) { pow *= B; i += 1 }
-    var h = 0L
-    i = 0
-    while (i < k) { h = h * B + (bytes(i) & 0xFF); i += 1 }
-    hs(0) = mix(h)
-    i = 1
-    while (i < n) {
-      h = (h - (bytes(i - 1) & 0xFF) * pow) * B + (bytes(i + k - 1) & 0xFF)
-      hs(i) = mix(h)
-      i += 1
-    }
+    var i = 0
+    if (portable) {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      while (i < n) {
+        md.reset()
+        md.update(bytes, i, k)
+        hs(i) = java.nio.ByteBuffer.wrap(md.digest(), 8, 8).getLong
+        i += 1
+      }
+    } else rollingHashes(bytes, n, hs)
     if (n <= window) { // short doc: single global minimum
       var m = hs(0)
       i = 1
@@ -291,6 +301,24 @@ case class Winnow(child: Expression, k: Int, window: Int)
     i = 0
     while (it.hasNext) { out(i) = it.next(); i += 1 }
     new GenericArrayData(out)
+  }
+
+  /** Rabin-Karp rolling hashes + avalanche mix: one multiply-add-subtract
+    * per position — the O(n) default path. */
+  private def rollingHashes(bytes: Array[Byte], n: Int, hs: Array[Long]): Unit = {
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xFF); i += 1 }
+    hs(0) = mix(h)
+    i = 1
+    while (i < n) {
+      h = (h - (bytes(i - 1) & 0xFF) * pow) * B + (bytes(i + k - 1) & 0xFF)
+      hs(i) = mix(h)
+      i += 1
+    }
   }
 
   private def mix(x: Long): Long = {

@@ -76,10 +76,17 @@ object Contamination {
   def sharedFingerprintPairs(train: DataFrame, test: DataFrame,
                              idCol: String, textCol: String,
                              k: Int = 8, window: Int = 16,
-                             minShared: Long = 2, maxDf: Long = 10000L): DataFrame = {
+                             minShared: Long = 2, maxDf: Long = 10000L,
+                             portable: Boolean = false): DataFrame = {
+    // portable = true swaps the rolling gram hash for md5-low64 (engine-
+    // independent fingerprints — the d08 oracle's hook); the pipeline
+    // shape is identical.
+    def winnowed(c: org.apache.spark.sql.Column) =
+      if (portable) TextExprs.winnowPortable(c, k, window)
+      else TextExprs.winnow(c, k, window)
     def fps(df: DataFrame, side: Int) = ScaleOps.spread(df)
       .select(col(idCol).as("id"), lit(side).as("side"),
-        explode(TextExprs.winnow(col(textCol), k, window)).as("fp"))
+        explode(winnowed(col(textCol))).as("fp"))
     val tagged = fps(train, 0).unionAll(fps(test, 1))
     // minDf = 2: a fingerprint seen once across BOTH corpora can't have a
     // train AND a test occurrence — dropped before any list is built.

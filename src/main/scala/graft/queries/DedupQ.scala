@@ -110,12 +110,18 @@ object DedupQ {
         .orderBy("a_id", "b_id")
     }),
 
-    // -- winnowing (rolling-hash) fingerprints: docs sharing any window+k-1
-    //    byte substring share a fingerprint (rows-only; pinned by spec).
+    // -- winnowing fingerprints: docs sharing any window+k-1 byte
+    //    substring share a fingerprint. ORACLE-EXACT via the PORTABLE
+    //    md5-gram hash: the selected set is "distinct window minima of
+    //    the per-gram hash" (tie rule picks an index, never a different
+    //    value), which DuckDB recomputes with substr+md5+window-min. The
+    //    rolling-hash fast path stays the library default (d08's library
+    //    route, the streaming op); the winnowing guarantee itself is
+    //    pinned by spec on both variants.
     "d07_winnow" -> ((s, d) =>
       T.documents(s, d)
         .select(col("doc_id"),
-          graft.functions.TextExprs.winnow(col("text"), k = 8, window = 16).as("fps"))
+          graft.functions.TextExprs.winnowPortable(col("text"), k = 8, window = 16).as("fps"))
         .select(col("doc_id"), explode(col("fps")).as("fp"))
         .groupBy("fp")
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
@@ -186,13 +192,21 @@ object DedupQ {
     //    the smallest candidate k whose sampled fingerprint repetition
     //    factor (Σdf²/Σdf) is bounded; memoized per data dir so only the
     //    first (cold) run pays the one probe job.
+    //    ORACLE-EXACT since round 7: portable md5 gram hashes make the
+    //    fingerprints engine-independent, and the oracle SQL bakes the
+    //    (k=12, window=24) that autoParams deterministically picks on
+    //    this corpus at sf0.01 (ContaminationParamsSpec pins the pick, so
+    //    a drift in either fails loudly rather than silently). The df cap
+    //    (maxDf=10000) is structurally inactive at oracle scale
+    //    (500 docs ⇒ df ≤ 500), so the SQL needs no cap arm.
     "d08_contamination" -> ((s, d) => {
       val train = T.documents(s, d).filter(pmod(col("doc_id"), lit(10)) =!= 0)
       val test = T.documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0)
       val (k, w) = d08Params.getOrElseUpdate(d,
         graft.ops.Contamination.autoParams(train, test, "text"))
       graft.ops.Contamination.sharedFingerprintPairs(
-        train, test, "doc_id", "text", k = k, window = w, minShared = 10)
+        train, test, "doc_id", "text", k = k, window = w, minShared = 10,
+        portable = true)
         .orderBy("train_id", "test_id")
     })
   )
@@ -243,6 +257,33 @@ object DedupQ {
         |FROM c JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
         |WHERE CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) >= 0.2
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // d07: winnowing recomputed in SQL — per-position 8-byte grams, md5
+    // low-64 signed hash (matching Spark's ByteBuffer big-endian read),
+    // window-min over 16 consecutive gram positions (only full windows),
+    // single global min for docs with ≤16 grams, DISTINCT per doc. The
+    // corpus is ASCII, so character substr == byte slice.
+    "d07_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id, i, len(text) - 8 + 1 AS n,
+        |         ('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 17, 16))::UBIGINT AS u
+        |  FROM documents, UNNEST(range(1, len(text) - 8 + 2)) t(i)),
+        |h AS (
+        |  SELECT doc_id, i, n,
+        |         CAST(u::HUGEINT - CASE WHEN u >= 9223372036854775808::UBIGINT
+        |              THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS hv
+        |  FROM g),
+        |wm AS (
+        |  SELECT doc_id, i, n,
+        |         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+        |                       ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS m
+        |  FROM h),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, m AS fp FROM wm WHERE n > 16 AND i <= n - 16 + 1
+        |  UNION
+        |  SELECT doc_id, min(hv) AS fp FROM h WHERE n <= 16 GROUP BY doc_id)
+        |SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM fps GROUP BY fp HAVING COUNT(*) > 1 ORDER BY fp""".stripMargin,
 
     // d05: the full SimHash pipeline recomputed quadratically — portable
     // md5-low64 term hash over DISTINCT words (split keeps empties, like
@@ -325,6 +366,32 @@ object DedupQ {
         |       WHEN cl.cluster_keep IS NOT NULL THEN cl.cluster_keep
         |       ELSE ex.doc_id END AS canonical_id
         |FROM ex LEFT JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // d08: winnow fingerprints (k=12, window=24 — autoParams' pinned pick
+    // at oracle scale) per train/test doc, join on fp, count shared ≥ 10.
+    "d08_contamination" ->
+      """WITH g AS (
+        |  SELECT doc_id, doc_id % 10 = 0 AS is_test, i, len(text) - 12 + 1 AS n,
+        |         ('0x' || substr(md5(substr(text, CAST(i AS INT), 12)), 17, 16))::UBIGINT AS u
+        |  FROM documents, UNNEST(range(1, len(text) - 12 + 2)) t(i)),
+        |h AS (
+        |  SELECT doc_id, is_test, i, n,
+        |         CAST(u::HUGEINT - CASE WHEN u >= 9223372036854775808::UBIGINT
+        |              THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS hv
+        |  FROM g),
+        |wm AS (
+        |  SELECT doc_id, is_test, i, n,
+        |         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+        |                       ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS m
+        |  FROM h),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, is_test, m AS fp FROM wm WHERE n > 24 AND i <= n - 24 + 1
+        |  UNION
+        |  SELECT doc_id, is_test, min(hv) AS fp FROM h WHERE n <= 24 GROUP BY doc_id, is_test)
+        |SELECT tr.doc_id AS train_id, te.doc_id AS test_id, COUNT(*) AS shared_fps
+        |FROM fps tr JOIN fps te ON tr.fp = te.fp AND NOT tr.is_test AND te.is_test
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 10
+        |ORDER BY train_id, test_id""".stripMargin,
 
     "d06_embedding_dup" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id

@@ -74,4 +74,18 @@ class ContaminationParamsSpec extends SparkSpec {
     assert(k >= 12, s"the 15-word synthetic corpus needs long grams, picked k=$k")
     assert(w == 2 * k)
   }
+
+  test("oracle pin: autoParams picks (12, 24) at driver-oracle scale") {
+    // d08's static oracle SQL bakes k=12/window=24 — the deterministic
+    // autoParams pick on /root/testdata/sf0.01. If either the probe logic
+    // or the corpus changes this pick, the correctness ledger must fail
+    // LOUDLY here rather than silently drift from the SQL.
+    val dir = new java.io.File("/root/testdata/sf0.01")
+    assume(dir.isDirectory)
+    val docs = graft.queries.T.documents(spark, dir.getPath)
+    val (train, test) = split(docs)
+    val (k, w) = Contamination.autoParams(train, test, "text")
+    assert((k, w) == (12, 24),
+      s"d08 oracle SQL is baked for (12, 24) but autoParams picked ($k, $w)")
+  }
 }
