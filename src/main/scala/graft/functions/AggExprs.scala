@@ -71,6 +71,21 @@ final class LongSet private (private var data: Array[Long],
 
   def merge(other: LongSet): LongSet = {
     if (other.zero) zero = true
+    // presize for the union upper bound: the final-stage merge folds many
+    // large partials into one buffer, and growing on demand would rehash
+    // the accumulated set once per doubling — a cascade the single upfront
+    // grow avoids (union-of-partials is THE hot path at scale)
+    val bound = n + other.n
+    if (bound * 2 > data.length) {
+      val old = data
+      data = new Array[Long](LongSet.pow2(bound * 2))
+      n = 0
+      var i = 0
+      while (i < old.length) {
+        if (old(i) != 0L) add(old(i))
+        i += 1
+      }
+    }
     val od = other.data
     var i = 0
     while (i < od.length) {
