@@ -53,6 +53,10 @@ object Aggregates {
     // groups = 3 of 32 cores busy). The selection operator sorts at full
     // width and extracts only the interpolation rows — see
     // [[graft.ops.Percentiles.exactCont]].
+    // No trailing ORDER BY: the result is ≤ #groups rows (3 here), the
+    // compare canon-sorts rows, and the sort would plan a range exchange
+    // + boundary-sampling job just to order 3 rows — the last avoidable
+    // job launch on this query (round-6 directive residual).
     "q23_percentiles" -> ((s, d) => {
       val ps = Seq(0.01 -> "p01", 0.05 -> "p05", 0.25 -> "p25", 0.50 -> "p50",
         0.75 -> "p75", 0.90 -> "p90", 0.95 -> "p95", 0.99 -> "p99")
@@ -60,7 +64,6 @@ object Aggregates {
         .exactCont(T.lineitem(s, d), "l_returnflag", "l_extendedprice", ps)
         .select(col("l_returnflag") +:
           ps.map { case (_, n) => round(col(n), 4).as(n) }: _*)
-        .orderBy("l_returnflag")
     }),
 
     "q24_median_mode" -> ((s, d) => T.sql(s, d, "lineitem")(Oracle.q24)),
