@@ -42,6 +42,11 @@ object PairGen {
   def idPairs(docs: Column, minSizeRatio: Double = 0.0): Column =
     GraftSqlBridge.column(SortedIdPairs(GraftSqlBridge.expression(docs), minSizeRatio))
 
+  /** Packed variant: (pair = a<<32|b, sizes = na<<32|nb) — see
+    * [[PackedIdPairs]] for the width rationale and the 31-bit id bound. */
+  def packedIdPairs(docs: Column, minSizeRatio: Double = 0.0): Column =
+    GraftSqlBridge.column(PackedIdPairs(GraftSqlBridge.expression(docs), minSizeRatio))
+
   /** The cross product of two array<long> columns as (a, b) rows —
     * d08's train×test candidate pairs without the nested explode. */
   def crossPairs(a: Column, b: Column): Column =
@@ -136,6 +141,90 @@ case class SortedIdPairs(child: Expression, minSizeRatio: Double = 0.0)
 
   override def prettyName: String = "sorted_id_pairs"
   override protected def withNewChildInternal(newChild: Expression): SortedIdPairs =
+    copy(child = newChild)
+}
+
+/** [[SortedIdPairs]] with the (a_id, b_id) pair PACKED into one long
+  * (a<<32 | b) and (na, nb) into a second — half the group-key width and
+  * ~40% narrower rows through the pair exchange and aggregation hash map,
+  * the d03 hot path's dominant costs (round-6 JFR: FastHashMap +
+  * shuffle IO). Requires ids and set sizes < 2^31 — dense corpus ids;
+  * callers with sparse 64-bit id spaces use the unpacked generator.
+  * Violations ERROR (a silent wrap would corrupt pair identities). */
+case class PackedIdPairs(child: Expression, minSizeRatio: Double = 0.0)
+    extends UnaryExpression with Generator with CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pair", LongType, nullable = false),
+    StructField("sizes", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(s: StructType, _)
+        if s.length == 2 && s.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<bigint,bigint>>, got ${t.simpleString}")
+  }
+
+  private val Cap = 1L << 31
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val a = child.eval(input)
+    if (a == null) return Iterator.empty
+    val arr = a.asInstanceOf[ArrayData]
+    val total = arr.numElements()
+    val ids = new Array[Long](total)
+    val ns = new Array[Long](total)
+    var m = 0
+    var k = 0
+    while (k < total) {
+      if (!arr.isNullAt(k)) {
+        val s = arr.getStruct(k, 2)
+        ids(m) = s.getLong(0)
+        ns(m) = s.getLong(1)
+        if (ids(m) >= Cap || ids(m) < 0 || ns(m) >= Cap || ns(m) < 0)
+          throw new IllegalArgumentException(
+            s"packed_id_pairs: id/size ${ids(m)}/${ns(m)} outside [0, 2^31) — " +
+              "use the unpacked sorted_id_pairs generator for sparse id spaces")
+        m += 1
+      }
+      k += 1
+    }
+    if (m < 2) return Iterator.empty
+    val r = minSizeRatio
+    new Iterator[InternalRow] {
+      private val row = PairGen.fixedLongRow(2)
+      private var i = 0
+      private var j = 0
+      advance()
+      private def passes(): Boolean = {
+        val lo = math.min(ns(i), ns(j)).toDouble
+        val hi = math.max(ns(i), ns(j)).toDouble
+        lo >= r * hi
+      }
+      private def advance(): Unit = {
+        do {
+          j += 1
+          if (j == m) { i += 1; j = i + 1 }
+        } while (i < m - 1 && r > 0.0 && !passes())
+      }
+      override def hasNext: Boolean = i < m - 1
+      override def next(): InternalRow = {
+        if (ids(i) < ids(j)) {
+          row.setLong(0, (ids(i) << 32) | ids(j))
+          row.setLong(1, (ns(i) << 32) | ns(j))
+        } else {
+          row.setLong(0, (ids(j) << 32) | ids(i))
+          row.setLong(1, (ns(j) << 32) | ns(i))
+        }
+        advance()
+        row
+      }
+    }
+  }
+
+  override def prettyName: String = "packed_id_pairs"
+  override protected def withNewChildInternal(newChild: Expression): PackedIdPairs =
     copy(child = newChild)
 }
 

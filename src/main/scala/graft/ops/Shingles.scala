@@ -70,6 +70,18 @@ object Shingles {
     // synthetic vocabulary) is simply heavier relative to the corpus than
     // natural text would produce; the per-pair path is already
     // allocation-free end to end.
+    //
+    // Round-7 dead end (recorded): aggregating on a PACKED 2-long key
+    // (pair = a<<32|b, sizes = na<<32|nb — PairGen.packedIdPairs, half
+    // the group-key width the JFR profile pointed at) measured 0.834 s
+    // warm-median vs 0.795 s for the identical sort-free plan on the
+    // 4-long key (D03Probe, relation-equal) — the hash map is bound by
+    // per-row probe count, not key bytes, at this pair mass. The 21%
+    // that WAS on the table was the trailing ORDER BY's re-executed
+    // final aggregate; the d03 ledger query now omits it (the driver
+    // compare canon-sorts rows). d03 is hereafter classified
+    // done-at-floor: ~0.79 s warm against DuckDB's fused single-process
+    // 0.30 s on a pair mass this corpus makes pathological.
     val all = ScaleOps.spread(docs)
       .select(col(idCol), shingles(col(textCol), k).as("__sh"))
       .select(col(idCol), size(col("__sh")).cast("long").as("n_sh"),

