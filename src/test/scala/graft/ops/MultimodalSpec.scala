@@ -67,6 +67,33 @@ class MultimodalSpec extends SparkSpec {
     assert(stubbed.getAs[Int]("width") == 8 && stubbed.getAs[Int]("height") == 8)
   }
 
+  test("real JPEG bytes decode through javax.imageio (lossy-tolerant)") {
+    // 16×8 JPEG, flat mid-gray: DCT quantization preserves a flat field
+    // almost exactly, so mean luma stays ~0.5 — asserting dims exactly
+    // and intensity within the lossy tolerance
+    val img = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "JDK JPEG writer missing")
+    val jpg = bos.toByteArray
+    assert((jpg(0) & 0xFF) == 0xFF && (jpg(1) & 0xFF) == 0xD8) // real JFIF bytes
+
+    val media = Seq((43L, "image", jpg, (999, 999, 0, 0)))
+      .toDF("media_id", "kind", "bytes", "m")
+      .select(col("media_id"), col("kind"), col("bytes"),
+        struct(col("m._1").as("width"), col("m._2").as("height"),
+          col("m._3").as("duration_ms"), col("m._4").as("sample_rate")).as("meta"))
+    val out = Multimodal.decodeAndFeaturize(media).collect().head
+    assert(out.getAs[Int]("width") == 16 && out.getAs[Int]("height") == 8)
+    val mean = out.getAs[Double]("mean_intensity")
+    assert(math.abs(mean - 0.5) < 0.02, s"flat mid-gray JPEG mean luma ~0.5, got $mean")
+    // direct decoder check too: raster is the true 128-valued field ± DCT
+    val dec = Multimodal.imageioDecode(jpg)
+    assert(dec.isDefined && dec.get._2 == 16 && dec.get._3 == 8)
+    assert(dec.get._1.forall(b => math.abs((b & 0xFF) - 128) <= 3))
+  }
+
   /** Minimal RIFF/WAVE writer: 16-bit LE PCM, interleaved channels. */
   private def wavBytes(samples: Array[Short], channels: Int, rate: Int): Array[Byte] = {
     val data = samples.length * 2
