@@ -377,4 +377,69 @@ object EventStream {
           }
       }
   }
+
+  /** Streaming ANN enrichment — the streaming twin of the s04 IVF shape:
+    * incoming documents' embeddings are joined to a STATIC corpus through
+    * an IVF codebook trained once with the s07 spherical k-means trainer.
+    *
+    * Per micro-batch: the stream side assigns each vector to its `nprobe`
+    * nearest centroids MAP-SIDE (the codebook rides as literals inside the
+    * native NearestCentroids expression — no broadcast join, no shuffle
+    * for the assignment), then equi-joins the corpus's persisted
+    * (list_id → vectors) relation on the int list id — candidate volume
+    * is nprobe/lists of the corpus, same as batch s04. Exact cosine
+    * scores the candidates; the per-document top-k is a bounded
+    * collect-and-slice aggregate in a watermarked tumbling window
+    * (row_number windows are unsupported on streams; the array slice is
+    * the append-mode-legal equivalent and ties break identically:
+    * (-cos, nid) lexicographic = cos desc, nid asc). State:
+    * O(open windows × docs × candidates-per-doc), watermark-evicted.
+    *
+    * The static side is persisted here for the same reason
+    * contaminationFlags persists its fingerprints: a stream-static join
+    * re-evaluates the static plan every micro-batch. */
+  def annEnrich(docs: DataFrame, corpus: DataFrame,
+                idCol: String = "doc_id", vecCol: String = "embedding",
+                tsCol: String = "ts", k: Int = 5,
+                lists: Int = 16, nprobe: Int = 4, iters: Int = 3,
+                windowLen: String = "1 hour",
+                lateness: String = "10 minutes"): DataFrame = {
+    import graft.functions.VectorExprs.{dotF32, nearestCentroids, normF32}
+    // one-time driver-side codebook train (s07's trainer: one agg job per
+    // Lloyd iteration, ≤ lists rows collected)
+    val codebook = graft.ops.KMeans.fit(corpus, idCol, vecCol, lists, iters)
+    val base = corpus
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .filter(col("nvec").isNotNull)
+      .withColumn("nnorm", normF32(col("nvec")))
+      .filter(col("nnorm") > 0)
+      .withColumn("list_id",
+        nearestCentroids(col("nvec"), codebook, 1).getItem(0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probed = docs
+      .withWatermark(tsCol, lateness)
+      .select(col(tsCol), col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .filter(col("qvec").isNotNull)
+      .withColumn("qnorm", normF32(col("qvec")))
+      .filter(col("qnorm") > 0)
+      .withColumn("list_id",
+        explode(nearestCentroids(col("qvec"), codebook, nprobe)))
+    probed
+      .join(base, Seq("list_id")) // stream-static equi-join on the int key
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", dotF32(col("qvec"), col("nvec")) /
+        (col("qnorm") * col("nnorm")))
+      // a vector probing n lists meets a same-list neighbor once per
+      // shared list: collect_set dedups the repeats inside the aggregate
+      // (cos is functionally determined by the pair, so repeat rows are
+      // set-identical)
+      .groupBy(window(col(tsCol), windowLen), col("qid"))
+      .agg(slice(array_sort(collect_set(struct(negate(col("cos")).as("negcos"),
+        col("nid")))), 1, k).as("top"))
+      .select(col("window.start").as("window_start"), col("qid"),
+        posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("window_start"), col("qid"), col("t.nid").as("nid"),
+        (col("pos") + 1).cast("int").as("rk"),
+        negate(col("t.negcos")).as("cos"))
+  }
 }

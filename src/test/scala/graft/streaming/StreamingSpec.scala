@@ -352,4 +352,53 @@ class StreamingSpec extends SparkSpec {
       assert(kept == Set(1L, 3L, 4L))
     } finally q.stop()
   }
+
+  test("annEnrich: streaming IVF top-k equals the batch invocation exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // static corpus: the real embeddings table (64-dim)
+    val corpus = graft.queries.T.embeddings(spark, sf)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    // stream side: 8 query vectors borrowed from the corpus, two windows
+    val probes = corpus.limit(8).collect()
+      .map(r => (r.getLong(0) + 10000L, r.getSeq[Float](1)))
+    def probeTs(i: Int) =
+      if (i < 4) ts("2024-01-01 10:0%d:00".format(i)) else ts("2024-01-01 11:0%d:00".format(i - 4))
+    val rows = probes.zipWithIndex.map { case ((id, v), i) => (id, v, probeTs(i)) }
+
+    // batch reference: the same function on a batch DataFrame (watermark
+    // and window are no-ops/regular groupBy in batch)
+    val batchDf = rows.toSeq.toDF("doc_id", "embedding", "ts")
+    val want = EventStream.annEnrich(batchDf, corpus, k = 3,
+        windowLen = "1 hour", lateness = "1 minute")
+      .collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[Long]("qid"),
+        r.getAs[Long]("nid"), r.getAs[Int]("rk"))).toSet
+    assert(want.nonEmpty)
+
+    val input = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val q = EventStream.annEnrich(
+        input.toDF().toDF("doc_id", "embedding", "ts"), corpus, k = 3,
+        windowLen = "1 hour", lateness = "1 minute")
+      .writeStream.format("memory").queryName("annenrich")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two micro-batches into the first window, then the second window,
+      // then a watermark-advancing straggler to close both
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.slice(2, 4): _*)
+      q.processAllAvailable()
+      assert(spark.table("annenrich").collect().isEmpty) // windows open
+      input.addData(rows.drop(4): _*)
+      q.processAllAvailable()
+      input.addData((99999L, probes.head._2, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("annenrich").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[Long]("qid"),
+          r.getAs[Long]("nid"), r.getAs[Int]("rk"))).toSet
+      assert(got == want, s"\n got=$got\nwant=$want")
+    } finally q.stop()
+  }
 }
