@@ -144,11 +144,36 @@ private[functions] object Words {
     * hash: any engine with md5 reproduces it ('0x' || substr(md5(s),17,16)
     * parsed unsigned, wrapped to signed), which is what makes
     * md5-hash-based operators oracle-checkable. ~5× slower than xx();
-    * use only where portability buys a differential check. */
+    * use only where portability buys a differential check.
+    * Thread-local digest + reused output buffer: getInstance() and the
+    * digest() result array would otherwise allocate per TOKEN on the
+    * simhash/winnow hot paths (millions of calls per corpus pass). */
+  private val md5Tl = new ThreadLocal[(java.security.MessageDigest, Array[Byte])] {
+    override def initialValue() =
+      (java.security.MessageDigest.getInstance("MD5"), new Array[Byte](16))
+  }
+
   def md5Low64(s: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d = md.digest(s.getBytes)
-    java.nio.ByteBuffer.wrap(d, 8, 8).getLong
+    val (md, buf) = md5Tl.get()
+    md.reset()
+    md.update(s.getBytes)
+    md.digest(buf, 0, 16)
+    ((buf(8) & 0xFFL) << 56) | ((buf(9) & 0xFFL) << 48) |
+      ((buf(10) & 0xFFL) << 40) | ((buf(11) & 0xFFL) << 32) |
+      ((buf(12) & 0xFFL) << 24) | ((buf(13) & 0xFFL) << 16) |
+      ((buf(14) & 0xFFL) << 8) | (buf(15) & 0xFFL)
+  }
+
+  /** md5Low64 over a byte slice — the winnow gram path (no copy). */
+  def md5Low64(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val (md, buf) = md5Tl.get()
+    md.reset()
+    md.update(bytes, off, len)
+    md.digest(buf, 0, 16)
+    ((buf(8) & 0xFFL) << 56) | ((buf(9) & 0xFFL) << 48) |
+      ((buf(10) & 0xFFL) << 40) | ((buf(11) & 0xFFL) << 32) |
+      ((buf(12) & 0xFFL) << 24) | ((buf(13) & 0xFFL) << 16) |
+      ((buf(14) & 0xFFL) << 8) | (buf(15) & 0xFFL)
   }
 }
 
@@ -267,11 +292,8 @@ case class Winnow(child: Expression, k: Int, window: Int,
     val hs = new Array[Long](n)
     var i = 0
     if (portable) {
-      val md = java.security.MessageDigest.getInstance("MD5")
       while (i < n) {
-        md.reset()
-        md.update(bytes, i, k)
-        hs(i) = java.nio.ByteBuffer.wrap(md.digest(), 8, 8).getLong
+        hs(i) = Words.md5Low64(bytes, i, k)
         i += 1
       }
     } else rollingHashes(bytes, n, hs)
