@@ -26,7 +26,6 @@ object DedupQ {
         .groupBy("text")
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
         .select(md5(col("text")).as("fp"), col("keep_id"), col("n_copies"))
-        .orderBy("fp")
     }),
 
     // -- normalized-content fingerprints: raw, whitespace-normalized and
@@ -66,8 +65,7 @@ object DedupQ {
       val exact = Shingles.jaccardPairs(docs, "doc_id", "text",
         k = 3, threshold = 0.2).select("a_id", "b_id", "jaccard")
       lsh.unionByName(exact)
-        .dropDuplicates("a_id", "b_id", "jaccard")
-        .orderBy("a_id", "b_id")
+        .dropDuplicates("a_id", "b_id", "jaccard") // no trailing sort: compare canon-sorts
     }),
 
     // -- SimHash fingerprints + small-Hamming pairs, ORACLE-EXACT: the
@@ -83,7 +81,7 @@ object DedupQ {
     "d05_simhash" -> ((s, d) => {
       val fps = SimHash.fingerprintsPortable(T.documents(s, d), "doc_id", "text")
         .localCheckpoint()
-      SimHash.nearPairs(fps, "doc_id", maxDist = 16).orderBy("a_id", "b_id")
+      SimHash.nearPairs(fps, "doc_id", maxDist = 16) // no sort: compare canon-sorts
     }),
 
     // -- embedding cosine near-dup pairs, EXACT baseline (synthetic corpus
@@ -126,8 +124,7 @@ object DedupQ {
         .select(col("doc_id"), explode(col("fps")).as("fp"))
         .groupBy("fp")
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
-        .filter(col("n_docs") > 1)
-        .orderBy("fp")),
+        .filter(col("n_docs") > 1)),
 
     // -- duplicate CLUSTERS: connected components over the exact-Jaccard
     //    near-dup pairs (A~B, B~C ⇒ {A,B,C} is one dedup unit; keeping
@@ -141,7 +138,6 @@ object DedupQ {
         k = 3, threshold = 0.2)
       graft.ops.Components.clusters(pairs, "a_id", "b_id")
         .select(col("id").as("doc_id"), col("cluster_id"), col("cluster_size"))
-        .orderBy("doc_id")
     }),
 
     // -- the dedup END PRODUCT: a per-document keep/drop manifest. Exact
@@ -174,7 +170,6 @@ object DedupQ {
             .when(col("cluster_keep").isNotNull, col("cluster_keep"))
             .otherwise(col("doc_id")))
         .select("doc_id", "verdict", "canonical_id")
-        .orderBy("doc_id")
     }),
 
     // -- train/test contamination: eval-set documents sharing long literal
@@ -208,7 +203,6 @@ object DedupQ {
       graft.ops.Contamination.sharedFingerprintPairs(
         train, test, "doc_id", "text", k = k, window = w, minShared = 10,
         portable = true)
-        .orderBy("train_id", "test_id")
     })
   )
 

@@ -38,8 +38,8 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles("d03_ngram_jaccard") == 2)
   }
 
-  test("contamination plans three shuffles") {
-    assert(shuffles("d08_contamination") == 3)
+  test("contamination plans two shuffles (fingerprint, pair) — no result sort") {
+    assert(shuffles("d08_contamination") == 2)
   }
 
   test("rolling windows plan one range exchange, ORDER BY planner-eliminated") {
