@@ -233,17 +233,18 @@ object Bench {
           Thread.sleep(2000); tries += 1
         }
         val re = measure(r.name)
+        // record the re-measure itself (kept or not): a row still listed
+        // in "inversions" after appearing in "reran" was examined twice
+        // and reports its cleaner sample — not an unexamined artifact
+        rerunNames += r.name
         // keep the cleaner sample: a non-inverted one beats an inverted
         // one; between equals, the lower cold+warm total was the less
         // loaded window (both are genuine full executions)
-        val keep =
-          if (!re.ok) r
-          else if (inverted(r) && !inverted(re)) re
-          else if (!inverted(r) && inverted(re)) r
-          else if (re.cold + re.warm < r.cold + r.warm) re
-          else r
-        if (!(keep eq r)) rerunNames += r.name
-        keep
+        if (!re.ok) r
+        else if (inverted(r) && !inverted(re)) re
+        else if (!inverted(r) && inverted(re)) r
+        else if (re.cold + re.warm < r.cold + r.warm) re
+        else r
       }
     }
     def field(f: R => Double): String = results
