@@ -17,9 +17,30 @@ import org.apache.spark.sql.types._
   */
 final class LongSet private (private var data: Array[Long],
                              private var n: Int,
-                             private var zero: Boolean) {
+                             private var zero: Boolean,
+                             private var raw: Boolean) {
   def this(initialCapacity: Int = 64) =
-    this(new Array[Long](LongSet.pow2(initialCapacity)), 0, false)
+    this(new Array[Long](LongSet.pow2(initialCapacity)), 0, false, false)
+
+  /** Raw mode: `data(0 until n)` holds the packed distinct non-zero values
+    * straight off the wire, NOT hash-distributed. A deserialized partial is
+    * only ever the `other` side of a merge (TypedImperativeAggregate merges
+    * into buffers born from createAggregationBuffer), so building a hash
+    * table for it is pure waste — the final-stage merge used to hash every
+    * element twice (once in fromBytes, again in merge) inside a stage whose
+    * parallelism is the GROUP COUNT (3 tasks for q21). Deferring to packed
+    * arrays halves the hash inserts on that serial bottleneck. Any write
+    * into a raw set materializes the table first. */
+  private def materialize(): Unit = {
+    if (!raw) return
+    val packed = data
+    val m = n
+    raw = false
+    data = new Array[Long](LongSet.pow2(m * 2))
+    n = 0
+    var i = 0
+    while (i < m) { add(packed(i)); i += 1 }
+  }
 
   private def mask: Int = data.length - 1
 
@@ -31,6 +52,7 @@ final class LongSet private (private var data: Array[Long],
   }
 
   def add(v: Long): Unit = {
+    if (raw) materialize()
     if (v == 0L) { zero = true; return }
     var i = slot(v)
     while (true) {
@@ -58,6 +80,7 @@ final class LongSet private (private var data: Array[Long],
   }
 
   def contains(v: Long): Boolean = {
+    if (raw) materialize()
     if (v == 0L) return zero
     var i = slot(v)
     while (true) {
@@ -70,6 +93,7 @@ final class LongSet private (private var data: Array[Long],
   }
 
   def merge(other: LongSet): LongSet = {
+    if (raw) materialize()
     if (other.zero) zero = true
     // presize for the union upper bound: the final-stage merge folds many
     // large partials into one buffer, and growing on demand would rehash
@@ -87,10 +111,16 @@ final class LongSet private (private var data: Array[Long],
       }
     }
     val od = other.data
-    var i = 0
-    while (i < od.length) {
-      if (od(i) != 0L) add(od(i))
-      i += 1
+    if (other.raw) {
+      // packed: exactly other.n distinct non-zero values, no empty slots
+      var i = 0
+      while (i < other.n) { add(od(i)); i += 1 }
+    } else {
+      var i = 0
+      while (i < od.length) {
+        if (od(i) != 0L) add(od(i))
+        i += 1
+      }
     }
     this
   }
@@ -102,10 +132,15 @@ final class LongSet private (private var data: Array[Long],
   def toBytes: Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(1 + 8 * n)
     bb.put(if (zero) 1.toByte else 0.toByte)
-    var i = 0
-    while (i < data.length) {
-      if (data(i) != 0L) bb.putLong(data(i))
-      i += 1
+    if (raw) {
+      var i = 0
+      while (i < n) { bb.putLong(data(i)); i += 1 }
+    } else {
+      var i = 0
+      while (i < data.length) {
+        if (data(i) != 0L) bb.putLong(data(i))
+        i += 1
+      }
     }
     bb.array()
   }
@@ -116,14 +151,15 @@ object LongSet {
     Integer.highestOneBit(math.max(c - 1, 8)) << 1
 
   def fromBytes(bytes: Array[Byte]): LongSet = {
+    // raw mode: keep the wire layout as a packed array — the caller is the
+    // merge path, which consumes it element-by-element without probing
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val zero = bb.get() == 1.toByte
     val count = (bytes.length - 1) / 8
-    val s = new LongSet(math.max(count * 2, 64))
-    if (zero) s.add(0L)
+    val arr = new Array[Long](count)
     var i = 0
-    while (i < count) { s.add(bb.getLong()); i += 1 }
-    s
+    while (i < count) { arr(i) = bb.getLong(); i += 1 }
+    new LongSet(arr, count, zero, true)
   }
 }
 

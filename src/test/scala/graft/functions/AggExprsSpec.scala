@@ -24,6 +24,27 @@ class AggExprsSpec extends SparkSpec {
     assert(a.merge(back).count === vals.distinct.size)
   }
 
+  test("LongSet: raw-mode partial can be written into and merged both ways") {
+    val a = new LongSet()
+    (1L to 500L).foreach(a.add)
+    a.add(0L)
+    val rawBack = LongSet.fromBytes(a.toBytes) // raw packed mode
+    // raw as MERGE TARGET: must materialize, then accept new values
+    val b = new LongSet()
+    (400L to 900L).foreach(b.add)
+    assert(rawBack.merge(b).count === 901) // 0..900
+    // raw as merge SOURCE after a serde of a serde (raw toBytes path)
+    val c = LongSet.fromBytes(LongSet.fromBytes(a.toBytes).toBytes)
+    assert(c.count === 501)
+    val d = new LongSet()
+    d.add(-7L)
+    assert(d.merge(c).count === 502)
+    // raw receiving add() directly
+    val e = LongSet.fromBytes(a.toBytes)
+    e.add(10000L); e.add(500L)
+    assert(e.count === 502)
+  }
+
   test("LongSet: growth past initial capacity stays exact") {
     val a = new LongSet(8)
     (1L to 100000L).foreach(v => a.add(v % 37777)) // forced collisions + growth
