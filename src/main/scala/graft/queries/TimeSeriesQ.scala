@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.AsOfJoin
+import graft.ops.{AsOfJoin, RangeJoin}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -123,6 +123,40 @@ object TimeSeriesQ {
         rightCols = Map("s_eid" -> "ref_event_id"))
         .select("event_id", "user_id", "ts", "value", "ref_event_id")
         .orderBy("event_id")
+    }),
+
+    // -- pure band (range) join, NO equi-key: every event within the two
+    //    minutes after each error event, aggregated per error. Without
+    //    the bucketized RangeJoin Spark plans this as a
+    //    BroadcastNestedLoopJoin (O(|L|·|R|)); the oracle is DuckDB's
+    //    IEJoin on the same inequality. Band-empty errors are kept
+    //    (n_follow = 0) via the single-pass shape: inner band join →
+    //    per-error aggregate → left join back to the error set with
+    //    coalesce — the band join runs ONCE (band's own left_outer
+    //    evaluates it twice; see RangeJoin scaladoc). Timestamps
+    //    compared at µs (unix_micros here, epoch_us in the oracle — the
+    //    q35 precedent); the value sum rides DECIMAL(18,2) so
+    //    accumulation order can't drift the hash (the q33 precedent).
+    "q56_range_join" -> ((s, d) => {
+      val e = T.events(s, d)
+      val errs = e.filter(col("event_type") === "error")
+        .select(col("event_id"), unix_micros(col("ts")).as("a_us"))
+      val all = e.select(
+        col("event_id").as("b_id"),
+        unix_micros(col("ts")).as("b_us"),
+        col("value").as("b_value"))
+      val agg = RangeJoin.band(errs, all, "a_us", "b_us",
+          loUs = 0L, hiUs = 120L * 1000000L)
+        .groupBy("event_id")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("b_value").cast(DecimalType(18, 2))).as("v"))
+      errs.select("event_id").join(agg, Seq("event_id"), "left_outer")
+        .select(
+          col("event_id"),
+          coalesce(col("n"), lit(0L)).as("n_follow"),
+          coalesce(col("v"), lit(0).cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("follow_value"))
     })
   )
 
@@ -164,7 +198,18 @@ object TimeSeriesQ {
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
 
     "q36_asof_join" -> Oracle36,
-    "q36b_asof_native" -> Oracle36
+    "q36b_asof_native" -> Oracle36,
+
+    "q56_range_join" ->
+      """SELECT a.event_id,
+        |  COUNT(b.event_id) AS n_follow,
+        |  CAST(COALESCE(SUM(CAST(b.value AS DECIMAL(18,2))),
+        |                CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS follow_value
+        |FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') a
+        |LEFT JOIN events b
+        |  ON epoch_us(b.ts) > epoch_us(a.ts)
+        | AND epoch_us(b.ts) <= epoch_us(a.ts) + 120000000
+        |GROUP BY 1""".stripMargin
   )
 
 }
