@@ -33,7 +33,7 @@ import scala.collection.mutable
 object ScaleCheck {
   private val tracked = Seq(
     "q01_agg_groupby", "q21_count_distinct", "q23_percentiles",
-    "q28_window_rank", "q33_time_bucket", "d01_dedup_exact",
+    "q28_window_rank", "q33_time_bucket", "q56_range_join", "d01_dedup_exact",
     "d03_ngram_jaccard", "d04_minhash_lsh", "d05_simhash",
     "d08_contamination", "d09_dup_clusters",
     "t05_tfidf", "t07_vocab_prune", "t10_heavy_hitters", "t11_sequence_pack",
