@@ -100,7 +100,21 @@ package queries {
       scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
     def load(s: SparkSession, dir: String, name: String): DataFrame =
-      cache.getOrElseUpdate((s, dir, name), s.read.parquet(s"$dir/$name.parquet"))
+      cache.getOrElseUpdate((s, dir, name), {
+        // The driver's generator has shipped timestamps three ways across
+        // rounds: TIMESTAMP(NANOS), µs with isAdjustedToUTC=true, and µs
+        // with isAdjustedToUTC=false. The last one infers as
+        // TIMESTAMP_NTZ by default (Spark ≥3.4), and instant functions
+        // (unix_micros & co.) reject NTZ outright — that single schema
+        // flip silently killed q35/q43/q56 in round 7. Force the classic
+        // TimestampType reading at the SCAN (both confs are consulted at
+        // DataFrame-creation time): under the UTC session timezone the
+        // NTZ and instant readings carry identical micros, so results are
+        // bit-identical to both prior green states, and the type is fixed
+        // at the source — no cast Project to block pushdown.
+        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        s.read.parquet(s"$dir/$name.parquet")
+      })
     def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
     def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
     def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
@@ -114,9 +128,11 @@ package queries {
       * (`nanosAsLong`) and floor-divide to microseconds — the same
       * truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, so both
       * engines see identical µs timestamps. Schema-adaptive: a rewritten
-      * events table (e.g. tools.ScaleUp's rehearsal dir) carries a native
-      * µs TIMESTAMP, which `nanosAsLong` leaves untouched — only a LONG
-      * ts actually needs the nanos conversion. */
+      * events table (e.g. tools.ScaleUp's rehearsal dir, or a driver
+      * regeneration — it happened in round 7) carries a native µs
+      * TIMESTAMP, which `nanosAsLong` leaves untouched — only a LONG ts
+      * actually needs the nanos conversion ([[load]] already pins µs
+      * reads to TimestampType, never NTZ). */
     def events(s: SparkSession, d: String): DataFrame =
       cache.getOrElseUpdate((s, d, "events§µs"), {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
