@@ -34,7 +34,7 @@ object Bench {
     "q36_asof_join", "q36b_asof_native", "q44_gap_fill", "q56_range_join",
     "d01_dedup_exact", "d03_ngram_jaccard",
     "d04_minhash_lsh", "d05_simhash", "d06_embedding_dup", "d06b_embedding_dup_lsh", "d07_winnow",
-    "d08_contamination", "d09_dup_clusters", "s01_knn_brute",
+    "d08_contamination", "d09_dup_clusters", "d11_boilerplate", "s01_knn_brute",
     "s02_ann_lsh", "s04_ann_ivf", "s05_ann_i8", "t02_quality_score", "t03_langid",
     "t05_tfidf", "t07_vocab_prune", "t10_heavy_hitters", "t11_sequence_pack")
 

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.ops.{MinHash, Shingles, SimHash, VectorOps}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Deduplication operators — the training-data-pipeline dedup suite:
   * exact (hash groupBy), normalized fingerprint, n-gram Jaccard, MinHash
@@ -203,6 +204,53 @@ object DedupQ {
       graft.ops.Contamination.sharedFingerprintPairs(
         train, test, "doc_id", "text", k = k, window = w, minShared = 10,
         portable = true)
+    }),
+
+    // -- cross-document boilerplate detection: word 5-grams appearing in
+    //    ≥2 distinct documents (headers, footers, license blocks,
+    //    templates) and each document's token coverage by such grams —
+    //    the RefinedWeb-style template-scrub signal, complementary to the
+    //    WITHIN-document repetition stats (t08) and the PAIRWISE overlap
+    //    ops (d03/d07): this one needs no pair generation at all, so
+    //    unlike d03 there is no Σdf² mass to cap. Shape: one gram-keyed
+    //    exchange for df over distinct (doc, gram) partials, the
+    //    occurrence relation joins the df≥2 grams on the same key (AQE
+    //    broadcasts the small side when it is small; stays an equi-join
+    //    at 100 TB), then a doc-keyed window computes the interval-union
+    //    coverage — for fixed-length grams sorted by position,
+    //    contribution = min(n, pos − prev_pos), so coverage needs one lag,
+    //    not an interval sweep. Everything is linear in corpus grams.
+    "d11_boilerplate" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = 5
+      val docs = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .withColumn("n_words", size(col("ws")))
+      val grams = docs.filter(col("n_words") >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, n_words - ${n - 1}), " +
+            s"i -> struct(i AS pos, concat_ws(' ', slice(ws, i, $n)) AS gram))"))
+          .as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+      val dfreq = grams.select("doc_id", "gram").distinct()
+        .groupBy("gram").agg(count(lit(1)).as("df"))
+      val wD = Window.partitionBy("doc_id").orderBy("pos")
+      val cover = grams.join(dfreq.filter(col("df") >= 2).select("gram"), Seq("gram"))
+        .withColumn("prev", lag(col("pos"), 1).over(wD))
+        .withColumn("cov",
+          least(lit(n), col("pos") - coalesce(col("prev"), col("pos") - n)))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_boiler_occ"),
+          sum(col("cov")).cast(LongType).as("covered_tokens"))
+      docs
+        .select(col("doc_id"), col("n_words").cast(LongType).as("n_words"),
+          greatest(col("n_words") - (n - 1), lit(0)).cast(LongType).as("n_grams"))
+        .join(cover, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"), col("n_grams"),
+          coalesce(col("n_boiler_occ"), lit(0L)).as("n_boiler_occ"),
+          coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+          (coalesce(col("covered_tokens"), lit(0L)).cast(DoubleType) /
+            col("n_words")).as("boiler_frac"))
     })
   )
 
@@ -405,6 +453,31 @@ object DedupQ {
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    // d11: identical 5-gram construction (1-based positions, space join),
+    // df over distinct docs, fixed-length interval union via LAG — the
+    // coverage arithmetic is integer on both engines, the final fraction
+    // one exact integer-over-integer double division.
+    "d11_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS INT) AS pos,
+        |        array_to_string(ws[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS gram
+        |      FROM w, UNNEST(range(1, len(ws) - 3)) t(i)),
+        |dfq AS (SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1),
+        |b AS (SELECT g.doc_id, g.pos FROM g JOIN dfq USING (gram) WHERE dfq.df >= 2),
+        |cov AS (SELECT doc_id, pos,
+        |          LEAST(5, pos - COALESCE(
+        |            LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos), pos - 5)) AS c
+        |        FROM b),
+        |agg AS (SELECT doc_id, COUNT(*) AS n_boiler_occ,
+        |          CAST(SUM(c) AS BIGINT) AS covered_tokens
+        |        FROM cov GROUP BY doc_id)
+        |SELECT w.doc_id, len(ws) AS n_words,
+        |  GREATEST(len(ws) - 4, 0) AS n_grams,
+        |  COALESCE(n_boiler_occ, 0) AS n_boiler_occ,
+        |  COALESCE(covered_tokens, 0) AS covered_tokens,
+        |  CAST(COALESCE(covered_tokens, 0) AS DOUBLE) / len(ws) AS boiler_frac
+        |FROM w LEFT JOIN agg USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

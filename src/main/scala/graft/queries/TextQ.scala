@@ -533,6 +533,34 @@ object TextQ {
       graft.ops.Multimodal.sampleFrames(
         graft.ops.Multimodal.mediaFromDocuments(T.documents(s, d)), n = 4)
         .orderBy("media_id", "frame_idx")
+    }),
+
+    // -- training-mixture construction: per-source sampling weights
+    //    realized as deterministic document copy counts — the "mix the
+    //    sources at target proportions" stage between curation and
+    //    tokenization (weights >1 upsample by repetition across epochs,
+    //    weights <1 downsample). Weight class = source number mod 5 →
+    //    w ∈ {0.25, 0.85, 1.45, 2.05, 2.65}; every doc gets ⌊w⌋ copies
+    //    plus one more iff its md5 u-value falls under frac(w), encoded
+    //    as a 4-hex-digit threshold (the t06 split idiom — hex-prefix
+    //    compare, identical on both engines, so the mixture is
+    //    reproducible run to run and engine to engine). Embarrassingly
+    //    parallel: no shuffle at all, the explode multiplies rows by
+    //    E[w] ≈ 1.6 — the manifest streams straight to the sink at any
+    //    scale, and re-sharding for training is the consumer's range
+    //    partition on (doc_id, copy).
+    "t19_mixture" -> ((s, d) => {
+      val cls = pmod(substring(col("source"), 4, 10).cast(IntegerType), lit(5))
+      val base = when(cls <= 1, 0).when(cls === 2, 1).otherwise(2)
+      val thr = when(cls === 0, "4000").when(cls === 1, "d999")
+        .when(cls === 2, "7333").when(cls === 3, "0ccc").otherwise("a666")
+      val h = substring(md5(concat(col("doc_id").cast(StringType), lit(":mix"))), 1, 4)
+      T.documents(s, d)
+        .withColumn("n_copies",
+          (base + when(h < thr, 1).otherwise(0)).cast(LongType))
+        .filter(col("n_copies") > 0)
+        .select(col("doc_id"), col("source"), col("n_copies"),
+          explode(expr("sequence(0L, n_copies - 1)")).as("copy"))
     })
   )
 
@@ -812,6 +840,28 @@ object TextQ {
         | CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
         | md5(text) AS content_sig,
         | substring(text, 1, 16) AS header_probe
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // t19: identical weight arithmetic (class = src number mod 5, base
+    // copies + hex-threshold fractional copy) and the same md5(':mix')
+    // u-value — generate_series(0, -1) is empty in DuckDB, mirroring the
+    // n_copies > 0 filter.
+    "t19_mixture" ->
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |         CAST(substr(source, 4) AS INT) % 5 AS cls,
+        |         substr(md5(doc_id || ':mix'), 1, 4) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    CAST((CASE WHEN cls <= 1 THEN 0 WHEN cls = 2 THEN 1 ELSE 2 END)
+        |      + (CASE WHEN h < (CASE cls WHEN 0 THEN '4000' WHEN 1 THEN 'd999'
+        |                        WHEN 2 THEN '7333' WHEN 3 THEN '0ccc'
+        |                        ELSE 'a666' END) THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+        |  FROM m)
+        |SELECT doc_id, source, n_copies, CAST(copy AS BIGINT) AS copy
+        |FROM c, UNNEST(generate_series(0, n_copies - 1)) t(copy)
+        |WHERE n_copies > 0
+        |ORDER BY doc_id, copy""".stripMargin
   )
 }
