@@ -212,31 +212,47 @@ object DedupQ {
     //    the RefinedWeb-style template-scrub signal, complementary to the
     //    WITHIN-document repetition stats (t08) and the PAIRWISE overlap
     //    ops (d03/d07): this one needs no pair generation at all, so
-    //    unlike d03 there is no Σdf² mass to cap. Shape: one gram-keyed
-    //    exchange for df over distinct (doc, gram) partials, the
-    //    occurrence relation joins the df≥2 grams on the same key (AQE
-    //    broadcasts the small side when it is small; stays an equi-join
-    //    at 100 TB), then a doc-keyed window computes the interval-union
+    //    unlike d03 there is no Σdf² mass to cap. Shape: the occurrence
+    //    relation is computed ONCE and makes ONE strict-width gram-keyed
+    //    exchange; df rides that exchange as two windows sharing its one
+    //    sort (row_number flags each doc's first occurrence, an
+    //    unbounded-frame sum counts the flags = COUNT(DISTINCT doc) per
+    //    gram — hashpartitioning(gram) satisfies both clusterings, and
+    //    the (gram, doc, pos) sort covers the (gram) prefix). No df join
+    //    at all. A doc-keyed window then computes interval-union
     //    coverage — for fixed-length grams sorted by position,
-    //    contribution = min(n, pos − prev_pos), so coverage needs one lag,
-    //    not an interval sweep. Everything is linear in corpus grams.
+    //    contribution = min(n, pos − prev_pos), one lag, no sweep.
+    //    Everything is linear in corpus grams. The first version paid
+    //    4 exchanges, computed the explode twice, and — the t05/d03
+    //    trap — let AQE's byte-based coalescing run every
+    //    generated-row stage on ONE task behind the single-row-group
+    //    sf0.1 scan: 2.2 s warm. This shape with pinned widths runs the
+    //    same relation at ~0.5 s.
     "d11_boilerplate" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val n = 5
+      val w = math.max(1,
+        s.conf.get("spark.sql.shuffle.partitions").toInt / 4)
       val docs = T.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .withColumn("n_words", size(col("ws")))
-      val grams = docs.filter(col("n_words") >= n)
+      // row-level spread before the explode: the generated-row stage's
+      // cost is grams, which the byte-based scan split cannot see
+      val occ = docs.filter(col("n_words") >= n).repartition(w)
         .select(col("doc_id"), explode(expr(
           s"transform(sequence(1, n_words - ${n - 1}), " +
             s"i -> struct(i AS pos, concat_ws(' ', slice(ws, i, $n)) AS gram))"))
           .as("g"))
         .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
-      val dfreq = grams.select("doc_id", "gram").distinct()
-        .groupBy("gram").agg(count(lit(1)).as("df"))
-      val wD = Window.partitionBy("doc_id").orderBy("pos")
-      val cover = grams.join(dfreq.filter(col("df") >= 2).select("gram"), Seq("gram"))
-        .withColumn("prev", lag(col("pos"), 1).over(wD))
+      val wgd = Window.partitionBy("gram", "doc_id").orderBy("pos")
+      val wg = Window.partitionBy("gram")
+      val cover = occ.repartition(w, col("gram"))
+        .withColumn("first_in_doc",
+          when(row_number().over(wgd) === 1, 1).otherwise(0))
+        .withColumn("df", sum(col("first_in_doc")).over(wg))
+        .filter(col("df") >= 2)
+        .withColumn("prev",
+          lag(col("pos"), 1).over(Window.partitionBy("doc_id").orderBy("pos")))
         .withColumn("cov",
           least(lit(n), col("pos") - coalesce(col("prev"), col("pos") - n)))
         .groupBy("doc_id")

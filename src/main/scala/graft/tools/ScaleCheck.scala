@@ -35,7 +35,7 @@ object ScaleCheck {
     "q01_agg_groupby", "q21_count_distinct", "q23_percentiles",
     "q28_window_rank", "q33_time_bucket", "q56_range_join", "d01_dedup_exact",
     "d03_ngram_jaccard", "d04_minhash_lsh", "d05_simhash",
-    "d08_contamination", "d09_dup_clusters",
+    "d08_contamination", "d09_dup_clusters", "d11_boilerplate",
     "t05_tfidf", "t07_vocab_prune", "t10_heavy_hitters", "t11_sequence_pack",
     "t12_pii_redact", "t16_bm25", "t17_bpe_merges")
 
