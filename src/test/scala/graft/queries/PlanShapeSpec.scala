@@ -42,6 +42,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles("d08_contamination") == 2)
   }
 
+  test("boilerplate plans two keyed shuffles (gram, doc) — df joins nothing") {
+    // round-8 shape: occurrence relation computed ONCE; df = two windows
+    // riding the single gram exchange (row_number first-in-doc flag +
+    // unbounded sum), coverage on the doc exchange. The row-level spread
+    // before the explode is a RoundRobin exchange, intentionally outside
+    // this helper's keyed-exchange count. A re-introduced df join or a
+    // second text-scan derivation moves this number.
+    assert(shuffles("d11_boilerplate") == 2)
+  }
+
+  test("mixture construction plans zero shuffles") {
+    assert(shuffles("t19_mixture") == 0)
+  }
+
   test("rolling windows plan one range exchange, ORDER BY planner-eliminated") {
     assert(shuffles("q29_window_rolling") == 1)
   }
