@@ -550,14 +550,9 @@ object TextQ {
     //    scale, and re-sharding for training is the consumer's range
     //    partition on (doc_id, copy).
     "t19_mixture" -> ((s, d) => {
-      val cls = pmod(substring(col("source"), 4, 10).cast(IntegerType), lit(5))
-      val base = when(cls <= 1, 0).when(cls === 2, 1).otherwise(2)
-      val thr = when(cls === 0, "4000").when(cls === 1, "d999")
-        .when(cls === 2, "7333").when(cls === 3, "0ccc").otherwise("a666")
-      val h = substring(md5(concat(col("doc_id").cast(StringType), lit(":mix"))), 1, 4)
       T.documents(s, d)
         .withColumn("n_copies",
-          (base + when(h < thr, 1).otherwise(0)).cast(LongType))
+          graft.ops.Mixture.copies(col("doc_id"), col("source")))
         .filter(col("n_copies") > 0)
         .select(col("doc_id"), col("source"), col("n_copies"),
           explode(expr("sequence(0L, n_copies - 1)")).as("copy"))

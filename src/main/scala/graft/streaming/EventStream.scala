@@ -442,4 +442,20 @@ object EventStream {
         (col("pos") + 1).cast("int").as("rk"),
         negate(col("t.negcos")).as("cos"))
   }
+
+  /** Streaming training-mixture construction — the twin of batch t19:
+    * each arriving document is expanded to its deterministic copy count
+    * (`graft.ops.Mixture.copies` — ⌊w⌋ epochs + md5-hex-threshold
+    * fractional epoch per source weight class). Stateless narrow
+    * arithmetic + explode, so it needs NO watermark and carries NO state:
+    * the mixture manifest streams at ingest rate, and the same input rows
+    * produce the same copies whether they arrive in one batch or across
+    * many micro-batches (pinned stream == batch by StreamingSpec). */
+  def mixStream(docs: DataFrame, idCol: String = "doc_id",
+                sourceCol: String = "source"): DataFrame =
+    docs
+      .withColumn("n_copies",
+        graft.ops.Mixture.copies(col(idCol), col(sourceCol)))
+      .filter(col("n_copies") > 0)
+      .withColumn("copy", explode(expr("sequence(0L, n_copies - 1)")))
 }

@@ -401,4 +401,37 @@ class StreamingSpec extends SparkSpec {
       assert(got == want, s"\n got=$got\nwant=$want")
     } finally q.stop()
   }
+
+  test("streaming mixture expands each doc to the batch copy count, batch-split-invariant") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // sources across all five weight classes; ids spread the md5 u-values
+    val docs = (0L until 40L).map(i => (i, s"src${i % 10}"))
+
+    // batch reference: the same shared arithmetic on a batch DataFrame
+    val want = EventStream.mixStream(docs.toDF("doc_id", "source"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n_copies"), r.getAs[Long]("copy"))).toSet
+    assert(want.nonEmpty)
+    assert(want.exists(_._3 >= 2), "some source class must upsample")
+    val dropped = docs.map(_._1).toSet -- want.map(_._1)
+    assert(dropped.nonEmpty, "the 0.25-weight class must drop some docs")
+
+    val input = MemoryStream[(Long, String)]
+    val q = EventStream.mixStream(input.toDF().toDF("doc_id", "source"))
+      .writeStream.format("memory").queryName("mix")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // stateless: arrival split across micro-batches must not matter
+      input.addData(docs.take(13): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(13): _*)
+      q.processAllAvailable()
+      val got = spark.table("mix").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+          r.getAs[Long]("n_copies"), r.getAs[Long]("copy"))).toSet
+      assert(got == want, s"\n got=$got\nwant=$want")
+    } finally q.stop()
+  }
 }
