@@ -443,6 +443,83 @@ object EventStream {
         negate(col("t.negcos")).as("cos"))
   }
 
+  /** Streaming boilerplate guard — batch d11 at ingest time: arriving
+    * documents are flagged when their token coverage by KNOWN boilerplate
+    * word n-grams (grams with document frequency ≥ `minDf` in a STATIC
+    * reference corpus — the already-curated corpus, or yesterday's
+    * partition) reaches `minFrac`. The batch operator discovers
+    * boilerplate corpus-globally; the streaming shape checks new
+    * documents against that discovered set — the same static/stream split
+    * as `contaminationFlags`.
+    *
+    * Shape: the reference's df≥minDf gram set is derived once and
+    * PERSISTED (a stream-static join re-evaluates the static plan every
+    * micro-batch); the stream side explodes to (doc, pos, gram), inner-
+    * joins the gram set, and a watermarked windowed aggregate collects
+    * each doc's matched positions. Coverage is the batch operator's exact
+    * fixed-length interval union — computed here with a higher-order
+    * `aggregate` over the sorted position list (contribution =
+    * min(n, pos − prev)) instead of a lag window, because the positions
+    * sit in one aggregation buffer rather than across rows. State is
+    * O(open windows × docs-with-shared-grams × grams/doc), the same
+    * per-doc bound as the batch window.
+    *
+    * Watermark robustness: short docs (< n words) are dropped INSIDE the
+    * gram expression (empty array → explode drops the row), NOT by a
+    * `Filter` — the optimizer pushes deterministic filters below the
+    * EventTimeWatermark node, so a row-level length filter would keep
+    * short docs from ever advancing the watermark and a quiet stream of
+    * short docs would stall every open window (StreamingSpec pins the
+    * short-advancer case). */
+  def boilerplateFlags(docs: DataFrame, reference: DataFrame,
+                       textCol: String = "text", tsCol: String = "ts",
+                       idCol: String = "doc_id", n: Int = 5,
+                       minDf: Int = 2, minFrac: Double = 0.5,
+                       windowLen: String = "1 hour",
+                       lateness: String = "10 minutes"): DataFrame = {
+    // guarded gram builder: sequence() flips DESCENDING when its stop is
+    // below its start, so short docs clamp the stop to 1 and a trailing
+    // array filter drops the out-of-range position — empty array, no
+    // row-level Filter (see the watermark note above)
+    def gramStructs(nwCol: String) = expr(
+      s"filter(transform(sequence(1, greatest($nwCol - ${n - 1}, 1)), " +
+        s"i -> struct(i AS pos, concat_ws(' ', slice(ws, i, $n)) AS gram)), " +
+        s"g -> g.pos <= $nwCol - ${n - 1})")
+    val refGrams = reference
+      .select(col(idCol).as("rid"), split(col(textCol), " ").as("ws"))
+      .withColumn("nw", size(col("ws")))
+      .select(col("rid"), explode(gramStructs("nw")).as("g"))
+      .select(col("rid"), col("g.gram").as("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf).select("gram")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val unionCoverage = expr(
+      s"""aggregate(array_sort(ps),
+         |  named_struct('prev', -1, 'tot', CAST(0 AS BIGINT)),
+         |  (acc, p) -> named_struct('prev', p,
+         |    'tot', acc.tot + least($n, p - IF(acc.prev < 0, p - $n, acc.prev))),
+         |  acc -> acc.tot)""".stripMargin)
+    docs
+      .withWatermark(tsCol, lateness)
+      .select(col(tsCol), col(idCol), split(col(textCol), " ").as("ws"))
+      .withColumn("nw", size(col("ws")))
+      .select(col(tsCol), col(idCol), col("nw"), explode(gramStructs("nw")).as("g"))
+      .select(col(tsCol), col(idCol), col("nw"),
+        col("g.pos").as("pos"), col("g.gram").as("gram"))
+      .join(refGrams, "gram") // stream-static equi-join
+      .groupBy(window(col(tsCol), windowLen), col(idCol))
+      .agg(first(col("nw")).as("n_words"),
+        count(lit(1)).as("n_boiler_occ"),
+        collect_list(col("pos")).as("ps"))
+      .withColumn("covered_tokens", unionCoverage)
+      .withColumn("boiler_frac",
+        col("covered_tokens").cast("double") / col("n_words"))
+      .filter(col("boiler_frac") >= minFrac)
+      .select(col("window.start").as("window_start"), col(idCol),
+        col("n_words").cast("long").as("n_words"), col("n_boiler_occ"),
+        col("covered_tokens"), col("boiler_frac"))
+  }
+
   /** Streaming training-mixture construction — the twin of batch t19:
     * each arriving document is expanded to its deterministic copy count
     * (`graft.ops.Mixture.copies` — ⌊w⌋ epochs + md5-hex-threshold

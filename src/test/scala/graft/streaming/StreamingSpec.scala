@@ -402,6 +402,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming boilerplate guard flags docs covered by reference boilerplate grams") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // reference corpus: "a b c d e" appears in two docs ⇒ boilerplate
+    val reference = Seq(
+      (100L, "a b c d e p q r s t"),
+      (101L, "z a b c d e k l m n"),
+      (102L, "u1 u2 u3 u4 u5 u6")).toDF("doc_id", "text")
+    val docs = Seq(
+      // coverage 5/9 ≥ 0.5 → flagged
+      (1L, "a b c d e x y z w", ts("2024-01-01 10:05:00")),
+      // no shared gram → never emitted
+      (2L, "f g h i j k l m n", ts("2024-01-01 10:06:00")),
+      // coverage 5/6 → flagged, second micro-batch same window
+      (3L, "q a b c d e", ts("2024-01-01 10:20:00")))
+
+    // batch reference: the same function on a batch DataFrame
+    val want = EventStream.boilerplateFlags(
+        docs.toDF("doc_id", "text", "ts"), reference,
+        windowLen = "1 hour", lateness = "1 minute")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_boiler_occ"), r.getAs[Long]("covered_tokens"))).toSet
+    assert(want == Set((1L, 9L, 1L, 5L), (3L, 6L, 1L, 5L)), s"batch got $want")
+
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStream.boilerplateFlags(
+        input.toDF().toDF("doc_id", "text", "ts"), reference,
+        windowLen = "1 hour", lateness = "1 minute")
+      .writeStream.format("memory").queryName("boiler")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      assert(spark.table("boiler").collect().isEmpty) // window open
+      // a SHORT advancer on purpose: short docs are dropped inside the
+      // gram expression, not by a pushable Filter, so even a
+      // short-docs-only stream advances the watermark (a row-level
+      // length filter would be pushed below the EventTimeWatermark node
+      // and this row would never close the window — the bug this pins)
+      input.addData((99L, "watermark advancer", ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      val got = spark.table("boiler").collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_boiler_occ"), r.getAs[Long]("covered_tokens"))).toSet
+      assert(got == want, s"\n got=$got\nwant=$want")
+    } finally q.stop()
+  }
+
   test("streaming mixture expands each doc to the batch copy count, batch-split-invariant") {
     import spark.implicits._
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
