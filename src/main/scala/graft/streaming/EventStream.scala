@@ -419,11 +419,16 @@ object EventStream {
     val probed = docs
       .withWatermark(tsCol, lateness)
       .select(col(tsCol), col(idCol).as("qid"), col(vecCol).as("qvec"))
-      .filter(col("qvec").isNotNull)
       .withColumn("qnorm", normF32(col("qvec")))
-      .filter(col("qnorm") > 0)
-      .withColumn("list_id",
-        explode(nearestCentroids(col("qvec"), codebook, nprobe)))
+      // invalid vectors (null / zero-norm) yield an EMPTY probe list and
+      // die at the explode rather than at a row Filter: the optimizer
+      // pushes deterministic filters below the EventTimeWatermark node,
+      // so a filter here would keep such rows from ever advancing the
+      // watermark (the boilerplateFlags lesson; normF32 is null-safe)
+      .withColumn("list_id", explode(
+        when(col("qvec").isNotNull && col("qnorm") > 0,
+          nearestCentroids(col("qvec"), codebook, nprobe))
+          .otherwise(typedLit(Array.empty[Int]))))
     probed
       .join(base, Seq("list_id")) // stream-static equi-join on the int key
       .filter(col("qid") =!= col("nid"))

@@ -393,7 +393,10 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("annenrich").collect().isEmpty) // windows open
       input.addData(rows.drop(4): _*)
       q.processAllAvailable()
-      input.addData((99999L, probes.head._2, ts("2024-01-01 13:00:00")))
+      // null-vector advancer: invalid vectors die at the explode, not at
+      // a pushable Filter, so even a stream of nulls closes the windows
+      input.addData((99999L, null.asInstanceOf[Seq[Float]],
+        ts("2024-01-01 13:00:00")))
       q.processAllAvailable()
       val got = spark.table("annenrich").collect()
         .map(r => (r.getAs[Timestamp]("window_start").toString, r.getAs[Long]("qid"),
