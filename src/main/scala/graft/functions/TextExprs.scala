@@ -94,6 +94,11 @@ object TextExprs {
   /** Shannon entropy (log2) of the text's byte distribution in one pass. */
   def charEntropy(text: Column): Column =
     GraftSqlBridge.column(CharEntropy(GraftSqlBridge.expression(text)))
+
+  /** Per-document BPE-encode stats with a fixed ranked merge table —
+    * struct<n_chars, n_tokens, tok_sig>; see [[BpeEncodeStats]]. */
+  def bpeEncodeStats(text: Column, merges: Seq[(String, String)]): Column =
+    GraftSqlBridge.column(BpeEncodeStats(GraftSqlBridge.expression(text), merges))
 }
 
 /** array<int> length = number of marker sets: how many word occurrences of
@@ -554,5 +559,77 @@ case class TermCounts(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+}
+
+/** struct<n_chars, n_tokens, tok_sig>: BPE tokenization of a document with
+  * a FIXED ranked merge table — the encode side of `ops/Bpe.learn`,
+  * applied per word (lowest-rank-applicable loop, greedy left-to-right
+  * pass; see `Bpe.encodeWord`). One pass per row, no shuffle: words are
+  * memoized per thread (Zipf means the hot vocabulary dominates; the memo
+  * is cleared past a fixed cap, so memory stays bounded on adversarial
+  * vocabularies). `tok_sig` is the md5 hex of every token of every
+  * non-empty word, in order, joined by U+001F — a position-exact
+  * cross-engine checksum of the whole tokenization, mirrored by the t20
+  * DuckDB recursive-CTE oracle. */
+case class BpeEncodeStats(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with EvalDelegatingCodegen {
+
+  override protected def resultJavaType: String =
+    "org.apache.spark.sql.catalyst.InternalRow"
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("tok_sig", StringType, nullable = false)))
+  override def prettyName: String = "bpe_encode_stats"
+
+  @transient private lazy val table = merges.toIndexedSeq
+  @transient private lazy val memo =
+    new ThreadLocal[java.util.HashMap[String, Array[String]]] {
+      override def initialValue() = new java.util.HashMap[String, Array[String]]()
+    }
+  private val MemoCap = 1 << 16
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = Words.split(input.asInstanceOf[UTF8String])
+    val m = memo.get()
+    if (m.size > MemoCap) m.clear()
+    var nChars = 0L
+    var nTokens = 0L
+    val sb = new java.lang.StringBuilder(words.length * 8)
+    var i = 0
+    while (i < words.length) {
+      if (words(i).numBytes > 0) {
+        val w = words(i).toString
+        var toks = m.get(w)
+        if (toks == null) {
+          toks = graft.ops.Bpe.encodeWord(w, table)
+          m.put(w, toks)
+        }
+        nChars += w.codePointCount(0, w.length)
+        nTokens += toks.length
+        var t = 0
+        while (t < toks.length) {
+          if (sb.length > 0) sb.append('\u001f')
+          sb.append(toks(t))
+          t += 1
+        }
+      }
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = new java.lang.StringBuilder(32)
+    var b = 0
+    while (b < dig.length) {
+      hex.append(Character.forDigit((dig(b) >> 4) & 0xF, 16))
+      hex.append(Character.forDigit(dig(b) & 0xF, 16))
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nChars, nTokens, UTF8String.fromString(hex.toString)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeStats =
     copy(child = newChild)
 }

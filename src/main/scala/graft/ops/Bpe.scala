@@ -128,6 +128,38 @@ object Bpe {
     java.lang.Integer.compare(x.length, y.length)
   }
 
+  /** Tokenize one word with a ranked merge table — the ENCODE side of the
+    * trainer above, textbook lowest-rank-first semantics: repeatedly find
+    * the lowest-rank merge whose pair occurs anywhere in the symbols and
+    * apply it as a greedy left-to-right pass, until no merge applies.
+    * Strictly rank-ordered single passes would be wrong: a later merge
+    * can create an earlier merge's pair (merges (t,er) then (e,r) on
+    * "filter": (e,r) fires first, which makes (t,er) applicable — the
+    * loop must re-check from rank 1). Mirrored exactly by the DuckDB
+    * recursive-CTE oracle of t20 (same loop, same greedy pass as a
+    * flagless list_reduce — safe because a freshly merged token l+r can
+    * never equal a pair's left l, r being non-empty). */
+  def encodeWord(w: String, merges: IndexedSeq[(String, String)]): Array[String] = {
+    var syms = codePoints(w)
+    var continue = syms.length > 1
+    while (continue) {
+      var best = -1
+      var m = 0
+      while (m < merges.length && best < 0) {
+        val (l, r) = merges(m)
+        var i = 0
+        while (i < syms.length - 1 && best < 0) {
+          if (syms(i) == l && syms(i + 1) == r) best = m
+          i += 1
+        }
+        m += 1
+      }
+      if (best < 0) continue = false
+      else syms = applyMerge(syms, merges(best)._1, merges(best)._2)
+    }
+    syms
+  }
+
   /** One left-to-right merge pass (greedy, non-overlapping: "aaa" with
     * merge (a,a) → ["aa","a"]) — the textbook application order. */
   private[ops] def applyMerge(syms: Array[String], l: String, r: String): Array[String] = {

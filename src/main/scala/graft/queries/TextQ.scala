@@ -40,6 +40,13 @@ object TextQ {
   private def markerCount(text: org.apache.spark.sql.Column, ws: Seq[String]) =
     element_at(graft.functions.TextExprs.markerCounts(text, Seq(ws)), 1)
 
+  /** t20's fixed ranked merge table — corpus-independent (robust to driver
+    * data regeneration) and chosen to exercise every application edge; the
+    * SAME literals appear in the DuckDB oracle's VALUES list. */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "er", "e" -> "r", "a" -> "t", "h" -> "a", "ha" -> "s",
+    "has" -> "h", "r" -> "o", "o" -> "w", "at" -> "a", "s" -> "c")
+
   val queries: Map[String, Q] = Map(
     // -- token counting: whitespace split + regexp token extraction.
     "t01_token_count" -> ((s, d) => {
@@ -556,6 +563,36 @@ object TextQ {
         .filter(col("n_copies") > 0)
         .select(col("doc_id"), col("source"), col("n_copies"),
           explode(expr("sequence(0L, n_copies - 1)")).as("copy"))
+    }),
+
+    // -- BPE tokenization application: encode every document with a FIXED
+    //    ranked merge table (t17 trains; this applies — the actual
+    //    tokenize-the-corpus step before packing/perplexity). One native
+    //    pass per row (graft.functions.BpeEncodeStats: lowest-rank-
+    //    applicable loop per word, thread-local word memo), no shuffle.
+    //    The merge table is a corpus-independent constant chosen to
+    //    exercise every semantic edge — a cascade (h,a → ha,s → has,h), a
+    //    merged-token-as-left pair (at,a), a rank-priority conflict (r,o
+    //    beats o,w on "row"), and a pair only creatable by a LATER merge
+    //    ((t,er) needs (e,r) first — strict rank-ordered single passes
+    //    would miss it). The oracle re-runs the identical loop as a
+    //    DuckDB recursive CTE over the distinct vocabulary (greedy pass =
+    //    flagless list_reduce; safe because a merged token l+r can never
+    //    equal a pair's left), and tok_sig is a position-exact md5 of the
+    //    full token stream — a true cross-engine differential of the
+    //    tokenizer.
+    "t20_bpe_encode" -> ((s, d) => {
+      val e = graft.functions.TextExprs
+        .bpeEncodeStats(col("text"), BpeMerges).as("e")
+      T.documents(s, d)
+        .select(col("doc_id"), e)
+        .select(col("doc_id"),
+          col("e.n_chars").as("n_chars"),
+          col("e.n_tokens").as("n_tokens"),
+          when(col("e.n_tokens") > 0,
+            col("e.n_chars").cast(DoubleType) / col("e.n_tokens"))
+            .as("compression"),
+          col("e.tok_sig").as("tok_sig"))
     })
   )
 
@@ -836,6 +873,64 @@ object TextQ {
         | md5(text) AS content_sig,
         | substring(text, 1, 16) AS header_probe
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // t20: the identical lowest-rank-applicable loop as a recursive CTE
+    // over the DISTINCT vocabulary; each step applies the chosen merge as
+    // a flagless list_reduce greedy pass (a merged token l||r can never
+    // equal a pair's left l), final states are the rows with no
+    // applicable merge, and per-doc stats join words back by position so
+    // tok_sig is a position-exact md5 of the whole token stream. Tokens
+    // are letters-only here, so contains()/ends_with need no escaping;
+    // U+001F (chr(31)) never occurs in the corpus text.
+    "t20_bpe_encode" ->
+      """WITH RECURSIVE merges(rank, l, r) AS (
+        |  SELECT * FROM (VALUES (1,'t','er'),(2,'e','r'),(3,'a','t'),(4,'h','a'),
+        |    (5,'ha','s'),(6,'has','h'),(7,'r','o'),(8,'o','w'),(9,'at','a'),
+        |    (10,'s','c')) v),
+        |w AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents),
+        |enc(word, state) AS (
+        |  SELECT word, array_to_string(string_split(word, ''), chr(31))
+        |  FROM w WHERE word <> ''
+        |  UNION ALL
+        |  SELECT word,
+        |    (SELECT list_reduce(string_split(e.state, chr(31)),
+        |        (acc, x) -> CASE WHEN (acc = m.l OR ends_with(acc, chr(31) || m.l))
+        |                              AND x = m.r
+        |                         THEN left(acc, length(acc) - length(m.l)) || m.l || m.r
+        |                         ELSE acc || chr(31) || x END)
+        |     FROM (SELECT mm.l AS l, mm.r AS r FROM merges mm
+        |           WHERE contains(chr(31) || e.state || chr(31),
+        |                          chr(31) || mm.l || chr(31) || mm.r || chr(31))
+        |           ORDER BY mm.rank LIMIT 1) m)
+        |  FROM enc e
+        |  WHERE EXISTS (SELECT 1 FROM merges mm
+        |                WHERE contains(chr(31) || e.state || chr(31),
+        |                               chr(31) || mm.l || chr(31) || mm.r || chr(31)))),
+        |fin AS (
+        |  SELECT word, state FROM enc e
+        |  WHERE NOT EXISTS (SELECT 1 FROM merges mm
+        |                    WHERE contains(chr(31) || e.state || chr(31),
+        |                                   chr(31) || mm.l || chr(31) || mm.r || chr(31)))),
+        |docw AS (
+        |  SELECT doc_id, i, ws[CAST(i AS INT)] AS word
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+        |       UNNEST(range(1, len(ws) + 1)) u(i)),
+        |per AS (
+        |  SELECT d.doc_id,
+        |    CAST(SUM(length(d.word)) AS BIGINT) AS n_chars,
+        |    CAST(SUM(length(f.state) - length(replace(f.state, chr(31), '')) + 1)
+        |         AS BIGINT) AS n_tokens,
+        |    md5(string_agg(f.state, chr(31) ORDER BY d.i)) AS tok_sig
+        |  FROM docw d JOIN fin f USING (word)
+        |  GROUP BY d.doc_id)
+        |SELECT doc.doc_id,
+        |  COALESCE(per.n_chars, 0) AS n_chars,
+        |  COALESCE(per.n_tokens, 0) AS n_tokens,
+        |  CASE WHEN per.n_tokens > 0
+        |       THEN CAST(per.n_chars AS DOUBLE) / per.n_tokens END AS compression,
+        |  COALESCE(per.tok_sig, md5('')) AS tok_sig
+        |FROM documents doc LEFT JOIN per USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // t19: identical weight arithmetic (class = src number mod 5, base
     // copies + hex-threshold fractional copy) and the same md5(':mix')

@@ -99,4 +99,30 @@ class BpeSpec extends SparkSpec {
     // learned merges are over the corpus alphabet
     assert(m.forall(r => r.getString(1).nonEmpty && r.getString(2).nonEmpty))
   }
+
+  test("encodeWord: lowest-rank-applicable loop, hand-computed edges") {
+    val t = graft.queries.TextQ.BpeMerges.toIndexedSeq
+    // triple cascade: h,a → ha,s → has,h
+    assert(Bpe.encodeWord("hash", t).toSeq == Seq("hash"))
+    // merged token as a later pair's LEFT: (a,t) then (at,a)
+    assert(Bpe.encodeWord("data", t).toSeq == Seq("d", "ata"))
+    // a LATER merge creates an EARLIER merge's pair: (e,r) fires, then
+    // rank-1 (t,er) must be re-checked — rank-ordered single passes fail
+    assert(Bpe.encodeWord("filter", t).toSeq == Seq("f", "i", "l", "ter"))
+    // rank priority: (r,o) beats (o,w) on the shared 'o'
+    assert(Bpe.encodeWord("row", t).toSeq == Seq("ro", "w"))
+    assert(Bpe.encodeWord("slow", t).toSeq == Seq("s", "l", "ow"))
+    // untouched word and degenerate inputs
+    assert(Bpe.encodeWord("xyz", t).toSeq == Seq("x", "y", "z"))
+    assert(Bpe.encodeWord("a", t).toSeq == Seq("a"))
+    assert(Bpe.encodeWord("", t).toSeq == Seq.empty)
+  }
+
+  test("encodeWord: greedy non-overlapping within one merge, repeated application") {
+    val t = IndexedSeq("a" -> "a")
+    assert(Bpe.encodeWord("aaa", t).toSeq == Seq("aa", "a"))
+    assert(Bpe.encodeWord("aaaa", t).toSeq == Seq("aa", "aa"))
+    // 5 a's: first pass [aa, aa, a]; (a,a) no longer adjacent — stops
+    assert(Bpe.encodeWord("aaaaa", t).toSeq == Seq("aa", "aa", "a"))
+  }
 }
