@@ -169,6 +169,24 @@ private[functions] object Words {
       ((buf(14) & 0xFFL) << 8) | (buf(15) & 0xFFL)
   }
 
+  /** Full md5 as lowercase hex of the UTF-8 bytes — the portable text
+    * fingerprint (identical to any engine's md5()); same thread-local
+    * digest + buffer, no per-call allocation beyond the hex chars. */
+  def md5Hex(s: String): String = {
+    val (md, buf) = md5Tl.get()
+    md.reset()
+    md.update(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest(buf, 0, 16)
+    val hex = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < 16) {
+      hex.append(Character.forDigit((buf(i) >> 4) & 0xF, 16))
+      hex.append(Character.forDigit(buf(i) & 0xF, 16))
+      i += 1
+    }
+    hex.toString
+  }
+
   /** md5Low64 over a byte slice — the winnow gram path (no copy). */
   def md5Low64(bytes: Array[Byte], off: Int, len: Int): Long = {
     val (md, buf) = md5Tl.get()
@@ -617,17 +635,9 @@ case class BpeEncodeStats(child: Expression, merges: Seq[(String, String)])
       }
       i += 1
     }
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val dig = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val hex = new java.lang.StringBuilder(32)
-    var b = 0
-    while (b < dig.length) {
-      hex.append(Character.forDigit((dig(b) >> 4) & 0xF, 16))
-      hex.append(Character.forDigit(dig(b) & 0xF, 16))
-      b += 1
-    }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](nChars, nTokens, UTF8String.fromString(hex.toString)))
+      Array[Any](nChars, nTokens,
+        UTF8String.fromString(Words.md5Hex(sb.toString))))
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeStats =
