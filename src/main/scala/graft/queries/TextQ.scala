@@ -593,6 +593,28 @@ object TextQ {
             col("e.n_chars").cast(DoubleType) / col("e.n_tokens"))
             .as("compression"),
           col("e.tok_sig").as("tok_sig"))
+    }),
+
+    // -- tokenize → pack, the actual pre-training data flow: t11's
+    //    sequence packing driven by t20's BPE token counts instead of
+    //    whitespace counts (a model's context budget is measured in BPE
+    //    tokens). Same two-phase PrefixSum (O(partitions) driver combine,
+    //    no single-task global window); the token counting rides the
+    //    scan. The oracle composes the t20 recursive-CTE tokenizer with
+    //    the t11 running-sum window — both steps cross-engine-exact, so
+    //    their composition is too.
+    "t21_bpe_pack" -> ((s, d) => {
+      val budget = 256
+      val docs = T.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextExprs.bpeEncodeStats(col("text"), BpeMerges)
+            .getField("n_tokens").as("n_tokens"))
+      graft.ops.PrefixSum.exclusive(docs, Seq(col("doc_id")), "n_tokens", "tok_offset")
+        .withColumn("seq_id",
+          floor(col("tok_offset") / lit(budget.toDouble)).cast("long"))
+        .withColumn("end_seq",
+          floor((col("tok_offset") + col("n_tokens") - 1) / lit(budget.toDouble)).cast("long"))
+        .withColumn("crosses_cut", col("seq_id") =!= col("end_seq"))
     })
   )
 
@@ -931,6 +953,59 @@ object TextQ {
         |  COALESCE(per.tok_sig, md5('')) AS tok_sig
         |FROM documents doc LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // t21: the t20 tokenizer CTE feeding the t11 running-sum packing.
+    "t21_bpe_pack" ->
+      """WITH RECURSIVE merges(rank, l, r) AS (
+        |  SELECT * FROM (VALUES (1,'t','er'),(2,'e','r'),(3,'a','t'),(4,'h','a'),
+        |    (5,'ha','s'),(6,'has','h'),(7,'r','o'),(8,'o','w'),(9,'at','a'),
+        |    (10,'s','c')) v),
+        |w AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word FROM documents),
+        |enc(word, state) AS (
+        |  SELECT word, array_to_string(string_split(word, ''), chr(31))
+        |  FROM w WHERE word <> ''
+        |  UNION ALL
+        |  SELECT word,
+        |    (SELECT list_reduce(string_split(e.state, chr(31)),
+        |        (acc, x) -> CASE WHEN (acc = m.l OR ends_with(acc, chr(31) || m.l))
+        |                              AND x = m.r
+        |                         THEN left(acc, length(acc) - length(m.l)) || m.l || m.r
+        |                         ELSE acc || chr(31) || x END)
+        |     FROM (SELECT mm.l AS l, mm.r AS r FROM merges mm
+        |           WHERE contains(chr(31) || e.state || chr(31),
+        |                          chr(31) || mm.l || chr(31) || mm.r || chr(31))
+        |           ORDER BY mm.rank LIMIT 1) m)
+        |  FROM enc e
+        |  WHERE EXISTS (SELECT 1 FROM merges mm
+        |                WHERE contains(chr(31) || e.state || chr(31),
+        |                               chr(31) || mm.l || chr(31) || mm.r || chr(31)))),
+        |fin AS (
+        |  SELECT word, state FROM enc e
+        |  WHERE NOT EXISTS (SELECT 1 FROM merges mm
+        |                    WHERE contains(chr(31) || e.state || chr(31),
+        |                                   chr(31) || mm.l || chr(31) || mm.r || chr(31)))),
+        |docw AS (
+        |  SELECT doc_id, i, ws[CAST(i AS INT)] AS word
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t,
+        |       UNNEST(range(1, len(ws) + 1)) u(i)),
+        |per AS (
+        |  SELECT d.doc_id,
+        |    CAST(SUM(length(f.state) - length(replace(f.state, chr(31), '')) + 1)
+        |         AS BIGINT) AS n_tokens
+        |  FROM docw d JOIN fin f USING (word)
+        |  GROUP BY d.doc_id),
+        |t AS (SELECT doc.doc_id, COALESCE(per.n_tokens, 0) AS n_tokens
+        |      FROM documents doc LEFT JOIN per USING (doc_id)),
+        |o AS (SELECT doc_id, n_tokens,
+        |        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |      FROM t)
+        |SELECT doc_id, n_tokens, tok_offset,
+        |  CAST(floor(tok_offset / 256.0) AS BIGINT) AS seq_id,
+        |  CAST(floor((tok_offset + n_tokens - 1) / 256.0) AS BIGINT) AS end_seq,
+        |  CAST(floor(tok_offset / 256.0) AS BIGINT)
+        |    <> CAST(floor((tok_offset + n_tokens - 1) / 256.0) AS BIGINT) AS crosses_cut
+        |FROM o ORDER BY doc_id""".stripMargin,
 
     // t19: identical weight arithmetic (class = src number mod 5, base
     // copies + hex-threshold fractional copy) and the same md5(':mix')
