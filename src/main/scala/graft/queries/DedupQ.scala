@@ -267,6 +267,45 @@ object DedupQ {
           coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
           (coalesce(col("covered_tokens"), lit(0L)).cast(DoubleType) /
             col("n_words")).as("boiler_frac"))
+    }),
+
+    // -- keep-BEST dedup manifest: d10 keeps each near-dup cluster's
+    //    MIN-id member; real curation keeps the HIGHEST-QUALITY member
+    //    (the t02 score — exact integer-ratio double arithmetic, so both
+    //    engines order identically; ties fall back to min id, so exact
+    //    duplicates — Jaccard 1.0, equal scores — still resolve
+    //    deterministically). Canonical per cluster via max(struct(quality,
+    //    −doc_id)): a single mergeable aggregate, no window over the
+    //    cluster relation. Composes d03's bucketed pair generation and
+    //    d09's hash-to-min components; singletons never join a cluster
+    //    and keep themselves.
+    "d12_dedup_keep_best" -> ((s, d) => {
+      val docs = T.documents(s, d).select("doc_id", "text")
+      val words = split(col("text"), " ")
+      val stopCount = element_at(graft.functions.TextExprs
+        .markerCounts(col("text"), Seq(Seq("the", "a", "of"))), 1)
+      val q = docs.select(col("doc_id"),
+        round(
+          size(array_distinct(words)).cast(DoubleType) / size(words) * 0.5 +
+            stopCount.cast(DoubleType) / size(words) * 0.3 +
+            when(size(words).between(30, 90), 0.2).otherwise(0.0),
+          6).as("quality"))
+      val pairs = Shingles.jaccardPairs(docs, "doc_id", "text",
+        k = 3, threshold = 0.2)
+      val members = graft.ops.Components.connected(pairs, "a_id", "b_id")
+        .select(col("id").as("doc_id"), col("label"))
+        .join(q, Seq("doc_id"))
+      val best = members.groupBy("label")
+        .agg(max(struct(col("quality"), negate(col("doc_id")).as("nid"))).as("b"))
+        .select(col("label"),
+          negate(col("b").getField("nid")).cast(LongType).as("keep_id"))
+      docs.select("doc_id")
+        .join(members.select("doc_id", "label"), Seq("doc_id"), "left")
+        .join(best, Seq("label"), "left")
+        .select(col("doc_id"),
+          when(col("keep_id").isNull || col("doc_id") === col("keep_id"), "keep")
+            .otherwise("drop_near").as("verdict"),
+          coalesce(col("keep_id"), col("doc_id")).as("canonical_id"))
     })
   )
 
@@ -470,6 +509,49 @@ object DedupQ {
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // d12: d10's recursive closure for the clusters, t02's quality
+    // formula (same double-op order ⇒ identical IEEE results), canonical
+    // via ROW_NUMBER (quality DESC, doc_id) — the window twin of the
+    // Spark side's max(struct(quality, −doc_id)).
+    "d12_dedup_keep_best" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |s AS (SELECT DISTINCT doc_id,
+        |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)),
+        |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS common
+        |      FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |p AS (SELECT a_id, b_id
+        |      FROM c JOIN n na ON na.doc_id = a_id JOIN n nb ON nb.doc_id = b_id
+        |      WHERE CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) >= 0.2),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM p
+        |      UNION ALL SELECT b_id, a_id FROM p),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.id),
+        |cl AS (SELECT id AS doc_id, MIN(r) AS label FROM reach GROUP BY id),
+        |q AS (SELECT doc_id,
+        |        round(CAST(len(list_distinct(words)) AS DOUBLE) / len(words) * 0.5
+        |            + CAST(len(list_filter(words, x -> x IN ('the', 'a', 'of')))
+        |                   AS DOUBLE) / len(words) * 0.3
+        |            + CASE WHEN len(words) BETWEEN 30 AND 90
+        |                   THEN 0.2 ELSE 0.0 END, 6) AS quality
+        |      FROM w),
+        |best AS (SELECT label, doc_id AS keep_id FROM (
+        |           SELECT cl.label, cl.doc_id,
+        |                  ROW_NUMBER() OVER (PARTITION BY cl.label
+        |                    ORDER BY q.quality DESC, cl.doc_id) AS rn
+        |           FROM cl JOIN q USING (doc_id)) t WHERE rn = 1)
+        |SELECT d.doc_id,
+        |  CASE WHEN b.keep_id IS NULL OR d.doc_id = b.keep_id
+        |       THEN 'keep' ELSE 'drop_near' END AS verdict,
+        |  COALESCE(b.keep_id, d.doc_id) AS canonical_id
+        |FROM documents d LEFT JOIN cl USING (doc_id) LEFT JOIN best b USING (label)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // d11: identical 5-gram construction (1-based positions, space join),
     // df over distinct docs, fixed-length interval union via LAG — the

@@ -88,6 +88,21 @@ class MixtureBoilerplateSpec extends SparkSpec {
       "cls 0 keeps ~25% of its 10 docs")
   }
 
+  test("d12: cluster canonical is the highest-quality member, not the min id") {
+    // docs 1 and 2 are near-dups (7/9 shingle Jaccard); doc 2 carries a
+    // stopword, so its t02 quality is higher — keep-best must pick 2
+    // where d10's min-id rule would pick 1. doc 3 is a singleton.
+    val dir = docsDir(Seq(
+      (1L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10", "src0"),
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 x9 the", "src0"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", "src0")))
+    val out = graft.SparkEntry.queries("d12_dedup_keep_best")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("drop_near", 2L))
+    assert(out(2L) == ("keep", 2L))
+    assert(out(3L) == ("keep", 3L))
+  }
+
   test("t19: deterministic across runs") {
     val dir = docsDir((0L until 50L).map(i => (i, s"d $i", s"src${i % 20}")))
     val a = graft.SparkEntry.queries("t19_mixture")(spark, dir).collect().toSet
