@@ -269,6 +269,36 @@ object DedupQ {
             col("n_words")).as("boiler_frac"))
     }),
 
+    // -- incremental (delta-vs-base) exact dedup: dedup a NEW BATCH
+    //    against the existing corpus without re-deduping the base — the
+    //    only shape that works when the base is 100 TB and the delta is
+    //    a day's crawl. Delta docs are 'dup_of_base' (content already in
+    //    the base; canonical = base min id), 'dup_in_delta' (first
+    //    occurrence inside the batch wins), or 'new'. The base side
+    //    reduces to its (fingerprint, min id) index BEFORE the join — at
+    //    scale that index is precomputed and incrementally maintained,
+    //    not rescanned; here it is derived in the same query (one
+    //    fp-keyed exchange with map-side partial min). Delta-internal
+    //    precedence rides the SAME fp exchange as a window min. Base/
+    //    delta split = the d08 convention (doc_id mod 10).
+    "d13_incremental_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = T.documents(s, d).select(col("doc_id"), md5(col("text")).as("fp"))
+      val base = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .groupBy("fp").agg(min(col("doc_id")).as("base_keep"))
+      val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("delta_keep",
+          min(col("doc_id")).over(Window.partitionBy("fp")))
+      delta.join(base, Seq("fp"), "left")
+        .select(col("doc_id"), col("fp"),
+          when(col("base_keep").isNotNull, "dup_of_base")
+            .when(col("doc_id") =!= col("delta_keep"), "dup_in_delta")
+            .otherwise("new").as("verdict"),
+          coalesce(col("base_keep"),
+            when(col("doc_id") =!= col("delta_keep"), col("delta_keep"))
+              .otherwise(col("doc_id"))).as("canonical_id"))
+    }),
+
     // -- keep-BEST dedup manifest: d10 keeps each near-dup cluster's
     //    MIN-id member; real curation keeps the HIGHEST-QUALITY member
     //    (the t02 score — exact integer-ratio double arithmetic, so both
@@ -509,6 +539,25 @@ object DedupQ {
         |FROM u a JOIN u b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
         |ORDER BY a_id, b_id""".stripMargin,
+
+    // d13: same fingerprints, same precedence — base min-id index, then
+    // delta window min, left join.
+    "d13_incremental_dedup" ->
+      """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |base AS (SELECT fp, MIN(doc_id) AS base_keep FROM f
+        |         WHERE doc_id % 10 <> 0 GROUP BY fp),
+        |delta AS (SELECT doc_id, fp,
+        |            MIN(doc_id) OVER (PARTITION BY fp) AS delta_keep
+        |          FROM f WHERE doc_id % 10 = 0)
+        |SELECT d.doc_id, d.fp,
+        |  CASE WHEN b.base_keep IS NOT NULL THEN 'dup_of_base'
+        |       WHEN d.doc_id <> d.delta_keep THEN 'dup_in_delta'
+        |       ELSE 'new' END AS verdict,
+        |  COALESCE(b.base_keep,
+        |           CASE WHEN d.doc_id <> d.delta_keep THEN d.delta_keep
+        |                ELSE d.doc_id END) AS canonical_id
+        |FROM delta d LEFT JOIN base b USING (fp)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // d12: d10's recursive closure for the clusters, t02's quality
     // formula (same double-op order ⇒ identical IEEE results), canonical

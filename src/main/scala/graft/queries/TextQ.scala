@@ -595,6 +595,40 @@ object TextQ {
           col("e.tok_sig").as("tok_sig"))
     }),
 
+    // -- corpus-version term drift: per-term KL-divergence contribution
+    //    between two corpus slices ("old" = sources src0–9, "new" =
+    //    src10–19) — the distribution-shift monitor a continuously
+    //    ingesting pipeline runs between versions. Laplace-smoothed over
+    //    the UNION vocabulary (+1 per term, so terms absent from one
+    //    slice contribute finitely); p, q are exact integer ratios and
+    //    kl_term = p·ln(p/q) rounded 6dp (the t15/t18 precedent for
+    //    cross-engine ln agreement). Shape: ONE term exchange — both
+    //    slices' counts come from one conditional aggregate (sum(when)),
+    //    totals ride a broadcast scalar; no joins.
+    "t22_term_drift" -> ((s, d) => {
+      val isNew = substring(col("source"), 4, 10).cast(IntegerType) >= 10
+      val counts = T.documents(s, d)
+        .select(isNew.as("is_new"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term")
+        .agg(
+          sum(when(!col("is_new"), 1L).otherwise(0L)).as("cnt_old"),
+          sum(when(col("is_new"), 1L).otherwise(0L)).as("cnt_new"))
+      val tot = counts.agg(
+        sum(col("cnt_old")).as("t_old"),
+        sum(col("cnt_new")).as("t_new"),
+        count(lit(1)).as("v")).collect()(0)
+      val (tOld, tNew, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+      counts.select(col("term"), col("cnt_old"), col("cnt_new"),
+        ((col("cnt_old") + lit(1)).cast(DoubleType) / lit(tOld + v)).as("p"),
+        ((col("cnt_new") + lit(1)).cast(DoubleType) / lit(tNew + v)).as("q"),
+        round(
+          (col("cnt_old") + lit(1)).cast(DoubleType) / lit(tOld + v) *
+            log((col("cnt_old") + lit(1)).cast(DoubleType) / lit(tOld + v) /
+              ((col("cnt_new") + lit(1)).cast(DoubleType) / lit(tNew + v))),
+          6).as("kl_term"))
+    }),
+
     // -- tokenize → pack, the actual pre-training data flow: t11's
     //    sequence packing driven by t20's BPE token counts instead of
     //    whitespace counts (a model's context budget is measured in BPE
@@ -953,6 +987,29 @@ object TextQ {
         |  COALESCE(per.tok_sig, md5('')) AS tok_sig
         |FROM documents doc LEFT JOIN per USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // t22: identical smoothing and double-op order; totals from the same
+    // counts relation via CROSS JOIN instead of Spark's bounded collect.
+    "t22_term_drift" ->
+      """WITH terms AS (
+        |  SELECT CAST(substr(source, 4) AS INT) >= 10 AS is_new,
+        |         unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |counts AS (
+        |  SELECT term,
+        |    CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS cnt_old,
+        |    CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS cnt_new
+        |  FROM terms WHERE term <> '' GROUP BY term),
+        |tot AS (SELECT CAST(SUM(cnt_old) AS BIGINT) AS t_old,
+        |               CAST(SUM(cnt_new) AS BIGINT) AS t_new,
+        |               CAST(COUNT(*) AS BIGINT) AS v FROM counts),
+        |pq AS (SELECT term, cnt_old, cnt_new,
+        |         CAST(cnt_old + 1 AS DOUBLE) / (t_old + v) AS p,
+        |         CAST(cnt_new + 1 AS DOUBLE) / (t_new + v) AS q
+        |       FROM counts CROSS JOIN tot)
+        |SELECT term, cnt_old, cnt_new, p, q,
+        |  round(p * ln(p / q), 6) AS kl_term
+        |FROM pq ORDER BY term""".stripMargin,
 
     // t21: the t20 tokenizer CTE feeding the t11 running-sum packing.
     "t21_bpe_pack" ->

@@ -103,6 +103,38 @@ class MixtureBoilerplateSpec extends SparkSpec {
     assert(out(3L) == ("keep", 3L))
   }
 
+  test("d13: delta docs resolve against the base, then within the batch") {
+    // base ids (mod 10 != 0): 1, 11; delta ids (mod 10 == 0): 10, 20, 30, 40
+    val dir = docsDir(Seq(
+      (1L, "alpha beta", "src0"), (11L, "gamma delta", "src0"),
+      (10L, "alpha beta", "src0"),   // content already in base
+      (20L, "epsilon zeta", "src0"), // first in delta
+      (30L, "epsilon zeta", "src0"), // dup of 20 within the batch
+      (40L, "unique here", "src0"))) // genuinely new
+    val out = graft.SparkEntry.queries("d13_incremental_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    assert(out(10L) == ("dup_of_base", 1L))
+    assert(out(20L) == ("new", 20L))
+    assert(out(30L) == ("dup_in_delta", 20L))
+    assert(out(40L) == ("new", 40L))
+    assert(out.size == 4, "base docs must not appear in the delta manifest")
+  }
+
+  test("t22: drift signs — old-only terms positive, new-only negative") {
+    // "old" slice = src0..9, "new" slice = src10..19
+    val dir = docsDir(Seq(
+      (1L, "shared shared oldword", "src0"),
+      (2L, "shared shared newword", "src15")))
+    val out = graft.SparkEntry.queries("t22_term_drift")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(5))).toMap
+    assert(out("oldword")._1 == 1 && out("oldword")._2 == 0)
+    assert(out("oldword")._3 > 0, "old-only term must contribute positive KL")
+    assert(out("newword")._3 < 0, "new-only term must contribute negative")
+    assert(math.abs(out("shared")._3) < math.abs(out("oldword")._3),
+      "balanced term contributes less drift than a vanished one")
+  }
+
   test("t19: deterministic across runs") {
     val dir = docsDir((0L until 50L).map(i => (i, s"d $i", s"src${i % 20}")))
     val a = graft.SparkEntry.queries("t19_mixture")(spark, dir).collect().toSet
