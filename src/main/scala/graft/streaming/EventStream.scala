@@ -525,6 +525,37 @@ object EventStream {
         col("covered_tokens"), col("boiler_frac"))
   }
 
+  /** Streaming incremental dedup — batch d13 at ingest time: each
+    * arriving document is checked against the EXISTING corpus's
+    * fingerprint index (static side, reduced to (fp, min id) and
+    * persisted — at scale this is the incrementally-maintained index, not
+    * a rescan) and against earlier arrivals in the stream
+    * (`dropDuplicatesWithinWatermark` on the fingerprint — watermarked
+    * O(in-flight fingerprints) state, the streaming analogue of d13's
+    * delta window min with FIRST-ARRIVAL precedence instead of min-id:
+    * an unbounded stream has no batch to take a min over). Emits only
+    * the stream's first copy of each content, labeled 'dup_of_base'
+    * (canonical = base id) or 'new'; later stream copies are dropped
+    * inside the dedup operator. */
+  def incrementalDedupStream(docs: DataFrame, base: DataFrame,
+                             textCol: String = "text", tsCol: String = "ts",
+                             idCol: String = "doc_id",
+                             lateness: String = "1 hour"): DataFrame = {
+    val baseIdx = base
+      .select(md5(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp").agg(min(col(idCol)).as("base_keep"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs
+      .withColumn("fp", md5(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("fp")
+      .join(baseIdx, Seq("fp"), "left")
+      .select(col(idCol), col("fp"),
+        when(col("base_keep").isNotNull, "dup_of_base")
+          .otherwise("new").as("verdict"),
+        coalesce(col("base_keep"), col(idCol)).as("canonical_id"))
+  }
+
   /** Streaming training-mixture construction — the twin of batch t19:
     * each arriving document is expanded to its deterministic copy count
     * (`graft.ops.Mixture.copies` — ⌊w⌋ epochs + md5-hex-threshold

@@ -456,6 +456,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: base hits labeled, stream repeats dropped") {
+    import spark.implicits._
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = Seq((1L, "alpha beta"), (11L, "gamma delta")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = EventStream.incrementalDedupStream(
+        input.toDF().toDF("doc_id", "text", "ts"), base, lateness = "1 minute")
+      .writeStream.format("memory").queryName("incdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (10L, "alpha beta", ts("2024-01-01 10:00:00")),   // already in base
+        (20L, "epsilon zeta", ts("2024-01-01 10:01:00"))) // new content
+      q.processAllAvailable()
+      input.addData(
+        (30L, "epsilon zeta", ts("2024-01-01 10:02:00")), // repeat across batches
+        (40L, "unique here", ts("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      val got = spark.table("incdedup").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[String]("verdict"), r.getAs[Long]("canonical_id"))).toMap
+      assert(got == Map(
+        10L -> ("dup_of_base", 1L),
+        20L -> ("new", 20L),
+        40L -> ("new", 40L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming mixture expands each doc to the batch copy count, batch-split-invariant") {
     import spark.implicits._
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
