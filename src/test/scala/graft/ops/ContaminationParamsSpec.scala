@@ -88,4 +88,21 @@ class ContaminationParamsSpec extends SparkSpec {
     assert((k, w) == (12, 24),
       s"d08 oracle SQL is baked for (12, 24) but autoParams picked ($k, $w)")
   }
+
+  test("sf0.1 pick pin: autoParams adapts to (16, 32) on the denser corpus") {
+    // The round-8 three-SF sweep found d08's sf0.1 row diverging from the
+    // static oracle by ROW COUNT — adjudicated (ROUND_NOTES r8): the
+    // denser corpus makes 12-char grams less selective, so autoParams
+    // correctly picks longer ones, while the oracle SQL stays baked at
+    // the sf0.01 pick. A matched-(16,32) oracle reproduced Spark's rows
+    // exactly. This pins the adaptive pick so a future change shows up
+    // here as a named failure, not a mystery ledger row.
+    val dir = new java.io.File("/root/testdata/sf0.1")
+    assume(dir.isDirectory)
+    val docs = graft.queries.T.documents(spark, dir.getPath)
+    val (train, test) = split(docs)
+    val (k, w) = Contamination.autoParams(train, test, "text")
+    assert((k, w) == (16, 32),
+      s"sf0.1 adjudication assumed (16, 32) but autoParams picked ($k, $w)")
+  }
 }
