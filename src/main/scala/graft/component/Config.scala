@@ -25,10 +25,17 @@ final case class OutputTable(
     incremental: Boolean = false
 )
 
+final case class OutputFile(
+    source: String,           // file name under out/files to ship
+    tags: List[String] = Nil,
+    isPermanent: Boolean = false
+)
+
 final case class Config(
     blocks: List[Block],
     inputTables: List[InputTable],
     outputTables: List[OutputTable],
+    outputFiles: List[OutputFile] = Nil,
     threads: Option[Int] = None,
     maxMemoryMb: Option[Long] = None,
     duckdbVersion: Option[String] = None,
@@ -106,10 +113,24 @@ object Config {
       case _ => Nil
     }
 
+    val outFiles = (root \ "storage" \ "output" \ "files") match {
+      case JArray(fs) => fs.map { f =>
+        OutputFile(
+          source = str(f \ "source"),
+          tags = (f \ "tags") match {
+            case JArray(ts) => ts.collect { case JString(s) => s }
+            case _ => Nil
+          },
+          isPermanent = bool(f \ "is_permanent", d = false))
+      }
+      case _ => Nil
+    }
+
     Config(
       blocks = blocks,
       inputTables = inTables,
       outputTables = outTables,
+      outputFiles = outFiles,
       threads = (params \ "threads") match {
         case JInt(n) => Some(n.toInt); case _ => None
       },

@@ -84,6 +84,9 @@ object Dialect {
     def flushPlain(): Unit = {
       out.append(plain.toString
         .replaceAll("(?i)::\\s*VARCHAR\\b", "::STRING")
+        // Spark rejects length-less VARCHAR (`CAST(x AS VARCHAR)`, corpus-
+        // wide in the reference fixtures); VARCHAR(n) parses natively
+        .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
         // DuckDB star modifier: SELECT * EXCLUDE (c) ≡ Spark * EXCEPT (c)
         .replaceAll("(?i)\\*\\s*EXCLUDE\\s*\\(", "* EXCEPT("))
       plain.clear()

@@ -83,8 +83,32 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     ExecutionStats(timings.toList)
   }
 
+  /** Leading `--` / block comments stripped, so statement CLASSIFICATION
+    * sees the first keyword (the corpus habitually titles scripts with a
+    * comment line: `-- Export sliced as one table\nCREATE VIEW ...`). */
+  private def stripLeadingComments(stmt: String): String = {
+    var s = stmt
+    var changed = true
+    while (changed) {
+      val t = s.dropWhile(_.isWhitespace)
+      val next =
+        if (t.startsWith("--")) {
+          val nl = t.indexOf('\n')
+          if (nl < 0) "" else t.substring(nl + 1)
+        } else if (t.startsWith("/*")) {
+          val end = t.indexOf("*/", 2)
+          if (end < 0) "" else t.substring(end + 2)
+        } else t
+      changed = next != s
+      s = next
+    }
+    s
+  }
+
   /** Run one rewritten statement against the session catalog. */
-  def runStatement(stmt: String): Unit = stmt match {
+  def runStatement(stmt0: String): Unit = {
+    val stmt = stripLeadingComments(stmt0)
+    stmt match {
     case createView(name, body) =>
       val sanitized = Names.view(name)
       val deps = SqlAnalyzer.analyzeStatement(spark, body).dependencies
@@ -174,6 +198,7 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
           // plain SELECT / SET / etc.: execute for effect + error surfacing
           spark.sql(stmt).queryExecution.assertAnalyzed()
       }
+    }
   }
 
   /** Index of the ')' matching the '(' at `open`, skipping quoted regions. */

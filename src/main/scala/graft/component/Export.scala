@@ -21,23 +21,23 @@ object Export {
 
   def exportAll(spark: SparkSession, dataDir: String, config: Config): Unit = {
     config.outputTables.foreach(t => exportTable(spark, dataDir, t))
-    exportFileManifests(dataDir)
+    exportFileManifests(dataDir, config)
   }
 
-  /** A10: every regular file under out/files (manifests and the warehouse
-    * excluded) gets a file manifest so the platform ships it onward. */
-  def exportFileManifests(dataDir: String): Unit = {
+  /** A10: each CONFIGURED output-file mapping gets a file manifest so the
+    * platform ships it onward (reference `src/component.py:184-194` walks
+    * `files_output_mapping`, not the directory — unmapped files like a
+    * `.gitkeep` are left alone). */
+  def exportFileManifests(dataDir: String, config: Config): Unit = {
     val filesDir = Paths.get(dataDir, "out", "files")
-    if (!Files.isDirectory(filesDir)) return
-    val listing = Files.list(filesDir)
-    try listing.iterator().asScala
-      .filter(p => Files.isRegularFile(p) && !p.toString.endsWith(".manifest"))
-      .foreach { p =>
-        val m = Paths.get(p.toString + ".manifest")
-        if (!Files.exists(m))
-          Files.writeString(m, """{"tags": [], "is_permanent": false}""")
-      }
-    finally listing.close()
+    config.outputFiles.foreach { f =>
+      val m = filesDir.resolve(f.source + ".manifest")
+      Files.createDirectories(filesDir)
+      val tags = f.tags.map(t =>
+        "\"" + t.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+        .mkString("[", ", ", "]")
+      Files.writeString(m, s"""{"tags": $tags, "is_permanent": ${f.isPermanent}}""")
+    }
   }
 
   def exportTable(spark: SparkSession, dataDir: String, out: OutputTable): Unit = {
@@ -48,12 +48,17 @@ object Export {
       Paths.get(dataDir, "out", "tables", out.source + ".manifest"), out, df.schema)
   }
 
-  /** Single CSV file, header row, all fields quoted. */
+  /** Single CSV file, header row, all fields quoted — byte-compatible with
+    * the reference's `COPY ... (HEADER, FORCE_QUOTE *)`. The header line is
+    * written by hand and the data rows headerless: Spark's CSV writer only
+    * emits a header from a non-empty partition, while the reference writes
+    * one for empty results too (every golden fixture of the heavy
+    * `sync_action_execution_plan` case is a header-only file). */
   def writeSingleCsv(df: org.apache.spark.sql.DataFrame, dest: Path): Unit = {
     val tmp = Files.createTempDirectory("graft_csv_")
     val stage = tmp.resolve("stage").toString
     df.coalesce(1).write
-      .option("header", "true")
+      .option("header", "false")
       .option("quoteAll", "true")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .option("dateFormat", "yyyy-MM-dd")
@@ -63,10 +68,16 @@ object Export {
     val part =
       try listing.iterator().asScala
         .find(_.getFileName.toString.startsWith("part-"))
-        .getOrElse(throw new IllegalStateException(s"no part file written in $stage"))
       finally listing.close()
     Files.createDirectories(dest.getParent)
-    Files.move(part, dest, StandardCopyOption.REPLACE_EXISTING)
+    val header = df.columns
+      .map(c => "\"" + c.replace("\"", "\"\"") + "\"")
+      .mkString("", ",", "\n")
+    val out = Files.newOutputStream(dest)
+    try {
+      out.write(header.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      part.foreach(p => Files.copy(p, out)) // zero rows ⇒ no part file
+    } finally out.close()
     // best-effort cleanup of the staging dir
     val walk = Files.walk(tmp)
     try walk.iterator().asScala.toSeq.reverse.foreach(p =>

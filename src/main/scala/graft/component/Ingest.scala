@@ -2,13 +2,23 @@ package graft.component
 
 import java.nio.file.{Files, Path, Paths}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /** Manifest-driven input loading (reference A1–A5, A12,
-  * `src/in_tables_creator.py`):
+  * `src/in_tables_creator.py`, `src/component.py:139-153`):
   *
+  *  - the loader iterates the FILES present under `in/tables/` (every
+  *    regular file / sliced directory with its `.manifest`), not the
+  *    config's input-mapping list — the platform stages files, the mapping
+  *    only renames them. Each file's manifest carries the storage id
+  *    (`"id"` legacy / `"source"` newer); the mapping whose `source`
+  *    equals that id supplies the SQL-visible name (A12) and file type,
+  *    with the bare file name as the no-mapping fallback (the reference's
+  *    `source_to_destination.get(in_table.id) or in_table.name`);
   *  - single CSV: file with header row; declared manifest columns override
   *    the header names, declared base types (default STRING) form the read
   *    schema — an explicit `.schema(...)` is the Spark analogue of the
@@ -17,15 +27,38 @@ import org.apache.spark.sql.types._
   *    manifest (Spark reads multi-file directories natively);
   *  - parquet: a directory of `*.parquet` parts; columns whose KBC metadata
   *    says INTEGER are cast DECIMAL(38,0)→BIGINT at load (Snowflake export
-  *    convention; wide decimals are slow in any engine);
-  *  - the input-mapping `destination` is the SQL-visible name (A12),
-  *    registered as a temp view via [[Names.view]].
+  *    convention; wide decimals are slow in any engine).
   */
 object Ingest {
 
-  def loadAll(spark: SparkSession, dataDir: String, config: Config): Unit =
-    config.inputTables.foreach(t => load(spark, dataDir, t, config.dtypesInfer))
+  def loadAll(spark: SparkSession, dataDir: String, config: Config): Unit = {
+    val tablesDir = Paths.get(dataDir, "in", "tables")
+    if (!Files.isDirectory(tablesDir)) return
+    val bySource = config.inputTables.map(t => t.source -> t).toMap
+    val listing = Files.list(tablesDir)
+    val entries =
+      try listing.iterator().asScala.toList.sortBy(_.getFileName.toString)
+      finally listing.close()
+    entries
+      .filter { p =>
+        val n = p.getFileName.toString
+        !n.endsWith(".manifest") && !n.startsWith(".")
+      }
+      .foreach { p =>
+        val manifest = Manifest.readInput(Paths.get(p.toString + ".manifest"))
+        val storageId = manifest.id.getOrElse(p.getFileName.toString)
+        val mapping = bySource.get(storageId)
+        val name = mapping.map(_.destination).getOrElse(p.getFileName.toString)
+        val fileType = mapping.map(_.fileType).getOrElse("csv")
+        val df =
+          if (fileType.equalsIgnoreCase("parquet")) loadParquet(spark, p, manifest)
+          else loadCsv(spark, p, manifest, config.dtypesInfer)
+        df.createOrReplaceTempView(Names.view(name))
+      }
+  }
 
+  /** Load one staged file as `t.destination` (direct-path entry used by
+    * suites; [[loadAll]] resolves real runs by storage id). */
   def load(spark: SparkSession, dataDir: String, t: InputTable,
            dtypesInfer: Boolean): DataFrame = {
     val path = Paths.get(dataDir, "in", "tables", t.destination)

@@ -20,7 +20,8 @@ final case class InManifest(
     columns: List[String],           // declared column names ([] = CSV has header)
     columnTypes: Map[String, String],// name → base type, when declared
     delimiter: String = ",",
-    enclosure: String = "\"")
+    enclosure: String = "\"",
+    id: Option[String] = None)       // storage table id ("id" or "source" key)
 
 object Manifest {
   private implicit val formats: Formats = DefaultFormats
@@ -94,7 +95,14 @@ object Manifest {
       columns = if (columns.nonEmpty) columns else schemaCols,
       columnTypes = fromMeta ++ fromSchema,
       delimiter = (root \ "delimiter") match { case JString(s) if s.nonEmpty => s; case _ => "," },
-      enclosure = (root \ "enclosure") match { case JString(s) if s.nonEmpty => s; case _ => "\"" })
+      enclosure = (root \ "enclosure") match { case JString(s) if s.nonEmpty => s; case _ => "\"" },
+      // storage id: legacy manifests say "id", newer ones "source"
+      // (both generations appear in the reference's own fixtures)
+      id = ((root \ "id"), (root \ "source")) match {
+        case (JString(s), _) if s.nonEmpty => Some(s)
+        case (_, JString(s)) if s.nonEmpty => Some(s)
+        case _ => None
+      })
   }
 
   /** Declared-else-inferred schema (A5): None ⇒ let the reader infer. */
@@ -103,18 +111,23 @@ object Manifest {
     else Some(StructType(m.columns.map(c =>
       StructField(c, baseToSpark(m.columnTypes.getOrElse(c, "STRING"))))))
 
-  /** Write the output-table manifest (shape per FIXTURES.md §"Output-manifest"). */
+  /** Write the output-table manifest, byte-identical to the reference's
+    * (`tests/functional/<case>/expected/data/out/tables/<t>.manifest`): one line,
+    * `json.dumps` separators (`", "` / `": "`), fixed key order,
+    * `primary_key` present only when non-empty, every column
+    * `"nullable": true` (the reference builds each ColumnDefinition from
+    * DESCRIBE output without nullability, `src/component.py:162-173`), and
+    * no trailing newline. */
   def writeOutput(path: Path, out: OutputTable, schema: StructType): Unit = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val cols = schema.fields.map { f =>
-      s"""{"name": ${q(f.name)}, "data_type": {"base": {"type": ${q(sparkToBase(f.dataType))}}}, "nullable": ${f.nullable}}"""
+      s"""{"name": ${q(f.name)}, "data_type": {"base": {"type": ${q(sparkToBase(f.dataType))}}}, "nullable": true}"""
     }.mkString("[", ", ", "]")
-    val pk = out.primaryKey.map(q).mkString("[", ", ", "]")
+    val pk =
+      if (out.primaryKey.isEmpty) ""
+      else s""", "primary_key": ${out.primaryKey.map(q).mkString("[", ", ", "]")}"""
     val json =
-      s"""{"destination": ${q(out.destination)}, "incremental": ${out.incremental},
-         | "primary_key": $pk, "write_always": false, "delimiter": ",",
-         | "enclosure": "\\"", "manifest_type": "out", "has_header": true,
-         | "schema": $cols}""".stripMargin
+      s"""{"destination": ${q(out.destination)}, "incremental": ${out.incremental}$pk, "write_always": false, "delimiter": ",", "enclosure": "\\"", "manifest_type": "out", "has_header": true, "schema": $cols}"""
     Files.createDirectories(path.getParent)
     Files.writeString(path, json)
   }

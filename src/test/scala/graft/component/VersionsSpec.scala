@@ -13,9 +13,10 @@ class VersionsSpec extends AnyFunSuite {
   }
 
   test("a supported version resolves to itself") {
-    val v = Versions.Supported.head
-    assert(Versions.resolve(v) == v)
-    assert(!Versions.isFallback(v))
+    Versions.Supported.foreach { v =>
+      assert(Versions.resolve(v) == v)
+      assert(!Versions.isFallback(v))
+    }
   }
 
   test("an unsupported version falls back to the default, flagged") {
@@ -23,7 +24,10 @@ class VersionsSpec extends AnyFunSuite {
     assert(Versions.isFallback("0.0.1-nope"))
   }
 
-  test("the default is the running Spark in this single-engine build") {
-    assert(Versions.Default == org.apache.spark.SPARK_VERSION)
+  test("the registry mirrors the reference's supported set and default") {
+    // reference versions.py:19-24: {1.5.2, 1.4.4}, default = highest
+    assert(Versions.Supported == Set("1.5.2", "1.4.4"))
+    assert(Versions.Default == "1.5.2")
+    assert(Versions.reportedVersion("1.4.4") == "v1.4.4")
   }
 }
