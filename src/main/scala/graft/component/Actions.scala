@@ -15,8 +15,9 @@ object Actions {
   /** syntax_check (A18): every statement must parse; plus the reference's
     * heuristic lints that survive translation. */
   def syntaxCheck(spark: SparkSession, config: Config): List[ValidationIssue] =
-    config.namedScripts.flatMap { case (_, _, name, sql) =>
-      Dialect.prepare(sql).flatMap { stmt =>
+    config.namedScripts.flatMap { s =>
+      val name = s.name
+      Dialect.prepare(s.sql).flatMap { stmt =>
         val parseIssue = Try(spark.sessionState.sqlParser.parsePlan(stmt)) match {
           case Failure(e) => List(ValidationIssue(name, s"parse error: ${e.getMessage}"))
           case Success(_) => Nil
@@ -64,9 +65,7 @@ object Actions {
   /** expected_input_tables (A19): external tables = all deps − all outputs;
     * reported under the user's original names. */
   def expectedInputTables(spark: SparkSession, config: Config): List[String] = {
-    val analyses = config.namedScripts.map { case (_, _, _, sql) =>
-      SqlAnalyzer.analyzeScript(spark, sql)
-    }
+    val analyses = config.namedScripts.map(s => SqlAnalyzer.analyzeScript(spark, s.sql))
     val outs = analyses.flatMap(_.outputs).toSet
     (analyses.flatMap(_.dependencies).toSet -- outs)
       .map(Names.original).toList.sorted
@@ -84,51 +83,152 @@ object Actions {
     ((expected -- available).toList.sorted, (available -- expected).toList.sorted)
   }
 
+  /** expected_input_tables report, matching the reference action's output
+    * (`src/actions/expected_input_tables.py:21-118`): without configured
+    * mappings a comma-separated list; with them the full validation
+    * report (required/available sections + issues). */
+  def expectedInputReport(spark: SparkSession, config: Config): String = {
+    val expected = expectedInputTables(spark, config).toSet
+    if (config.inputTables.isEmpty)
+      return expected.toList.sorted.mkString(", ")
+    val available = config.inputTables.map(t => stripExt(t.destination)).toSet
+    val missing = expected -- available
+    val extra = available -- expected
+    if (expected.isEmpty) return "✅ No input tables required by SQL queries"
+    val lines = scala.collection.mutable.ListBuffer[String]()
+    lines += "📋 **Input Tables Validation Report**"
+    lines += ""
+    lines += s"**Required tables (${expected.size}):**"
+    for (t <- expected.toList.sorted)
+      lines += s"  ${if (available(t)) "✅" else "❌"} `$t`"
+    lines += ""
+    lines += s"**Available tables (${available.size}):**"
+    for (t <- available.toList.sorted)
+      lines += s"  ${if (expected(t)) "✅" else "⚠️"} `$t`"
+    lines += ""
+    if (missing.nonEmpty || extra.nonEmpty) {
+      lines += "**Issues found:**"
+      if (missing.nonEmpty)
+        lines += s"❌ **Missing tables (${missing.size}):** " +
+          missing.toList.sorted.map(t => s"`$t`").mkString(", ")
+      if (extra.nonEmpty)
+        lines += s"⚠️ **Extra tables (${extra.size}):** " +
+          extra.toList.sorted.map(t => s"`$t`").mkString(", ")
+    } else lines += "✅ **All required tables are available!**"
+    lines.mkString("\n")
+  }
+
   /** lineage_visualization (A20): per-table readers/creators + per-query
-    * inputs/outputs. */
+    * flow, byte-matching the reference's markdown
+    * (`src/actions/lineage_visualization.py:50-104`, pinned by its unit
+    * test `tests/unit/test_lineage_visualization_action.py:53-111`). */
   def lineage(spark: SparkSession, config: Config): String = {
     val queries = Planner.analyze(spark, config)
-    val sb = new StringBuilder("# Table Lineage\n\n")
-    val tables = (queries.flatMap(_.dependencies) ++ queries.flatMap(_.outputs)).distinct.sorted
+    val sb = new StringBuilder("# 📊 Data Lineage Visualization\n\n")
+    val tables = (queries.flatMap(_.dependencies) ++ queries.flatMap(_.outputs))
+      .distinct.map(Names.original).sorted
+    sb.append("## 🔗 Table Dependencies\n\n")
     for (t <- tables) {
-      sb.append(s"## ${Names.original(t)}\n")
-      val creators = queries.filter(_.outputs.contains(t)).map(_.name)
-      val readers = queries.filter(_.dependencies.contains(t)).map(_.name)
-      if (creators.nonEmpty) sb.append(s"- created by: ${creators.mkString(", ")}\n")
-      if (readers.nonEmpty) sb.append(s"- read by: ${readers.mkString(", ")}\n")
-      sb.append("\n")
+      sb.append(s"### 📋 $t\n\n")
+      val readers = queries.filter(_.dependencies.map(Names.original).contains(t))
+      if (readers.nonEmpty) {
+        sb.append("**Read by:**\n")
+        for (r <- readers)
+          sb.append(s"- `${r.name}` (Block: ${r.block}, Code: ${r.code})\n")
+        sb.append("\n")
+      }
+      val creators = queries.filter(_.outputs.map(Names.original).contains(t))
+      if (creators.nonEmpty) {
+        sb.append("**Created by:**\n")
+        for (c <- creators)
+          sb.append(s"- `${c.name}` (Block: ${c.block}, Code: ${c.code})\n")
+        sb.append("\n")
+      }
     }
-    sb.append("# Queries\n\n")
-    for (q <- queries) {
-      sb.append(s"## ${q.name} (block: ${q.block})\n")
-      sb.append(s"- inputs: ${fmt(q.dependencies)}\n")
-      sb.append(s"- outputs: ${fmt(q.outputs)}\n")
-      sb.append(s"```sql\n${q.sql.trim}\n```\n\n")
+    sb.append("## 📈 Query Flow\n\n")
+    // group queries by block DISPLAY name in first-appearance order, like
+    // the reference's dict grouping
+    val blockNames = queries.map(_.block).distinct
+    for (b <- blockNames) {
+      sb.append(s"### 🧱 $b\n\n")
+      for (q <- queries.filter(_.block == b)) {
+        sb.append(s"#### 🔧 ${q.name}\n\n")
+        sb.append(s"**Code:** ${q.code}\n\n")
+        if (q.dependencies.nonEmpty) {
+          sb.append("**Inputs:**\n")
+          for (d <- q.dependencies.map(Names.original).toList.sorted)
+            sb.append(s"- `$d`\n")
+          sb.append("\n")
+        }
+        if (q.outputs.nonEmpty) {
+          sb.append("**Outputs:**\n")
+          for (o <- q.outputs.map(Names.original).toList.sorted)
+            sb.append(s"- `$o`\n")
+          sb.append("\n")
+        }
+        sb.append("**SQL:**\n```sql\n")
+        sb.append(q.sql)
+        sb.append("\n```\n\n")
+      }
     }
     sb.toString
   }
 
   /** execution_plan_visualization (A21): blocks → batches → queries, built
-    * by the real planner (no engine connection needed). */
+    * by the real planner (no engine connection needed); markdown
+    * byte-matches the reference
+    * (`src/actions/execution_plan_visualization.py:40-93`, pinned by
+    * `tests/unit/test_execution_plan_visualization_action.py:48-62`). */
   def executionPlan(spark: SparkSession, config: Config): String = {
     val plan = Planner.plan(spark, config)
-    val sb = new StringBuilder("# Execution Plan\n\n")
-    for (b <- plan.blocks) {
-      sb.append(s"## Block: ${b.name}\n")
+    val queries = plan.blocks.flatMap(_.batches).flatMap(_.queries)
+    val allInOrder = Planner.analyze(spark, config)
+    val maxWorkers = SystemResources.resolveThreads(config.threads)
+    val sb = new StringBuilder("# 🚀 Execution Plan Visualization\n\n")
+    sb.append("## 📊 Execution Summary\n\n")
+    sb.append(s"- **Total Queries:** ${queries.size}\n")
+    sb.append(s"- **Total Batches:** ${plan.blocks.map(_.batches.size).sum}\n")
+    sb.append(s"- **Total Blocks:** ${plan.blocks.size}\n")
+    sb.append(s"- **Max Parallel Workers:** $maxWorkers\n\n")
+    sb.append("## 🔄 Execution Flow\n\n")
+    for ((b, bi) <- plan.blocks.zipWithIndex) {
+      sb.append(s"### 🧱 Block ${bi + 1}: ${b.name}\n\n")
+      val nq = b.batches.map(_.queries.size).sum
+      sb.append(s"**Block contains ${b.batches.size} batches with $nq queries total**\n\n")
       for ((batch, i) <- b.batches.zipWithIndex) {
-        val mode = if (batch.queries.sizeIs > 1) "parallel" else "sequential"
-        sb.append(s"- batch ${i + 1} ($mode): ${batch.queries.map(_.name).mkString(", ")}\n")
+        if (batch.queries.sizeIs == 1)
+          sb.append(s"#### 🔄 Batch ${i + 1} (Sequential - 1 query)\n\n")
+        else
+          sb.append(s"#### ⚡ Batch ${i + 1} (Parallel - ${batch.queries.size} queries)\n\n")
+        for (q <- batch.queries) {
+          sb.append(s"- **${q.name}** (Code: ${q.code})\n")
+          if (q.dependencies.nonEmpty)
+            sb.append(s"  - Dependencies: `${q.dependencies.map(Names.original).toList.sorted.mkString(", ")}`\n")
+          if (q.outputs.nonEmpty)
+            sb.append(s"  - Outputs: `${q.outputs.map(Names.original).toList.sorted.mkString(", ")}`\n")
+          sb.append("\n")
+        }
       }
-      sb.append("\n")
+      sb.append("---\n\n")
     }
-    sb.append("## Dependencies\n")
-    for (q <- plan.blocks.flatMap(_.batches).flatMap(_.queries)
-           if q.dependencies.nonEmpty)
-      sb.append(s"- ${q.name} ← ${fmt(q.dependencies)}\n")
+    sb.append("## 🔍 Dependency Analysis\n\n")
+    for (q <- allInOrder) {
+      sb.append(s"### 📋 ${q.name}\n\n")
+      sb.append(s"**Block:** ${q.block}\n")
+      sb.append(s"**Code:** ${q.code}\n\n")
+      if (q.dependencies.nonEmpty) {
+        sb.append("**Dependencies:**\n")
+        for (d <- q.dependencies.map(Names.original).toList.sorted)
+          sb.append(s"- `$d`\n")
+        sb.append("\n")
+      }
+      if (q.outputs.nonEmpty) {
+        sb.append("**Outputs:**\n")
+        for (o <- q.outputs.map(Names.original).toList.sorted)
+          sb.append(s"- `$o`\n")
+        sb.append("\n")
+      }
+    }
     sb.toString
   }
-
-  private def fmt(names: Set[String]): String =
-    if (names.isEmpty) "(none)"
-    else names.toList.sorted.map(Names.original).mkString(", ")
 }

@@ -42,7 +42,7 @@ object Component {
         return RunResult(ExecutionStats(Nil), Some(out))
       case Some("expected_input_tables") =>
         return RunResult(ExecutionStats(Nil),
-          Some(Actions.expectedInputTables(spark, config).mkString("\n")))
+          Some(Actions.expectedInputReport(spark, config)))
       case Some("lineage_visualization") =>
         return RunResult(ExecutionStats(Nil), Some(Actions.lineage(spark, config)))
       case Some("execution_plan_visualization") =>

@@ -25,6 +25,14 @@ final case class OutputTable(
     incremental: Boolean = false
 )
 
+final case class NamedScript(
+    blockIdx: Int,    // positional block identity (names may repeat)
+    block: String,    // block display name
+    code: String,     // code display name
+    name: String,     // query name ({code} or {code}_{i})
+    sql: String
+)
+
 final case class OutputFile(
     source: String,           // file name under out/files to ship
     tags: List[String] = Nil,
@@ -45,16 +53,17 @@ final case class Config(
     action: Option[String] = None
 ) {
   /** Flatten to named queries: `{code}` for single-script codes,
-    * `{code}_{i}` for multi-script (reference `src/sql_parser.py:146-160`).
+    * `{code}_{i}` (ZERO-based) for multi-script (reference
+    * `src/sql_parser.py:146-160`: `f"{code.name}_{script_index}"`).
     * Blocks are identified POSITIONALLY (index) — two config blocks may
     * legally share a display name and must still run as separate blocks. */
-  def namedScripts: List[(Int, String, String, String)] = // (blockIdx, blockName, queryName, sql)
+  def namedScripts: List[NamedScript] =
     for {
       (b, bi) <- blocks.zipWithIndex
       c <- b.codes
       (sql, i) <- c.script.zipWithIndex
-      name = if (c.script.sizeIs > 1) s"${c.name}_${i + 1}" else c.name
-    } yield (bi, b.name, name, sql)
+      name = if (c.script.sizeIs > 1) s"${c.name}_$i" else c.name
+    } yield NamedScript(bi, b.name, c.name, name, sql)
 }
 
 object Config {

@@ -73,7 +73,7 @@ object Dialect {
   /** Rewrite one DuckDB statement into Spark SQL. Textual rewrites
     * (`::VARCHAR`, `* EXCLUDE (`) apply only OUTSIDE quoted regions. */
   def rewrite(stmt0: String): String = {
-    val stmt = rewriteQualify(rewriteDistinctOn(stmt0))
+    val stmt = rewriteQualify(rewriteDistinctOn(rewriteWithCreate(stmt0)))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position
@@ -149,6 +149,24 @@ object Dialect {
     }
     flushPlain()
     out.toString
+  }
+
+  /** `WITH <ctes> CREATE TABLE|VIEW t AS <query>` hoists the CTE clause
+    * into the CREATE body (`CREATE ... AS WITH <ctes> <query>`) — a lenient
+    * shape sqlglot accepts and the reference's own lineage unit test uses
+    * (`tests/unit/test_lineage_visualization_action.py:16-25`); Spark's
+    * parser (like DuckDB's executor, in fact) wants the CTEs inside. */
+  private def rewriteWithCreate(stmt0: String): String = {
+    val masked = maskQuoted(stmt0)
+    if (!"(?is)^\\s*WITH\\b".r.findFirstIn(masked).isDefined) return stmt0
+    val dep = depths(masked)
+    val create = "(?i)\\bCREATE\\b".r.findAllMatchIn(masked)
+      .find(m => dep(m.start) == 0).getOrElse(return stmt0)
+    val withPart = stmt0.substring(0, create.start).trim
+    val rest = stmt0.substring(create.start)
+    val header = "(?is)^(CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TABLE|VIEW)\\s+\\S+\\s+AS\\s+)".r
+      .findFirstMatchIn(rest).getOrElse(return stmt0)
+    rest.substring(0, header.end) + withPart + "\n" + rest.substring(header.end)
   }
 
   /** Paren depth at every masked-text position (the paren chars

@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
 final case class Query(
     blockIdx: Int,    // positional block identity (names may repeat)
     block: String,    // display name
+    code: String,     // code display name (reports cite Block + Code)
     name: String,
     sql: String,
     statements: List[String], // rewritten, one per statement
@@ -31,9 +32,9 @@ class UserException(msg: String) extends RuntimeException(msg)
 object Planner {
 
   def analyze(spark: SparkSession, config: Config): List[Query] =
-    config.namedScripts.map { case (blockIdx, block, name, sql) =>
-      val a = SqlAnalyzer.analyzeScript(spark, sql)
-      Query(blockIdx, block, name, sql, Dialect.prepare(sql),
+    config.namedScripts.map { s =>
+      val a = SqlAnalyzer.analyzeScript(spark, s.sql)
+      Query(s.blockIdx, s.block, s.code, s.name, s.sql, Dialect.prepare(s.sql),
         a.dependencies, a.outputs, a.statementType)
     }
 

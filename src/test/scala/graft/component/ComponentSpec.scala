@@ -183,11 +183,12 @@ class ComponentSpec extends SparkSpec {
     assert(Actions.expectedInputTables(spark, config) == List("external_src", "other_ext"))
 
     val lineage = Actions.lineage(spark, config)
-    assert(lineage.contains("## mid") && lineage.contains("created by: q1"))
-    assert(lineage.contains("read by: q2"))
+    assert(lineage.contains("### 📋 mid"))
+    assert(lineage.contains("**Created by:**\n- `q1` (Block: b, Code: q1)"))
+    assert(lineage.contains("**Read by:**\n- `q2` (Block: b, Code: q2)"))
 
     val planMd = Actions.executionPlan(spark, config)
-    assert(planMd.contains("batch 1") && planMd.contains("q1"))
+    assert(planMd.contains("Batch 1") && planMd.contains("q1"))
 
     val bad = Config.parse(cfgJson.replace("SELECT * FROM mid", "SELEC * FRM ((mid"))
     assert(Actions.syntaxCheck(spark, bad).nonEmpty)
