@@ -666,7 +666,61 @@ object TextQ {
   private def inList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** t17 oracle: the BPE trainer's iterated argmax, UNROLLED to `merges`
+    * chained CTE steps (a recursive CTE cannot aggregate over its own
+    * working table, and the merge count is a fixed parameter — so the
+    * oracle generates stepwise SQL the way t20's encode oracle inlines its
+    * merge table). Per step K: pair counts over the current per-word
+    * symbol states weighted by word count (ALL adjacent pairs, overlaps
+    * included — the trainer counts the same), argmax with the trainer's
+    * exact tie order (count desc, then left, then right, in DuckDB's
+    * binary/UTF-8 default collation = Spark's string order), then one
+    * flagless greedy non-overlapping merge pass (t20's list_reduce idiom).
+    * chr(31) separates symbols; the corpus is letters-only so no symbol
+    * can contain it. */
+  private def bpeTrainOracle(merges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH v AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |  WHERE word <> '' GROUP BY word),
+        |s0 AS (SELECT word, cnt,
+        |              array_to_string(string_split(word, ''), chr(31)) AS state
+        |       FROM v)""".stripMargin)
+    for (k <- 1 to merges) {
+      val prev = s"s${k - 1}"
+      sb.append(s""",
+        |p$k AS (
+        |  SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+        |    SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i + 1 AS INT)] AS r, cnt
+        |    FROM (SELECT string_split(state, chr(31)) AS syms, cnt FROM $prev) t,
+        |         UNNEST(range(1, len(syms))) u(i))
+        |  GROUP BY l, r),
+        |m$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+        |s$k AS (
+        |  SELECT word, cnt,
+        |    CASE WHEN contains(chr(31) || state || chr(31),
+        |                       chr(31) || m.l || chr(31) || m.r || chr(31))
+        |         THEN list_reduce(string_split(state, chr(31)),
+        |           (acc, x) -> CASE WHEN (acc = m.l OR ends_with(acc, chr(31) || m.l))
+        |                                 AND x = m.r
+        |                            THEN left(acc, length(acc) - length(m.l)) || m.l || m.r
+        |                            ELSE acc || chr(31) || x END)
+        |         ELSE state END AS state
+        |  FROM $prev CROSS JOIN m$k m)""".stripMargin)
+    }
+    sb.append("\nSELECT * FROM (\n")
+    sb.append((1 to merges).map { k =>
+      s"""  SELECT CAST(${k - 1} AS BIGINT) AS step, l AS "left", r AS "right",
+         |         c AS pair_count FROM m$k""".stripMargin
+    }.mkString("\n  UNION ALL\n"))
+    sb.append("\n) ORDER BY step")
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
+    "t17_bpe_merges" -> bpeTrainOracle(10),
     "t18_heldout_logprob" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
         |                  substring(md5(doc_id || ':graft'), 1, 4) AS h
