@@ -339,7 +339,47 @@ object DedupQ {
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  /** d08 oracle rendered from the SAME (k, window) the Spark side picked
+    * for this process's verify dir (autoParams is corpus-adaptive; a
+    * static SQL baked at one SF permanently mismatches every other SF —
+    * the round-8 ledger carried exactly that adjudication). Verify dumps
+    * `oracleSql` AFTER running the queries, so the memoized pick is
+    * available; with no run recorded (or several dirs in one test JVM)
+    * it falls back to sf0.01's pinned (12, 24). */
+  private def d08OracleSql: String = {
+    val (k, w) = d08Params.values.toList match {
+      case (k0, w0) :: Nil => (k0, w0)
+      case _ => (12, 24)
+    }
+    s"""WITH g AS (
+       |  SELECT doc_id, doc_id % 10 = 0 AS is_test, i, len(text) - $k + 1 AS n,
+       |         ('0x' || substr(md5(substr(text, CAST(i AS INT), $k)), 17, 16))::UBIGINT AS u
+       |  FROM documents, UNNEST(range(1, len(text) - $k + 2)) t(i)),
+       |h AS (
+       |  SELECT doc_id, is_test, i, n,
+       |         CAST(u::HUGEINT - CASE WHEN u >= 9223372036854775808::UBIGINT
+       |              THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS hv
+       |  FROM g),
+       |wm AS (
+       |  SELECT doc_id, is_test, i, n,
+       |         min(hv) OVER (PARTITION BY doc_id ORDER BY i
+       |                       ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS m
+       |  FROM h),
+       |fps AS (
+       |  SELECT DISTINCT doc_id, is_test, m AS fp FROM wm WHERE n > $w AND i <= n - $w + 1
+       |  UNION
+       |  SELECT doc_id, is_test, min(hv) AS fp FROM h WHERE n <= $w GROUP BY doc_id, is_test)
+       |SELECT tr.doc_id AS train_id, te.doc_id AS test_id, COUNT(*) AS shared_fps
+       |FROM fps tr JOIN fps te ON tr.fp = te.fp AND NOT tr.is_test AND te.is_test
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 10
+       |ORDER BY train_id, test_id""".stripMargin
+  }
+
+  /** A def, not a val: d08's entry renders from the run's adaptive pick
+    * (see [[d08OracleSql]]), so the dump must happen after the queries. */
+  def oracles: Map[String, String] = staticOracles + ("d08_contamination" -> d08OracleSql)
+
+  private val staticOracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY fp""".stripMargin,
@@ -494,32 +534,6 @@ object DedupQ {
         |       WHEN cl.cluster_keep IS NOT NULL THEN cl.cluster_keep
         |       ELSE ex.doc_id END AS canonical_id
         |FROM ex LEFT JOIN cl USING (doc_id) ORDER BY doc_id""".stripMargin,
-
-    // d08: winnow fingerprints (k=12, window=24 — autoParams' pinned pick
-    // at oracle scale) per train/test doc, join on fp, count shared ≥ 10.
-    "d08_contamination" ->
-      """WITH g AS (
-        |  SELECT doc_id, doc_id % 10 = 0 AS is_test, i, len(text) - 12 + 1 AS n,
-        |         ('0x' || substr(md5(substr(text, CAST(i AS INT), 12)), 17, 16))::UBIGINT AS u
-        |  FROM documents, UNNEST(range(1, len(text) - 12 + 2)) t(i)),
-        |h AS (
-        |  SELECT doc_id, is_test, i, n,
-        |         CAST(u::HUGEINT - CASE WHEN u >= 9223372036854775808::UBIGINT
-        |              THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS hv
-        |  FROM g),
-        |wm AS (
-        |  SELECT doc_id, is_test, i, n,
-        |         min(hv) OVER (PARTITION BY doc_id ORDER BY i
-        |                       ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS m
-        |  FROM h),
-        |fps AS (
-        |  SELECT DISTINCT doc_id, is_test, m AS fp FROM wm WHERE n > 24 AND i <= n - 24 + 1
-        |  UNION
-        |  SELECT doc_id, is_test, min(hv) AS fp FROM h WHERE n <= 24 GROUP BY doc_id, is_test)
-        |SELECT tr.doc_id AS train_id, te.doc_id AS test_id, COUNT(*) AS shared_fps
-        |FROM fps tr JOIN fps te ON tr.fp = te.fp AND NOT tr.is_test AND te.is_test
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 10
-        |ORDER BY train_id, test_id""".stripMargin,
 
     "d06_embedding_dup" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id

@@ -606,7 +606,14 @@ object TextQ {
     //    slices' counts come from one conditional aggregate (sum(when)),
     //    totals ride a broadcast scalar; no joins.
     "t22_term_drift" -> ((s, d) => {
-      val isNew = substring(col("source"), 4, 10).cast(IntegerType) >= 10
+      // DuckDB's CAST errors on a malformed source suffix; a bare Spark
+      // cast would silently null (term counted in NEITHER slice) — match
+      // the oracle's strictness so the engines cannot quietly diverge
+      val parsedNum = substring(col("source"), 4, 10).cast(IntegerType)
+      val isNew = when(parsedNum.isNull,
+          raise_error(concat(lit("t22: non-numeric source suffix in "),
+            col("source"))).cast(BooleanType))
+        .otherwise(parsedNum >= 10)
       val counts = T.documents(s, d)
         .select(isNew.as("is_new"), explode(split(col("text"), " ")).as("term"))
         .filter(col("term") =!= "")
@@ -614,19 +621,25 @@ object TextQ {
         .agg(
           sum(when(!col("is_new"), 1L).otherwise(0L)).as("cnt_old"),
           sum(when(col("is_new"), 1L).otherwise(0L)).as("cnt_new"))
+      // totals via a broadcast cross-join of the same counts relation
+      // (the oracle's CROSS JOIN tot shape): declarative, no eager
+      // collect at construction time, and the exchange under the 1-row
+      // aggregate is reused rather than recomputed from the scan
       val tot = counts.agg(
         sum(col("cnt_old")).as("t_old"),
         sum(col("cnt_new")).as("t_new"),
-        count(lit(1)).as("v")).collect()(0)
-      val (tOld, tNew, v) = (tot.getLong(0), tot.getLong(1), tot.getLong(2))
-      counts.select(col("term"), col("cnt_old"), col("cnt_new"),
-        ((col("cnt_old") + lit(1)).cast(DoubleType) / lit(tOld + v)).as("p"),
-        ((col("cnt_new") + lit(1)).cast(DoubleType) / lit(tNew + v)).as("q"),
-        round(
-          (col("cnt_old") + lit(1)).cast(DoubleType) / lit(tOld + v) *
-            log((col("cnt_old") + lit(1)).cast(DoubleType) / lit(tOld + v) /
-              ((col("cnt_new") + lit(1)).cast(DoubleType) / lit(tNew + v))),
-          6).as("kl_term"))
+        count(lit(1)).as("v"))
+      val denomOld = col("t_old") + col("v")
+      val denomNew = col("t_new") + col("v")
+      counts.crossJoin(broadcast(tot))
+        .select(col("term"), col("cnt_old"), col("cnt_new"),
+          ((col("cnt_old") + lit(1)).cast(DoubleType) / denomOld).as("p"),
+          ((col("cnt_new") + lit(1)).cast(DoubleType) / denomNew).as("q"),
+          round(
+            (col("cnt_old") + lit(1)).cast(DoubleType) / denomOld *
+              log((col("cnt_old") + lit(1)).cast(DoubleType) / denomOld /
+                ((col("cnt_new") + lit(1)).cast(DoubleType) / denomNew)),
+            6).as("kl_term"))
     }),
 
     // -- tokenize → pack, the actual pre-training data flow: t11's
@@ -646,8 +659,17 @@ object TextQ {
       graft.ops.PrefixSum.exclusive(docs, Seq(col("doc_id")), "n_tokens", "tok_offset")
         .withColumn("seq_id",
           floor(col("tok_offset") / lit(budget.toDouble)).cast("long"))
+        // a zero-token doc (empty/all-space text) occupies no tokens:
+        // end_seq = seq_id — the bare arithmetic underflows to
+        // tok_offset−1 and flags a phantom crosses_cut on an exact
+        // budget boundary (t11 is immune: whitespace split counts ≥ 1).
+        // The oracle carries the same CASE so the differential stays
+        // meaningful rather than mirroring the bug.
         .withColumn("end_seq",
-          floor((col("tok_offset") + col("n_tokens") - 1) / lit(budget.toDouble)).cast("long"))
+          when(col("n_tokens") > 0,
+            floor((col("tok_offset") + col("n_tokens") - 1) / lit(budget.toDouble))
+              .cast("long"))
+            .otherwise(col("seq_id")))
         .withColumn("crosses_cut", col("seq_id") =!= col("end_seq"))
     })
   )
@@ -1113,9 +1135,13 @@ object TextQ {
         |      FROM t)
         |SELECT doc_id, n_tokens, tok_offset,
         |  CAST(floor(tok_offset / 256.0) AS BIGINT) AS seq_id,
-        |  CAST(floor((tok_offset + n_tokens - 1) / 256.0) AS BIGINT) AS end_seq,
+        |  CASE WHEN n_tokens > 0
+        |       THEN CAST(floor((tok_offset + n_tokens - 1) / 256.0) AS BIGINT)
+        |       ELSE CAST(floor(tok_offset / 256.0) AS BIGINT) END AS end_seq,
         |  CAST(floor(tok_offset / 256.0) AS BIGINT)
-        |    <> CAST(floor((tok_offset + n_tokens - 1) / 256.0) AS BIGINT) AS crosses_cut
+        |    <> CASE WHEN n_tokens > 0
+        |            THEN CAST(floor((tok_offset + n_tokens - 1) / 256.0) AS BIGINT)
+        |            ELSE CAST(floor(tok_offset / 256.0) AS BIGINT) END AS crosses_cut
         |FROM o ORDER BY doc_id""".stripMargin,
 
     // t19: identical weight arithmetic (class = src number mod 5, base

@@ -107,13 +107,24 @@ package queries {
         // TIMESTAMP_NTZ by default (Spark ≥3.4), and instant functions
         // (unix_micros & co.) reject NTZ outright — that single schema
         // flip silently killed q35/q43/q56 in round 7. Force the classic
-        // TimestampType reading at the SCAN (both confs are consulted at
-        // DataFrame-creation time): under the UTC session timezone the
-        // NTZ and instant readings carry identical micros, so results are
-        // bit-identical to both prior green states, and the type is fixed
-        // at the source — no cast Project to block pushdown.
-        s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-        s.read.parquet(s"$dir/$name.parquet")
+        // TimestampType reading at the SCAN by re-reading with an
+        // explicit schema that maps every inferred NTZ field to
+        // TimestampType. Scoped to THIS read: no session-conf mutation
+        // (a global inferTimestampNTZ flip would silently change every
+        // later parquet read in the same JVM, and the reader-level
+        // `option("inferTimestampNTZ", …)` is not consulted by the scan).
+        // Under the UTC session timezone the NTZ and instant readings
+        // carry identical micros, so results are bit-identical, and the
+        // type is fixed at the source — no cast Project to block
+        // pushdown.
+        val path = s"$dir/$name.parquet"
+        val raw = s.read.parquet(path)
+        val fixed = org.apache.spark.sql.types.StructType(raw.schema.map { f =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+            f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+          else f
+        })
+        if (fixed == raw.schema) raw else s.read.schema(fixed).parquet(path)
       })
     def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
     def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")

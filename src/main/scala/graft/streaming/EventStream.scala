@@ -24,6 +24,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** Static-side indexes persisted by the stream constructors below
+    * (contamination fingerprints, ANN codebook assignments, boilerplate
+    * grams, dedup base index). Each build registers its handle here so a
+    * long-lived session can release them: constructing a stream twice
+    * would otherwise accumulate orphaned cached RDDs with no unpersist
+    * path. [[releaseStaticIndexes]] is idempotent; indexes persist again
+    * on the next construction. */
+  private val staticIndexes =
+    new scala.collection.mutable.ArrayBuffer[DataFrame]()
+
+  private def persistStatic(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    staticIndexes.synchronized { staticIndexes += p }
+    p
+  }
+
+  /** Unpersist every static index built so far; returns how many. */
+  def releaseStaticIndexes(): Int = staticIndexes.synchronized {
+    val n = staticIndexes.size
+    staticIndexes.foreach(_.unpersist(blocking = false))
+    staticIndexes.clear()
+    n
+  }
+
   /** Tumbling-window counts/sums with late-data handling: the streaming
     * twin of q33_time_bucket. */
   def windowedStats(events: DataFrame,
@@ -182,11 +206,10 @@ object EventStream {
     // distinct over the whole reference corpus re-runs per batch. The
     // distinct fingerprint set is the small derived relation (8-byte keys),
     // exactly what belongs in the block cache for the life of the stream.
-    val refFps = reference
+    val refFps = persistStatic(reference
       .select(explode(graft.functions.TextExprs
         .winnow(col(textCol), k, winnowWindow)).as("fp"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     docs
       .withWatermark(tsCol, lateness)
       .select(col(tsCol), col(idCol),
@@ -408,14 +431,13 @@ object EventStream {
     // one-time driver-side codebook train (s07's trainer: one agg job per
     // Lloyd iteration, ≤ lists rows collected)
     val codebook = graft.ops.KMeans.fit(corpus, idCol, vecCol, lists, iters)
-    val base = corpus
+    val base = persistStatic(corpus
       .select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .filter(col("nvec").isNotNull)
       .withColumn("nnorm", normF32(col("nvec")))
       .filter(col("nnorm") > 0)
       .withColumn("list_id",
-        nearestCentroids(col("nvec"), codebook, 1).getItem(0))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        nearestCentroids(col("nvec"), codebook, 1).getItem(0)))
     val probed = docs
       .withWatermark(tsCol, lateness)
       .select(col(tsCol), col(idCol).as("qid"), col(vecCol).as("qvec"))
@@ -490,14 +512,13 @@ object EventStream {
       s"filter(transform(sequence(1, greatest($nwCol - ${n - 1}, 1)), " +
         s"i -> struct(i AS pos, concat_ws(' ', slice(ws, i, $n)) AS gram)), " +
         s"g -> g.pos <= $nwCol - ${n - 1})")
-    val refGrams = reference
+    val refGrams = persistStatic(reference
       .select(col(idCol).as("rid"), split(col(textCol), " ").as("ws"))
       .withColumn("nw", size(col("ws")))
       .select(col("rid"), explode(gramStructs("nw")).as("g"))
       .select(col("rid"), col("g.gram").as("gram")).distinct()
       .groupBy("gram").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf).select("gram")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(col("df") >= minDf).select("gram"))
     val unionCoverage = expr(
       s"""aggregate(array_sort(ps),
          |  named_struct('prev', -1, 'tot', CAST(0 AS BIGINT)),
@@ -541,10 +562,9 @@ object EventStream {
                              textCol: String = "text", tsCol: String = "ts",
                              idCol: String = "doc_id",
                              lateness: String = "1 hour"): DataFrame = {
-    val baseIdx = base
+    val baseIdx = persistStatic(base
       .select(md5(col(textCol)).as("fp"), col(idCol))
-      .groupBy("fp").agg(min(col(idCol)).as("base_keep"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .groupBy("fp").agg(min(col(idCol)).as("base_keep")))
     docs
       .withColumn("fp", md5(col(textCol)))
       .withWatermark(tsCol, lateness)
