@@ -67,6 +67,8 @@ object Bench {
       .config("spark.locality.wait", "0s")
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
+      .config("spark.sql.optimizer.excludedRules",
+        graft.functions.GraftExtensions.ExcludedOptimizerRules)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -40,6 +40,8 @@ object Main {
       // not defaultParallelism — small intermediate results don't pay a
       // full-width task launch per stage
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.optimizer.excludedRules",
+        graft.functions.GraftExtensions.ExcludedOptimizerRules)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

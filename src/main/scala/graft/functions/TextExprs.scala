@@ -47,6 +47,10 @@ object TextExprs {
   def shingleHashes(text: Column, k: Int): Column =
     GraftSqlBridge.column(ShingleHashes(GraftSqlBridge.expression(text), k))
 
+  /** Every k-shingle occurrence with position — array<struct<pos, gram>>. */
+  def shingleHashesPos(text: Column, k: Int): Column =
+    GraftSqlBridge.column(ShingleHashesPos(GraftSqlBridge.expression(text), k))
+
   /** 64-slot MinHash signature straight from a text column. */
   def minhash64(text: Column, k: Int, coefA: Array[Long], coefB: Array[Long], prime: Long): Column =
     GraftSqlBridge.column(
@@ -239,6 +243,56 @@ case class ShingleHashes(child: Expression, k: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** array<struct<pos:int, gram:bigint>>: EVERY k-word shingle occurrence
+  * with its 1-based word position — the cross-document boilerplate (d11)
+  * occurrence relation. Versus the SQL formulation
+  * (`transform(sequence(...), concat_ws(' ', slice(ws, i, k)))`) this
+  * emits an 8-byte gram identity instead of a string: no per-gram string
+  * materialization, and every downstream exchange/sort/window runs on
+  * longs. Collision odds across distinct grams are ~n²/2⁶⁴ — the same
+  * accepted trade as [[ShingleHashes]]. */
+case class ShingleHashesPos(child: Expression, k: Int)
+    extends UnaryExpression with EvalDelegatingCodegen {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("gram", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "shingle_hashes_pos"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = Words.split(input.asInstanceOf[UTF8String])
+    val n = words.length - (k - 1)
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      var len = k - 1
+      var j = 0
+      while (j < k) { len += words(i + j).numBytes; j += 1 }
+      val bytes = new Array[Byte](len)
+      var off = 0
+      j = 0
+      while (j < k) {
+        if (j > 0) { bytes(off) = ' '; off += 1 }
+        words(i + j).writeToMemory(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + off)
+        off += words(i + j).numBytes
+        j += 1
+      }
+      val h = XXH64.hashUnsafeBytes(bytes,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(i + 1, h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesPos =
     copy(child = newChild)
 }
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{MinHash, Shingles, SimHash, VectorOps}
+import graft.ops.{MinHash, ScaleOps, Shingles, SimHash, VectorOps}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -119,7 +119,9 @@ object DedupQ {
     //    route, the streaming op); the winnowing guarantee itself is
     //    pinned by spec on both variants.
     "d07_winnow" -> ((s, d) =>
-      T.documents(s, d)
+      // winnow costs ~200 ns/byte — ~10× the shingle pass the default
+      // 4 MiB gate was calibrated for, so d07 widens from 256 KiB up
+      ScaleOps.spread(T.documents(s, d), minBytes = 256L << 10)
         .select(col("doc_id"),
           graft.functions.TextExprs.winnowPortable(col("text"), k = 8, window = 16).as("fps"))
         .select(col("doc_id"), explode(col("fps")).as("fp"))
@@ -234,15 +236,17 @@ object DedupQ {
       val w = math.max(1,
         s.conf.get("spark.sql.shuffle.partitions").toInt / 4)
       val docs = T.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .withColumn("n_words", size(col("ws")))
+        .select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).as("n_words"))
       // row-level spread before the explode: the generated-row stage's
-      // cost is grams, which the byte-based scan split cannot see
+      // cost is grams, which the byte-based scan split cannot see.
+      // Gram identity is the 8-byte xxhash (ShingleHashesPos), not the
+      // gram string: the occurrence relation, both window sorts and the
+      // gram exchange all run on longs (the string formulation
+      // materialized ~25 B per gram before any of them).
       val occ = docs.filter(col("n_words") >= n).repartition(w)
-        .select(col("doc_id"), explode(expr(
-          s"transform(sequence(1, n_words - ${n - 1}), " +
-            s"i -> struct(i AS pos, concat_ws(' ', slice(ws, i, $n)) AS gram))"))
-          .as("g"))
+        .select(col("doc_id"),
+          explode(graft.functions.TextExprs.shingleHashesPos(col("text"), n)).as("g"))
         .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
       val wgd = Window.partitionBy("gram", "doc_id").orderBy("pos")
       val wg = Window.partitionBy("gram")

@@ -31,6 +31,8 @@ object Profile {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.sql.optimizer.excludedRules",
+        graft.functions.GraftExtensions.ExcludedOptimizerRules)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
