@@ -91,6 +91,13 @@ object TextExprs {
     GraftSqlBridge.column(
       MarkerCounts(GraftSqlBridge.expression(text), markerSets.map(_.toArray).toArray))
 
+  /** Weighted character-trigram profile scores in one byte pass —
+    * array<int>, one score per profile; see [[CharGramScores]]. */
+  def charGramScores(text: Column, profiles: Seq[Seq[(String, Int)]]): Column =
+    GraftSqlBridge.column(CharGramScores(GraftSqlBridge.expression(text),
+      profiles.map(_.map(_._1).toArray).toArray,
+      profiles.map(_.map(_._2).toArray).toArray))
+
   /** Per-document term frequencies — array<struct<term, tf>> in one pass. */
   def termCounts(text: Column): Column =
     GraftSqlBridge.column(TermCounts(GraftSqlBridge.expression(text)))
@@ -137,6 +144,64 @@ case class MarkerCounts(child: Expression, markerSets: Array[Array[String]])
   }
 
   override protected def withNewChildInternal(newChild: Expression): MarkerCounts =
+    copy(child = newChild)
+}
+
+/** array<int>, one weighted score per language profile: for every byte
+  * position of the text, if the 3 bytes there equal a profile trigram,
+  * that profile's score accrues the trigram's weight. Character-n-gram
+  * frequency profiling is THE classic language-ID method (Cavnar & Trenkle
+  * 1994, public); the profiles here are ASCII trigrams, so byte-level
+  * matching is exact on any UTF-8 text, and every profile gram has first
+  * byte ≠ last byte (no self-overlap), which keeps the occurrence count
+  * identical to replace-based counting — the property the DuckDB oracle
+  * relies on. One pass, one small int-keyed lookup per position, no
+  * tokenization, no allocation. */
+case class CharGramScores(child: Expression,
+                          grams: Array[Array[String]],
+                          weights: Array[Array[Int]])
+    extends UnaryExpression with EvalDelegatingCodegen {
+
+  require(grams.length == weights.length &&
+    grams.zip(weights).forall { case (g, w) => g.length == w.length })
+  require(grams.flatten.forall(g =>
+    g.length == 3 && g.forall(_ < 128) && g.head != g.last),
+    "profile grams must be 3 ASCII bytes with first != last (overlap-free)")
+
+  // packed 3-byte key → (langIdx, weight) pairs, flattened for lookup
+  @transient private lazy val table: java.util.HashMap[Integer, Array[Int]] = {
+    val m = new java.util.HashMap[Integer, Array[Int]]()
+    for (l <- grams.indices; i <- grams(l).indices) {
+      val g = grams(l)(i)
+      val key = (g.charAt(0) << 16) | (g.charAt(1) << 8) | g.charAt(2)
+      val prev = m.getOrDefault(key, Array.emptyIntArray)
+      m.put(key, prev ++ Array(l, weights(l)(i)))
+    }
+    m
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "char_gram_scores"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val scores = new Array[Int](grams.length)
+    var i = 0
+    val n = bytes.length - 2
+    while (i < n) {
+      val key = ((bytes(i) & 0xFF) << 16) | ((bytes(i + 1) & 0xFF) << 8) |
+        (bytes(i + 2) & 0xFF)
+      val hits = table.get(key)
+      if (hits != null) {
+        var j = 0
+        while (j < hits.length) { scores(hits(j)) += hits(j + 1); j += 2 }
+      }
+      i += 1
+    }
+    new GenericArrayData(scores)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramScores =
     copy(child = newChild)
 }
 

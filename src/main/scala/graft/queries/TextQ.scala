@@ -27,13 +27,20 @@ object TextQ {
   private val jsonlCache =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Tiny per-language marker-word profiles. Real deployments plug in
-    * n-gram frequency profiles; the *mechanism* (count markers per
-    * language, deterministic argmax) is what scales — one pass, no UDF. */
-  val markers: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "table", "row"),
-    "es" -> Seq("scan", "merge", "data"),
-    "de" -> Seq("hash", "join", "stream"))
+  /** Per-language character-trigram frequency profiles (Cavnar & Trenkle
+    * 1994 n-gram profiling; trigram choices are standard high-frequency
+    * grams of each language — public linguistic knowledge). Weights are
+    * descending integer ranks so scores stay EXACT across engines.
+    * Constraints (enforced by CharGramScores): 3 ASCII bytes, first ≠
+    * last byte — no profile gram can self-overlap, so position-counting
+    * (Spark) and replace-counting (the DuckDB oracle) agree exactly. */
+  val langProfiles: Seq[(String, Seq[(String, Int)])] = Seq(
+    "en" -> Seq("the" -> 10, " th" -> 9, "he " -> 8, "ing" -> 7, "and" -> 6,
+      "ion" -> 5, "ent" -> 4, " of" -> 3, "ed " -> 2, "is " -> 1),
+    "es" -> Seq("de " -> 10, " de" -> 9, "os " -> 8, "la " -> 7, " la" -> 6,
+      "que" -> 5, " qu" -> 4, "ar " -> 3, "el " -> 2, " es" -> 1),
+    "de" -> Seq("der" -> 10, "ein" -> 9, "ich" -> 8, "sch" -> 7, "die" -> 6,
+      "und" -> 5, "cht" -> 4, "en " -> 3, " ge" -> 2, "ung" -> 1))
 
   /** Occurrence count of `ws` members — one native pass over the words
     * (graft.functions.MarkerCounts; the `filter` HOF is interpreted). */
@@ -85,8 +92,8 @@ object TextQ {
     // -- language ID: marker counts (one native pass for all three
     //    profiles) + deterministic argmax.
     "t03_langid" -> ((s, d) => {
-      val mc = graft.functions.TextExprs.markerCounts(col("text"),
-        Seq(markers("en"), markers("es"), markers("de")))
+      val mc = graft.functions.TextExprs.charGramScores(col("text"),
+        langProfiles.map(_._2))
       byRange(T.documents(s, d), "doc_id")
         .withColumn("__mc", mc)
         .withColumn("s_en", element_at(col("__mc"), 1))
@@ -937,7 +944,14 @@ object TextQ {
          |  FROM documents) t
          |ORDER BY doc_id""".stripMargin,
 
-    "t03_langid" ->
+    // t03: the identical trigram-profile scores via replace-counting —
+    // exact because no profile gram self-overlaps (first byte ≠ last).
+    "t03_langid" -> {
+      def score(profile: Seq[(String, Int)]): String =
+        profile.map { case (g, w) =>
+          val esc = g.replace("'", "''")
+          s"$w * ((length(text) - length(replace(text, '$esc', ''))) // 3)"
+        }.mkString(" + ")
       s"""SELECT doc_id, lang, s_en, s_es, s_de,
          | CASE WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
          |      WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS predicted,
@@ -945,14 +959,12 @@ object TextQ {
          |       WHEN s_es >= s_de THEN 'es' ELSE 'de' END) = lang AS hit
          |FROM (
          |  SELECT doc_id, lang, text,
-         |    CAST(len(list_filter(string_split(text, ' '),
-         |         w -> w IN ${inList(markers("en"))})) AS INT) AS s_en,
-         |    CAST(len(list_filter(string_split(text, ' '),
-         |         w -> w IN ${inList(markers("es"))})) AS INT) AS s_es,
-         |    CAST(len(list_filter(string_split(text, ' '),
-         |         w -> w IN ${inList(markers("de"))})) AS INT) AS s_de
+         |    CAST(${score(langProfiles(0)._2)} AS INT) AS s_en,
+         |    CAST(${score(langProfiles(1)._2)} AS INT) AS s_es,
+         |    CAST(${score(langProfiles(2)._2)} AS INT) AS s_de
          |  FROM documents) t
-         |ORDER BY doc_id""".stripMargin,
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "t04_doc_stats" -> Oracle.t04,
 
