@@ -283,4 +283,39 @@ object VectorOps {
       .filter(col("rk") <= k)
       .select(col("qid"), col("nid"), col("rk").cast("int").as("rk"), col("cos"))
   }
+
+  /** SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023): assign every
+    * vector to its max-cosine codebook centroid (ties to the lower
+    * centroid ordinal — NearestCentroids, one map-side native pass over
+    * the literal codebook, no join), then flag near-duplicates ONLY
+    * within a cluster: a vector is a dup iff a LOWER-id cluster-mate
+    * sits at cosine ≥ tau, canonical = min such id (integer argmin — no
+    * float ordering in the verdict). The intra-cluster bound is what
+    * makes embedding dedup tractable at corpus scale: quadratic inside a
+    * cell, never across, and cells shrink as the codebook grows with n.
+    * One cluster-keyed exchange for the pair join; the codebook is a
+    * driver-side model artifact (s07's k-means output, or any
+    * deterministic pick for an oracle-able run).
+    *
+    * Output: idCol, cluster_id (codebook ordinal), is_dup, dup_of. */
+  def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
+                    codebook: Array[Array[Double]], tau: Double): DataFrame = {
+    val assigned = vecs.withColumn("cluster_id", element_at(
+      graft.functions.VectorExprs.nearestCentroids(col(vecCol), codebook, 1), 1))
+    val v = withNorm(assigned, vecCol)
+    val a = v.select(col("cluster_id").as("__ca"), col(idCol).as("a_id"),
+      col(vecCol).as("va"), col("_norm").as("na"))
+    val b = v.select(col("cluster_id").as("__cb"), col(idCol).as("b_id"),
+      col(vecCol).as("vb"), col("_norm").as("nb"))
+    val dups = a.join(b, col("__ca") === col("__cb") && col("a_id") < col("b_id"))
+      .withColumn("cos", cosineFromParts(dot(col("va"), col("vb")),
+        col("na"), col("nb")))
+      .filter(col("cos") >= tau)
+      .groupBy(col("b_id").as(idCol))
+      .agg(min(col("a_id")).as("dup_of"))
+    assigned.select(col(idCol), col("cluster_id"))
+      .join(dups, Seq(idCol), "left_outer")
+      .select(col(idCol), col("cluster_id"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
 }

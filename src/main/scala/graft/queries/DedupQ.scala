@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{MinHash, ScaleOps, Shingles, SimHash, VectorOps}
+import graft.ops.{MinHash, ScaleOps, Shingles, SimHash, SpanDedup, VectorOps}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
 
@@ -340,7 +340,34 @@ object DedupQ {
           when(col("keep_id").isNull || col("doc_id") === col("keep_id"), "keep")
             .otherwise("drop_near").as("verdict"),
           coalesce(col("keep_id"), col("doc_id")).as("canonical_id"))
-    })
+    }),
+
+    // -- SEMANTIC dedup (VectorOps.semanticDedup — cluster the embedding
+    //    space, near-dup only within a cluster). Centroids are the 8
+    //    lowest-id vectors instead of a trained k-means codebook (s07) so
+    //    the op stays oracle-able — swapping in s07's output is a
+    //    one-line change that alters no plan shape; the 8-row collect is
+    //    bounded by the cell count (a codebook is a driver-side model
+    //    artifact, same as any trained index). τ = 0.4 is the d06
+    //    threshold, chosen away from the cosine mass so both engines
+    //    agree on the cut; the ASSIGNMENT margin (top-2 centroid gap ≫
+    //    f32 error) is pinned by SemanticDedupSpec.
+    "d14_semantic_dedup" -> ((s, d) => {
+      val emb = T.embeddings(s, d).select("vec_id", "embedding")
+      val cb: Array[Array[Double]] = emb.orderBy("vec_id").limit(8)
+        .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      VectorOps.semanticDedup(emb, "vec_id", "embedding", cb, tau = 0.4)
+        .orderBy("vec_id")
+    }),
+
+    // -- cross-document SPAN dedup (ops/SpanDedup — the C4 repeated-span
+    //    rule over 10-word chunks, with scrubbed-text reconstruction):
+    //    removes repeated spans WITHIN otherwise-unique documents, the
+    //    gap d01 (whole-doc) and d11 (flag-only) leave open.
+    "d15_span_dedup" -> ((s, d) =>
+      SpanDedup.dedup(T.documents(s, d).select("doc_id", "text"),
+          "doc_id", "text", chunkWords = 10)
+        .orderBy("doc_id"))
   )
 
   /** d08 oracle rendered from the SAME (k, window) the Spark side picked
@@ -384,6 +411,46 @@ object DedupQ {
   def oracles: Map[String, String] = staticOracles + ("d08_contamination" -> d08OracleSql)
 
   private val staticOracles: Map[String, String] = Map(
+    // same fixed-codebook assignment (argmax cosine, ties to the lower
+    // centroid id) and the same intra-cluster lower-id-witness rule; the
+    // float32-vs-double cut safety is the d06 argument, and the ASSIGNMENT
+    // margin is pinned by SemanticDedupSpec (top-2 centroid gap ≫ f32 error)
+    "d14_semantic_dedup" ->
+      """WITH c AS (
+        |  SELECT cid, cvec,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cid) - 1 AS INTEGER) AS cluster_id
+        |  FROM (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        |        ORDER BY vec_id LIMIT 8)),
+        |a AS (
+        |  SELECT vec_id, embedding, cluster_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.cluster_id,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid)
+        |        AS rk
+        |    FROM embeddings e CROSS JOIN c) WHERE rk = 1),
+        |dp AS (
+        |  SELECT y.vec_id, MIN(x.vec_id) AS dup_of
+        |  FROM a x JOIN a y
+        |    ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+        |  WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
+        |  GROUP BY y.vec_id)
+        |SELECT a.vec_id, a.cluster_id, dp.dup_of IS NOT NULL AS is_dup, dp.dup_of
+        |FROM a LEFT JOIN dp USING (vec_id) ORDER BY vec_id""".stripMargin,
+
+    "d15_span_dedup" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |ch AS (
+        |  SELECT doc_id, j AS chunk_idx,
+        |         array_to_string(ws[j*10+1 : j*10+10], ' ') AS chunk
+        |  FROM d, UNNEST(range((len(ws)-1)//10 + 1)) AS t(j)),
+        |f AS (SELECT chunk, MIN(ROW(doc_id, chunk_idx)) AS fo FROM ch GROUP BY chunk)
+        |SELECT ch.doc_id, COUNT(*) AS n_chunks,
+        |  COUNT(*) FILTER (WHERE (ch.doc_id, ch.chunk_idx) = f.fo) AS kept_chunks,
+        |  COALESCE(string_agg(ch.chunk, ' ' ORDER BY ch.chunk_idx)
+        |    FILTER (WHERE (ch.doc_id, ch.chunk_idx) = f.fo), '') AS clean_text
+        |FROM ch JOIN f USING (chunk)
+        |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin,
+
     "d01_dedup_exact" ->
       """SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY fp""".stripMargin,

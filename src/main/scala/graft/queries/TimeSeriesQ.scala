@@ -154,6 +154,35 @@ object TimeSeriesQ {
           coalesce(col("n"), lit(0L)).as("n_follow"),
           coalesce(col("v"), lit(0).cast(DecimalType(18, 2)))
             .cast(DoubleType).as("follow_value"))
+    }),
+
+    // -- trailing band aggregate with ZERO pair materialization: for
+    //    every event, count + exact sum over the preceding 120 s
+    //    (ts − 120 s, ts]. This is the prefix-scan escape hatch the q56
+    //    width audit pointed at: a pair join's intermediate grows with
+    //    density² while this shape stays strictly linear. Bucket + halo
+    //    makes the single range-frame window distributed — each event
+    //    lands in its own W-wide bucket and ships one halo copy to the
+    //    next bucket, so a bucket-B event's trailing window (entirely
+    //    inside buckets B−1..B) is complete within partition B; halo
+    //    rows are dropped after the frame is evaluated. ONE exchange on
+    //    bucket, 2 rows/event, no join. The sum rides DECIMAL(18,2) so
+    //    accumulation order can't drift the hash (q33 precedent); ties
+    //    in ts are frame peers on both engines (RANGE semantics).
+    //    Skew note for 100 TB: bucket width = band width couples
+    //    partition mass to data density; a hotter corpus wants W-wide
+    //    buckets split by a secondary hash with a per-split partial
+    //    prefix merged as-of style — documented, not needed at any
+    //    tested density (uniform here; q56's audit showed band mass
+    //    sublinear in wall).
+    "q57_band_agg" -> ((s, d) => {
+      val e = T.events(s, d).select(
+        col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
+      graft.ops.BandAgg.trailing(e, "event_id", "us", "value",
+          widthUs = 120L * 1000000L)
+        .select(col("event_id"), col("n_band"),
+          col("v_band").cast(DoubleType).as("band_value"))
+        .orderBy("event_id")
     })
   )
 
@@ -206,7 +235,18 @@ object TimeSeriesQ {
         |LEFT JOIN events b
         |  ON epoch_us(b.ts) > epoch_us(a.ts)
         | AND epoch_us(b.ts) <= epoch_us(a.ts) + 120000000
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+
+    // single-threaded global RANGE frame — the brute twin of the
+    // distributed bucket+halo shape
+    "q57_band_agg" ->
+      """SELECT event_id,
+        |  COUNT(*) OVER w AS n_band,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS band_value
+        |FROM events
+        |WINDOW w AS (ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 119999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin
   )
 
 }
