@@ -31,8 +31,10 @@ object Component {
       Files.readString(Paths.get(dataDir, "config.json")))
 
     // graft's native SQL functions (dot_f32, simhash64, ...) are available
-    // to user scripts, like any engine built-in
+    // to user scripts, like any engine built-in — plus the DuckDB names
+    // users carry over from the reference (list_transform, epoch_us, ...)
     graft.functions.GraftExtensions.register(spark)
+    DuckFunctions.register(spark)
 
     config.action match {
       case Some("syntax_check") =>

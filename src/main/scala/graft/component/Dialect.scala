@@ -88,7 +88,12 @@ object Dialect {
         // wide in the reference fixtures); VARCHAR(n) parses natively
         .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
         // DuckDB star modifier: SELECT * EXCLUDE (c) ≡ Spark * EXCEPT (c)
-        .replaceAll("(?i)\\*\\s*EXCLUDE\\s*\\(", "* EXCEPT("))
+        .replaceAll("(?i)\\*\\s*EXCLUDE\\s*\\(", "* EXCEPT(")
+        // struct_pack(a := x, b := y) ≡ named_struct('a', x, 'b', y).
+        // `:=` exists in DuckDB only as struct_pack's binder, so the
+        // name rewrite is safe globally within unquoted text
+        .replaceAll("(?i)\\bstruct_pack\\s*\\(", "named_struct(")
+        .replaceAll("(\\w+)\\s*:=", "'$1',"))
       plain.clear()
     }
 

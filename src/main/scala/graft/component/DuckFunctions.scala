@@ -1,0 +1,128 @@
+package graft.component
+
+import org.apache.spark.sql.{GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+
+/** DuckDB-named function surface for the component's SQL sessions —
+  * dialect breadth BEYOND the reference's own test corpus (the corpus
+  * itself is covered by [[Dialect]] rewrites + Spark's native names).
+  *
+  * The reference hands user SQL to DuckDB verbatim
+  * (`src/query_orchestrator.py:351`), so a user migrating real
+  * transformations will carry DuckDB spellings of functions Spark has
+  * under different names (`list_transform` vs `transform`,
+  * `array_to_string` vs `array_join`, `epoch_us` vs `unix_micros`).
+  * Each entry here is a NAME BINDING to the same codegen'd Catalyst
+  * expression Spark's own name resolves to — no UDFs, no wrappers, the
+  * optimizer sees the native operator. Semantic differences that survive
+  * renaming (1-based inclusive `list_slice` bounds, `list_prepend`'s
+  * element-first argument order, C-style `strftime` codes) are mapped
+  * structurally, not ignored. The surface stays corpus-driven: names are
+  * added when a real query needs them, with a DialectSpec row each. */
+object DuckFunctions {
+
+  /** DuckDB C-style strftime/strptime codes → Spark datetime pattern.
+    * Only literal formats translate (a computed format string would need
+    * a per-row translator — no real transformation does that). */
+  private[component] def translateFormat(fmt: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%' && i + 1 < fmt.length) {
+        fmt.charAt(i + 1) match {
+          case 'Y' => out.append("yyyy")
+          case 'y' => out.append("yy")
+          case 'm' => out.append("MM")
+          case 'd' => out.append("dd")
+          case 'H' => out.append("HH")
+          case 'M' => out.append("mm")
+          case 'S' => out.append("ss")
+          case 'f' => out.append("SSSSSS")
+          case 'g' => out.append("SSS")
+          case 'j' => out.append("DDD")
+          case 'a' => out.append("EEE")
+          case 'b' => out.append("MMM")
+          case '%' => out.append('%')
+          case other => throw new IllegalArgumentException(
+            s"strftime code %$other has no Spark pattern mapping")
+        }
+        i += 2
+      } else if (c.isLetter) {
+        // quote literal text so it survives as-is (e.g. "T" in ISO) —
+        // one quoted run per stretch of letters ('day', not 'd''a''y',
+        // which the formatter reads as embedded escaped quotes)
+        val start = i
+        while (i < fmt.length && fmt.charAt(i).isLetter && fmt.charAt(i) != '%')
+          i += 1
+        out.append('\'').append(fmt.substring(start, i)).append('\'')
+      } else {
+        out.append(c)
+        i += 1
+      }
+    }
+    out.toString
+  }
+
+  private def literalString(e: Expression, fn: String): String = e match {
+    case Literal(v, org.apache.spark.sql.types.StringType) if v != null => v.toString
+    case _ => throw new IllegalArgumentException(
+      s"$fn requires a literal format string")
+  }
+
+  private def arity(name: String, n: Int)(build: Seq[Expression] => Expression)
+      : (String, Seq[Expression] => Expression) =
+    name -> { args =>
+      require(args.length == n, s"$name expects $n arguments, got ${args.length}")
+      build(args)
+    }
+
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // list ↔ array renames (same Catalyst node Spark's own name builds)
+    arity("list_transform", 2)(a => ArrayTransform(a.head, a(1))),
+    arity("list_filter", 2)(a => ArrayFilter(a.head, a(1))),
+    arity("list_distinct", 1)(a => ArrayDistinct(a.head)),
+    arity("list_sort", 1)(a => SortArray(a.head, Literal(true))),
+    arity("list_reverse_sort", 1)(a => SortArray(a.head, Literal(false))),
+    arity("list_contains", 2)(a => ArrayContains(a.head, a(1))),
+    arity("list_has", 2)(a => ArrayContains(a.head, a(1))),
+    arity("list_position", 2)(a => ArrayPosition(a.head, a(1))),
+    arity("list_indexof", 2)(a => ArrayPosition(a.head, a(1))),
+    arity("list_append", 2)(a => ArrayAppend(a.head, a(1))),
+    // DuckDB argument order is (element, list)
+    arity("list_prepend", 2)(a => ArrayPrepend(a(1), a.head)),
+    "list_concat" -> (a => Concat(a)),
+    "list_value" -> (a => CreateArray(a)),
+    arity("array_to_string", 2)(a => ArrayJoin(a.head, a(1), None)),
+    // 1-based INCLUSIVE [begin, end] → Slice(x, begin, end − begin + 1)
+    arity("list_slice", 3)(a =>
+      Slice(a.head, a(1), Add(Subtract(a(2), a(1)), Literal(1)))),
+    // literal (non-regex) separator split — Spark's split() is regex
+    arity("string_split", 2)(a => StringSplitSQL(a.head, a(1))),
+    arity("str_split", 2)(a => StringSplitSQL(a.head, a(1))),
+    arity("string_to_array", 2)(a => StringSplitSQL(a.head, a(1))),
+
+    // vector math over list columns (graft's codegen'd f32/f64 kernels)
+    arity("list_dot_product", 2)(a => graft.functions.DotF32(a.head, a(1))),
+    arity("list_inner_product", 2)(a => graft.functions.DotF32(a.head, a(1))),
+    arity("list_cosine_similarity", 2)(a => {
+      import graft.functions.{DotF32, NormF32}
+      Divide(DotF32(a.head, a(1)), Multiply(NormF32(a.head), NormF32(a(1))))
+    }),
+
+    // epoch extractors
+    arity("epoch_us", 1)(a => UnixMicros(a.head)),
+    arity("epoch_ms", 1)(a => UnixMillis(a.head)),
+
+    // C-style datetime formatting (literal formats only)
+    arity("strftime", 2)(a => DateFormatClass(a.head,
+      Literal(translateFormat(literalString(a(1), "strftime"))))),
+    arity("strptime", 2)(a => new ParseToTimestamp(a.head,
+      Literal(translateFormat(literalString(a(1), "strptime"))))))
+
+  /** Bind every DuckDB name on a running session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, build) =>
+      GraftSqlBridge.registerFunction(spark, name, build)
+    }
+}

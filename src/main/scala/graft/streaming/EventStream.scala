@@ -94,6 +94,42 @@ object EventStream {
       joinType)
   }
 
+  /** Streaming twin of the batch band aggregate (ops/BandAgg, q57): for
+    * every event, count + sum over the trailing `(ts − W, ts]` band of
+    * the WHOLE stream — the same bucket+halo decomposition, realized as
+    * a watermarked stream-stream self-join: the probe side keeps its own
+    * W-wide bucket, the build side ships each event to its own and the
+    * next bucket (the halo), so the band predicate rides an EQUI-join on
+    * bucket (state partitions cleanly; a pure time-range stream join
+    * would compare everything with everything) and each pair can match
+    * on at most one of the two halo copies. The per-event aggregate
+    * groups on the watermarked event time itself, so both stateful
+    * operators (join, agg) evict by the same watermark; results emit on
+    * append once the event's band can no longer grow. Self-inclusive
+    * like the batch op (every event matches its own build copy). */
+  def bandAgg(events: DataFrame, widthSeconds: Int = 120,
+              lateness: String = "10 minutes"): DataFrame = {
+    val w = widthSeconds.toLong * 1000000L
+    val probe = events
+      .select(col("event_id"), col("ts"),
+        floor(unix_micros(col("ts")) / w).as("bucket"))
+      .withWatermark("ts", lateness)
+    val build = events
+      .select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+        col("value").as("r_value"),
+        explode(array(floor(unix_micros(col("ts")) / w),
+          floor(unix_micros(col("ts")) / w) + 1)).as("r_bucket"))
+      .withWatermark("r_ts", lateness)
+    probe.join(build,
+        expr(s"bucket = r_bucket" +
+          s" AND r_ts > ts - INTERVAL $widthSeconds seconds AND r_ts <= ts"))
+      .groupBy(col("ts"), col("event_id"))
+      .agg(count(lit(1)).as("n_band"),
+        sum(col("r_value").cast("decimal(18,2)")).as("v_band"))
+      .select(col("event_id"), col("ts"), col("n_band"),
+        col("v_band").cast("double").as("band_value"))
+  }
+
   /** Streaming corpus dedup by MinHash signature — the streaming twin of
     * the batch d04 pipeline's first stage: a document whose full 64-slot
     * MinHash signature was already seen inside the watermark window is

@@ -1,0 +1,101 @@
+package graft.component
+
+import graft.SparkSpec
+
+/** The DuckDB-named function surface, end to end through spark.sql: each
+  * name must resolve to the native operator AND reproduce DuckDB's
+  * semantics where they differ from Spark's spelling (inclusive
+  * list_slice bounds, element-first list_prepend, literal — not regex —
+  * string_split separators, C-style strftime codes). */
+class DuckFunctionsSpec extends SparkSpec {
+
+  private lazy val session = {
+    DuckFunctions.register(spark)
+    spark
+  }
+
+  private def one(sql: String): Any = session.sql(sql).collect().head.get(0)
+
+  test("list lambda + scalar renames bind to the native array operators") {
+    assert(one("SELECT list_transform(array(1, 2, 3), x -> x * 10)")
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq(10, 20, 30))
+    assert(one("SELECT list_filter(array(1, 2, 3, 4), x -> x % 2 = 0)")
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq(2, 4))
+    assert(one("SELECT list_distinct(array(3, 1, 3))")
+      .asInstanceOf[scala.collection.Seq[Int]].sorted == Seq(1, 3))
+    assert(one("SELECT list_sort(array(3, 1, 2))")
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq(1, 2, 3))
+    assert(one("SELECT list_reverse_sort(array(3, 1, 2))")
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq(3, 2, 1))
+    assert(one("SELECT list_contains(array(1, 2), 2)") == true)
+    assert(one("SELECT list_position(array(7, 8, 9), 9)") == 3L)
+    assert(one("SELECT list_concat(array(1), array(2), array(3))")
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq(1, 2, 3))
+    assert(one("SELECT list_value(4, 5)").asInstanceOf[scala.collection.Seq[Int]] == Seq(4, 5))
+    assert(one("SELECT array_to_string(array('a', 'b'), '-')") == "a-b")
+  }
+
+  test("list_append / list_prepend: DuckDB's element-first prepend order") {
+    assert(one("SELECT list_append(array(1, 2), 3)")
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq(1, 2, 3))
+    assert(one("SELECT list_prepend(0, array(1, 2))")
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq(0, 1, 2))
+  }
+
+  test("list_slice uses 1-based INCLUSIVE bounds") {
+    assert(one("SELECT list_slice(array(10, 20, 30, 40, 50), 2, 4)")
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq(20, 30, 40))
+    // end past the list truncates, like DuckDB
+    assert(one("SELECT list_slice(array(10, 20, 30), 2, 9)")
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq(20, 30))
+  }
+
+  test("string_split treats the separator literally, not as a regex") {
+    assert(one("SELECT string_split('a.b.c', '.')")
+      .asInstanceOf[scala.collection.Seq[String]] == Seq("a", "b", "c"))
+    assert(one("SELECT string_to_array('x||y', '||')")
+      .asInstanceOf[scala.collection.Seq[String]] == Seq("x", "y"))
+  }
+
+  test("epoch_us / epoch_ms extract exact integer epochs") {
+    assert(one("SELECT epoch_us(TIMESTAMP '2024-01-01 00:00:00.000001')") ==
+      1704067200000001L)
+    assert(one("SELECT epoch_ms(TIMESTAMP '2024-01-01 00:00:00.25')") ==
+      1704067200250L)
+  }
+
+  test("strftime translates C codes; literal text is preserved") {
+    assert(one("SELECT strftime(TIMESTAMP '2024-03-05 07:08:09', '%Y-%m-%d %H:%M:%S')") ==
+      "2024-03-05 07:08:09")
+    assert(one("SELECT strftime(DATE '2024-03-05', 'day %d of %b')") ==
+      "day 05 of Mar")
+    assert(one("SELECT strptime('2024-03-05 07:08:09', '%Y-%m-%d %H:%M:%S')")
+      .toString == "2024-03-05 07:08:09.0")
+    // non-literal formats are an explicit error, not silent misparse
+    val e = intercept[Exception](session.sql(
+      "SELECT strftime(TIMESTAMP '2024-01-01 00:00:00', concat('%', 'Y'))").collect())
+    assert(e.getMessage.contains("literal format"))
+  }
+
+  test("list_cosine_similarity / list_dot_product over float arrays") {
+    val cos = one(
+      """SELECT list_cosine_similarity(
+        |  CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+        |  CAST(array(0.6, 0.8) AS ARRAY<FLOAT>))""".stripMargin)
+      .asInstanceOf[Double]
+    assert(math.abs(cos - 0.6) < 1e-6)
+    assert(one(
+      """SELECT list_dot_product(
+        |  CAST(array(1.0, 2.0) AS ARRAY<FLOAT>),
+        |  CAST(array(3.0, 4.0) AS ARRAY<FLOAT>))""".stripMargin) == 11.0)
+  }
+
+  test("struct_pack rewrites through the dialect to named_struct") {
+    val sql = Dialect.rewrite("SELECT struct_pack(a := 1, b := 'x') AS s")
+    assert(sql.contains("named_struct('a', 1, 'b', 'x')"))
+    val row = session.sql(sql).collect().head.getStruct(0)
+    assert(row.getInt(0) == 1 && row.getString(1) == "x")
+    // := inside a string literal is untouched
+    assert(Dialect.rewrite("SELECT 'a := b' FROM t") == "SELECT 'a := b' FROM t")
+  }
+}

@@ -69,6 +69,52 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming band agg equals the batch bucket+halo op once windows close") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "value")
+    val query = EventStream.bandAgg(events, widthSeconds = 120,
+        lateness = "1 minute")
+      .writeStream.format("memory").queryName("band")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // bucket edges (10:02:00 = a 120 s multiple), an exactly-W-apart
+      // pair (10:00:30 → 10:02:30 must NOT see it), ties, a halo case
+      // (10:02:10 sees 10:00:30 from the previous bucket)
+      val data = Seq(
+        (1L, ts("2024-01-01 10:00:30"), 1.0),
+        (2L, ts("2024-01-01 10:01:50"), 2.0),
+        (3L, ts("2024-01-01 10:02:00"), 4.0),
+        (4L, ts("2024-01-01 10:02:10"), 8.0),
+        (5L, ts("2024-01-01 10:02:10"), 16.0),
+        (6L, ts("2024-01-01 10:02:30"), 32.0))
+      input.addData(data: _*)
+      query.processAllAvailable()
+      // watermark far past every band: all rows final
+      input.addData((99L, ts("2024-01-01 12:00:00"), 0.0))
+      query.processAllAvailable()
+      val got = spark.table("band").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("n_band"),
+          r.getAs[Double]("band_value")))
+        .filter(_._1 != 99L).toSet
+      val batch = graft.ops.BandAgg.trailing(
+          data.toDF("event_id", "ts", "value")
+            .withColumn("us", org.apache.spark.sql.functions.unix_micros(
+              org.apache.spark.sql.functions.col("ts"))),
+          "event_id", "us", "value", 120000000L)
+        .collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("n_band"),
+          r.getAs[java.math.BigDecimal]("v_band").doubleValue)).toSet
+      assert(got == batch)
+      // spot-check the engineered edges independently of both impls
+      val byId = got.map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(byId(3L) == ((3L, 7.0)))   // exactly-120s-later sees 10:00:30
+      assert(byId(6L) == ((5L, 62.0)))  // exclusive lower bound drops id 1
+      assert(byId(4L) == ((5L, 31.0)) && byId(5L) == ((5L, 31.0))) // tie peers
+    } finally query.stop()
+  }
+
   test("streaming dedup keeps the first arrival per key across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
