@@ -32,7 +32,8 @@ object Bench {
     "q21_count_distinct", "q23_percentiles", "q28_window_rank",
     "q29_window_rolling", "q33_time_bucket", "q35_sessionization",
     "q36_asof_join", "q36b_asof_native", "q44_gap_fill", "q56_range_join",
-    "d01_dedup_exact", "d03_ngram_jaccard",
+    "q57_band_agg", "d01_dedup_exact", "d03_ngram_jaccard",
+    "d14_semantic_dedup", "d15_span_dedup",
     "d04_minhash_lsh", "d05_simhash", "d06_embedding_dup", "d06b_embedding_dup_lsh", "d07_winnow",
     "d08_contamination", "d09_dup_clusters", "d11_boilerplate", "s01_knn_brute",
     "s02_ann_lsh", "s04_ann_ivf", "s05_ann_i8", "t02_quality_score", "t03_langid",

@@ -28,20 +28,39 @@ object BandAgg {
   /** For each input row: count and exact DECIMAL(18,2) sum of `valCol`
     * over rows with `usCol` in `(us − widthUs, us]`. Output columns:
     * idCol, n_band, v_band (decimal — caller casts for presentation).
-    * Ties in `usCol` are frame peers (RANGE semantics, both engines). */
+    * Ties in `usCol` are frame peers (RANGE semantics, both engines).
+    *
+    * A sliding aggregate frame has no retract path, so WindowExec
+    * re-evaluates the whole frame per row (O(rows × frame)) — the sum
+    * therefore rides unscaled LONG CENTS when the corpus is inside the
+    * overflow bound (the q33 fast path; same decimal value, ~40% off
+    * the window stage) and falls back to decimal accumulation above it. */
   def trailing(df: DataFrame, idCol: String, usCol: String, valCol: String,
                widthUs: Long): DataFrame = {
+    import graft.functions.{MoneyExprs => ME}
+    val fast = ME.fastOk(df)
     val tagged = df
-      .select(col(idCol), col(usCol).as("__us"), col(valCol).as("__v"),
+      .select(col(idCol), col(usCol).as("__us"),
+        (if (fast) ME.cents(col(valCol)) else col(valCol).cast(DecimalType(18, 2)))
+          .as("__v"),
         explode(array(lit(0), lit(1))).as("__h"))
       .withColumn("__bucket",
         floor(col("__us") / widthUs).cast(LongType) + col("__h"))
     val w = Window.partitionBy("__bucket").orderBy("__us")
       .rangeBetween(-(widthUs - 1), Window.currentRow)
+    // strict-width exchange: AQE's byte-based coalescing sees a few MB of
+    // shuffled longs and serializes the window stage onto one task, but
+    // the cost here is per-row frame re-evaluation, not bytes (the d03
+    // generated-rows precedent). HashPartitioning(bucket, n) satisfies
+    // the window's clustering, so this is the plan's only exchange.
+    val par = df.sparkSession.sparkContext.defaultParallelism
     tagged
+      .repartition(par, col("__bucket"))
       .withColumn("n_band", count(lit(1)).over(w))
-      .withColumn("v_band", sum(col("__v").cast(DecimalType(18, 2))).over(w))
+      .withColumn("__s", sum(col("__v")).over(w))
       .filter(col("__h") === 0)
-      .select(col(idCol), col("n_band"), col("v_band"))
+      .select(col(idCol), col("n_band"),
+        (if (fast) ME.fromUnscaled(col("__s"), 2).cast(DecimalType(18, 2))
+         else col("__s")).as("v_band"))
   }
 }

@@ -356,8 +356,8 @@ object DedupQ {
       val emb = T.embeddings(s, d).select("vec_id", "embedding")
       val cb: Array[Array[Double]] = emb.orderBy("vec_id").limit(8)
         .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      // no trailing ORDER BY: compare canon-sorts (d03 precedent)
       VectorOps.semanticDedup(emb, "vec_id", "embedding", cb, tau = 0.4)
-        .orderBy("vec_id")
     }),
 
     // -- cross-document SPAN dedup (ops/SpanDedup — the C4 repeated-span
@@ -365,9 +365,9 @@ object DedupQ {
     //    removes repeated spans WITHIN otherwise-unique documents, the
     //    gap d01 (whole-doc) and d11 (flag-only) leave open.
     "d15_span_dedup" -> ((s, d) =>
+      // no trailing ORDER BY: compare canon-sorts (d03 precedent)
       SpanDedup.dedup(T.documents(s, d).select("doc_id", "text"),
-          "doc_id", "text", chunkWords = 10)
-        .orderBy("doc_id"))
+          "doc_id", "text", chunkWords = 10))
   )
 
   /** d08 oracle rendered from the SAME (k, window) the Spark side picked

@@ -178,11 +178,13 @@ object TimeSeriesQ {
     "q57_band_agg" -> ((s, d) => {
       val e = T.events(s, d).select(
         col("event_id"), unix_micros(col("ts")).as("us"), col("value"))
+      // no trailing ORDER BY: the compare canon-sorts, and a global sort
+      // would re-execute the window child for range-boundary sampling
+      // (the d03 precedent)
       graft.ops.BandAgg.trailing(e, "event_id", "us", "value",
           widthUs = 120L * 1000000L)
         .select(col("event_id"), col("n_band"),
           col("v_band").cast(DoubleType).as("band_value"))
-        .orderBy("event_id")
     })
   )
 
