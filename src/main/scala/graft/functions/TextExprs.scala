@@ -76,6 +76,10 @@ object TextExprs {
   def repetitionStats(text: Column): Column =
     GraftSqlBridge.column(RepetitionStats(GraftSqlBridge.expression(text)))
 
+  /** One-pass Gopher quality-rule inputs — see [[GopherStats]]. */
+  def gopherStats(text: Column): Column =
+    GraftSqlBridge.column(GopherStats(GraftSqlBridge.expression(text)))
+
   /** Winnowing fingerprints (rolling k-gram hash + sliding-window minima). */
   def winnow(text: Column, k: Int, window: Int): Column =
     GraftSqlBridge.column(Winnow(GraftSqlBridge.expression(text), k, window))
@@ -760,5 +764,158 @@ case class BpeEncodeStats(child: Expression, merges: Seq[(String, String)])
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncodeStats =
+    copy(child = newChild)
+}
+
+/** struct of 15 longs: everything the Gopher quality-rule family (Rae et
+  * al. 2021, §A1.1) needs, in ONE pass per document — word/char counts,
+  * alpha-word and symbol tallies, distinct-stopword hits, and the
+  * repetition coverages: words covered by the MOST FREQUENT {2,3,4}-gram
+  * and by DUPLICATED {5..10}-grams (interval-union of the fixed-length
+  * gram spans, so overlapping occurrences never double-count — the d11
+  * coverage rule). Counts are on exact gram STRINGS (no hashing), so a
+  * SQL oracle reproduces every value; the top-gram tie falls to the
+  * lexicographically smallest gram (ASCII contract: Java and UTF-8
+  * byte order agree — the CharEntropy precedent). Coverage is measured
+  * in WORDS (fraction = cov / n_words); Gopher's paper measures
+  * characters — same signal, exactly reproducible on both engines
+  * without per-index char joins. */
+case class GopherStats(child: Expression)
+    extends UnaryExpression with EvalDelegatingCodegen {
+
+  override protected def resultJavaType: String =
+    "org.apache.spark.sql.catalyst.InternalRow"
+  override def dataType: DataType = StructType(
+    Seq("n_words", "sum_word_len", "n_alpha_words", "n_symbols", "stop_hits",
+      "cov_top2", "cov_top3", "cov_top4", "cov_dup5", "cov_dup6", "cov_dup7",
+      "cov_dup8", "cov_dup9", "cov_dup10")
+      .map(StructField(_, LongType, nullable = false)))
+  override def prettyName: String = "gopher_stats"
+
+  private val StopWords =
+    Array("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** interval-union size of fixed-length-n spans at ascending `starts`:
+    * Σ min(n, s − s_prev), first span contributes n. */
+  private def coverage(starts: java.util.ArrayList[Integer], n: Int): Long = {
+    var cov = 0L
+    var prev = Int.MinValue
+    var i = 0
+    while (i < starts.size()) {
+      val s = starts.get(i).intValue()
+      cov += (if (prev == Int.MinValue) n else math.min(n, s - prev))
+      prev = s
+      i += 1
+    }
+    cov
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val words = text.split(" ", -1)
+    val nWords = words.length.toLong
+
+    var sumLen = 0L
+    var nAlpha = 0L
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      sumLen += w.codePointCount(0, w.length)
+      var hasAlpha = false
+      var j = 0
+      while (!hasAlpha && j < w.length) {
+        val c = w.charAt(j)
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) hasAlpha = true
+        j += 1
+      }
+      if (hasAlpha) nAlpha += 1
+      i += 1
+    }
+
+    // symbols: '#' chars + non-overlapping "..." runs + '…' chars
+    var nSym = 0L
+    i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '#' || c == '…') { nSym += 1; i += 1 }
+      else if (c == '.' && i + 2 < text.length &&
+        text.charAt(i + 1) == '.' && text.charAt(i + 2) == '.') {
+        nSym += 1; i += 3
+      } else i += 1
+    }
+
+    var stopHits = 0L
+    var s = 0
+    while (s < StopWords.length) {
+      var found = false
+      i = 0
+      while (!found && i < words.length) {
+        if (words(i) == StopWords(s)) found = true
+        i += 1
+      }
+      if (found) stopHits += 1
+      s += 1
+    }
+
+    val covs = new Array[Long](9) // n = 2..10
+    var n = 2
+    while (n <= 10) {
+      val nGrams = words.length - n + 1
+      if (nGrams > 0) {
+        // pass 1: exact-string gram counts
+        val counts = new java.util.HashMap[String, Integer](nGrams * 2)
+        val grams = new Array[String](nGrams)
+        val sb = new java.lang.StringBuilder(64)
+        var g = 0
+        while (g < nGrams) {
+          sb.setLength(0)
+          var k = 0
+          while (k < n) {
+            if (k > 0) sb.append(' ')
+            sb.append(words(g + k))
+            k += 1
+          }
+          val gram = sb.toString
+          grams(g) = gram
+          counts.merge(gram, 1, (a, b) => a + b)
+          g += 1
+        }
+        val starts = new java.util.ArrayList[Integer](nGrams)
+        if (n <= 4) {
+          // most frequent gram, ties to the lexicographically smallest
+          var best: String = null
+          var bestC = 0
+          val it = counts.entrySet().iterator()
+          while (it.hasNext) {
+            val e = it.next()
+            val c = e.getValue.intValue()
+            if (c > bestC || (c == bestC && e.getKey.compareTo(best) < 0)) {
+              best = e.getKey; bestC = c
+            }
+          }
+          g = 0
+          while (g < nGrams) {
+            if (grams(g) == best) starts.add(g)
+            g += 1
+          }
+        } else {
+          g = 0
+          while (g < nGrams) {
+            if (counts.get(grams(g)).intValue() > 1) starts.add(g)
+            g += 1
+          }
+        }
+        covs(n - 2) = coverage(starts, n)
+      }
+      n += 1
+    }
+
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, sumLen, nAlpha, nSym, stopHits,
+        covs(0), covs(1), covs(2), covs(3), covs(4), covs(5), covs(6),
+        covs(7), covs(8)))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GopherStats =
     copy(child = newChild)
 }

@@ -678,6 +678,62 @@ object TextQ {
               .cast("long"))
             .otherwise(col("seq_id")))
         .withColumn("crosses_cut", col("seq_id") =!= col("end_seq"))
+    }),
+
+    // -- the FULL Gopher quality-rule family (Rae et al. 2021, §A1.1) as
+    //    one keep/drop verdict with a per-rule failure bitmask: word-count
+    //    and mean-word-length bounds, symbol-to-word ratio, alpha-word
+    //    fraction, distinct-stopword floor, top-{2,3,4}-gram coverage
+    //    caps and duplicated-{5..10}-gram coverage caps — the standard
+    //    published pre-training quality filter, next to t02's simpler
+    //    ratios and t08's two repetition signals. ALL fourteen inputs
+    //    come from ONE native pass (GopherStats); every fraction is an
+    //    exact integer-over-integer double, so the threshold comparisons
+    //    and the bitmask are bit-identical cross-engine (coverage is
+    //    measured in words — the expression scaladoc records the
+    //    deviation from the paper's characters). No shuffle until the
+    //    free pre-ranged ORDER BY.
+    "t23_gopher_quality" -> ((s, d) => {
+      val g = col("__g")
+      def frac(c: Column): Column = c.cast(DoubleType) / g.getField("n_words")
+      val masked = byRange(T.documents(s, d), "doc_id")
+        .withColumn("__g", graft.functions.TextExprs.gopherStats(col("text")))
+        .withColumn("mean_word_len", frac(g.getField("sum_word_len")))
+        .withColumn("alpha_frac", frac(g.getField("n_alpha_words")))
+        .withColumn("symbol_ratio", frac(g.getField("n_symbols")))
+        .withColumn("top2_frac", frac(g.getField("cov_top2")))
+        .withColumn("top3_frac", frac(g.getField("cov_top3")))
+        .withColumn("top4_frac", frac(g.getField("cov_top4")))
+        .withColumn("dup5_frac", frac(g.getField("cov_dup5")))
+        .withColumn("dup6_frac", frac(g.getField("cov_dup6")))
+        .withColumn("dup7_frac", frac(g.getField("cov_dup7")))
+        .withColumn("dup8_frac", frac(g.getField("cov_dup8")))
+        .withColumn("dup9_frac", frac(g.getField("cov_dup9")))
+        .withColumn("dup10_frac", frac(g.getField("cov_dup10")))
+        .withColumn("fail_mask",
+          when(g.getField("n_words") < 50 || g.getField("n_words") > 100000, 1L).otherwise(0L) +
+          when(col("mean_word_len") < 3.0 || col("mean_word_len") > 10.0, 2L).otherwise(0L) +
+          when(col("symbol_ratio") > 0.1, 4L).otherwise(0L) +
+          when(col("alpha_frac") < 0.8, 8L).otherwise(0L) +
+          when(g.getField("stop_hits") < 2, 16L).otherwise(0L) +
+          when(col("top2_frac") > 0.20, 32L).otherwise(0L) +
+          when(col("top3_frac") > 0.18, 64L).otherwise(0L) +
+          when(col("top4_frac") > 0.16, 128L).otherwise(0L) +
+          when(col("dup5_frac") > 0.15, 256L).otherwise(0L) +
+          when(col("dup6_frac") > 0.14, 512L).otherwise(0L) +
+          when(col("dup7_frac") > 0.13, 1024L).otherwise(0L) +
+          when(col("dup8_frac") > 0.12, 2048L).otherwise(0L) +
+          when(col("dup9_frac") > 0.11, 4096L).otherwise(0L) +
+          when(col("dup10_frac") > 0.10, 8192L).otherwise(0L))
+      masked.select(col("doc_id"),
+          g.getField("n_words").as("n_words"),
+          col("mean_word_len"), col("alpha_frac"), col("symbol_ratio"),
+          g.getField("stop_hits").as("stop_hits"),
+          col("top2_frac"), col("top3_frac"), col("top4_frac"),
+          col("dup5_frac"), col("dup6_frac"), col("dup7_frac"),
+          col("dup8_frac"), col("dup9_frac"), col("dup10_frac"),
+          col("fail_mask"), (col("fail_mask") === 0L).as("keep"))
+        .orderBy("doc_id")
     })
   )
 
@@ -748,8 +804,92 @@ object TextQ {
     sb.toString
   }
 
+  /** t23 oracle: recompute every Gopher-rule input from first principles
+    * in SQL — grams per n from list slices, counts via a window, top-gram
+    * pick with the (count DESC, gram ASC) tie, fixed-length interval
+    * union via the d11 LAG trick — and re-derive the identical fractions,
+    * bitmask and verdict. Generated per n (2..10) the way t17's trainer
+    * oracle unrolls merge steps. */
+  private def gopherOracle: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+        |base AS (
+        |  SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS sum_word_len,
+        |    CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+        |    CAST(length(text) - length(replace(text, '#', ''))
+        |       + length(text) - length(replace(text, chr(8230), ''))
+        |       + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+        |    CAST((CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(ws, 'be') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(ws, 'have') THEN 1 ELSE 0 END)
+        |       + (CASE WHEN list_contains(ws, 'with') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+        |  FROM w)""".stripMargin)
+    def covBlock(n: Int, src: String): String =
+      s""",cov$n AS (
+         |  SELECT doc_id, CAST(SUM(COALESCE(LEAST($n, gap), $n)) AS BIGINT) AS cov FROM (
+         |    SELECT doc_id, s - LAG(s) OVER (PARTITION BY doc_id ORDER BY s) AS gap
+         |    FROM $src) GROUP BY doc_id)""".stripMargin
+    for (n <- 2 to 10) {
+      sb.append(s""",
+        |g$n AS (
+        |  SELECT doc_id, j AS s, array_to_string(ws[CAST(j+1 AS INT):CAST(j+$n AS INT)], ' ') AS g
+        |  FROM w, UNNEST(range(len(ws) - $n + 1)) t(j)),
+        |c$n AS (SELECT doc_id, s, g, COUNT(*) OVER (PARTITION BY doc_id, g) AS c FROM g$n)""".stripMargin)
+      if (n <= 4) sb.append(s""",
+        |t$n AS (
+        |  SELECT doc_id, g FROM (
+        |    SELECT doc_id, g, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rk
+        |    FROM (SELECT DISTINCT doc_id, g, c FROM c$n)) WHERE rk = 1),
+        |s$n AS (SELECT c$n.doc_id, s FROM c$n JOIN t$n USING (doc_id, g))""".stripMargin
+        + covBlock(n, s"s$n"))
+      else sb.append(s""",
+        |d$n AS (SELECT doc_id, s FROM c$n WHERE c > 1)""".stripMargin
+        + covBlock(n, s"d$n"))
+    }
+    def fr(x: String) = s"CAST($x AS DOUBLE) / b.n_words"
+    val fracs: Seq[(String, String)] =
+      Seq("mean_word_len" -> fr("b.sum_word_len"),
+        "alpha_frac" -> fr("b.n_alpha_words"),
+        "symbol_ratio" -> fr("b.n_symbols")) ++
+      (2 to 4).map(n => s"top${n}_frac" -> fr(s"COALESCE(cov$n.cov, 0)")) ++
+      (5 to 10).map(n => s"dup${n}_frac" -> fr(s"COALESCE(cov$n.cov, 0)"))
+    val f = fracs.toMap
+    val caps = Seq("top2_frac" -> ("0.20", 32), "top3_frac" -> ("0.18", 64),
+      "top4_frac" -> ("0.16", 128), "dup5_frac" -> ("0.15", 256),
+      "dup6_frac" -> ("0.14", 512), "dup7_frac" -> ("0.13", 1024),
+      "dup8_frac" -> ("0.12", 2048), "dup9_frac" -> ("0.11", 4096),
+      "dup10_frac" -> ("0.10", 8192))
+    val mask = (Seq(
+      "CASE WHEN b.n_words < 50 OR b.n_words > 100000 THEN 1 ELSE 0 END",
+      s"CASE WHEN ${f("mean_word_len")} < 3.0 OR ${f("mean_word_len")} > 10.0 THEN 2 ELSE 0 END",
+      s"CASE WHEN ${f("symbol_ratio")} > 0.1 THEN 4 ELSE 0 END",
+      s"CASE WHEN ${f("alpha_frac")} < 0.8 THEN 8 ELSE 0 END",
+      "CASE WHEN b.stop_hits < 2 THEN 16 ELSE 0 END") ++
+      caps.map { case (name, (cap, bit)) =>
+        s"CASE WHEN ${f(name)} > $cap THEN $bit ELSE 0 END" })
+      .mkString("\n    + ")
+    sb.append("\nSELECT b.doc_id, b.n_words,\n")
+    sb.append(fracs.take(3).map { case (n, x) => s"  $x AS $n," }.mkString("\n"))
+    sb.append("\n  b.stop_hits,\n")
+    sb.append(fracs.drop(3).map { case (n, x) => s"  $x AS $n," }.mkString("\n"))
+    sb.append(s"\n  CAST($mask AS BIGINT) AS fail_mask,\n  ($mask) = 0 AS keep")
+    sb.append("\nFROM base b\n")
+    sb.append((2 to 10).map(n => s"LEFT JOIN cov$n ON cov$n.doc_id = b.doc_id")
+      .mkString("\n"))
+    sb.append("\nORDER BY b.doc_id")
+    sb.toString
+  }
+
   val oracles: Map[String, String] = Map(
     "t17_bpe_merges" -> bpeTrainOracle(10),
+    "t23_gopher_quality" -> gopherOracle,
     "t18_heldout_logprob" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
         |                  substring(md5(doc_id || ':graft'), 1, 4) AS h
