@@ -22,9 +22,16 @@ import org.apache.spark.sql.functions._
 object SpanDedup {
 
   /** Output: idCol, n_chunks, kept_chunks, clean_text. Docs whose every
-    * chunk is a repeat reconstruct to the empty string. */
+    * chunk is a repeat reconstruct to the empty string.
+    *
+    * First-occurrence rides a window min ON the chunk exchange instead of
+    * a groupBy + join-back: the join shape re-derives the whole
+    * split-chunk-explode relation a second time (the d03 re-derivation
+    * trap) — the window computes the same min(struct(doc, idx)) with ONE
+    * generate pass and the same single content-keyed shuffle. */
   def dedup(docs: DataFrame, idCol: String, textCol: String,
             chunkWords: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val C = chunkWords
     val chunks = docs
       .withColumn("__ws", split(col(textCol), " "))
@@ -32,14 +39,12 @@ object SpanDedup {
         sequence(lit(0), ((size(col("__ws")) - 1) / C).cast("int")),
         j => concat_ws(" ", slice(col("__ws"), j * C + 1, lit(C)))))
       .select(col(idCol), posexplode(col("__ch")).as(Seq("chunk_idx", "chunk")))
-    val first = chunks
-      .groupBy("chunk")
-      .agg(min(struct(col(idCol), col("chunk_idx"))).as("f"))
-      .select(col("chunk"), col(s"f.$idCol").as("f_doc"),
-        col("f.chunk_idx").as("f_idx"))
-    chunks.join(first, Seq("chunk"))
+    chunks
+      .withColumn("__f",
+        min(struct(col(idCol), col("chunk_idx")))
+          .over(Window.partitionBy("chunk")))
       .withColumn("keep",
-        col(idCol) === col("f_doc") && col("chunk_idx") === col("f_idx"))
+        col(idCol) === col(s"__f.$idCol") && col("chunk_idx") === col("__f.chunk_idx"))
       .groupBy(idCol)
       .agg(
         count(lit(1)).as("n_chunks"),

@@ -300,8 +300,13 @@ object VectorOps {
     * Output: idCol, cluster_id (codebook ordinal), is_dup, dup_of. */
   def semanticDedup(vecs: DataFrame, idCol: String, vecCol: String,
                     codebook: Array[Array[Double]], tau: Double): DataFrame = {
+    // checkpoint the assignment: it feeds THREE consumers (both pair-join
+    // sides + the final projection), and each would otherwise re-scan the
+    // corpus and re-pay k dot products per row (the d05 fingerprint
+    // precedent; k grows with the corpus, so the waste compounds at scale)
     val assigned = vecs.withColumn("cluster_id", element_at(
-      graft.functions.VectorExprs.nearestCentroids(col(vecCol), codebook, 1), 1))
+        graft.functions.VectorExprs.nearestCentroids(col(vecCol), codebook, 1), 1))
+      .localCheckpoint()
     val v = withNorm(assigned, vecCol)
     val a = v.select(col("cluster_id").as("__ca"), col(idCol).as("a_id"),
       col(vecCol).as("va"), col("_norm").as("na"))

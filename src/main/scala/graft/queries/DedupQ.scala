@@ -20,6 +20,17 @@ object DedupQ {
   private val d08Params =
     scala.collection.concurrent.TrieMap.empty[String, (Int, Int)]
 
+  /** d14's corpus-adaptive cell count — the SemDeDup scale property:
+    * cells must GROW with the corpus so per-cell pair mass stays bounded
+    * (fixed k would make the intra-cell join quadratic again at 10×).
+    * ~250 vectors per cell, floor 8; memoized per dir so the oracle
+    * renders from the same pick (the d08 convention). */
+  private val d14K = scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  private def d14CellCount(s: org.apache.spark.sql.SparkSession, d: String): Int =
+    d14K.getOrElseUpdate(d,
+      math.max(8L, T.embeddings(s, d).count() / 250L).toInt)
+
   val queries: Map[String, Q] = Map(
     // -- exact dedup: hash-group on content, keep smallest id.
     "d01_dedup_exact" -> ((s, d) => {
@@ -354,7 +365,8 @@ object DedupQ {
     //    f32 error) is pinned by SemanticDedupSpec.
     "d14_semantic_dedup" -> ((s, d) => {
       val emb = T.embeddings(s, d).select("vec_id", "embedding")
-      val cb: Array[Array[Double]] = emb.orderBy("vec_id").limit(8)
+      val k = d14CellCount(s, d)
+      val cb: Array[Array[Double]] = emb.orderBy("vec_id").limit(k)
         .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
       // no trailing ORDER BY: compare canon-sorts (d03 precedent)
       VectorOps.semanticDedup(emb, "vec_id", "embedding", cb, tau = 0.4)
@@ -408,35 +420,45 @@ object DedupQ {
 
   /** A def, not a val: d08's entry renders from the run's adaptive pick
     * (see [[d08OracleSql]]), so the dump must happen after the queries. */
-  def oracles: Map[String, String] = staticOracles + ("d08_contamination" -> d08OracleSql)
+  /** d14 oracle rendered from the SAME adaptive cell count the Spark side
+    * picked (d08 convention — Verify dumps oracleSql AFTER the queries
+    * run); fallback 8 = every driver SF's pick. Same fixed-codebook
+    * assignment (argmax cosine, ties to the lower centroid id) and the
+    * same intra-cluster lower-id-witness rule; float32-vs-double cut
+    * safety is the d06 argument, and the ASSIGNMENT margin is pinned by
+    * Round9OpsSpec (top-2 centroid gap ≫ f32 error). */
+  private def d14OracleSql: String = {
+    val k = d14K.values.toList match {
+      case k0 :: Nil => k0
+      case _ => 8
+    }
+    s"""WITH c AS (
+       |  SELECT cid, cvec,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cid) - 1 AS INTEGER) AS cluster_id
+       |  FROM (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |        ORDER BY vec_id LIMIT $k)),
+       |a AS (
+       |  SELECT vec_id, embedding, cluster_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.cluster_id,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid)
+       |        AS rk
+       |    FROM embeddings e CROSS JOIN c) WHERE rk = 1),
+       |dp AS (
+       |  SELECT y.vec_id, MIN(x.vec_id) AS dup_of
+       |  FROM a x JOIN a y
+       |    ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+       |  WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
+       |  GROUP BY y.vec_id)
+       |SELECT a.vec_id, a.cluster_id, dp.dup_of IS NOT NULL AS is_dup, dp.dup_of
+       |FROM a LEFT JOIN dp USING (vec_id) ORDER BY vec_id""".stripMargin
+  }
+
+  def oracles: Map[String, String] = staticOracles +
+    ("d08_contamination" -> d08OracleSql) +
+    ("d14_semantic_dedup" -> d14OracleSql)
 
   private val staticOracles: Map[String, String] = Map(
-    // same fixed-codebook assignment (argmax cosine, ties to the lower
-    // centroid id) and the same intra-cluster lower-id-witness rule; the
-    // float32-vs-double cut safety is the d06 argument, and the ASSIGNMENT
-    // margin is pinned by SemanticDedupSpec (top-2 centroid gap ≫ f32 error)
-    "d14_semantic_dedup" ->
-      """WITH c AS (
-        |  SELECT cid, cvec,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY cid) - 1 AS INTEGER) AS cluster_id
-        |  FROM (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-        |        ORDER BY vec_id LIMIT 8)),
-        |a AS (
-        |  SELECT vec_id, embedding, cluster_id FROM (
-        |    SELECT e.vec_id, e.embedding, c.cluster_id,
-        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid)
-        |        AS rk
-        |    FROM embeddings e CROSS JOIN c) WHERE rk = 1),
-        |dp AS (
-        |  SELECT y.vec_id, MIN(x.vec_id) AS dup_of
-        |  FROM a x JOIN a y
-        |    ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
-        |  WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.4
-        |  GROUP BY y.vec_id)
-        |SELECT a.vec_id, a.cluster_id, dp.dup_of IS NOT NULL AS is_dup, dp.dup_of
-        |FROM a LEFT JOIN dp USING (vec_id) ORDER BY vec_id""".stripMargin,
-
     "d15_span_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |ch AS (

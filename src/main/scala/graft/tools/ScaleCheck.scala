@@ -36,8 +36,9 @@ object ScaleCheck {
     "q28_window_rank", "q33_time_bucket", "q56_range_join", "d01_dedup_exact",
     "d03_ngram_jaccard", "d04_minhash_lsh", "d05_simhash",
     "d08_contamination", "d09_dup_clusters", "d11_boilerplate",
+    "d14_semantic_dedup", "d15_span_dedup", "q57_band_agg",
     "t05_tfidf", "t07_vocab_prune", "t10_heavy_hitters", "t11_sequence_pack",
-    "t12_pii_redact", "t16_bm25", "t17_bpe_merges")
+    "t12_pii_redact", "t16_bm25", "t17_bpe_merges", "t23_gopher_quality")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -84,6 +84,24 @@ object ScaleUp {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
+    // embeddings: replica i rotates each vector by i dims — norms and
+    // within-replica geometry preserved, so cluster structure replicates
+    // at 10× the population without creating 10 exact copies of every
+    // point (which would measure duplicate-mass blowup, not scale)
+    val emb = graft.queries.T.embeddings(spark, src)
+    val vStride = stride(emb, "vec_id")
+    replicate(emb, (d, i) => {
+      val r = i % 64
+      val rotated =
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, 64 - r),
+          slice(col("embedding"), 1, r))
+      d.select((col("vec_id") + lit(i * vStride("vec_id"))).as("vec_id"),
+        rotated.as("embedding"), col("label"))
+    })
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
     println(s"SCALEUP done: $out factor $factor")
     spark.stop()
   }
