@@ -38,6 +38,11 @@ object VectorExprs {
     GraftSqlBridge.column(
       NearestCentroids(GraftSqlBridge.expression(a), codebook, n))
 
+  /** Reconstruct a product-quantized vector from its codes — see
+    * [[PqDecode]]. */
+  def pqDecode(codes: Column, codebook: Array[Array[Array[Double]]]): Column =
+    GraftSqlBridge.column(PqDecode(GraftSqlBridge.expression(codes), codebook))
+
   /** Deterministic Rademacher random projection to `outDim` dims — the
     * other embedding-compression axis next to int8 quantization: ±1
     * entries derived from a hash of (seed, i, j), so no matrix is stored
@@ -420,4 +425,47 @@ case class DotI8(left: Expression, right: Expression) extends BinaryExpression {
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotI8 =
     copy(left = newLeft, right = newRight)
+}
+
+/** array<double> length m·subDim: reconstruct a product-quantized vector
+  * from its m per-subspace centroid codes and the literal codebook
+  * (codebook(j)(c) = centroid c of subspace j). The reconstruction is the
+  * concatenation of per-subspace centroids, so its norm and its dot
+  * product with any query decompose exactly over subspaces — scoring
+  * against the decode IS asymmetric-distance PQ scoring, computed with
+  * the same codegen'd dot/norm kernels every other kNN path uses. One
+  * decode per BASE row (not per pair): the 8-byte code column is what
+  * shuffles and persists; the 64-double reconstruction exists only
+  * inside the scoring stage. */
+case class PqDecode(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  private val subDim = codebook(0)(0).length
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_decode"
+
+  override def nullSafeEval(a: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    require(codes.numElements() == codebook.length,
+      s"$prettyName: ${codes.numElements()} codes for ${codebook.length} subspaces")
+    val out = new Array[Double](codebook.length * subDim)
+    var j = 0
+    while (j < codebook.length) {
+      val c = codebook(j)(codes.getInt(j))
+      System.arraycopy(c, 0, out, j * subDim, subDim)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqDecode", this, classOf[PqDecode].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.nullSafeEval($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqDecode =
+    copy(child = newChild)
 }

@@ -284,6 +284,42 @@ object VectorOps {
       .select(col("qid"), col("nid"), col("rk").cast("int").as("rk"), col("cos"))
   }
 
+  /** Product-quantization ANN (Jégou et al. 2011) — the third embedding
+    * compression axis next to int8 quantization (s05, 4×) and random
+    * projection (s06, dim-reduction): the 64-float vector becomes `m`
+    * per-subspace centroid codes (8 bytes at m=8) — a 32× shrink of what
+    * scans, shuffles and persists. Codebooks are trained per subspace
+    * with the distributed Lloyd trainer (ops/KMeans, one aggregation job
+    * per iteration); encoding is m map-side NearestCentroids passes over
+    * the sliced vector. Scoring decodes each BASE row once ([[
+    * graft.functions.PqDecode]]) and ranks cosine(query, reconstruction)
+    * with the standard codegen'd kernels — exactly asymmetric-distance
+    * scoring, since dot and norm decompose over disjoint subspaces.
+    * Candidates are exact-reranked to top-k (the s05 convention); PQ
+    * recall vs the brute baseline is pinned in spec, candidate
+    * generation itself is impl-specific (rows-only driver check). */
+  def knnPq(queries: DataFrame, base: DataFrame, idCol: String, vecCol: String,
+            k: Int, m: Int = 8, ksub: Int = 64, iters: Int = 5,
+            candidates: Int = 50, dim: Int = 64): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split into $m subspaces")
+    val subDim = dim / m
+    def sub(j: Int): Column = slice(col(vecCol), j * subDim + 1, subDim)
+    val codebook: Array[Array[Array[Double]]] = (0 until m).map { j =>
+      KMeans.fit(base.select(col(idCol), sub(j).as("__sv")),
+        idCol, "__sv", ksub, iters)
+    }.toArray
+    import graft.functions.VectorExprs.{nearestCentroids, pqDecode}
+    val codes = array((0 until m).map(j =>
+      element_at(nearestCentroids(sub(j), codebook(j), 1), 1)): _*)
+    // at scale the codes column is the stored index; the decode exists
+    // only inside the scoring stage
+    val decoded = base
+      .select(col(idCol), codes.as("__codes"))
+      .select(col(idCol), pqDecode(col("__codes"), codebook).as(vecCol))
+    val cand = knnBrute(queries, decoded, idCol, vecCol, candidates)
+    rerankExact(cand, queries, base, idCol, vecCol, k)
+  }
+
   /** SEMANTIC dedup (the SemDeDup shape, Abbas et al. 2023): assign every
     * vector to its max-cosine codebook centroid (ties to the lower
     * centroid ordinal — NearestCentroids, one map-side native pass over

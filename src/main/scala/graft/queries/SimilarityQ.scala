@@ -75,6 +75,26 @@ object SimilarityQ {
         .orderBy("qid", "rk")
     }),
 
+    // -- product-quantization ANN (VectorOps.knnPq): m=8 subspace
+    //    codebooks trained with the distributed Lloyd trainer, 8-byte
+    //    codes (32× compression — the third axis next to s05's int8 and
+    //    s06's projection), asymmetric-distance scoring via one decode
+    //    per base row, exact rerank to top-5. Rows-only driver check,
+    //    the s06 call: this corpus is near-isotropic (max query cosine
+    //    0.37), so 8-byte codes rank true top-5 members behind ~50
+    //    reconstruction-ties (measured recall@5-from-50: 0.88/0.95/0.64
+    //    across the three dirs — graft.tools.PqProbe); no honest
+    //    candidate margin covers that, while on CLUSTERED vectors (where
+    //    PQ cells align with real structure) recall is 1.0, pinned in
+    //    Round9OpsSpec.
+    "s08_ann_pq" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      VectorOps.knnPq(
+          emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
+          k = 5)
+        .orderBy("qid", "rk")
+    }),
+
     // -- k-means codebook training (rows-only: iterative training has no
     //    single SQL oracle; KMeansSpec pins planted-cluster recovery,
     //    determinism and the empty-cluster contract). Spherical variant —

@@ -123,6 +123,40 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------------------- knnPq
+
+  test("PqDecode reconstructs the per-subspace centroid concatenation") {
+    val cb: Array[Array[Array[Double]]] = Array(
+      Array(Array(1.0, 2.0), Array(3.0, 4.0)),
+      Array(Array(5.0, 6.0), Array(7.0, 8.0)))
+    val got = Seq(Seq(1, 0)).toDF("codes")
+      .select(graft.functions.VectorExprs.pqDecode(col("codes"), cb).as("v"))
+      .collect().head.getSeq[Double](0)
+    assert(got == Seq(3.0, 4.0, 5.0, 6.0))
+  }
+
+  test("PQ kNN keeps within-cluster neighbors on clustered vectors") {
+    // the s06 fixture: 5 well-separated clusters of 6 jittered copies —
+    // trained subspace codebooks align with real structure, so every
+    // PQ-candidate-then-rerank neighbor list stays within the query's
+    // own cluster (recall 1.0 against the brute baseline by transitivity:
+    // the 5 true neighbors ARE the 5 cluster-mates)
+    val rnd = new scala.util.Random(31)
+    val vecs = (0 until 5).flatMap { c =>
+      val center = Array.fill(64)(rnd.nextGaussian().toFloat)
+      (0 until 6).map(j =>
+        ((c * 6 + j).toLong, center.map(v => v + (rnd.nextGaussian() * 0.02).toFloat)))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 6 === 0)
+    val got = VectorOps.knnPq(queries, vecs, "vec_id", "embedding",
+        k = 5, ksub = 8, candidates = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 5 * 5)
+    got.foreach { case (q, n) =>
+      assert(q / 6 == n / 6, s"PQ neighbor $n left query $q's cluster")
+    }
+  }
+
   // ---------------------------------------------------------------- SpanDedup
 
   test("span dedup: planted repeated span is scrubbed from the later doc only") {
