@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -92,6 +92,78 @@ object EventStream {
     l.join(r,
       expr(s"$key = r_$key AND r_ts BETWEEN ts - INTERVAL $lookBack AND ts"),
       joinType)
+  }
+
+  /** Streaming quality gate — t23's Gopher rule family applied at ingest
+    * time: the full 14-input rule pass is ONE stateless native expression
+    * per arriving document (graft.functions.GopherStats), so the gate
+    * runs at scan rate with no watermark and no state — the cheapest
+    * possible placement for the filter every curation pipeline runs
+    * first. Emits the verdict + bitmask (keep/drop reasons survive for
+    * audit); callers filter on `keep`. Identical arithmetic to the batch
+    * op — integer-ratio doubles, same thresholds — so batch == stream by
+    * construction and the spec pins it. */
+  def qualityGate(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val g = col("__g")
+    def frac(c: Column): Column = c.cast("double") / g.getField("n_words")
+    docs
+      .withColumn("__g", graft.functions.TextExprs.gopherStats(col(textCol)))
+      .withColumn("fail_mask",
+        when(g.getField("n_words") < 50 || g.getField("n_words") > 100000, 1L).otherwise(0L) +
+        when(frac(g.getField("sum_word_len")) < 3.0 ||
+          frac(g.getField("sum_word_len")) > 10.0, 2L).otherwise(0L) +
+        when(frac(g.getField("n_symbols")) > 0.1, 4L).otherwise(0L) +
+        when(frac(g.getField("n_alpha_words")) < 0.8, 8L).otherwise(0L) +
+        when(g.getField("stop_hits") < 2, 16L).otherwise(0L) +
+        when(frac(g.getField("cov_top2")) > 0.20, 32L).otherwise(0L) +
+        when(frac(g.getField("cov_top3")) > 0.18, 64L).otherwise(0L) +
+        when(frac(g.getField("cov_top4")) > 0.16, 128L).otherwise(0L) +
+        when(frac(g.getField("cov_dup5")) > 0.15, 256L).otherwise(0L) +
+        when(frac(g.getField("cov_dup6")) > 0.14, 512L).otherwise(0L) +
+        when(frac(g.getField("cov_dup7")) > 0.13, 1024L).otherwise(0L) +
+        when(frac(g.getField("cov_dup8")) > 0.12, 2048L).otherwise(0L) +
+        when(frac(g.getField("cov_dup9")) > 0.11, 4096L).otherwise(0L) +
+        when(frac(g.getField("cov_dup10")) > 0.10, 8192L).otherwise(0L))
+      .withColumn("keep", col("fail_mask") === 0L)
+      .drop("__g")
+  }
+
+  /** Streaming incremental span scrub — d15 against a STATIC base corpus
+    * (the d13 incremental shape applied to spans): an arriving document
+    * keeps only the chunks whose text does not already appear in the
+    * base's chunk set; the scrubbed text is rebuilt per document. The
+    * base reduces to its distinct-chunk set once (persisted, like the
+    * boilerplate guard's gram set); the stream side explodes chunks,
+    * LEFT-joins the set (stream-static), and re-aggregates per (ts, doc)
+    * — the aggregate groups on the watermarked event time, so state
+    * evicts with the watermark. Within-batch cross-document repeats are
+    * deliberately NOT deduped (that needs the batch op's global
+    * first-occurrence exchange); this is the ingest-time front scrub. */
+  def spanScrubStream(docs: DataFrame, base: DataFrame,
+                      textCol: String = "text", tsCol: String = "ts",
+                      idCol: String = "doc_id", chunkWords: Int = 10,
+                      lateness: String = "10 minutes"): DataFrame = {
+    val C = chunkWords
+    def chunked(df: DataFrame): DataFrame = df
+      .withColumn("__ws", split(col(textCol), " "))
+      .withColumn("__ch", transform(
+        sequence(lit(0), ((size(col("__ws")) - 1) / C).cast("int")),
+        j => concat_ws(" ", slice(col("__ws"), j * C + 1, lit(C)))))
+    val baseChunks = persistStatic(chunked(base)
+      .select(explode(col("__ch")).as("chunk")).distinct()
+      .withColumn("__seen", lit(true)))
+    chunked(docs)
+      .withWatermark(tsCol, lateness)
+      .select(col(tsCol), col(idCol),
+        posexplode(col("__ch")).as(Seq("chunk_idx", "chunk")))
+      .join(baseChunks, Seq("chunk"), "left_outer")
+      .groupBy(col(tsCol), col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("__seen").isNull, 1)).as("kept_chunks"),
+        concat_ws(" ", sort_array(collect_list(
+          when(col("__seen").isNull, struct(col("chunk_idx"), col("chunk")))))
+          .getField("chunk")).as("clean_text"))
   }
 
   /** Streaming twin of the batch band aggregate (ops/BandAgg, q57): for

@@ -69,6 +69,59 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming quality gate matches the batch t23 verdict per document") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = EventStream.qualityGate(docs)
+      .select("doc_id", "fail_mask", "keep")
+      .writeStream.format("memory").queryName("gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val stop = "the and that have with of to be"
+      val clean = ((1 to 48).map(i => s"word$i") ++ stop.split(" ")).mkString(" ")
+      val short = s"$stop too short"
+      input.addData((1L, ts("2024-01-01 10:00:00"), clean),
+        (2L, ts("2024-01-01 10:00:01"), short))
+      query.processAllAvailable()
+      val got = spark.table("gate").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      assert(got(1L) == ((0L, true)))
+      assert((got(2L)._1 & 1L) != 0 && !got(2L)._2)
+      // stream verdict == batch verdict arithmetic: same expression,
+      // same thresholds — cross-check via the batch query's mask on a
+      // temp dir is unnecessary; the shared GopherStats struct is pinned
+      // in GopherQualitySpec
+    } finally query.stop()
+  }
+
+  test("streaming span scrub drops base-corpus chunks, keeps fresh ones") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val span = (1 to 10).map(i => s"b$i").mkString(" ")
+    val base = Seq((100L, span)).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = EventStream.spanScrubStream(docs, base)
+      .select("doc_id", "n_chunks", "kept_chunks", "clean_text")
+      .writeStream.format("memory").queryName("scrub")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val fresh = (1 to 10).map(i => s"f$i").mkString(" ")
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), s"$span $fresh"), // first chunk = base span
+        (2L, ts("2024-01-01 10:00:01"), fresh))           // untouched
+      // advance the watermark so the per-(ts, doc) aggregate finalizes
+      input.addData((9L, ts("2024-01-01 12:00:00"), "x"))
+      query.processAllAvailable()
+      val got = spark.table("scrub").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+        .filter(_._1 != 9L).toSet
+      assert(got == Set((1L, 2L, 1L, fresh), (2L, 1L, 1L, fresh)))
+    } finally query.stop()
+  }
+
   test("streaming band agg equals the batch bucket+halo op once windows close") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
