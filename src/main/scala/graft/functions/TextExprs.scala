@@ -110,6 +110,19 @@ object TextExprs {
   def charEntropy(text: Column): Column =
     GraftSqlBridge.column(CharEntropy(GraftSqlBridge.expression(text)))
 
+  /** Per-document hashed unigram+bigram bucket counts (portable md5
+    * bucketing) — array<struct<bucket, c>> sorted by bucket; see
+    * [[HashedGramBuckets]]. */
+  def hashedGramBuckets(text: Column, buckets: Int): Column =
+    GraftSqlBridge.column(
+      HashedGramBuckets(GraftSqlBridge.expression(text), buckets))
+
+  /** Σ c · weights(bucket) over a [[HashedGramBuckets]] array — the DSIR
+    * importance-weight fold; see [[BucketScore]]. */
+  def bucketScore(features: Column, weights: Array[Double]): Column =
+    GraftSqlBridge.column(
+      BucketScore(GraftSqlBridge.expression(features), weights))
+
   /** Per-document BPE-encode stats with a fixed ranked merge table —
     * struct<n_chars, n_tokens, tok_sig>; see [[BpeEncodeStats]]. */
   def bpeEncodeStats(text: Column, merges: Seq[(String, String)]): Column =
@@ -700,6 +713,107 @@ case class TermCounts(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+}
+
+/** array<struct<bucket:int, c:int>> sorted by bucket id: per-document
+  * counts of the PORTABLE hash buckets of every word unigram and bigram —
+  * the hashed bag-of-ngrams feature vector of DSIR-style data selection
+  * (Xie et al. 2023) in ONE pass over the text. Bucket =
+  * md5-low64(gram) & (B−1): for a power-of-two B the signed low bits
+  * equal the unsigned value's `% B`, so any engine with md5() reproduces
+  * the bucketing exactly (the d08 contamination idiom). Grams follow
+  * string_split semantics (every single space delimits; empty segments
+  * count; bigram identity is the two words joined by one space), so the
+  * DuckDB oracle agrees gram for gram. The output is run-length encoded
+  * over the SORTED bucket ids — a deterministic array order, so any
+  * downstream float fold over the features sums in a reproducible order. */
+case class HashedGramBuckets(child: Expression, buckets: Int)
+    extends UnaryExpression with EvalDelegatingCodegen {
+  require(buckets > 0 && Integer.bitCount(buckets) == 1,
+    s"bucket count $buckets must be a power of two (portable-mod contract)")
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("bucket", IntegerType, nullable = false),
+      StructField("c", IntegerType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "hashed_gram_buckets"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val words = Words.split(input.asInstanceOf[UTF8String])
+    val n = words.length // split("", -1) yields [""]: n >= 1 always
+    val mask = buckets - 1
+    val bs = new Array[Int](2 * n - 1) // n unigrams + (n-1) bigrams
+    var m = 0
+    var i = 0
+    while (i < n) {
+      bs(m) = (Words.md5Low64(words(i)) & mask).toInt
+      m += 1; i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      val l0 = words(i).numBytes
+      val l1 = words(i + 1).numBytes
+      val b = new Array[Byte](l0 + 1 + l1)
+      words(i).writeToMemory(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET)
+      b(l0) = ' '
+      words(i + 1).writeToMemory(b,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + l0 + 1)
+      bs(m) = (Words.md5Low64(b, 0, b.length) & mask).toInt
+      m += 1; i += 1
+    }
+    java.util.Arrays.sort(bs, 0, m)
+    var distinct = 1
+    i = 1
+    while (i < m) { if (bs(i) != bs(i - 1)) distinct += 1; i += 1 }
+    val out = new Array[Any](distinct)
+    var o = 0
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m && bs(j) == bs(i)) j += 1
+      out(o) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](bs(i), j - i))
+      o += 1
+      i = j
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedGramBuckets =
+    copy(child = newChild)
+}
+
+/** double: Σ c · weight(bucket) over a [[HashedGramBuckets]] feature array
+  * against a literal per-bucket weight table — the DSIR importance-weight
+  * fold as ONE codegen-compatible pass. A `aggregate()` HOF here would be
+  * CodegenFallback and demote the whole scoring stage to interpreted mode
+  * (the d03/d04 lesson); this keeps the stage inside whole-stage codegen.
+  * Summation runs in the array's bucket-ascending order — deterministic,
+  * and any cross-engine reorder drift is absorbed by the caller's
+  * round(·, 6) (the t05/t15 ln precedent). */
+case class BucketScore(child: Expression, weights: Array[Double])
+    extends UnaryExpression with EvalDelegatingCodegen {
+
+  override protected def resultJavaType: String = "java.lang.Double"
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "bucket_score"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      acc += row.getInt(1) * weights(row.getInt(0))
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketScore =
     copy(child = newChild)
 }
 

@@ -350,6 +350,103 @@ object Multimodal {
       }(enc)
   }
 
+  private val phashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),
+    StructField("decoded", BooleanType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
+
+  /** Perceptual hash (dHash) per media row: decode to a luma raster (the
+    * same real-codec-else-stub path as [[decodeAndFeaturize]]), box-filter
+    * it to a 9×8 grid, and emit one bit per horizontally adjacent cell
+    * pair (left < right) — 64 bits. Two images differing by re-encoding,
+    * mild noise, or small edits land within a few bits; unrelated images
+    * differ in ~32. The hash is modality-generic: audio rows hash the
+    * re-quantized PCM sample "raster" (a 1×n strip — dHash over it is a
+    * coarse onset signature), video rows the first frame's luma plane.
+    * `decoded` records whether a REAL codec produced the raster (the
+    * stub's hash is deterministic but content-opaque: byte-identical
+    * inputs only).
+    *
+    * Scale: mapPartitions over the binary column — no shuffle, no driver;
+    * the output is 16 bytes/row regardless of media size, so the dedup
+    * join downstream never touches the bytes again (feed the result to
+    * [[SimHash.nearPairs]] — the banded, salted, bucket-capped Hamming
+    * pair machinery is hash-agnostic). */
+  def perceptualHashes(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(phashSchema)
+    ScaleOps.spread(media, minBytes = 0L)
+      .select("media_id", "kind", "bytes", "meta.width", "meta.height")
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("bytes")
+          val attempt = r.getAs[String]("kind") match {
+            case "image" => imageioDecode(bytes)
+            case "audio" => wavDecode(bytes).map(w => (w.raster, w.samples.length, 1))
+            case "video" => y4mDecode(bytes).map(v => (v.luma(0), v.width, v.height))
+            case _ => None
+          }
+          val (raster, w, h) = attempt match {
+            case Some((ras, rw, rh)) => (ras, rw, rh)
+            case None =>
+              val mw = r.getAs[Int]("width"); val mh = r.getAs[Int]("height")
+              (stubDecode(bytes, mw, mh), mw, mh)
+          }
+          Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
+            attempt.isDefined, dHash(raster, w, h))
+        }
+      }(enc)
+  }
+
+  /** 9×8 box-filter + horizontal-gradient bits. Cell (row, c) averages the
+    * pixel block [floor(c·w/9), floor((c+1)·w/9)) × [floor(row·h/8),
+    * floor((row+1)·h/8)) (at least one pixel each — degenerate rasters
+    * share pixels across cells); bit (row·8 + c) is set iff cell(row, c+1)
+    * > cell(row, c). Pure integer/long accumulation — deterministic. */
+  private[ops] def dHash(raster: Array[Byte], w0: Int, h0: Int): Long = {
+    val w = math.max(1, w0)
+    val h = math.max(1, math.min(h0, if (w0 > 0) raster.length / w0 else 1))
+    val cells = new Array[Long](9 * 8)
+    var row = 0
+    while (row < 8) {
+      val y0 = row * h / 8
+      val y1 = math.max(y0 + 1, (row + 1) * h / 8)
+      var c = 0
+      while (c < 9) {
+        val x0 = c * w / 9
+        val x1 = math.max(x0 + 1, (c + 1) * w / 9)
+        var sum = 0L
+        var n = 0L
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val idx = y * w + x
+            if (idx < raster.length) { sum += (raster(idx) & 0xFF); n += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        cells(row * 9 + c) = if (n > 0) sum * 1024 / n else 0L // fixed-point mean
+        c += 1
+      }
+      row += 1
+    }
+    var bits = 0L
+    row = 0
+    while (row < 8) {
+      var c = 0
+      while (c < 8) {
+        if (cells(row * 9 + c + 1) > cells(row * 9 + c))
+          bits |= 1L << (row * 8 + c)
+        c += 1
+      }
+      row += 1
+    }
+    bits
+  }
+
   /** Resize: metadata transform + re-decode at the target shape — the
     * byte-level work stays in the stub, the plumbing (new meta, same
     * partitioning, no shuffle) is real. */

@@ -549,6 +549,30 @@ object TextQ {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // -- perceptual-hash media dedup: dHash per row (real decode where a
+    //    JDK codec reads the bytes, deterministic stub otherwise — the
+    //    m02 contract), then Hamming near-pairs via the SAME banded,
+    //    salted, bucket-capped machinery d05 uses (SimHash.nearPairs is
+    //    hash-agnostic: 4×16-bit pigeonhole bands, triangular salt,
+    //    recall loss logged). Verdict = min-id canonical, the d14 shape.
+    //    Rows-only by construction (no image codec in the oracle engine);
+    //    MultimodalSpec pins the dHash invariances on real PNG fixtures.
+    "m04_phash_dedup" -> ((s, d) => {
+      val ph = graft.ops.Multimodal.perceptualHashes(
+          graft.ops.Multimodal.mediaFromDocuments(T.documents(s, d)))
+        .withColumnRenamed("phash", "simhash")
+        .localCheckpoint() // nearPairs' strict-width exchanges defeat
+                           // reuse; hashes are the corpus asset anyway
+      val dups = graft.ops.SimHash.nearPairs(ph, "media_id", maxDist = 6)
+        .groupBy(col("b_id").as("media_id"))
+        .agg(min(col("a_id")).as("dup_of"))
+      ph.select(col("media_id"), col("kind"), col("decoded"),
+          col("simhash").as("phash"))
+        .join(dups, Seq("media_id"), "left_outer")
+        .select(col("media_id"), col("kind"), col("decoded"), col("phash"),
+          col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+    }),
+
     // -- training-mixture construction: per-source sampling weights
     //    realized as deterministic document copy counts — the "mix the
     //    sources at target proportions" stage between curation and
@@ -734,6 +758,54 @@ object TextQ {
           col("dup8_frac"), col("dup9_frac"), col("dup10_frac"),
           col("fail_mask"), (col("fail_mask") === 0L).as("keep"))
         .orderBy("doc_id")
+    }),
+
+    // -- DSIR-style data selection (Xie et al. 2023): hashed unigram+
+    //    bigram bag-of-ngrams importance weights between a TARGET slice
+    //    (doc_id % 10 = 0 — the d08 split convention) and the RAW pool,
+    //    then top-20% selection of the raw docs. The standard two-phase
+    //    importance-resampling flow: (1) FIT — per-bucket gram counts for
+    //    both slices; B = 1024 rows, a bounded driver-side model artifact
+    //    (the d14 codebook precedent); (2) SCORE — one codegen'd fold per
+    //    document against the literal log-ratio table (BucketScore: an
+    //    aggregate() HOF here would be CodegenFallback and demote the
+    //    stage), then a distributed two-phase global rank (no single-task
+    //    window). The feature pass is computed ONCE (localCheckpoint
+    //    feeds fit + score; at corpus scale the featurized relation is
+    //    the thing you materialize — it is ~100× smaller than the text).
+    //    Portability: bucket = md5-low64(gram) & (B−1) reproduces in any
+    //    md5 engine for power-of-two B; selection is pure integer
+    //    arithmetic (rk·5 ≤ n — no 0.2·n float boundary); ln() agreement
+    //    at round(6) is the t05/t15 precedent, and the feature array's
+    //    bucket-ascending order fixes the Spark summation order.
+    "t24_dsir_select" -> ((s, d) => {
+      val B = 1024
+      val feats = T.documents(s, d)
+        .select(col("doc_id"), (col("doc_id") % 10 === 0).as("is_t"),
+          graft.functions.TextExprs.hashedGramBuckets(col("text"), B).as("f"))
+        .localCheckpoint()
+      val model = feats.select(col("is_t"), explode(col("f")).as("e"))
+        .groupBy(col("e.bucket").as("bucket"))
+        .agg(sum(when(col("is_t"), col("e.c")).otherwise(0L)).as("tc"),
+          sum(when(!col("is_t"), col("e.c")).otherwise(0L)).as("rc"))
+        .collect() // ≤ B rows — the fitted model, a driver artifact
+      var tTot = 0L; var rTot = 0L
+      model.foreach { r => tTot += r.getLong(1); rTot += r.getLong(2) }
+      val diff = Array.fill(B)( // smoothing-only default for empty buckets
+        math.log(1.0 / (tTot + B)) - math.log(1.0 / (rTot + B)))
+      model.foreach { r =>
+        diff(r.getInt(0)) = math.log((r.getLong(1) + 1.0) / (tTot + B)) -
+          math.log((r.getLong(2) + 1.0) / (rTot + B))
+      }
+      val scored = feats.filter(!col("is_t"))
+        .select(col("doc_id"),
+          round(graft.functions.TextExprs.bucketScore(col("f"), diff), 6)
+            .as("logw"))
+        .withColumn("__g", lit(0))
+      graft.ops.Ranking.withRowNumbers(scored, "__g",
+          Seq(col("logw").desc, col("doc_id")), "rk", "n")
+        .select(col("doc_id"), col("logw"), col("rk"), col("n"),
+          (col("rk") * 5 <= col("n")).as("selected"))
     })
   )
 
@@ -890,6 +962,44 @@ object TextQ {
   val oracles: Map[String, String] = Map(
     "t17_bpe_merges" -> bpeTrainOracle(10),
     "t23_gopher_quality" -> gopherOracle,
+
+    // t24: the full DSIR flow re-derived relationally — hashed gram
+    // buckets via the portable md5-low64 idiom (power-of-two modulus ⇒
+    // unsigned % == signed floorMod), Laplace-smoothed per-bucket
+    // log-ratios, per-doc weight = Σ c·Δln, integer-arithmetic top-20%.
+    "t24_dsir_select" ->
+      """WITH ws AS (
+        |  SELECT doc_id, doc_id % 10 = 0 AS is_t, string_split(text, ' ') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, is_t, w[CAST(i AS INT)] AS g
+        |  FROM ws, UNNEST(range(1, len(w) + 1)) t(i)
+        |  UNION ALL
+        |  SELECT doc_id, is_t, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS g
+        |  FROM ws, UNNEST(range(1, len(w))) t(i)),
+        |db AS (
+        |  SELECT doc_id, is_t,
+        |         CAST(('0x' || substr(md5(g), 17, 16))::UBIGINT % 1024 AS INT) AS b,
+        |         count(*) AS c
+        |  FROM grams GROUP BY 1, 2, 3),
+        |model AS (
+        |  SELECT b, sum(CASE WHEN is_t THEN c ELSE 0 END) AS tc,
+        |         sum(CASE WHEN NOT is_t THEN c ELSE 0 END) AS rc
+        |  FROM db GROUP BY 1),
+        |tot AS (SELECT sum(tc) AS tt, sum(rc) AS rt FROM model),
+        |scored AS (
+        |  SELECT doc_id,
+        |         round(sum(c * (ln((m.tc + 1.0) / (tot.tt + 1024)) -
+        |                        ln((m.rc + 1.0) / (tot.rt + 1024)))), 6) AS logw
+        |  FROM db JOIN model m ON db.b = m.b CROSS JOIN tot
+        |  WHERE NOT db.is_t
+        |  GROUP BY doc_id),
+        |ranked AS (
+        |  SELECT doc_id, logw,
+        |         row_number() OVER (ORDER BY logw DESC, doc_id) AS rk,
+        |         count(*) OVER () AS n
+        |  FROM scored)
+        |SELECT doc_id, logw, rk, n, rk * 5 <= n AS selected FROM ranked""".stripMargin,
     "t18_heldout_logprob" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words,
         |                  substring(md5(doc_id || ':graft'), 1, 4) AS h

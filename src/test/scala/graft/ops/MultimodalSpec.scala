@@ -258,4 +258,73 @@ class MultimodalSpec extends SparkSpec {
       assert(ts.head == 0 && ts.last > 0 && ts.sorted.sameElements(ts))
     }
   }
+
+  /** PNG-encode a grayscale function image. */
+  private def pngOf(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = px(x, y) & 0xFF
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dHash: small perturbations stay near, unrelated images land far") {
+    // a horizontal gradient: dHash is all-ones on the gradient axis
+    val base = pngOf(64, 48)((x, _) => x * 4)
+    // the same gradient with mild per-pixel noise (±6 of 255)
+    val noisy = pngOf(64, 48)((x, y) => x * 4 + ((x * 31 + y * 17) % 13) - 6)
+    // the reversed gradient — structurally opposite
+    val reversed = pngOf(64, 48)((x, _) => 252 - x * 4)
+    def ph(bytes: Array[Byte]): Long = {
+      val Some((ras, w, h)) = Multimodal.imageioDecode(bytes)
+      Multimodal.dHash(ras, w, h)
+    }
+    assert(hamming(ph(base), ph(noisy)) <= 6,
+      s"noise moved the hash ${hamming(ph(base), ph(noisy))} bits")
+    assert(hamming(ph(base), ph(reversed)) >= 32,
+      "a reversed gradient must flip every gradient bit")
+    // resize invariance: the SAME scene at 2× resolution hashes identically
+    val big = pngOf(128, 96)((x, _) => (x / 2) * 4)
+    assert(hamming(ph(base), ph(big)) <= 4)
+  }
+
+  test("perceptualHashes + nearPairs flags the perturbed twin, not the stranger") {
+    val base = pngOf(64, 48)((x, y) => (x * 3 + y * 2) % 251)
+    val twin = pngOf(64, 48)((x, y) => (x * 3 + y * 2) % 251 + ((x + y) % 5) - 2)
+    val other = pngOf(64, 48)((x, y) => ((x * x) / 7 + (y * 13)) % 255)
+    val media = Seq((1L, base), (2L, twin), (3L, other))
+      .toDF("media_id", "b")
+      .select(col("media_id"), lit("image").as("kind"), col("b").as("bytes"),
+        struct(lit(64).as("width"), lit(48).as("height"),
+          lit(0).as("duration_ms"), lit(0).as("sample_rate")).as("meta"))
+    val ph = Multimodal.perceptualHashes(media)
+      .withColumnRenamed("phash", "simhash")
+    assert(ph.select("decoded").collect().forall(_.getBoolean(0)),
+      "real PNGs must take the imageio path")
+    val pairs = SimHash.nearPairs(ph, "media_id", maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "the perturbed twin is a near pair")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "the structurally different image is no one's near pair")
+    // determinism: same bytes → same hash, run to run
+    val h1 = Multimodal.perceptualHashes(media).orderBy("media_id")
+      .collect().map(_.getAs[Long]("phash")).toList
+    val h2 = Multimodal.perceptualHashes(media).orderBy("media_id")
+      .collect().map(_.getAs[Long]("phash")).toList
+    assert(h1 == h2)
+  }
+
+  test("perceptualHashes stays total on undecodable bytes (stub path)") {
+    val m = Multimodal.mediaFromDocuments(docs) // text bytes: no codec reads them
+    val out = Multimodal.perceptualHashes(m).collect()
+    assert(out.length == 3 && out.forall(!_.getAs[Boolean]("decoded")))
+    // distinct byte payloads -> distinct stub hashes (content-opaque but keyed)
+    assert(out.map(_.getAs[Long]("phash")).distinct.length == 3)
+  }
 }
