@@ -344,10 +344,20 @@ object VectorOps {
         graft.functions.VectorExprs.nearestCentroids(col(vecCol), codebook, 1), 1))
       .localCheckpoint()
     val v = withNorm(assigned, vecCol)
+    // STRICT width on the cluster key: the join's cost is the GENERATED
+    // intra-cell pair count (~cells × cellSize²/2 dot products), which is
+    // invisible to AQE's byte-based sizing — it coalesced the whole pair
+    // stage onto ONE task at sf0.1 (337 ms serialized vs ~45 ms spread;
+    // the t05/d03 pattern). Parallelism is bounded by the cell count,
+    // which grows with the corpus (k ∝ n/250), so width is never the
+    // limiter at scale — only at toy SFs.
+    val nPart = vecs.sparkSession.sessionState.conf.numShufflePartitions
     val a = v.select(col("cluster_id").as("__ca"), col(idCol).as("a_id"),
       col(vecCol).as("va"), col("_norm").as("na"))
+      .repartition(nPart, col("__ca"))
     val b = v.select(col("cluster_id").as("__cb"), col(idCol).as("b_id"),
       col(vecCol).as("vb"), col("_norm").as("nb"))
+      .repartition(nPart, col("__cb"))
     val dups = a.join(b, col("__ca") === col("__cb") && col("a_id") < col("b_id"))
       .withColumn("cos", cosineFromParts(dot(col("va"), col("vb")),
         col("na"), col("nb")))

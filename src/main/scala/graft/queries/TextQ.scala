@@ -779,28 +779,19 @@ object TextQ {
     //    at round(6) is the t05/t15 precedent, and the feature array's
     //    bucket-ascending order fixes the Spark summation order.
     "t24_dsir_select" -> ((s, d) => {
-      val B = 1024
-      val feats = T.documents(s, d)
-        .select(col("doc_id"), (col("doc_id") % 10 === 0).as("is_t"),
-          graft.functions.TextExprs.hashedGramBuckets(col("text"), B).as("f"))
+      // featurize ONCE (the md5-per-gram pass is the cost), checkpoint,
+      // then fit + score both read the compact feature relation — at
+      // corpus scale the featurized table is the artifact you
+      // materialize (it is ~100× smaller than the text)
+      val feats = graft.ops.Dsir.featurize(
+          T.documents(s, d).select(col("doc_id"), col("text"),
+            (col("doc_id") % 10 === 0).as("is_t")))
+        .drop("text")
         .localCheckpoint()
-      val model = feats.select(col("is_t"), explode(col("f")).as("e"))
-        .groupBy(col("e.bucket").as("bucket"))
-        .agg(sum(when(col("is_t"), col("e.c")).otherwise(0L)).as("tc"),
-          sum(when(!col("is_t"), col("e.c")).otherwise(0L)).as("rc"))
-        .collect() // ≤ B rows — the fitted model, a driver artifact
-      var tTot = 0L; var rTot = 0L
-      model.foreach { r => tTot += r.getLong(1); rTot += r.getLong(2) }
-      val diff = Array.fill(B)( // smoothing-only default for empty buckets
-        math.log(1.0 / (tTot + B)) - math.log(1.0 / (rTot + B)))
-      model.foreach { r =>
-        diff(r.getInt(0)) = math.log((r.getLong(1) + 1.0) / (tTot + B)) -
-          math.log((r.getLong(2) + 1.0) / (rTot + B))
-      }
-      val scored = feats.filter(!col("is_t"))
-        .select(col("doc_id"),
-          round(graft.functions.TextExprs.bucketScore(col("f"), diff), 6)
-            .as("logw"))
+      val weights = graft.ops.Dsir.fitFeatures(feats, col("is_t"))
+      val scored = graft.ops.Dsir
+        .scoreFeatures(feats.filter(!col("is_t")), weights)
+        .select(col("doc_id"), col("logw"))
         .withColumn("__g", lit(0))
       graft.ops.Ranking.withRowNumbers(scored, "__g",
           Seq(col("logw").desc, col("doc_id")), "rk", "n")

@@ -128,6 +128,22 @@ object EventStream {
       .drop("__g")
   }
 
+  /** Streaming DSIR gate — t24 at ingest time: score each arriving
+    * document against a FITTED importance model and keep those at or
+    * above a weight threshold. The model (B per-bucket log-ratios) is a
+    * deploy artifact like the ANN codebook or the boilerplate gram set —
+    * fit offline on the batch side ([[graft.ops.Dsir.fit]]), shipped
+    * here as a literal. Stateless map-side arithmetic at scan rate — no
+    * watermark, no state, no shuffle: a stream has no global rank, so
+    * the batch op's top-20% becomes a threshold calibrated offline from
+    * the batch quantile (standard DSIR deployment). `logw` per document
+    * is IDENTICAL to the batch op by construction (same featurization,
+    * same fold, same rounding) — the spec pins batch == stream. */
+  def dsirGate(docs: DataFrame, weights: Array[Double], threshold: Double,
+               textCol: String = "text"): DataFrame =
+    graft.ops.Dsir.score(docs, weights, textCol)
+      .withColumn("selected", col("logw") >= threshold)
+
   /** Streaming incremental span scrub — d15 against a STATIC base corpus
     * (the d13 incremental shape applied to spans): an arriving document
     * keeps only the chunks whose text does not already appear in the

@@ -96,6 +96,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming DSIR gate scores arriving docs exactly like the batch op") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // fit the model on a tiny static corpus: target talks about spark,
+    // the raw pool about weather
+    val corpus = Seq(
+      (0L, true, "spark shuffle partition spark codegen"),
+      (1L, true, "spark catalyst optimizer spark plan"),
+      (2L, false, "rain cloud wind rain sun"),
+      (3L, false, "snow cloud fog sun wind")).toDF("doc_id", "is_t", "text")
+    val weights = graft.ops.Dsir.fit(corpus,
+      org.apache.spark.sql.functions.col("is_t"))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = EventStream.dsirGate(docs, weights, threshold = 0.0)
+      .select("doc_id", "logw", "selected")
+      .writeStream.format("memory").queryName("dsir_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val sparky = "spark codegen shuffle catalyst"
+      val rainy = "rain sun wind fog cloud"
+      input.addData((10L, ts("2024-01-01 10:00:00"), sparky),
+        (11L, ts("2024-01-01 10:00:01"), rainy))
+      query.processAllAvailable()
+      val got = spark.table("dsir_gate").collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+      // target-like text scores positive and passes; raw-like fails
+      assert(got(10L)._1 > 0 && got(10L)._2, s"sparky doc: ${got(10L)}")
+      assert(got(11L)._1 < 0 && !got(11L)._2, s"rainy doc: ${got(11L)}")
+      // batch == stream: identical logw from the batch-side scorer
+      val batch = graft.ops.Dsir.score(
+          Seq((10L, sparky), (11L, rainy)).toDF("doc_id", "text"), weights)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      assert(batch(10L) == got(10L)._1 && batch(11L) == got(11L)._1)
+    } finally query.stop()
+  }
+
   test("streaming span scrub drops base-corpus chunks, keeps fresh ones") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
