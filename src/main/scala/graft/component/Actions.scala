@@ -18,7 +18,8 @@ object Actions {
     config.namedScripts.flatMap { s =>
       val name = s.name
       Dialect.prepare(s.sql).flatMap { stmt =>
-        val parseIssue = Try(spark.sessionState.sqlParser.parsePlan(stmt)) match {
+        val parseIssue = Try(spark.sessionState.sqlParser
+            .parsePlan(Pivot.staticStub(stmt))) match {
           case Failure(e) => List(ValidationIssue(name, s"parse error: ${e.getMessage}"))
           case Success(_) => Nil
         }

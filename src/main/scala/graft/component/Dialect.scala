@@ -54,7 +54,7 @@ object Dialect {
   }
 
   private val tableKeyword =
-    """(?is)\b(FROM|JOIN|INTO|UPDATE|TABLE|VIEW)\s*$""".r
+    """(?is)\b(FROM|JOIN|INTO|UPDATE|TABLE|VIEW|PIVOT|UNPIVOT)\s*$""".r
 
   /** Scan past a single-quoted token starting at `start` (which must point
     * at the opening quote), honoring `''` escapes; returns the index just
@@ -73,7 +73,8 @@ object Dialect {
   /** Rewrite one DuckDB statement into Spark SQL. Textual rewrites
     * (`::VARCHAR`, `* EXCLUDE (`) apply only OUTSIDE quoted regions. */
   def rewrite(stmt0: String): String = {
-    val stmt = rewriteQualify(rewriteDistinctOn(rewriteWithCreate(stmt0)))
+    val stmt = rewriteQualify(rewriteDistinctOn(rewriteWithCreate(
+      Pivot.rewriteUnpivot(stmt0))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position

@@ -117,10 +117,10 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
         viewDefs.remove(sanitized.toLowerCase)
         viewDefs.put(sanitized.toLowerCase, (sanitized, body, deps))
       }
-      register(name, spark.sql(body))
+      register(name, bodyDf(body))
 
     case createTable(name, body) =>
-      register(name, materialize(name, spark.sql(body)))
+      register(name, materialize(name, bodyDf(body)))
       rebind(Names.view(name).toLowerCase)
 
     case insertInto(name, rest0) =>
@@ -138,7 +138,7 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
           else (inner, rest.substring(close + 1).trim)
         } else (null, rest)
       val existing = spark.table(s"`${Names.view(name)}`")
-      val added0 = spark.sql(body)
+      val added0 = bodyDf(body)
       val added = Option(colList).filter(_.trim.nonEmpty) match {
         case Some(cs) => added0.toDF(cs.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")): _*)
         case None     => added0.toDF(existing.columns: _*)
@@ -153,6 +153,10 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       }: _*)
       register(name, materialize(name, existing.unionByName(aligned)))
       rebind(Names.view(name).toLowerCase)
+
+    case _ if Pivot.parse(stmt).isDefined =>
+      // bare PIVOT: execute for effect + error surfacing, like plain SELECT
+      bodyDf(stmt).queryExecution.assertAnalyzed()
 
     case _ =>
       val plan = spark.sessionState.sqlParser.parsePlan(stmt)
@@ -200,6 +204,12 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       }
     }
   }
+
+  /** A statement body: plain Spark SQL, or a DuckDB simplified PIVOT
+    * (which has no static Spark spelling — [[Pivot.pivotDf]] runs it as a
+    * dynamic DataFrame pivot on this session). */
+  private def bodyDf(body: String): DataFrame =
+    Pivot.pivotDf(spark, body).getOrElse(spark.sql(body))
 
   /** Index of the ')' matching the '(' at `open`, skipping quoted regions. */
   private def matchingParen(s: String, open: Int): Int = {

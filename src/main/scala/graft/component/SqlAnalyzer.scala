@@ -31,7 +31,9 @@ object SqlAnalyzer {
 
   def analyzeStatement(spark: SparkSession, rewritten: String): Analysis =
     Try {
-      val plan = spark.sessionState.sqlParser.parsePlan(rewritten)
+      // a simplified-PIVOT statement has no Catalyst spelling; its
+      // session-free stub (SELECT * FROM <src>) has the same dependencies
+      val plan = spark.sessionState.sqlParser.parsePlan(Pivot.staticStub(rewritten))
       fromPlan(plan)
     }.getOrElse(Analysis(Set.empty, Set.empty, OtherStmt))
 

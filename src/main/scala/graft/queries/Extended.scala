@@ -129,6 +129,22 @@ object Extended {
         .agg(expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
           count(lit(1)).as("n"))
         .orderBy("n_regionkey")
+    }),
+
+    // DuckDB's DYNAMIC simplified-PIVOT statement through the component
+    // dialect path (component/Pivot): the pivot columns are the lang
+    // values discovered at RUN time — the translator executes Spark's
+    // relational pivot with engine-computed values (width capped by
+    // spark.sql.pivotMaxValues, ascending value order, value-text column
+    // names: DuckDB's conventions). q53 is the pinned-values shape you'd
+    // PREFER at 100 TB (no distinct pre-scan); this row pins the exact
+    // statement a reference user writes. Oracle: DuckDB runs the
+    // IDENTICAL statement natively — full dialect differential.
+    // No trailing ORDER BY: the compare canon-sorts (d03 precedent).
+    "q58_pivot_dynamic" -> ((s, d) => {
+      T.documents(s, d).createOrReplaceTempView("documents")
+      graft.component.Pivot.pivotDf(s,
+        "PIVOT documents ON lang USING max(n_chars) GROUP BY source").get
     })
   )
 
@@ -316,6 +332,11 @@ object Extended {
       """SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
         |UNION ALL
         |SELECT p_partkey, 'retail', p_retailprice FROM part
-        |ORDER BY p_partkey, measure""".stripMargin
+        |ORDER BY p_partkey, measure""".stripMargin,
+
+    // DuckDB runs its simplified PIVOT natively — the Spark side runs the
+    // SAME statement through the component dialect translator
+    "q58_pivot_dynamic" ->
+      "PIVOT documents ON lang USING max(n_chars) GROUP BY source"
   )
 }
