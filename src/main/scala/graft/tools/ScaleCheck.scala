@@ -38,7 +38,8 @@ object ScaleCheck {
     "d08_contamination", "d09_dup_clusters", "d11_boilerplate",
     "d14_semantic_dedup", "d15_span_dedup", "q57_band_agg",
     "t05_tfidf", "t07_vocab_prune", "t10_heavy_hitters", "t11_sequence_pack",
-    "t12_pii_redact", "t16_bm25", "t17_bpe_merges", "t23_gopher_quality")
+    "t12_pii_redact", "t16_bm25", "t17_bpe_merges", "t23_gopher_quality",
+    "t24_dsir_select", "m04_phash_dedup", "q58_pivot_dynamic")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
