@@ -110,6 +110,10 @@ object DuckFunctions {
       Divide(DotF32(a.head, a(1)), Multiply(NormF32(a.head), NormF32(a(1))))
     }),
 
+    // Unicode normalization (graft's Normalizer-backed expression — the
+    // same UAX #15 NFC form DuckDB computes via utf8proc)
+    arity("nfc_normalize", 1)(a => graft.functions.NfcNormalize(a.head)),
+
     // epoch extractors
     arity("epoch_us", 1)(a => UnixMicros(a.head)),
     arity("epoch_ms", 1)(a => UnixMillis(a.head)),

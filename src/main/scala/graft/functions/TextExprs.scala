@@ -123,6 +123,10 @@ object TextExprs {
     GraftSqlBridge.column(
       BucketScore(GraftSqlBridge.expression(features), weights))
 
+  /** Unicode NFC normalization — see [[NfcNormalize]]. */
+  def nfcNormalize(text: Column): Column =
+    GraftSqlBridge.column(NfcNormalize(GraftSqlBridge.expression(text)))
+
   /** Per-document BPE-encode stats with a fixed ranked merge table —
     * struct<n_chars, n_tokens, tok_sig>; see [[BpeEncodeStats]]. */
   def bpeEncodeStats(text: Column, merges: Seq[(String, String)]): Column =
@@ -782,6 +786,33 @@ case class HashedGramBuckets(child: Expression, buckets: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): HashedGramBuckets =
+    copy(child = newChild)
+}
+
+/** string: Unicode NFC normalization (java.text.Normalizer — canonical
+  * composition, the same normal form DuckDB's `nfc_normalize` computes
+  * via utf8proc; both implement UAX #15, so outputs are codepoint-
+  * identical). The t25 normalization stage and the `nfc_normalize` name
+  * binding both resolve here. Fast path: `isNormalized` returns without
+  * allocating for already-composed text — which is ~all of a real corpus
+  * (ASCII is always NFC), so the per-row cost is a scan, not a rewrite. */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with EvalDelegatingCodegen {
+
+  override protected def resultJavaType: String =
+    "org.apache.spark.unsafe.types.UTF8String"
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val u = input.asInstanceOf[UTF8String]
+    val s = u.toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) u
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
     copy(child = newChild)
 }
 

@@ -797,6 +797,34 @@ object TextQ {
           Seq(col("logw").desc, col("doc_id")), "rk", "n")
         .select(col("doc_id"), col("logw"), col("rk"), col("n"),
           (col("rk") * 5 <= col("n")).as("selected"))
+    }),
+
+    // -- text normalization, the stage every corpus pipeline runs FIRST:
+    //    control chars → space, whitespace-run collapse, trim, lowercase,
+    //    Unicode NFC composition (native NfcNormalize — java.text
+    //    .Normalizer, the same UAX #15 form DuckDB's nfc_normalize
+    //    computes via utf8proc, so outputs are codepoint-identical; the
+    //    name is also bound for user SQL in component/DuckFunctions).
+    //    The t12 device: the corpus text is already clean, so the query
+    //    INJECTS the mess it must fix — a tab, doubled spaces, mixed
+    //    case, and a decomposed e + U+0301 (combining acute) that NFC
+    //    must compose to a single é. Character counts (both engines
+    //    count codepoints) expose the composition; the md5 fingerprint
+    //    pins the exact output bytes. Map-only: rides the scan, zero
+    //    shuffle beyond the free pre-range sort.
+    "t25_normalize" -> ((s, d) => {
+      val messy = concat(col("text"), lit("\tMIXED  Case é end"))
+      val collapsed = regexp_replace(
+        regexp_replace(messy, "[\\t\\n\\r]", " "), " +", " ")
+      val norm = graft.functions.TextExprs.nfcNormalize(lower(trim(collapsed)))
+      byRange(T.documents(s, d), "doc_id")
+        .withColumn("__m", messy)
+        .withColumn("__n", norm)
+        .select(col("doc_id"),
+          length(col("__m")).cast(LongType).as("n_before"),
+          length(col("__n")).cast(LongType).as("n_after"),
+          md5(col("__n")).as("norm_fp"))
+        .orderBy("doc_id")
     })
   )
 
@@ -953,6 +981,25 @@ object TextQ {
   val oracles: Map[String, String] = Map(
     "t17_bpe_merges" -> bpeTrainOracle(10),
     "t23_gopher_quality" -> gopherOracle,
+
+    // t25: same injected mess, same pipeline — DuckDB regexp_replace
+    // needs the 'g' flag (first-match default; Spark replaces all), and
+    // chr(9)/chr(769) spell the tab + combining acute the Spark side
+    // carries as literals. nfc_normalize is DuckDB-native.
+    "t25_normalize" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         text || chr(9) || 'MIXED  Case e' || chr(769) || ' end' AS messy
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, messy,
+        |         nfc_normalize(lower(trim(regexp_replace(regexp_replace(messy,
+        |           '[\t\n\r]', ' ', 'g'), ' +', ' ', 'g')))) AS norm
+        |  FROM m)
+        |SELECT doc_id, CAST(length(messy) AS BIGINT) AS n_before,
+        |       CAST(length(norm) AS BIGINT) AS n_after,
+        |       md5(norm) AS norm_fp
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     // t24: the full DSIR flow re-derived relationally — hashed gram
     // buckets via the portable md5-low64 idiom (power-of-two modulus ⇒

@@ -90,6 +90,13 @@ class DuckFunctionsSpec extends SparkSpec {
         |  CAST(array(3.0, 4.0) AS ARRAY<FLOAT>))""".stripMargin) == 11.0)
   }
 
+  test("nfc_normalize composes decomposed sequences; ASCII passes untouched") {
+    // e + U+0301 (combining acute) -> single precomposed U+00E9
+    assert(one("SELECT length(nfc_normalize('é'))") == 1)
+    assert(one("SELECT nfc_normalize('é') = 'é'") == true)
+    assert(one("SELECT nfc_normalize('plain ascii')") == "plain ascii")
+  }
+
   test("struct_pack rewrites through the dialect to named_struct") {
     val sql = Dialect.rewrite("SELECT struct_pack(a := 1, b := 'x') AS s")
     assert(sql.contains("named_struct('a', 1, 'b', 'x')"))
