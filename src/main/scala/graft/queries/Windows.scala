@@ -83,8 +83,20 @@ object Windows {
     // to least(row_number, k). Same one shuffle + sort; 30× less frame
     // work per row — the shape that survives at 100 TB.
     "q29_window_rolling" -> ((s, d) => {
+      // ORDER BY ties must be impossible for a ROWS frame differential:
+      // (l_orderkey, l_linenumber) WAS the lineitem PK, but the Aug-14
+      // testdata regeneration introduced duplicate keys (600k rows,
+      // 457k distinct pairs — one group even shares suppkey+shipdate+
+      // orderkey+linenumber while differing in price, so each engine
+      // ordered the copies differently and their rolling sums diverged
+      // by exactly that price delta). Appending the measure columns
+      // makes the ordering total wherever totality can matter: rows
+      // still tied after (price, quantity) are interchangeable in every
+      // output column, so frame sums are order-independent. Same
+      // tie-breakers in the oracle's WINDOW clauses.
       val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_quantity"))
       val run = w.rowsBetween(Window.unboundedPreceding, 0)
       // DECIMAL(8,2) instead of the usual (18,2): quantity (< 100) and
       // extendedprice (< 1M) fit, and sum(DECIMAL(8,2)) keeps result
@@ -196,9 +208,11 @@ object Windows {
         | COUNT(*) OVER w30 AS roll30_n
         |FROM lineitem
         |WINDOW
-        | w7 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        | w7 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |                                        l_extendedprice, l_quantity
         |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
-        | w30 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        | w30 AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber,
+        |                                         l_extendedprice, l_quantity
         |         ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
         |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin,
 
