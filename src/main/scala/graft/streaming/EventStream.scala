@@ -700,6 +700,43 @@ object EventStream {
         coalesce(col("base_keep"), col(idCol)).as("canonical_id"))
   }
 
+  /** Streaming semantic dedup — batch d14 at ingest time: each arriving
+    * embedding is assigned to its nearest codebook centroid (the same
+    * map-side native pass as the batch op; the codebook is the deploy
+    * artifact) and compared against the EXISTING corpus's vectors in
+    * that cell only — a stream-static LEFT join on the cluster key, so
+    * the candidate set per arrival is one cell, never the corpus. The
+    * verdict aggregate groups on the watermarked event time (the
+    * spanScrubStream shape), so state evicts with the watermark; dup_of
+    * = min matching base id (integer argmin, no float ordering — the
+    * d14 contract). Stream-internal pairs are deliberately out of scope
+    * (that needs the batch op's global pair join); this is the front
+    * gate that keeps near-copies of the existing corpus out. */
+  def semanticDedupStream(docs: DataFrame, base: DataFrame,
+                          codebook: Array[Array[Double]], tau: Double,
+                          tsCol: String = "ts", idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          lateness: String = "1 hour"): DataFrame = {
+    import graft.functions.VectorExprs.nearestCentroids
+    import graft.ops.VectorOps
+    def assign(df: DataFrame): DataFrame = df.withColumn("cluster_id",
+      element_at(nearestCentroids(col(vecCol), codebook, 1), 1))
+    val baseIdx = persistStatic(
+      VectorOps.withNorm(assign(base), vecCol)
+        .select(col("cluster_id").as("__bc"), col(idCol).as("__bid"),
+          col(vecCol).as("__bvec"), col("_norm").as("__bn")))
+    val s = VectorOps.withNorm(assign(docs), vecCol)
+      .withWatermark(tsCol, lateness)
+    s.join(baseIdx, col("cluster_id") === col("__bc"), "left_outer")
+      .withColumn("__hit",
+        VectorOps.cosineFromParts(VectorOps.dot(col(vecCol), col("__bvec")),
+          col("_norm"), col("__bn")) >= tau)
+      .groupBy(col(tsCol), col(idCol), col("cluster_id"))
+      .agg(min(when(col("__hit"), col("__bid"))).as("dup_of"))
+      .select(col(idCol), col("cluster_id"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"), col(tsCol))
+  }
+
   /** Streaming training-mixture construction — the twin of batch t19:
     * each arriving document is expanded to its deterministic copy count
     * (`graft.ops.Mixture.copies` — ⌊w⌋ epochs + md5-hex-threshold

@@ -489,6 +489,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming semantic dedup flags near-copies of the base, cell-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val codebook = Array(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+    val base = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // cell 1
+      (101L, Seq(0.0f, 0.9f, 0.1f, 0.0f)))   // cell 2
+      .toDF("vec_id", "embedding")
+    val input = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val q = EventStream.semanticDedupStream(
+        input.toDF().toDF("vec_id", "embedding", "ts"), base, codebook,
+        tau = 0.9, lateness = "1 minute")
+      .writeStream.format("memory").queryName("semdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, Seq(0.99f, 0.01f, 0.0f, 0.0f), ts("2024-01-01 10:00:00")), // ~base 100
+        (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f), ts("2024-01-01 10:00:01")),   // ~base 101
+        (3L, Seq(0.0f, 0.0f, 0.0f, 1.0f), ts("2024-01-01 10:00:02")))   // no neighbor
+      q.processAllAvailable()
+      // straggler advances the watermark past the first arrivals
+      input.addData((9L, Seq(1.0f, 0.0f, 0.0f, 0.0f), ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("semdedup").collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getAs[Boolean]("is_dup"), Option(r.getAs[java.lang.Long]("dup_of")))))
+        .toMap
+      assert(got(1L) == ((true, Some(100L))))
+      assert(got(2L) == ((true, Some(101L))))
+      assert(got(3L) == ((false, None)))
+    } finally q.stop()
+  }
+
   test("annEnrich: streaming IVF top-k equals the batch invocation exactly") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
