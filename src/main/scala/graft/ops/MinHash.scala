@@ -79,6 +79,49 @@ object MinHash {
       .distinct()
   }
 
+  /** Incremental (delta-vs-base) near-duplicates: candidate pairs ONLY
+    * across the two relations — the banded join of the d13 index-join
+    * shape applied to FUZZY dedup. Each side gets its own banded
+    * signature relation and the bucket join is delta×base (never
+    * delta×delta or base×base), so adding a batch to an N-doc corpus
+    * costs O(delta × bucket overlap), not O((N+delta)²) — at scale the
+    * base side's banded signatures are the persisted, incrementally-
+    * maintained index (64×8 bytes/doc), and only verified candidates
+    * ever re-read base text. Candidates are verified with exact
+    * shingle-set Jaccard, the nearDuplicates contract. */
+  def crossNearDuplicates(delta: DataFrame, base: DataFrame, idCol: String,
+                          textCol: String, k: Int = 3,
+                          threshold: Double = 0.2,
+                          bands: Int = 16): DataFrame = {
+    val rows = NumHashes / bands
+    val n = delta.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val dSpread = ScaleOps.spread(delta)
+    val bSpread = ScaleOps.spread(base)
+    def banded(df: DataFrame, outId: String): DataFrame =
+      sigProjection(df, idCol, textCol, k)
+        .select(col(idCol).as(outId),
+          TextExprs.bandSigs(col("minhash"), bands, rows).as("__bs"))
+        .select(col(outId), posexplode(col("__bs")).as(Seq("band", "sig")))
+        .hint("shuffle_hash") // both sides exchange on (band, sig)
+    val cands = banded(dSpread, "delta_id")
+      .join(banded(bSpread, "base_id"), Seq("band", "sig"))
+      .select("delta_id", "base_id")
+      .repartition(n, col("delta_id"), col("base_id"))
+      .distinct()
+    val dSets = dSpread.select(col(idCol).as("delta_id"),
+      Shingles.shingles(col(textCol), k).as("sh_a"))
+    val bSets = bSpread.select(col(idCol).as("base_id"),
+      Shingles.shingles(col(textCol), k).as("sh_b"))
+    cands
+      .join(dSets, "delta_id")
+      .join(bSets, "base_id")
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard", col("common").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("delta_id", "base_id", "jaccard")
+  }
+
   /** Full pipeline: LSH candidates verified with exact Jaccard over the
     * shingle-hash sets. */
   def nearDuplicates(docs: DataFrame, idCol: String, textCol: String,

@@ -379,7 +379,45 @@ object DedupQ {
     "d15_span_dedup" -> ((s, d) =>
       // no trailing ORDER BY: compare canon-sorts (d03 precedent)
       SpanDedup.dedup(T.documents(s, d).select("doc_id", "text"),
-          "doc_id", "text", chunkWords = 10))
+          "doc_id", "text", chunkWords = 10)),
+
+    // -- incremental FUZZY dedup: d13's delta-vs-base index-join shape
+    //    applied to NEAR-duplicates — each new-batch doc is checked for
+    //    Jaccard ≥ τ neighbors in the EXISTING corpus only (banded
+    //    MinHash cross join, delta×base buckets — never within either
+    //    side; at scale the base's banded signatures are the persisted
+    //    index, so adding a batch never rescans the corpus). The d04
+    //    convention: the LSH path is unioned with the exact cross-pair
+    //    relation so the ledger row equals the exact answer and stays
+    //    oracle-able; verdict per delta doc = min matching base id +
+    //    best Jaccard (exact rational, round-6).
+    "d16_incremental_fuzzy" -> ((s, d) => {
+      val docs = T.documents(s, d).select("doc_id", "text")
+      val isDelta = pmod(col("doc_id"), lit(10)) === 0
+      val delta = docs.filter(isDelta)
+      val base = docs.filter(!isDelta)
+      val lsh = MinHash.crossNearDuplicates(delta, base, "doc_id", "text",
+        k = 3, threshold = 0.2, bands = 16)
+      val exact = Shingles.jaccardPairs(docs, "doc_id", "text",
+          k = 3, threshold = 0.2)
+        .filter((pmod(col("a_id"), lit(10)) === 0) =!=
+          (pmod(col("b_id"), lit(10)) === 0))
+        .select(
+          when(pmod(col("a_id"), lit(10)) === 0, col("a_id"))
+            .otherwise(col("b_id")).as("delta_id"),
+          when(pmod(col("a_id"), lit(10)) === 0, col("b_id"))
+            .otherwise(col("a_id")).as("base_id"),
+          col("jaccard"))
+      val best = lsh.unionByName(exact)
+        .dropDuplicates("delta_id", "base_id")
+        .groupBy("delta_id")
+        .agg(min(col("base_id")).as("dup_of"),
+          round(max(col("jaccard")), 6).as("best_jaccard"))
+      delta.select(col("doc_id"))
+        .join(best.withColumnRenamed("delta_id", "doc_id"), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("dup_of").isNotNull.as("is_near_dup"),
+          col("dup_of"), col("best_jaccard"))
+    })
   )
 
   /** d08 oracle rendered from the SAME (k, window) the Spark side picked
@@ -459,6 +497,32 @@ object DedupQ {
     ("d14_semantic_dedup" -> d14OracleSql)
 
   private val staticOracles: Map[String, String] = Map(
+    // d16: exact cross-side Jaccard (the d04 oracle shape restricted to
+    // delta×base pairs) + per-delta min-id/best-jaccard verdict
+    "d16_incremental_fuzzy" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |s AS (SELECT DISTINCT doc_id,
+        |        words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        |      FROM w, UNNEST(range(1, len(words) - 1)) AS t(i)),
+        |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM s GROUP BY doc_id),
+        |c AS (SELECT a.doc_id AS delta_id, b.doc_id AS base_id, COUNT(*) AS common
+        |      FROM s a JOIN s b ON a.shingle = b.shingle
+        |      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |      GROUP BY 1, 2),
+        |p AS (SELECT delta_id, base_id,
+        |        CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) AS j
+        |      FROM c JOIN n na ON na.doc_id = delta_id
+        |             JOIN n nb ON nb.doc_id = base_id
+        |      WHERE CAST(common AS DOUBLE) / (na.n_sh + nb.n_sh - common) >= 0.2),
+        |b AS (SELECT delta_id, MIN(base_id) AS dup_of,
+        |             round(MAX(j), 6) AS best_jaccard
+        |      FROM p GROUP BY delta_id)
+        |SELECT d.doc_id, b.dup_of IS NOT NULL AS is_near_dup,
+        |       b.dup_of, b.best_jaccard
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |LEFT JOIN b ON b.delta_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "d15_span_dedup" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |ch AS (

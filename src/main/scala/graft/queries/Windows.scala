@@ -118,6 +118,9 @@ object Windows {
         .transform(df => byRangeCols(df, col("l_suppkey")))
         .select(
           col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          // the tie-break columns ride along: stage 2's lag window sorts
+          // by them too (both stages must see the SAME total order)
+          col("l_extendedprice"), col("l_quantity"),
           sum(col("l_quantity").cast(d8)).over(run).as("sq"),
           sum(col("l_extendedprice").cast(d8)).over(run).as("sp"),
           row_number().over(w).as("rn"))

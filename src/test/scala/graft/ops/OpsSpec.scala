@@ -66,6 +66,22 @@ class OpsSpec extends SparkSpec {
     assert(lsh == exact) // verified candidates = exact high-jaccard pairs
   }
 
+  test("crossNearDuplicates: delta-vs-base pairs only, never within a side") {
+    val body = (0 until 40).map(i => s"w$i").mkString(" ")
+    val nearBody = (0 until 40).map(i => if (i == 7) "CHANGED" else s"w$i").mkString(" ")
+    // base: 1 and its exact copy 2 (a within-base pair the CROSS op must
+    // NOT emit); delta: 10 near-dups base, 11 is novel
+    val base = docs((1L, body), (2L, body),
+      (3L, (200 until 240).map(i => s"z$i").mkString(" ")))
+    val delta = docs((10L, nearBody),
+      (11L, (100 until 140).map(i => s"q$i").mkString(" ")))
+    val pairs = MinHash.crossNearDuplicates(delta, base, "doc_id", "text",
+        k = 3, threshold = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 1L), (10L, 2L)),
+      s"cross pairs must be delta x base only, got $pairs")
+  }
+
   test("short docs (no shingles) produce no LSH candidates, not a shared bucket") {
     // many sub-k-word docs: a shared sentinel signature would emit all pairs
     val d = docs((1L to 20L).map(i => (i, s"w$i")): _*)
