@@ -154,8 +154,8 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       register(name, materialize(name, existing.unionByName(aligned)))
       rebind(Names.view(name).toLowerCase)
 
-    case _ if Pivot.parse(stmt).isDefined =>
-      // bare PIVOT: execute for effect + error surfacing, like plain SELECT
+    case _ if Pivot.parse(stmt).isDefined || AsOfSql.parse(stmt).isDefined =>
+      // bare PIVOT / ASOF JOIN: execute for effect + error surfacing
       bodyDf(stmt).queryExecution.assertAnalyzed()
 
     case _ =>
@@ -205,11 +205,13 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     }
   }
 
-  /** A statement body: plain Spark SQL, or a DuckDB simplified PIVOT
-    * (which has no static Spark spelling — [[Pivot.pivotDf]] runs it as a
-    * dynamic DataFrame pivot on this session). */
+  /** A statement body: plain Spark SQL, a DuckDB simplified PIVOT
+    * (dynamic DataFrame pivot — [[Pivot.pivotDf]]), or an ASOF JOIN
+    * ([[AsOfSql.asofDf]] → the graft as-of engine core). */
   private def bodyDf(body: String): DataFrame =
-    Pivot.pivotDf(spark, body).getOrElse(spark.sql(body))
+    Pivot.pivotDf(spark, body)
+      .orElse(AsOfSql.asofDf(spark, body))
+      .getOrElse(spark.sql(body))
 
   /** Index of the ')' matching the '(' at `open`, skipping quoted regions. */
   private def matchingParen(s: String, open: Int): Int = {

@@ -31,9 +31,10 @@ object SqlAnalyzer {
 
   def analyzeStatement(spark: SparkSession, rewritten: String): Analysis =
     Try {
-      // a simplified-PIVOT statement has no Catalyst spelling; its
-      // session-free stub (SELECT * FROM <src>) has the same dependencies
-      val plan = spark.sessionState.sqlParser.parsePlan(Pivot.staticStub(rewritten))
+      // PIVOT / ASOF statements have no Catalyst spelling; their
+      // session-free stubs parse with the same dependency sets
+      val plan = spark.sessionState.sqlParser.parsePlan(
+        AsOfSql.stub(Pivot.staticStub(rewritten)))
       fromPlan(plan)
     }.getOrElse(Analysis(Set.empty, Set.empty, OtherStmt))
 

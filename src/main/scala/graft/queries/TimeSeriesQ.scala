@@ -185,17 +185,33 @@ object TimeSeriesQ {
           widthUs = 120L * 1000000L)
         .select(col("event_id"), col("n_band"),
           col("v_band").cast(DoubleType).as("band_value"))
+    }),
+
+    // -- the DuckDB ASOF JOIN STATEMENT through the component dialect
+    //    path (component/AsOfSql → the graft as-of engine core): q36
+    //    checks the operator, this row checks that a reference user's
+    //    literal SQL runs — both engines execute the IDENTICAL text
+    //    (DuckDB natively). Full dialect differential, the q58 pattern.
+    "q59_asof_sql" -> ((s, d) => {
+      T.events(s, d).createOrReplaceTempView("events")
+      graft.component.AsOfSql.asofDf(s, AsOfStmt)
+        .getOrElse(sys.error("q59: AsOfSql did not recognize the statement"))
     })
   )
 
-  private val Oracle36: String =
+  /** The exact DuckDB ASOF LEFT JOIN statement text. q36/q36b check the
+    * ENGINE (op / custom plan) against DuckDB running this; q59 checks
+    * the DIALECT — the same text executed by component/AsOfSql on the
+    * Spark side. No trailing ORDER BY (the compare canon-sorts). */
+  private[queries] val AsOfStmt: String =
       """SELECT p.event_id, p.user_id, p.ts, p.value, l.s_eid AS ref_event_id
         |FROM (SELECT user_id, event_id, ts, value FROM events
         |      WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT user_id, event_id AS s_eid, ts AS s_ts FROM events
         |                WHERE event_type = 'signup') l
-        |  ON p.user_id = l.user_id AND p.ts >= l.s_ts
-        |ORDER BY p.event_id""".stripMargin
+        |  ON p.user_id = l.user_id AND p.ts >= l.s_ts""".stripMargin
+
+  private val Oracle36: String = AsOfStmt + "\nORDER BY p.event_id"
 
   val oracles: Map[String, String] = Map(
     "q33_time_bucket" ->
@@ -227,6 +243,7 @@ object TimeSeriesQ {
 
     "q36_asof_join" -> Oracle36,
     "q36b_asof_native" -> Oracle36,
+    "q59_asof_sql" -> AsOfStmt,
 
     "q56_range_join" ->
       """SELECT a.event_id,

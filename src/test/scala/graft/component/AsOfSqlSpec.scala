@@ -1,0 +1,116 @@
+package graft.component
+
+import java.nio.file.{Files, Path}
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** DuckDB ASOF JOIN statement support ([[AsOfSql]]): grammar parsing,
+  * the keyword-deletion dependency stub, semantics (latest right row at
+  * or before the left timestamp; inner drops unmatched, LEFT keeps),
+  * and an end-to-end component run. */
+class AsOfSqlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def trades = Seq(
+    (1L, "A", ts("2024-01-01 10:00:05"), 100.0),
+    (2L, "A", ts("2024-01-01 10:00:15"), 101.0),
+    (3L, "B", ts("2024-01-01 10:00:07"), 50.0),
+    (4L, "C", ts("2024-01-01 10:00:07"), 7.0)) // no quotes for C
+    .toDF("trade_id", "sym", "t_ts", "price")
+
+  private def quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 99.0),
+    ("A", ts("2024-01-01 10:00:10"), 100.5),
+    ("B", ts("2024-01-01 10:00:06"), 49.5))
+    .toDF("q_sym", "q_ts", "bid")
+
+  test("parse: canonical form with aliases, equality + one bound") {
+    val p = AsOfSql.parse(
+      "SELECT t.trade_id, q.bid FROM trades t ASOF JOIN quotes q " +
+        "ON t.sym = q.q_sym AND t.t_ts >= q.q_ts").get
+    assert(p.leftSrc == "trades" && p.leftAlias == "t")
+    assert(p.rightSrc == "quotes" && p.rightAlias == "q")
+    assert(p.keys == Seq(("sym", "q_sym")))
+    assert(p.leftTs == "t_ts" && p.rightTs == "q_ts" && !p.leftOuter)
+    assert(AsOfSql.parse(
+      "SELECT * FROM a x ASOF LEFT JOIN b y ON x.k = y.k AND x.ts >= y.ts")
+      .get.leftOuter)
+    // a <= bound written right-to-left normalizes
+    val q = AsOfSql.parse(
+      "SELECT * FROM a x ASOF JOIN b y ON x.k = y.k AND y.ts <= x.ts").get
+    assert(q.leftTs == "ts" && q.rightTs == "ts")
+    // not ASOF: no match
+    assert(AsOfSql.parse("SELECT * FROM a JOIN b ON a.k = b.k").isEmpty)
+    // two bounds: rejected
+    assert(AsOfSql.parse(
+      "SELECT * FROM a x ASOF JOIN b y ON x.ts >= y.ts AND x.e >= y.e").isEmpty)
+  }
+
+  test("stub deletes the keyword, preserving a parseable plan + deps") {
+    val s = AsOfSql.stub(
+      "SELECT t.id FROM trades t ASOF LEFT JOIN quotes q ON t.s = q.s AND t.ts >= q.ts")
+    assert(s == "SELECT t.id FROM trades t LEFT JOIN quotes q ON t.s = q.s AND t.ts >= q.ts")
+    val a = SqlAnalyzer.analyzeStatement(spark,
+      "SELECT t.trade_id FROM trades t ASOF JOIN quotes q ON t.sym = q.q_sym AND t.t_ts >= q.q_ts")
+    assert(a.dependencies == Set("trades", "quotes"))
+  }
+
+  test("asofDf: latest quote at or before each trade; inner vs LEFT") {
+    trades.createOrReplaceTempView("trades")
+    quotes.createOrReplaceTempView("quotes")
+    val sql = "SELECT t.trade_id, t.price, q.bid, q.q_ts FROM trades t " +
+      "ASOF JOIN quotes q ON t.sym = q.q_sym AND t.t_ts >= q.q_ts"
+    val inner = AsOfSql.asofDf(spark, sql).get.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getTimestamp(3).toString)))
+      .toMap
+    // trade 1 @10:00:05 -> A quote @10:00:00; trade 2 @10:00:15 -> @10:00:10
+    assert(inner(1L) == ((99.0, "2024-01-01 10:00:00.0")))
+    assert(inner(2L) == ((100.5, "2024-01-01 10:00:10.0")))
+    assert(inner(3L) == ((49.5, "2024-01-01 10:00:06.0")))
+    assert(!inner.contains(4L), "no quotes for C: inner ASOF drops it")
+    val left = AsOfSql.asofDf(spark,
+      "SELECT t.trade_id, q.bid FROM trades t " +
+        "ASOF LEFT JOIN quotes q ON t.sym = q.q_sym AND t.t_ts >= q.q_ts").get
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(left(4L).isEmpty && left.size == 4)
+  }
+
+  test("end-to-end: component runs an ASOF JOIN script") {
+    val dd = Files.createTempDirectory("graft_asof_")
+    def write(p: Path, content: String): Unit = {
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    write(dd.resolve("in/tables/trades.csv"),
+      "\"trade_id\",\"sym\",\"t_ts\",\"price\"\n" +
+        "\"1\",\"A\",\"2024-01-01 10:00:05\",\"100\"\n" +
+        "\"2\",\"A\",\"2024-01-01 10:00:15\",\"101\"\n")
+    write(dd.resolve("in/tables/trades.csv.manifest"), """{"id": "in.c-x.trades"}""")
+    write(dd.resolve("in/tables/quotes.csv"),
+      "\"sym\",\"q_ts\",\"bid\"\n" +
+        "\"A\",\"2024-01-01 10:00:00\",\"99\"\n" +
+        "\"A\",\"2024-01-01 10:00:10\",\"100.5\"\n")
+    write(dd.resolve("in/tables/quotes.csv.manifest"), """{"id": "in.c-x.quotes"}""")
+    write(dd.resolve("config.json"),
+      """{"parameters": {"blocks": [{"name": "B", "codes": [
+        |   {"name": "asof", "script": [
+        |     "CREATE TABLE joined AS SELECT t.trade_id, t.price, q.bid FROM 'trades.csv' t ASOF JOIN 'quotes.csv' q ON t.sym = q.sym AND t.t_ts >= q.q_ts;"]}
+        | ]}]},
+        | "storage": {
+        |  "input": {"tables": [
+        |    {"source": "in.c-x.trades", "destination": "trades.csv"},
+        |    {"source": "in.c-x.quotes", "destination": "quotes.csv"}]},
+        |  "output": {"tables": [{"source": "joined", "destination": "out.c-y.joined"}]}}}""".stripMargin)
+    Component.run(spark, dd.toString)
+    val out = Files.readString(dd.resolve("out/tables/joined")).linesIterator.toList
+    assert(out.head == "\"trade_id\",\"price\",\"bid\"")
+    // bid infers DOUBLE (the 100.5 row), so 99 renders as 99.0
+    assert(out.toSet.contains("\"1\",\"100\",\"99.0\""))
+    assert(out.toSet.contains("\"2\",\"101\",\"100.5\""))
+  }
+}
