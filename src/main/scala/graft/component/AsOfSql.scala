@@ -167,11 +167,9 @@ object AsOfSql {
       // qualifier
       val rightRef: Map[String, String] =
         carried ++ p.keys.map { case (lk, rk) => rk -> lk }.toMap
-      val tmp = s"__asof_out_${System.identityHashCode(body).toHexString}"
-      cleaned.createOrReplaceTempView(tmp)
-      var sel = p.selList
-      if (sel.trim == "*") sel = cleaned.columns.map(c => s"`$c`").mkString(", ")
+      if (p.selList.trim == "*") cleaned
       else {
+        var sel = p.selList
         if (p.rightAlias.nonEmpty)
           sel = ("(?i)\\b" + java.util.regex.Pattern.quote(p.rightAlias) + "\\.(\\w+)").r
             .replaceAllIn(sel, m => java.util.regex.Matcher
@@ -180,8 +178,18 @@ object AsOfSql {
           sel = ("(?i)\\b" + java.util.regex.Pattern.quote(p.leftAlias) + "\\.(\\w+)").r
             .replaceAllIn(sel, m =>
               java.util.regex.Matcher.quoteReplacement("`" + m.group(1) + "`"))
+        // depth-0 comma split → selectExpr: no temp-view registration
+        // per call (a long-lived session must not accumulate catalog
+        // entries for every statement it ever executed)
+        val selMasked = Dialect.maskQuoted(sel)
+        val selDep = depths(selMasked)
+        val cutsAt = selMasked.zipWithIndex
+          .collect { case (',', i) if selDep(i) == 0 => i }
+        val parts = (Seq(-1) ++ cutsAt :+ sel.length).sliding(2).map {
+          case Seq(a, b) => sel.substring(a + 1, b).trim
+        }.filter(_.nonEmpty).toSeq
+        cleaned.selectExpr(parts: _*)
       }
-      spark.sql(s"SELECT $sel FROM $tmp")
     }
 
   /** Session-free stand-in: deleting the ASOF keyword leaves a plain
