@@ -38,7 +38,8 @@ object Bench {
     "d08_contamination", "d09_dup_clusters", "d11_boilerplate", "s01_knn_brute",
     "s02_ann_lsh", "s04_ann_ivf", "s05_ann_i8", "t02_quality_score", "t03_langid",
     "t05_tfidf", "t07_vocab_prune", "t10_heavy_hitters", "t11_sequence_pack",
-    "t20_bpe_encode", "t24_dsir_select", "q58_pivot_dynamic")
+    "t20_bpe_encode", "t24_dsir_select", "q58_pivot_dynamic",
+    "d16_incremental_fuzzy", "q59_asof_sql")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
