@@ -86,8 +86,16 @@ object AsOfSql {
     if (kwAt("\\b(WHERE|GROUP\\s+BY|ORDER\\s+BY|LIMIT|HAVING|QUALIFY)\\b")
         .exists(_.start > onM.end)) return None
     val selList = stmt.substring(selM.end, fromM.start).trim
-    val (leftSrc, leftAlias) = srcAlias(stmt.substring(fromM.end, asofM.start))
-    val (rightSrc, rightAlias) = srcAlias(stmt.substring(asofM.end, onM.start))
+    val (leftSrc, leftAlias0) = srcAlias(stmt.substring(fromM.end, asofM.start))
+    val (rightSrc, rightAlias0) = srcAlias(stmt.substring(asofM.end, onM.start))
+    // no alias + bare table name: the table name itself qualifies
+    // columns (`trades.sym`), standard SQL — adopt it as the alias
+    def implicitAlias(src: String, alias: String): String =
+      if (alias.nonEmpty) alias
+      else if ("^[A-Za-z_][A-Za-z0-9_]*$".r.findFirstIn(src).isDefined) src
+      else ""
+    val leftAlias = implicitAlias(leftSrc, leftAlias0)
+    val rightAlias = implicitAlias(rightSrc, rightAlias0)
     val leftOuter = asofM.group(1) != null
     // conjunct split at depth 0
     val condStr = stmt.substring(onM.end).trim.stripSuffix(";")

@@ -73,7 +73,21 @@ object AsOfJoin {
       .orderBy(col(ts), col(tag), struct(rightCols.values.toSeq.sorted.map(col): _*))
       .rowsBetween(Window.unboundedPreceding, 0)
 
-    val filled = l.unionByName(r)
+    // STRICT width on the window's key exchange when keyed: the union's
+    // byte mass undersells its row mass to AQE (narrow long/ts columns —
+    // at the 10× rehearsal scale a ~60 MB shuffle coalesced onto 2 tasks
+    // and serialized a 1M-row carry-forward window; true-scale inputs
+    // grow bytes proportionally, but the explicit hash partitioning is
+    // the SAME single exchange the window requires, so pinning costs
+    // nothing at any size). Keyless as-of is inherently one global
+    // window — no width to pin.
+    val unioned0 = l.unionByName(r)
+    val unioned =
+      if (keys.isEmpty) unioned0
+      else unioned0.repartition(
+        left.sparkSession.sessionState.conf.numShufflePartitions,
+        keys.map(col): _*)
+    val filled = unioned
       .select(
         (keys.map(col) ++ Seq(col(ts), col(tag)) ++
           leftCols.filterNot(keys.contains).map(col) ++

@@ -39,7 +39,8 @@ object ScaleCheck {
     "d14_semantic_dedup", "d15_span_dedup", "q57_band_agg",
     "t05_tfidf", "t07_vocab_prune", "t10_heavy_hitters", "t11_sequence_pack",
     "t12_pii_redact", "t16_bm25", "t17_bpe_merges", "t23_gopher_quality",
-    "t24_dsir_select", "m04_phash_dedup", "q58_pivot_dynamic")
+    "t24_dsir_select", "m04_phash_dedup", "q58_pivot_dynamic",
+    "d16_incremental_fuzzy", "q59_asof_sql")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

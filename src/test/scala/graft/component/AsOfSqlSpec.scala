@@ -51,6 +51,16 @@ class AsOfSqlSpec extends SparkSpec {
       "SELECT * FROM a x ASOF JOIN b y ON x.ts >= y.ts AND x.e >= y.e").isEmpty)
   }
 
+  test("table-name qualifiers work without explicit aliases") {
+    trades.createOrReplaceTempView("trades")
+    quotes.createOrReplaceTempView("quotes")
+    val got = AsOfSql.asofDf(spark,
+      "SELECT trades.trade_id, quotes.bid FROM trades ASOF JOIN quotes " +
+        "ON trades.sym = quotes.q_sym AND trades.t_ts >= quotes.q_ts").get
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 99.0, 2L -> 100.5, 3L -> 49.5))
+  }
+
   test("stub deletes the keyword, preserving a parseable plan + deps") {
     val s = AsOfSql.stub(
       "SELECT t.id FROM trades t ASOF LEFT JOIN quotes q ON t.s = q.s AND t.ts >= q.ts")
