@@ -73,17 +73,21 @@ object AsOfJoin {
       .orderBy(col(ts), col(tag), struct(rightCols.values.toSeq.sorted.map(col): _*))
       .rowsBetween(Window.unboundedPreceding, 0)
 
-    // STRICT width on the window's key exchange when keyed: the union's
-    // byte mass undersells its row mass to AQE (narrow long/ts columns —
-    // at the 10× rehearsal scale a ~60 MB shuffle coalesced onto 2 tasks
-    // and serialized a 1M-row carry-forward window; true-scale inputs
-    // grow bytes proportionally, but the explicit hash partitioning is
-    // the SAME single exchange the window requires, so pinning costs
-    // nothing at any size). Keyless as-of is inherently one global
-    // window — no width to pin.
+    // STRICT width on the window's key exchange when keyed AND the input
+    // carries real mass: the union's byte mass undersells its row mass
+    // to AQE (narrow long/ts columns — at the 10× rehearsal a ~60 MB
+    // shuffle coalesced onto 2 tasks and serialized a 1M-row
+    // carry-forward window; pinned width cut the 10× wall ~30%). The
+    // explicit hash partitioning is the SAME single exchange the window
+    // requires. Below the gate AQE's own sizing wins (32 near-empty
+    // tasks cost ~0.2 s of scheduling at sf0.1 — measured both ways);
+    // the gate is the ScaleOps.spread stats device. Keyless as-of is
+    // inherently one global window — no width to pin.
     val unioned0 = l.unionByName(r)
+    val pinWidth = keys.nonEmpty &&
+      unioned0.queryExecution.optimizedPlan.stats.sizeInBytes >= (16L << 20)
     val unioned =
-      if (keys.isEmpty) unioned0
+      if (!pinWidth) unioned0
       else unioned0.repartition(
         left.sparkSession.sessionState.conf.numShufflePartitions,
         keys.map(col): _*)
