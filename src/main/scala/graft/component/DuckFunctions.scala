@@ -114,6 +114,24 @@ object DuckFunctions {
     // same UAX #15 NFC form DuckDB computes via utf8proc)
     arity("nfc_normalize", 1)(a => graft.functions.NfcNormalize(a.head)),
 
+    // aggregates under their DuckDB names (the analyzer wraps bare
+    // AggregateFunctions exactly as it does Spark's own registry rows)
+    arity("list", 1)(a =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(a.head)),
+    arity("arg_max", 2)(a =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(a.head, a(1))),
+    arity("arg_min", 2)(a =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(a.head, a(1))),
+    // DuckDB string_agg is unordered; an ORDER BY needs listagg WITHIN
+    // GROUP (which Spark SQL parses natively)
+    arity("string_agg", 2)(a =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.ListAgg(a.head, a(1))),
+
+    // scalar renames
+    arity("regexp_matches", 2)(a => RLike(a.head, a(1))),
+    arity("strpos", 2)(a => StringInstr(a.head, a(1))),
+    arity("list_unique", 1)(a => Size(ArrayDistinct(a.head))),
+
     // epoch extractors
     arity("epoch_us", 1)(a => UnixMicros(a.head)),
     arity("epoch_ms", 1)(a => UnixMillis(a.head)),

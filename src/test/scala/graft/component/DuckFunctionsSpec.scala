@@ -90,6 +90,27 @@ class DuckFunctionsSpec extends SparkSpec {
         |  CAST(array(3.0, 4.0) AS ARRAY<FLOAT>))""".stripMargin) == 11.0)
   }
 
+  test("aggregates bind under DuckDB names: list, arg_max/min, string_agg") {
+    import spark.implicits._
+    Seq((1, "a", 10), (1, "b", 30), (1, "c", 20), (2, "z", 5))
+      .toDF("g", "name", "v").createOrReplaceTempView("t_agg")
+    val r = session.sql(
+      "SELECT g, sort_array(list(name)) AS names, arg_max(name, v) AS hi, " +
+        "arg_min(name, v) AS lo, string_agg(name, '|') AS joined " +
+        "FROM t_agg GROUP BY g ORDER BY g").collect()
+    assert(r(0).getSeq[String](1) == Seq("a", "b", "c"))
+    assert(r(0).getString(2) == "b" && r(0).getString(3) == "a")
+    assert(r(0).getString(4).split("\\|").sorted.toSeq == Seq("a", "b", "c"))
+    assert(r(1).getString(2) == "z")
+  }
+
+  test("scalar renames: regexp_matches, strpos, list_unique") {
+    assert(one("SELECT regexp_matches('spark engine', 'eng.ne')") == true)
+    assert(one("SELECT regexp_matches('spark', '^x')") == false)
+    assert(one("SELECT strpos('seafood', 'foo')") == 4) // 1-based, like DuckDB
+    assert(one("SELECT list_unique(array(1, 2, 2, 3, 1))") == 3)
+  }
+
   test("nfc_normalize composes decomposed sequences; ASCII passes untouched") {
     // e + U+0301 (combining acute) -> single precomposed U+00E9
     assert(one("SELECT length(nfc_normalize('é'))") == 1)
