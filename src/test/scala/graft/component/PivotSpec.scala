@@ -84,6 +84,16 @@ class PivotSpec extends SparkSpec {
     assert(Pivot.rewriteUnpivot("SELECT 1") == "SELECT 1")
   }
 
+  test("pivotDf fails loudly on a bad ON column or GROUP BY column") {
+    sales.createOrReplaceTempView("sales")
+    val e1 = intercept[UserException](Pivot.pivotDf(spark,
+      "PIVOT sales ON nope USING sum(amount)").get)
+    assert(e1.getMessage.contains("nope"))
+    val e2 = intercept[UserException](Pivot.pivotDf(spark,
+      "PIVOT sales ON quarter USING sum(amount) GROUP BY ghost").get)
+    assert(e2.getMessage.contains("ghost"))
+  }
+
   test("end-to-end: component runs PIVOT and UNPIVOT scripts") {
     val dd = Files.createTempDirectory("graft_pivot_")
     def write(p: Path, content: String): Unit = {

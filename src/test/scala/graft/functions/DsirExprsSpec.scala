@@ -52,6 +52,25 @@ class DsirExprsSpec extends SparkSpec {
     assert(feats("a  b").map(_._2).sum == 3 + 2) // "", kept: a|""|b
   }
 
+  test("fit + score rank target-like above raw-like documents") {
+    import org.apache.spark.sql.functions.col
+    // target corpus talks about spark; raw pool about weather — then two
+    // probes, one per register, scored against the fitted model
+    val corpus = Seq(
+      (0L, true, "spark shuffle partition codegen spark catalyst"),
+      (1L, true, "spark plan exchange partition spark"),
+      (2L, false, "rain cloud wind sun rain fog"),
+      (3L, false, "snow fog cloud sun wind rain")).toDF("doc_id", "is_t", "text")
+    val w = graft.ops.Dsir.fit(corpus, col("is_t"))
+    val scored = graft.ops.Dsir.score(
+        Seq((10L, "spark partition exchange"), (11L, "rain fog sun"))
+          .toDF("doc_id", "text"), w)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(10L) > 0 && scored(11L) < 0 && scored(10L) > scored(11L))
+    // weight-table shape contract
+    assert(w.length == graft.ops.Dsir.DefaultBuckets && w.forall(java.lang.Double.isFinite))
+  }
+
   test("BucketScore folds c·w(bucket) exactly") {
     val w = Array.tabulate(B)(i => i * 0.5)
     val got = Seq("x y").toDF("text")
