@@ -799,6 +799,32 @@ object TextQ {
           (col("rk") * 5 <= col("n")).as("selected"))
     }),
 
+    // -- vocabulary-growth (Heaps-law saturation) curve: new distinct
+    //    terms per corpus decile + the cumulative vocabulary — the
+    //    diagnostic that says when more data stops buying new vocabulary
+    //    (informs tokenizer vocab sizing and crawl-vs-curate decisions,
+    //    the corpus-level twin of t07's per-term pruning). Shape: ONE
+    //    term exchange (first-occurrence decile = min over the term's
+    //    docs), then a 10-row rollup — the trailing cumulative window
+    //    runs on ≤10 rows (decile cardinality, not corpus). All-integer
+    //    arithmetic: decile = (doc_id·10) DIV (max_id+1), counts are
+    //    exact — no cross-engine float surface at all.
+    "t26_vocab_growth" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      val mx = docs.agg(max(col("doc_id")).as("mx"))
+      val firstDec = docs.crossJoin(broadcast(mx))
+        .select(expr("(doc_id * 10) DIV (mx + 1)").as("__dec"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("term").agg(min(col("__dec")).as("decile"))
+      firstDec.groupBy("decile")
+        .agg(count(lit(1)).as("new_terms"))
+        .withColumn("vocab_cum", sum(col("new_terms")).over(
+          Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, 0)))
+    }),
+
     // -- text normalization, the stage every corpus pipeline runs FIRST:
     //    control chars → space, whitespace-run collapse, trim, lowercase,
     //    Unicode NFC composition (native NfcNormalize — java.text
@@ -981,6 +1007,21 @@ object TextQ {
   val oracles: Map[String, String] = Map(
     "t17_bpe_merges" -> bpeTrainOracle(10),
     "t23_gopher_quality" -> gopherOracle,
+
+    // t26: identical integer pipeline — first-occurrence decile per
+    // term, per-decile new-term counts, trailing cumulative vocabulary
+    "t26_vocab_growth" ->
+      """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
+        |t AS (SELECT (d.doc_id * 10) // (m.mx + 1) AS dec,
+        |             unnest(string_split(d.text, ' ')) AS term
+        |      FROM documents d CROSS JOIN m),
+        |f AS (SELECT term, MIN(dec) AS decile FROM t WHERE term <> '' GROUP BY term),
+        |n AS (SELECT decile, COUNT(*) AS new_terms FROM f GROUP BY decile)
+        |SELECT decile, new_terms,
+        |       CAST(SUM(new_terms) OVER (ORDER BY decile
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS vocab_cum
+        |FROM n ORDER BY decile""".stripMargin,
 
     // t25: same injected mess, same pipeline — DuckDB regexp_replace
     // needs the 'g' flag (first-match default; Spark replaces all), and
