@@ -700,6 +700,54 @@ object EventStream {
         coalesce(col("base_keep"), col(idCol)).as("canonical_id"))
   }
 
+  /** Streaming FUZZY dedup — batch d16 at ingest time: each arriving
+    * document is checked for Jaccard ≥ τ near-duplicates in the EXISTING
+    * corpus only. The base reduces ONCE to two persisted assets — its
+    * banded MinHash index (band, sig) → base_id and its shingle sets —
+    * exactly the standing index the batch op assumes at scale. The
+    * stream side computes its signature + shingles in one pass per
+    * arrival, explodes band keys, stream-static-joins the band index
+    * (candidates = bucket collisions, never the corpus), verifies exact
+    * Jaccard against the matched base sets, and aggregates the verdict
+    * per (watermarked ts, doc) — duplicate candidates from shared bands
+    * collapse in the min/max, so no pre-aggregate dedup state is needed.
+    * Stream-internal pairs stay batch-side (the d16/d13 convention). */
+  def fuzzyDedupStream(docs: DataFrame, base: DataFrame,
+                       textCol: String = "text", tsCol: String = "ts",
+                       idCol: String = "doc_id", k: Int = 3,
+                       threshold: Double = 0.2, bands: Int = 16,
+                       lateness: String = "1 hour"): DataFrame = {
+    import graft.functions.TextExprs
+    import graft.ops.{MinHash, Shingles}
+    val rows = MinHash.NumHashes / bands
+    val baseSigs = MinHash.signatures(base, idCol, textCol, k)
+      .select(col(idCol).as("__bid"),
+        TextExprs.bandSigs(col("minhash"), bands, rows).as("__bs"))
+      .select(col("__bid"), posexplode(col("__bs")).as(Seq("band", "sig")))
+    val bandIdx = persistStatic(baseSigs)
+    val baseSets = persistStatic(base.select(col(idCol).as("__bid"),
+      Shingles.shingles(col(textCol), k).as("__bsh")))
+    val s = docs
+      .withColumn("__sh", Shingles.shingles(col(textCol), k))
+      .withColumn("__bs", TextExprs.bandSigs(
+        MinHash.signature(col(textCol), k), bands, rows))
+      .select(col(idCol), col(tsCol), col("__sh"),
+        posexplode(col("__bs")).as(Seq("band", "sig")))
+      .withWatermark(tsCol, lateness)
+    s.join(bandIdx, Seq("band", "sig"), "left_outer")
+      .join(baseSets, Seq("__bid"), "left_outer")
+      .withColumn("__common", size(array_intersect(col("__sh"), col("__bsh"))))
+      .withColumn("__j", col("__common").cast("double") /
+        (size(col("__sh")) + size(col("__bsh")) - col("__common")))
+      .withColumn("__hitId", when(col("__j") >= threshold, col("__bid")))
+      .groupBy(col(tsCol), col(idCol))
+      .agg(min(col("__hitId")).as("dup_of"),
+        max(when(col("__hitId").isNotNull, col("__j"))).as("best_jaccard"))
+      .select(col(idCol), col("dup_of").isNotNull.as("is_near_dup"),
+        col("dup_of"), round(col("best_jaccard"), 6).as("best_jaccard"),
+        col(tsCol))
+  }
+
   /** Streaming semantic dedup — batch d14 at ingest time: each arriving
     * embedding is assigned to its nearest codebook centroid (the same
     * map-side native pass as the batch op; the codebook is the deploy

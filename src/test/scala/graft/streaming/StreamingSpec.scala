@@ -489,6 +489,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fuzzy dedup flags near-dups of the base corpus only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val body = (0 until 40).map(i => s"w$i").mkString(" ")
+    val nearBody = (0 until 40).map(i => if (i == 7) "CHANGED" else s"w$i").mkString(" ")
+    val base = Seq((100L, body),
+      (101L, (200 until 240).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventStream.fuzzyDedupStream(
+        input.toDF().toDF("doc_id", "ts", "text"), base, lateness = "1 minute")
+      .writeStream.format("memory").queryName("fuzzydedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (10L, ts("2024-01-01 10:00:00"), nearBody), // near-dup of base 100
+        (11L, ts("2024-01-01 10:00:01"),
+          (300 until 340).map(i => s"q$i").mkString(" "))) // novel
+      q.processAllAvailable()
+      input.addData((99L, ts("2024-01-01 11:00:00"), "straggler advances watermark"))
+      q.processAllAvailable()
+      val got = spark.table("fuzzydedup").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Boolean]("is_near_dup"), Option(r.getAs[java.lang.Long]("dup_of")))))
+        .toMap
+      assert(got(10L)._1 && got(10L)._2.contains(100L), s"near-dup: ${got.get(10L)}")
+      assert(!got(11L)._1 && got(11L)._2.isEmpty, s"novel doc: ${got.get(11L)}")
+      // the near-dup verdict carries the verified exact Jaccard
+      val j = spark.table("fuzzydedup").collect()
+        .find(_.getAs[Long]("doc_id") == 10L).get.getAs[Double]("best_jaccard")
+      assert(j >= 0.2 && j < 1.0)
+    } finally q.stop()
+  }
+
   test("streaming semantic dedup flags near-copies of the base, cell-bounded") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
