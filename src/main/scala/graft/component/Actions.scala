@@ -23,8 +23,14 @@ object Actions {
           case Failure(e) => List(ValidationIssue(name, s"parse error: ${e.getMessage}"))
           case Success(_) => Nil
         }
+        // the ASOF stub deletes the keyword, so a statement the executor
+        // can't actually run would otherwise validate cleanly — surface
+        // the clear unsupported-form message here instead of letting the
+        // user hit an opaque run-time parse error on 'ASOF'
+        val asofIssue = AsOfSql.unsupportedForm(stmt)
+          .map(ValidationIssue(name, _)).toList
         val lints = lint(stmt).map(ValidationIssue(name, _))
-        parseIssue ++ lints
+        parseIssue ++ asofIssue ++ lints
       }
     }
 

@@ -21,7 +21,11 @@ import org.apache.spark.sql.functions._
   * is a conjunction of equalities plus EXACTLY ONE `>=`/`<=` timestamp
   * bound (DuckDB's rule); `l.ts >= r.ts` matches the LATEST right row
   * at or before the left timestamp. Plain ASOF JOIN drops unmatched
-  * left rows; ASOF LEFT JOIN keeps them with NULL payload.
+  * left rows; ASOF LEFT JOIN keeps them with NULL payload. Trailing
+  * `WHERE` / `ORDER BY` / `LIMIT` are applied after the join;
+  * GROUP BY / HAVING / QUALIFY after an ASOF join are rejected with a
+  * clear validation issue ([[unsupportedForm]]) instead of an opaque
+  * Spark parse error on the ASOF token.
   *
   * For session-free analysis (DAG deps, syntax check), [[stub]] simply
   * deletes the ASOF keyword: the remaining plain JOIN with the same ON
@@ -32,7 +36,28 @@ object AsOfSql {
       selList: String, leftSrc: String, leftAlias: String,
       rightSrc: String, rightAlias: String,
       keys: Seq[(String, String)], // (left col, right col)
-      leftTs: String, rightTs: String, leftOuter: Boolean)
+      leftTs: String, rightTs: String, leftOuter: Boolean,
+      where: Option[String] = None, orderBy: Option[String] = None,
+      limit: Option[Int] = None)
+
+  /** Regex replacement that only fires OUTSIDE quoted regions/comments:
+    * matches are located on the masked text (where literals are blanked,
+    * so `'see q.bid'` can never match an alias pattern), and the output is
+    * spliced from the ORIGINAL string — safe because a match that lies
+    * outside quoted regions is textually identical in both. */
+  private def replaceUnquoted(s: String, re: scala.util.matching.Regex)(
+      repl: scala.util.matching.Regex.Match => String): String = {
+    val masked = Dialect.maskQuoted(s)
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- re.findAllMatchIn(masked)) {
+      sb.append(s.substring(last, m.start))
+      sb.append(repl(m))
+      last = m.end
+    }
+    sb.append(s.substring(last))
+    sb.toString
+  }
 
   private def depths(masked: String): Array[Int] = {
     val out = new Array[Int](masked.length)
@@ -82,9 +107,25 @@ object AsOfSql {
     val fromM = kwAt("\\bFROM\\b").getOrElse(return None)
     val onM = ("(?is)\\bON\\b").r.findAllMatchIn(masked)
       .find(m => dep(m.start) == 0 && m.start > asofM.end).getOrElse(return None)
-    // no trailing clauses in V1 — the ON conjunction runs to the end
-    if (kwAt("\\b(WHERE|GROUP\\s+BY|ORDER\\s+BY|LIMIT|HAVING|QUALIFY)\\b")
-        .exists(_.start > onM.end)) return None
+    // trailing clauses: WHERE / ORDER BY / LIMIT are carried and applied
+    // after the join; GROUP BY / HAVING / QUALIFY are NOT supported (the
+    // caller surfaces a clear "unsupported ASOF form" instead)
+    val tailKws = ("(?is)\\b(WHERE|GROUP\\s+BY|ORDER\\s+BY|LIMIT|HAVING|QUALIFY)\\b").r
+      .findAllMatchIn(masked)
+      .filter(m => dep(m.start) == 0 && m.start > onM.end).toList
+    if (tailKws.exists { m =>
+      val k = m.group(1).toUpperCase.replaceAll("\\s+", " ")
+      k == "GROUP BY" || k == "HAVING" || k == "QUALIFY"
+    }) return None
+    val tailStart = tailKws.headOption.map(_.start).getOrElse(stmt.length)
+    val tailSegs: Map[String, String] = tailKws.zipWithIndex.map { case (m, i) =>
+      val end = if (i + 1 < tailKws.length) tailKws(i + 1).start else stmt.length
+      val k = m.group(1).toUpperCase.replaceAll("\\s+", " ")
+      k -> stmt.substring(m.end, end).trim.stripSuffix(";").trim
+    }.toMap
+    val limitOpt = tailSegs.get("LIMIT").map { s =>
+      scala.util.Try(s.trim.toInt).getOrElse(return None)
+    }
     val selList = stmt.substring(selM.end, fromM.start).trim
     val (leftSrc, leftAlias0) = srcAlias(stmt.substring(fromM.end, asofM.start))
     val (rightSrc, rightAlias0) = srcAlias(stmt.substring(asofM.end, onM.start))
@@ -98,7 +139,7 @@ object AsOfSql {
     val rightAlias = implicitAlias(rightSrc, rightAlias0)
     val leftOuter = asofM.group(1) != null
     // conjunct split at depth 0
-    val condStr = stmt.substring(onM.end).trim.stripSuffix(";")
+    val condStr = stmt.substring(onM.end, tailStart).trim.stripSuffix(";")
     val condMasked = Dialect.maskQuoted(condStr)
     val condDep = depths(condMasked)
     val cuts = "(?i)\\bAND\\b".r.findAllMatchIn(condMasked)
@@ -137,7 +178,8 @@ object AsOfSql {
     }
     val (lts, rts) = ts.getOrElse(return None)
     Some(Parsed(selList, leftSrc, leftAlias, rightSrc, rightAlias,
-      keys, lts, rts, leftOuter))
+      keys, lts, rts, leftOuter,
+      tailSegs.get("WHERE"), tailSegs.get("ORDER BY"), limitOpt))
   }
 
   /** Execute an ASOF JOIN body on the live session; None if the body is
@@ -173,32 +215,93 @@ object AsOfSql {
       // right refs resolve through the carry renames (keys resolve to
       // the LEFT name they were renamed to), left refs just lose the
       // qualifier
+      // lower-cased keys: Spark resolution is case-insensitive, so a
+      // case-mismatched user ref (q.PRICE for column price) must still
+      // find the carry rename — a raw-case miss would silently resolve
+      // to the LEFT column after a collision rename
       val rightRef: Map[String, String] =
-        carried ++ p.keys.map { case (lk, rk) => rk -> lk }.toMap
-      if (p.selList.trim == "*") cleaned
-      else {
-        var sel = p.selList
+        (carried ++ p.keys.map { case (lk, rk) => rk -> lk }.toMap)
+          .map { case (k, v) => k.toLowerCase -> v }
+      // alias-qualifier rewrite, applied OUTSIDE quoted regions only
+      // (a literal like 'see q.bid' must come through untouched)
+      def rewriteRefs(s0: String): String = {
+        var s = s0
         if (p.rightAlias.nonEmpty)
-          sel = ("(?i)\\b" + java.util.regex.Pattern.quote(p.rightAlias) + "\\.(\\w+)").r
-            .replaceAllIn(sel, m => java.util.regex.Matcher
-              .quoteReplacement("`" + rightRef.getOrElse(m.group(1), m.group(1)) + "`"))
+          s = replaceUnquoted(s,
+            ("(?i)\\b" + java.util.regex.Pattern.quote(p.rightAlias) + "\\.(\\w+)").r)(
+            m => "`" + rightRef.getOrElse(m.group(1).toLowerCase, m.group(1)) + "`")
         if (p.leftAlias.nonEmpty)
-          sel = ("(?i)\\b" + java.util.regex.Pattern.quote(p.leftAlias) + "\\.(\\w+)").r
-            .replaceAllIn(sel, m =>
-              java.util.regex.Matcher.quoteReplacement("`" + m.group(1) + "`"))
-        // depth-0 comma split → selectExpr: no temp-view registration
-        // per call (a long-lived session must not accumulate catalog
-        // entries for every statement it ever executed)
-        val selMasked = Dialect.maskQuoted(sel)
-        val selDep = depths(selMasked)
-        val cutsAt = selMasked.zipWithIndex
-          .collect { case (',', i) if selDep(i) == 0 => i }
-        val parts = (Seq(-1) ++ cutsAt :+ sel.length).sliding(2).map {
-          case Seq(a, b) => sel.substring(a + 1, b).trim
-        }.filter(_.nonEmpty).toSeq
-        cleaned.selectExpr(parts: _*)
+          s = replaceUnquoted(s,
+            ("(?i)\\b" + java.util.regex.Pattern.quote(p.leftAlias) + "\\.(\\w+)").r)(
+            m => "`" + m.group(1) + "`")
+        s
       }
+      // depth-0 comma split helper (shared by select list and ORDER BY)
+      def splitTop(s: String): Seq[String] = {
+        val m = Dialect.maskQuoted(s)
+        val d = depths(m)
+        val cutsAt = m.zipWithIndex.collect { case (',', i) if d(i) == 0 => i }
+        (Seq(-1) ++ cutsAt :+ s.length).sliding(2).map {
+          case Seq(a, b) => s.substring(a + 1, b).trim
+        }.filter(_.nonEmpty).toSeq
+      }
+      val afterWhere = p.where match {
+        case Some(w) => cleaned.where(expr(rewriteRefs(w)))
+        case None    => cleaned
+      }
+      val projected =
+        if (p.selList.trim == "*") afterWhere
+        else {
+          // selectExpr over the rewritten list: no temp-view registration
+          // per call (a long-lived session must not accumulate catalog
+          // entries for every statement it ever executed)
+          afterWhere.selectExpr(splitTop(rewriteRefs(p.selList)): _*)
+        }
+      val afterSort = p.orderBy match {
+        case Some(ob) =>
+          val cols = splitTop(rewriteRefs(ob)).map { piece =>
+            val m = "(?is)^(.*?)(?:\\s+(ASC|DESC))?(?:\\s+NULLS\\s+(FIRST|LAST))?\\s*$".r
+              .findFirstMatchIn(piece).get
+            val base = expr(m.group(1))
+            val desc = Option(m.group(2)).exists(_.equalsIgnoreCase("DESC"))
+            Option(m.group(3)).map(_.toUpperCase) match {
+              case Some("FIRST") => if (desc) base.desc_nulls_first else base.asc_nulls_first
+              case Some("LAST")  => if (desc) base.desc_nulls_last else base.asc_nulls_last
+              case _             => if (desc) base.desc else base.asc
+            }
+          }
+          projected.orderBy(cols: _*)
+        case None => projected
+      }
+      p.limit.map(afterSort.limit).getOrElse(afterSort)
     }
+
+  /** Depth-0 ASOF JOIN present anywhere in the statement? */
+  private[component] def containsAsOf(stmt: String): Boolean = {
+    val masked = Dialect.maskQuoted(stmt)
+    val dep = depths(masked)
+    "(?is)\\bASOF\\s+(?:LEFT\\s+)?JOIN\\b".r.findAllMatchIn(masked)
+      .exists(m => dep(m.start) == 0)
+  }
+
+  /** Validation/execution symmetry guard: [[stub]] (used by static
+    * analysis) accepts ANY statement containing ASOF by deleting the
+    * keyword, but the executor only runs what [[parse]] accepts — so a
+    * statement that contains a depth-0 ASOF JOIN yet fails [[parse]]
+    * would validate cleanly and then die at run time with an opaque
+    * Spark parse error on the ASOF token. This returns the clear
+    * message for that case (checking the body of CREATE ... AS /
+    * INSERT INTO wrappers, which is what the executor actually runs). */
+  def unsupportedForm(stmt: String): Option[String] = {
+    val body = "(?is)^\\s*(?:CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:VIEW|TABLE)\\s+`?[^`\\s(]+`?\\s+AS|INSERT\\s+INTO\\s+`?[^`\\s(]+`?\\s*)\\s*(.*)$".r
+      .findFirstMatchIn(stmt).map(_.group(1)).getOrElse(stmt)
+    if (containsAsOf(body) && parse(body).isEmpty)
+      Some("unsupported ASOF JOIN form: supported shape is SELECT ... FROM l " +
+        "ASOF [LEFT] JOIN r ON <equalities AND one >=/<= bound> " +
+        "[WHERE ...] [ORDER BY ...] [LIMIT n]; GROUP BY/HAVING/QUALIFY " +
+        "after an ASOF join are not supported")
+    else None
+  }
 
   /** Session-free stand-in: deleting the ASOF keyword leaves a plain
     * theta-join that Catalyst parses, with the identical dependency

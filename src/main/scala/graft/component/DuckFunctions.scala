@@ -116,6 +116,16 @@ object DuckFunctions {
 
     // aggregates under their DuckDB names (the analyzer wraps bare
     // AggregateFunctions exactly as it does Spark's own registry rows)
+    //
+    // ORDER CAVEAT — list(): DuckDB's list() preserves arrival order;
+    // CollectList's element order follows partition/task completion, so
+    // multi-partition input yields a nondeterministic ordering (the
+    // DuckFunctionsSpec order assertion holds only on single-partition
+    // test data). User SQL that depends on element order should sort
+    // explicitly (list_sort(list(x)), or listagg(x) WITHIN GROUP
+    // (ORDER BY ...) for strings) — the same advice Spark's own docs
+    // give for collect_list, and the only order contract that survives
+    // a 1000-executor cluster anyway.
     arity("list", 1)(a =>
       org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(a.head)),
     arity("arg_max", 2)(a =>

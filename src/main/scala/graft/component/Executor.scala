@@ -211,7 +211,13 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
   private def bodyDf(body: String): DataFrame =
     Pivot.pivotDf(spark, body)
       .orElse(AsOfSql.asofDf(spark, body))
-      .getOrElse(spark.sql(body))
+      .getOrElse {
+        // an ASOF statement outside the supported grammar would reach
+        // spark.sql and die with an opaque parse error on the ASOF token
+        AsOfSql.unsupportedForm(body)
+          .foreach(msg => throw new IllegalArgumentException(msg))
+        spark.sql(body)
+      }
 
   /** Index of the ')' matching the '(' at `open`, skipping quoted regions. */
   private def matchingParen(s: String, open: Int): Int = {

@@ -139,10 +139,15 @@ object Pivot {
       if (!isCol(p.on))
         throw new UserException(s"PIVOT ON column '${p.on}' not in ${cols.mkString(", ")}")
       // DuckDB's implicit grouping: every column not pivoted on and not
-      // referenced inside the USING aggregate
-      val argTokens = "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(p.aggArg).toSet
+      // referenced inside the USING aggregate. Token comparison is
+      // case-INSENSITIVE like every other column check here — DuckDB
+      // excludes aggregate-referenced columns regardless of case
+      // (`USING max(N_CHARS)` must exclude n_chars).
+      val argTokens = "[A-Za-z_][A-Za-z0-9_]*".r.findAllIn(p.aggArg)
+        .map(_.toLowerCase).toSet
       val groups = p.groupCols.getOrElse(
-        cols.toSeq.filterNot(c => c.equalsIgnoreCase(p.on) || argTokens.contains(c)))
+        cols.toSeq.filterNot(c => c.equalsIgnoreCase(p.on) ||
+          argTokens.contains(c.toLowerCase)))
       groups.filterNot(isCol) match {
         case missing if missing.nonEmpty =>
           throw new UserException(s"PIVOT GROUP BY column(s) ${missing.mkString(", ")} not in source")

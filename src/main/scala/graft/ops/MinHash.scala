@@ -94,7 +94,6 @@ object MinHash {
                           threshold: Double = 0.2,
                           bands: Int = 16): DataFrame = {
     val rows = NumHashes / bands
-    val n = delta.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val dSpread = ScaleOps.spread(delta)
     val bSpread = ScaleOps.spread(base)
     def banded(df: DataFrame, outId: String): DataFrame =
@@ -102,11 +101,19 @@ object MinHash {
         .select(col(idCol).as(outId),
           TextExprs.bandSigs(col("minhash"), bands, rows).as("__bs"))
         .select(col(outId), posexplode(col("__bs")).as(Seq("band", "sig")))
-        .hint("shuffle_hash") // both sides exchange on (band, sig)
+    // NO join-strategy hint here, unlike candidatePairs: that hint works
+    // around a SELF-join exchange-reuse pathology, and this is a join of
+    // two DIFFERENT relations — no reuse to protect. Left free, AQE
+    // broadcasts the delta side when it's small (the common incremental
+    // case: a new batch against a huge corpus), which removes the
+    // base-side (band, sig) exchange entirely — at 100 TB that exchange
+    // is 16 rows × 12 bytes per corpus doc, the single biggest avoidable
+    // shuffle in this operator. Candidate-pair distinct shuffles plain
+    // 16-byte id pairs, where AQE's byte-based sizing is accurate (the
+    // d03 explode-stage caveat doesn't apply).
     val cands = banded(dSpread, "delta_id")
       .join(banded(bSpread, "base_id"), Seq("band", "sig"))
       .select("delta_id", "base_id")
-      .repartition(n, col("delta_id"), col("base_id"))
       .distinct()
     val dSets = dSpread.select(col(idCol).as("delta_id"),
       Shingles.shingles(col(textCol), k).as("sh_a"))

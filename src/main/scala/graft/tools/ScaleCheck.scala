@@ -86,7 +86,8 @@ object ScaleCheck {
           graft.queries.T.lineitem(spark, dir), "l_returnflag",
           "l_extendedprice",
           Seq(0.5 -> "p50", 0.95 -> "p95"), smallInputBytes = 0L)
-      case n => graft.SparkEntry.queries(n)(spark, dir)
+      case n => graft.SparkEntry.benchQueries
+        .getOrElse(n, graft.SparkEntry.queries(n))(spark, dir)
     }
     val names = sys.env.get("GRAFT_ONLY").map(_.split(",").toSeq)
       .getOrElse(tracked :+ "q23_twophase")

@@ -90,6 +90,66 @@ class AsOfSqlSpec extends SparkSpec {
     assert(left(4L).isEmpty && left.size == 4)
   }
 
+  test("select-list rewrite is quote-safe and case-insensitive") {
+    trades.createOrReplaceTempView("trades")
+    quotes.createOrReplaceTempView("quotes")
+    // alias-qualified text INSIDE a string literal must come through
+    // untouched (the rewrite runs over the masked statement)
+    val lit = AsOfSql.asofDf(spark,
+      "SELECT t.trade_id, 'see q.bid' AS note, q.bid FROM trades t " +
+        "ASOF JOIN quotes q ON t.sym = q.q_sym AND t.t_ts >= q.q_ts").get
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(lit.forall(_._2 == "see q.bid"))
+    assert(lit.map { case (k, _, v) => k -> v }.toMap ==
+      Map(1L -> 99.0, 2L -> 100.5, 3L -> 49.5))
+    // case-mismatched RIGHT ref whose column was collision-renamed: the
+    // right side also has `price`, and the user writes q.PRICE — must
+    // resolve through the carry rename to the RIGHT value, never fall
+    // back to the left column of the same name
+    quotes.withColumnRenamed("bid", "price").createOrReplaceTempView("quotes_p")
+    val got = AsOfSql.asofDf(spark,
+      "SELECT t.trade_id, t.price, q.PRICE AS q_price FROM trades t " +
+        "ASOF JOIN quotes_p q ON t.sym = q.q_sym AND t.t_ts >= q.q_ts").get
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((100.0, 99.0)))
+    assert(got(2L) == ((101.0, 100.5)))
+  }
+
+  test("trailing WHERE / ORDER BY / LIMIT are applied after the join") {
+    trades.createOrReplaceTempView("trades")
+    quotes.createOrReplaceTempView("quotes")
+    val p = AsOfSql.parse(
+      "SELECT t.trade_id, q.bid FROM trades t ASOF JOIN quotes q " +
+        "ON t.sym = q.q_sym AND t.t_ts >= q.q_ts " +
+        "WHERE q.bid > 49.5 ORDER BY q.bid DESC LIMIT 1").get
+    assert(p.where.contains("q.bid > 49.5"))
+    assert(p.orderBy.contains("q.bid DESC") && p.limit.contains(1))
+    val got = AsOfSql.asofDf(spark,
+      "SELECT t.trade_id, q.bid FROM trades t ASOF JOIN quotes q " +
+        "ON t.sym = q.q_sym AND t.t_ts >= q.q_ts " +
+        "WHERE q.bid > 49.5 ORDER BY q.bid DESC LIMIT 1").get
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((2L, 100.5))) // highest bid above 49.5
+  }
+
+  test("unsupported ASOF forms get a clear validation message") {
+    // GROUP BY after an ASOF join: not executable — a clear message, not
+    // an opaque run-time Spark parse error on the ASOF token
+    val bad = "SELECT t.sym, count(*) FROM trades t ASOF JOIN quotes q " +
+      "ON t.sym = q.q_sym AND t.t_ts >= q.q_ts GROUP BY t.sym"
+    assert(AsOfSql.unsupportedForm(bad).exists(_.contains("unsupported ASOF")))
+    // ... also when wrapped in the CREATE body the executor actually runs
+    assert(AsOfSql.unsupportedForm(s"CREATE TABLE x AS $bad").isDefined)
+    // supported forms (incl. trailing ORDER BY now) report no issue
+    assert(AsOfSql.unsupportedForm(
+      "SELECT * FROM a x ASOF JOIN b y ON x.k = y.k AND x.ts >= y.ts " +
+        "ORDER BY x.k LIMIT 5").isEmpty)
+    assert(AsOfSql.unsupportedForm("SELECT * FROM a JOIN b ON a.k = b.k").isEmpty)
+    // a string literal containing 'ASOF JOIN' is not an ASOF statement
+    assert(AsOfSql.unsupportedForm(
+      "SELECT 'ASOF JOIN docs' AS s FROM a GROUP BY s").isEmpty)
+  }
+
   test("end-to-end: component runs an ASOF JOIN script") {
     val dd = Files.createTempDirectory("graft_asof_")
     def write(p: Path, content: String): Unit = {

@@ -56,6 +56,17 @@ class PivotSpec extends SparkSpec {
     assert(out.columns.toList == List("region", "Q1", "Q2", "Q3"))
   }
 
+  test("implicit-grouping exclusion is case-insensitive like DuckDB") {
+    sales.createOrReplaceTempView("sales")
+    // USING max(AMOUNT) must still exclude `amount` from the implicit
+    // GROUP BY — DuckDB excludes aggregate-referenced columns regardless
+    // of case (the round-9 ADVICE finding: a case-sensitive token check
+    // kept the column grouped and diverged)
+    val out = Pivot.pivotDf(spark,
+      "PIVOT sales ON quarter USING sum(AMOUNT)").get
+    assert(out.columns.toList == List("region", "Q1", "Q2", "Q3"))
+  }
+
   test("staticStub reduces PIVOT to a parseable SELECT with the same deps") {
     val bare = Pivot.staticStub("PIVOT sales ON q USING sum(x)")
     assert(bare == "SELECT * FROM sales")

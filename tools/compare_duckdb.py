@@ -18,6 +18,16 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Rows where the Spark bench times a different (production) algorithm than
+# the exact oracle SQL DuckDB runs — same task, honest asymmetry, noted.
+ALGO_NOTES = {
+    "d16_incremental_fuzzy": (
+        "Spark times the production banded-LSH delta-vs-base operator "
+        "(graft.queries.DedupQ.d16LshOnly); the exact cross-pair union is "
+        "verify-only oracle scaffolding. DuckDB runs the exact-jaccard "
+        "oracle — the task's exact algorithm."),
+}
+
 
 def load_oracles(out_dir="/tmp/verify_out"):
     with open(f"{out_dir}/oracle_sql.json") as f:
@@ -70,6 +80,8 @@ def main():
         else:
             q["duckdb_cold"] = q["duckdb_median"] = None
             q["note"] = "no oracle (hash-impl-specific op)"
+        if name in ALGO_NOTES:
+            q["note"] = ALGO_NOTES[name]
         out["queries"][name] = q
     out["subset_totals"] = {
         "duckdb_cold": round(tot["duckdb_cold"], 2),
