@@ -94,31 +94,53 @@ object MinHash {
                           threshold: Double = 0.2,
                           bands: Int = 16): DataFrame = {
     val rows = NumHashes / bands
-    val dSpread = ScaleOps.spread(delta)
     val bSpread = ScaleOps.spread(base)
-    def banded(df: DataFrame, outId: String): DataFrame =
-      sigProjection(df, idCol, textCol, k)
-        .select(col(idCol).as(outId),
-          TextExprs.bandSigs(col("minhash"), bands, rows).as("__bs"))
-        .select(col(outId), posexplode(col("__bs")).as(Seq("band", "sig")))
-    // NO join-strategy hint here, unlike candidatePairs: that hint works
-    // around a SELF-join exchange-reuse pathology, and this is a join of
-    // two DIFFERENT relations — no reuse to protect. Left free, AQE
-    // broadcasts the delta side when it's small (the common incremental
-    // case: a new batch against a huge corpus), which removes the
-    // base-side (band, sig) exchange entirely — at 100 TB that exchange
-    // is 16 rows × 12 bytes per corpus doc, the single biggest avoidable
-    // shuffle in this operator. Candidate-pair distinct shuffles plain
-    // 16-byte id pairs, where AQE's byte-based sizing is accurate (the
-    // d03 explode-stage caveat doesn't apply).
-    val cands = banded(dSpread, "delta_id")
-      .join(banded(bSpread, "base_id"), Seq("band", "sig"))
+    val bandIdx = sigProjection(bSpread, idCol, textCol, k)
+      .select(col(idCol).as("id"),
+        TextExprs.bandSigs(col("minhash"), bands, rows).as("__bs"))
+      .select(col("id"), posexplode(col("__bs")).as(Seq("band", "sig")))
+    val sets = bSpread.select(col(idCol).as("id"),
+      Shingles.shingles(col(textCol), k).as("sh"))
+    crossNearDuplicatesIndexed(delta, idCol, textCol, bandIdx, sets,
+      k, threshold, bands)
+  }
+
+  /** Index-fed incremental near-duplicates: candidates and verification
+    * come from PREBUILT relations — typically [[DedupIndex.bandIndex]]
+    * (id, band, sig) and [[DedupIndex.shingleSets]] (id, sh) read from
+    * warehouse parquet — so checking a batch against an N-doc corpus
+    * touches corpus TEXT zero times: the per-doc signature/shingle work
+    * is paid once at index build, and batch N+1 reads only the index.
+    *
+    * NO join-strategy hint on the bucket join, unlike candidatePairs:
+    * that hint works around a SELF-join exchange-reuse pathology, and
+    * this is a join of two DIFFERENT relations — no reuse to protect.
+    * Left free, AQE broadcasts the delta side when it's small (the
+    * common incremental case: a day's batch against a huge corpus),
+    * which removes the index-side (band, sig) exchange entirely — at
+    * 100 TB that exchange is 16 rows × 12 bytes per corpus doc, the
+    * single biggest avoidable shuffle in this operator. Candidate-pair
+    * distinct shuffles plain 16-byte id pairs, where AQE's byte-based
+    * sizing is accurate (the d03 explode-stage caveat doesn't apply). */
+  def crossNearDuplicatesIndexed(delta: DataFrame, idCol: String,
+                                 textCol: String, bandIndex: DataFrame,
+                                 shingleSets: DataFrame, k: Int = 3,
+                                 threshold: Double = 0.2,
+                                 bands: Int = 16): DataFrame = {
+    val rows = NumHashes / bands
+    val dSpread = ScaleOps.spread(delta)
+    val dBanded = sigProjection(dSpread, idCol, textCol, k)
+      .select(col(idCol).as("delta_id"),
+        TextExprs.bandSigs(col("minhash"), bands, rows).as("__bs"))
+      .select(col("delta_id"), posexplode(col("__bs")).as(Seq("band", "sig")))
+    val cands = dBanded
+      .join(bandIndex.select(col("id").as("base_id"), col("band"), col("sig")),
+        Seq("band", "sig"))
       .select("delta_id", "base_id")
       .distinct()
     val dSets = dSpread.select(col(idCol).as("delta_id"),
       Shingles.shingles(col(textCol), k).as("sh_a"))
-    val bSets = bSpread.select(col(idCol).as("base_id"),
-      Shingles.shingles(col(textCol), k).as("sh_b"))
+    val bSets = shingleSets.select(col("id").as("base_id"), col("sh").as("sh_b"))
     cands
       .join(dSets, "delta_id")
       .join(bSets, "base_id")

@@ -700,6 +700,36 @@ object EventStream {
         coalesce(col("base_keep"), col(idCol)).as("canonical_id"))
   }
 
+  /** [[incrementalDedupStream]] fed from a PERSISTED index
+    * ([[graft.ops.DedupIndex]]): the static side is a two-column pruned
+    * parquet read (fp, id) of index state, never a rescan of corpus
+    * text. The raw relation is joined UNREDUCED — a corpus-wide
+    * groupBy-min per micro-batch would re-aggregate billions of rows at
+    * scale; instead multi-hits (several index rows with the same fp,
+    * possible when the initial build ingested an un-deduped corpus)
+    * collapse in a per-arrival min aggregate, whose state is watermark-
+    * bounded like the fuzzy gate's. dropDuplicatesWithinWatermark
+    * still provides stream-internal first-arrival precedence. */
+  def incrementalDedupStreamIndexed(docs: DataFrame, indexDir: String,
+                                    textCol: String = "text",
+                                    tsCol: String = "ts",
+                                    idCol: String = "doc_id",
+                                    lateness: String = "1 hour"): DataFrame = {
+    val idx = graft.ops.DedupIndex.relation(docs.sparkSession, indexDir)
+      .select(col("fp"), col("id").as("__keep"))
+    docs
+      .withColumn("fp", md5(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("fp")
+      .join(idx, Seq("fp"), "left")
+      .groupBy(col(tsCol), col(idCol), col("fp"))
+      .agg(min(col("__keep")).as("base_keep"))
+      .select(col(idCol), col("fp"),
+        when(col("base_keep").isNotNull, "dup_of_base")
+          .otherwise("new").as("verdict"),
+        coalesce(col("base_keep"), col(idCol)).as("canonical_id"))
+  }
+
   /** Streaming FUZZY dedup — batch d16 at ingest time: each arriving
     * document is checked for Jaccard ≥ τ near-duplicates in the EXISTING
     * corpus only. The base reduces ONCE to two persisted assets — its
@@ -724,9 +754,52 @@ object EventStream {
       .select(col(idCol).as("__bid"),
         TextExprs.bandSigs(col("minhash"), bands, rows).as("__bs"))
       .select(col("__bid"), posexplode(col("__bs")).as(Seq("band", "sig")))
-    val bandIdx = persistStatic(baseSigs)
-    val baseSets = persistStatic(base.select(col(idCol).as("__bid"),
-      Shingles.shingles(col(textCol), k).as("__bsh")))
+    fuzzyGate(docs, persistStatic(baseSigs),
+      persistStatic(base.select(col(idCol).as("__bid"),
+        Shingles.shingles(col(textCol), k).as("__bsh"))),
+      textCol, tsCol, idCol, k, threshold, bands, lateness)
+  }
+
+  /** [[fuzzyDedupStream]] fed from a PERSISTED index
+    * ([[graft.ops.DedupIndex]]) instead of recomputing the corpus's
+    * signatures and shingle sets at stream start: the gate's static
+    * sides are column-pruned parquet reads of index state that
+    * [[graft.ops.DedupIndex.update]] grows batch over batch. Unlike the
+    * corpus-fed variant the static sides are NOT memory-persisted — at
+    * scale the index outgrows cache, and a per-micro-batch pruned
+    * parquet read (bands: 12 bytes/row) is the honest steady-state
+    * cost; the corpus-fed variant persists because it would otherwise
+    * re-HASH the corpus text each micro-batch, which is CPU, not IO. */
+  def fuzzyDedupStreamIndexed(docs: DataFrame, indexDir: String,
+                              textCol: String = "text", tsCol: String = "ts",
+                              idCol: String = "doc_id",
+                              threshold: Double = 0.2,
+                              lateness: String = "1 hour"): DataFrame = {
+    import graft.ops.DedupIndex
+    val spark = docs.sparkSession
+    val m = DedupIndex.meta(spark, indexDir)
+    fuzzyGate(docs,
+      DedupIndex.bandIndex(spark, indexDir).select(col("id").as("__bid"),
+        col("band"), col("sig")),
+      DedupIndex.shingleSets(spark, indexDir).select(col("id").as("__bid"),
+        col("sh").as("__bsh")),
+      textCol, tsCol, idCol, m.k, threshold, m.bands, lateness)
+  }
+
+  /** Shared d16-at-ingest body: stream side computes signature +
+    * shingles in one pass per arrival, explodes band keys,
+    * stream-static-joins the band index (candidates = bucket
+    * collisions, never the corpus), verifies exact Jaccard against the
+    * matched base sets, and aggregates the verdict per (watermarked ts,
+    * doc) — duplicate candidates from shared bands collapse in the
+    * min/max, so no pre-aggregate dedup state is needed. */
+  private def fuzzyGate(docs: DataFrame, bandIdx: DataFrame,
+                        baseSets: DataFrame, textCol: String, tsCol: String,
+                        idCol: String, k: Int, threshold: Double,
+                        bands: Int, lateness: String): DataFrame = {
+    import graft.functions.TextExprs
+    import graft.ops.{MinHash, Shingles}
+    val rows = MinHash.NumHashes / bands
     val s = docs
       .withColumn("__sh", Shingles.shingles(col(textCol), k))
       .withColumn("__bs", TextExprs.bandSigs(
