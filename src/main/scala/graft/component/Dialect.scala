@@ -74,7 +74,7 @@ object Dialect {
     * (`::VARCHAR`, `* EXCLUDE (`) apply only OUTSIDE quoted regions. */
   def rewrite(stmt0: String): String = {
     val stmt = rewriteQualify(rewriteDistinctOn(rewriteWithCreate(
-      Pivot.rewriteUnpivot(stmt0))))
+      Pivot.rewriteUnpivot(FileReads.rewriteTableFunctions(stmt0)))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position

@@ -108,6 +108,7 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
   /** Run one rewritten statement against the session catalog. */
   def runStatement(stmt0: String): Unit = {
     val stmt = stripLeadingComments(stmt0)
+    FileReads.ensureRegistered(spark, stmt) // read_csv/read_parquet views
     stmt match {
     case createView(name, body) =>
       val sanitized = Names.view(name)

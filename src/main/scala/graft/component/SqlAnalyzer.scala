@@ -132,7 +132,11 @@ object SqlAnalyzer {
     // UPDATE/DELETE keep their target as a dependency too: re-derivation
     // must run after whatever produced the current state of the table.
     val keepTargetDep = kind == "DeleteFromTable" || kind == "UpdateTable"
-    val deps = if (keepTargetDep) relations -- ctes else relations -- ctes -- outputs
+    val deps0 = if (keepTargetDep) relations -- ctes else relations -- ctes -- outputs
+    // file table-function views (read_csv/read_parquet rewrites) are not
+    // workspace tables: they never enter the DAG or expected_input_tables
+    // (the reference's DuckDB resolves the path internally, same effect)
+    val deps = deps0.filterNot(FileReads.isFileView)
     Analysis(deps, outputs, stmtType)
   }
 }

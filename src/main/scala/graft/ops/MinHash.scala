@@ -84,11 +84,13 @@ object MinHash {
     * shape applied to FUZZY dedup. Each side gets its own banded
     * signature relation and the bucket join is delta×base (never
     * delta×delta or base×base), so adding a batch to an N-doc corpus
-    * costs O(delta × bucket overlap), not O((N+delta)²) — at scale the
-    * base side's banded signatures are the persisted, incrementally-
-    * maintained index (64×8 bytes/doc), and only verified candidates
-    * ever re-read base text. Candidates are verified with exact
-    * shingle-set Jaccard, the nearDuplicates contract. */
+    * costs O(delta × bucket overlap), not O((N+delta)²). This overload
+    * computes the base-side relations inline (right for one-shot jobs
+    * and tests); at scale use [[graft.ops.DedupIndex]] to build/update
+    * the persisted index once and feed
+    * [[crossNearDuplicatesIndexed]], which never touches base text.
+    * Candidates are verified with exact shingle-set Jaccard, the
+    * nearDuplicates contract. */
   def crossNearDuplicates(delta: DataFrame, base: DataFrame, idCol: String,
                           textCol: String, k: Int = 3,
                           threshold: Double = 0.2,

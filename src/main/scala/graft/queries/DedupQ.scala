@@ -292,8 +292,9 @@ object DedupQ {
     //    the base; canonical = base min id), 'dup_in_delta' (first
     //    occurrence inside the batch wins), or 'new'. The base side
     //    reduces to its (fingerprint, min id) index BEFORE the join — at
-    //    scale that index is precomputed and incrementally maintained,
-    //    not rescanned; here it is derived in the same query (one
+    //    scale that index is precomputed and incrementally maintained
+    //    (ops/DedupIndex.fingerprintIndex is the persisted form), not
+    //    rescanned; here it is derived in the same query (one
     //    fp-keyed exchange with map-side partial min). Delta-internal
     //    precedence rides the SAME fp exchange as a window min. Base/
     //    delta split = the d08 convention (doc_id mod 10).
@@ -387,7 +388,9 @@ object DedupQ {
     //    Jaccard ≥ τ neighbors in the EXISTING corpus only (banded
     //    MinHash cross join, delta×base buckets — never within either
     //    side; at scale the base's banded signatures are the persisted
-    //    index, so adding a batch never rescans the corpus). The d04
+    //    index — ops/DedupIndex builds/updates it, and
+    //    crossNearDuplicatesIndexed consumes it without ever touching
+    //    corpus text). The d04
     //    convention, VERIFY PATH ONLY (Bench prices [[d16LshOnly]]): the
     //    LSH path is unioned with the exact cross-pair relation so the
     //    ledger row equals the exact answer and stays oracle-able;

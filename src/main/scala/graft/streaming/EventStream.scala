@@ -673,8 +673,8 @@ object EventStream {
   /** Streaming incremental dedup — batch d13 at ingest time: each
     * arriving document is checked against the EXISTING corpus's
     * fingerprint index (static side, reduced to (fp, min id) and
-    * persisted — at scale this is the incrementally-maintained index, not
-    * a rescan) and against earlier arrivals in the stream
+    * persisted — at scale use [[incrementalDedupStreamIndexed]], which
+    * reads the ops/DedupIndex persisted form instead of rescanning) and against earlier arrivals in the stream
     * (`dropDuplicatesWithinWatermark` on the fingerprint — watermarked
     * O(in-flight fingerprints) state, the streaming analogue of d13's
     * delta window min with FIRST-ARRIVAL precedence instead of min-id:

@@ -111,4 +111,5 @@ class DialectSpec extends AnyFunSuite {
     assert(v == "out_table_csv")
     assert(Names.original(v) == "out-table.csv")
   }
+
 }

@@ -1,0 +1,73 @@
+package graft.component
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpec
+
+/** DuckDB file table functions in user SQL ([[FileReads]]): the textual
+  * rewrite, dependency exclusion, option mapping, and a component
+  * end-to-end run reading files NO input mapping declared. */
+class FileReadsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("rewriteTableFunctions maps calls to deterministic view names") {
+    val r1 = FileReads.rewriteTableFunctions(
+      "SELECT * FROM read_csv('/tmp/x.csv', header=true, delim='|')")
+    assert(r1.matches("SELECT \\* FROM `__graft_read_csv_[0-9a-f]{10}`"), r1)
+    // identical call → identical view (statement-order independent)
+    assert(r1 == FileReads.rewriteTableFunctions(
+      "SELECT * FROM read_csv('/tmp/x.csv', header=true, delim='|')"))
+    // different options → different view
+    assert(r1 != FileReads.rewriteTableFunctions(
+      "SELECT * FROM read_csv('/tmp/x.csv', header=false, delim='|')"))
+    // parquet + path list; two calls in one statement
+    val r2 = FileReads.rewriteTableFunctions(
+      "SELECT * FROM read_parquet(['/a.parquet','/b.parquet']) p " +
+        "JOIN read_csv_auto('/c.csv') c ON p.id = c.id")
+    assert("__graft_read_parquet_[0-9a-f]{10}".r.findFirstIn(r2).isDefined, r2)
+    assert("__graft_read_csv_[0-9a-f]{10}".r.findFirstIn(r2).isDefined, r2)
+    assert(!r2.toLowerCase.contains("read_parquet("), r2) // no call remains
+    // calls inside string literals are untouched
+    val lit = "SELECT 'use read_csv(''f.csv'') here' AS hint FROM t"
+    assert(FileReads.rewriteTableFunctions(lit) == lit)
+  }
+
+  test("file views are excluded from dependencies, not from parsing") {
+    val a = SqlAnalyzer.analyzeStatement(spark, Dialect.rewrite(
+      "SELECT * FROM read_csv('/tmp/side.csv') s JOIN orders o ON s.k = o.o_orderkey"))
+    assert(a.dependencies == Set("orders"), a.dependencies)
+    // expected_input_tables therefore never reports the file
+    val cfg = Config.parse(
+      """{"parameters": {"blocks": [{"name": "B", "codes": [
+        |  {"name": "q", "script": [
+        |    "CREATE TABLE out1 AS SELECT * FROM read_parquet('/tmp/f.parquet')"]}
+        |]}]}, "storage": {}}""".stripMargin)
+    assert(Actions.expectedInputTables(spark, cfg).isEmpty)
+  }
+
+  test("end-to-end: component reads undeclared side files via table functions") {
+    val dd = Files.createTempDirectory("graft_fread_")
+    def write(p: Path, content: String): Unit = {
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    // side files OUTSIDE in/tables, never declared in the input mapping
+    val sideCsv = dd.resolve("side/prices.csv")
+    write(sideCsv, "sku|price\nA|10\nB|20\n")
+    val sideParquet = dd.resolve("side/bonus.parquet").toString
+    Seq(("A", 5L), ("B", 7L)).toDF("sku", "bonus")
+      .coalesce(1).write.parquet(sideParquet)
+    write(dd.resolve("config.json"),
+      s"""{"parameters": {"blocks": [{"name": "B", "codes": [
+         |   {"name": "q", "script": [
+         |     "CREATE TABLE joined AS SELECT p.sku, p.price + b.bonus AS total FROM read_csv('$sideCsv', delim='|') p JOIN read_parquet('$sideParquet') b ON p.sku = b.sku ORDER BY p.sku;"]}
+         | ]}]},
+         | "storage": {
+         |  "output": {"tables": [{"source": "joined", "destination": "out.c-y.joined"}]}}}""".stripMargin)
+    Component.run(spark, dd.toString)
+    val out = Files.readString(dd.resolve("out/tables/joined")).linesIterator.toList
+    assert(out.head == "\"sku\",\"total\"")
+    assert(out.contains("\"A\",\"15\"") && out.contains("\"B\",\"27\""), out)
+  }
+}

@@ -76,10 +76,12 @@ class ContaminationParamsSpec extends SparkSpec {
   }
 
   test("oracle pin: autoParams picks (12, 24) at driver-oracle scale") {
-    // d08's static oracle SQL bakes k=12/window=24 — the deterministic
-    // autoParams pick on /root/testdata/sf0.01. If either the probe logic
-    // or the corpus changes this pick, the correctness ledger must fail
-    // LOUDLY here rather than silently drift from the SQL.
+    // Since round 9 the d08 oracle SQL is RENDERED from the same memoized
+    // autoParams pick the Spark side used (DedupQ.d08OracleSql), so a
+    // changed pick no longer desyncs the ledger — but the FALLBACK pick
+    // (used when no run is recorded in this process) is still pinned at
+    // (12, 24), and a silent pick change would alter what both engines
+    // compute. This keeps the pick itself a named, visible decision.
     val dir = new java.io.File("/root/testdata/sf0.01")
     assume(dir.isDirectory)
     val docs = graft.queries.T.documents(spark, dir.getPath)
@@ -90,13 +92,14 @@ class ContaminationParamsSpec extends SparkSpec {
   }
 
   test("sf0.1 pick pin: autoParams adapts to (16, 32) on the denser corpus") {
-    // The round-8 three-SF sweep found d08's sf0.1 row diverging from the
-    // static oracle by ROW COUNT — adjudicated (ROUND_NOTES r8): the
-    // denser corpus makes 12-char grams less selective, so autoParams
-    // correctly picks longer ones, while the oracle SQL stays baked at
-    // the sf0.01 pick. A matched-(16,32) oracle reproduced Spark's rows
-    // exactly. This pins the adaptive pick so a future change shows up
-    // here as a named failure, not a mystery ledger row.
+    // Pins the ADAPTIVE property itself: the denser sf0.1 corpus makes
+    // 12-char grams less selective, so autoParams picks longer ones.
+    // (Historical note: round 8's sf0.1 ledger row diverged because the
+    // oracle SQL was then static at the sf0.01 pick; since round 9 the
+    // oracle renders from the same memoized pick and all three SF
+    // ledgers are hash-exact — this test now only guards that the pick
+    // remains deterministic per corpus, surfacing a probe change as a
+    // named failure instead of a mystery ledger diff.)
     val dir = new java.io.File("/root/testdata/sf0.1")
     assume(dir.isDirectory)
     val docs = graft.queries.T.documents(spark, dir.getPath)
