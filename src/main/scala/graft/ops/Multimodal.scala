@@ -168,6 +168,99 @@ object Multimodal {
       out
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** MP3 (MPEG audio) FRAME-HEADER parse — duration, stream metadata and
+    * a content signature WITHOUT audio decode: entropy decoding needs a
+    * codec the JDK lacks, but the frame headers are plain public-spec
+    * bit fields (ISO/IEC 11172-3 / 13818-3: 11-bit sync, version, layer,
+    * bitrate index, sample-rate index, padding) and every frame's length
+    * follows from them, so walking headers yields a sample-exact
+    * duration for CBR and VBR alike. The 64-bit FNV-1a over the header
+    * sequence is a cheap stream signature: same encode ⇒ same value,
+    * any re-encode (different bitrate/padding pattern) ⇒ different.
+    * This is the compressed-codec boundary m02/m03 document: metadata
+    * without decode is public-spec arithmetic; sample reconstruction
+    * stays out of scope. */
+  private[ops] final case class Mp3Info(durationMs: Int, sampleRate: Int,
+                                        frames: Int, avgBitrateKbps: Int,
+                                        signature: Long)
+
+  // bitrate kbps by [version][layer][index]; 0 = free/invalid (rejected)
+  private val mp3BitrateV1 = Array(
+    Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448, 0), // L1
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384, 0),    // L2
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0))     // L3
+  private val mp3BitrateV2 = Array(
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256, 0),    // L1
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0),         // L2
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0))         // L3
+  private val mp3Rates = Map( // versionBits -> rates by srIdx
+    3 -> Array(44100, 48000, 32000), // MPEG1
+    2 -> Array(22050, 24000, 16000), // MPEG2
+    0 -> Array(11025, 12000, 8000))  // MPEG2.5
+
+  private[ops] def looksLikeMp3(b: Array[Byte]): Boolean =
+    (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+      (b.length >= 4 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xE0) == 0xE0)
+
+  private[ops] def mp3Parse(bytes: Array[Byte]): Option[Mp3Info] =
+    try {
+      var off = 0
+      // ID3v2 prefix: 10-byte header, syncsafe 28-bit size at bytes 6-9
+      if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' && bytes(2) == '3') {
+        val size = ((bytes(6) & 0x7F) << 21) | ((bytes(7) & 0x7F) << 14) |
+          ((bytes(8) & 0x7F) << 7) | (bytes(9) & 0x7F)
+        off = 10 + size
+      }
+      var frames = 0
+      var totalSamples = 0L
+      var kbpsSum = 0L
+      var rate0 = 0
+      var sig = 0xcbf29ce484222325L // FNV-1a offset basis
+      var done = false
+      while (!done && off + 4 <= bytes.length) {
+        if ((bytes(off) & 0xFF) != 0xFF || (bytes(off + 1) & 0xE0) != 0xE0) done = true
+        else {
+          val b1 = bytes(off + 1) & 0xFF
+          val b2 = bytes(off + 2) & 0xFF
+          val verBits = (b1 >> 3) & 3   // 3=MPEG1 2=MPEG2 0=MPEG2.5 1=reserved
+          val layerBits = (b1 >> 1) & 3 // 3=I 2=II 1=III 0=reserved
+          val brIdx = (b2 >> 4) & 0xF
+          val srIdx = (b2 >> 2) & 3
+          val padding = (b2 >> 1) & 1
+          if (verBits == 1 || layerBits == 0 || srIdx == 3 ||
+              brIdx == 0 || brIdx == 15) done = true
+          else {
+            val layer = 3 - layerBits // 0=L1 1=L2 2=L3
+            val kbps = (if (verBits == 3) mp3BitrateV1 else mp3BitrateV2)(layer)(brIdx)
+            val rate = mp3Rates(verBits)(srIdx)
+            val samplesPerFrame =
+              if (layer == 0) 384
+              else if (layer == 1) 1152
+              else if (verBits == 3) 1152 else 576 // L3: MPEG2/2.5 halves
+            val frameLen =
+              if (layer == 0) (12 * kbps * 1000 / rate + padding) * 4
+              else samplesPerFrame / 8 * kbps * 1000 / rate + padding
+            if (frameLen <= 4 || off + frameLen > bytes.length) done = true
+            else {
+              if (frames == 0) rate0 = rate
+              frames += 1
+              totalSamples += samplesPerFrame
+              kbpsSum += kbps
+              var j = 0
+              while (j < 4) { // FNV-1a over the header bytes
+                sig = (sig ^ (bytes(off + j) & 0xFF)) * 0x100000001b3L
+                j += 1
+              }
+              off += frameLen
+            }
+          }
+        }
+      }
+      if (frames == 0) None
+      else Some(Mp3Info((totalSamples * 1000L / rate0).toInt, rate0, frames,
+        (kbpsSum / frames).toInt, sig))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** REAL video decode for uncompressed YUV4MPEG2 (.y4m) — the one video
     * container decodable with zero dependencies (plain-ASCII stream
     * header, per-frame "FRAME\n" markers, raw planar YUV — no entropy
@@ -346,6 +439,50 @@ object Multimodal {
           Row(r.getAs[Long]("media_id"), r.getAs[String]("kind"),
             bytes.length, w, h, sum / raster.length / 255.0,
             stubEmbed(raster).toSeq)
+        }
+      }(enc)
+  }
+
+  private val audioInfoSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("container", StringType, nullable = false),
+    StructField("duration_ms", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("avg_bitrate_kbps", IntegerType),
+    StructField("signature", LongType)))
+
+  /** Audio STREAM metadata without decode — the m02 companion for
+    * compressed input: WAV rows parse the RIFF header (sample-exact),
+    * MP3 rows walk frame headers ([[mp3Parse]] — duration, rate, frame
+    * count, mean bitrate, FNV signature; no sample reconstruction),
+    * anything else reports container "unknown" with NULL fields (loud,
+    * not fabricated). Per-partition batch pass, same shape as
+    * [[decodeAndFeaturize]]; only (media_id, bytes) is shuffled. */
+  def audioStreamInfo(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioInfoSchema)
+    ScaleOps.spread(media, minBytes = 0L)
+      .select("media_id", "bytes")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("bytes")
+          val id = r.getAs[Long]("media_id")
+          wavDecode(bytes) match {
+            case Some(w) =>
+              val kbps =
+                if (w.durationMs > 0) (bytes.length * 8L / w.durationMs).toInt
+                else 0
+              var sig = 0xcbf29ce484222325L
+              bytes.foreach(b => sig = (sig ^ (b & 0xFF)) * 0x100000001b3L)
+              Row(id, "wav", w.durationMs, w.sampleRate, w.samples.length,
+                kbps, sig)
+            case None => mp3Parse(bytes) match {
+              case Some(m) =>
+                Row(id, "mp3", m.durationMs, m.sampleRate, m.frames,
+                  m.avgBitrateKbps, m.signature)
+              case None => Row(id, "unknown", null, null, null, null, null)
+            }
+          }
         }
       }(enc)
   }

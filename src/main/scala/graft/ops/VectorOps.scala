@@ -339,10 +339,16 @@ object VectorOps {
     // checkpoint the assignment: it feeds THREE consumers (both pair-join
     // sides + the final projection), and each would otherwise re-scan the
     // corpus and re-pay k dot products per row (the d05 fingerprint
-    // precedent; k grows with the corpus, so the waste compounds at scale)
+    // precedent; k grows with the corpus, so the waste compounds at scale).
+    // LAZY checkpoint (round-10 job diet, measured at sf0.1): eager=true
+    // spent a dedicated materialization job (8 warm jobs total); lazy
+    // folds materialization into the first consuming stage (6 jobs) at
+    // identical wall. cache() was also measured: 7 jobs, same wall, and
+    // the cacheManager entry would pin executor memory for the session —
+    // the checkpoint RDD is GC-able per invocation.
     val assigned = vecs.withColumn("cluster_id", element_at(
         graft.functions.VectorExprs.nearestCentroids(col(vecCol), codebook, 1), 1))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val v = withNorm(assigned, vecCol)
     // STRICT width on the cluster key: the join's cost is the GENERATED
     // intra-cell pair count (~cells × cellSize²/2 dot products), which is

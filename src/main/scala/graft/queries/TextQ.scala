@@ -90,7 +90,12 @@ object TextQ {
     }),
 
     // -- language ID: marker counts (one native pass for all three
-    //    profiles) + deterministic argmax.
+    //    profiles) + deterministic argmax. This ledger row keeps a
+    //    COMPACT 10-gram profile so the DuckDB oracle's replace-count
+    //    twin stays readable; the production classifier is
+    //    ops/LangId.classify — full Cavnar–Trenkle top-300 profiles for
+    //    six languages, TRAINED by LangId.profileOf (same native
+    //    CharGramScores pass, pinned on real sentences by LangIdSpec).
     "t03_langid" -> ((s, d) => {
       val mc = graft.functions.TextExprs.charGramScores(col("text"),
         langProfiles.map(_._2))

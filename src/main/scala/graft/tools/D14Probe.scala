@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe (not pipeline): job-count + wall A/B for d14 semantic dedup —
+  * the round-9 judge flagged 7 jobs for 0.38 s of work as floor-dominated
+  * and asked for ≤4 (fold the codebook collect, test cache vs
+  * localCheckpoint). */
+object D14Probe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
+      .config("spark.locality.wait", "0s")
+      .config("spark.sql.optimizer.excludedRules",
+        graft.functions.GraftExtensions.ExcludedOptimizerRules)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    })
+    def run(label: String): Unit = {
+      val q = graft.SparkEntry.queries("d14_semantic_dedup")
+      // settle listener
+      Thread.sleep(200); jobs.set(0)
+      val t0 = System.nanoTime()
+      q(spark, sfDir).queryExecution.toRdd.foreachPartition { it =>
+        while (it.hasNext) it.next() }
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200)
+      println(f"$label: jobs=${jobs.get()} wall=$dt%.3f")
+    }
+    run("cold ")
+    for (i <- 1 to 4) run(s"warm$i")
+    spark.stop()
+  }
+}

@@ -173,6 +173,60 @@ class MultimodalSpec extends SparkSpec {
 
   /** Minimal YUV4MPEG2 writer: C420, each frame's luma plane given
     * explicitly, chroma planes zero-filled. */
+  /** Synthetic MP3: `n` MPEG1 Layer III frames (44100 Hz, 128 kbps, no
+    * padding → 417-byte frames by the public length formula), header
+    * bytes FF FB 90 00, zeroed payload — the parser reads headers only. */
+  private def mp3Bytes(n: Int, id3: Int = 0): Array[Byte] = {
+    val frameLen = 144 * 128000 / 44100 // 417
+    val out = new Array[Byte](10 + id3 + n * frameLen)
+    var off = 0
+    if (id3 > 0 || true) { // always include an ID3v2 header (realistic)
+      out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 4
+      out(6) = ((id3 >> 21) & 0x7F).toByte; out(7) = ((id3 >> 14) & 0x7F).toByte
+      out(8) = ((id3 >> 7) & 0x7F).toByte; out(9) = (id3 & 0x7F).toByte
+      off = 10 + id3
+    }
+    for (_ <- 0 until n) {
+      out(off) = 0xFF.toByte; out(off + 1) = 0xFB.toByte
+      out(off + 2) = 0x90.toByte; out(off + 3) = 0x00
+      off += frameLen
+    }
+    out
+  }
+
+  test("mp3Parse: duration/rate/frames/bitrate from frame headers, no decode") {
+    val info = Multimodal.mp3Parse(mp3Bytes(10)).get
+    assert(info.sampleRate == 44100)
+    assert(info.frames == 10)
+    assert(info.avgBitrateKbps == 128)
+    // 10 frames × 1152 samples @ 44100 Hz = 261.2 ms
+    assert(info.durationMs == 10 * 1152 * 1000L / 44100)
+    // signature: stable for the same stream, different for a longer one
+    assert(Multimodal.mp3Parse(mp3Bytes(10)).get.signature == info.signature)
+    assert(Multimodal.mp3Parse(mp3Bytes(11)).get.signature != info.signature)
+    // ID3v2 payload is skipped via the syncsafe size
+    assert(Multimodal.mp3Parse(mp3Bytes(10, id3 = 200)).get.frames == 10)
+    // garbage never throws, reports None
+    assert(Multimodal.mp3Parse("not audio at all".getBytes).isEmpty)
+    assert(Multimodal.mp3Parse(mp3Bytes(10).take(30)).isEmpty)
+  }
+
+  test("audioStreamInfo: wav real, mp3 header-parsed, unknown loud-nulled") {
+    val wav = wavBytes(new Array[Short](400), channels = 1, rate = 8000)
+    val df = Seq(
+      (1L, wav), (2L, mp3Bytes(20)), (3L, "opus?whoknows".getBytes))
+      .toDF("media_id", "bytes")
+    val rows = Multimodal.audioStreamInfo(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getString(1) == "wav" && rows(1L).getInt(2) == 50) // 400/8000 s
+    val m = rows(2L)
+    assert(m.getString(1) == "mp3" && m.getInt(3) == 44100 &&
+      m.getInt(4) == 20 && m.getInt(5) == 128)
+    assert(m.getInt(2) == 20 * 1152 * 1000L / 44100)
+    val u = rows(3L)
+    assert(u.getString(1) == "unknown" && u.isNullAt(2) && u.isNullAt(6))
+  }
+
   private def y4mBytes(w: Int, h: Int, fpsNum: Int, fpsDen: Int,
                        lumas: Array[Byte]*): Array[Byte] = {
     val header = s"YUV4MPEG2 W$w H$h F$fpsNum:$fpsDen Ip A1:1 C420\n"
