@@ -29,6 +29,9 @@ object Component {
   def run(spark: SparkSession, dataDir: String): RunResult = {
     val config = Config.parse(
       Files.readString(Paths.get(dataDir, "config.json")))
+    // macros live per run, like DuckDB's per-database-session macros —
+    // a process-global registry must not leak across component runs
+    Macros.clear()
 
     // graft's native SQL functions (dot_f32, simhash64, ...) are available
     // to user scripts, like any engine built-in — plus the DuckDB names

@@ -74,7 +74,8 @@ object Dialect {
     * (`::VARCHAR`, `* EXCLUDE (`) apply only OUTSIDE quoted regions. */
   def rewrite(stmt0: String): String = {
     val stmt = rewriteQualify(rewriteDistinctOn(rewriteWithCreate(
-      Pivot.rewriteUnpivot(FileReads.rewriteTableFunctions(stmt0)))))
+      Pivot.rewriteUnpivot(FileReads.rewriteTableFunctions(
+        rewritePragma(Macros.rewrite(stmt0)))))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position
@@ -309,6 +310,29 @@ object Dialect {
       } else { sb.append(c); i += 1 }
     }
     sb.toString
+  }
+
+  /** DuckDB engine-tuning statements: `PRAGMA x[=v|(v)]` and
+    * `SET x TO v` become Spark `SET` statements — inert session confs
+    * under names Spark doesn't read, which is the right translation:
+    * the reference's knobs (threads, memory_limit) configure ITS
+    * embedded engine; this engine is tuned by the component layer
+    * (A23/A24), so user SQL must not fail on them but must not
+    * misconfigure Spark either. `SET k = v` already parses natively. */
+  private def rewritePragma(stmt: String): String = {
+    val m = "(?is)^\\s*PRAGMA\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(?:=\\s*(.+?)|\\(\\s*(.+?)\\s*\\))?\\s*;?\\s*$".r
+      .findFirstMatchIn(stmt)
+    m match {
+      case Some(g) =>
+        val v = Option(g.group(2)).orElse(Option(g.group(3)))
+        v match {
+          case Some(value) => s"SET ${g.group(1)} = ${value.trim}"
+          case None => s"SET ${g.group(1)} = true"
+        }
+      case None =>
+        "(?is)^(\\s*SET\\s+[A-Za-z_][A-Za-z0-9_.]*)\\s+TO\\s+".r
+          .replaceFirstIn(stmt, "$1 = ")
+    }
   }
 
   /** Full script → rewritten single statements. */

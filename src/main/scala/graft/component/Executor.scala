@@ -155,6 +155,9 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       register(name, materialize(name, existing.unionByName(aligned)))
       rebind(Names.view(name).toLowerCase)
 
+    case _ if CopyTo.parse(stmt).isDefined =>
+      CopyTo.execute(spark, CopyTo.parse(stmt).get, bodyDf)
+
     case _ if Pivot.parse(stmt).isDefined || AsOfSql.parse(stmt).isDefined =>
       // bare PIVOT / ASOF JOIN: execute for effect + error surfacing
       bodyDf(stmt).queryExecution.assertAnalyzed()

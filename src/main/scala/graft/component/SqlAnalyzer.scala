@@ -31,10 +31,10 @@ object SqlAnalyzer {
 
   def analyzeStatement(spark: SparkSession, rewritten: String): Analysis =
     Try {
-      // PIVOT / ASOF statements have no Catalyst spelling; their
+      // PIVOT / ASOF / COPY statements have no Catalyst spelling; their
       // session-free stubs parse with the same dependency sets
       val plan = spark.sessionState.sqlParser.parsePlan(
-        AsOfSql.stub(Pivot.staticStub(rewritten)))
+        AsOfSql.stub(Pivot.staticStub(CopyTo.stub(rewritten))))
       fromPlan(plan)
     }.getOrElse(Analysis(Set.empty, Set.empty, OtherStmt))
 

@@ -1,0 +1,121 @@
+package graft.component
+
+import java.nio.file.{Files, Path}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The remaining DuckDB statement surface a migrating user's scripts
+  * carry: `COPY ... TO` ([[CopyTo]]), `CREATE MACRO` ([[Macros]]) and
+  * `PRAGMA`/`SET ... TO` engine-tuning statements — legal in the
+  * reference because SQL goes to DuckDB verbatim. */
+class StatementSurfaceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ── COPY ... TO ────────────────────────────────────────────────────
+
+  test("CopyTo.parse: table and query sources, options, format inference") {
+    val p = CopyTo.parse("COPY mytab TO '/tmp/out.csv' (HEADER, DELIMITER '|')").get
+    assert(p.source == "mytab" && p.format == "CSV" && p.header &&
+      p.delimiter == "|")
+    val q = CopyTo.parse("COPY (SELECT a FROM t WHERE x > 1) TO '/tmp/o.parquet'").get
+    assert(q.source.startsWith("(") && q.format == "PARQUET")
+    assert(CopyTo.parse("COPY t TO '/tmp/x' (FORMAT PARQUET)").get.format == "PARQUET")
+    assert(CopyTo.parse("COPY t TO '/tmp/x.json'").get.format == "JSON")
+    assert(CopyTo.parse("COPY 'out.csv' TO '/tmp/y.csv'").get.source == "out.csv")
+    assert(CopyTo.parse("SELECT 1").isEmpty)
+    // dependency stub: the source is the only dependency
+    val a = SqlAnalyzer.analyzeStatement(spark,
+      "COPY (SELECT * FROM orders o JOIN nation n ON o.k = n.k) TO '/tmp/z.csv'")
+    assert(a.dependencies == Set("orders", "nation"))
+  }
+
+  test("COPY TO writes single CSV/Parquet/JSON files from user SQL") {
+    val dir = Files.createTempDirectory("graft_copy_spec_")
+    Seq((1L, "a"), (2L, "b|c")).toDF("id", "s").createOrReplaceTempView("cp_src")
+    val ex = new Executor(spark, dir.resolve("wh").toString)
+    // CSV with delimiter; pipe inside a value gets quoted
+    ex.runStatement(s"COPY cp_src TO '${dir.resolve("o.csv")}' (HEADER, DELIMITER '|')")
+    val csv = Files.readString(dir.resolve("o.csv")).linesIterator.toList
+    assert(csv.head == "id|s")
+    assert(csv.contains("1|a") && csv.contains("2|\"b|c\""))
+    // headerless
+    ex.runStatement(s"COPY cp_src TO '${dir.resolve("nh.csv")}' (HEADER false)")
+    assert(!Files.readString(dir.resolve("nh.csv")).startsWith("id"))
+    // parquet from a query source
+    ex.runStatement(s"COPY (SELECT id * 2 AS d FROM cp_src) TO '${dir.resolve("o.parquet")}'")
+    val back = spark.read.parquet(dir.resolve("o.parquet").toString)
+      .collect().map(_.getLong(0)).sorted
+    assert(back.sameElements(Array(2L, 4L)))
+    // json lines
+    ex.runStatement(s"COPY cp_src TO '${dir.resolve("o.json")}'")
+    assert(Files.readString(dir.resolve("o.json")).contains("\"id\":1"))
+    // empty result still yields a file (header-only for CSV)
+    ex.runStatement(s"COPY (SELECT * FROM cp_src WHERE id < 0) TO '${dir.resolve("e.csv")}'")
+    assert(Files.readString(dir.resolve("e.csv")) == "id,s\n")
+  }
+
+  // ── CREATE MACRO ───────────────────────────────────────────────────
+
+  test("CREATE MACRO registers; later statements expand textually") {
+    Macros.clear()
+    val reg = Dialect.rewrite("CREATE MACRO add_tax(p, rate) AS p * (1 + rate)")
+    assert(reg.contains("__graft_macro_registered"))
+    val used = Dialect.rewrite("SELECT add_tax(price, 0.2) AS total FROM t")
+    assert(used.contains("((price) * (1 + (0.2)))"), used)
+    // macros calling macros expand to fixpoint
+    Dialect.rewrite("CREATE MACRO twice_taxed(p) AS add_tax(add_tax(p, 0.1), 0.1)")
+    val nested = Dialect.rewrite("SELECT twice_taxed(x) FROM t")
+    assert(!nested.toLowerCase.contains("twice_taxed(") &&
+      !nested.toLowerCase.contains("add_tax("), nested)
+    // a macro name inside a string literal is untouched
+    val lit = Dialect.rewrite("SELECT 'call add_tax(1, 2) later' AS hint FROM t")
+    assert(lit.contains("'call add_tax(1, 2) later'"), lit)
+    // arity mismatch leaves the call alone (loud downstream, not silent)
+    val wrong = Dialect.rewrite("SELECT add_tax(1) FROM t")
+    assert(wrong.contains("add_tax(1)"))
+    Macros.clear()
+  }
+
+  test("macros execute end-to-end on the session") {
+    Macros.clear()
+    Seq((100.0, 1L), (200.0, 2L)).toDF("price", "id")
+      .createOrReplaceTempView("m_src")
+    val stmts = Dialect.prepare(
+      "CREATE MACRO with_vat(p) AS p * 1.25; " +
+        "CREATE OR REPLACE VIEW priced AS SELECT id, with_vat(price) AS gross FROM m_src;")
+    val dir = Files.createTempDirectory("graft_macro_spec_")
+    val ex = new Executor(spark, dir.toString)
+    stmts.foreach(ex.runStatement)
+    val got = spark.table("priced").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 125.0, 2L -> 250.0))
+    // recursive macro fails loudly, never loops
+    Dialect.rewrite("CREATE MACRO looper(x) AS looper(x)")
+    intercept[UserException](Dialect.rewrite("SELECT looper(1)"))
+    Macros.clear()
+  }
+
+  // ── PRAGMA / SET ... TO ────────────────────────────────────────────
+
+  test("PRAGMA and SET..TO become inert Spark SET statements") {
+    assert(Dialect.rewrite("PRAGMA threads=4") == "SET threads = 4")
+    assert(Dialect.rewrite("PRAGMA memory_limit='8GB'") == "SET memory_limit = '8GB'")
+    assert(Dialect.rewrite("PRAGMA enable_progress_bar") ==
+      "SET enable_progress_bar = true")
+    assert(Dialect.rewrite("PRAGMA threads(2)") == "SET threads = 2")
+    assert(Dialect.rewrite("SET threads TO 4") == "SET threads = 4")
+    // they run without error on the session
+    val dir = Files.createTempDirectory("graft_pragma_spec_")
+    val ex = new Executor(spark, dir.toString)
+    Dialect.prepare("PRAGMA threads=4; SET memory_limit TO '8GB';")
+      .foreach(ex.runStatement)
+    // and validation accepts a script carrying them
+    val cfg = Config.parse(
+      """{"parameters": {"blocks": [{"name": "B", "codes": [
+        |  {"name": "q", "script": ["PRAGMA threads=4", "SELECT 1 AS x FROM range(1)"]}
+        |]}]}, "storage": {}}""".stripMargin)
+    assert(Actions.syntaxCheck(spark, cfg).isEmpty)
+  }
+}
