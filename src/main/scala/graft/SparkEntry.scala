@@ -32,7 +32,9 @@ object SparkEntry {
     * would run, not its test apparatus. Verify/correctness always uses
     * [[queries]] — these exist only for [[Bench]]/[[tools.ScaleCheck]]. */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("d16_incremental_fuzzy" -> (DedupQ.d16LshOnly(_, _)))
+    Map(
+      "d16_incremental_fuzzy" -> (DedupQ.d16LshOnly(_, _)),
+      "d04_minhash_lsh" -> (DedupQ.d04LshOnly(_, _)))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

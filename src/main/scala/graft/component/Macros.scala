@@ -44,23 +44,31 @@ object Macros {
     }
 
   /** Expand every registered macro call in `stmt` (outside quoted
-    * regions), repeatedly so macros may call macros; bounded to refuse
-    * infinite recursion loudly. */
+    * regions), repeatedly so macros may call macros; leftmost call
+    * first, one at a time (offsets stay trivially correct under nested
+    * calls). Bounded by a REPLACEMENT budget, not a round count — a
+    * statement with many independent calls is legitimate; only a
+    * recursive macro (ever-growing text) trips the guards. */
   private[component] def expand(stmt0: String): String = {
     if (defs.isEmpty) return stmt0
     var stmt = stmt0
-    var rounds = 0
+    var replacements = 0
     var changed = true
-    while (changed && rounds < 16) {
+    while (changed) {
       changed = false
-      rounds += 1
+      if (replacements > 10000 || stmt.length > 1000000)
+        throw new UserException(
+          s"macro expansion did not terminate (recursive macro?): $stmt0")
       val masked = Dialect.maskQuoted(stmt)
-      // leftmost registered call at any depth; qualified names (a.f())
-      // are column/struct accesses, not macros
-      val call = "(?i)(?<![\\w.])([A-Za-z_][A-Za-z0-9_]*)\\s*\\(".r
+      // leftmost registered call that EXPANDS (an arity-mismatched call
+      // is left in place for the loud downstream error, and must not
+      // block expansion of later well-formed calls); qualified names
+      // (a.f()) are column/struct accesses, not macros
+      val calls = "(?i)(?<![\\w.])([A-Za-z_][A-Za-z0-9_]*)\\s*\\(".r
         .findAllMatchIn(masked)
-        .find(m => defs.contains(m.group(1).toLowerCase))
-      call.foreach { m =>
+        .filter(m => defs.contains(m.group(1).toLowerCase))
+      while (!changed && calls.hasNext) {
+        val m = calls.next()
         val mac = defs(m.group(1).toLowerCase)
         val open = m.end - 1
         val close = matchingParen(masked, open)
@@ -71,14 +79,12 @@ object Macros {
             val expanded = substitute(mac, args)
             stmt = stmt.substring(0, m.start) + "(" + expanded + ")" +
               stmt.substring(close + 1)
+            replacements += 1
             changed = true
           }
         }
       }
     }
-    if (changed)
-      throw new UserException(
-        s"macro expansion did not terminate (recursive macro?): $stmt0")
     stmt
   }
 

@@ -144,6 +144,22 @@ object EventStream {
     graft.ops.Dsir.score(docs, weights, textCol)
       .withColumn("selected", col("logw") >= threshold)
 
+  /** Streaming language-ID gate — the full [[graft.ops.LangId]]
+    * Cavnar–Trenkle classifier at ingest: per-language scores +
+    * `predicted` from ONE stateless native CharGramScores pass per
+    * arriving document (no watermark, no state, no shuffle — the
+    * qualityGate placement), plus `keep` against the wanted-language
+    * set. Profiles are a deploy artifact like the DSIR model or the ANN
+    * codebook: train offline with `LangId.profileOf` on corpus samples,
+    * ship here as literals; the bundled six-language set is the
+    * default. Batch == stream by construction (stateless projection). */
+  def langIdGate(docs: DataFrame, keepLangs: Set[String] = Set("en"),
+                 textCol: String = "text",
+                 profiles: Seq[(String, Seq[(String, Int)])] =
+                   graft.ops.LangId.profiles): DataFrame =
+    graft.ops.LangId.classify(docs, textCol, profiles)
+      .withColumn("keep", col("predicted").isInCollection(keepLangs))
+
   /** Streaming incremental span scrub — d15 against a STATIC base corpus
     * (the d13 incremental shape applied to spans): an arriving document
     * keeps only the chunks whose text does not already appear in the

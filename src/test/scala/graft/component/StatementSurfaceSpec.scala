@@ -75,7 +75,21 @@ class StatementSurfaceSpec extends SparkSpec {
     // arity mismatch leaves the call alone (loud downstream, not silent)
     val wrong = Dialect.rewrite("SELECT add_tax(1) FROM t")
     assert(wrong.contains("add_tax(1)"))
+    // ... and does not block expansion of later well-formed calls
+    val mixed = Dialect.rewrite("SELECT add_tax(1), add_tax(2, 3) FROM t")
+    assert(mixed.contains("add_tax(1)") && !mixed.contains("add_tax(2"), mixed)
+    // many independent calls are NOT mistaken for recursion
+    val many = (1 to 40).map(i => s"add_tax($i, 0.1)").mkString("SELECT ", ", ", "")
+    assert(!Dialect.rewrite(many).toLowerCase.contains("add_tax("))
     Macros.clear()
+  }
+
+  test("COPY/PRAGMA statements survive the full Dialect.prepare pipeline") {
+    val stmts = Dialect.prepare(
+      "PRAGMA threads=4; COPY \"MyTab\" TO '/tmp/x.csv' (HEADER, DELIMITER '|');")
+    assert(stmts.head == "SET threads = 4")
+    val p = CopyTo.parse(stmts(1)).get
+    assert(p.source == "MyTab" && p.delimiter == "|" && p.header)
   }
 
   test("macros execute end-to-end on the session") {

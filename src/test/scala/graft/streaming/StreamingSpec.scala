@@ -96,6 +96,35 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming langid gate classifies and keeps wanted languages only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = EventStream.langIdGate(docs, keepLangs = Set("en", "de"))
+      .select("doc_id", "predicted", "keep")
+      .writeStream.format("memory").queryName("langgate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"),
+          "the children were playing in the garden while their mother " +
+            "was reading a book about the history of the city"),
+        (2L, ts("2024-01-01 10:00:01"),
+          "los ninos jugaban en el jardin mientras su madre leia un " +
+            "libro sobre la historia de la ciudad"),
+        (3L, ts("2024-01-01 10:00:02"),
+          "die kinder spielten im garten waehrend ihre mutter ein buch " +
+            "ueber die geschichte der stadt las"))
+      query.processAllAvailable()
+      val got = spark.table("langgate").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+      assert(got(1L) == (("en", true)))
+      assert(got(2L) == (("es", false)), "es not in the keep set")
+      assert(got(3L) == (("de", true)))
+    } finally query.stop()
+  }
+
   test("streaming DSIR gate scores arriving docs exactly like the batch op") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

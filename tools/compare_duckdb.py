@@ -26,6 +26,12 @@ ALGO_NOTES = {
         "(graft.queries.DedupQ.d16LshOnly); the exact cross-pair union is "
         "verify-only oracle scaffolding. DuckDB runs the exact-jaccard "
         "oracle — the task's exact algorithm."),
+    "d04_minhash_lsh": (
+        "Spark times the production LSH-verified operator "
+        "(graft.queries.DedupQ.d04LshOnly); the ledger row additionally "
+        "unions the corpus-wide exact-jaccard relation (d03's whole "
+        "computation) as verify-only oracle scaffolding. DuckDB runs the "
+        "exact-jaccard oracle — the task's exact algorithm."),
 }
 
 
