@@ -63,12 +63,16 @@ object Component {
           issues.map(i => s"${i.query}: ${i.message}").mkString("\n"))
     }
 
-    // 2. warehouse passthrough (prior run's materialized tables)
+    // 2. warehouse passthrough (prior run's materialized tables). A
+    // subdirectory with a meta.json is a graft.ops.DedupIndex — engine
+    // STATE riding the same run-to-run contract (the reference's
+    // `.duck.db` passthrough), not a table: it is consumed through
+    // DedupIndex.load, never registered as a view.
     val inWarehouse = Paths.get(dataDir, "in", "files", "warehouse")
     if (Files.isDirectory(inWarehouse)) {
       val listing = Files.list(inWarehouse)
       try listing.forEach { p =>
-        if (Files.isDirectory(p))
+        if (Files.isDirectory(p) && !Files.exists(p.resolve("meta.json")))
           spark.read.parquet(p.toString)
             .createOrReplaceTempView(Names.view(p.getFileName.toString))
       } finally listing.close()

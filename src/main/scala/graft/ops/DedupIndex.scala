@@ -32,6 +32,13 @@ import org.apache.spark.sql.functions._
   * and keeping the signature lets a reader re-band (trade recall vs
   * bucket size) without rebuilding the index.
   *
+  * In the component, an index directory rides the in/out warehouse
+  * passthrough (the run-to-run state contract): place it under
+  * `out/files/warehouse/<name>` and the next run finds it at
+  * `in/files/warehouse/<name>` — the passthrough recognizes the
+  * meta.json and leaves it to [[meta]]/[[relation]] instead of
+  * registering it as a table (pinned by DedupIndexSpec).
+  *
   * [[update]] appends the accepted rows of a batch — the caller decides
   * acceptance (typically "not a duplicate"), the index just grows by the
   * batch. Appends are atomic at parquet-file granularity; concurrent

@@ -33,6 +33,23 @@ class FileReadsSpec extends SparkSpec {
     assert(FileReads.rewriteTableFunctions(lit) == lit)
   }
 
+  test("glob paths read every matching file (DuckDB read_csv('dir/*.csv'))") {
+    val dir = Files.createTempDirectory("graft_glob_")
+    write(dir.resolve("a.csv"), "id,v\n1,x\n")
+    write(dir.resolve("b.csv"), "id,v\n2,y\n")
+    write(dir.resolve("c.txt"), "not,csv\n9,z\n")
+    val stmt = Dialect.rewrite(s"SELECT * FROM read_csv('$dir/*.csv')")
+    val view = "__graft_read_csv_[0-9a-f]{10}".r.findFirstIn(stmt).get
+    FileReads.ensureRegistered(spark, stmt)
+    val ids = spark.table(view).collect().map(_.getInt(0)).sorted
+    assert(ids.sameElements(Array(1, 2)), ids.mkString(","))
+  }
+
+  private def write(p: java.nio.file.Path, content: String): Unit = {
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
   test("file views are excluded from dependencies, not from parsing") {
     val a = SqlAnalyzer.analyzeStatement(spark, Dialect.rewrite(
       "SELECT * FROM read_csv('/tmp/side.csv') s JOIN orders o ON s.k = o.o_orderkey"))

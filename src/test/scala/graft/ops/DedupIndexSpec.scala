@@ -102,6 +102,34 @@ class DedupIndexSpec extends SparkSpec {
     assert(missing.getMessage.contains("no dedup index"))
   }
 
+  test("an index rides the component's warehouse passthrough as state, not a table") {
+    import graft.component.Component
+    // run 1's outWarehouse = run 2's inWarehouse (the platform moves the
+    // dirs between runs); an index dir must neither register as a table
+    // nor break the passthrough of REAL tables beside it
+    val dd = Files.createTempDirectory("graft_idx_wh_")
+    val wh = dd.resolve("in/files/warehouse")
+    Files.createDirectories(wh)
+    // a real passthrough table next to a dedup index
+    Seq((1L, "x")).toDF("id", "v").write.parquet(wh.resolve("prior_tab").toString)
+    DedupIndex.build(Seq((7L, "known content")).toDF("doc_id", "text"),
+      "doc_id", "text", wh.resolve("dedup_index").toString)
+    Files.writeString(dd.resolve("config.json"),
+      """{"parameters": {"blocks": [{"name": "B", "codes": [
+        |  {"name": "q", "script": [
+        |    "CREATE TABLE out1 AS SELECT COUNT(*) AS n FROM prior_tab"]}
+        |]}]},
+        | "storage": {"output": {"tables": [
+        |   {"source": "out1", "destination": "out.c-y.out1"}]}}}""".stripMargin)
+    Component.run(spark, dd.toString)
+    assert(Files.readString(dd.resolve("out/tables/out1")).contains("\"1\""))
+    // the index is loadable from where the passthrough left it
+    val m = DedupIndex.meta(spark, wh.resolve("dedup_index").toString)
+    assert(m.k == 3)
+    assert(DedupIndex.fingerprintIndex(spark,
+      wh.resolve("dedup_index").toString).count() == 1)
+  }
+
   test("streaming fuzzy gate fed from the index == corpus-fed verdicts") {
     implicit val sqlCtx = spark.sqlContext
     val body = (0 until 40).map(i => s"w$i").mkString(" ")
