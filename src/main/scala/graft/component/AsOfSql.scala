@@ -293,8 +293,17 @@ object AsOfSql {
     * message for that case (checking the body of CREATE ... AS /
     * INSERT INTO wrappers, which is what the executor actually runs). */
   def unsupportedForm(stmt: String): Option[String] = {
-    val body = "(?is)^\\s*(?:CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:VIEW|TABLE)\\s+`?[^`\\s(]+`?\\s+AS|INSERT\\s+INTO\\s+`?[^`\\s(]+`?\\s*)\\s*(.*)$".r
+    val body0 = "(?is)^\\s*(?:CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:VIEW|TABLE)\\s+`?[^`\\s(]+`?\\s+AS|INSERT\\s+INTO\\s+`?[^`\\s(]+`?\\s*)\\s*(.*)$".r
       .findFirstMatchIn(stmt).map(_.group(1)).getOrElse(stmt)
+    // an INSERT body may lead with a COLUMN LIST — the executor strips it
+    // before running the remainder, so this guard must too (otherwise
+    // `INSERT INTO t (a, b) SELECT ... ASOF ...` false-flags)
+    val body =
+      "(?is)^\\s*\\(([^()]*)\\)\\s*(SELECT\\b.*)$".r.findFirstMatchIn(body0) match {
+        case Some(m) if !m.group(1).trim.toUpperCase.startsWith("SELECT") =>
+          m.group(2)
+        case _ => body0
+      }
     if (containsAsOf(body) && parse(body).isEmpty)
       Some("unsupported ASOF JOIN form: supported shape is SELECT ... FROM l " +
         "ASOF [LEFT] JOIN r ON <equalities AND one >=/<= bound> " +

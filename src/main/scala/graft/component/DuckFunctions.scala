@@ -99,6 +99,16 @@ object DuckFunctions {
       Slice(a.head, a(1), Add(Subtract(a(2), a(1)), Literal(1)))),
     // literal (non-regex) separator split — Spark's split() is regex
     arity("string_split", 2)(a => StringSplitSQL(a.head, a(1))),
+    // REGEX separator split (DuckDB's _regex twins of the literal split)
+    arity("string_split_regex", 2)(a => StringSplit(a.head, a(1), Literal(-1))),
+    arity("regexp_split_to_array", 2)(a => StringSplit(a.head, a(1), Literal(-1))),
+    // more list_* renames of native array nodes
+    arity("list_extract", 2)(a => ElementAt(a.head, a(1))), // 1-based, like DuckDB
+    arity("list_element", 2)(a => ElementAt(a.head, a(1))),
+    arity("list_min", 1)(a => ArrayMin(a.head)),
+    arity("list_max", 1)(a => ArrayMax(a.head)),
+    arity("list_reverse", 1)(a => Reverse(a.head)),
+    "list_zip" -> (a => ArraysZip(a)),
     arity("str_split", 2)(a => StringSplitSQL(a.head, a(1))),
     arity("string_to_array", 2)(a => StringSplitSQL(a.head, a(1))),
 

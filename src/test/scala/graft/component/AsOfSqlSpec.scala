@@ -144,6 +144,11 @@ class AsOfSqlSpec extends SparkSpec {
     assert(AsOfSql.unsupportedForm(
       "SELECT * FROM a x ASOF JOIN b y ON x.k = y.k AND x.ts >= y.ts " +
         "ORDER BY x.k LIMIT 5").isEmpty)
+    // INSERT with a column list runs the remainder as the body — the
+    // guard must strip the list like the executor does, not false-flag
+    assert(AsOfSql.unsupportedForm(
+      "INSERT INTO t (a, b) SELECT x.a, y.b FROM l x ASOF JOIN r y " +
+        "ON x.k = y.k AND x.ts >= y.ts").isEmpty)
     assert(AsOfSql.unsupportedForm("SELECT * FROM a JOIN b ON a.k = b.k").isEmpty)
     // a string literal containing 'ASOF JOIN' is not an ASOF statement
     assert(AsOfSql.unsupportedForm(

@@ -35,6 +35,23 @@ class DuckFunctionsSpec extends SparkSpec {
     assert(one("SELECT array_to_string(array('a', 'b'), '-')") == "a-b")
   }
 
+  test("round-10 additions: extract/min/max/reverse/zip + regex splits") {
+    assert(one("SELECT list_extract(array(10, 20, 30), 2)") == 20)
+    assert(one("SELECT list_element(array(10, 20, 30), 3)") == 30)
+    assert(one("SELECT list_min(array(3, 1, 2))") == 1)
+    assert(one("SELECT list_max(array(3, 1, 2))") == 3)
+    assert(one("SELECT list_reverse(array(1, 2, 3))")
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq(3, 2, 1))
+    assert(one("SELECT string_split_regex('a1b22c', '[0-9]+')")
+      .asInstanceOf[scala.collection.Seq[String]] == Seq("a", "b", "c"))
+    assert(one("SELECT regexp_split_to_array('x  y z', '\\\\s+')")
+      .asInstanceOf[scala.collection.Seq[String]] == Seq("x", "y", "z"))
+    val zipped = session.sql(
+      "SELECT list_zip(array(1, 2), array('a', 'b')) AS z").collect().head
+    assert(zipped.getSeq[org.apache.spark.sql.Row](0).map(r =>
+      (r.get(0), r.get(1))) == Seq((1, "a"), (2, "b")))
+  }
+
   test("list_append / list_prepend: DuckDB's element-first prepend order") {
     assert(one("SELECT list_append(array(1, 2), 3)")
       .asInstanceOf[scala.collection.Seq[Int]] == Seq(1, 2, 3))
