@@ -19,7 +19,8 @@ object Actions {
       val name = s.name
       Dialect.prepare(s.sql).flatMap { stmt =>
         val parseIssue = Try(spark.sessionState.sqlParser
-            .parsePlan(AsOfSql.stub(Pivot.staticStub(CopyTo.stub(stmt))))) match {
+            .parsePlan(AsOfSql.stub(Pivot.staticStub(CopyTo.stub(
+              UnionByNameSql.stub(stmt)))))) match {
           case Failure(e) => List(ValidationIssue(name, s"parse error: ${e.getMessage}"))
           case Success(_) => Nil
         }

@@ -158,8 +158,9 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     case _ if CopyTo.parse(stmt).isDefined =>
       CopyTo.execute(spark, CopyTo.parse(stmt).get, bodyDf)
 
-    case _ if Pivot.parse(stmt).isDefined || AsOfSql.parse(stmt).isDefined =>
-      // bare PIVOT / ASOF JOIN: execute for effect + error surfacing
+    case _ if Pivot.parse(stmt).isDefined || AsOfSql.parse(stmt).isDefined ||
+        UnionByNameSql.parse(stmt).isDefined =>
+      // bare PIVOT / ASOF / UNION BY NAME: execute for effect + errors
       bodyDf(stmt).queryExecution.assertAnalyzed()
 
     case _ =>
@@ -215,6 +216,8 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
   private def bodyDf(body: String): DataFrame =
     Pivot.pivotDf(spark, body)
       .orElse(AsOfSql.asofDf(spark, body))
+      .orElse(UnionByNameSql.parse(body)
+        .map(UnionByNameSql.df(spark, _, bodyDf)))
       .getOrElse {
         // an ASOF statement outside the supported grammar would reach
         // spark.sql and die with an opaque parse error on the ASOF token

@@ -111,6 +111,43 @@ class StatementSurfaceSpec extends SparkSpec {
     Macros.clear()
   }
 
+  // ── UNION BY NAME ──────────────────────────────────────────────────
+
+  test("UNION BY NAME matches columns by name, NULL-fills, dedups without ALL") {
+    Seq((1L, "a")).toDF("id", "g").createOrReplaceTempView("ubn1")
+    Seq(("b", 2L), ("a", 1L)).toDF("g", "id").createOrReplaceTempView("ubn2")
+    Seq((3L, 9.5)).toDF("id", "extra").createOrReplaceTempView("ubn3")
+    val dir = Files.createTempDirectory("graft_ubn_")
+    val ex = new Executor(spark, dir.toString)
+    // column ORDER differs between legs: positional UNION would misalign
+    ex.runStatement(Dialect.rewrite(
+      "CREATE TABLE ubn_out AS SELECT * FROM ubn1 UNION BY NAME " +
+        "SELECT * FROM ubn2 ORDER BY id"))
+    val rows = spark.table("ubn_out").collect()
+      .map(r => (r.getLong(r.fieldIndex("id")), r.getString(r.fieldIndex("g"))))
+    assert(rows.toList == List((1L, "a"), (2L, "b")),
+      "duplicate (1, a) dedups under set semantics; order by whole union")
+    // ALL keeps duplicates; a leg with a missing column NULL-fills
+    ex.runStatement(Dialect.rewrite(
+      "CREATE TABLE ubn_all AS SELECT * FROM ubn1 UNION ALL BY NAME " +
+        "SELECT * FROM ubn2 UNION ALL BY NAME SELECT * FROM ubn3"))
+    val all = spark.table("ubn_all")
+    assert(all.count() == 4)
+    assert(all.columns.toSet == Set("id", "g", "extra"))
+    assert(all.filter(col("id") === 3L).collect().head
+      .isNullAt(all.columns.indexOf("g")))
+    // dependency stub sees both sides
+    val a = SqlAnalyzer.analyzeStatement(spark, Dialect.rewrite(
+      "SELECT * FROM orders UNION ALL BY NAME SELECT * FROM nation"))
+    assert(a.dependencies == Set("orders", "nation"))
+    // trailing LIMIT applies to the union result
+    val p = UnionByNameSql.parse(
+      "SELECT * FROM a UNION BY NAME SELECT * FROM b ORDER BY x DESC LIMIT 2").get
+    assert(p.segments == Seq("SELECT * FROM a", "SELECT * FROM b"))
+    assert(p.orderBy.contains("x DESC") && p.limit.contains(2))
+    assert(p.allFlags == Seq(false))
+  }
+
   // ── PRAGMA / SET ... TO ────────────────────────────────────────────
 
   test("PRAGMA and SET..TO become inert Spark SET statements") {
