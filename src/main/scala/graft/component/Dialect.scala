@@ -335,9 +335,76 @@ object Dialect {
     }
   }
 
+  /** DuckDB FROM-first syntax: `FROM t` ≡ `SELECT * FROM t`, and
+    * `FROM t SELECT a, b WHERE ...` moves the FROM segment after the
+    * select list. Applied to bare statements in [[rewrite]] and to
+    * CREATE/INSERT bodies by the executor (the body is where FROM-first
+    * actually appears in scripts: `CREATE TABLE x AS FROM y`). */
+  def fromFirst(stmt0: String): String = {
+    val stmt = stmt0.trim
+    val masked = maskQuoted(stmt)
+    if (!"(?is)^\\s*FROM\\b".r.findFirstIn(masked).isDefined) return stmt0
+    val dep = {
+      val out = new Array[Int](masked.length)
+      var d = 0
+      var i = 0
+      while (i < masked.length) {
+        val c = masked.charAt(i)
+        if (c == '(') { out(i) = d; d += 1 }
+        else if (c == ')') { d -= 1; out(i) = d }
+        else out(i) = d
+        i += 1
+      }
+      out
+    }
+    "(?is)\\bSELECT\\b".r.findAllMatchIn(masked).find(m => dep(m.start) == 0) match {
+      case None => "SELECT * " + stmt
+      case Some(sel) =>
+        val fromSeg = stmt.substring(0, sel.start).trim
+        val rest = stmt.substring(sel.start) // starts with SELECT
+        val restMasked = masked.substring(sel.start)
+        val restDep = dep.drop(sel.start)
+        val listEnd =
+          "(?is)\\b(WHERE|GROUP\\s+BY|HAVING|QUALIFY|ORDER\\s+BY|LIMIT)\\b".r
+            .findAllMatchIn(restMasked)
+            .find(m => restDep(m.start) == 0)
+            .map(_.start).getOrElse(rest.length)
+        rest.substring(0, listEnd).trim + " " + fromSeg + " " +
+          rest.substring(listEnd).trim
+    }
+  }
+
+  /** Session-free shims for forms only the EXECUTOR evaluates, so static
+    * analysis (parsePlan for deps/classification, syntax check) sees a
+    * Catalyst-parseable twin with the same dependency set:
+    * `INSERT INTO t BY NAME ...` drops the modifier, and FROM-first
+    * bodies (`AS FROM t`, `INSERT INTO t FROM y`) gain `SELECT *`.
+    * Matches are located on the quote-masked text — literals survive. */
+  def analysisStub(stmt: String): String = {
+    def sub(s: String, re: scala.util.matching.Regex)(
+        repl: (String, scala.util.matching.Regex.Match) => String): String = {
+      val masked = maskQuoted(s)
+      val sb = new StringBuilder
+      var last = 0
+      for (m <- re.findAllMatchIn(masked)) {
+        sb.append(s.substring(last, m.start)).append(repl(s, m))
+        last = m.end
+      }
+      sb.append(s.substring(last))
+      sb.toString
+    }
+    var s = stmt
+    s = sub(s, "(?is)^(\\s*INSERT\\s+INTO\\s+`?[^`\\s(]+`?\\s+)BY\\s+NAME\\b".r)(
+      (src, m) => src.substring(m.start(1), m.end(1)))
+    s = sub(s, "(?is)\\bAS\\s+FROM\\b".r)((_, _) => "AS SELECT * FROM")
+    s = sub(s, "(?is)^(\\s*INSERT\\s+INTO\\s+`?[^`\\s(]+`?\\s+)FROM\\b".r)(
+      (src, m) => src.substring(m.start(1), m.end(1)) + "SELECT * FROM")
+    s
+  }
+
   /** Full script → rewritten single statements. */
   def prepare(script: String): List[String] =
-    splitStatements(script).map(rewrite)
+    splitStatements(script).map(s => rewrite(fromFirst(s)))
 }
 
 /** SQL-visible table name → valid Spark temp-view identifier. Temp views

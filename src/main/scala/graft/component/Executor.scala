@@ -129,7 +129,13 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       // parenthesized text is not itself a query — DuckDB accepts
       // `INSERT INTO t (SELECT ...)` (parenthesized source), and a
       // depth-scanned split also survives ')' inside the list.
-      val rest = rest0.trim
+      val rest1 = rest0.trim
+      // DuckDB `INSERT INTO t BY NAME SELECT ...`: the source's own
+      // column NAMES align against the target (missing → NULL), instead
+      // of the default positional mapping
+      val byName = "(?is)^BY\\s+NAME\\b".r.findFirstMatchIn(rest1).isDefined
+      val rest = if (byName)
+        "(?is)^BY\\s+NAME\\s*".r.replaceFirstIn(rest1, "") else rest1
       val (colList, body) =
         if (rest.startsWith("(")) {
           val close = matchingParen(rest, 0)
@@ -142,6 +148,7 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       val added0 = bodyDf(body)
       val added = Option(colList).filter(_.trim.nonEmpty) match {
         case Some(cs) => added0.toDF(cs.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")): _*)
+        case None if byName => added0 // keep source names; align below
         case None     => added0.toDF(existing.columns: _*)
       }
       // columns absent from an explicit column list are NULL-filled, like
@@ -213,7 +220,9 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
   /** A statement body: plain Spark SQL, a DuckDB simplified PIVOT
     * (dynamic DataFrame pivot — [[Pivot.pivotDf]]), or an ASOF JOIN
     * ([[AsOfSql.asofDf]] → the graft as-of engine core). */
-  private def bodyDf(body: String): DataFrame =
+  private def bodyDf(body0: String): DataFrame = {
+    // DuckDB FROM-first bodies: `CREATE TABLE x AS FROM y`
+    val body = Dialect.fromFirst(body0)
     Pivot.pivotDf(spark, body)
       .orElse(AsOfSql.asofDf(spark, body))
       .orElse(UnionByNameSql.parse(body)
@@ -225,6 +234,7 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
           .foreach(msg => throw new IllegalArgumentException(msg))
         spark.sql(body)
       }
+  }
 
   /** Index of the ')' matching the '(' at `open`, skipping quoted regions. */
   private def matchingParen(s: String, open: Int): Int = {

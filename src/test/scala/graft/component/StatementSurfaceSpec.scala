@@ -111,6 +111,49 @@ class StatementSurfaceSpec extends SparkSpec {
     Macros.clear()
   }
 
+  // ── FROM-first syntax + INSERT BY NAME ─────────────────────────────
+
+  test("FROM-first: bare FROM and FROM..SELECT reorder; bodies handled") {
+    assert(Dialect.fromFirst("FROM t") == "SELECT * FROM t")
+    assert(Dialect.fromFirst("FROM t WHERE x > 1") == "SELECT * FROM t WHERE x > 1")
+    assert(Dialect.fromFirst("FROM t SELECT a, b WHERE a > 1") ==
+      "SELECT a, b FROM t WHERE a > 1")
+    // not FROM-first: untouched
+    assert(Dialect.fromFirst("SELECT * FROM t") == "SELECT * FROM t")
+    // end-to-end through the executor: CREATE ... AS FROM <view>
+    Seq((1L, "a"), (2L, "b")).toDF("id", "g").createOrReplaceTempView("ff_src")
+    val dir = Files.createTempDirectory("graft_ff_")
+    val ex = new Executor(spark, dir.toString)
+    ex.runStatement("CREATE TABLE ff_out AS FROM ff_src")
+    assert(spark.table("ff_out").count() == 2)
+    // bare FROM statement through prepare (the interactive idiom)
+    Dialect.prepare("FROM ff_src").foreach(ex.runStatement) // must not throw
+    // analysis sees the same deps
+    val a = SqlAnalyzer.analyzeStatement(spark,
+      Dialect.analysisStub("CREATE TABLE x AS FROM orders"))
+    assert(a.dependencies == Set("orders") && a.outputs == Set("x"))
+  }
+
+  test("INSERT INTO ... BY NAME aligns by source column names") {
+    Seq((1L, "a")).toDF("id", "g").createOrReplaceTempView("ibn_src")
+    val dir = Files.createTempDirectory("graft_ibn_")
+    val ex = new Executor(spark, dir.toString)
+    ex.runStatement(
+      "CREATE TABLE ibn_t AS SELECT id, g, CAST(0.0 AS DOUBLE) AS w FROM ibn_src")
+    // source emits (g, id) in SWAPPED order and omits w — BY NAME must
+    // align by name and NULL-fill w (positional INSERT would misalign)
+    ex.runStatement(
+      "INSERT INTO ibn_t BY NAME SELECT 'z' AS g, 9 AS id")
+    val got = spark.table("ibn_t").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toList.sortBy(_._1)
+    assert(got == List((1L, "a", Some(0.0)), (9L, "z", None)), got)
+    // classification/deps still see an INSERT with its target
+    val a = SqlAnalyzer.analyzeStatement(spark,
+      "INSERT INTO ibn_t BY NAME SELECT * FROM orders")
+    assert(a.statementType == SqlAnalyzer.InsertStmt)
+    assert(a.outputs == Set("ibn_t") && a.dependencies == Set("orders"))
+  }
+
   // ── UNION BY NAME ──────────────────────────────────────────────────
 
   test("UNION BY NAME matches columns by name, NULL-fills, dedups without ALL") {
