@@ -124,4 +124,45 @@ object DedupIndex {
     * corpus-sized asset this family touches after build. */
   def shingleSets(spark: SparkSession, dir: String): DataFrame =
     relation(spark, dir).select(col("id"), col("sh"))
+
+  /** Bloom filter over the index's fingerprints — the MAP-SIDE reject
+    * gate for incremental exact dedup: at 100 TB the (fp, id) join is
+    * the batch check's dominant shuffle, and in a typical crawl the
+    * overwhelming majority of arriving docs are novel. A broadcastable
+    * bloom (n·(−ln p)/ln²2 bits ≈ 1.2 GB per 10⁹ docs at p=0.01 —
+    * shard per index partition beyond that) lets definite-novel docs
+    * skip the join entirely; only possible-dups (true dups + p false
+    * positives) pay it, and the exact join keeps the verdict exact —
+    * the bloom changes COST, never answers. Built with Spark's native
+    * BloomFilterAggregate (one aggregation job, mergeable buffers);
+    * [[mightContainFp]] is the codegen-friendly membership test. */
+  def fingerprintBloom(spark: SparkSession, dir: String,
+                       fpp: Double = 0.01): Array[Byte] = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val rel = relation(spark, dir).select(col("fp"))
+    val n = math.max(1L, rel.count())
+    val numBits = math.max(64L,
+      math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val agg = new BloomFilterAggregate(
+      XxHash64(Seq(GraftSqlBridge.expression(col("fp"))), 42L),
+      Literal(n), Literal(numBits)).toAggregateExpression()
+    rel.select(GraftSqlBridge.column(agg).as("bloom"))
+      .collect().head.getAs[Array[Byte]](0)
+  }
+
+  /** Membership test against [[fingerprintBloom]]'s bytes: false ⇒ the
+    * fingerprint is DEFINITELY absent from the index (skip the join);
+    * true ⇒ possibly present (run the exact join). Native expression,
+    * no UDF. */
+  def mightContainFp(bloom: Array[Byte], fp: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.types.BinaryType
+    GraftSqlBridge.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType),
+      XxHash64(Seq(GraftSqlBridge.expression(fp)), 42L)))
+  }
 }

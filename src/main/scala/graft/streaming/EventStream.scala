@@ -746,6 +746,48 @@ object EventStream {
         coalesce(col("base_keep"), col(idCol)).as("canonical_id"))
   }
 
+  /** [[incrementalDedupStreamIndexed]] with a BLOOM pre-gate
+    * ([[graft.ops.DedupIndex.fingerprintBloom]], a deploy artifact built
+    * once at stream construction): an arriving doc whose fingerprint the
+    * bloom rejects is DEFINITELY not in the index, so it takes a
+    * stateless short-circuit branch — verdict 'new' at scan rate, no
+    * index join, no aggregate state, no watermark latency — while
+    * possible-dups (true dups + fpp false positives) take the exact
+    * join; the bloom changes COST and LATENCY, never answers. The crawl
+    * regime this is built for: the overwhelming majority of a typical
+    * batch is novel, so the join branch sees a few percent of arrivals.
+    * The two branches union; dropDuplicatesWithinWatermark runs BEFORE
+    * the split so stream-internal precedence is preserved. */
+  def incrementalDedupStreamBloom(docs: DataFrame, indexDir: String,
+                                  textCol: String = "text",
+                                  tsCol: String = "ts",
+                                  idCol: String = "doc_id",
+                                  lateness: String = "1 hour",
+                                  fpp: Double = 0.01): DataFrame = {
+    import graft.ops.DedupIndex
+    val spark = docs.sparkSession
+    val bloom = DedupIndex.fingerprintBloom(spark, indexDir, fpp)
+    val idx = DedupIndex.relation(spark, indexDir)
+      .select(col("fp"), col("id").as("__keep"))
+    val fpd = docs
+      .withColumn("fp", md5(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("fp")
+    val maybe = DedupIndex.mightContainFp(bloom, col("fp"))
+    val possible = fpd.filter(maybe)
+      .join(idx, Seq("fp"), "left")
+      .groupBy(col(tsCol), col(idCol), col("fp"))
+      .agg(min(col("__keep")).as("base_keep"))
+      .select(col(idCol), col("fp"),
+        when(col("base_keep").isNotNull, "dup_of_base")
+          .otherwise("new").as("verdict"),
+        coalesce(col("base_keep"), col(idCol)).as("canonical_id"))
+    val novel = fpd.filter(!maybe)
+      .select(col(idCol), col("fp"), lit("new").as("verdict"),
+        col(idCol).as("canonical_id"))
+    possible.unionByName(novel)
+  }
+
   /** Streaming FUZZY dedup — batch d16 at ingest time: each arriving
     * document is checked for Jaccard ≥ τ near-duplicates in the EXISTING
     * corpus only. The base reduces ONCE to two persisted assets — its

@@ -42,4 +42,29 @@ class DialectPropSpec extends AnyFunSuite {
       assert(Dialect.rewrite(stmt) == stmt, s"literal: $lit")
     }
   }
+
+  test("round-10 statement keywords inside literals never trigger rewrites") {
+    // every statement-level trigger added this round, embedded in a
+    // string literal: the masked matchers must leave them verbatim
+    Macros.clear()
+    val traps = Seq(
+      "PRAGMA threads=4", "SET x TO 4", "UNION ALL BY NAME",
+      "COPY t TO 'f.csv'", "read_csv('x.csv')", "CREATE MACRO m(a) AS a",
+      "FROM t SELECT a", "INSERT INTO t BY NAME")
+    for (trap <- traps) {
+      val stmt = s"SELECT 'use $trap here' AS hint FROM real_table"
+      val out = Dialect.rewrite(Dialect.fromFirst(stmt))
+      assert(out.contains(s"'use $trap here'"), s"trap: $trap → $out")
+      val stub = Dialect.analysisStub(stmt)
+      assert(stub.contains(s"'use $trap here'"), s"stub trap: $trap → $stub")
+    }
+  }
+
+  test("fromFirst and analysisStub are total on arbitrary input") {
+    for (s <- samples(sqlish, 500)) {
+      Dialect.fromFirst(s)      // must not throw
+      Dialect.analysisStub(s)   // must not throw
+      Macros.expand(s)          // must not throw (no defs registered)
+    }
+  }
 }

@@ -130,6 +130,48 @@ class DedupIndexSpec extends SparkSpec {
       wh.resolve("dedup_index").toString).count() == 1)
   }
 
+  test("fingerprint bloom: no false negatives; novel mass rejected map-side") {
+    val dir = Files.createTempDirectory("graft_bloom_").toString
+    val base = (0 until 500).map(i => (i.toLong, s"base doc number $i"))
+      .toDF("doc_id", "text")
+    DedupIndex.build(base, "doc_id", "text", dir)
+    val bloom = DedupIndex.fingerprintBloom(spark, dir, fpp = 0.01)
+    // every indexed fingerprint MUST pass (a bloom has no false negatives)
+    val fpHits = DedupIndex.relation(spark, dir)
+      .filter(!DedupIndex.mightContainFp(bloom, col("fp")))
+    assert(fpHits.count() == 0, "bloom false negative — impossible by contract")
+    // novel fingerprints overwhelmingly rejected (~fpp false positives)
+    val novelDf = (0 until 1000).map(i => Tuple1(s"novel doc $i")).toDF("t")
+      .select(md5(col("t")).as("fp"))
+    val falsePos = novelDf.filter(DedupIndex.mightContainFp(bloom, col("fp"))).count()
+    assert(falsePos <= 50, s"expected ~1% false positives, got $falsePos/1000")
+  }
+
+  test("bloom-gated streaming exact gate: same verdicts, novel short-circuit") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_bloomstream_").toString
+    DedupIndex.build(Seq((7L, "known content"), (8L, "known content"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.EventStream.incrementalDedupStreamBloom(
+        input.toDF().toDF("doc_id", "ts", "text"), dir, lateness = "1 minute")
+      .writeStream.format("memory").queryName("bloomgate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (20L, ts("2024-01-01 10:00:00"), "known content"),  // dup (min id 7)
+        (21L, ts("2024-01-01 10:00:01"), "fresh content"))  // novel
+      q.processAllAvailable()
+      input.addData((99L, ts("2024-01-01 11:00:00"), "straggler"))
+      q.processAllAvailable()
+      val got = spark.table("bloomgate").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("verdict"), r.getAs[Long]("canonical_id")))).toMap
+      assert(got(20L) == (("dup_of_base", 7L)))
+      assert(got(21L) == (("new", 21L)))
+    } finally q.stop()
+  }
+
   test("streaming fuzzy gate fed from the index == corpus-fed verdicts") {
     implicit val sqlCtx = spark.sqlContext
     val body = (0 until 40).map(i => s"w$i").mkString(" ")
