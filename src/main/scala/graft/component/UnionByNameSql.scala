@@ -91,14 +91,24 @@ object UnionByNameSql {
       }
     val sorted = p.orderBy match {
       case Some(ob) =>
-        val cols: Seq[Column] = ob.split(",").map(_.trim).filter(_.nonEmpty)
-          .map { piece =>
-            val m = "(?is)^(.*?)(?:\\s+(ASC|DESC))?\\s*$".r
-              .findFirstMatchIn(piece).get
-            val base = expr(m.group(1))
-            if (Option(m.group(2)).exists(_.equalsIgnoreCase("DESC"))) base.desc
-            else base.asc
-          }.toSeq
+        // depth-0 comma split: a bare split(",") would break
+        // `ORDER BY coalesce(a, b)` at the call's comma
+        val obMasked = Dialect.maskQuoted(ob)
+        val obDep = depths(obMasked)
+        val cuts = obMasked.zipWithIndex.collect {
+          case (',', i) if obDep(i) == 0 => i
+        }
+        val pieces = (Seq(-1) ++ cuts :+ ob.length).sliding(2).map {
+          case Seq(a, b) => ob.substring(a + 1, b).trim
+          case _ => ""
+        }.filter(_.nonEmpty).toSeq
+        val cols: Seq[Column] = pieces.map { piece =>
+          val m = "(?is)^(.*?)(?:\\s+(ASC|DESC))?\\s*$".r
+            .findFirstMatchIn(piece).get
+          val base = expr(m.group(1))
+          if (Option(m.group(2)).exists(_.equalsIgnoreCase("DESC"))) base.desc
+          else base.asc
+        }
         unioned.orderBy(cols: _*)
       case None => unioned
     }

@@ -189,6 +189,15 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(p.segments == Seq("SELECT * FROM a", "SELECT * FROM b"))
     assert(p.orderBy.contains("x DESC") && p.limit.contains(2))
     assert(p.allFlags == Seq(false))
+    // ORDER BY with a function call: the comma inside the call must not
+    // split the sort list
+    val ex2 = new Executor(spark, dir.toString)
+    ex2.runStatement(Dialect.rewrite(
+      "CREATE TABLE ubn_fn AS SELECT * FROM ubn1 UNION ALL BY NAME " +
+        "SELECT * FROM ubn2 ORDER BY coalesce(id, 0) DESC, g LIMIT 2"))
+    val top = spark.table("ubn_fn").collect()
+      .map(_.getLong(0)).toList
+    assert(top == List(2L, 1L), top)
   }
 
   // ── PRAGMA / SET ... TO ────────────────────────────────────────────
