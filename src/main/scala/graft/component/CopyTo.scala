@@ -64,7 +64,9 @@ object CopyTo {
     val after = stmt.substring(toM.end).trim
     val pathM = "(?s)^'((?:[^']|'')*)'".r.findFirstMatchIn(after).getOrElse(return None)
     val path = pathM.group(1).replace("''", "'")
-    val rest = after.substring(pathM.end).trim
+    // tolerate the Postgres-compat `WITH (...)` spelling of the options
+    val rest = "(?is)^WITH\\s*".r
+      .replaceFirstIn(after.substring(pathM.end).trim, "")
     val opts: Map[String, String] =
       if (rest.isEmpty) Map.empty
       else if (rest.startsWith("(") && rest.endsWith(")")) {

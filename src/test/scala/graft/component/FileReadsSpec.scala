@@ -31,6 +31,11 @@ class FileReadsSpec extends SparkSpec {
     // calls inside string literals are untouched
     val lit = "SELECT 'use read_csv(''f.csv'') here' AS hint FROM t"
     assert(FileReads.rewriteTableFunctions(lit) == lit)
+    // a columns={...} struct argument (ignored option) must not split
+    // the argument list at its inner commas — the path stays the path
+    val r3 = FileReads.rewriteTableFunctions(
+      "SELECT * FROM read_csv('/tmp/c.csv', columns={'a': 'INT', 'b': 'TEXT'}, delim='|')")
+    assert(r3.matches("SELECT \\* FROM `__graft_read_csv_[0-9a-f]{10}`"), r3)
   }
 
   test("glob paths read every matching file (DuckDB read_csv('dir/*.csv'))") {

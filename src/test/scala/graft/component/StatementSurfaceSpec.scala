@@ -24,6 +24,9 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(CopyTo.parse("COPY t TO '/tmp/x' (FORMAT PARQUET)").get.format == "PARQUET")
     assert(CopyTo.parse("COPY t TO '/tmp/x.json'").get.format == "JSON")
     assert(CopyTo.parse("COPY 'out.csv' TO '/tmp/y.csv'").get.source == "out.csv")
+    // Postgres-compat WITH (...) spelling
+    val w = CopyTo.parse("COPY t TO '/tmp/x.csv' WITH (HEADER, DELIMITER ';')").get
+    assert(w.header && w.delimiter == ";")
     assert(CopyTo.parse("SELECT 1").isEmpty)
     // dependency stub: the source is the only dependency
     val a = SqlAnalyzer.analyzeStatement(spark,
