@@ -19,7 +19,9 @@ object Explain {
       .getOrCreate()
     try {
       for (n <- names) {
-        val df = graft.SparkEntry.queries(n)(spark, sfDir)
+        // benched variant when one exists (the plan the bench prices)
+        val df = graft.SparkEntry.benchQueries
+          .getOrElse(n, graft.SparkEntry.queries(n))(spark, sfDir)
         df.queryExecution.toRdd.foreachPartition(_ => ())
         println(s"==== $n ====")
         println(df.queryExecution.executedPlan.toString)
