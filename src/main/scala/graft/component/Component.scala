@@ -32,6 +32,9 @@ object Component {
     // macros live per run, like DuckDB's per-database-session macros —
     // a process-global registry must not leak across component runs
     Macros.clear()
+    // file-read temp views likewise refresh once per run: the side file
+    // behind a read_csv(...) view may have changed since the last run
+    FileReads.clear()
 
     // graft's native SQL functions (dot_f32, simhash64, ...) are available
     // to user scripts, like any engine built-in — plus the DuckDB names

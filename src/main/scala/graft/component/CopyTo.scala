@@ -163,6 +163,11 @@ object CopyTo {
         .option("header", "false")
         .option("sep", p.delimiter)
         .option("quote", p.quote)
+        // RFC4180 quote doubling ("" inside a quoted field), matching
+        // both the hand-written header below and DuckDB's output —
+        // Spark's default is backslash-escaping, which would make body
+        // rows inconsistent with the header
+        .option("escape", p.quote)
         .option("quoteAll", p.forceQuote.toString)
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
         .option("dateFormat", "yyyy-MM-dd")

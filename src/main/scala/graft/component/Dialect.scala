@@ -399,6 +399,9 @@ object Dialect {
     s = sub(s, "(?is)\\bAS\\s+FROM\\b".r)((_, _) => "AS SELECT * FROM")
     s = sub(s, "(?is)^(\\s*INSERT\\s+INTO\\s+`?[^`\\s(]+`?\\s+)FROM\\b".r)(
       (src, m) => src.substring(m.start(1), m.end(1)) + "SELECT * FROM")
+    // star REPLACE parses nowhere in Spark; the except-form has the
+    // identical dependency set (expressions kept, order moot here)
+    if (StarReplaceSql.has(s)) s = StarReplaceSql.except(s)
     s
   }
 

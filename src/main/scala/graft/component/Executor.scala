@@ -148,7 +148,16 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       val added0 = bodyDf(body)
       val added = Option(colList).filter(_.trim.nonEmpty) match {
         case Some(cs) => added0.toDF(cs.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")): _*)
-        case None if byName => added0 // keep source names; align below
+        case None if byName =>
+          // DuckDB errors on source columns absent from the target —
+          // silently dropping them would lose a typoed column's data
+          val targetCols = existing.columns.map(_.toLowerCase).toSet
+          val unknown = added0.columns.filterNot(c => targetCols(c.toLowerCase))
+          if (unknown.nonEmpty)
+            throw new UserException(
+              s"INSERT INTO $name BY NAME: source column(s) not in target: " +
+                unknown.mkString(", "))
+          added0 // keep source names; align below
         case None     => added0.toDF(existing.columns: _*)
       }
       // columns absent from an explicit column list are NULL-filled, like
@@ -166,8 +175,9 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       CopyTo.execute(spark, CopyTo.parse(stmt).get, bodyDf)
 
     case _ if Pivot.parse(stmt).isDefined || AsOfSql.parse(stmt).isDefined ||
-        UnionByNameSql.parse(stmt).isDefined =>
-      // bare PIVOT / ASOF / UNION BY NAME: execute for effect + errors
+        UnionByNameSql.parse(stmt).isDefined || StarReplaceSql.has(stmt) =>
+      // bare PIVOT / ASOF / UNION BY NAME / star REPLACE: execute for
+      // effect + errors
       bodyDf(stmt).queryExecution.assertAnalyzed()
 
     case _ =>
@@ -227,6 +237,24 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       .orElse(AsOfSql.asofDf(spark, body))
       .orElse(UnionByNameSql.parse(body)
         .map(UnionByNameSql.df(spark, _, bodyDf)))
+      .orElse {
+        if (!StarReplaceSql.has(body)) None
+        else Some {
+          // except-form computes the values; the strip-form's ANALYZED
+          // schema (never executed) gives DuckDB's column order back
+          val out = bodyDf(StarReplaceSql.except(body))
+          val order = scala.util.Try(
+            bodyDf(StarReplaceSql.strip(body)).schema.map(_.name)).toOption
+          order match {
+            case Some(names)
+                if names.map(_.toLowerCase).distinct.length == names.length &&
+                  names.map(_.toLowerCase).sorted ==
+                    out.columns.map(_.toLowerCase).sorted.toSeq =>
+              out.select(names.map(n => col(s"`$n`")): _*)
+            case _ => out // duplicate/mismatched names: keep except order
+          }
+        }
+      }
       .getOrElse {
         // an ASOF statement outside the supported grammar would reach
         // spark.sql and die with an opaque parse error on the ASOF token

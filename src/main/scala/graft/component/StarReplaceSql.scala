@@ -1,0 +1,160 @@
+package graft.component
+
+/** DuckDB's `SELECT * REPLACE (expr AS col, ...)` star modifier — keep
+  * every column of `*` but substitute the listed expressions for the
+  * named columns, IN PLACE (the replaced column keeps its original
+  * position). The reference accepts it because user SQL goes to DuckDB
+  * verbatim (`/root/reference/src/query_orchestrator.py:351`); Spark has
+  * no REPLACE spelling, only `* EXCEPT(...)`.
+  *
+  * Two session-free textual forms are derived from one scan:
+  *   - [[except]]: `* EXCEPT(col, ...), expr AS col, ...` — value-correct
+  *     everywhere (any nesting depth), but the replaced columns move to
+  *     the end of the projection;
+  *   - [[strip]]: the REPLACE list deleted (`*` kept) — same column NAMES
+  *     and ORDER as DuckDB's result, wrong values.
+  * [[Executor]] runs the except-form and restores DuckDB's column order
+  * from the strip-form's ANALYZED (never executed) schema — exact order
+  * parity at the statement's top level, zero execution cost. A REPLACE
+  * inside a subquery still computes correct values via the except-form;
+  * outer references are by name, where order is moot.
+  *
+  * The scan anchors on `*` (optionally qualified `t.*`, optionally
+  * followed by an `EXCEPT(...)`/`EXCLUDE(...)` group, which merges into
+  * the generated EXCEPT list) — never on the bare word REPLACE, which is
+  * also the string function `replace(s, from, to)`. */
+object StarReplaceSql {
+
+  /** One `* [EXCEPT(...)] REPLACE(...)` occurrence: the span
+    * [starIdx, listClose] is rebuilt by the transforms. `exceptSpan` is
+    * the existing group's paren pair — inner text is re-read from the
+    * ORIGINAL statement (masking blanks quoted names). */
+  private final case class Occ(starIdx: Int, listOpen: Int, listClose: Int,
+                               exceptSpan: Option[(Int, Int)])
+
+  def has(stmt: String): Boolean = occurrences(Dialect.maskQuoted(stmt)).nonEmpty
+
+  private def occurrences(masked: String): List[Occ] = {
+    val out = scala.collection.mutable.ListBuffer[Occ]()
+    var i = 0
+    while (i < masked.length) {
+      if (masked.charAt(i) == '*') {
+        var j = i + 1
+        while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
+        // optional existing EXCEPT/EXCLUDE group (EXCLUDE before
+        // Dialect.rewrite's regex pass has run, EXCEPT after)
+        var exceptSpan: Option[(Int, Int)] = None
+        "(?is)^(EXCEPT|EXCLUDE)\\s*\\(".r.findFirstMatchIn(masked.substring(j))
+          .foreach { m =>
+            val open = j + m.end - 1
+            val close = matching(masked, open)
+            if (close > 0) {
+              exceptSpan = Some((open, close))
+              j = close + 1
+              while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
+            }
+          }
+        "(?is)^REPLACE\\s*\\(".r.findFirstMatchIn(masked.substring(j)).foreach { m =>
+          val open = j + m.end - 1
+          val close = matching(masked, open)
+          if (close > 0) out += Occ(i, open, close, exceptSpan)
+        }
+      }
+      i += 1
+    }
+    out.toList
+  }
+
+  private def matching(masked: String, open: Int): Int = {
+    var d = 0
+    var i = open
+    while (i < masked.length) {
+      masked.charAt(i) match {
+        case '(' => d += 1
+        case ')' => d -= 1; if (d == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Depth-0 comma split of the REPLACE list, each `expr AS name` —
+    * the LAST depth-0 AS binds the name (`CAST(x AS INT) AS c` has one
+    * inside the call). Loud on a missing alias: silently passing the
+    * entry through would project an unnamed duplicate column. */
+  private def items(stmt: String, masked: String, o: Occ): Seq[(String, String)] = {
+    val body = stmt.substring(o.listOpen + 1, o.listClose)
+    val mb = masked.substring(o.listOpen + 1, o.listClose)
+    val cuts = {
+      val b = scala.collection.mutable.ArrayBuffer[Int]()
+      var d = 0
+      var i = 0
+      while (i < mb.length) {
+        mb.charAt(i) match {
+          case '(' | '[' => d += 1
+          case ')' | ']' => d -= 1
+          case ',' if d == 0 => b += i
+          case _ =>
+        }
+        i += 1
+      }
+      b.toSeq
+    }
+    val pieces = (Seq(-1) ++ cuts :+ body.length).sliding(2).map {
+      case Seq(a, b) => (body.substring(a + 1, b), mb.substring(a + 1, b))
+      case _ => ("", "")
+    }.filter(_._1.trim.nonEmpty).toSeq
+    pieces.map { case (piece, pieceMasked) =>
+      var lastAs = -1
+      "(?is)\\bAS\\b".r.findAllMatchIn(pieceMasked).foreach { m =>
+        val prefix = pieceMasked.substring(0, m.start)
+        val depth = prefix.count(c => c == '(' || c == '[') -
+          prefix.count(c => c == ')' || c == ']')
+        if (depth == 0) lastAs = m.start
+      }
+      if (lastAs < 0)
+        throw new UserException(
+          s"REPLACE entry needs `expr AS name`: ${piece.trim}")
+      val expr = piece.substring(0, lastAs).trim
+      val name = piece.substring(lastAs + 2).trim
+      if (expr.isEmpty || name.isEmpty)
+        throw new UserException(
+          s"REPLACE entry needs `expr AS name`: ${piece.trim}")
+      (expr, name)
+    }
+  }
+
+  private def transform(stmt: String)(
+      render: (Occ, Seq[(String, String)], Option[String]) => String): String = {
+    val masked = Dialect.maskQuoted(stmt)
+    // right-to-left so earlier offsets stay valid
+    occurrences(masked).sortBy(-_.starIdx).foldLeft(stmt) { (acc, o) =>
+      val inner = o.exceptSpan.map { case (open, close) =>
+        stmt.substring(open + 1, close) } // the qualifier (t.) sits BEFORE starIdx, kept
+      acc.substring(0, o.starIdx) + render(o, items(stmt, masked, o), inner) +
+        acc.substring(o.listClose + 1)
+    }
+  }
+
+  /** Value-correct form: the star's EXCEPT list gains the replaced
+    * names, and the expressions append to the projection. */
+  def except(stmt: String): String =
+    transform(stmt) { (_, its, inner) =>
+      val names = (inner.map(_.trim).filter(_.nonEmpty).toSeq ++
+        its.map(_._2)).mkString(", ")
+      val exprs = its.map { case (e, n) => s"$e AS $n" }.mkString(", ")
+      s"* EXCEPT($names), $exprs"
+    }
+
+  /** Name/order-correct form: the REPLACE list deleted outright (any
+    * EXCEPT/EXCLUDE group kept). Used only for schema analysis, never
+    * executed. */
+  def strip(stmt: String): String =
+    transform(stmt) { (_, _, inner) =>
+      inner match {
+        case Some(in) => s"* EXCEPT($in)"
+        case None => "*"
+      }
+    }
+}

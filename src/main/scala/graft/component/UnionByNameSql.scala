@@ -11,16 +11,28 @@ import org.apache.spark.sql.functions._
   * name, absent columns NULL-fill, exactly DuckDB's rule — so this is a
   * front-end mapping like [[AsOfSql]].
   *
-  * Shape: two or more depth-0 segments joined by `UNION [ALL] BY NAME`;
-  * each segment is a SELECT (or parenthesized query, PIVOT, ASOF —
-  * anything [[Executor]]'s bodyDf runs). A non-ALL operator applies SET
-  * semantics (distinct over the accumulated result, standard UNION
-  * folding). A trailing ORDER BY / LIMIT after the last segment applies
-  * to the WHOLE union, DuckDB's reading — left attached to the last leg
-  * it would silently reorder only that leg. */
+  * Shape: two or more depth-0 segments joined by set operators, at least
+  * one of which is `UNION [ALL] BY NAME`; each segment is a SELECT (or
+  * parenthesized query, PIVOT, ASOF — anything [[Executor]]'s bodyDf
+  * runs). The split covers ALL depth-0 set operators (plain
+  * UNION/UNION ALL/EXCEPT [ALL] too), folded LEFT-ASSOCIATIVELY like
+  * DuckDB: `a UNION BY NAME b UNION ALL c` is (distinct(a ∪ b)) UNION ALL
+  * c, never distinct(a ∪ b ∪ c) — splitting only on the BY NAME spellings
+  * would silently fold trailing plain operators into the last BY NAME
+  * leg and drop c's duplicates. A non-ALL UNION applies SET semantics
+  * (distinct over the accumulated result, standard folding). INTERSECT
+  * binds tighter than UNION/EXCEPT in both engines, so a depth-0
+  * INTERSECT mixed with BY NAME is rejected loudly (parenthesize it)
+  * rather than mis-folded. A trailing ORDER BY / LIMIT after the last
+  * segment applies to the WHOLE union, DuckDB's reading — left attached
+  * to the last leg it would silently reorder only that leg. */
 object UnionByNameSql {
 
-  final case class Parsed(segments: Seq[String], allFlags: Seq[Boolean],
+  /** One depth-0 set operator: kind ∈ UNION | EXCEPT, `all` keeps
+    * duplicates, `byName` matches columns by name (UNION only). */
+  final case class SetOp(kind: String, all: Boolean, byName: Boolean)
+
+  final case class Parsed(segments: Seq[String], ops: Seq[SetOp],
                           orderBy: Option[String], limit: Option[Int])
 
   private def depths(masked: String): Array[Int] = {
@@ -41,10 +53,22 @@ object UnionByNameSql {
     val stmt = stmt0.trim.stripSuffix(";")
     val masked = Dialect.maskQuoted(stmt)
     val dep = depths(masked)
-    val ops = "(?is)\\bUNION\\s+(ALL\\s+)?BY\\s+NAME\\b".r
+    val ops0 = "(?is)\\b(UNION|EXCEPT|INTERSECT)(\\s+ALL)?(\\s+BY\\s+NAME)?\\b".r
       .findAllMatchIn(masked).filter(m => dep(m.start) == 0).toList
-    if (ops.isEmpty) return None
-    val bounds = (0 +: ops.map(_.end)).zip(ops.map(_.start) :+ stmt.length)
+    val ops = ops0.map { m =>
+      SetOp(m.group(1).toUpperCase, m.group(2) != null, m.group(3) != null)
+    }
+    if (!ops.exists(_.byName)) return None
+    // depth-0 INTERSECT binds tighter than UNION/EXCEPT; a left fold
+    // would mis-associate it — reject loudly (repo convention) rather
+    // than compute the wrong relation
+    if (ops.exists(_.kind == "INTERSECT"))
+      throw new UserException(
+        "INTERSECT mixed with UNION BY NAME at the top level is not " +
+          "supported (INTERSECT binds tighter); parenthesize the INTERSECT")
+    if (ops.exists(o => o.byName && o.kind != "UNION"))
+      throw new UserException("BY NAME is only valid on UNION")
+    val bounds = (0 +: ops0.map(_.end)).zip(ops0.map(_.start) :+ stmt.length)
     val segments0 = bounds.map { case (a, b) => stmt.substring(a, b).trim }
     if (segments0.exists(_.isEmpty)) return None
     // trailing ORDER BY / LIMIT on the LAST segment applies to the union
@@ -65,8 +89,7 @@ object UnionByNameSql {
           segs.get("ORDER BY"),
           segs.get("LIMIT").flatMap(v => scala.util.Try(v.trim.toInt).toOption))
     }
-    Some(Parsed(segments0.init :+ lastSeg,
-      ops.map(_.group(1) != null), orderBy, limit))
+    Some(Parsed(segments0.init :+ lastSeg, ops, orderBy, limit))
   }
 
   /** Session-free stand-in for static analysis: positional UNION ALL has
@@ -84,10 +107,22 @@ object UnionByNameSql {
       if (t.startsWith("(") && t.endsWith(")")) bodyDf(t.substring(1, t.length - 1))
       else bodyDf(t)
     }
-    val unioned = p.segments.tail.zip(p.allFlags)
-      .foldLeft(leg(p.segments.head)) { case (acc, (seg, all)) =>
-        val u = acc.unionByName(leg(seg), allowMissingColumns = true)
-        if (all) u else u.distinct()
+    // left-associative fold: each operator combines the ACCUMULATED
+    // result with the next leg, so set semantics (distinct / except)
+    // apply at the point the operator appears, exactly DuckDB's reading
+    val unioned = p.segments.tail.zip(p.ops)
+      .foldLeft(leg(p.segments.head)) { case (acc, (seg, op)) =>
+        val r = leg(seg)
+        op.kind match {
+          case "UNION" =>
+            val u = if (op.byName) acc.unionByName(r, allowMissingColumns = true)
+              else acc.union(r)
+            if (op.all) u else u.distinct()
+          case "EXCEPT" =>
+            if (op.all) acc.exceptAll(r) else acc.except(r)
+          case other =>
+            throw new UserException(s"unsupported set operator: $other")
+        }
       }
     val sorted = p.orderBy match {
       case Some(ob) =>

@@ -55,6 +55,27 @@ class FileReadsSpec extends SparkSpec {
     Files.writeString(p, content)
   }
 
+  test("a changed side file is re-read on the next run (no stale schema)") {
+    val dir = Files.createTempDirectory("graft_stale_")
+    val f = dir.resolve("side.csv")
+    write(f, "id,v\n1,x\n")
+    val stmt = Dialect.rewrite(s"SELECT * FROM read_csv('$f')")
+    val view = "__graft_read_csv_[0-9a-f]{10}".r.findFirstIn(stmt).get
+    FileReads.clear() // run boundary (Component.run does this)
+    FileReads.ensureRegistered(spark, stmt)
+    assert(spark.table(view).columns.sameElements(Array("id", "v")))
+    // file changes CONTENT AND SCHEMA between runs
+    write(f, "id,v,extra\n2,y,9\n")
+    // same run: the view stays pinned to what this run first saw
+    FileReads.ensureRegistered(spark, stmt)
+    assert(spark.table(view).columns.length == 2)
+    // next run: one fresh materialization picks up the new file
+    FileReads.clear()
+    FileReads.ensureRegistered(spark, stmt)
+    assert(spark.table(view).columns.sameElements(Array("id", "v", "extra")))
+    assert(spark.table(view).collect().map(_.getInt(0)).sameElements(Array(2)))
+  }
+
   test("file views are excluded from dependencies, not from parsing") {
     val a = SqlAnalyzer.analyzeStatement(spark, Dialect.rewrite(
       "SELECT * FROM read_csv('/tmp/side.csv') s JOIN orders o ON s.k = o.o_orderkey"))

@@ -57,6 +57,11 @@ class StatementSurfaceSpec extends SparkSpec {
     // empty result still yields a file (header-only for CSV)
     ex.runStatement(s"COPY (SELECT * FROM cp_src WHERE id < 0) TO '${dir.resolve("e.csv")}'")
     assert(Files.readString(dir.resolve("e.csv")) == "id,s\n")
+    // embedded quote doubles RFC4180-style ("" not \"), DuckDB's output
+    ex.runStatement("CREATE TABLE cp_q AS SELECT 'say \"hi\"' AS s FROM range(1)")
+    ex.runStatement(s"COPY cp_q TO '${dir.resolve("q.csv")}' (HEADER)")
+    val qcsv = Files.readString(dir.resolve("q.csv")).linesIterator.toList
+    assert(qcsv == List("s", "\"say \"\"hi\"\"\""), qcsv)
   }
 
   // ── CREATE MACRO ───────────────────────────────────────────────────
@@ -150,6 +155,12 @@ class StatementSurfaceSpec extends SparkSpec {
     val got = spark.table("ibn_t").collect()
       .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).toList.sortBy(_._1)
     assert(got == List((1L, "a", Some(0.0)), (9L, "z", None)), got)
+    // a source column absent from the target ERRORS (DuckDB behavior);
+    // silently dropping it would lose a typoed column's data
+    val err = intercept[UserException] {
+      ex.runStatement("INSERT INTO ibn_t BY NAME SELECT 9 AS id, 'x' AS typo_col")
+    }
+    assert(err.getMessage.contains("typo_col"), err.getMessage)
     // classification/deps still see an INSERT with its target
     val a = SqlAnalyzer.analyzeStatement(spark,
       "INSERT INTO ibn_t BY NAME SELECT * FROM orders")
@@ -191,7 +202,7 @@ class StatementSurfaceSpec extends SparkSpec {
       "SELECT * FROM a UNION BY NAME SELECT * FROM b ORDER BY x DESC LIMIT 2").get
     assert(p.segments == Seq("SELECT * FROM a", "SELECT * FROM b"))
     assert(p.orderBy.contains("x DESC") && p.limit.contains(2))
-    assert(p.allFlags == Seq(false))
+    assert(p.ops == Seq(UnionByNameSql.SetOp("UNION", all = false, byName = true)))
     // ORDER BY with a function call: the comma inside the call must not
     // split the sort list
     val ex2 = new Executor(spark, dir.toString)
@@ -201,6 +212,34 @@ class StatementSurfaceSpec extends SparkSpec {
     val top = spark.table("ubn_fn").collect()
       .map(_.getLong(0)).toList
     assert(top == List(2L, 1L), top)
+  }
+
+  test("plain set operators after BY NAME fold left-associatively") {
+    Seq(1L, 2L).toDF("id").createOrReplaceTempView("lsa")
+    Seq(2L, 3L).toDF("id").createOrReplaceTempView("lsb")
+    Seq(3L, 3L).toDF("id").createOrReplaceTempView("lsc")
+    val dir = Files.createTempDirectory("graft_lsa_")
+    val ex = new Executor(spark, dir.toString)
+    // (distinct(a ∪ b)) UNION ALL c — c's duplicates MUST survive; a
+    // split on the BY NAME spellings only would fold c into the last
+    // BY NAME leg and compute distinct(a ∪ b ∪ c)
+    ex.runStatement(Dialect.rewrite(
+      "CREATE TABLE ls_out AS SELECT * FROM lsa UNION BY NAME " +
+        "SELECT * FROM lsb UNION ALL SELECT * FROM lsc"))
+    val got = spark.table("ls_out").collect().map(_.getLong(0)).sorted.toList
+    assert(got == List(1L, 2L, 3L, 3L, 3L), got)
+    // EXCEPT applies to the accumulated result (left-assoc)
+    ex.runStatement(Dialect.rewrite(
+      "CREATE TABLE ls_ex AS SELECT * FROM lsa UNION ALL BY NAME " +
+        "SELECT * FROM lsb EXCEPT SELECT * FROM lsc"))
+    val kept = spark.table("ls_ex").collect().map(_.getLong(0)).sorted.toList
+    assert(kept == List(1L, 2L), kept)
+    // INTERSECT binds tighter than UNION — reject loudly, never mis-fold
+    val e = intercept[UserException] {
+      UnionByNameSql.parse("SELECT * FROM lsa UNION BY NAME " +
+        "SELECT * FROM lsb INTERSECT SELECT * FROM lsc")
+    }
+    assert(e.getMessage.toLowerCase.contains("intersect"), e.getMessage)
   }
 
   // ── PRAGMA / SET ... TO ────────────────────────────────────────────
