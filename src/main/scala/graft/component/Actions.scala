@@ -20,7 +20,7 @@ object Actions {
       Dialect.prepare(s.sql).flatMap { stmt =>
         val parseIssue = Try(spark.sessionState.sqlParser
             .parsePlan(AsOfSql.stub(Pivot.staticStub(CopyTo.stub(
-              UnionByNameSql.stub(Dialect.analysisStub(stmt))))))) match {
+              UnionByNameSql.stub(DescribeSql.stub(Dialect.analysisStub(stmt)))))))) match {
           case Failure(e) => List(ValidationIssue(name, s"parse error: ${e.getMessage}"))
           case Success(_) => Nil
         }

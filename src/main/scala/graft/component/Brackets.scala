@@ -1,0 +1,236 @@
+package graft.component
+
+/** DuckDB bracket syntax in user SQL — list literals `[1, 2, 3]`, struct
+  * literals `{'k': v}`, 1-based subscripts `l[i]` and inclusive slices
+  * `l[a:b]`. All legal in the reference (SQL goes to DuckDB verbatim,
+  * `/root/reference/src/query_orchestrator.py:351`); Spark spells them
+  * `array(...)`, `named_struct(...)`, `element_at(...)` (1-based, like
+  * DuckDB — the bare Spark `l[i]` subscript is 0-based, so passing
+  * brackets through unchanged would silently shift every element) and
+  * `slice(...)`.
+  *
+  * Classification is lexical: a `[` whose previous non-space character
+  * belongs to a primary expression (identifier char, `)`, `]`, a quoted
+  * identifier or string) reads as a SUBSCRIPT; anything else (operator,
+  * `(`, comma, keyword boundary, start of text) starts a LITERAL. The
+  * same rule every SQL lexer uses, applied on quote-masked text.
+  *
+  * Runs AFTER [[Macros]] and [[FileReads]] rewrites (their bracket forms
+  * — path lists, `columns={...}` — are consumed before this pass). */
+object Brackets {
+
+  def rewrite(stmt: String): String = {
+    var s = stmt
+    var guard = 0
+    // innermost-first, one bracket pair per pass — each pass strictly
+    // reduces the bracket count, so the fixpoint terminates; the guard
+    // only bounds pathological inputs
+    while (guard < 4096) {
+      val next = onePass(s)
+      if (next == s) return s
+      s = next
+      guard += 1
+    }
+    s
+  }
+
+  private def onePass(stmt: String): String = {
+    val masked = Dialect.maskQuoted(stmt)
+    var i = 0
+    while (i < masked.length) {
+      masked.charAt(i) match {
+        case '[' =>
+          val close = matching(masked, i, '[', ']')
+          if (close > 0 && innermost(masked, i, close)) {
+            return if (isSubscript(stmt, masked, i))
+              rewriteSubscript(stmt, masked, i, close)
+            else
+              stmt.substring(0, i) + "array(" +
+                stmt.substring(i + 1, close) + ")" + stmt.substring(close + 1)
+          }
+        case '{' =>
+          val close = matching(masked, i, '{', '}')
+          if (close > 0 && innermost(masked, i, close))
+            return rewriteStruct(stmt, masked, i, close)
+        case _ =>
+      }
+      i += 1
+    }
+    stmt
+  }
+
+  private def innermost(masked: String, open: Int, close: Int): Boolean =
+    !masked.substring(open + 1, close).exists(c => c == '[' || c == '{')
+
+  private def matching(masked: String, open: Int, oc: Char, cc: Char): Int = {
+    var d = 0
+    var i = open
+    while (i < masked.length) {
+      val c = masked.charAt(i)
+      if (c == oc) d += 1
+      else if (c == cc) { d -= 1; if (d == 0) return i }
+      i += 1
+    }
+    -1
+  }
+
+  /** SQL keywords that can directly precede a literal — a bracket after
+    * one starts a list, not a subscript (`SELECT [1,2]`, `WHEN [..]`). */
+  private val keywordBefore = Set(
+    "select", "from", "where", "when", "then", "else", "end", "and", "or",
+    "not", "in", "by", "as", "on", "case", "values", "set", "having",
+    "limit", "offset", "all", "distinct", "union", "except", "intersect",
+    "join", "is", "like", "ilike", "between", "return", "returns", "using",
+    "if", "coalesce", "array", "row", "interval", "exists", "over",
+    "partition", "order", "group", "asc", "desc", "nulls", "first", "last")
+
+  /** Previous token decides: part of a primary expression → subscript.
+    * The check reads the ORIGINAL text — a string literal or quoted
+    * identifier before the bracket (masked to spaces) is a subscript
+    * base too (`'abc'[2]`, `"col"[1]`). A keyword reads as a literal
+    * context even though it ends in a letter. */
+  private def isSubscript(stmt: String, masked: String, open: Int): Boolean = {
+    var j = open - 1
+    while (j >= 0 && stmt.charAt(j).isWhitespace) j -= 1
+    if (j < 0) return false
+    val c = stmt.charAt(j)
+    if (c == ')' || c == ']' || c == '\'' || c == '"' || c == '`') return true
+    if (!(c.isLetterOrDigit || c == '_')) return false
+    var k = j
+    while (k >= 0 && { val ch = stmt.charAt(k); ch.isLetterOrDigit || ch == '_' })
+      k -= 1
+    val word = stmt.substring(k + 1, j + 1).toLowerCase
+    !keywordBefore(word)
+  }
+
+  /** Start index of the primary expression the subscript applies to:
+    * scan back over identifier chains (a.b.c), call/paren groups and
+    * earlier subscripts. */
+  private def baseStart(stmt: String, masked: String, open: Int): Int = {
+    var j = open - 1
+    while (j >= 0 && stmt.charAt(j).isWhitespace) j -= 1
+    var cont = true
+    while (cont && j >= 0) {
+      stmt.charAt(j) match {
+        case ')' | ']' =>
+          // matching opener in masked (quotes blanked, parens structural)
+          val oc = if (stmt.charAt(j) == ')') '(' else '['
+          var d = 0
+          var k = j
+          var found = -1
+          while (k >= 0 && found < 0) {
+            val mc = masked.charAt(k)
+            if (mc == stmt.charAt(j)) d += 1
+            else if (mc == oc) { d -= 1; if (d == 0) found = k }
+            k -= 1
+          }
+          if (found < 0) { cont = false } else j = found - 1
+        case '\'' | '"' | '`' =>
+          val q = stmt.charAt(j)
+          var k = j - 1
+          while (k >= 0 && stmt.charAt(k) != q) k -= 1
+          j = k - 1
+          cont = false // a literal/quoted name is the chain's head
+        case c if c.isLetterOrDigit || c == '_' =>
+          while (j >= 0 && {
+            val ch = stmt.charAt(j); ch.isLetterOrDigit || ch == '_'
+          }) j -= 1
+          // a dot continues the chain (qualified name / field access);
+          // an identifier head may also be a function name — the paren
+          // case above already consumed the call group, so here a bare
+          // identifier ends the chain unless a dot precedes it
+          if (j >= 0 && stmt.charAt(j) == '.') j -= 1 else cont = false
+        case '.' => j -= 1
+        case _ => cont = false
+      }
+    }
+    j + 1
+  }
+
+  private def rewriteSubscript(stmt: String, masked: String,
+                               open: Int, close: Int): String = {
+    val start = baseStart(stmt, masked, open)
+    val base = stmt.substring(start, open).trim
+    val body = stmt.substring(open + 1, close)
+    val mbody = masked.substring(open + 1, close)
+    // depth-0 `:` (not `::`) splits a slice
+    val colon = {
+      var found = -1
+      var k = 0
+      while (k < mbody.length && found < 0) {
+        if (mbody.charAt(k) == ':' &&
+            (k + 1 >= mbody.length || mbody.charAt(k + 1) != ':') &&
+            (k == 0 || mbody.charAt(k - 1) != ':'))
+          found = k
+        k += 1
+      }
+      found
+    }
+    val repl =
+      if (colon < 0) s"element_at($base, ${body.trim})"
+      else {
+        val lo0 = body.substring(0, colon).trim
+        val hi0 = body.substring(colon + 1).trim
+        // DuckDB slice is 1-based INCLUSIVE; omitted bounds span the list
+        val lo = if (lo0.isEmpty) "1" else s"($lo0)"
+        val hi = if (hi0.isEmpty) s"size($base)" else s"($hi0)"
+        s"slice($base, $lo, greatest(0, $hi - $lo + 1))"
+      }
+    stmt.substring(0, start) + repl + stmt.substring(close + 1)
+  }
+
+  private def rewriteStruct(stmt: String, masked: String,
+                            open: Int, close: Int): String = {
+    val body = stmt.substring(open + 1, close)
+    val mbody = masked.substring(open + 1, close)
+    val cuts = {
+      val b = scala.collection.mutable.ArrayBuffer[Int]()
+      var d = 0
+      var k = 0
+      while (k < mbody.length) {
+        mbody.charAt(k) match {
+          case '(' => d += 1
+          case ')' => d -= 1
+          case ',' if d == 0 => b += k
+          case _ =>
+        }
+        k += 1
+      }
+      b.toSeq
+    }
+    val entries = (Seq(-1) ++ cuts :+ body.length).sliding(2).map {
+      case Seq(a, b) => (body.substring(a + 1, b), mbody.substring(a + 1, b))
+      case _ => ("", "")
+    }.filter(_._1.trim.nonEmpty).toSeq
+    val parts = entries.map { case (e, me) =>
+      // first depth-0 single `:` separates key from value (`::` casts
+      // live in the value)
+      var colon = -1
+      var d = 0
+      var k = 0
+      while (k < me.length && colon < 0) {
+        me.charAt(k) match {
+          case '(' => d += 1
+          case ')' => d -= 1
+          case ':' if d == 0 &&
+              (k + 1 >= me.length || me.charAt(k + 1) != ':') &&
+              (k == 0 || me.charAt(k - 1) != ':') => colon = k
+          case _ =>
+        }
+        k += 1
+      }
+      if (colon < 0)
+        throw new UserException(s"struct literal entry needs `key: value`: ${e.trim}")
+      val key0 = e.substring(0, colon).trim
+      val value = e.substring(colon + 1).trim
+      // bare identifier keys quote to string literals; quoted keys keep
+      val key =
+        if (key0.startsWith("'")) key0
+        else if (key0.startsWith("\"")) "'" + key0.substring(1, key0.length - 1) + "'"
+        else "'" + key0 + "'"
+      s"$key, $value"
+    }
+    stmt.substring(0, open) + "named_struct(" + parts.mkString(", ") + ")" +
+      stmt.substring(close + 1)
+  }
+}

@@ -74,8 +74,9 @@ object Dialect {
     * (`::VARCHAR`, `* EXCLUDE (`) apply only OUTSIDE quoted regions. */
   def rewrite(stmt0: String): String = {
     val stmt = rewriteQualify(rewriteDistinctOn(rewriteWithCreate(
-      Pivot.rewriteUnpivot(FileReads.rewriteTableFunctions(
-        rewritePragma(Macros.rewrite(stmt0)))))))
+      Pivot.rewriteUnpivot(rewriteSeriesTableFns(Brackets.rewrite(
+        FileReads.rewriteTableFunctions(
+          rewritePragma(Macros.rewrite(stmt0)))))))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position
@@ -310,6 +311,85 @@ object Dialect {
       } else { sb.append(c); i += 1 }
     }
     sb.toString
+  }
+
+  /** DuckDB series TABLE functions in FROM position:
+    * `FROM generate_series(a, b[, s])` (inclusive, column
+    * `generate_series`) and `FROM range(a[, b[, s]])` (end-exclusive,
+    * column `range`). Spark's native `range()` has the same bounds
+    * semantics but names the column `id`, and has no generate_series
+    * spelling — both map to explode(sequence(...)) subqueries carrying
+    * DuckDB's column names, so scripts that reference them migrate
+    * unchanged. The SCALAR generate_series (list-returning, outside
+    * FROM) binds separately in [[DuckFunctions]]. */
+  private def rewriteSeriesTableFns(stmt: String): String = {
+    val re = "(?is)\\b(FROM|JOIN)\\s+(generate_series|range)\\s*\\(".r
+    val masked = maskQuoted(stmt)
+    re.findFirstMatchIn(masked) match {
+      case None => stmt
+      case Some(m) =>
+        val open = m.end - 1
+        val close = {
+          var d = 0; var i = open; var found = -1
+          while (i < masked.length && found < 0) {
+            masked.charAt(i) match {
+              case '(' => d += 1
+              case ')' => d -= 1; if (d == 0) found = i
+              case _ =>
+            }
+            i += 1
+          }
+          found
+        }
+        if (close < 0) stmt
+        else {
+          val fn = m.group(2).toLowerCase
+          val args = stmt.substring(open + 1, close).trim
+          // Spark's native range() is LAZY AND DISTRIBUTED (splits the
+          // interval across tasks) — the right 100-TB mapping; an
+          // explode(sequence(...)) would materialize the whole series
+          // as one array in one task. Both bounds-adjustments stay in
+          // SQL so non-literal args work.
+          val parts = splitTop(args)
+          val rangeArgs = fn match {
+            case "generate_series" => // inclusive stop → exclusive
+              parts.length match {
+                case 1 => s"0, ($args) + 1"
+                case 2 => s"${parts(0)}, (${parts(1)}) + 1"
+                case _ =>
+                  s"${parts(0)}, (${parts(1)}) + (CASE WHEN (${parts(2)}) < 0 " +
+                    s"THEN -1 ELSE 1 END), ${parts(2)}"
+              }
+            case _ => args // DuckDB range() is end-exclusive, like Spark's
+          }
+          val repl = s"${m.group(1)} (SELECT id AS $fn FROM range($rangeArgs))"
+          // recurse on the TAIL only — the replacement itself contains
+          // `FROM range(`, which a whole-string rescan would re-wrap
+          // forever
+          stmt.substring(0, m.start) + repl +
+            rewriteSeriesTableFns(stmt.substring(close + 1))
+        }
+    }
+  }
+
+  private def splitTop(args: String): Array[String] = {
+    val masked = maskQuoted(args)
+    val cuts = scala.collection.mutable.ArrayBuffer[Int]()
+    var d = 0
+    var i = 0
+    while (i < masked.length) {
+      masked.charAt(i) match {
+        case '(' | '[' => d += 1
+        case ')' | ']' => d -= 1
+        case ',' if d == 0 => cuts += i
+        case _ =>
+      }
+      i += 1
+    }
+    ((Seq(-1) ++ cuts.toSeq) :+ args.length).sliding(2).map {
+      case Seq(a, b) => args.substring(a + 1, b).trim
+      case _ => ""
+    }.filter(_.nonEmpty).toArray
   }
 
   /** DuckDB engine-tuning statements: `PRAGMA x[=v|(v)]` and

@@ -147,6 +147,16 @@ object DuckFunctions {
     arity("string_agg", 2)(a =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.ListAgg(a.head, a(1))),
 
+    // scalar generate_series: list from an inclusive range (the FROM-
+    // position TABLE form maps to Spark's distributed range() in
+    // [[Dialect.rewriteSeriesTableFns]]); Sequence is inclusive with
+    // default step 1 — exactly DuckDB's semantics, timestamps included
+    "generate_series" -> { a =>
+      require(a.length >= 2 && a.length <= 3,
+        s"generate_series expects 2-3 arguments, got ${a.length}")
+      Sequence(a.head, a(1), a.lift(2))
+    },
+
     // scalar renames
     arity("regexp_matches", 2)(a => RLike(a.head, a(1))),
     arity("strpos", 2)(a => StringInstr(a.head, a(1))),

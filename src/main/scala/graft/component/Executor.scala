@@ -175,9 +175,10 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       CopyTo.execute(spark, CopyTo.parse(stmt).get, bodyDf)
 
     case _ if Pivot.parse(stmt).isDefined || AsOfSql.parse(stmt).isDefined ||
-        UnionByNameSql.parse(stmt).isDefined || StarReplaceSql.has(stmt) =>
-      // bare PIVOT / ASOF / UNION BY NAME / star REPLACE: execute for
-      // effect + errors
+        UnionByNameSql.parse(stmt).isDefined || StarReplaceSql.has(stmt) ||
+        DescribeSql.parse(stmt).isDefined =>
+      // bare PIVOT / ASOF / UNION BY NAME / star REPLACE / DESCRIBE /
+      // SUMMARIZE: execute for effect + errors
       bodyDf(stmt).queryExecution.assertAnalyzed()
 
     case _ =>
@@ -237,6 +238,8 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       .orElse(AsOfSql.asofDf(spark, body))
       .orElse(UnionByNameSql.parse(body)
         .map(UnionByNameSql.df(spark, _, bodyDf)))
+      .orElse(DescribeSql.parse(body)
+        .map(DescribeSql.df(spark, _, bodyDf)))
       .orElse {
         if (!StarReplaceSql.has(body)) None
         else Some {

@@ -35,7 +35,7 @@ object SqlAnalyzer {
       // session-free stubs parse with the same dependency sets
       val plan = spark.sessionState.sqlParser.parsePlan(
         AsOfSql.stub(Pivot.staticStub(CopyTo.stub(
-          UnionByNameSql.stub(Dialect.analysisStub(rewritten))))))
+          UnionByNameSql.stub(DescribeSql.stub(Dialect.analysisStub(rewritten)))))))
       fromPlan(plan)
     }.getOrElse(Analysis(Set.empty, Set.empty, OtherStmt))
 

@@ -1,0 +1,109 @@
+package graft.component
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** DuckDB bracket syntax ([[Brackets]]) and series table functions:
+  * list/struct literals, 1-based subscripts, inclusive slices,
+  * generate_series/range in FROM — plus pins for the DuckDB spellings
+  * Spark 4 parses natively (TRY_CAST, ILIKE). */
+class BracketsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  DuckFunctions.register(spark) // Component.run does this per run
+
+  private def one(sql: String): org.apache.spark.sql.Row =
+    spark.sql(Dialect.rewrite(sql)).collect().head
+
+  test("list literals become array() by lexical position") {
+    assert(one("SELECT [1, 2, 3] AS l").getSeq[Int](0) == Seq(1, 2, 3))
+    // nested lists; literal as a function argument
+    assert(one("SELECT [[1], [2, 3]] AS l").getSeq[Seq[Int]](0) ==
+      Seq(Seq(1), Seq(2, 3)))
+    assert(one("SELECT array_contains(['a', 'b'], 'a') AS c").getBoolean(0))
+    // after an operator and inside a CASE arm
+    assert(one("SELECT CASE WHEN 1 = 1 THEN [9] ELSE [8] END AS l")
+      .getSeq[Int](0) == Seq(9))
+    // brackets inside string literals are untouched
+    assert(one("SELECT 'a[1]' AS s").getString(0) == "a[1]")
+  }
+
+  test("subscripts are 1-based and slices inclusive, like DuckDB") {
+    Seq((Seq("x", "y", "z"), Map("k" -> 7L))).toDF("l", "m")
+      .createOrReplaceTempView("br_t")
+    assert(one("SELECT l[1] AS e FROM br_t").getString(0) == "x")
+    assert(one("SELECT l[3] AS e FROM br_t").getString(0) == "z")
+    // map subscript; chained subscript on a literal; function-call base
+    assert(one("SELECT m['k'] AS v FROM br_t").getLong(0) == 7L)
+    assert(one("SELECT ['a', 'b'][2] AS e").getString(0) == "b")
+    assert(one("SELECT list_sort(l)[1] AS e FROM br_t").getString(0) == "x")
+    // slices: 1-based inclusive bounds, open ends span the list
+    assert(one("SELECT l[1:2] AS s FROM br_t").getSeq[String](0) == Seq("x", "y"))
+    assert(one("SELECT l[2:] AS s FROM br_t").getSeq[String](0) == Seq("y", "z"))
+    assert(one("SELECT l[:2] AS s FROM br_t").getSeq[String](0) == Seq("x", "y"))
+    // a `::` cast inside the index is not a slice colon
+    assert(one("SELECT l[('2'::INTEGER)] AS e FROM br_t").getString(0) == "y")
+  }
+
+  test("struct literals become named_struct; bare and quoted keys") {
+    val r = one("SELECT {'a': 1, 'b': 'x'} AS s")
+    val s = r.getStruct(0)
+    assert(s.getInt(s.fieldIndex("a")) == 1 && s.getString(s.fieldIndex("b")) == "x")
+    val r2 = one("SELECT {k: 1 + 1, v: 'y'} AS s").getStruct(0)
+    assert(r2.getInt(0) == 2 && r2.getString(1) == "y")
+    // value with a :: cast; nested struct in a list
+    assert(one("SELECT {n: '5'::INTEGER} AS s").getStruct(0).getInt(0) == 5)
+    val nested = one("SELECT [{'a': 1}, {'a': 2}] AS l").getSeq[org.apache.spark.sql.Row](0)
+    assert(nested.map(_.getInt(0)) == Seq(1, 2))
+  }
+
+  test("generate_series and range table functions in FROM") {
+    // generate_series: INCLUSIVE stop, DuckDB's column name
+    val gs = spark.sql(Dialect.rewrite(
+      "SELECT * FROM generate_series(1, 5) ORDER BY generate_series"))
+    assert(gs.columns.sameElements(Array("generate_series")))
+    assert(gs.collect().map(_.getLong(0)).toList == List(1L, 2L, 3L, 4L, 5L))
+    // with step; descending
+    assert(spark.sql(Dialect.rewrite(
+      "SELECT * FROM generate_series(0, 10, 5)")).collect()
+      .map(_.getLong(0)).sorted.toList == List(0L, 5L, 10L))
+    assert(spark.sql(Dialect.rewrite(
+      "SELECT * FROM generate_series(3, 1, -1)")).collect()
+      .map(_.getLong(0)).sorted.toList == List(1L, 2L, 3L))
+    // range: end-EXCLUSIVE, column `range`; the plan stays Spark's
+    // distributed Range (not an exploded array)
+    val rg = spark.sql(Dialect.rewrite("SELECT * FROM range(2, 5)"))
+    assert(rg.columns.sameElements(Array("range")))
+    assert(rg.collect().map(_.getLong(0)).sorted.toList == List(2L, 3L, 4L))
+    assert(rg.queryExecution.optimizedPlan.toString.contains("Range"))
+    // scalar generate_series returns an inclusive LIST (DuckDB semantics)
+    assert(one("SELECT generate_series(1, 4) AS l").getSeq[Long](0) ==
+      Seq(1L, 2L, 3L, 4L))
+    // join form with an alias
+    val j = spark.sql(Dialect.rewrite(
+      "SELECT g.generate_series AS n FROM generate_series(1, 3) g"))
+    assert(j.collect().map(_.getLong(0)).sorted.toList == List(1L, 2L, 3L))
+  }
+
+  test("TRY_CAST and ILIKE parse natively (spellings pinned)") {
+    assert(one("SELECT TRY_CAST('12' AS INTEGER) AS v").getInt(0) == 12)
+    assert(one("SELECT TRY_CAST('nope' AS INTEGER) AS v").isNullAt(0))
+    assert(one("SELECT 'Hello' ILIKE 'he%' AS m").getBoolean(0))
+    assert(!one("SELECT 'Hello' LIKE 'he%' AS m").getBoolean(0))
+  }
+
+  test("bracket dialect runs end-to-end through the executor") {
+    val dir = Files.createTempDirectory("graft_br_")
+    val ex = new Executor(spark, dir.toString)
+    ex.runStatement(Dialect.rewrite(
+      "CREATE TABLE br_out AS SELECT x.generate_series AS n, " +
+        "['lo', 'mid', 'hi'][CAST(x.generate_series AS INTEGER)] AS label " +
+        "FROM generate_series(1, 3) x"))
+    val out = spark.table("br_out").orderBy(col("n")).collect()
+    assert(out.map(_.getString(1)).toList == List("lo", "mid", "hi"))
+  }
+}

@@ -242,6 +242,102 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(e.getMessage.toLowerCase.contains("intersect"), e.getMessage)
   }
 
+  // ── SELECT * REPLACE ───────────────────────────────────────────────
+
+  test("* REPLACE substitutes in place, preserving column order") {
+    Seq((1L, "ab", 2.0), (2L, "cd", 3.0)).toDF("id", "s", "w")
+      .createOrReplaceTempView("sr_t")
+    val dir = Files.createTempDirectory("graft_sr_")
+    val ex = new Executor(spark, dir.toString)
+    ex.runStatement(
+      "CREATE TABLE sr_out AS SELECT * REPLACE (upper(s) AS s) FROM sr_t")
+    val out = spark.table("sr_out")
+    // replaced column keeps its ORIGINAL position (DuckDB semantics) —
+    // the naive EXCEPT rewrite alone would move s to the end
+    assert(out.columns.sameElements(Array("id", "s", "w")), out.columns.toSeq)
+    assert(out.orderBy(col("id")).collect().map(_.getString(1)).toList ==
+      List("AB", "CD"))
+    // multiple entries; expression with its own CAST ... AS inside
+    ex.runStatement("CREATE TABLE sr2 AS SELECT * REPLACE " +
+      "(CAST(id AS STRING) AS id, w * 10 AS w) FROM sr_t")
+    val o2 = spark.table("sr2")
+    assert(o2.columns.sameElements(Array("id", "s", "w")))
+    assert(o2.schema("id").dataType.typeName == "string")
+    assert(o2.orderBy(col("id")).collect().map(_.getDouble(2)).toList ==
+      List(20.0, 30.0))
+    // combined with EXCLUDE: both modifiers on one star
+    ex.runStatement(Dialect.rewrite(
+      "CREATE TABLE sr3 AS SELECT * EXCLUDE (w) REPLACE (id + 100 AS id) FROM sr_t"))
+    val o3 = spark.table("sr3")
+    assert(o3.columns.sameElements(Array("id", "s")), o3.columns.toSeq)
+    assert(o3.collect().map(_.getLong(0)).sorted.toList == List(101L, 102L))
+    // inside a subquery: values replaced (outer refs are by name)
+    ex.runStatement("CREATE TABLE sr4 AS SELECT s FROM " +
+      "(SELECT * REPLACE (lower(s) AS s) FROM sr_t) WHERE s = 'ab'")
+    assert(spark.table("sr4").collect().map(_.getString(0)).toList == List("ab"))
+    // string function replace(s, from, to) is untouched by the rewrite
+    ex.runStatement(
+      "CREATE TABLE sr5 AS SELECT replace(s, 'a', 'x') AS r FROM sr_t")
+    assert(spark.table("sr5").collect().map(_.getString(0)).sorted.toList ==
+      List("cd", "xb"))
+    // dependency analysis sees through the modifier
+    val a = SqlAnalyzer.analyzeStatement(spark,
+      "SELECT * REPLACE (o_orderkey + 1 AS o_orderkey) FROM orders")
+    assert(a.dependencies == Set("orders"), a.dependencies)
+    // a REPLACE entry without AS is a loud error, not a silent pass-through
+    intercept[UserException] {
+      ex.runStatement("CREATE TABLE sr6 AS SELECT * REPLACE (upper(s)) FROM sr_t")
+    }
+  }
+
+  // ── DESCRIBE / SUMMARIZE ───────────────────────────────────────────
+
+  test("DESCRIBE and SUMMARIZE produce DuckDB-shaped profile tables") {
+    Seq((1L, "a", 2.0), (2L, "b", 4.0), (3L, null.asInstanceOf[String], 6.0))
+      .toDF("id", "s", "w").createOrReplaceTempView("dsc_t")
+    val dir = Files.createTempDirectory("graft_dsc_")
+    val ex = new Executor(spark, dir.toString)
+    // DESCRIBE as a CTAS body — how a script materializes a schema table
+    ex.runStatement("CREATE TABLE dsc_out AS DESCRIBE dsc_t")
+    val d = spark.table("dsc_out")
+    assert(d.columns.sameElements(
+      Array("column_name", "column_type", "null", "key", "default", "extra")))
+    val byName = d.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byName == Map("id" -> "BIGINT", "s" -> "VARCHAR", "w" -> "DOUBLE"),
+      byName)
+    // SUMMARIZE: one-pass per-column statistics, DuckDB's column set
+    ex.runStatement("CREATE TABLE sum_out AS SUMMARIZE dsc_t")
+    val s = spark.table("sum_out")
+    assert(s.columns.sameElements(Array("column_name", "column_type", "min",
+      "max", "approx_unique", "avg", "std", "q25", "q50", "q75", "count",
+      "null_percentage")), s.columns.toSeq)
+    val rows = s.collect().map(r => r.getString(0) -> r).toMap
+    val idRow = rows("id")
+    assert(idRow.getString(2) == "1" && idRow.getString(3) == "3")
+    assert(idRow.getLong(4) == 3L) // approx_unique exact at this size
+    assert(idRow.getString(5).toDouble == 2.0) // avg
+    assert(idRow.getLong(10) == 3L) // count = total rows
+    assert(idRow.getDecimal(11).doubleValue() == 0.0)
+    val sRow = rows("s")
+    assert(sRow.getDecimal(11).doubleValue() == 33.33, sRow.getDecimal(11))
+    assert(sRow.isNullAt(5) && sRow.isNullAt(7)) // no avg/q25 for VARCHAR
+    // SUMMARIZE over a query; DESCRIBE a query
+    ex.runStatement(
+      "CREATE TABLE sum_q AS SUMMARIZE SELECT id * 10 AS x FROM dsc_t")
+    assert(spark.table("sum_q").collect().head.getString(3) == "30") // max
+    ex.runStatement("CREATE TABLE dsc_q AS DESCRIBE SELECT id, w FROM dsc_t")
+    assert(spark.table("dsc_q").count() == 2)
+    // dependency analysis sees the target
+    val a = SqlAnalyzer.analyzeStatement(spark, "SUMMARIZE orders")
+    assert(a.dependencies == Set("orders"), a.dependencies)
+    val a2 = SqlAnalyzer.analyzeStatement(spark,
+      "CREATE TABLE p AS DESCRIBE lineitem")
+    assert(a2.dependencies == Set("lineitem") && a2.outputs == Set("p"))
+    // bare statements run without error (result discarded, like SELECT)
+    ex.runStatement("DESCRIBE dsc_t")
+    ex.runStatement("SUMMARIZE dsc_t")
+  }
+
   // ── PRAGMA / SET ... TO ────────────────────────────────────────────
 
   test("PRAGMA and SET..TO become inert Spark SET statements") {
