@@ -344,6 +344,104 @@ object Multimodal {
       else Some(Y4mVideo(w, h, fn, fd, bytes, offsets.toArray))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** MP4/ISO-BMFF (ISO/IEC 14496-12, public spec) CONTAINER metadata
+    * without decode — the video sibling of [[mp3Parse]] and the same
+    * recorded codec boundary (SURVEY §8): box-structure arithmetic is
+    * public-spec header parsing; sample reconstruction (H.264/HEVC/AV1
+    * entropy decode) stays out of scope. A box is
+    * [size:u32 BE][type:4 ASCII][payload]; size 1 = 64-bit largesize
+    * follows, size 0 = to end of file. Walked: `ftyp` (major brand),
+    * `moov/mvhd` (timescale + duration → ms, version 0 and 1 layouts),
+    * `moov/trak/tkhd` (track count; width/height are the LAST 8 payload
+    * bytes, 16.16 fixed point — the max across tracks is the video
+    * resolution, audio tracks carry 0×0). The signature is FNV-1a over
+    * every box header (type+size), a structural fingerprint that never
+    * reads media payloads. */
+  private[ops] final case class Mp4Info(brand: String, durationMs: Int,
+                                        timescale: Int, tracks: Int,
+                                        width: Int, height: Int,
+                                        signature: Long)
+
+  private[ops] def looksLikeMp4(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+      ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  private[ops] def mp4Parse(bytes: Array[Byte]): Option[Mp4Info] =
+    try {
+      if (!looksLikeMp4(bytes)) return None
+      var brand = ""
+      var durationMs = 0
+      var timescale = 0
+      var tracks = 0
+      var maxW = 0
+      var maxH = 0
+      var sig = 0xcbf29ce484222325L
+
+      def fnvHeader(off: Int): Unit = {
+        var j = off
+        while (j < off + 8 && j < bytes.length) {
+          sig = (sig ^ (bytes(j) & 0xFF)) * 0x100000001b3L
+          j += 1
+        }
+      }
+
+      /** Walk the boxes in [from, until); `path` is the parent chain. */
+      def walk(from: Int, until: Int, path: String): Unit = {
+        var off = from
+        while (off + 8 <= until) {
+          val size0 = be32(bytes, off)
+          val tpe = new String(bytes, off + 4, 4,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          val (size, hdr) =
+            if (size0 == 1 && off + 16 <= until) (be64(bytes, off + 8), 16)
+            else if (size0 == 0) ((until - off).toLong, 8)
+            else (size0, 8)
+          if (size < hdr || off + size > until) return // malformed: stop
+          fnvHeader(off)
+          val body = off + hdr
+          val bodyEnd = (off + size).toInt
+          tpe match {
+            case "ftyp" if brand.isEmpty && body + 4 <= bodyEnd =>
+              brand = new String(bytes, body, 4,
+                java.nio.charset.StandardCharsets.US_ASCII).trim
+            case "moov" => walk(body, bodyEnd, "moov")
+            case "trak" if path == "moov" =>
+              tracks += 1
+              walk(body, bodyEnd, "trak")
+            case "mvhd" if path == "moov" && body + 4 <= bodyEnd =>
+              val version = bytes(body) & 0xFF
+              if (version == 1 && body + 28 <= bodyEnd) {
+                timescale = be32(bytes, body + 20).toInt
+                val dur = be64(bytes, body + 24)
+                if (timescale > 0) durationMs = (dur * 1000L / timescale).toInt
+              } else if (version == 0 && body + 20 <= bodyEnd) {
+                timescale = be32(bytes, body + 12).toInt
+                val dur = be32(bytes, body + 16)
+                if (timescale > 0) durationMs = (dur * 1000L / timescale).toInt
+              }
+            case "tkhd" if path == "trak" && bodyEnd - 8 >= body =>
+              // width/height close the box: 16.16 fixed point
+              val w = (be32(bytes, bodyEnd - 8) >> 16).toInt
+              val h = (be32(bytes, bodyEnd - 4) >> 16).toInt
+              if (w > maxW) maxW = w
+              if (h > maxH) maxH = h
+            case _ => () // mdat and friends: header hashed, payload skipped
+          }
+          off += size.toInt
+        }
+      }
+
+      walk(0, bytes.length, "")
+      if (brand.isEmpty && timescale == 0) None
+      else Some(Mp4Info(brand, durationMs, timescale, tracks, maxW, maxH, sig))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** STUB decode: a real implementation returns the decoded raster; here
     * the "pixels" are a deterministic xxhash-seeded byte expansion so
     * every downstream shape/statistic is reproducible. */
@@ -481,6 +579,57 @@ object Multimodal {
                 Row(id, "mp3", m.durationMs, m.sampleRate, m.frames,
                   m.avgBitrateKbps, m.signature)
               case None => Row(id, "unknown", null, null, null, null, null)
+            }
+          }
+        }
+      }(enc)
+  }
+
+  private val videoInfoSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("container", StringType, nullable = false),
+    StructField("duration_ms", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("n_tracks", IntegerType),
+    StructField("signature", LongType)))
+
+  /** Video STREAM metadata without decode — the m03 companion for
+    * compressed input, mirroring [[audioStreamInfo]]: Y4M rows parse the
+    * stream header (frame-exact duration, true dimensions), MP4 rows
+    * walk the ISO-BMFF box tree ([[mp4Parse]] — brand, mvhd duration,
+    * tkhd resolution, track count, structural FNV signature; no sample
+    * reconstruction), anything else reports container "unknown" with
+    * NULL fields (loud, not fabricated). Per-partition batch pass; only
+    * (media_id, bytes) is shuffled and the output is a few dozen bytes
+    * per row, so a 100-TB media corpus profiles at scan rate with no
+    * byte column ever crossing a second exchange. */
+  def videoStreamInfo(media: DataFrame): DataFrame = {
+    val enc = RowEncoder.encoderFor(videoInfoSchema)
+    ScaleOps.spread(media, minBytes = 0L)
+      .select("media_id", "bytes")
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("bytes")
+          val id = r.getAs[Long]("media_id")
+          y4mDecode(bytes) match {
+            case Some(v) =>
+              var sig = 0xcbf29ce484222325L
+              // header-only signature (first frame offset bounds it)
+              val hdrEnd = math.min(v.frameOffsets(0), bytes.length)
+              var j = 0
+              while (j < hdrEnd) {
+                sig = (sig ^ (bytes(j) & 0xFF)) * 0x100000001b3L
+                j += 1
+              }
+              Row(id, "y4m", v.durationMs, v.width, v.height,
+                v.numFrames, null, sig)
+            case None => mp4Parse(bytes) match {
+              case Some(m) =>
+                Row(id, if (m.brand.nonEmpty) s"mp4/${m.brand}" else "mp4",
+                  m.durationMs, m.width, m.height, null, m.tracks, m.signature)
+              case None => Row(id, "unknown", null, null, null, null, null, null)
             }
           }
         }

@@ -578,6 +578,19 @@ object TextQ {
           col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
     }),
 
+    // -- video container metadata without decode (m03's compressed-input
+    //    companion): Y4M stream headers parse frame-exact, MP4/ISO-BMFF
+    //    boxes parse to brand/duration/resolution/track-count — the
+    //    public-spec header-arithmetic boundary recorded in SURVEY §8.
+    //    Rows-only (no video parser in the oracle engine); MultimodalSpec
+    //    pins both parsers on crafted fixtures.
+    "m05_video_info" -> ((s, d) => {
+      graft.ops.Multimodal.videoStreamInfo(
+        graft.ops.Multimodal.mediaFromDocuments(T.documents(s, d))
+          .filter(col("kind") === "video"))
+        .orderBy("media_id")
+    }),
+
     // -- training-mixture construction: per-source sampling weights
     //    realized as deterministic document copy counts — the "mix the
     //    sources at target proportions" stage between curation and

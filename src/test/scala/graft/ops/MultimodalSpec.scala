@@ -381,4 +381,79 @@ class MultimodalSpec extends SparkSpec {
     // distinct byte payloads -> distinct stub hashes (content-opaque but keyed)
     assert(out.map(_.getAs[Long]("phash")).distinct.length == 3)
   }
+
+  /** Minimal ISO-BMFF file: ftyp + moov(mvhd v0 + one trak(tkhd) per
+    * (w,h)) + an mdat payload the parser must skip untouched. */
+  private def mp4Bytes(brand: String, timescale: Int, duration: Long,
+                       dims: Seq[(Int, Int)],
+                       mdatLen: Int = 32): Array[Byte] = {
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(8 + payload.length)
+      b.putInt(8 + payload.length)
+      b.put(tpe.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      b.put(payload)
+      b.array()
+    }
+    val ftyp = box("ftyp",
+      (brand + "    isom").getBytes(
+        java.nio.charset.StandardCharsets.US_ASCII).take(12))
+    val mvhd = {
+      val b = java.nio.ByteBuffer.allocate(100) // v0 mvhd payload size
+      b.putInt(0) // version 0 + flags
+      b.putInt(0).putInt(0) // creation, modification
+      b.putInt(timescale)
+      b.putInt(duration.toInt)
+      box("mvhd", b.array())
+    }
+    val traks = dims.map { case (w, h) =>
+      val b = java.nio.ByteBuffer.allocate(84) // v0 tkhd payload size
+      b.putInt(0) // version + flags
+      b.position(84 - 8)
+      b.putInt(w << 16).putInt(h << 16) // 16.16 fixed point closes the box
+      box("trak", box("tkhd", b.array()))
+    }
+    val moov = box("moov", mvhd ++ traks.flatten)
+    val mdat = box("mdat", Array.fill[Byte](mdatLen)(0x5A))
+    ftyp ++ moov ++ mdat
+  }
+
+  test("mp4Parse: brand, duration, resolution, tracks from box headers only") {
+    val bytes = mp4Bytes("mp42", timescale = 1000, duration = 2500,
+      dims = Seq((640, 360), (0, 0))) // video track + audio track
+    val info = Multimodal.mp4Parse(bytes).get
+    assert(info.brand == "mp42")
+    assert(info.durationMs == 2500) // timescale 1000 → ms direct
+    assert(info.timescale == 1000)
+    assert(info.tracks == 2)
+    assert(info.width == 640 && info.height == 360)
+    // other timescales convert exactly
+    assert(Multimodal.mp4Parse(mp4Bytes("isom", 90000, 180000,
+      Seq((1920, 1080)))).get.durationMs == 2000)
+    // signature is structural: same boxes → same, different mdat size → differs
+    val sig1 = Multimodal.mp4Parse(bytes).get.signature
+    assert(Multimodal.mp4Parse(bytes).get.signature == sig1)
+    assert(Multimodal.mp4Parse(mp4Bytes("mp42", 1000, 2500,
+      Seq((640, 360), (0, 0)), mdatLen = 33)).get.signature != sig1)
+    // garbage and truncation never throw
+    assert(Multimodal.mp4Parse("definitely not a video".getBytes).isEmpty)
+    assert(Multimodal.mp4Parse(bytes.take(10)).isEmpty)
+  }
+
+  test("videoStreamInfo: y4m real, mp4 header-parsed, unknown loud-nulled") {
+    val y4m = y4mBytes(4, 4, 25, 1,
+      Array.fill[Byte](16)(10), Array.fill[Byte](16)(20))
+    val mp4 = mp4Bytes("mp42", 600, 1200, Seq((320, 240)))
+    val df = Seq((1L, y4m), (2L, mp4), (3L, "h264?nope".getBytes))
+      .toDF("media_id", "bytes")
+    val rows = Multimodal.videoStreamInfo(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val y = rows(1L)
+    assert(y.getString(1) == "y4m" && y.getInt(3) == 4 && y.getInt(4) == 4)
+    assert(y.getInt(5) == 2 && y.getInt(2) == 80) // 2 frames @ 25fps
+    val m = rows(2L)
+    assert(m.getString(1) == "mp4/mp42" && m.getInt(2) == 2000)
+    assert(m.getInt(3) == 320 && m.getInt(4) == 240 && m.getInt(6) == 1)
+    val u = rows(3L)
+    assert(u.getString(1) == "unknown" && u.isNullAt(2) && u.isNullAt(7))
+  }
 }
