@@ -11,12 +11,17 @@ import org.apache.spark.sql.functions._
   * [[graft.ops.AsOfJoin]]'s single-exchange carry-forward — already
   * exists, so this is a front-end mapping, not a new operator.
   *
-  * Supported shape (the documented canonical form):
+  * Supported shapes (the documented canonical forms):
   * {{{
   *   SELECT <selList>
   *   FROM <left> [alias] ASOF [LEFT] JOIN <right> [alias]
   *   ON a.k = b.k [AND ...] AND a.ts >= b.ts
+  *
+  *   ... ASOF [LEFT] JOIN <right> [alias] USING (k, ..., ts)
   * }}}
+  * The USING spelling takes same-named columns with the LAST one as the
+  * `>=` bound (DuckDB's rule); `SELECT *` shows each using column once,
+  * carrying the left side's values, exactly DuckDB's output.
   * Sources are table names or parenthesized subqueries. The ON clause
   * is a conjunction of equalities plus EXACTLY ONE `>=`/`<=` timestamp
   * bound (DuckDB's rule); `l.ts >= r.ts` matches the LATEST right row
@@ -38,7 +43,10 @@ object AsOfSql {
       keys: Seq[(String, String)], // (left col, right col)
       leftTs: String, rightTs: String, leftOuter: Boolean,
       where: Option[String] = None, orderBy: Option[String] = None,
-      limit: Option[Int] = None)
+      limit: Option[Int] = None,
+      // USING (k.., ts) spelling: same-named keys, LAST column is the
+      // >= bound; SELECT * shows the using columns once (left's values)
+      usingForm: Boolean = false)
 
   /** Regex replacement that only fires OUTSIDE quoted regions/comments:
     * matches are located on the masked text (where literals are blanked,
@@ -105,14 +113,36 @@ object AsOfSql {
     val asofM = kwAt("\\bASOF\\s+(LEFT\\s+)?JOIN\\b").getOrElse(return None)
     val selM = kwAt("^\\s*SELECT\\b").getOrElse(return None)
     val fromM = kwAt("\\bFROM\\b").getOrElse(return None)
-    val onM = ("(?is)\\bON\\b").r.findAllMatchIn(masked)
-      .find(m => dep(m.start) == 0 && m.start > asofM.end).getOrElse(return None)
+    val onMOpt = ("(?is)\\bON\\b").r.findAllMatchIn(masked)
+      .find(m => dep(m.start) == 0 && m.start > asofM.end)
+    // DuckDB's second spelling: USING (k.., ts) — same-named columns,
+    // the LAST one is the inequality (>= , latest-at-or-before)
+    val usingMOpt =
+      if (onMOpt.isDefined) None
+      else "(?is)\\bUSING\\s*\\(".r.findAllMatchIn(masked)
+        .find(m => dep(m.start) == 0 && m.start > asofM.end)
+    if (onMOpt.isEmpty && usingMOpt.isEmpty) return None
+    val usingClose = usingMOpt.map { m =>
+      val open = m.end - 1
+      var d = 0; var i = open; var found = -1
+      while (i < masked.length && found < 0) {
+        masked.charAt(i) match {
+          case '(' => d += 1
+          case ')' => d -= 1; if (d == 0) found = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (found < 0) return None
+      found
+    }
+    val condEnd = onMOpt.map(_.end).getOrElse(usingClose.get + 1)
     // trailing clauses: WHERE / ORDER BY / LIMIT are carried and applied
     // after the join; GROUP BY / HAVING / QUALIFY are NOT supported (the
     // caller surfaces a clear "unsupported ASOF form" instead)
     val tailKws = ("(?is)\\b(WHERE|GROUP\\s+BY|ORDER\\s+BY|LIMIT|HAVING|QUALIFY)\\b").r
       .findAllMatchIn(masked)
-      .filter(m => dep(m.start) == 0 && m.start > onM.end).toList
+      .filter(m => dep(m.start) == 0 && m.start > condEnd).toList
     if (tailKws.exists { m =>
       val k = m.group(1).toUpperCase.replaceAll("\\s+", " ")
       k == "GROUP BY" || k == "HAVING" || k == "QUALIFY"
@@ -127,8 +157,9 @@ object AsOfSql {
       scala.util.Try(s.trim.toInt).getOrElse(return None)
     }
     val selList = stmt.substring(selM.end, fromM.start).trim
+    val rightEnd = onMOpt.map(_.start).getOrElse(usingMOpt.get.start)
     val (leftSrc, leftAlias0) = srcAlias(stmt.substring(fromM.end, asofM.start))
-    val (rightSrc, rightAlias0) = srcAlias(stmt.substring(asofM.end, onM.start))
+    val (rightSrc, rightAlias0) = srcAlias(stmt.substring(asofM.end, rightEnd))
     // no alias + bare table name: the table name itself qualifies
     // columns (`trades.sym`), standard SQL — adopt it as the alias
     def implicitAlias(src: String, alias: String): String =
@@ -138,6 +169,19 @@ object AsOfSql {
     val leftAlias = implicitAlias(leftSrc, leftAlias0)
     val rightAlias = implicitAlias(rightSrc, rightAlias0)
     val leftOuter = asofM.group(1) != null
+    usingMOpt match {
+      case Some(usingM) =>
+        val cols = stmt.substring(usingM.end, usingClose.get)
+          .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")
+            .stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty).toSeq
+        if (cols.length < 2) return None // at least one key + the bound
+        return Some(Parsed(selList, leftSrc, leftAlias, rightSrc, rightAlias,
+          cols.init.map(c => (c, c)), cols.last, cols.last, leftOuter,
+          tailSegs.get("WHERE"), tailSegs.get("ORDER BY"), limitOpt,
+          usingForm = true))
+      case None => ()
+    }
+    val onM = onMOpt.get
     // conjunct split at depth 0
     val condStr = stmt.substring(onM.end, tailStart).trim.stripSuffix(";")
     val condMasked = Dialect.maskQuoted(condStr)
@@ -250,8 +294,14 @@ object AsOfSql {
         case None    => cleaned
       }
       val projected =
-        if (p.selList.trim == "*") afterWhere
-        else {
+        if (p.selList.trim == "*") {
+          // USING semantics: each using column appears ONCE (the left's
+          // values) — the carried right-side bound column leaves the
+          // star projection; an explicit `q.ts` reference still works
+          // (the non-star branch projects from the full frame)
+          if (p.usingForm) afterWhere.drop(carried(p.rightTs))
+          else afterWhere
+        } else {
           // selectExpr over the rewritten list: no temp-view registration
           // per call (a long-lived session must not accumulate catalog
           // entries for every statement it ever executed)
@@ -305,8 +355,9 @@ object AsOfSql {
         case _ => body0
       }
     if (containsAsOf(body) && parse(body).isEmpty)
-      Some("unsupported ASOF JOIN form: supported shape is SELECT ... FROM l " +
-        "ASOF [LEFT] JOIN r ON <equalities AND one >=/<= bound> " +
+      Some("unsupported ASOF JOIN form: supported shapes are SELECT ... FROM l " +
+        "ASOF [LEFT] JOIN r ON <equalities AND one >=/<= bound> and " +
+        "... ASOF [LEFT] JOIN r USING (keys..., ts) " +
         "[WHERE ...] [ORDER BY ...] [LIMIT n]; GROUP BY/HAVING/QUALIFY " +
         "after an ASOF join are not supported")
     else None

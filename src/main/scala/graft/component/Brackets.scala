@@ -44,9 +44,9 @@ object Brackets {
           if (close > 0 && innermost(masked, i, close)) {
             return if (isSubscript(stmt, masked, i))
               rewriteSubscript(stmt, masked, i, close)
-            else
+            else comprehension(stmt, masked, i, close).getOrElse(
               stmt.substring(0, i) + "array(" +
-                stmt.substring(i + 1, close) + ")" + stmt.substring(close + 1)
+                stmt.substring(i + 1, close) + ")" + stmt.substring(close + 1))
           }
         case '{' =>
           val close = matching(masked, i, '{', '}')
@@ -177,6 +177,46 @@ object Brackets {
         s"slice($base, $lo, greatest(0, $hi - $lo + 1))"
       }
     stmt.substring(0, start) + repl + stmt.substring(close + 1)
+  }
+
+  /** DuckDB list comprehension `[expr FOR x IN list [IF cond]]` — maps
+    * to the native higher-order functions: `transform(list, x -> expr)`,
+    * with the IF clause as an inner `filter(list, x -> cond)`. Both are
+    * codegen'd Catalyst array operators; the lambda variable binds the
+    * same way in both dialects. */
+  private def comprehension(stmt: String, masked: String,
+                            open: Int, close: Int): Option[String] = {
+    val body = stmt.substring(open + 1, close)
+    val mbody = masked.substring(open + 1, close)
+    def depth0(re: String): Option[Int] =
+      re.r.findAllMatchIn(mbody).find { m =>
+        val prefix = mbody.substring(0, m.start)
+        prefix.count(_ == '(') == prefix.count(_ == ')')
+      }.map(_.start)
+    for {
+      forAt <- depth0("(?is)\\bFOR\\b")
+      inAt <- depth0("(?is)\\bIN\\b").filter(_ > forAt)
+    } yield {
+      val expr = body.substring(0, forAt).trim
+      val variable = body.substring(forAt + 3, inAt).trim
+      val rest = body.substring(inAt + 2)
+      val mrest = mbody.substring(inAt + 2)
+      val ifAt = "(?is)\\bIF\\b".r.findAllMatchIn(mrest).find { m =>
+        val prefix = mrest.substring(0, m.start)
+        prefix.count(_ == '(') == prefix.count(_ == ')')
+      }.map(_.start)
+      val (list, cond) = ifAt match {
+        case Some(at) => (rest.substring(0, at).trim,
+          Some(rest.substring(at + 2).trim))
+        case None => (rest.trim, None)
+      }
+      val source = cond match {
+        case Some(c) => s"filter($list, $variable -> $c)"
+        case None => list
+      }
+      stmt.substring(0, open) + s"transform($source, $variable -> $expr)" +
+        stmt.substring(close + 1)
+    }
   }
 
   private def rewriteStruct(stmt: String, masked: String,

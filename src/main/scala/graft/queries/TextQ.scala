@@ -350,6 +350,36 @@ object TextQ {
     //    summation); the oracle recomputes it per character with DuckDB's
     //    entropy() aggregate, so the rounded values are a genuine
     //    cross-engine floating-point check. Narrow per-row shape.
+    // -- URL extraction + domain statistics: the link-curation step of a
+    //    web-corpus pipeline (which domains dominate, how many docs cite
+    //    them — the input to per-domain quality weighting and URL-level
+    //    dedup). Deterministic URLs are injected so the check exercises
+    //    real extraction (the t12 idiom); patterns stay in the Java-regex
+    //    ∩ RE2 common subset. Scale shape: narrow per-row extraction
+    //    (native regexp codegen, no UDF), explode multiplies by the URL
+    //    count (~2/doc), then ONE partial-agg shuffle on domain — the
+    //    count-distinct is a two-phase hash aggregate, never a sort.
+    "t27_url_domains" -> ((s, d) => {
+      val urlRe = "https?://[a-z0-9.-]+[a-z0-9/._%?=&#-]*"
+      T.documents(s, d)
+        .withColumn("url_text",
+          concat(col("text"), lit(" see https://www.example"),
+            pmod(col("doc_id"), lit(50)), lit(".com/p/"), col("doc_id"),
+            lit("?q=1#top and http://cdn.site"),
+            pmod(col("doc_id"), lit(20)), lit(".org/a b")))
+        .select(col("doc_id"),
+          explode(regexp_extract_all(col("url_text"), lit(urlRe), lit(0)))
+            .as("url"))
+        .select(col("doc_id"),
+          regexp_extract(col("url"), "https?://([a-z0-9.-]+)", 1).as("host"))
+        .select(col("doc_id"),
+          regexp_extract(col("host"), "([a-z0-9-]+\\.[a-z]+)$", 1).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy("domain")
+    }),
+
     "t13_char_entropy" -> ((s, d) => {
       byRange(T.documents(s, d), "doc_id")
         .select(col("doc_id"),
@@ -1194,6 +1224,23 @@ object TextQ {
         |       CAST(length(substring(text, CAST(i * 30 + 1 AS INTEGER), 40)) AS BIGINT) AS chunk_len
         |FROM n, UNNEST(range(0, n_chunks)) AS t(i)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "t27_url_domains" ->
+      """WITH u AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(
+        |    text || ' see https://www.example' || CAST(doc_id % 50 AS VARCHAR)
+        |         || '.com/p/' || CAST(doc_id AS VARCHAR)
+        |         || '?q=1#top and http://cdn.site' || CAST(doc_id % 20 AS VARCHAR)
+        |         || '.org/a b',
+        |    'https?://[a-z0-9.-]+[a-z0-9/._%?=&#-]*')) AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |        regexp_extract(url, 'https?://([a-z0-9.-]+)', 1) AS host
+        |      FROM u)
+        |SELECT regexp_extract(host, '([a-z0-9-]+\.[a-z]+)$', 1) AS domain,
+        |       CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM h GROUP BY domain ORDER BY domain""".stripMargin,
 
     "t13_char_entropy" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_obs,

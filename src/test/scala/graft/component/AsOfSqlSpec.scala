@@ -132,6 +132,37 @@ class AsOfSqlSpec extends SparkSpec {
     assert(got == Seq((2L, 100.5))) // highest bid above 49.5
   }
 
+  test("USING spelling: same-named keys, last column is the bound") {
+    // rename to shared column names, the USING contract
+    trades.withColumnRenamed("t_ts", "ts").createOrReplaceTempView("u_trades")
+    quotes.withColumnRenamed("q_sym", "sym").withColumnRenamed("q_ts", "ts")
+      .createOrReplaceTempView("u_quotes")
+    val got = AsOfSql.asofDf(spark,
+      "SELECT t.trade_id, q.bid FROM u_trades t ASOF JOIN u_quotes q " +
+        "USING (sym, ts)").get
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 99.0, 2L -> 100.5, 3L -> 49.5))
+    // SELECT *: using columns appear ONCE, carrying the LEFT's values
+    val star = AsOfSql.asofDf(spark,
+      "SELECT * FROM u_trades t ASOF JOIN u_quotes q USING (sym, ts)").get
+    assert(star.columns.count(_.equalsIgnoreCase("sym")) == 1)
+    assert(star.columns.count(_.equalsIgnoreCase("ts")) == 1)
+    val r1 = star.collect().map(r =>
+      r.getLong(r.fieldIndex("trade_id")) ->
+        r.getTimestamp(r.fieldIndex("ts")).toString).toMap
+    assert(r1(1L) == "2024-01-01 10:00:05.0", "left's ts, not the quote's")
+    // LEFT variant keeps unmatched; trailing clauses still apply
+    val left = AsOfSql.asofDf(spark,
+      "SELECT t.trade_id, q.bid FROM u_trades t ASOF LEFT JOIN u_quotes q " +
+        "USING (sym, ts) ORDER BY t.trade_id LIMIT 4").get
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(left(4L).isEmpty && left(1L).contains(99.0))
+    // dependency stub still sees both sides
+    val a = SqlAnalyzer.analyzeStatement(spark,
+      "SELECT t.trade_id FROM u_trades t ASOF JOIN u_quotes q USING (sym, ts)")
+    assert(a.dependencies == Set("u_trades", "u_quotes"))
+  }
+
   test("unsupported ASOF forms get a clear validation message") {
     // GROUP BY after an ASOF join: not executable — a clear message, not
     // an opaque run-time Spark parse error on the ASOF token

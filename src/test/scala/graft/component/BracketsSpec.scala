@@ -61,6 +61,21 @@ class BracketsSpec extends SparkSpec {
     assert(nested.map(_.getInt(0)) == Seq(1, 2))
   }
 
+  test("list comprehensions map to transform/filter") {
+    assert(one("SELECT [x * 2 FOR x IN [1, 2, 3]] AS l").getSeq[Int](0) ==
+      Seq(2, 4, 6))
+    // IF clause filters before mapping
+    assert(one("SELECT [x + 10 FOR x IN [1, 2, 3, 4] IF x % 2 = 0] AS l")
+      .getSeq[Int](0) == Seq(12, 14))
+    // over a column; expression uses functions of the variable
+    Seq(Seq("ab", "cde")).toDF("words").createOrReplaceTempView("bc_t")
+    assert(one("SELECT [upper(w) FOR w IN words] AS u FROM bc_t")
+      .getSeq[String](0) == Seq("AB", "CDE"))
+    // the words FOR/IN inside string literals never trigger the rewrite
+    assert(one("SELECT ['FOR', 'IN'] AS l").getSeq[String](0) ==
+      Seq("FOR", "IN"))
+  }
+
   test("generate_series and range table functions in FROM") {
     // generate_series: INCLUSIVE stop, DuckDB's column name
     val gs = spark.sql(Dialect.rewrite(
