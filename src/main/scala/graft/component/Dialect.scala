@@ -482,6 +482,8 @@ object Dialect {
     // star REPLACE parses nowhere in Spark; the except-form has the
     // identical dependency set (expressions kept, order moot here)
     if (StarReplaceSql.has(s)) s = StarReplaceSql.except(s)
+    // COLUMNS(...) likewise: `*` stands in with the same dependencies
+    if (ColumnsSql.has(s)) s = ColumnsSql.stub(s)
     s
   }
 

@@ -176,7 +176,7 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
 
     case _ if Pivot.parse(stmt).isDefined || AsOfSql.parse(stmt).isDefined ||
         UnionByNameSql.parse(stmt).isDefined || StarReplaceSql.has(stmt) ||
-        DescribeSql.parse(stmt).isDefined =>
+        DescribeSql.parse(stmt).isDefined || ColumnsSql.has(stmt) =>
       // bare PIVOT / ASOF / UNION BY NAME / star REPLACE / DESCRIBE /
       // SUMMARIZE: execute for effect + errors
       bodyDf(stmt).queryExecution.assertAnalyzed()
@@ -240,6 +240,10 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
         .map(UnionByNameSql.df(spark, _, bodyDf)))
       .orElse(DescribeSql.parse(body)
         .map(DescribeSql.df(spark, _, bodyDf)))
+      .orElse {
+        if (!ColumnsSql.has(body)) None
+        else ColumnsSql.expand(body, bodyDf).map(bodyDf)
+      }
       .orElse {
         if (!StarReplaceSql.has(body)) None
         else Some {

@@ -338,6 +338,43 @@ class StatementSurfaceSpec extends SparkSpec {
     ex.runStatement("SUMMARIZE dsc_t")
   }
 
+  // ── COLUMNS(*) / COLUMNS('regex') ─────────────────────────────────
+
+  test("COLUMNS expands per matching column against the analyzed schema") {
+    Seq((1L, 2.0, 3.0, "x"), (4L, 5.0, 6.0, "y"))
+      .toDF("id", "p_a", "p_b", "tag").createOrReplaceTempView("cx_t")
+    val dir = Files.createTempDirectory("graft_cx_")
+    val ex = new Executor(spark, dir.toString)
+    // wrapped call: one aggregate per column, DuckDB-style rendered names
+    ex.runStatement("CREATE TABLE cx_max AS SELECT max(COLUMNS(*)) FROM cx_t")
+    val m = spark.table("cx_max")
+    assert(m.columns.sameElements(
+      Array("max(id)", "max(p_a)", "max(p_b)", "max(tag)")), m.columns.toSeq)
+    val r = m.collect().head
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 5.0 && r.getString(3) == "y")
+    // bare regex call: projects the matching columns only
+    ex.runStatement("CREATE TABLE cx_p AS SELECT COLUMNS('p_.*') FROM cx_t")
+    assert(spark.table("cx_p").columns.sameElements(Array("p_a", "p_b")))
+    // expression around a regex call; other items pass through
+    ex.runStatement(
+      "CREATE TABLE cx_r AS SELECT id, round(COLUMNS('p_.*') * 10, 1) FROM cx_t")
+    val cr = spark.table("cx_r")
+    assert(cr.columns.length == 3)
+    assert(cr.orderBy(col("id")).collect().head.getDouble(1) == 20.0)
+    // works with WHERE and GROUP BY around it
+    ex.runStatement("CREATE TABLE cx_g AS SELECT tag, sum(COLUMNS('p_.*')) " +
+      "FROM cx_t WHERE id > 0 GROUP BY tag")
+    assert(spark.table("cx_g").columns.length == 3)
+    // no match is a loud error
+    intercept[UserException] {
+      ex.runStatement("CREATE TABLE cx_n AS SELECT COLUMNS('zzz') FROM cx_t")
+    }
+    // dependency analysis sees through the call
+    val a = SqlAnalyzer.analyzeStatement(spark,
+      "CREATE TABLE s AS SELECT min(COLUMNS(*)) FROM lineitem")
+    assert(a.dependencies == Set("lineitem") && a.outputs == Set("s"))
+  }
+
   // ── PRAGMA / SET ... TO ────────────────────────────────────────────
 
   test("PRAGMA and SET..TO become inert Spark SET statements") {
