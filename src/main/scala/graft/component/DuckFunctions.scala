@@ -70,6 +70,39 @@ object DuckFunctions {
       s"$fn requires a literal format string")
   }
 
+  private def timeBucket(width: Expression, ts: Expression,
+                         origin: Option[Expression]): Expression = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.CalendarInterval
+    // the width must be a literal interval — Spark parses single-unit
+    // spellings to ANSI interval types, multi-unit ones to CalendarInterval
+    val (months, micros) = width match {
+      case Literal(v: Long, _: DayTimeIntervalType) => (0, v)
+      case Literal(v: Int, _: YearMonthIntervalType) => (v, 0L)
+      case Literal(ci: CalendarInterval, CalendarIntervalType) =>
+        (ci.months, ci.days * 86400000000L + ci.microseconds)
+      case _ => throw new IllegalArgumentException(
+        "time_bucket requires a literal INTERVAL width")
+    }
+    if (months != 0) {
+      if (micros != 0 || origin.nonEmpty)
+        throw new IllegalArgumentException(
+          "time_bucket month widths must be pure months without origin")
+      // months since 2000-01-01, floored to the bucket width
+      val m = Add(Multiply(Subtract(Year(ts), Literal(2000)), Literal(12)),
+        Subtract(Month(ts), Literal(1)))
+      val bucket = Subtract(m, Pmod(m, Literal(months)))
+      Cast(AddMonths(Literal(10957, DateType), bucket), TimestampType) // 2000-01-01
+    } else {
+      require(micros > 0, "time_bucket width must be positive")
+      val o: Expression = origin
+        .map(e => UnixMicros(Cast(e, TimestampType)))
+        .getOrElse(Literal(946857600000000L)) // 2000-01-03 00:00:00 UTC
+      val um = UnixMicros(Cast(ts, TimestampType))
+      MicrosToTimestamp(Subtract(um, Pmod(Subtract(um, o), Literal(micros))))
+    }
+  }
+
   private def arity(name: String, n: Int)(build: Seq[Expression] => Expression)
       : (String, Seq[Expression] => Expression) =
     name -> { args =>
@@ -146,6 +179,18 @@ object DuckFunctions {
     // GROUP (which Spark SQL parses natively)
     arity("string_agg", 2)(a =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.ListAgg(a.head, a(1))),
+
+    // time_bucket(width, ts[, origin]) — DuckDB's time-series bucketing.
+    // Non-month widths floor onto a grid anchored at 2000-01-03 00:00:00
+    // (DuckDB's documented origin — Monday, so week buckets align);
+    // month widths anchor at 2000-01-01. Pure arithmetic over unix
+    // micros (codegen'd Pmod — handles pre-origin timestamps exactly,
+    // where a double floor-divide would round), no UDF.
+    "time_bucket" -> { a =>
+      require(a.length >= 2 && a.length <= 3,
+        s"time_bucket expects 2-3 arguments, got ${a.length}")
+      timeBucket(a.head, a(1), a.lift(2))
+    },
 
     // scalar generate_series: list from an inclusive range (the FROM-
     // position TABLE form maps to Spark's distributed range() in

@@ -59,6 +59,21 @@ object TimeSeriesQ {
           count(col("u")).as("nd_users"))
     }),
 
+    // -- DuckDB time_bucket(): arbitrary-width buckets on the documented
+    //    2000-01-03 grid (q33's date_trunc only handles calendar units).
+    //    The Spark side runs the registered SQL surface end-to-end —
+    //    [[graft.component.DuckFunctions]]' native Pmod-over-unix-micros
+    //    expression — so the oracle is a true cross-engine check of the
+    //    origin/floor semantics. Same partial-agg shuffle shape as q33.
+    "q60_time_bucket" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.events(s, d)
+        .selectExpr("time_bucket(INTERVAL '15 minutes', ts) AS bucket")
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    }),
+
     // -- gap-based sessionization (30-min inactivity): lag → flag → running
     //    sum, all inside one window partitioning by user.
     "q35_sessionization" -> ((s, d) => {
@@ -214,6 +229,11 @@ object TimeSeriesQ {
   private val Oracle36: String = AsOfStmt + "\nORDER BY p.event_id"
 
   val oracles: Map[String, String] = Map(
+    "q60_time_bucket" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', ts) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "q33_time_bucket" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, event_type,
         | COUNT(*) AS n,

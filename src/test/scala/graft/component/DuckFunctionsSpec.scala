@@ -135,6 +135,27 @@ class DuckFunctionsSpec extends SparkSpec {
     assert(one("SELECT nfc_normalize('plain ascii')") == "plain ascii")
   }
 
+  test("time_bucket: origin grid, weeks align to Monday, months, origin arg") {
+    // 15-minute buckets floor within the hour
+    assert(one("SELECT CAST(time_bucket(INTERVAL '15 minutes', " +
+      "TIMESTAMP '2024-03-05 10:37:12') AS STRING)") == "2024-03-05 10:30:00")
+    // week buckets anchor at 2000-01-03, a MONDAY: 2024-03-05 is a
+    // Tuesday, so its week bucket is Monday 2024-03-04 — a midnight or
+    // Sunday-anchored implementation gets this wrong
+    assert(one("SELECT CAST(time_bucket(INTERVAL '7 days', " +
+      "TIMESTAMP '2024-03-05 10:00:00') AS STRING)") == "2024-03-04 00:00:00")
+    // pre-origin timestamps floor DOWN (Pmod, not truncating divide)
+    assert(one("SELECT CAST(time_bucket(INTERVAL '7 days', " +
+      "TIMESTAMP '1999-12-30 08:00:00') AS STRING)") == "1999-12-27 00:00:00")
+    // month widths anchor at 2000-01-01: quarter buckets
+    assert(one("SELECT CAST(time_bucket(INTERVAL '3 months', " +
+      "TIMESTAMP '2024-05-20 12:00:00') AS STRING)") == "2024-04-01 00:00:00")
+    // explicit origin overrides the default grid
+    assert(one("SELECT CAST(time_bucket(INTERVAL '1 hour', " +
+      "TIMESTAMP '2024-03-05 10:40:00', TIMESTAMP '2024-03-05 00:30:00') " +
+      "AS STRING)") == "2024-03-05 10:30:00")
+  }
+
   test("struct_pack rewrites through the dialect to named_struct") {
     val sql = Dialect.rewrite("SELECT struct_pack(a := 1, b := 'x') AS s")
     assert(sql.contains("named_struct('a', 1, 'b', 'x')"))
