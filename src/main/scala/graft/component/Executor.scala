@@ -30,12 +30,16 @@ final case class ExecutionStats(timings: List[QueryTiming]) {
 
 class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
 
+  // TEMP is accepted and treated like a regular object (the whole run is
+  // one session, DuckDB's temp scope); IF NOT EXISTS skips when present
   private val createView =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+`?([^`\s]+)`?\s+AS\s+(.*)$""".r
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?`?([^`\s]+)`?\s+AS\s+(.*)$""".r
   private val createTable =
-    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+`?([^`\s(]+)`?\s+AS\s+(.*)$""".r
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?`?([^`\s(]+)`?\s+AS\s+(.*)$""".r
   private val insertInto =
     """(?is)^\s*INSERT\s+INTO\s+`?([^`\s(]+)`?\s*(.*)$""".r
+  private val dropStmt =
+    """(?is)^\s*DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?`?([^`\s;]+)`?\s*;?\s*$""".r
 
   /** View definitions registered this run, in creation order:
     * lowercased sanitized name → (sanitized name, body SQL, direct deps).
@@ -110,19 +114,37 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     val stmt = stripLeadingComments(stmt0)
     FileReads.ensureRegistered(spark, stmt) // read_csv/read_parquet views
     stmt match {
-    case createView(name, body) =>
+    case createView(ifNotExists, name, body) =>
       val sanitized = Names.view(name)
-      val deps = SqlAnalyzer.analyzeStatement(spark, body).dependencies
-      viewDefs.synchronized {
-        // re-insert on replace so creation order tracks the LATEST definition
-        viewDefs.remove(sanitized.toLowerCase)
-        viewDefs.put(sanitized.toLowerCase, (sanitized, body, deps))
+      if (ifNotExists != null && spark.catalog.tableExists(s"`$sanitized`")) ()
+      else {
+        val deps = SqlAnalyzer.analyzeStatement(spark, body).dependencies
+        viewDefs.synchronized {
+          // re-insert on replace so creation order tracks the LATEST definition
+          viewDefs.remove(sanitized.toLowerCase)
+          viewDefs.put(sanitized.toLowerCase, (sanitized, body, deps))
+        }
+        register(name, bodyDf(body))
       }
-      register(name, bodyDf(body))
 
-    case createTable(name, body) =>
-      register(name, materialize(name, bodyDf(body)))
-      rebind(Names.view(name).toLowerCase)
+    case createTable(ifNotExists, name, body) =>
+      if (ifNotExists != null &&
+          spark.catalog.tableExists(s"`${Names.view(name)}`")) ()
+      else {
+        register(name, materialize(name, bodyDf(body)))
+        rebind(Names.view(name).toLowerCase)
+      }
+
+    case dropStmt(kind, ifExists, name) =>
+      val sanitized = Names.view(name)
+      val existed = spark.catalog.tableExists(s"`$sanitized`")
+      if (!existed && ifExists == null)
+        throw new UserException(
+          s"DROP ${kind.toUpperCase}: $name does not exist")
+      if (existed) {
+        spark.catalog.dropTempView(sanitized)
+        viewDefs.synchronized { viewDefs.remove(sanitized.toLowerCase) }
+      }
 
     case insertInto(name, rest0) =>
       // The group after the table name is a COLUMN LIST only when the

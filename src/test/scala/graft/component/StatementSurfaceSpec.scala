@@ -375,6 +375,34 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(a.dependencies == Set("lineitem") && a.outputs == Set("s"))
   }
 
+  // ── DROP / IF NOT EXISTS / TEMP ────────────────────────────────────
+
+  test("DROP TABLE/VIEW, IF [NOT] EXISTS, TEMP objects") {
+    val dir = Files.createTempDirectory("graft_drop_")
+    val ex = new Executor(spark, dir.toString)
+    ex.runStatement("CREATE TABLE dr_t AS SELECT 1 AS x FROM range(1)")
+    assert(spark.catalog.tableExists("dr_t"))
+    ex.runStatement("DROP TABLE dr_t")
+    assert(!spark.catalog.tableExists("dr_t"))
+    // missing without IF EXISTS is loud; with it, silent
+    intercept[UserException] { ex.runStatement("DROP TABLE dr_t") }
+    ex.runStatement("DROP TABLE IF EXISTS dr_t")
+    ex.runStatement("DROP VIEW IF EXISTS dr_v")
+    // IF NOT EXISTS skips an existing object, keeping its contents
+    ex.runStatement("CREATE TABLE dr_k AS SELECT 7 AS v FROM range(1)")
+    ex.runStatement(
+      "CREATE TABLE IF NOT EXISTS dr_k AS SELECT 9 AS v FROM range(1)")
+    assert(spark.table("dr_k").collect().head.getInt(0) == 7)
+    // TEMP spelling is accepted (whole run = one session scope)
+    ex.runStatement("CREATE TEMP TABLE dr_tmp AS SELECT 3 AS v FROM range(1)")
+    assert(spark.table("dr_tmp").collect().head.getInt(0) == 3)
+    ex.runStatement("CREATE TEMPORARY VIEW dr_tv AS SELECT 4 AS v FROM range(1)")
+    assert(spark.table("dr_tv").collect().head.getInt(0) == 4)
+    // a dropped name can be re-created fresh
+    ex.runStatement("CREATE TABLE dr_t AS SELECT 42 AS x FROM range(1)")
+    assert(spark.table("dr_t").collect().head.getInt(0) == 42)
+  }
+
   // ── PRAGMA / SET ... TO ────────────────────────────────────────────
 
   test("PRAGMA and SET..TO become inert Spark SET statements") {
