@@ -50,8 +50,16 @@ object Brackets {
           }
         case '{' =>
           val close = matching(masked, i, '{', '}')
-          if (close > 0 && innermost(masked, i, close))
-            return rewriteStruct(stmt, masked, i, close)
+          if (close > 0 && innermost(masked, i, close)) {
+            rewriteStruct(stmt, masked, i, close) match {
+              case Some(out) => return out
+              // not a struct literal (no key: value shape): leave the
+              // braces for Spark's parser to reject with position info —
+              // throwing here would abort validation instead of listing
+              // the statement's issue
+              case None => ()
+            }
+          }
         case _ =>
       }
       i += 1
@@ -220,7 +228,7 @@ object Brackets {
   }
 
   private def rewriteStruct(stmt: String, masked: String,
-                            open: Int, close: Int): String = {
+                            open: Int, close: Int): Option[String] = {
     val body = stmt.substring(open + 1, close)
     val mbody = masked.substring(open + 1, close)
     val cuts = {
@@ -259,10 +267,10 @@ object Brackets {
         }
         k += 1
       }
-      if (colon < 0)
-        throw new UserException(s"struct literal entry needs `key: value`: ${e.trim}")
+      if (colon < 0) return None // not a struct literal
       val key0 = e.substring(0, colon).trim
       val value = e.substring(colon + 1).trim
+      if (key0.isEmpty || value.isEmpty) return None
       // bare identifier keys quote to string literals; quoted keys keep
       val key =
         if (key0.startsWith("'")) key0
@@ -270,7 +278,7 @@ object Brackets {
         else "'" + key0 + "'"
       s"$key, $value"
     }
-    stmt.substring(0, open) + "named_struct(" + parts.mkString(", ") + ")" +
-      stmt.substring(close + 1)
+    Some(stmt.substring(0, open) + "named_struct(" + parts.mkString(", ") +
+      ")" + stmt.substring(close + 1))
   }
 }

@@ -70,6 +70,17 @@ object DuckFunctions {
       s"$fn requires a literal format string")
   }
 
+  /** Σx over a list as `aggregate(l, 0.0d, (acc, x) -> acc + x)`. */
+  private def listFold(l: Expression): Expression = {
+    val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("fin"))
+    ArrayAggregate(l, Literal(0.0d),
+      LambdaFunction(Add(acc, Cast(x,
+        org.apache.spark.sql.types.DoubleType)), Seq(acc, x)),
+      LambdaFunction(fin, Seq(fin)))
+  }
+
   private def timeBucket(width: Expression, ts: Expression,
                          origin: Option[Expression]): Expression = {
     import org.apache.spark.sql.types._
@@ -201,6 +212,33 @@ object DuckFunctions {
         s"generate_series expects 2-3 arguments, got ${a.length}")
       Sequence(a.head, a(1), a.lift(2))
     },
+
+    // polymorphic len (string OR list/map — DuckDB's signature; Spark
+    // splits it into length/size, resolved per type at analysis)
+    arity("len", 1)(a => graft.functions.PolyLen(a.head)),
+
+    // list folds via the native higher-order ArrayAggregate with
+    // programmatically-built lambdas (the analyzer binds
+    // UnresolvedNamedLambdaVariable exactly as for parsed `x -> ...`).
+    // Accumulation is DOUBLE (DuckDB's list_sum of integers returns a
+    // wider integer; the double fold covers both numeric families at
+    // float precision — list_avg is double in both engines)
+    arity("list_sum", 1)(a => listFold(a.head)),
+    arity("list_avg", 1)(a =>
+      Divide(listFold(a.head), Cast(Size(a.head), org.apache.spark.sql.types.DoubleType))),
+    // list_aggregate(l, 'name'): literal-name dispatch onto the same
+    // native nodes
+    arity("list_aggregate", 2)(a =>
+      literalString(a(1), "list_aggregate").toLowerCase match {
+        case "sum" => listFold(a.head)
+        case "avg" | "mean" => Divide(listFold(a.head),
+          Cast(Size(a.head), org.apache.spark.sql.types.DoubleType))
+        case "min" => ArrayMin(a.head)
+        case "max" => ArrayMax(a.head)
+        case "count" => Cast(Size(a.head), org.apache.spark.sql.types.LongType)
+        case other => throw new IllegalArgumentException(
+          s"list_aggregate supports sum/avg/min/max/count, got '$other'")
+      }),
 
     // scalar renames
     arity("regexp_matches", 2)(a => RLike(a.head, a(1))),

@@ -13,7 +13,13 @@ class DialectPropSpec extends AnyFunSuite {
   private val sqlish: Gen[String] = Gen.listOf(Gen.oneOf(
     Gen.alphaNumStr.map(_.take(8)),
     Gen.oneOf("SELECT", "FROM", "JOIN", "WHERE", "'lit'", "\"q\"", "';'",
-      "--c\n", "/*b*/", ";", "(", ")", "::INT", "''", " ")))
+      "--c\n", "/*b*/", ";", "(", ")", "::INT", "''", " ",
+      // round-11 trigger characters: brackets, braces, colons, and the
+      // keyword heads of the new rewrites — rewrite must stay total on
+      // any garbage arrangement of them
+      "[", "]", "{", "}", ":", ",", "FOR", "IN", "IF", "REPLACE",
+      "COLUMNS(", "DESCRIBE", "SUMMARIZE", "generate_series(", "range(",
+      "USING", "DROP")))
     .map(_.mkString(" "))
 
   private def samples(g: Gen[String], n: Int): Seq[String] =
@@ -50,7 +56,10 @@ class DialectPropSpec extends AnyFunSuite {
     val traps = Seq(
       "PRAGMA threads=4", "SET x TO 4", "UNION ALL BY NAME",
       "COPY t TO 'f.csv'", "read_csv('x.csv')", "CREATE MACRO m(a) AS a",
-      "FROM t SELECT a", "INSERT INTO t BY NAME")
+      "FROM t SELECT a", "INSERT INTO t BY NAME",
+      // round-11 triggers
+      "* REPLACE (a AS b)", "COLUMNS(*)", "[1, 2, 3]", "l[4]",
+      "FROM generate_series(1, 5)", "x FOR x IN y", "DROP TABLE t")
     for (trap <- traps) {
       val stmt = s"SELECT 'use $trap here' AS hint FROM real_table"
       val out = Dialect.rewrite(Dialect.fromFirst(stmt))

@@ -156,6 +156,21 @@ class DuckFunctionsSpec extends SparkSpec {
       "AS STRING)") == "2024-03-05 10:30:00")
   }
 
+  test("len is polymorphic; list folds ride native higher-order nodes") {
+    assert(one("SELECT len('hello')") == 5L)
+    assert(one("SELECT len(array(1, 2, 3))") == 3L)
+    assert(one("SELECT len(map('a', 1))") == 1L)
+    assert(one("SELECT list_sum(array(1, 2, 3))") == 6.0)
+    assert(one("SELECT list_sum(array(1.5, 2.5))") == 4.0)
+    assert(one("SELECT list_avg(array(2, 4, 6))") == 4.0)
+    assert(one("SELECT list_aggregate(array(3, 1, 2), 'max')") == 3)
+    assert(one("SELECT list_aggregate(array(3, 1, 2), 'min')") == 1)
+    assert(one("SELECT list_aggregate(array(3, 1, 2), 'count')") == 3L)
+    assert(one("SELECT list_aggregate(array(3, 1, 2), 'sum')") == 6.0)
+    // lambda-spelling still works alongside (parsed higher-order fn)
+    assert(one("SELECT list_transform(array(1, 2), x -> x * 10)[0]") == 10)
+  }
+
   test("struct_pack rewrites through the dialect to named_struct") {
     val sql = Dialect.rewrite("SELECT struct_pack(a := 1, b := 'x') AS s")
     assert(sql.contains("named_struct('a', 1, 'b', 'x')"))
