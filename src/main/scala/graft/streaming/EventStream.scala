@@ -153,6 +153,37 @@ object EventStream {
     * codebook: train offline with `LangId.profileOf` on corpus samples,
     * ship here as literals; the bundled six-language set is the
     * default. Batch == stream by construction (stateless projection). */
+  /** Streaming URL → registrable-domain statistics — t27 at ingest:
+    * per event-time window, per domain, URL count + approximate
+    * distinct documents. Extraction is the batch op's identical
+    * codegen'd regexp pipeline (no UDF); the aggregate is a standard
+    * watermarked window, so state is O(open windows × domains) and each
+    * row emits exactly once on window close. The distinct-document
+    * count is the HLL sketch (exact distinct aggregation is unsupported
+    * over streams, and approximate is the 100-TB answer anyway —
+    * q26's contract). */
+  def urlDomainsStream(docs: DataFrame, textCol: String = "text",
+                       tsCol: String = "ts", idCol: String = "doc_id",
+                       windowMinutes: Int = 60,
+                       lateness: String = "10 minutes"): DataFrame = {
+    val urlRe = "https?://[a-z0-9.-]+[a-z0-9/._%?=&#-]*"
+    docs
+      .select(col(tsCol).cast("timestamp").as("ts"), col(idCol).as("id"),
+        col(textCol).as("text"))
+      .withWatermark("ts", lateness)
+      .select(col("ts"), col("id"),
+        explode(regexp_extract_all(col("text"), lit(urlRe), lit(0))).as("url"))
+      .select(col("ts"), col("id"),
+        regexp_extract(col("url"), "https?://([a-z0-9.-]+)", 1).as("host"))
+      .select(col("ts"), col("id"),
+        regexp_extract(col("host"), "([a-z0-9-]+\\.[a-z]+)$", 1).as("domain"))
+      .groupBy(window(col("ts"), s"$windowMinutes minutes"), col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        approx_count_distinct(col("id")).as("approx_docs"))
+      .select(col("window.start").as("window_start"), col("domain"),
+        col("n_urls"), col("approx_docs"))
+  }
+
   def langIdGate(docs: DataFrame, keepLangs: Set[String] = Set("en"),
                  textCol: String = "text",
                  profiles: Seq[(String, Seq[(String, Int)])] =

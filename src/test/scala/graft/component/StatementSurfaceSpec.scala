@@ -336,6 +336,17 @@ class StatementSurfaceSpec extends SparkSpec {
     // bare statements run without error (result discarded, like SELECT)
     ex.runStatement("DESCRIBE dsc_t")
     ex.runStatement("SUMMARIZE dsc_t")
+    // nested types (array/struct columns) summarize without error:
+    // min/max/moments skip, counts and distinct still compute
+    Seq((1L, Seq(1.0f, 2.0f), ("a", 1)), (2L, Seq(3.0f), ("b", 2)))
+      .toDF("id", "emb", "meta").createOrReplaceTempView("dsc_nested")
+    ex.runStatement("CREATE TABLE sum_n AS SUMMARIZE dsc_nested")
+    val nested = spark.table("sum_n").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(nested("emb").getString(1) == "FLOAT[]")
+    assert(nested("emb").isNullAt(2)) // no min for arrays
+    assert(nested("emb").getLong(10) == 2L)
+    assert(nested("meta").getString(1).startsWith("STRUCT("))
   }
 
   // ── COLUMNS(*) / COLUMNS('regex') ─────────────────────────────────

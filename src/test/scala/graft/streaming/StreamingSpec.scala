@@ -69,6 +69,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming url-domain stats emit per-window counts on close") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val query = EventStream.urlDomainsStream(docs,
+        windowMinutes = 60, lateness = "10 minutes")
+      .writeStream.format("memory").queryName("urlstats")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:05:00"),
+          "see https://a.example.com/x and https://b.example.com/y"),
+        (2L, ts("2024-01-01 10:30:00"), "again https://c.example.com/z"),
+        (3L, ts("2024-01-01 10:40:00"), "no links here"))
+      query.processAllAvailable()
+      assert(spark.table("urlstats").isEmpty) // window still open
+      input.addData((4L, ts("2024-01-01 12:00:00"), "https://late.other.org/"))
+      query.processAllAvailable()
+      val rows = spark.table("urlstats").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString,
+          r.getAs[String]("domain"), r.getAs[Long]("n_urls"),
+          r.getAs[Long]("approx_docs"))).toSet
+      // 3 URLs from 2 docs in the 10:00 window, all example.com;
+      // approx_count_distinct is exact at this cardinality
+      assert(rows == Set(("2024-01-01 10:00:00.0", "example.com", 3L, 2L)),
+        rows)
+    } finally query.stop()
+  }
+
   test("streaming quality gate matches the batch t23 verdict per document") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
