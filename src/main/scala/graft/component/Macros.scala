@@ -9,7 +9,10 @@ import scala.collection.concurrent.TrieMap
   * every `name(args)` call replaced by the body with `(arg)` substituted
   * for each parameter (parenthesized — operator precedence inside the
   * argument must not leak into the body, same reason C macros
-  * parenthesize). Table macros, parameter defaults and overloads are out
+  * parenthesize). TABLE macros (`CREATE MACRO m(x) AS TABLE SELECT ...`)
+  * ride the SAME machinery: the expansion wraps in parentheses, which in
+  * FROM position reads as a derived table — `FROM m(3)` becomes
+  * `FROM (SELECT ... 3 ...)`. Parameter defaults and overloads stay out
   * of the corpus-driven scope; an unsupported form simply doesn't match
   * and surfaces as a loud parse error at syntax check, never a silent
   * difference.
@@ -38,7 +41,10 @@ object Macros {
     createRe.findFirstMatchIn(stmt.trim.stripSuffix(";")) match {
       case Some(m) =>
         val params = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        defs.put(m.group(1).toLowerCase, Macro(params, m.group(3).trim))
+        // TABLE macro: the keyword drops; the body is a query whose
+        // parenthesized expansion is a derived table in FROM position
+        val body = m.group(3).trim.replaceFirst("(?is)^TABLE\\s+", "")
+        defs.put(m.group(1).toLowerCase, Macro(params, body))
         s"SELECT '${m.group(1)}' AS __graft_macro_registered"
       case None => expand(stmt)
     }

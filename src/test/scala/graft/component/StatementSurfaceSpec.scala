@@ -119,6 +119,28 @@ class StatementSurfaceSpec extends SparkSpec {
     Macros.clear()
   }
 
+  test("TABLE macros expand to derived tables in FROM") {
+    Macros.clear()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "g")
+      .createOrReplaceTempView("tm_src")
+    val dir = Files.createTempDirectory("graft_tm_")
+    val ex = new Executor(spark, dir.toString)
+    ex.runStatement(Dialect.rewrite(
+      "CREATE MACRO topn(k) AS TABLE SELECT id, g FROM tm_src ORDER BY id LIMIT k"))
+    ex.runStatement(Dialect.rewrite(
+      "CREATE TABLE tm_out AS SELECT g FROM topn(2) ORDER BY g"))
+    assert(spark.table("tm_out").collect().map(_.getString(0)).toList ==
+      List("a", "b"))
+    // joins against a table-macro call; dependency analysis sees through
+    ex.runStatement(Dialect.rewrite(
+      "CREATE TABLE tm_j AS SELECT s.id FROM tm_src s JOIN topn(1) t ON s.id = t.id"))
+    assert(spark.table("tm_j").collect().map(_.getLong(0)).toList == List(1L))
+    val a = SqlAnalyzer.analyzeStatement(spark,
+      Dialect.rewrite("SELECT * FROM topn(2)"))
+    assert(a.dependencies == Set("tm_src"), a.dependencies)
+    Macros.clear()
+  }
+
   // ── FROM-first syntax + INSERT BY NAME ─────────────────────────────
 
   test("FROM-first: bare FROM and FROM..SELECT reorder; bodies handled") {
