@@ -53,7 +53,10 @@ object Actions {
       issues += "'RE PLACE' should be 'REPLACE'"
     if ("CREATE\\s+OR\\s+REPLACE\\s+VIEW".r.findFirstIn(up).isDefined && !word("AS"))
       issues += "CREATE VIEW missing 'AS' keyword"
-    if (word("SELECT") && !word("FROM"))
+    // the inert macro-registration stand-in (Macros.rewrite) is a
+    // FROM-less SELECT by construction — never a user mistake to lint
+    if (word("SELECT") && !word("FROM") &&
+        !up.contains("__GRAFT_MACRO_REGISTERED"))
       issues += "SELECT statement missing 'FROM' clause"
     if (word("WHERE") &&
         !Seq("=", ">", "<", "!=").exists(masked.contains) &&

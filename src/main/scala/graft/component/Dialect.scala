@@ -479,6 +479,11 @@ object Dialect {
     s = sub(s, "(?is)\\bAS\\s+FROM\\b".r)((_, _) => "AS SELECT * FROM")
     s = sub(s, "(?is)^(\\s*INSERT\\s+INTO\\s+`?[^`\\s(]+`?\\s+)FROM\\b".r)(
       (src, m) => src.substring(m.start(1), m.end(1)) + "SELECT * FROM")
+    // Spark's parser rejects CREATE TEMP TABLE ... AS outright; the
+    // executor handles the TEMP spelling itself (run scope == session
+    // scope), so the stub analyzes the plain CREATE with identical deps
+    s = sub(s, "(?is)^(\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?)TEMP(?:ORARY)?\\s+(?=TABLE\\b)".r)(
+      (src, m) => src.substring(m.start(1), m.end(1)))
     // star REPLACE parses nowhere in Spark; the except-form has the
     // identical dependency set (expressions kept, order moot here)
     if (StarReplaceSql.has(s)) s = StarReplaceSql.except(s)

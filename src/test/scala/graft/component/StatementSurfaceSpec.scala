@@ -436,6 +436,52 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(spark.table("dr_t").collect().head.getInt(0) == 42)
   }
 
+  // ── round-11 integration: one script, every new feature ───────────
+
+  test("component end-to-end: a script using the round-11 surface") {
+    val dd = Files.createTempDirectory("graft_r11_")
+    def w(p: java.nio.file.Path, c: String): Unit = {
+      Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    w(dd.resolve("in/tables/src"), "id,grp,v\n1,a,10\n2,a,20\n3,b,30\n")
+    w(dd.resolve("in/tables/src.manifest"),
+      """{"columns": ["id", "grp", "v"]}""")
+    val script = Seq(
+      "CREATE MACRO dbl(x) AS TABLE SELECT id, CAST(v AS DOUBLE) * x AS v, grp FROM src",
+      "CREATE TEMP TABLE base AS SELECT * REPLACE (upper(grp) AS grp) FROM dbl(2)",
+      "DROP TABLE IF EXISTS scratch",
+      "CREATE TABLE stats AS SELECT tag, sum(COLUMNS('v')) FROM " +
+        "(SELECT v, grp AS tag FROM base) GROUP BY tag",
+      "CREATE TABLE lists AS SELECT g.generate_series AS n, " +
+        "['lo','hi'][CAST(1 + (g.generate_series % 2) AS INTEGER)] AS lbl, " +
+        "list_sum([x * 1.0 FOR x IN [1, 2, 3] IF x > 1]) AS s " +
+        "FROM generate_series(1, 2) g",
+      "CREATE TABLE prof AS SUMMARIZE base",
+      "CREATE TABLE outt AS SELECT b.id, b.v, s.`sum(v)` AS gsum " +
+        "FROM base b JOIN stats s ON upper(b.grp) = upper(s.tag) ORDER BY b.id")
+    val cfg =
+      s"""{"parameters": {"blocks": [{"name": "B", "codes": [
+         |  {"name": "q", "script": [${script.map(s => "\"" + s.replace("\"", "\\\"") + "\"").mkString(", ")}]}
+         |]}]},
+         |"storage": {
+         | "input": {"tables": [{"source": "in.c-x.src", "destination": "src"}]},
+         | "output": {"tables": [{"source": "outt", "destination": "out.c-y.outt"}]}}}""".stripMargin
+    w(dd.resolve("config.json"), cfg)
+    // the script validates cleanly before it runs
+    val issues = Actions.syntaxCheck(spark, Config.parse(cfg))
+    assert(issues.isEmpty, issues)
+    Component.run(spark, dd.toString)
+    val out = Files.readString(dd.resolve("out/tables/outt")).linesIterator.toList
+    assert(out.head == "\"id\",\"v\",\"gsum\"")
+    // v doubled by the macro; group sums: A = 20+40 = 60, B = 60
+    assert(out.contains("\"1\",\"20.0\",\"60.0\"") &&
+      out.contains("\"3\",\"60.0\",\"60.0\""), out)
+    assert(spark.table("prof").count() == 3) // SUMMARIZE rows per column
+    val lists = spark.table("lists").orderBy(col("n")).collect()
+    assert(lists.map(_.getString(1)).toList == List("hi", "lo"))
+    assert(lists.head.getDouble(2) == 5.0) // 2.0 + 3.0
+  }
+
   // ── PRAGMA / SET ... TO ────────────────────────────────────────────
 
   test("PRAGMA and SET..TO become inert Spark SET statements") {
