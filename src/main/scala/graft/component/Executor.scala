@@ -40,6 +40,12 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     """(?is)^\s*INSERT\s+INTO\s+`?([^`\s(]+)`?\s*(.*)$""".r
   private val dropStmt =
     """(?is)^\s*DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?`?([^`\s;]+)`?\s*;?\s*$""".r
+  // bare DDL: CREATE TABLE t (col TYPE, ...) — an EMPTY table with a
+  // declared schema, filled by later INSERTs (the classic DDL+DML script
+  // shape). The column list must not start a query keyword (that's CTAS
+  // with a parenthesized body, handled above by createTable).
+  private val createEmpty =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?`?([^`\s(]+)`?\s*\((.+)\)\s*;?\s*$""".r
 
   /** View definitions registered this run, in creation order:
     * lowercased sanitized name → (sanitized name, body SQL, direct deps).
@@ -132,6 +138,29 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
           spark.catalog.tableExists(s"`${Names.view(name)}`")) ()
       else {
         register(name, materialize(name, bodyDf(body)))
+        rebind(Names.view(name).toLowerCase)
+      }
+
+    case createEmpty(ifNotExists, name, colDefs)
+        if !"(?is)^\\s*(SELECT|WITH|VALUES|FROM|TABLE)\\b".r
+          .findFirstIn(colDefs).isDefined =>
+      if (ifNotExists != null &&
+          spark.catalog.tableExists(s"`${Names.view(name)}`")) ()
+      else {
+        // column defs → StructType; constraint noise DuckDB accepts
+        // (PRIMARY KEY / UNIQUE / DEFAULT v / CHECK(..)) is stripped —
+        // Spark schemas carry none of it, and the data path is what the
+        // component contract checks
+        val cleaned = colDefs
+          .replaceAll("(?i)\\bPRIMARY\\s+KEY\\b", "")
+          .replaceAll("(?i)\\bUNIQUE\\b", "")
+          .replaceAll("(?i)\\bDEFAULT\\s+\\S+", "")
+          .replaceAll("(?i)\\bCHECK\\s*\\([^)]*\\)", "")
+          .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(cleaned)
+        val empty = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        register(name, materialize(name, empty))
         rebind(Names.view(name).toLowerCase)
       }
 

@@ -436,6 +436,31 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(spark.table("dr_t").collect().head.getInt(0) == 42)
   }
 
+  test("bare DDL: CREATE TABLE (cols) makes an empty table INSERTs fill") {
+    val dir = Files.createTempDirectory("graft_ddl_")
+    val ex = new Executor(spark, dir.toString)
+    ex.runStatement(Dialect.rewrite(
+      "CREATE TABLE ddl_t (id BIGINT PRIMARY KEY, name VARCHAR, " +
+        "w DOUBLE DEFAULT 0)"))
+    val t = spark.table("ddl_t")
+    assert(t.columns.sameElements(Array("id", "name", "w")))
+    assert(t.count() == 0)
+    assert(t.schema("name").dataType.typeName == "string")
+    ex.runStatement("INSERT INTO ddl_t SELECT 1, 'x', 2.5 FROM range(1)")
+    ex.runStatement("INSERT INTO ddl_t BY NAME SELECT 'y' AS name, 2 AS id")
+    val got = spark.table("ddl_t").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).sortBy(_._1)
+    assert(got.toList == List((1L, "x", Some(2.5)), (2L, "y", None)), got.toList)
+    // IF NOT EXISTS skips; a parenthesized QUERY is still CTAS, not DDL
+    ex.runStatement("CREATE TABLE IF NOT EXISTS ddl_t (zz INT)")
+    assert(spark.table("ddl_t").columns.length == 3)
+    ex.runStatement("CREATE TABLE ddl_q AS (SELECT 5 AS v FROM range(1))")
+    assert(spark.table("ddl_q").collect().head.getInt(0) == 5)
+    // classification: the DDL is a CREATE with its output
+    val a = SqlAnalyzer.analyzeStatement(spark, "CREATE TABLE nt (a INT, b STRING)")
+    assert(a.outputs == Set("nt") && a.dependencies.isEmpty)
+  }
+
   // ── round-11 integration: one script, every new feature ───────────
 
   test("component end-to-end: a script using the round-11 surface") {
