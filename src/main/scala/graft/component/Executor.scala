@@ -40,6 +40,8 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     """(?is)^\s*INSERT\s+INTO\s+`?([^`\s(]+)`?\s*(.*)$""".r
   private val dropStmt =
     """(?is)^\s*DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?`?([^`\s;]+)`?\s*;?\s*$""".r
+  private val renameStmt =
+    """(?is)^\s*ALTER\s+(?:TABLE|VIEW)\s+(IF\s+EXISTS\s+)?`?([^`\s;]+)`?\s+RENAME\s+TO\s+`?([^`\s;]+)`?\s*;?\s*$""".r
   // bare DDL: CREATE TABLE t (col TYPE, ...) — an EMPTY table with a
   // declared schema, filled by later INSERTs (the classic DDL+DML script
   // shape). The column list must not start a query keyword (that's CTAS
@@ -162,6 +164,28 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
         register(name, materialize(name, empty))
         rebind(Names.view(name).toLowerCase)
+      }
+
+    case renameStmt(ifExists, from, to) =>
+      val src = Names.view(from)
+      val existed = spark.catalog.tableExists(s"`$src`")
+      if (!existed && ifExists == null)
+        throw new UserException(s"ALTER ... RENAME: $from does not exist")
+      if (existed) {
+        val df = spark.table(s"`$src`")
+        register(to, df) // new name over the same (materialized) plan
+        spark.catalog.dropTempView(src)
+        viewDefs.synchronized {
+          Option(viewDefs.remove(src.toLowerCase)).foreach {
+            case (_, body, deps) =>
+              viewDefs.put(Names.view(to).toLowerCase,
+                (Names.view(to), body, deps))
+          }
+        }
+        // no rebind: views that read the old name keep their eagerly-
+        // analyzed plan over the same materialized files (this engine's
+        // documented eager-bind deviation; DuckDB's late-bound views
+        // would instead error at next use)
       }
 
     case dropStmt(kind, ifExists, name) =>

@@ -436,6 +436,20 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(spark.table("dr_t").collect().head.getInt(0) == 42)
   }
 
+  test("ALTER TABLE RENAME TO moves the registration") {
+    val dir = Files.createTempDirectory("graft_ren_")
+    val ex = new Executor(spark, dir.toString)
+    ex.runStatement("CREATE TABLE ren_a AS SELECT 7 AS x FROM range(1)")
+    ex.runStatement("ALTER TABLE ren_a RENAME TO ren_b")
+    assert(!spark.catalog.tableExists("ren_a"))
+    assert(spark.table("ren_b").collect().head.getInt(0) == 7)
+    // the renamed table keeps working as a source and a DML target
+    ex.runStatement("INSERT INTO ren_b SELECT 8 FROM range(1)")
+    assert(spark.table("ren_b").count() == 2)
+    intercept[UserException] { ex.runStatement("ALTER TABLE ren_a RENAME TO z") }
+    ex.runStatement("ALTER TABLE IF EXISTS ren_a RENAME TO z") // silent
+  }
+
   test("bare DDL: CREATE TABLE (cols) makes an empty table INSERTs fill") {
     val dir = Files.createTempDirectory("graft_ddl_")
     val ex = new Executor(spark, dir.toString)
