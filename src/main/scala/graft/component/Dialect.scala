@@ -400,6 +400,25 @@ object Dialect {
     * (A23/A24), so user SQL must not fail on them but must not
     * misconfigure Spark either. `SET k = v` already parses natively. */
   private def rewritePragma(stmt: String): String = {
+    // transaction + maintenance statements. BEGIN/COMMIT/END are inert:
+    // each block already runs as one session, and every table
+    // materialization is an atomic staging-dir swap — the weaker
+    // statement-level atomicity is this engine's documented semantics.
+    // ROLLBACK must NOT be silently inert (the user asked for work to be
+    // undone; pretending it happened is the one unacceptable answer) —
+    // the executor surfaces it loudly. CHECKPOINT/VACUUM/ANALYZE are
+    // DuckDB storage maintenance with no Spark meaning: inert, like the
+    // PRAGMA knobs.
+    val txn = "(?is)^\\s*(BEGIN(?:\\s+TRANSACTION)?|COMMIT|END\\s+TRANSACTION|CHECKPOINT|FORCE\\s+CHECKPOINT|VACUUM(?:\\s+ANALYZE)?|ANALYZE)\\s*;?\\s*$".r
+    txn.findFirstMatchIn(stmt).foreach { m =>
+      val kw = m.group(1).toUpperCase.replaceAll("\\s+", "_")
+      return s"SET __graft_inert_$kw = true"
+    }
+    if ("(?is)^\\s*ROLLBACK\\b".r.findFirstIn(stmt).isDefined)
+      throw new UserException(
+        "ROLLBACK is not supported: statements commit as they run " +
+          "(atomic per-table materialization); remove the transaction " +
+          "control or restructure the script")
     val m = "(?is)^\\s*PRAGMA\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(?:=\\s*(.+?)|\\(\\s*(.+?)\\s*\\))?\\s*;?\\s*$".r
       .findFirstMatchIn(stmt)
     m match {

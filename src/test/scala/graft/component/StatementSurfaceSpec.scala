@@ -523,6 +523,25 @@ class StatementSurfaceSpec extends SparkSpec {
 
   // ── PRAGMA / SET ... TO ────────────────────────────────────────────
 
+  test("transaction/maintenance statements: inert except ROLLBACK (loud)") {
+    val dir = Files.createTempDirectory("graft_txn_")
+    val ex = new Executor(spark, dir.toString)
+    // BEGIN/COMMIT + maintenance run as no-ops; the script's real work
+    // proceeds between them
+    Dialect.prepare(
+      "BEGIN TRANSACTION; CREATE TABLE txn_t AS SELECT 1 AS x FROM range(1); " +
+        "CHECKPOINT; VACUUM; ANALYZE; COMMIT;").foreach(ex.runStatement)
+    assert(spark.table("txn_t").count() == 1)
+    // END TRANSACTION commits too; bare END inside CASE is untouched
+    ex.runStatement(Dialect.rewrite("END TRANSACTION"))
+    ex.runStatement(Dialect.rewrite(
+      "CREATE TABLE txn_c AS SELECT CASE WHEN 1 = 1 THEN 'y' ELSE 'n' END AS v FROM range(1)"))
+    assert(spark.table("txn_c").collect().head.getString(0) == "y")
+    // ROLLBACK cannot be honored — loud, never silently inert
+    val e = intercept[UserException] { Dialect.rewrite("ROLLBACK") }
+    assert(e.getMessage.contains("ROLLBACK"), e.getMessage)
+  }
+
   test("PRAGMA and SET..TO become inert Spark SET statements") {
     assert(Dialect.rewrite("PRAGMA threads=4") == "SET threads = 4")
     assert(Dialect.rewrite("PRAGMA memory_limit='8GB'") == "SET memory_limit = '8GB'")
