@@ -523,6 +523,22 @@ class StatementSurfaceSpec extends SparkSpec {
 
   // ── PRAGMA / SET ... TO ────────────────────────────────────────────
 
+  test("EXPLAIN and SHOW TABLES run natively in scripts (pinned)") {
+    val dir = Files.createTempDirectory("graft_expl_")
+    val ex = new Executor(spark, dir.toString)
+    ex.runStatement("CREATE TABLE ex_t AS SELECT 1 AS x FROM range(1)")
+    // both execute for effect without error; results are discarded like
+    // any bare SELECT in a transformation script
+    ex.runStatement("EXPLAIN SELECT * FROM ex_t")
+    ex.runStatement("SHOW TABLES")
+    // and validation accepts them
+    val cfg = Config.parse(
+      """{"parameters": {"blocks": [{"name": "B", "codes": [
+        |  {"name": "q", "script": ["EXPLAIN SELECT 1 AS v FROM range(1)"]}
+        |]}]}, "storage": {}}""".stripMargin)
+    assert(Actions.syntaxCheck(spark, cfg).isEmpty)
+  }
+
   test("transaction/maintenance statements: inert except ROLLBACK (loud)") {
     val dir = Files.createTempDirectory("graft_txn_")
     val ex = new Executor(spark, dir.toString)
