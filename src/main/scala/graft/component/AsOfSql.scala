@@ -229,9 +229,21 @@ object AsOfSql {
   /** Execute an ASOF JOIN body on the live session; None if the body is
     * not (a supported form of) one. */
   def asofDf(spark: SparkSession, body: String): Option[DataFrame] =
-    parse(body).map { p =>
-      val l = spark.sql(s"SELECT * FROM ${p.leftSrc} __asof_l")
-      val r0 = spark.sql(s"SELECT * FROM ${p.rightSrc} __asof_r")
+    parse(body).map { p0 =>
+      val l = spark.sql(s"SELECT * FROM ${p0.leftSrc} __asof_l")
+      val r0 = spark.sql(s"SELECT * FROM ${p0.rightSrc} __asof_r")
+      // USING names resolve case-insensitively but the engine's schema
+      // surgery is exact-case — normalize to the ACTUAL column spellings
+      // before anything downstream compares names
+      val p = if (!p0.usingForm) p0 else {
+        def actual(cols: Array[String], n: String): String =
+          cols.find(_.equalsIgnoreCase(n)).getOrElse(n)
+        p0.copy(
+          keys = p0.keys.map { case (lk, rk) =>
+            (actual(l.columns, lk), actual(r0.columns, rk)) },
+          leftTs = actual(l.columns, p0.leftTs),
+          rightTs = actual(r0.columns, p0.rightTs))
+      }
       // same-name key contract of the engine op: rename right keys
       val r1 = p.keys.foldLeft(r0) { case (df, (lk, rk)) =>
         if (lk == rk) df else df.withColumnRenamed(rk, lk)
@@ -298,8 +310,14 @@ object AsOfSql {
           // USING semantics: each using column appears ONCE (the left's
           // values) — the carried right-side bound column leaves the
           // star projection; an explicit `q.ts` reference still works
-          // (the non-star branch projects from the full frame)
-          if (p.usingForm) afterWhere.drop(carried(p.rightTs))
+          // (the non-star branch projects from the full frame). The
+          // lookup is case-insensitive like every other resolution path
+          // here (USING (sym, TS) against a physical `ts` must not
+          // crash on an exact-case map miss)
+          if (p.usingForm)
+            carried.collectFirst {
+              case (k, v) if k.equalsIgnoreCase(p.rightTs) => v
+            }.map(afterWhere.drop(_: String)).getOrElse(afterWhere)
           else afterWhere
         } else {
           // selectExpr over the rewritten list: no temp-view registration

@@ -70,15 +70,36 @@ object DuckFunctions {
       s"$fn requires a literal format string")
   }
 
-  /** Σx over a list as `aggregate(l, 0.0d, (acc, x) -> acc + x)`. */
+  /** The list with NULL elements dropped — DuckDB's list folds carry
+    * SQL aggregate semantics (NULLs ignored; empty/all-NULL → NULL), so
+    * a bare `acc + x` fold would poison the sum on the first NULL. */
+  private def nonNulls(l: Expression): Expression = {
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    ArrayFilter(l, LambdaFunction(IsNotNull(x), Seq(x)))
+  }
+
+  /** Σx as `aggregate(filter(l, x -> x IS NOT NULL), 0.0d, ...)`,
+    * NULL when no non-null element exists (sum-aggregate semantics). */
   private def listFold(l: Expression): Expression = {
+    val nn = nonNulls(l)
     val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
     val x = UnresolvedNamedLambdaVariable(Seq("x"))
     val fin = UnresolvedNamedLambdaVariable(Seq("fin"))
-    ArrayAggregate(l, Literal(0.0d),
+    val sum = ArrayAggregate(nonNulls(l), Literal(0.0d),
       LambdaFunction(Add(acc, Cast(x,
         org.apache.spark.sql.types.DoubleType)), Seq(acc, x)),
       LambdaFunction(fin, Seq(fin)))
+    If(EqualTo(Size(nn), Literal(0)),
+      Literal(null, org.apache.spark.sql.types.DoubleType), sum)
+  }
+
+  /** avg over non-null elements; NULL on empty (never a divide-by-zero,
+    * which ANSI mode would raise). */
+  private def listAvg(l: Expression): Expression = {
+    val cnt = Size(nonNulls(l))
+    If(EqualTo(cnt, Literal(0)),
+      Literal(null, org.apache.spark.sql.types.DoubleType),
+      Divide(listFold(l), Cast(cnt, org.apache.spark.sql.types.DoubleType)))
   }
 
   private def timeBucket(width: Expression, ts: Expression,
@@ -224,18 +245,17 @@ object DuckFunctions {
     // wider integer; the double fold covers both numeric families at
     // float precision — list_avg is double in both engines)
     arity("list_sum", 1)(a => listFold(a.head)),
-    arity("list_avg", 1)(a =>
-      Divide(listFold(a.head), Cast(Size(a.head), org.apache.spark.sql.types.DoubleType))),
+    arity("list_avg", 1)(a => listAvg(a.head)),
     // list_aggregate(l, 'name'): literal-name dispatch onto the same
-    // native nodes
+    // native nodes; count counts NON-NULL elements (aggregate semantics)
     arity("list_aggregate", 2)(a =>
       literalString(a(1), "list_aggregate").toLowerCase match {
         case "sum" => listFold(a.head)
-        case "avg" | "mean" => Divide(listFold(a.head),
-          Cast(Size(a.head), org.apache.spark.sql.types.DoubleType))
+        case "avg" | "mean" => listAvg(a.head)
         case "min" => ArrayMin(a.head)
         case "max" => ArrayMax(a.head)
-        case "count" => Cast(Size(a.head), org.apache.spark.sql.types.LongType)
+        case "count" =>
+          Cast(Size(nonNulls(a.head)), org.apache.spark.sql.types.LongType)
         case other => throw new IllegalArgumentException(
           s"list_aggregate supports sum/avg/min/max/count, got '$other'")
       }),

@@ -156,7 +156,9 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
         val cleaned = colDefs
           .replaceAll("(?i)\\bPRIMARY\\s+KEY\\b", "")
           .replaceAll("(?i)\\bUNIQUE\\b", "")
-          .replaceAll("(?i)\\bDEFAULT\\s+\\S+", "")
+          // a quoted default may contain spaces — strip the whole
+          // literal, not just its first token
+          .replaceAll("(?i)\\bDEFAULT\\s+('(?:[^']|'')*'|\\S+)", "")
           .replaceAll("(?i)\\bCHECK\\s*\\([^)]*\\)", "")
           .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
         val schema = org.apache.spark.sql.types.StructType.fromDDL(cleaned)
@@ -172,8 +174,22 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       if (!existed && ifExists == null)
         throw new UserException(s"ALTER ... RENAME: $from does not exist")
       if (existed) {
-        val df = spark.table(s"`$src`")
-        register(to, df) // new name over the same (materialized) plan
+        // a materialized table's files MOVE to the new name's warehouse
+        // dir — left under the old name, a later CREATE TABLE of that
+        // name would overwrite the renamed table's data
+        val srcDir = java.nio.file.Paths.get(warehouseDir, src)
+        if (java.nio.file.Files.isDirectory(srcDir)) {
+          val dstDir = java.nio.file.Paths.get(warehouseDir, Names.view(to))
+          if (java.nio.file.Files.exists(dstDir)) {
+            java.nio.file.Files.walk(dstDir)
+              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          }
+          java.nio.file.Files.move(srcDir, dstDir)
+          register(to, spark.read.parquet(dstDir.toString))
+        } else {
+          register(to, spark.table(s"`$src`")) // view: same analyzed plan
+        }
         spark.catalog.dropTempView(src)
         viewDefs.synchronized {
           Option(viewDefs.remove(src.toLowerCase)).foreach {

@@ -32,13 +32,38 @@ object StarReplaceSql {
   private final case class Occ(starIdx: Int, listOpen: Int, listClose: Int,
                                exceptSpan: Option[(Int, Int)])
 
-  def has(stmt: String): Boolean = occurrences(Dialect.maskQuoted(stmt)).nonEmpty
+  def has(stmt: String): Boolean =
+    occurrences(stmt, Dialect.maskQuoted(stmt)).nonEmpty
 
-  private def occurrences(masked: String): List[Occ] = {
+  /** Is the `*` at `idx` a STAR (projection) rather than multiplication?
+    * A star follows a select-list context: start of text, `,`, `(`, a
+    * qualifying `.` (`t.*`), or the keywords SELECT/DISTINCT/ALL. A `*`
+    * after an operand (identifier char, `)`, `]`, a quote) is the
+    * multiplication operator — `amount * replace(fmt, ',', '')` must
+    * never read as a star modifier. */
+  private def isStar(stmt: String, idx: Int): Boolean = {
+    // read the ORIGINAL text: masking blanks string literals, and a
+    // literal before `*` ('a' * replace(..)) is an operand end too
+    var j = idx - 1
+    while (j >= 0 && stmt.charAt(j).isWhitespace) j -= 1
+    if (j < 0) return true
+    stmt.charAt(j) match {
+      case ',' | '(' | '.' => true
+      case c if c.isLetterOrDigit || c == '_' =>
+        var k = j
+        while (k >= 0 && { val ch = stmt.charAt(k); ch.isLetterOrDigit || ch == '_' })
+          k -= 1
+        Set("select", "distinct", "all")(
+          stmt.substring(k + 1, j + 1).toLowerCase)
+      case _ => false // ), ], quote chars, operators: an operand ended
+    }
+  }
+
+  private def occurrences(stmt: String, masked: String): List[Occ] = {
     val out = scala.collection.mutable.ListBuffer[Occ]()
     var i = 0
     while (i < masked.length) {
-      if (masked.charAt(i) == '*') {
+      if (masked.charAt(i) == '*' && isStar(stmt, i)) {
         var j = i + 1
         while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
         // optional existing EXCEPT/EXCLUDE group (EXCLUDE before
@@ -129,7 +154,7 @@ object StarReplaceSql {
       render: (Occ, Seq[(String, String)], Option[String]) => String): String = {
     val masked = Dialect.maskQuoted(stmt)
     // right-to-left so earlier offsets stay valid
-    occurrences(masked).sortBy(-_.starIdx).foldLeft(stmt) { (acc, o) =>
+    occurrences(stmt, masked).sortBy(-_.starIdx).foldLeft(stmt) { (acc, o) =>
       val inner = o.exceptSpan.map { case (open, close) =>
         stmt.substring(open + 1, close) } // the qualifier (t.) sits BEFORE starIdx, kept
       acc.substring(0, o.starIdx) + render(o, items(stmt, masked, o), inner) +

@@ -53,8 +53,17 @@ object UnionByNameSql {
     val stmt = stmt0.trim.stripSuffix(";")
     val masked = Dialect.maskQuoted(stmt)
     val dep = depths(masked)
+    // a star-modifier `* EXCEPT(c)` (or pre-rewrite `* EXCLUDE`) is a
+    // PROJECTION clause, not a set operator — an EXCEPT preceded by `*`
+    // must not split the statement
+    def afterStar(at: Int): Boolean = {
+      var j = at - 1
+      while (j >= 0 && stmt.charAt(j).isWhitespace) j -= 1
+      j >= 0 && stmt.charAt(j) == '*'
+    }
     val ops0 = "(?is)\\b(UNION|EXCEPT|INTERSECT)(\\s+ALL)?(\\s+BY\\s+NAME)?\\b".r
-      .findAllMatchIn(masked).filter(m => dep(m.start) == 0).toList
+      .findAllMatchIn(masked)
+      .filter(m => dep(m.start) == 0 && !afterStar(m.start)).toList
     val ops = ops0.map { m =>
       SetOp(m.group(1).toUpperCase, m.group(2) != null, m.group(3) != null)
     }

@@ -416,7 +416,7 @@ object Multimodal {
               walk(body, bodyEnd, "trak")
             case "mvhd" if path == "moov" && body + 4 <= bodyEnd =>
               val version = bytes(body) & 0xFF
-              if (version == 1 && body + 28 <= bodyEnd) {
+              if (version == 1 && body + 32 <= bodyEnd) {
                 timescale = be32(bytes, body + 20).toInt
                 val dur = be64(bytes, body + 24)
                 if (timescale > 0) durationMs = (dur * 1000L / timescale).toInt

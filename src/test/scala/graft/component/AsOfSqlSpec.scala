@@ -161,6 +161,11 @@ class AsOfSqlSpec extends SparkSpec {
     val a = SqlAnalyzer.analyzeStatement(spark,
       "SELECT t.trade_id FROM u_trades t ASOF JOIN u_quotes q USING (sym, ts)")
     assert(a.dependencies == Set("u_trades", "u_quotes"))
+    // case-mismatched USING columns resolve like every other path here
+    val ci = AsOfSql.asofDf(spark,
+      "SELECT * FROM u_trades t ASOF JOIN u_quotes q USING (SYM, TS)").get
+    assert(ci.columns.count(_.equalsIgnoreCase("ts")) == 1)
+    assert(ci.count() == 3)
   }
 
   test("unsupported ASOF forms get a clear validation message") {

@@ -167,6 +167,12 @@ class DuckFunctionsSpec extends SparkSpec {
     assert(one("SELECT list_aggregate(array(3, 1, 2), 'min')") == 1)
     assert(one("SELECT list_aggregate(array(3, 1, 2), 'count')") == 3L)
     assert(one("SELECT list_aggregate(array(3, 1, 2), 'sum')") == 6.0)
+    // aggregate NULL semantics, like DuckDB: NULL elements are ignored,
+    // an all-NULL/empty list sums to NULL, count counts non-nulls
+    assert(one("SELECT list_sum(array(1, NULL, 2))") == 3.0)
+    assert(one("SELECT list_sum(array(CAST(NULL AS INT)))") == null)
+    assert(one("SELECT list_avg(array(2, NULL, 4))") == 3.0)
+    assert(one("SELECT list_aggregate(array(1, NULL, 2), 'count')") == 2L)
     // lambda-spelling still works alongside (parsed higher-order fn)
     assert(one("SELECT list_transform(array(1, 2), x -> x * 10)[0]") == 10)
   }

@@ -262,6 +262,15 @@ class StatementSurfaceSpec extends SparkSpec {
         "SELECT * FROM lsb INTERSECT SELECT * FROM lsc")
     }
     assert(e.getMessage.toLowerCase.contains("intersect"), e.getMessage)
+    // a star-modifier `* EXCEPT(..)` in a leg is a projection clause,
+    // never a set-operator split point
+    Seq((1L, "a", 9.0)).toDF("id", "g", "w").createOrReplaceTempView("lsd")
+    ex.runStatement(Dialect.rewrite(
+      "CREATE TABLE ls_star AS SELECT * EXCLUDE (w) FROM lsd " +
+        "UNION BY NAME SELECT * FROM lsa"))
+    val st = spark.table("ls_star")
+    assert(st.columns.toSet == Set("id", "g"))
+    assert(st.count() == 3)
   }
 
   // ── SELECT * REPLACE ───────────────────────────────────────────────
@@ -302,6 +311,15 @@ class StatementSurfaceSpec extends SparkSpec {
       "CREATE TABLE sr5 AS SELECT replace(s, 'a', 'x') AS r FROM sr_t")
     assert(spark.table("sr5").collect().map(_.getString(0)).sorted.toList ==
       List("cd", "xb"))
+    // MULTIPLICATION by replace() is never a star modifier: the `*`
+    // follows an operand (identifier / string literal), not a
+    // select-list position
+    assert(!StarReplaceSql.has("SELECT w * replace(s, 'a', 'b') FROM t"))
+    assert(!StarReplaceSql.has("SELECT 'x' * replace(s, 'a', 'b') FROM t"))
+    ex.runStatement("CREATE TABLE sr7 AS SELECT id * " +
+      "CAST(replace('1,5', ',', '.') AS DOUBLE) AS v FROM sr_t")
+    assert(spark.table("sr7").collect().map(_.getDouble(0)).sorted.toList ==
+      List(1.5, 3.0))
     // dependency analysis sees through the modifier
     val a = SqlAnalyzer.analyzeStatement(spark,
       "SELECT * REPLACE (o_orderkey + 1 AS o_orderkey) FROM orders")
@@ -448,6 +466,12 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(spark.table("ren_b").count() == 2)
     intercept[UserException] { ex.runStatement("ALTER TABLE ren_a RENAME TO z") }
     ex.runStatement("ALTER TABLE IF EXISTS ren_a RENAME TO z") // silent
+    // re-creating the OLD name must not clobber the renamed table's
+    // data (the warehouse files moved with the rename)
+    ex.runStatement("CREATE TABLE ren_a AS SELECT 99 AS x FROM range(1)")
+    assert(spark.table("ren_b").collect().map(_.getInt(0)).sorted.toList ==
+      List(7, 8))
+    assert(spark.table("ren_a").collect().head.getInt(0) == 99)
   }
 
   test("bare DDL: CREATE TABLE (cols) makes an empty table INSERTs fill") {
