@@ -857,6 +857,28 @@ object TextQ {
     //    runs on ≤10 rows (decile cardinality, not corpus). All-integer
     //    arithmetic: decile = (doc_id·10) DIV (max_id+1), counts are
     //    exact — no cross-engine float surface at all.
+    // -- DuckDB list-function surface parity: the registered names
+    //    (len, string_split, list_transform with parsed lambdas,
+    //    list_sum/list_avg/list_aggregate with SQL-aggregate NULL
+    //    semantics) run the IDENTICAL statement text DuckDB executes
+    //    natively — a true cross-engine check of the function bindings,
+    //    not just of a computation. Narrow per-row shape, no shuffle
+    //    until the trailing sort.
+    "t28_list_funcs" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      byRange(T.documents(s, d), "doc_id").selectExpr(
+        "doc_id",
+        "len(text) AS n_chars",
+        "len(string_split(text, ' ')) AS n_tokens",
+        "round(list_sum(list_transform(string_split(text, ' '), " +
+          "w -> CAST(len(w) AS DOUBLE))), 4) AS sum_word_len",
+        "round(list_avg(list_transform(string_split(text, ' '), " +
+          "w -> CAST(len(w) AS DOUBLE))), 6) AS avg_word_len",
+        "list_aggregate(list_transform(string_split(text, ' '), " +
+          "w -> len(w)), 'max') AS max_word_len")
+        .orderBy("doc_id")
+    }),
+
     "t26_vocab_growth" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val docs = T.documents(s, d).select(col("doc_id"), col("text"))
@@ -1058,6 +1080,18 @@ object TextQ {
 
     // t26: identical integer pipeline — first-occurrence decile per
     // term, per-decile new-term counts, trailing cumulative vocabulary
+    "t28_list_funcs" ->
+      """SELECT doc_id,
+        |  len(text) AS n_chars,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  round(list_sum(list_transform(string_split(text, ' '),
+        |    w -> CAST(len(w) AS DOUBLE))), 4) AS sum_word_len,
+        |  round(list_avg(list_transform(string_split(text, ' '),
+        |    w -> CAST(len(w) AS DOUBLE))), 6) AS avg_word_len,
+        |  list_aggregate(list_transform(string_split(text, ' '),
+        |    w -> len(w)), 'max') AS max_word_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "t26_vocab_growth" ->
       """WITH m AS (SELECT max(doc_id) AS mx FROM documents),
         |t AS (SELECT (d.doc_id * 10) // (m.mx + 1) AS dec,
