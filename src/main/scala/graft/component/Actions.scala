@@ -18,20 +18,26 @@ object Actions {
     config.namedScripts.flatMap { s =>
       val name = s.name
       Dialect.prepare(s.sql).flatMap { stmt =>
-        val parseIssue = Try(spark.sessionState.sqlParser
-            .parsePlan(AsOfSql.stub(Pivot.staticStub(CopyTo.stub(
-              UnionByNameSql.stub(DescribeSql.stub(Dialect.analysisStub(stmt)))))))) match {
-          case Failure(e) => List(ValidationIssue(name, s"parse error: ${e.getMessage}"))
-          case Success(_) => Nil
+        // the ROLLBACK sentinel parses cleanly by design — surface the
+        // executor's rejection as this statement's issue instead
+        if (stmt.trim == Dialect.RollbackSentinel)
+          List(ValidationIssue(name, Dialect.RollbackMessage))
+        else {
+          val parseIssue = Try(spark.sessionState.sqlParser
+              .parsePlan(AsOfSql.stub(Pivot.staticStub(CopyTo.stub(
+                UnionByNameSql.stub(DescribeSql.stub(Dialect.analysisStub(stmt)))))))) match {
+            case Failure(e) => List(ValidationIssue(name, s"parse error: ${e.getMessage}"))
+            case Success(_) => Nil
+          }
+          // the ASOF stub deletes the keyword, so a statement the executor
+          // can't actually run would otherwise validate cleanly — surface
+          // the clear unsupported-form message here instead of letting the
+          // user hit an opaque run-time parse error on 'ASOF'
+          val asofIssue = AsOfSql.unsupportedForm(stmt)
+            .map(ValidationIssue(name, _)).toList
+          val lints = lint(stmt).map(ValidationIssue(name, _))
+          parseIssue ++ asofIssue ++ lints
         }
-        // the ASOF stub deletes the keyword, so a statement the executor
-        // can't actually run would otherwise validate cleanly — surface
-        // the clear unsupported-form message here instead of letting the
-        // user hit an opaque run-time parse error on 'ASOF'
-        val asofIssue = AsOfSql.unsupportedForm(stmt)
-          .map(ValidationIssue(name, _)).toList
-        val lints = lint(stmt).map(ValidationIssue(name, _))
-        parseIssue ++ asofIssue ++ lints
       }
     }
 

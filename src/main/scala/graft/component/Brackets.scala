@@ -4,10 +4,13 @@ package graft.component
   * literals `{'k': v}`, 1-based subscripts `l[i]` and inclusive slices
   * `l[a:b]`. All legal in the reference (SQL goes to DuckDB verbatim,
   * `/root/reference/src/query_orchestrator.py:351`); Spark spells them
-  * `array(...)`, `named_struct(...)`, `element_at(...)` (1-based, like
+  * `array(...)`, `named_struct(...)`, `try_element_at(...)` (1-based like
   * DuckDB — the bare Spark `l[i]` subscript is 0-based, so passing
-  * brackets through unchanged would silently shift every element) and
-  * `slice(...)`.
+  * brackets through unchanged would silently shift every element; the
+  * `try_` form returns NULL out-of-range where ANSI `element_at` throws)
+  * and `slice(...)`. String-literal bases subscript/slice characters via
+  * `substr`; negative bounds count from the end (`-1` = last); a trailing
+  * `T[]` after a type name is the ARRAY type spelling, not a subscript.
   *
   * Classification is lexical: a `[` whose previous non-space character
   * belongs to a primary expression (identifier char, `)`, `]`, a quoted
@@ -42,11 +45,29 @@ object Brackets {
         case '[' =>
           val close = matching(masked, i, '[', ']')
           if (close > 0 && innermost(masked, i, close)) {
-            return if (isSubscript(stmt, masked, i))
-              rewriteSubscript(stmt, masked, i, close)
-            else comprehension(stmt, masked, i, close).getOrElse(
-              stmt.substring(0, i) + "array(" +
-                stmt.substring(i + 1, close) + ")" + stmt.substring(close + 1))
+            if (stmt.substring(i + 1, close).trim.isEmpty) {
+              // empty pair: a trailing T[] after a type name is an ARRAY
+              // type spelling (`x::INT[]`, `CAST(x AS VARCHAR[])`, bare
+              // DDL `a INT[]`), NOT a subscript — rewriting it to
+              // element_at(INT, ) would turn legal DuckDB into an opaque
+              // parse error. A non-type empty subscript stays untouched
+              // (Spark's parser reports it with position info); an empty
+              // pair in literal position is the empty list.
+              typeSuffix(stmt, masked, i, close) match {
+                case Some(out) => return out
+                case None =>
+                  if (!isSubscript(stmt, masked, i))
+                    return stmt.substring(0, i) + "array()" +
+                      stmt.substring(close + 1)
+                // else: leave for the parser; keep scanning past it
+              }
+            } else return {
+              if (isSubscript(stmt, masked, i))
+                rewriteSubscript(stmt, masked, i, close)
+              else comprehension(stmt, masked, i, close).getOrElse(
+                stmt.substring(0, i) + "array(" +
+                  stmt.substring(i + 1, close) + ")" + stmt.substring(close + 1))
+            }
           }
         case '{' =>
           val close = matching(masked, i, '{', '}')
@@ -155,12 +176,71 @@ object Brackets {
     j + 1
   }
 
+  /** Type names whose trailing `[]` spells an ARRAY type in DuckDB. */
+  private val typeWords = Set(
+    "int", "integer", "bigint", "smallint", "tinyint", "hugeint",
+    "utinyint", "usmallint", "uinteger", "ubigint", "int1", "int2", "int4",
+    "int8", "float", "float4", "float8", "real", "double", "decimal",
+    "numeric", "varchar", "char", "bpchar", "text", "string", "boolean",
+    "bool", "date", "time", "timestamp", "timestamptz", "datetime", "blob",
+    "bytea", "binary", "varbinary", "interval", "uuid", "json", "array",
+    "struct", "map")
+
+  /** A trailing empty `[]` whose preceding token is a type name (optionally
+    * with a `(p, s)` argument list or an earlier `ARRAY<...>` wrap from a
+    * prior pass) → `ARRAY<type>`; the later VARCHAR→STRING pass still sees
+    * the inner name. None when the preceding token is not a type. */
+  private def typeSuffix(stmt: String, masked: String,
+                         open: Int, close: Int): Option[String] = {
+    var j = open - 1
+    while (j >= 0 && stmt.charAt(j).isWhitespace) j -= 1
+    if (j < 0) return None
+    // consume one trailing group: (p, s) args or an ARRAY<...> wrap
+    stmt.charAt(j) match {
+      case ')' | '>' =>
+        val cc = stmt.charAt(j)
+        val oc = if (cc == ')') '(' else '<'
+        var d = 0
+        var k = j
+        var found = -1
+        while (k >= 0 && found < 0) {
+          val mc = masked.charAt(k)
+          if (mc == cc) d += 1
+          else if (mc == oc) { d -= 1; if (d == 0) found = k }
+          k -= 1
+        }
+        if (found < 0) return None
+        j = found - 1
+        while (j >= 0 && stmt.charAt(j).isWhitespace) j -= 1
+      case _ =>
+    }
+    if (j < 0 || !(stmt.charAt(j).isLetterOrDigit || stmt.charAt(j) == '_'))
+      return None
+    var k = j
+    while (k >= 0 && { val ch = stmt.charAt(k); ch.isLetterOrDigit || ch == '_' })
+      k -= 1
+    val word = stmt.substring(k + 1, j + 1).toLowerCase
+    if (!typeWords(word)) None
+    else {
+      val typeText = stmt.substring(k + 1, open).trim
+      Some(stmt.substring(0, k + 1) + "ARRAY<" + typeText + ">" +
+        stmt.substring(close + 1))
+    }
+  }
+
+  private val nonNegIntLit = "^\\d+$".r
+  private val negIntLit = "^-\\s*(\\d+)$".r
+
   private def rewriteSubscript(stmt: String, masked: String,
                                open: Int, close: Int): String = {
     val start = baseStart(stmt, masked, open)
     val base = stmt.substring(start, open).trim
     val body = stmt.substring(open + 1, close)
     val mbody = masked.substring(open + 1, close)
+    // a string-literal base subscripts/slices CHARACTERS (DuckDB
+    // semantics); element_at only accepts arrays/maps
+    val stringBase = base.startsWith("'")
+    val lenExpr = if (stringBase) s"length($base)" else s"size($base)"
     // depth-0 `:` (not `::`) splits a slice
     val colon = {
       var found = -1
@@ -174,15 +254,41 @@ object Brackets {
       }
       found
     }
+    // normalize a 1-based inclusive bound: DuckDB's negative bounds count
+    // from the end (-1 = last element), so -k maps to len - k + 1; a
+    // non-literal bound needs the runtime CASE (a silent empty result for
+    // l[2:-1] is wrong values, not an error)
+    def bound(raw: String): String = raw match {
+      case nonNegIntLit() => raw
+      case negIntLit(k) => s"($lenExpr - ${k.toInt - 1})"
+      case _ =>
+        s"(CASE WHEN ($raw) < 0 THEN $lenExpr + ($raw) + 1 ELSE ($raw) END)"
+    }
     val repl =
-      if (colon < 0) s"element_at($base, ${body.trim})"
-      else {
+      if (colon < 0) {
+        // try_element_at: NULL on out-of-range (DuckDB contract) where
+        // Spark 4's ANSI element_at throws. A literal 0 index also yields
+        // NULL in DuckDB but INVALID_INDEX_OF_ZERO here — a NULL index is
+        // the NULL-yielding spelling. (A runtime-0 expression index still
+        // errors; guarding every index with nullif would break string map
+        // keys, so the literal is the supported case.)
+        val idx = body.trim
+        if (stringBase) s"substr($base, $idx, 1)"
+        else if (idx.matches("[+]?0+")) s"try_element_at($base, nullif(0, 0))"
+        else s"try_element_at($base, $idx)"
+      } else {
         val lo0 = body.substring(0, colon).trim
         val hi0 = body.substring(colon + 1).trim
-        // DuckDB slice is 1-based INCLUSIVE; omitted bounds span the list
-        val lo = if (lo0.isEmpty) "1" else s"($lo0)"
-        val hi = if (hi0.isEmpty) s"size($base)" else s"($hi0)"
-        s"slice($base, $lo, greatest(0, $hi - $lo + 1))"
+        // DuckDB slice is 1-based INCLUSIVE; omitted bounds span the
+        // list; a lower bound below 1 clamps (l[0:2] ≡ l[1:2])
+        val lo = lo0 match {
+          case "" => "1"
+          case nonNegIntLit() => math.max(1, lo0.toInt).toString
+          case _ => s"greatest(1, ${bound(lo0)})"
+        }
+        val hi = if (hi0.isEmpty) lenExpr else bound(hi0)
+        if (stringBase) s"substr($base, $lo, greatest(0, $hi - $lo + 1))"
+        else s"slice($base, $lo, greatest(0, $hi - $lo + 1))"
       }
     stmt.substring(0, start) + repl + stmt.substring(close + 1)
   }

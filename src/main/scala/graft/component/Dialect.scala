@@ -20,6 +20,17 @@ import scala.collection.mutable.ListBuffer
   */
 object Dialect {
 
+  /** What a ROLLBACK statement rewrites to: parseable (static analysis
+    * lists it as an issue instead of crashing) yet detectable (the
+    * executor rejects it loudly — pretending the undo happened is the one
+    * unacceptable answer). */
+  val RollbackSentinel = "SET __graft_rollback_rejected = true"
+
+  val RollbackMessage: String =
+    "ROLLBACK is not supported: statements commit as they run " +
+      "(atomic per-table materialization); remove the transaction " +
+      "control or restructure the script"
+
   /** Split a multi-statement script on `;`, respecting quotes/comments
     * (the reference sends whole scripts to DuckDB which splits internally;
     * `spark.sql` is single-statement). */
@@ -414,11 +425,13 @@ object Dialect {
       val kw = m.group(1).toUpperCase.replaceAll("\\s+", "_")
       return s"SET __graft_inert_$kw = true"
     }
+    // rewritten to a parseable SENTINEL, not thrown here: prepare() is
+    // also the front door of every static-analysis action (syntax_check,
+    // lineage, expected_input_tables, execution_plan), which must LIST a
+    // script's ROLLBACK as an issue, not crash on it — only the executor
+    // rejects it loudly at run time ([[Executor.runStatement]])
     if ("(?is)^\\s*ROLLBACK\\b".r.findFirstIn(stmt).isDefined)
-      throw new UserException(
-        "ROLLBACK is not supported: statements commit as they run " +
-          "(atomic per-table materialization); remove the transaction " +
-          "control or restructure the script")
+      return Dialect.RollbackSentinel
     val m = "(?is)^\\s*PRAGMA\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(?:=\\s*(.+?)|\\(\\s*(.+?)\\s*\\))?\\s*;?\\s*$".r
       .findFirstMatchIn(stmt)
     m match {

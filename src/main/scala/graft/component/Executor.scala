@@ -120,6 +120,11 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
   /** Run one rewritten statement against the session catalog. */
   def runStatement(stmt0: String): Unit = {
     val stmt = stripLeadingComments(stmt0)
+    // ROLLBACK reaches execution as the dialect's sentinel (static
+    // analysis lists it; a RUN must fail loudly — the user asked for
+    // work to be undone and statements here commit as they run)
+    if (stmt.trim == Dialect.RollbackSentinel)
+      throw new UserException(Dialect.RollbackMessage)
     FileReads.ensureRegistered(spark, stmt) // read_csv/read_parquet views
     stmt match {
     case createView(ifNotExists, name, body) =>

@@ -49,6 +49,60 @@ class BracketsSpec extends SparkSpec {
     assert(one("SELECT l[('2'::INTEGER)] AS e FROM br_t").getString(0) == "y")
   }
 
+  test("array-type suffixes T[] are types, not subscripts") {
+    // ::TYPE[] casts — legal DuckDB type spellings, previously mangled
+    // into element_at(TYPE, )
+    assert(one("SELECT [1, 2]::BIGINT[] AS l").getSeq[Long](0) == Seq(1L, 2L))
+    assert(one("SELECT ['a', 'b']::VARCHAR[] AS l").getSeq[String](0) ==
+      Seq("a", "b"))
+    assert(one("SELECT CAST([1, 2] AS INT[]) AS l").getSeq[Int](0) == Seq(1, 2))
+    // parameterized and nested element types
+    assert(one("SELECT [1.25, 2.5]::DECIMAL(4, 2)[] AS l")
+      .getSeq[java.math.BigDecimal](0).map(_.doubleValue) == Seq(1.25, 2.5))
+    assert(one("SELECT [[1], [2]]::INT[][] AS l").getSeq[Seq[Int]](0) ==
+      Seq(Seq(1), Seq(2)))
+    // bare DDL with a list-typed column
+    val dir = Files.createTempDirectory("graft_brt_")
+    val ex = new Executor(spark, dir.toString)
+    ex.runStatement(Dialect.rewrite(
+      "CREATE TABLE br_ddl (a INT[], s VARCHAR)"))
+    ex.runStatement(Dialect.rewrite(
+      "INSERT INTO br_ddl VALUES ([1, 2], 'x')"))
+    val row = spark.table("br_ddl").collect().head
+    assert(row.getSeq[Int](0) == Seq(1, 2) && row.getString(1) == "x")
+  }
+
+  test("negative bounds count from the end (DuckDB -1 = last)") {
+    Seq(Tuple1(Seq("x", "y", "z"))).toDF("l").createOrReplaceTempView("br_neg")
+    assert(one("SELECT l[-1] AS e FROM br_neg").getString(0) == "z")
+    assert(one("SELECT l[2:-1] AS s FROM br_neg").getSeq[String](0) ==
+      Seq("y", "z"))
+    // DuckDB-verified: -2 maps to size - 2 + 1 = index 2, inclusive
+    assert(one("SELECT l[:-2] AS s FROM br_neg").getSeq[String](0) ==
+      Seq("x", "y"))
+    assert(one("SELECT l[-2:] AS s FROM br_neg").getSeq[String](0) ==
+      Seq("y", "z"))
+    // non-literal bound takes the runtime normalization path
+    assert(one("SELECT l[2:(0 - 1)] AS s FROM br_neg").getSeq[String](0) ==
+      Seq("y", "z"))
+    // a lower bound past the front clamps to 1; crossed bounds are empty
+    assert(one("SELECT l[-9:2] AS s FROM br_neg").getSeq[String](0) ==
+      Seq("x", "y"))
+    assert(one("SELECT l[3:2] AS s FROM br_neg").getSeq[String](0) == Nil)
+  }
+
+  test("out-of-range subscripts are NULL; string bases use characters") {
+    Seq(Tuple1(Seq("x", "y", "z"))).toDF("l").createOrReplaceTempView("br_oor")
+    // DuckDB returns NULL past the end; ANSI element_at would throw
+    assert(one("SELECT l[10] AS e FROM br_oor").isNullAt(0))
+    assert(one("SELECT l[0] AS e FROM br_oor").isNullAt(0))
+    // string-literal bases subscript and slice CHARACTERS
+    assert(one("SELECT 'abc'[2] AS c").getString(0) == "b")
+    assert(one("SELECT 'abc'[-1] AS c").getString(0) == "c")
+    assert(one("SELECT 'abcd'[2:3] AS s").getString(0) == "bc")
+    assert(one("SELECT 'abcd'[:-2] AS s").getString(0) == "abc")
+  }
+
   test("struct literals become named_struct; bare and quoted keys") {
     val r = one("SELECT {'a': 1, 'b': 'x'} AS s")
     val s = r.getStruct(0)

@@ -577,9 +577,28 @@ class StatementSurfaceSpec extends SparkSpec {
     ex.runStatement(Dialect.rewrite(
       "CREATE TABLE txn_c AS SELECT CASE WHEN 1 = 1 THEN 'y' ELSE 'n' END AS v FROM range(1)"))
     assert(spark.table("txn_c").collect().head.getString(0) == "y")
-    // ROLLBACK cannot be honored — loud, never silently inert
-    val e = intercept[UserException] { Dialect.rewrite("ROLLBACK") }
+    // ROLLBACK cannot be honored — loud at RUN time, never silently
+    // inert; the rewrite itself produces a parseable sentinel so static
+    // analysis can list the issue instead of crashing
+    assert(Dialect.rewrite("ROLLBACK") == Dialect.RollbackSentinel)
+    assert(Dialect.rewrite("rollback;") == Dialect.RollbackSentinel)
+    val e = intercept[UserException] { ex.runStatement(Dialect.rewrite("ROLLBACK")) }
     assert(e.getMessage.contains("ROLLBACK"), e.getMessage)
+    // every static-analysis action survives a script carrying ROLLBACK:
+    // syntax_check lists it as the statement's issue; the analyzers and
+    // visual reports keep working on the rest of the script
+    val cfgRb = Config.parse(
+      """{"parameters": {"blocks": [{"name": "B", "codes": [
+        |  {"name": "q", "script": ["CREATE TABLE rb_t AS SELECT 1 AS x FROM range(1)", "ROLLBACK"]}
+        |]}]}, "storage": {}}""".stripMargin)
+    val issues = Actions.syntaxCheck(spark, cfgRb)
+    assert(issues.map(_.message) == List(Dialect.RollbackMessage), issues)
+    val analysis = SqlAnalyzer.analyzeScript(spark,
+      "CREATE TABLE rb_t AS SELECT * FROM rb_src; ROLLBACK;")
+    assert(analysis.outputs == Set("rb_t") && analysis.dependencies == Set("rb_src"))
+    assert(Actions.expectedInputTables(spark, cfgRb) != null)
+    assert(Actions.lineage(spark, cfgRb) != null)
+    assert(Actions.executionPlan(spark, cfgRb) != null)
   }
 
   test("PRAGMA and SET..TO become inert Spark SET statements") {
