@@ -185,11 +185,7 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
         val srcDir = java.nio.file.Paths.get(warehouseDir, src)
         if (java.nio.file.Files.isDirectory(srcDir)) {
           val dstDir = java.nio.file.Paths.get(warehouseDir, Names.view(to))
-          if (java.nio.file.Files.exists(dstDir)) {
-            java.nio.file.Files.walk(dstDir)
-              .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-              .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          }
+          if (java.nio.file.Files.exists(dstDir)) deleteRecursively(dstDir)
           java.nio.file.Files.move(srcDir, dstDir)
           register(to, spark.read.parquet(dstDir.toString))
         } else {
@@ -202,11 +198,27 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
               viewDefs.put(Names.view(to).toLowerCase,
                 (Names.view(to), body, deps))
           }
+          // DuckDB's late-bound views would error after the rename; this
+          // engine's eager-bind contract keeps dependent views WORKING
+          // instead — but a materialized table's files just MOVED, so
+          // their captured file indexes point at deleted paths. Re-run
+          // each (transitively) dependent view with references renamed,
+          // in creation order, recording the new name in body + deps so
+          // later DML on the new name keeps rebinding them.
+          val affected =
+            scala.collection.mutable.Set(src.toLowerCase, from.toLowerCase)
+          viewDefs.forEach { (key, defn) =>
+            val (sanitized, body, deps) = defn
+            if (deps.exists(d => affected(d.toLowerCase))) {
+              val newBody = renameRefs(renameRefs(body, from, to), src, to)
+              val newDeps = deps.map(d =>
+                if (affected(d.toLowerCase)) to.toLowerCase else d)
+              spark.sql(newBody).createOrReplaceTempView(sanitized)
+              viewDefs.put(key, (sanitized, newBody, newDeps))
+              affected += key
+            }
+          }
         }
-        // no rebind: views that read the old name keep their eagerly-
-        // analyzed plan over the same materialized files (this engine's
-        // documented eager-bind deviation; DuckDB's late-bound views
-        // would instead error at next use)
       }
 
     case dropStmt(kind, ifExists, name) =>
@@ -426,12 +438,50 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     val staging = Paths.get(warehouseDir,
       s".staging_${Names.view(name)}_${version.incrementAndGet()}")
     df.write.mode("overwrite").parquet(staging.toString)
-    if (Files.exists(dir)) { // replace previous state
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => Files.deleteIfExists(p))
-    }
+    if (Files.exists(dir)) deleteRecursively(dir) // replace previous state
     Files.move(staging, dir)
     spark.read.parquet(dir.toString)
+  }
+
+  /** Depth-first delete; the walk stream is CLOSED (an unclosed
+    * Files.walk leaks a directory fd per DDL/DML statement). */
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    val walk = java.nio.file.Files.walk(dir)
+    try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
+  }
+
+  /** Textually rename identifier references of `from` to `to` in a view
+    * body: bare word-boundary occurrences outside quotes/comments, and
+    * `"from"` / `` `from` `` quoted spellings. A textual pass (not AST)
+    * — the rename path re-analyzes the result, so a miss surfaces as a
+    * clear analysis error, never silent wrong data. */
+  private def renameRefs(sql: String, from: String, to: String): String = {
+    if (from.equalsIgnoreCase(to)) return sql
+    val masked = Dialect.maskQuoted(sql)
+    val out = new StringBuilder
+    var i = 0
+    val fl = from.length
+    def isWordChar(ch: Char) = ch.isLetterOrDigit || ch == '_'
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if ((c == '"' || c == '`') && masked.charAt(i) == ' ') {
+        val end = sql.indexOf(c, i + 1)
+        val stop = if (end < 0) sql.length else end + 1
+        val inner = sql.substring(math.min(i + 1, stop), math.max(i + 1, stop - 1))
+        if (inner.equalsIgnoreCase(from)) out.append(c).append(to).append(c)
+        else out.append(sql.substring(i, stop))
+        i = stop
+      } else if (masked.charAt(i) == c && isWordChar(c) &&
+          (i == 0 || !isWordChar(sql.charAt(i - 1))) &&
+          i + fl <= sql.length &&
+          sql.regionMatches(true, i, from, 0, fl) &&
+          (i + fl == sql.length || !isWordChar(sql.charAt(i + fl)))) {
+        out.append(to); i += fl
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
   }
 
   private def register(name: String, df: DataFrame): Unit =

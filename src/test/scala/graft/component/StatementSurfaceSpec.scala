@@ -474,6 +474,30 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(spark.table("ren_a").collect().head.getInt(0) == 99)
   }
 
+  test("ALTER RENAME rebinds dependent views onto the moved files") {
+    val dir = Files.createTempDirectory("graft_renv_")
+    val ex = new Executor(spark, dir.toString)
+    ex.runStatement("CREATE TABLE rv_t AS SELECT 5 AS x FROM range(1)")
+    // direct dependent, transitive dependent, and a string literal that
+    // spells the table name (must NOT be renamed)
+    ex.runStatement(
+      "CREATE VIEW rv_v AS SELECT x + 1 AS y, 'rv_t' AS tag FROM rv_t")
+    ex.runStatement("CREATE VIEW rv_w AS SELECT y * 10 AS z FROM rv_v")
+    ex.runStatement("ALTER TABLE rv_t RENAME TO rv_t2")
+    // previously: FileNotFoundException — the views' captured file
+    // indexes pointed at the moved parquet dir
+    val v = spark.table("rv_v").collect().head
+    assert(v.getInt(0) == 6 && v.getString(1) == "rv_t")
+    assert(spark.table("rv_w").collect().head.getInt(0) == 60)
+    // deps were renamed too: DML on the NEW name cascades through the
+    // rebound view chain
+    ex.runStatement("INSERT INTO rv_t2 SELECT 9 FROM range(1)")
+    assert(spark.table("rv_v").collect().map(_.getInt(0)).sorted.toList ==
+      List(6, 10))
+    assert(spark.table("rv_w").collect().map(_.getInt(0)).sorted.toList ==
+      List(60, 100))
+  }
+
   test("bare DDL: CREATE TABLE (cols) makes an empty table INSERTs fill") {
     val dir = Files.createTempDirectory("graft_ddl_")
     val ex = new Executor(spark, dir.toString)
