@@ -72,6 +72,12 @@ object Actions {
       issues += "use PERCENTILE_CONT() or PERCENTILE_DISC() instead of PERCENTILE()"
     if (up.contains("PERCENTILE_CONT") && !up.contains("WITHIN GROUP"))
       issues += "PERCENTILE_CONT requires WITHIN GROUP (ORDER BY ...)"
+    // a rewritable UNNEST is gone by lint time (UnnestSql lowers select-
+    // list and FROM uses inside Dialect.rewrite); a residual one sits
+    // where no lowering exists (WHERE, GROUP BY, SET ...) — DuckDB's
+    // binder rejects those spots too ("UNNEST not supported here")
+    if ("(?i)\\bUNNEST\\s*\\(".r.findFirstIn(masked).isDefined)
+      issues += "UNNEST is only supported in the select list or FROM position"
     if (up.contains("CAST(") && up.contains("AS VARCHAR") &&
         Seq("+", "-", "*", "/", ">", "<", "=").exists(masked.contains) &&
         !masked.contains("||"))

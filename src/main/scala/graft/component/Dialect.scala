@@ -85,9 +85,9 @@ object Dialect {
     * (`::VARCHAR`, `* EXCLUDE (`) apply only OUTSIDE quoted regions. */
   def rewrite(stmt0: String): String = {
     val stmt = rewriteQualify(rewriteDistinctOn(rewriteWithCreate(
-      Pivot.rewriteUnpivot(rewriteSeriesTableFns(Brackets.rewrite(
-        FileReads.rewriteTableFunctions(
-          rewritePragma(Macros.rewrite(stmt0)))))))))
+      Pivot.rewriteUnpivot(UnnestSql.rewrite(rewriteSeriesTableFns(
+        Brackets.rewrite(FileReads.rewriteTableFunctions(
+          rewritePragma(Macros.rewrite(stmt0))))))))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position

@@ -145,10 +145,31 @@ object Extended {
       T.documents(s, d).createOrReplaceTempView("documents")
       graft.component.Pivot.pivotDf(s,
         "PIVOT documents ON lang USING max(n_chars) GROUP BY source").get
+    }),
+
+    // DuckDB UNNEST, full dialect differential: the IDENTICAL statement
+    // text runs in both engines (Spark side through Dialect.rewrite,
+    // which lowers the two lockstep unnests to ONE generator —
+    // inline(arrays_zip) — inside the scan stage: no extra shuffle, the
+    // only exchange is the GROUP BY's). Exercises the multi-unnest zip,
+    // expansion under an outer aggregate, and scalar generate_series.
+    "q61_unnest" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q61))
     })
   )
 
   object Oracle {
+    /** Shared DuckDB/Spark text — q61 runs this verbatim in both engines. */
+    val q61: String =
+      """SELECT w, COUNT(*) AS n, CAST(SUM(p) AS BIGINT) AS sum_pos
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w,
+        |             unnest(generate_series(1, len(string_split(text, ' ')))) AS p
+        |      FROM documents WHERE doc_id % 5 = 0) u
+        |WHERE w <> ''
+        |GROUP BY w ORDER BY w""".stripMargin
+
     val q37: String =
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
@@ -255,6 +276,7 @@ object Extended {
   }
 
   val oracles: Map[String, String] = Map(
+    "q61_unnest" -> Oracle.q61,
     "q37_grouping_sets" -> Oracle.q37,
     "q38_outer_joins" -> Oracle.q38,
     "q39_in_subquery" -> Oracle.q39,
