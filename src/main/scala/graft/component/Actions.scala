@@ -24,8 +24,9 @@ object Actions {
           List(ValidationIssue(name, Dialect.RollbackMessage))
         else {
           val parseIssue = Try(spark.sessionState.sqlParser
-              .parsePlan(AsOfSql.stub(Pivot.staticStub(CopyTo.stub(
-                UnionByNameSql.stub(DescribeSql.stub(Dialect.analysisStub(stmt)))))))) match {
+              .parsePlan(PositionalSql.stub(AsOfSql.stub(Pivot.staticStub(
+                CopyTo.stub(UnionByNameSql.stub(DescribeSql.stub(
+                  Dialect.analysisStub(stmt))))))))) match {
             case Failure(e) => List(ValidationIssue(name, s"parse error: ${e.getMessage}"))
             case Success(_) => Nil
           }
@@ -33,7 +34,8 @@ object Actions {
           // can't actually run would otherwise validate cleanly — surface
           // the clear unsupported-form message here instead of letting the
           // user hit an opaque run-time parse error on 'ASOF'
-          val asofIssue = AsOfSql.unsupportedForm(stmt)
+          val asofIssue = (AsOfSql.unsupportedForm(stmt) ++
+            PositionalSql.unsupportedForm(stmt))
             .map(ValidationIssue(name, _)).toList
           val lints = lint(stmt).map(ValidationIssue(name, _))
           parseIssue ++ asofIssue ++ lints

@@ -284,9 +284,10 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
 
     case _ if Pivot.parse(stmt).isDefined || AsOfSql.parse(stmt).isDefined ||
         UnionByNameSql.parse(stmt).isDefined || StarReplaceSql.has(stmt) ||
-        DescribeSql.parse(stmt).isDefined || ColumnsSql.has(stmt) =>
-      // bare PIVOT / ASOF / UNION BY NAME / star REPLACE / DESCRIBE /
-      // SUMMARIZE: execute for effect + errors
+        DescribeSql.parse(stmt).isDefined || ColumnsSql.has(stmt) ||
+        PositionalSql.parse(stmt).isDefined =>
+      // bare PIVOT / ASOF / POSITIONAL / UNION BY NAME / star REPLACE /
+      // DESCRIBE / SUMMARIZE: execute for effect + errors
       bodyDf(stmt).queryExecution.assertAnalyzed()
 
     case _ =>
@@ -344,6 +345,7 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     val body = Dialect.fromFirst(body0)
     Pivot.pivotDf(spark, body)
       .orElse(AsOfSql.asofDf(spark, body))
+      .orElse(PositionalSql.df(spark, body))
       .orElse(UnionByNameSql.parse(body)
         .map(UnionByNameSql.df(spark, _, bodyDf)))
       .orElse(DescribeSql.parse(body)
@@ -371,9 +373,9 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
         }
       }
       .getOrElse {
-        // an ASOF statement outside the supported grammar would reach
-        // spark.sql and die with an opaque parse error on the ASOF token
-        AsOfSql.unsupportedForm(body)
+        // an ASOF/POSITIONAL statement outside the supported grammar would
+        // reach spark.sql and die with an opaque parse error on the token
+        (AsOfSql.unsupportedForm(body) ++ PositionalSql.unsupportedForm(body))
           .foreach(msg => throw new IllegalArgumentException(msg))
         spark.sql(body)
       }

@@ -34,8 +34,8 @@ object SqlAnalyzer {
       // PIVOT / ASOF / COPY statements have no Catalyst spelling; their
       // session-free stubs parse with the same dependency sets
       val plan = spark.sessionState.sqlParser.parsePlan(
-        AsOfSql.stub(Pivot.staticStub(CopyTo.stub(
-          UnionByNameSql.stub(DescribeSql.stub(Dialect.analysisStub(rewritten)))))))
+        PositionalSql.stub(AsOfSql.stub(Pivot.staticStub(CopyTo.stub(
+          UnionByNameSql.stub(DescribeSql.stub(Dialect.analysisStub(rewritten))))))))
       fromPlan(plan)
     }.getOrElse(Analysis(Set.empty, Set.empty, OtherStmt))
 

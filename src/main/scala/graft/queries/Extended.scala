@@ -157,6 +157,18 @@ object Extended {
       graft.component.DuckFunctions.register(s)
       T.documents(s, d).createOrReplaceTempView("documents")
       s.sql(graft.component.Dialect.rewrite(Oracle.q61))
+    }),
+
+    // DuckDB POSITIONAL JOIN, full dialect differential: IDENTICAL text
+    // in both engines; the Spark side runs through component/
+    // PositionalSql → ops/Positional (pinned-layout zipWithIndex + one
+    // dense-index join). Sides of different lengths exercise the
+    // NULL-pad; ORDER BY'd subqueries make the zip order well-defined.
+    // No trailing ORDER BY: the compare canon-sorts (d03 precedent).
+    "q62_positional" -> ((s, d) => {
+      T.orders(s, d).createOrReplaceTempView("orders")
+      graft.component.PositionalSql.df(s, Oracle.q62)
+        .getOrElse(sys.error("q62: PositionalSql did not recognize the statement"))
     })
   )
 
@@ -169,6 +181,15 @@ object Extended {
         |      FROM documents WHERE doc_id % 5 = 0) u
         |WHERE w <> ''
         |GROUP BY w ORDER BY w""".stripMargin
+
+    /** Shared DuckDB/Spark text — q62 runs this verbatim in both engines. */
+    val q62: String =
+      """SELECT l_key, l_val, r_key, r_val
+        |FROM (SELECT o_orderkey AS l_key, o_totalprice AS l_val FROM orders
+        |      WHERE o_orderkey % 3 = 0 ORDER BY o_orderkey)
+        |POSITIONAL JOIN
+        |     (SELECT o_orderkey AS r_key, o_custkey AS r_val FROM orders
+        |      WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey)""".stripMargin
 
     val q37: String =
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
@@ -277,6 +298,7 @@ object Extended {
 
   val oracles: Map[String, String] = Map(
     "q61_unnest" -> Oracle.q61,
+    "q62_positional" -> Oracle.q62,
     "q37_grouping_sets" -> Oracle.q37,
     "q38_outer_joins" -> Oracle.q38,
     "q39_in_subquery" -> Oracle.q39,
