@@ -25,8 +25,8 @@ object Actions {
         else {
           val parseIssue = Try(spark.sessionState.sqlParser
               .parsePlan(PositionalSql.stub(AsOfSql.stub(Pivot.staticStub(
-                CopyTo.stub(UnionByNameSql.stub(DescribeSql.stub(
-                  Dialect.analysisStub(stmt))))))))) match {
+                CopyFrom.stub(CopyTo.stub(UnionByNameSql.stub(DescribeSql.stub(
+                  Dialect.analysisStub(stmt)))))))))) match {
             case Failure(e) => List(ValidationIssue(name, s"parse error: ${e.getMessage}"))
             case Success(_) => Nil
           }

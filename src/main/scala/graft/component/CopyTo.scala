@@ -27,7 +27,8 @@ object CopyTo {
 
   final case class Parsed(source: String, path: String, format: String,
                           header: Boolean, delimiter: String, quote: String,
-                          forceQuote: Boolean)
+                          forceQuote: Boolean,
+                          partitionBy: Seq[String] = Nil)
 
   private def depths(masked: String): Array[Int] = {
     val out = new Array[Int](masked.length)
@@ -68,23 +69,7 @@ object CopyTo {
     val rest = "(?is)^WITH\\s*".r
       .replaceFirstIn(after.substring(pathM.end).trim, "")
     val opts: Map[String, String] =
-      if (rest.isEmpty) Map.empty
-      else if (rest.startsWith("(") && rest.endsWith(")")) {
-        val inner = rest.substring(1, rest.length - 1)
-        val innerMasked = Dialect.maskQuoted(inner)
-        val cuts = innerMasked.zipWithIndex.collect { case (',', i) => i }
-        (Seq(-1) ++ cuts :+ inner.length).sliding(2).flatMap {
-          case Seq(a, b) =>
-            val piece = inner.substring(a + 1, b).trim
-            if (piece.isEmpty) None
-            else {
-              val sp = piece.split("\\s+", 2)
-              Some(sp(0).toUpperCase ->
-                (if (sp.length > 1) sp(1).trim else "true"))
-            }
-          case _ => None
-        }.toMap
-      } else return None
+      parseOptions(rest).getOrElse(return None)
     def unq(s: String) =
       s.stripPrefix("'").stripSuffix("'").replace("''", "'")
     val fmt = opts.get("FORMAT").map(v => unq(v).toUpperCase)
@@ -102,8 +87,53 @@ object CopyTo {
       delimiter = opts.get("DELIMITER").orElse(opts.get("DELIM"))
         .orElse(opts.get("SEP")).map(unq).getOrElse(","),
       quote = opts.get("QUOTE").map(unq).getOrElse("\""),
-      forceQuote = opts.get("FORCE_QUOTE").isDefined))
+      forceQuote = opts.get("FORCE_QUOTE").isDefined,
+      partitionBy = opts.get("PARTITION_BY").toSeq.flatMap { v =>
+        v.trim.stripPrefix("(").stripSuffix(")").split(",")
+          .map(_.trim.stripPrefix("`").stripSuffix("`")
+            .stripPrefix("\"").stripSuffix("\""))
+          .filter(_.nonEmpty).toSeq
+      }))
   }
+
+  /** `(KEY [value], ...)` option list (also the `WITH (...)` spelling,
+    * stripped by the caller) → upper-cased key → raw value text. Split
+    * on depth-0 commas only: an option VALUE may itself be a list —
+    * `PARTITION_BY (a, b)`. None = text after the path isn't an option
+    * list (not a COPY statement we recognize). */
+  private[component] def parseOptions(rest: String): Option[Map[String, String]] =
+    if (rest.isEmpty) Some(Map.empty)
+    else if (rest.startsWith("(") && rest.endsWith(")")) {
+      val inner = rest.substring(1, rest.length - 1)
+      val innerMasked = Dialect.maskQuoted(inner)
+      val innerDep = depths(innerMasked)
+      val cuts = innerMasked.zipWithIndex.collect {
+        case (',', i) if innerDep(i) == 0 => i }
+      Some((Seq(-1) ++ cuts :+ inner.length).sliding(2).flatMap {
+        case Seq(a, b) =>
+          val piece = inner.substring(a + 1, b).trim
+          if (piece.isEmpty) None
+          else {
+            val sp = piece.split("\\s+", 2)
+            Some(sp(0).toUpperCase ->
+              (if (sp.length > 1) sp(1).trim else "true"))
+          }
+        case _ => None
+      }.toMap)
+    } else None
+
+  private[component] def unquote(s: String): String =
+    s.stripPrefix("'").stripSuffix("'").replace("''", "'")
+
+  private[component] def formatOf(opts: Map[String, String],
+                                  path: String): String =
+    opts.get("FORMAT").map(v => unquote(v).toUpperCase).getOrElse {
+      val p = path.toLowerCase
+      if (p.endsWith(".parquet") || p.endsWith(".parq")) "PARQUET"
+      else if (p.endsWith(".json") || p.endsWith(".jsonl") ||
+        p.endsWith(".ndjson")) "JSON"
+      else "CSV"
+    }
 
   /** Session-free stand-in for static analysis: the COPY source is the
     * statement's only dependency, so `SELECT * FROM <source>` (or the
@@ -125,6 +155,30 @@ object CopyTo {
       else spark.table(s"`${Names.view(p.source)}`")
     val dest = Paths.get(p.path)
     if (dest.getParent != null) Files.createDirectories(dest.getParent)
+    if (p.partitionBy.nonEmpty) {
+      // PARTITION_BY: a DIRECTORY TREE of col=value paths (hive layout,
+      // DuckDB's own output shape) — the scale path. No coalesce(1):
+      // every task writes its own files under its partition dirs, so a
+      // 100-TB export runs fully parallel, and the col=value layout is
+      // what makes later scans partition-prunable. Part-file NAMES are
+      // engine-specific (Spark's part-*, DuckDB's data_*.parquet); the
+      // contract is the readable layout, not the file names.
+      val writer = df.write.mode("overwrite").partitionBy(p.partitionBy: _*)
+      p.format match {
+        case "CSV" => writer
+          .option("header", p.header.toString)
+          .option("sep", p.delimiter)
+          .option("quote", p.quote)
+          .option("escape", p.quote) // RFC4180, like the single-file sink
+          .option("quoteAll", p.forceQuote.toString)
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+          .option("dateFormat", "yyyy-MM-dd")
+          .csv(dest.toString)
+        case "PARQUET" => writer.parquet(dest.toString)
+        case "JSON"    => writer.json(dest.toString)
+      }
+      return
+    }
     p.format match {
       case "CSV" => writeCsv(df, dest, p)
       case "PARQUET" => writeStaged(dest) { stage =>
@@ -198,4 +252,77 @@ object CopyTo {
       try Files.deleteIfExists(f) catch { case _: Exception => () })
     finally walk.close()
   }
+}
+
+/** DuckDB `COPY <table> FROM '<file>' (options)` — append a file's rows
+  * into an EXISTING table (DuckDB requires the table; so does this).
+  * Probed v1.0 semantics, matched here: column mapping is POSITIONAL
+  * for CSV and Parquet (a CSV HEADER only skips the first line — its
+  * names are ignored; a Parquet column in the wrong position is a loud
+  * cast error, not a reorder); HEADER defaults to FALSE (unlike COPY
+  * TO's true); JSON maps by name (objects are unordered). Execution is
+  * the executor's INSERT tail: read, align, cast, union, atomic
+  * re-materialization. */
+object CopyFrom {
+
+  final case class Parsed(target: String, path: String, format: String,
+                          header: Boolean, delimiter: String, quote: String)
+
+  def parse(stmt0: String): Option[Parsed] = {
+    val stmt = stmt0.trim.stripSuffix(";")
+    val masked = Dialect.maskQuoted(stmt)
+    if (!"(?is)^\\s*COPY\\b".r.findFirstIn(masked).isDefined) return None
+    val dep = {
+      val out = new Array[Int](masked.length)
+      var d = 0; var i = 0
+      while (i < masked.length) {
+        val c = masked.charAt(i)
+        if (c == '(') { out(i) = d; d += 1 }
+        else if (c == ')') { d -= 1; out(i) = d }
+        else out(i) = d
+        i += 1
+      }
+      out
+    }
+    // a COPY ... TO is the export statement, not this one
+    if ("(?is)\\bTO\\b".r.findAllMatchIn(masked).exists(m => dep(m.start) == 0))
+      return None
+    val fromM = "(?is)\\bFROM\\b".r.findAllMatchIn(masked)
+      .find(m => dep(m.start) == 0).getOrElse(return None)
+    val target0 = stmt.substring(4, fromM.start).trim
+    val target =
+      if (target0.length >= 2 &&
+          ((target0.head == '\'' && target0.last == '\'') ||
+           (target0.head == '"' && target0.last == '"') ||
+           (target0.head == '`' && target0.last == '`')))
+        target0.substring(1, target0.length - 1)
+      else target0
+    if (target.isEmpty || target.contains("(")) return None
+    val after = stmt.substring(fromM.end).trim
+    val pathM = "(?s)^'((?:[^']|'')*)'".r.findFirstMatchIn(after).getOrElse(return None)
+    val path = pathM.group(1).replace("''", "'")
+    val rest = "(?is)^WITH\\s*".r
+      .replaceFirstIn(after.substring(pathM.end).trim, "")
+    val opts = CopyTo.parseOptions(rest).getOrElse(return None)
+    val fmt = CopyTo.formatOf(opts, path)
+    if (!Set("CSV", "PARQUET", "JSON")(fmt)) return None
+    Some(Parsed(
+      target, path, fmt,
+      // COPY FROM's HEADER default is FALSE (probed; COPY TO's is true)
+      header = opts.get("HEADER")
+        .exists(v => !(v.equalsIgnoreCase("false") || v == "0")),
+      delimiter = opts.get("DELIMITER").orElse(opts.get("DELIM"))
+        .orElse(opts.get("SEP")).map(CopyTo.unquote).getOrElse(","),
+      quote = opts.get("QUOTE").map(CopyTo.unquote).getOrElse("\"")))
+  }
+
+  /** Static-analysis twin: COPY FROM both requires and mutates the
+    * target — exactly an INSERT's self-referential dependency shape. */
+  def stub(stmt: String): String =
+    parse(stmt) match {
+      case Some(p) =>
+        val t = s"`${Names.view(p.target)}`"
+        s"INSERT INTO $t SELECT * FROM $t"
+      case None => stmt
+    }
 }

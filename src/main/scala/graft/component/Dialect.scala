@@ -94,6 +94,12 @@ object Dialect {
     // detection must survive flushes and skip comments, mirroring
     // splitStatements' state machine
     val context = new StringBuilder
+    // `COPY <t> FROM '<path>'`: the quoted token after a DEPTH-0 FROM is
+    // a FILE PATH, not a table identifier — sanitizing it would destroy
+    // the path. Inside a COPY's subquery (depth > 0) FROM is table
+    // position as usual.
+    val isCopyStmt = "(?is)^\\s*COPY\\b".r.findFirstIn(stmt).isDefined
+    var parenDepth = 0
 
     def flushPlain(): Unit = {
       out.append(plain.toString
@@ -133,7 +139,8 @@ object Dialect {
         val end = quotedEnd(stmt, i)
         val body = stmt.substring(i + 1, math.max(i + 1, end - 1))
         val isIdentifier = !body.contains("''") &&
-          tableKeyword.findFirstIn(context.toString).isDefined
+          tableKeyword.findFirstIn(context.toString).isDefined &&
+          !(isCopyStmt && parenDepth == 0)
         flushPlain()
         if (isIdentifier) out.append('`').append(Names.view(body)).append('`')
         else out.append(stmt.substring(i, end)) // literal, verbatim
@@ -164,7 +171,11 @@ object Dialect {
         out.append(stmt.substring(i, stop))
         context.append(' ')
         i = stop
-      } else { plain.append(c); context.append(c); i += 1 }
+      } else {
+        if (c == '(') parenDepth += 1
+        else if (c == ')') parenDepth -= 1
+        plain.append(c); context.append(c); i += 1
+      }
     }
     flushPlain()
     out.toString

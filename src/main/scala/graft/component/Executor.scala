@@ -282,6 +282,46 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     case _ if CopyTo.parse(stmt).isDefined =>
       CopyTo.execute(spark, CopyTo.parse(stmt).get, bodyDf)
 
+    case _ if CopyFrom.parse(stmt).isDefined =>
+      val p = CopyFrom.parse(stmt).get
+      val tgt = s"`${Names.view(p.target)}`"
+      if (!spark.catalog.tableExists(tgt))
+        throw new UserException(
+          s"COPY ... FROM: table ${p.target} does not exist " +
+            "(create it first — DuckDB requires this too)")
+      val existing = spark.table(tgt)
+      val added0 = p.format match {
+        case "CSV" => spark.read
+          // positional mapping under the TARGET's schema (probed DuckDB
+          // behavior: a HEADER only skips the first line, its names are
+          // ignored); FAILFAST so a malformed row is a loud error, not
+          // a silent NULL row
+          .schema(existing.schema)
+          .option("header", p.header.toString)
+          .option("sep", p.delimiter)
+          .option("quote", p.quote)
+          .option("escape", p.quote)
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+          .option("dateFormat", "yyyy-MM-dd")
+          .option("mode", "FAILFAST")
+          .csv(p.path)
+        case "PARQUET" =>
+          val r = spark.read.parquet(p.path)
+          if (r.columns.length != existing.columns.length)
+            throw new UserException(
+              s"COPY ${p.target} FROM parquet: ${r.columns.length} columns " +
+                s"in file, ${existing.columns.length} in table")
+          r.toDF(existing.columns: _*) // positional; bad types fail the cast
+        case "JSON" => spark.read.json(p.path) // objects are unordered: by name
+      }
+      val addedCols = added0.columns.map(_.toLowerCase).toSet
+      val aligned = added0.select(existing.columns.map { c =>
+        if (addedCols(c.toLowerCase)) col(c).cast(existing.schema(c).dataType).as(c)
+        else lit(null).cast(existing.schema(c).dataType).as(c)
+      }: _*)
+      register(p.target, materialize(p.target, existing.unionByName(aligned)))
+      rebind(Names.view(p.target).toLowerCase)
+
     case _ if Pivot.parse(stmt).isDefined || AsOfSql.parse(stmt).isDefined ||
         UnionByNameSql.parse(stmt).isDefined || StarReplaceSql.has(stmt) ||
         DescribeSql.parse(stmt).isDefined || ColumnsSql.has(stmt) ||

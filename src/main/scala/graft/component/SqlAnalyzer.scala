@@ -34,8 +34,9 @@ object SqlAnalyzer {
       // PIVOT / ASOF / COPY statements have no Catalyst spelling; their
       // session-free stubs parse with the same dependency sets
       val plan = spark.sessionState.sqlParser.parsePlan(
-        PositionalSql.stub(AsOfSql.stub(Pivot.staticStub(CopyTo.stub(
-          UnionByNameSql.stub(DescribeSql.stub(Dialect.analysisStub(rewritten))))))))
+        PositionalSql.stub(AsOfSql.stub(Pivot.staticStub(CopyFrom.stub(
+          CopyTo.stub(UnionByNameSql.stub(DescribeSql.stub(
+            Dialect.analysisStub(rewritten)))))))))
       fromPlan(plan)
     }.getOrElse(Analysis(Set.empty, Set.empty, OtherStmt))
 

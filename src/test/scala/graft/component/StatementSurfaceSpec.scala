@@ -34,6 +34,72 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(a.dependencies == Set("orders", "nation"))
   }
 
+  test("COPY TO PARTITION_BY writes a hive col=value directory tree") {
+    val dir = Files.createTempDirectory("graft_copy_part_")
+    Seq((1L, "us", 10.0), (2L, "de", 20.0), (3L, "us", 30.0))
+      .toDF("id", "cc", "v").createOrReplaceTempView("cp_part")
+    val ex = new Executor(spark, dir.resolve("wh").toString)
+    val p = CopyTo.parse(
+      "COPY cp_part TO '/x' (FORMAT PARQUET, PARTITION_BY (cc))").get
+    assert(p.partitionBy == Seq("cc"))
+    // the list value must not break neighboring options (depth-0 split)
+    val p2 = CopyTo.parse(
+      "COPY t TO '/x' (PARTITION_BY (a, b), HEADER false, DELIMITER ';')").get
+    assert(p2.partitionBy == Seq("a", "b") && !p2.header && p2.delimiter == ";")
+    val out = dir.resolve("tree")
+    ex.runStatement(
+      s"COPY cp_part TO '$out' (FORMAT PARQUET, PARTITION_BY (cc))")
+    assert(Files.isDirectory(out.resolve("cc=us")) &&
+      Files.isDirectory(out.resolve("cc=de")))
+    // readable back with partition pruning intact
+    val back = spark.read.parquet(out.toString)
+    assert(back.count() == 3)
+    assert(back.filter(col("cc") === "us").count() == 2)
+    // partitioned CSV keeps per-file headers
+    val outCsv = dir.resolve("treecsv")
+    ex.runStatement(
+      s"COPY cp_part TO '$outCsv' (FORMAT CSV, HEADER, PARTITION_BY (cc))")
+    val deFile = {
+      import scala.jdk.CollectionConverters._
+      Files.list(outCsv.resolve("cc=de")).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".csv")).get
+    }
+    assert(Files.readString(deFile).linesIterator.next() == "id,v")
+  }
+
+  test("COPY FROM appends a file into an existing table (positional)") {
+    val dir = Files.createTempDirectory("graft_copy_from_")
+    val ex = new Executor(spark, dir.resolve("wh").toString)
+    ex.runStatement("CREATE TABLE cf_t AS SELECT 1 AS a, 'x' AS b FROM range(1)")
+    // no HEADER option: first line is DATA (DuckDB's COPY FROM default)
+    Files.writeString(dir.resolve("rows.csv"), "2,y\n3,z\n")
+    Dialect.prepare(s"COPY cf_t FROM '${dir.resolve("rows.csv")}'")
+      .foreach(ex.runStatement)
+    assert(spark.table("cf_t").collect()
+      .map(r => (r.getInt(0), r.getString(1))).sorted.toList ==
+      List((1, "x"), (2, "y"), (3, "z")))
+    // HEADER skips the first line; its names are IGNORED (positional,
+    // probed DuckDB behavior — a swapped header does not reorder)
+    Files.writeString(dir.resolve("hdr.csv"), "b,a\n4,w\n")
+    Dialect.prepare(s"COPY cf_t FROM '${dir.resolve("hdr.csv")}' (HEADER)")
+      .foreach(ex.runStatement)
+    assert(spark.table("cf_t").filter(col("a") === 4).collect()
+      .map(_.getString(1)).toList == List("w"))
+    // parquet: positional, arity-checked
+    spark.sql("SELECT 9 AS p, 'q' AS q").write.mode("overwrite")
+      .parquet(dir.resolve("add.parquet").toString)
+    Dialect.prepare(s"COPY cf_t FROM '${dir.resolve("add.parquet")}'")
+      .foreach(ex.runStatement)
+    assert(spark.table("cf_t").count() == 5)
+    // missing target table is a loud error
+    val e = intercept[UserException](
+      ex.runStatement("COPY cf_missing FROM '/tmp/nope.csv'"))
+    assert(e.getMessage.contains("does not exist"))
+    // static analysis: target is both dependency and output (INSERT shape)
+    val an = SqlAnalyzer.analyzeStatement(spark, "COPY cf_t FROM '/tmp/x.csv'")
+    assert(an.outputs == Set("cf_t"))
+  }
+
   test("COPY TO writes single CSV/Parquet/JSON files from user SQL") {
     val dir = Files.createTempDirectory("graft_copy_spec_")
     Seq((1L, "a"), (2L, "b|c")).toDF("id", "s").createOrReplaceTempView("cp_src")
