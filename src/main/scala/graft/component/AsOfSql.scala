@@ -67,20 +67,6 @@ object AsOfSql {
     sb.toString
   }
 
-  private def depths(masked: String): Array[Int] = {
-    val out = new Array[Int](masked.length)
-    var d = 0
-    var i = 0
-    while (i < masked.length) {
-      val c = masked.charAt(i)
-      if (c == '(') { out(i) = d; d += 1 }
-      else if (c == ')') { d -= 1; out(i) = d }
-      else out(i) = d
-      i += 1
-    }
-    out
-  }
-
   /** (source, alias) out of a FROM-item: trailing bare identifier (not
     * preceded by a dot) is the alias; `AS` is tolerated. */
   private def srcAlias(seg0: String): (String, String) = {
@@ -107,7 +93,7 @@ object AsOfSql {
   private[component] def parse(stmt0: String): Option[Parsed] = {
     val stmt = stmt0.trim
     val masked = Dialect.maskQuoted(stmt)
-    val dep = depths(masked)
+    val dep = Dialect.depths(masked)
     def kwAt(re: String): Option[scala.util.matching.Regex.Match] =
       ("(?is)" + re).r.findAllMatchIn(masked).find(m => dep(m.start) == 0)
     val asofM = kwAt("\\bASOF\\s+(LEFT\\s+)?JOIN\\b").getOrElse(return None)
@@ -185,7 +171,7 @@ object AsOfSql {
     // conjunct split at depth 0
     val condStr = stmt.substring(onM.end, tailStart).trim.stripSuffix(";")
     val condMasked = Dialect.maskQuoted(condStr)
-    val condDep = depths(condMasked)
+    val condDep = Dialect.depths(condMasked)
     val cuts = "(?i)\\bAND\\b".r.findAllMatchIn(condMasked)
       .filter(m => condDep(m.start) == 0).map(_.start).toList
     val pieces = (List(0) ++ cuts.flatMap(c => List(c, c + 3)) ++
@@ -295,7 +281,7 @@ object AsOfSql {
       // depth-0 comma split helper (shared by select list and ORDER BY)
       def splitTop(s: String): Seq[String] = {
         val m = Dialect.maskQuoted(s)
-        val d = depths(m)
+        val d = Dialect.depths(m)
         val cutsAt = m.zipWithIndex.collect { case (',', i) if d(i) == 0 => i }
         (Seq(-1) ++ cutsAt :+ s.length).sliding(2).map {
           case Seq(a, b) => s.substring(a + 1, b).trim
@@ -347,7 +333,7 @@ object AsOfSql {
   /** Depth-0 ASOF JOIN present anywhere in the statement? */
   private[component] def containsAsOf(stmt: String): Boolean = {
     val masked = Dialect.maskQuoted(stmt)
-    val dep = depths(masked)
+    val dep = Dialect.depths(masked)
     "(?is)\\bASOF\\s+(?:LEFT\\s+)?JOIN\\b".r.findAllMatchIn(masked)
       .exists(m => dep(m.start) == 0)
   }

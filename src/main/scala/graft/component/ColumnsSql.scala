@@ -37,7 +37,7 @@ object ColumnsSql {
   def expand(body: String, bodyDf: String => DataFrame): Option[String] = {
     val masked = Dialect.maskQuoted(body)
     if (callRe.findFirstMatchIn(masked).isEmpty) return None
-    val dep = depths(masked)
+    val dep = Dialect.depths(masked)
     val selM = "(?is)^\\s*SELECT\\b(\\s+DISTINCT\\b)?".r
       .findFirstMatchIn(masked).getOrElse(return None)
     val fromM = "(?is)\\bFROM\\b".r.findAllMatchIn(masked)
@@ -155,17 +155,4 @@ object ColumnsSql {
     -1
   }
 
-  private def depths(masked: String): Array[Int] = {
-    val out = new Array[Int](masked.length)
-    var d = 0
-    var i = 0
-    while (i < masked.length) {
-      val c = masked.charAt(i)
-      if (c == '(') { out(i) = d; d += 1 }
-      else if (c == ')') { d -= 1; out(i) = d }
-      else out(i) = d
-      i += 1
-    }
-    out
-  }
 }

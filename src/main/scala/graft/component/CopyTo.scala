@@ -30,25 +30,11 @@ object CopyTo {
                           forceQuote: Boolean,
                           partitionBy: Seq[String] = Nil)
 
-  private def depths(masked: String): Array[Int] = {
-    val out = new Array[Int](masked.length)
-    var d = 0
-    var i = 0
-    while (i < masked.length) {
-      val c = masked.charAt(i)
-      if (c == '(') { out(i) = d; d += 1 }
-      else if (c == ')') { d -= 1; out(i) = d }
-      else out(i) = d
-      i += 1
-    }
-    out
-  }
-
   def parse(stmt0: String): Option[Parsed] = {
     val stmt = stmt0.trim.stripSuffix(";")
     val masked = Dialect.maskQuoted(stmt)
     if (!"(?is)^\\s*COPY\\b".r.findFirstIn(masked).isDefined) return None
-    val dep = depths(masked)
+    val dep = Dialect.depths(masked)
     val toM = "(?is)\\bTO\\b".r.findAllMatchIn(masked)
       .find(m => dep(m.start) == 0).getOrElse(return None)
     // bare table sources may be quoted ('out.csv' / "T" / `t`) — COPY is
@@ -106,7 +92,7 @@ object CopyTo {
     else if (rest.startsWith("(") && rest.endsWith(")")) {
       val inner = rest.substring(1, rest.length - 1)
       val innerMasked = Dialect.maskQuoted(inner)
-      val innerDep = depths(innerMasked)
+      val innerDep = Dialect.depths(innerMasked)
       val cuts = innerMasked.zipWithIndex.collect {
         case (',', i) if innerDep(i) == 0 => i }
       Some((Seq(-1) ++ cuts :+ inner.length).sliding(2).flatMap {

@@ -199,9 +199,27 @@ object Dialect {
     rest.substring(0, header.end) + withPart + "\n" + rest.substring(header.end)
   }
 
+  /** Index of the ')' balancing the '(' at `open` in masked text, or -1.
+    * The ONE paren matcher for the statement-rewrite family — operate on
+    * [[maskQuoted]] output so quoted/commented parens don't count. */
+  private[component] def matchingParen(masked: String, open: Int): Int = {
+    var d = 0
+    var i = open
+    while (i < masked.length) {
+      masked.charAt(i) match {
+        case '(' => d += 1
+        case ')' => d -= 1; if (d == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
   /** Paren depth at every masked-text position (the paren chars
-    * themselves report the OUTER depth). */
-  private def depths(masked: String): Array[Int] = {
+    * themselves report the OUTER depth). The ONE depth scanner for the
+    * statement-rewrite family. */
+  private[component] def depths(masked: String): Array[Int] = {
     val out = new Array[Int](masked.length)
     var d = 0
     var i = 0

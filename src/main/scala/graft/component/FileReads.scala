@@ -64,7 +64,7 @@ object FileReads {
       case None => stmt
       case Some(m) =>
         val open = m.end - 1
-        val close = matchingParen(masked, open)
+        val close = Dialect.matchingParen(masked, open)
         if (close < 0) stmt
         else {
           val view = register(m.group(1).toLowerCase,
@@ -74,22 +74,6 @@ object FileReads {
             stmt.substring(0, m.start) + s"`$view`" + stmt.substring(close + 1))
         }
     }
-  }
-
-  /** Index of the ')' matching the '(' at `open` in MASKED text (quotes
-    * already blanked, so every paren is structural). */
-  private def matchingParen(masked: String, open: Int): Int = {
-    var depth = 0
-    var i = open
-    while (i < masked.length) {
-      masked.charAt(i) match {
-        case '(' => depth += 1
-        case ')' => depth -= 1; if (depth == 0) return i
-        case _ =>
-      }
-      i += 1
-    }
-    -1
   }
 
   private def unquote(s0: String): String = {

@@ -77,7 +77,7 @@ object Macros {
         val m = calls.next()
         val mac = defs(m.group(1).toLowerCase)
         val open = m.end - 1
-        val close = matchingParen(masked, open)
+        val close = Dialect.matchingParen(masked, open)
         if (close > open) {
           val argsStr = stmt.substring(open + 1, close)
           val args = splitTop(argsStr)
@@ -134,17 +134,4 @@ object Macros {
     }.toSeq
   }
 
-  private def matchingParen(masked: String, open: Int): Int = {
-    var depth = 0
-    var i = open
-    while (i < masked.length) {
-      masked.charAt(i) match {
-        case '(' => depth += 1
-        case ')' => depth -= 1; if (depth == 0) return i
-        case _ =>
-      }
-      i += 1
-    }
-    -1
-  }
 }

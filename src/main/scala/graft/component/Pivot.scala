@@ -38,21 +38,6 @@ object Pivot {
       src: String, on: String, aggFn: String, aggArg: String,
       groupCols: Option[Seq[String]])
 
-  /** Paren depth per character over a masked statement. */
-  private def depths(masked: String): Array[Int] = {
-    val out = new Array[Int](masked.length)
-    var d = 0
-    var i = 0
-    while (i < masked.length) {
-      val c = masked.charAt(i)
-      if (c == '(') { out(i) = d; d += 1 }
-      else if (c == ')') { d -= 1; out(i) = d }
-      else out(i) = d
-      i += 1
-    }
-    out
-  }
-
   /** First depth-0 occurrence of keyword `kw` at/after `from`, or -1. */
   private def findKw(masked: String, dep: Array[Int], kw: String, from: Int): Int =
     ("(?i)\\b" + kw + "\\b").r.findAllMatchIn(masked).map(_.start)
@@ -64,7 +49,7 @@ object Pivot {
     val stmt = unwrap(stmt0)
     val masked = Dialect.maskQuoted(stmt)
     if (!"(?is)^\\s*PIVOT\\b".r.findFirstIn(masked).isDefined) return None
-    val dep = depths(masked)
+    val dep = Dialect.depths(masked)
     val afterKw = "(?is)^\\s*PIVOT\\b".r.findFirstMatchIn(masked).get.end
     // source: identifier or parenthesized subquery
     var i = afterKw
@@ -200,7 +185,7 @@ object Pivot {
     val masked = Dialect.maskQuoted(stmt)
     val m = "(?is)(^\\s*|\\bAS\\s+)UNPIVOT\\b".r.findFirstMatchIn(masked)
       .getOrElse(return stmt)
-    val dep = depths(masked)
+    val dep = Dialect.depths(masked)
     val start = masked.toUpperCase.indexOf("UNPIVOT", m.start)
     if (dep(start) != 0) return stmt
     val tail = stmt.substring(start)

@@ -74,7 +74,7 @@ object PositionalSql {
   def parse(stmt0: String): Option[Parsed] = {
     val stmt = stmt0.trim.stripSuffix(";")
     val masked = Dialect.maskQuoted(stmt)
-    val dep = depths(masked)
+    val dep = Dialect.depths(masked)
     val pj = posJoinRe.findAllMatchIn(masked).filter(m => dep(m.start) == 0).toList
     val m = pj match {
       case one :: Nil => one
@@ -188,17 +188,4 @@ object PositionalSql {
     sb.toString
   }
 
-  private def depths(masked: String): Array[Int] = {
-    val out = new Array[Int](masked.length)
-    var d = 0
-    var i = 0
-    while (i < masked.length) {
-      val c = masked.charAt(i)
-      if (c == '(') { out(i) = d; d += 1 }
-      else if (c == ')') { d -= 1; out(i) = d }
-      else out(i) = d
-      i += 1
-    }
-    out
-  }
 }

@@ -72,7 +72,7 @@ object StarReplaceSql {
         "(?is)^(EXCEPT|EXCLUDE)\\s*\\(".r.findFirstMatchIn(masked.substring(j))
           .foreach { m =>
             val open = j + m.end - 1
-            val close = matching(masked, open)
+            val close = Dialect.matchingParen(masked, open)
             if (close > 0) {
               exceptSpan = Some((open, close))
               j = close + 1
@@ -81,27 +81,13 @@ object StarReplaceSql {
           }
         "(?is)^REPLACE\\s*\\(".r.findFirstMatchIn(masked.substring(j)).foreach { m =>
           val open = j + m.end - 1
-          val close = matching(masked, open)
+          val close = Dialect.matchingParen(masked, open)
           if (close > 0) out += Occ(i, open, close, exceptSpan)
         }
       }
       i += 1
     }
     out.toList
-  }
-
-  private def matching(masked: String, open: Int): Int = {
-    var d = 0
-    var i = open
-    while (i < masked.length) {
-      masked.charAt(i) match {
-        case '(' => d += 1
-        case ')' => d -= 1; if (d == 0) return i
-        case _ =>
-      }
-      i += 1
-    }
-    -1
   }
 
   /** Depth-0 comma split of the REPLACE list, each `expr AS name` —

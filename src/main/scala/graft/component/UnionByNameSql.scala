@@ -35,24 +35,10 @@ object UnionByNameSql {
   final case class Parsed(segments: Seq[String], ops: Seq[SetOp],
                           orderBy: Option[String], limit: Option[Int])
 
-  private def depths(masked: String): Array[Int] = {
-    val out = new Array[Int](masked.length)
-    var d = 0
-    var i = 0
-    while (i < masked.length) {
-      val c = masked.charAt(i)
-      if (c == '(') { out(i) = d; d += 1 }
-      else if (c == ')') { d -= 1; out(i) = d }
-      else out(i) = d
-      i += 1
-    }
-    out
-  }
-
   def parse(stmt0: String): Option[Parsed] = {
     val stmt = stmt0.trim.stripSuffix(";")
     val masked = Dialect.maskQuoted(stmt)
-    val dep = depths(masked)
+    val dep = Dialect.depths(masked)
     // a star-modifier `* EXCEPT(c)` (or pre-rewrite `* EXCLUDE`) is a
     // PROJECTION clause, not a set operator — an EXCEPT preceded by `*`
     // must not split the statement
@@ -82,7 +68,7 @@ object UnionByNameSql {
     if (segments0.exists(_.isEmpty)) return None
     // trailing ORDER BY / LIMIT on the LAST segment applies to the union
     val lastMasked = Dialect.maskQuoted(segments0.last)
-    val lastDep = depths(lastMasked)
+    val lastDep = Dialect.depths(lastMasked)
     val tailKws = "(?is)\\b(ORDER\\s+BY|LIMIT)\\b".r
       .findAllMatchIn(lastMasked).filter(m => lastDep(m.start) == 0).toList
     val (lastSeg, orderBy, limit) = tailKws.headOption match {
@@ -138,7 +124,7 @@ object UnionByNameSql {
         // depth-0 comma split: a bare split(",") would break
         // `ORDER BY coalesce(a, b)` at the call's comma
         val obMasked = Dialect.maskQuoted(ob)
-        val obDep = depths(obMasked)
+        val obDep = Dialect.depths(obMasked)
         val cuts = obMasked.zipWithIndex.collect {
           case (',', i) if obDep(i) == 0 => i
         }

@@ -61,7 +61,7 @@ object UnnestSql {
       case None => stmt
       case Some(m) =>
         val open = m.end - 1
-        val close = matchParen(masked, open)
+        val close = Dialect.matchingParen(masked, open)
         if (close < 0) return stmt
         val arg = stmt.substring(open + 1, close).trim
         // optional alias: AS t(c) | AS t | t(c) | t  (never a keyword)
@@ -93,7 +93,7 @@ object UnnestSql {
     while (guard < 32) {
       guard += 1
       val masked = Dialect.maskQuoted(stmt)
-      val dep = depths(masked)
+      val dep = Dialect.depths(masked)
       val u = callRe.findFirstMatchIn(masked).getOrElse(return stmt)
       // owning SELECT: walking left from the call, the first SELECT seen
       // at the running minimum depth — closer SELECTs at deeper depths
@@ -139,7 +139,7 @@ object UnnestSql {
           j -= 1
         }
         if (own == owner) {
-          val close = matchParen(masked, m.end - 1)
+          val close = Dialect.matchingParen(masked, m.end - 1)
           if (close < 0) return stmt // unbalanced: leave for the lint/parser
           calls += Call(m.start, close + 1, stmt.substring(m.end, close).trim)
         }
@@ -195,31 +195,4 @@ object UnnestSql {
     stmt.substring(a, b).trim == stmt.substring(start, end).trim
   }
 
-  private def matchParen(masked: String, open: Int): Int = {
-    var d = 0
-    var i = open
-    while (i < masked.length) {
-      masked.charAt(i) match {
-        case '(' => d += 1
-        case ')' => d -= 1; if (d == 0) return i
-        case _ =>
-      }
-      i += 1
-    }
-    -1
-  }
-
-  private def depths(masked: String): Array[Int] = {
-    val out = new Array[Int](masked.length)
-    var d = 0
-    var i = 0
-    while (i < masked.length) {
-      val c = masked.charAt(i)
-      if (c == '(') { out(i) = d; d += 1 }
-      else if (c == ')') { d -= 1; out(i) = d }
-      else out(i) = d
-      i += 1
-    }
-    out
-  }
 }
