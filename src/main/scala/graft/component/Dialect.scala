@@ -85,9 +85,10 @@ object Dialect {
     * (`::VARCHAR`, `* EXCLUDE (`) apply only OUTSIDE quoted regions. */
   def rewrite(stmt0: String): String = {
     val stmt = rewriteQualify(rewriteDistinctOn(rewriteWithCreate(
-      Pivot.rewriteUnpivot(UnnestSql.rewrite(rewriteSeriesTableFns(
-        Brackets.rewrite(FileReads.rewriteTableFunctions(
-          rewritePragma(Macros.rewrite(stmt0))))))))))
+      Pivot.rewriteUnpivot(UnnestSql.rewrite(rewriteUsingSample(
+        rewriteSeriesTableFns(DotCall.rewrite(Brackets.rewrite(
+          FileReads.rewriteTableFunctions(
+            rewritePragma(Macros.rewrite(stmt0))))))))))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position
@@ -430,6 +431,61 @@ object Dialect {
       case Seq(a, b) => args.substring(a + 1, b).trim
       case _ => ""
     }.filter(_.nonEmpty).toArray
+  }
+
+  /** DuckDB `USING SAMPLE` — `FROM <rels> USING SAMPLE <spec>` samples
+    * the FROM result BEFORE the WHERE (probed v1.0: a trailing sample
+    * with a WHERE filters the sampled rows). Forms:
+    * `n [ROWS]` (reservoir: exactly n random rows), `p% | p PERCENT`
+    * (per-row keep probability), `method(size)` /
+    * `size (method[, seed])` / trailing `REPEATABLE (seed)`.
+    *
+    * Spark mapping, pure SQL so every later pass sees ordinary text:
+    *  - rows: `(SELECT * FROM <rels> ORDER BY rand(seed) LIMIT n)` —
+    *    plans as TakeOrderedAndProject (map-side partial top-n on a
+    *    random key: a distributed reservoir, no global sort);
+    *  - percent: `(SELECT * FROM <rels> WHERE rand(seed) < p/100)` —
+    *    Bernoulli row sampling inside the scan stage's codegen.
+    * DuckDB's default `system` method (vector-granular) is approximated
+    * by Bernoulli — both are "≈p% of rows, non-deterministic"; seeded
+    * runs are deterministic per engine but differ BETWEEN engines
+    * (sampling never oracle-matches; the spec pins counts/determinism).
+    */
+  private def rewriteUsingSample(stmt0: String): String = {
+    var stmt = stmt0
+    var guard = 0
+    while (guard < 16) {
+      guard += 1
+      val masked = maskQuoted(stmt)
+      val dep = depths(masked)
+      val m = "(?is)\\bUSING\\s+SAMPLE\\s+".r.findFirstMatchIn(masked)
+        .getOrElse(return stmt)
+      val spec =
+        ("(?is)^(?:(reservoir|bernoulli|system)\\s*\\(\\s*([0-9.]+)\\s*(ROWS|%|PERCENT)?\\s*\\)" +
+          "|([0-9.]+)\\s*(%|PERCENT|ROWS)?\\s*(?:\\(\\s*(reservoir|bernoulli|system)\\s*(?:,\\s*([0-9]+))?\\s*\\))?)" +
+          "(?:\\s*REPEATABLE\\s*\\(\\s*([0-9]+)\\s*\\))?").r
+          .findFirstMatchIn(masked.substring(m.end)).getOrElse(return stmt)
+      val size = Option(spec.group(2)).getOrElse(spec.group(4))
+      val unit = Option(spec.group(3)).orElse(Option(spec.group(5)))
+        .map(_.toUpperCase).getOrElse("ROWS") // bare number = rows (DuckDB)
+      val seed = Option(spec.group(7)).orElse(Option(spec.group(8)))
+      val specEnd = m.end + spec.end
+      // the sampled relation: everything from the block's last FROM
+      val bd = dep(m.start)
+      val fromM = "(?i)\\bFROM\\b".r.findAllMatchIn(masked)
+        .filter(f => f.start < m.start && dep(f.start) == bd)
+        .toList.lastOption.getOrElse(return stmt)
+      val rels = stmt.substring(fromM.end, m.start).trim
+      val rnd = seed.map(s => s"rand($s)").getOrElse("rand()")
+      val sampled =
+        if (unit == "ROWS")
+          s"(SELECT * FROM $rels ORDER BY $rnd LIMIT $size) __sample"
+        else
+          s"(SELECT * FROM $rels WHERE $rnd < ($size) / 100.0) __sample"
+      stmt = stmt.substring(0, fromM.start) + "FROM " + sampled + " " +
+        stmt.substring(specEnd)
+    }
+    stmt
   }
 
   /** DuckDB engine-tuning statements: `PRAGMA x[=v|(v)]` and

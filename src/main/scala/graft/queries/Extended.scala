@@ -169,6 +169,17 @@ object Extended {
       T.orders(s, d).createOrReplaceTempView("orders")
       graft.component.PositionalSql.df(s, Oracle.q62)
         .getOrElse(sys.error("q62: PositionalSql did not recognize the statement"))
+    }),
+
+    // DuckDB function chaining (`expr.f(args)` ≡ `f(expr, args)`), full
+    // dialect differential: IDENTICAL text in both engines, the Spark
+    // side flattened by component/DotCall inside Dialect.rewrite. All
+    // chains stay scalar expressions in one codegen'd projection — zero
+    // plan cost vs the unchained spelling.
+    "q63_dotcall" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q63))
     })
   )
 
@@ -190,6 +201,14 @@ object Extended {
         |POSITIONAL JOIN
         |     (SELECT o_orderkey AS r_key, o_custkey AS r_val FROM orders
         |      WHERE o_orderkey % 7 = 0 ORDER BY o_orderkey)""".stripMargin
+
+    /** Shared DuckDB/Spark text — q63 runs this verbatim in both engines. */
+    val q63: String =
+      """SELECT doc_id,
+        |       text.lower().string_split(' ').len() AS n_tokens,
+        |       text.substr(1, 12).upper() AS head,
+        |       text.trim().len() AS n_trim
+        |FROM documents ORDER BY doc_id""".stripMargin
 
     val q37: String =
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
@@ -299,6 +318,7 @@ object Extended {
   val oracles: Map[String, String] = Map(
     "q61_unnest" -> Oracle.q61,
     "q62_positional" -> Oracle.q62,
+    "q63_dotcall" -> Oracle.q63,
     "q37_grouping_sets" -> Oracle.q37,
     "q38_outer_joins" -> Oracle.q38,
     "q39_in_subquery" -> Oracle.q39,

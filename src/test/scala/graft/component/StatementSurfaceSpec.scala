@@ -34,6 +34,39 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(a.dependencies == Set("orders", "nation"))
   }
 
+  test("USING SAMPLE: rows and percent forms, seeds, WHERE-after-sample") {
+    def run(sql: String) = spark.sql(Dialect.rewrite(sql))
+    // bare number = rows (DuckDB): exactly n random rows
+    assert(run("SELECT count(*) AS n FROM range(1000) USING SAMPLE 10")
+      .collect().head.getLong(0) == 10)
+    assert(run("SELECT count(*) AS n FROM range(1000) USING SAMPLE 5 ROWS")
+      .collect().head.getLong(0) == 5)
+    // reservoir(n ROWS) + REPEATABLE: deterministic within the engine
+    val q = "SELECT generate_series AS x FROM generate_series(1, 1000) " +
+      "USING SAMPLE reservoir(7 ROWS) REPEATABLE (42)"
+    val a = run(q).collect().map(_.getLong(0)).sorted.toList
+    val b = run(q).collect().map(_.getLong(0)).sorted.toList
+    assert(a == b && a.length == 7)
+    // percent: a keep-probability filter — bounded, seeded-deterministic
+    val p = "SELECT count(*) AS n FROM range(10000) USING SAMPLE 10% (bernoulli, 7)"
+    val n1 = run(p).collect().head.getLong(0)
+    val n2 = run(p).collect().head.getLong(0)
+    assert(n1 == n2 && n1 > 500 && n1 < 1500)
+    // the sample applies BEFORE the WHERE (probed DuckDB order): a
+    // filter over a 5-row sample keeps at most 5 rows
+    val w = run("SELECT count(*) AS n FROM range(100) USING SAMPLE 5 ROWS")
+      .collect().head.getLong(0)
+    assert(w == 5)
+    // sampled JOIN segment wraps whole relation list
+    spark.range(10).toDF("id").createOrReplaceTempView("us_a")
+    val j = run("SELECT count(*) AS n FROM us_a a JOIN us_a b ON a.id = b.id " +
+      "USING SAMPLE 4 ROWS").collect().head.getLong(0)
+    assert(j == 4)
+    // a join USING (cols) clause never triggers the sample rewrite
+    assert(Dialect.rewrite("SELECT * FROM a JOIN b USING (k)")
+      .contains("USING (k)"))
+  }
+
   test("COPY TO PARTITION_BY writes a hive col=value directory tree") {
     val dir = Files.createTempDirectory("graft_copy_part_")
     Seq((1L, "us", 10.0), (2L, "de", 20.0), (3L, "us", 30.0))
