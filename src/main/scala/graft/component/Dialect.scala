@@ -477,11 +477,21 @@ object Dialect {
         .toList.lastOption.getOrElse(return stmt)
       val rels = stmt.substring(fromM.end, m.start).trim
       val rnd = seed.map(s => s"rand($s)").getOrElse("rand()")
+      // single-relation segment: alias the wrapper back to the visible
+      // name so qualified refs (`t.x`, `a.x` with an alias) still bind;
+      // multi-relation segments get a fresh name (qualify inside a
+      // subquery instead — documented)
+      val outAlias =
+        "(?is)^(?:[A-Za-z_][A-Za-z0-9_]*|`[^`]*`)(?:\\s+(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*))?$".r
+          .findFirstMatchIn(rels) match {
+          case Some(a) => Option(a.group(1)).getOrElse(rels.split("\\s+").head)
+          case None => "__sample"
+        }
       val sampled =
         if (unit == "ROWS")
-          s"(SELECT * FROM $rels ORDER BY $rnd LIMIT $size) __sample"
+          s"(SELECT * FROM $rels ORDER BY $rnd LIMIT $size) $outAlias"
         else
-          s"(SELECT * FROM $rels WHERE $rnd < ($size) / 100.0) __sample"
+          s"(SELECT * FROM $rels WHERE $rnd < ($size) / 100.0) $outAlias"
       stmt = stmt.substring(0, fromM.start) + "FROM " + sampled + " " +
         stmt.substring(specEnd)
     }

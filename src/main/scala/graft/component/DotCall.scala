@@ -31,8 +31,9 @@ object DotCall {
       val hit = callRe.findAllMatchIn(masked).flatMap { m =>
         receiverStart(stmt, masked, m.start).map(rs => (m, rs))
       }.find { case (m, rs) =>
-        // not a qualified table(-function) ref in FROM position
-        !"(?is)\\b(FROM|JOIN)\\s*$".r
+        // not a qualified table(-function) ref in table position —
+        // `FROM main.range(3)`, `INSERT INTO out.csv (a, b)`
+        !"(?is)\\b(FROM|JOIN|INTO|UPDATE|TABLE|VIEW)\\s*$".r
           .findFirstIn(masked.substring(0, rs)).isDefined
       }
       hit match {
