@@ -39,7 +39,8 @@ object Bench {
     "s02_ann_lsh", "s04_ann_ivf", "s05_ann_i8", "t02_quality_score", "t03_langid",
     "t05_tfidf", "t07_vocab_prune", "t10_heavy_hitters", "t11_sequence_pack",
     "t20_bpe_encode", "t24_dsir_select", "q58_pivot_dynamic",
-    "d16_incremental_fuzzy", "q59_asof_sql", "t27_url_domains")
+    "d16_incremental_fuzzy", "q59_asof_sql", "t27_url_domains",
+    "q61_unnest", "q62_positional")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
