@@ -1,0 +1,113 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index for the similarity-search family — the ANN
+  * counterpart of [[DedupIndex]]'s state-passthrough contract (the
+  * reference carries engine state between runs via its database-file
+  * passthrough, `/root/reference/src/component.py:58-66`; this engine's
+  * equivalent is a warehouse directory).
+  *
+  * Layout under `dir`:
+  *  - `centroids/` — the trained k-means codebook (list_id, centroid);
+  *  - `data/` — every base vector's single-list assignment
+  *    `(nid, nvec, nnorm)`, parquet **partitioned by list_id**;
+  *  - `meta.json` — lists/iters/dim.
+  *
+  * Why this shape at 100 TB: the expensive work — centroid training and
+  * the one-pass assignment of every base vector — happens ONCE at build
+  * (and per-batch at [[update]], which assigns only the batch under the
+  * SAVED codebook, never rescanning or retraining — standard IVF
+  * append). A query batch then touches only its probed lists: the
+  * probed list ids are collected first (bounded by the codebook size),
+  * so the scan's `list_id IN (...)` filter is STATIC partition pruning —
+  * `data/list_id=…` directories outside the probe set are never listed,
+  * let alone read. The spec proves it from `inputFiles`. */
+object AnnIndex {
+
+  final case class Meta(lists: Int, iters: Int, dim: Int)
+
+  private def dataDir(dir: String) = s"$dir/data"
+  private def centroidsDir(dir: String) = s"$dir/centroids"
+  private def metaPath(dir: String) = Paths.get(dir, "meta.json")
+
+  /** Train the codebook and materialize every base vector's assignment,
+    * overwriting any previous index. */
+  def build(base: DataFrame, idCol: String, vecCol: String, dir: String,
+            lists: Int = 16, iters: Int = 3): Meta = {
+    val spark = base.sparkSession
+    val codebook = KMeans.fit(base, idCol, vecCol, lists, iters)
+    val dim = codebook.head.length
+    import spark.implicits._
+    codebook.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(centroidsDir(dir))
+    assignments(base, idCol, vecCol, codebook)
+      .write.mode("overwrite").partitionBy("list_id").parquet(dataDir(dir))
+    Files.createDirectories(Paths.get(dir))
+    Files.writeString(metaPath(dir),
+      s"""{"lists":$lists,"iters":$iters,"dim":$dim}""")
+    Meta(lists, iters, dim)
+  }
+
+  /** Append a batch under the SAVED codebook (no retrain, no base
+    * rescan) — new vectors land in their lists' partitions. */
+  def update(spark: SparkSession, dir: String, batch: DataFrame,
+             idCol: String, vecCol: String): Unit = {
+    val codebook = centroids(spark, dir) // validates the index exists
+    assignments(batch, idCol, vecCol, codebook)
+      .write.mode("append").partitionBy("list_id").parquet(dataDir(dir))
+  }
+
+  /** The trained codebook, list-id order. */
+  def centroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    spark.read.parquet(centroidsDir(dir))
+      .orderBy("list_id").collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  def meta(spark: SparkSession, dir: String): Meta = {
+    val txt = Files.readString(metaPath(dir))
+    def f(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(txt).get.group(1).toInt
+    Meta(f("lists"), f("iters"), f("dim"))
+  }
+
+  /** Top-k cosine neighbors of each query against the indexed base,
+    * probing `nprobe` lists per query. Reads ONLY the probed
+    * `list_id=…` partitions. */
+  def query(spark: SparkSession, dir: String, queries: DataFrame,
+            idCol: String, vecCol: String, k: Int,
+            nprobe: Int = 4): DataFrame = {
+    val codebook = centroids(spark, dir)
+    val q = VectorOps.withNorm(queries, vecCol)
+      .withColumn("__lists", graft.functions.VectorExprs
+        .nearestCentroids(col(vecCol), codebook, nprobe))
+      .withColumn("list_id", explode(col("__lists")))
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        col("_norm").as("qnorm"), col("list_id"))
+    // bounded driver round-trip (≤ codebook size): makes the probe set a
+    // LITERAL IN-filter, i.e. static partition pruning on the index scan
+    val probed = q.select("list_id").distinct().collect().map(_.getInt(0)).toSeq
+    val idx = spark.read.parquet(dataDir(dir))
+      .filter(col("list_id").isin(probed: _*))
+    q.join(idx, Seq("list_id"))
+      .filter(col("qid") =!= col("nid"))
+      .dropDuplicates("qid", "nid")
+      .withColumn("cos", VectorOps.cosineFromParts(
+        VectorOps.dot(col("qvec"), col("nvec")), col("qnorm"), col("nnorm")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("nid"))))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("nid"), col("rk").cast("int").as("rk"), col("cos"))
+  }
+
+  private def assignments(df: DataFrame, idCol: String, vecCol: String,
+                          codebook: Array[Array[Double]]): DataFrame =
+    VectorOps.withNorm(df, vecCol)
+      .withColumn("list_id", KMeans.assignTo(col(vecCol), codebook))
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+        col("_norm").as("nnorm"), col("list_id"))
+}

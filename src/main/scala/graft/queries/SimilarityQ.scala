@@ -105,6 +105,28 @@ object SimilarityQ {
       graft.ops.KMeans.summary(
         T.embeddings(s, d), "vec_id", "embedding", k = 8, iters = 3)),
 
+    // -- the PERSISTED IVF route (ops/AnnIndex): the same retrieval task
+    //    as s04 run through build-once/query-many state — trained
+    //    codebook + list-partitioned assignments on disk, query scans
+    //    ONLY its probed list partitions (static partition pruning,
+    //    proven from the scan metric in AnnIndexSpec). Rows-only, the
+    //    s04 rationale; the lifecycle (build/update/pruning/recall) is
+    //    spec-pinned.
+    "s09_ann_index" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      val dir = s09IndexDir.getOrElseUpdate(d, {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_s09_index_").toString
+        graft.ops.AnnIndex.build(emb, "vec_id", "embedding", out,
+          lists = 16, iters = 3)
+        out
+      })
+      graft.ops.AnnIndex.query(s, dir, emb.filter(col("vec_id") < 20),
+          "vec_id", "embedding", k = 5, nprobe = 4)
+        .select("qid", "nid", "rk")
+        .orderBy("qid", "rk")
+    }),
+
     // -- centroid similarity per label: average vector per label, then
     //    each vector's cosine to its own label centroid (exact decimal-free
     //    arithmetic is impossible here ⇒ aggregate stats only, rounded).
@@ -118,6 +140,9 @@ object SimilarityQ {
         .orderBy("label")
     })
   )
+
+  private val s09IndexDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute" ->
