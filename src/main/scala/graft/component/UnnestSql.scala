@@ -51,32 +51,54 @@ object UnnestSql {
     "right", "full", "cross", "natural", "semi", "anti", "positional",
     "on", "using", "as", "select", "lateral")
 
-  /** `FROM|JOIN unnest(e) [AS t(c)]` → derived explode subquery. The
-    * replacement contains no `unnest(` trigger, so recursion on the tail
+  /** FROM-position unnest:
+    *  - `FROM|JOIN unnest(e) [AS t(c)]` → derived explode subquery
+    *    (uncorrelated table function);
+    *  - `FROM rel, unnest(e) [AS t(c)]` — the correlated lateral idiom
+    *    (probed DuckDB: per-row expansion, cross-product when repeated,
+    *    row dropped on empty array) → ` LATERAL VIEW explode(e) t AS c`,
+    *    which has exactly those semantics in Spark.
+    * Replacements contain no `unnest(` trigger, so recursion on the tail
     * is for additional occurrences only. */
   private def rewriteFromPosition(stmt: String): String = {
     val masked = Dialect.maskQuoted(stmt)
-    val re = "(?is)\\b(FROM|JOIN)\\s+unnest\\s*\\(".r
-    re.findFirstMatchIn(masked) match {
-      case None => stmt
-      case Some(m) =>
-        val open = m.end - 1
-        val close = Dialect.matchingParen(masked, open)
-        if (close < 0) return stmt
-        val arg = stmt.substring(open + 1, close).trim
-        // optional alias: AS t(c) | AS t | t(c) | t  (never a keyword)
-        val tail = stmt.substring(close + 1)
-        val aliasRe =
-          "(?is)^\\s*(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*(?:\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\))?".r
-        val (tbl, colName, consumed) = aliasRe.findFirstMatchIn(tail) match {
-          case Some(a) if !keywordAlias(a.group(1).toLowerCase) =>
-            (a.group(1), Option(a.group(2)).getOrElse("unnest"), a.end)
-          case _ => ("__unnest_t", "unnest", 0)
-        }
-        stmt.substring(0, m.start) +
-          s"${m.group(1)} (SELECT explode($arg) AS $colName) $tbl" +
-          rewriteFromPosition(tail.substring(consumed))
+    val re = "(?is)(\\bFROM\\s+|\\bJOIN\\s+|,\\s*)unnest\\s*\\(".r
+    val m = re.findAllMatchIn(masked).find { m =>
+      val lead = m.group(1).trim
+      if (lead != ",") true
+      else {
+        // a comma introduces a lateral unnest only in a FROM list: the
+        // last same-depth clause keyword before it must be FROM
+        val dep = Dialect.depths(masked)
+        val dc = dep(m.start)
+        "(?is)\\b(SELECT|FROM|WHERE|GROUP|HAVING|QUALIFY|WINDOW|ORDER|LIMIT|SET|VALUES|USING|ON)\\b".r
+          .findAllMatchIn(masked.substring(0, m.start))
+          .filter(k => dep(k.start) == dc)
+          .toList.lastOption.exists(_.group(1).equalsIgnoreCase("FROM"))
+      }
+    }.getOrElse(return stmt)
+    val open = m.end - 1
+    val close = Dialect.matchingParen(masked, open)
+    if (close < 0) return stmt
+    val arg = stmt.substring(open + 1, close).trim
+    // optional alias: AS t(c) | AS t | t(c) | t  (never a keyword)
+    val tail = stmt.substring(close + 1)
+    val aliasRe =
+      "(?is)^\\s*(?:AS\\s+)?([A-Za-z_][A-Za-z0-9_]*)\\s*(?:\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\))?".r
+    val (tbl, colName, consumed) = aliasRe.findFirstMatchIn(tail) match {
+      case Some(a) if !keywordAlias(a.group(1).toLowerCase) =>
+        (a.group(1), Option(a.group(2)).getOrElse("unnest"), a.end)
+      case _ => ("__unnest_t", "unnest", 0)
     }
+    val repl =
+      if (m.group(1).trim == ",")
+        s" LATERAL VIEW explode($arg) $tbl AS $colName"
+      else s"${m.group(1)}(SELECT explode($arg) AS $colName) $tbl"
+    // recurse on the WHOLE rewritten statement: the comma form's context
+    // check needs the text before the match, and each pass removes one
+    // `unnest(` occurrence, so this terminates
+    rewriteFromPosition(
+      stmt.substring(0, m.start) + repl + tail.substring(consumed))
   }
 
   // -------------------------------------------------------- select list

@@ -66,6 +66,27 @@ class UnnestSpec extends SparkSpec {
     assert(d.collect().map(_.getInt(0)).sorted.toList == List(7, 8))
   }
 
+  test("correlated FROM-list unnest is a lateral expansion (probed DuckDB)") {
+    spark.sql("SELECT 1 AS id, array('a','b') AS l " +
+        "UNION ALL SELECT 2, array('c')")
+      .createOrReplaceTempView("unn_lat")
+    val r = run("SELECT id, u.x FROM unn_lat, unnest(l) AS u(x) ORDER BY id, x")
+    assert(r.map(x => (x.getInt(0), x.getString(1))).toList ==
+      List((1, "a"), (1, "b"), (2, "c")))
+    // repeated laterals cross-multiply (DuckDB semantics)
+    val c = run("SELECT id, x, y FROM unn_lat, unnest(l) AS u(x), " +
+      "unnest(['p','q']) AS w(y) ORDER BY id, x, y")
+    assert(c.length == 6 &&
+      c.head.getInt(0) == 1 && c.head.getString(1) == "a" &&
+      c.head.getString(2) == "p")
+    // empty array drops the source row (non-OUTER)
+    val e = run("SELECT id FROM unn_lat, unnest(CAST([] AS ARRAY<INT>)) AS z(v)")
+    assert(e.isEmpty)
+    // a comma OUTSIDE a FROM list never triggers the lateral form
+    assert(run("SELECT id, unnest(l) AS w FROM unn_lat WHERE id = 2")
+      .map(_.getString(1)).toList == List("c"))
+  }
+
   test("unnest in a subquery block rewrites independently of the outer") {
     val r = run(
       "SELECT s.v + 100 AS v FROM (SELECT unnest([1, 2]) AS v) s ORDER BY v")
