@@ -598,7 +598,7 @@ object EventStream {
                 lists: Int = 16, nprobe: Int = 4, iters: Int = 3,
                 windowLen: String = "1 hour",
                 lateness: String = "10 minutes"): DataFrame = {
-    import graft.functions.VectorExprs.{dotF32, nearestCentroids, normF32}
+    import graft.functions.VectorExprs.{nearestCentroids, normF32}
     // one-time driver-side codebook train (s07's trainer: one agg job per
     // Lloyd iteration, ≤ lists rows collected)
     val codebook = graft.ops.KMeans.fit(corpus, idCol, vecCol, lists, iters)
@@ -609,6 +609,36 @@ object EventStream {
       .filter(col("nnorm") > 0)
       .withColumn("list_id",
         nearestCentroids(col("nvec"), codebook, 1).getItem(0)))
+    annPipeline(docs, codebook, base, idCol, vecCol, tsCol, k, nprobe,
+      windowLen, lateness)
+  }
+
+  /** [[annEnrich]] against a PERSISTED [[graft.ops.AnnIndex]]: the
+    * codebook and every base vector's assignment are read from the
+    * index directory — no retrain, no corpus rescan at stream
+    * construction. Build once (or roll forward with `AnnIndex.update`),
+    * then every stream restart — and every micro-batch — works off the
+    * materialized state: the same contract as
+    * [[incrementalDedupStreamIndexed]]. */
+  def annEnrichIndexed(docs: DataFrame, indexDir: String,
+                       idCol: String = "doc_id", vecCol: String = "embedding",
+                       tsCol: String = "ts", k: Int = 5, nprobe: Int = 4,
+                       windowLen: String = "1 hour",
+                       lateness: String = "10 minutes"): DataFrame = {
+    val spark = docs.sparkSession
+    val codebook = graft.ops.AnnIndex.centroids(spark, indexDir)
+    val base = persistStatic(
+      spark.read.parquet(s"$indexDir/data")
+        .select(col("nid"), col("nvec"), col("nnorm"), col("list_id")))
+    annPipeline(docs, codebook, base, idCol, vecCol, tsCol, k, nprobe,
+      windowLen, lateness)
+  }
+
+  private def annPipeline(docs: DataFrame, codebook: Array[Array[Double]],
+                          base: DataFrame, idCol: String, vecCol: String,
+                          tsCol: String, k: Int, nprobe: Int,
+                          windowLen: String, lateness: String): DataFrame = {
+    import graft.functions.VectorExprs.{dotF32, nearestCentroids, normF32}
     val probed = docs
       .withWatermark(tsCol, lateness)
       .select(col(tsCol), col(idCol).as("qid"), col(vecCol).as("qvec"))

@@ -667,6 +667,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("annEnrichIndexed reads the persisted index; updates are visible") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val corpus = graft.queries.T.embeddings(spark, sf)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_annstream_idx_").toString
+    graft.ops.AnnIndex.build(corpus, "doc_id", "embedding", dir,
+      lists = 16, iters = 3)
+
+    // batch reference through the SAME index (watermark/window are
+    // regular operators in batch)
+    val probe = corpus.limit(1).collect().head
+    val rows = Seq((probe.getLong(0) + 10000L,
+      probe.getSeq[Float](1), ts("2024-01-01 10:00:00")))
+    val want = EventStream.annEnrichIndexed(
+        rows.toDF("doc_id", "embedding", "ts"), dir, k = 3,
+        windowLen = "1 hour", lateness = "1 minute")
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Int]("rk"))).toSet
+    assert(want.nonEmpty)
+    // rank 1 against a corpus that CONTAINS the probe vector is itself
+    assert(want.exists { case (_, nid, rk) => rk == 1 && nid == probe.getLong(0) })
+
+    val input = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val q = EventStream.annEnrichIndexed(
+        input.toDF().toDF("doc_id", "embedding", "ts"), dir, k = 3,
+        windowLen = "1 hour", lateness = "1 minute")
+      .writeStream.format("memory").queryName("annenrich_idx")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      input.addData((99999L, null.asInstanceOf[Seq[Float]],
+        ts("2024-01-01 13:00:00"))) // watermark advancer
+      q.processAllAvailable()
+      val got = spark.table("annenrich_idx").collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+          r.getAs[Int]("rk"))).toSet
+      assert(got == want, s"\n got=$got\nwant=$want")
+    } finally q.stop()
+
+    // an appended batch is visible to a NEW stream without a rebuild
+    val twin = probe.getSeq[Float](1).map(v => v + 1e-4f)
+    graft.ops.AnnIndex.update(spark, dir,
+      Seq((50000L, twin)).toDF("doc_id", "embedding"), "doc_id", "embedding")
+    val after = EventStream.annEnrichIndexed(
+        rows.toDF("doc_id", "embedding", "ts"), dir, k = 3,
+        windowLen = "1 hour", lateness = "1 minute")
+      .collect().map(_.getAs[Long]("nid")).toSet
+    assert(after.contains(50000L))
+  }
+
   test("streaming boilerplate guard flags docs covered by reference boilerplate grams") {
     import spark.implicits._
     implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
