@@ -78,6 +78,36 @@ object DuckFunctions {
     ArrayFilter(l, LambdaFunction(IsNotNull(x), Seq(x)))
   }
 
+  /** `list_aggregate`'s literal-name dispatch — shared with the
+    * `array_aggregate`/`*_aggr` twins. */
+  private def listAggDispatch(a: Seq[Expression]): Expression =
+    literalString(a(1), "list_aggregate").toLowerCase match {
+      case "sum" => listFold(a.head)
+      case "avg" | "mean" => listAvg(a.head)
+      case "min" => ArrayMin(a.head)
+      case "max" => ArrayMax(a.head)
+      case "count" =>
+        Cast(Size(nonNulls(a.head)), org.apache.spark.sql.types.LongType)
+      case other => throw new IllegalArgumentException(
+        s"list_aggregate supports sum/avg/min/max/count, got '$other'")
+    }
+
+  /** Euclidean distance between two numeric lists — a double-precision
+    * zip-square-sum fold over native higher-order functions. */
+  private def l2Distance(x: Expression, y: Expression): Expression = {
+    val ax = UnresolvedNamedLambdaVariable(Seq("lx"))
+    val by = UnresolvedNamedLambdaVariable(Seq("ly"))
+    val diff = ZipWith(x, y, LambdaFunction(
+      Subtract(Cast(ax, org.apache.spark.sql.types.DoubleType),
+        Cast(by, org.apache.spark.sql.types.DoubleType)), Seq(ax, by)))
+    val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+    val v = UnresolvedNamedLambdaVariable(Seq("v"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("fin"))
+    Sqrt(ArrayAggregate(diff, Literal(0.0d),
+      LambdaFunction(Add(acc, Multiply(v, v)), Seq(acc, v)),
+      LambdaFunction(fin, Seq(fin))))
+  }
+
   /** Σx as `aggregate(filter(l, x -> x IS NOT NULL), 0.0d, ...)`,
     * NULL when no non-null element exists (sum-aggregate semantics). */
   private def listFold(l: Expression): Expression = {
@@ -248,17 +278,7 @@ object DuckFunctions {
     arity("list_avg", 1)(a => listAvg(a.head)),
     // list_aggregate(l, 'name'): literal-name dispatch onto the same
     // native nodes; count counts NON-NULL elements (aggregate semantics)
-    arity("list_aggregate", 2)(a =>
-      literalString(a(1), "list_aggregate").toLowerCase match {
-        case "sum" => listFold(a.head)
-        case "avg" | "mean" => listAvg(a.head)
-        case "min" => ArrayMin(a.head)
-        case "max" => ArrayMax(a.head)
-        case "count" =>
-          Cast(Size(nonNulls(a.head)), org.apache.spark.sql.types.LongType)
-        case other => throw new IllegalArgumentException(
-          s"list_aggregate supports sum/avg/min/max/count, got '$other'")
-      }),
+    arity("list_aggregate", 2)(a => listAggDispatch(a)),
 
     // scalar renames
     arity("regexp_matches", 2)(a => RLike(a.head, a(1))),
@@ -275,9 +295,187 @@ object DuckFunctions {
     arity("strptime", 2)(a => new ParseToTimestamp(a.head,
       Literal(translateFormat(literalString(a(1), "strptime"))))))
 
+  private val round12Builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // ── round-12 batch: a systematic duckdb_functions() gap scan,
+    // keeping only names with an EXACT Spark mapping (same Catalyst
+    // node or same-value arithmetic; every row probed against DuckDB
+    // 1.0 in DuckFunctionsSpec). 380 raw gaps remain mostly internals
+    // (__internal_*), ICU collations, operator spellings (~~, //) and
+    // functions whose semantics Spark cannot reproduce exactly —
+    // recorded as out of scope, not silently aliased.
+
+    // array_* twins of the bound list_* names (DuckDB: array_x ≡ list_x)
+    arity("array_transform", 2)(a => ArrayTransform(a.head, a(1))),
+    arity("array_apply", 2)(a => ArrayTransform(a.head, a(1))),
+    arity("list_apply", 2)(a => ArrayTransform(a.head, a(1))),
+    arity("array_filter", 2)(a => ArrayFilter(a.head, a(1))),
+    arity("array_where", 2)(a => ArrayFilter(a.head, a(1))),
+    arity("array_unique", 1)(a => Size(ArrayDistinct(a.head))),
+    "array_cat" -> (a => Concat(a)),
+    "array_concat" -> (a => Concat(a)),
+    "list_cat" -> (a => Concat(a)),
+    "array_value" -> (a => CreateArray(a)),
+    "list_pack" -> (a => CreateArray(a)),
+    arity("array_length", 1)(a => Size(a.head)),
+    arity("array_indexof", 2)(a => ArrayPosition(a.head, a(1))),
+    arity("array_has", 2)(a => ArrayContains(a.head, a(1))),
+    arity("array_extract", 2)(a => ElementAt(a.head, a(1))),
+    arity("array_reverse_sort", 1)(a => SortArray(a.head, Literal(false))),
+    arity("array_slice", 3)(a =>
+      Slice(a.head, a(1), Add(Subtract(a(2), a(1)), Literal(1)))),
+    "array_zip" -> (a => ArraysZip(a)),
+    // 1-based gather: list_select(l, idxs) picks elements at positions
+    arity("list_select", 2)(a => {
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      ArrayTransform(a(1), LambdaFunction(ElementAt(a.head, i), Seq(i)))
+    }),
+    arity("array_select", 2)(a => {
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      ArrayTransform(a(1), LambdaFunction(ElementAt(a.head, i), Seq(i)))
+    }),
+    arity("array_aggregate", 2)(a => listAggDispatch(a)),
+    arity("array_aggr", 2)(a => listAggDispatch(a)),
+    arity("list_aggr", 2)(a => listAggDispatch(a)),
+
+    // vector math: array_* twins + L2 distance via zip_with
+    arity("array_dot_product", 2)(a => graft.functions.DotF32(a.head, a(1))),
+    arity("array_inner_product", 2)(a => graft.functions.DotF32(a.head, a(1))),
+    arity("array_cosine_similarity", 2)(a => {
+      import graft.functions.{DotF32, NormF32}
+      Divide(DotF32(a.head, a(1)), Multiply(NormF32(a.head), NormF32(a(1))))
+    }),
+    arity("list_distance", 2)(a => l2Distance(a.head, a(1))),
+    arity("array_distance", 2)(a => l2Distance(a.head, a(1))),
+
+    // string twins
+    arity("starts_with", 2)(a => StartsWith(a.head, a(1))),
+    arity("prefix", 2)(a => StartsWith(a.head, a(1))),
+    arity("ends_with", 2)(a => EndsWith(a.head, a(1))),
+    arity("suffix", 2)(a => EndsWith(a.head, a(1))),
+    arity("strlen", 1)(a => Length(a.head)),
+    // codepoint of the first character (Spark's Ascii decodes the full
+    // code point, not just 7-bit — probed equal on '€')
+    arity("ord", 1)(a => Ascii(a.head)),
+    arity("unicode", 1)(a => Ascii(a.head)),
+    arity("to_base64", 1)(a => Base64(a.head)),
+    arity("from_base64", 1)(a => UnBase64(a.head)),
+    arity("to_hex", 1)(a => Hex(a.head)),
+    arity("from_hex", 1)(a => Unhex(a.head)),
+    arity("sha256", 1)(a => Sha2(a.head, Literal(256))),
+    arity("gen_random_uuid", 0)(_ => Uuid()),
+    arity("editdist3", 2)(a => Levenshtein(a.head, a(1))),
+    arity("to_base", 2)(a =>
+      Conv(Cast(a.head, org.apache.spark.sql.types.StringType),
+        Literal(10), a(1))),
+    // whole-string regex match: anchor the pattern
+    arity("regexp_full_match", 2)(a => RLike(a.head,
+      Concat(Seq(Literal("^(?:"), a(1), Literal(")$"))))),
+    arity("parse_filename", 1)(a =>
+      ElementAt(StringSplit(a.head, Literal("[/\\\\]"), Literal(-1)),
+        Literal(-1))),
+    arity("parse_dirpath", 1)(a =>
+      RegExpReplace(a.head, Literal("[/\\\\][^/\\\\]*$"), Literal(""))),
+
+    // struct/row construction + literal-name field extraction
+    "row" -> (a => CreateStruct(a)),
+    arity("struct_extract", 2)(a =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
+        a.head, a(1))),
+
+    // json: the _string/_text forms are exactly get_json_object
+    // (json_extract itself returns QUOTED json text in DuckDB — out of
+    // scope rather than wrongly aliased)
+    arity("json_extract_string", 2)(a => GetJsonObject(a.head, a(1))),
+    arity("json_extract_path_text", 2)(a => GetJsonObject(a.head, a(1))),
+    arity("json_keys", 1)(a => JsonObjectKeys(a.head)),
+    arity("json_valid", 1)(a =>
+      If(IsNull(a.head),
+        Literal(null, org.apache.spark.sql.types.BooleanType),
+        IsNotNull(GetJsonObject(a.head, Literal("$"))))),
+
+    // math predicates (NULL-propagating, probed)
+    arity("isinf", 1)(a => {
+      val d = Cast(a.head, org.apache.spark.sql.types.DoubleType)
+      If(IsNull(d), Literal(null, org.apache.spark.sql.types.BooleanType),
+        EqualTo(Abs(d), Literal(Double.PositiveInfinity)))
+    }),
+    arity("isfinite", 1)(a => {
+      val d = Cast(a.head, org.apache.spark.sql.types.DoubleType)
+      If(IsNull(d), Literal(null, org.apache.spark.sql.types.BooleanType),
+        And(Not(IsNaN(d)),
+          Not(EqualTo(Abs(d), Literal(Double.PositiveInfinity)))))
+    }),
+    arity("xor", 2)(a => BitwiseXor(a.head, a(1))),
+
+    // date parts (probed DuckDB values: century(2019)=21, decade=201,
+    // isodow Mon=1..Sun=7, micro/millisecond are WITHIN-MINUTE,
+    // epoch is fractional double seconds, yearweek=isoyear*100+week)
+    arity("century", 1)(a =>
+      Add(IntegralDivide(Subtract(Year(a.head), Literal(1)), Literal(100)),
+        Literal(1L))),
+    arity("decade", 1)(a =>
+      IntegralDivide(Year(a.head), Literal(10))),
+    arity("millennium", 1)(a =>
+      Add(IntegralDivide(Subtract(Year(a.head), Literal(1)), Literal(1000)),
+        Literal(1L))),
+    arity("isodow", 1)(a => Add(WeekDay(a.head), Literal(1))),
+    arity("week", 1)(a => WeekOfYear(a.head)),
+    arity("microsecond", 1)(a =>
+      Pmod(UnixMicros(Cast(a.head, org.apache.spark.sql.types.TimestampType)), Literal(60000000L))),
+    arity("millisecond", 1)(a =>
+      IntegralDivide(Pmod(UnixMicros(Cast(a.head, org.apache.spark.sql.types.TimestampType)),
+        Literal(60000000L)), Literal(1000L))),
+    arity("epoch", 1)(a =>
+      Divide(Cast(UnixMicros(Cast(a.head, org.apache.spark.sql.types.TimestampType)),
+        org.apache.spark.sql.types.DoubleType), Literal(1e6))),
+    arity("epoch_ns", 1)(a =>
+      Multiply(UnixMicros(Cast(a.head, org.apache.spark.sql.types.TimestampType)), Literal(1000L))),
+    arity("today", 0)(_ => CurrentDate()),
+    arity("datetrunc", 2)(a => TruncTimestamp(a.head, a(1))),
+
+    // aggregates (probed: quantile ≡ quantile_disc; group_concat
+    // defaults ',' ; arbitrary = first; product is DOUBLE)
+    arity("quantile_cont", 2)(a =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.Percentile(
+        a.head, a(1))),
+    arity("quantile_disc", 2)(a =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.PercentileDisc(
+        a.head, a(1), false)),
+    arity("quantile", 2)(a =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.PercentileDisc(
+        a.head, a(1), false)),
+    arity("approx_quantile", 2)(a =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile(
+        a.head, a(1))),
+    arity("argmax", 2)(a =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(a.head, a(1))),
+    arity("argmin", 2)(a =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(a.head, a(1))),
+    "group_concat" -> { a =>
+      require(a.length == 1 || a.length == 2,
+        s"group_concat expects 1-2 arguments, got ${a.length}")
+      new org.apache.spark.sql.catalyst.expressions.aggregate.ListAgg(
+        a.head, a.lift(1).getOrElse(Literal(",")))
+    },
+    arity("arbitrary", 1)(a =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.First(a.head, false)),
+    arity("product", 1)(a =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.Product(
+        Cast(a.head, org.apache.spark.sql.types.DoubleType))),
+    arity("count_star", 0)(_ =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Count(Literal(1))),
+    arity("fsum", 1)(a =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Sum(a.head)),
+    arity("kahan_sum", 1)(a =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Sum(a.head)),
+    arity("sumkahan", 1)(a =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Sum(a.head)),
+    arity("favg", 1)(a =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Average(a.head)))
+
   /** Bind every DuckDB name on a running session (idempotent). */
   def register(spark: SparkSession): Unit =
-    builders.foreach { case (name, build) =>
+    (builders ++ round12Builders).foreach { case (name, build) =>
       GraftSqlBridge.registerFunction(spark, name, build)
     }
 }

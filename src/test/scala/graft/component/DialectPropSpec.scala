@@ -19,7 +19,11 @@ class DialectPropSpec extends AnyFunSuite {
       // any garbage arrangement of them
       "[", "]", "{", "}", ":", ",", "FOR", "IN", "IF", "REPLACE",
       "COLUMNS(", "DESCRIBE", "SUMMARIZE", "generate_series(", "range(",
-      "USING", "DROP")))
+      "USING", "DROP",
+      // round-12 trigger tokens: unnest/positional/sample/copy/dot-call —
+      // every new rewrite must stay total on garbage arrangements
+      "unnest(", "POSITIONAL", "SAMPLE", "COPY", "TO", ".", ".f(",
+      "ROWS", "%", "PERCENT", "REPEATABLE(")))
     .map(_.mkString(" "))
 
   private def samples(g: Gen[String], n: Int): Seq[String] =
@@ -74,6 +78,35 @@ class DialectPropSpec extends AnyFunSuite {
       Dialect.fromFirst(s)      // must not throw
       Dialect.analysisStub(s)   // must not throw
       Macros.expand(s)          // must not throw (no defs registered)
+      PositionalSql.stub(s)     // round-12 stubs likewise
+      CopyFrom.stub(s)
+    }
+  }
+
+  test("round-12 rewrites are identity when their trigger is absent") {
+    // no `.name(` → DotCall identity; no `unnest(` → UnnestSql identity
+    // (beyond totality: these rewrites must never perturb unrelated SQL)
+    for (s <- samples(sqlish, 400)) {
+      if (!"(?i)\\.\\s*[a-z_][a-z0-9_]*\\s*\\(".r
+            .findFirstIn(Dialect.maskQuoted(s)).isDefined)
+        assert(DotCall.rewrite(s) == s, s"DotCall perturbed: $s")
+      if (!"(?i)\\bunnest\\s*\\(".r
+            .findFirstIn(Dialect.maskQuoted(s)).isDefined)
+        assert(UnnestSql.rewrite(s) == s, s"UnnestSql perturbed: $s")
+      if (!"(?i)\\bPOSITIONAL\\s+JOIN\\b".r
+            .findFirstIn(Dialect.maskQuoted(s)).isDefined)
+        assert(PositionalSql.stub(s) == s, s"PositionalSql perturbed: $s")
+    }
+  }
+
+  test("round-12 statement keywords inside literals never trigger rewrites") {
+    val traps = Seq(
+      "unnest([1,2])", "a POSITIONAL JOIN b", "USING SAMPLE 10%",
+      "COPY t FROM 'f.csv'", "s.lower().len()", "USING SAMPLE 5 ROWS")
+    for (trap <- traps) {
+      val stmt = s"SELECT 'use $trap here' AS hint FROM real_table"
+      val out = Dialect.rewrite(Dialect.fromFirst(stmt))
+      assert(out.contains(s"'use $trap here'"), s"trap: $trap → $out")
     }
   }
 }

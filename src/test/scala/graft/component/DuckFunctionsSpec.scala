@@ -177,6 +177,97 @@ class DuckFunctionsSpec extends SparkSpec {
     assert(one("SELECT list_transform(array(1, 2), x -> x * 10)[0]") == 10)
   }
 
+  test("round-12 gap-scan batch: array_* twins, strings, math") {
+    // array_* ≡ list_* (DuckDB aliases; same Catalyst nodes)
+    assert(one("SELECT array_length(array(1, 2, 3))") == 3)
+    assert(one("SELECT array_indexof(array(5, 6), 6)") == 2L) // 1-based
+    assert(one("SELECT array_unique(array(1, 1, 2))") == 2)
+    assert(one("SELECT array_extract(array(7, 8), 2)") == 8)
+    assert(one("SELECT array_slice(array(1, 2, 3, 4), 2, 3)[0]") == 2)
+    assert(one("SELECT array_transform(array(1, 2), x -> x + 1)[1]") == 3)
+    assert(one("SELECT array_aggregate(array(1, 2, 3), 'sum')") == 6.0)
+    // 1-based gather (probed: list_select([10,20,30],[3,1]) = [30,10])
+    assert(session.sql("SELECT list_select(array(10, 20, 30), array(3, 1)) AS g")
+      .collect().head.getSeq[Int](0).toList == List(30, 10))
+    // strings
+    assert(one("SELECT starts_with('abc', 'ab')") == true)
+    assert(one("SELECT ends_with('abc', 'bc')") == true)
+    assert(one("SELECT strlen('abcd')") == 4)
+    // unicode/ord decode the full first code point (probed: € = 8364)
+    assert(one("SELECT unicode('€x')") == 8364)
+    assert(one("SELECT to_base64(CAST('hi' AS BINARY))") == "aGk=")
+    assert(one("SELECT to_hex(255)") == "FF")
+    assert(one("SELECT sha256('a')").toString.length == 64)
+    assert(one("SELECT editdist3('kitten', 'sitting')") == 3)
+    assert(one("SELECT to_base(255, 16)") == "FF")
+    // whole-string match (probed: 'abc' vs 'ab' false, vs 'ab.' true)
+    assert(one("SELECT regexp_full_match('abc', 'ab')") == false)
+    assert(one("SELECT regexp_full_match('abc', 'ab.')") == true)
+    assert(one("SELECT parse_filename('/a/b/c.txt')") == "c.txt")
+    assert(one("SELECT parse_dirpath('/a/b/c.txt')") == "/a/b")
+    // struct/json
+    assert(one("SELECT struct_extract(named_struct('a', 7), 'a')") == 7)
+    assert(one("""SELECT json_extract_string('{"k": "v"}', '$.k')""") == "v")
+    assert(one("""SELECT json_valid('{"k": 1}')""") == true)
+    assert(one("SELECT json_valid('{bad')") == false)
+    assert(one("SELECT json_valid(CAST(NULL AS STRING))") == null)
+    // math predicates (NULL-propagating, probed)
+    assert(one("SELECT isinf(CAST('Infinity' AS DOUBLE))") == true)
+    assert(one("SELECT isfinite(1.0)") == true)
+    assert(one("SELECT isinf(CAST(NULL AS DOUBLE))") == null)
+    assert(one("SELECT xor(5, 3)") == 6)
+    // l2 distance: probed DuckDB list_distance([1,2],[4,6]) = 5
+    assert(one("SELECT list_distance(array(1.0, 2.0), array(4.0, 6.0))") == 5.0)
+    assert(math.abs(one("SELECT array_cosine_similarity(" +
+      "CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), " +
+      "CAST(array(1.0, 0.0) AS ARRAY<FLOAT>))").asInstanceOf[Double] - 1.0) < 1e-6)
+  }
+
+  test("round-12 gap-scan batch: date parts and aggregates") {
+    // probed DuckDB values: century(2019)=21, decade=201, millennium=3
+    assert(one("SELECT century(DATE '2019-03-01')") == 21L)
+    assert(one("SELECT decade(DATE '2019-03-01')") == 201L)
+    assert(one("SELECT millennium(DATE '2019-03-01')") == 3L)
+    // isodow: Mon=1 .. Sun=7
+    assert(one("SELECT isodow(DATE '2024-01-08')") == 1)
+    assert(one("SELECT isodow(DATE '2024-01-07')") == 7)
+    assert(one("SELECT week(DATE '2024-01-08')") == 2)
+    // micro/millisecond are WITHIN-MINUTE (probed: 2345678 / 2345)
+    assert(one("SELECT microsecond(TIMESTAMP '2024-01-01 10:01:02.345678')")
+      == 2345678L)
+    assert(one("SELECT millisecond(TIMESTAMP '2024-01-01 10:01:02.345678')")
+      == 2345L)
+    // epoch: fractional double seconds; epoch_ns: long nanos
+    assert(one("SELECT epoch(TIMESTAMP '1970-01-01 00:00:01.5')") == 1.5)
+    assert(one("SELECT epoch_ns(TIMESTAMP '1970-01-01 00:00:01.5')")
+      == 1500000000L)
+    assert(one("SELECT datetrunc('hour', TIMESTAMP '2024-01-01 10:20:30')")
+      .toString.endsWith("10:00:00.0"))
+    // aggregates (probed: quantile ≡ quantile_disc; DuckDB 1/2/4/8 →
+    // disc 2.0, cont 3.0)
+    session.sql("SELECT * FROM (VALUES (1.0), (2.0), (4.0), (8.0)) v(x)")
+      .createOrReplaceTempView("gap_q")
+    assert(one("SELECT quantile_cont(x, 0.5) FROM gap_q") == 3.0)
+    assert(one("SELECT quantile_disc(x, 0.5) FROM gap_q") == 2.0)
+    assert(one("SELECT quantile(x, 0.5) FROM gap_q") == 2.0)
+    assert(one("SELECT CAST(approx_quantile(x, 0.5) AS DOUBLE) FROM gap_q") == 2.0)
+    assert(one("SELECT product(x) FROM gap_q") == 64.0)
+    assert(one("SELECT count_star() FROM gap_q") == 4L)
+    // VALUES (1.0) is DECIMAL — compare through an explicit double cast
+    assert(one("SELECT CAST(fsum(x) AS DOUBLE) FROM gap_q") == 15.0)
+    assert(one("SELECT CAST(favg(x) AS DOUBLE) FROM gap_q") == 3.75)
+    session.sql("SELECT * FROM (VALUES ('a', 2), ('b', 1)) v(s, n)")
+      .createOrReplaceTempView("gap_a")
+    assert(one("SELECT argmax(s, n) FROM gap_a") == "a")
+    assert(one("SELECT argmin(s, n) FROM gap_a") == "b")
+    // group_concat defaults ',' (probed); 2-arg takes the separator
+    assert(one("SELECT group_concat(s) FROM (SELECT s FROM gap_a ORDER BY s) t")
+      .toString.split(",").sorted.mkString(",") == "a,b")
+    assert(one("SELECT group_concat(s, '|') FROM gap_a")
+      .toString.split("\\|").sorted.mkString("|") == "a|b")
+    assert(Seq("a", "b").contains(one("SELECT arbitrary(s) FROM gap_a")))
+  }
+
   test("struct_pack rewrites through the dialect to named_struct") {
     val sql = Dialect.rewrite("SELECT struct_pack(a := 1, b := 'x') AS s")
     assert(sql.contains("named_struct('a', 1, 'b', 'x')"))
