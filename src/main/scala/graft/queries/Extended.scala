@@ -180,6 +180,27 @@ object Extended {
       graft.component.DuckFunctions.register(s)
       T.documents(s, d).createOrReplaceTempView("documents")
       s.sql(graft.component.Dialect.rewrite(Oracle.q63))
+    }),
+
+    // Round-12 function-binding batch, scalar surface: IDENTICAL text
+    // both engines over starts/ends_with, strlen, unicode, isfinite,
+    // xor, sha256, to_base, editdist3 — every binding a native Catalyst
+    // node in one codegen'd projection.
+    "q64_funcs_gap" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q64))
+    }),
+
+    // Round-12 function-binding batch, aggregate surface: quantile_disc
+    // vs interpolating quantile_cont (probed DuckDB split), count_star,
+    // fsum, argmax with a UNIQUE ordering key (ties would be
+    // engine-dependent; group_concat's concatenation ORDER is too — it
+    // stays spec-pinned, not oracled).
+    "q65_agg_gap" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q65))
     })
   )
 
@@ -209,6 +230,30 @@ object Extended {
         |       text.substr(1, 12).upper() AS head,
         |       text.trim().len() AS n_trim
         |FROM documents ORDER BY doc_id""".stripMargin
+
+    /** Shared DuckDB/Spark texts — q64/q65 run these verbatim in both
+      * engines (width CASTs pin the cross-engine column types). */
+    val q64: String =
+      """SELECT doc_id,
+        |       starts_with(text, 't') AS sw, ends_with(text, 's') AS ew,
+        |       CAST(strlen(text) AS BIGINT) AS n,
+        |       CAST(unicode(text) AS INT) AS cp,
+        |       isfinite(CAST(doc_id AS DOUBLE) / 2) AS fin,
+        |       xor(doc_id, 255) AS x,
+        |       sha256(text) AS h,
+        |       to_base(doc_id + 1, 16) AS hexid,
+        |       CAST(editdist3(substr(text, 1, 8), 'training') AS INT) AS ed
+        |FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin
+
+    val q65: String =
+      """SELECT source, lang,
+        |  CAST(quantile_disc(doc_id, 0.5) AS BIGINT) AS med_id,
+        |  CAST(quantile_cont(doc_id, 0.25) AS DOUBLE) AS q1_id,
+        |  count_star() AS n,
+        |  CAST(fsum(CAST(strlen(text) AS BIGINT)) AS DOUBLE) AS total_chars,
+        |  argmax(text, doc_id) AS last_text
+        |FROM (SELECT * FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id) t
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin
 
     val q37: String =
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
@@ -319,6 +364,8 @@ object Extended {
     "q61_unnest" -> Oracle.q61,
     "q62_positional" -> Oracle.q62,
     "q63_dotcall" -> Oracle.q63,
+    "q64_funcs_gap" -> Oracle.q64,
+    "q65_agg_gap" -> Oracle.q65,
     "q37_grouping_sets" -> Oracle.q37,
     "q38_outer_joins" -> Oracle.q38,
     "q39_in_subquery" -> Oracle.q39,
