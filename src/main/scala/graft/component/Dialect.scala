@@ -70,7 +70,7 @@ object Dialect {
   /** Scan past a single-quoted token starting at `start` (which must point
     * at the opening quote), honoring `''` escapes; returns the index just
     * AFTER the closing quote (or length if unterminated). */
-  private def quotedEnd(stmt: String, start: Int): Int = {
+  private[component] def quotedEnd(stmt: String, start: Int): Int = {
     var i = start + 1
     while (i < stmt.length) {
       if (stmt.charAt(i) == '\'') {
@@ -86,9 +86,9 @@ object Dialect {
   def rewrite(stmt0: String): String = {
     val stmt = rewriteQualify(rewriteDistinctOn(rewriteWithCreate(
       Pivot.rewriteUnpivot(UnnestSql.rewrite(rewriteUsingSample(
-        rewriteSeriesTableFns(DotCall.rewrite(Brackets.rewrite(
+        rewriteSeriesTableFns(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
           FileReads.rewriteTableFunctions(
-            rewritePragma(Macros.rewrite(stmt0))))))))))))
+            rewritePragma(Macros.rewrite(stmt0)))))))))))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position

@@ -382,11 +382,11 @@ object DuckFunctions {
       org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(
         a.head, a(1))),
 
-    // json: the _string/_text forms are exactly get_json_object
-    // (json_extract itself returns QUOTED json text in DuckDB — out of
-    // scope rather than wrongly aliased)
-    arity("json_extract_string", 2)(a => GetJsonObject(a.head, a(1))),
-    arity("json_extract_path_text", 2)(a => GetJsonObject(a.head, a(1))),
+    // json: the _string/_text forms are exactly get_json_object with
+    // DuckDB's path grammar on top (see normPath; json_extract itself —
+    // quoted strings — lives in jsonBuilders below)
+    arity("json_extract_string", 2)(a => GetJsonObject(a.head, normPath(a(1)))),
+    arity("json_extract_path_text", 2)(a => GetJsonObject(a.head, normPath(a(1)))),
     arity("json_keys", 1)(a => JsonObjectKeys(a.head)),
     arity("json_valid", 1)(a =>
       If(IsNull(a.head),
@@ -473,9 +473,144 @@ object DuckFunctions {
     arity("favg", 1)(a =>
       org.apache.spark.sql.catalyst.expressions.aggregate.Average(a.head)))
 
+  // ---------------------------------------------------------------------
+  // json_extract family — EXACT DuckDB semantics (each probed v1.0).
+  //
+  // DuckDB `json_extract` returns minified JSON text: object key order
+  // preserved, scalar strings QUOTED, missing path / JSON null → SQL
+  // NULL. Spark's `get_json_object` already matches everything except
+  // string quoting (it returns the raw span for objects/arrays, order
+  // intact), and the variant path (`to_json(variant_get(...))`) quotes
+  // strings but SORTS object keys. The composition takes each engine's
+  // exact half: a variant probe decides string-ness and renders quoted
+  // strings; every other shape comes from get_json_object. variant_get
+  // demands a FOLDABLE path, so the string branch applies only to
+  // constant paths (the overwhelming case); a computed path falls back
+  // to get_json_object alone (strings unquoted — documented).
+  //
+  // Path grammar (probed): '$…' JSONPath passes through; '/a/b/0'
+  // pointer → $['a']['b'][0]; anything else is ONE literal key (bare
+  // 'a.b' means the key "a.b", not a nested path). Negative array
+  // indexes ($[-1]) are DuckDB-legal but out of scope here → NULL.
+  // Malformed JSON input: DuckDB raises, this surface returns NULL.
+
+  private def uf(name: String, args: Seq[Expression]): Expression =
+    org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+      Seq(name), args, isDistinct = false)
+
+  private[component] def normPathLit(s: String): String =
+    if (s.startsWith("$")) s
+    else if (s.startsWith("/"))
+      "$" + s.substring(1).split("/", -1).map { seg =>
+        if (seg.nonEmpty && seg.forall(_.isDigit)) s"[$seg]" else s"['$seg']"
+      }.mkString
+    else s"$$['$s']"
+
+  /** Normalized path expression: literal paths normalize at bind time
+    * (stays foldable — variant_get requires that); computed paths get
+    * the same three-form dispatch at runtime. */
+  private def normPath(p: Expression): Expression = p match {
+    case Literal(v, org.apache.spark.sql.types.StringType) if v != null =>
+      Literal(normPathLit(v.toString))
+    case _ =>
+      val dollar = StartsWith(p, Literal("$"))
+      val pointer = StartsWith(p, Literal("/"))
+      val segs = StringSplit(
+        Substring(p, Literal(2), Literal(Integer.MAX_VALUE)),
+        Literal("/"), Literal(-1))
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("seg"))
+      val fin = UnresolvedNamedLambdaVariable(Seq("fin"))
+      val pointerPath = ArrayAggregate(segs, Literal("$"),
+        LambdaFunction(Concat(Seq(acc,
+          If(RLike(x, Literal("^[0-9]+$")),
+            Concat(Seq(Literal("["), x, Literal("]"))),
+            Concat(Seq(Literal("['"), x, Literal("']")))))), Seq(acc, x)),
+        LambdaFunction(fin, Seq(fin)))
+      If(dollar, p, If(pointer, pointerPath,
+        Concat(Seq(Literal("$['"), p, Literal("']")))))
+  }
+
+  /** try_variant_get over try_parse_json — NULL (never error) on
+    * malformed json or missing path; `castTo` adds the 3-arg typed form. */
+  private def vGet(j: Expression, np: Expression,
+                   castTo: Option[String] = None): Expression = {
+    val parsed = uf("try_parse_json", Seq(j))
+    uf("try_variant_get",
+      Seq(parsed, np) ++ castTo.map(t => Literal(t)))
+  }
+
+  private def jsonExtract(j: Expression, p: Expression): Expression = {
+    val np = normPath(p)
+    val raw = GetJsonObject(j, np)
+    if (!np.foldable) raw
+    else {
+      val v = vGet(j, np)
+      CaseWhen(
+        Seq((EqualTo(uf("schema_of_variant", Seq(v)), Literal("STRING")),
+          uf("to_json", Seq(v)))),
+        Some(raw))
+    }
+  }
+
+  /** DuckDB json_type names over Spark's variant schema (probed:
+    * non-negative integers report UBIGINT, negative BIGINT; any float
+    * DOUBLE; JSON null the string 'NULL'; missing path → SQL NULL). */
+  private def jsonType(j: Expression, p: Expression): Expression = {
+    val np = normPath(p)
+    require(np.foldable, "json_type requires a constant path")
+    val v = vGet(j, np)
+    val s = uf("schema_of_variant", Seq(v))
+    val asLong = vGet(j, np, castTo = Some("bigint"))
+    CaseWhen(Seq(
+      (IsNull(v), Literal(null, org.apache.spark.sql.types.StringType)),
+      (EqualTo(s, Literal("VOID")), Literal("NULL")),
+      (EqualTo(s, Literal("STRING")), Literal("VARCHAR")),
+      (EqualTo(s, Literal("BOOLEAN")), Literal("BOOLEAN")),
+      (StartsWith(s, Literal("ARRAY")), Literal("ARRAY")),
+      (StartsWith(s, Literal("OBJECT")), Literal("OBJECT")),
+      (EqualTo(s, Literal("BIGINT")),
+        If(LessThan(asLong, Literal(0L)), Literal("BIGINT"), Literal("UBIGINT")))),
+      Some(Literal("DOUBLE")))
+  }
+
+  /** DuckDB json_array_length: element count for arrays, 0 for any
+    * non-array value, NULL for a missing path — over the extracted span
+    * (works for computed paths too; no variant needed). */
+  private def jsonArrayLen(j: Expression, p: Expression): Expression = {
+    val raw = GetJsonObject(j, normPath(p))
+    // the NATIVE node, not uf("json_array_length") — this builder is
+    // registered under that very name, so an unresolved call here would
+    // re-enter itself and loop the analyzer
+    If(IsNull(raw),
+      Literal(null, org.apache.spark.sql.types.LongType),
+      Coalesce(Seq(
+        Cast(LengthOfJsonArray(raw), org.apache.spark.sql.types.LongType),
+        Literal(0L))))
+  }
+
+  private val jsonBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    arity("json_extract", 2)(a => jsonExtract(a.head, a(1))),
+    arity("json_extract_path", 2)(a => jsonExtract(a.head, a(1))),
+    "json_type" -> { a =>
+      require(a.length == 1 || a.length == 2,
+        s"json_type expects 1-2 arguments, got ${a.length}")
+      jsonType(a.head, a.lift(1).getOrElse(Literal("$")))
+    },
+    "json_array_length" -> { a =>
+      require(a.length == 1 || a.length == 2,
+        s"json_array_length expects 1-2 arguments, got ${a.length}")
+      jsonArrayLen(a.head, a.lift(1).getOrElse(Literal("$")))
+    },
+    "json_merge_patch" -> { a =>
+      require(a.nonEmpty, "json_merge_patch expects at least 1 argument")
+      a.map(x => x: Expression).reduceLeft[Expression](
+        (l, r) => graft.functions.JsonMergePatch(l, r))
+    })
+
   /** Bind every DuckDB name on a running session (idempotent). */
   def register(spark: SparkSession): Unit =
-    (builders ++ round12Builders).foreach { case (name, build) =>
+    (builders ++ round12Builders ++ jsonBuilders).foreach { case (name, build) =>
       GraftSqlBridge.registerFunction(spark, name, build)
     }
 }

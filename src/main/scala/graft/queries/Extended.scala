@@ -201,6 +201,18 @@ object Extended {
       graft.component.DuckFunctions.register(s)
       T.documents(s, d).createOrReplaceTempView("documents")
       s.sql(graft.component.Dialect.rewrite(Oracle.q65))
+    }),
+
+    // Round-12 json surface: IDENTICAL text both engines over
+    // json_extract (quoted strings, key order, bare-key + pointer
+    // paths), the -> / ->> operators (chained, int index), json_type
+    // (UBIGINT/ARRAY/NULL names), json_array_length, json_merge_patch
+    // (delete-then-append order). JSON built per row by concat so both
+    // engines extract from byte-identical input.
+    "q66_json" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q66))
     })
   )
 
@@ -254,6 +266,29 @@ object Extended {
         |  argmax(text, doc_id) AS last_text
         |FROM (SELECT * FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id) t
         |GROUP BY source, lang ORDER BY source, lang""".stripMargin
+
+    val q66: String =
+      """WITH j AS (
+        |  SELECT doc_id,
+        |         concat('{"id": ', CAST(doc_id AS VARCHAR),
+        |                ', "lang": "', lang,
+        |                '", "meta": {"src": "', source,
+        |                '", "q": ', CAST(doc_id % 3 AS VARCHAR),
+        |                '}, "tags": [', CAST(doc_id % 2 AS VARCHAR),
+        |                ', ', CAST(doc_id % 5 AS VARCHAR), ']}') AS js
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT doc_id,
+        |       CAST(json_extract(js, '$.meta') AS VARCHAR) AS meta_j,
+        |       CAST(json_extract(js, 'lang') AS VARCHAR) AS lang_j,
+        |       js -> 'tags' ->> 1 AS tag1,
+        |       js ->> 'lang' AS lang_s,
+        |       json_extract_string(js, '/meta/src') AS src_s,
+        |       json_type(js, '$.id') AS t_id,
+        |       json_type(js, '$.tags') AS t_tags,
+        |       json_type(js, '$.missing') AS t_miss,
+        |       CAST(json_array_length(js, '$.tags') AS BIGINT) AS n_tags,
+        |       CAST(json_merge_patch(js, '{"lang": null, "q2": 7}') AS VARCHAR) AS patched
+        |FROM j ORDER BY doc_id""".stripMargin
 
     val q37: String =
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
@@ -366,6 +401,7 @@ object Extended {
     "q63_dotcall" -> Oracle.q63,
     "q64_funcs_gap" -> Oracle.q64,
     "q65_agg_gap" -> Oracle.q65,
+    "q66_json" -> Oracle.q66,
     "q37_grouping_sets" -> Oracle.q37,
     "q38_outer_joins" -> Oracle.q38,
     "q39_in_subquery" -> Oracle.q39,

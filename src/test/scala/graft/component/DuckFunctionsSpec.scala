@@ -268,6 +268,65 @@ class DuckFunctionsSpec extends SparkSpec {
     assert(Seq("a", "b").contains(one("SELECT arbitrary(s) FROM gap_a")))
   }
 
+  test("json_extract: DuckDB quoting, key order, path grammar (probed v1.0)") {
+    // scalar strings come back QUOTED (the variant branch) …
+    assert(one("""SELECT json_extract('{"a": "x"}', '$.a')""") == "\"x\"")
+    // … objects/arrays as minified spans with key order PRESERVED
+    assert(one("""SELECT json_extract('{ "b" : 1, "a" : [ 2 ] }', '$')""")
+      == """{"b":1,"a":[2]}""")
+    assert(one("""SELECT json_extract('{"a": {"b": 2}}', '$.a')""") == """{"b":2}""")
+    // bare key = ONE literal key; pointer form; array index (0-based)
+    assert(one("""SELECT json_extract('{"a": "x"}', 'a')""") == "\"x\"")
+    assert(one("""SELECT json_extract('{"a.b": 7}', 'a.b')""") == "7")
+    assert(one("""SELECT json_extract('{"a": {"b": [5, 6]}}', '/a/b/1')""") == "6")
+    assert(one("""SELECT json_extract('[1,2,3]', '$[1]')""") == "2")
+    // JSON null and missing path are both SQL NULL
+    assert(one("""SELECT json_extract('{"a": null}', '$.a')""") == null)
+    assert(one("""SELECT json_extract('{"a": 1}', '$.missing')""") == null)
+    assert(one("""SELECT json_extract('{"a": true}', '$.a')""") == "true")
+    assert(one("""SELECT json_extract('{"a": 1.5}', '$.a')""") == "1.5")
+    // the _string form stays the raw-span extractor, with the same paths
+    assert(one("""SELECT json_extract_string('{"a": {"b": 1}}', '$.a')""")
+      == """{"b":1}""")
+    assert(one("""SELECT json_extract_string('{"a": "x"}', 'a')""") == "x")
+  }
+
+  test("json_type / json_array_length: DuckDB names and numbers (probed)") {
+    assert(one("""SELECT json_type('{"a":1}')""") == "OBJECT")
+    assert(one("""SELECT json_type('[1]')""") == "ARRAY")
+    assert(one("""SELECT json_type('"x"')""") == "VARCHAR")
+    assert(one("""SELECT json_type('3')""") == "UBIGINT")
+    assert(one("""SELECT json_type('-3')""") == "BIGINT")
+    assert(one("""SELECT json_type('1.5')""") == "DOUBLE")
+    assert(one("""SELECT json_type('true')""") == "BOOLEAN")
+    assert(one("""SELECT json_type('null')""") == "NULL")
+    assert(one("""SELECT json_type('{"a":[1]}', '$.a')""") == "ARRAY")
+    assert(one("""SELECT json_type('{"a":1}', '$.b')""") == null)
+    assert(one("""SELECT json_array_length('[1,2,3]')""") == 3L)
+    assert(one("""SELECT json_array_length('{"a":1}')""") == 0L) // non-array → 0
+    assert(one("""SELECT json_array_length('{"a":[1,2]}', '$.a')""") == 2L)
+    assert(one("""SELECT json_array_length('{"a":1}', '$.b')""") == null)
+  }
+
+  test("json_merge_patch: RFC 7386 with DuckDB's delete-then-append order") {
+    assert(one("""SELECT json_merge_patch('{"a":1,"b":2}', '{"b":3,"c":4}')""")
+      == """{"a":1,"b":3,"c":4}""")
+    // a REPLACED key moves to the end (probed: {"b":2,"a":9}, not {"a":9,"b":2})
+    assert(one("""SELECT json_merge_patch('{"a":1,"b":2}', '{"a":9}')""")
+      == """{"b":2,"a":9}""")
+    assert(one("""SELECT json_merge_patch('{"o":{"x":1,"y":2}}', '{"o":{"x":9}}')""")
+      == """{"o":{"y":2,"x":9}}""")
+    // null removes; NULL SQL argument is skipped; non-object patch replaces
+    assert(one("""SELECT json_merge_patch('{"a":1,"b":2}', '{"a":null}')""")
+      == """{"b":2}""")
+    assert(one("""SELECT json_merge_patch(CAST(NULL AS STRING), '{ "a" : 1 }')""")
+      == """{"a":1}""")
+    assert(one("""SELECT json_merge_patch('{"a":1}', '5')""") == "5")
+    // variadic folds left: ({"a":1} + {"b":2}) + {"a":9}
+    assert(one("""SELECT json_merge_patch('{"a":1}', '{"b":2}', '{"a":9}')""")
+      == """{"b":2,"a":9}""")
+  }
+
   test("struct_pack rewrites through the dialect to named_struct") {
     val sql = Dialect.rewrite("SELECT struct_pack(a := 1, b := 'x') AS s")
     assert(sql.contains("named_struct('a', 1, 'b', 'x')"))
