@@ -589,9 +589,53 @@ object DuckFunctions {
         Literal(0L))))
   }
 
+  /** Bind-time JSON-typedness (see [[graft.functions.JsonText]]): true
+    * for the output of any json-producing builder in the SAME statement.
+    * Decides raw-embed vs quote-as-string in the constructors, exactly
+    * DuckDB's static JSON-vs-VARCHAR typing (a VARCHAR column quotes in
+    * both engines — Spark has no JSON column type, so stored json is
+    * varchar, which is also what DuckDB does for a VARCHAR column). */
+  private def isJsonTyped(e: Expression): Boolean = e match {
+    case graft.functions.JsonText(_) => true
+    case a: org.apache.spark.sql.catalyst.expressions.Alias =>
+      isJsonTyped(a.child)
+    case _ => false
+  }
+
+  /** Element text for the json constructors: raw for JSON-typed args,
+    * rendered for everything else; SQL NULL becomes the text 'null'
+    * (probed: json_array(NULL) = '[null]'). */
+  private def jsonElem(x: Expression): Expression =
+    Coalesce(Seq(
+      if (isJsonTyped(x)) x else graft.functions.JsonRender(x),
+      Literal("null")))
+
+  /** '"key":value' pair text, or SQL NULL for a NULL key — the
+    * constructors DROP null-key pairs (probed: json_object(NULL, 1) =
+    * '{}'; json_group_object rides CollectList's null-skipping). Keys
+    * cast to VARCHAR first (json_object(1, 'x') = '{"1":"x"}'). */
+  private def jsonPair(k: Expression, v: Expression): Expression = {
+    val kTxt = graft.functions.JsonRender(
+      Cast(k, org.apache.spark.sql.types.StringType))
+    If(IsNull(k),
+      Literal(null, org.apache.spark.sql.types.StringType),
+      Concat(Seq(kTxt, Literal(":"), jsonElem(v))))
+  }
+
+  /** '[' ++ join(parts, ',') ++ ']' over existing codegen nodes —
+    * ArrayJoin without a null replacement SKIPS null entries, which is
+    * what drops null-key pairs. */
+  private def jsonWrap(open: String, parts: Seq[Expression],
+                       close: String): Expression =
+    if (parts.isEmpty) Literal(open + close)
+    else Concat(Seq(Literal(open),
+      ArrayJoin(CreateArray(parts), Literal(","), None), Literal(close)))
+
   private val jsonBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    arity("json_extract", 2)(a => jsonExtract(a.head, a(1))),
-    arity("json_extract_path", 2)(a => jsonExtract(a.head, a(1))),
+    arity("json_extract", 2)(a =>
+      graft.functions.JsonText(jsonExtract(a.head, a(1)))),
+    arity("json_extract_path", 2)(a =>
+      graft.functions.JsonText(jsonExtract(a.head, a(1)))),
     "json_type" -> { a =>
       require(a.length == 1 || a.length == 2,
         s"json_type expects 1-2 arguments, got ${a.length}")
@@ -604,9 +648,55 @@ object DuckFunctions {
     },
     "json_merge_patch" -> { a =>
       require(a.nonEmpty, "json_merge_patch expects at least 1 argument")
-      a.map(x => x: Expression).reduceLeft[Expression](
-        (l, r) => graft.functions.JsonMergePatch(l, r))
-    })
+      graft.functions.JsonText(a.map(x => x: Expression).reduceLeft[Expression](
+        (l, r) => graft.functions.JsonMergePatch(l, r)))
+    },
+
+    // constructors / render / canonicalize (probed v1.0 — see JsonExprs)
+    "json_array" -> { a =>
+      graft.functions.JsonText(jsonWrap("[", a.map(jsonElem), "]"))
+    },
+    "json_object" -> { a =>
+      require(a.length % 2 == 0,
+        s"json_object expects an even number of arguments, got ${a.length}")
+      graft.functions.JsonText(jsonWrap("{",
+        a.grouped(2).map(p => jsonPair(p.head, p(1))).toSeq, "}"))
+    },
+    arity("json_quote", 1)(a =>
+      if (isJsonTyped(a.head)) a.head
+      else graft.functions.JsonText(graft.functions.JsonRender(a.head))),
+    arity("row_to_json", 1)(a =>
+      graft.functions.JsonText(graft.functions.JsonRender(a.head))),
+    arity("json", 1)(a =>
+      if (isJsonTyped(a.head)) a.head
+      else graft.functions.JsonText(graft.functions.JsonMinify(a.head))),
+    arity("json_structure", 1)(a =>
+      graft.functions.JsonText(graft.functions.JsonStructure(a.head))),
+    arity("json_contains", 2)(a =>
+      graft.functions.JsonContains(a.head, a(1))),
+
+    // aggregates — composed over CollectList, so element order follows
+    // partition/task completion on multi-partition input (the list()
+    // ORDER CAVEAT above applies verbatim; DuckDB's is arrival order).
+    // An EMPTY overall aggregation returns NULL, matching DuckDB.
+    arity("json_group_array", 1)(a => {
+      val collected = org.apache.spark.sql.catalyst.expressions.aggregate
+        .CollectList(jsonElem(a.head)).toAggregateExpression()
+      graft.functions.JsonText(If(
+        EqualTo(Size(collected), Literal(0)),
+        Literal(null, org.apache.spark.sql.types.StringType),
+        Concat(Seq(Literal("["),
+          ArrayJoin(collected, Literal(","), None), Literal("]")))))
+    }),
+    arity("json_group_object", 2)(a => {
+      val collected = org.apache.spark.sql.catalyst.expressions.aggregate
+        .CollectList(jsonPair(a.head, a(1))).toAggregateExpression()
+      graft.functions.JsonText(If(
+        EqualTo(Size(collected), Literal(0)),
+        Literal(null, org.apache.spark.sql.types.StringType),
+        Concat(Seq(Literal("{"),
+          ArrayJoin(collected, Literal(","), None), Literal("}")))))
+    }))
 
   /** Bind every DuckDB name on a running session (idempotent). */
   def register(spark: SparkSession): Unit =

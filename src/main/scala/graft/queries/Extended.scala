@@ -213,6 +213,18 @@ object Extended {
       graft.component.DuckFunctions.register(s)
       T.documents(s, d).createOrReplaceTempView("documents")
       s.sql(graft.component.Dialect.rewrite(Oracle.q66))
+    }),
+
+    // Round-12 json batch 2: constructors (json_array/json_object with
+    // raw-embed of JSON-typed args), canonicalizer json(), json_quote,
+    // json_structure (type-name unification), json_contains (strict-
+    // equality recursive match), and the group aggregates over
+    // SINGLE-ROW groups — the one shape where element order is defined
+    // on both engines (the list() order caveat).
+    "q67_json_build" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q67))
     })
   )
 
@@ -289,6 +301,27 @@ object Extended {
         |       CAST(json_array_length(js, '$.tags') AS BIGINT) AS n_tags,
         |       CAST(json_merge_patch(js, '{"lang": null, "q2": 7}') AS VARCHAR) AS patched
         |FROM j ORDER BY doc_id""".stripMargin
+
+    val q67: String =
+      """WITH j AS (
+        |  SELECT doc_id, lang, source,
+        |         concat('{"id": ', CAST(doc_id AS VARCHAR),
+        |                ', "tags": [', CAST(doc_id % 2 AS VARCHAR),
+        |                ', ', CAST(doc_id % 5 AS VARCHAR), ']}') AS js
+        |  FROM documents WHERE doc_id % 13 = 0)
+        |SELECT doc_id,
+        |       CAST(json_array(doc_id, lang, NULL) AS VARCHAR) AS arr,
+        |       CAST(json_object('id', doc_id, 'src', source,
+        |                        'tags', json_extract(js, '$.tags')) AS VARCHAR) AS obj,
+        |       CAST(json(concat('  { "a" : ', CAST(doc_id % 3 AS VARCHAR),
+        |                        ' , "b" : [ 1, "x" ] }')) AS VARCHAR) AS canon,
+        |       CAST(json_quote(lang) AS VARCHAR) AS q,
+        |       CAST(json_structure(js) AS VARCHAR) AS st,
+        |       json_contains(js, CAST(doc_id % 9 AS VARCHAR)) AS c1,
+        |       json_contains(js, concat('{"id": ', CAST(doc_id AS VARCHAR), '}')) AS c2,
+        |       CAST(json_group_array(lang) AS VARCHAR) AS ga,
+        |       CAST(json_group_object(source, doc_id) AS VARCHAR) AS go
+        |FROM j GROUP BY doc_id, lang, source, js ORDER BY doc_id""".stripMargin
 
     val q37: String =
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
@@ -402,6 +435,7 @@ object Extended {
     "q64_funcs_gap" -> Oracle.q64,
     "q65_agg_gap" -> Oracle.q65,
     "q66_json" -> Oracle.q66,
+    "q67_json_build" -> Oracle.q67,
     "q37_grouping_sets" -> Oracle.q37,
     "q38_outer_joins" -> Oracle.q38,
     "q39_in_subquery" -> Oracle.q39,

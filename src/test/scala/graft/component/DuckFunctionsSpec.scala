@@ -16,6 +16,11 @@ class DuckFunctionsSpec extends SparkSpec {
 
   private def one(sql: String): Any = session.sql(sql).collect().head.get(0)
 
+  /** Through the full dialect pass — for DuckDB spellings Spark's parser
+    * rejects ([1,2] literals, range() column naming). */
+  private def duck(sql: String): Any =
+    session.sql(Dialect.rewrite(sql)).collect().head.get(0)
+
   test("list lambda + scalar renames bind to the native array operators") {
     assert(one("SELECT list_transform(array(1, 2, 3), x -> x * 10)")
       .asInstanceOf[scala.collection.Seq[Int]] == Seq(10, 20, 30))
@@ -325,6 +330,99 @@ class DuckFunctionsSpec extends SparkSpec {
     // variadic folds left: ({"a":1} + {"b":2}) + {"a":9}
     assert(one("""SELECT json_merge_patch('{"a":1}', '{"b":2}', '{"a":9}')""")
       == """{"b":2,"a":9}""")
+  }
+
+  test("json constructors: json_array / json_object, raw-embed vs quote (probed)") {
+    assert(one("""SELECT json_array(1, 'x', NULL, 2.5)""") == """[1,"x",null,2.5]""")
+    assert(one("""SELECT json_array()""") == "[]")
+    // VARCHAR quotes+escapes; a JSON-TYPED arg embeds raw
+    assert(one("""SELECT json_array('{"b":2}')""") == """["{\"b\":2}"]""")
+    assert(one("""SELECT json_array(json('{"b":2}'))""") == """[{"b":2}]""")
+    assert(one("""SELECT json_array(json_extract('{"a":[5]}', '$.a'))""") == "[[5]]")
+    assert(one("""SELECT json_object('a', 1, 'b', 'x', 'c', NULL)""")
+      == """{"a":1,"b":"x","c":null}""")
+    assert(one("""SELECT json_object()""") == "{}")
+    // a NULL key DROPS the pair; a non-string key casts to VARCHAR
+    assert(one("""SELECT json_object(NULL, 1)""") == "{}")
+    assert(one("""SELECT json_object(1, 'x', 2, 'y')""") == """{"1":"x","2":"y"}""")
+    assert(one("""SELECT json_object('k', json('[1]'))""") == """{"k":[1]}""")
+    // string escaping: quotes and single-quote escapes through the dialect
+    assert(one("""SELECT json_array('it''s')""") == """["it's"]""")
+    assert(one("""SELECT json_quote('has "q"')""") == "\"has \\\"q\\\"\"")
+  }
+
+  test("json / json_quote / row_to_json rendering (probed)") {
+    assert(one("""SELECT json(' {"b" : 1, "a" :  [2] } ')""") == """{"b":1,"a":[2]}""")
+    assert(one("""SELECT json(json('{"a":1}'))""") == """{"a":1}""")
+    assert(one("""SELECT json('not json')""") == null) // DuckDB raises; lenient here
+    assert(one("""SELECT json_quote('hi')""") == "\"hi\"")
+    assert(one("""SELECT json_quote(5)""") == "5")
+    assert(one("""SELECT json_quote(NULL)""") == null)
+    assert(one("""SELECT json_quote(CAST(1.50 AS DECIMAL(4,2)))""") == "1.5")
+    assert(one("""SELECT json_quote(DATE '2024-01-02')""") == "\"2024-01-02\"")
+    assert(one("""SELECT json_quote(TIMESTAMP '2024-01-02 03:04:05.120')""")
+      == "\"2024-01-02 03:04:05.12\"")
+    assert(one("""SELECT json_quote(CAST(2 AS DOUBLE))""") == "2.0")
+    // composite renders recurse (list / struct)
+    assert(duck("""SELECT json_quote([1, 2])""") == "[1,2]")
+    assert(duck("""SELECT row_to_json(struct_pack(a := 1, b := 'x'))""")
+      == """{"a":1,"b":"x"}""")
+  }
+
+  test("json_structure: DuckDB type names and unification (probed)") {
+    assert(one("""SELECT json_structure('{"a": 1, "b": [1.5, 2], "c": {"d": "x"}}')""")
+      == """{"a":"UBIGINT","b":["DOUBLE"],"c":{"d":"VARCHAR"}}""")
+    assert(one("""SELECT json_structure('-3')""") == "\"BIGINT\"")
+    assert(one("""SELECT json_structure('3')""") == "\"UBIGINT\"")
+    assert(one("""SELECT json_structure('[1,"x"]')""") == """["JSON"]""")
+    assert(one("""SELECT json_structure('[]')""") == """["NULL"]""")
+    assert(one("""SELECT json_structure('{}')""") == "\"JSON\"")
+    assert(one("""SELECT json_structure('[{"a":1},{"b":2.5}]')""")
+      == """[{"a":"UBIGINT","b":"DOUBLE"}]""")
+    assert(one("""SELECT json_structure('[{},{"a":1}]')""") == """[{"a":"UBIGINT"}]""")
+    assert(one("""SELECT json_structure('{"a":{}}')""") == """{"a":"JSON"}""")
+    assert(one("""SELECT json_structure('[null, 1]')""") == """["UBIGINT"]""")
+    assert(one("""SELECT json_structure('[1152921504606846976123]')""")
+      == """["DOUBLE"]""")
+  }
+
+  test("json_contains: strict-equality recursive match (probed)") {
+    assert(one("""SELECT json_contains('{"a":[1,2],"b":3}', '2')""") == true)
+    assert(one("""SELECT json_contains('{"a":[1,2],"b":3}', '4')""") == false)
+    assert(one("""SELECT json_contains('{"a":{"x":1,"y":2}}', '{"x":1}')""") == true)
+    assert(one("""SELECT json_contains('[1,2,3]', '[1,3]')""") == true)
+    assert(one("""SELECT json_contains('{"a":1}', '{"a":1,"b":2}')""") == false)
+    assert(one("""SELECT json_contains('[[1,2]]', '[[1]]')""") == true)
+    assert(one("""SELECT json_contains('[1]', '1.0')""") == false) // type-strict
+    assert(one("""SELECT json_contains('["1"]', '1')""") == false)
+    assert(one("""SELECT json_contains('[null]', 'null')""") == true)
+    assert(one("""SELECT json_contains('{"a":1}', '"a"')""") == false) // keys aren't values
+    assert(one("""SELECT json_contains('{"a":1}', '{}')""") == true)
+    assert(one("""SELECT json_contains(NULL, '1')""") == null)
+  }
+
+  test("json_group_array / json_group_object (single-partition order)") {
+    // single partition pins arrival order (the list() ORDER CAVEAT)
+    assert(duck("""SELECT json_group_array(x)
+                  FROM (SELECT range AS x FROM range(3)) t""") == "[0,1,2]")
+    assert(duck("""SELECT json_group_array(CASE WHEN range = 1 THEN NULL
+                                               ELSE concat('s', range) END)
+                  FROM range(3)""") == """["s0",null,"s2"]""")
+    // JSON-typed elements embed raw
+    assert(duck("""SELECT json_group_array(json_object('i', range)) FROM range(2)""")
+      == """[{"i":0},{"i":1}]""")
+    assert(duck("""SELECT json_group_object(concat('k', range), range) FROM range(2)""")
+      == """{"k0":0,"k1":1}""")
+    // empty aggregation → NULL (DuckDB's answer); null keys drop
+    assert(duck("""SELECT json_group_array(range) FROM range(1) WHERE range < 0""") == null)
+    assert(duck("""SELECT json_group_object(CAST(NULL AS STRING), range)
+                  FROM range(1)""") == null)
+    // grouped form over the hash-agg path
+    val rows = session.sql(Dialect.rewrite(
+      """SELECT range % 2 AS g, json_group_array(range) AS a
+        |FROM (SELECT range FROM range(4) ORDER BY range) t
+        |GROUP BY g ORDER BY g""".stripMargin)).collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("[0,2]", "[1,3]"))
   }
 
   test("struct_pack rewrites through the dialect to named_struct") {
