@@ -631,6 +631,28 @@ object DuckFunctions {
     else Concat(Seq(Literal(open),
       ArrayJoin(CreateArray(parts), Literal(","), None), Literal(close)))
 
+  private def jsonTransformBuilder(strict: Boolean)
+      : Seq[Expression] => Expression = {
+    val fname = if (strict) "json_transform_strict" else "json_transform"
+    a => {
+      require(a.length == 2, s"$fname expects 2 arguments, got ${a.length}")
+      a(1) match {
+        case Literal(null, _) =>
+          Literal(null, org.apache.spark.sql.types.StringType)
+        case Literal(s, org.apache.spark.sql.types.StringType) =>
+          val txt = s.toString.trim
+          if (txt.startsWith("{") || txt.startsWith("[") || txt.startsWith("\""))
+            graft.functions.JsonTransform(a.head, s.toString, strict)
+          else // Spark's own from_json schema DDL
+            JsonToStructs(
+              org.apache.spark.sql.types.DataType.fromDDL(s.toString),
+              Map.empty[String, String], a.head)
+        case _ => throw new IllegalArgumentException(
+          s"$fname requires a constant structure argument (it is the result type)")
+      }
+    }
+  }
+
   private val jsonBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     arity("json_extract", 2)(a =>
       graft.functions.JsonText(jsonExtract(a.head, a(1)))),
@@ -674,6 +696,17 @@ object DuckFunctions {
       graft.functions.JsonText(graft.functions.JsonStructure(a.head))),
     arity("json_contains", 2)(a =>
       graft.functions.JsonContains(a.head, a(1))),
+
+    // typed extraction — DuckDB json_transform / from_json. The
+    // structure must be a CONSTANT (it IS the result type). A structure
+    // spelled as JSON ('{"a":"BIGINT"}') takes DuckDB's semantics
+    // (graft.functions.JsonTransform); any other text falls back to
+    // Spark's own from_json DDL spelling ('a INT, b STRING') so both
+    // dialects' users keep their queries.
+    "json_transform" -> jsonTransformBuilder(strict = false),
+    "from_json" -> jsonTransformBuilder(strict = false),
+    "json_transform_strict" -> jsonTransformBuilder(strict = true),
+    "from_json_strict" -> jsonTransformBuilder(strict = true),
 
     // aggregates — composed over CollectList, so element order follows
     // partition/task completion on multi-partition input (the list()

@@ -194,6 +194,237 @@ case class JsonContains(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** DuckDB `json_transform(json, structure)` / `from_json` — typed
+  * extraction: the structure argument is itself JSON (an object per
+  * nested struct, a ONE-element array per list, a quoted DuckDB type
+  * name per scalar), and the result is the corresponding Spark type.
+  * Coercions probed v1.0 and matched exactly:
+  *   - float→integer rounds HALF-EVEN (1.5→2, 2.5→2, -1.5→-2);
+  *     strings parse then round ("1.9"→2); booleans → 1/0; overflow,
+  *     non-numeric text, containers → NULL;
+  *   - VARCHAR: string nodes unquote, every other shape is its raw
+  *     minified span ('{"x":1}', 'true', '1.5'); the JSON leaf is the
+  *     raw span ALWAYS (strings stay quoted);
+  *   - BOOLEAN: numbers ≠ 0, case-insensitive "true"/"false"/"1"/"0";
+  *   - DATE/TIMESTAMP parse ISO text ('T' or space separator);
+  *   - UBIGINT → DECIMAL(20,0) (Spark has no unsigned 64-bit; the
+  *     full 2^64-1 range survives); negative → NULL;
+  *   - missing keys and JSON nulls → NULL; a non-object node under an
+  *     object spec → a row of NULLs ('5' → {a: NULL}), a non-array
+  *     node under a list spec → NULL (both probed); keys are
+  *     case-sensitive.
+  * `strict` (json_transform_strict) raises on failed scalar casts
+  * instead of producing NULL, like DuckDB's; shape mismatches stay
+  * NULL in both modes. Malformed json input → NULL (documented
+  * deviation: DuckDB raises).
+  */
+case class JsonTransform(child: Expression, structure: String, strict: Boolean)
+    extends UnaryExpression with EvalDelegatingCodegen {
+  @transient private lazy val spec = JtSpec.parse(structure)
+  override def dataType: DataType = spec.dt
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (strict) "json_transform_strict" else "json_transform"
+  override protected def resultJavaType: String =
+    org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator
+      .javaType(dataType)
+
+  override def nullSafeEval(v: Any): Any =
+    JtSpec.transformOrNull(v.asInstanceOf[UTF8String].toString, spec, strict)
+
+  override protected def withNewChildInternal(c: Expression): JsonTransform =
+    copy(child = c)
+}
+
+/** Structure-spec tree for [[JsonTransform]] (parsed once at bind). */
+sealed trait JtSpec { def dt: DataType }
+
+object JtSpec {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  case class Scalar(name: String, dt: DataType) extends JtSpec
+  case class Obj(fields: Vector[(String, JtSpec)]) extends JtSpec {
+    val dt: DataType =
+      StructType(fields.map { case (n, s) => StructField(n, s.dt) })
+  }
+  case class Lst(elem: JtSpec) extends JtSpec {
+    val dt: DataType = ArrayType(elem.dt)
+  }
+
+  private val mapper = new ObjectMapper()
+
+  private def scalarType(name: String): DataType = name.toUpperCase match {
+    case "VARCHAR" | "TEXT" | "STRING" | "JSON" => StringType
+    case "TINYINT" => ByteType
+    case "SMALLINT" => ShortType
+    case "INTEGER" | "INT" => IntegerType
+    case "BIGINT" => LongType
+    case "UBIGINT" => DecimalType(20, 0)
+    case "FLOAT" | "REAL" => FloatType
+    case "DOUBLE" => DoubleType
+    case "BOOLEAN" | "BOOL" => BooleanType
+    case "DATE" => DateType
+    case "TIMESTAMP" | "DATETIME" => TimestampType
+    case other =>
+      throw new IllegalArgumentException(
+        s"json_transform: unsupported type name '$other' in structure")
+  }
+
+  def parse(structure: String): JtSpec = {
+    val n =
+      try mapper.readTree(structure)
+      catch {
+        case _: java.io.IOException =>
+          throw new IllegalArgumentException(
+            s"json_transform: structure is not valid JSON: $structure")
+      }
+    fromNode(n)
+  }
+
+  private def fromNode(n: JsonNode): JtSpec =
+    if (n.isTextual) Scalar(n.asText.toUpperCase, scalarType(n.asText))
+    else if (n.isArray) {
+      require(n.size == 1,
+        "json_transform: a list structure must have exactly one element")
+      Lst(fromNode(n.get(0)))
+    } else if (n.isObject) {
+      val b = Vector.newBuilder[(String, JtSpec)]
+      val it = n.asInstanceOf[ObjectNode].properties().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> fromNode(e.getValue)
+      }
+      Obj(b.result())
+    } else throw new IllegalArgumentException(
+      s"json_transform: invalid structure node: $n")
+
+  def transformOrNull(json: String, spec: JtSpec, strict: Boolean): Any =
+    try {
+      val n = mapper.readTree(json)
+      if (n == null) null else convert(n, spec, strict)
+    } catch { case _: java.io.IOException => null }
+
+  private def castFail(n: JsonNode, to: String, strict: Boolean): Any =
+    if (strict) throw new IllegalArgumentException(
+      s"json_transform_strict: failed to cast value to $to: $n")
+    else null
+
+  private def convert(n: JsonNode, spec: JtSpec, strict: Boolean): Any =
+    if (n == null || n.isNull) null
+    else spec match {
+      case Obj(fields) =>
+        // a non-object node still yields a ROW (of nulls) — probed
+        val vals = new Array[Any](fields.length)
+        if (n.isObject) {
+          var i = 0
+          while (i < fields.length) {
+            val (name, fs) = fields(i)
+            vals(i) = convert(n.get(name), fs, strict)
+            i += 1
+          }
+        }
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+      case Lst(elem) =>
+        if (!n.isArray) null
+        else {
+          val out = new Array[Any](n.size)
+          var i = 0
+          while (i < n.size) { out(i) = convert(n.get(i), elem, strict); i += 1 }
+          new GenericArrayData(out)
+        }
+      case Scalar(name, dt) => convertScalar(n, name, dt, strict)
+    }
+
+  private def roundedOrNull(n: JsonNode): java.math.BigDecimal =
+    try {
+      val bd =
+        if (n.isNumber) n.decimalValue
+        else if (n.isBoolean) java.math.BigDecimal.valueOf(if (n.asBoolean) 1 else 0)
+        else if (n.isTextual) new java.math.BigDecimal(n.asText.trim)
+        else null
+      if (bd == null) null
+      else bd.setScale(0, java.math.RoundingMode.HALF_EVEN)
+    } catch { case _: NumberFormatException => null }
+
+  private def longIn(n: JsonNode, lo: Long, hi: Long): Option[Long] = {
+    val bd = roundedOrNull(n)
+    if (bd == null) None
+    else try {
+      val l = bd.longValueExact()
+      if (l >= lo && l <= hi) Some(l) else None
+    } catch { case _: ArithmeticException => None }
+  }
+
+  private val U64_MAX = new java.math.BigDecimal("18446744073709551615")
+
+  private def convertScalar(n: JsonNode, name: String, dt: DataType,
+                            strict: Boolean): Any = dt match {
+    case StringType if name == "JSON" =>
+      UTF8String.fromString(mapper.writeValueAsString(n))
+    case StringType =>
+      if (n.isTextual) UTF8String.fromString(n.asText)
+      else UTF8String.fromString(mapper.writeValueAsString(n))
+    case ByteType =>
+      longIn(n, Byte.MinValue, Byte.MaxValue).map(_.toByte)
+        .getOrElse(castFail(n, name, strict))
+    case ShortType =>
+      longIn(n, Short.MinValue, Short.MaxValue).map(_.toShort)
+        .getOrElse(castFail(n, name, strict))
+    case IntegerType =>
+      longIn(n, Int.MinValue, Int.MaxValue).map(_.toInt)
+        .getOrElse(castFail(n, name, strict))
+    case LongType =>
+      longIn(n, Long.MinValue, Long.MaxValue)
+        .map(l => l: java.lang.Long).getOrElse(castFail(n, name, strict))
+    case d: DecimalType => // UBIGINT
+      val bd = roundedOrNull(n)
+      if (bd == null || bd.signum < 0 || bd.compareTo(U64_MAX) > 0)
+        castFail(n, name, strict)
+      else Decimal(new java.math.BigDecimal(bd.toBigInteger), d.precision, d.scale)
+    case DoubleType =>
+      try {
+        if (n.isNumber) n.asDouble
+        else if (n.isBoolean) (if (n.asBoolean) 1.0 else 0.0)
+        else if (n.isTextual) java.lang.Double.parseDouble(n.asText.trim)
+        else castFail(n, name, strict)
+      } catch { case _: NumberFormatException => castFail(n, name, strict) }
+    case FloatType =>
+      try {
+        if (n.isNumber) n.asDouble.toFloat
+        else if (n.isBoolean) (if (n.asBoolean) 1.0f else 0.0f)
+        else if (n.isTextual) java.lang.Float.parseFloat(n.asText.trim)
+        else castFail(n, name, strict)
+      } catch { case _: NumberFormatException => castFail(n, name, strict) }
+    case BooleanType =>
+      if (n.isBoolean) n.asBoolean
+      else if (n.isNumber) n.asDouble != 0.0
+      else if (n.isTextual) n.asText.trim.toLowerCase match {
+        case "true" | "1" => true
+        case "false" | "0" => false
+        case _ => castFail(n, name, strict)
+      }
+      else castFail(n, name, strict)
+    case DateType =>
+      if (!n.isTextual) castFail(n, name, strict)
+      else try java.time.LocalDate.parse(n.asText.trim).toEpochDay.toInt
+      catch { case _: java.time.format.DateTimeParseException =>
+        castFail(n, name, strict) }
+    case TimestampType =>
+      if (!n.isTextual) castFail(n, name, strict)
+      else try {
+        val t = n.asText.trim.replace('T', ' ')
+        val ldt = java.time.LocalDateTime.parse(t,
+          java.time.format.DateTimeFormatter.ofPattern(
+            "uuuu-MM-dd HH:mm[:ss][.SSSSSS][.SSSSS][.SSSS][.SSS][.SS][.S]"))
+        ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L
+      } catch { case _: java.time.format.DateTimeParseException =>
+        castFail(n, name, strict) }
+    case other =>
+      throw new IllegalStateException(s"unreachable scalar type $other")
+  }
+}
+
 /** Shared Jackson walks for the json surface (mapper config in
   * [[JsonMergePatch]] — thread-safe, insertion-ordered object nodes). */
 object JsonVal {

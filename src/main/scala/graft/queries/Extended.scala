@@ -225,6 +225,15 @@ object Extended {
       graft.component.DuckFunctions.register(s)
       T.documents(s, d).createOrReplaceTempView("documents")
       s.sql(graft.component.Dialect.rewrite(Oracle.q67))
+    }),
+
+    // json_transform typed extraction — identical statement text; the
+    // half-even float→int rounding, raw-span VARCHAR, DATE parse and
+    // missing-key NULL all cross the differential.
+    "q68_json_transform" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q68))
     })
   )
 
@@ -322,6 +331,28 @@ object Extended {
         |       CAST(json_group_array(lang) AS VARCHAR) AS ga,
         |       CAST(json_group_object(source, doc_id) AS VARCHAR) AS go
         |FROM j GROUP BY doc_id, lang, source, js ORDER BY doc_id""".stripMargin
+
+    val q68: String =
+      """WITH j AS (
+        |  SELECT doc_id, lang,
+        |         concat('{"id": ', CAST(doc_id AS VARCHAR),
+        |                ', "lang": "', lang,
+        |                '", "score": ', CAST(doc_id % 7 AS VARCHAR), '.5',
+        |                ', "tags": [', CAST(doc_id % 3 AS VARCHAR), ', "x"]',
+        |                ', "meta": {"d": "2024-01-0',
+        |                CAST(doc_id % 9 + 1 AS VARCHAR), '"}}') AS js
+        |  FROM documents WHERE doc_id % 17 = 0)
+        |SELECT doc_id,
+        |       CAST((json_transform(js, '{"id":"BIGINT"}')).id AS BIGINT) AS tid,
+        |       (json_transform(js, '{"lang":"VARCHAR"}')).lang AS tlang,
+        |       CAST((json_transform(js, '{"score":"BIGINT"}')).score AS BIGINT) AS r_even,
+        |       CAST((json_transform(js, '{"score":"DOUBLE"}')).score AS DOUBLE) AS sc,
+        |       CAST((json_transform(js, '{"meta":{"d":"DATE"}}')).meta.d AS DATE) AS d,
+        |       CAST((json_transform(js, '{"tags":["BIGINT"]}')).tags[1] AS BIGINT) AS tag1,
+        |       CAST((json_transform(js, '{"tags":["BIGINT"]}')).tags[2] AS BIGINT) AS tag2,
+        |       CAST((json_transform(js, '{"zzz":"BIGINT"}')).zzz AS BIGINT) AS missing,
+        |       (json_transform(js, '{"id":"VARCHAR"}')).id AS raw_id
+        |FROM j ORDER BY doc_id""".stripMargin
 
     val q37: String =
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
@@ -436,6 +467,7 @@ object Extended {
     "q65_agg_gap" -> Oracle.q65,
     "q66_json" -> Oracle.q66,
     "q67_json_build" -> Oracle.q67,
+    "q68_json_transform" -> Oracle.q68,
     "q37_grouping_sets" -> Oracle.q37,
     "q38_outer_joins" -> Oracle.q38,
     "q39_in_subquery" -> Oracle.q39,

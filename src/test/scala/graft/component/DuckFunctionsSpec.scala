@@ -425,6 +425,54 @@ class DuckFunctionsSpec extends SparkSpec {
     assert(rows.map(_.getString(1)).toSeq == Seq("[0,2]", "[1,3]"))
   }
 
+  test("json_transform / from_json: typed extraction, DuckDB coercions (probed)") {
+    val r = session.sql(
+      """SELECT json_transform('{"a":1,"b":"x","o":{"d":"2024-01-02"},"l":[1,2]}',
+        |  '{"a":"BIGINT","b":"VARCHAR","o":{"d":"DATE"},"l":["DOUBLE"]}') AS s"""
+        .stripMargin).select("s.a", "s.b", "s.o.d", "s.l").collect().head
+    assert(r.getLong(0) == 1L && r.getString(1) == "x")
+    assert(r.getDate(2).toString == "2024-01-02")
+    assert(r.getSeq[Double](3) == Seq(1.0, 2.0))
+    def f(sql: String): Any = session.sql(sql).selectExpr("s.a")
+      .collect().head.get(0)
+    // float→int rounds HALF-EVEN; strings parse then round; bools are 1/0
+    assert(f("""SELECT json_transform('{"a":1.5}', '{"a":"BIGINT"}') AS s""") == 2L)
+    assert(f("""SELECT json_transform('{"a":2.5}', '{"a":"BIGINT"}') AS s""") == 2L)
+    assert(f("""SELECT json_transform('{"a":"1.9"}', '{"a":"BIGINT"}') AS s""") == 2L)
+    assert(f("""SELECT json_transform('{"a":true}', '{"a":"BIGINT"}') AS s""") == 1L)
+    // failed casts, overflow, missing keys → NULL (non-strict)
+    assert(f("""SELECT json_transform('{"a":"zz"}', '{"a":"BIGINT"}') AS s""") == null)
+    assert(f("""SELECT json_transform('{"a":300}', '{"a":"TINYINT"}') AS s""") == null)
+    assert(f("""SELECT json_transform('{"b":1}', '{"a":"BIGINT"}') AS s""") == null)
+    // VARCHAR: strings unquote, containers/scalars raw-span; JSON always raw
+    assert(f("""SELECT json_transform('{"a":{"x":1}}', '{"a":"VARCHAR"}') AS s""")
+      == """{"x":1}""")
+    assert(f("""SELECT json_transform('{"a":"x"}', '{"a":"JSON"}') AS s""") == "\"x\"")
+    // BOOLEAN: numbers ≠ 0, case-insensitive text
+    assert(f("""SELECT json_transform('{"a":0}', '{"a":"BOOLEAN"}') AS s""") == false)
+    assert(f("""SELECT json_transform('{"a":"TRUE"}', '{"a":"BOOLEAN"}') AS s""") == true)
+    // UBIGINT carries the full unsigned range (DECIMAL(20,0)); negative → NULL
+    assert(f("""SELECT json_transform('{"a":18446744073709551615}',
+                 '{"a":"UBIGINT"}') AS s""").toString == "18446744073709551615")
+    assert(f("""SELECT json_transform('{"a":-1}', '{"a":"UBIGINT"}') AS s""") == null)
+    // a non-object under an object spec → row of NULLs; JSON null → NULL struct
+    assert(f("""SELECT json_transform('5', '{"a":"BIGINT"}') AS s""") == null)
+    assert(session.sql("""SELECT json_transform('5', '{"a":"BIGINT"}') AS s""")
+      .collect().head.get(0) != null)
+    assert(session.sql("""SELECT json_transform('null', '{"a":"BIGINT"}') AS s""")
+      .collect().head.get(0) == null)
+    // top-level list; element mismatch → NULL element
+    assert(one("""SELECT json_transform('[1,"x",3]', '["BIGINT"]')""")
+      .asInstanceOf[scala.collection.Seq[Any]] == Seq(1L, null, 3L))
+    // strict raises on cast failure
+    val e = intercept[Exception](session.sql(
+      """SELECT json_transform_strict('{"a":"zz"}', '{"a":"BIGINT"}')""").collect())
+    assert(e.getMessage != null)
+    // from_json aliases; the Spark DDL spelling still binds
+    assert(f("""SELECT from_json('{"a":7}', '{"a":"BIGINT"}') AS s""") == 7L)
+    assert(f("""SELECT from_json('{"a":7}', 'a BIGINT') AS s""") == 7L)
+  }
+
   test("struct_pack rewrites through the dialect to named_struct") {
     val sql = Dialect.rewrite("SELECT struct_pack(a := 1, b := 'x') AS s")
     assert(sql.contains("named_struct('a', 1, 'b', 'x')"))
