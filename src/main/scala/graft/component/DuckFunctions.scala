@@ -233,10 +233,16 @@ object DuckFunctions {
     // a 1000-executor cluster anyway.
     arity("list", 1)(a =>
       org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(a.head)),
+    // DuckDB's arg_max/arg_min SKIP rows whose VALUE is NULL (probed:
+    // arg_max over (1,'a'),(3,NULL),(2,'b') = 'b'); Spark's MaxBy skips
+    // rows whose ORDERING is NULL, so the binding masks the ordering
+    // wherever the value is NULL. arg_max_null (bound below) keeps them.
     arity("arg_max", 2)(a =>
-      new org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(a.head, a(1))),
+      new org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(
+        a.head, maskIfValueNull(a.head, a(1)))),
     arity("arg_min", 2)(a =>
-      new org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(a.head, a(1))),
+      new org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(
+        a.head, maskIfValueNull(a.head, a(1)))),
     // DuckDB string_agg is unordered; an ORDER BY needs listagg WITHIN
     // GROUP (which Spark SQL parses natively)
     arity("string_agg", 2)(a =>
@@ -447,10 +453,13 @@ object DuckFunctions {
     arity("approx_quantile", 2)(a =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile(
         a.head, a(1))),
+    // NULL-value rows skipped like arg_max/arg_min (same DuckDB probe)
     arity("argmax", 2)(a =>
-      new org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(a.head, a(1))),
+      new org.apache.spark.sql.catalyst.expressions.aggregate.MaxBy(
+        a.head, maskIfValueNull(a.head, a(1)))),
     arity("argmin", 2)(a =>
-      new org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(a.head, a(1))),
+      new org.apache.spark.sql.catalyst.expressions.aggregate.MinBy(
+        a.head, maskIfValueNull(a.head, a(1)))),
     "group_concat" -> { a =>
       require(a.length == 1 || a.length == 2,
         s"group_concat expects 1-2 arguments, got ${a.length}")
@@ -731,9 +740,103 @@ object DuckFunctions {
           ArrayJoin(collected, Literal(","), None), Literal("}")))))
     }))
 
+  // ---------------------------------------------------------------------
+  // String-distance + statistics batch: the duckdb_functions() names that
+  // needed NEW kernels or aggregate compositions rather than renames.
+  // Every semantic below is probed against DuckDB v1.0 (pins in
+  // DuckFunctionsSpec / StringSimSpec): byte-level string distances,
+  // sem = stddev_pop/√n, geomean = exp(avg(ln)), DuckDB's SAMPLE
+  // skewness/kurtosis corrections (Spark's built-ins are population
+  // moments — binding the DuckDB names to DuckDB's corrections is the
+  // point of the dialect surface), mad/entropy as native mergeable
+  // aggregates, NULL where DuckDB says NULL (n too small, zero variance).
+
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Count, Kurtosis, MaxBy, MinBy, Skewness, StddevPop}
+  import org.apache.spark.sql.types.DoubleType
+
+  private def dbl(e: Expression): Expression = Cast(e, DoubleType)
+  private def nDouble(x: Expression): Expression =
+    Cast(Count(x).toAggregateExpression(), DoubleType)
+  private def nanToNull(e: Expression): Expression =
+    If(IsNaN(e), Literal(null, DoubleType), e)
+  /** NULL out the ordering for rows whose VALUE is NULL — DuckDB's
+    * arg_max/arg_min skip NULL arguments (probed); Spark's MaxBy skips
+    * rows whose ordering is NULL, so masking the ordering reproduces it.
+    * CaseWhen with no else-branch yields a NULL of the ordering's own
+    * type without needing the (possibly unresolved) dataType here. */
+  private def maskIfValueNull(value: Expression, ordering: Expression): Expression =
+    CaseWhen(Seq((IsNotNull(value), ordering)), None)
+
+  private val simStatBuilders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // pair-scoring string distances (graft.functions.StringSim kernels)
+    arity("damerau_levenshtein", 2)(a => graft.functions.DamerauLevenshtein(a.head, a(1))),
+    arity("jaro_similarity", 2)(a => graft.functions.JaroSimilarity(a.head, a(1))),
+    arity("jaro_winkler_similarity", 2)(a => graft.functions.JaroWinklerSimilarity(a.head, a(1))),
+    arity("hamming", 2)(a => graft.functions.HammingDistance(a.head, a(1))),
+    arity("mismatches", 2)(a => graft.functions.HammingDistance(a.head, a(1))),
+    arity("jaccard", 2)(a => graft.functions.JaccardSimilarity(a.head, a(1))),
+
+    // standard error of the mean: stddev_pop/√n (probed: sem(1,2,4) =
+    // 0.72008…, the POPULATION deviation — not stddev_samp/√n)
+    arity("sem", 1)(a =>
+      Divide(StddevPop(dbl(a.head)).toAggregateExpression(), Sqrt(nDouble(a.head)))),
+
+    // geometric mean (DuckDB macro: exp(avg(ln(x))) — same tree here, so
+    // equality is by construction; ln errors on non-positive input in
+    // BOTH engines under Spark's ANSI default)
+    arity("geomean", 1)(a => Exp(Average(Log(dbl(a.head))).toAggregateExpression())),
+    arity("geometric_mean", 1)(a => Exp(Average(Log(dbl(a.head))).toAggregateExpression())),
+
+    // population excess kurtosis — Spark's Kurtosis node IS g2; DuckDB
+    // returns NULL (not NaN) for n=1 / zero variance
+    arity("kurtosis_pop", 1)(a =>
+      nanToNull(Kurtosis(dbl(a.head)).toAggregateExpression())),
+
+    // DuckDB kurtosis = SAMPLE excess kurtosis (bias-corrected):
+    // (n−1)·((n+1)·g2 + 6) / ((n−2)(n−3)), NULL when n < 4
+    arity("kurtosis", 1) { a =>
+      val n = nDouble(a.head)
+      val g2 = Kurtosis(dbl(a.head)).toAggregateExpression()
+      If(Or(LessThan(n, Literal(4.0)), IsNaN(g2)),
+        Literal(null, DoubleType),
+        Divide(
+          Multiply(Subtract(n, Literal(1.0)),
+            Add(Multiply(Add(n, Literal(1.0)), g2), Literal(6.0))),
+          Multiply(Subtract(n, Literal(2.0)), Subtract(n, Literal(3.0)))))
+    },
+
+    // DuckDB skewness = SAMPLE skewness: g1·√(n(n−1))/(n−2), NULL when
+    // n < 3 or variance is zero (Spark's Skewness is population g1)
+    arity("skewness", 1) { a =>
+      val n = nDouble(a.head)
+      val g1 = Skewness(dbl(a.head)).toAggregateExpression()
+      If(Or(LessThan(n, Literal(3.0)), IsNaN(g1)),
+        Literal(null, DoubleType),
+        Multiply(g1,
+          Divide(Sqrt(Multiply(n, Subtract(n, Literal(1.0)))),
+            Subtract(n, Literal(2.0)))))
+    },
+
+    // exact median absolute deviation / value-distribution entropy —
+    // native mergeable aggregates (graft.functions.{MadAgg, EntropyAgg})
+    arity("mad", 1)(a => graft.functions.MadAgg(dbl(a.head))),
+    arity("entropy", 1) { a =>
+      val c = a.head match {
+        case s if s.resolved && s.dataType == org.apache.spark.sql.types.StringType => s
+        case s => Cast(s, org.apache.spark.sql.types.StringType)
+      }
+      graft.functions.EntropyAgg(c)
+    },
+
+    // arg_max_null/arg_min_null KEEP a NULL value at the extreme key
+    // (probed) — exactly Spark's MaxBy/MinBy
+    arity("arg_max_null", 2)(a => new MaxBy(a.head, a(1))),
+    arity("arg_min_null", 2)(a => new MinBy(a.head, a(1))))
+
   /** Bind every DuckDB name on a running session (idempotent). */
   def register(spark: SparkSession): Unit =
-    (builders ++ round12Builders ++ jsonBuilders).foreach { case (name, build) =>
-      GraftSqlBridge.registerFunction(spark, name, build)
-    }
+    (builders ++ round12Builders ++ jsonBuilders ++ simStatBuilders)
+      .foreach { case (name, build) =>
+        GraftSqlBridge.registerFunction(spark, name, build)
+      }
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Open-addressing hash set of primitive longs — the aggregation buffer for
   * [[ExactDistinctLong]]. Linear probing over a power-of-two array at ≤½
@@ -819,6 +820,173 @@ case class KmvSketch(
   override protected def withNewChildInternal(newChild: Expression): KmvSketch =
     copy(child = newChild)
   override def prettyName: String = "kmv_sketch"
+}
+
+/** Exact median absolute deviation — DuckDB's `mad(x)`:
+  * `median(abs(x − median(x)))` with interpolated (continuous) medians,
+  * probed v1.0: mad(1,2,4,100) = 1.5, mad(1,2) = 0.5, NULLs skipped,
+  * all-NULL → NULL. Buffers the group's doubles (the same value-buffering
+  * contract as [[PercentileContAgg]] and as DuckDB's own exact median);
+  * inputs too large to buffer belong on the two-phase selection path
+  * (`ops/Percentiles`), not here. */
+case class MadAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DoubleBuf] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires DOUBLE input (cast numeric columns up), got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): DoubleBuf = new DoubleBuf()
+
+  override def update(buffer: DoubleBuf, input: InternalRow): DoubleBuf = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Double])
+    buffer
+  }
+
+  override def merge(buffer: DoubleBuf, other: DoubleBuf): DoubleBuf =
+    buffer.mergeFrom(other)
+
+  // vs is valid up to n only (DoubleBuf.sorted returns the backing array)
+  private def medianOfSorted(vs: Array[Double], n: Int): Double =
+    if (n % 2 == 1) vs(n / 2) else (vs(n / 2 - 1) + vs(n / 2)) / 2.0
+
+  override def eval(buffer: DoubleBuf): Any = {
+    val n = buffer.size
+    if (n == 0) return null
+    val vs = buffer.sorted()
+    val med = medianOfSorted(vs, n)
+    val devs = new Array[Double](n)
+    var i = 0
+    while (i < n) { devs(i) = math.abs(vs(i) - med); i += 1 }
+    java.util.Arrays.sort(devs)
+    medianOfSorted(devs, n)
+  }
+
+  override def serialize(buffer: DoubleBuf): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): DoubleBuf = DoubleBuf.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MadAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MadAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MadAgg =
+    copy(child = newChild)
+  override def prettyName: String = "mad"
+}
+
+/** Distinct-value counts keyed by UTF8String — the aggregation buffer for
+  * [[EntropyAgg]]. Keys are CLONED on first insert (an input UTF8String
+  * may alias a reused row buffer). State is O(distinct values). */
+final class StrCounts {
+  val m = new java.util.HashMap[UTF8String, java.lang.Long]()
+  def add(k: UTF8String, c: Long): Unit = {
+    val prev = m.get(k)
+    if (prev == null) m.put(k.clone(), c)
+    else m.put(k, prev + c)
+  }
+  def mergeFrom(o: StrCounts): StrCounts = {
+    val it = o.m.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); add(e.getKey, e.getValue.longValue()) }
+    this
+  }
+  def toBytes: Array[Byte] = {
+    var bytes = 4
+    val it0 = m.entrySet().iterator()
+    while (it0.hasNext) { bytes += 12 + it0.next().getKey.numBytes() }
+    val bb = java.nio.ByteBuffer.allocate(bytes)
+    bb.putInt(m.size())
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val kb = e.getKey.getBytes
+      bb.putInt(kb.length); bb.put(kb); bb.putLong(e.getValue)
+    }
+    bb.array()
+  }
+}
+
+object StrCounts {
+  def fromBytes(bytes: Array[Byte]): StrCounts = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val s = new StrCounts
+    var n = bb.getInt
+    while (n > 0) {
+      val len = bb.getInt
+      val kb = new Array[Byte](len)
+      bb.get(kb)
+      s.m.put(UTF8String.fromBytes(kb), bb.getLong)
+      n -= 1
+    }
+    s
+  }
+}
+
+/** Shannon entropy (log base 2) of the VALUE DISTRIBUTION of a string
+  * column — DuckDB's `entropy(x)`: NULLs skipped, and a group with no
+  * non-NULL values yields 0.0, not NULL (probed v1.0). Computed as
+  * `log2(n) − (Σ c·ln c)/(n·ln 2)` over the distinct-value counts; state
+  * is O(distinct values), mergeable by count addition. The name binding
+  * casts non-string inputs to string — injective for the string /
+  * integral / date columns real scripts measure entropy over, so the
+  * equality classes (all entropy depends on) are unchanged. */
+case class EntropyAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[StrCounts] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a STRING input (bindings cast), got " +
+        child.dataType.simpleString)
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): StrCounts = new StrCounts
+
+  override def update(buffer: StrCounts, input: InternalRow): StrCounts = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[UTF8String], 1L)
+    buffer
+  }
+
+  override def merge(buffer: StrCounts, other: StrCounts): StrCounts =
+    buffer.mergeFrom(other)
+
+  override def eval(buffer: StrCounts): Any = {
+    var n = 0L
+    var acc = 0.0
+    val it = buffer.m.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().longValue()
+      n += c
+      acc += c * math.log(c.toDouble)
+    }
+    if (n == 0L) 0.0
+    else (math.log(n.toDouble) - acc / n) / math.log(2.0)
+  }
+
+  override def serialize(buffer: StrCounts): Array[Byte] = buffer.toBytes
+  override def deserialize(bytes: Array[Byte]): StrCounts = StrCounts.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): EntropyAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): EntropyAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): EntropyAgg =
+    copy(child = newChild)
+  override def prettyName: String = "entropy"
 }
 
 /** Column-API entry points for graft's native aggregate functions. */

@@ -234,6 +234,33 @@ object Extended {
       graft.component.DuckFunctions.register(s)
       T.documents(s, d).createOrReplaceTempView("documents")
       s.sql(graft.component.Dialect.rewrite(Oracle.q68))
+    }),
+
+    // String-distance pair scoring (the step after candidate generation
+    // in a fuzzy-dedup pipeline): IDENTICAL text both engines over the
+    // native StringSim kernels — true Damerau–Levenshtein, Jaro /
+    // Jaro–Winkler (threshold + prefix-cap paths both hit on real
+    // pairs), hamming/mismatches on equal-length slices, distinct-byte
+    // jaccard. The similarity doubles are round(.,6)-pinned: the two
+    // engines' kernels are independent implementations of the same
+    // algorithm, so last-ulp float identity is not a meaningful claim.
+    "q69_string_sim" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q69))
+    }),
+
+    // Statistics-aggregate batch: sem (= stddev_pop/√n), geomean, exact
+    // MAD and value-distribution entropy (native mergeable aggregates),
+    // DuckDB's SAMPLE skewness/kurtosis corrections vs Spark's
+    // population moments, kurtosis_pop, and the arg_*_null vs arg_*
+    // NULL-skip distinction — grouped by lang so every group is a real
+    // multi-partition merge at sf0.1. Moments round(.,6)-pinned (the
+    // q46 rationale: different accumulation orders, same statistic).
+    "q70_stats_agg" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q70))
     })
   )
 
@@ -354,6 +381,39 @@ object Extended {
         |       (json_transform(js, '{"id":"VARCHAR"}')).id AS raw_id
         |FROM j ORDER BY doc_id""".stripMargin
 
+    /** Shared DuckDB/Spark text — q69 runs this verbatim in both engines. */
+    val q69: String =
+      """WITH p AS (
+        |  SELECT a.doc_id,
+        |         substr(a.text, 1, 12) AS s1, substr(b.text, 1, 12) AS s2,
+        |         substr(a.text, 1, 20) AS h1, substr(b.text, 1, 20) AS h2
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 3 = 0)
+        |SELECT doc_id,
+        |       CAST(damerau_levenshtein(s1, s2) AS BIGINT) AS dl,
+        |       round(jaro_similarity(s1, s2), 6) AS jaro,
+        |       round(jaro_winkler_similarity(s1, s2), 6) AS jw,
+        |       CAST(hamming(h1, h2) AS BIGINT) AS ham,
+        |       CAST(mismatches(h1, h2) AS BIGINT) AS mism,
+        |       round(jaccard(s1, s2), 6) AS jac
+        |FROM p ORDER BY doc_id""".stripMargin
+
+    /** Shared DuckDB/Spark text — q70 runs this verbatim in both engines. */
+    val q70: String =
+      """SELECT lang,
+        |       COUNT(*) AS n,
+        |       round(sem(CAST(strlen(text) AS DOUBLE)), 6) AS sem_len,
+        |       round(geomean(CAST(strlen(text) AS DOUBLE)), 6) AS geo_len,
+        |       CAST(mad(CAST(strlen(text) AS DOUBLE)) AS DOUBLE) AS mad_len,
+        |       round(entropy(source), 6) AS ent_src,
+        |       round(entropy(doc_id % 5), 6) AS ent_mod,
+        |       round(kurtosis(CAST(strlen(text) AS DOUBLE)), 6) AS kurt_s,
+        |       round(kurtosis_pop(CAST(strlen(text) AS DOUBLE)), 6) AS kurt_p,
+        |       round(skewness(CAST(strlen(text) AS DOUBLE)), 6) AS skew_s,
+        |       arg_max_null(source, doc_id) AS last_src,
+        |       arg_min(source, doc_id) AS first_src
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
     val q37: String =
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
@@ -468,6 +528,8 @@ object Extended {
     "q66_json" -> Oracle.q66,
     "q67_json_build" -> Oracle.q67,
     "q68_json_transform" -> Oracle.q68,
+    "q69_string_sim" -> Oracle.q69,
+    "q70_stats_agg" -> Oracle.q70,
     "q37_grouping_sets" -> Oracle.q37,
     "q38_outer_joins" -> Oracle.q38,
     "q39_in_subquery" -> Oracle.q39,
