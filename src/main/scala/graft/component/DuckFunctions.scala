@@ -88,8 +88,13 @@ object DuckFunctions {
       case "max" => ArrayMax(a.head)
       case "count" =>
         Cast(Size(nonNulls(a.head)), org.apache.spark.sql.types.LongType)
-      case other => throw new IllegalArgumentException(
-        s"list_aggregate supports sum/avg/min/max/count, got '$other'")
+      // the statistics macro family (list_median/mode/var/… — see
+      // unaryListStats) answers through the same dispatch, as DuckDB's
+      // list_aggr does
+      case other => listAggNames.get(other).map(_(a.head)).getOrElse(
+        throw new IllegalArgumentException(
+          s"list_aggregate supports sum/avg/min/max/count/" +
+            s"${listAggNames.keys.toSeq.sorted.mkString("/")}, got '$other'"))
     }
 
   /** Euclidean distance between two numeric lists — a double-precision
@@ -752,7 +757,7 @@ object DuckFunctions {
   // aggregates, NULL where DuckDB says NULL (n too small, zero variance).
 
   import org.apache.spark.sql.catalyst.expressions.aggregate.{Average, Count, Kurtosis, MaxBy, MinBy, Skewness, StddevPop}
-  import org.apache.spark.sql.types.DoubleType
+  import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, NullType}
 
   private def dbl(e: Expression): Expression = Cast(e, DoubleType)
   private def nDouble(x: Expression): Expression =
@@ -833,10 +838,372 @@ object DuckFunctions {
     arity("arg_max_null", 2)(a => new MaxBy(a.head, a(1))),
     arity("arg_min_null", 2)(a => new MinBy(a.head, a(1))))
 
+  // ---------------------------------------------------------------------
+  // list_* aggregate macros + remaining list utilities. DuckDB defines
+  // list_median/list_mode/… as macros that unnest the list through the
+  // matching aggregate; here each is a pure expression tree over the
+  // native array operators (one row in, one value out — no aggregation
+  // node), so they stay inside whole-stage codegen and work in any
+  // clause. Semantics probed v1.0: NULL elements are skipped, empty /
+  // all-NULL lists yield NULL (entropy: 0), mode ties take the FIRST
+  // occurrence in list order, medians interpolate, the variance family
+  // returns DOUBLE with the same sample/population corrections as the
+  // aggregate bindings above.
+
+  /** Non-null elements cast to DOUBLE (the macro family's input shape). */
+  private def dblElems(l: Expression): Expression = {
+    val v = UnresolvedNamedLambdaVariable(Seq("ldv"))
+    ArrayTransform(nonNulls(l), LambdaFunction(Cast(v, DoubleType), Seq(v)))
+  }
+
+  private def nullD: Expression = Literal(null, DoubleType)
+  private def whenN(cond: Expression, e: Expression): Expression =
+    If(cond, nullD, e)
+
+  /** Interpolated median over the sorted non-null doubles. */
+  private def listMedian(l: Expression): Expression = {
+    val s = SortArray(dblElems(l), Literal(true))
+    val n = Size(s)
+    val lo = Cast(IntegralDivide(Add(n, Literal(1)), Literal(2)), IntegerType)
+    val hi = Cast(IntegralDivide(Add(n, Literal(2)), Literal(2)), IntegerType)
+    whenN(EqualTo(n, Literal(0)),
+      Divide(Add(ElementAt(s, lo), ElementAt(s, hi)), Literal(2.0)))
+  }
+
+  /** Σf(x) over the non-null doubles (0.0 when empty — callers guard). */
+  private def listFoldD(l: Expression, name: String)
+                       (f: Expression => Expression): Expression = {
+    val acc = UnresolvedNamedLambdaVariable(Seq(name + "a"))
+    val x = UnresolvedNamedLambdaVariable(Seq(name + "x"))
+    val fin = UnresolvedNamedLambdaVariable(Seq(name + "f"))
+    ArrayAggregate(dblElems(l), Literal(0.0),
+      LambdaFunction(Add(acc, f(x)), Seq(acc, x)),
+      LambdaFunction(fin, Seq(fin)))
+  }
+
+  /** Raw power sums s1..s4 — the central moments assemble from these
+    * (one pass per power; no O(n²) mean-in-lambda re-evaluation). */
+  private def listMoments(l: Expression): (Expression, Expression, Expression, Expression, Expression) = {
+    val n = Cast(Size(nonNulls(l)), DoubleType)
+    val s1 = listFoldD(l, "m1")(identity)
+    val s2 = listFoldD(l, "m2")(x => Multiply(x, x))
+    val s3 = listFoldD(l, "m3")(x => Multiply(Multiply(x, x), x))
+    val s4 = listFoldD(l, "m4")(x => Multiply(Multiply(x, x), Multiply(x, x)))
+    (n, s1, s2, s3, s4)
+  }
+
+  /** Population variance m2 = E[x²] − μ², floored at 0 (float residue). */
+  private def listVarPop(l: Expression): Expression = {
+    val (n, s1, s2, _, _) = listMoments(l)
+    val mu = Divide(s1, n)
+    whenN(EqualTo(n, Literal(0.0)),
+      Greatest(Seq(Literal(0.0),
+        Subtract(Divide(s2, n), Multiply(mu, mu)))))
+  }
+
+  private def listVarSamp(l: Expression): Expression = {
+    val n = Cast(Size(nonNulls(l)), DoubleType)
+    whenN(LessThan(n, Literal(2.0)),
+      Multiply(listVarPop(l), Divide(n, Subtract(n, Literal(1.0)))))
+  }
+
+  /** Sample skewness / excess kurtosis with DuckDB's corrections, from
+    * the raw moments: m3 = E[x³]−3μE[x²]+2μ³, m4 = E[x⁴]−4μE[x³]+6μ²E[x²]−3μ⁴. */
+  private def listSkewKurt(l: Expression): (Expression, Expression, Expression) = {
+    val (n, s1, s2, s3, s4) = listMoments(l)
+    val mu = Divide(s1, n)
+    val mu2 = Multiply(mu, mu)
+    val m2 = Subtract(Divide(s2, n), mu2)
+    val m3 = Add(Subtract(Divide(s3, n), Multiply(Literal(3.0), Multiply(mu, Divide(s2, n)))),
+      Multiply(Literal(2.0), Multiply(mu2, mu)))
+    val m4 = Subtract(
+      Add(Subtract(Divide(s4, n), Multiply(Literal(4.0), Multiply(mu, Divide(s3, n)))),
+        Multiply(Literal(6.0), Multiply(mu2, Divide(s2, n)))),
+      Multiply(Literal(3.0), Multiply(mu2, mu2)))
+    val g1 = Divide(m3, Pow(m2, Literal(1.5)))
+    val g2 = Subtract(Divide(m4, Multiply(m2, m2)), Literal(3.0))
+    val skew = If(Or(LessThan(n, Literal(3.0)),
+        LessThanOrEqual(m2, Literal(0.0))), nullD,
+      Multiply(g1, Divide(Sqrt(Multiply(n, Subtract(n, Literal(1.0)))),
+        Subtract(n, Literal(2.0)))))
+    val kurtS = If(Or(LessThan(n, Literal(4.0)),
+        LessThanOrEqual(m2, Literal(0.0))), nullD,
+      Divide(Multiply(Subtract(n, Literal(1.0)),
+          Add(Multiply(Add(n, Literal(1.0)), g2), Literal(6.0))),
+        Multiply(Subtract(n, Literal(2.0)), Subtract(n, Literal(3.0)))))
+    val kurtP = If(Or(LessThan(n, Literal(1.0)),
+        LessThanOrEqual(m2, Literal(0.0))), nullD, g2)
+    (skew, kurtS, kurtP)
+  }
+
+  /** Mode with DuckDB's tie-break: highest count, then FIRST occurrence
+    * in list order. Sorts (−count, position) structs and indexes back. */
+  private def listMode(l: Expression): Expression = {
+    val nn = nonNulls(l)
+    val i = UnresolvedNamedLambdaVariable(Seq("moi"))
+    val x = UnresolvedNamedLambdaVariable(Seq("mox"))
+    val cnt = Size(ArrayFilter(nn, LambdaFunction(
+      EqualTo(x, ElementAt(nn, i)), Seq(x))))
+    val keyed = ArrayTransform(Sequence(Literal(1), Size(nn), None),
+      LambdaFunction(CreateStruct(Seq(UnaryMinus(cnt), i)), Seq(i)))
+    val best = ElementAt(SortArray(keyed, Literal(true)), Literal(1))
+    val pos = If(EqualTo(Size(nn), Literal(0)),
+      Literal(null, IntegerType),
+      GetStructField(best, 1))
+    ElementAt(nn, pos)
+  }
+
+  /** Shannon entropy (log2) of the list's value distribution — counts
+    * over distinct non-null elements, 0.0 for empty (the aggregate's
+    * convention, probed). */
+  private def listEntropy(l: Expression): Expression = {
+    val nn = nonNulls(l)
+    val n = Cast(Size(nn), DoubleType)
+    val k = UnresolvedNamedLambdaVariable(Seq("enk"))
+    val x = UnresolvedNamedLambdaVariable(Seq("enx"))
+    val counts = ArrayTransform(ArrayDistinct(nn), LambdaFunction(
+      Cast(Size(ArrayFilter(nn, LambdaFunction(EqualTo(x, k), Seq(x)))),
+        DoubleType), Seq(k)))
+    val acc = UnresolvedNamedLambdaVariable(Seq("ena"))
+    val c = UnresolvedNamedLambdaVariable(Seq("enc"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("enf"))
+    val sumClnC = ArrayAggregate(counts, Literal(0.0),
+      LambdaFunction(Add(acc, Multiply(c, Log(c))), Seq(acc, c)),
+      LambdaFunction(fin, Seq(fin)))
+    If(EqualTo(n, Literal(0.0)), Literal(0.0),
+      Divide(Subtract(Log(n), Divide(sumClnC, n)), Log(Literal(2.0))))
+  }
+
+  /** MAD = median(|x − median(x)|); the deviations re-sort in place. */
+  private def listMad(l: Expression): Expression = {
+    val med = listMedian(l)
+    val v = UnresolvedNamedLambdaVariable(Seq("madv"))
+    val devs = ArrayTransform(dblElems(l),
+      LambdaFunction(Abs(Subtract(v, med)), Seq(v)))
+    // devs are already doubles and non-null — listMedian sorts them
+    listMedian(devs)
+  }
+
+  /** value↦count map over distinct non-null elements, key-sorted. */
+  private def listHistogram(l: Expression): Expression = {
+    val nn = nonNulls(l)
+    val k = UnresolvedNamedLambdaVariable(Seq("hik"))
+    val x = UnresolvedNamedLambdaVariable(Seq("hix"))
+    MapFromEntries(ArrayTransform(SortArray(ArrayDistinct(nn), Literal(true)),
+      LambdaFunction(CreateStruct(Seq(k,
+        Cast(Size(ArrayFilter(nn, LambdaFunction(EqualTo(x, k), Seq(x)))),
+          LongType))), Seq(k))))
+  }
+
+  /** NULL-index trick: ElementAt propagates a NULL index, giving a NULL
+    * of the ELEMENT type without needing to know that type here. */
+  private def elemOrNull(l: Expression, idx: Expression, emptyWhen: Expression): Expression =
+    ElementAt(l, If(emptyWhen, Literal(null, IntegerType), idx))
+
+  private def listProduct(l: Expression): Expression = {
+    val nn = nonNulls(l)
+    val acc = UnresolvedNamedLambdaVariable(Seq("pra"))
+    val x = UnresolvedNamedLambdaVariable(Seq("prx"))
+    val fin = UnresolvedNamedLambdaVariable(Seq("prf"))
+    whenN(EqualTo(Size(nn), Literal(0)),
+      ArrayAggregate(dblElems(l), Literal(1.0),
+        LambdaFunction(Multiply(acc, Cast(x, DoubleType)), Seq(acc, x)),
+        LambdaFunction(fin, Seq(fin))))
+  }
+
+  private def listBool(l: Expression, and: Boolean): Expression = {
+    val nn = nonNulls(l)
+    val x = UnresolvedNamedLambdaVariable(Seq(if (and) "bax" else "box"))
+    val f = LambdaFunction(EqualTo(x, Literal(true)), Seq(x))
+    val folded = if (and) ArrayForAll(nn, f) else ArrayExists(nn, f)
+    If(EqualTo(Size(nn), Literal(0)),
+      Literal(null, org.apache.spark.sql.types.BooleanType), folded)
+  }
+
+  /** The *_aggr-style single-list macros, each bound as `list_<name>`
+    * AND reachable through `list_aggregate(l, '<name>')`. */
+  private lazy val unaryListStats: Seq[(String, Expression => Expression)] = Seq(
+      "median" -> listMedian,
+      "mode" -> listMode,
+      "mad" -> listMad,
+      "entropy" -> listEntropy,
+      "product" -> listProduct,
+      "var_pop" -> listVarPop,
+      "var_samp" -> listVarSamp,
+      "stddev_pop" -> (l => Sqrt(listVarPop(l))),
+      "stddev_samp" -> (l => Sqrt(listVarSamp(l))),
+      "sem" -> (l => Divide(Sqrt(listVarPop(l)),
+        Sqrt(Cast(Size(nonNulls(l)), DoubleType)))),
+      "skewness" -> (l => listSkewKurt(l)._1),
+      "kurtosis" -> (l => listSkewKurt(l)._2),
+      "kurtosis_pop" -> (l => listSkewKurt(l)._3),
+      "bool_and" -> (l => listBool(l, and = true)),
+      "bool_or" -> (l => listBool(l, and = false)),
+      "histogram" -> listHistogram,
+      // exact distinct count satisfies the approximation contract exactly
+      "approx_count_distinct" -> (l =>
+        Cast(Size(ArrayDistinct(nonNulls(l))), LongType)),
+      "string_agg" -> (l => ArrayJoin(l, Literal(","), None)),
+      "count" -> (l => Cast(Size(nonNulls(l)), LongType)),
+      "first" -> (l => elemOrNull(l, Literal(1), EqualTo(Size(l), Literal(0)))),
+      "last" -> (l => elemOrNull(l, Size(l), EqualTo(Size(l), Literal(0)))),
+      "any_value" -> (l => elemOrNull(nonNulls(l), Literal(1),
+        EqualTo(Size(nonNulls(l)), Literal(0)))))
+
+  private lazy val listAggNames: Map[String, Expression => Expression] =
+    unaryListStats.toMap
+
+  private lazy val listStatBuilders: Seq[(String, Seq[Expression] => Expression)] =
+    unaryListStats.map { case (name, f) =>
+      arity(s"list_$name", 1)(a => f(a.head))
+    } ++ Seq(
+      // 1-based permutation that sorts the list (stable: ties keep list
+      // order) — DuckDB's grade_up family
+      arity("grade_up", 1)(a => gradeUp(a.head)),
+      arity("list_grade_up", 1)(a => gradeUp(a.head)),
+      arity("array_grade_up", 1)(a => gradeUp(a.head)),
+
+      // mask selection; a shorter side truncates (probed); NULL mask
+      // entries DROP here where DuckDB raises — documented laxness
+      arity("list_where", 2)(a => listWhere(a.head, a(1))),
+
+      // membership over non-null needles (probed: NULLs never match,
+      // empty needle set → has_all true / has_any false)
+      arity("list_has_all", 2)(a => listHasAll(a.head, a(1))),
+      arity("array_has_all", 2)(a => listHasAll(a.head, a(1))),
+      arity("list_has_any", 2)(a => listHasAny(a.head, a(1))),
+      arity("array_has_any", 2)(a => listHasAny(a.head, a(1))),
+
+      // distinct common elements; DuckDB's output order is unspecified
+      // (hash-set macro) — Spark's first-array order stands in
+      arity("list_intersect", 2)(a => ArrayIntersect(a.head, a(1))),
+      arity("array_intersect", 2)(a => ArrayIntersect(a.head, a(1))),
+
+      // stack-shaped macros
+      arity("array_pop_back", 1)(a =>
+        Slice(a.head, Literal(1), Greatest(Seq(Literal(0), Subtract(Size(a.head), Literal(1)))))),
+      arity("array_pop_front", 1)(a =>
+        Slice(a.head, Literal(2), Greatest(Seq(Literal(0), Subtract(Size(a.head), Literal(1)))))),
+      arity("array_push_back", 2)(a => ArrayAppend(a.head, a(1))),
+      arity("array_push_front", 2)(a => ArrayPrepend(a.head, a(1))),
+      arity("array_append", 2)(a => ArrayAppend(a.head, a(1))),
+      // element-first, the list_prepend convention
+      arity("array_prepend", 2)(a => ArrayPrepend(a(1), a.head)),
+      arity("array_reverse", 1)(a => Reverse(a.head)),
+
+      // truncate-or-pad (pad value defaults to NULL of the element type)
+      "list_resize" -> { a =>
+        require(a.length == 2 || a.length == 3,
+          s"list_resize expects 2-3 arguments, got ${a.length}")
+        listResize(a.head, a(1), a.lift(2))
+      },
+      "array_resize" -> { a =>
+        require(a.length == 2 || a.length == 3,
+          s"array_resize expects 2-3 arguments, got ${a.length}")
+        listResize(a.head, a(1), a.lift(2))
+      },
+
+      // first-element-seeded fold; empty list errors (DuckDB's contract)
+      arity("list_reduce", 2)(a => listReduce(a.head, a(1))),
+      arity("array_reduce", 2)(a => listReduce(a.head, a(1))),
+      // DuckDB's 2-arg reduce; 3/4 args stay Spark's native aggregate HOF
+      // (same name, different seeding convention — don't shadow it)
+      "reduce" -> { a =>
+        a.length match {
+          case 2 => listReduce(a.head, a(1))
+          case 3 => ArrayAggregate(a.head, a(1),
+            a(2).asInstanceOf[LambdaFunction], {
+              val fin = UnresolvedNamedLambdaVariable(Seq("rdf"))
+              LambdaFunction(fin, Seq(fin))
+            })
+          case 4 => ArrayAggregate(a.head, a(1),
+            a(2).asInstanceOf[LambdaFunction], a(3).asInstanceOf[LambdaFunction])
+          case n => throw new IllegalArgumentException(
+            s"reduce expects 2-4 arguments, got $n")
+        }
+      },
+      arity("list_approx_unique", 1)(a =>
+        Cast(Size(ArrayDistinct(nonNulls(a.head))), LongType)),
+
+      // bare `apply` — DuckDB's alias of list_transform
+      arity("apply", 2)(a => ArrayTransform(a.head, a(1))),
+
+      // bare `aggregate`: DuckDB's 2-arg (list, 'name') dispatch; 3/4
+      // args remain Spark's native fold HOF (the reduce note above)
+      "aggregate" -> { a =>
+        a.length match {
+          case 2 => listAggDispatch(a)
+          case 3 => ArrayAggregate(a.head, a(1),
+            a(2).asInstanceOf[LambdaFunction], {
+              val fin = UnresolvedNamedLambdaVariable(Seq("agf"))
+              LambdaFunction(fin, Seq(fin))
+            })
+          case 4 => ArrayAggregate(a.head, a(1),
+            a(2).asInstanceOf[LambdaFunction], a(3).asInstanceOf[LambdaFunction])
+          case n => throw new IllegalArgumentException(
+            s"aggregate expects 2-4 arguments, got $n")
+        }
+      })
+
+  private def gradeUp(l: Expression): Expression = {
+    val i = UnresolvedNamedLambdaVariable(Seq("gui"))
+    val s = UnresolvedNamedLambdaVariable(Seq("gus"))
+    val keyed = ArrayTransform(Sequence(Literal(1), Size(l), None),
+      LambdaFunction(CreateStruct(Seq(ElementAt(l, i), i)), Seq(i)))
+    ArrayTransform(SortArray(keyed, Literal(true)),
+      LambdaFunction(Cast(GetStructField(s, 1), LongType), Seq(s)))
+  }
+
+  private def listWhere(l: Expression, mask: Expression): Expression = {
+    val i = UnresolvedNamedLambdaVariable(Seq("lwi"))
+    val j = UnresolvedNamedLambdaVariable(Seq("lwj"))
+    val picked = ArrayFilter(
+      Sequence(Literal(1), Least(Seq(Size(l), Size(mask))), None),
+      LambdaFunction(EqualTo(ElementAt(mask, i), Literal(true)), Seq(i)))
+    ArrayTransform(picked, LambdaFunction(ElementAt(l, j), Seq(j)))
+  }
+
+  private def listHasAll(l: Expression, needle: Expression): Expression = {
+    val x = UnresolvedNamedLambdaVariable(Seq("hax"))
+    Coalesce(Seq(ArrayForAll(nonNulls(needle),
+      LambdaFunction(ArrayContains(l, x), Seq(x))), Literal(false)))
+  }
+
+  private def listHasAny(l: Expression, other: Expression): Expression =
+    Coalesce(Seq(ArraysOverlap(nonNulls(l), nonNulls(other)), Literal(false)))
+
+  private def listResize(l: Expression, size: Expression, pad: Option[Expression]): Expression = {
+    val n = Cast(size, IntegerType)
+    val cur = Size(l)
+    // NULL of the ELEMENT type: coerced off the dead element_at branch.
+    // (ElementAt with a NULL index evaluates to NULL but still REPORTS
+    // nullable=false under ANSI, which zero-fills the repeat array.)
+    val padV = pad.getOrElse(
+      If(Literal(false), ElementAt(l, Literal(1)), Literal(null, NullType)))
+    // ONE branchless concat — an If(truncate, pad) pair would differ only
+    // in containsNull and the non-null branch's type wins, making the
+    // unsafe writer render the NULL padding as zeros
+    Concat(Seq(
+      Slice(l, Literal(1), Greatest(Seq(Literal(0), Least(Seq(n, cur))))),
+      ArrayRepeat(padV, Greatest(Seq(Literal(0), Subtract(n, cur))))))
+  }
+
+  private def listReduce(l: Expression, f: Expression): Expression = {
+    val fin = UnresolvedNamedLambdaVariable(Seq("lrf"))
+    val lam = f match {
+      case lf: LambdaFunction => lf
+      case other => throw new IllegalArgumentException(
+        s"list_reduce expects a lambda (a, b) -> expr, got $other")
+    }
+    ArrayAggregate(
+      Slice(l, Literal(2), Greatest(Seq(Literal(0), Subtract(Size(l), Literal(1))))),
+      ElementAt(l, Literal(1)), lam, LambdaFunction(fin, Seq(fin)))
+  }
+
   /** Bind every DuckDB name on a running session (idempotent). */
   def register(spark: SparkSession): Unit =
-    (builders ++ round12Builders ++ jsonBuilders ++ simStatBuilders)
-      .foreach { case (name, build) =>
+    (builders ++ round12Builders ++ jsonBuilders ++ simStatBuilders ++
+      listStatBuilders).foreach { case (name, build) =>
         GraftSqlBridge.registerFunction(spark, name, build)
       }
 }

@@ -261,6 +261,19 @@ object Extended {
       graft.component.DuckFunctions.register(s)
       T.documents(s, d).createOrReplaceTempView("documents")
       s.sql(graft.component.Dialect.rewrite(Oracle.q70))
+    }),
+
+    // list_* aggregate-macro family over per-document word-length lists
+    // (IDENTICAL text both engines): median/mode/variance-family/mad/
+    // entropy/skewness/kurtosis as pure expression trees, plus grade_up
+    // permutations, resize/reduce/where/has_all/has_any/intersect and
+    // the list_string_agg stringifier. Mode ties take the first list
+    // occurrence on BOTH engines (probed across permutations); floats
+    // round(.,6)-pinned as in q69/q70.
+    "q71_list_stats" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q71))
     })
   )
 
@@ -414,6 +427,31 @@ object Extended {
         |       arg_min(source, doc_id) AS first_src
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+    /** Shared DuckDB/Spark text — q71 runs this verbatim in both engines. */
+    val q71: String =
+      """WITH l AS (
+        |  SELECT doc_id,
+        |         list_transform(string_split(text, ' '), w -> strlen(w)) AS lens
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id,
+        |       round(list_median(lens), 6) AS med,
+        |       CAST(list_mode(lens) AS BIGINT) AS mode_len,
+        |       round(list_var_samp(lens), 6) AS vs,
+        |       round(list_stddev_pop(lens), 6) AS sp,
+        |       round(list_sem(lens), 6) AS sem_l,
+        |       round(list_mad(lens), 6) AS mad_l,
+        |       round(list_entropy(lens), 6) AS ent,
+        |       round(list_skewness(lens), 6) AS skew,
+        |       round(list_kurtosis(lens), 6) AS kurt,
+        |       round(list_product(list_resize(lens, 3)), 6) AS prod3,
+        |       list_count(lens) AS n_words,
+        |       list_string_agg(list_transform(grade_up(list_resize(lens, 5)), i -> CAST(i AS VARCHAR))) AS gorder,
+        |       list_has_all(lens, [2, 3]) AS has23,
+        |       list_has_any(lens, [11, 12]) AS has1112,
+        |       CAST(list_reduce(list_resize(lens, 4), (a, b) -> a + b) AS BIGINT) AS sum4,
+        |       list_string_agg(list_transform(list_sort(list_intersect(lens, [1, 2, 3, 4])), x -> CAST(x AS VARCHAR))) AS inter
+        |FROM l ORDER BY doc_id""".stripMargin
+
     val q37: String =
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
@@ -530,6 +568,7 @@ object Extended {
     "q68_json_transform" -> Oracle.q68,
     "q69_string_sim" -> Oracle.q69,
     "q70_stats_agg" -> Oracle.q70,
+    "q71_list_stats" -> Oracle.q71,
     "q37_grouping_sets" -> Oracle.q37,
     "q38_outer_joins" -> Oracle.q38,
     "q39_in_subquery" -> Oracle.q39,
