@@ -1200,10 +1200,205 @@ object DuckFunctions {
       ElementAt(l, Literal(1)), lam, LambdaFunction(fin, Seq(fin)))
   }
 
+  // ---------------------------------------------------------------------
+  // Scalar gap batch: gcd/lcm, strip_accents, the parse_path family
+  // (graft.functions.GapKernels — probe-pinned), and the two formatting
+  // entry points. printf is C-style on BOTH engines (Spark's native
+  // FormatString/java.util.Formatter accepts the common specifier set);
+  // format is fmt-style `{}` holes, translated literally below. Both
+  // return NULL when ANY argument is NULL (probed — FormatString alone
+  // would print the string 'null').
+
+  private def literalBool(e: Expression, fn: String): Boolean = e match {
+    case Literal(v: Boolean, org.apache.spark.sql.types.BooleanType) => v
+    case _ => throw new IllegalArgumentException(s"$fn requires a literal boolean")
+  }
+
+  /** Optional trailing separator-mode argument → separator characters. */
+  private def sepArg(e: Option[Expression], fn: String): String =
+    graft.functions.GapKernels.sepsFor(
+      e.map(x => literalString(x, fn)).getOrElse("both_slash"))
+
+  private def nullGuard(args: Seq[Expression], body: Expression): Expression =
+    if (args.isEmpty) body
+    else If(args.map(IsNull(_): Expression).reduce(Or),
+      Literal(null, org.apache.spark.sql.types.StringType), body)
+
+  /** Format-friendly arg: dates/timestamps render via their SQL string
+    * form (FormatString would print the INTERNAL int/long), everything
+    * else passes through. */
+  private def fmtArg(e: Expression): Expression = e.dataType match {
+    case org.apache.spark.sql.types.DateType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType =>
+      Cast(e, org.apache.spark.sql.types.StringType)
+    // java.util.Formatter's %f/%e reject Spark's Decimal object (and a
+    // bare SQL literal like 1.5 IS a decimal) — hand it a JVM double
+    case _: org.apache.spark.sql.types.DecimalType |
+         org.apache.spark.sql.types.FloatType =>
+      Cast(e, org.apache.spark.sql.types.DoubleType)
+    case _ => e
+  }
+
+  /** One fmt `{...}` hole → java conversion; returns (javaSpec, argIdx). */
+  private def javaSpec(body: String, args: Seq[Expression], auto: Int,
+                       fn: String): (String, Int, String) = {
+    val (idxStr, spec) = body.indexOf(':') match {
+      case -1 => (body, "")
+      case k => (body.substring(0, k), body.substring(k + 1))
+    }
+    val explicit = idxStr.nonEmpty
+    val argIdx = if (explicit) idxStr.toInt else auto
+    require(argIdx >= 0 && argIdx < args.length,
+      s"$fn: argument index $argIdx out of range (${args.length} args)")
+    // [align][sign][0][width][,][.prec][type] — the probed fmt subset
+    var i = 0
+    var align = ' '
+    if (i < spec.length && (spec.charAt(i) == '<' || spec.charAt(i) == '>')) {
+      align = spec.charAt(i); i += 1
+    }
+    require(i >= spec.length || spec.charAt(i) != '^',
+      s"$fn: center alignment '^' has no java.util.Formatter mapping")
+    var sign = ""
+    if (i < spec.length && spec.charAt(i) == '+') { sign = "+"; i += 1 }
+    var zero = ""
+    if (i < spec.length && spec.charAt(i) == '0') { zero = "0"; i += 1 }
+    val wStart = i
+    while (i < spec.length && spec.charAt(i).isDigit) i += 1
+    val width = spec.substring(wStart, i)
+    var comma = ""
+    if (i < spec.length && spec.charAt(i) == ',') { comma = ","; i += 1 }
+    var prec = ""
+    if (i < spec.length && spec.charAt(i) == '.') {
+      val pStart = i
+      i += 1
+      while (i < spec.length && spec.charAt(i).isDigit) i += 1
+      prec = spec.substring(pStart, i)
+    }
+    // g/G excluded: fmt trims trailing zeros where java.util.Formatter
+    // keeps them — an inexact mapping is worse than a loud error
+    val tpe = if (i < spec.length) spec.substring(i) else ""
+    require(tpe.isEmpty || (tpe.length == 1 && "dxXfFeEs".contains(tpe)),
+      s"$fn: unsupported format spec '{$body}'")
+    val isString = tpe == "s" || (tpe.isEmpty &&
+      (!args(argIdx).resolved ||
+        args(argIdx).dataType == org.apache.spark.sql.types.StringType))
+    val conv = tpe match {
+      case "" | "s" => "s"
+      case "F" => "f"
+      case t => t
+    }
+    // fmt defaults: strings LEFT-align, numbers RIGHT (java pads right
+    // by default, so only the left case needs the '-' flag)
+    // ('-' is only legal WITH a width in java's Formatter)
+    val leftFlag = if (width.nonEmpty &&
+      (align == '<' || (align == ' ' && isString && tpe.isEmpty))) "-" else ""
+    ("%" + leftFlag + sign + comma + zero + width + prec + conv, argIdx, conv)
+  }
+
+  /** fmt-style `format(...)` — literal format strings only (the
+    * strftime policy: a computed format would need a per-row parser). */
+  private def translateFmt(a: Seq[Expression]): Expression = {
+    val fmt = literalString(a.head, "format")
+    val args = a.tail
+    val out = new StringBuilder
+    val picked = new scala.collection.mutable.ArrayBuffer[Expression]
+    var auto = 0
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '{' && i + 1 < fmt.length && fmt.charAt(i + 1) == '{') {
+        out.append('{'); i += 2
+      } else if (c == '}' && i + 1 < fmt.length && fmt.charAt(i + 1) == '}') {
+        out.append('}'); i += 2
+      } else if (c == '{') {
+        val close = fmt.indexOf('}', i)
+        require(close > 0, s"format: unbalanced '{' at offset $i")
+        val body = fmt.substring(i + 1, close)
+        val (jspec, argIdx, conv) = javaSpec(body, args, auto, "format")
+        if (body.indexOf(':') match {
+          case -1 => body.isEmpty
+          case k => k == 0
+        }) auto += 1
+        out.append(jspec)
+        val arg = fmtArg(args(argIdx))
+        picked += (conv match {
+          // %s renders the SQL string form; %f/%e/%g need a JVM double
+          case "s" => Cast(arg, org.apache.spark.sql.types.StringType)
+          case "f" | "e" | "E" | "g" | "G" =>
+            Cast(arg, org.apache.spark.sql.types.DoubleType)
+          case _ => arg
+        })
+        i = close + 1
+      } else {
+        if (c == '%') out.append("%%") else out.append(c)
+        i += 1
+      }
+    }
+    nullGuard(args,
+      FormatString((Literal(out.toString) +: picked.toSeq): _*))
+  }
+
+  private val gapBuilders: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.types.{LongType => LT}
+    def g2(a: Seq[Expression]) =
+      graft.functions.GcdL(Cast(a.head, LT), Cast(a(1), LT))
+    def l2(a: Seq[Expression]) =
+      graft.functions.LcmL(Cast(a.head, LT), Cast(a(1), LT))
+    Seq(
+      arity("gcd", 2)(g2),
+      arity("greatest_common_divisor", 2)(g2),
+      arity("lcm", 2)(l2),
+      arity("least_common_multiple", 2)(l2),
+      arity("strip_accents", 1)(a => graft.functions.StripAccents(a.head)),
+
+      "parse_path" -> { a =>
+        require(a.length == 1 || a.length == 2,
+          s"parse_path expects 1-2 arguments, got ${a.length}")
+        graft.functions.ParsePath(a.head, sepArg(a.lift(1), "parse_path"))
+      },
+      "parse_dirname" -> { a =>
+        require(a.length == 1 || a.length == 2,
+          s"parse_dirname expects 1-2 arguments, got ${a.length}")
+        graft.functions.ParseDirname(a.head, sepArg(a.lift(1), "parse_dirname"))
+      },
+      "parse_dirpath" -> { a =>
+        require(a.length == 1 || a.length == 2,
+          s"parse_dirpath expects 1-2 arguments, got ${a.length}")
+        graft.functions.ParseDirpath(a.head, sepArg(a.lift(1), "parse_dirpath"))
+      },
+      // (path[, trim_extension][, separator]) — the 2nd slot accepts a
+      // bool OR a separator string (both DuckDB-legal)
+      "parse_filename" -> { a =>
+        require(a.length >= 1 && a.length <= 3,
+          s"parse_filename expects 1-3 arguments, got ${a.length}")
+        val (trim, sepOpt) = a.lift(1) match {
+          case Some(Literal(v: Boolean, org.apache.spark.sql.types.BooleanType)) =>
+            (v, a.lift(2))
+          case Some(s @ Literal(_, org.apache.spark.sql.types.StringType)) =>
+            require(a.length == 2, "parse_filename: separator must be last")
+            (false, Some(s))
+          case None => (false, None)
+          case Some(other) => (literalBool(other, "parse_filename"), a.lift(2))
+        }
+        graft.functions.ParseFilename(a.head, trim, sepArg(sepOpt, "parse_filename"))
+      },
+
+      "printf" -> { a =>
+        require(a.nonEmpty, "printf expects a format string")
+        nullGuard(a.tail,
+          FormatString((a.head +: a.tail.map(fmtArg)): _*))
+      },
+      "format" -> { a =>
+        require(a.nonEmpty, "format expects a format string")
+        translateFmt(a)
+      })
+  }
+
   /** Bind every DuckDB name on a running session (idempotent). */
   def register(spark: SparkSession): Unit =
     (builders ++ round12Builders ++ jsonBuilders ++ simStatBuilders ++
-      listStatBuilders).foreach { case (name, build) =>
+      listStatBuilders ++ gapBuilders).foreach { case (name, build) =>
         GraftSqlBridge.registerFunction(spark, name, build)
       }
 }

@@ -274,6 +274,17 @@ object Extended {
       graft.component.DuckFunctions.register(s)
       T.documents(s, d).createOrReplaceTempView("documents")
       s.sql(graft.component.Dialect.rewrite(Oracle.q71))
+    }),
+
+    // Scalar gap batch over synthesized corpus paths (IDENTICAL text
+    // both engines): the parse_path family (root element, last-separator
+    // dirpath, extension-trimmed filename), strip_accents, gcd/lcm, and
+    // both formatting entry points — C-style printf and fmt-style
+    // format with index/align/precision holes.
+    "q72_scalar_gap" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q72))
     })
   )
 
@@ -452,6 +463,25 @@ object Extended {
         |       list_string_agg(list_transform(list_sort(list_intersect(lens, [1, 2, 3, 4])), x -> CAST(x AS VARCHAR))) AS inter
         |FROM l ORDER BY doc_id""".stripMargin
 
+    /** Shared DuckDB/Spark text — q72 runs this verbatim in both engines. */
+    val q72: String =
+      """WITH p AS (
+        |  SELECT doc_id, lang, source,
+        |         concat('/corpus/', source, '/', lang, '/doc_', CAST(doc_id AS VARCHAR), '.json.gz') AS path
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id,
+        |       parse_dirname(path) AS root,
+        |       parse_dirpath(path) AS dirp,
+        |       parse_filename(path) AS fname,
+        |       parse_filename(path, true) AS fstem,
+        |       list_string_agg(parse_path(path)) AS parts,
+        |       strip_accents(concat(lang, ' é ', source)) AS stripped,
+        |       CAST(gcd(doc_id + 4, 6) AS BIGINT) AS g,
+        |       CAST(lcm(doc_id % 7 + 1, 4) AS BIGINT) AS l,
+        |       printf('%s=%04d', lang, doc_id % 100) AS pf,
+        |       format('{}:{:>8}:{:.3f}', doc_id, source, doc_id / 7.0) AS fm
+        |FROM p ORDER BY doc_id""".stripMargin
+
     val q37: String =
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
@@ -569,6 +599,7 @@ object Extended {
     "q69_string_sim" -> Oracle.q69,
     "q70_stats_agg" -> Oracle.q70,
     "q71_list_stats" -> Oracle.q71,
+    "q72_scalar_gap" -> Oracle.q72,
     "q37_grouping_sets" -> Oracle.q37,
     "q38_outer_joins" -> Oracle.q38,
     "q39_in_subquery" -> Oracle.q39,
