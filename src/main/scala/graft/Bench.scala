@@ -40,7 +40,11 @@ object Bench {
     "t05_tfidf", "t07_vocab_prune", "t10_heavy_hitters", "t11_sequence_pack",
     "t20_bpe_encode", "t24_dsir_select", "q58_pivot_dynamic",
     "d16_incremental_fuzzy", "q59_asof_sql", "t27_url_domains",
-    "q61_unnest", "q62_positional")
+    "q61_unnest", "q62_positional",
+    // round-12 late additions: the list-macro expression family (real
+    // per-row fold compute over word-length lists) and the string-
+    // distance pair-scoring kernels
+    "q71_list_stats", "q69_string_sim")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -860,8 +860,35 @@ object DuckFunctions {
   private def whenN(cond: Expression, e: Expression): Expression =
     If(cond, nullD, e)
 
+  /** Numeric-list fast path: [[graft.functions.ListStatsD]] computes
+    * every moment/median/mad/entropy field in ONE native pass — the
+    * HOF-fold trees below evaluate interpreted (CodegenFallback) and a
+    * q71-shaped projection paid ~70 O(n) lambda passes per row (1.2 s
+    * vs DuckDB's 35 ms at sf0.1 before this). Identical subtrees dedupe
+    * under whole-stage codegen's common-subexpression elimination. The
+    * trees remain the path for non-numeric elements (string entropy,
+    * generic mode) and unresolved children. */
+  private def isNumericList(l: Expression): Boolean =
+    l.resolved && (l.dataType match {
+      case org.apache.spark.sql.types.ArrayType(et, _) =>
+        et.isInstanceOf[org.apache.spark.sql.types.NumericType]
+      case _ => false
+    })
+
+  private val statFieldNames =
+    Seq("n", "s1", "s2", "s3", "s4", "median", "mad", "entropy")
+
+  // the kernel reads any numeric element type directly — no interpreted
+  // cast-transform in front of it
+  private def statField(l: Expression, name: String): Expression =
+    GetStructField(graft.functions.ListStatsD(l),
+      statFieldNames.indexOf(name), Some(name))
+
   /** Interpolated median over the sorted non-null doubles. */
-  private def listMedian(l: Expression): Expression = {
+  private def listMedian(l: Expression): Expression =
+    if (isNumericList(l)) statField(l, "median") else listMedianTree(l)
+
+  private def listMedianTree(l: Expression): Expression = {
     val s = SortArray(dblElems(l), Literal(true))
     val n = Size(s)
     val lo = Cast(IntegralDivide(Add(n, Literal(1)), Literal(2)), IntegerType)
@@ -882,15 +909,20 @@ object DuckFunctions {
   }
 
   /** Raw power sums s1..s4 — the central moments assemble from these
-    * (one pass per power; no O(n²) mean-in-lambda re-evaluation). */
-  private def listMoments(l: Expression): (Expression, Expression, Expression, Expression, Expression) = {
-    val n = Cast(Size(nonNulls(l)), DoubleType)
-    val s1 = listFoldD(l, "m1")(identity)
-    val s2 = listFoldD(l, "m2")(x => Multiply(x, x))
-    val s3 = listFoldD(l, "m3")(x => Multiply(Multiply(x, x), x))
-    val s4 = listFoldD(l, "m4")(x => Multiply(Multiply(x, x), Multiply(x, x)))
-    (n, s1, s2, s3, s4)
-  }
+    * (one native kernel pass for numeric lists; HOF folds otherwise —
+    * one pass per power, no O(n²) mean-in-lambda re-evaluation). */
+  private def listMoments(l: Expression): (Expression, Expression, Expression, Expression, Expression) =
+    if (isNumericList(l)) {
+      (Cast(statField(l, "n"), DoubleType), statField(l, "s1"),
+        statField(l, "s2"), statField(l, "s3"), statField(l, "s4"))
+    } else {
+      val n = Cast(Size(nonNulls(l)), DoubleType)
+      val s1 = listFoldD(l, "m1")(identity)
+      val s2 = listFoldD(l, "m2")(x => Multiply(x, x))
+      val s3 = listFoldD(l, "m3")(x => Multiply(Multiply(x, x), x))
+      val s4 = listFoldD(l, "m4")(x => Multiply(Multiply(x, x), Multiply(x, x)))
+      (n, s1, s2, s3, s4)
+    }
 
   /** Population variance m2 = E[x²] − μ², floored at 0 (float residue). */
   private def listVarPop(l: Expression): Expression = {
@@ -902,7 +934,7 @@ object DuckFunctions {
   }
 
   private def listVarSamp(l: Expression): Expression = {
-    val n = Cast(Size(nonNulls(l)), DoubleType)
+    val n = listMoments(l)._1
     whenN(LessThan(n, Literal(2.0)),
       Multiply(listVarPop(l), Divide(n, Subtract(n, Literal(1.0)))))
   }
@@ -937,15 +969,20 @@ object DuckFunctions {
   }
 
   /** Mode with DuckDB's tie-break: highest count, then FIRST occurrence
-    * in list order. Sorts (−count, position) structs and indexes back. */
+    * in list order. Iterates DISTINCT values (count + first position per
+    * value, O(distinct·n) — HOF lambdas evaluate interpreted, so a
+    * per-POSITION scan would be O(n²) on every row; 26 s for one sf0.1
+    * ledger query before this shape), sorts (−count, first-pos) structs
+    * and indexes back. */
   private def listMode(l: Expression): Expression = {
     val nn = nonNulls(l)
-    val i = UnresolvedNamedLambdaVariable(Seq("moi"))
+    val v = UnresolvedNamedLambdaVariable(Seq("mov"))
     val x = UnresolvedNamedLambdaVariable(Seq("mox"))
-    val cnt = Size(ArrayFilter(nn, LambdaFunction(
-      EqualTo(x, ElementAt(nn, i)), Seq(x))))
-    val keyed = ArrayTransform(Sequence(Literal(1), Size(nn), None),
-      LambdaFunction(CreateStruct(Seq(UnaryMinus(cnt), i)), Seq(i)))
+    val cnt = Size(ArrayFilter(nn, LambdaFunction(EqualTo(x, v), Seq(x))))
+    val keyed = ArrayTransform(ArrayDistinct(nn),
+      LambdaFunction(CreateStruct(Seq(
+        UnaryMinus(cnt),
+        Cast(ArrayPosition(nn, v), IntegerType))), Seq(v)))
     val best = ElementAt(SortArray(keyed, Literal(true)), Literal(1))
     val pos = If(EqualTo(Size(nn), Literal(0)),
       Literal(null, IntegerType),
@@ -955,8 +992,11 @@ object DuckFunctions {
 
   /** Shannon entropy (log2) of the list's value distribution — counts
     * over distinct non-null elements, 0.0 for empty (the aggregate's
-    * convention, probed). */
-  private def listEntropy(l: Expression): Expression = {
+    * convention, probed). Numeric lists take the one-pass kernel. */
+  private def listEntropy(l: Expression): Expression =
+    if (isNumericList(l)) statField(l, "entropy") else listEntropyTree(l)
+
+  private def listEntropyTree(l: Expression): Expression = {
     val nn = nonNulls(l)
     val n = Cast(Size(nn), DoubleType)
     val k = UnresolvedNamedLambdaVariable(Seq("enk"))
@@ -974,12 +1014,20 @@ object DuckFunctions {
       Divide(Subtract(Log(n), Divide(sumClnC, n)), Log(Literal(2.0))))
   }
 
-  /** MAD = median(|x − median(x)|); the deviations re-sort in place. */
-  private def listMad(l: Expression): Expression = {
-    val med = listMedian(l)
+  /** MAD = median(|x − median(x)|). Numeric lists take the one-pass
+    * kernel; the tree fallback rides the median in through
+    * `array_repeat(med, n)` + zip_with so it is evaluated ONCE — an
+    * outer expression embedded in a HOF lambda body re-evaluates per
+    * element (HOFs run interpreted), which made this O(n²·log n). */
+  private def listMad(l: Expression): Expression =
+    if (isNumericList(l)) statField(l, "mad") else listMadTree(l)
+
+  private def listMadTree(l: Expression): Expression = {
+    val es = dblElems(l)
     val v = UnresolvedNamedLambdaVariable(Seq("madv"))
-    val devs = ArrayTransform(dblElems(l),
-      LambdaFunction(Abs(Subtract(v, med)), Seq(v)))
+    val m = UnresolvedNamedLambdaVariable(Seq("madm"))
+    val devs = ZipWith(es, ArrayRepeat(listMedian(l), Size(es)),
+      LambdaFunction(Abs(Subtract(v, m)), Seq(v, m)))
     // devs are already doubles and non-null — listMedian sorts them
     listMedian(devs)
   }
@@ -1032,8 +1080,7 @@ object DuckFunctions {
       "var_samp" -> listVarSamp,
       "stddev_pop" -> (l => Sqrt(listVarPop(l))),
       "stddev_samp" -> (l => Sqrt(listVarSamp(l))),
-      "sem" -> (l => Divide(Sqrt(listVarPop(l)),
-        Sqrt(Cast(Size(nonNulls(l)), DoubleType)))),
+      "sem" -> (l => Divide(Sqrt(listVarPop(l)), Sqrt(listMoments(l)._1))),
       "skewness" -> (l => listSkewKurt(l)._1),
       "kurtosis" -> (l => listSkewKurt(l)._2),
       "kurtosis_pop" -> (l => listSkewKurt(l)._3),

@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+
+/** One-pass numeric list statistics — the kernel behind the
+  * `list_median`/`list_mad`/`list_entropy`/variance-family bindings for
+  * NUMERIC lists in [[graft.component.DuckFunctions]].
+  *
+  * The expression-tree formulation of those macros (ArrayAggregate
+  * folds + SortArray) is semantically right but every higher-order
+  * function evaluates INTERPRETED (they are CodegenFallback), and each
+  * stat column re-evaluates its own folds — ~70 O(n) lambda passes per
+  * row across a q71-shaped projection, which benched at 1.2 s against
+  * DuckDB's 35 ms on sf0.1. This kernel computes everything the family
+  * needs in one native pass (+ one sort): the per-column cost becomes
+  * one kernel call. The tree formulation remains the fallback for
+  * non-numeric element types (string entropy, generic mode).
+  *
+  * Arithmetic is ORDER-IDENTICAL to the tree version where hash-exact
+  * ledger rows depend on it: power sums are sequential left-to-right
+  * adds (the ArrayAggregate fold order), median/mad use the same
+  * sorted-interpolation; entropy's c·ln(c) accumulation order differs
+  * (hash iteration vs first-occurrence) — a ≤1-ulp effect under the
+  * round(.,6) pin every consumer applies.
+  *
+  * Fields: n, s1, s2, s3, s4 (power sums of the non-null doubles),
+  * median, mad (NULL when n = 0), entropy (0.0 when n = 0 — the
+  * aggregate's probed convention).
+  */
+case class ListStatsD(child: Expression)
+    extends UnaryExpression with EvalDelegatingCodegen {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: NumericType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a numeric array, got ${other.simpleString}")
+    }
+
+  // element accessor resolved once per plan, not per value (an
+  // interpreted `transform(x -> cast(x as double))` feeding this kernel
+  // would put an O(n) lambda pass back in front of every column)
+  @transient private lazy val getD: (ArrayData, Int) => Double =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case DoubleType => (a, i) => a.getDouble(i)
+      case FloatType => (a, i) => a.getFloat(i).toDouble
+      case LongType => (a, i) => a.getLong(i).toDouble
+      case IntegerType => (a, i) => a.getInt(i).toDouble
+      case ShortType => (a, i) => a.getShort(i).toDouble
+      case ByteType => (a, i) => a.getByte(i).toDouble
+      case d: DecimalType => (a, i) => a.getDecimal(i, d.precision, d.scale).toDouble
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("s1", DoubleType, nullable = false),
+    StructField("s2", DoubleType, nullable = false),
+    StructField("s3", DoubleType, nullable = false),
+    StructField("s4", DoubleType, nullable = false),
+    StructField("median", DoubleType, nullable = true),
+    StructField("mad", DoubleType, nullable = true),
+    StructField("entropy", DoubleType, nullable = false)))
+
+  override def prettyName: String = "list_stats"
+  override protected def resultJavaType: String =
+    "org.apache.spark.sql.catalyst.InternalRow"
+
+  private def medianOfSorted(vs: Array[Double]): Double = {
+    val n = vs.length
+    if (n % 2 == 1) vs(n / 2) else (vs(n / 2 - 1) + vs(n / 2)) / 2.0
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n0 = arr.numElements()
+    // gather the non-null doubles (NULL elements skipped, the macro
+    // family's aggregate convention)
+    var n = 0
+    val vs = new Array[Double](n0)
+    var i = 0
+    while (i < n0) {
+      if (!arr.isNullAt(i)) { vs(n) = getD(arr, i); n += 1 }
+      i += 1
+    }
+    var s1 = 0.0; var s2 = 0.0; var s3 = 0.0; var s4 = 0.0
+    i = 0
+    while (i < n) {
+      val x = vs(i)
+      val xx = x * x
+      s1 += x; s2 += xx; s3 += xx * x; s4 += xx * xx
+      i += 1
+    }
+    val out = new Array[Any](8)
+    out(0) = n.toLong
+    out(1) = s1; out(2) = s2; out(3) = s3; out(4) = s4
+    if (n == 0) {
+      out(5) = null; out(6) = null; out(7) = 0.0
+    } else {
+      val sorted = java.util.Arrays.copyOf(vs, n)
+      java.util.Arrays.sort(sorted)
+      val med = medianOfSorted(sorted)
+      out(5) = med
+      val devs = new Array[Double](n)
+      i = 0
+      while (i < n) { devs(i) = math.abs(sorted(i) - med); i += 1 }
+      java.util.Arrays.sort(devs)
+      out(6) = medianOfSorted(devs)
+      // entropy over the value distribution
+      val counts = new java.util.HashMap[java.lang.Double, java.lang.Long]()
+      i = 0
+      while (i < n) {
+        val k: java.lang.Double = vs(i)
+        val prev = counts.get(k)
+        counts.put(k, if (prev == null) 1L else prev.longValue() + 1L)
+        i += 1
+      }
+      var acc = 0.0
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next().longValue()
+        acc += c * math.log(c.toDouble)
+      }
+      out(7) = (math.log(n.toDouble) - acc / n) / math.log(2.0)
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

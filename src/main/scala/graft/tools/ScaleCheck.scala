@@ -41,7 +41,8 @@ object ScaleCheck {
     "t12_pii_redact", "t16_bm25", "t17_bpe_merges", "t23_gopher_quality",
     "t24_dsir_select", "m04_phash_dedup", "q58_pivot_dynamic",
     "d16_incremental_fuzzy", "q59_asof_sql", "t27_url_domains",
-    "m05_video_info", "q61_unnest", "q62_positional")
+    "m05_video_info", "q61_unnest", "q62_positional",
+    "q71_list_stats", "q69_string_sim")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
