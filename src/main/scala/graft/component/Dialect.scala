@@ -110,6 +110,10 @@ object Dialect {
         .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
         // DuckDB star modifier: SELECT * EXCLUDE (c) ≡ Spark * EXCEPT (c)
         .replaceAll("(?i)\\*\\s*EXCLUDE\\s*\\(", "* EXCEPT(")
+        // Spark's PARSER special-cases date_diff/datediff (unquoted unit
+        // idents only) before function resolution ever runs — route
+        // DuckDB's ('part', start, end) form to the registry name
+        .replaceAll("(?i)\\b(date_diff|datediff)\\s*\\(", "duck_date_diff(")
         // struct_pack(a := x, b := y) ≡ named_struct('a', x, 'b', y).
         // `:=` exists in DuckDB only as struct_pack's binder, so the
         // name rewrite is safe globally within unquoted text

@@ -1442,10 +1442,217 @@ object DuckFunctions {
       })
   }
 
+  // ---------------------------------------------------------------------
+  // Datetime + arithmetic gap batch. DuckDB's date_diff counts PART
+  // BOUNDARIES crossed (month from 01-31 to 02-01 is 1) while date_sub
+  // counts FULL elapsed units (the timestampdiff semantic — 0 for that
+  // pair); both probed v1.0. Boundary counting is truncation arithmetic
+  // over native extracts; full units map to Spark's TimestampDiff.
+
+  private def unixUs(e: Expression): Expression =
+    UnixMicros(Cast(e, org.apache.spark.sql.types.TimestampType))
+
+  /** floor division (IntegralDivide truncates toward zero; pre-1970
+    * timestamps need the floor). */
+  private def floorDivL(e: Expression, m: Long): Expression =
+    IntegralDivide(Subtract(e, Pmod(e, Literal(m))), Literal(m))
+
+  /** The part's boundary index — equal for two instants iff no 'part'
+    * boundary lies between them. */
+  private def boundaryIndex(part: String, e: Expression): Expression = {
+    val us = unixUs(e)
+    def yr = Year(Cast(e, org.apache.spark.sql.types.DateType))
+    part match {
+      case "microsecond" | "us" => us
+      case "millisecond" | "ms" => floorDivL(us, 1000L)
+      case "second" | "s" => floorDivL(us, 1000000L)
+      case "minute" | "min" => floorDivL(us, 60000000L)
+      case "hour" | "h" => floorDivL(us, 3600000000L)
+      case "day" | "d" => floorDivL(us, 86400000000L)
+      // ISO weeks: epoch day 0 was a Thursday; +3 aligns Mondays
+      case "week" | "w" =>
+        floorDivL(Add(floorDivL(us, 86400000000L), Literal(3L)), 7L)
+      case "month" | "mon" =>
+        Add(Multiply(Cast(yr, org.apache.spark.sql.types.LongType), Literal(12L)),
+          Cast(Month(Cast(e, org.apache.spark.sql.types.DateType)),
+            org.apache.spark.sql.types.LongType))
+      case "quarter" =>
+        Add(Multiply(Cast(yr, org.apache.spark.sql.types.LongType), Literal(4L)),
+          Cast(Quarter(Cast(e, org.apache.spark.sql.types.DateType)),
+            org.apache.spark.sql.types.LongType))
+      case "year" | "y" => Cast(yr, org.apache.spark.sql.types.LongType)
+      case "decade" =>
+        floorDivL(Cast(yr, org.apache.spark.sql.types.LongType), 10L)
+      case "century" =>
+        floorDivL(Cast(yr, org.apache.spark.sql.types.LongType), 100L)
+      case "millennium" =>
+        floorDivL(Cast(yr, org.apache.spark.sql.types.LongType), 1000L)
+      case other => throw new IllegalArgumentException(
+        s"date_diff: unsupported part '$other'")
+    }
+  }
+
+  private def normPart(e: Expression, fn: String): String = {
+    val raw = literalString(e, fn).toLowerCase
+    if (raw.endsWith("s") && raw != "us" && raw != "ms" && raw != "s")
+      raw.dropRight(1) else raw
+  }
+
+  private def dtBuilders: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.types.{DateType, LongType => LT, TimestampType => TT}
+    def dateDiffB(a: Seq[Expression], fn: String): Expression = {
+      require(a.length == 3, s"$fn expects 3 arguments (part, start, end)")
+      val part = normPart(a.head, fn)
+      Subtract(boundaryIndex(part, a(2)), boundaryIndex(part, a(1)))
+    }
+    // FULL elapsed units with DuckDB's clamped month addition (java.time
+    // MONTHS.between — Spark's TimestampDiff — says 0 for 01-31→02-29
+    // where DuckDB says 1: Jan 31 + 1 month CLAMPS to Feb 29). The
+    // boundary-index diff over- or under-counts by at most one, so one
+    // clamped-add comparison fixes it; time-based parts are exact
+    // integral division on the microsecond span (truncation toward zero
+    // = full units in either direction).
+    def dateSubB(a: Seq[Expression], fn: String): Expression = {
+      require(a.length == 3, s"$fn expects 3 arguments (part, start, end)")
+      val part = normPart(a.head, fn)
+      val tsA = Cast(a(1), TT)
+      val tsB = Cast(a(2), TT)
+      def timePart(unitUs: Long): Expression =
+        IntegralDivide(Subtract(unixUs(a(2)), unixUs(a(1))), Literal(unitUs))
+      val monthsPer = Map("month" -> 1L, "mon" -> 1L, "quarter" -> 3L,
+        "year" -> 12L, "y" -> 12L, "decade" -> 120L, "century" -> 1200L,
+        "millennium" -> 12000L)
+      part match {
+        case "microsecond" | "us" => timePart(1L)
+        case "millisecond" | "ms" => timePart(1000L)
+        case "second" | "s" => timePart(1000000L)
+        case "minute" | "min" => timePart(60000000L)
+        case "hour" | "h" => timePart(3600000000L)
+        case "day" | "d" => timePart(86400000000L)
+        case "week" | "w" => timePart(7L * 86400000000L)
+        case p if monthsPer.contains(p) =>
+          val k = monthsPer(p)
+          val bm = Subtract(boundaryIndex("month", a(2)), boundaryIndex("month", a(1)))
+          val f0 = IntegralDivide(bm, Literal(k))
+          val added = TimestampAdd("MONTH",
+            Cast(Multiply(f0, Literal(k)), org.apache.spark.sql.types.IntegerType), tsA)
+          If(GreaterThanOrEqual(tsB, tsA),
+            If(GreaterThan(added, tsB), Subtract(f0, Literal(1L)), f0),
+            If(LessThan(added, tsB), Add(f0, Literal(1L)), f0))
+        case other => throw new IllegalArgumentException(
+          s"$fn: unsupported part '$other'")
+      }
+    }
+    Seq(
+      // renamed by Dialect (Spark's parser owns the bare spellings)
+      "duck_date_diff" -> (a => dateDiffB(a, "date_diff")),
+      "date_diff" -> (a => dateDiffB(a, "date_diff")),
+      "datediff" -> (a => dateDiffB(a, "datediff")),
+      "date_sub" -> (a => dateSubB(a, "date_sub")),
+      "datesub" -> (a => dateSubB(a, "datesub")),
+      // date + integer days / + interval (the analyzer's binary-
+      // arithmetic resolution picks the typed node)
+      arity("date_add", 2)(a => Add(a.head, a(1))),
+
+      arity("dayname", 1)(a => DateFormatClass(Cast(a.head, TT), Literal("EEEE"))),
+      arity("monthname", 1)(a => DateFormatClass(Cast(a.head, TT), Literal("MMMM"))),
+      // DuckDB weekday: Sunday = 0 (Spark's native weekday is Monday=0
+      // — a silent off-by-one if left unbound)
+      arity("weekday", 1)(a =>
+        Cast(Subtract(DayOfWeek(Cast(a.head, DateType)), Literal(1)), LT)),
+      // ISO year = year of that week's Thursday (weekday is Mon=0 here)
+      arity("isoyear", 1) { a =>
+        val d = Cast(a.head, DateType)
+        Cast(Year(DateAdd(d, Subtract(Literal(3), WeekDay(d)))), LT)
+      },
+      arity("yearweek", 1) { a =>
+        val d = Cast(a.head, DateType)
+        val isoY = Year(DateAdd(d, Subtract(Literal(3), WeekDay(d))))
+        Cast(Add(Multiply(isoY, Literal(100)), WeekOfYear(d)), LT)
+      },
+      // julian day number: unix days (+ fraction) + 2440588
+      arity("julian", 1)(a =>
+        Add(Divide(Cast(unixUs(a.head), org.apache.spark.sql.types.DoubleType),
+          Literal(86400e6)), Literal(2440588.0))),
+      arity("try_strptime", 2)(a => TryEval(new ParseToTimestamp(a.head,
+        Literal(translateFormat(literalString(a(1), "try_strptime")))))),
+
+      // banker's rounding (Spark's bround IS half-even)
+      arity("round_even", 2)(a => BRound(a.head, a(1))),
+      arity("roundbankers", 2)(a => BRound(a.head, a(1))),
+      // next even integer away from zero (probed: even(2.0)=2,
+      // even(0.1)=2, even(-2.9)=-4, even(3.0)=4)
+      arity("even", 1) { a =>
+        val x = Cast(a.head, org.apache.spark.sql.types.DoubleType)
+        Multiply(
+          If(LessThan(x, Literal(0.0)), Literal(-2.0), Literal(2.0)),
+          Cast(Ceil(Divide(Abs(x), Literal(2.0))),
+            org.apache.spark.sql.types.DoubleType))
+      },
+      // probed: signbit(-0.0) is FALSE in DuckDB — a plain < 0 test
+      arity("signbit", 1)(a =>
+        LessThan(Cast(a.head, org.apache.spark.sql.types.DoubleType), Literal(0.0))),
+      arity("nextafter", 2)(a => graft.functions.NextAfterD(
+        Cast(a.head, org.apache.spark.sql.types.DoubleType),
+        Cast(a(1), org.apache.spark.sql.types.DoubleType))),
+
+      // fdiv/fmod: floored division pair, NULL at zero divisor (probed —
+      // floor(±Infinity) would error as a long under ANSI)
+      arity("fdiv", 2) { a =>
+        val x = Cast(a.head, org.apache.spark.sql.types.DoubleType)
+        val y = Cast(a(1), org.apache.spark.sql.types.DoubleType)
+        If(EqualTo(y, Literal(0.0)), nullD,
+          Cast(Floor(Divide(x, y)), org.apache.spark.sql.types.DoubleType))
+      },
+      arity("fmod", 2) { a =>
+        val x = Cast(a.head, org.apache.spark.sql.types.DoubleType)
+        val y = Cast(a(1), org.apache.spark.sql.types.DoubleType)
+        If(EqualTo(y, Literal(0.0)), nullD,
+          Subtract(x, Multiply(
+            Cast(Floor(Divide(x, y)), org.apache.spark.sql.types.DoubleType), y)))
+      },
+
+      // operator spellings as functions; divide() on two integrals is
+      // DuckDB's INTEGER division (probed: divide(7,2)=3, 7.0/2=3.5)
+      arity("add", 2)(a => Add(a.head, a(1))),
+      arity("subtract", 2)(a => Subtract(a.head, a(1))),
+      arity("multiply", 2)(a => Multiply(a.head, a(1))),
+      arity("divide", 2) { a =>
+        import org.apache.spark.sql.types._
+        def integral(e: Expression) = e.resolved && (e.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        })
+        if (integral(a.head) && integral(a(1))) IntegralDivide(a.head, a(1))
+        else Divide(a.head, a(1))
+      },
+
+      arity("regexp_escape", 1)(a => graft.functions.RegexpEscape(a.head)),
+      arity("md5_number_lower", 1)(a => graft.functions.Md5HalfU(a.head, upper = false)),
+      arity("md5_number_upper", 1)(a => graft.functions.Md5HalfU(a.head, upper = true)),
+      arity("format_bytes", 1)(a =>
+        graft.functions.FormatBytes(Cast(a.head, LT), decimalUnits = false)),
+      arity("formatReadableSize", 1)(a =>
+        graft.functions.FormatBytes(Cast(a.head, LT), decimalUnits = false)),
+      arity("formatReadableDecimalSize", 1)(a =>
+        graft.functions.FormatBytes(Cast(a.head, LT), decimalUnits = true)),
+
+      // 3-vector cross product over list columns
+      arity("array_cross_product", 2) { a =>
+        def e(x: Expression, i: Int) =
+          Cast(ElementAt(x, Literal(i)), org.apache.spark.sql.types.DoubleType)
+        val (l, r) = (a.head, a(1))
+        CreateArray(Seq(
+          Subtract(Multiply(e(l, 2), e(r, 3)), Multiply(e(l, 3), e(r, 2))),
+          Subtract(Multiply(e(l, 3), e(r, 1)), Multiply(e(l, 1), e(r, 3))),
+          Subtract(Multiply(e(l, 1), e(r, 2)), Multiply(e(l, 2), e(r, 1)))))
+      })
+  }
+
   /** Bind every DuckDB name on a running session (idempotent). */
   def register(spark: SparkSession): Unit =
     (builders ++ round12Builders ++ jsonBuilders ++ simStatBuilders ++
-      listStatBuilders ++ gapBuilders).foreach { case (name, build) =>
+      listStatBuilders ++ gapBuilders ++ dtBuilders).foreach { case (name, build) =>
         GraftSqlBridge.registerFunction(spark, name, build)
       }
 }

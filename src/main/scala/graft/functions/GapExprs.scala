@@ -103,6 +103,101 @@ object GapKernels {
   }
 }
 
+/** `regexp_escape(s)` — RE2 QuoteMeta: every byte outside [A-Za-z0-9_]
+  * gets a backslash (probed: 'a.b*c[d]' → 'a\.b\*c\[d\]'; java's
+  * Pattern.quote would emit \Q...\E, a different STRING even though it
+  * matches the same). */
+case class RegexpEscape(child: Expression)
+    extends UnaryExpression with EvalDelegatingCodegen {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "regexp_escape"
+  override protected def resultJavaType: String = "org.apache.spark.unsafe.types.UTF8String"
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[UTF8String].getBytes
+    val sb = new java.lang.StringBuilder(b.length * 2)
+    var i = 0
+    while (i < b.length) {
+      val c = b(i).toChar
+      val word = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_' || (b(i) & 0x80) != 0
+      if (!word) sb.append('\\')
+      sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `md5_number_lower/_upper(s)` — unsigned 64-bit halves of the md5:
+  * LITTLE-endian longs of the last (lower) / first (upper) 8 digest
+  * bytes (probed against DuckDB's UBIGINT values). Surfaced as
+  * DECIMAL(20,0) — the smallest Spark type that holds 2⁶⁴−1. */
+case class Md5HalfU(child: Expression, upper: Boolean)
+    extends UnaryExpression with EvalDelegatingCodegen {
+  override def dataType: DataType = DecimalType(20, 0)
+  override def prettyName: String = if (upper) "md5_number_upper" else "md5_number_lower"
+  override protected def resultJavaType: String = "org.apache.spark.sql.types.Decimal"
+  override def nullSafeEval(v: Any): Any = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(v.asInstanceOf[UTF8String].getBytes)
+    val half = if (upper) d.slice(0, 8) else d.slice(8, 16)
+    // little-endian unsigned: reverse into a positive BigInteger
+    val be = half.reverse
+    Decimal(new java.math.BigDecimal(new java.math.BigInteger(1, be)), 20, 0)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `format_bytes`/`formatReadableSize` (1024 units: KiB…PiB) and
+  * `formatReadableDecimalSize` (1000 units: kB…PB). DuckDB renders via
+  * an INTEGER division cascade, not float truncation: the whole part is
+  * repeated integral division, the single decimal is
+  * `(prev % base)·10 / base` — probed: 283534977 B → '270.3 MiB' where
+  * the true value 270.40002… would float-truncate to 270.4, and 2²⁰−1 →
+  * '1023.9 KiB'. '1 byte' singular, sign preserved, capped at the P
+  * unit ('1024.0 PiB'). */
+case class FormatBytes(child: Expression, decimalUnits: Boolean)
+    extends UnaryExpression with EvalDelegatingCodegen {
+  override def dataType: DataType = StringType
+  override def prettyName: String =
+    if (decimalUnits) "formatReadableDecimalSize" else "format_bytes"
+  override protected def resultJavaType: String = "org.apache.spark.unsafe.types.UTF8String"
+  override def nullSafeEval(v: Any): Any = {
+    val n = v.asInstanceOf[Long]
+    val base = if (decimalUnits) 1000L else 1024L
+    val units = if (decimalUnits) Array("kB", "MB", "GB", "TB", "PB")
+                else Array("KiB", "MiB", "GiB", "TiB", "PiB")
+    val neg = n < 0
+    val a = math.abs(n)
+    val s =
+      if (a < base) s"$a byte" + (if (a == 1) "" else "s")
+      else {
+        var q = a
+        var prev = a
+        var u = 0
+        while (q >= base && u < units.length) { prev = q; q /= base; u += 1 }
+        val frac = (prev % base) * 10 / base
+        s"$q.$frac ${units(u - 1)}"
+      }
+    UTF8String.fromString(if (neg) "-" + s else s)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `nextafter(a, b)` — the next representable double from a toward b. */
+case class NextAfterD(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nextafter"
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Math.nextAfter(a.asInstanceOf[Double], b.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"java.lang.Math.nextAfter($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** `gcd(a, b)` / `greatest_common_divisor` — BIGINT, non-negative. */
 case class GcdL(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType

@@ -285,6 +285,19 @@ object Extended {
       graft.component.DuckFunctions.register(s)
       T.documents(s, d).createOrReplaceTempView("documents")
       s.sql(graft.component.Dialect.rewrite(Oracle.q72))
+    }),
+
+    // Datetime + arithmetic gap batch over event timestamps (IDENTICAL
+    // text both engines): DuckDB's boundary-counting date_diff (renamed
+    // by the dialect — Spark's parser owns that spelling) vs full-unit
+    // date_sub with clamped month addition, dayname/weekday/isoyear/
+    // yearweek/julian, banker's round_even, even, fdiv/fmod, integer
+    // divide(), md5_number_lower as unsigned DECIMAL(20,0), and the
+    // truncating format_bytes renderer.
+    "q73_datetime_gap" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.events(s, d).createOrReplaceTempView("events")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q73))
     })
   )
 
@@ -482,6 +495,31 @@ object Extended {
         |       format('{}:{:>8}:{:.3f}', doc_id, source, doc_id / 7.0) AS fm
         |FROM p ORDER BY doc_id""".stripMargin
 
+    /** Shared DuckDB/Spark text — q73 runs this verbatim in both engines. */
+    val q73: String =
+      """WITH e AS (
+        |  SELECT event_id, ts, TIMESTAMP '2025-01-01 00:00:00' AS anchor
+        |  FROM events WHERE event_id % 97 = 0)
+        |SELECT event_id,
+        |       date_diff('day', ts, anchor) AS dd_day,
+        |       date_diff('week', ts, anchor) AS dd_week,
+        |       date_diff('month', ts, anchor) AS dd_month,
+        |       date_diff('hour', ts, anchor) AS dd_hour,
+        |       date_sub('day', ts, anchor) AS ds_day,
+        |       date_sub('month', ts, anchor) AS ds_month,
+        |       dayname(ts) AS dn, monthname(ts) AS mn,
+        |       CAST(weekday(ts) AS BIGINT) AS wd,
+        |       CAST(isoyear(ts) AS BIGINT) AS iy,
+        |       CAST(yearweek(ts) AS BIGINT) AS yw,
+        |       round(julian(ts), 6) AS jd,
+        |       CAST(round_even(CAST(event_id AS DOUBLE) / 7, 2) AS DOUBLE) AS re,
+        |       even(CAST(event_id % 9 AS DOUBLE) - 4.5) AS ev,
+        |       fdiv(event_id, 7) AS fd, fmod(event_id, 7) AS fm,
+        |       CAST(divide(event_id, 7) AS BIGINT) AS dv,
+        |       CAST(md5_number_lower(CAST(event_id AS VARCHAR)) AS DECIMAL(20,0)) AS ml,
+        |       format_bytes(event_id * 3333) AS fb
+        |FROM e ORDER BY event_id""".stripMargin
+
     val q37: String =
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
@@ -600,6 +638,7 @@ object Extended {
     "q70_stats_agg" -> Oracle.q70,
     "q71_list_stats" -> Oracle.q71,
     "q72_scalar_gap" -> Oracle.q72,
+    "q73_datetime_gap" -> Oracle.q73,
     "q37_grouping_sets" -> Oracle.q37,
     "q38_outer_joins" -> Oracle.q38,
     "q39_in_subquery" -> Oracle.q39,

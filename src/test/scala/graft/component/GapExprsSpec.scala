@@ -13,6 +13,12 @@ class GapExprsSpec extends SparkSpec {
 
   private def one(sql: String): Any = session.sql(sql).collect().head.get(0)
 
+  /** Through the full dialect pass — date_diff/datediff spellings are
+    * owned by Spark's PARSER (unquoted unit idents) and must be renamed
+    * before they can reach the registry binding. */
+  private def duck(sql: String): Any =
+    session.sql(Dialect.rewrite(sql)).collect().head.get(0)
+
   test("gcd / lcm: non-negative, zero identities, BIGINT") {
     assert(one("SELECT gcd(12, 18)") == 6L)
     assert(one("SELECT gcd(-4, 6)") == 2L)
@@ -79,6 +85,100 @@ class GapExprsSpec extends SparkSpec {
     assert(one("SELECT printf('%,d', 1000000)") == "1,000,000")
     assert(one("SELECT printf('%.3e', 12345.678)") == "1.235e+04")
     assert(one("SELECT printf('%d', CAST(NULL AS INT))") == null)
+  }
+
+  test("date_diff: PART-BOUNDARY counting (not elapsed units)") {
+    assert(duck("SELECT date_diff('day', DATE '2024-01-01', DATE '2024-03-05')") == 64L)
+    // one month BOUNDARY crossed even though <1 month elapsed
+    assert(duck("SELECT date_diff('month', DATE '2024-01-31', DATE '2024-02-01')") == 1L)
+    assert(duck("SELECT date_diff('year', DATE '2023-12-31', DATE '2024-01-01')") == 1L)
+    assert(duck("SELECT datediff('hour', TIMESTAMP '2024-01-01 23:30:00', TIMESTAMP '2024-01-02 00:10:00')") == 1L)
+    assert(duck("SELECT date_diff('day', DATE '2024-03-05', DATE '2024-01-01')") == -64L)
+    // ISO (Monday) week boundaries
+    assert(duck("SELECT date_diff('week', DATE '2024-01-01', DATE '2024-01-15')") == 2L)
+    assert(duck("SELECT date_diff('quarter', DATE '2024-01-01', DATE '2024-07-01')") == 2L)
+    assert(duck("SELECT date_diff('decade', DATE '2019-12-31', DATE '2020-01-01')") == 1L)
+    // DuckDB's century/millennium grid sits at year MOD 100/1000 = 0
+    assert(duck("SELECT date_diff('century', DATE '1999-12-31', DATE '2000-01-01')") == 1L)
+    assert(duck("SELECT date_diff('century', DATE '2000-12-31', DATE '2001-01-01')") == 0L)
+    assert(duck("SELECT date_diff('minute', TIMESTAMP '2024-01-01 00:00:59', TIMESTAMP '2024-01-01 00:01:00')") == 1L)
+  }
+
+  test("date_sub: FULL elapsed units, with DuckDB's month-end clamping") {
+    assert(one("SELECT date_sub('day', DATE '2024-01-01', DATE '2024-03-05')") == 64L)
+    assert(one("SELECT date_sub('month', DATE '2024-01-31', DATE '2024-02-29')") == 1L)
+    assert(one("SELECT date_sub('month', DATE '2024-01-31', DATE '2024-02-28')") == 0L)
+    assert(one("SELECT date_sub('month', DATE '2024-02-29', DATE '2024-03-28')") == 0L)
+    assert(one("SELECT date_sub('month', DATE '2024-02-29', DATE '2024-03-29')") == 1L)
+    assert(one("SELECT date_sub('year', DATE '2020-02-29', DATE '2021-02-28')") == 1L)
+    assert(one("SELECT datesub('day', TIMESTAMP '2024-01-01 12:00:00', TIMESTAMP '2024-01-02 11:59:59')") == 0L)
+  }
+
+  test("dayname/monthname/weekday/isoyear/yearweek/julian/date_add") {
+    assert(one("SELECT dayname(DATE '2024-01-01')") == "Monday")
+    assert(one("SELECT monthname(DATE '2024-01-01')") == "January")
+    // DuckDB weekday: SUNDAY = 0 (Spark's native weekday is Monday=0)
+    assert(one("SELECT weekday(DATE '2024-01-07')") == 0L)
+    assert(one("SELECT weekday(DATE '2024-01-08')") == 1L)
+    assert(one("SELECT isoyear(DATE '2023-01-01')") == 2022L)
+    assert(one("SELECT isoyear(DATE '2024-12-30')") == 2025L)
+    assert(one("SELECT yearweek(DATE '2024-01-01')") == 202401L)
+    assert(one("SELECT yearweek(DATE '2024-12-30')") == 202501L)
+    assert(one("SELECT julian(DATE '2024-01-01')") == 2460311.0)
+    assert(one("SELECT julian(TIMESTAMP '2024-01-01 12:00:00')") == 2460311.5)
+    assert(one("SELECT date_add(DATE '2024-01-01', 5)").toString == "2024-01-06")
+    assert(one("SELECT try_strptime('2024-13-01', '%Y-%m-%d')") == null)
+    assert(one("SELECT try_strptime('2024-03-01', '%Y-%m-%d')").toString.startsWith("2024-03-01"))
+  }
+
+  test("round_even/even/signbit/nextafter/fdiv/fmod/arith spellings") {
+    assert(one("SELECT round_even(2.5, 0)").toString.toDouble == 2.0)
+    assert(one("SELECT round_even(3.5, 0)").toString.toDouble == 4.0)
+    assert(one("SELECT roundbankers(2.345, 2)").toString.toDouble == 2.34)
+    assert(one("SELECT even(2.9)") == 4.0)
+    assert(one("SELECT even(-2.9)") == -4.0)
+    assert(one("SELECT even(2.0)") == 2.0)
+    assert(one("SELECT even(3.0)") == 4.0)
+    assert(one("SELECT even(0.0)") == 0.0)
+    assert(one("SELECT signbit(-1.0)") == true)
+    // probed: DuckDB's signbit(-0.0) is FALSE
+    assert(one("SELECT signbit(-0.0)") == false)
+    assert(one("SELECT nextafter(1.0, 2.0)") == 1.0000000000000002)
+    assert(one("SELECT fdiv(7, 2)") == 3.0)
+    assert(one("SELECT fdiv(-7.0, 2)") == -4.0)
+    assert(one("SELECT fdiv(7, 0)") == null)
+    assert(one("SELECT fmod(7, 2)") == 1.0)
+    assert(one("SELECT fmod(-7.5, 2)") == 0.5)
+    assert(one("SELECT fmod(-7, 3)") == 2.0)
+    // divide() on two integrals is DuckDB's integer division
+    assert(one("SELECT divide(7, 2)") == 3L)
+    assert(one("SELECT divide(7.0, 2)").toString.toDouble == 3.5)
+    assert(one("SELECT add(1, 2)") == 3)
+    assert(one("SELECT subtract(5, 3)") == 2)
+    assert(one("SELECT multiply(3, 4)") == 12)
+  }
+
+  test("regexp_escape / md5 halves / format_bytes / cross product") {
+    assert(one("SELECT regexp_escape('a.b*c[d]')") == "a\\.b\\*c\\[d\\]")
+    // unsigned 64-bit halves, little-endian (DuckDB UBIGINT values)
+    assert(one("SELECT CAST(md5_number_lower('abc') AS STRING)") == "8250560606382298838")
+    assert(one("SELECT CAST(md5_number_upper('abc') AS STRING)") == "12704604231530709392")
+    assert(one("SELECT format_bytes(1024)") == "1.0 KiB")
+    assert(one("SELECT format_bytes(1000)") == "1000 bytes")
+    assert(one("SELECT format_bytes(1)") == "1 byte")
+    assert(one("SELECT format_bytes(0)") == "0 bytes")
+    // truncation, not rounding (2^20 − 1)
+    assert(one("SELECT format_bytes(1048575)") == "1023.9 KiB")
+    // the integer-cascade decimal: the true value 270.40002… MiB would
+    // FLOAT-truncate to 270.4, but DuckDB's remainder arithmetic says .3
+    assert(one("SELECT format_bytes(283534977)") == "270.3 MiB")
+    assert(one("SELECT format_bytes(-1536)") == "-1.5 KiB")
+    assert(one("SELECT format_bytes(1152921504606846976)") == "1024.0 PiB")
+    assert(one("SELECT formatReadableSize(1536)") == "1.5 KiB")
+    assert(one("SELECT formatReadableDecimalSize(1536)") == "1.5 kB")
+    assert(one("SELECT formatReadableDecimalSize(999999)") == "999.9 kB")
+    assert(one("SELECT array_cross_product(array(1.0, 0.0, 0.0), array(0.0, 1.0, 0.0))")
+      .asInstanceOf[scala.collection.Seq[Double]] == Seq(0.0, 0.0, 1.0))
   }
 
   test("format: fmt-style holes, indices, alignment defaults, escapes") {
