@@ -1637,6 +1637,24 @@ object DuckFunctions {
       arity("formatReadableDecimalSize", 1)(a =>
         graft.functions.FormatBytes(Cast(a.head, LT), decimalUnits = true)),
 
+      // DuckDB's chr is full UNICODE (chr(128077) is the emoji); Spark's
+      // native chr wraps at 256 (n % 256) — a silent mangling if unbound
+      arity("chr", 1)(a => graft.functions.UnicodeChr(a.head)),
+
+      // grapheme-cluster string functions (UAX #29 subset — see
+      // graft.functions.Graphemes for the documented boundary)
+      arity("length_grapheme", 1)(a => graft.functions.LengthGrapheme(a.head)),
+      arity("left_grapheme", 2)(a =>
+        graft.functions.SideGrapheme(a.head, a(1), fromLeft = true)),
+      arity("right_grapheme", 2)(a =>
+        graft.functions.SideGrapheme(a.head, a(1), fromLeft = false)),
+      "substring_grapheme" -> { a =>
+        require(a.length == 2 || a.length == 3,
+          s"substring_grapheme expects 2-3 arguments, got ${a.length}")
+        graft.functions.SubstringGrapheme(a.head, a(1),
+          a.lift(2).getOrElse(Literal(Long.MaxValue / 4)))
+      },
+
       // 3-vector cross product over list columns
       arity("array_cross_product", 2) { a =>
         def e(x: Expression, i: Int) =

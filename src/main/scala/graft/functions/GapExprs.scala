@@ -198,6 +198,159 @@ case class NextAfterD(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Extended-grapheme-cluster segmentation (UAX #29, the subset that
+  * covers real corpus text — probed against DuckDB's utf8proc clusters):
+  * combining marks and variation selectors extend, skin-tone modifiers
+  * extend, ZWJ joins LEFT unconditionally and joins RIGHT only into a
+  * pictograph (woman+ZWJ+'p' is [woman+ZWJ][p], probed), regional
+  * indicators pair into flags, CRLF is one cluster. Hangul conjoining
+  * jamo rules are NOT implemented (documented boundary). */
+object Graphemes {
+  private def isExtend(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.NON_SPACING_MARK || t == Character.ENCLOSING_MARK ||
+      t == Character.COMBINING_SPACING_MARK ||
+      cp == 0x200C || (cp >= 0xFE00 && cp <= 0xFE0F) ||
+      (cp >= 0x1F3FB && cp <= 0x1F3FF)
+  }
+  private def isRI(cp: Int): Boolean = cp >= 0x1F1E6 && cp <= 0x1F1FF
+  private def isPicto(cp: Int): Boolean =
+    (cp >= 0x1F000 && cp <= 0x1FAFF) || (cp >= 0x2600 && cp <= 0x27BF) ||
+      (cp >= 0x2B00 && cp <= 0x2BFF) || cp == 0x00A9 || cp == 0x00AE
+
+  /** Char-index start offset of each cluster. */
+  def clusterStarts(s: String): Array[Int] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    var riRun = 0 // consecutive regional indicators ending at the previous cp
+    var prev = -1
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val noBreak = prev >= 0 && (
+        (prev == '\r' && cp == '\n') ||
+        isExtend(cp) || cp == 0x200D ||
+        (prev == 0x200D && isPicto(cp)) ||
+        (isRI(prev) && isRI(cp) && riRun % 2 == 1))
+      if (!noBreak) out += i
+      riRun = if (isRI(cp)) riRun + 1 else 0
+      prev = cp
+      i += Character.charCount(cp)
+    }
+    out.toArray
+  }
+
+  private def slice(s: String, starts: Array[Int], from: Int, until: Int): String = {
+    if (from >= until || from >= starts.length) return ""
+    val a = starts(from)
+    val b = if (until >= starts.length) s.length else starts(until)
+    s.substring(a, b)
+  }
+
+  def lengthG(s: String): Long = clusterStarts(s).length.toLong
+
+  /** left/right with DuckDB's negative counts (drop from the far end). */
+  def leftG(s: String, n: Long): String = {
+    val st = clusterStarts(s)
+    val k = if (n >= 0) math.min(n, st.length).toInt
+            else math.max(0L, st.length + n).toInt
+    slice(s, st, 0, k)
+  }
+
+  def rightG(s: String, n: Long): String = {
+    val st = clusterStarts(s)
+    val k = if (n >= 0) math.min(n, st.length).toInt
+            else math.max(0L, st.length + n).toInt
+    slice(s, st, st.length - k, st.length)
+  }
+
+  /** substr's 1-based index conventions lifted to clusters (probed:
+    * start 0 consumes length, negative start counts from the end). */
+  def substrG(s: String, start: Long, len: Long): String = {
+    val st = clusterStarts(s)
+    val n = st.length
+    var begin = start
+    var l = len
+    if (begin == 0) { begin = 1; l -= 1 }
+    else if (begin < 0) {
+      begin = n + begin + 1
+      if (begin < 1) { l += begin - 1; begin = 1 }
+    }
+    if (l <= 0 || begin > n) return ""
+    val from = (begin - 1).toInt
+    val until = math.min(begin - 1 + l, n).toInt
+    slice(s, st, from, until)
+  }
+}
+
+/** `chr(codepoint)` — full Unicode (Spark's native chr wraps at 256). */
+case class UnicodeChr(child: Expression)
+    extends UnaryExpression with EvalDelegatingCodegen {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "chr"
+  override protected def resultJavaType: String = "org.apache.spark.unsafe.types.UTF8String"
+  override def nullSafeEval(v: Any): Any = {
+    val cp = v.asInstanceOf[Number].intValue()
+    require(Character.isValidCodePoint(cp), s"chr: invalid code point $cp")
+    UTF8String.fromString(new String(Character.toChars(cp)))
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `length_grapheme(s)` — BIGINT cluster count. */
+case class LengthGrapheme(child: Expression)
+    extends UnaryExpression with EvalDelegatingCodegen {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "length_grapheme"
+  override protected def resultJavaType: String = "java.lang.Long"
+  override def nullSafeEval(v: Any): Any =
+    Graphemes.lengthG(v.asInstanceOf[UTF8String].toString)
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `left_grapheme` / `right_grapheme` — n clusters from either end. */
+case class SideGrapheme(left: Expression, right: Expression, fromLeft: Boolean)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = if (fromLeft) "left_grapheme" else "right_grapheme"
+  override def nullSafeEval(s: Any, n: Any): Any = {
+    val str = s.asInstanceOf[UTF8String].toString
+    val k = n.asInstanceOf[Number].longValue()
+    UTF8String.fromString(
+      if (fromLeft) Graphemes.leftG(str, k) else Graphemes.rightG(str, k))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("sideGrapheme", this, classOf[SideGrapheme].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) " +
+        s"$self.nullSafeEval($a, $b);")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** `substring_grapheme(s, start[, len])` — substr over clusters. */
+case class SubstringGrapheme(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "substring_grapheme"
+  override def nullSafeEval(s: Any, st: Any, ln: Any): Any =
+    UTF8String.fromString(Graphemes.substrG(
+      s.asInstanceOf[UTF8String].toString,
+      st.asInstanceOf[Number].longValue(),
+      ln.asInstanceOf[Number].longValue()))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("substrGrapheme", this, classOf[SubstringGrapheme].getName)
+    nullSafeCodeGen(ctx, ev, (a, b, c) =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) " +
+        s"$self.nullSafeEval($a, $b, $c);")
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression) =
+    copy(first = f, second = s, third = t)
+}
+
 /** `gcd(a, b)` / `greatest_common_divisor` — BIGINT, non-negative. */
 case class GcdL(left: Expression, right: Expression) extends BinaryExpression {
   override def dataType: DataType = LongType

@@ -298,6 +298,17 @@ object Extended {
       graft.component.DuckFunctions.register(s)
       T.events(s, d).createOrReplaceTempView("events")
       s.sql(graft.component.Dialect.rewrite(Oracle.q73))
+    }),
+
+    // Grapheme-cluster functions + Unicode chr (IDENTICAL text both
+    // engines): emoji + skin-tone modifier and a combining-é are
+    // appended to corpus text so the cluster segmentation (not just
+    // char counting) crosses the differential. Spark's native chr wraps
+    // at 256 — the binding is full Unicode like DuckDB's.
+    "q74_grapheme" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q74))
     })
   )
 
@@ -520,6 +531,21 @@ object Extended {
         |       format_bytes(event_id * 3333) AS fb
         |FROM e ORDER BY event_id""".stripMargin
 
+    /** Shared DuckDB/Spark text — q74 runs this verbatim in both engines. */
+    val q74: String =
+      """WITH g AS (
+        |  SELECT doc_id,
+        |         concat(substr(text, 1, 8), chr(128077), chr(127997), chr(233), 'x') AS s
+        |  FROM documents WHERE doc_id % 19 = 0)
+        |SELECT doc_id,
+        |       CAST(length_grapheme(s) AS BIGINT) AS lg,
+        |       CAST(length(s) AS BIGINT) AS lc,
+        |       left_grapheme(s, 9) AS l9,
+        |       right_grapheme(s, 3) AS r3,
+        |       substring_grapheme(s, 5, 6) AS mid,
+        |       left_grapheme(s, -2) AS ltrim2
+        |FROM g ORDER BY doc_id""".stripMargin
+
     val q37: String =
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
@@ -639,6 +665,7 @@ object Extended {
     "q71_list_stats" -> Oracle.q71,
     "q72_scalar_gap" -> Oracle.q72,
     "q73_datetime_gap" -> Oracle.q73,
+    "q74_grapheme" -> Oracle.q74,
     "q37_grouping_sets" -> Oracle.q37,
     "q38_outer_joins" -> Oracle.q38,
     "q39_in_subquery" -> Oracle.q39,

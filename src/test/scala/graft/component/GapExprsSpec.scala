@@ -181,6 +181,31 @@ class GapExprsSpec extends SparkSpec {
       .asInstanceOf[scala.collection.Seq[Double]] == Seq(0.0, 0.0, 1.0))
   }
 
+  test("grapheme functions: clusters, not chars (DuckDB probe pins)") {
+    assert(one("SELECT length_grapheme('héllo')") == 5L)
+    assert(one("SELECT length_grapheme('abc')") == 3L)
+    assert(one("SELECT length_grapheme('')") == 0L)
+    // skin-tone modifier joins its base: thumbs-up+modifier+'ok' is 3
+    assert(one("SELECT length_grapheme(concat(chr(128077), chr(127997), 'ok'))") == 3L)
+    // ZWJ joins LEFT; joins right only into a pictograph
+    assert(one("SELECT length_grapheme(concat(chr(128105), chr(8205), 'py'))") == 3L)
+    // regional indicators pair into flags
+    assert(one("SELECT length_grapheme(concat(chr(127467), chr(127479)))") == 1L)
+    assert(one("SELECT length_grapheme(concat(chr(127467), chr(127479), chr(127467), chr(127479)))") == 2L)
+    assert(one("SELECT left_grapheme('éxyz', 2)") == "éx")
+    assert(one("SELECT right_grapheme('xyé', 2)") == "yé")
+    assert(one("SELECT left_grapheme('abc', -1)") == "ab")
+    assert(one("SELECT right_grapheme('abc', -1)") == "bc")
+    assert(one("SELECT left_grapheme('ab', 5)") == "ab")
+    assert(one("SELECT left_grapheme('', 2)") == "")
+    assert(one("SELECT substring_grapheme('ébcd', 2, 2)") == "bc")
+    assert(one("SELECT substring_grapheme('abcdef', -2, 2)") == "ef")
+    assert(one("SELECT substring_grapheme('abcdef', 0, 3)") == "ab")
+    assert(one("SELECT substring_grapheme('abcdef', 2, 0)") == "")
+    assert(one("SELECT substring_grapheme('abc', 2)") == "bc")
+    assert(one("SELECT substring_grapheme('abc', 1, 10)") == "abc")
+  }
+
   test("format: fmt-style holes, indices, alignment defaults, escapes") {
     assert(one("SELECT format('{}-{}', 1, 'a')") == "1-a")
     assert(one("SELECT format('a{}b{}c', 1, 2)") == "a1b2c")
