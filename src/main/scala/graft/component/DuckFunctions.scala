@@ -1498,6 +1498,27 @@ object DuckFunctions {
       raw.dropRight(1) else raw
   }
 
+  /** n × unit months as a YEAR-MONTH interval. */
+  private def ymInterval(n: Expression, monthsPerUnit: Int): Expression =
+    MakeYMInterval(Literal(0),
+      Cast(Multiply(Cast(n, org.apache.spark.sql.types.LongType),
+        Literal(monthsPerUnit.toLong)), org.apache.spark.sql.types.IntegerType))
+
+  private def dtIntervalDays(n: Expression, daysPerUnit: Int): Expression =
+    MakeDTInterval(
+      Cast(Multiply(Cast(n, org.apache.spark.sql.types.LongType),
+        Literal(daysPerUnit.toLong)), org.apache.spark.sql.types.IntegerType),
+      Literal(0), Literal(0), Literal(org.apache.spark.sql.types.Decimal(0, 16, 6)))
+
+  /** n × unit microseconds as a DAY-TIME interval (exact decimal secs). */
+  private def dtIntervalUs(n: Expression, usPerUnit: Long): Expression = {
+    val us = Multiply(Cast(n, org.apache.spark.sql.types.LongType), Literal(usPerUnit))
+    MakeDTInterval(Literal(0), Literal(0), Literal(0),
+      Cast(Divide(Cast(us, org.apache.spark.sql.types.DecimalType(26, 6)),
+        Literal(org.apache.spark.sql.types.Decimal(1000000L, 16, 0))),
+        org.apache.spark.sql.types.DecimalType(26, 6)))
+  }
+
   private def dtBuilders: Seq[(String, Seq[Expression] => Expression)] = {
     import org.apache.spark.sql.types.{DateType, LongType => LT, TimestampType => TT}
     def dateDiffB(a: Seq[Expression], fn: String): Expression = {
@@ -1654,6 +1675,24 @@ object DuckFunctions {
         graft.functions.SubstringGrapheme(a.head, a(1),
           a.lift(2).getOrElse(Literal(Long.MaxValue / 4)))
       },
+
+      // interval constructors — month-based names build YEAR-MONTH
+      // intervals (true calendar months: ts + to_months(1) clamps at
+      // month ends exactly like DuckDB), time-based names build
+      // DAY-TIME intervals
+      arity("to_years", 1)(a => ymInterval(a.head, 12)),
+      arity("to_decades", 1)(a => ymInterval(a.head, 120)),
+      arity("to_centuries", 1)(a => ymInterval(a.head, 1200)),
+      arity("to_millennia", 1)(a => ymInterval(a.head, 12000)),
+      arity("to_quarters", 1)(a => ymInterval(a.head, 3)),
+      arity("to_months", 1)(a => ymInterval(a.head, 1)),
+      arity("to_weeks", 1)(a => dtIntervalDays(a.head, 7)),
+      arity("to_days", 1)(a => dtIntervalDays(a.head, 1)),
+      arity("to_hours", 1)(a => dtIntervalUs(a.head, 3600000000L)),
+      arity("to_minutes", 1)(a => dtIntervalUs(a.head, 60000000L)),
+      arity("to_seconds", 1)(a => dtIntervalUs(a.head, 1000000L)),
+      arity("to_milliseconds", 1)(a => dtIntervalUs(a.head, 1000L)),
+      arity("to_microseconds", 1)(a => dtIntervalUs(a.head, 1L)),
 
       // 3-vector cross product over list columns
       arity("array_cross_product", 2) { a =>

@@ -309,6 +309,19 @@ object Extended {
       graft.component.DuckFunctions.register(s)
       T.documents(s, d).createOrReplaceTempView("documents")
       s.sql(graft.component.Dialect.rewrite(Oracle.q74))
+    }),
+
+    // Interval constructors (IDENTICAL text both engines): month-based
+    // to_months/quarters/years build true calendar (YEAR-MONTH)
+    // intervals — ts + to_months(1) clamps at month ends on both
+    // engines — and the time-based family builds exact DAY-TIME
+    // intervals down to microseconds. Compared THROUGH timestamp
+    // addition (interval values themselves have no cross-engine
+    // parquet twin).
+    "q75_intervals" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.events(s, d).createOrReplaceTempView("events")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q75))
     })
   )
 
@@ -546,6 +559,21 @@ object Extended {
         |       left_grapheme(s, -2) AS ltrim2
         |FROM g ORDER BY doc_id""".stripMargin
 
+    /** Shared DuckDB/Spark text — q75 runs this verbatim in both engines. */
+    val q75: String =
+      """SELECT event_id,
+        |       ts + to_days(CAST(event_id % 30 AS INT)) AS t_d,
+        |       ts + to_months(CAST(event_id % 14 AS INT)) AS t_mo,
+        |       ts + to_quarters(CAST(event_id % 5 AS INT)) AS t_q,
+        |       ts + to_years(1) AS t_y,
+        |       ts + to_weeks(CAST(event_id % 4 AS INT)) AS t_w,
+        |       ts + to_hours(CAST(event_id % 50 AS INT)) AS t_h,
+        |       ts + to_minutes(CAST(event_id % 99 AS INT)) AS t_min,
+        |       ts + to_seconds(CAST(event_id % 77 AS INT)) AS t_s,
+        |       ts + to_milliseconds(CAST(event_id % 1999 AS INT)) AS t_ms,
+        |       ts + to_microseconds(CAST(event_id % 3331 AS INT)) AS t_us
+        |FROM events WHERE event_id % 101 = 0 ORDER BY event_id""".stripMargin
+
     val q37: String =
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
@@ -666,6 +694,7 @@ object Extended {
     "q72_scalar_gap" -> Oracle.q72,
     "q73_datetime_gap" -> Oracle.q73,
     "q74_grapheme" -> Oracle.q74,
+    "q75_intervals" -> Oracle.q75,
     "q37_grouping_sets" -> Oracle.q37,
     "q38_outer_joins" -> Oracle.q38,
     "q39_in_subquery" -> Oracle.q39,

@@ -206,6 +206,26 @@ class GapExprsSpec extends SparkSpec {
     assert(one("SELECT substring_grapheme('abc', 1, 10)") == "abc")
   }
 
+  test("interval constructors: calendar months clamp, time units exact") {
+    def ts(sql: String) = one(sql).toString
+    // true calendar-month interval — clamps at month end like DuckDB
+    assert(ts("SELECT TIMESTAMP '2024-01-31 00:00:00' + to_months(1)")
+      .startsWith("2024-02-29"))
+    assert(ts("SELECT DATE '2024-01-01' + to_days(5)").startsWith("2024-01-06"))
+    assert(ts("SELECT TIMESTAMP '2024-01-01 00:00:00' + to_weeks(2) + to_hours(3)")
+      .startsWith("2024-01-15 03:00:00"))
+    assert(ts("SELECT TIMESTAMP '2024-01-01 00:00:00' + to_years(1)")
+      .startsWith("2025-01-01"))
+    assert(ts("SELECT TIMESTAMP '2024-01-01 00:00:00' + to_quarters(1)")
+      .startsWith("2024-04-01"))
+    assert(ts("SELECT TIMESTAMP '2024-01-01 00:00:00' + to_minutes(90)")
+      .startsWith("2024-01-01 01:30:00"))
+    assert(ts("SELECT TIMESTAMP '2024-01-01 00:00:00' + to_milliseconds(1500)")
+      .contains("00:00:01.5"))
+    assert(ts("SELECT TIMESTAMP '2024-01-01 00:00:00' + to_microseconds(99)")
+      .contains("00:00:00.000099"))
+  }
+
   test("format: fmt-style holes, indices, alignment defaults, escapes") {
     assert(one("SELECT format('{}-{}', 1, 'a')") == "1-a")
     assert(one("SELECT format('a{}b{}c', 1, 2)") == "a1b2c")
