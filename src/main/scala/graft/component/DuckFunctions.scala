@@ -1498,6 +1498,31 @@ object DuckFunctions {
       raw.dropRight(1) else raw
   }
 
+  /** Spark type → DuckDB's typeof() spelling (probed v1.0). */
+  private def duckTypeName(t: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    t match {
+      case ByteType => "TINYINT"
+      case ShortType => "SMALLINT"
+      case IntegerType => "INTEGER"
+      case LongType => "BIGINT"
+      case FloatType => "FLOAT"
+      case DoubleType => "DOUBLE"
+      case StringType => "VARCHAR"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case BinaryType => "BLOB"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case ArrayType(e, _) => duckTypeName(e) + "[]"
+      case MapType(k, v, _) => s"MAP(${duckTypeName(k)}, ${duckTypeName(v)})"
+      case s: StructType =>
+        s.fields.map(f => s"${f.name} ${duckTypeName(f.dataType)}")
+          .mkString("STRUCT(", ", ", ")")
+      case other => other.sql
+    }
+  }
+
   /** n × unit months as a YEAR-MONTH interval. */
   private def ymInterval(n: Expression, monthsPerUnit: Int): Expression =
     MakeYMInterval(Literal(0),
@@ -1693,6 +1718,15 @@ object DuckFunctions {
       arity("to_seconds", 1)(a => dtIntervalUs(a.head, 1000000L)),
       arity("to_milliseconds", 1)(a => dtIntervalUs(a.head, 1000L)),
       arity("to_microseconds", 1)(a => dtIntervalUs(a.head, 1L)),
+
+      // typeof: the argument's DuckDB type spelling as a constant (the
+      // type is an analysis-time fact; a literal is what DuckDB's own
+      // constant folding produces too)
+      arity("typeof", 1) { a =>
+        require(a.head.resolved,
+          "typeof: argument type not resolved at bind time")
+        Literal(duckTypeName(a.head.dataType))
+      },
 
       // 3-vector cross product over list columns
       arity("array_cross_product", 2) { a =>

@@ -226,6 +226,17 @@ class GapExprsSpec extends SparkSpec {
       .contains("00:00:00.000099"))
   }
 
+  test("typeof: DuckDB type spellings") {
+    assert(one("SELECT typeof(CAST(1 AS INT))") == "INTEGER")
+    assert(one("SELECT typeof(100000000000)") == "BIGINT")
+    assert(one("SELECT typeof(CAST(1.5 AS DOUBLE))") == "DOUBLE")
+    assert(one("SELECT typeof(1.5)") == "DECIMAL(2,1)")
+    assert(one("SELECT typeof('x')") == "VARCHAR")
+    assert(one("SELECT typeof(DATE '2024-01-01')") == "DATE")
+    assert(one("SELECT typeof(true)") == "BOOLEAN")
+    assert(one("SELECT typeof(array(1, 2))") == "INTEGER[]")
+  }
+
   test("format: fmt-style holes, indices, alignment defaults, escapes") {
     assert(one("SELECT format('{}-{}', 1, 'a')") == "1-a")
     assert(one("SELECT format('a{}b{}c', 1, 2)") == "a1b2c")
