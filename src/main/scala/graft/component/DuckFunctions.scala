@@ -381,11 +381,10 @@ object DuckFunctions {
     // whole-string regex match: anchor the pattern
     arity("regexp_full_match", 2)(a => RLike(a.head,
       Concat(Seq(Literal("^(?:"), a(1), Literal(")$"))))),
-    arity("parse_filename", 1)(a =>
-      ElementAt(StringSplit(a.head, Literal("[/\\\\]"), Literal(-1)),
-        Literal(-1))),
-    arity("parse_dirpath", 1)(a =>
-      RegExpReplace(a.head, Literal("[/\\\\][^/\\\\]*$"), Literal(""))),
+    // (parse_filename/parse_dirpath moved to gapBuilders — the probed
+    // GapKernels versions with trim/separator arguments; the old
+    // regex approximations here were silently superseded by
+    // registration order, which is exactly the fragility to avoid)
 
     // struct/row construction + literal-name field extraction
     "row" -> (a => CreateStruct(a)),
@@ -1192,32 +1191,52 @@ object DuckFunctions {
         }
       })
 
+  /** 1..n, and [] when n < 1 — a bare Sequence(1, 0) defaults its step
+    * to −1 and yields [1, 0], whose element_at(l, 0) then throws
+    * unconditionally (review catch: grade_up/list_where on empty input
+    * must return [], like DuckDB). */
+  private def oneToN(n: Expression): Expression =
+    If(LessThan(n, Literal(1)),
+      Literal.create(Array.empty[Int],
+        org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)),
+      Sequence(Literal(1), n, Some(Literal(1))))
+
   private def gradeUp(l: Expression): Expression = {
     val i = UnresolvedNamedLambdaVariable(Seq("gui"))
     val s = UnresolvedNamedLambdaVariable(Seq("gus"))
-    val keyed = ArrayTransform(Sequence(Literal(1), Size(l), None),
+    val keyed = ArrayTransform(oneToN(Size(l)),
       LambdaFunction(CreateStruct(Seq(ElementAt(l, i), i)), Seq(i)))
     ArrayTransform(SortArray(keyed, Literal(true)),
       LambdaFunction(Cast(GetStructField(s, 1), LongType), Seq(s)))
   }
 
+  /** Selection iterates the MASK's length (probed: a longer mask pads
+    * the list side with NULL — list_where([1],[true,true]) = [1, NULL] —
+    * and a shorter one truncates); NULL in either argument → NULL. */
   private def listWhere(l: Expression, mask: Expression): Expression = {
     val i = UnresolvedNamedLambdaVariable(Seq("lwi"))
     val j = UnresolvedNamedLambdaVariable(Seq("lwj"))
-    val picked = ArrayFilter(
-      Sequence(Literal(1), Least(Seq(Size(l), Size(mask))), None),
+    val picked = ArrayFilter(oneToN(Size(mask)),
       LambdaFunction(EqualTo(ElementAt(mask, i), Literal(true)), Seq(i)))
-    ArrayTransform(picked, LambdaFunction(ElementAt(l, j), Seq(j)))
+    val body = ArrayTransform(picked,
+      // out-of-range list positions pad with NULL, not error
+      LambdaFunction(ElementAt(l, j, None, failOnError = false), Seq(j)))
+    CaseWhen(Seq((And(IsNotNull(l), IsNotNull(mask)), body)), None)
   }
 
+  /** NULL argument → NULL (probed); the inner Coalesce only absorbs
+    * ArrayContains' three-valued unknown on a NON-null pair. */
   private def listHasAll(l: Expression, needle: Expression): Expression = {
     val x = UnresolvedNamedLambdaVariable(Seq("hax"))
-    Coalesce(Seq(ArrayForAll(nonNulls(needle),
+    val body = Coalesce(Seq(ArrayForAll(nonNulls(needle),
       LambdaFunction(ArrayContains(l, x), Seq(x))), Literal(false)))
+    CaseWhen(Seq((And(IsNotNull(l), IsNotNull(needle)), body)), None)
   }
 
-  private def listHasAny(l: Expression, other: Expression): Expression =
-    Coalesce(Seq(ArraysOverlap(nonNulls(l), nonNulls(other)), Literal(false)))
+  private def listHasAny(l: Expression, other: Expression): Expression = {
+    val body = Coalesce(Seq(ArraysOverlap(nonNulls(l), nonNulls(other)), Literal(false)))
+    CaseWhen(Seq((And(IsNotNull(l), IsNotNull(other)), body)), None)
+  }
 
   private def listResize(l: Expression, size: Expression, pad: Option[Expression]): Expression = {
     val n = Cast(size, IntegerType)
@@ -1494,8 +1513,15 @@ object DuckFunctions {
 
   private def normPart(e: Expression, fn: String): String = {
     val raw = literalString(e, fn).toLowerCase
-    if (raw.endsWith("s") && raw != "us" && raw != "ms" && raw != "s")
-      raw.dropRight(1) else raw
+    raw match {
+      // irregular plurals DuckDB accepts (a blind s-strip would mangle)
+      case "centuries" => "century"
+      case "millennia" | "millenniums" => "millennium"
+      case "mons" => "mon"
+      case r if r.endsWith("s") && r != "us" && r != "ms" && r != "s" =>
+        r.dropRight(1)
+      case r => r
+    }
   }
 
   /** Spark type → DuckDB's typeof() spelling (probed v1.0). */

@@ -114,17 +114,21 @@ case class RegexpEscape(child: Expression)
   override protected def resultJavaType: String = "org.apache.spark.unsafe.types.UTF8String"
   override def nullSafeEval(v: Any): Any = {
     val b = v.asInstanceOf[UTF8String].getBytes
-    val sb = new java.lang.StringBuilder(b.length * 2)
+    // build BYTES, not chars: a sign-extended UTF-8 continuation byte
+    // routed through a String re-encodes as mojibake (review catch —
+    // multi-byte input must pass through untouched, like RE2 QuoteMeta)
+    val out = new Array[Byte](b.length * 2)
+    var o = 0
     var i = 0
     while (i < b.length) {
       val c = b(i).toChar
       val word = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
         (c >= '0' && c <= '9') || c == '_' || (b(i) & 0x80) != 0
-      if (!word) sb.append('\\')
-      sb.append(c)
+      if (!word) { out(o) = '\\'.toByte; o += 1 }
+      out(o) = b(i); o += 1
       i += 1
     }
-    UTF8String.fromString(sb.toString)
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, o))
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
@@ -169,13 +173,16 @@ case class FormatBytes(child: Expression, decimalUnits: Boolean)
     val units = if (decimalUnits) Array("kB", "MB", "GB", "TB", "PB")
                 else Array("KiB", "MiB", "GiB", "TiB", "PiB")
     val neg = n < 0
-    val a = math.abs(n)
+    // Long.MinValue: math.abs overflows — start the cascade one
+    // division in (the lost first-division remainder is irrelevant,
+    // the single decimal comes from the LAST division's remainder and
+    // at this magnitude several more divisions follow)
+    var q = if (n == Long.MinValue) -(n / base) else math.abs(n)
+    var u = if (n == Long.MinValue) 1 else 0
     val s =
-      if (a < base) s"$a byte" + (if (a == 1) "" else "s")
+      if (u == 0 && q < base) s"$q byte" + (if (q == 1) "" else "s")
       else {
-        var q = a
-        var prev = a
-        var u = 0
+        var prev = q
         while (q >= base && u < units.length) { prev = q; q /= base; u += 1 }
         val frac = (prev % base) * 10 / base
         s"$q.$frac ${units(u - 1)}"

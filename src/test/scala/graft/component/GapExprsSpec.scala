@@ -226,6 +226,33 @@ class GapExprsSpec extends SparkSpec {
       .contains("00:00:00.000099"))
   }
 
+  test("review-pass edges: unicode escape, MinValue bytes, empty lists") {
+    // multi-byte input passes through regexp_escape untouched (probed)
+    assert(one("SELECT regexp_escape('aé.b')") == "aé\\.b")
+    assert(one("SELECT regexp_escape('日x*')") == "日x\\*")
+    // Long.MinValue magnitudes (math.abs overflow path), probed
+    assert(one("SELECT format_bytes(-9223372036854775808)") == "-8192.0 PiB")
+    assert(one("SELECT formatReadableDecimalSize(-9223372036854775808)") == "-9223.3 PB")
+    assert(one("SELECT formatReadableDecimalSize(9223372036854775807)") == "9223.3 PB")
+    // empty inputs return [], not an index error
+    assert(one("SELECT grade_up(CAST(array() AS ARRAY<INT>))")
+      .asInstanceOf[scala.collection.Seq[Long]] == Seq())
+    assert(one("SELECT list_where(array(1), CAST(array() AS ARRAY<BOOLEAN>))")
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq())
+    // empty LIST with a non-empty mask: DuckDB v1.0 raises an INTERNAL
+    // assertion error here — the pad rule's answer ([NULL] per true
+    // mask slot) is the graceful documented behavior instead
+    assert(one("SELECT list_where(CAST(array() AS ARRAY<INT>), array(true))")
+      .asInstanceOf[scala.collection.Seq[Any]] == Seq(null))
+    // a LONGER mask pads the list side with NULL (probed)
+    assert(one("SELECT list_where(array(1), array(true, true))")
+      .asInstanceOf[scala.collection.Seq[Any]] == Seq(1, null))
+    // NULL list arguments propagate NULL (probed)
+    assert(one("SELECT list_has_all(array(1, 2), CAST(NULL AS ARRAY<INT>))") == null)
+    assert(one("SELECT list_has_any(CAST(NULL AS ARRAY<INT>), array(1))") == null)
+    assert(one("SELECT list_where(array(1, 2), CAST(NULL AS ARRAY<BOOLEAN>))") == null)
+  }
+
   test("typeof: DuckDB type spellings") {
     assert(one("SELECT typeof(CAST(1 AS INT))") == "INTEGER")
     assert(one("SELECT typeof(100000000000)") == "BIGINT")
