@@ -1524,6 +1524,24 @@ object DuckFunctions {
     }
   }
 
+  /** Literal single-character escape for the like_escape family. */
+  private def escChar(e: Expression, fn: String): Char = {
+    val s = literalString(e, fn)
+    require(s.length == 1, s"$fn: escape must be one character, got '$s'")
+    s.charAt(0)
+  }
+
+  /** DuckDB's map_extract/element_at-on-map: [value] when the key is
+    * present (even if its value is NULL), [] otherwise. The empty array
+    * takes its element type from a zero-length slice of the same
+    * value expression. */
+  private def mapExtractList(m: Expression, k: Expression): Expression = {
+    val v = ElementAt(m, k, None, failOnError = false)
+    If(Coalesce(Seq(ArrayContains(MapKeys(m), k), Literal(false))),
+      CreateArray(Seq(v)),
+      Slice(CreateArray(Seq(v)), Literal(1), Literal(0)))
+  }
+
   /** Spark type → DuckDB's typeof() spelling (probed v1.0). */
   private def duckTypeName(t: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
@@ -1744,6 +1762,53 @@ object DuckFunctions {
       arity("to_seconds", 1)(a => dtIntervalUs(a.head, 1000000L)),
       arity("to_milliseconds", 1)(a => dtIntervalUs(a.head, 1000L)),
       arity("to_microseconds", 1)(a => dtIntervalUs(a.head, 1L)),
+
+      // LIKE with an explicit escape character (the *_escape quartet)
+      arity("like_escape", 3)(a => Like(a.head, a(1), escChar(a(2), "like_escape"))),
+      arity("not_like_escape", 3)(a =>
+        Not(Like(a.head, a(1), escChar(a(2), "not_like_escape")))),
+      arity("ilike_escape", 3)(a =>
+        new ILike(a.head, a(1), escChar(a(2), "ilike_escape"))),
+      arity("not_ilike_escape", 3)(a =>
+        Not(new ILike(a.head, a(1), escChar(a(2), "not_ilike_escape")))),
+
+      // DuckDB's map() takes TWO LISTS (keys, values) — not Spark's
+      // variadic pairs; map_extract/element_at on a map return a LIST
+      // ([value] / [] for a missing key, probed)
+      "map" -> { a =>
+        a.length match {
+          case 0 => CreateMap(Nil)
+          case 2 => MapFromArrays(a.head, a(1))
+          case n => throw new IllegalArgumentException(
+            s"map expects (keys_list, values_list) or no arguments, got $n")
+        }
+      },
+      arity("map_extract", 2)(a => mapExtractList(a.head, a(1))),
+      // element_at: DuckDB defines it for MAPS (list result); array
+      // bases keep Spark's native 1-based element_at
+      arity("element_at", 2) { a =>
+        a.head.dataType match {
+          case _: org.apache.spark.sql.types.MapType => mapExtractList(a.head, a(1))
+          case _ => ElementAt(a.head, a(1))
+        }
+      },
+
+      // exact histogram: the list_histogram expression over the group's
+      // collected values — key TYPE preserved, keys sorted, NULLs
+      // skipped, exactly DuckDB's map. (Buffers the group's values —
+      // the exact-aggregate trade documented on MadAgg.)
+      arity("histogram", 1)(a => listHistogram(
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .CollectList(a.head).toAggregateExpression())),
+
+      // approximate quantile: both engines promise only an
+      // approximation — Spark's t-digest stands in for the reservoir
+      "reservoir_quantile" -> { a =>
+        require(a.length == 2 || a.length == 3,
+          s"reservoir_quantile expects 2-3 arguments, got ${a.length}")
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .ApproximatePercentile(a.head, a(1))
+      },
 
       // typeof: the argument's DuckDB type spelling as a constant (the
       // type is an analysis-time fact; a literal is what DuckDB's own

@@ -253,6 +253,37 @@ class GapExprsSpec extends SparkSpec {
     assert(one("SELECT list_where(array(1, 2), CAST(NULL AS ARRAY<BOOLEAN>))") == null)
   }
 
+  test("like_escape quartet: explicit escape characters") {
+    assert(one("SELECT like_escape('a%c', 'a\\\\%c', '\\\\')") == true)
+    assert(one("SELECT like_escape('abc', 'a\\\\%c', '\\\\')") == false)
+    assert(one("SELECT ilike_escape('A%C', 'a\\\\%c', '\\\\')") == true)
+    assert(one("SELECT not_like_escape('abc', 'a\\\\%c', '\\\\')") == true)
+    assert(one("SELECT not_ilike_escape('A%C', 'a\\\\%c', '\\\\')") == false)
+  }
+
+  test("map list-form, map_extract/element_at list results, histogram") {
+    val m = one("SELECT map(array(1, 2), array('a', 'b'))")
+      .asInstanceOf[scala.collection.Map[Int, String]]
+    assert(m.toSeq.sortBy(_._1) == Seq(1 -> "a", 2 -> "b"))
+    def arr(sql: String) = one(sql).asInstanceOf[scala.collection.Seq[Any]].toSeq
+    assert(arr("SELECT map_extract(map(array(1, 2), array('a', 'b')), 2)") == Seq("b"))
+    assert(arr("SELECT map_extract(map(array(1, 2), array('a', 'b')), 9)") == Seq())
+    // a PRESENT key with a NULL value yields [NULL], not [] (probed)
+    assert(arr("SELECT map_extract(map(array('a'), array(CAST(NULL AS STRING))), 'a')") == Seq(null))
+    assert(arr("SELECT element_at(map(array(1), array('x')), 1)") == Seq("x"))
+    // element_at keeps Spark's native array form (DuckDB's is map-only)
+    assert(one("SELECT element_at(array(10, 20), 2)") == 20)
+    // exact histogram: key type preserved, keys sorted, NULLs skipped
+    val h = one("SELECT histogram(x) FROM VALUES (2), (1), (2), (NULL) AS t(x)")
+      .asInstanceOf[scala.collection.Map[Int, Long]]
+    assert(h.toSeq.sortBy(_._1) == Seq(1 -> 1L, 2 -> 2L))
+    // result follows the input type (decimal in, decimal out — the
+    // same convention as DuckDB's SMALLINT-in/SMALLINT-out)
+    val q = one("SELECT reservoir_quantile(x, 0.5) FROM VALUES (1.0), (2.0), (9.0) AS t(x)")
+      .toString.toDouble
+    assert(q >= 1.0 && q <= 9.0)
+  }
+
   test("typeof: DuckDB type spellings") {
     assert(one("SELECT typeof(CAST(1 AS INT))") == "INTEGER")
     assert(one("SELECT typeof(100000000000)") == "BIGINT")
