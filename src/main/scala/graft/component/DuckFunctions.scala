@@ -1772,26 +1772,24 @@ object DuckFunctions {
       arity("not_ilike_escape", 3)(a =>
         Not(new ILike(a.head, a(1), escChar(a(2), "not_ilike_escape")))),
 
-      // DuckDB's map() takes TWO LISTS (keys, values) — not Spark's
-      // variadic pairs; map_extract/element_at on a map return a LIST
-      // ([value] / [] for a missing key, probed)
+      // DuckDB's map() takes TWO LISTS (keys, values). Spark 4's Column
+      // API resolves sql.functions BY NAME through the same registry, so
+      // the binding must keep the native variadic form working too —
+      // dual-mode: exactly two ARRAY args → MapFromArrays, anything
+      // else → Spark's CreateMap pairs. (element_at is deliberately NOT
+      // rebound for the same reason: DuckDB's map-only list-returning
+      // element_at would hijack every Column-API element_at in the
+      // session — t16's per-term tf lookup among them. DuckDB scripts
+      // get the list form under the map_extract spelling; the
+      // element_at type difference is the recorded deviation.)
       "map" -> { a =>
-        a.length match {
-          case 0 => CreateMap(Nil)
-          case 2 => MapFromArrays(a.head, a(1))
-          case n => throw new IllegalArgumentException(
-            s"map expects (keys_list, values_list) or no arguments, got $n")
-        }
+        def isArray(e: Expression) = e.resolved &&
+          e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+        if (a.length == 2 && isArray(a.head) && isArray(a(1)))
+          MapFromArrays(a.head, a(1))
+        else CreateMap(a)
       },
       arity("map_extract", 2)(a => mapExtractList(a.head, a(1))),
-      // element_at: DuckDB defines it for MAPS (list result); array
-      // bases keep Spark's native 1-based element_at
-      arity("element_at", 2) { a =>
-        a.head.dataType match {
-          case _: org.apache.spark.sql.types.MapType => mapExtractList(a.head, a(1))
-          case _ => ElementAt(a.head, a(1))
-        }
-      },
 
       // exact histogram: the list_histogram expression over the group's
       // collected values — key TYPE preserved, keys sorted, NULLs

@@ -270,9 +270,13 @@ class GapExprsSpec extends SparkSpec {
     assert(arr("SELECT map_extract(map(array(1, 2), array('a', 'b')), 9)") == Seq())
     // a PRESENT key with a NULL value yields [NULL], not [] (probed)
     assert(arr("SELECT map_extract(map(array('a'), array(CAST(NULL AS STRING))), 'a')") == Seq(null))
-    assert(arr("SELECT element_at(map(array(1), array('x')), 1)") == Seq("x"))
-    // element_at keeps Spark's native array form (DuckDB's is map-only)
+    // element_at is NOT rebound (Column-API hijack risk — see the map
+    // binding's comment); it keeps Spark's native scalar semantics
+    assert(one("SELECT element_at(map(array(1), array('x')), 1)") == "x")
     assert(one("SELECT element_at(array(10, 20), 2)") == 20)
+    // Spark's variadic pair form still works through the dual-mode map
+    val vm = one("SELECT map('a', 1)").asInstanceOf[scala.collection.Map[String, Int]]
+    assert(vm.toSeq == Seq("a" -> 1))
     // exact histogram: key type preserved, keys sorted, NULLs skipped
     val h = one("SELECT histogram(x) FROM VALUES (2), (1), (2), (NULL) AS t(x)")
       .asInstanceOf[scala.collection.Map[Int, Long]]
