@@ -1638,7 +1638,15 @@ object DuckFunctions {
       "duck_date_diff" -> (a => dateDiffB(a, "date_diff")),
       "date_diff" -> (a => dateDiffB(a, "date_diff")),
       "datediff" -> (a => dateDiffB(a, "datediff")),
-      "date_sub" -> (a => dateSubB(a, "date_sub")),
+      // date_sub is dual-mode: Spark 4's Column API resolves sql.functions
+      // BY NAME through the session registry, so the 2-arg Spark-native
+      // form (start_date, num_days) must keep working after this override
+      // (same Column-API-hijack class as the round-12 map/element_at fix;
+      // the forms ARE distinguishable by arity, so both keep their owner)
+      "date_sub" -> { a =>
+        if (a.length == 2) DateSub(Cast(a.head, DateType), a(1))
+        else dateSubB(a, "date_sub")
+      },
       "datesub" -> (a => dateSubB(a, "datesub")),
       // date + integer days / + interval (the analyzer's binary-
       // arithmetic resolution picks the typed node)

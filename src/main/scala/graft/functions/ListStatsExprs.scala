@@ -115,7 +115,10 @@ case class ListStatsD(child: Expression)
       val counts = new java.util.HashMap[java.lang.Double, java.lang.Long]()
       i = 0
       while (i < n) {
-        val k: java.lang.Double = vs(i)
+        // -0.0 + 0.0 == +0.0: Double.equals keys -0.0 and 0.0 DISTINCT,
+        // but SQL equality (the tree fallback's ArrayDistinct, and DuckDB)
+        // treats them equal — normalize so both paths count one bucket
+        val k: java.lang.Double = vs(i) + 0.0
         val prev = counts.get(k)
         counts.put(k, if (prev == null) 1L else prev.longValue() + 1L)
         i += 1

@@ -519,7 +519,17 @@ object Extended {
         |       format('{}:{:>8}:{:.3f}', doc_id, source, doc_id / 7.0) AS fm
         |FROM p ORDER BY doc_id""".stripMargin
 
-    /** Shared DuckDB/Spark text — q73 runs this verbatim in both engines. */
+    /** Shared DuckDB/Spark text — q73 runs this verbatim in both engines.
+      *
+      * Version-stable datetime/arithmetic core ONLY. The four renderers
+      * whose output drifts across DuckDB releases (`yearweek`, `julian`,
+      * `md5_number_lower`, `format_bytes` — semantics pinned to DuckDB
+      * v1.0.0 probes) were bisected OUT of this oracle row after the
+      * round-12 driver ledger flagged a hash mismatch on a newer oracle
+      * engine; they stay covered by the probe-pinned assertions in
+      * `GapExprsSpec` ("yearweek/julian" and "md5 halves / format_bytes"
+      * tests). One drifting renderer must not mask the 15 stable columns.
+      */
     val q73: String =
       """WITH e AS (
         |  SELECT event_id, ts, TIMESTAMP '2025-01-01 00:00:00' AS anchor
@@ -534,14 +544,10 @@ object Extended {
         |       dayname(ts) AS dn, monthname(ts) AS mn,
         |       CAST(weekday(ts) AS BIGINT) AS wd,
         |       CAST(isoyear(ts) AS BIGINT) AS iy,
-        |       CAST(yearweek(ts) AS BIGINT) AS yw,
-        |       round(julian(ts), 6) AS jd,
         |       CAST(round_even(CAST(event_id AS DOUBLE) / 7, 2) AS DOUBLE) AS re,
         |       even(CAST(event_id % 9 AS DOUBLE) - 4.5) AS ev,
         |       fdiv(event_id, 7) AS fd, fmod(event_id, 7) AS fm,
-        |       CAST(divide(event_id, 7) AS BIGINT) AS dv,
-        |       CAST(md5_number_lower(CAST(event_id AS VARCHAR)) AS DECIMAL(20,0)) AS ml,
-        |       format_bytes(event_id * 3333) AS fb
+        |       CAST(divide(event_id, 7) AS BIGINT) AS dv
         |FROM e ORDER BY event_id""".stripMargin
 
     /** Shared DuckDB/Spark text — q74 runs this verbatim in both engines. */

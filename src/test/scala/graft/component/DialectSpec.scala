@@ -59,6 +59,21 @@ class DialectSpec extends AnyFunSuite {
     assert(out.contains("'* EXCLUDE ('"))
   }
 
+  test("date_diff/struct_pack rewrites skip literals and comments") {
+    // the function-name rewrites live in the same quote-aware flushPlain
+    // as ::VARCHAR — a literal or comment containing the spelling must
+    // survive verbatim while live SQL around it still rewrites
+    val s = "SELECT date_diff('day', a, b), 'date_diff(' AS lit FROM t -- date_diff(x\n"
+    val out = Dialect.rewrite(s)
+    assert(out.contains("duck_date_diff('day'"))
+    assert(out.contains("'date_diff(' AS lit"))
+    assert(out.contains("-- date_diff(x"))
+    val sp = "SELECT struct_pack(a := 1), 'struct_pack(b := 2)' AS lit FROM t"
+    val outSp = Dialect.rewrite(sp)
+    assert(outSp.contains("named_struct('a', 1)"))
+    assert(outSp.contains("'struct_pack(b := 2)' AS lit"))
+  }
+
   test("lint ignores parens and keywords inside literals") {
     assert(Actions.lint("SELECT ':-)' AS emoji FROM t").isEmpty)
     assert(Actions.lint("SELECT 'PERCENTILE_CONT(' FROM t").isEmpty)

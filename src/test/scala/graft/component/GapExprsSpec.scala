@@ -114,6 +114,21 @@ class GapExprsSpec extends SparkSpec {
     assert(one("SELECT datesub('day', TIMESTAMP '2024-01-01 12:00:00', TIMESTAMP '2024-01-02 11:59:59')") == 0L)
   }
 
+  test("date_sub dual-mode: the 2-arg Spark-native form keeps working") {
+    // Spark 4's Column API resolves sql.functions BY NAME through the
+    // session registry — the 3-arg DuckDB override must not hijack
+    // Spark's own date_sub(start_date, num_days)
+    assert(one("SELECT date_sub(DATE '2024-01-05', 3)") ==
+      java.sql.Date.valueOf("2024-01-02"))
+    val viaColumnApi = {
+      import org.apache.spark.sql.functions.{date_sub, lit}
+      session.range(1).select(date_sub(lit("2024-01-05"), 3)).collect().head.get(0)
+    }
+    assert(viaColumnApi == java.sql.Date.valueOf("2024-01-02"))
+    // and the DuckDB 3-arg form still resolves beside it
+    assert(one("SELECT date_sub('day', DATE '2024-01-01', DATE '2024-03-05')") == 64L)
+  }
+
   test("dayname/monthname/weekday/isoyear/yearweek/julian/date_add") {
     assert(one("SELECT dayname(DATE '2024-01-01')") == "Monday")
     assert(one("SELECT monthname(DATE '2024-01-01')") == "January")

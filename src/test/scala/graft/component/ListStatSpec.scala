@@ -77,6 +77,11 @@ class ListStatSpec extends SparkSpec {
     assert(duck("SELECT list_kurtosis([1, 2, 4])") == null)
     assert(duck("SELECT list_kurtosis_pop([7, 7, 7])") == null)
     assert(duck("SELECT list_entropy(CAST(array() AS ARRAY<INT>))") == 0.0)
+    // signed zeros: SQL equality (and DuckDB) treat -0.0 == 0.0 as ONE
+    // value; the numeric kernel's HashMap must not key them apart
+    // (probed: entropy([-0.0, 0.0, 1.0]) = entropy([0, 0, 1]))
+    approx("SELECT list_entropy([-0.0, 0.0, 1.0])", 0.9182958340544893)
+    approx("SELECT list_entropy([-0.0, 0.0])", 0.0)
   }
 
   test("list_aggregate dispatches the macro names too") {

@@ -61,6 +61,12 @@ def main():
     oracles = {k.removesuffix(".parquet"): v for k, v in raw.items()}
 
     con = duckdb.connect()
+    # Emit the oracle engine's version up front and into the JSON: the one
+    # r12 ledger red (q73) was driver-oracle DuckDB-version drift, invisible
+    # until bisected by hand. With the version on the artifact, local-vs-
+    # driver engine drift is diagnosable in one glance.
+    oracle_version = con.execute("SELECT version()").fetchone()[0]
+    print(f"oracle engine: duckdb {oracle_version}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
@@ -169,8 +175,10 @@ def main():
         rec(name, spark_rows=n, err="no_oracle_rows_only" if n else "empty_result")
 
     if json_out:
+        payload = {"_oracle_version": oracle_version}
+        payload.update(dict(sorted(record.items())))
         with open(json_out, "w") as f:
-            json.dump(dict(sorted(record.items())), f, indent=1)
+            json.dump(payload, f, indent=1)
         print(f"wrote {json_out}")
 
     print(f"\n{n_pass} pass, {n_fail} fail")
