@@ -67,6 +67,31 @@ object Dialect {
   private val tableKeyword =
     """(?is)\b(FROM|JOIN|INTO|UPDATE|TABLE|VIEW|PIVOT|UNPIVOT)\s*$""".r
 
+  /** Emit a bare-filename file view with DuckDB's default alias (basename
+    * up to the FIRST dot — probed: `FROM 'a.b.csv'` binds qualifier `a`,
+    * `f.csv.gz` binds `f`) unless the user wrote their own alias right
+    * after the path. `rest` is the statement text following the quoted
+    * token. Non-identifier basenames (globs: `*.csv`) get no alias. */
+  private def fileViewRef(view: String, path: String, rest: String): String = {
+    val aliasFollows =
+      "(?is)^\\s*(?:(AS)\\b|([A-Za-z_][A-Za-z0-9_]*))".r.findFirstMatchIn(rest) match {
+        case Some(m) if m.group(1) != null => true
+        case Some(m) => !aliasStopWord(m.group(2).toLowerCase)
+        case None => false
+      }
+    val base = path.replace('\\', '/').split('/').last.takeWhile(_ != '.')
+    if (aliasFollows || !base.matches("[A-Za-z_][A-Za-z0-9_]*")) s"`$view`"
+    else s"`$view` AS `$base`"
+  }
+
+  private val aliasStopWord = Set(
+    "where", "group", "having", "qualify", "order", "limit", "offset",
+    "union", "intersect", "except", "join", "inner", "left", "right",
+    "full", "cross", "natural", "semi", "anti", "on", "using", "select",
+    "from", "lateral", "window", "positional", "asof", "tablesample",
+    "pivot", "unpivot", "when", "then", "else", "end", "set", "returning")
+    .contains _
+
   /** Scan past a single-quoted token starting at `start` (which must point
     * at the opening quote), honoring `''` escapes; returns the index just
     * AFTER the closing quote (or length if unterminated). */
@@ -86,9 +111,9 @@ object Dialect {
   def rewrite(stmt0: String): String = {
     val stmt = rewriteQualify(rewriteDistinctOn(rewriteWithCreate(
       Pivot.rewriteUnpivot(UnnestSql.rewrite(rewriteUsingSample(
-        rewriteSeriesTableFns(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
+        rewriteSeriesTableFns(rewriteIntDiv(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
           FileReads.rewriteTableFunctions(
-            rewritePragma(Macros.rewrite(stmt0)))))))))))))
+            rewritePragma(Macros.rewrite(stmt0))))))))))))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position
@@ -114,6 +139,13 @@ object Dialect {
         // idents only) before function resolution ever runs — route
         // DuckDB's ('part', start, end) form to the registry name
         .replaceAll("(?i)\\b(date_diff|datediff)\\s*\\(", "duck_date_diff(")
+        // DuckDB/Postgres operator spellings of LIKE: `~~` ≡ LIKE,
+        // `!~~` ≡ NOT LIKE, `*`-suffixed ≡ ILIKE — keyword swaps at the
+        // same precedence, longest spelling first
+        .replaceAll("!~~\\*", " NOT ILIKE ")
+        .replaceAll("~~\\*", " ILIKE ")
+        .replaceAll("!~~", " NOT LIKE ")
+        .replaceAll("~~", " LIKE ")
         // struct_pack(a := x, b := y) ≡ named_struct('a', x, 'b', y).
         // `:=` exists in DuckDB only as struct_pack's binder, so the
         // name rewrite is safe globally within unquoted text
@@ -134,9 +166,16 @@ object Dialect {
           flushPlain()
           // table names must be sanitized (temp views reject dots); quoted
           // COLUMN names are backticked verbatim — they exist as-is in the
-          // DataFrame schema
-          val ident = if (inTablePos) Names.view(name) else name
-          out.append('`').append(ident).append('`')
+          // DataFrame schema. A path-shaped name in table position is
+          // DuckDB's bare-filename shorthand (`FROM "data.csv"`) — a lazy
+          // file view, exactly like the read_csv(...) rewrite
+          (if (inTablePos) FileReads.pathView(name) else None) match {
+            case Some(view) =>
+              out.append(fileViewRef(view, name, stmt.substring(end + 1)))
+            case None =>
+              val ident = if (inTablePos) Names.view(name) else name
+              out.append('`').append(ident).append('`')
+          }
           context.append('x') // the identifier reads as one plain token
           i = end + 1
         }
@@ -147,7 +186,13 @@ object Dialect {
           tableKeyword.findFirstIn(context.toString).isDefined &&
           !(isCopyStmt && parenDepth == 0)
         flushPlain()
-        if (isIdentifier) out.append('`').append(Names.view(body)).append('`')
+        // a path-shaped quoted token in table position is the bare-filename
+        // FROM shorthand (`FROM 'data.csv'`), not a table identifier
+        if (isIdentifier) FileReads.pathView(body) match {
+          case Some(view) =>
+            out.append(fileViewRef(view, body, stmt.substring(end)))
+          case None => out.append('`').append(Names.view(body)).append('`')
+        }
         else out.append(stmt.substring(i, end)) // literal, verbatim
         context.append('x')
         i = end
@@ -356,6 +401,209 @@ object Dialect {
       } else { sb.append(c); i += 1 }
     }
     sb.toString
+  }
+
+  /** DuckDB's `//` operator → the registry's `divide()` (integer division
+    * on two integral operands, plain division otherwise — probed: 7//2=3,
+    * 7.5//2=3.75). Spark's parser has no `//` spelling, and `DIV` would
+    * change both the non-integral semantics and the result type, so the
+    * lowering is a function call over scanned operand extents:
+    * the LEFT extent greedily consumes a same-precedence multiplicative
+    * chain (`a * b // c` is `(a*b)//c` — left-associative), the RIGHT
+    * extent exactly one primary (`a // b * c` is `(a//b)*c`). Leftmost
+    * `//` first, then rescan — a chain folds left. An extent the scanner
+    * cannot parse leaves the text for Spark's parser to reject loudly
+    * (never a silent mis-grouping). Runs after Brackets/DotCall/JsonArrows
+    * so subscripts and arrows are already plain calls. */
+  private[component] def rewriteIntDiv(stmt0: String): String = {
+    var stmt = stmt0
+    var guard = 0
+    while (guard < 256) {
+      guard += 1
+      val masked = maskQuoted(stmt)
+      val op = masked.indexOf("//")
+      if (op < 0) return stmt
+      (intDivLeftStart(stmt, masked, op), intDivRightEnd(stmt, masked, op + 2)) match {
+        case (Some(ls), Some(re)) =>
+          val left = stmt.substring(ls, op).trim
+          val right = stmt.substring(op + 2, re).trim
+          stmt = stmt.substring(0, ls) + s"divide($left, $right)" +
+            stmt.substring(re)
+        case _ => return stmt
+      }
+    }
+    stmt
+  }
+
+  /** Words that make a preceding `-`/`+` UNARY (sign of the operand)
+    * rather than a binary operator whose right side the extent must not
+    * cross. */
+  private val signKeyword = Set(
+    "select", "where", "when", "then", "else", "and", "or", "not", "in",
+    "on", "by", "having", "return", "returning", "case", "between",
+    "like", "ilike", "is", "all", "any", "some", "distinct", "as",
+    "limit", "offset", "set", "values").contains _
+
+  /** Back-scan: start of the multiplicative chain ending just before the
+    * `//` at `op`. None = unparsable (leave the text alone). */
+  private def intDivLeftStart(stmt: String, masked: String,
+                              op: Int): Option[Int] = {
+    var i = op - 1
+    var start = -1
+    def skipWs(): Unit = { while (i >= 0 && masked.charAt(i) == ' ' &&
+      stmt.charAt(i).isWhitespace) i -= 1 }
+    def consumePrimary(): Boolean = {
+      skipWs()
+      if (i < 0) return false
+      val c = stmt.charAt(i)
+      if (masked.charAt(i) != c) return false // quoted span: bail
+      if (c == ')') {
+        var d = 0; var j = i; var open = -1
+        while (j >= 0 && open < 0) {
+          val mc = masked.charAt(j)
+          if (mc == ')') d += 1
+          else if (mc == '(') { d -= 1; if (d == 0) open = j }
+          j -= 1
+        }
+        if (open < 0) return false
+        start = open; i = open - 1
+        // a function name before the paren belongs to the primary
+        if (i >= 0 && (stmt.charAt(i).isLetterOrDigit || stmt.charAt(i) == '_')) {
+          val e = i
+          while (i >= 0 && (stmt.charAt(i).isLetterOrDigit || stmt.charAt(i) == '_')) i -= 1
+          if (signKeyword(stmt.substring(i + 1, e + 1).toLowerCase)) i = e
+          else start = i + 1
+        }
+        true
+      } else if (c.isLetterOrDigit || c == '_' || c == '.') {
+        // identifier chain, qualified name, or numeric literal (dots and
+        // exponents included — 1.5e3); validated loosely, Spark re-parses
+        val e = i
+        while (i >= 0 && masked.charAt(i) == stmt.charAt(i) &&
+          (stmt.charAt(i).isLetterOrDigit ||
+            stmt.charAt(i) == '_' || stmt.charAt(i) == '.')) i -= 1
+        start = i + 1
+        !signKeyword(stmt.substring(start, e + 1).toLowerCase)
+      } else false
+    }
+    def consumeSignIfUnary(): Unit = {
+      skipWs()
+      if (i >= 0 && (stmt.charAt(i) == '-' || stmt.charAt(i) == '+') &&
+        masked.charAt(i) == stmt.charAt(i)) {
+        val signAt = i
+        i -= 1; skipWs()
+        val unary =
+          if (i < 0) true
+          else {
+            val p = stmt.charAt(i)
+            if ("(,=<>+-*/%|".indexOf(p) >= 0) true
+            else if (p.isLetterOrDigit || p == '_') {
+              val e = i; var j = i
+              while (j >= 0 && (stmt.charAt(j).isLetterOrDigit || stmt.charAt(j) == '_')) j -= 1
+              signKeyword(stmt.substring(j + 1, e + 1).toLowerCase)
+            } else false
+          }
+        if (unary) start = signAt
+        else i = signAt // binary: restore, the chain stops here
+      }
+    }
+    // `x::TYPE` binds tighter than `//`: a consumed primary preceded by
+    // `::` is a cast's type — keep consuming down to the cast's base
+    def consumeCasts(): Boolean = {
+      skipWs()
+      while (i >= 1 && masked.charAt(i) == ':' && stmt.charAt(i) == ':' &&
+        stmt.charAt(i - 1) == ':') {
+        i -= 2
+        if (!consumePrimary()) return false
+        skipWs()
+      }
+      true
+    }
+    if (!consumePrimary() || !consumeCasts()) return None
+    consumeSignIfUnary()
+    var more = true
+    while (more) {
+      more = false
+      skipWs()
+      if (i >= 0 && masked.charAt(i) == stmt.charAt(i)) {
+        val c = stmt.charAt(i)
+        val isDiv = c == '/' && (i == 0 || stmt.charAt(i - 1) != '/')
+        if (c == '*' || c == '%' || isDiv) {
+          val at = i
+          i -= 1
+          if (!consumePrimary() || !consumeCasts()) { i = at; return Some(start) }
+          consumeSignIfUnary()
+          more = true
+        }
+      }
+    }
+    Some(start)
+  }
+
+  /** Forward-scan: end (exclusive) of the single primary starting after
+    * the `//`. None = unparsable. */
+  private def intDivRightEnd(stmt: String, masked: String,
+                             from: Int): Option[Int] = {
+    var i = from
+    def skipWs(): Unit = { while (i < stmt.length && masked.charAt(i) == ' ' &&
+      stmt.charAt(i).isWhitespace) i += 1 }
+    skipWs()
+    while (i < stmt.length && (stmt.charAt(i) == '-' || stmt.charAt(i) == '+') &&
+      masked.charAt(i) == stmt.charAt(i)) { i += 1; skipWs() }
+    if (i >= stmt.length) return None
+    val c = stmt.charAt(i)
+    if (masked.charAt(i) != c) return None // quoted span: bail
+    if (c == '(') {
+      val close = matchingParen(masked, i)
+      if (close < 0) None else Some(postfix(stmt, masked, close + 1))
+    } else if (c.isLetterOrDigit || c == '_' || c == '.') {
+      val tokenStart = i
+      while (i < stmt.length && masked.charAt(i) == stmt.charAt(i) &&
+        (stmt.charAt(i).isLetterOrDigit ||
+          stmt.charAt(i) == '_' || stmt.charAt(i) == '.')) i += 1
+      // exponent sign: 1e+3 — the +/- right after a trailing e of a number
+      if (i < stmt.length && (stmt.charAt(i) == '+' || stmt.charAt(i) == '-') &&
+        i > tokenStart && (stmt.charAt(i - 1) == 'e' || stmt.charAt(i - 1) == 'E') &&
+        stmt.charAt(tokenStart).isDigit) {
+        i += 1
+        while (i < stmt.length && stmt.charAt(i).isDigit) i += 1
+      }
+      // a call: name directly (or via space) followed by (
+      val save = i
+      skipWs()
+      if (i < stmt.length && stmt.charAt(i) == '(') {
+        val close = matchingParen(masked, i)
+        if (close < 0) None else Some(postfix(stmt, masked, close + 1))
+      } else { i = save; Some(postfix(stmt, masked, i)) }
+    } else None
+  }
+
+  /** Consume `::type(args)` cast suffixes after a primary. */
+  private def postfix(stmt: String, masked: String, from0: Int): Int = {
+    var i = from0
+    var more = true
+    while (more) {
+      more = false
+      var j = i
+      while (j < stmt.length && stmt.charAt(j).isWhitespace) j += 1
+      if (j + 1 < stmt.length && stmt.charAt(j) == ':' && stmt.charAt(j + 1) == ':') {
+        j += 2
+        while (j < stmt.length && stmt.charAt(j).isWhitespace) j += 1
+        val s = j
+        while (j < stmt.length && (stmt.charAt(j).isLetterOrDigit || stmt.charAt(j) == '_')) j += 1
+        if (j > s) {
+          var k = j
+          while (k < stmt.length && stmt.charAt(k).isWhitespace) k += 1
+          if (k < stmt.length && stmt.charAt(k) == '(') {
+            val close = matchingParen(masked, k)
+            if (close >= 0) j = close + 1
+          }
+          i = j
+          more = true
+        }
+      }
+    }
+    i
   }
 
   /** DuckDB series TABLE functions in FROM position:

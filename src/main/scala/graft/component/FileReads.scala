@@ -133,6 +133,11 @@ object FileReads {
           named.get("quote").map("quote" -> _)
       case _ => Map.empty
     }
+    intern(format, paths, options)
+  }
+
+  private def intern(format: String, paths: Seq[String],
+                     options: Map[String, String]): String = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$format|${paths.mkString("\u0000")}|${options.toSeq.sorted.mkString(",")}"
         .getBytes("UTF-8"))
@@ -140,6 +145,45 @@ object FileReads {
     val view = s"$prefix${format}_$key"
     specs.putIfAbsent(view, Spec(format, paths, options))
     view
+  }
+
+  /** DuckDB's bare-filename FROM shorthand (`FROM 'data/x.csv'`): a quoted
+    * token in table position that is PATH-SHAPED (a separator or glob
+    * char, plus a readable-format extension) is a replacement scan, not a
+    * table (reference: verbatim SQL at `src/query_orchestrator.py:351`,
+    * resolved by DuckDB's replacement-scan hook). Returns the lazy view
+    * name, or None — then [[Dialect]] falls back to identifier
+    * sanitizing. Globs pass through (`spark.read.load` expands them
+    * natively, like DuckDB's multi-file shorthand).
+    *
+    * Deviation, documented: DuckDB resolves the CATALOG first, so a bare
+    * `FROM 'days.csv'` binds a workspace table named days.csv when one
+    * exists (the reference corpus's actual usage) and only falls back to
+    * a cwd-relative file. This rewrite is session-free text, so the split
+    * is lexical instead: separator-less names stay table identifiers
+    * (same binding as DuckDB-with-the-table-present); a cwd-relative bare
+    * filename has no meaningful resolution dir under Spark anyway. */
+  def pathView(path: String): Option[String] = {
+    if (!path.exists(c => c == '/' || c == '\\' || c == '*' || c == '?'))
+      return None
+    val base = path.toLowerCase.stripSuffix(".gz").stripSuffix(".zst")
+    val format =
+      if (base.endsWith(".csv") || base.endsWith(".tsv")) Some("csv")
+      else if (base.endsWith(".parquet")) Some("parquet")
+      else if (base.endsWith(".json") || base.endsWith(".jsonl") ||
+        base.endsWith(".ndjson")) Some("json")
+      else None
+    format.map { f =>
+      val options: Map[String, String] = f match {
+        case "csv" =>
+          // same auto-detect defaults as a bare read_csv(path) call;
+          // .tsv carries its separator in the extension
+          Map("header" -> "true", "inferSchema" -> "true") ++
+            (if (base.endsWith(".tsv")) Map("sep" -> "\t") else Map.empty)
+        case _ => Map.empty
+      }
+      intern(f, Seq(path), options)
+    }
   }
 
   /** Materialize (idempotently) every file view the statement mentions —

@@ -322,6 +322,19 @@ object Extended {
       graft.component.DuckFunctions.register(s)
       T.events(s, d).createOrReplaceTempView("events")
       s.sql(graft.component.Dialect.rewrite(Oracle.q75))
+    }),
+
+    // Operator spellings (IDENTICAL text both engines): DuckDB's `//`
+    // — integer division on integral operands, plain division once a
+    // DOUBLE enters (probed: 7//2=3, 7.5//2=3.75, trunc toward zero on
+    // negatives) — lowered by the dialect's operand-extent scan to the
+    // registry's divide(); and the `~~`/`!~~`/`~~*`/`!~~*` LIKE-operator
+    // quartet lowered to LIKE/ILIKE keywords. Chained and precedence-
+    // mixed forms (a*b//c, a//b//c) pin the grouping cross-engine.
+    "q76_opspell" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q76))
     })
   )
 
@@ -580,6 +593,20 @@ object Extended {
         |       ts + to_microseconds(CAST(event_id % 3331 AS INT)) AS t_us
         |FROM events WHERE event_id % 101 = 0 ORDER BY event_id""".stripMargin
 
+    /** Shared DuckDB/Spark text — q76 runs this verbatim in both engines. */
+    val q76: String =
+      """SELECT doc_id,
+        |       doc_id // 7 AS d7,
+        |       doc_id // 7 // 3 AS d73,
+        |       doc_id * 3 // 5 AS m35,
+        |       CAST(n_chars AS DOUBLE) // 9 AS dd,
+        |       n_chars // -4 AS dneg,
+        |       lang ~~ 'e%' AS le,
+        |       lang !~~ 'e%' AS nle,
+        |       lang ~~* 'E%' AS ile,
+        |       lang !~~* 'E%' AS nile
+        |FROM documents WHERE doc_id % 11 = 0 ORDER BY doc_id""".stripMargin
+
     val q37: String =
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
@@ -701,6 +728,7 @@ object Extended {
     "q73_datetime_gap" -> Oracle.q73,
     "q74_grapheme" -> Oracle.q74,
     "q75_intervals" -> Oracle.q75,
+    "q76_opspell" -> Oracle.q76,
     "q37_grouping_sets" -> Oracle.q37,
     "q38_outer_joins" -> Oracle.q38,
     "q39_in_subquery" -> Oracle.q39,

@@ -74,6 +74,41 @@ class DialectSpec extends AnyFunSuite {
     assert(outSp.contains("'struct_pack(b := 2)' AS lit"))
   }
 
+  test("// integer division lowers to divide() with correct grouping") {
+    def r(s: String) = Dialect.rewrite(s)
+    assert(r("SELECT 7 // 2") == "SELECT divide(7, 2)")
+    // left extent greedily takes the multiplicative chain (left-assoc)
+    assert(r("SELECT a * b // c FROM t") == "SELECT divide(a * b, c) FROM t")
+    assert(r("SELECT a // b // c FROM t") ==
+      "SELECT divide(divide(a, b), c) FROM t")
+    // right extent is ONE primary
+    assert(r("SELECT a // b * c FROM t") == "SELECT divide(a, b) * c FROM t")
+    // additive neighbors stay outside
+    assert(r("SELECT a + b // c FROM t") == "SELECT a + divide(b, c) FROM t")
+    assert(r("SELECT a - b // 2 FROM t") == "SELECT a - divide(b, 2) FROM t")
+    // parens, calls, casts, unary sign
+    assert(r("SELECT (a + b) // f(x, y) FROM t") ==
+      "SELECT divide((a + b), f(x, y)) FROM t")
+    assert(r("SELECT x::INT // 2 FROM t") == "SELECT divide(x::INT, 2) FROM t")
+    assert(r("SELECT a // x::DECIMAL(5,2) FROM t") ==
+      "SELECT divide(a, x::DECIMAL(5,2)) FROM t")
+    assert(r("SELECT -a // 2 FROM t") == "SELECT divide(-a, 2) FROM t")
+    assert(r("SELECT CASE WHEN x THEN a // 2 ELSE 0 END FROM t") ==
+      "SELECT CASE WHEN x THEN divide(a, 2) ELSE 0 END FROM t")
+    // literals and comments keep their slashes
+    assert(r("SELECT 'a // b' AS s") == "SELECT 'a // b' AS s")
+    assert(r("SELECT a FROM t -- x // y\n") == "SELECT a FROM t -- x // y\n")
+  }
+
+  test("~~ operator family becomes LIKE/ILIKE keywords") {
+    def r(s: String) = Dialect.rewrite(s)
+    assert(r("SELECT a ~~ 'x%' FROM t") == "SELECT a  LIKE  'x%' FROM t")
+    assert(r("SELECT a !~~ 'x%' FROM t") == "SELECT a  NOT LIKE  'x%' FROM t")
+    assert(r("SELECT a ~~* 'x%' FROM t") == "SELECT a  ILIKE  'x%' FROM t")
+    assert(r("SELECT a !~~* 'x%' FROM t") == "SELECT a  NOT ILIKE  'x%' FROM t")
+    assert(r("SELECT '~~ stays' AS s") == "SELECT '~~ stays' AS s")
+  }
+
   test("lint ignores parens and keywords inside literals") {
     assert(Actions.lint("SELECT ':-)' AS emoji FROM t").isEmpty)
     assert(Actions.lint("SELECT 'PERCENTILE_CONT(' FROM t").isEmpty)

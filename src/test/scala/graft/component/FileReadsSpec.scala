@@ -89,6 +89,47 @@ class FileReadsSpec extends SparkSpec {
     assert(Actions.expectedInputTables(spark, cfg).isEmpty)
   }
 
+  test("bare-filename FROM shorthand: quoted paths become lazy file views") {
+    val dir = Files.createTempDirectory("graft_bare_")
+    write(dir.resolve("sales.csv"), "id,v\n1,x\n2,y\n")
+    // DuckDB's default alias is the basename up to the FIRST dot (probed:
+    // FROM 'a.b.csv' binds qualifier a) — the rewrite must emit it so
+    // basename-qualified columns keep resolving
+    val stmt = Dialect.rewrite(
+      s"SELECT sales.id, v FROM '$dir/sales.csv' WHERE id > 1")
+    val view = "__graft_read_csv_[0-9a-f]{10}".r.findFirstIn(stmt).get
+    assert(stmt.contains(s"`$view` AS `sales`"), stmt)
+    FileReads.ensureRegistered(spark, stmt)
+    assert(spark.sql(stmt).collect().map(_.getInt(0)).sameElements(Array(2)))
+    // an explicit alias (bare or AS) suppresses the default
+    val aliased = Dialect.rewrite(s"SELECT t.id FROM '$dir/sales.csv' t")
+    assert(aliased.contains(s"`$view` t") && !aliased.contains("AS `sales`"), aliased)
+    assert(!Dialect.rewrite(s"SELECT t.id FROM '$dir/sales.csv' AS t")
+      .contains("AS `sales`"))
+    // a keyword after the path is NOT an alias
+    assert(Dialect.rewrite(s"SELECT id FROM '$dir/sales.csv' WHERE id = 1")
+      .contains("AS `sales`"))
+    // double-quoted spelling resolves to the same view
+    assert(Dialect.rewrite(s"""SELECT id FROM "$dir/sales.csv"""").contains(view))
+    // globs: no identifier-shaped basename, no alias — the view reads all
+    val glob = Dialect.rewrite(s"SELECT id FROM '$dir/*.csv'")
+    val globView = "__graft_read_csv_[0-9a-f]{10}".r.findFirstIn(glob).get
+    assert(!glob.contains("AS `"), glob)
+    FileReads.ensureRegistered(spark, glob)
+    assert(spark.sql(glob).count() == 2)
+    // same lazy-view + dependency-exclusion contract as read_csv(...)
+    val a = SqlAnalyzer.analyzeStatement(spark, Dialect.rewrite(
+      s"SELECT * FROM '$dir/sales.csv' s JOIN orders o ON s.id = o.o_orderkey"))
+    assert(a.dependencies == Set("orders"), a.dependencies)
+    // separator-less quoted names keep identifier sanitizing: the
+    // reference corpus binds names like 'days.csv' to WORKSPACE TABLES
+    // (DuckDB catalog-first), and the golden fixtures pin that
+    assert(Dialect.rewrite("SELECT * FROM 'days.csv'").contains("`days_csv`"))
+    assert(Dialect.rewrite("SELECT * FROM 'my.table'").contains("`my_table`"))
+    // COPY FROM's depth-0 path stays a path, never a view
+    assert(!Dialect.rewrite(s"COPY t FROM '$dir/sales.csv'").contains("__graft_read"))
+  }
+
   test("end-to-end: component reads undeclared side files via table functions") {
     val dd = Files.createTempDirectory("graft_fread_")
     def write(p: Path, content: String): Unit = {
@@ -112,5 +153,25 @@ class FileReadsSpec extends SparkSpec {
     val out = Files.readString(dd.resolve("out/tables/joined")).linesIterator.toList
     assert(out.head == "\"sku\",\"total\"")
     assert(out.contains("\"A\",\"15\"") && out.contains("\"B\",\"27\""), out)
+  }
+
+  test("end-to-end: component reads a bare-filename side file") {
+    val dd = Files.createTempDirectory("graft_bare_e2e_")
+    val side = dd.resolve("side/costs.csv")
+    write(side, "sku,cost\nA,3\nB,4\n")
+    write(dd.resolve("config.json"),
+      s"""{"parameters": {"blocks": [{"name": "B", "codes": [
+         |   {"name": "q", "script": [
+         |     "CREATE TABLE picked AS SELECT costs.sku, cost * 2 AS c2 FROM '$side' ORDER BY sku;"]}
+         | ]}]},
+         | "storage": {
+         |  "output": {"tables": [{"source": "picked", "destination": "out.c-y.picked"}]}}}""".stripMargin)
+    Component.run(spark, dd.toString)
+    val out = Files.readString(dd.resolve("out/tables/picked")).linesIterator.toList
+    assert(out.head == "\"sku\",\"c2\"")
+    assert(out.contains("\"A\",\"6\"") && out.contains("\"B\",\"8\""), out)
+    // the undeclared side file must not surface as an expected input
+    val cfg = Config.parse(Files.readString(dd.resolve("config.json")))
+    assert(Actions.expectedInputTables(spark, cfg).isEmpty)
   }
 }

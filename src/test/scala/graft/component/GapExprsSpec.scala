@@ -87,6 +87,21 @@ class GapExprsSpec extends SparkSpec {
     assert(one("SELECT printf('%d', CAST(NULL AS INT))") == null)
   }
 
+  test("// and ~~ execute with DuckDB semantics end-to-end") {
+    // integral operands → integer division; any non-integral → plain
+    // division (probed: 7//2=3, -7//2=-3 truncation, 7.5//2=3.75)
+    assert(duck("SELECT 7 // 2") == 3)
+    assert(duck("SELECT -7 // 2") == -3)
+    assert(duck("SELECT CAST(7.5 AS DOUBLE) // 2") == 3.75)
+    assert(duck("SELECT 100 // 7 // 2") == 7)
+    assert(duck("SELECT 3 * 5 // 2") == 7)
+    assert(duck("SELECT 7 // NULL") == null)
+    assert(duck("SELECT 'graft' ~~ 'gr%'") == true)
+    assert(duck("SELECT 'graft' !~~ 'gr%'") == false)
+    assert(duck("SELECT 'GRAFT' ~~* 'gr%'") == true)
+    assert(duck("SELECT 'GRAFT' !~~* 'gr%'") == false)
+  }
+
   test("date_diff: PART-BOUNDARY counting (not elapsed units)") {
     assert(duck("SELECT date_diff('day', DATE '2024-01-01', DATE '2024-03-05')") == 64L)
     // one month BOUNDARY crossed even though <1 month elapsed
