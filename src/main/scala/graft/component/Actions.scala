@@ -19,14 +19,18 @@ object Actions {
       val name = s.name
       Dialect.prepare(s.sql).flatMap { stmt =>
         // the ROLLBACK sentinel parses cleanly by design — surface the
-        // executor's rejection as this statement's issue instead
+        // executor's rejection as this statement's issue instead; the
+        // ATTACH/CREATE TYPE/... reject sentinels follow the same pattern
         if (stmt.trim == Dialect.RollbackSentinel)
           List(ValidationIssue(name, Dialect.RollbackMessage))
+        else if (Dialect.rejectedKind(stmt).isDefined)
+          List(ValidationIssue(name,
+            Dialect.RejectMessages(Dialect.rejectedKind(stmt).get)))
         else {
           val parseIssue = Try(spark.sessionState.sqlParser
               .parsePlan(PositionalSql.stub(AsOfSql.stub(Pivot.staticStub(
                 CopyFrom.stub(CopyTo.stub(UnionByNameSql.stub(DescribeSql.stub(
-                  Dialect.analysisStub(stmt)))))))))) match {
+                  SequenceSql.stub(Dialect.analysisStub(stmt))))))))))) match {
             case Failure(e) => List(ValidationIssue(name, s"parse error: ${e.getMessage}"))
             case Success(_) => Nil
           }

@@ -35,6 +35,9 @@ object Component {
     // file-read temp views likewise refresh once per run: the side file
     // behind a read_csv(...) view may have changed since the last run
     FileReads.clear()
+    // sequences live per run like DuckDB's in-memory session objects
+    // (warehouse passthrough does not persist counters — documented)
+    SequenceSql.clear()
 
     // graft's native SQL functions (dot_f32, simhash64, ...) are available
     // to user scripts, like any engine built-in — plus the DuckDB names

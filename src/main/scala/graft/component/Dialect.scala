@@ -31,6 +31,28 @@ object Dialect {
       "(atomic per-table materialization); remove the transaction " +
       "control or restructure the script"
 
+  /** Statement families with no meaning in this engine, rewritten to
+    * parseable reject sentinels (the ROLLBACK pattern): static analysis
+    * LISTS the issue per statement, the executor throws the same message
+    * at run time — never an opaque parse error, never silent inertness. */
+  val RejectMessages: Map[String, String] = Map(
+    "ATTACH" -> ("ATTACH is not supported: the component operates on a " +
+      "single workspace catalog; declare external tables in the input " +
+      "mapping, or read files directly (read_parquet/read_csv/FROM 'path')"),
+    "DETACH" -> "DETACH is not supported (no ATTACH to undo)",
+    "CREATE_TYPE" -> ("CREATE TYPE is not supported: ENUM/alias types " +
+      "have no Spark SQL object; use VARCHAR values (a CHECK-style " +
+      "validation can be a WHERE + loud count assertion)"),
+    "ALTER_SEQUENCE" -> ("ALTER SEQUENCE is not supported: re-create the " +
+      "sequence (CREATE OR REPLACE SEQUENCE) with the new parameters"))
+
+  def rejectSentinel(kind: String): String = s"SET __graft_rejected_$kind = true"
+
+  /** The reject kind a rewritten statement carries, if any. */
+  def rejectedKind(stmt: String): Option[String] =
+    "^SET __graft_rejected_([A-Z_]+) = true$".r
+      .findFirstMatchIn(stmt.trim).map(_.group(1))
+
   /** Split a multi-statement script on `;`, respecting quotes/comments
     * (the reference sends whole scripts to DuckDB which splits internally;
     * `spark.sql` is single-statement). */
@@ -779,6 +801,16 @@ object Dialect {
     // rejects it loudly at run time ([[Executor.runStatement]])
     if ("(?is)^\\s*ROLLBACK\\b".r.findFirstIn(stmt).isDefined)
       return Dialect.RollbackSentinel
+    // same sentinel pattern for the unmappable statement families
+    // (ATTACH/DETACH/CREATE TYPE/ALTER SEQUENCE — [[RejectMessages]])
+    if ("(?is)^\\s*ATTACH\\b".r.findFirstIn(stmt).isDefined)
+      return rejectSentinel("ATTACH")
+    if ("(?is)^\\s*DETACH\\b".r.findFirstIn(stmt).isDefined)
+      return rejectSentinel("DETACH")
+    if ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TYPE\\b".r.findFirstIn(stmt).isDefined)
+      return rejectSentinel("CREATE_TYPE")
+    if ("(?is)^\\s*ALTER\\s+SEQUENCE\\b".r.findFirstIn(stmt).isDefined)
+      return rejectSentinel("ALTER_SEQUENCE")
     val m = "(?is)^\\s*PRAGMA\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(?:=\\s*(.+?)|\\(\\s*(.+?)\\s*\\))?\\s*;?\\s*$".r
       .findFirstMatchIn(stmt)
     m match {

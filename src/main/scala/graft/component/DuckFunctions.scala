@@ -1725,6 +1725,11 @@ object DuckFunctions {
         else Divide(a.head, a(1))
       },
 
+      // sequence value functions over the SequenceSql catalog (the
+      // statements themselves are executor-dispatched, like COPY)
+      arity("nextval", 1)(a => graft.functions.NextVal(a.head)),
+      arity("currval", 1)(a => graft.functions.CurrVal(a.head)),
+
       arity("regexp_escape", 1)(a => graft.functions.RegexpEscape(a.head)),
       arity("md5_number_lower", 1)(a => graft.functions.Md5HalfU(a.head, upper = false)),
       arity("md5_number_upper", 1)(a => graft.functions.Md5HalfU(a.head, upper = true)),

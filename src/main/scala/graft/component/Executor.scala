@@ -125,6 +125,10 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     // work to be undone and statements here commit as they run)
     if (stmt.trim == Dialect.RollbackSentinel)
       throw new UserException(Dialect.RollbackMessage)
+    // ATTACH/DETACH/CREATE TYPE/ALTER SEQUENCE arrive as reject sentinels
+    // for the same reason: static analysis lists them, a run fails loudly
+    Dialect.rejectedKind(stmt).foreach(k =>
+      throw new UserException(Dialect.RejectMessages(k)))
     FileReads.ensureRegistered(spark, stmt) // read_csv/read_parquet views
     stmt match {
     case createView(ifNotExists, name, body) =>
@@ -278,6 +282,14 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       }: _*)
       register(name, materialize(name, existing.unionByName(aligned)))
       rebind(Names.view(name).toLowerCase)
+
+    case _ if SequenceSql.parseCreate(stmt).isDefined =>
+      val c = SequenceSql.parseCreate(stmt).get
+      SequenceSql.create(c.name, c.defn, c.orReplace, c.ifNotExists)
+
+    case _ if SequenceSql.parseDrop(stmt).isDefined =>
+      val d = SequenceSql.parseDrop(stmt).get
+      SequenceSql.drop(d.name, d.ifExists)
 
     case _ if CopyTo.parse(stmt).isDefined =>
       CopyTo.execute(spark, CopyTo.parse(stmt).get, bodyDf)

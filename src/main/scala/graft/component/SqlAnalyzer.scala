@@ -31,13 +31,20 @@ object SqlAnalyzer {
 
   def analyzeStatement(spark: SparkSession, rewritten: String): Analysis =
     Try {
-      // PIVOT / ASOF / COPY statements have no Catalyst spelling; their
-      // session-free stubs parse with the same dependency sets
+      // PIVOT / ASOF / COPY / CREATE SEQUENCE statements have no Catalyst
+      // spelling; their session-free stubs parse with the same dependency
+      // sets
       val plan = spark.sessionState.sqlParser.parsePlan(
         PositionalSql.stub(AsOfSql.stub(Pivot.staticStub(CopyFrom.stub(
-          CopyTo.stub(UnionByNameSql.stub(DescribeSql.stub(
-            Dialect.analysisStub(rewritten)))))))))
-      fromPlan(plan)
+          CopyTo.stub(UnionByNameSql.stub(DescribeSql.stub(SequenceSql.stub(
+            Dialect.analysisStub(rewritten))))))))))
+      val a = fromPlan(plan)
+      // nextval('s')/currval('s') reference the sequence through a string
+      // literal the relation walk can't see — inject it as a dependency so
+      // the DAG orders value users after the CREATE SEQUENCE producer
+      val seqDeps = SequenceSql.valueDeps(rewritten) -- a.outputs
+      if (seqDeps.isEmpty) a
+      else a.copy(dependencies = a.dependencies ++ seqDeps)
     }.getOrElse(Analysis(Set.empty, Set.empty, OtherStmt))
 
   /** Analyze a full (multi-statement) script: union of per-statement sets;

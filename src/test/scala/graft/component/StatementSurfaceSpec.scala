@@ -724,6 +724,107 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(Actions.executionPlan(spark, cfgRb) != null)
   }
 
+  test("CREATE SEQUENCE / nextval / currval: catalog counter semantics") {
+    DuckFunctions.register(spark)
+    val dir = Files.createTempDirectory("graft_seq_")
+    val ex = new Executor(spark, dir.toString)
+    def q(sql: String) = spark.sql(Dialect.rewrite(sql))
+    SequenceSql.clear()
+    // defaults: START 1, INCREMENT 1; one draw per row (probed)
+    ex.runStatement(Dialect.rewrite("CREATE SEQUENCE sq1"))
+    assert(q("SELECT nextval('sq1') AS n FROM range(3)")
+      .collect().map(_.getLong(0)).sorted.sameElements(Array(1L, 2L, 3L)))
+    assert(q("SELECT currval('sq1') AS c").collect().head.getLong(0) == 3L)
+    // START WITH / INCREMENT BY, negative increment defaults to max -1
+    ex.runStatement(Dialect.rewrite("CREATE SEQUENCE sq2 START WITH 10 INCREMENT BY 5"))
+    assert(q("SELECT nextval('sq2') AS a, nextval('sq2') AS b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).head == ((10L, 15L)))
+    ex.runStatement(Dialect.rewrite("CREATE SEQUENCE sq3 INCREMENT BY -2 START WITH -1"))
+    assert(q("SELECT nextval('sq3') AS a, nextval('sq3') AS b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).head == ((-1L, -3L)))
+    // MAXVALUE: the bound IS returned, the call after errors (probed);
+    // CYCLE wraps to MINVALUE instead
+    ex.runStatement(Dialect.rewrite("CREATE SEQUENCE sq4 MAXVALUE 3"))
+    assert((1 to 3).map(_ => SequenceSql.next("sq4")) == Seq(1L, 2L, 3L))
+    val eMax = intercept[UserException] { SequenceSql.next("sq4") }
+    assert(eMax.getMessage.contains("maximum value"), eMax.getMessage)
+    ex.runStatement(Dialect.rewrite("CREATE SEQUENCE sq5 MINVALUE 2 MAXVALUE 4 CYCLE START 3"))
+    assert((1 to 6).map(_ => SequenceSql.next("sq5")) == Seq(3L, 4L, 2L, 3L, 4L, 2L))
+    // currval before any nextval / unknown sequences: loud
+    ex.runStatement(Dialect.rewrite("CREATE SEQUENCE sq6"))
+    assert(intercept[UserException] { SequenceSql.curr("sq6") }
+      .getMessage.contains("not yet defined"))
+    assert(intercept[UserException] { SequenceSql.next("sq_missing") }
+      .getMessage.contains("does not exist"))
+    // OR REPLACE resets; IF NOT EXISTS keeps; DROP removes
+    ex.runStatement(Dialect.rewrite("CREATE OR REPLACE SEQUENCE sq2 START WITH 100"))
+    assert(SequenceSql.next("sq2") == 100L)
+    ex.runStatement(Dialect.rewrite("CREATE SEQUENCE IF NOT EXISTS sq2 START WITH 999"))
+    assert(SequenceSql.next("sq2") == 101L)
+    ex.runStatement(Dialect.rewrite("DROP SEQUENCE sq2"))
+    assert(intercept[UserException] { SequenceSql.next("sq2") }
+      .getMessage.contains("does not exist"))
+    ex.runStatement(Dialect.rewrite("DROP SEQUENCE IF EXISTS sq2")) // silent
+    assert(intercept[UserException] {
+      ex.runStatement(Dialect.rewrite("DROP SEQUENCE sq2"))
+    }.getMessage.contains("does not exist"))
+    // static analysis: CREATE SEQUENCE produces the name; nextval users
+    // depend on it (the DAG orders the create first)
+    val c = SqlAnalyzer.analyzeStatement(spark, Dialect.rewrite("CREATE SEQUENCE ord_seq"))
+    assert(c.outputs == Set("ord_seq"), c)
+    val u = SqlAnalyzer.analyzeStatement(spark, Dialect.rewrite(
+      "CREATE TABLE keyed AS SELECT nextval('ord_seq') AS id, x FROM src"))
+    assert(u.dependencies == Set("ord_seq", "src"), u)
+    // end-to-end: surrogate keys through a component run
+    val dd = Files.createTempDirectory("graft_seq_e2e_")
+    Files.writeString(dd.resolve("config.json"),
+      """{"parameters": {"blocks": [{"name": "B", "codes": [
+        |  {"name": "q", "script": [
+        |    "CREATE SEQUENCE id_seq START WITH 7;",
+        |    "CREATE TABLE keyed AS SELECT nextval('id_seq') AS id FROM range(3);"]}
+        |]}]},
+        |"storage": {
+        | "output": {"tables": [{"source": "keyed", "destination": "out.c-y.keyed"}]}}}""".stripMargin)
+    Component.run(spark, dd.toString)
+    val out = Files.readString(dd.resolve("out/tables/keyed")).linesIterator.toList
+    assert(out.head == "\"id\"")
+    assert(out.tail.map(_.replace("\"", "").toLong).sorted == List(7L, 8L, 9L), out)
+  }
+
+  test("ATTACH / DETACH / CREATE TYPE / ALTER SEQUENCE reject loudly") {
+    val dir = Files.createTempDirectory("graft_rej_")
+    val ex = new Executor(spark, dir.toString)
+    // rewrite → parseable sentinel (static analysis lists, executor throws)
+    assert(Dialect.rewrite("ATTACH 'other.db' AS other") ==
+      Dialect.rejectSentinel("ATTACH"))
+    assert(Dialect.rewrite("DETACH other") == Dialect.rejectSentinel("DETACH"))
+    assert(Dialect.rewrite("CREATE TYPE mood AS ENUM ('sad', 'ok')") ==
+      Dialect.rejectSentinel("CREATE_TYPE"))
+    assert(Dialect.rewrite("ALTER SEQUENCE s RESTART") ==
+      Dialect.rejectSentinel("ALTER_SEQUENCE"))
+    for (kind <- Seq("ATTACH", "DETACH", "CREATE_TYPE", "ALTER_SEQUENCE")) {
+      val e = intercept[UserException] {
+        ex.runStatement(Dialect.rejectSentinel(kind))
+      }
+      assert(e.getMessage == Dialect.RejectMessages(kind), e.getMessage)
+    }
+    // syntax_check lists the issue per statement instead of crashing
+    val cfg = Config.parse(
+      """{"parameters": {"blocks": [{"name": "B", "codes": [
+        |  {"name": "q", "script": [
+        |    "ATTACH 'other.db' AS other",
+        |    "CREATE TYPE mood AS ENUM ('sad', 'ok')",
+        |    "SELECT 1 AS x FROM range(1)"]}
+        |]}]}, "storage": {}}""".stripMargin)
+    val issues = Actions.syntaxCheck(spark, cfg)
+    assert(issues.map(_.message) ==
+      List(Dialect.RejectMessages("ATTACH"), Dialect.RejectMessages("CREATE_TYPE")),
+      issues)
+    // the visual/analysis actions survive scripts carrying them
+    assert(Actions.lineage(spark, cfg) != null)
+    assert(Actions.executionPlan(spark, cfg) != null)
+  }
+
   test("PRAGMA and SET..TO become inert Spark SET statements") {
     assert(Dialect.rewrite("PRAGMA threads=4") == "SET threads = 4")
     assert(Dialect.rewrite("PRAGMA memory_limit='8GB'") == "SET memory_limit = '8GB'")
