@@ -26,10 +26,22 @@ import org.apache.spark.sql.functions._
   * probed list ids are collected first (bounded by the codebook size),
   * so the scan's `list_id IN (...)` filter is STATIC partition pruning —
   * `data/list_id=…` directories outside the probe set are never listed,
-  * let alone read. The spec proves it from `inputFiles`. */
+  * let alone read. The spec proves it from the executed scan's
+  * `numPartitions` metric (AQE disabled around the structural assertion;
+  * `inputFiles` would list the table UNPRUNED and is not a witness).
+  *
+  * Maintenance: [[update]] never retrains, so a long run of skewed
+  * batches degrades list quality — vectors land in centroids that no
+  * longer describe the data, recall decays silently. [[drift]] makes the
+  * decay a NUMBER (mean assignment distance now vs at build, stored in
+  * meta.json), and [[compact]] retrains the codebook over the current
+  * contents and rewrites the index — call it when the drift ratio
+  * crosses the deployment's threshold (the spec demonstrates the loop:
+  * skewed updates push the ratio up, compact brings it back to ~1). */
 object AnnIndex {
 
-  final case class Meta(lists: Int, iters: Int, dim: Int)
+  final case class Meta(lists: Int, iters: Int, dim: Int,
+                        meanDist: Double = Double.NaN)
 
   private def dataDir(dir: String) = s"$dir/data"
   private def centroidsDir(dir: String) = s"$dir/centroids"
@@ -48,10 +60,14 @@ object AnnIndex {
       .coalesce(1).write.mode("overwrite").parquet(centroidsDir(dir))
     assignments(base, idCol, vecCol, codebook)
       .write.mode("overwrite").partitionBy("list_id").parquet(dataDir(dir))
+    // build-time assignment quality — the drift baseline. One extra
+    // column-pruned pass over the just-written index; build is the rare
+    // operation, the number makes decay observable forever after.
+    val baseline = meanAssignDist(spark.read.parquet(dataDir(dir)), codebook)
     Files.createDirectories(Paths.get(dir))
     Files.writeString(metaPath(dir),
-      s"""{"lists":$lists,"iters":$iters,"dim":$dim}""")
-    Meta(lists, iters, dim)
+      s"""{"lists":$lists,"iters":$iters,"dim":$dim,"mean_dist":$baseline}""")
+    Meta(lists, iters, dim, baseline)
   }
 
   /** Append a batch under the SAVED codebook (no retrain, no base
@@ -72,7 +88,73 @@ object AnnIndex {
   def meta(spark: SparkSession, dir: String): Meta = {
     val txt = Files.readString(metaPath(dir))
     def f(k: String) = s""""$k":(\\d+)""".r.findFirstMatchIn(txt).get.group(1).toInt
-    Meta(f("lists"), f("iters"), f("dim"))
+    // absent in pre-drift indexes: NaN (drift() rejects those clearly)
+    val md = """"mean_dist":([-+0-9.eE]+|NaN)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toDouble).getOrElse(Double.NaN)
+    Meta(f("lists"), f("iters"), f("dim"), md)
+  }
+
+  /** Drift report: build-time vs current mean assignment distance
+    * (1 − cosine to the assigned centroid) and their ratio. Ratio ≈ 1 —
+    * the codebook still describes the data; growing ratio — skewed
+    * updates are landing far from their centroids and recall is decaying:
+    * time to [[compact]]. One column-pruned scan of the index. */
+  final case class Drift(buildMeanDist: Double, currentMeanDist: Double) {
+    def ratio: Double = currentMeanDist / buildMeanDist
+  }
+
+  def drift(spark: SparkSession, dir: String): Drift = {
+    val m = meta(spark, dir)
+    require(!m.meanDist.isNaN,
+      s"$dir: index has no build-time baseline (built before drift " +
+        "tracking) — compact() once to establish one")
+    Drift(m.meanDist,
+      meanAssignDist(spark.read.parquet(dataDir(dir)), centroids(spark, dir)))
+  }
+
+  /** Retrain the codebook over the index's CURRENT contents and rewrite
+    * the whole index (the maintenance counterpart of [[update]]'s
+    * append-only batches). Builds into a staging dir first — the live
+    * index stays readable until every job is done — then swaps. */
+  def compact(spark: SparkSession, dir: String,
+              lists: Int = 0, iters: Int = 0): Meta = {
+    val m = meta(spark, dir)
+    val l = if (lists > 0) lists else m.lists
+    val it = if (iters > 0) iters else m.iters
+    val cur = spark.read.parquet(dataDir(dir)).select(col("nid"), col("nvec"))
+    val staging = s"$dir/.compact"
+    val built = build(cur, "nid", "nvec", staging, l, it)
+    // swap: all reads of the old data/ finished inside build()
+    deleteRecursively(Paths.get(dataDir(dir)))
+    deleteRecursively(Paths.get(centroidsDir(dir)))
+    Files.move(Paths.get(dataDir(staging)), Paths.get(dataDir(dir)))
+    Files.move(Paths.get(centroidsDir(staging)), Paths.get(centroidsDir(dir)))
+    Files.move(Paths.get(staging, "meta.json"), metaPath(dir),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    deleteRecursively(Paths.get(staging))
+    built
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+
+  /** Mean 1−cosine between each stored vector and its assigned centroid
+    * — map-side against the broadcast codebook, one aggregate. */
+  private def meanAssignDist(data: DataFrame,
+                             codebook: Array[Array[Double]]): Double = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val cb = codebook.zipWithIndex.map { case (c, i) =>
+      (i, c.toSeq, math.sqrt(c.map(x => x * x).sum))
+    }.toSeq.toDF("list_id", "__centroid", "__cnorm")
+    data.join(broadcast(cb), "list_id")
+      .agg(avg(lit(1.0) - VectorOps.cosineFromParts(
+        VectorOps.dot(col("nvec"), col("__centroid")),
+        col("nnorm"), col("__cnorm"))).as("d"))
+      .collect().head.getDouble(0)
   }
 
   /** Top-k cosine neighbors of each query against the indexed base,

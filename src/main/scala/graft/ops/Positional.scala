@@ -1,6 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -9,18 +11,29 @@ import org.apache.spark.sql.types.LongType
   * equally-long — or NULL-padded — relations in order, no key).
   *
   * Spark mapping. A contiguous global row index is attached to each side
-  * with `RDD.zipWithIndex`, then the sides meet in ONE hash join on that
-  * dense key. `zipWithIndex` is used deliberately rather than a
-  * DataFrame-only construction: the index needs per-partition offsets
-  * (a count pass) plus the data pass, and those two passes must see the
-  * SAME partition layout and row order. Two separately-built DataFrame
-  * plans do not guarantee that — Catalyst's EliminateSorts may drop a
-  * subquery's ORDER BY under the count's Aggregate while keeping it in
-  * the data pass, silently misaligning offsets. `zipWithIndex` runs its
-  * count job over the SAME RDD lineage it then indexes, so the layout is
-  * pinned by construction, and any shuffle in that lineage (e.g. the
-  * range exchange of an ORDER BY'd subquery) is computed once and its
-  * map output reused by the second job.
+  * by a count pass + a data pass over ONE RDD lineage (the zipWithIndex
+  * recipe), then the sides meet in ONE hash join on that dense key. The
+  * single lineage is deliberate rather than a DataFrame-only
+  * construction: both passes must see the SAME partition layout and row
+  * order, and two separately-built DataFrame plans do not guarantee that
+  * — Catalyst's EliminateSorts may drop a subquery's ORDER BY under the
+  * count's Aggregate while keeping it in the data pass, silently
+  * misaligning offsets. Here both jobs run over the same
+  * `queryExecution.toRdd`, so the layout is pinned by construction, and
+  * any shuffle in that lineage (e.g. the range exchange of an ORDER BY'd
+  * subquery) is computed once and its map output reused by the second
+  * job.
+  *
+  * The passes work on INTERNAL rows end to end: `df.rdd` would decode
+  * every value to external java objects and `createDataFrame` would
+  * encode them back — a per-row cost that scales with row count × width
+  * (the sf0.1 wall is job-SCHEDULING-bound, ~0 difference there; the
+  * 10× A/B is where the diet pays). The index pass appends the counter
+  * through a JoinedRow over a cheap byte-copy of the (operator-reused)
+  * UnsafeRow buffer, and the result re-enters SQL via
+  * `internalCreateDataFrame`. The count job skips the last partition
+  * like RDD.zipWithIndex does (its offset is never needed), and the two
+  * sides' count jobs run concurrently.
   *
   * Scale: two jobs over each input (count + index, shuffle stages
   * shared), then one exchange per side for the index join — the minimum
@@ -37,11 +50,31 @@ object Positional {
   /** `df` with a contiguous 0-based BIGINT row index column appended,
     * in the DataFrame's current row order. */
   def withRowIndex(df: DataFrame, idxName: String): DataFrame = {
+    val spark = df.sparkSession
     val schema = df.schema.add(idxName, LongType, nullable = false)
-    val indexed = df.rdd.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
+    val rdd = GraftSqlBridge.toRdd(df)
+    val n = rdd.getNumPartitions
+    // count pass over partitions 0..n-2 (the last offset is never used)
+    val counts: Array[Long] =
+      if (n <= 1) Array.empty
+      else spark.sparkContext.runJob(rdd, (it: Iterator[InternalRow]) => {
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1 }
+        c
+      }, 0 until n - 1)
+    val offsets = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
+    val indexed = rdd.mapPartitionsWithIndex { (pi, it) =>
+      var i = offsets.value(pi)
+      it.map { r =>
+        // copy(): operators reuse the UnsafeRow buffer per row; JoinedRow
+        // appends the counter without per-field re-encoding
+        val out = new JoinedRow(r.copy(),
+          new GenericInternalRow(Array[Any](i))): InternalRow
+        i += 1
+        out
+      }
     }
-    df.sparkSession.createDataFrame(indexed, schema)
+    GraftSqlBridge.internalCreateDataFrame(spark, indexed, schema)
   }
 
   /** Positional zip: left columns then right columns, NULL-padded to the
@@ -54,9 +87,27 @@ object Positional {
       s"POSITIONAL JOIN sides share column names: ${collisions.mkString(", ")} " +
         "— alias one side's columns apart")
     val idx = "__pos_idx"
-    val li = withRowIndex(left, idx)
-    val ri = withRowIndex(right, idx)
-    // dense 0..max-1 key: a full outer join emits exactly max(n, m) rows
+    // the two sides' count jobs are independent — overlap them (the wall
+    // at small SF is job latency, not data; at scale they use different
+    // executors anyway)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val fLi = Future(withRowIndex(left, idx))
+    val fRi = Future(withRowIndex(right, idx))
+    val li = Await.result(fLi, Duration.Inf)
+    val ri = Await.result(fRi, Duration.Inf)
+    // Dense 0..max-1 key: a full outer join emits exactly max(n, m) rows.
+    // full_outer is DELIBERATE even though exact side lengths would allow
+    // inner/left_outer/right_outer: the narrow types were A/B'd at sf0.1
+    // AND 10× and LOST (~1.5×) — they make the join broadcast-eligible,
+    // AQE then collects an indexed side (a fresh RDD scan, no reusable
+    // shuffle) to the driver, and that collect costs more than the SMJ
+    // shuffle it saves at every scale tested. An explicit shuffle_hash
+    // hint also lost (extra materialization jobs). full_outer pins the
+    // plain two-sided shuffle join — also the right plan at 100 TB,
+    // where neither indexed side fits a broadcast. ROUND_NOTES r13 has
+    // the numbers.
     li.join(ri, Seq(idx), "full_outer")
       .select((left.columns ++ right.columns).map(col).toIndexedSeq: _*)
   }

@@ -28,6 +28,19 @@ object GraftSqlBridge {
   def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
 
+  /** The executed plan's RDD of InternalRows — no external-Row
+    * deserialization (df.rdd would decode every value to java objects). */
+  def toRdd(df: DataFrame): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.toRdd
+
+  /** DataFrame over an RDD[InternalRow] — the reverse direction, again
+    * skipping the external-Row round-trip. */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
   /** Register an extra planner strategy on a running session. */
   def injectStrategy(spark: SparkSession, s: execution.SparkStrategy): Unit = {
     val cs = spark.asInstanceOf[classic.SparkSession]

@@ -6,9 +6,10 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 /** Persisted IVF index ([[AnnIndex]]) — build/update/query lifecycle,
-  * the partition-pruning proof (a query's inputFiles are ONLY its probed
-  * `list_id=…` partitions), and planted-neighbor retrieval through the
-  * trained codebook. */
+  * the partition-pruning proof (the executed scan's numPartitions metric
+  * reads ONLY probed `list_id=…` partitions; inputFiles lists the table
+  * unpruned and is no witness), planted-neighbor retrieval through the
+  * trained codebook, and the drift→compact maintenance loop. */
 class AnnIndexSpec extends SparkSpec {
 
   import spark.implicits._
@@ -74,6 +75,51 @@ class AnnIndexSpec extends SparkSpec {
       .collect().map(_.getAs[Long]("nid")).toSet
     assert(out.contains(100L),
       s"appended vector not retrieved (got $out)")
+  }
+
+  test("drift rises under skewed updates; compact retrains and resets it") {
+    val dir = Files.createTempDirectory("graft_annidx_d_").toString
+    AnnIndex.build(vecs, "vec_id", "embedding", dir, lists = 8, iters = 3)
+    // fresh index: current == baseline by construction
+    val d0 = AnnIndex.drift(spark, dir)
+    assert(math.abs(d0.ratio - 1.0) < 1e-9, d0)
+    // many skewed batches: 5 new regions the build-time codebook never
+    // saw (deterministic, index-derived — no RNG in the data path)
+    def skew(i: Long) = Array.tabulate(64) { j =>
+      (if (j % 5 == i % 5) 3f else 0.1f) + ((i * 31 + j) % 7).toFloat * 0.01f
+    }
+    val batch = (1000L until 1080L).map(i => (i, skew(i)))
+      .toDF("vec_id", "embedding")
+    AnnIndex.update(spark, dir, batch, "vec_id", "embedding")
+    val d1 = AnnIndex.drift(spark, dir)
+    assert(d1.ratio > d0.ratio * 1.05,
+      s"drift did not register the skew: ${d0.ratio} -> ${d1.ratio}")
+    // recall in the skewed region, before vs after the retrain
+    val queries = (1000L until 1010L).map(i => (i, skew(i)))
+      .toDF("vec_id", "embedding")
+    val truth = VectorOps.knnBrute(queries, vecs.union(batch),
+        "vec_id", "embedding", k = 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall() = {
+      val approx = AnnIndex.query(spark, dir, queries, "vec_id", "embedding",
+          k = 3, nprobe = 2)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth & approx).size.toDouble / truth.size
+    }
+    val before = recall()
+    val m2 = AnnIndex.compact(spark, dir)
+    assert(m2.lists == 8 && m2.dim == 64, m2)
+    // the retrained codebook describes the NEW distribution again...
+    val d2 = AnnIndex.drift(spark, dir)
+    assert(math.abs(d2.ratio - 1.0) < 1e-9 && d2.buildMeanDist < d1.currentMeanDist,
+      s"compact did not reset drift: $d1 -> $d2")
+    // ...and recall does not regress (and is high in the skewed region)
+    val after = recall()
+    assert(after >= before - 1e-9, s"recall $before -> $after")
+    assert(after >= 0.9, s"post-compact recall $after")
+    // staging dir is gone, the index stays queryable
+    assert(!Files.exists(java.nio.file.Paths.get(dir, ".compact")))
+    assert(AnnIndex.meta(spark, dir).lists == 8)
   }
 
   test("recall vs brute force on the full query set") {
