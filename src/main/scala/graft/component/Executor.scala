@@ -283,6 +283,12 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       register(name, materialize(name, existing.unionByName(aligned)))
       rebind(Names.view(name).toLowerCase)
 
+    case _ if ExportDb.parseExport(stmt).isDefined =>
+      exportDatabase(ExportDb.parseExport(stmt).get)
+
+    case _ if ExportDb.parseImport(stmt).isDefined =>
+      importDatabase(ExportDb.parseImport(stmt).get)
+
     case _ if SequenceSql.parseCreate(stmt).isDefined =>
       val c = SequenceSql.parseCreate(stmt).get
       SequenceSql.create(c.name, c.defn, c.orReplace, c.ifNotExists)
@@ -540,4 +546,72 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
 
   private def register(name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(Names.view(name))
+
+  /** EXPORT DATABASE: dump every warehouse table (data + CREATE TABLE
+    * DDL) and every view registered this run (CREATE VIEW DDL), plus a
+    * load.sql of COPY FROM statements — the DuckDB layout (probed), so
+    * [[importDatabase]] is literally a replay of the two scripts through
+    * the dialect pipeline. Data is one DIRECTORY per table (distributed
+    * layout; DuckDB reads it back via a read_parquet directory glob).
+    * CSV exports carry second-precision timestamps (the COPY FROM read
+    * format); PARQUET is the lossless path. */
+  private def exportDatabase(e: ExportDb.Export): Unit = {
+    import java.nio.file.{Files, Paths}
+    def ident(n: String): String =
+      if (n.matches("[A-Za-z_][A-Za-z0-9_]*")) n else "\"" + n + "\""
+    def sqlTypeOf(dt: org.apache.spark.sql.types.DataType): String =
+      dt.sql.replace("STRING", "VARCHAR")
+    val out = Paths.get(e.dir)
+    Files.createDirectories(out)
+    val tables = Option(Paths.get(warehouseDir).toFile.listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith(".staging_"))
+      .map(_.getName).sorted
+    val schema = new StringBuilder
+    val load = new StringBuilder
+    for (t <- tables) {
+      val df = spark.read.parquet(Paths.get(warehouseDir, t).toString)
+      val cols = df.schema.fields
+        .map(f => s"${ident(f.name)} ${sqlTypeOf(f.dataType)}").mkString(", ")
+      schema.append(s"CREATE TABLE ${ident(t)}($cols);\n")
+      val dataPath = out.resolve(s"$t.${e.format.toLowerCase}").toString
+      if (e.format == "PARQUET") {
+        df.write.mode("overwrite").parquet(dataPath)
+        load.append(s"COPY ${ident(t)} FROM '$dataPath' (FORMAT 'parquet');\n")
+      } else {
+        df.write.mode("overwrite").option("header", "true")
+          .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+          .option("dateFormat", "yyyy-MM-dd")
+          .csv(dataPath)
+        load.append(
+          s"COPY ${ident(t)} FROM '$dataPath' (FORMAT 'csv', HEADER true);\n")
+      }
+    }
+    schema.append("\n")
+    viewDefs.synchronized {
+      viewDefs.forEach { (_, defn) =>
+        val (name, body, _) = defn
+        schema.append(s"CREATE VIEW ${ident(name)} AS $body;\n")
+      }
+    }
+    Files.writeString(out.resolve("schema.sql"), schema.toString)
+    Files.writeString(out.resolve("load.sql"), load.toString)
+  }
+
+  /** IMPORT DATABASE: replay schema.sql then load.sql — CREATE TABLE
+    * hits the bare-DDL path, COPY FROM the CopyFrom path, CREATE VIEW
+    * the view path; restore exercises the statements users script by
+    * hand. */
+  private def importDatabase(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val schemaSql = Paths.get(dir, "schema.sql")
+    if (!Files.exists(schemaSql))
+      throw new UserException(
+        s"IMPORT DATABASE: $dir has no schema.sql (not an exported database)")
+    val loadSql = Paths.get(dir, "load.sql")
+    val stmts = Dialect.prepare(Files.readString(schemaSql)) ++
+      (if (Files.exists(loadSql)) Dialect.prepare(Files.readString(loadSql))
+       else Nil)
+    stmts.foreach(runStatement)
+  }
 }

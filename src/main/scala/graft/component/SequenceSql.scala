@@ -117,8 +117,12 @@ object SequenceSql {
   // CREATE [OR REPLACE] SEQUENCE [IF NOT EXISTS] name [options...]
   // quoted names may arrive double-quoted (raw) or backticked (after the
   // dialect's identifier pass)
+  // TEMP/TEMPORARY parse and behave identically here: every sequence is
+  // already per-run session state (DuckDB probe: CREATE TEMP SEQUENCE ts
+  // START 5 → nextval 5)
   private val createRe =
-    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?SEQUENCE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?(?:TEMP\\s+|TEMPORARY\\s+)?SEQUENCE\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?" +
       "([A-Za-z_][A-Za-z0-9_]*|\"[^\"]+\"|`[^`]+`)\\s*(.*?);?\\s*$").r
   private val dropRe =
     "(?is)^\\s*DROP\\s+SEQUENCE\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_][A-Za-z0-9_]*|\"[^\"]+\"|`[^`]+`)\\s*;?\\s*$".r

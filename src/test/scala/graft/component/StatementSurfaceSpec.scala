@@ -756,6 +756,11 @@ class StatementSurfaceSpec extends SparkSpec {
       .getMessage.contains("not yet defined"))
     assert(intercept[UserException] { SequenceSql.next("sq_missing") }
       .getMessage.contains("does not exist"))
+    // TEMP/TEMPORARY spellings (every sequence is per-run session state)
+    ex.runStatement(Dialect.rewrite("CREATE TEMP SEQUENCE sqt START 5"))
+    assert(SequenceSql.next("sqt") == 5L)
+    ex.runStatement(Dialect.rewrite("CREATE TEMPORARY SEQUENCE sqt2"))
+    assert(SequenceSql.next("sqt2") == 1L)
     // OR REPLACE resets; IF NOT EXISTS keeps; DROP removes
     ex.runStatement(Dialect.rewrite("CREATE OR REPLACE SEQUENCE sq2 START WITH 100"))
     assert(SequenceSql.next("sq2") == 100L)
@@ -789,6 +794,57 @@ class StatementSurfaceSpec extends SparkSpec {
     val out = Files.readString(dd.resolve("out/tables/keyed")).linesIterator.toList
     assert(out.head == "\"id\"")
     assert(out.tail.map(_.replace("\"", "").toLong).sorted == List(7L, 8L, 9L), out)
+  }
+
+  test("EXPORT DATABASE / IMPORT DATABASE round-trip the warehouse") {
+    val wh1 = Files.createTempDirectory("graft_expdb_wh1_")
+    val ex1 = new Executor(spark, wh1.toString)
+    Dialect.prepare(
+      "CREATE TABLE exp_t1 AS SELECT range AS id, 'x' || CAST(range AS VARCHAR) AS v FROM range(5); " +
+        "CREATE TABLE exp_t2 AS SELECT range AS k FROM range(3); " +
+        "CREATE VIEW exp_v1 AS SELECT id FROM exp_t1 WHERE id > 2;")
+      .foreach(ex1.runStatement)
+    val dump = Files.createTempDirectory("graft_expdb_dump_").toString
+    ex1.runStatement(Dialect.rewrite(s"EXPORT DATABASE '$dump' (FORMAT PARQUET)"))
+    // the DuckDB layout: schema.sql + load.sql + one data dir per table
+    val schemaSql = Files.readString(java.nio.file.Paths.get(dump, "schema.sql"))
+    assert(schemaSql.contains("CREATE TABLE exp_t1(id BIGINT, v VARCHAR);"), schemaSql)
+    assert(schemaSql.contains("CREATE TABLE exp_t2(k BIGINT);"), schemaSql)
+    assert(schemaSql.contains("CREATE VIEW exp_v1 AS"), schemaSql)
+    val loadSql = Files.readString(java.nio.file.Paths.get(dump, "load.sql"))
+    assert(loadSql.contains("COPY exp_t1 FROM") &&
+      loadSql.contains("(FORMAT 'parquet');"), loadSql)
+    // restore into a FRESH warehouse: replayed through the dialect
+    // pipeline (bare DDL + CopyFrom + view registration)
+    spark.catalog.dropTempView("exp_t1")
+    spark.catalog.dropTempView("exp_t2")
+    spark.catalog.dropTempView("exp_v1")
+    val wh2 = Files.createTempDirectory("graft_expdb_wh2_")
+    val ex2 = new Executor(spark, wh2.toString)
+    ex2.runStatement(Dialect.rewrite(s"IMPORT DATABASE '$dump'"))
+    assert(spark.table("exp_t1").count() == 5)
+    assert(spark.table("exp_t1").orderBy("id").collect().map(_.getString(1)).head == "x0")
+    assert(spark.table("exp_t2").count() == 3)
+    assert(spark.table("exp_v1").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(3L, 4L)))
+    // CSV is the DuckDB default format; round-trips too
+    val dumpCsv = Files.createTempDirectory("graft_expdb_csv_").toString
+    ex1.runStatement(Dialect.rewrite(s"EXPORT DATABASE '$dumpCsv'"))
+    assert(Files.readString(java.nio.file.Paths.get(dumpCsv, "load.sql"))
+      .contains("FORMAT 'csv', HEADER true"), "csv load.sql")
+    val wh3 = Files.createTempDirectory("graft_expdb_wh3_")
+    new Executor(spark, wh3.toString)
+      .runStatement(Dialect.rewrite(s"IMPORT DATABASE '$dumpCsv'"))
+    assert(spark.table("exp_t1").count() == 5)
+    // a dir without schema.sql rejects loudly; static analysis parses both
+    assert(intercept[UserException] {
+      ex2.runStatement(Dialect.rewrite("IMPORT DATABASE '/tmp/not_a_dump_dir'"))
+    }.getMessage.contains("schema.sql"))
+    val cfg = Config.parse(
+      s"""{"parameters": {"blocks": [{"name": "B", "codes": [
+         |  {"name": "q", "script": ["EXPORT DATABASE '$dump'", "IMPORT DATABASE '$dump'"]}
+         |]}]}, "storage": {}}""".stripMargin)
+    assert(Actions.syntaxCheck(spark, cfg).isEmpty)
   }
 
   test("ATTACH / DETACH / CREATE TYPE / ALTER SEQUENCE reject loudly") {
