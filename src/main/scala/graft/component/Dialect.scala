@@ -133,9 +133,9 @@ object Dialect {
   def rewrite(stmt0: String): String = {
     val stmt = rewriteQualify(rewriteDistinctOn(rewriteWithCreate(
       Pivot.rewriteUnpivot(UnnestSql.rewrite(rewriteUsingSample(
-        rewriteSeriesTableFns(rewriteIntDiv(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
+        rewriteSeriesTableFns(rewriteMatchOps(rewriteIntDiv(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
           FileReads.rewriteTableFunctions(
-            rewritePragma(Macros.rewrite(stmt0))))))))))))))
+            rewritePragma(Macros.rewrite(stmt0)))))))))))))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position
@@ -457,6 +457,63 @@ object Dialect {
     stmt
   }
 
+  /** Regex / glob MATCH operators with no Spark spelling — `~` / `!~`
+    * (regexp FULL match, probed: 'abc' ~ 'b' is false), `~~~` / `!~~~`
+    * and the `GLOB` keyword (glob match), `[NOT] SIMILAR TO` (DuckDB
+    * maps SIMILAR TO to regexp full match — probed: no %/_ wildcard
+    * semantics, 'axxc' SIMILAR TO 'a%c' is false) — lowered to the
+    * registry's `regexp_full_match` / `duck_glob` over scanned operand
+    * extents at the COMPARISON level (left extent crosses `+ - * / %
+    * ||` chains; right extent likewise). The `~~`-family LIKE spellings
+    * are NOT touched here (quote-aware keyword swaps in the rewrite's
+    * final pass own them); the op regex refuses `~` adjacent to `~`,
+    * `!` or `*`. Unparsable extents leave the text for Spark's parser
+    * to reject loudly. */
+  private val matchOpRe =
+    ("(?i)~~~|!~(?!~)|(?<![~!])~(?![~*])|" +
+      "\\bNOT\\s+SIMILAR\\s+TO\\b|\\bSIMILAR\\s+TO\\b|\\bGLOB\\b").r
+
+  private[component] def rewriteMatchOps(stmt0: String): String = {
+    var stmt = stmt0
+    var guard = 0
+    var changed = true
+    while (changed && guard < 256) {
+      guard += 1
+      changed = false
+      val masked = maskQuoted(stmt)
+      val hit = matchOpRe.findAllMatchIn(masked).flatMap { m =>
+        val op: Option[(String, Boolean)] =
+          m.matched.toUpperCase.replaceAll("\\s+", " ") match {
+            case "~" | "SIMILAR TO" => Some(("regexp_full_match", false))
+            case "!~" | "NOT SIMILAR TO" => Some(("regexp_full_match", true))
+            // no negated glob spelling: DuckDB v1.0 has neither !~~~
+            // nor NOT GLOB (probed parse errors)
+            case "~~~" | "GLOB" => Some(("duck_glob", false))
+            case _ => None
+          }
+        // probed associativity: these operators sit at the arithmetic
+        // level, LEFT-associative — `'a' || 'bc' ~ 'abc'` matches the
+        // concat, but `'abc' ~ 'a' || 'bc'` is ('abc' ~ 'a') || 'bc'
+        // and `5 ~ 2 + 3` is (5 ~ 2) + 3. So the left extent crosses
+        // the chain, the right extent is ONE primary.
+        for {
+          (fn, negate) <- op
+          ls <- intDivLeftStart(stmt, masked, m.start, additive = true)
+          re <- intDivRightEnd(stmt, masked, m.end)
+        } yield (m, ls, re, fn, negate)
+      }.find(_ => true) // first occurrence whose extents parse
+      hit.foreach { case (m, ls, re, fn, negate) =>
+        val left = stmt.substring(ls, m.start).trim
+        val right = stmt.substring(m.end, re).trim
+        val call = s"$fn($left, $right)"
+        stmt = stmt.substring(0, ls) +
+          (if (negate) s"(NOT $call)" else call) + stmt.substring(re)
+        changed = true
+      }
+    }
+    stmt
+  }
+
   /** Words that make a preceding `-`/`+` UNARY (sign of the operand)
     * rather than a binary operator whose right side the extent must not
     * cross. */
@@ -466,10 +523,42 @@ object Dialect {
     "like", "ilike", "is", "all", "any", "some", "distinct", "as",
     "limit", "offset", "set", "values").contains _
 
-  /** Back-scan: start of the multiplicative chain ending just before the
-    * `//` at `op`. None = unparsable (leave the text alone). */
+  /** Opening-position map for quoted spans and comments: for every index
+    * inside one (quote chars included), the span's start; -1 elsewhere.
+    * Lets the operand scanners treat a string literal as one primary. */
+  private def quoteSpanStarts(stmt: String): Array[Int] = {
+    val out = Array.fill(stmt.length)(-1)
+    var i = 0
+    while (i < stmt.length) {
+      val c = stmt.charAt(i)
+      if (c == '\'') {
+        val end = quotedEnd(stmt, i)
+        java.util.Arrays.fill(out, i, end, i)
+        i = end
+      } else if (c == '"' || c == '`') {
+        val e = stmt.indexOf(c, i + 1)
+        val stop = if (e < 0) stmt.length else e + 1
+        java.util.Arrays.fill(out, i, stop, i)
+        i = stop
+      } else if (c == '-' && i + 1 < stmt.length && stmt.charAt(i + 1) == '-') {
+        val e = stmt.indexOf('\n', i)
+        i = if (e < 0) stmt.length else e + 1
+      } else if (c == '/' && i + 1 < stmt.length && stmt.charAt(i + 1) == '*') {
+        val e = stmt.indexOf("*/", i + 2)
+        i = if (e < 0) stmt.length else e + 2
+      } else i += 1
+    }
+    out
+  }
+
+  /** Back-scan: start of the operand chain ending just before the
+    * operator at `op`. `additive = false` consumes a multiplicative
+    * chain (the `//` level); `additive = true` also crosses binary
+    * `+`/`-` and `||` (the comparison level — `a || b ~ p` matches the
+    * concatenation). None = unparsable (leave the text alone). */
   private def intDivLeftStart(stmt: String, masked: String,
-                              op: Int): Option[Int] = {
+                              op: Int, additive: Boolean = false): Option[Int] = {
+    val spans = quoteSpanStarts(stmt)
     var i = op - 1
     var start = -1
     def skipWs(): Unit = { while (i >= 0 && masked.charAt(i) == ' ' &&
@@ -478,7 +567,16 @@ object Dialect {
       skipWs()
       if (i < 0) return false
       val c = stmt.charAt(i)
-      if (masked.charAt(i) != c) return false // quoted span: bail
+      if (masked.charAt(i) != c) {
+        // a quoted span is one primary (string literal / quoted ident);
+        // a comment is not an operand
+        if ((c == '\'' || c == '"' || c == '`') && spans(i) >= 0 && spans(i) < i) {
+          start = spans(i)
+          i = start - 1
+          return true
+        }
+        return false
+      }
       if (c == ')') {
         var d = 0; var j = i; var open = -1
         while (j >= 0 && open < 0) {
@@ -541,6 +639,20 @@ object Dialect {
       }
       true
     }
+    // a binary +/- has an operand before it; a unary sign has an
+    // operator/keyword/open-paren (the inverse of consumeSignIfUnary)
+    def signIsBinary(at: Int): Boolean = {
+      var j = at - 1
+      while (j >= 0 && masked.charAt(j) == ' ' && stmt.charAt(j).isWhitespace) j -= 1
+      if (j < 0) return false
+      val p = stmt.charAt(j)
+      if (masked.charAt(j) != p) return p == '\'' || p == '"' || p == '`'
+      if (p.isLetterOrDigit || p == '_') {
+        val e = j
+        while (j >= 0 && (stmt.charAt(j).isLetterOrDigit || stmt.charAt(j) == '_')) j -= 1
+        !signKeyword(stmt.substring(j + 1, e + 1).toLowerCase)
+      } else p == ')' || p == ']'
+    }
     if (!consumePrimary() || !consumeCasts()) return None
     consumeSignIfUnary()
     var more = true
@@ -550,9 +662,12 @@ object Dialect {
       if (i >= 0 && masked.charAt(i) == stmt.charAt(i)) {
         val c = stmt.charAt(i)
         val isDiv = c == '/' && (i == 0 || stmt.charAt(i - 1) != '/')
-        if (c == '*' || c == '%' || isDiv) {
+        val isConcat = additive && c == '|' && i > 0 &&
+          stmt.charAt(i - 1) == '|' && masked.charAt(i - 1) == '|'
+        val isAddSub = additive && (c == '+' || c == '-') && signIsBinary(i)
+        if (c == '*' || c == '%' || isDiv || isConcat || isAddSub) {
           val at = i
-          i -= 1
+          i -= (if (isConcat) 2 else 1)
           if (!consumePrimary() || !consumeCasts()) { i = at; return Some(start) }
           consumeSignIfUnary()
           more = true
@@ -562,8 +677,10 @@ object Dialect {
     Some(start)
   }
 
-  /** Forward-scan: end (exclusive) of the single primary starting after
-    * the `//`. None = unparsable. */
+  /** Forward-scan: end (exclusive) of the ONE primary starting after the
+    * operator — the right side of a left-associative operator at the
+    * arithmetic level (`a // b * c` is `(a//b)*c`; probed for the match
+    * ops too: `5 ~ 2 + 3` is `(5 ~ 2) + 3`). None = unparsable. */
   private def intDivRightEnd(stmt: String, masked: String,
                              from: Int): Option[Int] = {
     var i = from
@@ -574,7 +691,16 @@ object Dialect {
       masked.charAt(i) == stmt.charAt(i)) { i += 1; skipWs() }
     if (i >= stmt.length) return None
     val c = stmt.charAt(i)
-    if (masked.charAt(i) != c) return None // quoted span: bail
+    if (masked.charAt(i) != c) {
+      // quoted span = one primary (string literal / quoted identifier —
+      // the usual shape of a regex/glob pattern operand)
+      if (c == '\'') return Some(postfix(stmt, masked, quotedEnd(stmt, i)))
+      if (c == '"' || c == '`') {
+        val e = stmt.indexOf(c, i + 1)
+        return if (e < 0) None else Some(postfix(stmt, masked, e + 1))
+      }
+      return None
+    }
     if (c == '(') {
       val close = matchingParen(masked, i)
       if (close < 0) None else Some(postfix(stmt, masked, close + 1))

@@ -311,9 +311,11 @@ object DuckFunctions {
     // keeping only names with an EXACT Spark mapping (same Catalyst
     // node or same-value arithmetic; every row probed against DuckDB
     // 1.0 in DuckFunctionsSpec). 380 raw gaps remain mostly internals
-    // (__internal_*), ICU collations, operator spellings (~~, //) and
-    // functions whose semantics Spark cannot reproduce exactly —
-    // recorded as out of scope, not silently aliased.
+    // (__internal_*), ICU collations and functions whose semantics
+    // Spark cannot reproduce exactly — recorded as out of scope, not
+    // silently aliased. (The operator spellings — ~~ family, //, ~/!~,
+    // GLOB/~~~, SIMILAR TO — moved IN scope in round 13 via the
+    // dialect's operand-extent rewrites.)
 
     // array_* twins of the bound list_* names (DuckDB: array_x ≡ list_x)
     arity("array_transform", 2)(a => ArrayTransform(a.head, a(1))),
@@ -1729,6 +1731,9 @@ object DuckFunctions {
       // statements themselves are executor-dispatched, like COPY)
       arity("nextval", 1)(a => graft.functions.NextVal(a.head)),
       arity("currval", 1)(a => graft.functions.CurrVal(a.head)),
+
+      // GLOB / ~~~ operator target (the dialect's match-op rewrite)
+      arity("duck_glob", 2)(a => graft.functions.GlobMatch(a.head, a(1))),
 
       arity("regexp_escape", 1)(a => graft.functions.RegexpEscape(a.head)),
       arity("md5_number_lower", 1)(a => graft.functions.Md5HalfU(a.head, upper = false)),

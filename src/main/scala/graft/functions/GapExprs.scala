@@ -42,6 +42,35 @@ object GapKernels {
     math.abs(Math.multiplyExact(a / g, b))
   }
 
+  /** Glob pattern → anchored Java regex (probed DuckDB conventions:
+    * `*` any run, `?` one char, `[..]`/`[!..]` classes copied verbatim
+    * with `!` → `^`; everything else literal). */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '[' =>
+          val neg = i + 1 < glob.length && glob.charAt(i + 1) == '!'
+          sb.append(if (neg) "[^" else "[")
+          var j = i + (if (neg) 2 else 1)
+          while (j < glob.length && glob.charAt(j) != ']') {
+            val c = glob.charAt(j)
+            if (c == '\\') sb.append("\\\\") else sb.append(c)
+            j += 1
+          }
+          sb.append(']')
+          i = j
+        case c if "\\^$.|?*+()[]{}".indexOf(c) >= 0 => sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('$').toString
+  }
+
   def stripAccents(s: String): String = {
     val d = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
     val sb = new StringBuilder(d.length)
@@ -439,4 +468,29 @@ case class ParseFilename(child: Expression, trimExtension: Boolean, seps: String
     UTF8String.fromString(
       GapKernels.filename(v.asInstanceOf[UTF8String].toString, trimExtension, seps))
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `GLOB` / `~~~` match: DuckDB's filename-glob operator over strings
+  * (probed: `*` any run, `?` one char, `[a-z]` / `[!a-z]` classes,
+  * case-sensitive, whole-string anchored). The translated regex is
+  * cached per distinct pattern — the pattern is a literal in every
+  * real script, so the hot path is one compiled-Pattern match. */
+case class GlobMatch(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "duck_glob"
+  @transient private var lastPat: UTF8String = _
+  @transient private var compiled: java.util.regex.Pattern = _
+  override protected def nullSafeEval(s: Any, p: Any): Any = {
+    val pu = p.asInstanceOf[UTF8String]
+    if (compiled == null || pu != lastPat) {
+      lastPat = pu.clone()
+      compiled = java.util.regex.Pattern.compile(
+        GapKernels.globToRegex(pu.toString))
+    }
+    compiled.matcher(s.asInstanceOf[UTF8String].toString).matches()
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
 }

@@ -335,6 +335,17 @@ object Extended {
       graft.component.DuckFunctions.register(s)
       T.documents(s, d).createOrReplaceTempView("documents")
       s.sql(graft.component.Dialect.rewrite(Oracle.q76))
+    }),
+
+    // Match operators (IDENTICAL text both engines): `~`/`!~` regexp FULL
+    // match and `SIMILAR TO` (DuckDB maps it to regexp full match —
+    // probed: no %/_ wildcards) lowered to regexp_full_match; GLOB/`~~~`
+    // glob match via the translated-pattern kernel. Extent-scanned at the
+    // probed left-associative arithmetic level.
+    "q77_matchops" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q77))
     })
   )
 
@@ -607,6 +618,17 @@ object Extended {
         |       lang !~~* 'E%' AS nile
         |FROM documents WHERE doc_id % 11 = 0 ORDER BY doc_id""".stripMargin
 
+    /** Shared DuckDB/Spark text — q77 runs this verbatim in both engines. */
+    val q77: String =
+      """SELECT doc_id,
+        |       lang ~ 'e.' AS re_full,
+        |       lang !~ 'e.*' AS re_neg,
+        |       source SIMILAR TO '(src1|src2)' AS sim,
+        |       source NOT SIMILAR TO 'src1.*' AS nsim,
+        |       concat('f_', CAST(doc_id AS VARCHAR), '.txt') GLOB 'f_*[0-9].txt' AS g1,
+        |       concat(lang, '.csv') ~~~ '??.csv' AS g2
+        |FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id""".stripMargin
+
     val q37: String =
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
@@ -729,6 +751,7 @@ object Extended {
     "q74_grapheme" -> Oracle.q74,
     "q75_intervals" -> Oracle.q75,
     "q76_opspell" -> Oracle.q76,
+    "q77_matchops" -> Oracle.q77,
     "q37_grouping_sets" -> Oracle.q37,
     "q38_outer_joins" -> Oracle.q38,
     "q39_in_subquery" -> Oracle.q39,

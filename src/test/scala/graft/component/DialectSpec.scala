@@ -100,6 +100,32 @@ class DialectSpec extends AnyFunSuite {
     assert(r("SELECT a FROM t -- x // y\n") == "SELECT a FROM t -- x // y\n")
   }
 
+  test("~ / SIMILAR TO / GLOB operators lower to full-match functions") {
+    def r(s: String) = Dialect.rewrite(s)
+    assert(r("SELECT a ~ 'x.*' FROM t") ==
+      "SELECT regexp_full_match(a, 'x.*') FROM t")
+    assert(r("SELECT a !~ 'x' FROM t") ==
+      "SELECT (NOT regexp_full_match(a, 'x')) FROM t")
+    assert(r("SELECT a SIMILAR TO 'x' FROM t") ==
+      "SELECT regexp_full_match(a, 'x') FROM t")
+    assert(r("SELECT a NOT SIMILAR TO 'x' FROM t") ==
+      "SELECT (NOT regexp_full_match(a, 'x')) FROM t")
+    assert(r("SELECT p GLOB '*.csv' FROM t") ==
+      "SELECT duck_glob(p, '*.csv') FROM t")
+    assert(r("SELECT p ~~~ '*.csv' FROM t") ==
+      "SELECT duck_glob(p, '*.csv') FROM t")
+    // left-assoc at the arithmetic level (probed): concat folds into
+    // the LEFT operand; the right extent is one primary
+    assert(r("SELECT a || b ~ 'x' FROM t") ==
+      "SELECT regexp_full_match(a || b, 'x') FROM t")
+    // the ~~ LIKE family is owned by the keyword swaps, untouched here
+    assert(r("SELECT a ~~ 'x%' FROM t") == "SELECT a  LIKE  'x%' FROM t")
+    assert(r("SELECT a ~~* 'x%' FROM t") == "SELECT a  ILIKE  'x%' FROM t")
+    // unary bitwise ~ has no left operand and stays (Spark parses it)
+    assert(r("SELECT ~5 AS b FROM t") == "SELECT ~5 AS b FROM t")
+    assert(r("SELECT '~ stays' AS s") == "SELECT '~ stays' AS s")
+  }
+
   test("~~ operator family becomes LIKE/ILIKE keywords") {
     def r(s: String) = Dialect.rewrite(s)
     assert(r("SELECT a ~~ 'x%' FROM t") == "SELECT a  LIKE  'x%' FROM t")

@@ -102,6 +102,24 @@ class GapExprsSpec extends SparkSpec {
     assert(duck("SELECT 'GRAFT' !~~* 'gr%'") == false)
   }
 
+  test("~ / SIMILAR TO / GLOB execute with DuckDB full-match semantics") {
+    assert(duck("SELECT 'abc' ~ 'a.c'") == true)
+    assert(duck("SELECT 'abc' ~ 'b'") == false) // FULL match, not partial
+    assert(duck("SELECT 'abc' !~ 'b'") == true)
+    assert(duck("SELECT 'abc' SIMILAR TO '(abc|xyz)'") == true)
+    // DuckDB's SIMILAR TO is regex, NOT the SQL-standard %/_ wildcards
+    assert(duck("SELECT 'axxc' SIMILAR TO 'a%c'") == false)
+    assert(duck("SELECT 'abc' NOT SIMILAR TO 'b'") == true)
+    assert(duck("SELECT 'data.txt' GLOB '*.t?t'") == true)
+    assert(duck("SELECT 'Data.txt' ~~~ '[Dd]ata.*'") == true)
+    assert(duck("SELECT 'a1' GLOB 'a[!0-9]'") == false)
+    assert(duck("SELECT 'a+b' GLOB 'a+b'") == true) // regex metachars literal
+    assert(duck("SELECT NULL ~~~ 'x'") == null)
+    // no negated glob: DuckDB v1.0 has neither !~~~ nor NOT GLOB (probed)
+    // probed left-associativity: ('abc' ~ 'a') || 'bc'
+    assert(duck("SELECT 'abc' ~ 'a' || 'bc'") == "falsebc")
+  }
+
   test("date_diff: PART-BOUNDARY counting (not elapsed units)") {
     assert(duck("SELECT date_diff('day', DATE '2024-01-01', DATE '2024-03-05')") == 64L)
     // one month BOUNDARY crossed even though <1 month elapsed
