@@ -7,7 +7,7 @@ import scala.concurrent.duration.Duration
 
 import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
 
 /** Block-sequential / batch-parallel executor over one SparkSession
   * (reference A17, `src/query_orchestrator.py:271-402`). Spark actions are
@@ -48,6 +48,11 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
   // with a parenthesized body, handled above by createTable).
   private val createEmpty =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?`?([^`\s(]+)`?\s*\((.+)\)\s*;?\s*$""".r
+
+  /** Declared PRIMARY KEY columns per table (lowercased sanitized name)
+    * — recorded by the bare-DDL path, consumed by the upsert surface. */
+  private val primaryKeys =
+    scala.collection.concurrent.TrieMap[String, Seq[String]]()
 
   /** View definitions registered this run, in creation order:
     * lowercased sanitized name → (sanitized name, body SQL, direct deps).
@@ -158,11 +163,41 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       if (ifNotExists != null &&
           spark.catalog.tableExists(s"`${Names.view(name)}`")) ()
       else {
-        // column defs → StructType; constraint noise DuckDB accepts
-        // (PRIMARY KEY / UNIQUE / DEFAULT v / CHECK(..)) is stripped —
-        // Spark schemas carry none of it, and the data path is what the
+        // PRIMARY KEY columns are EXTRACTED before the constraint strip:
+        // they feed the upsert surface (INSERT ... ON CONFLICT /
+        // OR REPLACE / OR IGNORE — DuckDB requires the declared key).
+        // Both spellings: `k INT PRIMARY KEY` and `PRIMARY KEY (a, b)`.
+        val items = {
+          val masked = Dialect.maskQuoted(colDefs)
+          val dep = Dialect.depths(masked)
+          val cuts = masked.zipWithIndex.collect {
+            case (',', i) if dep(i) == 0 => i }
+          (Seq(-1) ++ cuts :+ colDefs.length).sliding(2).map {
+            case Seq(a, b) => colDefs.substring(a + 1, b).trim
+            case _ => ""
+          }.filter(_.nonEmpty).toList
+        }
+        val pkCols = items.flatMap { it =>
+          "(?is)^PRIMARY\\s+KEY\\s*\\((.*)\\)\\s*$".r.findFirstMatchIn(it) match {
+            case Some(m) => m.group(1).split(",").map(_.trim
+              .stripPrefix("\"").stripSuffix("\"")
+              .stripPrefix("`").stripSuffix("`")).toSeq
+            case None if "(?is)\\bPRIMARY\\s+KEY\\b".r.findFirstIn(it).isDefined =>
+              Seq(it.split("[\\s(]", 2).head
+                .stripPrefix("\"").stripSuffix("\"")
+                .stripPrefix("`").stripSuffix("`"))
+            case None => Nil
+          }
+        }
+        if (pkCols.nonEmpty)
+          primaryKeys.put(Names.view(name).toLowerCase, pkCols)
+        // column defs → StructType; the remaining constraint noise DuckDB
+        // accepts (UNIQUE / DEFAULT v / CHECK(..)) is stripped — Spark
+        // schemas carry none of it, and the data path is what the
         // component contract checks
-        val cleaned = colDefs
+        val cleaned = items.filterNot(it =>
+          "(?is)^PRIMARY\\s+KEY\\s*\\(".r.findFirstIn(it).isDefined)
+          .mkString(", ")
           .replaceAll("(?i)\\bPRIMARY\\s+KEY\\b", "")
           .replaceAll("(?i)\\bUNIQUE\\b", "")
           // a quoted default may contain spaces — strip the whole
@@ -236,50 +271,14 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
         viewDefs.synchronized { viewDefs.remove(sanitized.toLowerCase) }
       }
 
+    case _ if UpsertSql.parse(stmt).isDefined =>
+      upsert(UpsertSql.parse(stmt).get)
+
+    case _ if UpdateFromSql.parse(stmt).isDefined =>
+      updateFrom(UpdateFromSql.parse(stmt).get)
+
     case insertInto(name, rest0) =>
-      // The group after the table name is a COLUMN LIST only when the
-      // parenthesized text is not itself a query — DuckDB accepts
-      // `INSERT INTO t (SELECT ...)` (parenthesized source), and a
-      // depth-scanned split also survives ')' inside the list.
-      val rest1 = rest0.trim
-      // DuckDB `INSERT INTO t BY NAME SELECT ...`: the source's own
-      // column NAMES align against the target (missing → NULL), instead
-      // of the default positional mapping
-      val byName = "(?is)^BY\\s+NAME\\b".r.findFirstMatchIn(rest1).isDefined
-      val rest = if (byName)
-        "(?is)^BY\\s+NAME\\s*".r.replaceFirstIn(rest1, "") else rest1
-      val (colList, body) =
-        if (rest.startsWith("(")) {
-          val close = matchingParen(rest, 0)
-          val inner = rest.substring(1, close).trim
-          val firstWord = inner.split("[\\s(]", 2).head.toUpperCase
-          if (Set("SELECT", "WITH", "VALUES", "FROM", "TABLE")(firstWord)) (null, rest)
-          else (inner, rest.substring(close + 1).trim)
-        } else (null, rest)
-      val existing = spark.table(s"`${Names.view(name)}`")
-      val added0 = bodyDf(body)
-      val added = Option(colList).filter(_.trim.nonEmpty) match {
-        case Some(cs) => added0.toDF(cs.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")): _*)
-        case None if byName =>
-          // DuckDB errors on source columns absent from the target —
-          // silently dropping them would lose a typoed column's data
-          val targetCols = existing.columns.map(_.toLowerCase).toSet
-          val unknown = added0.columns.filterNot(c => targetCols(c.toLowerCase))
-          if (unknown.nonEmpty)
-            throw new UserException(
-              s"INSERT INTO $name BY NAME: source column(s) not in target: " +
-                unknown.mkString(", "))
-          added0 // keep source names; align below
-        case None     => added0.toDF(existing.columns: _*)
-      }
-      // columns absent from an explicit column list are NULL-filled, like
-      // SQL INSERT with a partial column list; matching is case-insensitive
-      // (the resolver default, and DuckDB's behavior)
-      val addedCols = added.columns.map(_.toLowerCase).toSet
-      val aligned = added.select(existing.columns.map { c =>
-        if (addedCols(c.toLowerCase)) col(c).cast(existing.schema(c).dataType).as(c)
-        else lit(null).cast(existing.schema(c).dataType).as(c)
-      }: _*)
+      val (existing, aligned) = alignedInsertSource(name, rest0)
       register(name, materialize(name, existing.unionByName(aligned)))
       rebind(Names.view(name).toLowerCase)
 
@@ -546,6 +545,179 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
 
   private def register(name: String, df: DataFrame): Unit =
     df.createOrReplaceTempView(Names.view(name))
+
+  /** Parse an INSERT tail (`[BY NAME] [(col list)] <source>`) and return
+    * (target's current state, incoming rows aligned to the target's
+    * schema) — the shared front half of plain INSERT and the upserts.
+    * The group after the table name is a COLUMN LIST only when the
+    * parenthesized text is not itself a query — DuckDB accepts
+    * `INSERT INTO t (SELECT ...)` (parenthesized source), and a
+    * depth-scanned split also survives ')' inside the list. */
+  private def alignedInsertSource(name: String,
+                                  rest0: String): (DataFrame, DataFrame) = {
+    val rest1 = rest0.trim
+    // DuckDB `INSERT INTO t BY NAME SELECT ...`: the source's own
+    // column NAMES align against the target (missing → NULL), instead
+    // of the default positional mapping
+    val byName = "(?is)^BY\\s+NAME\\b".r.findFirstMatchIn(rest1).isDefined
+    val rest = if (byName)
+      "(?is)^BY\\s+NAME\\s*".r.replaceFirstIn(rest1, "") else rest1
+    val (colList, body) =
+      if (rest.startsWith("(")) {
+        val close = matchingParen(rest, 0)
+        val inner = rest.substring(1, close).trim
+        val firstWord = inner.split("[\\s(]", 2).head.toUpperCase
+        if (Set("SELECT", "WITH", "VALUES", "FROM", "TABLE")(firstWord)) (null, rest)
+        else (inner, rest.substring(close + 1).trim)
+      } else (null, rest)
+    val existing = spark.table(s"`${Names.view(name)}`")
+    val added0 = bodyDf(body)
+    val added = Option(colList).filter(_.trim.nonEmpty) match {
+      case Some(cs) => added0.toDF(cs.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")): _*)
+      case None if byName =>
+        // DuckDB errors on source columns absent from the target —
+        // silently dropping them would lose a typoed column's data
+        val targetCols = existing.columns.map(_.toLowerCase).toSet
+        val unknown = added0.columns.filterNot(c => targetCols(c.toLowerCase))
+        if (unknown.nonEmpty)
+          throw new UserException(
+            s"INSERT INTO $name BY NAME: source column(s) not in target: " +
+              unknown.mkString(", "))
+        added0 // keep source names; align below
+      case None     => added0.toDF(existing.columns: _*)
+    }
+    // columns absent from an explicit column list are NULL-filled, like
+    // SQL INSERT with a partial column list; matching is case-insensitive
+    // (the resolver default, and DuckDB's behavior)
+    val addedCols = added.columns.map(_.toLowerCase).toSet
+    val aligned = added.select(existing.columns.map { c =>
+      if (addedCols(c.toLowerCase)) col(c).cast(existing.schema(c).dataType).as(c)
+      else lit(null).cast(existing.schema(c).dataType).as(c)
+    }: _*)
+    (existing, aligned)
+  }
+
+  /** `UPDATE ... FROM` re-derivation — one left join of the target
+    * against the source on the user's WHERE, one projection applying the
+    * SET expressions to matched rows. Multi-match keeps ONE arbitrary
+    * source row per target row (DuckDB does the same, probed — no
+    * error). Unqualified column references shared by both sides raise
+    * the analyzer's ambiguity error — qualify with the table/alias
+    * names, which this join exposes verbatim. */
+  private def updateFrom(u: UpdateFromSql.Parsed): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{monotonically_increasing_id, row_number}
+    val sanitized = Names.view(u.target)
+    val existing = spark.table(s"`$sanitized`")
+    val tAlias = u.targetAlias.getOrElse(u.target)
+    val (srcSql, sAlias) = UpdateFromSql.sourceOf(u)
+    val src = bodyDf(srcSql).withColumn("__upd_hit", lit(true))
+    val joined = existing.withColumn("__upd_uid", monotonically_increasing_id())
+      .alias(tAlias)
+      .join(src.alias(sAlias), expr(u.where), "left_outer")
+    val one = joined.withColumn("__upd_rn",
+      row_number().over(Window.partitionBy(col("__upd_uid"))
+        .orderBy(col("__upd_hit").desc_nulls_last)))
+      .filter(col("__upd_rn") === 1)
+    val setMap = u.sets.map { case (c, e) => c.toLowerCase -> e }.toMap
+    val byLower = existing.columns.map(c => c.toLowerCase -> c).toMap
+    setMap.keys.foreach(c => if (!byLower.contains(c))
+      throw new UserException(
+        s"UPDATE ${u.target}: SET column $c does not exist"))
+    val out = one.select(existing.columns.map { c =>
+      setMap.get(c.toLowerCase) match {
+        case Some(e) => when(coalesce(col("__upd_hit"), lit(false)),
+          expr(e).cast(existing.schema(c).dataType))
+          .otherwise(expr(s"`$tAlias`.`$c`")).as(c)
+        case None => expr(s"`$tAlias`.`$c`").as(c)
+      }
+    }: _*)
+    register(u.target, materialize(u.target, out))
+    rebind(sanitized.toLowerCase)
+  }
+
+  /** Upsert re-derivation — one anti-join for the fresh inserts plus (for
+    * DO UPDATE) one left join applying the SET projection, then the usual
+    * atomic materialization swap. No per-row path: at 100 TB this is the
+    * shuffle-on-key MERGE shape, broadcastable by AQE when the batch is
+    * small. */
+  private def upsert(u: UpsertSql.Parsed): Unit = {
+    val insertInto(name, rest0) = u.insertHead: @unchecked
+    val (existing, aligned) = alignedInsertSource(name, rest0)
+    val sanitized = Names.view(name)
+    val pk = primaryKeys.get(sanitized.toLowerCase)
+    // resolve the conflict key against the DECLARED primary key (probed
+    // DuckDB rules: explicit target must match a keyed index; no key at
+    // all is a binder error, not a silent scan)
+    val keys: Seq[String] = u.keyCols match {
+      case Some(cols) =>
+        pk match {
+          case Some(p) if p.map(_.toLowerCase).toSet ==
+            cols.map(_.toLowerCase).toSet => p
+          case _ => throw new UserException(
+            s"INSERT ... ON CONFLICT (${cols.mkString(", ")}) on $name: the " +
+              "conflict target is not referenced by a declared PRIMARY KEY" +
+              pk.map(p => s" (declared key: ${p.mkString(", ")})")
+                .getOrElse(" (the table declares none)"))
+        }
+      case None => pk.getOrElse(throw new UserException(
+        s"upsert on $name: no PRIMARY KEY declared — DuckDB requires a " +
+          "UNIQUE/PRIMARY KEY index (declare it in the CREATE TABLE " +
+          "column list)"))
+    }
+    // map declared key names onto the target's actual column spellings
+    val byLower = existing.columns.map(c => c.toLowerCase -> c).toMap
+    val keyCols = keys.map(k => byLower.getOrElse(k.toLowerCase,
+      throw new UserException(s"upsert on $name: key column $k does not exist")))
+    // duplicate keys WITHIN the batch are a constraint error in every
+    // form (probed — even DO NOTHING): two incoming rows for one key
+    // have no defined order, so silently picking one would be wrong data
+    val dup = aligned.groupBy(keyCols.map(col): _*)
+      .count().filter(col("count") > 1).limit(1).collect()
+    if (dup.nonEmpty)
+      throw new UserException(
+        s"PRIMARY KEY constraint violated on $name: duplicate key in the " +
+          s"inserted batch (${keyCols.zipWithIndex.map { case (k, i) =>
+            s"$k=${dup.head.get(i)}" }.mkString(", ")})")
+    val fresh = aligned.join(
+      existing.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val result = u.action match {
+      case UpsertSql.Replace =>
+        existing.join(aligned.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(aligned)
+      case UpsertSql.Ignore =>
+        existing.unionByName(fresh)
+      case UpsertSql.Update(sets, whereTxt) =>
+        // incoming side prefixed so `excluded.c` rewrites to a unique
+        // name and every unqualified reference resolves to the TARGET's
+        // column (the probed DuckDB rule)
+        val marked = aligned
+          .toDF(aligned.columns.map("__excluded_" + _): _*)
+          .withColumn("__excluded___hit", lit(true))
+        val joinCond = keyCols.map(k =>
+          existing(k) === marked(s"__excluded_$k")).reduce(_ && _)
+        val joined = existing.join(marked, joinCond, "left_outer")
+        def rewriteExcluded(e: String): String =
+          e.replaceAll("(?i)\\bexcluded\\s*\\.\\s*", "__excluded_")
+        val hit = whereTxt match {
+          case Some(w) => coalesce(col("__excluded___hit"), lit(false)) &&
+            coalesce(expr(rewriteExcluded(w)), lit(false))
+          case None => coalesce(col("__excluded___hit"), lit(false))
+        }
+        val setMap = sets.map { case (c, e) => c.toLowerCase -> e }.toMap
+        setMap.keys.foreach(c => if (!byLower.contains(c))
+          throw new UserException(s"upsert on $name: SET column $c does not exist"))
+        joined.select(existing.columns.map { c =>
+          setMap.get(c.toLowerCase) match {
+            case Some(e) => when(hit, expr(rewriteExcluded(e))
+              .cast(existing.schema(c).dataType)).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*).unionByName(fresh)
+    }
+    register(name, materialize(name, result))
+    rebind(sanitized.toLowerCase)
+  }
 
   /** EXPORT DATABASE: dump every warehouse table (data + CREATE TABLE
     * DDL) and every view registered this run (CREATE VIEW DDL), plus a

@@ -796,6 +796,102 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(out.tail.map(_.replace("\"", "").toLong).sorted == List(7L, 8L, 9L), out)
   }
 
+  test("INSERT ON CONFLICT / OR REPLACE / OR IGNORE: declared-key upserts") {
+    val dir = Files.createTempDirectory("graft_upsert_")
+    val ex = new Executor(spark, dir.toString)
+    def run(sql: String) = ex.runStatement(Dialect.rewrite(sql))
+    run("CREATE TABLE up_t (k INT PRIMARY KEY, v VARCHAR, w INT)")
+    run("INSERT INTO up_t VALUES (1, 'a', 10), (2, 'b', 20)")
+    // DO UPDATE: unqualified names read the TARGET's current row,
+    // excluded.* the incoming one (probed: w = w + excluded.w → 80)
+    run("INSERT INTO up_t VALUES (1, 'A', 70), (3, 'c', 30) " +
+      "ON CONFLICT (k) DO UPDATE SET v = excluded.v, w = w + excluded.w")
+    def all() = spark.table("up_t").orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1), if (r.isNullAt(2)) -1 else r.getInt(2))).toSeq
+    assert(all() == Seq((1, "A", 80), (2, "b", 20), (3, "c", 30)), all())
+    // DO UPDATE ... WHERE false leaves the conflict row unchanged (probed)
+    run("INSERT INTO up_t VALUES (1, 'z', 5) " +
+      "ON CONFLICT (k) DO UPDATE SET v = excluded.v WHERE excluded.w > 100")
+    assert(all().head == ((1, "A", 80)))
+    // without an explicit target the declared PK is the key (probed)
+    run("INSERT INTO up_t VALUES (1, 'd', 1) ON CONFLICT DO UPDATE SET v = excluded.v")
+    assert(all().head == ((1, "d", 80)))
+    // DO NOTHING / OR IGNORE: conflicting incoming rows drop, fresh insert
+    run("INSERT INTO up_t (k, v) VALUES (9, 'n') ON CONFLICT (k) DO NOTHING")
+    assert(all().exists(_ == ((9, "n", -1))))
+    run("INSERT OR IGNORE INTO up_t VALUES (9, 'x', 0), (10, 'e', 0)")
+    assert(all().exists(_ == ((9, "n", -1))) && all().exists(_ == ((10, "e", 0))))
+    // OR REPLACE replaces the WHOLE row
+    run("INSERT OR REPLACE INTO up_t VALUES (2, 'B', 99)")
+    assert(all().exists(_ == ((2, "B", 99))))
+    // probed constraint/binder errors, replicated loudly
+    assert(intercept[UserException] {
+      run("INSERT INTO up_t VALUES (5, 'x', 1), (5, 'y', 2) ON CONFLICT (k) DO NOTHING")
+    }.getMessage.contains("duplicate key"))
+    assert(intercept[UserException] {
+      run("INSERT INTO up_t VALUES (1, 'q', 0) ON CONFLICT (v) DO NOTHING")
+    }.getMessage.contains("conflict target"))
+    run("CREATE TABLE up_nopk AS SELECT 1 AS a FROM range(1)")
+    assert(intercept[UserException] {
+      run("INSERT INTO up_nopk VALUES (2) ON CONFLICT DO NOTHING")
+    }.getMessage.contains("no PRIMARY KEY"))
+    // composite key via the table-level PRIMARY KEY (a, b) spelling
+    run("CREATE TABLE up_c (a INT, b INT, s VARCHAR, PRIMARY KEY (a, b))")
+    run("INSERT INTO up_c VALUES (1, 1, 'x'), (1, 2, 'y')")
+    run("INSERT INTO up_c VALUES (1, 1, 'X'), (2, 1, 'z') " +
+      "ON CONFLICT (a, b) DO UPDATE SET s = excluded.s")
+    val c = spark.table("up_c").orderBy("a", "b").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSeq
+    assert(c == Seq((1, 1, "X"), (1, 2, "y"), (2, 1, "z")), c)
+    // static analysis: same dependency/output sets as a plain INSERT
+    val an = SqlAnalyzer.analyzeStatement(spark, Dialect.rewrite(
+      "INSERT INTO up_t SELECT * FROM src ON CONFLICT (k) DO NOTHING"))
+    assert(an.outputs == Set("up_t") && an.dependencies == Set("src"), an)
+    val cfg = Config.parse(
+      """{"parameters": {"blocks": [{"name": "B", "codes": [
+        |  {"name": "q", "script": [
+        |    "INSERT OR REPLACE INTO up_t VALUES (1, 'r', 0)"]}
+        |]}]}, "storage": {}}""".stripMargin)
+    assert(Actions.syntaxCheck(spark, cfg).isEmpty)
+  }
+
+  test("UPDATE ... FROM joins the source into the SET projection") {
+    val dir = Files.createTempDirectory("graft_updfrom_")
+    val ex = new Executor(spark, dir.toString)
+    def run(sql: String) = ex.runStatement(Dialect.rewrite(sql))
+    run("CREATE TABLE uf_t AS SELECT range AS k, 'old' || CAST(range AS VARCHAR) AS v FROM range(4)")
+    run("CREATE TABLE uf_s AS SELECT range * 2 AS k, 'new' || CAST(range * 2 AS VARCHAR) AS nv FROM range(2)")
+    // matched rows take the source value; unmatched keep theirs (probed)
+    run("UPDATE uf_t SET v = uf_s.nv FROM uf_s WHERE uf_t.k = uf_s.k")
+    def all() = spark.table("uf_t").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(all() == Seq((0L, "new0"), (1L, "old1"), (2L, "new2"), (3L, "old3")), all())
+    // aliases on both sides + an extra target filter in the WHERE
+    run("UPDATE uf_t AS t SET v = x.nv || '!' FROM uf_s AS x " +
+      "WHERE t.k = x.k AND t.k > 0")
+    assert(all() == Seq((0L, "new0"), (1L, "old1"), (2L, "new2!"), (3L, "old3")), all())
+    // subquery source (alias required)
+    run("UPDATE uf_t SET v = q.nv FROM (SELECT k, upper(nv) AS nv FROM uf_s) q " +
+      "WHERE uf_t.k = q.k")
+    assert(all().head == ((0L, "NEW0")), all())
+    // multi-match: ONE arbitrary source row per target row, no row
+    // duplication (DuckDB behaves the same, probed)
+    run("CREATE TABLE uf_m AS SELECT 0 AS k, 'a' AS s UNION ALL SELECT 0, 'b'")
+    run("UPDATE uf_t SET v = uf_m.s FROM uf_m WHERE uf_t.k = uf_m.k")
+    assert(all().length == 4 && Set("a", "b").contains(all().head._2), all())
+    // loud scope boundaries
+    assert(intercept[UserException] {
+      run("UPDATE uf_t SET v = uf_s.nv FROM uf_s")
+    }.getMessage.contains("WHERE"))
+    assert(intercept[UserException] {
+      run("UPDATE uf_t SET v = a.nv FROM uf_s a, uf_s b WHERE uf_t.k = a.k")
+    }.getMessage.contains("one source relation"))
+    // static analysis: target is output AND dependency; source is a dep
+    val an = SqlAnalyzer.analyzeStatement(spark, Dialect.rewrite(
+      "UPDATE uf_t SET v = uf_s.nv FROM uf_s WHERE uf_t.k = uf_s.k"))
+    assert(an.outputs == Set("uf_t") && an.dependencies == Set("uf_t", "uf_s"), an)
+  }
+
   test("EXPORT DATABASE / IMPORT DATABASE round-trip the warehouse") {
     val wh1 = Files.createTempDirectory("graft_expdb_wh1_")
     val ex1 = new Executor(spark, wh1.toString)
