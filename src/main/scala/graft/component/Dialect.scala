@@ -927,6 +927,16 @@ object Dialect {
     // rejects it loudly at run time ([[Executor.runStatement]])
     if ("(?is)^\\s*ROLLBACK\\b".r.findFirstIn(stmt).isDefined)
       return Dialect.RollbackSentinel
+    // TRUNCATE [TABLE] t ≡ DELETE FROM t: the executor's DELETE path
+    // without a condition already re-materializes the empty state
+    // atomically (both spellings probed on DuckDB v1.0)
+    "(?is)^\\s*TRUNCATE\\s+(?:TABLE\\s+)?(.+?);?\\s*$".r
+      .findFirstMatchIn(stmt)
+      .foreach(m => return s"DELETE FROM ${m.group(1).trim}")
+    // COMMENT ON ...: catalog metadata with no temp-view store — inert,
+    // like the PRAGMA knobs
+    if ("(?is)^\\s*COMMENT\\s+ON\\b".r.findFirstIn(stmt).isDefined)
+      return "SET __graft_inert_COMMENT_ON = true"
     // same sentinel pattern for the unmappable statement families
     // (ATTACH/DETACH/CREATE TYPE/ALTER SEQUENCE — [[RejectMessages]])
     if ("(?is)^\\s*ATTACH\\b".r.findFirstIn(stmt).isDefined)

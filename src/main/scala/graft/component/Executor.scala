@@ -49,10 +49,15 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
   private val createEmpty =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?`?([^`\s(]+)`?\s*\((.+)\)\s*;?\s*$""".r
 
-  /** Declared PRIMARY KEY columns per table (lowercased sanitized name)
-    * — recorded by the bare-DDL path, consumed by the upsert surface. */
-  private val primaryKeys =
-    scala.collection.concurrent.TrieMap[String, Seq[String]]()
+  /** Declared key sets per table (lowercased sanitized name): the bare-
+    * DDL PRIMARY KEY first, then any CREATE UNIQUE INDEX keys — the legal
+    * conflict targets of the upsert surface. */
+  private val declaredKeys =
+    scala.collection.concurrent.TrieMap[String, Vector[Seq[String]]]()
+
+  /** UNIQUE index name → (table, cols), so DROP INDEX retracts the key. */
+  private val indexNames =
+    scala.collection.concurrent.TrieMap[String, (String, Seq[String])]()
 
   /** View definitions registered this run, in creation order:
     * lowercased sanitized name → (sanitized name, body SQL, direct deps).
@@ -190,7 +195,7 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
           }
         }
         if (pkCols.nonEmpty)
-          primaryKeys.put(Names.view(name).toLowerCase, pkCols)
+          declaredKeys.put(Names.view(name).toLowerCase, Vector(pkCols))
         // column defs → StructType; the remaining constraint noise DuckDB
         // accepts (UNIQUE / DEFAULT v / CHECK(..)) is stripped — Spark
         // schemas carry none of it, and the data path is what the
@@ -276,6 +281,38 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
 
     case _ if UpdateFromSql.parse(stmt).isDefined =>
       updateFrom(UpdateFromSql.parse(stmt).get)
+
+    case _ if UpdateFromSql.parseDelete(stmt).isDefined =>
+      deleteUsing(UpdateFromSql.parseDelete(stmt).get)
+
+    case _ if IndexSql.parseCreate(stmt).isDefined =>
+      // a NON-unique index is a lookup accelerator with no semantic
+      // meaning in a scan-based engine — inert; a UNIQUE one declares a
+      // key the upsert surface may target (enforcement on plain INSERT
+      // stays unenforced, the same boundary as the stripped PRIMARY KEY)
+      val c = IndexSql.parseCreate(stmt).get
+      if (indexNames.contains(c.name.toLowerCase) && !c.ifNotExists)
+        throw new UserException(s"CREATE INDEX: index ${c.name} already exists")
+      if (c.unique && !indexNames.contains(c.name.toLowerCase)) {
+        val t = Names.view(c.table).toLowerCase
+        indexNames.put(c.name.toLowerCase, (t, c.cols))
+        declaredKeys.updateWith(t) {
+          case Some(ks) => Some(ks :+ c.cols)
+          case None => Some(Vector(c.cols))
+        }
+      } else if (!c.unique)
+        indexNames.putIfAbsent(c.name.toLowerCase, (Names.view(c.table).toLowerCase, Nil))
+
+    case _ if IndexSql.parseDrop(stmt).isDefined =>
+      val d = IndexSql.parseDrop(stmt).get
+      indexNames.remove(d.name.toLowerCase) match {
+        case Some((t, cols)) if cols.nonEmpty =>
+          declaredKeys.updateWith(t)(_.map(_.filterNot(_ == cols)))
+        case Some(_) => ()
+        case None if !d.ifExists =>
+          throw new UserException(s"DROP INDEX: index ${d.name} does not exist")
+        case None => ()
+      }
 
     case insertInto(name, rest0) =>
       val (existing, aligned) = alignedInsertSource(name, rest0)
@@ -636,6 +673,21 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     rebind(sanitized.toLowerCase)
   }
 
+  /** `DELETE ... USING` re-derivation — an anti-join of the target
+    * against the source on the user's WHERE keeps exactly the rows with
+    * NO match (the deleted set is the matched one). Same parse/scope
+    * contract as [[updateFrom]]. */
+  private def deleteUsing(u: UpdateFromSql.Parsed): Unit = {
+    val sanitized = Names.view(u.target)
+    val existing = spark.table(s"`$sanitized`")
+    val tAlias = u.targetAlias.getOrElse(u.target)
+    val (srcSql, sAlias) = UpdateFromSql.sourceOf(u)
+    val kept = existing.alias(tAlias)
+      .join(bodyDf(srcSql).alias(sAlias), expr(u.where), "left_anti")
+    register(u.target, materialize(u.target, kept))
+    rebind(sanitized.toLowerCase)
+  }
+
   /** Upsert re-derivation — one anti-join for the fresh inserts plus (for
     * DO UPDATE) one left join applying the SET projection, then the usual
     * atomic materialization swap. No per-row path: at 100 TB this is the
@@ -645,25 +697,29 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     val insertInto(name, rest0) = u.insertHead: @unchecked
     val (existing, aligned) = alignedInsertSource(name, rest0)
     val sanitized = Names.view(name)
-    val pk = primaryKeys.get(sanitized.toLowerCase)
-    // resolve the conflict key against the DECLARED primary key (probed
+    val keysets = declaredKeys.getOrElse(sanitized.toLowerCase, Vector.empty)
+    // resolve the conflict key against the DECLARED key sets (probed
     // DuckDB rules: explicit target must match a keyed index; no key at
     // all is a binder error, not a silent scan)
     val keys: Seq[String] = u.keyCols match {
       case Some(cols) =>
-        pk match {
-          case Some(p) if p.map(_.toLowerCase).toSet ==
-            cols.map(_.toLowerCase).toSet => p
-          case _ => throw new UserException(
-            s"INSERT ... ON CONFLICT (${cols.mkString(", ")}) on $name: the " +
-              "conflict target is not referenced by a declared PRIMARY KEY" +
-              pk.map(p => s" (declared key: ${p.mkString(", ")})")
-                .getOrElse(" (the table declares none)"))
-        }
-      case None => pk.getOrElse(throw new UserException(
-        s"upsert on $name: no PRIMARY KEY declared — DuckDB requires a " +
-          "UNIQUE/PRIMARY KEY index (declare it in the CREATE TABLE " +
-          "column list)"))
+        keysets.find(_.map(_.toLowerCase).toSet ==
+          cols.map(_.toLowerCase).toSet).getOrElse(throw new UserException(
+          s"INSERT ... ON CONFLICT (${cols.mkString(", ")}) on $name: the " +
+            "conflict target is not referenced by a declared PRIMARY KEY " +
+            "or UNIQUE index" +
+            (if (keysets.isEmpty) " (the table declares none)"
+             else s" (declared: ${keysets.map(_.mkString("+")).mkString(", ")})")))
+      case None =>
+        if (keysets.isEmpty) throw new UserException(
+          s"upsert on $name: no PRIMARY KEY declared — DuckDB requires a " +
+            "UNIQUE/PRIMARY KEY index (declare it in the CREATE TABLE " +
+            "column list or with CREATE UNIQUE INDEX)")
+        if (keysets.length > 1) throw new UserException(
+          s"upsert on $name: several key indexes declared — specify the " +
+            s"conflict target: ON CONFLICT (cols) " +
+            s"(declared: ${keysets.map(_.mkString("+")).mkString(", ")})")
+        keysets.head
     }
     // map declared key names onto the target's actual column spellings
     val byLower = existing.columns.map(c => c.toLowerCase -> c).toMap

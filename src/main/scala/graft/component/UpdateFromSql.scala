@@ -106,14 +106,48 @@ object UpdateFromSql {
     }
   }
 
-  /** Static-analysis twin: an UpdateTable plan whose EXISTS subquery
-    * carries the source dependency — same kind (target is output AND
-    * dependency), same dependency set. */
+  private val delHead =
+    "(?is)^\\s*DELETE\\s+FROM\\s+(`[^`]+`|\"[^\"]+\"|[A-Za-z_][\\w.]*)" +
+      "(?:\\s+(?:AS\\s+)?(?!USING\\b)([A-Za-z_]\\w*))?\\s+USING\\s+"
+
+  /** `DELETE FROM t [AS a] USING <rel> [AS b] WHERE <cond>` — the
+    * join-delete twin (same scope rules; `sets` is empty). */
+  def parseDelete(stmt0: String): Option[Parsed] = {
+    val stmt = stmt0.trim.stripSuffix(";")
+    val masked = Dialect.maskQuoted(stmt)
+    val hm = delHead.r.findFirstMatchIn(masked).getOrElse(return None)
+    val target = unq(stmt.substring(hm.start(1), hm.end(1)))
+    val alias = Option(hm.group(2))
+    val afterUsing = stmt.substring(hm.end)
+    val am = Dialect.maskQuoted(afterUsing)
+    val ad = Dialect.depths(am)
+    val wm = "(?is)\\bWHERE\\b".r.findAllMatchIn(am)
+      .find(m => ad(m.start) == 0).getOrElse(throw new UserException(
+        s"DELETE FROM $target USING: a WHERE join condition is required " +
+          "(an unconditioned cross-join delete empties the table on any " +
+          "non-empty source)"))
+    val fromText = afterUsing.substring(0, wm.start).trim
+    if (am.substring(0, wm.start).zipWithIndex
+        .exists { case (c, i) => c == ',' && ad(i) == 0 })
+      throw new UserException(
+        s"DELETE FROM $target USING: only one source relation is supported " +
+          "(pre-join multiple sources in a subquery)")
+    Some(Parsed(target, alias, Nil, fromText, afterUsing.substring(wm.end).trim))
+  }
+
+  /** Static-analysis twin: an UpdateTable/DeleteFromTable plan whose
+    * EXISTS subquery carries the source dependency — same kind (target
+    * is output AND dependency), same dependency set. */
   def stub(stmt: String): String =
     parse(stmt) match {
       case Some(p) =>
         s"UPDATE `${Names.view(p.target)}` SET __graft_stub = 1 " +
           s"WHERE EXISTS (SELECT 1 FROM ${p.fromText})"
-      case None => stmt
+      case None => parseDelete(stmt) match {
+        case Some(p) =>
+          s"DELETE FROM `${Names.view(p.target)}` " +
+            s"WHERE EXISTS (SELECT 1 FROM ${p.fromText})"
+        case None => stmt
+      }
     }
 }

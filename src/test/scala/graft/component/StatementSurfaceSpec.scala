@@ -892,6 +892,67 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(an.outputs == Set("uf_t") && an.dependencies == Set("uf_t", "uf_s"), an)
   }
 
+  test("DELETE USING / TRUNCATE / CREATE INDEX / COMMENT ON") {
+    val dir = Files.createTempDirectory("graft_delusing_")
+    val ex = new Executor(spark, dir.toString)
+    def run(sql: String) = ex.runStatement(Dialect.rewrite(sql))
+    run("CREATE TABLE du_t AS SELECT range AS k, 'v' || CAST(range AS VARCHAR) AS v FROM range(5)")
+    run("CREATE TABLE du_bad AS SELECT range * 2 AS k FROM range(2)")
+    // join-delete: rows matching the USING source go (probed)
+    run("DELETE FROM du_t USING du_bad WHERE du_t.k = du_bad.k")
+    assert(spark.table("du_t").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 3L, 4L)))
+    // subquery source + aliases
+    run("DELETE FROM du_t AS t USING (SELECT 3 AS k) q WHERE t.k = q.k")
+    assert(spark.table("du_t").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 4L)))
+    assert(intercept[UserException] {
+      run("DELETE FROM du_t USING du_bad")
+    }.getMessage.contains("WHERE"))
+    // TRUNCATE [TABLE] empties in place (rewrites to the DELETE path)
+    run("TRUNCATE du_bad")
+    assert(spark.table("du_bad").count() == 0)
+    run("TRUNCATE TABLE du_t")
+    assert(spark.table("du_t").count() == 0)
+    // CREATE INDEX is inert; CREATE UNIQUE INDEX declares an upsert key
+    run("CREATE TABLE idx_t (a INT, b VARCHAR)")
+    run("CREATE INDEX plain_idx ON idx_t (b)")
+    assert(intercept[UserException] {
+      run("INSERT INTO idx_t VALUES (1, 'x') ON CONFLICT (a) DO NOTHING")
+    }.getMessage.contains("conflict target"))
+    run("CREATE UNIQUE INDEX key_idx ON idx_t (a)")
+    run("INSERT INTO idx_t VALUES (1, 'x'), (2, 'y')")
+    run("INSERT INTO idx_t VALUES (1, 'X') ON CONFLICT (a) DO UPDATE SET b = excluded.b")
+    assert(spark.table("idx_t").orderBy("a").collect()
+      .map(_.getString(1)).sameElements(Array("X", "y")))
+    // DROP INDEX retracts the key; duplicate CREATE INDEX names reject
+    assert(intercept[UserException] {
+      run("CREATE INDEX key_idx ON idx_t (b)")
+    }.getMessage.contains("already exists"))
+    run("DROP INDEX key_idx")
+    assert(intercept[UserException] {
+      run("INSERT INTO idx_t VALUES (1, 'z') ON CONFLICT (a) DO NOTHING")
+    }.getMessage.contains("conflict target"))
+    assert(intercept[UserException] { run("DROP INDEX key_idx") }
+      .getMessage.contains("does not exist"))
+    run("DROP INDEX IF EXISTS key_idx") // silent
+    // COMMENT ON is inert catalog metadata
+    run("COMMENT ON TABLE idx_t IS 'hello'")
+    // static analysis survives all of them
+    val cfg = Config.parse(
+      """{"parameters": {"blocks": [{"name": "B", "codes": [
+        |  {"name": "q", "script": [
+        |    "DELETE FROM du_t USING du_bad WHERE du_t.k = du_bad.k",
+        |    "TRUNCATE du_t",
+        |    "CREATE UNIQUE INDEX i ON du_t (k)",
+        |    "COMMENT ON TABLE du_t IS 'x'"]}
+        |]}]}, "storage": {}}""".stripMargin)
+    assert(Actions.syntaxCheck(spark, cfg).isEmpty, Actions.syntaxCheck(spark, cfg))
+    val an = SqlAnalyzer.analyzeStatement(spark, Dialect.rewrite(
+      "DELETE FROM du_t USING du_bad WHERE du_t.k = du_bad.k"))
+    assert(an.outputs == Set("du_t") && an.dependencies == Set("du_t", "du_bad"), an)
+  }
+
   test("EXPORT DATABASE / IMPORT DATABASE round-trip the warehouse") {
     val wh1 = Files.createTempDirectory("graft_expdb_wh1_")
     val ex1 = new Executor(spark, wh1.toString)
