@@ -23,7 +23,14 @@ class DialectPropSpec extends AnyFunSuite {
       // round-12 trigger tokens: unnest/positional/sample/copy/dot-call —
       // every new rewrite must stay total on garbage arrangements
       "unnest(", "POSITIONAL", "SAMPLE", "COPY", "TO", ".", ".f(",
-      "ROWS", "%", "PERCENT", "REPEATABLE(")))
+      "ROWS", "%", "PERCENT", "REPEATABLE(",
+      // round-13 trigger tokens: operator spellings, the match family,
+      // sequences/indexes/upserts — the extent scanners must stay total
+      // (and terminate) on any garbage arrangement of their triggers
+      "//", "~~", "~", "!~", "~~~", "~~*", "GLOB", "SIMILAR", "NOT",
+      "SEQUENCE", "nextval(", "ON", "CONFLICT", "DO", "UPDATE", "SET",
+      "EXCLUDED.", "TRUNCATE", "INDEX", "UNIQUE", "EXPORT", "IMPORT",
+      "DATABASE", "ATTACH", "+", "-", "*", "/", "||", "'a.csv'")))
     .map(_.mkString(" "))
 
   private def samples(g: Gen[String], n: Int): Seq[String] =
