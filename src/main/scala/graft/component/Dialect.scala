@@ -163,11 +163,14 @@ object Dialect {
         .replaceAll("(?i)\\b(date_diff|datediff)\\s*\\(", "duck_date_diff(")
         // DuckDB/Postgres operator spellings of LIKE: `~~` ≡ LIKE,
         // `!~~` ≡ NOT LIKE, `*`-suffixed ≡ ILIKE — keyword swaps at the
-        // same precedence, longest spelling first
-        .replaceAll("!~~\\*", " NOT ILIKE ")
-        .replaceAll("~~\\*", " ILIKE ")
-        .replaceAll("!~~", " NOT LIKE ")
-        .replaceAll("~~", " LIKE ")
+        // same precedence, longest spelling first. Lookarounds refuse an
+        // adjacent third tilde: a `~~~` (glob) whose operand extents
+        // rewriteMatchOps could not parse must pass through WHOLE, not
+        // decay to ` LIKE ~` (partial mangling)
+        .replaceAll("(?<!~)!~~\\*(?!~)", " NOT ILIKE ")
+        .replaceAll("(?<![~!])~~\\*(?!~)", " ILIKE ")
+        .replaceAll("(?<!~)!~~(?![~*])", " NOT LIKE ")
+        .replaceAll("(?<![~!])~~(?![~*])", " LIKE ")
         // struct_pack(a := x, b := y) ≡ named_struct('a', x, 'b', y).
         // `:=` exists in DuckDB only as struct_pack's binder, so the
         // name rewrite is safe globally within unquoted text
@@ -516,12 +519,23 @@ object Dialect {
 
   /** Words that make a preceding `-`/`+` UNARY (sign of the operand)
     * rather than a binary operator whose right side the extent must not
-    * cross. */
+    * cross — and, symmetrically, words an operand back-scan must NOT
+    * consume as an identifier: `FROM glob('*.csv')` is a table function,
+    * not a GLOB match with left operand `FROM`; `CASE ... END // 2` has
+    * no parseable left extent. A bailed scan leaves the statement text
+    * untouched for Spark's parser to reject loudly (the documented
+    * leave-alone contract) instead of emitting a mangled call. Function-
+    * shaped names (filter, left, right, first, last) stay OUT of the set:
+    * they are legitimate call heads whose paren group must fold into the
+    * primary. */
   private val signKeyword = Set(
     "select", "where", "when", "then", "else", "and", "or", "not", "in",
     "on", "by", "having", "return", "returning", "case", "between",
     "like", "ilike", "is", "all", "any", "some", "distinct", "as",
-    "limit", "offset", "set", "values").contains _
+    "limit", "offset", "set", "values",
+    "from", "end", "join", "using", "into", "group", "order", "union",
+    "intersect", "except", "cross", "natural", "lateral", "exists",
+    "escape", "qualify", "window", "over", "partition").contains _
 
   /** Opening-position map for quoted spans and comments: for every index
     * inside one (quote chars included), the span's start; -1 elsewhere.

@@ -49,15 +49,51 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
   private val createEmpty =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?`?([^`\s(]+)`?\s*\((.+)\)\s*;?\s*$""".r
 
-  /** Declared key sets per table (lowercased sanitized name): the bare-
-    * DDL PRIMARY KEY first, then any CREATE UNIQUE INDEX keys — the legal
-    * conflict targets of the upsert surface. */
-  private val declaredKeys =
-    scala.collection.concurrent.TrieMap[String, Vector[Seq[String]]]()
+  /** The DDL-declared PRIMARY KEY per table (lowercased sanitized name).
+    * Kept SEPARATE from index-contributed keys: DROP INDEX must never
+    * retract a PRIMARY KEY that happens to share its column set. */
+  private val declaredPk =
+    scala.collection.concurrent.TrieMap[String, Seq[String]]()
 
-  /** UNIQUE index name → (table, cols), so DROP INDEX retracts the key. */
+  /** Index name → (table, cols); cols empty for a non-unique index. The
+    * single source of truth for index-contributed upsert keys: DROP INDEX
+    * removes its entry, [[keysetsFor]] derives the live key sets. */
   private val indexNames =
     scala.collection.concurrent.TrieMap[String, (String, Seq[String])]()
+
+  /** The legal upsert conflict targets of `table` (lowercased sanitized):
+    * its PRIMARY KEY plus every UNIQUE-index key, deduplicated as column
+    * SETS — a PK plus an identical UNIQUE index is ONE target, not a
+    * "several key indexes" ambiguity. */
+  private def keysetsFor(table: String): Vector[Seq[String]] = {
+    val all = declaredPk.get(table).toVector ++
+      indexNames.values.collect { case (t, cols) if t == table && cols.nonEmpty => cols }
+    all.foldLeft(Vector.empty[Seq[String]]) { (acc, ks) =>
+      if (acc.exists(_.map(_.toLowerCase).toSet ==
+        ks.map(_.toLowerCase).toSet)) acc
+      else acc :+ ks
+    }
+  }
+
+  /** Drop every piece of key metadata attached to `table` — called when
+    * the table object is dropped or replaced (DuckDB drops a table's
+    * indexes with it; a replacement table starts with no keys — stale
+    * keys surviving a CREATE OR REPLACE would mis-target later upserts). */
+  private def clearTableMeta(table: String): Unit = {
+    declaredPk.remove(table)
+    indexNames.filterInPlace { case (_, (t, _)) => t != table }
+  }
+
+  /** Carry key metadata across ALTER ... RENAME: the table object moved,
+    * its PK and indexes move with it (anything previously on the target
+    * name was just replaced). */
+  private def renameTableMeta(from: String, to: String): Unit = {
+    clearTableMeta(to)
+    declaredPk.remove(from).foreach(declaredPk.put(to, _))
+    indexNames.mapValuesInPlace { case (_, (t, cols)) =>
+      if (t == from) (to, cols) else (t, cols)
+    }
+  }
 
   /** View definitions registered this run, in creation order:
     * lowercased sanitized name → (sanitized name, body SQL, direct deps).
@@ -158,6 +194,7 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       if (ifNotExists != null &&
           spark.catalog.tableExists(s"`${Names.view(name)}`")) ()
       else {
+        clearTableMeta(Names.view(name).toLowerCase) // CTAS declares no keys
         register(name, materialize(name, bodyDf(body)))
         rebind(Names.view(name).toLowerCase)
       }
@@ -194,8 +231,9 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
             case None => Nil
           }
         }
+        clearTableMeta(Names.view(name).toLowerCase) // replacement starts clean
         if (pkCols.nonEmpty)
-          declaredKeys.put(Names.view(name).toLowerCase, Vector(pkCols))
+          declaredPk.put(Names.view(name).toLowerCase, pkCols)
         // column defs → StructType; the remaining constraint noise DuckDB
         // accepts (UNIQUE / DEFAULT v / CHECK(..)) is stripped — Spark
         // schemas carry none of it, and the data path is what the
@@ -236,6 +274,7 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
           register(to, spark.table(s"`$src`")) // view: same analyzed plan
         }
         spark.catalog.dropTempView(src)
+        renameTableMeta(src.toLowerCase, Names.view(to).toLowerCase)
         viewDefs.synchronized {
           Option(viewDefs.remove(src.toLowerCase)).foreach {
             case (_, body, deps) =>
@@ -274,6 +313,7 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       if (existed) {
         spark.catalog.dropTempView(sanitized)
         viewDefs.synchronized { viewDefs.remove(sanitized.toLowerCase) }
+        clearTableMeta(sanitized.toLowerCase)
       }
 
     case _ if UpsertSql.parse(stmt).isDefined =>
@@ -296,23 +336,16 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       if (c.unique && !indexNames.contains(c.name.toLowerCase)) {
         val t = Names.view(c.table).toLowerCase
         indexNames.put(c.name.toLowerCase, (t, c.cols))
-        declaredKeys.updateWith(t) {
-          case Some(ks) => Some(ks :+ c.cols)
-          case None => Some(Vector(c.cols))
-        }
       } else if (!c.unique)
         indexNames.putIfAbsent(c.name.toLowerCase, (Names.view(c.table).toLowerCase, Nil))
 
     case _ if IndexSql.parseDrop(stmt).isDefined =>
       val d = IndexSql.parseDrop(stmt).get
-      indexNames.remove(d.name.toLowerCase) match {
-        case Some((t, cols)) if cols.nonEmpty =>
-          declaredKeys.updateWith(t)(_.map(_.filterNot(_ == cols)))
-        case Some(_) => ()
-        case None if !d.ifExists =>
-          throw new UserException(s"DROP INDEX: index ${d.name} does not exist")
-        case None => ()
-      }
+      // removing the indexNames entry is the whole retraction: key sets
+      // are DERIVED per upsert via keysetsFor, so a DDL PRIMARY KEY that
+      // shares this index's columns keeps working after the drop
+      if (indexNames.remove(d.name.toLowerCase).isEmpty && !d.ifExists)
+        throw new UserException(s"DROP INDEX: index ${d.name} does not exist")
 
     case insertInto(name, rest0) =>
       val (existing, aligned) = alignedInsertSource(name, rest0)
@@ -692,12 +725,24 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     * DO UPDATE) one left join applying the SET projection, then the usual
     * atomic materialization swap. No per-row path: at 100 TB this is the
     * shuffle-on-key MERGE shape, broadcastable by AQE when the batch is
-    * small. */
+    * small. The insert source is pinned to ONE evaluation first (see
+    * `batch` below). */
   private def upsert(u: UpsertSql.Parsed): Unit = {
     val insertInto(name, rest0) = u.insertHead: @unchecked
-    val (existing, aligned) = alignedInsertSource(name, rest0)
+    val (existing, aligned0) = alignedInsertSource(name, rest0)
+    // ONE evaluation of the insert source for every consumer below (the
+    // dup-check aggregate, the anti-join, and — for Replace — the union
+    // branch live in SEPARATE plan subtrees): without the pin a
+    // nondeterministic source (nextval() surrogate keys, uuid(),
+    // random()) draws fresh values per subtree, so the rows checked for
+    // duplicates would not be the rows written, and the sequence would
+    // advance extra times. localCheckpoint materializes the batch as
+    // executor-side partitions (no driver collect); the joins' batch
+    // side stays AQE-broadcastable, and a heavy INSERT..SELECT source is
+    // computed once instead of 2–3×.
+    val aligned = aligned0.localCheckpoint()
     val sanitized = Names.view(name)
-    val keysets = declaredKeys.getOrElse(sanitized.toLowerCase, Vector.empty)
+    val keysets = keysetsFor(sanitized.toLowerCase)
     // resolve the conflict key against the DECLARED key sets (probed
     // DuckDB rules: explicit target must match a keyed index; no key at
     // all is a binder error, not a silent scan)

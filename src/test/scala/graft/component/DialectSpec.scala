@@ -98,6 +98,11 @@ class DialectSpec extends AnyFunSuite {
     // literals and comments keep their slashes
     assert(r("SELECT 'a // b' AS s") == "SELECT 'a // b' AS s")
     assert(r("SELECT a FROM t -- x // y\n") == "SELECT a FROM t -- x // y\n")
+    // clause keywords are NOT operands: an unparenthesized CASE end has
+    // no scannable left extent — the text passes through WHOLE for
+    // Spark's parser to reject loudly, never `divide(END, 2)`
+    assert(r("SELECT CASE WHEN x THEN a ELSE b END // 2 FROM t") ==
+      "SELECT CASE WHEN x THEN a ELSE b END // 2 FROM t")
   }
 
   test("~ / SIMILAR TO / GLOB operators lower to full-match functions") {
@@ -124,6 +129,10 @@ class DialectSpec extends AnyFunSuite {
     // unary bitwise ~ has no left operand and stays (Spark parses it)
     assert(r("SELECT ~5 AS b FROM t") == "SELECT ~5 AS b FROM t")
     assert(r("SELECT '~ stays' AS s") == "SELECT '~ stays' AS s")
+    // GLOB the keyword only rewrites INFIX: `FROM glob('*.csv')` is a
+    // table-function call whose "left operand" is the FROM keyword —
+    // the scan bails and the text survives whole (never duck_glob(FROM,…))
+    assert(r("SELECT * FROM glob('*.csv')") == "SELECT * FROM glob('*.csv')")
   }
 
   test("~~ operator family becomes LIKE/ILIKE keywords") {
@@ -133,6 +142,12 @@ class DialectSpec extends AnyFunSuite {
     assert(r("SELECT a ~~* 'x%' FROM t") == "SELECT a  ILIKE  'x%' FROM t")
     assert(r("SELECT a !~~* 'x%' FROM t") == "SELECT a  NOT ILIKE  'x%' FROM t")
     assert(r("SELECT '~~ stays' AS s") == "SELECT '~~ stays' AS s")
+    // a ~~~ whose operand extents did not parse (END is not an operand)
+    // must pass through WHOLE — the LIKE swaps refuse an adjacent third
+    // tilde rather than decaying it to ` LIKE ~`
+    val kept = r("SELECT CASE WHEN x THEN a ELSE b END ~~~ 'p*' FROM t")
+    assert(kept.contains("~~~"), kept)
+    assert(!kept.contains("LIKE"), kept)
   }
 
   test("lint ignores parens and keywords inside literals") {

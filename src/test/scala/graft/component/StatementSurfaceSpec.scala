@@ -953,6 +953,70 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(an.outputs == Set("du_t") && an.dependencies == Set("du_t", "du_bad"), an)
   }
 
+  test("key metadata lifecycle: PK vs UNIQUE index, replace/rename/drop") {
+    val dir = Files.createTempDirectory("graft_keymeta_")
+    val ex = new Executor(spark, dir.toString)
+    def run(sql: String) = ex.runStatement(Dialect.rewrite(sql))
+    // a PK plus an IDENTICAL UNIQUE index is ONE conflict target (key
+    // sets dedup), and DROP INDEX must NOT retract the PRIMARY KEY
+    run("CREATE TABLE km_t (k INT PRIMARY KEY, v VARCHAR)")
+    run("CREATE UNIQUE INDEX km_i ON km_t (k)")
+    run("INSERT INTO km_t VALUES (1, 'a')")
+    run("INSERT INTO km_t VALUES (1, 'b') ON CONFLICT DO UPDATE SET v = excluded.v")
+    assert(spark.table("km_t").collect().map(_.getString(1)).sameElements(Array("b")))
+    run("DROP INDEX km_i")
+    run("INSERT INTO km_t VALUES (1, 'c') ON CONFLICT DO UPDATE SET v = excluded.v")
+    assert(spark.table("km_t").collect().map(_.getString(1)).sameElements(Array("c")))
+    // CREATE OR REPLACE TABLE clears stale keys AND the table's indexes
+    run("CREATE UNIQUE INDEX km_i2 ON km_t (v)")
+    run("CREATE OR REPLACE TABLE km_t (a INT, b VARCHAR)")
+    run("INSERT INTO km_t VALUES (1, 'x')")
+    assert(intercept[UserException] {
+      run("INSERT INTO km_t VALUES (1, 'y') ON CONFLICT DO NOTHING")
+    }.getMessage.contains("no PRIMARY KEY"))
+    // ... and the replaced table's index NAMES are free again
+    run("CREATE UNIQUE INDEX km_i2 ON km_t (a)")
+    run("INSERT INTO km_t VALUES (1, 'z') ON CONFLICT (a) DO NOTHING")
+    assert(spark.table("km_t").collect().map(_.getString(1)).sameElements(Array("x")))
+    // DROP TABLE clears; a CTAS under the same name declares no keys
+    run("DROP TABLE km_t")
+    run("CREATE TABLE km_t AS SELECT 1 AS a FROM range(1)")
+    assert(intercept[UserException] {
+      run("INSERT INTO km_t VALUES (2) ON CONFLICT DO NOTHING")
+    }.getMessage.contains("no PRIMARY KEY"))
+    // ALTER ... RENAME carries the PK (and its indexes) to the new name
+    run("CREATE TABLE km_r (k INT PRIMARY KEY, v VARCHAR)")
+    run("INSERT INTO km_r VALUES (1, 'a')")
+    run("ALTER TABLE km_r RENAME TO km_r2")
+    run("INSERT INTO km_r2 VALUES (1, 'b') ON CONFLICT DO UPDATE SET v = excluded.v")
+    assert(spark.table("km_r2").collect().map(_.getString(1)).sameElements(Array("b")))
+  }
+
+  test("upsert evaluates a nondeterministic insert source exactly once") {
+    val dir = Files.createTempDirectory("graft_upseq_")
+    val ex = new Executor(spark, dir.toString)
+    def run(sql: String) = ex.runStatement(Dialect.rewrite(sql))
+    def q(sql: String) = spark.sql(Dialect.rewrite(sql))
+    run("CREATE SEQUENCE us_seq")
+    run("CREATE TABLE us_t (id BIGINT PRIMARY KEY, v VARCHAR)")
+    // OR REPLACE references the batch in TWO plan subtrees (anti-join +
+    // union) besides the dup-check aggregate; without the localCheckpoint
+    // pin each subtree would re-draw the sequence, writing ids the dup
+    // check never saw
+    run("INSERT OR REPLACE INTO us_t SELECT nextval('us_seq'), " +
+      "'r' || CAST(range AS VARCHAR) FROM range(3)")
+    val ids = spark.table("us_t").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)), ids.toSeq)
+    // the sequence advanced exactly three times: the next draw is 4
+    assert(q("SELECT nextval('us_seq') AS n").collect().head.getLong(0) == 4L)
+    // DO UPDATE path: two fresh draws (5, 6), nothing re-drawn
+    run("INSERT INTO us_t SELECT nextval('us_seq'), 'x' FROM range(2) " +
+      "ON CONFLICT (id) DO UPDATE SET v = excluded.v")
+    val ids2 = spark.table("us_t").collect().map(_.getLong(0)).sorted
+    assert(ids2.sameElements(Array(1L, 2L, 3L, 5L, 6L)), ids2.toSeq)
+    assert(q("SELECT nextval('us_seq') AS n").collect().head.getLong(0) == 7L)
+  }
+
   test("EXPORT DATABASE / IMPORT DATABASE round-trip the warehouse") {
     val wh1 = Files.createTempDirectory("graft_expdb_wh1_")
     val ex1 = new Executor(spark, wh1.toString)
