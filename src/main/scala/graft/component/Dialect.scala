@@ -44,7 +44,19 @@ object Dialect {
       "have no Spark SQL object; use VARCHAR values (a CHECK-style " +
       "validation can be a WHERE + loud count assertion)"),
     "ALTER_SEQUENCE" -> ("ALTER SEQUENCE is not supported: re-create the " +
-      "sequence (CREATE OR REPLACE SEQUENCE) with the new parameters"))
+      "sequence (CREATE OR REPLACE SEQUENCE) with the new parameters"),
+    "MERGE" -> ("MERGE INTO (DuckDB >= 1.4) is not supported: rewrite as " +
+      "an upsert — INSERT ... ON CONFLICT (key) DO UPDATE SET ... for " +
+      "WHEN MATCHED THEN UPDATE, DO NOTHING for a no-op match arm, and " +
+      "DELETE ... USING for WHEN MATCHED THEN DELETE"),
+    "FRAME_GROUPS" -> ("window frame GROUPS mode is not supported (no " +
+      "Spark equivalent; DuckDB 1.0 also rejects it): use ROWS for " +
+      "physical offsets or RANGE for value offsets"),
+    "FRAME_EXCLUDE" -> ("window frame EXCLUDE CURRENT ROW / GROUP / TIES " +
+      "is not supported (Spark frames have no exclusion): subtract the " +
+      "excluded rows explicitly, e.g. sum(x) OVER (...) - x for " +
+      "EXCLUDE CURRENT ROW (EXCLUDE NO OTHERS, the default, is accepted " +
+      "and stripped)"))
 
   def rejectSentinel(kind: String): String = s"SET __graft_rejected_$kind = true"
 
@@ -961,6 +973,34 @@ object Dialect {
       return rejectSentinel("CREATE_TYPE")
     if ("(?is)^\\s*ALTER\\s+SEQUENCE\\b".r.findFirstIn(stmt).isDefined)
       return rejectSentinel("ALTER_SEQUENCE")
+    // MERGE INTO is DuckDB ≥1.4 surface (the reference pins 1.4.4/1.5.2;
+    // v1.0 probes a parse error) with no Spark temp-view spelling — the
+    // upsert statements cover the idiom, so reject with the rewrite hint
+    if ("(?is)^\\s*MERGE\\s+INTO\\b".r.findFirstIn(stmt).isDefined)
+      return rejectSentinel("MERGE")
+    // window-frame triage (probed v1.0: GROUPS mode is a parse error
+    // even there; EXCLUDE works in DuckDB but Spark frames have no
+    // exclusion). EXCLUDE NO OTHERS restates the default — strip it;
+    // the other EXCLUDE forms and GROUPS mode reject loudly rather than
+    // dying as an opaque Spark parse error. Scoped to statements that
+    // actually carry a window (OVER () — masked scan, so literals with
+    // these words never trigger.
+    locally {
+      val masked = maskQuoted(stmt)
+      if ("(?i)\\bOVER\\s*\\(".r.findFirstIn(masked).isDefined) {
+        if ("(?i)\\bGROUPS\\s+(BETWEEN\\b|UNBOUNDED\\b|CURRENT\\s+ROW|\\d)".r
+            .findFirstIn(masked).isDefined)
+          return rejectSentinel("FRAME_GROUPS")
+        if ("(?i)\\bEXCLUDE\\s+(CURRENT\\s+ROW|GROUP\\b|TIES\\b)".r
+            .findFirstIn(masked).isDefined)
+          return rejectSentinel("FRAME_EXCLUDE")
+        val noOthers = "(?i)\\bEXCLUDE\\s+NO\\s+OTHERS".r
+        val hit = noOthers.findFirstMatchIn(masked)
+        if (hit.isDefined)
+          return rewritePragma(
+            stmt.substring(0, hit.get.start) + stmt.substring(hit.get.end))
+      }
+    }
     val m = "(?is)^\\s*PRAGMA\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*(?:=\\s*(.+?)|\\(\\s*(.+?)\\s*\\))?\\s*;?\\s*$".r
       .findFirstMatchIn(stmt)
     m match {

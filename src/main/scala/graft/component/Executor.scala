@@ -163,19 +163,26 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     s
   }
 
-  /** Run one rewritten statement against the session catalog. */
-  def runStatement(stmt0: String): Unit = {
-    val stmt = stripLeadingComments(stmt0)
+  /** Run one rewritten statement against the session catalog. Returns the
+    * RETURNING projection over the DML's affected-row delta when the
+    * statement carries one (None otherwise) — the reference exposes
+    * RETURNING rows as the statement's result set the same way. */
+  def runStatement(stmt0: String): Option[DataFrame] = {
+    val stmtFull = stripLeadingComments(stmt0)
     // ROLLBACK reaches execution as the dialect's sentinel (static
     // analysis lists it; a RUN must fail loudly — the user asked for
     // work to be undone and statements here commit as they run)
-    if (stmt.trim == Dialect.RollbackSentinel)
+    if (stmtFull.trim == Dialect.RollbackSentinel)
       throw new UserException(Dialect.RollbackMessage)
     // ATTACH/DETACH/CREATE TYPE/ALTER SEQUENCE arrive as reject sentinels
     // for the same reason: static analysis lists them, a run fails loudly
-    Dialect.rejectedKind(stmt).foreach(k =>
+    Dialect.rejectedKind(stmtFull).foreach(k =>
       throw new UserException(Dialect.RejectMessages(k)))
+    // RETURNING splits off before dispatch (Spark's parser has no such
+    // clause); each DML branch below records its affected-row delta
+    val (stmt, returning) = ReturningSql.split(stmtFull)
     FileReads.ensureRegistered(spark, stmt) // read_csv/read_parquet views
+    var delta: Option[DataFrame] = None
     stmt match {
     case createView(ifNotExists, name, body) =>
       val sanitized = Names.view(name)
@@ -317,13 +324,16 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       }
 
     case _ if UpsertSql.parse(stmt).isDefined =>
-      upsert(UpsertSql.parse(stmt).get)
+      // probed v1.0 RETURNING semantics: every PROPOSED row, verbatim —
+      // which is exactly the pinned batch the upsert evaluated once
+      delta = Some(upsert(UpsertSql.parse(stmt).get))
 
     case _ if UpdateFromSql.parse(stmt).isDefined =>
-      updateFrom(UpdateFromSql.parse(stmt).get)
+      delta = updateFrom(UpdateFromSql.parse(stmt).get, returning.isDefined)
 
     case _ if UpdateFromSql.parseDelete(stmt).isDefined =>
-      deleteUsing(UpdateFromSql.parseDelete(stmt).get)
+      delta = deleteUsing(UpdateFromSql.parseDelete(stmt).get,
+        returning.isDefined)
 
     case _ if IndexSql.parseCreate(stmt).isDefined =>
       // a NON-unique index is a lookup accelerator with no semantic
@@ -348,9 +358,14 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
         throw new UserException(s"DROP INDEX: index ${d.name} does not exist")
 
     case insertInto(name, rest0) =>
-      val (existing, aligned) = alignedInsertSource(name, rest0)
+      val (existing, aligned0) = alignedInsertSource(name, rest0)
+      // under RETURNING the observed rows must be the WRITTEN rows: pin a
+      // (possibly nondeterministic) source to one evaluation
+      val aligned = if (returning.isDefined) aligned0.localCheckpoint()
+                    else aligned0
       register(name, materialize(name, existing.unionByName(aligned)))
       rebind(Names.view(name).toLowerCase)
+      delta = Some(aligned)
 
     case _ if ExportDb.parseExport(stmt).isDefined =>
       exportDatabase(ExportDb.parseExport(stmt).get)
@@ -432,6 +447,13 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
           val out = cond
             .map(e => df.filter(!coalesce(GraftSqlBridge.column(e), lit(false))))
             .getOrElse(df.limit(0))
+          if (returning.isDefined) {
+            // the deleted rows' OLD values — pinned before the swap
+            // deletes the files they'd be read from
+            val hit = cond.map(e =>
+              coalesce(GraftSqlBridge.column(e), lit(false))).getOrElse(lit(true))
+            delta = Some(df.filter(hit).localCheckpoint())
+          }
           register(name, materialize(name, out))
           rebind(Names.view(name).toLowerCase)
 
@@ -454,6 +476,20 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
               case None => col(c)
             }
           }: _*)
+          if (returning.isDefined) {
+            // the matched rows with their NEW (post-SET) values, cast to
+            // out's when()-coerced column types so delta and table agree
+            // — pinned before the swap
+            val hit = cond.map(p =>
+              coalesce(GraftSqlBridge.column(p), lit(false))).getOrElse(lit(true))
+            delta = Some(df.filter(hit).select(df.columns.map { c =>
+              assigned.get(c.toLowerCase) match {
+                case Some(value) => GraftSqlBridge.column(value)
+                  .cast(out.schema(c).dataType).as(c)
+                case None => col(c)
+              }
+            }: _*).localCheckpoint())
+          }
           register(name, materialize(name, out))
           rebind(Names.view(name).toLowerCase)
 
@@ -461,6 +497,13 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
           // plain SELECT / SET / etc.: execute for effect + error surfacing
           spark.sql(stmt).queryExecution.assertAnalyzed()
       }
+    }
+    returning.map { proj =>
+      val d = delta.getOrElse(throw new UserException(
+        "RETURNING is only supported on INSERT / UPDATE / DELETE " +
+          "statements (including the ON CONFLICT / OR REPLACE / OR " +
+          "IGNORE upsert forms)"))
+      d.selectExpr(ReturningSql.projExprs(proj): _*)
     }
   }
 
@@ -674,7 +717,8 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     * error). Unqualified column references shared by both sides raise
     * the analyzer's ambiguity error — qualify with the table/alias
     * names, which this join exposes verbatim. */
-  private def updateFrom(u: UpdateFromSql.Parsed): Unit = {
+  private def updateFrom(u: UpdateFromSql.Parsed,
+                         wantDelta: Boolean): Option[DataFrame] = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{monotonically_increasing_id, row_number}
     val sanitized = Names.view(u.target)
@@ -694,40 +738,59 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     setMap.keys.foreach(c => if (!byLower.contains(c))
       throw new UserException(
         s"UPDATE ${u.target}: SET column $c does not exist"))
-    val out = one.select(existing.columns.map { c =>
+    val projCols = existing.columns.map { c =>
       setMap.get(c.toLowerCase) match {
         case Some(e) => when(coalesce(col("__upd_hit"), lit(false)),
           expr(e).cast(existing.schema(c).dataType))
           .otherwise(expr(s"`$tAlias`.`$c`")).as(c)
         case None => expr(s"`$tAlias`.`$c`").as(c)
       }
-    }: _*)
+    }
+    val out = one.select(projCols: _*)
+    // RETURNING delta: the matched rows with their post-SET values —
+    // same projection, filtered to hits, pinned BEFORE the swap deletes
+    // the old files it reads
+    val delta = if (wantDelta)
+      Some(one.filter(coalesce(col("__upd_hit"), lit(false)))
+        .select(projCols: _*).localCheckpoint())
+    else None
     register(u.target, materialize(u.target, out))
     rebind(sanitized.toLowerCase)
+    delta
   }
 
   /** `DELETE ... USING` re-derivation — an anti-join of the target
     * against the source on the user's WHERE keeps exactly the rows with
     * NO match (the deleted set is the matched one). Same parse/scope
     * contract as [[updateFrom]]. */
-  private def deleteUsing(u: UpdateFromSql.Parsed): Unit = {
+  private def deleteUsing(u: UpdateFromSql.Parsed,
+                          wantDelta: Boolean): Option[DataFrame] = {
     val sanitized = Names.view(u.target)
     val existing = spark.table(s"`$sanitized`")
     val tAlias = u.targetAlias.getOrElse(u.target)
     val (srcSql, sAlias) = UpdateFromSql.sourceOf(u)
+    val src = bodyDf(srcSql)
     val kept = existing.alias(tAlias)
-      .join(bodyDf(srcSql).alias(sAlias), expr(u.where), "left_anti")
+      .join(src.alias(sAlias), expr(u.where), "left_anti")
+    // RETURNING delta: the DELETED rows (the semi-join complement of
+    // kept), old values, pinned before the swap
+    val delta = if (wantDelta)
+      Some(existing.alias(tAlias)
+        .join(src.alias(sAlias), expr(u.where), "left_semi").localCheckpoint())
+    else None
     register(u.target, materialize(u.target, kept))
     rebind(sanitized.toLowerCase)
+    delta
   }
 
   /** Upsert re-derivation — one anti-join for the fresh inserts plus (for
     * DO UPDATE) one left join applying the SET projection, then the usual
     * atomic materialization swap. No per-row path: at 100 TB this is the
     * shuffle-on-key MERGE shape, broadcastable by AQE when the batch is
-    * small. The insert source is pinned to ONE evaluation first (see
-    * `batch` below). */
-  private def upsert(u: UpsertSql.Parsed): Unit = {
+    * small. The insert source is pinned to ONE evaluation first and
+    * returned as the RETURNING delta (probed v1.0: every proposed row,
+    * verbatim). */
+  private def upsert(u: UpsertSql.Parsed): DataFrame = {
     val insertInto(name, rest0) = u.insertHead: @unchecked
     val (existing, aligned0) = alignedInsertSource(name, rest0)
     // ONE evaluation of the insert source for every consumer below (the
@@ -818,6 +881,7 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     }
     register(name, materialize(name, result))
     rebind(sanitized.toLowerCase)
+    aligned
   }
 
   /** EXPORT DATABASE: dump every warehouse table (data + CREATE TABLE

@@ -472,25 +472,48 @@ case class ParseFilename(child: Expression, trimExtension: Boolean, seps: String
 
 /** `GLOB` / `~~~` match: DuckDB's filename-glob operator over strings
   * (probed: `*` any run, `?` one char, `[a-z]` / `[!a-z]` classes,
-  * case-sensitive, whole-string anchored). The translated regex is
-  * cached per distinct pattern — the pattern is a literal in every
-  * real script, so the hot path is one compiled-Pattern match. */
+  * case-sensitive, whole-string anchored). Codegen-native since round 14
+  * (the CodegenFallback version demoted its whole projection out of
+  * whole-stage codegen — PLANS_r13 recorded the missing `*(n)` star):
+  * a literal pattern (every real script) compiles ONCE at codegen time
+  * into a plan-referenced Pattern; a column pattern goes through the
+  * shared bounded cache. */
 case class GlobMatch(left: Expression, right: Expression)
-    extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.BooleanType
   override def prettyName: String = "duck_glob"
-  @transient private var lastPat: UTF8String = _
-  @transient private var compiled: java.util.regex.Pattern = _
-  override protected def nullSafeEval(s: Any, p: Any): Any = {
-    val pu = p.asInstanceOf[UTF8String]
-    if (compiled == null || pu != lastPat) {
-      lastPat = pu.clone()
-      compiled = java.util.regex.Pattern.compile(
-        GapKernels.globToRegex(pu.toString))
+  override protected def nullSafeEval(s: Any, p: Any): Any =
+    GlobMatch.matches(s.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val static = if (right.foldable) Option(right.eval(null)) else None
+    static match {
+      case Some(p: UTF8String) =>
+        val pat = ctx.addReferenceObj("globPattern",
+          java.util.regex.Pattern.compile(GapKernels.globToRegex(p.toString)),
+          "java.util.regex.Pattern")
+        defineCodeGen(ctx, ev, (s, _) => s"$pat.matcher($s.toString()).matches()")
+      case _ =>
+        defineCodeGen(ctx, ev,
+          (s, p) => s"graft.functions.GlobMatch.matches($s, $p)")
     }
-    compiled.matcher(s.asInstanceOf[UTF8String].toString).matches()
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
+}
+
+object GlobMatch {
+  /** Pattern text → compiled regex, shared across tasks (the expression
+    * instance is reused by concurrent partitions, so a per-instance
+    * mutable cache would race) and BOUNDED: a pathological all-distinct
+    * pattern column degrades to compile-per-row, never to OOM. */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    UTF8String, java.util.regex.Pattern]()
+  def matches(s: UTF8String, p: UTF8String): Boolean = {
+    var c = cache.get(p)
+    if (c == null) {
+      c = java.util.regex.Pattern.compile(GapKernels.globToRegex(p.toString))
+      if (cache.size < 1024) cache.put(p.clone(), c)
+    }
+    c.matcher(s.toString).matches()
+  }
 }

@@ -346,6 +346,24 @@ object Extended {
       graft.component.DuckFunctions.register(s)
       T.documents(s, d).createOrReplaceTempView("documents")
       s.sql(graft.component.Dialect.rewrite(Oracle.q77))
+    }),
+
+    // RETURNING (IDENTICAL text both engines): the DML-result clause —
+    // UPDATE ... RETURNING yields the matched rows with their NEW
+    // (post-SET) values (probed v1.0; stable across versions for the
+    // plain DML forms — the version-sensitive upsert-RETURNING image is
+    // spec-pinned instead). Runs the script through the component
+    // executor against a throwaway warehouse; the statement's result IS
+    // the ledger row. The oracle leg executes the same two statements
+    // (the checker's DuckDB `execute` returns the last result).
+    "q78_returning" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_q78_wh_").toString
+      val ex = new graft.component.Executor(s, wh)
+      graft.component.Dialect.prepare(Oracle.q78)
+        .flatMap(ex.runStatement(_)).last
     })
   )
 
@@ -629,6 +647,17 @@ object Extended {
         |       concat(lang, '.csv') ~~~ '??.csv' AS g2
         |FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id""".stripMargin
 
+    /** Shared DuckDB/Spark text — q78 runs this verbatim in both engines
+      * (multi-statement; the RETURNING result of the LAST statement is
+      * the compared relation). CREATE OR REPLACE keeps the script
+      * idempotent so the checker's type-introspection re-run sees the
+      * same types. */
+    val q78: String =
+      """CREATE OR REPLACE TABLE ret_q78 AS
+        |  SELECT l_orderkey AS k, CAST(l_quantity AS BIGINT) AS q, l_returnflag AS f
+        |  FROM lineitem WHERE l_orderkey % 50 = 0;
+        |UPDATE ret_q78 SET q = q * 2 WHERE f = 'R' RETURNING k AS k, q AS q, f AS f""".stripMargin
+
     val q37: String =
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
@@ -752,6 +781,7 @@ object Extended {
     "q75_intervals" -> Oracle.q75,
     "q76_opspell" -> Oracle.q76,
     "q77_matchops" -> Oracle.q77,
+    "q78_returning" -> Oracle.q78,
     "q37_grouping_sets" -> Oracle.q37,
     "q38_outer_joins" -> Oracle.q38,
     "q39_in_subquery" -> Oracle.q39,

@@ -120,6 +120,29 @@ class GapExprsSpec extends SparkSpec {
     assert(duck("SELECT 'abc' ~ 'a' || 'bc'") == "falsebc")
   }
 
+  test("duck_glob stays inside whole-stage codegen") {
+    session.range(50).selectExpr("concat('f_', id, '.txt') AS p",
+      "CASE WHEN id % 2 = 0 THEN 'f_*.txt' ELSE 'g_*' END AS pat")
+      .createOrReplaceTempView("glob_cg")
+    // literal pattern: compiled once at codegen time (addReferenceObj)
+    val lit = session.sql(
+      "SELECT p, duck_glob(p, 'f_*[0-9].txt') AS g FROM glob_cg")
+    assert(lit.collect().forall(_.getBoolean(1)))
+    val plan = lit.queryExecution.executedPlan.toString
+    // the Project line carries the `*(n)` codegen star — no fallback
+    // demotion (PLANS_r13 recorded the old CodegenFallback demotion)
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined, plan)
+    assert(plan.contains("duck_glob"), plan)
+    // column pattern: the shared-cache path, same star
+    val dyn = session.sql("SELECT count(*) AS n FROM glob_cg WHERE duck_glob(p, pat)")
+    assert(dyn.collect().head.getLong(0) == 25L)
+    val dplan = dyn.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) (Project|Filter)".r.findFirstIn(dplan).isDefined, dplan)
+    // NULL pattern literal keeps null semantics through codegen
+    assert(session.sql("SELECT duck_glob('x', CAST(NULL AS STRING)) AS g")
+      .collect().head.isNullAt(0))
+  }
+
   test("date_diff: PART-BOUNDARY counting (not elapsed units)") {
     assert(duck("SELECT date_diff('day', DATE '2024-01-01', DATE '2024-03-05')") == 64L)
     // one month BOUNDARY crossed even though <1 month elapsed

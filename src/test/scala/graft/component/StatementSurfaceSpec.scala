@@ -994,6 +994,7 @@ class StatementSurfaceSpec extends SparkSpec {
 
   test("upsert evaluates a nondeterministic insert source exactly once") {
     val dir = Files.createTempDirectory("graft_upseq_")
+    DuckFunctions.register(spark) // nextval/currval live in the registry
     val ex = new Executor(spark, dir.toString)
     def run(sql: String) = ex.runStatement(Dialect.rewrite(sql))
     def q(sql: String) = spark.sql(Dialect.rewrite(sql))
@@ -1015,6 +1016,88 @@ class StatementSurfaceSpec extends SparkSpec {
     val ids2 = spark.table("us_t").collect().map(_.getLong(0)).sorted
     assert(ids2.sameElements(Array(1L, 2L, 3L, 5L, 6L)), ids2.toSeq)
     assert(q("SELECT nextval('us_seq') AS n").collect().head.getLong(0) == 7L)
+  }
+
+  test("RETURNING on INSERT / UPDATE / DELETE and the upsert forms") {
+    val dir = Files.createTempDirectory("graft_ret_")
+    DuckFunctions.register(spark) // nextval/currval live in the registry
+    val ex = new Executor(spark, dir.toString)
+    def run(sql: String) = ex.runStatement(Dialect.rewrite(sql))
+    run("CREATE TABLE r_t (k INT PRIMARY KEY, v VARCHAR, w INT)")
+    // INSERT: one output row per source row, the target's columns in
+    // scope, expressions + aliases allowed (probed v1.0)
+    val ins = run("INSERT INTO r_t VALUES (1,'a',10),(2,'b',20) RETURNING *").get
+    assert(ins.columns.toSeq == Seq("k", "v", "w"))
+    assert(ins.orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((1, "a", 10), (2, "b", 20)))
+    val expr = run(
+      "INSERT INTO r_t VALUES (4,'d',40) RETURNING k*10 AS kk, upper(v) AS uv").get
+    assert(expr.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((40, "D")))
+    // plain UPDATE: matched rows with their NEW values; no match = 0 rows
+    val upd = run("UPDATE r_t SET w = w + 1 WHERE k < 3 RETURNING k, w").get
+    assert(upd.orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq == Seq((1, 11), (2, 21)))
+    assert(run("UPDATE r_t SET w = 0 WHERE k = 99 RETURNING k").get.count() == 0)
+    // UPDATE ... FROM
+    run("CREATE TABLE r_s AS SELECT 2 AS k, 'B' AS nv")
+    val uf = run("UPDATE r_t SET v = r_s.nv FROM r_s " +
+      "WHERE r_t.k = r_s.k RETURNING k, v").get
+    assert(uf.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((2, "B")))
+    // DELETE: the deleted rows' OLD values
+    val del = run("DELETE FROM r_t WHERE k >= 4 RETURNING k, v").get
+    assert(del.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((4, "d")))
+    // DELETE ... USING
+    run("CREATE TABLE r_bad AS SELECT 1 AS k")
+    val du = run("DELETE FROM r_t USING r_bad WHERE r_t.k = r_bad.k RETURNING k").get
+    assert(du.collect().map(_.getInt(0)).toSeq == Seq(1))
+    // upserts (probed v1.0: every PROPOSED row verbatim — a DO NOTHING
+    // conflict row comes back, a DO UPDATE row shows its PRE-merge image;
+    // version-sensitive, so pinned here, never a hashed oracle row).
+    // v1.0 itself crashes on this mixed conflict+fresh batch — an engine
+    // bug not replicated.
+    val up1 = run("INSERT INTO r_t VALUES (2,'Z',0),(7,'g',7) " +
+      "ON CONFLICT (k) DO UPDATE SET v = excluded.v RETURNING *").get
+    assert(up1.orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((2, "Z", 0), (7, "g", 7)))
+    // ... while the TABLE merged only v (w kept)
+    assert(spark.table("r_t").filter("k = 2").collect()
+      .map(r => (r.getString(1), r.getInt(2))).toSeq == Seq(("Z", 21)))
+    val up2 = run(
+      "INSERT INTO r_t VALUES (7,'x',0) ON CONFLICT (k) DO NOTHING RETURNING k, v").get
+    assert(up2.collect().map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((7, "x")))
+    val up3 = run("INSERT OR REPLACE INTO r_t VALUES (7,'R',70) RETURNING *").get
+    assert(up3.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq ==
+      Seq((7, "R", 70)))
+    // nextval through RETURNING: the generated keys come back, and the
+    // returned ids are EXACTLY the written ids (single evaluation)
+    run("CREATE SEQUENCE r_seq")
+    run("CREATE TABLE r_ids (id BIGINT PRIMARY KEY, x VARCHAR)")
+    val ids = run("INSERT INTO r_ids SELECT nextval('r_seq'), 'v' FROM range(3) " +
+      "RETURNING id").get.collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 2L, 3L)), ids.toSeq)
+    assert(spark.table("r_ids").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 3L)))
+    // `AS returning` is a legal column ALIAS (probed), not the clause
+    run("CREATE TABLE r_al (returning INT)")
+    run("INSERT INTO r_al SELECT 5 AS returning")
+    assert(spark.table("r_al").collect().map(_.getInt(0)).toSeq == Seq(5))
+    // static analysis: deps/outputs match the plain DML, syntax_check ok
+    val an = SqlAnalyzer.analyzeStatement(spark, Dialect.rewrite(
+      "INSERT INTO r_t SELECT * FROM src RETURNING k"))
+    assert(an.outputs == Set("r_t") && an.dependencies == Set("src"), an)
+    val cfg = Config.parse(
+      """{"parameters": {"blocks": [{"name": "B", "codes": [
+        |  {"name": "q", "script": [
+        |    "INSERT INTO r_t VALUES (9, 'n', 0) RETURNING k, v"]}
+        |]}]}, "storage": {}}""".stripMargin)
+    assert(Actions.syntaxCheck(spark, cfg).isEmpty, Actions.syntaxCheck(spark, cfg))
   }
 
   test("EXPORT DATABASE / IMPORT DATABASE round-trip the warehouse") {
@@ -1079,7 +1162,33 @@ class StatementSurfaceSpec extends SparkSpec {
       Dialect.rejectSentinel("CREATE_TYPE"))
     assert(Dialect.rewrite("ALTER SEQUENCE s RESTART") ==
       Dialect.rejectSentinel("ALTER_SEQUENCE"))
-    for (kind <- Seq("ATTACH", "DETACH", "CREATE_TYPE", "ALTER_SEQUENCE")) {
+    // MERGE INTO is DuckDB >= 1.4 surface (the reference pins 1.4.4/1.5.2)
+    // — rejected with the upsert rewrite hint, never an opaque parse error
+    assert(Dialect.rewrite("MERGE INTO t USING s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v") ==
+      Dialect.rejectSentinel("MERGE"))
+    // frame GROUPS mode / EXCLUDE triage: GROUPS and the real EXCLUDE
+    // forms reject; EXCLUDE NO OTHERS (the default, probed v1.0) strips
+    assert(Dialect.rewrite("SELECT sum(b) OVER (ORDER BY a " +
+      "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t") ==
+      Dialect.rejectSentinel("FRAME_GROUPS"))
+    assert(Dialect.rewrite("SELECT sum(b) OVER (ORDER BY a " +
+      "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t") ==
+      Dialect.rejectSentinel("FRAME_EXCLUDE"))
+    assert(Dialect.rewrite("SELECT sum(b) OVER (ORDER BY a " +
+      "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) FROM t") ==
+      Dialect.rejectSentinel("FRAME_EXCLUDE"))
+    val stripped = Dialect.rewrite("SELECT sum(b) OVER (ORDER BY a " +
+      "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE NO OTHERS) AS s FROM t")
+    assert(!stripped.toUpperCase.contains("EXCLUDE"), stripped)
+    assert(stripped.toUpperCase.contains("ROWS BETWEEN 1 PRECEDING"), stripped)
+    // literals with the trigger words never fire; star-EXCLUDE untouched
+    assert(Dialect.rewrite("SELECT 'GROUPS BETWEEN x' AS s, " +
+      "count(*) OVER () AS c FROM t").contains("'GROUPS BETWEEN x'"))
+    assert(Dialect.rewrite("SELECT * EXCLUDE (a) FROM t, " +
+      "(SELECT count(*) OVER () AS c FROM t) q").contains("EXCEPT"))
+    for (kind <- Seq("ATTACH", "DETACH", "CREATE_TYPE", "ALTER_SEQUENCE",
+        "MERGE", "FRAME_GROUPS", "FRAME_EXCLUDE")) {
       val e = intercept[UserException] {
         ex.runStatement(Dialect.rejectSentinel(kind))
       }
