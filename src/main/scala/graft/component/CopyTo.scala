@@ -252,7 +252,8 @@ object CopyTo {
 object CopyFrom {
 
   final case class Parsed(target: String, path: String, format: String,
-                          header: Boolean, delimiter: String, quote: String)
+                          header: Boolean, delimiter: String, quote: String,
+                          nullStr: Option[String])
 
   def parse(stmt0: String): Option[Parsed] = {
     val stmt = stmt0.trim.stripSuffix(";")
@@ -299,7 +300,11 @@ object CopyFrom {
         .exists(v => !(v.equalsIgnoreCase("false") || v == "0")),
       delimiter = opts.get("DELIMITER").orElse(opts.get("DELIM"))
         .orElse(opts.get("SEP")).map(CopyTo.unquote).getOrElse(","),
-      quote = opts.get("QUOTE").map(CopyTo.unquote).getOrElse("\"")))
+      quote = opts.get("QUOTE").map(CopyTo.unquote).getOrElse("\""),
+      // DuckDB's NULL 'str' option — EXPORT DATABASE writes NULL '\N' so
+      // empty VARCHAR and NULL survive the CSV round-trip distinctly
+      nullStr = opts.get("NULL").orElse(opts.get("NULLSTR"))
+        .map(CopyTo.unquote)))
   }
 
   /** Static-analysis twin: COPY FROM both requires and mutates the

@@ -381,6 +381,15 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       val d = SequenceSql.parseDrop(stmt).get
       SequenceSql.drop(d.name, d.ifExists)
 
+    // the sequence scale knob (PRAGMA graft_sequence_blocks = n arrives
+    // here as the dialect's SET spelling): n > 1 switches nextval to
+    // per-partition block reservation — see SequenceSql's scale notes
+    case _ if "(?is)^\\s*SET\\s+graft_sequence_blocks\\s*=\\s*(-?\\d+)\\s*;?\\s*$".r
+        .findFirstMatchIn(stmt).isDefined =>
+      SequenceSql.setBlockSize(
+        "(?is)^\\s*SET\\s+graft_sequence_blocks\\s*=\\s*(-?\\d+)\\s*;?\\s*$".r
+          .findFirstMatchIn(stmt).get.group(1).toLong)
+
     case _ if CopyTo.parse(stmt).isDefined =>
       CopyTo.execute(spark, CopyTo.parse(stmt).get, bodyDf)
 
@@ -403,6 +412,10 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
           .option("sep", p.delimiter)
           .option("quote", p.quote)
           .option("escape", p.quote)
+          // DuckDB default: an unquoted empty field is NULL, a quoted ""
+          // is the empty string; a NULL 'str' option replaces the
+          // sentinel (the EXPORT DATABASE loader passes NULL '\N')
+          .option("nullValue", p.nullStr.getOrElse(""))
           .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
           .option("dateFormat", "yyyy-MM-dd")
           .option("mode", "FAILFAST")
@@ -885,13 +898,20 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
   }
 
   /** EXPORT DATABASE: dump every warehouse table (data + CREATE TABLE
-    * DDL) and every view registered this run (CREATE VIEW DDL), plus a
-    * load.sql of COPY FROM statements — the DuckDB layout (probed), so
-    * [[importDatabase]] is literally a replay of the two scripts through
-    * the dialect pipeline. Data is one DIRECTORY per table (distributed
-    * layout; DuckDB reads it back via a read_parquet directory glob).
-    * CSV exports carry second-precision timestamps (the COPY FROM read
-    * format); PARQUET is the lossless path. */
+    * DDL with its PRIMARY KEY), every UNIQUE index, every live sequence
+    * (CREATE SEQUENCE with the CURRENT counter as START, so a replayed
+    * warehouse resumes key generation where it left off) and every view
+    * registered this run (CREATE VIEW DDL), plus a load.sql of COPY FROM
+    * statements — the DuckDB layout (probed), so [[importDatabase]] is
+    * literally a replay of the two scripts through the dialect pipeline.
+    * Data is one DIRECTORY per table (distributed layout; DuckDB reads
+    * it back via a read_parquet directory glob). CSV exports write NULL
+    * as the `\N` sentinel and pass `NULL '\N'` in the loader's COPY
+    * options, so NULL and empty VARCHAR round-trip distinctly (both
+    * DuckDB and this engine would otherwise read the default
+    * empty-for-NULL encoding back as NULL); CSV timestamps carry second
+    * precision (the COPY FROM read format); PARQUET is the lossless
+    * path. */
   private def exportDatabase(e: ExportDb.Export): Unit = {
     import java.nio.file.{Files, Paths}
     def ident(n: String): String =
@@ -906,23 +926,40 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       .map(_.getName).sorted
     val schema = new StringBuilder
     val load = new StringBuilder
+    SequenceSql.exportDdl.foreach(s => schema.append(s).append("\n"))
     for (t <- tables) {
       val df = spark.read.parquet(Paths.get(warehouseDir, t).toString)
       val cols = df.schema.fields
         .map(f => s"${ident(f.name)} ${sqlTypeOf(f.dataType)}").mkString(", ")
-      schema.append(s"CREATE TABLE ${ident(t)}($cols);\n")
+      // the declared PRIMARY KEY is upsert-conflict-target state: it must
+      // survive the replay (the table-level spelling, re-extracted by the
+      // bare-DDL import path)
+      val pk = declaredPk.get(t.toLowerCase)
+        .map(ks => s", PRIMARY KEY (${ks.map(ident).mkString(", ")})")
+        .getOrElse("")
+      schema.append(s"CREATE TABLE ${ident(t)}($cols$pk);\n")
       val dataPath = out.resolve(s"$t.${e.format.toLowerCase}").toString
       if (e.format == "PARQUET") {
         df.write.mode("overwrite").parquet(dataPath)
         load.append(s"COPY ${ident(t)} FROM '$dataPath' (FORMAT 'parquet');\n")
       } else {
         df.write.mode("overwrite").option("header", "true")
+          .option("nullValue", "\\N")
           .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
           .option("dateFormat", "yyyy-MM-dd")
           .csv(dataPath)
-        load.append(
-          s"COPY ${ident(t)} FROM '$dataPath' (FORMAT 'csv', HEADER true);\n")
+        load.append(s"COPY ${ident(t)} FROM '$dataPath' " +
+          "(FORMAT 'csv', HEADER true, NULL '\\N');\n")
       }
+    }
+    // UNIQUE indexes declare upsert keys — replayed through the CREATE
+    // INDEX path (non-unique indexes are inert accelerators here and
+    // carry no replayable column list)
+    val tableSet = tables.map(_.toLowerCase).toSet
+    indexNames.toSeq.sortBy(_._1).foreach { case (name, (tbl, cols)) =>
+      if (cols.nonEmpty && tableSet(tbl))
+        schema.append(s"CREATE UNIQUE INDEX ${ident(name)} ON " +
+          s"${ident(tbl)} (${cols.map(ident).mkString(", ")});\n")
     }
     schema.append("\n")
     viewDefs.synchronized {

@@ -1018,6 +1018,56 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(q("SELECT nextval('us_seq') AS n").collect().head.getLong(0) == 7L)
   }
 
+  test("sequence block allocation: unique + monotonic across partitions") {
+    val dir = Files.createTempDirectory("graft_seqblk_")
+    DuckFunctions.register(spark)
+    val ex = new Executor(spark, dir.toString)
+    def run(sql: String) = ex.runStatement(Dialect.rewrite(sql))
+    run("CREATE SEQUENCE blk_seq")
+    run("PRAGMA graft_sequence_blocks = 16")
+    try {
+      // a genuinely multi-partition draw: 8 partitions x 125 rows
+      val rows = spark.range(0, 1000, 1, 8)
+        .selectExpr("spark_partition_id() AS p", "nextval('blk_seq') AS id")
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+      // cross-partition uniqueness — the whole point of the block path
+      assert(rows.length == 1000)
+      assert(rows.map(_._2).distinct.length == 1000)
+      // monotonic WITHIN each partition (blocks reserve in global order)
+      rows.groupBy(_._1).values.foreach { part =>
+        val ids = part.map(_._2)
+        assert(ids.sameElements(ids.sorted), ids.take(10).toSeq)
+      }
+      // gaps bounded by the reserved blocks: counter advanced at most
+      // 1000 + 8 blocks x 16
+      val probe = spark.sql(Dialect.rewrite("SELECT nextval('blk_seq') AS n"))
+        .collect().head.getLong(0)
+      assert(probe > 1000 && probe <= 1000 + 8 * 16 + 1, probe)
+      // MAXVALUE still exact under blocks: a partial block serves, the
+      // draw after the bound errors (probed v1.0 contract)
+      run("CREATE SEQUENCE blk_max MAXVALUE 5")
+      val five = spark.range(0, 5, 1, 1)
+        .selectExpr("nextval('blk_max') AS id").collect().map(_.getLong(0))
+      assert(five.sorted.sameElements(Array(1L, 2L, 3L, 4L, 5L)))
+      val e = intercept[Exception] {
+        spark.sql(Dialect.rewrite("SELECT nextval('blk_max')")).collect()
+      }
+      assert(e.getMessage.contains("maximum value"), e.getMessage)
+      // a stale thread-local block self-invalidates after re-CREATE
+      run("CREATE OR REPLACE SEQUENCE blk_seq START 1")
+      assert(spark.sql(Dialect.rewrite("SELECT nextval('blk_seq') AS n"))
+        .collect().head.getLong(0) == 1L)
+    } finally {
+      run("PRAGMA graft_sequence_blocks = 1") // exact mode back on
+      run("DROP SEQUENCE IF EXISTS blk_seq")  // process-global state
+      run("DROP SEQUENCE IF EXISTS blk_max")
+    }
+    // the knob rejects nonsense loudly
+    assert(intercept[UserException] {
+      run("PRAGMA graft_sequence_blocks = 0")
+    }.getMessage.contains(">= 1"))
+  }
+
   test("RETURNING on INSERT / UPDATE / DELETE and the upsert forms") {
     val dir = Files.createTempDirectory("graft_ret_")
     DuckFunctions.register(spark) // nextval/currval live in the registry
@@ -1149,6 +1199,59 @@ class StatementSurfaceSpec extends SparkSpec {
          |  {"name": "q", "script": ["EXPORT DATABASE '$dump'", "IMPORT DATABASE '$dump'"]}
          |]}]}, "storage": {}}""".stripMargin)
     assert(Actions.syntaxCheck(spark, cfg).isEmpty)
+  }
+
+  test("EXPORT DATABASE fidelity: PK, UNIQUE indexes, sequences, CSV NULLs") {
+    val wh1 = Files.createTempDirectory("graft_expfid_wh1_")
+    DuckFunctions.register(spark)
+    val ex1 = new Executor(spark, wh1.toString)
+    def run1(sql: String) = ex1.runStatement(Dialect.rewrite(sql))
+    run1("CREATE SEQUENCE fid_seq START 1")
+    run1("CREATE TABLE fid_t (id BIGINT PRIMARY KEY, v VARCHAR)")
+    run1("INSERT INTO fid_t SELECT nextval('fid_seq'), 'r' FROM range(3)")
+    run1("UPDATE fid_t SET v = NULL WHERE id = 2")
+    run1("UPDATE fid_t SET v = '' WHERE id = 3")
+    run1("CREATE TABLE fid_u (a INT, b VARCHAR)")
+    run1("INSERT INTO fid_u VALUES (1, 'x')")
+    run1("CREATE UNIQUE INDEX fid_u_key ON fid_u (a)")
+    val dump = Files.createTempDirectory("graft_expfid_dump_").toString
+    run1(s"EXPORT DATABASE '$dump'") // CSV, the DuckDB default format
+    val schemaSql = Files.readString(java.nio.file.Paths.get(dump, "schema.sql"))
+    assert(schemaSql.contains("PRIMARY KEY (id)"), schemaSql)
+    assert(schemaSql.contains("CREATE UNIQUE INDEX fid_u_key ON fid_u (a);"),
+      schemaSql)
+    // the sequence resumes at its CURRENT counter (3 draws happened)
+    assert(schemaSql.contains(
+      "CREATE OR REPLACE SEQUENCE fid_seq START WITH 4"), schemaSql)
+    assert(Files.readString(java.nio.file.Paths.get(dump, "load.sql"))
+      .contains("NULL '\\N'"))
+    // a fresh run: sequences are per-run state — drop before the replay
+    // (the reference's import happens in a new process the same way)
+    run1("DROP SEQUENCE fid_seq")
+    spark.catalog.dropTempView("fid_t")
+    spark.catalog.dropTempView("fid_u")
+    val wh2 = Files.createTempDirectory("graft_expfid_wh2_")
+    val ex2 = new Executor(spark, wh2.toString)
+    def run2(sql: String) = ex2.runStatement(Dialect.rewrite(sql))
+    run2(s"IMPORT DATABASE '$dump'")
+    // NULL vs empty VARCHAR survived the default-format round-trip
+    // DISTINCTLY (the '\N' sentinel pair on write + COPY NULL option)
+    val vs = spark.table("fid_t").orderBy("id").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getString(1))
+    assert(vs.sameElements(Array("r", null, "")), vs.toSeq)
+    // the PRIMARY KEY survived the replay: a target-less upsert resolves
+    run2("INSERT INTO fid_t VALUES (2, 'up') ON CONFLICT DO UPDATE SET v = excluded.v")
+    assert(spark.table("fid_t").filter("id = 2").collect()
+      .map(_.getString(1)).sameElements(Array("up")))
+    // the UNIQUE index survived too
+    run2("INSERT INTO fid_u VALUES (1, 'up2') ON CONFLICT (a) DO UPDATE SET b = excluded.b")
+    assert(spark.table("fid_u").collect().map(_.getString(1))
+      .sameElements(Array("up2")))
+    // ... and fresh surrogate keys continue PAST the loaded rows
+    val nxt = run2("INSERT INTO fid_t SELECT nextval('fid_seq'), 'new' " +
+      "FROM range(1) RETURNING id").get
+    assert(nxt.collect().map(_.getLong(0)).sameElements(Array(4L)))
+    run2("DROP SEQUENCE fid_seq") // leave no per-run state behind
   }
 
   test("ATTACH / DETACH / CREATE TYPE / ALTER SEQUENCE reject loudly") {
