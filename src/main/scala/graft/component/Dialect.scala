@@ -187,7 +187,18 @@ object Dialect {
         // `:=` exists in DuckDB only as struct_pack's binder, so the
         // name rewrite is safe globally within unquoted text
         .replaceAll("(?i)\\bstruct_pack\\s*\\(", "named_struct(")
-        .replaceAll("(\\w+)\\s*:=", "'$1',"))
+        .replaceAll("(\\w+)\\s*:=", "'$1',")
+        // Python-style HOF lambdas — `lambda x, y: body` — are DuckDB
+        // >= 1.3 surface (the reference pins 1.4.4/1.5.2; v1.0 probes a
+        // parse error). Spark and DuckDB 1.0 share the arrow spelling,
+        // so the prefix maps 1:1 — multi-param keeps parens, single is
+        // bare (Spark's grammar rejects `(x) ->`). Bracket slices
+        // (`l[a:b]`) are already lowered by Brackets before this pass,
+        // so a stray identifier named lambda cannot collide here.
+        .replaceAll("(?i)\\blambda\\s+([A-Za-z_][A-Za-z0-9_]*" +
+          "(?:\\s*,\\s*[A-Za-z_][A-Za-z0-9_]*)+)\\s*:", "($1) -> ")
+        .replaceAll("(?i)\\blambda\\s+([A-Za-z_][A-Za-z0-9_]*)\\s*:",
+          "$1 -> "))
       plain.clear()
     }
 

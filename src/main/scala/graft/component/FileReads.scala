@@ -54,13 +54,23 @@ object FileReads {
   private[component] def spec(view: String): Option[Spec] = specs.get(view)
 
   private val fnRe =
-    "(?i)\\b(read_csv_auto|read_csv|csv_scan|read_parquet|parquet_scan|read_json_auto|read_json|json_scan)\\s*\\(".r
+    "(?i)\\b(read_csv_auto|read_csv|csv_scan|read_parquet|parquet_scan|read_json_auto|read_json|json_scan|glob)\\s*\\(".r
 
   /** Rewrite every file table-function call in `stmt` to its view name.
-    * Calls inside string literals or comments are untouched. */
+    * Calls inside string literals or comments are untouched. `glob(...)`
+    * — the file-LISTING table function (one `file` VARCHAR column,
+    * files only, sorted; probed v1.0) — only rewrites in table position
+    * (after FROM / JOIN / a FROM-list comma): the same spelling with an
+    * operand before it is the GLOB match OPERATOR with a parenthesized
+    * pattern, owned by the dialect's operand-extent scanner. */
   def rewriteTableFunctions(stmt: String): String = {
     val masked = Dialect.maskQuoted(stmt)
-    fnRe.findFirstMatchIn(masked) match {
+    val hit = fnRe.findAllMatchIn(masked).find { m =>
+      m.group(1).toLowerCase != "glob" ||
+        "(?is)(?:\\bfrom|\\bjoin|,)\\s*$".r
+          .findFirstIn(masked.substring(0, m.start)).isDefined
+    }
+    hit match {
       case None => stmt
       case Some(m) =>
         val open = m.end - 1
@@ -115,6 +125,7 @@ object FileReads {
       case None => Nil
     }
     val format = fn match {
+      case "glob" => "glob"
       case f if f.startsWith("read_csv") || f == "csv_scan" => "csv"
       case f if f.startsWith("read_parquet") || f == "parquet_scan" => "parquet"
       case _ => "json"
@@ -195,10 +206,37 @@ object FileReads {
     specs.foreach { case (view, s) =>
       if (stmt.contains(view)) synchronized {
         if (!materialized.contains(view)) {
-          spark.read.format(s.format).options(s.options)
+          if (s.format == "glob") globDf(spark, s.paths.head)
+            .createOrReplaceTempView(view)
+          else spark.read.format(s.format).options(s.options)
             .load(s.paths: _*).createOrReplaceTempView(view)
           materialized.add(view)
         }
       }
     }
+
+  /** `glob('pattern')` → one `file` VARCHAR column, matched FILES only
+    * (no directories), sorted — the probed DuckDB v1.0 shape. Listing
+    * goes through Hadoop's FileSystem so hdfs:///s3a:// patterns work on
+    * a real cluster; a local pattern's paths come back scheme-less, as
+    * DuckDB prints them. The listing is driver-side (like every file
+    * index build) and bounded by the filesystem's match count. */
+  private def globDf(spark: SparkSession,
+                     pattern: String): org.apache.spark.sql.DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(pattern)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .filter(_.isFile)
+      .map { st =>
+        val uri = st.getPath.toUri
+        if (pattern.contains("://")) st.getPath.toString else uri.getPath
+      }
+      .sorted.toSeq
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      matched.map(org.apache.spark.sql.Row(_)).asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("file",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+  }
 }

@@ -129,10 +129,12 @@ class DialectSpec extends AnyFunSuite {
     // unary bitwise ~ has no left operand and stays (Spark parses it)
     assert(r("SELECT ~5 AS b FROM t") == "SELECT ~5 AS b FROM t")
     assert(r("SELECT '~ stays' AS s") == "SELECT '~ stays' AS s")
-    // GLOB the keyword only rewrites INFIX: `FROM glob('*.csv')` is a
-    // table-function call whose "left operand" is the FROM keyword —
-    // the scan bails and the text survives whole (never duck_glob(FROM,…))
-    assert(r("SELECT * FROM glob('*.csv')") == "SELECT * FROM glob('*.csv')")
+    // GLOB the keyword only rewrites INFIX: `FROM glob('*.csv')` is the
+    // file-listing TABLE FUNCTION — it becomes a lazy file view (never
+    // duck_glob(FROM, …)); the operator spelling still lowers
+    val tf = r("SELECT * FROM glob('*.csv')")
+    assert(tf.contains("__graft_read_glob_"), tf)
+    assert(!tf.toLowerCase.contains("duck_glob"), tf)
   }
 
   test("~~ operator family becomes LIKE/ILIKE keywords") {
@@ -148,6 +150,17 @@ class DialectSpec extends AnyFunSuite {
     val kept = r("SELECT CASE WHEN x THEN a ELSE b END ~~~ 'p*' FROM t")
     assert(kept.contains("~~~"), kept)
     assert(!kept.contains("LIKE"), kept)
+  }
+
+  test("Python-style lambdas (DuckDB >= 1.3) map to the arrow spelling") {
+    def r(s: String) = Dialect.rewrite(s)
+    assert(r("SELECT list_transform(l, lambda x: x + 1) FROM t") ==
+      "SELECT list_transform(l, x ->  x + 1) FROM t")
+    assert(r("SELECT list_reduce(l, lambda acc, x: acc + x) FROM t") ==
+      "SELECT list_reduce(l, (acc, x) ->  acc + x) FROM t")
+    // the word inside a literal stays; `::` casts are not lambda colons
+    assert(r("SELECT 'lambda x: keep' AS s") == "SELECT 'lambda x: keep' AS s")
+    assert(r("SELECT x::INT FROM t") == "SELECT x::INT FROM t")
   }
 
   test("lint ignores parens and keywords inside literals") {

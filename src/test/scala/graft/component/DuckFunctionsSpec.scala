@@ -24,6 +24,13 @@ class DuckFunctionsSpec extends SparkSpec {
   test("list lambda + scalar renames bind to the native array operators") {
     assert(one("SELECT list_transform(array(1, 2, 3), x -> x * 10)")
       .asInstanceOf[scala.collection.Seq[Int]] == Seq(10, 20, 30))
+    // the Python-style lambda spelling (DuckDB >= 1.3; the reference's
+    // pinned engines accept it) maps to the same arrow form end-to-end
+    assert(duck("SELECT list_transform([1, 2, 3], lambda x: x * 10)")
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq(10, 20, 30))
+    assert(duck("SELECT list_filter([1, 2, 3, 4], lambda x: x % 2 = 0)")
+      .asInstanceOf[scala.collection.Seq[Int]] == Seq(2, 4))
+    assert(duck("SELECT list_reduce([1, 2, 3], lambda acc, x: acc + x)") == 6)
     assert(one("SELECT list_filter(array(1, 2, 3, 4), x -> x % 2 = 0)")
       .asInstanceOf[scala.collection.Seq[Int]] == Seq(2, 4))
     assert(one("SELECT list_distinct(array(3, 1, 3))")

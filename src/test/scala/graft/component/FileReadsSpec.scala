@@ -55,6 +55,29 @@ class FileReadsSpec extends SparkSpec {
     Files.writeString(p, content)
   }
 
+  test("glob('pattern') table function lists matched files, sorted") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_globfn_")
+    java.nio.file.Files.writeString(dir.resolve("b.csv"), "x\n1\n")
+    java.nio.file.Files.writeString(dir.resolve("a.csv"), "x\n2\n")
+    java.nio.file.Files.writeString(dir.resolve("c.txt"), "noise")
+    java.nio.file.Files.createDirectory(dir.resolve("sub.csv")) // dir: excluded
+    val sql = Dialect.rewrite(s"SELECT file FROM glob('$dir/*.csv')")
+    assert(sql.contains("__graft_read_glob_"), sql)
+    FileReads.ensureRegistered(spark, sql)
+    val files = spark.sql(sql).collect().map(_.getString(0))
+    // files only (no sub.csv directory), sorted, scheme-less local paths
+    assert(files.sameElements(Array(s"$dir/a.csv", s"$dir/b.csv")), files.toSeq)
+    // the OPERATOR spelling with a parenthesized pattern is untouched:
+    // `x GLOB ('pat')` lowers to duck_glob, never to a file view
+    val op = Dialect.rewrite("SELECT name GLOB ('f_*') FROM t")
+    assert(op.contains("duck_glob"), op)
+    assert(!op.contains("__graft_read_glob_"), op)
+    // no-match pattern = empty relation, not an error
+    val none = Dialect.rewrite(s"SELECT file FROM glob('$dir/*.none')")
+    FileReads.ensureRegistered(spark, none)
+    assert(spark.sql(none).count() == 0)
+  }
+
   test("a changed side file is re-read on the next run (no stale schema)") {
     val dir = Files.createTempDirectory("graft_stale_")
     val f = dir.resolve("side.csv")
