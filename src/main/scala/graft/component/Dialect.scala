@@ -145,9 +145,10 @@ object Dialect {
   def rewrite(stmt0: String): String = {
     val stmt = rewriteQualify(rewriteDistinctOn(rewriteWithCreate(
       Pivot.rewriteUnpivot(UnnestSql.rewrite(rewriteUsingSample(
-        rewriteSeriesTableFns(rewriteMatchOps(rewriteIntDiv(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
+        rewriteSeriesTableFns(rewriteMatchOps(StarReplaceSql.rewriteLike(
+          rewriteIntDiv(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
           FileReads.rewriteTableFunctions(
-            rewritePragma(Macros.rewrite(stmt0)))))))))))))))
+            rewritePragma(Macros.rewrite(stmt0))))))))))))))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position
@@ -1101,6 +1102,8 @@ object Dialect {
     if (StarReplaceSql.has(s)) s = StarReplaceSql.except(s)
     // COLUMNS(...) likewise: `*` stands in with the same dependencies
     if (ColumnsSql.has(s)) s = ColumnsSql.stub(s)
+    // * RENAME (a AS b) likewise
+    if (StarRenameSql.has(s)) s = StarRenameSql.stub(s)
     s
   }
 

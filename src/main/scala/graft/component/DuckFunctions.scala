@@ -1732,6 +1732,17 @@ object DuckFunctions {
       arity("nextval", 1)(a => graft.functions.NextVal(a.head)),
       arity("currval", 1)(a => graft.functions.CurrVal(a.head)),
 
+      // post-1.0 UUID family (reference pins DuckDB 1.4/1.5; v1.0 probes
+      // the names MISSING — RFC 9562 semantics, spec-pinned on the RFC's
+      // own test vectors): uuidv4 = the native random UUID, uuidv7 the
+      // time-ordered surrogate-key form, extractors for both
+      arity("uuidv4", 0)(_ => org.apache.spark.sql.catalyst.expressions.Uuid()),
+      arity("uuidv7", 0)(_ => graft.functions.UuidV7()),
+      arity("uuid_extract_version", 1)(a =>
+        graft.functions.UuidExtractVersion(a.head)),
+      arity("uuid_extract_timestamp", 1)(a =>
+        graft.functions.UuidExtractTimestamp(a.head)),
+
       // GLOB / ~~~ operator target (the dialect's match-op rewrite)
       arity("duck_glob", 2)(a => graft.functions.GlobMatch(a.head, a(1))),
 

@@ -42,6 +42,14 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     """(?is)^\s*DROP\s+(TABLE|VIEW)\s+(IF\s+EXISTS\s+)?`?([^`\s;]+)`?\s*;?\s*$""".r
   private val renameStmt =
     """(?is)^\s*ALTER\s+(?:TABLE|VIEW)\s+(IF\s+EXISTS\s+)?`?([^`\s;]+)`?\s+RENAME\s+TO\s+`?([^`\s;]+)`?\s*;?\s*$""".r
+  // ALTER TABLE t ADD PRIMARY KEY (cols) — DuckDB >= 1.4 surface (the
+  // reference pins 1.4.4/1.5.2); declares an upsert conflict target on
+  // an existing table. Mapped because the key registry is exactly the
+  // state it mutates; the duplicate check mirrors DuckDB's rejection of
+  // a PK over non-unique data.
+  private val addPkStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+`?([^`\s;]+)`?\s+ADD\s+PRIMARY\s+KEY\s*\(([^)]+)\)\s*;?\s*$""".r
+
   // bare DDL: CREATE TABLE t (col TYPE, ...) — an EMPTY table with a
   // declared schema, filled by later INSERTs (the classic DDL+DML script
   // shape). The column list must not start a query keyword (that's CTAS
@@ -262,6 +270,29 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
         rebind(Names.view(name).toLowerCase)
       }
 
+    case addPkStmt(name, colsTxt) =>
+      val sanitized = Names.view(name)
+      if (!spark.catalog.tableExists(s"`$sanitized`"))
+        throw new UserException(
+          s"ALTER TABLE ... ADD PRIMARY KEY: $name does not exist")
+      val existing = spark.table(s"`$sanitized`")
+      val byLower = existing.columns.map(c => c.toLowerCase -> c).toMap
+      val pkCols = colsTxt.split(",").map(_.trim
+        .stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("`").stripSuffix("`")).toSeq
+      val cols = pkCols.map(k => byLower.getOrElse(k.toLowerCase,
+        throw new UserException(
+          s"ALTER TABLE $name ADD PRIMARY KEY: column $k does not exist")))
+      // DuckDB rejects a PK over non-unique existing data — replicate
+      // loudly (one aggregate scan; a one-time DDL statement)
+      val dup = existing.groupBy(cols.map(col): _*)
+        .count().filter(col("count") > 1).limit(1).collect()
+      if (dup.nonEmpty)
+        throw new UserException(
+          s"ALTER TABLE $name ADD PRIMARY KEY: existing rows are not " +
+            s"unique on (${cols.mkString(", ")})")
+      declaredPk.put(sanitized.toLowerCase, pkCols)
+
     case renameStmt(ifExists, from, to) =>
       val src = Names.view(from)
       val existed = spark.catalog.tableExists(s"`$src`")
@@ -440,7 +471,7 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     case _ if Pivot.parse(stmt).isDefined || AsOfSql.parse(stmt).isDefined ||
         UnionByNameSql.parse(stmt).isDefined || StarReplaceSql.has(stmt) ||
         DescribeSql.parse(stmt).isDefined || ColumnsSql.has(stmt) ||
-        PositionalSql.parse(stmt).isDefined =>
+        StarRenameSql.has(stmt) || PositionalSql.parse(stmt).isDefined =>
       // bare PIVOT / ASOF / POSITIONAL / UNION BY NAME / star REPLACE /
       // DESCRIBE / SUMMARIZE: execute for effect + errors
       bodyDf(stmt).queryExecution.assertAnalyzed()
@@ -536,6 +567,10 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       .orElse {
         if (!ColumnsSql.has(body)) None
         else ColumnsSql.expand(body, bodyDf).map(bodyDf)
+      }
+      .orElse {
+        if (!StarRenameSql.has(body)) None
+        else StarRenameSql.expand(body, bodyDf).map(bodyDf)
       }
       .orElse {
         if (!StarReplaceSql.has(body)) None

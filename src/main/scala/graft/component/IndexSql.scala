@@ -44,9 +44,12 @@ object IndexSql {
       Drop(unq(m.group(2)), ifExists = m.group(1) != null))
 
   /** Static-analysis twin: parseable, inert (an index never changes a
-    * result set or the DAG). */
+    * result set or the DAG). ALTER TABLE ... ADD PRIMARY KEY (DuckDB
+    * >= 1.4; key-registry mutation only) stubs the same way. */
   def stub(stmt: String): String =
     if (parseCreate(stmt).isDefined) "SET __graft_inert_CREATE_INDEX = true"
     else if (parseDrop(stmt).isDefined) "SET __graft_inert_DROP_INDEX = true"
+    else if ("(?is)^\\s*ALTER\\s+TABLE\\s+\\S+\\s+ADD\\s+PRIMARY\\s+KEY\\s*\\(".r
+      .findFirstIn(stmt).isDefined) "SET __graft_inert_ADD_PK = true"
     else stmt
 }

@@ -168,4 +168,71 @@ object StarReplaceSql {
         case None => "*"
       }
     }
+
+  /** DuckDB ≥1.2/1.3 star-expression FILTERS — `* LIKE 'pat'`,
+    * `* ILIKE 'pat'`, `* NOT [I]LIKE 'pat'`, `* [NOT] SIMILAR TO 're'`
+    * (select columns whose NAME matches) — lowered onto the
+    * COLUMNS('regex') expansion machinery: LIKE patterns translate to
+    * anchored regexes, ILIKE prefixes (?i), NOT wraps a negative
+    * lookahead (the expansion matcher is java.util.regex, which supports
+    * it; DuckDB's own RE2 does not — this regex never reaches another
+    * engine). Post-1.0 surface: the reference pins DuckDB 1.4.4/1.5.2,
+    * local v1.0 probes a binder error — semantics from the public docs,
+    * spec-pinned (no oracle row possible). Runs BEFORE rewriteMatchOps
+    * so `* SIMILAR TO` is consumed as a star filter, not scanned as the
+    * match operator. */
+  def rewriteLike(stmt: String): String = {
+    val masked = Dialect.maskQuoted(stmt)
+    var i = 0
+    while (i < masked.length) {
+      if (masked.charAt(i) == '*' && isStar(stmt, i)) {
+        var j = i + 1
+        while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
+        // no trailing \s* in the regex: maskQuoted blanks the LITERAL
+        // (quotes included), so \s* would eat into it — skip only true
+        // whitespace (same char in masked and original) by hand
+        val opM = "(?is)^(NOT\\s+)?(LIKE|ILIKE|SIMILAR\\s+TO)(?=[\\s'])".r
+          .findFirstMatchIn(masked.substring(j))
+        val qStartOpt = opM.map { m =>
+          var k = j + m.end
+          while (k < masked.length && masked.charAt(k) == stmt.charAt(k) &&
+            stmt.charAt(k).isWhitespace) k += 1
+          k
+        }
+        (opM, qStartOpt) match {
+          case (Some(m), Some(qStart)) if qStart < stmt.length &&
+              stmt.charAt(qStart) == '\'' =>
+            val qEnd = Dialect.quotedEnd(stmt, qStart)
+            val raw = stmt.substring(qStart + 1, qEnd - 1).replace("''", "'")
+            val core = m.group(2).toUpperCase.replaceAll("\\s+", " ") match {
+              case "SIMILAR TO" => s"(?:$raw)"
+              case _ => likeToRegex(raw)
+            }
+            val ci = if (m.group(2).equalsIgnoreCase("ilike")) "(?i)" else ""
+            val re =
+              if (m.group(1) != null) s"$ci^(?!$core$$).*$$"
+              else s"$ci^$core$$"
+            val quoted = re.replace("'", "''")
+            return rewriteLike(stmt.substring(0, i) +
+              s"COLUMNS('$quoted')" + stmt.substring(qEnd))
+          case _ => ()
+        }
+      }
+      i += 1
+    }
+    stmt
+  }
+
+  /** LIKE-pattern → regex CORE (no anchors): `%` any run, `_` one char,
+    * everything else literal. */
+  private def likeToRegex(pat: String): String = {
+    val b = new StringBuilder
+    pat.foreach {
+      case '%' => b.append(".*")
+      case '_' => b.append('.')
+      case c if "\\^$.|?*+()[]{}".indexOf(c) >= 0 => b.append('\\').append(c)
+      case c => b.append(c)
+    }
+    b.toString
+  }
 }

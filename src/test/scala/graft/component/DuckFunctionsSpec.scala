@@ -21,6 +21,34 @@ class DuckFunctionsSpec extends SparkSpec {
   private def duck(sql: String): Any =
     session.sql(Dialect.rewrite(sql)).collect().head.get(0)
 
+  test("UUID family: uuidv4 / uuidv7 / extractors (RFC 9562 vectors)") {
+    val v4 = one("SELECT uuidv4()").toString
+    assert(v4.matches("[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}"), v4)
+    val before = System.currentTimeMillis()
+    val v7 = one("SELECT uuidv7()").toString
+    val after = System.currentTimeMillis()
+    assert(v7.matches("[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}"), v7)
+    assert(one(s"SELECT uuid_extract_version('$v7')") == 7)
+    assert(one(s"SELECT uuid_extract_version('$v4')") == 4)
+    // the embedded timestamp is the generation instant (ms precision)
+    val ts = one(s"SELECT unix_millis(uuid_extract_timestamp('$v7'))")
+      .asInstanceOf[Long]
+    assert(ts >= before - 1 && ts <= after + 1, (before, ts, after))
+    // RFC 9562 appendix vectors: A.6 (v7) and A.1 (v1) both encode
+    // 2022-02-22 19:22:22 UTC (14:22:22 -05:00)
+    assert(one("SELECT uuid_extract_timestamp('017f22e2-79b0-7cc3-98c4-dc0c0c07398f') = TIMESTAMP '2022-02-22 19:22:22'") == true)
+    assert(one("SELECT uuid_extract_timestamp('c232ab00-9414-11ec-b3c8-9f68deced846') = TIMESTAMP '2022-02-22 19:22:22'") == true)
+    // a v4 carries no timestamp — loud, like DuckDB's conversion error
+    val e = intercept[Exception] {
+      one(s"SELECT uuid_extract_timestamp('$v4')")
+    }
+    assert(e.getMessage.contains("carry no timestamp"), e.getMessage)
+    // time-ordering: two draws a tick apart sort by creation
+    val pair = session.sql(
+      "SELECT uuidv7() AS a, uuidv7() AS b").collect().head
+    assert(pair.getString(0).substring(0, 13) <= pair.getString(1).substring(0, 13))
+  }
+
   test("list lambda + scalar renames bind to the native array operators") {
     assert(one("SELECT list_transform(array(1, 2, 3), x -> x * 10)")
       .asInstanceOf[scala.collection.Seq[Int]] == Seq(10, 20, 30))

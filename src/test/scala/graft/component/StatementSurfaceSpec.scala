@@ -1018,6 +1018,76 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(q("SELECT nextval('us_seq') AS n").collect().head.getLong(0) == 7L)
   }
 
+  test("star filters * LIKE/ILIKE/NOT LIKE/SIMILAR TO and * RENAME (post-1.0)") {
+    Seq((1L, "ab", 2.0)).toDF("id", "p_one", "p_two")
+      .createOrReplaceTempView("sl_t")
+    val dir = Files.createTempDirectory("graft_starlike_")
+    val ex = new Executor(spark, dir.toString)
+    def run(sql: String) = ex.runStatement(Dialect.rewrite(sql))
+    def colsOf(ctas: String, out: String): Seq[String] = {
+      run(ctas); spark.table(out).columns.toSeq
+    }
+    // name filters lower onto the COLUMNS('regex') expansion
+    assert(colsOf("CREATE TABLE sl1 AS SELECT * LIKE 'p%' FROM sl_t", "sl1") ==
+      Seq("p_one", "p_two"))
+    assert(colsOf("CREATE TABLE sl2 AS SELECT * ILIKE 'P%' FROM sl_t", "sl2") ==
+      Seq("p_one", "p_two"))
+    assert(colsOf("CREATE TABLE sl3 AS SELECT * NOT LIKE 'p%' FROM sl_t", "sl3") ==
+      Seq("id"))
+    assert(colsOf("CREATE TABLE sl4 AS SELECT * SIMILAR TO 'p_(one|two)' FROM sl_t",
+      "sl4") == Seq("p_one", "p_two"))
+    // LIKE is case-sensitive: 'P%' matches nothing — loud, like DuckDB
+    assert(intercept[UserException] {
+      run("CREATE TABLE sl5 AS SELECT * LIKE 'P%' FROM sl_t")
+    }.getMessage.contains("matches no column"))
+    // * RENAME keeps each column's POSITION; combines with EXCLUDE
+    assert(colsOf("CREATE TABLE sr1 AS SELECT * RENAME (p_one AS first_p) FROM sl_t",
+      "sr1") == Seq("id", "first_p", "p_two"))
+    assert(colsOf("CREATE TABLE sr2 AS SELECT * EXCLUDE (id) " +
+      "RENAME (p_two AS t2) FROM sl_t", "sr2") == Seq("p_one", "t2"))
+    assert(intercept[UserException] {
+      run("CREATE TABLE sr3 AS SELECT * RENAME (nope AS x) FROM sl_t")
+    }.getMessage.contains("does not exist"))
+    // values ride along unchanged
+    assert(spark.table("sr1").collect().head.getString(1) == "ab")
+    // static analysis: both forms stub to `*` with the same deps
+    val an = SqlAnalyzer.analyzeStatement(spark, Dialect.rewrite(
+      "CREATE TABLE o AS SELECT * RENAME (a AS b) FROM src"))
+    assert(an.outputs == Set("o") && an.dependencies == Set("src"), an)
+  }
+
+  test("ALTER TABLE ADD PRIMARY KEY declares an upsert key (DuckDB >= 1.4)") {
+    val dir = Files.createTempDirectory("graft_addpk_")
+    val ex = new Executor(spark, dir.toString)
+    def run(sql: String) = ex.runStatement(Dialect.rewrite(sql))
+    run("CREATE TABLE apk_t AS SELECT range AS k, 'v' AS v FROM range(3)")
+    // no key yet: target-less upsert rejects
+    assert(intercept[UserException] {
+      run("INSERT INTO apk_t VALUES (9, 'x') ON CONFLICT DO NOTHING")
+    }.getMessage.contains("no PRIMARY KEY"))
+    run("ALTER TABLE apk_t ADD PRIMARY KEY (k)")
+    run("INSERT INTO apk_t VALUES (1, 'up') ON CONFLICT DO UPDATE SET v = excluded.v")
+    assert(spark.table("apk_t").filter("k = 1").collect()
+      .map(_.getString(1)).sameElements(Array("up")))
+    // non-unique existing data rejects, like DuckDB
+    run("CREATE TABLE apk_dup AS SELECT 1 AS k UNION ALL SELECT 1")
+    assert(intercept[UserException] {
+      run("ALTER TABLE apk_dup ADD PRIMARY KEY (k)")
+    }.getMessage.contains("not unique"))
+    assert(intercept[UserException] {
+      run("ALTER TABLE apk_none ADD PRIMARY KEY (k)")
+    }.getMessage.contains("does not exist"))
+    assert(intercept[UserException] {
+      run("ALTER TABLE apk_t ADD PRIMARY KEY (nope)")
+    }.getMessage.contains("column nope does not exist"))
+    // syntax_check accepts the statement (inert stub)
+    val cfg = Config.parse(
+      """{"parameters": {"blocks": [{"name": "B", "codes": [
+        |  {"name": "q", "script": ["ALTER TABLE apk_t ADD PRIMARY KEY (k)"]}
+        |]}]}, "storage": {}}""".stripMargin)
+    assert(Actions.syntaxCheck(spark, cfg).isEmpty, Actions.syntaxCheck(spark, cfg))
+  }
+
   test("sequence block allocation: unique + monotonic across partitions") {
     val dir = Files.createTempDirectory("graft_seqblk_")
     DuckFunctions.register(spark)
