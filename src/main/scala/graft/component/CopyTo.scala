@@ -28,7 +28,8 @@ object CopyTo {
   final case class Parsed(source: String, path: String, format: String,
                           header: Boolean, delimiter: String, quote: String,
                           forceQuote: Boolean,
-                          partitionBy: Seq[String] = Nil)
+                          partitionBy: Seq[String] = Nil,
+                          nullStr: Option[String] = None)
 
   def parse(stmt0: String): Option[Parsed] = {
     val stmt = stmt0.trim.stripSuffix(";")
@@ -74,6 +75,9 @@ object CopyTo {
         .orElse(opts.get("SEP")).map(unq).getOrElse(","),
       quote = opts.get("QUOTE").map(unq).getOrElse("\""),
       forceQuote = opts.get("FORCE_QUOTE").isDefined,
+      // DuckDB's NULL 'str' option: the written NULL sentinel (default
+      // empty, DuckDB's own default)
+      nullStr = opts.get("NULL").orElse(opts.get("NULLSTR")).map(unq),
       partitionBy = opts.get("PARTITION_BY").toSeq.flatMap { v =>
         v.trim.stripPrefix("(").stripSuffix(")").split(",")
           .map(_.trim.stripPrefix("`").stripSuffix("`")
@@ -156,6 +160,7 @@ object CopyTo {
           .option("sep", p.delimiter)
           .option("quote", p.quote)
           .option("escape", p.quote) // RFC4180, like the single-file sink
+          .option("nullValue", p.nullStr.getOrElse(""))
           .option("quoteAll", p.forceQuote.toString)
           .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
           .option("dateFormat", "yyyy-MM-dd")
@@ -208,6 +213,7 @@ object CopyTo {
         // Spark's default is backslash-escaping, which would make body
         // rows inconsistent with the header
         .option("escape", p.quote)
+        .option("nullValue", p.nullStr.getOrElse(""))
         .option("quoteAll", p.forceQuote.toString)
         .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
         .option("dateFormat", "yyyy-MM-dd")

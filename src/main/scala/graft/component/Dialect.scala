@@ -145,10 +145,10 @@ object Dialect {
   def rewrite(stmt0: String): String = {
     val stmt = rewriteQualify(rewriteDistinctOn(rewriteWithCreate(
       Pivot.rewriteUnpivot(UnnestSql.rewrite(rewriteUsingSample(
-        rewriteSeriesTableFns(rewriteMatchOps(StarReplaceSql.rewriteLike(
+        rewriteSeriesTableFns(rewriteFill(rewriteMatchOps(StarReplaceSql.rewriteLike(
           rewriteIntDiv(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
           FileReads.rewriteTableFunctions(
-            rewritePragma(Macros.rewrite(stmt0))))))))))))))))
+            rewritePragma(Macros.rewrite(stmt0)))))))))))))))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position
@@ -537,6 +537,79 @@ object Dialect {
           (if (negate) s"(NOT $call)" else call) + stmt.substring(re)
         changed = true
       }
+    }
+    stmt
+  }
+
+  /** DuckDB ≥1.4's `fill(expr) OVER ([PARTITION BY p] ORDER BY k)` —
+    * linear interpolation of NULL values along the ORDER BY axis, the
+    * time-series repair idiom (the reference pins 1.4.4/1.5.2; local
+    * v1.0 probes the name MISSING, so semantics follow the public 1.4
+    * docs, spec-pinned: interior NULLs interpolate between the previous
+    * and next non-NULL value weighted by the key distance; edge NULLs
+    * take the NEAREST non-NULL value; integer columns promote to DOUBLE
+    * through the fraction arithmetic — documented, not probed).
+    *
+    * Lowered textually onto four shared-window Spark primitives
+    * (last_value/first_value IGNORE NULLS over the preceding/following
+    * frames, positions via duck_fill_pos which maps numeric/DATE/
+    * TIMESTAMP keys onto one DOUBLE axis). Unsupported shapes — named
+    * windows, multi-key ORDER BY, explicit frames, missing OVER — leave
+    * the text whole for Spark's loud unresolved-function error. */
+  private[component] def rewriteFill(stmt0: String): String = {
+    var stmt = stmt0
+    var guard = 0
+    while (guard < 64) {
+      guard += 1
+      val masked = maskQuoted(stmt)
+      val m = "(?i)\\bfill\\s*\\(".r.findFirstMatchIn(masked)
+        .getOrElse(return stmt)
+      val argOpen = m.end - 1
+      val argClose = matchingParen(masked, argOpen)
+      if (argClose < 0) return stmt
+      val v = stmt.substring(argOpen + 1, argClose).trim
+      val overM = "(?is)^\\s*OVER\\s*\\(".r
+        .findFirstMatchIn(masked.substring(argClose + 1)).getOrElse(return stmt)
+      val overOpen = argClose + 1 + overM.end - 1
+      val overClose = matchingParen(masked, overOpen)
+      if (overClose < 0) return stmt
+      val spec = stmt.substring(overOpen + 1, overClose)
+      val specMasked = masked.substring(overOpen + 1, overClose)
+      val obM = "(?is)\\bORDER\\s+BY\\b".r.findFirstMatchIn(specMasked)
+        .getOrElse(return stmt)
+      val partClause = {
+        val head = spec.substring(0, obM.start).trim
+        if (head.isEmpty) ""
+        else if ("(?is)^PARTITION\\s+BY\\b".r.findFirstIn(head).isDefined)
+          head + " "
+        else return stmt // named window / stray text: leave for the parser
+      }
+      val orderFull = spec.substring(obM.end).trim
+      val orderMasked = specMasked.substring(obM.end)
+      // single key, no explicit frame (DuckDB's fill has the same rules)
+      if (depths(orderMasked).zip(orderMasked).exists {
+            case (0, ',') => true
+            case _ => false
+          }) return stmt
+      if ("(?is)\\b(ROWS|RANGE|GROUPS)\\b".r.findFirstIn(orderMasked).isDefined)
+        return stmt
+      if (orderFull.isEmpty) return stmt
+      val orderKey = "(?is)\\s+(ASC|DESC)(\\s+NULLS\\s+(FIRST|LAST))?\\s*$".r
+        .replaceAllIn(orderFull, "").trim
+      val pos = s"duck_fill_pos($orderKey)"
+      val winPrev = s"OVER (${partClause}ORDER BY $orderFull " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+      val winNext = s"OVER (${partClause}ORDER BY $orderFull " +
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+      val pv = s"last_value(($v), true) $winPrev"
+      val po = s"last_value(CASE WHEN ($v) IS NOT NULL THEN $pos END, true) $winPrev"
+      val nv = s"first_value(($v), true) $winNext"
+      val no = s"first_value(CASE WHEN ($v) IS NOT NULL THEN $pos END, true) $winNext"
+      val repl = s"(CASE WHEN ($v) IS NOT NULL THEN ($v) " +
+        s"WHEN $pv IS NULL THEN $nv " +
+        s"WHEN $nv IS NULL THEN $pv " +
+        s"ELSE $pv + ($nv - $pv) * (($pos - $po) / ($no - $po)) END)"
+      stmt = stmt.substring(0, m.start) + repl + stmt.substring(overClose + 1)
     }
     stmt
   }

@@ -1743,6 +1743,10 @@ object DuckFunctions {
       arity("uuid_extract_timestamp", 1)(a =>
         graft.functions.UuidExtractTimestamp(a.head)),
 
+      // fill()'s interpolation axis (emitted by Dialect.rewriteFill —
+      // never user-spelled): numeric/DATE/TIMESTAMP keys → one DOUBLE
+      arity("duck_fill_pos", 1)(a => graft.functions.FillPos(a.head)),
+
       // GLOB / ~~~ operator target (the dialect's match-op rewrite)
       arity("duck_glob", 2)(a => graft.functions.GlobMatch(a.head, a(1))),
 

@@ -183,9 +183,14 @@ object StarReplaceSql {
     * match operator. */
   def rewriteLike(stmt: String): String = {
     val masked = Dialect.maskQuoted(stmt)
+    def qualified(idx: Int): Boolean = { // t.* — COLUMNS cannot carry the
+      var j = idx - 1                    // qualifier; leave for a loud error
+      while (j >= 0 && stmt.charAt(j).isWhitespace) j -= 1
+      j >= 0 && stmt.charAt(j) == '.'
+    }
     var i = 0
     while (i < masked.length) {
-      if (masked.charAt(i) == '*' && isStar(stmt, i)) {
+      if (masked.charAt(i) == '*' && isStar(stmt, i) && !qualified(i)) {
         var j = i + 1
         while (j < masked.length && masked.charAt(j).isWhitespace) j += 1
         // no trailing \s* in the regex: maskQuoted blanks the LITERAL

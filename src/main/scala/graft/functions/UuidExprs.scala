@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, LeafExpression, Nondeterministic, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -48,6 +48,39 @@ case class UuidExtractVersion(child: Expression) extends UuidExtract {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "uuid_extract_version"
   override protected def nullSafeEval(s: Any): Any = parse(s).version()
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** The interpolation POSITION of a fill() ORDER BY key — numeric, DATE
+  * (days) and TIMESTAMP (micros) keys all become a DOUBLE axis for the
+  * linear-interpolation arithmetic the dialect's fill() lowering emits
+  * ([[graft.component.Dialect]] rewriteFill). Internal: user SQL never
+  * spells it. */
+case class FillPos(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "duck_fill_pos"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types._
+    child.dataType match {
+      case _: NumericType | DateType | TimestampType | TimestampNTZType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(
+          s"fill() needs a numeric, DATE or TIMESTAMP ORDER BY key, got $t")
+    }
+  }
+  override protected def nullSafeEval(v: Any): Any = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+  }
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case _: org.apache.spark.sql.types.DecimalType =>
+        defineCodeGen(ctx, ev, c => s"$c.toDouble()")
+      case _ => defineCodeGen(ctx, ev, c => s"(double)($c)")
+    }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 

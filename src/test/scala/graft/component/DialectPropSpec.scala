@@ -30,7 +30,13 @@ class DialectPropSpec extends AnyFunSuite {
       "//", "~~", "~", "!~", "~~~", "~~*", "GLOB", "SIMILAR", "NOT",
       "SEQUENCE", "nextval(", "ON", "CONFLICT", "DO", "UPDATE", "SET",
       "EXCLUDED.", "TRUNCATE", "INDEX", "UNIQUE", "EXPORT", "IMPORT",
-      "DATABASE", "ATTACH", "+", "-", "*", "/", "||", "'a.csv'")))
+      "DATABASE", "ATTACH", "+", "-", "*", "/", "||", "'a.csv'",
+      // round-14 trigger tokens: RETURNING, lambdas, star filters/RENAME,
+      // frame triage, MERGE, glob() — the splitters, extent scanners, and
+      // star matchers must stay total on garbage arrangements
+      "RETURNING", "lambda", ":", "lambda x:", "LIKE", "ILIKE", "RENAME",
+      "MERGE", "INTO", "GROUPS", "EXCLUDE", "TIES", "OTHERS", "OVER",
+      "glob(", "uuidv7(", "ALTER", "PRIMARY", "KEY", "FILL")))
     .map(_.mkString(" "))
 
   private def samples(g: Gen[String], n: Int): Seq[String] =

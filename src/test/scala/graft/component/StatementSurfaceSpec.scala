@@ -161,6 +161,20 @@ class StatementSurfaceSpec extends SparkSpec {
     ex.runStatement(s"COPY cp_q TO '${dir.resolve("q.csv")}' (HEADER)")
     val qcsv = Files.readString(dir.resolve("q.csv")).linesIterator.toList
     assert(qcsv == List("s", "\"say \"\"hi\"\"\""), qcsv)
+    // NULL 'str' option: the written NULL sentinel (round-trips with
+    // COPY FROM's matching option)
+    ex.runStatement(
+      "CREATE TABLE cp_n AS SELECT 1 AS k, CAST(NULL AS STRING) AS v " +
+        "UNION ALL SELECT 2, ''")
+    ex.runStatement(s"COPY cp_n TO '${dir.resolve("n.csv")}' (HEADER, NULL 'NUL')")
+    val ncsv = Files.readString(dir.resolve("n.csv")).linesIterator.toList
+    assert(ncsv.contains("1,NUL") && ncsv.exists(_.startsWith("2,")), ncsv)
+    ex.runStatement("CREATE TABLE cp_n2 (k INT, v VARCHAR)")
+    ex.runStatement(s"COPY cp_n2 FROM '${dir.resolve("n.csv")}' " +
+      "(FORMAT 'csv', HEADER true, NULL 'NUL')")
+    val n2 = spark.table("cp_n2").orderBy("k").collect()
+      .map(r => if (r.isNullAt(1)) null else r.getString(1))
+    assert(n2.sameElements(Array(null, "")), n2.toSeq)
   }
 
   // ── CREATE MACRO ───────────────────────────────────────────────────
@@ -1016,6 +1030,55 @@ class StatementSurfaceSpec extends SparkSpec {
     val ids2 = spark.table("us_t").collect().map(_.getLong(0)).sorted
     assert(ids2.sameElements(Array(1L, 2L, 3L, 5L, 6L)), ids2.toSeq)
     assert(q("SELECT nextval('us_seq') AS n").collect().head.getLong(0) == 7L)
+  }
+
+  test("fill() window interpolates NULLs along the ORDER BY axis (1.4)") {
+    DuckFunctions.register(spark)
+    def q(sql: String) = spark.sql(Dialect.rewrite(sql))
+    Seq((0, Some(10.0)), (1, None), (2, None), (3, Some(40.0)), (4, None))
+      .toDF("o", "v").createOrReplaceTempView("fill_t")
+    // interior NULLs interpolate linearly; the trailing edge takes the
+    // NEAREST non-NULL (documented 1.4 semantics; spec-pinned — v1.0
+    // has no fill to probe)
+    val r = q("SELECT o, fill(v) OVER (ORDER BY o) AS f FROM fill_t ORDER BY o")
+      .collect().map(_.getDouble(1))
+    assert(r.sameElements(Array(10.0, 20.0, 30.0, 40.0, 40.0)), r.toSeq)
+    // leading edge: nearest next value
+    Seq((0, None: Option[Double]), (1, Some(5.0)), (2, None))
+      .toDF("o", "v").createOrReplaceTempView("fill_e")
+    val e = q("SELECT fill(v) OVER (ORDER BY o) AS f FROM fill_e ORDER BY o")
+      .collect().map(_.getDouble(0))
+    assert(e.sameElements(Array(5.0, 5.0, 5.0)), e.toSeq)
+    // NON-equidistant keys weight by key distance: 0 → ? at o=1 with
+    // neighbors (0, 0.0) and (5, 10.0) is 2.0
+    Seq((0, Some(0.0)), (1, None), (5, Some(10.0)))
+      .toDF("o", "v").createOrReplaceTempView("fill_d")
+    val d = q("SELECT fill(v) OVER (ORDER BY o) AS f FROM fill_d ORDER BY o")
+      .collect().map(_.getDouble(0))
+    assert(d.sameElements(Array(0.0, 2.0, 10.0)), d.toSeq)
+    // PARTITION BY: interpolation never crosses a partition
+    Seq(("a", 0, Some(0.0)), ("a", 2, Some(4.0)), ("a", 1, None),
+        ("b", 1, None), ("b", 2, Some(7.0)))
+      .toDF("g", "o", "v").createOrReplaceTempView("fill_p")
+    val p = q("SELECT g, o, fill(v) OVER (PARTITION BY g ORDER BY o) AS f " +
+      "FROM fill_p ORDER BY g, o").collect()
+      .map(r0 => (r0.getString(0), r0.getDouble(2)))
+    assert(p.sameElements(Array(("a", 0.0), ("a", 2.0), ("a", 4.0),
+      ("b", 7.0), ("b", 7.0))), p.toSeq)
+    // a TIMESTAMP axis works through the same lowering
+    val ts = q("SELECT fill(v) OVER (ORDER BY t) AS f FROM (" +
+      "SELECT TIMESTAMP '2024-01-01 00:00:00' AS t, 1.0 AS v " +
+      "UNION ALL SELECT TIMESTAMP '2024-01-01 00:00:30', NULL " +
+      "UNION ALL SELECT TIMESTAMP '2024-01-01 00:01:00', 3.0) ORDER BY f")
+      .collect().map(_.getDouble(0))
+    assert(ts.sameElements(Array(1.0, 2.0, 3.0)), ts.toSeq)
+    // unsupported shapes leave the text whole → loud unresolved fill
+    assert(intercept[Exception] {
+      q("SELECT fill(v) OVER (ORDER BY o, v) AS f FROM fill_t").collect()
+    }.getMessage.toLowerCase.contains("fill"))
+    assert(intercept[Exception] {
+      q("SELECT fill(v) OVER w AS f FROM fill_t WINDOW w AS (ORDER BY o)").collect()
+    }.getMessage.toLowerCase.contains("fill"))
   }
 
   test("star filters * LIKE/ILIKE/NOT LIKE/SIMILAR TO and * RENAME (post-1.0)") {
