@@ -765,6 +765,18 @@ object DuckFunctions {
     Cast(Count(x).toAggregateExpression(), DoubleType)
   private def nanToNull(e: Expression): Expression =
     If(IsNaN(e), Literal(null, DoubleType), e)
+  /** Σ(v·w)/Σ(w) over rows where BOTH sides are non-NULL: the pairwise
+    * guard keeps a NULL weight from dropping its value out of the
+    * numerator but not the denominator (or vice versa). */
+  private def weightedAvg(v0: Expression, w0: Expression): Expression = {
+    val v = dbl(v0); val w = dbl(w0)
+    val both = And(IsNotNull(v), IsNotNull(w))
+    val nullD = Literal(null, DoubleType)
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+    Divide(
+      Sum(If(both, Multiply(v, w), nullD)).toAggregateExpression(),
+      Sum(If(both, w, nullD)).toAggregateExpression())
+  }
   /** NULL out the ordering for rows whose VALUE is NULL — DuckDB's
     * arg_max/arg_min skip NULL arguments (probed); Spark's MaxBy skips
     * rows whose ordering is NULL, so masking the ordering reproduces it.
@@ -792,6 +804,13 @@ object DuckFunctions {
     // BOTH engines under Spark's ANSI default)
     arity("geomean", 1)(a => Exp(Average(Log(dbl(a.head))).toAggregateExpression())),
     arity("geometric_mean", 1)(a => Exp(Average(Log(dbl(a.head))).toAggregateExpression())),
+
+    // DuckDB >= 1.5 weighted_avg/wavg = Σ(v·w)/Σ(w) over rows where BOTH
+    // are non-NULL (post-1.0 surface — the reference pins 1.5.2; local
+    // v1.0 probes the names MISSING, so the definition is the public
+    // docs', spec-pinned)
+    arity("weighted_avg", 2)(a => weightedAvg(a.head, a(1))),
+    arity("wavg", 2)(a => weightedAvg(a.head, a(1))),
 
     // population excess kurtosis — Spark's Kurtosis node IS g2; DuckDB
     // returns NULL (not NaN) for n=1 / zero variance

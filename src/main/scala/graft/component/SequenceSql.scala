@@ -252,12 +252,18 @@ object SequenceSql {
       DropStmt(unq(m.group(2)), ifExists = m.group(1) != null))
 
   /** Static-analysis twin: CREATE SEQUENCE produces catalog object `name`
-    * (so the DAG orders nextval users after it); DROP is inert for
-    * analysis. Mirrors [[CopyFrom.stub]]'s role. */
+    * (so the DAG orders nextval users after it); DROP SEQUENCE *reads*
+    * the object — the dependency orders it after the CREATE in a
+    * batch-parallel plan (without it the drop can land in batch 1 and
+    * delete the sequence before it exists). A drop can still race a
+    * same-block nextval READER — a write-after-read hazard no dependency
+    * DAG models (the reference's sqlglot DAG has the same gap); scripts
+    * should drop in a later block. Mirrors [[CopyFrom.stub]]'s role. */
   def stub(stmt: String): String =
     parseCreate(stmt).map(c =>
       s"CREATE TABLE `${Names.view(c.name)}` AS SELECT 1 AS __seq")
-      .orElse(parseDrop(stmt).map(_ => "SET __graft_inert_DROP_SEQUENCE = true"))
+      .orElse(parseDrop(stmt).map(d =>
+        s"SELECT 1 AS __seq FROM `${Names.view(d.name)}`"))
       .getOrElse(stmt)
 
   /** Sequence names a statement's nextval/currval calls reference —

@@ -682,6 +682,58 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(lists.head.getDouble(2) == 5.0) // 2.0 + 3.0
   }
 
+  test("component end-to-end: a script using the round-14 surface") {
+    val dd = Files.createTempDirectory("graft_r14_")
+    def w(p: java.nio.file.Path, c: String): Unit = {
+      Files.createDirectories(p.getParent); Files.writeString(p, c)
+    }
+    w(dd.resolve("in/tables/raw"),
+      "name,score_a,score_b\nx,1,10\ny,2,\nz,3,30\nx,4,40\n")
+    w(dd.resolve("in/tables/raw.manifest"),
+      """{"columns": ["name", "score_a", "score_b"]}""")
+    val script = Seq(
+      // sequences + DDL PK + upsert + RETURNING, in one flow
+      "CREATE SEQUENCE r14_ids",
+      "CREATE TABLE keyed (id BIGINT PRIMARY KEY, name VARCHAR, sa DOUBLE)",
+      "INSERT INTO keyed SELECT nextval('r14_ids'), name, " +
+        "CAST(score_a AS DOUBLE) FROM raw RETURNING id",
+      "INSERT INTO keyed VALUES (1, 'x', 99.0) " +
+        "ON CONFLICT (id) DO UPDATE SET sa = excluded.sa",
+      // star filters + RENAME + lambda + fill over the ingested table
+      "CREATE TABLE scores AS SELECT * LIKE 'score%' FROM raw",
+      "CREATE TABLE renamed AS SELECT * RENAME (score_a AS a) FROM scores",
+      "CREATE TABLE filled AS SELECT CAST(score_a AS INT) AS o, " +
+        "fill(CAST(score_b AS DOUBLE)) OVER (ORDER BY CAST(score_a AS INT)) AS fb " +
+        "FROM raw",
+      "CREATE TABLE lam AS SELECT list_sum(" +
+        "list_transform([1, 2, 3], lambda x: x * 10)) AS s FROM range(1)",
+      "CREATE TABLE outt AS SELECT k.id, k.name, k.sa FROM keyed k ORDER BY k.id")
+    val cfg = // the DROP rides a SECOND block: blocks are sequential, so
+              // it cannot race the first block's nextval readers
+      s"""{"parameters": {"blocks": [{"name": "B", "codes": [
+         |  {"name": "q", "script": [${script.map(s => "\"" + s.replace("\"", "\\\"") + "\"").mkString(", ")}]}
+         |]}, {"name": "B2", "codes": [
+         |  {"name": "cleanup", "script": ["DROP SEQUENCE r14_ids"]}
+         |]}]},
+         |"storage": {
+         | "input": {"tables": [{"source": "in.c-x.raw", "destination": "raw"}]},
+         | "output": {"tables": [{"source": "outt", "destination": "out.c-y.outt"}]}}}""".stripMargin
+    w(dd.resolve("config.json"), cfg)
+    val issues = Actions.syntaxCheck(spark, Config.parse(cfg))
+    assert(issues.isEmpty, issues)
+    Component.run(spark, dd.toString)
+    val out = Files.readString(dd.resolve("out/tables/outt")).linesIterator.toList
+    assert(out.head == "\"id\",\"name\",\"sa\"")
+    assert(out.contains("\"1\",\"x\",\"99.0\""), out) // upsert applied
+    assert(out.length == 5, out)                      // 4 rows + header
+    assert(spark.table("scores").columns.toSeq == Seq("score_a", "score_b"))
+    assert(spark.table("renamed").columns.toSeq == Seq("a", "score_b"))
+    // fill: score_b NULL at o=2 interpolates between (1,10) and (3,30)
+    val fb = spark.table("filled").orderBy("o").collect().map(_.getDouble(1))
+    assert(fb.sameElements(Array(10.0, 20.0, 30.0, 40.0)), fb.toSeq)
+    assert(spark.table("lam").collect().head.get(0).toString.toDouble == 60.0)
+  }
+
   // ── PRAGMA / SET ... TO ────────────────────────────────────────────
 
   test("EXPLAIN and SHOW TABLES run natively in scripts (pinned)") {

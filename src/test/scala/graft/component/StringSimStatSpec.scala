@@ -92,6 +92,17 @@ class StringSimStatSpec extends SparkSpec {
     approx("SELECT geometric_mean(x) FROM VALUES (3.0), (3.0) AS t(x)", 3.0)
   }
 
+  test("weighted_avg/wavg: sum(v*w)/sum(w), pairwise NULL skip (1.5)") {
+    approx("SELECT weighted_avg(v, w) FROM VALUES (1.0, 1.0), (3.0, 3.0) AS t(v, w)",
+      2.5) // (1*1 + 3*3) / 4
+    approx("SELECT wavg(v, w) FROM VALUES (10.0, 2.0), (20.0, 0.0) AS t(v, w)", 10.0)
+    // a NULL on EITHER side drops the PAIR from both sums
+    approx("SELECT weighted_avg(v, w) FROM VALUES " +
+      "(1.0, 1.0), (NULL, 100.0), (3.0, NULL), (3.0, 3.0) AS t(v, w)", 2.5)
+    assert(one("SELECT weighted_avg(v, w) FROM VALUES " +
+      "(CAST(NULL AS DOUBLE), 1.0) AS t(v, w)") == null)
+  }
+
   test("mad: interpolated median of absolute deviations, NULLs skipped") {
     approx("SELECT mad(x) FROM VALUES (1.0), (2.0), (4.0), (100.0) AS t(x)", 1.5)
     approx("SELECT mad(x) FROM VALUES (1.0), (2.0) AS t(x)", 0.5)
