@@ -605,9 +605,13 @@ object Dialect {
       val po = s"last_value(CASE WHEN ($v) IS NOT NULL THEN $pos END, true) $winPrev"
       val nv = s"first_value(($v), true) $winNext"
       val no = s"first_value(CASE WHEN ($v) IS NOT NULL THEN $pos END, true) $winNext"
+      // the $no = $po guard: duplicate ORDER BY keys would divide by
+      // zero (an ANSI-mode runtime error, NULL otherwise) — the
+      // bracketing values sit at one position, take the preceding one
       val repl = s"(CASE WHEN ($v) IS NOT NULL THEN ($v) " +
         s"WHEN $pv IS NULL THEN $nv " +
         s"WHEN $nv IS NULL THEN $pv " +
+        s"WHEN $no = $po THEN $pv " +
         s"ELSE $pv + ($nv - $pv) * (($pos - $po) / ($no - $po)) END)"
       stmt = stmt.substring(0, m.start) + repl + stmt.substring(overClose + 1)
     }

@@ -116,6 +116,16 @@ object StarRenameSql {
     val kept = cols.filterNot(c => excluded(c.toLowerCase))
     if (kept.isEmpty)
       throw new UserException("* RENAME: the EXCEPT list removed every column")
+    // a NEW name colliding with a kept column (that is not itself being
+    // renamed away) would project duplicate names — loud, like DuckDB
+    val renamedAway = renames.map(_._1.toLowerCase).toSet
+    val landing = kept.filterNot(c => renamedAway(c.toLowerCase))
+      .map(_.toLowerCase).toSet
+    renames.foreach { case (_, n) =>
+      if (landing(n.toLowerCase))
+        throw new UserException(
+          s"* RENAME: new name $n collides with an existing column")
+    }
     val projection = kept.map { c =>
       byLower.get(c.toLowerCase) match {
         case Some(n) => s"`$c` AS `$n`"

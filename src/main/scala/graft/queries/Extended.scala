@@ -364,6 +364,22 @@ object Extended {
       val ex = new graft.component.Executor(s, wh)
       graft.component.Dialect.prepare(Oracle.q78)
         .flatMap(ex.runStatement(_)).last
+    }),
+
+    // fill() window interpolation (DuckDB >= 1.4; local oracle v1.0 has
+    // no fill, so the DuckDB leg runs the INTERPOLATION FORMULA itself —
+    // IGNORE NULLS windows + the distance-weighted line — which v1.0 can
+    // express. A true cross-engine check of the lowering's math, not of
+    // DuckDB's fill; the 1.4 semantics themselves are spec-pinned.)
+    "q79_fill" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(
+        """SELECT doc_id,
+          |  CAST(fill(CASE WHEN doc_id % 7 IN (2, 3) THEN NULL
+          |            ELSE CAST(n_chars AS DOUBLE) END)
+          |       OVER (ORDER BY doc_id) AS DOUBLE) AS filled
+          |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin))
     })
   )
 
@@ -658,6 +674,35 @@ object Extended {
         |  FROM lineitem WHERE l_orderkey % 50 = 0;
         |UPDATE ret_q78 SET q = q * 2 WHERE f = 'R' RETURNING k AS k, q AS q, f AS f""".stripMargin
 
+    /** DuckDB leg of q79: the interpolation FORMULA (v1.0-expressible),
+      * checking the Spark-side fill() lowering's math cross-engine. */
+    val q79: String =
+      """WITH base AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 IN (2, 3) THEN NULL
+        |              ELSE CAST(n_chars AS DOUBLE) END AS v
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), w AS (
+        |  SELECT doc_id, v,
+        |    last_value(v IGNORE NULLS) OVER
+        |      (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN CAST(doc_id AS DOUBLE) END IGNORE NULLS) OVER
+        |      (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS po,
+        |    first_value(v IGNORE NULLS) OVER
+        |      (ORDER BY doc_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN CAST(doc_id AS DOUBLE) END IGNORE NULLS) OVER
+        |      (ORDER BY doc_id ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS no
+        |  FROM base
+        |)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NULL THEN nv
+        |       WHEN nv IS NULL THEN pv
+        |       WHEN no = po THEN pv
+        |       ELSE pv + (nv - pv) * ((CAST(doc_id AS DOUBLE) - po) / (no - po))
+        |  END AS DOUBLE) AS filled
+        |FROM w ORDER BY doc_id""".stripMargin
+
     val q37: String =
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
         |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
@@ -782,6 +827,7 @@ object Extended {
     "q76_opspell" -> Oracle.q76,
     "q77_matchops" -> Oracle.q77,
     "q78_returning" -> Oracle.q78,
+    "q79_fill" -> Oracle.q79,
     "q37_grouping_sets" -> Oracle.q37,
     "q38_outer_joins" -> Oracle.q38,
     "q39_in_subquery" -> Oracle.q39,

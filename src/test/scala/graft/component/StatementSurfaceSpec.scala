@@ -1124,6 +1124,16 @@ class StatementSurfaceSpec extends SparkSpec {
       "UNION ALL SELECT TIMESTAMP '2024-01-01 00:01:00', 3.0) ORDER BY f")
       .collect().map(_.getDouble(0))
     assert(ts.sameElements(Array(1.0, 2.0, 3.0)), ts.toSeq)
+    // DESC order: same interpolation line, frame-relative edges
+    val desc = q("SELECT o, fill(v) OVER (ORDER BY o DESC) AS f FROM fill_t " +
+      "ORDER BY o").collect().map(_.getDouble(1))
+    assert(desc.sameElements(Array(10.0, 20.0, 30.0, 40.0, 40.0)), desc.toSeq)
+    // duplicate ORDER BY keys cannot divide by zero (ANSI-safe guard)
+    Seq((1, Some(2.0)), (1, None), (1, Some(6.0)))
+      .toDF("o", "v").createOrReplaceTempView("fill_dup")
+    val dup = q("SELECT fill(v) OVER (ORDER BY o) AS f FROM fill_dup")
+      .collect().map(_.getDouble(0)).sorted
+    assert(dup.length == 3 && dup.contains(2.0) && dup.contains(6.0), dup.toSeq)
     // unsupported shapes leave the text whole → loud unresolved fill
     assert(intercept[Exception] {
       q("SELECT fill(v) OVER (ORDER BY o, v) AS f FROM fill_t").collect()
@@ -1163,6 +1173,13 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(intercept[UserException] {
       run("CREATE TABLE sr3 AS SELECT * RENAME (nope AS x) FROM sl_t")
     }.getMessage.contains("does not exist"))
+    // a rename landing on an existing column would project duplicates
+    assert(intercept[UserException] {
+      run("CREATE TABLE sr4 AS SELECT * RENAME (p_one AS id) FROM sl_t")
+    }.getMessage.contains("collides"))
+    // ... but SWAPPING via two renames is fine (both old names renamed away)
+    assert(colsOf("CREATE TABLE sr5 AS SELECT * RENAME (p_one AS p_two, " +
+      "p_two AS p_one) FROM sl_t", "sr5") == Seq("id", "p_two", "p_one"))
     // values ride along unchanged
     assert(spark.table("sr1").collect().head.getString(1) == "ab")
     // static analysis: both forms stub to `*` with the same deps
