@@ -19,22 +19,37 @@ import org.apache.spark.unsafe.types.UTF8String
   * time-ordered, so ORDER BY on the string sorts by creation time, the
   * property that makes v7 the surrogate-key UUID.
   */
-case class UuidV7() extends LeafExpression
-    with Nondeterministic with CodegenFallback {
+case class UuidV7() extends LeafExpression with Nondeterministic {
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
   override def prettyName: String = "uuidv7"
   override protected def initializeInternal(partitionIndex: Int): Unit = ()
-  override protected def evalInternal(input: InternalRow): Any = {
+  override protected def evalInternal(input: InternalRow): Any = genValue()
+  /** Also the codegen entry point (a draw has no row inputs — state is
+    * the clock + ThreadLocalRandom, so the generated code calls back
+    * through a plan-referenced instance and the projection KEEPS its
+    * whole-stage codegen, unlike a CodegenFallback leaf). */
+  def genValue(): UTF8String = {
     val ms = System.currentTimeMillis()
     val r = java.util.concurrent.ThreadLocalRandom.current()
     val msb = (ms << 16) | 0x7000L | r.nextInt(1 << 12)
     val lsb = 0x8000000000000000L | (r.nextLong() & 0x3FFFFFFFFFFFFFFFL)
     UTF8String.fromString(new java.util.UUID(msb, lsb).toString)
   }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    import org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral
+    val ref = ctx.addReferenceObj("uuidv7gen", this, classOf[UuidV7].getName)
+    ev.copy(
+      code = code"""
+        |org.apache.spark.unsafe.types.UTF8String ${ev.value} =
+        |  (org.apache.spark.unsafe.types.UTF8String) $ref.genValue();
+      """.stripMargin,
+      isNull = FalseLiteral)
+  }
 }
 
-abstract class UuidExtract extends UnaryExpression with CodegenFallback {
+abstract class UuidExtract extends UnaryExpression with EvalDelegatingCodegen {
   protected def parse(s: Any): java.util.UUID =
     try java.util.UUID.fromString(s.asInstanceOf[UTF8String].toString)
     catch {
@@ -47,7 +62,8 @@ abstract class UuidExtract extends UnaryExpression with CodegenFallback {
 case class UuidExtractVersion(child: Expression) extends UuidExtract {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "uuid_extract_version"
-  override protected def nullSafeEval(s: Any): Any = parse(s).version()
+  override protected def resultJavaType: String = "java.lang.Integer"
+  override def nullSafeEval(s: Any): Any = parse(s).version()
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -90,10 +106,11 @@ case class FillPos(child: Expression) extends UnaryExpression {
 case class UuidExtractTimestamp(child: Expression) extends UuidExtract {
   override def dataType: DataType = TimestampType
   override def prettyName: String = "uuid_extract_timestamp"
+  override protected def resultJavaType: String = "java.lang.Long"
   // micros between 1582-10-15T00:00Z (the Gregorian UUID epoch) and
   // 1970-01-01T00:00Z, as 100-ns ticks: the v1 conversion constant
   private val gregorianOffsetTicks = 122192928000000000L
-  override protected def nullSafeEval(s: Any): Any = {
+  override def nullSafeEval(s: Any): Any = {
     val u = parse(s)
     u.version() match {
       case 7 => ((u.getMostSignificantBits >>> 16) & 0xFFFFFFFFFFFFL) * 1000L

@@ -47,6 +47,19 @@ class DuckFunctionsSpec extends SparkSpec {
     val pair = session.sql(
       "SELECT uuidv7() AS a, uuidv7() AS b").collect().head
     assert(pair.getString(0).substring(0, 13) <= pair.getString(1).substring(0, 13))
+    // the expressions are codegen-native: with fallback DISABLED a
+    // Janino error would throw instead of silently demoting
+    session.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val gen = session.sql("SELECT uuidv7() AS u, " +
+        "uuid_extract_version(uuidv7()) AS ver, " +
+        "unix_millis(uuid_extract_timestamp(uuidv7())) AS ts " +
+        "FROM range(100)").collect()
+      assert(gen.length == 100)
+      assert(gen.map(_.getString(0)).distinct.length == 100) // all unique
+      assert(gen.forall(_.getInt(1) == 7))
+      assert(gen.forall(_.getLong(2) > 0L))
+    } finally session.conf.set("spark.sql.codegen.fallback", "true")
   }
 
   test("list lambda + scalar renames bind to the native array operators") {

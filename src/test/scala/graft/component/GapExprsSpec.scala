@@ -124,6 +124,10 @@ class GapExprsSpec extends SparkSpec {
     session.range(50).selectExpr("concat('f_', id, '.txt') AS p",
       "CASE WHEN id % 2 = 0 THEN 'f_*.txt' ELSE 'g_*' END AS pat")
       .createOrReplaceTempView("glob_cg")
+    // fallback OFF: a Janino error in the generated code would THROW
+    // here instead of silently demoting to interpreted mode
+    session.conf.set("spark.sql.codegen.fallback", "false")
+    try {
     // literal pattern: compiled once at codegen time (addReferenceObj)
     val lit = session.sql(
       "SELECT p, duck_glob(p, 'f_*[0-9].txt') AS g FROM glob_cg")
@@ -141,6 +145,7 @@ class GapExprsSpec extends SparkSpec {
     // NULL pattern literal keeps null semantics through codegen
     assert(session.sql("SELECT duck_glob('x', CAST(NULL AS STRING)) AS g")
       .collect().head.isNullAt(0))
+    } finally session.conf.set("spark.sql.codegen.fallback", "true")
   }
 
   test("date_diff: PART-BOUNDARY counting (not elapsed units)") {
