@@ -1076,15 +1076,26 @@ object Dialect {
     // these words never trigger.
     locally {
       val masked = maskQuoted(stmt)
-      if ("(?i)\\bOVER\\s*\\(".r.findFirstIn(masked).isDefined) {
-        if ("(?i)\\bGROUPS\\s+(BETWEEN\\b|UNBOUNDED\\b|CURRENT\\s+ROW|\\d)".r
-            .findFirstIn(masked).isDefined)
+      // scan only INSIDE each OVER (...) paren span: a column named
+      // `groups` in a WHERE (`groups BETWEEN 1 AND 5`) or a column
+      // `exclude` before a GROUP BY are valid identifiers outside the
+      // frame clause and must not be mistaken for frame keywords
+      val overSpans: Seq[(Int, Int)] =
+        "(?i)\\bOVER\\s*\\(".r.findAllMatchIn(masked).toSeq.flatMap { m =>
+          val close = matchingParen(masked, m.end - 1)
+          if (close > 0) Some((m.end, close)) else None
+        }
+      if (overSpans.nonEmpty) {
+        def inOver(re: scala.util.matching.Regex) =
+          re.findAllMatchIn(masked).find(m =>
+            overSpans.exists { case (s, e) => m.start >= s && m.end <= e })
+        if (inOver("(?i)\\bGROUPS\\s+(BETWEEN\\b|UNBOUNDED\\b|CURRENT\\s+ROW|\\d)".r)
+            .isDefined)
           return rejectSentinel("FRAME_GROUPS")
-        if ("(?i)\\bEXCLUDE\\s+(CURRENT\\s+ROW|GROUP\\b|TIES\\b)".r
-            .findFirstIn(masked).isDefined)
+        if (inOver("(?i)\\bEXCLUDE\\s+(CURRENT\\s+ROW|GROUP\\b|TIES\\b)".r)
+            .isDefined)
           return rejectSentinel("FRAME_EXCLUDE")
-        val noOthers = "(?i)\\bEXCLUDE\\s+NO\\s+OTHERS".r
-        val hit = noOthers.findFirstMatchIn(masked)
+        val hit = inOver("(?i)\\bEXCLUDE\\s+NO\\s+OTHERS".r)
         if (hit.isDefined)
           return rewritePragma(
             stmt.substring(0, hit.get.start) + stmt.substring(hit.get.end))

@@ -291,6 +291,15 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
         throw new UserException(
           s"ALTER TABLE $name ADD PRIMARY KEY: existing rows are not " +
             s"unique on (${cols.mkString(", ")})")
+      // PRIMARY KEY columns are NOT NULL (DuckDB enforces the constraint
+      // on ADD): a NULL key passing here would later silently miss the
+      // upsert anti-join (NULL never equals NULL) and diverge from DuckDB
+      val nullKey = existing
+        .filter(cols.map(c => col(c).isNull).reduce(_ || _)).limit(1).collect()
+      if (nullKey.nonEmpty)
+        throw new UserException(
+          s"ALTER TABLE $name ADD PRIMARY KEY: NULL in key column(s) " +
+            s"(${cols.mkString(", ")}) — PRIMARY KEY columns are NOT NULL")
       declaredPk.put(sanitized.toLowerCase, pkCols)
 
     case renameStmt(ifExists, from, to) =>
@@ -510,7 +519,7 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
           // so build every output column in a single projection; SET
           // targets match case-insensitively like the resolver
           val assigned = assigns.map { case (k, v) => k.toLowerCase -> v }.toMap
-          val out = df.select(df.columns.map { c =>
+          val outCols = df.columns.map { c =>
             assigned.get(c.toLowerCase) match {
               case Some(value) => (cond match {
                 case Some(p) => when(GraftSqlBridge.column(p),
@@ -519,22 +528,24 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
               }).as(c)
               case None => col(c)
             }
-          }: _*)
+          }
           if (returning.isDefined) {
-            // the matched rows with their NEW (post-SET) values, cast to
-            // out's when()-coerced column types so delta and table agree
-            // — pinned before the swap
+            // RETURNING must observe the WRITTEN rows: a nondeterministic
+            // SET (nextval(), uuidv7(), random()) evaluated once for the
+            // table and again for the delta would return rows that were
+            // never stored and advance sequences twice. Pin ONE shared
+            // evaluation — checkpoint the hit-annotated projection and
+            // derive both the new table state and the delta from it
+            // (the same single-eval contract as INSERT/upsert above)
             val hit = cond.map(p =>
               coalesce(GraftSqlBridge.column(p), lit(false))).getOrElse(lit(true))
-            delta = Some(df.filter(hit).select(df.columns.map { c =>
-              assigned.get(c.toLowerCase) match {
-                case Some(value) => GraftSqlBridge.column(value)
-                  .cast(out.schema(c).dataType).as(c)
-                case None => col(c)
-              }
-            }: _*).localCheckpoint())
+            val pinned = df.select(outCols :+ hit.as("__upd_ret_hit"): _*)
+              .localCheckpoint()
+            delta = Some(pinned.filter(col("__upd_ret_hit")).drop("__upd_ret_hit"))
+            register(name, materialize(name, pinned.drop("__upd_ret_hit")))
+          } else {
+            register(name, materialize(name, df.select(outCols: _*)))
           }
-          register(name, materialize(name, out))
           rebind(Names.view(name).toLowerCase)
 
         case _ =>
@@ -794,15 +805,23 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
         case None => expr(s"`$tAlias`.`$c`").as(c)
       }
     }
-    val out = one.select(projCols: _*)
-    // RETURNING delta: the matched rows with their post-SET values —
-    // same projection, filtered to hits, pinned BEFORE the swap deletes
-    // the old files it reads
-    val delta = if (wantDelta)
-      Some(one.filter(coalesce(col("__upd_hit"), lit(false)))
-        .select(projCols: _*).localCheckpoint())
-    else None
-    register(u.target, materialize(u.target, out))
+    // RETURNING delta: the matched rows with their post-SET values. ONE
+    // shared evaluation of the SET projection (checkpoint the hit-
+    // annotated frame, derive table and delta from it): a separate
+    // delta select would re-evaluate nondeterministic SETs (nextval(),
+    // uuidv7(), random()) and return rows that differ from the written
+    // ones — the same single-eval pin as INSERT/upsert/plain UPDATE.
+    // Also pinned BEFORE the swap deletes the old files it reads.
+    val delta = if (wantDelta) {
+      val pinned = one.select(projCols :+
+        coalesce(col("__upd_hit"), lit(false)).as("__upd_ret_hit"): _*)
+        .localCheckpoint()
+      register(u.target, materialize(u.target, pinned.drop("__upd_ret_hit")))
+      Some(pinned.filter(col("__upd_ret_hit")).drop("__upd_ret_hit"))
+    } else {
+      register(u.target, materialize(u.target, one.select(projCols: _*)))
+      None
+    }
     rebind(sanitized.toLowerCase)
     delta
   }

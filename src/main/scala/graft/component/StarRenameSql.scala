@@ -104,6 +104,20 @@ object StarRenameSql {
             s"RENAME entry needs `old AS new`: ${piece.trim}")
         }
       }
+    // duplicates WITHIN the rename list: two entries landing on one new
+    // name (`a AS x, b AS x`) would silently project duplicate columns,
+    // and one old name renamed twice has no defined winner — loud, like
+    // DuckDB errors on both (* RENAME is 1.4 surface; spec-pinned)
+    locally {
+      val newLower = renames.map(_._2.toLowerCase)
+      newLower.diff(newLower.distinct).headOption.foreach(d =>
+        throw new UserException(
+          s"* RENAME: new name $d appears more than once"))
+      val oldLower = renames.map(_._1.toLowerCase)
+      oldLower.diff(oldLower.distinct).headOption.foreach(d =>
+        throw new UserException(
+          s"* RENAME: column $d is renamed more than once"))
+    }
     val byLower = renames.map { case (o, n) => o.toLowerCase -> n }.toMap
     renames.foreach { case (o, _) =>
       if (!cols.exists(_.equalsIgnoreCase(o)))

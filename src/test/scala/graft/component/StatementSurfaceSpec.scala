@@ -1180,6 +1180,14 @@ class StatementSurfaceSpec extends SparkSpec {
     // ... but SWAPPING via two renames is fine (both old names renamed away)
     assert(colsOf("CREATE TABLE sr5 AS SELECT * RENAME (p_one AS p_two, " +
       "p_two AS p_one) FROM sl_t", "sr5") == Seq("id", "p_two", "p_one"))
+    // duplicates WITHIN the list reject (r15 ADVICE): two entries on one
+    // new name, or one old name renamed twice
+    assert(intercept[UserException] {
+      run("CREATE TABLE sr6 AS SELECT * RENAME (p_one AS x, p_two AS x) FROM sl_t")
+    }.getMessage.contains("more than once"))
+    assert(intercept[UserException] {
+      run("CREATE TABLE sr7 AS SELECT * RENAME (p_one AS x, p_one AS y) FROM sl_t")
+    }.getMessage.contains("renamed more than once"))
     // values ride along unchanged
     assert(spark.table("sr1").collect().head.getString(1) == "ab")
     // static analysis: both forms stub to `*` with the same deps
@@ -1206,6 +1214,14 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(intercept[UserException] {
       run("ALTER TABLE apk_dup ADD PRIMARY KEY (k)")
     }.getMessage.contains("not unique"))
+    // a NULL in a key column rejects too (r15 ADVICE): PK columns are
+    // NOT NULL in DuckDB, and a NULL key would silently miss the upsert
+    // anti-join later (NULL never equals NULL)
+    run("CREATE TABLE apk_null AS SELECT CAST(NULL AS BIGINT) AS k, 'a' AS v " +
+      "UNION ALL SELECT 2, 'b'")
+    assert(intercept[UserException] {
+      run("ALTER TABLE apk_null ADD PRIMARY KEY (k)")
+    }.getMessage.contains("NULL"))
     assert(intercept[UserException] {
       run("ALTER TABLE apk_none ADD PRIMARY KEY (k)")
     }.getMessage.contains("does not exist"))
@@ -1336,6 +1352,31 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(ids.sameElements(Array(1L, 2L, 3L)), ids.toSeq)
     assert(spark.table("r_ids").collect().map(_.getLong(0)).sorted
       .sameElements(Array(1L, 2L, 3L)))
+    // UPDATE ... RETURNING with a NONDETERMINISTIC SET (r15 ADVICE): the
+    // returned rows must BE the written rows — one shared evaluation, so
+    // the sequence advances exactly once per matched row
+    run("CREATE SEQUENCE r_useq")
+    run("CREATE TABLE r_upd AS SELECT range AS k, CAST(0 AS BIGINT) AS sid " +
+      "FROM range(3)")
+    val uret = run("UPDATE r_upd SET sid = nextval('r_useq') WHERE k >= 1 " +
+      "RETURNING k, sid").get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val ustored = spark.table("r_upd").filter("k >= 1").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(uret.sameElements(ustored), s"${uret.toSeq} vs ${ustored.toSeq}")
+    assert(uret.map(_._2).sorted.sameElements(Array(1L, 2L)), uret.toSeq)
+    // same single-eval contract for the UPDATE ... FROM join form
+    run("CREATE SEQUENCE r_fseq")
+    run("CREATE TABLE r_updf AS SELECT range AS k, CAST(0 AS BIGINT) AS sid " +
+      "FROM range(3)")
+    run("CREATE TABLE r_fsrc AS SELECT range AS k FROM range(2)")
+    val fret = run("UPDATE r_updf SET sid = nextval('r_fseq') FROM r_fsrc " +
+      "WHERE r_updf.k = r_fsrc.k RETURNING k, sid").get
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val fstored = spark.table("r_updf").filter("k < 2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(fret.sameElements(fstored), s"${fret.toSeq} vs ${fstored.toSeq}")
+    assert(fret.map(_._2).sorted.sameElements(Array(1L, 2L)), fret.toSeq)
     // `AS returning` is a legal column ALIAS (probed), not the clause
     run("CREATE TABLE r_al (returning INT)")
     run("INSERT INTO r_al SELECT 5 AS returning")
@@ -1487,6 +1528,19 @@ class StatementSurfaceSpec extends SparkSpec {
       "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE NO OTHERS) AS s FROM t")
     assert(!stripped.toUpperCase.contains("EXCLUDE"), stripped)
     assert(stripped.toUpperCase.contains("ROWS BETWEEN 1 PRECEDING"), stripped)
+    // the scan is scoped to each OVER(...) span (r15 ADVICE): a column
+    // named groups in the WHERE, or a column exclude aliased `ties`
+    // (bare-alias spelling), are valid identifiers OUTSIDE the frame
+    // clause and must not trip the triage
+    assert(Dialect.rewrite("SELECT count(*) OVER () AS c FROM t " +
+      "WHERE groups BETWEEN 1 AND 5") !=
+      Dialect.rejectSentinel("FRAME_GROUPS"))
+    assert(Dialect.rewrite("SELECT count(*) OVER () AS c, exclude ties " +
+      "FROM t") != Dialect.rejectSentinel("FRAME_EXCLUDE"))
+    // ... while the same keywords INSIDE the OVER span still reject
+    assert(Dialect.rewrite("SELECT count(*) OVER (ORDER BY a GROUPS " +
+      "BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t WHERE groups > 1") ==
+      Dialect.rejectSentinel("FRAME_GROUPS"))
     // literals with the trigger words never fire; star-EXCLUDE untouched
     assert(Dialect.rewrite("SELECT 'GROUPS BETWEEN x' AS s, " +
       "count(*) OVER () AS c FROM t").contains("'GROUPS BETWEEN x'"))
