@@ -30,9 +30,9 @@ object Actions {
           val parseIssue = Try(spark.sessionState.sqlParser
               .parsePlan(PositionalSql.stub(AsOfSql.stub(Pivot.staticStub(
                 CopyFrom.stub(CopyTo.stub(UnionByNameSql.stub(DescribeSql.stub(
-                  SequenceSql.stub(ExportDb.stub(UpsertSql.stub(
+                  SequenceSql.stub(ExportDb.stub(UpsertSql.stub(MergeSql.stub(
                     UpdateFromSql.stub(IndexSql.stub(ReturningSql.stub(
-                      Dialect.analysisStub(stmt)))))))))))))))) match {
+                      Dialect.analysisStub(stmt))))))))))))))))) match {
             case Failure(e) => List(ValidationIssue(name, s"parse error: ${e.getMessage}"))
             case Success(_) => Nil
           }

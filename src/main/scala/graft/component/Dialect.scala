@@ -45,10 +45,6 @@ object Dialect {
       "validation can be a WHERE + loud count assertion)"),
     "ALTER_SEQUENCE" -> ("ALTER SEQUENCE is not supported: re-create the " +
       "sequence (CREATE OR REPLACE SEQUENCE) with the new parameters"),
-    "MERGE" -> ("MERGE INTO (DuckDB >= 1.4) is not supported: rewrite as " +
-      "an upsert — INSERT ... ON CONFLICT (key) DO UPDATE SET ... for " +
-      "WHEN MATCHED THEN UPDATE, DO NOTHING for a no-op match arm, and " +
-      "DELETE ... USING for WHEN MATCHED THEN DELETE"),
     "FRAME_GROUPS" -> ("window frame GROUPS mode is not supported (no " +
       "Spark equivalent; DuckDB 1.0 also rejects it): use ROWS for " +
       "physical offsets or RANGE for value offsets"),
@@ -1062,11 +1058,6 @@ object Dialect {
       return rejectSentinel("CREATE_TYPE")
     if ("(?is)^\\s*ALTER\\s+SEQUENCE\\b".r.findFirstIn(stmt).isDefined)
       return rejectSentinel("ALTER_SEQUENCE")
-    // MERGE INTO is DuckDB ≥1.4 surface (the reference pins 1.4.4/1.5.2;
-    // v1.0 probes a parse error) with no Spark temp-view spelling — the
-    // upsert statements cover the idiom, so reject with the rewrite hint
-    if ("(?is)^\\s*MERGE\\s+INTO\\b".r.findFirstIn(stmt).isDefined)
-      return rejectSentinel("MERGE")
     // window-frame triage (probed v1.0: GROUPS mode is a parse error
     // even there; EXCLUDE works in DuckDB but Spark frames have no
     // exclusion). EXCLUDE NO OTHERS restates the default — strip it;

@@ -5,7 +5,7 @@ import java.util.concurrent.Executors
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 
-import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
 import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
 
@@ -368,6 +368,9 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       // which is exactly the pinned batch the upsert evaluated once
       delta = Some(upsert(UpsertSql.parse(stmt).get))
 
+    case _ if MergeSql.parse(stmt).isDefined =>
+      delta = executeMerge(MergeSql.parse(stmt).get, returning.isDefined)
+
     case _ if UpdateFromSql.parse(stmt).isDefined =>
       delta = updateFrom(UpdateFromSql.parse(stmt).get, returning.isDefined)
 
@@ -555,10 +558,17 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     }
     returning.map { proj =>
       val d = delta.getOrElse(throw new UserException(
-        "RETURNING is only supported on INSERT / UPDATE / DELETE " +
+        "RETURNING is only supported on INSERT / UPDATE / DELETE / MERGE " +
           "statements (including the ON CONFLICT / OR REPLACE / OR " +
           "IGNORE upsert forms)"))
-      d.selectExpr(ReturningSql.projExprs(proj): _*)
+      // a MERGE delta carries the 1.4 `merge_action` pseudo-column: it is
+      // addressable by name but NOT part of `*` (spec-pinned 1.4 rule)
+      val exprs = ReturningSql.projExprs(proj).flatMap {
+        case "*" if d.columns.contains("merge_action") =>
+          d.columns.filter(_ != "merge_action").map(c => s"`$c`")
+        case e => Seq(e)
+      }
+      d.selectExpr(exprs: _*)
     }
   }
 
@@ -848,6 +858,218 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     register(u.target, materialize(u.target, kept))
     rebind(sanitized.toLowerCase)
     delta
+  }
+
+  /** MERGE INTO re-derivation (spec-pinned DuckDB 1.4 semantics —
+    * [[MergeSql]]; the local v1.0 oracle cannot parse the statement).
+    * Two distributed branches, no per-row path:
+    *
+    *  - target side (WHEN MATCHED / NOT MATCHED BY SOURCE): ONE
+    *    uid-annotated left join of the target against the source on the
+    *    user's ON, a first-match-wins when() chain picks each row's
+    *    clause, one projection applies the UPDATE SETs, a filter drops
+    *    the DELETEs. Several source rows matching one target row keep
+    *    ONE arbitrary match — the documented UPDATE..FROM rule this
+    *    engine already pins (probed v1.0, no error).
+    *  - insert side (WHEN NOT MATCHED [BY TARGET]): one anti-join keeps
+    *    the source rows with no target match, the clause chain picks an
+    *    INSERT form, one projection aligns to the target schema.
+    *
+    * At scale both joins shuffle on the ON keys (AQE broadcasts a small
+    * source); when BOTH branches exist the source is pinned to one
+    * evaluation (localCheckpoint — the upsert precedent, executor-side
+    * partitions, no driver collect). Under RETURNING each branch's
+    * annotated frame is checkpointed once and the written state AND the
+    * delta derive from it (the single-eval contract), with the 1.4
+    * `merge_action` pseudo-column ('UPDATE'/'DELETE'/'INSERT') in scope.
+    * ERROR clauses run one limit(1) probe job per branch that carries
+    * one. */
+  private def executeMerge(m: MergeSql.Parsed,
+                           wantDelta: Boolean): Option[DataFrame] = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{monotonically_increasing_id, row_number}
+    val sanitized = Names.view(m.target)
+    if (!spark.catalog.tableExists(s"`$sanitized`"))
+      throw new UserException(s"MERGE INTO: table ${m.target} does not exist")
+    val existing = spark.table(s"`$sanitized`")
+    val tAlias = m.targetAlias.getOrElse(m.target)
+    val (srcSql, sAlias) = MergeSql.sourceOf(m)
+    val clauses = m.clauses
+    val matchedClauses = clauses.filter(_.kind == MergeSql.Matched)
+    val bySourceClauses = clauses.filter(_.kind == MergeSql.NotMatchedBySource)
+    val insClauses = clauses.filter(_.kind == MergeSql.NotMatchedByTarget)
+    val needJoin = matchedClauses.nonEmpty || bySourceClauses.nonEmpty
+    val needInsert = insClauses.nonEmpty
+    val src0 = bodyDf(srcSql).withColumn("__m_hit", lit(true))
+    // both branches consume the source → pin ONE evaluation (a
+    // nondeterministic source must propose the same rows to both)
+    val src = if (needJoin && needInsert) src0.localCheckpoint() else src0
+    val srcByLower = src.columns.filter(_ != "__m_hit")
+      .map(c => c.toLowerCase -> c).toMap
+    val byLower = existing.columns.map(c => c.toLowerCase -> c).toMap
+    // SET / INSERT column names must exist (loud, like the binder)
+    clauses.foreach {
+      case MergeSql.Clause(_, _, _, MergeSql.Update(sets)) =>
+        sets.foreach { case (k, _) => if (!byLower.contains(k.toLowerCase))
+          throw new UserException(
+            s"MERGE INTO ${m.target}: SET column $k does not exist") }
+      case MergeSql.Clause(_, _, _, MergeSql.Insert(Some(cs), _)) =>
+        cs.foreach(k => if (!byLower.contains(k.toLowerCase))
+          throw new UserException(
+            s"MERGE INTO ${m.target}: INSERT column $k does not exist"))
+      case _ => ()
+    }
+
+    def clauseCond(c: MergeSql.Clause): Column =
+      c.cond.map(t => coalesce(expr(t), lit(false))).getOrElse(lit(true))
+    // first-match-wins: fold from the last clause out, so the earliest
+    // when() sits outermost
+    def chain(cls: Seq[MergeSql.Clause]): Column =
+      cls.foldRight(lit(-1)) { (c, acc) =>
+        when(clauseCond(c), lit(c.idx)).otherwise(acc) }
+
+    val errClauses = clauses.collect {
+      case MergeSql.Clause(i, _, _, e: MergeSql.Error) => i -> e.msg }.toMap
+    def checkErrors(df: DataFrame): Unit =
+      if (errClauses.nonEmpty) {
+        val hit = df.select(col("__m_action"))
+          .filter(col("__m_action").isin(errClauses.keys.toSeq: _*))
+          .limit(1).collect()
+        if (hit.nonEmpty)
+          throw new UserException(errClauses(hit.head.getInt(0)).getOrElse(
+            s"MERGE INTO ${m.target}: a row reached a WHEN ... THEN ERROR " +
+              "clause"))
+      }
+
+    // ---- target side: matched + not-matched-by-source ----
+    val (keptTgt, tgtAnnotated) = if (needJoin) {
+      val joined = existing.withColumn("__m_uid", monotonically_increasing_id())
+        .alias(tAlias)
+        .join(src.alias(sAlias), expr(m.on), "left_outer")
+      val one = joined.withColumn("__m_rn",
+        row_number().over(Window.partitionBy(col("__m_uid"))
+          .orderBy(col("__m_hit").desc_nulls_last)))
+        .filter(col("__m_rn") === 1)
+      val action = when(coalesce(col("__m_hit"), lit(false)),
+        chain(matchedClauses)).otherwise(chain(bySourceClauses))
+      val acted = one.withColumn("__m_action", action)
+      val updClauses = clauses.filter(c =>
+        c.kind != MergeSql.NotMatchedByTarget &&
+          c.action.isInstanceOf[MergeSql.Update])
+      val projCols = existing.columns.map { c =>
+        val old = expr(s"`$tAlias`.`$c`")
+        updClauses.foldRight(old) { (cl, acc) =>
+          val setV: Option[Column] = cl.action match {
+            case MergeSql.Update(Nil) =>
+              // bare UPDATE: every target column with a same-named
+              // source column takes the source value
+              srcByLower.get(c.toLowerCase)
+                .map(sc => expr(s"`$sAlias`.`$sc`"))
+            case MergeSql.Update(sets) =>
+              sets.collectFirst {
+                case (k, v) if k.equalsIgnoreCase(c) => expr(v) }
+            case _ => None
+          }
+          setV match {
+            case Some(v) => when(col("__m_action") === cl.idx,
+              v.cast(existing.schema(c).dataType)).otherwise(acc)
+            case None => acc
+          }
+        }.as(c)
+      }
+      val annotated0 = acted.select(projCols :+ col("__m_action"): _*)
+      val tgtHasErr = clauses.exists(c =>
+        c.kind != MergeSql.NotMatchedByTarget &&
+          c.action.isInstanceOf[MergeSql.Error])
+      val annotated =
+        if (wantDelta || tgtHasErr) annotated0.localCheckpoint()
+        else annotated0
+      checkErrors(annotated)
+      val delIdxs = clauses.collect {
+        case MergeSql.Clause(i, k, _, MergeSql.Delete)
+            if k != MergeSql.NotMatchedByTarget => i }
+      val kept =
+        if (delIdxs.isEmpty) annotated
+        else annotated.filter(!col("__m_action").isin(delIdxs: _*))
+      (kept.select(existing.columns.map(col): _*), Some(annotated))
+    } else (existing, None)
+
+    // ---- insert side: not-matched-by-target ----
+    val (insRows, insAnnotated) = if (needInsert) {
+      val unmatched = src.alias(sAlias)
+        .join(existing.alias(tAlias), expr(m.on), "left_anti")
+      val acted = unmatched.withColumn("__m_action", chain(insClauses))
+        .filter(col("__m_action") =!= -1)
+      val insActionClauses = insClauses.filter(
+        _.action.isInstanceOf[MergeSql.Insert])
+      val projIns = existing.columns.zipWithIndex.map { case (c, ci) =>
+        insActionClauses.foldRight(lit(null): Column) { (cl, acc) =>
+          val value: Column = cl.action match {
+            case MergeSql.Insert(None, None) =>
+              // bare INSERT: the source row BY NAME, missing → NULL
+              srcByLower.get(c.toLowerCase)
+                .map(sc => expr(s"`$sAlias`.`$sc`")).getOrElse(lit(null))
+            case MergeSql.Insert(Some(cs), Some(values)) =>
+              val at = cs.indexWhere(_.equalsIgnoreCase(c))
+              if (at >= 0) expr(values(at)) else lit(null)
+            case MergeSql.Insert(None, Some(values)) =>
+              if (values.length != existing.columns.length)
+                throw new UserException(
+                  s"MERGE INTO ${m.target}: INSERT VALUES has " +
+                    s"${values.length} expressions but the table has " +
+                    s"${existing.columns.length} columns")
+              expr(values(ci))
+            case _ => lit(null) // unreachable (validated non-Insert skipped)
+          }
+          when(col("__m_action") === cl.idx, value).otherwise(acc)
+        }.cast(existing.schema(c).dataType).as(c)
+      }
+      val annotated0 = acted.select(projIns :+ col("__m_action"): _*)
+      val insHasErr = insClauses.exists(_.action.isInstanceOf[MergeSql.Error])
+      val annotated =
+        if (wantDelta || insHasErr) annotated0.localCheckpoint()
+        else annotated0
+      checkErrors(annotated)
+      val insIdxs = insActionClauses.map(_.idx)
+      val rows =
+        if (insIdxs.isEmpty) None
+        else Some(annotated.filter(col("__m_action").isin(insIdxs: _*))
+          .select(existing.columns.map(col): _*))
+      (rows, Some(annotated))
+    } else (None, None)
+
+    val newState = insRows match {
+      case Some(r) => keptTgt.unionByName(r)
+      case None => keptTgt
+    }
+    register(m.target, materialize(m.target, newState))
+    rebind(sanitized.toLowerCase)
+
+    if (!wantDelta) None
+    else {
+      val updIdxs = clauses.collect {
+        case MergeSql.Clause(i, k, _, _: MergeSql.Update)
+            if k != MergeSql.NotMatchedByTarget => i }
+      val delIdxs = clauses.collect {
+        case MergeSql.Clause(i, k, _, MergeSql.Delete)
+            if k != MergeSql.NotMatchedByTarget => i }
+      val insIdxs = insClauses.collect {
+        case MergeSql.Clause(i, _, _, _: MergeSql.Insert) => i }
+      val tableCols = existing.columns.map(col)
+      def part(a: DataFrame, idxs: Seq[Int], act: String): Option[DataFrame] =
+        if (idxs.isEmpty) None
+        else Some(a.filter(col("__m_action").isin(idxs: _*))
+          .select(tableCols :+ lit(act).as("merge_action"): _*))
+      val parts =
+        tgtAnnotated.flatMap(part(_, updIdxs, "UPDATE")).toSeq ++
+          tgtAnnotated.flatMap(part(_, delIdxs, "DELETE")).toSeq ++
+          insAnnotated.flatMap(part(_, insIdxs, "INSERT")).toSeq
+      Some(
+        if (parts.isEmpty)
+          existing.limit(0)
+            .select(tableCols :+ lit("").as("merge_action"): _*)
+        else parts.reduce(_ unionByName _))
+    }
   }
 
   /** Upsert re-derivation — one anti-join for the fresh inserts plus (for

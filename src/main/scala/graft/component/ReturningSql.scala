@@ -30,7 +30,7 @@ package graft.component
   */
 object ReturningSql {
 
-  private val dmlHead = "(?is)^\\s*(?:INSERT|UPDATE|DELETE)\\b".r
+  private val dmlHead = "(?is)^\\s*(?:INSERT|UPDATE|DELETE|MERGE)\\b".r
   private val returningWord = "(?i)\\bRETURNING\\b".r
 
   /** Split a depth-0 trailing RETURNING clause off a DML statement:

@@ -37,8 +37,8 @@ object SqlAnalyzer {
       val plan = spark.sessionState.sqlParser.parsePlan(
         PositionalSql.stub(AsOfSql.stub(Pivot.staticStub(CopyFrom.stub(
           CopyTo.stub(UnionByNameSql.stub(DescribeSql.stub(SequenceSql.stub(
-            ExportDb.stub(UpsertSql.stub(UpdateFromSql.stub(IndexSql.stub(
-              ReturningSql.stub(Dialect.analysisStub(rewritten)))))))))))))))
+            ExportDb.stub(UpsertSql.stub(MergeSql.stub(UpdateFromSql.stub(IndexSql.stub(
+              ReturningSql.stub(Dialect.analysisStub(rewritten))))))))))))))))
       val a = fromPlan(plan)
       // nextval('s')/currval('s') reference the sequence through a string
       // literal the relation walk can't see — inject it as a dependency so

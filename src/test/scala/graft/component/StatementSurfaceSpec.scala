@@ -1508,11 +1508,10 @@ class StatementSurfaceSpec extends SparkSpec {
       Dialect.rejectSentinel("CREATE_TYPE"))
     assert(Dialect.rewrite("ALTER SEQUENCE s RESTART") ==
       Dialect.rejectSentinel("ALTER_SEQUENCE"))
-    // MERGE INTO is DuckDB >= 1.4 surface (the reference pins 1.4.4/1.5.2)
-    // — rejected with the upsert rewrite hint, never an opaque parse error
-    assert(Dialect.rewrite("MERGE INTO t USING s ON t.k = s.k " +
-      "WHEN MATCHED THEN UPDATE SET v = s.v") ==
-      Dialect.rejectSentinel("MERGE"))
+    // MERGE INTO executes since r15 (MergeSpec) — the rewrite passes it
+    // through for MergeSql to parse, no sentinel
+    assert(MergeSql.parse(Dialect.rewrite("MERGE INTO t USING s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v")).isDefined)
     // frame GROUPS mode / EXCLUDE triage: GROUPS and the real EXCLUDE
     // forms reject; EXCLUDE NO OTHERS (the default, probed v1.0) strips
     assert(Dialect.rewrite("SELECT sum(b) OVER (ORDER BY a " +
@@ -1547,7 +1546,7 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(Dialect.rewrite("SELECT * EXCLUDE (a) FROM t, " +
       "(SELECT count(*) OVER () AS c FROM t) q").contains("EXCEPT"))
     for (kind <- Seq("ATTACH", "DETACH", "CREATE_TYPE", "ALTER_SEQUENCE",
-        "MERGE", "FRAME_GROUPS", "FRAME_EXCLUDE")) {
+        "FRAME_GROUPS", "FRAME_EXCLUDE")) {
       val e = intercept[UserException] {
         ex.runStatement(Dialect.rejectSentinel(kind))
       }
