@@ -141,10 +141,11 @@ object Dialect {
   def rewrite(stmt0: String): String = {
     val stmt = rewriteQualify(rewriteDistinctOn(rewriteWithCreate(
       Pivot.rewriteUnpivot(UnnestSql.rewrite(rewriteUsingSample(
-        rewriteSeriesTableFns(rewriteFill(rewriteMatchOps(StarReplaceSql.rewriteLike(
+        rewriteSeriesTableFns(rewriteFill(rewriteMatchOps(
+          StarReplaceSql.rewriteBareExclude(StarReplaceSql.rewriteLike(
           rewriteIntDiv(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
           FileReads.rewriteTableFunctions(
-            rewritePragma(Macros.rewrite(stmt0)))))))))))))))))
+            rewritePragma(Macros.rewrite(stmt0))))))))))))))))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position
@@ -1183,6 +1184,9 @@ object Dialect {
     if (ColumnsSql.has(s)) s = ColumnsSql.stub(s)
     // * RENAME (a AS b) likewise
     if (StarRenameSql.has(s)) s = StarRenameSql.stub(s)
+    // qualified star name-filters (`t.* LIKE 'p'`) collapse to `t.*`
+    if (StarReplaceSql.hasQualifiedLike(s))
+      s = StarReplaceSql.stubQualifiedLike(s)
     s
   }
 

@@ -483,7 +483,8 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     case _ if Pivot.parse(stmt).isDefined || AsOfSql.parse(stmt).isDefined ||
         UnionByNameSql.parse(stmt).isDefined || StarReplaceSql.has(stmt) ||
         DescribeSql.parse(stmt).isDefined || ColumnsSql.has(stmt) ||
-        StarRenameSql.has(stmt) || PositionalSql.parse(stmt).isDefined =>
+        StarRenameSql.has(stmt) || StarReplaceSql.hasQualifiedLike(stmt) ||
+        PositionalSql.parse(stmt).isDefined =>
       // bare PIVOT / ASOF / POSITIONAL / UNION BY NAME / star REPLACE /
       // DESCRIBE / SUMMARIZE: execute for effect + errors
       bodyDf(stmt).queryExecution.assertAnalyzed()
@@ -592,6 +593,10 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
       .orElse {
         if (!StarRenameSql.has(body)) None
         else StarRenameSql.expand(body, bodyDf).map(bodyDf)
+      }
+      .orElse {
+        if (!StarReplaceSql.hasQualifiedLike(body)) None
+        else StarReplaceSql.expandQualifiedLike(body, bodyDf).map(bodyDf)
       }
       .orElse {
         if (!StarReplaceSql.has(body)) None

@@ -228,6 +228,137 @@ object StarReplaceSql {
     stmt
   }
 
+  /** Paren-less `* EXCLUDE col` / `t.* EXCLUDE col` → the `* EXCEPT(col)`
+    * group form the Spark parser knows. DuckDB takes exactly ONE bare
+    * column name in this spelling (probed v1.0: `SELECT * EXCLUDE a, c`
+    * projects `c` as a separate select item), so only the single
+    * following identifier joins the group. Anchored on a true star via
+    * [[isStar]] — `price * exclude_col` multiplication never rewrites —
+    * and clause keywords after EXCLUDE pass through to a loud parse
+    * error rather than swallowing the next clause. */
+  def rewriteBareExclude(stmt: String): String = {
+    val masked = Dialect.maskQuoted(stmt)
+    var i = 0
+    while (i < masked.length) {
+      if (masked.charAt(i) == '*' && isStar(stmt, i)) {
+        var j = i + 1
+        while (j < masked.length && masked.charAt(j) == stmt.charAt(j) &&
+          stmt.charAt(j).isWhitespace) j += 1
+        val m = "(?is)^EXCLUDE\\s+([A-Za-z_][A-Za-z0-9_]*)".r
+          .findFirstMatchIn(masked.substring(j))
+        m match {
+          case Some(g) if !clauseWords(g.group(1).toLowerCase) =>
+            return rewriteBareExclude(stmt.substring(0, j) +
+              s"EXCEPT(${g.group(1)})" + stmt.substring(j + g.end))
+          case _ => ()
+        }
+      }
+      i += 1
+    }
+    stmt
+  }
+
+  private val clauseWords = Set("from", "where", "group", "order", "having",
+    "limit", "qualify", "window", "union", "intersect", "except", "join",
+    "on", "using", "as", "no", "current", "ties")
+
+  /** One qualified star name-filter occurrence
+    * (`qual.* [NOT] LIKE/ILIKE/SIMILAR TO 'pat'`). */
+  private final case class QLike(qualStart: Int, dotIdx: Int, starIdx: Int,
+                                 not: Boolean, op: String,
+                                 qStart: Int, qEnd: Int)
+
+  private def findQualifiedLike(stmt: String): Option[QLike] = {
+    val masked = Dialect.maskQuoted(stmt)
+    var i = 0
+    while (i < masked.length) {
+      if (masked.charAt(i) == '*' && isStar(stmt, i)) {
+        var j = i - 1
+        while (j >= 0 && stmt.charAt(j).isWhitespace) j -= 1
+        if (j >= 0 && stmt.charAt(j) == '.') {
+          var k = j - 1
+          while (k >= 0 && (stmt.charAt(k).isLetterOrDigit ||
+            stmt.charAt(k) == '_')) k -= 1
+          if (k < j - 1) {
+            var p = i + 1
+            while (p < masked.length && masked.charAt(p) == stmt.charAt(p) &&
+              stmt.charAt(p).isWhitespace) p += 1
+            val opM = "(?is)^(NOT\\s+)?(LIKE|ILIKE|SIMILAR\\s+TO)(?=[\\s'])".r
+              .findFirstMatchIn(masked.substring(p))
+            opM match {
+              case Some(m) =>
+                var q = p + m.end
+                while (q < masked.length && masked.charAt(q) == stmt.charAt(q) &&
+                  stmt.charAt(q).isWhitespace) q += 1
+                if (q < stmt.length && stmt.charAt(q) == '\'')
+                  return Some(QLike(k + 1, j, i, m.group(1) != null,
+                    m.group(2).toUpperCase.replaceAll("\\s+", " "),
+                    q, Dialect.quotedEnd(stmt, q)))
+              case None => ()
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Does the statement carry a QUALIFIED star name-filter? The
+    * unqualified form lowers textually onto COLUMNS in [[rewriteLike]];
+    * the qualified form needs the QUALIFIER's schema, so
+    * [[expandQualifiedLike]] runs in the executor's bodyDf chain.
+    * DuckDB ≥ 1.4 surface (v1.0 probes a binder error: "STAR expression
+    * is only allowed as the root element"), so the semantics — a name
+    * filter over the qualified relation's columns — are spec-pinned. */
+  def hasQualifiedLike(stmt: String): Boolean =
+    findQualifiedLike(stmt).isDefined
+
+  /** Expand the first `qual.* [NOT] LIKE 'pat'` against the qualifier's
+    * ANALYZED schema (the [[ColumnsSql]] probe: `SELECT qual.* FROM
+    * <same sources>` is analyzed, never executed). The caller re-enters
+    * its rewrite chain on the result, so several occurrences converge. */
+  def expandQualifiedLike(body: String,
+                          bodyDf: String => org.apache.spark.sql.DataFrame)
+      : Option[String] = {
+    val q = findQualifiedLike(body).getOrElse(return None)
+    val qual = body.substring(q.qualStart, q.dotIdx)
+    val masked = Dialect.maskQuoted(body)
+    val dep = Dialect.depths(masked)
+    val fromM = "(?is)\\bFROM\\b".r.findAllMatchIn(masked)
+      .find(m => dep(m.start) == 0 && m.start > q.starIdx)
+      .getOrElse(return None)
+    val cutM = ("(?is)\\b(GROUP\\s+BY|HAVING|ORDER\\s+BY|LIMIT|QUALIFY|" +
+      "WINDOW)\\b").r.findAllMatchIn(masked)
+      .find(m => dep(m.start) == 0 && m.start > fromM.end)
+    val probeTail = body.substring(fromM.start,
+      cutM.map(_.start).getOrElse(body.length))
+    val cols: Seq[String] =
+      bodyDf(s"SELECT `$qual`.* $probeTail").schema.map(_.name)
+    val raw = body.substring(q.qStart + 1, q.qEnd - 1).replace("''", "'")
+    val core = q.op match {
+      case "SIMILAR TO" => s"(?:$raw)"
+      case _ => likeToRegex(raw)
+    }
+    val re = ((if (q.op == "ILIKE") "(?i)" else "") + "^" + core + "$").r
+    val keep = cols.filter(c => re.findFirstIn(c).isDefined != q.not)
+    if (keep.isEmpty)
+      throw new UserException(
+        s"$qual.* ${if (q.not) "NOT " else ""}${q.op} '$raw' matches no " +
+          s"column of (${cols.mkString(", ")})")
+    Some(body.substring(0, q.qualStart) +
+      keep.map(c => s"`$qual`.`$c`").mkString(", ") + body.substring(q.qEnd))
+  }
+
+  /** Static-analysis twin: the filter collapses to the bare qualified
+    * star — identical dependency set, parseable without a schema. */
+  def stubQualifiedLike(stmt: String): String =
+    findQualifiedLike(stmt) match {
+      case Some(q) => stubQualifiedLike(
+        stmt.substring(0, q.starIdx + 1) + stmt.substring(q.qEnd))
+      case None => stmt
+    }
+
   /** LIKE-pattern → regex CORE (no anchors): `%` any run, `_` one char,
     * everything else literal. */
   private def likeToRegex(pat: String): String = {

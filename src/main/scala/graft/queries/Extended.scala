@@ -380,6 +380,16 @@ object Extended {
           |            ELSE CAST(n_chars AS DOUBLE) END)
           |       OVER (ORDER BY doc_id) AS DOUBLE) AS filled
           |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin))
+    }),
+
+    // paren-less star EXCLUDE (IDENTICAL text both engines): the
+    // single-column `* EXCLUDE col` and QUALIFIED `q.* EXCLUDE col`
+    // spellings (both probed v1.0) lowered onto Spark's `* EXCEPT(col)`
+    // group form by the star-position-guarded textual pass.
+    "q80_star_exclude" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q80))
     })
   )
 
@@ -806,9 +816,17 @@ object Extended {
         |  UNION
         |  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH') u
         |ORDER BY o_custkey LIMIT 200 OFFSET 50""".stripMargin
+
+    /** Shared DuckDB/Spark text — q80 runs this verbatim in both engines
+      * (paren-less + qualified star EXCLUDE, both probed v1.0). */
+    val q80: String =
+      """SELECT q.* EXCLUDE source, CAST(length(lang) AS BIGINT) AS lang_len
+        |FROM (SELECT * EXCLUDE text FROM documents WHERE doc_id % 17 = 0) q
+        |ORDER BY doc_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
+    "q80_star_exclude" -> Oracle.q80,
     "q61_unnest" -> Oracle.q61,
     "q62_positional" -> Oracle.q62,
     "q63_dotcall" -> Oracle.q63,

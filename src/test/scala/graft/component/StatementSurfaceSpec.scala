@@ -1180,6 +1180,39 @@ class StatementSurfaceSpec extends SparkSpec {
     // ... but SWAPPING via two renames is fine (both old names renamed away)
     assert(colsOf("CREATE TABLE sr5 AS SELECT * RENAME (p_one AS p_two, " +
       "p_two AS p_one) FROM sl_t", "sr5") == Seq("id", "p_two", "p_one"))
+    // paren-less EXCLUDE takes exactly ONE column (probed v1.0:
+    // `* EXCLUDE a, c` projects c as a separate item) — r15
+    assert(colsOf("CREATE TABLE be1 AS SELECT * EXCLUDE id FROM sl_t",
+      "be1") == Seq("p_one", "p_two"))
+    assert(colsOf("CREATE TABLE be2 AS SELECT * EXCLUDE p_one, id AS id2 " +
+      "FROM sl_t", "be2") == Seq("id", "p_two", "id2"))
+    assert(colsOf("CREATE TABLE be3 AS SELECT sl_t.* EXCLUDE id FROM sl_t",
+      "be3") == Seq("p_one", "p_two"))
+    // multiplication by a column whose name starts with exclude… never
+    // rewrites (star-position guard)
+    assert(Dialect.rewrite("SELECT price * exclude_vat FROM t")
+      .contains("* exclude_vat"))
+    // qualified star name-filters expand against the QUALIFIER's schema
+    // (DuckDB >= 1.4; v1.0 probes a binder error — spec-pinned) — r15
+    assert(colsOf("CREATE TABLE ql1 AS SELECT sl_t.* LIKE 'p%' FROM sl_t",
+      "ql1") == Seq("p_one", "p_two"))
+    assert(colsOf("CREATE TABLE ql2 AS SELECT s.* NOT ILIKE 'P%' " +
+      "FROM sl_t AS s", "ql2") == Seq("id"))
+    assert(colsOf("CREATE TABLE ql3 AS SELECT s.* SIMILAR TO 'p_(one|two)' " +
+      "FROM sl_t s WHERE s.id = 1", "ql3") == Seq("p_one", "p_two"))
+    assert(intercept[UserException] {
+      run("CREATE TABLE ql4 AS SELECT sl_t.* LIKE 'zz%' FROM sl_t")
+    }.getMessage.contains("matches no column"))
+    // the filter scopes to ONE side of a join (that is the point of the
+    // qualified form)
+    Seq((1L, "q")).toDF("id", "q_col").createOrReplaceTempView("sl_u")
+    assert(colsOf("CREATE TABLE ql5 AS SELECT a.* LIKE 'p%', b.q_col " +
+      "FROM sl_t a JOIN sl_u b ON a.id = b.id", "ql5") ==
+      Seq("p_one", "p_two", "q_col"))
+    // static analysis: the qualified filter collapses to the bare star
+    val anq = SqlAnalyzer.analyzeStatement(spark, Dialect.rewrite(
+      "CREATE TABLE o2 AS SELECT s.* LIKE 'p%' FROM src s"))
+    assert(anq.outputs == Set("o2") && anq.dependencies == Set("src"), anq)
     // duplicates WITHIN the list reject (r15 ADVICE): two entries on one
     // new name, or one old name renamed twice
     assert(intercept[UserException] {
