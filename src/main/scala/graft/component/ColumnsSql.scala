@@ -102,6 +102,22 @@ object ColumnsSql {
         if (matches.isEmpty)
           throw new UserException(
             s"COLUMNS($arg) matches no column of (${cols.mkString(", ")})")
+        // unpack(COLUMNS(...)) — DuckDB ≥ 1.3: splat the matched columns
+        // as ARGUMENTS in place (`greatest(unpack(COLUMNS('x.*')))` →
+        // `greatest(x1, x2)`), ONE item, no per-column replication. The
+        // local v1.0 oracle lacks the name; spec-pinned from the docs.
+        unpackSpan(mItem, m.start, close) match {
+          case Some((us, ue)) =>
+            return Some(body.substring(0, selM.end) + " " +
+              items.map { case (it, mIt) =>
+                if (it eq item)
+                  (it.substring(0, us) +
+                    matches.map(c => s"`$c`").mkString(", ") +
+                    it.substring(ue + 1)).trim
+                else it.trim
+              }.mkString(", ") + " " + body.substring(fromM.start))
+          case None => ()
+        }
         // bare call: the item IS the COLUMNS(...) call — expands to the
         // plain columns, which alias themselves
         val bare = item.trim == item.substring(m.start, close + 1).trim
@@ -128,8 +144,31 @@ object ColumnsSql {
       body.substring(fromM.start))
   }
 
+  /** The span of a DIRECT `unpack( ... )` wrapper around the COLUMNS
+    * call at [callStart, callClose] — (unpack-name start, unpack close
+    * paren), or None. */
+  private def unpackSpan(masked: String, callStart: Int,
+                         callClose: Int): Option[(Int, Int)] = {
+    var b = callStart - 1
+    while (b >= 0 && masked.charAt(b).isWhitespace) b -= 1
+    if (b < 0 || masked.charAt(b) != '(') return None
+    var c = b - 1
+    while (c >= 0 && masked.charAt(c).isWhitespace) c -= 1
+    val end = c
+    while (c >= 0 && (masked.charAt(c).isLetterOrDigit ||
+      masked.charAt(c) == '_')) c -= 1
+    if (!masked.substring(c + 1, end + 1).equalsIgnoreCase("unpack") ||
+      (c >= 0 && (masked.charAt(c) == '.' || masked.charAt(c) == '_' ||
+        masked.charAt(c).isLetterOrDigit))) return None
+    var d = callClose + 1
+    while (d < masked.length && masked.charAt(d).isWhitespace) d += 1
+    if (d < masked.length && masked.charAt(d) == ')') Some((c + 1, d))
+    else None
+  }
+
   /** Session-free stand-in for static analysis: every COLUMNS(...) call
-    * becomes `*` — same dependency set, parseable without a schema. */
+    * — and a direct `unpack(...)` wrapper with it — becomes `*`; same
+    * dependency set, parseable without a schema. */
   def stub(stmt: String): String = {
     val masked = Dialect.maskQuoted(stmt)
     callRe.findFirstMatchIn(masked) match {
@@ -137,7 +176,12 @@ object ColumnsSql {
       case Some(m) =>
         val close = matching(masked, m.end - 1)
         if (close < 0) stmt
-        else stub(stmt.substring(0, m.start) + "*" + stmt.substring(close + 1))
+        else unpackSpan(masked, m.start, close) match {
+          case Some((us, ue)) =>
+            stub(stmt.substring(0, us) + "*" + stmt.substring(ue + 1))
+          case None =>
+            stub(stmt.substring(0, m.start) + "*" + stmt.substring(close + 1))
+        }
     }
   }
 

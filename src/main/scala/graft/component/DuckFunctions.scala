@@ -1881,10 +1881,143 @@ object DuckFunctions {
       })
   }
 
+  // ── post-1.0 histogram / type-introspection names (round 15) ────────
+  // DuckDB ≥ 1.1/1.2 surface the reference's pinned engines carry; the
+  // local v1.0 oracle cannot parse the names, so semantics are
+  // SPEC-PINNED from the published docs (graft.functions.HistogramExprs
+  // documents the one internal the docs leave unstated — the other-bin
+  // sentinel — and keeps the histogram_exact/is_histogram_other_bin
+  // pair self-consistent).
+
+  /** Literal element expressions out of a foldable array argument —
+    * the parser hands `['a','b']` (Brackets-lowered to `array(...)`) as
+    * an UnresolvedFunction at registry-build time. All elements must be
+    * same-typed literals: the map KEY type (and the other-bin sentinel)
+    * is fixed at build, before any coercion runs. */
+  private def literalElems(e: Expression, fn: String): Seq[Literal] = {
+    val children = e match {
+      case CreateArray(cs, _) => cs
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if Seq("array", "list_value", "list_pack")
+            .contains(u.nameParts.last.toLowerCase) => u.arguments
+      case _ => throw new IllegalArgumentException(
+        s"$fn requires a literal list of elements, got: ${e.sql}")
+    }
+    val lits = children.map {
+      case l: Literal if l.value != null => l
+      case c => throw new IllegalArgumentException(
+        s"$fn requires literal non-NULL elements, got: ${c.sql}")
+    }
+    if (lits.isEmpty)
+      throw new IllegalArgumentException(s"$fn: the element list is empty")
+    if (lits.map(_.dataType).distinct.length != 1)
+      throw new IllegalArgumentException(
+        s"$fn: elements must share one type, got " +
+          lits.map(_.dataType.simpleString).distinct.mkString(", "))
+    lits
+  }
+
+  private def literalValue(e: Expression, fn: String, what: String): Any =
+    e match {
+      case Literal(v, _) if v != null => v
+      case _ => throw new IllegalArgumentException(
+        s"$fn requires a literal $what, got: ${e.sql}")
+    }
+
+  private lazy val histBuilders: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+    import org.apache.spark.sql.types._
+    Seq(
+      // histogram_exact(x, [e1, e2, ...]) → MAP(element → count), the
+      // requested elements always present (0 counts included) plus a
+      // catch-all "other" bin — present only when non-empty — whose key
+      // is HistogramExprs.sentinelFor(keyType); NULL x ignored (SQL
+      // aggregate convention). One pass: each bin is a Sum(If(...)),
+      // map-side combinable, no per-row state.
+      arity("histogram_exact", 2) { a =>
+        val x = a.head
+        val elems = literalElems(a(1), "histogram_exact")
+        val keyType = elems.head.dataType
+        def cnt(pred: Expression) =
+          Sum(If(pred, Literal(1L), Literal(0L))).toAggregateExpression()
+        val entries: Seq[Expression] = elems.flatMap(l =>
+          Seq(l, cnt(EqualNullSafe(x, l))))
+        val sentinel = Literal(
+          graft.functions.HistogramExprs.sentinelFor(keyType), keyType)
+        val otherCnt = cnt(And(IsNotNull(x), Not(In(x, elems))))
+        val k = UnresolvedNamedLambdaVariable(Seq("hx_k"))
+        val v = UnresolvedNamedLambdaVariable(Seq("hx_v"))
+        MapFilter(
+          CreateMap(entries ++ Seq(sentinel, otherCnt)),
+          LambdaFunction(
+            Or(Not(graft.functions.IsHistogramOtherBin(k)),
+              GreaterThan(v, Literal(0L))), Seq(k, v)))
+      },
+
+      // equi_width_bins(min, max, bin_count[, nice]) → LIST of the bins'
+      // UPPER boundaries. Literal numeric arguments (bin lists are
+      // written by hand for a histogram); nice=true snaps the step to
+      // {1, 2, 2.5, 5}·10^k multiples covering [min, max] (bin count may
+      // then differ from the request — the documented nice contract).
+      // Integral inputs yield BIGINT boundaries (non-even divisions
+      // round, last boundary = max exactly); otherwise DOUBLE.
+      "equi_width_bins" -> { a =>
+        require(a.length == 3 || a.length == 4,
+          s"equi_width_bins expects (min, max, bin_count[, nice]), got ${a.length} args")
+        val fn = "equi_width_bins"
+        def num(e: Expression, what: String): Double =
+          literalValue(e, fn, what) match {
+            case n: Number => n.doubleValue()
+            case d: Decimal => d.toDouble
+            case other => throw new IllegalArgumentException(
+              s"$fn: $what must be numeric, got $other")
+          }
+        val lo = num(a(0), "min"); val hi = num(a(1), "max")
+        val n = num(a(2), "bin_count").toInt
+        val nice = a.length == 4 && (literalValue(a(3), fn, "nice") match {
+          case b: java.lang.Boolean => b.booleanValue()
+          case other => throw new IllegalArgumentException(
+            s"$fn: nice must be a boolean literal, got $other")
+        })
+        if (!(hi > lo)) throw new IllegalArgumentException(
+          s"$fn: max ($hi) must exceed min ($lo)")
+        if (n <= 0) throw new IllegalArgumentException(
+          s"$fn: bin_count must be positive, got $n")
+        val integral = Seq(a(0), a(1)).forall(_.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        })
+        val bounds: Seq[Double] =
+          if (!nice) (1 to n).map(i => lo + (hi - lo) * i / n)
+          else {
+            val raw = (hi - lo) / n
+            val mag = math.pow(10, math.floor(math.log10(raw)))
+            val step = Seq(1.0, 2.0, 2.5, 5.0, 10.0).map(_ * mag)
+              .find(_ >= raw).get
+            val first = math.floor(lo / step).toLong + 1
+            val last = math.ceil(hi / step).toLong
+            (first to last).map(_ * step)
+          }
+        if (integral && bounds.forall(b => b == math.rint(b)))
+          CreateArray(bounds.map(b => Literal(b.toLong)))
+        else if (integral)
+          CreateArray(
+            bounds.map(b => Literal(math.rint(b).toLong)).distinct)
+        else CreateArray(bounds.map(Literal(_)))
+      },
+
+      arity("is_histogram_other_bin", 1)(a =>
+        graft.functions.IsHistogramOtherBin(a.head)),
+      arity("parse_duration", 1)(a => graft.functions.ParseDuration(a.head)),
+      arity("can_cast_implicitly", 2)(a =>
+        graft.functions.CanCastImplicitly(a.head, a(1))))
+  }
+
   /** Bind every DuckDB name on a running session (idempotent). */
   def register(spark: SparkSession): Unit =
     (builders ++ round12Builders ++ jsonBuilders ++ simStatBuilders ++
-      listStatBuilders ++ gapBuilders ++ dtBuilders).foreach { case (name, build) =>
+      listStatBuilders ++ gapBuilders ++ dtBuilders ++ histBuilders)
+      .foreach { case (name, build) =>
         GraftSqlBridge.registerFunction(spark, name, build)
       }
 }

@@ -529,4 +529,119 @@ class DuckFunctionsSpec extends SparkSpec {
     // := inside a string literal is untouched
     assert(Dialect.rewrite("SELECT 'a := b' FROM t") == "SELECT 'a := b' FROM t")
   }
+
+  // ── post-1.0 name tail (round 15; spec-pinned — v1.0 lacks the names) ──
+
+  test("histogram_exact + is_histogram_other_bin: exact bins, other bin") {
+    import session.implicits._
+    Seq("a", "b", "a", "z", "a", "q", null)
+      .toDF("s").createOrReplaceTempView("hx_t")
+    // requested bins always present (0 counts included); NULL ignored;
+    // the two off-list values land in ONE other bin
+    val m = duck("SELECT histogram_exact(s, ['a', 'b', 'c']) FROM hx_t")
+      .asInstanceOf[Map[Any, Any]]
+    assert(m.size == 4, m)
+    assert(m("a") == 3L && m("b") == 1L && m("c") == 0L, m)
+    val otherKeys = m.keys.filterNot(Set[Any]("a", "b", "c")).toSeq
+    assert(otherKeys.length == 1 && m(otherKeys.head) == 2L, m)
+    // is_histogram_other_bin recognizes exactly that key — through SQL,
+    // over map_keys, so the pair contract holds end to end
+    val flags = duck("SELECT list_transform(map_keys(" +
+      "histogram_exact(s, ['a', 'b', 'c'])), k -> is_histogram_other_bin(k)) " +
+      "FROM hx_t").asInstanceOf[scala.collection.Seq[Any]]
+    assert(flags == Seq(false, false, false, true), flags)
+    // no off-list values → NO other bin
+    val m2 = duck("SELECT histogram_exact(s, ['a', 'b', 'z', 'q']) " +
+      "FROM hx_t WHERE s IS NOT NULL").asInstanceOf[Map[Any, Any]]
+    assert(m2.size == 4 && !m2.keys.exists(k =>
+      k.toString.contains("￿")), m2)
+    // integer bins: the sentinel is typed (Int.MaxValue key)
+    Seq(1, 2, 2, 9).toDF("n").createOrReplaceTempView("hx_n")
+    val m3 = duck("SELECT histogram_exact(n, [1, 2]) FROM hx_n")
+      .asInstanceOf[Map[Any, Any]]
+    assert(m3(1) == 1L && m3(2) == 2L && m3(Int.MaxValue) == 1L, m3)
+    assert(one("SELECT is_histogram_other_bin(2147483647)") == true)
+    assert(one("SELECT is_histogram_other_bin(1)") == false)
+    assert(one("SELECT is_histogram_other_bin(CAST(NULL AS INT))") == false)
+    // non-literal element lists are loud
+    val e = intercept[Exception](session.sql(Dialect.rewrite(
+      "SELECT histogram_exact(n, [n]) FROM hx_n")).collect())
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
+  test("equi_width_bins: exact and nice boundaries, integral vs double") {
+    assert(duck("SELECT equi_width_bins(0, 10, 5, false)")
+      .asInstanceOf[scala.collection.Seq[Any]] == Seq(2L, 4L, 6L, 8L, 10L))
+    assert(duck("SELECT equi_width_bins(0.0, 10.0, 4, false)")
+      .asInstanceOf[scala.collection.Seq[Any]] == Seq(2.5, 5.0, 7.5, 10.0))
+    // 3-arg form defaults nice=false; non-even integral division rounds,
+    // last boundary = max exactly
+    assert(duck("SELECT equi_width_bins(0, 10, 3)")
+      .asInstanceOf[scala.collection.Seq[Any]].last == 10L)
+    // nice=true snaps to {1,2,2.5,5}·10^k multiples covering the range
+    assert(duck("SELECT equi_width_bins(0, 97, 10, true)")
+      .asInstanceOf[scala.collection.Seq[Any]] ==
+      (1 to 10).map(_ * 10L))
+    assert(intercept[Exception](session.sql(
+      "SELECT equi_width_bins(10, 0, 3, false)").collect())
+      .getMessage.contains("exceed"))
+    // composes with histogram_exact? boundaries feed a manual bucket
+    assert(duck("SELECT equi_width_bins(0, 100, 2, false)")
+      .asInstanceOf[scala.collection.Seq[Any]] == Seq(50L, 100L))
+  }
+
+  test("parse_duration: pinned grammar, loud on malformed") {
+    assert(one("SELECT parse_duration('1h 30m') = INTERVAL '1:30' HOUR TO MINUTE") == true)
+    assert(one("SELECT parse_duration('90s') = INTERVAL '90' SECOND") == true)
+    assert(one("SELECT parse_duration('1.5h') = INTERVAL '90' MINUTE") == true)
+    assert(one("SELECT parse_duration('2d4h') = INTERVAL '2 04' DAY TO HOUR") == true)
+    assert(one("SELECT parse_duration('250ms') = INTERVAL '0.25' SECOND") == true)
+    assert(one("SELECT parse_duration(CAST(NULL AS STRING))") == null)
+    val e = intercept[Exception](
+      session.sql("SELECT parse_duration('3 bananas')").collect())
+    assert(e.getMessage.contains("parse_duration") ||
+      e.getCause != null, e.getMessage)
+  }
+
+  test("can_cast_implicitly: the pinned post-0.10 lattice, constant-folded") {
+    val pairs = Seq(
+      ("1", "CAST(1 AS BIGINT)", true),          // INT → BIGINT
+      ("CAST(1 AS BIGINT)", "1", false),         // no narrowing
+      ("1", "1.5e0", true),                      // INT → DOUBLE
+      ("1.5e0", "1", false),
+      ("1", "'a'", false),                       // no implicit to VARCHAR (0.10)
+      ("'1'", "1", false),                       // nor from it
+      ("CAST(1 AS FLOAT)", "1.5e0", true),       // FLOAT → DOUBLE
+      ("1.5e0", "CAST(1 AS FLOAT)", false),
+      ("1.5", "1.5e0", true),                    // DECIMAL(2,1) → DOUBLE
+      ("1", "CAST(1 AS DECIMAL(12,2))", true),   // fits
+      ("1", "CAST(1 AS DECIMAL(5,2))", false),   // 3 integral digits < 10
+      ("DATE '2024-01-01'", "TIMESTAMP '2024-01-01 00:00:00'", true),
+      ("TIMESTAMP '2024-01-01 00:00:00'", "DATE '2024-01-01'", false))
+    for ((a, b, want) <- pairs)
+      assert(one(s"SELECT can_cast_implicitly($a, $b)") == want, s"($a, $b)")
+    // type-level constant: folds, never reads the row
+    import session.implicits._
+    Seq(1, 2).toDF("x").createOrReplaceTempView("cci_t")
+    assert(session.sql("SELECT can_cast_implicitly(x, CAST(1 AS BIGINT)) " +
+      "FROM cci_t").collect().map(_.getBoolean(0)).toSeq == Seq(true, true))
+  }
+
+  test("unpack(COLUMNS(...)) splats matched columns as arguments") {
+    import session.implicits._
+    Seq((1, 10, 100, 7), (2, 20, 5, 7))
+      .toDF("k", "v_a", "v_b", "other").createOrReplaceTempView("up_t")
+    val dir = java.nio.file.Files.createTempDirectory("graft_unpack_")
+    val ex = new Executor(spark, dir.toString)
+    ex.runStatement(Dialect.rewrite(
+      "CREATE TABLE up_o AS SELECT k, greatest(unpack(COLUMNS('v_.*'))) " +
+        "AS g FROM up_t"))
+    assert(spark.table("up_o").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSeq.sortBy(_._1) ==
+      Seq((1, 100), (2, 20)))
+    // static analysis: the wrapper collapses with the call
+    val an = SqlAnalyzer.analyzeStatement(spark, Dialect.rewrite(
+      "CREATE TABLE o AS SELECT greatest(unpack(COLUMNS('x.*'))) FROM src"))
+    assert(an.outputs == Set("o") && an.dependencies == Set("src"), an)
+  }
 }
