@@ -107,6 +107,10 @@ object Component {
     // a registered temp function shadows the built-in version() for this
     // session; re-registered per run so each config's pick wins
     spark.udf.register("version", () => Versions.reportedVersion(resolved))
+    // re-bind the DuckDB name surface under the resolved version: names
+    // above their FunctionFloors throw the version error a reference
+    // user would get from the version-matched engine (A26 round 15)
+    DuckFunctions.register(spark, resolved)
 
     // 4-5. plan + execute
     val outWarehouse = Paths.get(dataDir, "out", "files", "warehouse")

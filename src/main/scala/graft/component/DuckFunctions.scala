@@ -2013,11 +2013,24 @@ object DuckFunctions {
         graft.functions.CanCastImplicitly(a.head, a(1))))
   }
 
-  /** Bind every DuckDB name on a running session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  /** Bind every DuckDB name on a running session (idempotent). `compat`
+    * is the resolved A26 engine-compatibility version: names whose
+    * [[Versions.FunctionFloors]] floor exceeds it bind to a LOUD
+    * version-error thrower — the same failure a reference user gets from
+    * the version-matched engine (a 1.4.4-pinned run has no
+    * weighted_avg), never a silent fallthrough. */
+  def register(spark: SparkSession,
+               compat: String = Versions.Default): Unit =
     (builders ++ round12Builders ++ jsonBuilders ++ simStatBuilders ++
       listStatBuilders ++ gapBuilders ++ dtBuilders ++ histBuilders)
       .foreach { case (name, build) =>
-        GraftSqlBridge.registerFunction(spark, name, build)
+        val gated: Seq[Expression] => Expression =
+          if (Versions.supports(compat, name)) build
+          else { _ =>
+            throw new UserException(
+              s"$name requires DuckDB >= ${Versions.FunctionFloors(name)} " +
+                s"(this run pins compatibility version $compat)")
+          }
+        GraftSqlBridge.registerFunction(spark, name, gated)
       }
 }

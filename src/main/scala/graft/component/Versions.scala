@@ -50,4 +50,24 @@ object Versions {
   /** What the session's `version()` SQL function reports for a resolved
     * compatibility version — the reference engine's rendering (`v1.5.2`). */
   def reportedVersion(resolved: String): String = s"v$resolved"
+
+  /** Function names that EXIST only from a given engine version on —
+    * the observable dialect delta between the registry's compatibility
+    * versions (1.4.4 vs 1.5.2). A session pinned below a name's floor
+    * rejects it loudly with the version in the message, the same
+    * failure a reference user gets from the version-matched engine
+    * (round 15; the one-binary build's step past the reported-version-
+    * only surface). */
+  val FunctionFloors: Map[String, String] = Map(
+    "weighted_avg" -> "1.5.0",
+    "wavg" -> "1.5.0",
+    "parse_duration" -> "1.5.0")
+
+  /** Is `name` available at compatibility version `resolved`? (Names
+    * without a floor always are.) */
+  def supports(resolved: String, name: String): Boolean =
+    FunctionFloors.get(name.toLowerCase).forall { floor =>
+      import scala.math.Ordering.Implicits._
+      semver(resolved) >= semver(floor)
+    }
 }
