@@ -869,13 +869,17 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     * [[MergeSql]]; the local v1.0 oracle cannot parse the statement).
     * Two distributed branches, no per-row path:
     *
-    *  - target side (WHEN MATCHED / NOT MATCHED BY SOURCE): ONE
-    *    uid-annotated left join of the target against the source on the
-    *    user's ON, a first-match-wins when() chain picks each row's
-    *    clause, one projection applies the UPDATE SETs, a filter drops
-    *    the DELETEs. Several source rows matching one target row keep
-    *    ONE arbitrary match — the documented UPDATE..FROM rule this
-    *    engine already pins (probed v1.0, no error).
+    *  - target side (WHEN MATCHED / NOT MATCHED BY SOURCE): ONE left
+    *    join of the target against the source on the user's ON, a
+    *    first-match-wins when() chain picks each row's clause, one
+    *    projection applies the UPDATE SETs, a filter drops the DELETEs.
+    *    Several source rows matching one target row keep ONE arbitrary
+    *    match — the documented UPDATE..FROM rule this engine already
+    *    pins (probed v1.0, no error). When the ON is a pure equi
+    *    conjunction and a cheap probe proves the source key-unique (the
+    *    common delta shape), the uid + row_number dedup — a full-target
+    *    shuffle — is SKIPPED entirely; otherwise the window path owns
+    *    correctness.
     *  - insert side (WHEN NOT MATCHED [BY TARGET]): one anti-join keeps
     *    the source rows with no target match, the clause chain picks an
     *    INSERT form, one projection aligns to the target schema.
@@ -948,13 +952,31 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
 
     // ---- target side: matched + not-matched-by-source ----
     val (keptTgt, tgtAnnotated) = if (needJoin) {
-      val joined = existing.withColumn("__m_uid", monotonically_increasing_id())
-        .alias(tAlias)
-        .join(src.alias(sAlias), expr(m.on), "left_outer")
-      val one = joined.withColumn("__m_rn",
-        row_number().over(Window.partitionBy(col("__m_uid"))
-          .orderBy(col("__m_hit").desc_nulls_last)))
-        .filter(col("__m_rn") === 1)
+      // SCALE fast path: the row_number dedup below shuffles the FULL
+      // target by uid — the dominant MERGE cost at 100 TB. When the ON
+      // is a pure equi conjunction AND one cheap probe job proves the
+      // source unique on its key side (the overwhelmingly common delta
+      // shape), every target row joins ≤ 1 source row and the dedup is
+      // a no-op: skip the uid column, the window and its exchange — the
+      // plan collapses to one shuffle-or-broadcast join + projection.
+      val srcUnique = MergeSql.equiSourceKeys(m.on, tAlias, sAlias)
+        .exists { keys =>
+          keys.forall(k => srcByLower.contains(k.toLowerCase)) && {
+            val kc = keys.map(k => col(srcByLower(k.toLowerCase)))
+            src.groupBy(kc: _*).count()
+              .filter(col("count") > 1).limit(1).collect().isEmpty
+          }
+        }
+      val one =
+        if (srcUnique)
+          existing.alias(tAlias).join(src.alias(sAlias), expr(m.on), "left_outer")
+        else existing.withColumn("__m_uid", monotonically_increasing_id())
+          .alias(tAlias)
+          .join(src.alias(sAlias), expr(m.on), "left_outer")
+          .withColumn("__m_rn",
+            row_number().over(Window.partitionBy(col("__m_uid"))
+              .orderBy(col("__m_hit").desc_nulls_last)))
+          .filter(col("__m_rn") === 1)
       val action = when(coalesce(col("__m_hit"), lit(false)),
         chain(matchedClauses)).otherwise(chain(bySourceClauses))
       val acted = one.withColumn("__m_action", action)

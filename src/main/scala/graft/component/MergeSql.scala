@@ -240,6 +240,41 @@ object MergeSql {
     }.toSeq
   }
 
+  /** When the ON condition is a pure conjunction of `t.a = s.b` equi
+    * pairs (bare identifiers, each side qualified by one alias), the
+    * SOURCE-side column of every pair — the key set whose uniqueness on
+    * the source makes the multi-match dedup a no-op, letting the
+    * executor skip the full-target uid shuffle + window pass (the
+    * dominant MERGE cost at scale). Anything else → None (the executor
+    * falls back to the always-correct window path). */
+  def equiSourceKeys(on: String, tAlias: String,
+                     sAlias: String): Option[Seq[String]] = {
+    val masked = Dialect.maskQuoted(on)
+    val dep = Dialect.depths(masked)
+    val ands = "(?i)\\bAND\\b".r.findAllMatchIn(masked)
+      .filter(m => dep(m.start) == 0).toSeq
+    val bounds = (Seq((0, 0)) ++ ands.map(m => (m.start, m.end))) :+
+      ((on.length, on.length))
+    val parts = bounds.sliding(2).map {
+      case Seq((_, a), (b, _)) => on.substring(a, b)
+      case _ => ""
+    }.toSeq
+    val pair = ("(?is)^\\s*([A-Za-z_]\\w*)\\s*\\.\\s*([A-Za-z_]\\w*)" +
+      "\\s*=\\s*([A-Za-z_]\\w*)\\s*\\.\\s*([A-Za-z_]\\w*)\\s*$").r
+    val keys = parts.map { p =>
+      pair.findFirstMatchIn(p).flatMap { m =>
+        val (q1, c1, q2, c2) = (m.group(1), m.group(2), m.group(3), m.group(4))
+        if (q1.equalsIgnoreCase(tAlias) && q2.equalsIgnoreCase(sAlias))
+          Some(c2)
+        else if (q1.equalsIgnoreCase(sAlias) && q2.equalsIgnoreCase(tAlias))
+          Some(c1)
+        else None
+      }
+    }
+    if (keys.nonEmpty && keys.forall(_.isDefined)) Some(keys.map(_.get))
+    else None
+  }
+
   /** The source relation split into (text-to-run, alias) — same contract
     * as [[UpdateFromSql.sourceOf]] (bare name with optional alias, or a
     * parenthesized subquery with a required alias). */

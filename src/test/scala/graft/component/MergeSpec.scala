@@ -226,6 +226,21 @@ class MergeSpec extends SparkSpec {
     assert(rows("m_v") == Seq((1, 1)))
   }
 
+  test("MERGE: equiSourceKeys — the dedup-skip fast-path trigger") {
+    // pure equi conjunction, either orientation → the source-side keys
+    assert(MergeSql.equiSourceKeys("t.k = s.k", "t", "s") == Some(Seq("k")))
+    assert(MergeSql.equiSourceKeys("s.a = t.x AND t.y = s.b", "t", "s") ==
+      Some(Seq("a", "b")))
+    // alias case-insensitive
+    assert(MergeSql.equiSourceKeys("T.k = S.kk", "t", "s") == Some(Seq("kk")))
+    // anything impure → None (the window path owns correctness)
+    assert(MergeSql.equiSourceKeys("t.k = s.k OR t.j = s.j", "t", "s").isEmpty)
+    assert(MergeSql.equiSourceKeys("t.k = s.k AND t.v > 5", "t", "s").isEmpty)
+    assert(MergeSql.equiSourceKeys("t.k = s.k + 1", "t", "s").isEmpty)
+    assert(MergeSql.equiSourceKeys("t.k = other.k", "t", "s").isEmpty)
+    assert(MergeSql.equiSourceKeys("k = kk", "t", "s").isEmpty)
+  }
+
   test("MERGE: static analysis deps/outputs and syntax_check") {
     val an = SqlAnalyzer.analyzeStatement(spark, Dialect.rewrite(
       "MERGE INTO m_t USING m_s ON m_t.k = m_s.k " +
