@@ -82,15 +82,25 @@ object ColumnsSql {
       val calls = callRe.findAllMatchIn(mItem).toList
       if (calls.isEmpty) Seq(item.trim)
       else {
-        if (calls.length > 1)
+        val spans = calls.map { c =>
+          val cl = matching(mItem, c.end - 1)
+          if (cl < 0)
+            throw new UserException(s"unbalanced COLUMNS(...): ${item.trim}")
+          (c.start, c.end - 1, cl)
+        }
+        // IDENTICAL calls expand in LOCKSTEP (probed v1.0: legal, the
+        // output column takes the bare matched name); DIFFERENT calls
+        // in one expression are DuckDB's own binder error — same here
+        val argTexts = spans.map { case (_, o, cl) =>
+          item.substring(o + 1, cl).trim }
+        if (argTexts.distinct.length != 1)
           throw new UserException(
-            s"one COLUMNS(...) call per select item is supported: ${item.trim}")
+            "multiple DIFFERENT COLUMNS(...) calls in one select item " +
+              s"are not supported (DuckDB rejects them too): ${item.trim}")
         val m = calls.head
         val open = m.end - 1
-        val close = matching(mItem, open)
-        if (close < 0)
-          throw new UserException(s"unbalanced COLUMNS(...): ${item.trim}")
-        val arg = item.substring(open + 1, close).trim
+        val close = spans.head._3
+        val arg = argTexts.head
         val matches: Seq[String] =
           if (arg == "*") cols
           else if (arg.length >= 2 && arg.head == '\'' && arg.last == '\'') {
@@ -102,6 +112,24 @@ object ColumnsSql {
         if (matches.isEmpty)
           throw new UserException(
             s"COLUMNS($arg) matches no column of (${cols.mkString(", ")})")
+        if (spans.length > 1) {
+          // lockstep replica per matched column: every call span becomes
+          // the SAME column; the item aliases as the bare column name
+          // (probed v1.0) unless the user wrote one
+          val lockAlias = "(?is)\\bAS\\s+\\S+\\s*$".r
+            .findFirstIn(mItem.substring(spans.last._3 + 1)).isDefined
+          if (lockAlias && matches.length > 1)
+            throw new UserException(
+              s"explicit alias with multi-column COLUMNS expansion: ${item.trim}")
+          matches.map { c =>
+            val sb = new StringBuilder(item)
+            spans.sortBy { case (s, _, _) => -s }.foreach {
+              case (st, _, cl) => sb.replace(st, cl + 1, s"`$c`")
+            }
+            if (lockAlias) sb.toString.trim
+            else s"${sb.toString.trim} AS `$c`"
+          }
+        } else {
         // unpack(COLUMNS(...)) — DuckDB ≥ 1.3: splat the matched columns
         // as ARGUMENTS in place (`greatest(unpack(COLUMNS('x.*')))` →
         // `greatest(x1, x2)`), ONE item, no per-column replication. The
@@ -138,6 +166,7 @@ object ColumnsSql {
             s"${replaced.trim} AS `$rendered`"
           }
         }
+        }
       }
     }
     Some(body.substring(0, selM.end) + " " + expanded.mkString(", ") + " " +
@@ -168,19 +197,24 @@ object ColumnsSql {
 
   /** Session-free stand-in for static analysis: every COLUMNS(...) call
     * — and a direct `unpack(...)` wrapper with it — becomes `*`; same
-    * dependency set, parseable without a schema. */
+    * dependency set, parseable without a schema. A statement with
+    * SEVERAL calls (the lockstep form) stubs them all to `1` instead —
+    * `* + *` would not parse, and the FROM clause carries the
+    * dependencies either way. */
   def stub(stmt: String): String = {
     val masked = Dialect.maskQuoted(stmt)
-    callRe.findFirstMatchIn(masked) match {
+    val calls = callRe.findAllMatchIn(masked).toList
+    val repl = if (calls.length > 1) "1" else "*"
+    calls.headOption match {
       case None => stmt
       case Some(m) =>
         val close = matching(masked, m.end - 1)
         if (close < 0) stmt
         else unpackSpan(masked, m.start, close) match {
           case Some((us, ue)) =>
-            stub(stmt.substring(0, us) + "*" + stmt.substring(ue + 1))
+            stub(stmt.substring(0, us) + repl + stmt.substring(ue + 1))
           case None =>
-            stub(stmt.substring(0, m.start) + "*" + stmt.substring(close + 1))
+            stub(stmt.substring(0, m.start) + repl + stmt.substring(close + 1))
         }
     }
   }

@@ -1900,6 +1900,12 @@ object DuckFunctions {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
           if Seq("array", "list_value", "list_pack")
             .contains(u.nameParts.last.toLowerCase) => u.arguments
+      // the documented composition `histogram(x, equi_width_bins(...))`
+      // arrives with the inner call still unresolved at build time —
+      // resolve it here (its boundaries are literals by construction)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if u.nameParts.last.equalsIgnoreCase("equi_width_bins") =>
+        equiWidthBins(u.arguments).children
       case _ => throw new IllegalArgumentException(
         s"$fn requires a literal list of elements, got: ${e.sql}")
     }
@@ -1923,6 +1929,58 @@ object DuckFunctions {
       case _ => throw new IllegalArgumentException(
         s"$fn requires a literal $what, got: ${e.sql}")
     }
+
+  /** equi_width_bins(min, max, bin_count[, nice]) → CreateArray of the
+    * bins' UPPER boundary literals. Literal numeric arguments (bin
+    * lists are written by hand for a histogram); nice=true snaps the
+    * step to {1, 2, 2.5, 5}·10^k multiples covering [min, max] (bin
+    * count may then differ from the request — the documented nice
+    * contract). Integral inputs yield BIGINT boundaries (non-even
+    * divisions round, last boundary = max exactly); otherwise DOUBLE. */
+  private def equiWidthBins(a: Seq[Expression]): CreateArray = {
+    import org.apache.spark.sql.types._
+    require(a.length == 3 || a.length == 4,
+      s"equi_width_bins expects (min, max, bin_count[, nice]), got ${a.length} args")
+    val fn = "equi_width_bins"
+    def num(e: Expression, what: String): Double =
+      literalValue(e, fn, what) match {
+        case n: Number => n.doubleValue()
+        case d: Decimal => d.toDouble
+        case other => throw new IllegalArgumentException(
+          s"$fn: $what must be numeric, got $other")
+      }
+    val lo = num(a(0), "min"); val hi = num(a(1), "max")
+    val n = num(a(2), "bin_count").toInt
+    val nice = a.length == 4 && (literalValue(a(3), fn, "nice") match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: nice must be a boolean literal, got $other")
+    })
+    if (!(hi > lo)) throw new IllegalArgumentException(
+      s"$fn: max ($hi) must exceed min ($lo)")
+    if (n <= 0) throw new IllegalArgumentException(
+      s"$fn: bin_count must be positive, got $n")
+    val integral = Seq(a(0), a(1)).forall(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+    val bounds: Seq[Double] =
+      if (!nice) (1 to n).map(i => lo + (hi - lo) * i / n)
+      else {
+        val raw = (hi - lo) / n
+        val mag = math.pow(10, math.floor(math.log10(raw)))
+        val step = Seq(1.0, 2.0, 2.5, 5.0, 10.0).map(_ * mag)
+          .find(_ >= raw).get
+        val first = math.floor(lo / step).toLong + 1
+        val last = math.ceil(hi / step).toLong
+        (first to last).map(_ * step)
+      }
+    if (integral && bounds.forall(b => b == math.rint(b)))
+      CreateArray(bounds.map(b => Literal(b.toLong)))
+    else if (integral)
+      CreateArray(bounds.map(b => Literal(math.rint(b).toLong)).distinct)
+    else CreateArray(bounds.map(Literal(_)))
+  }
 
   private lazy val histBuilders: Seq[(String, Seq[Expression] => Expression)] = {
     import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
@@ -1955,55 +2013,58 @@ object DuckFunctions {
       },
 
       // equi_width_bins(min, max, bin_count[, nice]) → LIST of the bins'
-      // UPPER boundaries. Literal numeric arguments (bin lists are
-      // written by hand for a histogram); nice=true snaps the step to
-      // {1, 2, 2.5, 5}·10^k multiples covering [min, max] (bin count may
-      // then differ from the request — the documented nice contract).
-      // Integral inputs yield BIGINT boundaries (non-even divisions
-      // round, last boundary = max exactly); otherwise DOUBLE.
-      "equi_width_bins" -> { a =>
-        require(a.length == 3 || a.length == 4,
-          s"equi_width_bins expects (min, max, bin_count[, nice]), got ${a.length} args")
-        val fn = "equi_width_bins"
-        def num(e: Expression, what: String): Double =
-          literalValue(e, fn, what) match {
-            case n: Number => n.doubleValue()
-            case d: Decimal => d.toDouble
-            case other => throw new IllegalArgumentException(
-              s"$fn: $what must be numeric, got $other")
-          }
-        val lo = num(a(0), "min"); val hi = num(a(1), "max")
-        val n = num(a(2), "bin_count").toInt
-        val nice = a.length == 4 && (literalValue(a(3), fn, "nice") match {
-          case b: java.lang.Boolean => b.booleanValue()
-          case other => throw new IllegalArgumentException(
-            s"$fn: nice must be a boolean literal, got $other")
-        })
-        if (!(hi > lo)) throw new IllegalArgumentException(
-          s"$fn: max ($hi) must exceed min ($lo)")
-        if (n <= 0) throw new IllegalArgumentException(
-          s"$fn: bin_count must be positive, got $n")
-        val integral = Seq(a(0), a(1)).forall(_.dataType match {
-          case ByteType | ShortType | IntegerType | LongType => true
-          case _ => false
-        })
-        val bounds: Seq[Double] =
-          if (!nice) (1 to n).map(i => lo + (hi - lo) * i / n)
-          else {
-            val raw = (hi - lo) / n
-            val mag = math.pow(10, math.floor(math.log10(raw)))
-            val step = Seq(1.0, 2.0, 2.5, 5.0, 10.0).map(_ * mag)
-              .find(_ >= raw).get
-            val first = math.floor(lo / step).toLong + 1
-            val last = math.ceil(hi / step).toLong
-            (first to last).map(_ * step)
-          }
-        if (integral && bounds.forall(b => b == math.rint(b)))
-          CreateArray(bounds.map(b => Literal(b.toLong)))
-        else if (integral)
-          CreateArray(
-            bounds.map(b => Literal(math.rint(b).toLong)).distinct)
-        else CreateArray(bounds.map(Literal(_)))
+      // UPPER boundaries ([[equiWidthBins]]; also composable INSIDE the
+      // two-arg histogram below, the documented pairing).
+      "equi_width_bins" -> { a => equiWidthBins(a) },
+
+      // two-arg histogram(x, boundaries) — boundary BUCKETING (DuckDB ≥
+      // 1.1; the equi_width_bins consumer): x counts into the SMALLEST
+      // boundary ≥ x (first bin unbounded below), values above the last
+      // boundary land in the typed other bin; NULLs ignored. Dispatches
+      // on arity over the same name as the exact one-arg histogram (the
+      // date_sub dual-mode rule — this binding registers LAST and owns
+      // the name). Same one-pass Sum(If) shape as histogram_exact.
+      "histogram" -> { a =>
+        import org.apache.spark.sql.catalyst.expressions.aggregate.{CollectList, Sum}
+        a.length match {
+          case 1 => listHistogram(
+            new CollectList(a.head).toAggregateExpression())
+          case 2 =>
+            val x = a.head
+            val bounds = literalElems(a(1), "histogram")
+            val keyType = bounds.head.dataType
+            locally { // boundaries must ascend strictly — loud otherwise
+              val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+                .getInterpretedOrdering(keyType)
+              bounds.map(_.value).sliding(2).foreach {
+                case Seq(p, q) if ord.gteq(p, q) =>
+                  throw new IllegalArgumentException(
+                    "histogram: boundaries must be strictly ascending")
+                case _ => ()
+              }
+            }
+            def cnt(pred: Expression) =
+              Sum(If(pred, Literal(1L), Literal(0L))).toAggregateExpression()
+            val entries: Seq[Expression] =
+              bounds.zipWithIndex.flatMap { case (b, i) =>
+                val inBin =
+                  if (i == 0) LessThanOrEqual(x, b)
+                  else And(GreaterThan(x, bounds(i - 1)), LessThanOrEqual(x, b))
+                Seq(b, cnt(And(IsNotNull(x), inBin)))
+              }
+            val sentinel = Literal(
+              graft.functions.HistogramExprs.sentinelFor(keyType), keyType)
+            val otherCnt = cnt(And(IsNotNull(x), GreaterThan(x, bounds.last)))
+            val k = UnresolvedNamedLambdaVariable(Seq("hb_k"))
+            val v = UnresolvedNamedLambdaVariable(Seq("hb_v"))
+            MapFilter(
+              CreateMap(entries ++ Seq(sentinel, otherCnt)),
+              LambdaFunction(
+                Or(Not(graft.functions.IsHistogramOtherBin(k)),
+                  GreaterThan(v, Literal(0L))), Seq(k, v)))
+          case n => throw new IllegalArgumentException(
+            s"histogram expects 1 or 2 arguments, got $n")
+        }
       },
 
       arity("is_histogram_other_bin", 1)(a =>

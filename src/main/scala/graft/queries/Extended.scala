@@ -390,6 +390,18 @@ object Extended {
       graft.component.DuckFunctions.register(s)
       T.documents(s, d).createOrReplaceTempView("documents")
       s.sql(graft.component.Dialect.rewrite(Oracle.q80))
+    }),
+
+    // lockstep COLUMNS expansion (IDENTICAL text both engines): several
+    // IDENTICAL COLUMNS('re') calls in one select item replicate per
+    // matched column in lockstep — min(c) + max(c) per column, the bare
+    // column name as the output alias (probed v1.0; the executor's
+    // ColumnsSql expansion reproduces both the values and the names).
+    "q81_columns_lockstep" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      val body = graft.component.Dialect.rewrite(Oracle.q81)
+      s.sql(graft.component.ColumnsSql.expand(body, b => s.sql(b)).get)
     })
   )
 
@@ -823,10 +835,19 @@ object Extended {
       """SELECT q.* EXCLUDE source, CAST(length(lang) AS BIGINT) AS lang_len
         |FROM (SELECT * EXCLUDE text FROM documents WHERE doc_id % 17 = 0) q
         |ORDER BY doc_id""".stripMargin
+
+    /** Shared DuckDB/Spark text — q81 runs this verbatim in both engines
+      * (lockstep identical-COLUMNS expansion, probed v1.0: legal, bare
+      * column names as output aliases). */
+    val q81: String =
+      """SELECT source, min(COLUMNS('(doc_id|n_chars)')) +
+        |       max(COLUMNS('(doc_id|n_chars)'))
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "q80_star_exclude" -> Oracle.q80,
+    "q81_columns_lockstep" -> Oracle.q81,
     "q61_unnest" -> Oracle.q61,
     "q62_positional" -> Oracle.q62,
     "q63_dotcall" -> Oracle.q63,

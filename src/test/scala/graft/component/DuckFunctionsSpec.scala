@@ -590,6 +590,29 @@ class DuckFunctionsSpec extends SparkSpec {
       .asInstanceOf[scala.collection.Seq[Any]] == Seq(50L, 100L))
   }
 
+  test("histogram(x, boundaries): bucketing, equi_width_bins composition") {
+    import session.implicits._
+    Seq(1, 5, 5, 6, 50, 99, 150).toDF("n").createOrReplaceTempView("hb_t")
+    // first bin unbounded below; (prev, b] buckets; > last → other bin
+    val m = duck("SELECT histogram(n, [5, 10, 100]) FROM hb_t")
+      .asInstanceOf[Map[Any, Any]]
+    assert(m(5) == 3L && m(10) == 1L && m(100) == 2L &&
+      m(Int.MaxValue) == 1L, m)
+    // the documented pairing: boundaries from equi_width_bins, resolved
+    // at build time inside the call
+    val m2 = duck("SELECT histogram(n, equi_width_bins(0, 100, 2, false)) " +
+      "FROM hb_t").asInstanceOf[Map[Any, Any]]
+    assert(m2(50L) == 5L && m2(100L) == 1L && m2(Long.MaxValue) == 1L, m2)
+    // the one-arg EXACT histogram keeps its r12 semantics (same name,
+    // arity dispatch)
+    val m1 = duck("SELECT histogram(n) FROM hb_t").asInstanceOf[Map[Any, Any]]
+    assert(m1(5) == 2L && m1(150) == 1L && m1.size == 6, m1)
+    // non-ascending boundaries are loud
+    assert(intercept[Exception](session.sql(Dialect.rewrite(
+      "SELECT histogram(n, [10, 5]) FROM hb_t")).collect())
+      .getMessage.contains("ascending"))
+  }
+
   test("parse_duration: pinned grammar, loud on malformed") {
     assert(one("SELECT parse_duration('1h 30m') = INTERVAL '1:30' HOUR TO MINUTE") == true)
     assert(one("SELECT parse_duration('90s') = INTERVAL '90' SECOND") == true)

@@ -533,10 +533,31 @@ class StatementSurfaceSpec extends SparkSpec {
     intercept[UserException] {
       ex.runStatement("CREATE TABLE cx_n AS SELECT COLUMNS('zzz') FROM cx_t")
     }
+    // IDENTICAL calls expand in LOCKSTEP — same column per replica, the
+    // bare column name as the output alias (probed v1.0) — r15
+    ex.runStatement("CREATE TABLE cx_l AS SELECT COLUMNS('p_.*') * 2 + " +
+      "COLUMNS('p_.*') FROM cx_t")
+    val cl = spark.table("cx_l")
+    assert(cl.columns.sameElements(Array("p_a", "p_b")), cl.columns.toSeq)
+    assert(cl.orderBy(col("p_a")).collect().head.getDouble(0) == 6.0) // 2*2+2
+    // aggregates too: min(c) + max(c) per matched column
+    ex.runStatement("CREATE TABLE cx_mm AS SELECT min(COLUMNS('p_.*')) + " +
+      "max(COLUMNS('p_.*')) FROM cx_t")
+    val mm = spark.table("cx_mm").collect().head
+    assert(mm.getDouble(0) == 7.0 && mm.getDouble(1) == 9.0, mm)
+    // DIFFERENT calls in one item stay DuckDB's own binder error
+    assert(intercept[UserException] {
+      ex.runStatement(
+        "CREATE TABLE cx_d AS SELECT COLUMNS('p_a') + COLUMNS('p_b') FROM cx_t")
+    }.getMessage.contains("DIFFERENT"))
     // dependency analysis sees through the call
     val a = SqlAnalyzer.analyzeStatement(spark,
       "CREATE TABLE s AS SELECT min(COLUMNS(*)) FROM lineitem")
     assert(a.dependencies == Set("lineitem") && a.outputs == Set("s"))
+    // ... and through the lockstep form (multi-call stub)
+    val a2 = SqlAnalyzer.analyzeStatement(spark,
+      "CREATE TABLE s2 AS SELECT min(COLUMNS('x')) + max(COLUMNS('x')) FROM src")
+    assert(a2.dependencies == Set("src") && a2.outputs == Set("s2"), a2)
   }
 
   // ── DROP / IF NOT EXISTS / TEMP ────────────────────────────────────
