@@ -101,14 +101,7 @@ object ColumnsSql {
         val open = m.end - 1
         val close = spans.head._3
         val arg = argTexts.head
-        val matches: Seq[String] =
-          if (arg == "*") cols
-          else if (arg.length >= 2 && arg.head == '\'' && arg.last == '\'') {
-            val re = arg.substring(1, arg.length - 1).replace("''", "'").r
-            cols.filter(c => re.findFirstIn(c).isDefined)
-          } else
-            throw new UserException(
-              s"COLUMNS takes * or a quoted regex, got: $arg")
+        val matches: Seq[String] = argMatches(arg, cols, bodyDf)
         if (matches.isEmpty)
           throw new UserException(
             s"COLUMNS($arg) matches no column of (${cols.mkString(", ")})")
@@ -158,19 +151,82 @@ object ColumnsSql {
           val replaced = item.substring(0, m.start) + s"`$c`" +
             item.substring(close + 1)
           if (bare || hasAlias) replaced.trim
-          else {
-            // alias like DuckDB renders: the expression with the column
-            // name spliced in (`max(c)`)
-            val rendered = (item.substring(0, m.start) + c +
-              item.substring(close + 1)).trim.replaceAll("\\s+", " ")
-            s"${replaced.trim} AS `$rendered`"
-          }
+          // a wrapped call's replica takes the BARE matched column name
+          // (probed v1.0: `max(COLUMNS('p.*'))` outputs p_a, p_b — NOT
+          // `max(p_a)`; r15 realigned from the earlier rendered-name
+          // convention, which let no wrapped query be an oracle row)
+          else s"${replaced.trim} AS `$c`"
         }
         }
       }
     }
     Some(body.substring(0, selM.end) + " " + expanded.mkString(", ") + " " +
       body.substring(fromM.start))
+  }
+
+  /** The column names a COLUMNS argument selects (probed v1.0; matched
+    * names come back in TABLE order for every form):
+    *  - `*` — every column;
+    *  - `'regex'` — RE2-style partial match on the name, case-sensitive;
+    *  - `* EXCLUDE (a, b)` / `* EXCLUDE a` — all but the listed columns
+    *    (arrives as `* EXCEPT(...)` after the dialect's star lowering;
+    *    both spellings accepted); unknown names are loud, like the
+    *    binder;
+    *  - `['a', 'b']` — an explicit name list (arrives as `array(...)`
+    *    after the bracket lowering); unknown names are loud;
+    *  - `c -> predicate` — a lambda over the column NAME, evaluated as
+    *    ONE constant Spark expression (`filter(array(names), c -> p)`) —
+    *    a predicate referencing table columns fails loudly (no FROM in
+    *    scope), exactly the binder's rule. */
+  private def argMatches(arg: String, cols: Seq[String],
+                         bodyDf: String => DataFrame): Seq[String] = {
+    def unq(s: String): String = {
+      val t = s.trim
+      if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+        t.substring(1, t.length - 1).replace("''", "'")
+      else if (t.length >= 2 && (t.head == '"' || t.head == '`') &&
+        t.last == t.head) t.substring(1, t.length - 1)
+      else t
+    }
+    val starEx =
+      "(?is)^\\*\\s*(?:EXCEPT|EXCLUDE)\\s*(?:\\(([^)]*)\\)|([A-Za-z_]\\w*))\\s*$".r
+    val listForm = "(?is)^(?:array\\s*\\((.*)\\)|\\[(.*)\\])\\s*$".r
+    val lambdaForm = "(?is)^([A-Za-z_]\\w*)\\s*->\\s*(.+)$".r
+    if (arg == "*") cols
+    else if (arg.length >= 2 && arg.head == '\'' && arg.last == '\'') {
+      val re = arg.substring(1, arg.length - 1).replace("''", "'").r
+      cols.filter(c => re.findFirstIn(c).isDefined)
+    } else arg match {
+      case starEx(listTxt, single) =>
+        val excluded = Option(listTxt)
+          .map(_.split(",").toSeq).getOrElse(Seq(single))
+          .map(e => unq(e)).filter(_.nonEmpty)
+        excluded.foreach(e => if (!cols.exists(_.equalsIgnoreCase(e)))
+          throw new UserException(
+            s"COLUMNS(* EXCLUDE): column $e not found in " +
+              s"(${cols.mkString(", ")})"))
+        val ex = excluded.map(_.toLowerCase).toSet
+        cols.filterNot(c => ex(c.toLowerCase))
+      case listForm(a, b) =>
+        val names = Option(a).getOrElse(b).split(",").toSeq
+          .map(unq).filter(_.nonEmpty)
+        if (names.isEmpty) throw new UserException(
+          "COLUMNS([...]): the name list is empty")
+        names.foreach(n => if (!cols.exists(_.equalsIgnoreCase(n)))
+          throw new UserException(
+            s"COLUMNS([...]): column $n was selected but was not found"))
+        val want = names.map(_.toLowerCase).toSet
+        cols.filter(c => want(c.toLowerCase))
+      case lambdaForm(v, pred) =>
+        val listed = cols.map(c => s"'${c.replace("'", "''")}'")
+          .mkString(", ")
+        val r = bodyDf(s"SELECT filter(array($listed), $v -> $pred) AS __c")
+          .collect().head.getSeq[String](0)
+        if (r == null) Seq.empty else r
+      case _ => throw new UserException(
+        "COLUMNS takes *, a quoted regex, a name list, a name lambda, " +
+          s"or * EXCLUDE (...), got: $arg")
+    }
   }
 
   /** The span of a DIRECT `unpack( ... )` wrapper around the COLUMNS

@@ -402,6 +402,19 @@ object Extended {
       T.documents(s, d).createOrReplaceTempView("documents")
       val body = graft.component.Dialect.rewrite(Oracle.q81)
       s.sql(graft.component.ColumnsSql.expand(body, b => s.sql(b)).get)
+    }),
+
+    // COLUMNS argument forms (IDENTICAL text both engines, all probed
+    // v1.0): `* EXCLUDE (cols)` inside the call, an explicit name list
+    // (TABLE order regardless of list order), a name LAMBDA evaluated as
+    // one constant filter() expression, and the BARE-column-name output
+    // aliasing of wrapped calls (r15 realignment: probed v1.0 names
+    // max(COLUMNS('p.*')) outputs p_a — not `max(p_a)`).
+    "q82_columns_forms" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      val body = graft.component.Dialect.rewrite(Oracle.q82)
+      s.sql(graft.component.ColumnsSql.expand(body, b => s.sql(b)).get)
     })
   )
 
@@ -843,11 +856,22 @@ object Extended {
       """SELECT source, min(COLUMNS('(doc_id|n_chars)')) +
         |       max(COLUMNS('(doc_id|n_chars)'))
         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+    /** Shared DuckDB/Spark text — q82 runs this verbatim in both engines
+      * (COLUMNS arg forms: star-EXCLUDE, name list, name lambda; bare-
+      * name output aliasing — all probed v1.0). */
+    val q82: String =
+      """SELECT source,
+        |       min(COLUMNS(* EXCLUDE (text, lang, source, n_chars))),
+        |       max(COLUMNS(['n_chars'])),
+        |       CAST(sum(COLUMNS(c -> c LIKE 'n%')) AS BIGINT) AS n_sum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "q80_star_exclude" -> Oracle.q80,
     "q81_columns_lockstep" -> Oracle.q81,
+    "q82_columns_forms" -> Oracle.q82,
     "q61_unnest" -> Oracle.q61,
     "q62_positional" -> Oracle.q62,
     "q63_dotcall" -> Oracle.q63,

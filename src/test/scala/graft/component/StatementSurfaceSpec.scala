@@ -509,11 +509,12 @@ class StatementSurfaceSpec extends SparkSpec {
       .toDF("id", "p_a", "p_b", "tag").createOrReplaceTempView("cx_t")
     val dir = Files.createTempDirectory("graft_cx_")
     val ex = new Executor(spark, dir.toString)
-    // wrapped call: one aggregate per column, DuckDB-style rendered names
+    // wrapped call: one aggregate per column, BARE column names (probed
+    // v1.0: max(COLUMNS('p.*')) outputs p_a, p_b — realigned r15)
     ex.runStatement("CREATE TABLE cx_max AS SELECT max(COLUMNS(*)) FROM cx_t")
     val m = spark.table("cx_max")
     assert(m.columns.sameElements(
-      Array("max(id)", "max(p_a)", "max(p_b)", "max(tag)")), m.columns.toSeq)
+      Array("id", "p_a", "p_b", "tag")), m.columns.toSeq)
     val r = m.collect().head
     assert(r.getLong(0) == 4L && r.getDouble(1) == 5.0 && r.getString(3) == "y")
     // bare regex call: projects the matching columns only
@@ -550,6 +551,31 @@ class StatementSurfaceSpec extends SparkSpec {
       ex.runStatement(
         "CREATE TABLE cx_d AS SELECT COLUMNS('p_a') + COLUMNS('p_b') FROM cx_t")
     }.getMessage.contains("DIFFERENT"))
+    // COLUMNS(* EXCLUDE ...) — paren and paren-less, through the star
+    // lowering (arrives as * EXCEPT); matched in TABLE order (probed) — r15
+    ex.runStatement(Dialect.rewrite(
+      "CREATE TABLE cx_e AS SELECT COLUMNS(* EXCLUDE (tag, id)) FROM cx_t"))
+    assert(spark.table("cx_e").columns.sameElements(Array("p_a", "p_b")))
+    ex.runStatement(Dialect.rewrite(
+      "CREATE TABLE cx_e2 AS SELECT min(COLUMNS(* EXCLUDE tag)) FROM cx_t"))
+    assert(spark.table("cx_e2").columns.length == 3)
+    assert(intercept[UserException] {
+      ex.runStatement(Dialect.rewrite(
+        "CREATE TABLE cx_e3 AS SELECT COLUMNS(* EXCLUDE (nope)) FROM cx_t"))
+    }.getMessage.contains("not found"))
+    // explicit name list (bracket literal): TABLE order regardless of
+    // list order; unknown names loud (probed v1.0) — r15
+    ex.runStatement(Dialect.rewrite(
+      "CREATE TABLE cx_ls AS SELECT COLUMNS(['tag', 'id']) FROM cx_t"))
+    assert(spark.table("cx_ls").columns.sameElements(Array("id", "tag")))
+    assert(intercept[UserException] {
+      ex.runStatement(Dialect.rewrite(
+        "CREATE TABLE cx_ln AS SELECT COLUMNS(['id', 'nope']) FROM cx_t"))
+    }.getMessage.contains("was not found"))
+    // name lambda: predicate over the column NAME (probed v1.0) — r15
+    ex.runStatement(Dialect.rewrite(
+      "CREATE TABLE cx_la AS SELECT COLUMNS(c -> c LIKE 'p%') FROM cx_t"))
+    assert(spark.table("cx_la").columns.sameElements(Array("p_a", "p_b")))
     // dependency analysis sees through the call
     val a = SqlAnalyzer.analyzeStatement(spark,
       "CREATE TABLE s AS SELECT min(COLUMNS(*)) FROM lineitem")
@@ -678,7 +704,9 @@ class StatementSurfaceSpec extends SparkSpec {
         "list_sum([x * 1.0 FOR x IN [1, 2, 3] IF x > 1]) AS s " +
         "FROM generate_series(1, 2) g",
       "CREATE TABLE prof AS SUMMARIZE base",
-      "CREATE TABLE outt AS SELECT b.id, b.v, s.`sum(v)` AS gsum " +
+      // the wrapped-COLUMNS output carries the BARE column name (probed
+      // v1.0; realigned r15) — downstream references use s.v
+      "CREATE TABLE outt AS SELECT b.id, b.v, s.v AS gsum " +
         "FROM base b JOIN stats s ON upper(b.grp) = upper(s.tag) ORDER BY b.id")
     val cfg =
       s"""{"parameters": {"blocks": [{"name": "B", "codes": [
