@@ -31,8 +31,9 @@ object Actions {
               .parsePlan(PositionalSql.stub(AsOfSql.stub(Pivot.staticStub(
                 CopyFrom.stub(CopyTo.stub(UnionByNameSql.stub(DescribeSql.stub(
                   SequenceSql.stub(ExportDb.stub(UpsertSql.stub(MergeSql.stub(
-                    UpdateFromSql.stub(IndexSql.stub(ReturningSql.stub(
-                      Dialect.analysisStub(stmt))))))))))))))))) match {
+                    UpdateFromSql.stub(IndexSql.stub(PrepareSql.stub(
+                      ReturningSql.stub(
+                        Dialect.analysisStub(stmt)))))))))))))))))) match {
             case Failure(e) => List(ValidationIssue(name, s"parse error: ${e.getMessage}"))
             case Success(_) => Nil
           }

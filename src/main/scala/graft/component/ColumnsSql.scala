@@ -42,6 +42,55 @@ object ColumnsSql {
       .findFirstMatchIn(masked).getOrElse(return None)
     val fromM = "(?is)\\bFROM\\b".r.findAllMatchIn(masked)
       .find(m => dep(m.start) == 0).getOrElse(return None)
+    // WHERE-clause COLUMNS: the WHOLE predicate replicates per matched
+    // column, AND-joined (probed v1.0 — OR mixtures and compound
+    // predicates replicate as one unit). Expanded FIRST and returned;
+    // the caller re-enters the rewrite chain on the result, so the
+    // select-list probe below never sees a COLUMNS inside its own
+    // probe tail.
+    locally {
+      val whereM = "(?is)\\bWHERE\\b".r.findAllMatchIn(masked)
+        .find(w => dep(w.start) == 0 && w.start > fromM.end)
+      whereM.foreach { w =>
+        val endW = ("(?is)\\b(GROUP\\s+BY|HAVING|ORDER\\s+BY|LIMIT|" +
+          "QUALIFY|WINDOW)\\b").r.findAllMatchIn(masked)
+          .find(m2 => dep(m2.start) == 0 && m2.start > w.end)
+          .map(_.start).getOrElse(body.length)
+        val wTxt = body.substring(w.end, endW)
+        val wMasked = masked.substring(w.end, endW)
+        val wCalls = callRe.findAllMatchIn(wMasked).toList
+        if (wCalls.nonEmpty) {
+          val spans = wCalls.map { c =>
+            val cl = matching(wMasked, c.end - 1)
+            if (cl < 0) throw new UserException(
+              s"unbalanced COLUMNS(...) in WHERE: ${wTxt.trim}")
+            (c.start, c.end - 1, cl)
+          }
+          val argTexts = spans.map { case (_, o, cl) =>
+            wTxt.substring(o + 1, cl).trim }
+          if (argTexts.distinct.length != 1)
+            throw new UserException(
+              "multiple DIFFERENT COLUMNS(...) calls in one WHERE " +
+                "clause are not supported (DuckDB rejects them too)")
+          val colsW = bodyDf(
+            s"SELECT * ${body.substring(fromM.start, w.start)}")
+            .schema.map(_.name)
+          val ms = argMatches(argTexts.head, colsW, bodyDf)
+          if (ms.isEmpty) throw new UserException(
+            s"COLUMNS(${argTexts.head}) matches no column of " +
+              s"(${colsW.mkString(", ")})")
+          val replicas = ms.map { c =>
+            val sb = new StringBuilder(wTxt)
+            spans.sortBy { case (s0, _, _) => -s0 }.foreach {
+              case (st, _, cl) => sb.replace(st, cl + 1, s"`$c`")
+            }
+            s"(${sb.toString.trim})"
+          }
+          return Some(body.substring(0, w.end) + " " +
+            replicas.mkString(" AND ") + " " + body.substring(endW))
+        }
+      }
+    }
     // the probe keeps FROM..WHERE (schema-neutral) and cuts the clauses
     // a bare SELECT * cannot carry
     val cutM = "(?is)\\b(GROUP\\s+BY|HAVING|ORDER\\s+BY|LIMIT|QUALIFY|WINDOW)\\b".r
@@ -260,10 +309,17 @@ object ColumnsSql {
   def stub(stmt: String): String = {
     val masked = Dialect.maskQuoted(stmt)
     val calls = callRe.findAllMatchIn(masked).toList
-    val repl = if (calls.length > 1) "1" else "*"
+    // a lone select-list call stubs to `*`; several calls (lockstep) or
+    // a call past the first depth-0 FROM (WHERE position) stub to `1` —
+    // `* + *` and `WHERE *` would not parse, and the FROM clause
+    // carries the dependencies either way
+    val dep = Dialect.depths(masked)
+    val firstFrom = "(?is)\\bFROM\\b".r.findAllMatchIn(masked)
+      .find(m => dep(m.start) == 0).map(_.start).getOrElse(masked.length)
     calls.headOption match {
       case None => stmt
       case Some(m) =>
+        val repl = if (calls.length > 1 || m.start > firstFrom) "1" else "*"
         val close = matching(masked, m.end - 1)
         if (close < 0) stmt
         else unpackSpan(masked, m.start, close) match {

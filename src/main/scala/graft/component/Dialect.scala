@@ -157,6 +157,7 @@ object Dialect {
     // the path. Inside a COPY's subquery (depth > 0) FROM is table
     // position as usual.
     val isCopyStmt = "(?is)^\\s*COPY\\b".r.findFirstIn(stmt).isDefined
+    val isExecuteStmt = "(?is)^\\s*EXECUTE\\b".r.findFirstIn(stmt).isDefined
     var parenDepth = 0
 
     def flushPlain(): Unit = {
@@ -182,10 +183,13 @@ object Dialect {
         .replaceAll("(?<!~)!~~(?![~*])", " NOT LIKE ")
         .replaceAll("(?<![~!])~~(?![~*])", " LIKE ")
         // struct_pack(a := x, b := y) ≡ named_struct('a', x, 'b', y).
-        // `:=` exists in DuckDB only as struct_pack's binder, so the
-        // name rewrite is safe globally within unquoted text
+        // `:=` in a non-EXECUTE statement is struct_pack's binder, so
+        // the name rewrite is safe within unquoted text there; EXECUTE
+        // statements keep `:=` verbatim — it is the NAMED-parameter
+        // binder PrepareSql parses (`EXECUTE q(lo := 2)`)
         .replaceAll("(?i)\\bstruct_pack\\s*\\(", "named_struct(")
-        .replaceAll("(\\w+)\\s*:=", "'$1',")
+        .replaceAll(
+          if (isExecuteStmt) "(?!x)x" else "(\\w+)\\s*:=", "'$1',")
         // Python-style HOF lambdas — `lambda x, y: body` — are DuckDB
         // >= 1.3 surface (the reference pins 1.4.4/1.5.2; v1.0 probes a
         // parse error). Spark and DuckDB 1.0 share the arrow spelling,
@@ -1177,6 +1181,11 @@ object Dialect {
     // scope), so the stub analyzes the plain CREATE with identical deps
     s = sub(s, "(?is)^(\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?)TEMP(?:ORARY)?\\s+(?=TABLE\\b)".r)(
       (src, m) => src.substring(m.start(1), m.end(1)))
+    // SET/RESET VARIABLE: executor state with no relation deps — an
+    // inert SET parses everywhere (Spark's own SET VARIABLE needs a
+    // DECLARE'd variable at analysis)
+    s = sub(s, "(?is)^\\s*(?:SET|RESET)\\s+VARIABLE\\b.*$".r)(
+      (_, _) => "SET __graft_inert_variable = 1")
     // star REPLACE parses nowhere in Spark; the except-form has the
     // identical dependency set (expressions kept, order moot here)
     if (StarReplaceSql.has(s)) s = StarReplaceSql.except(s)

@@ -2067,6 +2067,10 @@ object DuckFunctions {
         }
       },
 
+      // SQL variables (DuckDB ≥ 1.1): the stored value as a literal at
+      // the consuming statement's analysis ([[VariableSql]])
+      arity("getvariable", 1)(a => VariableSql.literalFor(a.head)),
+
       arity("is_histogram_other_bin", 1)(a =>
         graft.functions.IsHistogramOtherBin(a.head)),
       arity("parse_duration", 1)(a => graft.functions.ParseDuration(a.head)),

@@ -112,6 +112,10 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
   private val viewDefs =
     new java.util.LinkedHashMap[String, (String, String, Set[String])]()
 
+  /** PREPARE templates, name → body (per-run, like the reference's
+    * connection-scoped prepared statements; [[PrepareSql]]). */
+  private val prepared = scala.collection.concurrent.TrieMap[String, String]()
+
   /** Re-register every view that (transitively) depends on `changed` after
     * its backing files were swapped by a DML re-materialization — otherwise
     * a block-1 view read after a block-2 INSERT/UPDATE/DELETE throws
@@ -423,6 +427,34 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     case _ if SequenceSql.parseDrop(stmt).isDefined =>
       val d = SequenceSql.parseDrop(stmt).get
       SequenceSql.drop(d.name, d.ifExists)
+
+    // SET VARIABLE / RESET VARIABLE (DuckDB ≥ 1.1 — [[VariableSql]];
+    // getvariable resolves through the function registry)
+    case _ if VariableSql.parseSet(stmt).isDefined =>
+      val (name, exprTxt) = VariableSql.parseSet(stmt).get
+      VariableSql.set(spark, name, exprTxt)
+
+    case _ if VariableSql.parseReset(stmt).isDefined =>
+      VariableSql.reset(VariableSql.parseReset(stmt).get)
+
+    // PREPARE / EXECUTE / DEALLOCATE — per-run template catalog
+    // ([[PrepareSql]]; probed v1.0 rules: re-PREPARE replaces silently,
+    // DEALLOCATE of an unknown name is a silent no-op, EXECUTE of one
+    // errors, missing parameters error NAMING them)
+    case _ if PrepareSql.parsePrepare(stmt).isDefined =>
+      val p = PrepareSql.parsePrepare(stmt).get
+      prepared.put(p.name, p.body)
+
+    case _ if PrepareSql.parseDeallocate(stmt).isDefined =>
+      prepared.remove(PrepareSql.parseDeallocate(stmt).get)
+
+    case _ if PrepareSql.parseExecute(stmt).isDefined =>
+      val e = PrepareSql.parseExecute(stmt).get
+      val body = prepared.getOrElse(e.name, throw new UserException(
+        s"""Prepared statement "${e.name}" does not exist"""))
+      // re-dispatch the substituted statement through the full path (any
+      // statement kind; a RETURNING inside returns its rows)
+      return runStatement(PrepareSql.substitute(body, e))
 
     // the sequence scale knob (PRAGMA graft_sequence_blocks = n arrives
     // here as the dialect's SET spelling): n > 1 switches nextval to

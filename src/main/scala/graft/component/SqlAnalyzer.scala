@@ -38,7 +38,7 @@ object SqlAnalyzer {
         PositionalSql.stub(AsOfSql.stub(Pivot.staticStub(CopyFrom.stub(
           CopyTo.stub(UnionByNameSql.stub(DescribeSql.stub(SequenceSql.stub(
             ExportDb.stub(UpsertSql.stub(MergeSql.stub(UpdateFromSql.stub(IndexSql.stub(
-              ReturningSql.stub(Dialect.analysisStub(rewritten))))))))))))))))
+              PrepareSql.stub(ReturningSql.stub(Dialect.analysisStub(rewritten)))))))))))))))))
       val a = fromPlan(plan)
       // nextval('s')/currval('s') reference the sequence through a string
       // literal the relation walk can't see — inject it as a dependency so

@@ -415,6 +415,31 @@ object Extended {
       T.documents(s, d).createOrReplaceTempView("documents")
       val body = graft.component.Dialect.rewrite(Oracle.q82)
       s.sql(graft.component.ColumnsSql.expand(body, b => s.sql(b)).get)
+    }),
+
+    // WHERE-clause COLUMNS (IDENTICAL text both engines, probed v1.0):
+    // the whole predicate replicates per matched column, AND-joined —
+    // two expansion passes here (WHERE first, then nothing in the list).
+    "q83_columns_where" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      val body = graft.component.Dialect.rewrite(Oracle.q83)
+      s.sql(graft.component.ColumnsSql.expand(body, b => s.sql(b)).get)
+    }),
+
+    // PREPARE / EXECUTE (IDENTICAL multi-statement text both engines,
+    // probed v1.0): a named-parameter template INSERT..RETURNING — the
+    // EXECUTE's substituted rows ARE the ledger row (the q78 last-
+    // statement-result convention). v1.0 PREPAREs DML/SELECT only
+    // (CREATE..AS probes a parser error), hence the explicit DDL first.
+    "q84_prepare_execute" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_q84_wh_").toString
+      val ex = new graft.component.Executor(s, wh)
+      graft.component.Dialect.prepare(Oracle.q84)
+        .flatMap(ex.runStatement(_)).last
     })
   )
 
@@ -866,12 +891,33 @@ object Extended {
         |       max(COLUMNS(['n_chars'])),
         |       CAST(sum(COLUMNS(c -> c LIKE 'n%')) AS BIGINT) AS n_sum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+    /** Shared DuckDB/Spark text — q83 runs this verbatim in both engines
+      * (WHERE-clause COLUMNS per-column AND replication, probed v1.0). */
+    val q83: String =
+      """SELECT doc_id, n_chars
+        |FROM documents
+        |WHERE COLUMNS('(doc_id|n_chars)') % 3 > 0 AND doc_id % 5 < 4
+        |ORDER BY doc_id""".stripMargin
+
+    /** Shared DuckDB/Spark text — q84 runs this verbatim in both engines
+      * (PREPARE named parameters + EXECUTE, the RETURNING rows compared;
+      * probed v1.0). */
+    val q84: String =
+      """CREATE OR REPLACE TABLE q84_t (doc_id BIGINT, n_chars BIGINT);
+        |PREPARE q84p AS INSERT INTO q84_t
+        |  SELECT doc_id, n_chars FROM documents
+        |  WHERE doc_id % $m = 0 AND n_chars > $lo
+        |  RETURNING doc_id AS doc_id, n_chars AS n_chars;
+        |EXECUTE q84p(m := 7, lo := 300)""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
     "q80_star_exclude" -> Oracle.q80,
     "q81_columns_lockstep" -> Oracle.q81,
     "q82_columns_forms" -> Oracle.q82,
+    "q83_columns_where" -> Oracle.q83,
+    "q84_prepare_execute" -> Oracle.q84,
     "q61_unnest" -> Oracle.q61,
     "q62_positional" -> Oracle.q62,
     "q63_dotcall" -> Oracle.q63,

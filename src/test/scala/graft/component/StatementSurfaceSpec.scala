@@ -576,10 +576,31 @@ class StatementSurfaceSpec extends SparkSpec {
     ex.runStatement(Dialect.rewrite(
       "CREATE TABLE cx_la AS SELECT COLUMNS(c -> c LIKE 'p%') FROM cx_t"))
     assert(spark.table("cx_la").columns.sameElements(Array("p_a", "p_b")))
+    // WHERE-clause COLUMNS: the whole predicate replicates per matched
+    // column, AND-joined (probed v1.0, incl. OR mixtures) — r15
+    Seq((Some(1), Some(2)), (None, Some(3)), (Some(4), None))
+      .toDF("wa", "wb").createOrReplaceTempView("cx_w")
+    ex.runStatement(Dialect.rewrite(
+      "CREATE TABLE cx_w1 AS SELECT * FROM cx_w WHERE COLUMNS(*) IS NOT NULL"))
+    assert(spark.table("cx_w1").collect().map(r => (r.getInt(0), r.getInt(1)))
+      .toSeq == Seq((1, 2)))
+    ex.runStatement(Dialect.rewrite("CREATE TABLE cx_w2 AS SELECT * FROM cx_w " +
+      "WHERE wa = 1 OR COLUMNS('w.*') > 2"))
+    assert(spark.table("cx_w2").collect().map(_.getInt(0)).toSeq == Seq(1))
+    // ... and composes with a select-list call in the same statement
+    // (WHERE expands first, the list on the re-entry)
+    ex.runStatement(Dialect.rewrite("CREATE TABLE cx_w3 AS SELECT " +
+      "COLUMNS('wa') + 10 FROM cx_w WHERE COLUMNS(*) IS NOT NULL"))
+    assert(spark.table("cx_w3").columns.sameElements(Array("wa")) &&
+      spark.table("cx_w3").collect().map(_.getInt(0)).toSeq == Seq(11))
     // dependency analysis sees through the call
     val a = SqlAnalyzer.analyzeStatement(spark,
       "CREATE TABLE s AS SELECT min(COLUMNS(*)) FROM lineitem")
     assert(a.dependencies == Set("lineitem") && a.outputs == Set("s"))
+    // ... and through the WHERE position (stubs to 1, not `*`)
+    val aw = SqlAnalyzer.analyzeStatement(spark,
+      "CREATE TABLE sw AS SELECT x FROM src WHERE COLUMNS(*) IS NOT NULL")
+    assert(aw.dependencies == Set("src") && aw.outputs == Set("sw"), aw)
     // ... and through the lockstep form (multi-call stub)
     val a2 = SqlAnalyzer.analyzeStatement(spark,
       "CREATE TABLE s2 AS SELECT min(COLUMNS('x')) + max(COLUMNS('x')) FROM src")
@@ -1473,6 +1494,110 @@ class StatementSurfaceSpec extends SparkSpec {
         |    "INSERT INTO r_t VALUES (9, 'n', 0) RETURNING k, v"]}
         |]}]}, "storage": {}}""".stripMargin)
     assert(Actions.syntaxCheck(spark, cfg).isEmpty, Actions.syntaxCheck(spark, cfg))
+  }
+
+  test("PREPARE / EXECUTE / DEALLOCATE (probed v1.0 parameter rules)") {
+    val dir = Files.createTempDirectory("graft_prep_")
+    DuckFunctions.register(spark)
+    val ex = new Executor(spark, dir.toString)
+    def run(sql: String) = ex.runStatement(Dialect.rewrite(sql))
+    run("CREATE TABLE pr_t AS SELECT range AS a FROM range(5)")
+    // `?` auto-increment positional through a DML + RETURNING
+    run("PREPARE pq AS CREATE TABLE pr_o AS SELECT a FROM pr_t WHERE a > ?")
+    run("EXECUTE pq(2)")
+    assert(spark.table("pr_o").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 4L))
+    // numbered $1/$2 index the positional list (probed: $2 + $1 works)
+    run("PREPARE pn AS CREATE TABLE pr_n AS SELECT $2 + $1 AS s FROM range(1)")
+    run("EXECUTE pn(10, 1)")
+    assert(spark.table("pr_n").collect().head.get(0).toString == "11")
+    // named $param via name := expr; the same slot reused twice
+    run("PREPARE pm AS CREATE TABLE pr_m AS " +
+      "SELECT a, $lo + 0 AS lo FROM pr_t WHERE a >= $lo")
+    run("EXECUTE pm(lo := 3)")
+    assert(spark.table("pr_m").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 4L))
+    // argument expressions splice parenthesized (precedence survives)
+    run("PREPARE px AS CREATE TABLE pr_x AS SELECT ? * 2 AS v FROM range(1)")
+    run("EXECUTE px(1 + 1)")
+    assert(spark.table("pr_x").collect().head.get(0).toString == "4")
+    // RETURNING inside a prepared DML returns its rows through EXECUTE
+    run("PREPARE pi AS INSERT INTO pr_t VALUES (?) RETURNING a")
+    assert(run("EXECUTE pi(99)").get.collect().head.getLong(0) == 99L)
+    // missing parameters error NAMING them (probed message shape)
+    assert(intercept[UserException] {
+      run("PREPARE p2 AS SELECT ? + ?"); run("EXECUTE p2(1)")
+    }.getMessage.contains("parameters: 2"))
+    // EXECUTE of an unknown / deallocated name errors; DEALLOCATE of an
+    // unknown name is silent; re-PREPARE replaces silently
+    assert(intercept[UserException] { run("EXECUTE nope(1)") }
+      .getMessage.contains("does not exist"))
+    run("DEALLOCATE pq")
+    assert(intercept[UserException] { run("EXECUTE pq(1)") }
+      .getMessage.contains("does not exist"))
+    run("DEALLOCATE PREPARE never_was") // silent no-op (probed)
+    run("PREPARE pr AS CREATE TABLE pr_r AS SELECT 1 AS v FROM range(1)")
+    run("PREPARE pr AS CREATE TABLE pr_r AS SELECT 2 AS v FROM range(1)")
+    run("EXECUTE pr")
+    assert(spark.table("pr_r").collect().head.getInt(0) == 2)
+    // static analysis: PREPARE carries the body's deps/outputs (the
+    // code-level union covers the EXECUTE), EXECUTE itself is inert
+    val ap = SqlAnalyzer.analyzeStatement(spark, Dialect.rewrite(
+      "PREPARE z AS CREATE TABLE zt AS SELECT x FROM src WHERE x > $n"))
+    assert(ap.outputs == Set("zt") && ap.dependencies == Set("src"), ap)
+    val ae = SqlAnalyzer.analyzeStatement(spark, Dialect.rewrite(
+      "EXECUTE z(n := 2)"))
+    assert(ae.outputs.isEmpty && ae.dependencies.isEmpty, ae)
+    // syntax_check accepts the family
+    val cfg = Config.parse(
+      """{"parameters": {"blocks": [{"name": "B", "codes": [
+        |  {"name": "q", "script": [
+        |    "PREPARE s1 AS SELECT a FROM pr_t WHERE a > ?",
+        |    "EXECUTE s1(1)", "DEALLOCATE s1"]}
+        |]}]}, "storage": {}}""".stripMargin)
+    assert(Actions.syntaxCheck(spark, cfg).isEmpty,
+      Actions.syntaxCheck(spark, cfg))
+  }
+
+  test("SET VARIABLE / RESET VARIABLE / getvariable (DuckDB >= 1.1)") {
+    val dir = Files.createTempDirectory("graft_var_")
+    DuckFunctions.register(spark)
+    val ex = new Executor(spark, dir.toString)
+    def run(sql: String) = ex.runStatement(Dialect.rewrite(sql))
+    def one(sql: String): Any =
+      spark.sql(Dialect.rewrite(sql)).collect().head.get(0)
+    run("SET VARIABLE v_lim = 30 + 12")       // evaluated ONCE at SET
+    assert(one("SELECT getvariable('v_lim')") == 42)
+    // typed values survive (list)
+    run("SET VARIABLE v_list = ['a', 'b']")
+    assert(one("SELECT getvariable('v_list')")
+      .asInstanceOf[scala.collection.Seq[Any]] == Seq("a", "b"))
+    // a variable in a predicate is an ordinary pushed-down literal
+    run("CREATE TABLE var_t AS SELECT range AS a FROM range(10)")
+    run("CREATE TABLE var_o AS SELECT a FROM var_t " +
+      "WHERE a >= getvariable('v_lim') - 37")
+    assert(spark.table("var_o").count() == 5)
+    // re-SET replaces; RESET removes; undefined → NULL (documented)
+    run("SET VARIABLE v_lim = 1")
+    assert(one("SELECT getvariable('v_lim')") == 1)
+    run("RESET VARIABLE v_lim")
+    assert(one("SELECT getvariable('v_lim')") == null)
+    assert(one("SELECT getvariable('never_set')") == null)
+    // a column reference in the SET expression fails loudly (binder rule)
+    intercept[Exception] { run("SET VARIABLE bad = some_column + 1") }
+    // statics: SET/RESET VARIABLE are inert, getvariable carries no deps
+    val av = SqlAnalyzer.analyzeStatement(spark, Dialect.rewrite(
+      "SET VARIABLE x = 5"))
+    assert(av.outputs.isEmpty && av.dependencies.isEmpty, av)
+    val cfg = Config.parse(
+      """{"parameters": {"blocks": [{"name": "B", "codes": [
+        |  {"name": "q", "script": [
+        |    "SET VARIABLE lim = 3",
+        |    "CREATE TABLE vo AS SELECT a FROM vt WHERE a > getvariable('lim')",
+        |    "RESET VARIABLE lim"]}
+        |]}]}, "storage": {}}""".stripMargin)
+    assert(Actions.syntaxCheck(spark, cfg).isEmpty,
+      Actions.syntaxCheck(spark, cfg))
   }
 
   test("EXPORT DATABASE / IMPORT DATABASE round-trip the warehouse") {
