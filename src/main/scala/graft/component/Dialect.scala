@@ -1043,6 +1043,18 @@ object Dialect {
     // rejects it loudly at run time ([[Executor.runStatement]])
     if ("(?is)^\\s*ROLLBACK\\b".r.findFirstIn(stmt).isDefined)
       return Dialect.RollbackSentinel
+    // ABORT is DuckDB's ROLLBACK alias (probed v1.0) — same loud path
+    if ("(?is)^\\s*ABORT\\s*;?\\s*$".r.findFirstIn(stmt).isDefined)
+      return Dialect.RollbackSentinel
+    // transaction & storage-maintenance statements (probed v1.0: all
+    // accepted): this executor commits as it runs and has no WAL, so
+    // BEGIN/COMMIT/END and VACUUM/ANALYZE/CHECKPOINT are inert — the
+    // semantics match because ROLLBACK/ABORT, the only statements that
+    // could observe a difference, reject loudly above
+    if (("(?is)^\\s*(BEGIN(\\s+TRANSACTION)?|COMMIT|END(\\s+TRANSACTION)?|" +
+        "VACUUM(\\s+ANALYZE)?|ANALYZE|(FORCE\\s+)?CHECKPOINT)\\s*;?\\s*$").r
+        .findFirstIn(stmt).isDefined)
+      return "SET __graft_inert_txn_maintenance = true"
     // TRUNCATE [TABLE] t ≡ DELETE FROM t: the executor's DELETE path
     // without a condition already re-materializes the empty state
     // atomically (both spellings probed on DuckDB v1.0)

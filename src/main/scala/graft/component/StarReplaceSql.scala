@@ -196,7 +196,7 @@ object StarReplaceSql {
         // no trailing \s* in the regex: maskQuoted blanks the LITERAL
         // (quotes included), so \s* would eat into it — skip only true
         // whitespace (same char in masked and original) by hand
-        val opM = "(?is)^(NOT\\s+)?(LIKE|ILIKE|SIMILAR\\s+TO)(?=[\\s'])".r
+        val opM = "(?is)^(NOT\\s+)?(LIKE|ILIKE|SIMILAR\\s+TO|GLOB)(?=[\\s'])".r
           .findFirstMatchIn(masked.substring(j))
         val qStartOpt = opM.map { m =>
           var k = j + m.end
@@ -211,6 +211,8 @@ object StarReplaceSql {
             val raw = stmt.substring(qStart + 1, qEnd - 1).replace("''", "'")
             val core = m.group(2).toUpperCase.replaceAll("\\s+", " ") match {
               case "SIMILAR TO" => s"(?:$raw)"
+              case "GLOB" => graft.functions.GapKernels.globToRegex(raw)
+                .stripPrefix("^").stripSuffix("$")
               case _ => likeToRegex(raw)
             }
             val ci = if (m.group(2).equalsIgnoreCase("ilike")) "(?i)" else ""
@@ -283,7 +285,7 @@ object StarReplaceSql {
             var p = i + 1
             while (p < masked.length && masked.charAt(p) == stmt.charAt(p) &&
               stmt.charAt(p).isWhitespace) p += 1
-            val opM = "(?is)^(NOT\\s+)?(LIKE|ILIKE|SIMILAR\\s+TO)(?=[\\s'])".r
+            val opM = "(?is)^(NOT\\s+)?(LIKE|ILIKE|SIMILAR\\s+TO|GLOB)(?=[\\s'])".r
               .findFirstMatchIn(masked.substring(p))
             opM match {
               case Some(m) =>
@@ -338,6 +340,8 @@ object StarReplaceSql {
     val raw = body.substring(q.qStart + 1, q.qEnd - 1).replace("''", "'")
     val core = q.op match {
       case "SIMILAR TO" => s"(?:$raw)"
+      case "GLOB" => graft.functions.GapKernels.globToRegex(raw)
+        .stripPrefix("^").stripSuffix("$")
       case _ => likeToRegex(raw)
     }
     val re = ((if (q.op == "ILIKE") "(?i)" else "") + "^" + core + "$").r

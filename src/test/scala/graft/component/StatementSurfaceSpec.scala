@@ -1734,6 +1734,21 @@ class StatementSurfaceSpec extends SparkSpec {
       "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE NO OTHERS) AS s FROM t")
     assert(!stripped.toUpperCase.contains("EXCLUDE"), stripped)
     assert(stripped.toUpperCase.contains("ROWS BETWEEN 1 PRECEDING"), stripped)
+    // transaction & maintenance statements are inert (probed v1.0: all
+    // accepted; this executor commits as it runs), ABORT = ROLLBACK
+    for (s <- Seq("BEGIN TRANSACTION", "BEGIN", "COMMIT", "END",
+        "VACUUM", "VACUUM ANALYZE", "ANALYZE", "CHECKPOINT",
+        "FORCE CHECKPOINT")) {
+      val r = Dialect.rewrite(s)
+      assert(r.startsWith("SET __graft_inert"), s"$s -> $r")
+      ex.runStatement(r) // runs as an inert SET
+    }
+    assert(Dialect.rewrite("ABORT") == Dialect.RollbackSentinel)
+    // star GLOB filter (1.4 star-filter op; v1.0 binder error → spec-pin)
+    Seq((1, "x")).toDF("f_a1", "g").createOrReplaceTempView("sg_t")
+    ex.runStatement(Dialect.rewrite(
+      "CREATE TABLE sg1 AS SELECT * GLOB 'f_*' FROM sg_t"))
+    assert(spark.table("sg1").columns.sameElements(Array("f_a1")))
     // the scan is scoped to each OVER(...) span (r15 ADVICE): a column
     // named groups in the WHERE, or a column exclude aliased `ties`
     // (bare-alias spelling), are valid identifiers OUTSIDE the frame
