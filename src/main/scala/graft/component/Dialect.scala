@@ -136,16 +136,221 @@ object Dialect {
     stmt.length
   }
 
+  /** `CREATE TABLE t AS <query> WITH NO DATA` — schema-only CTAS
+    * (probed v1.0) → the query wrapped under `WHERE 1 = 0` (appending
+    * LIMIT 0 would clash with a query-final ORDER BY/LIMIT). */
+  private def rewriteNoData(stmt: String): String = {
+    val masked = maskQuoted(stmt)
+    val m = ("(?is)^(\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?" +
+      "(?:TEMP(?:ORARY)?\\s+)?TABLE\\s+\\S+\\s+AS\\s+)(.*?)" +
+      "\\s+WITH\\s+NO\\s+DATA\\s*;?\\s*$").r
+      .findFirstMatchIn(masked).getOrElse(return stmt)
+    stmt.substring(m.start(1), m.end(1)) +
+      s"SELECT * FROM (${stmt.substring(m.start(2), m.end(2))}) " +
+      "__graft_nodata WHERE 1 = 0"
+  }
+
+  /** `UPDATE ... SET (a, b) = (e1, e2)` tuple assignment (probed v1.0)
+    * → the plain `SET a = e1, b = e2` list. A row-subquery RHS
+    * (`= (SELECT ...)`) rejects loudly — no single-statement Spark
+    * spelling. */
+  private def rewriteTupleSet(stmt: String): String = {
+    if ("(?is)^\\s*UPDATE\\b".r.findFirstIn(stmt).isEmpty) return stmt
+    val masked = maskQuoted(stmt)
+    val m = "(?is)\\bSET\\s*\\(".r.findFirstMatchIn(masked)
+      .getOrElse(return stmt)
+    val open = m.end - 1
+    val close = matchingParen(masked, open)
+    if (close < 0) return stmt
+    var i = close + 1
+    while (i < masked.length && masked.charAt(i).isWhitespace) i += 1
+    if (i >= masked.length || masked.charAt(i) != '=') return stmt
+    i += 1
+    while (i < masked.length && masked.charAt(i).isWhitespace) i += 1
+    if (i >= masked.length || masked.charAt(i) != '(') return stmt
+    val vOpen = i
+    val vClose = matchingParen(masked, vOpen)
+    if (vClose < 0) return stmt
+    if ("(?is)^\\s*SELECT\\b".r
+        .findFirstIn(masked.substring(vOpen + 1, vClose)).isDefined)
+      throw new UserException(
+        "UPDATE SET (cols) = (SELECT ...): row-subquery assignment is " +
+          "not supported — use UPDATE ... FROM with per-column SETs")
+    def split(a: Int, b: Int): Seq[String] = {
+      val txt = stmt.substring(a, b)
+      val dp = depths(masked.substring(a, b))
+      val cuts = masked.substring(a, b).zipWithIndex.collect {
+        case (',', j) if dp(j) == 0 => j }
+      (Seq(-1) ++ cuts :+ txt.length).sliding(2).map {
+        case Seq(x, y) => txt.substring(x + 1, y).trim
+        case _ => ""
+      }.filter(_.nonEmpty).toSeq
+    }
+    val names = split(open + 1, close)
+    val values = split(vOpen + 1, vClose)
+    if (names.length != values.length)
+      throw new UserException(
+        s"UPDATE SET (cols) = (values): ${names.length} columns but " +
+          s"${values.length} values")
+    val assigns = names.zip(values)
+      .map { case (n, v) => s"$n = $v" }.mkString("SET ", ", ", "")
+    rewriteTupleSet(
+      stmt.substring(0, m.start) + assigns + stmt.substring(vClose + 1))
+  }
+
+  private val orderedAggFns = Set("first", "last", "any_value", "arbitrary",
+    "array_agg", "list", "string_agg", "group_concat", "listagg")
+
+  /** Order-INSENSITIVE aggregates: DuckDB accepts `ORDER BY` inside them
+    * as a documented no-op (probed: `sum(k ORDER BY x)` works) — the
+    * modifier is STRIPPED, which is faithful, not silent corruption. */
+  private val orderNoopAggFns = Set("sum", "avg", "mean", "count", "min",
+    "max", "product", "median", "mode", "stddev", "stddev_pop",
+    "stddev_samp", "var_pop", "var_samp", "variance", "entropy", "kurtosis",
+    "kurtosis_pop", "skewness", "sem", "geomean", "geometric_mean", "fsum",
+    "favg", "kahan_sum", "bit_and", "bit_or", "bit_xor", "bool_and",
+    "bool_or", "corr", "covar_pop", "covar_samp", "quantile_cont",
+    "quantile_disc", "approx_count_distinct", "approx_quantile",
+    "reservoir_quantile", "arg_max", "arg_min", "max_by", "min_by",
+    "weighted_avg", "wavg", "histogram", "histogram_exact", "bitstring_agg")
+
+  /** Ordered-aggregate modifiers (probed v1.0: legal inside ANY
+    * aggregate): `first(x ORDER BY k)` / `last` / `any_value` lower to
+    * min_by/max_by (the k-extreme row's value — multi-key via struct);
+    * `array_agg` / `list` sort-by-key via
+    * `transform(array_sort(array_agg(named_struct(keys..., v))), s->s.v)`
+    * (+ reverse for DESC); `string_agg` / `group_concat` / `listagg`
+    * ride Spark's native `listagg(x, sep) WITHIN GROUP (ORDER BY ...)`.
+    * An ORDER BY inside any OTHER function's parens rejects loudly —
+    * silently dropping it would corrupt order-sensitive results.
+    * Window `OVER (ORDER BY ...)`, `WITHIN GROUP (...)` and subquery
+    * parens are skipped by construction. */
+  private def rewriteOrderedAgg(stmt0: String): String = {
+    var stmt = stmt0
+    var guard = 0
+    while (guard < 32) {
+      guard += 1
+      val masked = maskQuoted(stmt)
+      var replaced: Option[String] = None
+      val it = "(?i)\\bORDER\\s+BY\\b".r.findAllMatchIn(masked).iterator
+      while (replaced.isEmpty && it.hasNext) {
+        val ob = it.next()
+        // innermost enclosing '(' of this ORDER BY
+        var depth = 0; var j = ob.start - 1; var open = -1
+        while (j >= 0 && open < 0) {
+          masked.charAt(j) match {
+            case ')' => depth += 1
+            case '(' => if (depth == 0) open = j else depth -= 1
+            case _ => ()
+          }
+          j -= 1
+        }
+        if (open >= 0) {
+          var k = open - 1
+          while (k >= 0 && masked.charAt(k).isWhitespace) k -= 1
+          val nameEnd = k
+          while (k >= 0 && (masked.charAt(k).isLetterOrDigit ||
+            masked.charAt(k) == '_')) k -= 1
+          val fn = if (nameEnd > k)
+            masked.substring(k + 1, nameEnd + 1).toLowerCase else ""
+          val close = matchingParen(masked, open)
+          val isSubquery = "(?is)^\\s*(?:SELECT|WITH|FROM|VALUES|TABLE)\\b".r
+            .findFirstIn(masked.substring(open + 1)).isDefined
+          // skipped paren owners: OVER (window spec), WITHIN GROUP,
+          // FILTER, and `WINDOW w AS (ORDER BY ...)` named-window specs
+          if (close > 0 && fn.nonEmpty && !isSubquery &&
+              !Set("over", "group", "filter", "as")(fn)) {
+            if (orderedAggFns(fn))
+              replaced = Some(lowerOrderedAgg(
+                stmt, masked, fn, k + 1, open, ob.start, ob.end, close))
+            else if (orderNoopAggFns(fn))
+              // order-insensitive: the modifier is a documented no-op —
+              // strip it (keep the argument list)
+              replaced = Some(stmt.substring(0, ob.start).trim
+                .stripSuffix(",") + stmt.substring(close))
+            else
+              throw new UserException(
+                s"ORDER BY inside $fn(...): the ordered-aggregate " +
+                  "lowering maps first/last/any_value/arbitrary/" +
+                  "array_agg/list/string_agg/group_concat/listagg and " +
+                  "strips the no-op modifier from order-insensitive " +
+                  "aggregates (dropping it for an unknown function " +
+                  "could corrupt order-sensitive results)")
+          }
+        }
+      }
+      replaced match {
+        case Some(s2) => stmt = s2
+        case None => return stmt
+      }
+    }
+    stmt
+  }
+
+  private def lowerOrderedAgg(stmt: String, masked: String, fn: String,
+                              fnStart: Int, open: Int, obStart: Int,
+                              obEnd: Int, close: Int): String = {
+    def splitSeg(a: Int, b: Int): Seq[String] = {
+      val txt = stmt.substring(a, b)
+      val dp = depths(masked.substring(a, b))
+      val cuts = masked.substring(a, b).zipWithIndex.collect {
+        case (',', j) if dp(j) == 0 => j }
+      (Seq(-1) ++ cuts :+ txt.length).sliding(2).map {
+        case Seq(x, y) => txt.substring(x + 1, y).trim
+        case _ => ""
+      }.filter(_.nonEmpty).toSeq
+    }
+    val args = splitSeg(open + 1, obStart)
+    val orderTxt = stmt.substring(obEnd, close).trim
+    val keySpecs = splitSeg(obEnd, close).map { piece =>
+      val m = "(?is)^(.*?)(?:\\s+(ASC|DESC))?(\\s+NULLS\\s+(?:FIRST|LAST))?$".r
+        .findFirstMatchIn(piece).get
+      if (m.group(3) != null) throw new UserException(
+        s"ordered aggregate $fn: NULLS FIRST/LAST is not supported " +
+          "(min_by/max_by/array_sort skip or natural-order NULL keys)")
+      (m.group(1).trim, Option(m.group(2)).exists(_.equalsIgnoreCase("desc")))
+    }
+    val descs = keySpecs.map(_._2).distinct
+    if (descs.length > 1) throw new UserException(
+      s"ordered aggregate $fn: mixed ASC/DESC keys are not supported")
+    val desc = descs.headOption.getOrElse(false)
+    val keys = keySpecs.map(_._1)
+    val out = fn match {
+      case "first" | "any_value" | "arbitrary" | "last" =>
+        if (args.length != 1) throw new UserException(
+          s"ordered aggregate $fn takes one argument, got ${args.length}")
+        val key = if (keys.length == 1) keys.head
+                  else s"struct(${keys.mkString(", ")})"
+        val pickMax = (fn == "last") != desc // last+ASC or first+DESC → max
+        s"${if (pickMax) "max_by" else "min_by"}(${args.head}, $key)"
+      case "array_agg" | "list" =>
+        if (args.length != 1) throw new UserException(
+          s"ordered aggregate $fn takes one argument, got ${args.length}")
+        val fields = keys.zipWithIndex
+          .map { case (kx, i) => s"'__k$i', $kx" } :+ s"'__v', ${args.head}"
+        val sorted =
+          s"array_sort(array_agg(named_struct(${fields.mkString(", ")})))"
+        val dir = if (desc) s"reverse($sorted)" else sorted
+        s"transform($dir, __oa -> __oa.__v)"
+      case _ => // string_agg / group_concat / listagg
+        if (args.isEmpty || args.length > 2) throw new UserException(
+          s"ordered aggregate $fn takes (value[, separator]), got ${args.length}")
+        val sep = if (args.length == 2) args(1) else "','"
+        s"listagg(${args.head}, $sep) WITHIN GROUP (ORDER BY $orderTxt)"
+    }
+    stmt.substring(0, fnStart) + out + stmt.substring(close + 1)
+  }
+
   /** Rewrite one DuckDB statement into Spark SQL. Textual rewrites
     * (`::VARCHAR`, `* EXCLUDE (`) apply only OUTSIDE quoted regions. */
   def rewrite(stmt0: String): String = {
-    val stmt = rewriteQualify(rewriteDistinctOn(rewriteWithCreate(
+    val stmt = rewriteNoData(rewriteTupleSet(rewriteOrderedAgg(rewriteQualify(rewriteDistinctOn(rewriteWithCreate(
       Pivot.rewriteUnpivot(UnnestSql.rewrite(rewriteUsingSample(
         rewriteSeriesTableFns(rewriteFill(rewriteMatchOps(
           StarReplaceSql.rewriteBareExclude(StarReplaceSql.rewriteLike(
           rewriteIntDiv(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
           FileReads.rewriteTableFunctions(
-            rewritePragma(Macros.rewrite(stmt0))))))))))))))))))
+            rewritePragma(Macros.rewrite(stmt0)))))))))))))))))))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position
@@ -1183,7 +1388,7 @@ object Dialect {
       sb.toString
     }
     var s = stmt
-    s = sub(s, "(?is)^(\\s*INSERT\\s+INTO\\s+`?[^`\\s(]+`?\\s+)BY\\s+NAME\\b".r)(
+    s = sub(s, "(?is)^(\\s*INSERT\\s+INTO\\s+`?[^`\\s(]+`?\\s+)BY\\s+(?:NAME|POSITION)\\b".r)(
       (src, m) => src.substring(m.start(1), m.end(1)))
     s = sub(s, "(?is)\\bAS\\s+FROM\\b".r)((_, _) => "AS SELECT * FROM")
     s = sub(s, "(?is)^(\\s*INSERT\\s+INTO\\s+`?[^`\\s(]+`?\\s+)FROM\\b".r)(

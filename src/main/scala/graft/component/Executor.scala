@@ -778,9 +778,12 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     // DuckDB `INSERT INTO t BY NAME SELECT ...`: the source's own
     // column NAMES align against the target (missing → NULL), instead
     // of the default positional mapping
-    val byName = "(?is)^BY\\s+NAME\\b".r.findFirstMatchIn(rest1).isDefined
+    // `BY POSITION` spells out the DEFAULT positional mapping (probed
+    // v1.0) — strip it; `BY NAME` switches to name alignment
+    val rest2 = "(?is)^BY\\s+POSITION\\s*".r.replaceFirstIn(rest1, "")
+    val byName = "(?is)^BY\\s+NAME\\b".r.findFirstMatchIn(rest2).isDefined
     val rest = if (byName)
-      "(?is)^BY\\s+NAME\\s*".r.replaceFirstIn(rest1, "") else rest1
+      "(?is)^BY\\s+NAME\\s*".r.replaceFirstIn(rest2, "") else rest2
     val (colList, body) =
       if (rest.startsWith("(")) {
         val close = matchingParen(rest, 0)

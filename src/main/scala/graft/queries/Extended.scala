@@ -427,6 +427,16 @@ object Extended {
       s.sql(graft.component.ColumnsSql.expand(body, b => s.sql(b)).get)
     }),
 
+    // ordered aggregates (IDENTICAL text both engines, probed v1.0):
+    // first/last pick the key-extreme row (min_by/max_by lowering),
+    // string_agg rides listagg WITHIN GROUP, array_agg sorts by the key
+    // via the struct transform — all through Dialect.rewriteOrderedAgg.
+    "q85_ordered_agg" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q85))
+    }),
+
     // PREPARE / EXECUTE (IDENTICAL multi-statement text both engines,
     // probed v1.0): a named-parameter template INSERT..RETURNING — the
     // EXECUTE's substituted rows ARE the ledger row (the q78 last-
@@ -910,6 +920,17 @@ object Extended {
         |  WHERE doc_id % $m = 0 AND n_chars > $lo
         |  RETURNING doc_id AS doc_id, n_chars AS n_chars;
         |EXECUTE q84p(m := 7, lo := 300)""".stripMargin
+
+    /** Shared DuckDB/Spark text — q85 runs this verbatim in both engines
+      * (ordered-aggregate modifiers, probed v1.0; doc_id unique ⇒
+      * deterministic picks and list order). */
+    val q85: String =
+      """SELECT source,
+        |       first(lang ORDER BY doc_id) AS first_lang,
+        |       last(lang ORDER BY doc_id) AS last_lang,
+        |       string_agg(lang, '|' ORDER BY doc_id DESC) AS langs_desc,
+        |       array_agg(CAST(n_chars AS BIGINT) ORDER BY doc_id) AS chars_asc
+        |FROM documents WHERE doc_id % 29 = 0 GROUP BY source ORDER BY source""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -918,6 +939,7 @@ object Extended {
     "q82_columns_forms" -> Oracle.q82,
     "q83_columns_where" -> Oracle.q83,
     "q84_prepare_execute" -> Oracle.q84,
+    "q85_ordered_agg" -> Oracle.q85,
     "q61_unnest" -> Oracle.q61,
     "q62_positional" -> Oracle.q62,
     "q63_dotcall" -> Oracle.q63,

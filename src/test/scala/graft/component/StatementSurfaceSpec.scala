@@ -1559,6 +1559,61 @@ class StatementSurfaceSpec extends SparkSpec {
       Actions.syntaxCheck(spark, cfg))
   }
 
+  test("ordered aggregates, tuple SET, BY POSITION, WITH NO DATA (probed v1.0)") {
+    val dir = Files.createTempDirectory("graft_oagg_")
+    DuckFunctions.register(spark)
+    val ex = new Executor(spark, dir.toString)
+    def run(sql: String) = ex.runStatement(Dialect.rewrite(sql))
+    def one(sql: String): Any =
+      spark.sql(Dialect.rewrite(sql)).collect().head.get(0)
+    Seq(("b", 2), ("a", 1), ("c", 3)).toDF("x", "k")
+      .createOrReplaceTempView("oa_t")
+    // first/last/arbitrary pick the key-extreme row's value
+    assert(one("SELECT first(x ORDER BY k) FROM oa_t") == "a")
+    assert(one("SELECT first(x ORDER BY k DESC) FROM oa_t") == "c")
+    assert(one("SELECT last(x ORDER BY k) FROM oa_t") == "c")
+    assert(one("SELECT arbitrary(x ORDER BY k) FROM oa_t") == "a")
+    // multi-key pick via struct ordering
+    assert(one("SELECT first(x ORDER BY k % 2, k) FROM oa_t") == "b")
+    // list collectors sort by the key, DESC reverses
+    assert(one("SELECT array_agg(x ORDER BY k DESC) FROM oa_t")
+      .asInstanceOf[scala.collection.Seq[Any]] == Seq("c", "b", "a"))
+    assert(one("SELECT list(x ORDER BY k) FROM oa_t")
+      .asInstanceOf[scala.collection.Seq[Any]] == Seq("a", "b", "c"))
+    // string joiners ride listagg WITHIN GROUP (default sep ',')
+    assert(one("SELECT string_agg(x ORDER BY k DESC) FROM oa_t") == "c,b,a")
+    assert(one("SELECT string_agg(x, '|' ORDER BY k) FROM oa_t") == "a|b|c")
+    // order-insensitive aggregates: the modifier is a documented no-op
+    assert(one("SELECT sum(k ORDER BY x) FROM oa_t").toString == "6")
+    // unknown function + ORDER BY is loud, never silently dropped
+    assert(intercept[UserException] {
+      Dialect.rewrite("SELECT my_udaf(x ORDER BY k) FROM oa_t")
+    }.getMessage.contains("ordered-aggregate"))
+    // windows / WITHIN GROUP / subqueries are untouched by the scan
+    assert(one("SELECT max(cnt) FROM (SELECT count(*) OVER " +
+      "(ORDER BY k) AS cnt FROM oa_t) q").toString == "3")
+    assert(one("SELECT (SELECT x FROM oa_t ORDER BY k LIMIT 1)") == "a")
+    // tuple SET lowers to the plain assignment list
+    run("CREATE TABLE ts_t AS SELECT 1 AS a, 2 AS b FROM range(1)")
+    run("UPDATE ts_t SET (a, b) = (b, a) WHERE a = 1") // simultaneous swap
+    val ts = spark.table("ts_t").collect().head
+    assert(ts.getInt(0) == 2 && ts.getInt(1) == 1, ts)
+    assert(intercept[UserException] {
+      Dialect.rewrite("UPDATE ts_t SET (a, b) = (SELECT 1, 2)")
+    }.getMessage.contains("row-subquery"))
+    assert(intercept[UserException] {
+      Dialect.rewrite("UPDATE ts_t SET (a, b) = (1, 2, 3)")
+    }.getMessage.contains("2 columns but 3"))
+    // INSERT BY POSITION spells out the default mapping
+    run("INSERT INTO ts_t BY POSITION SELECT 7, 8")
+    assert(spark.table("ts_t").count() == 2)
+    // WITH NO DATA: schema only, zero rows (wrapped, so a query-final
+    // ORDER BY survives)
+    run("CREATE TABLE nd_t AS SELECT a, b FROM ts_t ORDER BY a WITH NO DATA")
+    assert(spark.table("nd_t").columns.sameElements(Array("a", "b")) &&
+      spark.table("nd_t").count() == 0)
+  }
+
   test("SET VARIABLE / RESET VARIABLE / getvariable (DuckDB >= 1.1)") {
     val dir = Files.createTempDirectory("graft_var_")
     DuckFunctions.register(spark)
