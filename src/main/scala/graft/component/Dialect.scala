@@ -341,6 +341,21 @@ object Dialect {
     stmt.substring(0, fnStart) + out + stmt.substring(close + 1)
   }
 
+  /** A depth-0 trailing `LIMIT n% [OFFSET m]` (DuckDB percent limit,
+    * probed v1.0: row count = FLOOR(total · n/100), offset applies
+    * first) → (body without the clause, percent, offset). Executed by
+    * [[Executor.bodyDf]] as count-then-limit — the same two-pass price
+    * the reference engine pays to know the total. */
+  def parseLimitPercent(body: String): Option[(String, Double, Long)] = {
+    val masked = maskQuoted(body)
+    val dep = depths(masked)
+    ("(?is)\\bLIMIT\\s+([0-9]+(?:\\.[0-9]+)?)\\s*(?:%|PERCENT\\b)" +
+      "(?:\\s+OFFSET\\s+([0-9]+))?\\s*;?\\s*$").r
+      .findAllMatchIn(masked).find(m => dep(m.start) == 0)
+      .map(m => (body.substring(0, m.start), m.group(1).toDouble,
+        Option(m.group(2)).map(_.toLong).getOrElse(0L)))
+  }
+
   /** Rewrite one DuckDB statement into Spark SQL. Textual rewrites
     * (`::VARCHAR`, `* EXCLUDE (`) apply only OUTSIDE quoted regions. */
   def rewrite(stmt0: String): String = {
@@ -1398,6 +1413,10 @@ object Dialect {
     // scope), so the stub analyzes the plain CREATE with identical deps
     s = sub(s, "(?is)^(\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?)TEMP(?:ORARY)?\\s+(?=TABLE\\b)".r)(
       (src, m) => src.substring(m.start(1), m.end(1)))
+    // percent LIMIT parses nowhere in Spark; a LIMIT 1 stand-in keeps
+    // the dependency set
+    s = sub(s, "(?is)\\bLIMIT\\s+[0-9.]+\\s*(?:%|PERCENT\\b)(\\s+OFFSET\\s+[0-9]+)?".r)(
+      (_, _) => "LIMIT 1")
     // SET/RESET VARIABLE: executor state with no relation deps — an
     // inert SET parses everywhere (Spark's own SET VARIABLE needs a
     // DECLARE'd variable at analysis)

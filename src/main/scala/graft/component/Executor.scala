@@ -631,6 +631,16 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
         else StarReplaceSql.expandQualifiedLike(body, bodyDf).map(bodyDf)
       }
       .orElse {
+        // percent LIMIT (probed v1.0: FLOOR(total · n/100) rows after
+        // the offset) — one count job to learn the total, then the
+        // ordinary offset+limit over the same plan
+        Dialect.parseLimitPercent(body).map { case (inner, pct, off) =>
+          val df = bodyDf(inner)
+          val n = math.floor(df.count() * pct / 100.0).toInt
+          (if (off > 0) df.offset(off.toInt) else df).limit(n)
+        }
+      }
+      .orElse {
         if (!StarReplaceSql.has(body)) None
         else Some {
           // except-form computes the values; the strip-form's ANALYZED

@@ -437,6 +437,21 @@ object Extended {
       s.sql(graft.component.Dialect.rewrite(Oracle.q85))
     }),
 
+    // percent LIMIT (IDENTICAL SELECT text both engines, probed v1.0:
+    // FLOOR(total · n/100) rows after the offset) — the Spark leg runs
+    // it through the executor's bodyDf chain via a CTAS wrapper (the
+    // engine path: one count job, then offset+limit over the same plan).
+    "q86_limit_percent" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_q86_wh_").toString
+      val ex = new graft.component.Executor(s, wh)
+      ex.runStatement(graft.component.Dialect.rewrite(
+        s"CREATE OR REPLACE TABLE q86_t AS ${Oracle.q86}"))
+      s.table("q86_t")
+    }),
+
     // PREPARE / EXECUTE (IDENTICAL multi-statement text both engines,
     // probed v1.0): a named-parameter template INSERT..RETURNING — the
     // EXECUTE's substituted rows ARE the ledger row (the q78 last-
@@ -921,6 +936,12 @@ object Extended {
         |  RETURNING doc_id AS doc_id, n_chars AS n_chars;
         |EXECUTE q84p(m := 7, lo := 300)""".stripMargin
 
+    /** Shared DuckDB/Spark text — q86 runs this verbatim in both engines
+      * (percent LIMIT with OFFSET, probed v1.0 floor semantics). */
+    val q86: String =
+      """SELECT doc_id, n_chars FROM documents
+        |ORDER BY doc_id LIMIT 7% OFFSET 5""".stripMargin
+
     /** Shared DuckDB/Spark text — q85 runs this verbatim in both engines
       * (ordered-aggregate modifiers, probed v1.0; doc_id unique ⇒
       * deterministic picks and list order). */
@@ -940,6 +961,7 @@ object Extended {
     "q83_columns_where" -> Oracle.q83,
     "q84_prepare_execute" -> Oracle.q84,
     "q85_ordered_agg" -> Oracle.q85,
+    "q86_limit_percent" -> Oracle.q86,
     "q61_unnest" -> Oracle.q61,
     "q62_positional" -> Oracle.q62,
     "q63_dotcall" -> Oracle.q63,

@@ -1612,6 +1612,20 @@ class StatementSurfaceSpec extends SparkSpec {
     run("CREATE TABLE nd_t AS SELECT a, b FROM ts_t ORDER BY a WITH NO DATA")
     assert(spark.table("nd_t").columns.sameElements(Array("a", "b")) &&
       spark.table("nd_t").count() == 0)
+    // percent LIMIT: FLOOR(total * n/100) rows AFTER the offset (probed
+    // v1.0: 10 rows LIMIT 25% -> 2; 15% OFFSET 2 -> row 2 only)
+    run("CREATE TABLE lp_t AS SELECT range AS a FROM range(10)")
+    run("CREATE TABLE lp1 AS SELECT a FROM lp_t ORDER BY a LIMIT 25%")
+    assert(spark.table("lp1").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 1L))
+    run("CREATE TABLE lp2 AS SELECT a FROM lp_t ORDER BY a LIMIT 33 PERCENT")
+    assert(spark.table("lp2").count() == 3)
+    run("CREATE TABLE lp3 AS SELECT a FROM lp_t ORDER BY a LIMIT 15% OFFSET 2")
+    assert(spark.table("lp3").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // statics: the stand-in keeps the dependency set
+    val alp = SqlAnalyzer.analyzeStatement(spark, Dialect.rewrite(
+      "CREATE TABLE o3 AS SELECT x FROM src ORDER BY x LIMIT 30%"))
+    assert(alp.outputs == Set("o3") && alp.dependencies == Set("src"), alp)
   }
 
   test("SET VARIABLE / RESET VARIABLE / getvariable (DuckDB >= 1.1)") {
