@@ -40,19 +40,24 @@ object Dialect {
       "single workspace catalog; declare external tables in the input " +
       "mapping, or read files directly (read_parquet/read_csv/FROM 'path')"),
     "DETACH" -> "DETACH is not supported (no ATTACH to undo)",
-    "CREATE_TYPE" -> ("CREATE TYPE is not supported: ENUM/alias types " +
-      "have no Spark SQL object; use VARCHAR values (a CHECK-style " +
-      "validation can be a WHERE + loud count assertion)"),
+    "CREATE_TYPE" -> ("this CREATE TYPE form is not supported: alias " +
+      "types execute (the name substitutes to its base), but ENUM bases " +
+      "compare and sort by definition index and UNION values are " +
+      "tagged — neither has an exact Spark twin; use VARCHAR values " +
+      "(a CHECK-style validation can be a WHERE + loud count assertion)"),
     "ALTER_SEQUENCE" -> ("ALTER SEQUENCE is not supported: re-create the " +
       "sequence (CREATE OR REPLACE SEQUENCE) with the new parameters"),
-    "FRAME_GROUPS" -> ("window frame GROUPS mode is not supported (no " +
-      "Spark equivalent; DuckDB 1.0 also rejects it): use ROWS for " +
-      "physical offsets or RANGE for value offsets"),
-    "FRAME_EXCLUDE" -> ("window frame EXCLUDE CURRENT ROW / GROUP / TIES " +
-      "is not supported (Spark frames have no exclusion): subtract the " +
-      "excluded rows explicitly, e.g. sum(x) OVER (...) - x for " +
-      "EXCLUDE CURRENT ROW (EXCLUDE NO OTHERS, the default, is accepted " +
-      "and stripped)"))
+    "FRAME_GROUPS" -> ("this window frame GROUPS form is not rewritable: " +
+      "GROUPS executes via a dense_rank re-ordering (any function; " +
+      "offset bounds need a plain SELECT block without GROUP BY / " +
+      "HAVING / DISTINCT / WINDOW and an ORDER BY in the window) — " +
+      "restructure to that shape, or use ROWS/RANGE directly"),
+    "FRAME_EXCLUDE" -> ("this window frame EXCLUDE form is not " +
+      "rewritable: EXCLUDE CURRENT ROW / GROUP / TIES executes for " +
+      "sum / count / avg via windowed subtraction (GROUP and TIES need " +
+      "a RANGE frame spanning the current row's peers; offsets must be " +
+      "literals) — for other functions subtract the excluded rows " +
+      "explicitly (EXCLUDE NO OTHERS, the default, is always stripped)"))
 
   def rejectSentinel(kind: String): String = s"SET __graft_rejected_$kind = true"
 
@@ -1291,15 +1296,24 @@ object Dialect {
       return rejectSentinel("ATTACH")
     if ("(?is)^\\s*DETACH\\b".r.findFirstIn(stmt).isDefined)
       return rejectSentinel("DETACH")
-    if ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TYPE\\b".r.findFirstIn(stmt).isDefined)
+    if ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TYPE\\b".r.findFirstIn(stmt).isDefined) {
+      // alias types EXECUTE (TypeSql substitution); ENUM/UNION bases
+      // keep the loud reject — enum columns compare/sort by DEFINITION
+      // INDEX (probed v1.0) and union values are tagged, neither of
+      // which a textual substitution can reproduce exactly
+      val executable = TypeSql.baseOf(stmt).exists(b =>
+        "(?is)^(ENUM|UNION)\\b".r.findFirstIn(b.trim).isEmpty)
+      if (executable) return stmt
       return rejectSentinel("CREATE_TYPE")
+    }
     if ("(?is)^\\s*ALTER\\s+SEQUENCE\\b".r.findFirstIn(stmt).isDefined)
       return rejectSentinel("ALTER_SEQUENCE")
     // window-frame triage (probed v1.0: GROUPS mode is a parse error
     // even there; EXCLUDE works in DuckDB but Spark frames have no
     // exclusion). EXCLUDE NO OTHERS restates the default — strip it;
-    // the other EXCLUDE forms and GROUPS mode reject loudly rather than
-    // dying as an opaque Spark parse error. Scoped to statements that
+    // the other EXCLUDE forms and GROUPS mode EXECUTE via [[FrameSql]]'s
+    // frame re-expression where provably exact, and reject loudly (never
+    // an opaque Spark parse error) where not. Scoped to statements that
     // actually carry a window (OVER () — masked scan, so literals with
     // these words never trigger.
     locally {
@@ -1319,10 +1333,12 @@ object Dialect {
             overSpans.exists { case (s, e) => m.start >= s && m.end <= e })
         if (inOver("(?i)\\bGROUPS\\s+(BETWEEN\\b|UNBOUNDED\\b|CURRENT\\s+ROW|\\d)".r)
             .isDefined)
-          return rejectSentinel("FRAME_GROUPS")
+          return FrameSql.rewriteGroups(stmt).map(rewritePragma)
+            .getOrElse(rejectSentinel("FRAME_GROUPS"))
         if (inOver("(?i)\\bEXCLUDE\\s+(CURRENT\\s+ROW|GROUP\\b|TIES\\b)".r)
             .isDefined)
-          return rejectSentinel("FRAME_EXCLUDE")
+          return FrameSql.rewriteExclude(stmt).map(rewritePragma)
+            .getOrElse(rejectSentinel("FRAME_EXCLUDE"))
         val hit = inOver("(?i)\\bEXCLUDE\\s+NO\\s+OTHERS".r)
         if (hit.isDefined)
           return rewritePragma(

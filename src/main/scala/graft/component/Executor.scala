@@ -191,8 +191,11 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     Dialect.rejectedKind(stmtFull).foreach(k =>
       throw new UserException(Dialect.RejectMessages(k)))
     // RETURNING splits off before dispatch (Spark's parser has no such
-    // clause); each DML branch below records its affected-row delta
-    val (stmt, returning) = ReturningSql.split(stmtFull)
+    // clause); each DML branch below records its affected-row delta.
+    // User-type aliases substitute to their base text first — after this
+    // line the statement is exactly what the user could have written
+    // inline ([[TypeSql]])
+    val (stmt, returning) = ReturningSql.split(TypeSql.substitute(stmtFull))
     FileReads.ensureRegistered(spark, stmt) // read_csv/read_parquet views
     var delta: Option[DataFrame] = None
     stmt match {
@@ -427,6 +430,16 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     case _ if SequenceSql.parseDrop(stmt).isDefined =>
       val d = SequenceSql.parseDrop(stmt).get
       SequenceSql.drop(d.name, d.ifExists)
+
+    // CREATE TYPE / DROP TYPE — user-type aliases ([[TypeSql]]; probed
+    // v1.0: duplicates error, nested aliases resolve at creation, DROP
+    // of a missing name errors unless IF EXISTS)
+    case _ if TypeSql.parseCreate(stmt).isDefined =>
+      TypeSql.create(TypeSql.parseCreate(stmt).get)
+
+    case _ if TypeSql.parseDrop(stmt).isDefined =>
+      val (tn, ife) = TypeSql.parseDrop(stmt).get
+      TypeSql.drop(tn, ife)
 
     // SET VARIABLE / RESET VARIABLE (DuckDB ≥ 1.1 — [[VariableSql]];
     // getvariable resolves through the function registry)

@@ -35,18 +35,26 @@ object SqlAnalyzer {
       // spelling; their session-free stubs parse with the same dependency
       // sets
       val plan = spark.sessionState.sqlParser.parsePlan(
-        PositionalSql.stub(AsOfSql.stub(Pivot.staticStub(CopyFrom.stub(
+        TypeSql.stub(PositionalSql.stub(AsOfSql.stub(Pivot.staticStub(CopyFrom.stub(
           CopyTo.stub(UnionByNameSql.stub(DescribeSql.stub(SequenceSql.stub(
             ExportDb.stub(UpsertSql.stub(MergeSql.stub(UpdateFromSql.stub(IndexSql.stub(
-              PrepareSql.stub(ReturningSql.stub(Dialect.analysisStub(rewritten)))))))))))))))))
-      val a = fromPlan(plan)
-      // nextval('s')/currval('s') reference the sequence through a string
-      // literal the relation walk can't see — inject it as a dependency so
-      // the DAG orders value users after the CREATE SEQUENCE producer
-      val seqDeps = SequenceSql.valueDeps(rewritten) -- a.outputs
-      if (seqDeps.isEmpty) a
-      else a.copy(dependencies = a.dependencies ++ seqDeps)
-    }.getOrElse(Analysis(Set.empty, Set.empty, OtherStmt))
+              PrepareSql.stub(ReturningSql.stub(Dialect.analysisStub(rewritten))))))))))))))))))
+      fromPlan(plan)
+    }.getOrElse(Analysis(Set.empty, Set.empty, OtherStmt)) match {
+      case a =>
+        // nextval('s')/currval('s') reference the sequence through a
+        // string literal the relation walk can't see — inject it as a
+        // dependency so the DAG orders value users after the CREATE
+        // SEQUENCE producer; user-type names in CAST position likewise
+        // order after CREATE TYPE. Injected OUTSIDE the parse Try: a
+        // cast to a not-yet-registered user type is a Spark PARSE error
+        // (analysis degrades to empty sets) but still needs its ordering
+        // edge — that is exactly the statement that must wait
+        val extra = (SequenceSql.valueDeps(rewritten) ++
+          TypeSql.typeDeps(rewritten)) -- a.outputs
+        if (extra.isEmpty) a
+        else a.copy(dependencies = a.dependencies ++ extra)
+    }
 
   /** Analyze a full (multi-statement) script: union of per-statement sets;
     * script type = CREATE/INSERT if any statement is. */

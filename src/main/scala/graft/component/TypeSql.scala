@@ -1,0 +1,214 @@
+package graft.component
+
+import scala.collection.concurrent.TrieMap
+
+/** `CREATE TYPE name AS <base>` / `DROP TYPE [IF EXISTS] name` — DuckDB
+  * user-defined type ALIASES, executed by textual substitution in type
+  * positions.
+  *
+  * Scope (the exactly-expressible subset): alias types over any base the
+  * engine's statement pipeline already accepts — the alias substitutes to
+  * its base text and then behaves EXACTLY as if the user had written the
+  * base inline (same parse, same lowering, same loud failure modes).
+  * ENUM bases keep the loud reject: DuckDB enums compare and sort by
+  * DEFINITION INDEX (probed v1.0: a 'sad'<'ok'<'happy' enum column
+  * ORDER BY returns definition order, min/max pick by index), which a
+  * VARCHAR emulation would silently change to lexical. UNION bases
+  * likewise (tagged values have no Spark twin). Both gates live in
+  * [[Dialect.rewritePragma]].
+  *
+  * Probed v1.0 rules (all pinned in TypeSqlSpec):
+  *  - duplicate CREATE TYPE errors ("already exists");
+  *  - nested aliases resolve AT CREATION (CREATE TYPE b AS a; DROP TYPE
+  *    a — b keeps working as a's base);
+  *  - DROP TYPE of a missing name errors, IF EXISTS is silent;
+  *  - names are case-insensitive.
+  * `OR REPLACE` / `IF NOT EXISTS` modifiers are v1.0 parse errors but
+  * 1.4-era spellings; they take their natural semantics here
+  * (spec-pinned — the upsert-RETURNING precedent).
+  *
+  * The store is process-global like the sequence catalog — statements
+  * in one code run in order, so a CREATE TYPE is visible to every later
+  * statement; the DAG orders creators before users through
+  * [[typeDeps]]/[[stub]] (the nextval dependency-injection pattern).
+  */
+object TypeSql {
+
+  final case class Create(name: String, base: String, orReplace: Boolean,
+      ifNotExists: Boolean)
+
+  private val store = TrieMap[String, String]() // lower name -> base text
+
+  private val createRe =
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TYPE\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_]\\w*|\"[^\"]+\")\\s+AS\\s+" +
+      "(.+?);?\\s*$").r
+  private val dropRe =
+    "(?is)^\\s*DROP\\s+TYPE\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_]\\w*|\"[^\"]+\")\\s*;?\\s*$".r
+
+  private def norm(name: String): String =
+    name.stripPrefix("\"").stripSuffix("\"").toLowerCase
+
+  def parseCreate(stmt: String): Option[Create] =
+    createRe.findFirstMatchIn(stmt).map(m =>
+      Create(m.group(3), m.group(4).trim,
+        orReplace = m.group(1) != null, ifNotExists = m.group(2) != null))
+
+  def parseDrop(stmt: String): Option[(String, Boolean)] =
+    dropRe.findFirstMatchIn(stmt).map(m => (m.group(2), m.group(1) != null))
+
+  /** Base text an ENUM/UNION gate can inspect (pre-registration). */
+  def baseOf(stmt: String): Option[String] = parseCreate(stmt).map(_.base)
+
+  def create(c: Create): Unit = {
+    val key = norm(c.name)
+    if (store.contains(key) && !c.orReplace) {
+      if (c.ifNotExists) return
+      throw new UserException(
+        s"""Type with name "${norm(c.name)}" already exists""")
+    }
+    // nested aliases resolve at creation (probed v1.0): DROP of the
+    // inner alias later must not break this one. Whole-base aliases
+    // resolve exactly; alias names INSIDE a composite spelling stay
+    // textual (a STRUCT field could legally share an alias's name)
+    val base = c.base.trim
+    store.put(key, store.getOrElse(base.toLowerCase, base))
+  }
+
+  def drop(name: String, ifExists: Boolean): Unit = {
+    val had = store.remove(norm(name)).isDefined
+    if (!had && !ifExists)
+      throw new UserException(
+        s"Type with name ${norm(name)} does not exist")
+  }
+
+  def reset(): Unit = store.clear()
+
+  /** Replace registered alias names in PROVABLE type positions:
+    * `::name`, the type slot of `CAST(... AS name)` / `TRY_CAST`, and
+    * column-definition types inside a plain CREATE TABLE (cols) list.
+    * Positions are matched on masked text so literals never rewrite. */
+  def substitute(stmt0: String): String = {
+    if (store.isEmpty) return stmt0
+    var stmt = stmt0
+    var guard = 0
+    var changed = true
+    while (changed && guard < 8) {
+      guard += 1
+      changed = false
+      val masked = Dialect.maskQuoted(stmt)
+      val edits = scala.collection.mutable.ListBuffer[(Int, Int, String)]()
+      val nameAlt = store.keys.map(java.util.regex.Pattern.quote).mkString("|")
+      // 1) :: cast spelling
+      s"(?i)::\\s*($nameAlt)\\b".r.findAllMatchIn(masked).foreach { m =>
+        val off = m.end - m.group(1).length
+        edits += ((off, m.end, store(m.group(1).toLowerCase)))
+      }
+      // 2) CAST / TRY_CAST type slot: last top-depth AS before the close
+      "(?i)\\b(?:TRY_)?CAST\\s*\\(".r.findAllMatchIn(masked).foreach { m =>
+        val open = m.end - 1
+        val close = Dialect.matchingParen(masked, open)
+        if (close > 0) {
+          val inner = masked.substring(open + 1, close)
+          val dep = Dialect.depths(inner)
+          "(?i)\\bAS\\b".r.findAllMatchIn(inner).toList.reverse
+            .find(a => dep(a.start) == 0).foreach { a =>
+              val slot = inner.substring(a.end)
+              s"(?i)^\\s*($nameAlt)\\s*$$".r.findFirstMatchIn(slot)
+                .foreach { t =>
+                  val s0 = open + 1 + a.end + t.start(1)
+                  edits += ((s0, s0 + t.group(1).length,
+                    store(t.group(1).toLowerCase)))
+                }
+            }
+        }
+      }
+      // 3) CREATE TABLE (col type, ...) column definitions — the plain
+      // (non-AS-SELECT) form only
+      "(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?(?:[A-Za-z_]\\w*|\"[^\"]+\"|`[^`]+`)\\s*\\(".r
+        .findFirstMatchIn(masked).foreach { m =>
+          val open = m.end - 1
+          val close = Dialect.matchingParen(masked, open)
+          val isCtas = close > 0 &&
+            "(?is)^\\s*AS\\s*\\(?\\s*SELECT\\b".r
+              .findFirstIn(masked.substring(close + 1)).isDefined
+          if (close > 0 && !isCtas) {
+            val inner = stmt.substring(open + 1, close)
+            val innerMasked = masked.substring(open + 1, close)
+            val dep = Dialect.depths(innerMasked)
+            // top-depth comma-separated column defs; the TYPE token is
+            // the second token of a `name type ...` segment (constraint
+            // rows start with keywords that are never registered names)
+            val cuts = 0 +: innerMasked.indices
+              .filter(i => innerMasked(i) == ',' && dep(i) == 0)
+              .map(_ + 1) :+ (inner.length + 1)
+            cuts.sliding(2).foreach { case Seq(s, e) =>
+              val seg = inner.substring(s, math.min(e - 1, inner.length))
+              s"(?i)^(\\s*(?:\"[^\"]+\"|`[^`]+`|\\w+)\\s+)($nameAlt)\\b".r
+                .findFirstMatchIn(seg).foreach { t =>
+                  val s0 = open + 1 + s + t.start(2)
+                  edits += ((s0, s0 + t.group(2).length,
+                    store(t.group(2).toLowerCase)))
+                }
+            }
+          }
+        }
+      if (edits.nonEmpty) {
+        changed = true
+        edits.sortBy(-_._1).foreach { case (s, e, r) =>
+          stmt = stmt.substring(0, s) + r + stmt.substring(e)
+        }
+      }
+    }
+    stmt
+  }
+
+  /** Parseable stand-ins for the DAG walk (the sequence-stub pattern):
+    * CREATE TYPE produces the type name as a node, DROP consumes it. */
+  def stub(stmt: String): String =
+    parseCreate(stmt).map(c =>
+      s"CREATE TABLE `${Names.view(norm(c.name))}` AS SELECT 1 AS __type")
+      .orElse(parseDrop(stmt).map(d =>
+        s"SELECT 1 AS __type FROM `${Names.view(norm(d._1))}`"))
+      .getOrElse(stmt)
+
+  /** Words that are real type spellings — never type-alias candidates. */
+  private val builtinTypes: Set[String] = Set(
+    "int", "integer", "bigint", "smallint", "tinyint", "hugeint",
+    "int1", "int2", "int4", "int8", "int16", "int32", "int64", "signed",
+    "utinyint", "usmallint", "uinteger", "ubigint", "uhugeint",
+    "long", "short", "byte", "string", "varchar", "text", "char",
+    "character", "bpchar", "double", "float", "real", "float4", "float8",
+    "decimal", "numeric", "dec", "boolean", "bool", "logical", "date",
+    "timestamp", "timestamptz", "timestamp_s", "timestamp_ms",
+    "timestamp_ns", "datetime", "time", "timetz", "interval", "binary",
+    "blob", "bytea", "varbinary", "bit", "bitstring", "uuid", "json",
+    "array", "list", "map", "struct", "union", "enum", "row", "void",
+    "null", "precision", "varying")
+
+  /** Candidate user-type names a statement references in type position —
+    * injected as DAG dependencies so CREATE TYPE runs first (the
+    * nextval/valueDeps pattern; names that are builtin types or never
+    * created in-script simply don't resolve to a producer). */
+  def typeDeps(stmt: String): Set[String] = {
+    val masked = Dialect.maskQuoted(stmt)
+    val out = scala.collection.mutable.Set[String]()
+    "(?i)::\\s*([A-Za-z_]\\w*)\\b".r.findAllMatchIn(masked)
+      .foreach(m => out += m.group(1).toLowerCase)
+    "(?i)\\b(?:TRY_)?CAST\\s*\\(".r.findAllMatchIn(masked).foreach { m =>
+      val open = m.end - 1
+      val close = Dialect.matchingParen(masked, open)
+      if (close > 0) {
+        val inner = masked.substring(open + 1, close)
+        val dep = Dialect.depths(inner)
+        "(?i)\\bAS\\b".r.findAllMatchIn(inner).toList.reverse
+          .find(a => dep(a.start) == 0).foreach { a =>
+            "(?i)^\\s*([A-Za-z_]\\w*)\\s*$".r
+              .findFirstMatchIn(inner.substring(a.end))
+              .foreach(t => out += t.group(1).toLowerCase)
+          }
+      }
+    }
+    (out.toSet -- builtinTypes).map(n => Names.view(n).toLowerCase)
+  }
+}

@@ -437,6 +437,50 @@ object Extended {
       s.sql(graft.component.Dialect.rewrite(Oracle.q85))
     }),
 
+    // window-frame EXCLUDE (IDENTICAL text both engines, probed v1.0):
+    // EXCLUDE GROUP / TIES / CURRENT ROW execute via FrameSql's windowed
+    // subtraction (full-frame aggregate minus the excluded rows, with
+    // the NULL-on-empty count guard) — DuckDB runs the exclusion
+    // natively, so this row checks the re-expression's VALUES, not a
+    // formula twin. Integer inputs keep the avg leg's single double
+    // division exact cross-engine.
+    "q87_frame_exclude" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q87))
+    }),
+
+    // window-frame GROUPS (DuckDB v1.0 parse-errors GROUPS — 1.4-era
+    // surface; the DuckDB leg runs the DENSE_RANK re-ordering FORMULA
+    // itself, the q79 precedent: a cross-engine check of the lowering's
+    // math, with the 1.4 semantics spec-pinned in FrameSqlSpec).
+    "q88_frame_groups" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(
+        """SELECT doc_id,
+          |  CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars % 13 GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS sg,
+          |  CAST(max(n_chars) OVER (PARTITION BY lang ORDER BY n_chars % 13 GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mx
+          |FROM documents WHERE doc_id % 5 = 0
+          |ORDER BY doc_id""".stripMargin))
+    }),
+
+    // CREATE TYPE alias (IDENTICAL multi-statement text both engines,
+    // probed v1.0): the alias substitutes in column-definition, CAST and
+    // :: positions (TypeSql); the INSERT's RETURNING rows are the ledger
+    // row (q78 convention). DROP TYPE IF EXISTS keeps the script
+    // idempotent for the checker's re-run.
+    "q89_create_type" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      graft.component.TypeSql.reset()
+      T.documents(s, d).createOrReplaceTempView("documents")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_q89_wh_").toString
+      val ex = new graft.component.Executor(s, wh)
+      graft.component.Dialect.prepare(Oracle.q89)
+        .flatMap(ex.runStatement(_)).last
+    }),
+
     // percent LIMIT (IDENTICAL SELECT text both engines, probed v1.0:
     // FLOOR(total · n/100) rows after the offset) — the Spark leg runs
     // it through the executor's bodyDf chain via a CTAS wrapper (the
@@ -952,6 +996,44 @@ object Extended {
         |       string_agg(lang, '|' ORDER BY doc_id DESC) AS langs_desc,
         |       array_agg(CAST(n_chars AS BIGINT) ORDER BY doc_id) AS chars_asc
         |FROM documents WHERE doc_id % 29 = 0 GROUP BY source ORDER BY source""".stripMargin
+
+    /** Shared DuckDB/Spark text — q87 runs this verbatim in both engines
+      * (frame EXCLUDE, probed v1.0). Integer inputs keep the avg exact. */
+    val q87: String =
+      """SELECT doc_id,
+        |  CAST(sum(CASE WHEN doc_id % 11 = 3 THEN NULL ELSE n_chars END) OVER
+        |    (PARTITION BY lang ORDER BY n_chars % 17 RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE GROUP) AS BIGINT) AS sg,
+        |  count(CASE WHEN doc_id % 11 = 3 THEN NULL ELSE n_chars END) OVER
+        |    (PARTITION BY lang ORDER BY n_chars % 17 RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING EXCLUDE TIES) AS ct,
+        |  CAST(avg(CASE WHEN doc_id % 11 = 3 THEN NULL ELSE n_chars END) OVER
+        |    (PARTITION BY lang ORDER BY n_chars % 17 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS DOUBLE) AS ac
+        |FROM documents WHERE doc_id % 4 <> 1
+        |ORDER BY doc_id""".stripMargin
+
+    /** Shared DuckDB/Spark text — q89 runs this verbatim in both engines
+      * (CREATE TYPE alias in all three substitution positions). */
+    val q89: String =
+      """DROP TABLE IF EXISTS q89_t;
+        |DROP TYPE IF EXISTS money2;
+        |CREATE TYPE money2 AS DECIMAL(12,2);
+        |CREATE TABLE q89_t (doc_id BIGINT, m money2, m2 money2);
+        |INSERT INTO q89_t
+        |  SELECT doc_id, CAST(n_chars AS money2), (n_chars % 100)::money2
+        |  FROM documents WHERE doc_id % 6 = 0
+        |  RETURNING doc_id AS doc_id, m AS m, m2 AS m2""".stripMargin
+
+    /** DuckDB leg of q88: the dense_rank re-ordering the GROUPS lowering
+      * performs, spelled out (v1.0-expressible — GROUPS itself is not). */
+    val q88: String =
+      """WITH b AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         dense_rank() OVER (PARTITION BY lang ORDER BY n_chars % 13) AS dr
+        |  FROM documents WHERE doc_id % 5 = 0
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY dr RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS sg,
+        |  CAST(max(n_chars) OVER (PARTITION BY lang ORDER BY dr RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mx
+        |FROM b ORDER BY doc_id""".stripMargin
   }
 
   val oracles: Map[String, String] = Map(
@@ -962,6 +1044,9 @@ object Extended {
     "q84_prepare_execute" -> Oracle.q84,
     "q85_ordered_agg" -> Oracle.q85,
     "q86_limit_percent" -> Oracle.q86,
+    "q87_frame_exclude" -> Oracle.q87,
+    "q88_frame_groups" -> Oracle.q88,
+    "q89_create_type" -> Oracle.q89,
     "q61_unnest" -> Oracle.q61,
     "q62_positional" -> Oracle.q62,
     "q63_dotcall" -> Oracle.q63,

@@ -1788,15 +1788,17 @@ class StatementSurfaceSpec extends SparkSpec {
     // through for MergeSql to parse, no sentinel
     assert(MergeSql.parse(Dialect.rewrite("MERGE INTO t USING s ON t.k = s.k " +
       "WHEN MATCHED THEN UPDATE SET v = s.v")).isDefined)
-    // frame GROUPS mode / EXCLUDE triage: GROUPS and the real EXCLUDE
-    // forms reject; EXCLUDE NO OTHERS (the default, probed v1.0) strips
-    assert(Dialect.rewrite("SELECT sum(b) OVER (ORDER BY a " +
-      "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t") ==
-      Dialect.rejectSentinel("FRAME_GROUPS"))
-    assert(Dialect.rewrite("SELECT sum(b) OVER (ORDER BY a " +
-      "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM t") ==
-      Dialect.rejectSentinel("FRAME_EXCLUDE"))
-    assert(Dialect.rewrite("SELECT sum(b) OVER (ORDER BY a " +
+    // frame GROUPS mode / EXCLUDE triage: rewritable forms EXECUTE since
+    // r15 (FrameSqlSpec); only non-rewritable ones keep the reject —
+    // EXCLUDE NO OTHERS (the default, probed v1.0) strips
+    assert(Dialect.rejectedKind(Dialect.rewrite("SELECT sum(b) OVER " +
+      "(ORDER BY a GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t"))
+      .isEmpty)
+    assert(Dialect.rejectedKind(Dialect.rewrite("SELECT sum(b) OVER " +
+      "(ORDER BY a ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING " +
+      "EXCLUDE CURRENT ROW) FROM t")).isEmpty)
+    // min/max are not subtraction-distributive: still a loud reject
+    assert(Dialect.rewrite("SELECT min(b) OVER (ORDER BY a " +
       "ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) FROM t") ==
       Dialect.rejectSentinel("FRAME_EXCLUDE"))
     val stripped = Dialect.rewrite("SELECT sum(b) OVER (ORDER BY a " +
@@ -1827,9 +1829,14 @@ class StatementSurfaceSpec extends SparkSpec {
       Dialect.rejectSentinel("FRAME_GROUPS"))
     assert(Dialect.rewrite("SELECT count(*) OVER () AS c, exclude ties " +
       "FROM t") != Dialect.rejectSentinel("FRAME_EXCLUDE"))
-    // ... while the same keywords INSIDE the OVER span still reject
+    // ... while the same keywords INSIDE the OVER span hit the triage —
+    // since r15 the rewritable forms EXECUTE (dense_rank re-expression,
+    // FrameSqlSpec); a non-rewritable one (no window ORDER BY) rejects
     assert(Dialect.rewrite("SELECT count(*) OVER (ORDER BY a GROUPS " +
-      "BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t WHERE groups > 1") ==
+      "BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t WHERE groups > 1")
+      .contains("DENSE_RANK()"))
+    assert(Dialect.rewrite("SELECT count(*) OVER (PARTITION BY p GROUPS " +
+      "BETWEEN 1 PRECEDING AND CURRENT ROW) FROM t") ==
       Dialect.rejectSentinel("FRAME_GROUPS"))
     // literals with the trigger words never fire; star-EXCLUDE untouched
     assert(Dialect.rewrite("SELECT 'GROUPS BETWEEN x' AS s, " +
