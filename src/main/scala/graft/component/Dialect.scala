@@ -370,7 +370,7 @@ object Dialect {
           StarReplaceSql.rewriteBareExclude(StarReplaceSql.rewriteLike(
           rewriteIntDiv(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
           FileReads.rewriteTableFunctions(
-            rewritePragma(Macros.rewrite(stmt0)))))))))))))))))))))
+            rewritePragma(WindowClauseSql.inline(Macros.rewrite(stmt0))))))))))))))))))))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position

@@ -465,6 +465,16 @@ object Extended {
           |ORDER BY doc_id""".stripMargin))
     }),
 
+    // named-window surface (IDENTICAL text both engines, probed v1.0):
+    // WINDOW-clause definitions inline — chained defs (w1 AS (w0 ...)),
+    // the extension form OVER (w ROWS/ORDER BY ...), and frame EXCLUDE
+    // inside a named definition (composing with FrameSql's subtraction).
+    "q90_window_clause" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q90))
+    }),
+
     // CREATE TYPE alias (IDENTICAL multi-statement text both engines,
     // probed v1.0): the alias substitutes in column-definition, CAST and
     // :: positions (TypeSql); the INSERT's RETURNING rows are the ledger
@@ -1010,6 +1020,23 @@ object Extended {
         |FROM documents WHERE doc_id % 4 <> 1
         |ORDER BY doc_id""".stripMargin
 
+    /** Shared DuckDB/Spark text — q90 runs this verbatim in both engines
+      * (named-window one-hop chaining + extension + EXCLUDE, probed
+      * v1.0 — kept to ONE reference hop: v1.0 resolves only one level
+      * of window-name chaining and silently drops the inherited
+      * PARTITION BY beyond it (probed), while this engine inlines
+      * transitively per the standard; hashing a two-hop shape would pin
+      * the quirk, the q73 rule). */
+    val q90: String =
+      """SELECT doc_id,
+        |  CAST(sum(n_chars) OVER (w0 ORDER BY doc_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS s3,
+        |  CAST(rank() OVER (w0 ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
+        |  CAST(sum(n_chars) OVER w2 AS BIGINT) AS sx
+        |FROM documents WHERE doc_id % 7 = 0
+        |WINDOW w0 AS (PARTITION BY lang),
+        |       w2 AS (w0 ORDER BY doc_id RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW)
+        |ORDER BY doc_id""".stripMargin
+
     /** Shared DuckDB/Spark text — q89 runs this verbatim in both engines
       * (CREATE TYPE alias in all three substitution positions). */
     val q89: String =
@@ -1047,6 +1074,7 @@ object Extended {
     "q87_frame_exclude" -> Oracle.q87,
     "q88_frame_groups" -> Oracle.q88,
     "q89_create_type" -> Oracle.q89,
+    "q90_window_clause" -> Oracle.q90,
     "q61_unnest" -> Oracle.q61,
     "q62_positional" -> Oracle.q62,
     "q63_dotcall" -> Oracle.q63,

@@ -1208,9 +1208,11 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(intercept[Exception] {
       q("SELECT fill(v) OVER (ORDER BY o, v) AS f FROM fill_t").collect()
     }.getMessage.toLowerCase.contains("fill"))
-    assert(intercept[Exception] {
-      q("SELECT fill(v) OVER w AS f FROM fill_t WINDOW w AS (ORDER BY o)").collect()
-    }.getMessage.toLowerCase.contains("fill"))
+    // a NAMED window inlines first (WindowClauseSql, r15) — fill then
+    // resolves exactly as the inline spelling (was a loud reject)
+    val named = q("SELECT fill(v) OVER w AS f FROM fill_t " +
+      "WINDOW w AS (ORDER BY o) ORDER BY o").collect().map(_.getDouble(0))
+    assert(named.sameElements(Array(10.0, 20.0, 30.0, 40.0, 40.0)), named.toSeq)
   }
 
   test("star filters * LIKE/ILIKE/NOT LIKE/SIMILAR TO and * RENAME (post-1.0)") {
