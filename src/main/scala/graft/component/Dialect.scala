@@ -368,9 +368,9 @@ object Dialect {
       Pivot.rewriteUnpivot(UnnestSql.rewrite(rewriteUsingSample(
         rewriteSeriesTableFns(rewriteFill(rewriteMatchOps(
           StarReplaceSql.rewriteBareExclude(StarReplaceSql.rewriteLike(
-          rewriteIntDiv(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
+          rewriteIntDiv(rewritePow(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
           FileReads.rewriteTableFunctions(
-            rewritePragma(WindowClauseSql.inline(Macros.rewrite(stmt0))))))))))))))))))))))
+            rewritePragma(WindowClauseSql.inline(Macros.rewrite(stmt0)))))))))))))))))))))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position
@@ -710,6 +710,48 @@ object Dialect {
     stmt
   }
 
+  /** DuckDB's POWER operators `^` and `**` → `power()` calls. This one
+    * cannot ride the leave-alone contract: Spark parses `^` as bitwise
+    * XOR, so an untouched `2^3` would return 1 instead of 8 — a SILENT
+    * wrong answer for a migrating script (DuckDB spells xor as the
+    * xor() function, so every `^` in DuckDB SQL means power). Probed
+    * v1.0 semantics: tighter than `*` (2*3^2=18), LEFT-associative
+    * (2^3^2=64), unary minus binds tighter still (-2^2=4 — the sign
+    * joins the left operand, unlike Postgres), result is always DOUBLE
+    * (Spark's power matches). Operand extents are one signed primary
+    * (+casts) per side; a `^`/`**` whose extents cannot be parsed is
+    * replaced by an unresolvable identifier so analysis fails LOUDLY —
+    * never left for Spark's XOR. `2^-3` is permissive here (v1.0's
+    * parser fuses `^-` into an unknown operator and errors; `2**-3`
+    * works there — one rule serves both spellings). Runs BEFORE
+    * rewriteIntDiv so `2^3//2` folds as (2^3)//2, the probed grouping. */
+  private[component] def rewritePow(stmt0: String): String = {
+    var stmt = stmt0
+    var guard = 0
+    while (guard < 256) {
+      guard += 1
+      val masked = maskQuoted(stmt)
+      val star2 = masked.indexOf("**")
+      val caret = masked.indexOf("^")
+      val (op, len) =
+        if (star2 >= 0 && (caret < 0 || star2 < caret)) (star2, 2)
+        else if (caret >= 0) (caret, 1)
+        else return stmt
+      (intDivLeftStart(stmt, masked, op, chain = false),
+        intDivRightEnd(stmt, masked, op + len)) match {
+        case (Some(ls), Some(re)) =>
+          val left = stmt.substring(ls, op).trim
+          val right = stmt.substring(op + len, re).trim
+          stmt = stmt.substring(0, ls) + s"power($left, $right)" +
+            stmt.substring(re)
+        case _ =>
+          stmt = stmt.substring(0, op) + " __graft_power_unparsable " +
+            stmt.substring(op + len)
+      }
+    }
+    stmt
+  }
+
   /** Regex / glob MATCH operators with no Spark spelling — `~` / `!~`
     * (regexp FULL match, probed: 'abc' ~ 'b' is false), `~~~` / `!~~~`
     * and the `GLOB` keyword (glob match), `[NOT] SIMILAR TO` (DuckDB
@@ -898,7 +940,8 @@ object Dialect {
     * `+`/`-` and `||` (the comparison level — `a || b ~ p` matches the
     * concatenation). None = unparsable (leave the text alone). */
   private def intDivLeftStart(stmt: String, masked: String,
-                              op: Int, additive: Boolean = false): Option[Int] = {
+                              op: Int, additive: Boolean = false,
+                              chain: Boolean = true): Option[Int] = {
     val spans = quoteSpanStarts(stmt)
     var i = op - 1
     var start = -1
@@ -996,6 +1039,7 @@ object Dialect {
     }
     if (!consumePrimary() || !consumeCasts()) return None
     consumeSignIfUnary()
+    if (!chain) return Some(start) // primary-level operand (power)
     var more = true
     while (more) {
       more = false

@@ -788,7 +788,10 @@ object Extended {
         |       lang ~~ 'e%' AS le,
         |       lang !~~ 'e%' AS nle,
         |       lang ~~* 'E%' AS ile,
-        |       lang !~~* 'E%' AS nile
+        |       lang !~~* 'E%' AS nile,
+        |       (doc_id % 5) ^ 2 AS p1,
+        |       2 ** (doc_id % 8) AS p2,
+        |       3 * (doc_id % 4) ^ 2 AS p3
         |FROM documents WHERE doc_id % 11 = 0 ORDER BY doc_id""".stripMargin
 
     /** Shared DuckDB/Spark text — q77 runs this verbatim in both engines. */

@@ -74,6 +74,37 @@ class DialectSpec extends AnyFunSuite {
     assert(outSp.contains("'struct_pack(b := 2)' AS lit"))
   }
 
+  test("^ and ** power operators lower to power() — never Spark's XOR") {
+    def r(s: String) = Dialect.rewrite(s)
+    assert(r("SELECT 2^3") == "SELECT power(2, 3)")
+    assert(r("SELECT 2 ** 3") == "SELECT power(2, 3)")
+    // probed v1.0 precedence: tighter than * (2*3^2=18)
+    assert(r("SELECT 2*3^2") == "SELECT 2*power(3, 2)")
+    // left-associative (2^3^2=64)
+    assert(r("SELECT 2^3^2") == "SELECT power(power(2, 3), 2)")
+    // unary minus joins the LEFT operand (probed: -2^2 = 4, unlike Postgres)
+    assert(r("SELECT -2^2") == "SELECT power(-2, 2)")
+    // power then integer division folds as (2^3)//2 (probed: 4.0)
+    assert(r("SELECT 2^3//2") == "SELECT divide(power(2, 3), 2)")
+    // calls and casts are one primary
+    assert(r("SELECT f(x)^2 FROM t") == "SELECT power(f(x), 2) FROM t")
+    assert(r("SELECT x::INT ^ 2 FROM t") == "SELECT power(x::INT, 2) FROM t")
+    // literals keep their carets; regex patterns are quoted → untouched
+    assert(r("SELECT 'a^b' AS s") == "SELECT 'a^b' AS s")
+    assert(r("SELECT regexp_matches(x, '^ab') FROM t")
+      .contains("'^ab'"))
+    // an unparsable extent goes LOUD (unresolvable name), never XOR
+    assert(r("SELECT ^ 2").contains("__graft_power_unparsable"))
+    // executed values: DOUBLE result, the probed numbers
+    DuckFunctions.register(graft.TestSpark.spark)
+    val out = graft.TestSpark.spark.sql(r(
+      "SELECT 2*3^2 AS a, 2^3^2 AS b, -2^2 AS c, 2^3//2 AS d, 2**-3 AS e"))
+      .collect().head
+    assert(out.getDouble(0) == 18.0 && out.getDouble(1) == 64.0 &&
+      out.getDouble(2) == 4.0 && out.getDouble(3) == 4.0 &&
+      out.getDouble(4) == 0.125)
+  }
+
   test("// integer division lowers to divide() with correct grouping") {
     def r(s: String) = Dialect.rewrite(s)
     assert(r("SELECT 7 // 2") == "SELECT divide(7, 2)")
