@@ -76,6 +76,7 @@ object Bench {
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.sql.optimizer.excludedRules",
         graft.functions.GraftExtensions.ExcludedOptimizerRules)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -22,6 +22,10 @@ package graft.component
   * — path lists, `columns={...}` — are consumed before this pass). */
 object Brackets {
 
+  /** Unique lambda-variable suffix for slice-step rewrites (nested
+    * lambdas must not share a name). */
+  private val sliceVar = new java.util.concurrent.atomic.AtomicLong(0)
+
   def rewrite(stmt: String): String = {
     var s = stmt
     var guard = 0
@@ -277,6 +281,46 @@ object Brackets {
         else if (idx.matches("[+]?0+")) s"try_element_at($base, nullif(0, 0))"
         else s"try_element_at($base, $idx)"
       } else {
+        // a SECOND depth-0 `:` is the slice STEP (probed v1.0:
+        // `[1:5:2]`=[1,3,5], negative steps walk down `[5:1:-2]`=[5,3,1],
+        // bounds clamp to the list, crossed bounds give [], step 0 and
+        // string bases error — string+step is unimplemented even there)
+        val colon2 = {
+          var found = -1
+          var k = colon + 1
+          while (k < mbody.length && found < 0) {
+            if (mbody.charAt(k) == ':' && mbody.charAt(k + 1 min (mbody.length - 1)) != ':' &&
+                mbody.charAt(k - 1) != ':')
+              found = k
+            k += 1
+          }
+          found
+        }
+        if (colon2 > 0) {
+          val lo0 = body.substring(0, colon).trim
+          val hi0 = body.substring(colon + 1, colon2).trim
+          val step = body.substring(colon2 + 1).trim
+          // bail (text passes through, loud on both engines) for the
+          // forms v1.0 itself rejects: string base, omitted hi, no step
+          if (stringBase || hi0.isEmpty || step.isEmpty) return stmt
+          val lo = if (lo0.isEmpty) "1" else bound(lo0)
+          val hi = bound(hi0)
+          val v = s"__gs${Brackets.sliceVar.incrementAndGet()}"
+          // sequence() IS the probed semantics per direction; bounds
+          // clamp into the list so out-of-range never throws. The ELSE
+          // branch fires only for step=0 — sequence(2,1,0) errors, the
+          // v1.0 behavior — but must still TYPE as array<T>, hence the
+          // transform over the base
+          val repl =
+            s"(CASE WHEN ($step) > 0 THEN " +
+              s"CASE WHEN greatest(1, $lo) > least($lenExpr, $hi) THEN slice($base, 1, 0) " +
+              s"ELSE transform(sequence(greatest(1, $lo), least($lenExpr, $hi), $step), $v -> try_element_at($base, $v)) END " +
+            s"WHEN ($step) < 0 THEN " +
+              s"CASE WHEN least($lenExpr, $lo) < greatest(1, $hi) THEN slice($base, 1, 0) " +
+              s"ELSE transform(sequence(least($lenExpr, $lo), greatest(1, $hi), $step), $v -> try_element_at($base, $v)) END " +
+            s"ELSE transform(sequence(2, 1, ($step)), $v -> try_element_at($base, $v)) END)"
+          return stmt.substring(0, start) + repl + stmt.substring(close + 1)
+        }
         val lo0 = body.substring(0, colon).trim
         val hi0 = body.substring(colon + 1).trim
         // DuckDB slice is 1-based INCLUSIVE; omitted bounds span the

@@ -407,6 +407,14 @@ object Dialect {
         .replaceAll("(?<![~!])~~\\*(?!~)", " ILIKE ")
         .replaceAll("(?<!~)!~~(?![~*])", " NOT LIKE ")
         .replaceAll("(?<![~!])~~(?![~*])", " LIKE ")
+        // DuckDB's bare aggregate FILTER shorthand — `count(*) FILTER
+        // (cond)` without WHERE (probed v1.0) — takes the keyword Spark
+        // requires; the `)` before FILTER keeps the filter() HOF out
+        .replaceAll("(?i)(\\))(\\s*FILTER\\s*\\()(?!\\s*WHERE\\b)", "$1$2WHERE ")
+        // EXTRACT(epoch FROM x): Spark's EXTRACT has no epoch field —
+        // route to the registry's epoch() (fractional double seconds,
+        // the probed v1.0 contract); other DuckDB-only fields stay loud
+        .replaceAll("(?i)\\bEXTRACT\\s*\\(\\s*EPOCH\\s+FROM\\b", "epoch(")
         // struct_pack(a := x, b := y) ≡ named_struct('a', x, 'b', y).
         // `:=` in a non-EXECUTE statement is struct_pack's binder, so
         // the name rewrite is safe within unquoted text there; EXECUTE
@@ -732,7 +740,14 @@ object Dialect {
       guard += 1
       val masked = maskQuoted(stmt)
       val star2 = masked.indexOf("**")
-      val caret = masked.indexOf("^")
+      // `^@` is DuckDB's starts-with operator, not power — leave it for
+      // rewriteMatchOps (which runs after this pass)
+      val caret = {
+        var c = masked.indexOf("^")
+        while (c >= 0 && c + 1 < masked.length && masked.charAt(c + 1) == '@')
+          c = masked.indexOf("^", c + 2)
+        c
+      }
       val (op, len) =
         if (star2 >= 0 && (caret < 0 || star2 < caret)) (star2, 2)
         else if (caret >= 0) (caret, 1)
@@ -765,7 +780,7 @@ object Dialect {
     * `!` or `*`. Unparsable extents leave the text for Spark's parser
     * to reject loudly. */
   private val matchOpRe =
-    ("(?i)~~~|!~(?!~)|(?<![~!])~(?![~*])|" +
+    ("(?i)~~~|!~(?!~)|(?<![~!])~(?![~*])|\\^@|" +
       "\\bNOT\\s+SIMILAR\\s+TO\\b|\\bSIMILAR\\s+TO\\b|\\bGLOB\\b").r
 
   private[component] def rewriteMatchOps(stmt0: String): String = {
@@ -781,6 +796,9 @@ object Dialect {
           m.matched.toUpperCase.replaceAll("\\s+", " ") match {
             case "~" | "SIMILAR TO" => Some(("regexp_full_match", false))
             case "!~" | "NOT SIMILAR TO" => Some(("regexp_full_match", true))
+            // DuckDB's starts-with operator (probed v1.0: 'abc' ^@ 'ab');
+            // rewritePow skips `^@` so it survives to this pass
+            case "^@" => Some(("startswith", false))
             // no negated glob spelling: DuckDB v1.0 has neither !~~~
             // nor NOT GLOB (probed parse errors)
             case "~~~" | "GLOB" => Some(("duck_glob", false))

@@ -42,6 +42,7 @@ object Main {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.optimizer.excludedRules",
         graft.functions.GraftExtensions.ExcludedOptimizerRules)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

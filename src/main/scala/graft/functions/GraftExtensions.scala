@@ -16,16 +16,39 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, usage, arity, build) =>
       ext.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
         GraftExtensions.checked(name, arity, build)))
     }
+    ext.injectResolutionRule(_ => GraftExtensions.DuckDateSubRule)
+  }
 }
 
 object GraftExtensions {
+
+  /** DuckDB's DATE − DATE is BIGINT days (probed v1.0: typeof = BIGINT,
+    * `DATE '2020-01-10' - DATE '2020-01-01'` = 9); Spark's is a day-time
+    * INTERVAL — a silent TYPE divergence a text rewrite cannot see (the
+    * operands' types are only known post-analysis). This resolution rule
+    * maps the analyzed SubtractDates to datediff-as-BIGINT, making the
+    * operator mean what every DuckDB script expects. TIMESTAMP −
+    * TIMESTAMP stays an interval (both engines agree there). */
+  object DuckDateSubRule
+      extends org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, DateDiff, SubtractDates}
+    override def apply(
+        plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+      plan.transformAllExpressions {
+        case SubtractDates(l, r, _) =>
+          Cast(DateDiff(l, r), org.apache.spark.sql.types.LongType)
+      }
+  }
+
   private def checked(name: String, arity: Int,
                       build: Seq[Expression] => Expression)
       : Seq[Expression] => Expression =

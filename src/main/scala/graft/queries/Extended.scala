@@ -465,6 +465,17 @@ object Extended {
           |ORDER BY doc_id""".stripMargin))
     }),
 
+    // operator/syntax gap sweep (IDENTICAL text both engines, probed
+    // v1.0): the starts-with operator ^@, the bare aggregate FILTER
+    // (cond) shorthand, EXTRACT(epoch FROM ts), DATE − DATE as BIGINT
+    // days (the analyzed-plan DuckDateSubRule — Spark's native answer is
+    // an interval), and stepped list slices [a:b:step] both directions.
+    "q91_gap_ops" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q91))
+    }),
+
     // named-window surface (IDENTICAL text both engines, probed v1.0):
     // WINDOW-clause definitions inline — chained defs (w1 AS (w0 ...)),
     // the extension form OVER (w ROWS/ORDER BY ...), and frame EXCLUDE
@@ -1023,6 +1034,18 @@ object Extended {
         |FROM documents WHERE doc_id % 4 <> 1
         |ORDER BY doc_id""".stripMargin
 
+    /** Shared DuckDB/Spark text — q91 runs this verbatim in both engines
+      * (operator/syntax gap sweep, all probed v1.0). */
+    val q91: String =
+      """SELECT source,
+        |  count(*) FILTER (n_chars > 300) AS big,
+        |  CAST(EXTRACT(epoch FROM TIMESTAMP '2024-05-05 12:00:00') AS BIGINT) AS ep,
+        |  DATE '2024-03-01' - DATE '2024-01-01' AS dd,
+        |  max(CASE WHEN lang ^@ 'e' THEN n_chars END) AS maxe,
+        |  [1,2,3,4,5,6,7][2:7:3] AS sl,
+        |  [10,20,30,40,50][5:1:-2] AS sr
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
     /** Shared DuckDB/Spark text — q90 runs this verbatim in both engines
       * (named-window one-hop chaining + extension + EXCLUDE, probed
       * v1.0 — kept to ONE reference hop: v1.0 resolves only one level
@@ -1078,6 +1101,7 @@ object Extended {
     "q88_frame_groups" -> Oracle.q88,
     "q89_create_type" -> Oracle.q89,
     "q90_window_clause" -> Oracle.q90,
+    "q91_gap_ops" -> Oracle.q91,
     "q61_unnest" -> Oracle.q61,
     "q62_positional" -> Oracle.q62,
     "q63_dotcall" -> Oracle.q63,

@@ -19,6 +19,7 @@ object D14Probe {
       .config("spark.locality.wait", "0s")
       .config("spark.sql.optimizer.excludedRules",
         graft.functions.GraftExtensions.ExcludedOptimizerRules)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -19,6 +19,7 @@ object D16Probe {
       .config("spark.shuffle.compress", "false")
       .config("spark.sql.optimizer.excludedRules",
         graft.functions.GraftExtensions.ExcludedOptimizerRules)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

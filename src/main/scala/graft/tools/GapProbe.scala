@@ -2,16 +2,45 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
+/** Dialect-gap probe harness: run candidate DuckDB spellings through the
+  * full rewrite + Spark and print result-or-error, for side-by-side
+  * comparison with a python-duckdb run of the same list. */
 object GapProbe {
   def main(args: Array[String]): Unit = {
-    val s = SparkSession.builder().master("local[2]").config("spark.ui.enabled","false").getOrCreate()
+    val s = SparkSession.builder().master("local[2]").config("spark.ui.enabled","false")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    graft.component.DuckFunctions.register(s)
     s.sql("CREATE OR REPLACE TEMP VIEW a AS SELECT * FROM VALUES (1,10),(2,20) t(k,v)")
-    s.sql("CREATE OR REPLACE TEMP VIEW b AS SELECT * FROM VALUES (2) t(k)")
     def t(label: String, q: String): Unit =
       try println(s"$label: OK " + s.sql(graft.component.Dialect.rewrite(q)).collect().mkString(","))
-      catch { case e: Exception => println(s"$label: ERR " + e.getMessage.replaceAll("\n"," ").take(100)) }
-    t("semi", "SELECT * FROM a SEMI JOIN b USING(k)")
-    t("anti", "SELECT * FROM a ANTI JOIN b USING(k)")
+      catch { case e: Exception => println(s"$label: ERR " + Option(e.getMessage).getOrElse("?").replaceAll("\n"," ").take(90)) }
+    t("date+int", "SELECT DATE '2020-01-10' + 5")
+    t("date-int", "SELECT DATE '2020-01-10' - 5")
+    t("date-date", "SELECT DATE '2020-01-10' - DATE '2020-01-01'")
+    t("extract_epoch", "SELECT EXTRACT(epoch FROM TIMESTAMP '2020-01-01 00:00:30')")
+    t("ts+interval", "SELECT TIMESTAMP '2020-01-01 00:00:00' + INTERVAL 2 HOUR")
+    t("interval_mult", "SELECT 3 * INTERVAL 1 DAY")
+    t("list_slice_step", "SELECT [1,2,3,4,5][1:5:2]")
+    t("offset_only", "SELECT k FROM a ORDER BY k OFFSET 1")
+    t("in_values", "SELECT 2 IN (SELECT k FROM a)")
+    t("grouping_id", "SELECT k, GROUPING_ID() FROM a GROUP BY ROLLUP(k) ORDER BY 1,2")
+    t("count_filter", "SELECT count(*) FILTER (k > 1) FROM a")
+    t("ilike_any", "SELECT 'ab' ILIKE ANY (['A%', 'b%'])")
+    t("starts_with_op", "SELECT 'abc' ^@ 'ab'")
+    t("concat_ws_op", "SELECT 'a' || 1")
+    t("date-date", "SELECT DATE '2020-01-10' - DATE '2020-01-01'")
+    t("extract_epoch", "SELECT EXTRACT(epoch FROM TIMESTAMP '2020-01-01 00:00:30')")
+    t("filter_bare", "SELECT count(*) FILTER (k > 1) FROM a")
+    t("starts_with_op", "SELECT 'abc' ^@ 'ab', 'abc' ^@ 'bc'")
+    t("pow_still", "SELECT 2^3, 2**3")
+    t("slice1", "SELECT [1,2,3,4,5][1:5:2]")
+    t("slice2", "SELECT [1,2,3,4,5,6,7][2:7:3]")
+    t("slice_neg", "SELECT [1,2,3,4,5][5:1:-2]")
+    t("slice_elo", "SELECT [1,2,3,4,5][:4:2]")
+    t("slice_over", "SELECT [1,2,3][1:9:2]")
+    t("slice_cross", "SELECT [1,2,3,4,5][4:2:1]")
+    t("slice_negb", "SELECT [1,2,3,4,5][-4:-1:2]")
   }
 }

@@ -33,6 +33,7 @@ object Profile {
       .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.optimizer.excludedRules",
         graft.functions.GraftExtensions.ExcludedOptimizerRules)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

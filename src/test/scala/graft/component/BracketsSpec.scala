@@ -130,6 +130,27 @@ class BracketsSpec extends SparkSpec {
       Seq("FOR", "IN"))
   }
 
+  test("stepped slices [a:b:step] match the probed v1.0 values") {
+    def v(q: String): Seq[Int] =
+      spark.sql(Dialect.rewrite("SELECT " + q + " AS r")).collect()
+        .head.getSeq[Int](0)
+    assert(v("[1,2,3,4,5][1:5:2]") == Seq(1, 3, 5))
+    assert(v("[1,2,3,4,5,6,7][2:7:3]") == Seq(2, 5))
+    // negative step walks DOWN from lo to hi (probed [5,3,1])
+    assert(v("[1,2,3,4,5][5:1:-2]") == Seq(5, 3, 1))
+    // omitted lo = 1; hi clamps to the list; crossed bounds empty
+    assert(v("[1,2,3,4,5][:4:2]") == Seq(1, 3))
+    assert(v("[1,2,3][1:9:2]") == Seq(1, 3))
+    assert(v("[1,2,3,4,5][4:2:1]") == Seq())
+    // negative bounds count from the end (-4:-1 on len 5 = 2:5)
+    assert(v("[1,2,3,4,5][-4:-1:2]") == Seq(2, 4))
+    // step 0 errors (probed v1.0: "Slice step cannot be zero")
+    assertThrows[Exception](v("[1,2,3][1:3:0]"))
+    // string base + step is unimplemented in v1.0 too — loud, not silent
+    assertThrows[Exception](
+      spark.sql(Dialect.rewrite("SELECT 'abcdef'[1:6:2] AS r")).collect())
+  }
+
   test("generate_series and range table functions in FROM") {
     // generate_series: INCLUSIVE stop, DuckDB's column name
     val gs = spark.sql(Dialect.rewrite(

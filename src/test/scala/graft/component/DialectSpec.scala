@@ -105,6 +105,34 @@ class DialectSpec extends AnyFunSuite {
       out.getDouble(4) == 0.125)
   }
 
+  test("^@ starts-with, bare FILTER, EXTRACT(epoch), DATE-DATE days (probed v1.0)") {
+    DuckFunctions.register(graft.TestSpark.spark)
+    def one(q: String) = graft.TestSpark.spark
+      .sql(Dialect.rewrite("SELECT " + q + " AS r")).collect().head
+    // ^@ maps to startswith, never to the power rewrite
+    assert(one("'abc' ^@ 'ab'").getBoolean(0))
+    assert(!one("'abc' ^@ 'bc'").getBoolean(0))
+    // bare aggregate FILTER (cond) takes Spark's required WHERE; the
+    // filter() HOF is untouched (no preceding close-paren)
+    assert(Dialect.rewrite("SELECT count(*) FILTER (x > 1) FROM t") ==
+      "SELECT count(*) FILTER (WHERE x > 1) FROM t")
+    assert(Dialect.rewrite("SELECT count(*) FILTER (WHERE x > 1) FROM t") ==
+      "SELECT count(*) FILTER (WHERE x > 1) FROM t")
+    assert(Dialect.rewrite("SELECT filter(l, x -> x > 1) FROM t") ==
+      "SELECT filter(l, x -> x > 1) FROM t")
+    // EXTRACT(epoch FROM ts) -> epoch(): fractional double seconds
+    assert(one("EXTRACT(epoch FROM TIMESTAMP '2020-01-01 00:00:30')")
+      .getDouble(0) == 1577836830.0)
+    // DATE - DATE is BIGINT days via the analyzed-plan rule (Spark's
+    // native answer is a day-time interval — a silent type divergence)
+    val dd = one("DATE '2020-01-10' - DATE '2020-01-01'")
+    assert(dd.getLong(0) == 9L)
+    // TIMESTAMP - TIMESTAMP stays an interval (both engines agree)
+    val ts = graft.TestSpark.spark.sql(Dialect.rewrite(
+      "SELECT TIMESTAMP '2020-01-02 00:00:00' - TIMESTAMP '2020-01-01 00:00:00' AS r"))
+    assert(ts.schema.head.dataType.typeName.contains("interval"))
+  }
+
   test("// integer division lowers to divide() with correct grouping") {
     def r(s: String) = Dialect.rewrite(s)
     assert(r("SELECT 7 // 2") == "SELECT divide(7, 2)")
