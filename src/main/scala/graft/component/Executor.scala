@@ -63,6 +63,20 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
   private val declaredPk =
     scala.collection.concurrent.TrieMap[String, Seq[String]]()
 
+  /** Bare-DDL column DEFAULTs per table (lowercased sanitized name):
+    * column (lowercased) → default expression text. Partial-column
+    * INSERTs and the DEFAULT keyword draw from here (probed v1.0). */
+  private val tableDefaults =
+    scala.collection.concurrent.TrieMap[String, Map[String, String]]()
+
+  /** Bare-DDL NOT NULL columns and CHECK expressions per table —
+    * enforced on every materialization (assert_true filters riding the
+    * write pass; probed v1.0 raises constraint errors on violation). */
+  private val tableNotNull =
+    scala.collection.concurrent.TrieMap[String, Seq[String]]()
+  private val tableChecks =
+    scala.collection.concurrent.TrieMap[String, Seq[String]]()
+
   /** Index name → (table, cols); cols empty for a non-unique index. The
     * single source of truth for index-contributed upsert keys: DROP INDEX
     * removes its entry, [[keysetsFor]] derives the live key sets. */
@@ -89,6 +103,9 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     * keys surviving a CREATE OR REPLACE would mis-target later upserts). */
   private def clearTableMeta(table: String): Unit = {
     declaredPk.remove(table)
+    tableDefaults.remove(table)
+    tableNotNull.remove(table)
+    tableChecks.remove(table)
     indexNames.filterInPlace { case (_, (t, _)) => t != table }
   }
 
@@ -98,6 +115,9 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
   private def renameTableMeta(from: String, to: String): Unit = {
     clearTableMeta(to)
     declaredPk.remove(from).foreach(declaredPk.put(to, _))
+    tableDefaults.remove(from).foreach(tableDefaults.put(to, _))
+    tableNotNull.remove(from).foreach(tableNotNull.put(to, _))
+    tableChecks.remove(from).foreach(tableChecks.put(to, _))
     indexNames.mapValuesInPlace { case (_, (t, cols)) =>
       if (t == from) (to, cols) else (t, cols)
     }
@@ -254,21 +274,26 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
           }
         }
         clearTableMeta(Names.view(name).toLowerCase) // replacement starts clean
-        if (pkCols.nonEmpty)
-          declaredPk.put(Names.view(name).toLowerCase, pkCols)
-        // column defs → StructType; the remaining constraint noise DuckDB
-        // accepts (UNIQUE / DEFAULT v / CHECK(..)) is stripped — Spark
-        // schemas carry none of it, and the data path is what the
-        // component contract checks
-        val cleaned = items.filterNot(it =>
-          "(?is)^PRIMARY\\s+KEY\\s*\\(".r.findFirstIn(it).isDefined)
-          .mkString(", ")
-          .replaceAll("(?i)\\bPRIMARY\\s+KEY\\b", "")
-          .replaceAll("(?i)\\bUNIQUE\\b", "")
-          // a quoted default may contain spaces — strip the whole
-          // literal, not just its first token
-          .replaceAll("(?i)\\bDEFAULT\\s+('(?:[^']|'')*'|\\S+)", "")
-          .replaceAll("(?i)\\bCHECK\\s*\\([^)]*\\)", "")
+        val key = Names.view(name).toLowerCase
+        if (pkCols.nonEmpty) declaredPk.put(key, pkCols)
+        // column defs → StructType via [[ConstraintSql]]: constraints
+        // are PARSED OUT and reproduced (DEFAULT fill on inserts,
+        // NOT NULL / CHECK enforced at materialization, UNIQUE as an
+        // upsert conflict target) instead of silently stripped
+        val parsed = ConstraintSql.parse(items)
+        val defaults = parsed.cols.flatMap(c =>
+          c.default.map(d => c.name.toLowerCase -> d)).toMap
+        if (defaults.nonEmpty) tableDefaults.put(key, defaults)
+        val nn = parsed.cols.filter(_.notNull).map(_.name) ++
+          pkCols.filterNot(pc =>
+            parsed.cols.exists(c => c.notNull && c.name.equalsIgnoreCase(pc)))
+        if (nn.nonEmpty) tableNotNull.put(key, nn.distinct)
+        val cks = parsed.cols.flatMap(_.checks) ++ parsed.tableChecks
+        if (cks.nonEmpty) tableChecks.put(key, cks)
+        parsed.uniqueSets.zipWithIndex.foreach { case (cols, i) =>
+          indexNames.put(s"__ddl_unique_${key}_${i + 1}", (key, cols))
+        }
+        val cleaned = parsed.cols.map(_.cleaned).mkString(", ")
           .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
         val schema = org.apache.spark.sql.types.StructType.fromDDL(cleaned)
         val empty = spark.createDataFrame(
@@ -733,8 +758,31 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     * directory and swap in afterwards: INSERT/UPDATE/DELETE re-derivations
     * READ the current files of the same table while writing the new state,
     * so an in-place overwrite would consume its own deletes. */
-  private def materialize(name: String, df: DataFrame): DataFrame = {
+  /** NOT NULL / CHECK enforcement riding the write pass: assert_true
+    * filters evaluate per row DURING materialization (no extra scan),
+    * raising the DuckDB-shaped constraint message on violation. A NULL
+    * check result passes (the standard's rule, probed v1.0). */
+  private def enforced(name: String, df: DataFrame): DataFrame = {
+    val key = Names.view(name).toLowerCase
+    val present = df.columns.map(_.toLowerCase).toSet
+    var out = df
+    tableNotNull.getOrElse(key, Nil)
+      .filter(c => present(c.toLowerCase)).foreach { c =>
+        out = out.filter(expr(
+          s"assert_true(`$c` IS NOT NULL, " +
+            s"'NOT NULL constraint failed: $key.$c') IS NULL"))
+      }
+    tableChecks.getOrElse(key, Nil).foreach { ck =>
+      out = out.filter(expr(
+        s"assert_true(coalesce(CAST(($ck) AS BOOLEAN), true), " +
+          s"'CHECK constraint failed: $key') IS NULL"))
+    }
+    out
+  }
+
+  private def materialize(name: String, df0: DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths}
+    val df = enforced(name, df0)
     val dir = Paths.get(warehouseDir, Names.view(name))
     val staging = Paths.get(warehouseDir,
       s".staging_${Names.view(name)}_${version.incrementAndGet()}")
@@ -816,7 +864,42 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
         else (inner, rest.substring(close + 1).trim)
       } else (null, rest)
     val existing = spark.table(s"`${Names.view(name)}`")
-    val added0 = bodyDf(body)
+    val defaults = tableDefaults.getOrElse(Names.view(name).toLowerCase,
+      Map.empty[String, String])
+    // the DEFAULT keyword inside VALUES rows draws the declared default
+    // (NULL when none — probed v1.0); position maps through the column
+    // list when present, table order otherwise
+    val body1 =
+      if (!"(?is)^\\s*VALUES\\b".r.findFirstIn(body).isDefined ||
+          !"(?i)\\bDEFAULT\\b".r.findFirstIn(Dialect.maskQuoted(body)).isDefined) body
+      else {
+        val order: Array[String] = Option(colList).filter(_.trim.nonEmpty)
+          .map(_.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")))
+          .getOrElse(existing.columns)
+        val masked = Dialect.maskQuoted(body)
+        val dep = Dialect.depths(masked)
+        val sb = new StringBuilder(body)
+        // depth-1 DEFAULT tokens, replaced right-to-left; the element
+        // POSITION is the count of depth-1 commas before the token
+        // within its tuple
+        "(?i)\\bDEFAULT\\b".r.findAllMatchIn(masked).toList.reverse
+          .foreach { m =>
+            if (dep(m.start) == 1) {
+              var j = m.start
+              var commas = 0
+              while (j >= 0 && dep(j) >= 1) {
+                if (masked.charAt(j) == ',' && dep(j) == 1) commas += 1
+                j -= 1
+              }
+              val colName = if (commas < order.length)
+                order(commas).toLowerCase else ""
+              val repl = defaults.getOrElse(colName, "NULL")
+              sb.replace(m.start, m.end, s"($repl)")
+            }
+          }
+        sb.toString
+      }
+    val added0 = bodyDf(body1)
     val added = Option(colList).filter(_.trim.nonEmpty) match {
       case Some(cs) => added0.toDF(cs.split(",").map(_.trim.stripPrefix("`").stripSuffix("`")): _*)
       case None if byName =>
@@ -837,7 +920,9 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     val addedCols = added.columns.map(_.toLowerCase).toSet
     val aligned = added.select(existing.columns.map { c =>
       if (addedCols(c.toLowerCase)) col(c).cast(existing.schema(c).dataType).as(c)
-      else lit(null).cast(existing.schema(c).dataType).as(c)
+      else defaults.get(c.toLowerCase) // absent column: declared DEFAULT, else NULL
+        .map(d => expr(d).cast(existing.schema(c).dataType).as(c))
+        .getOrElse(lit(null).cast(existing.schema(c).dataType).as(c))
     }: _*)
     (existing, aligned)
   }
@@ -1290,15 +1375,25 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     SequenceSql.exportDdl.foreach(s => schema.append(s).append("\n"))
     for (t <- tables) {
       val df = spark.read.parquet(Paths.get(warehouseDir, t).toString)
-      val cols = df.schema.fields
-        .map(f => s"${ident(f.name)} ${sqlTypeOf(f.dataType)}").mkString(", ")
+      // DEFAULT / NOT NULL ride the column defs so a replay keeps the
+      // insert-time behavior, not just the shape
+      val defs = tableDefaults.getOrElse(t.toLowerCase, Map.empty)
+      val nns = tableNotNull.getOrElse(t.toLowerCase, Nil)
+        .map(_.toLowerCase).toSet
+      val cols = df.schema.fields.map { f =>
+        s"${ident(f.name)} ${sqlTypeOf(f.dataType)}" +
+          defs.get(f.name.toLowerCase).map(v => s" DEFAULT $v").getOrElse("") +
+          (if (nns(f.name.toLowerCase)) " NOT NULL" else "")
+      }.mkString(", ")
       // the declared PRIMARY KEY is upsert-conflict-target state: it must
       // survive the replay (the table-level spelling, re-extracted by the
       // bare-DDL import path)
       val pk = declaredPk.get(t.toLowerCase)
         .map(ks => s", PRIMARY KEY (${ks.map(ident).mkString(", ")})")
         .getOrElse("")
-      schema.append(s"CREATE TABLE ${ident(t)}($cols$pk);\n")
+      val cks = tableChecks.getOrElse(t.toLowerCase, Nil)
+        .map(c => s", CHECK ($c)").mkString
+      schema.append(s"CREATE TABLE ${ident(t)}($cols$pk$cks);\n")
       val dataPath = out.resolve(s"$t.${e.format.toLowerCase}").toString
       if (e.format == "PARQUET") {
         df.write.mode("overwrite").parquet(dataPath)

@@ -465,6 +465,21 @@ object Extended {
           |ORDER BY doc_id""".stripMargin))
     }),
 
+    // bare-DDL constraints (IDENTICAL multi-statement text both engines,
+    // probed v1.0): DEFAULT values fill a partial-column INSERT, the
+    // declared CHECK passes, NOT NULL is satisfied — the RETURNING rows
+    // show the filled defaults (violations + the DEFAULT keyword are
+    // spec-pinned in ConstraintSpec).
+    "q92_constraints" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_q92_wh_").toString
+      val ex = new graft.component.Executor(s, wh)
+      graft.component.Dialect.prepare(Oracle.q92)
+        .flatMap(ex.runStatement(_)).last
+    }),
+
     // operator/syntax gap sweep (IDENTICAL text both engines, probed
     // v1.0): the starts-with operator ^@, the bare aggregate FILTER
     // (cond) shorthand, EXTRACT(epoch FROM ts), DATE − DATE as BIGINT
@@ -1034,6 +1049,19 @@ object Extended {
         |FROM documents WHERE doc_id % 4 <> 1
         |ORDER BY doc_id""".stripMargin
 
+    /** Shared DuckDB/Spark text — q92 runs this verbatim in both engines
+      * (bare-DDL constraint behavior, probed v1.0). */
+    val q92: String =
+      """DROP TABLE IF EXISTS q92_t;
+        |CREATE TABLE q92_t (
+        |  id BIGINT PRIMARY KEY,
+        |  src VARCHAR DEFAULT 'none',
+        |  score BIGINT DEFAULT 7 CHECK (score >= 0),
+        |  note VARCHAR NOT NULL
+        |);
+        |INSERT INTO q92_t (id, note) SELECT doc_id, lang FROM documents WHERE doc_id % 9 = 0
+        |  RETURNING id AS id, src AS src, score AS score, note AS note""".stripMargin
+
     /** Shared DuckDB/Spark text — q91 runs this verbatim in both engines
       * (operator/syntax gap sweep, all probed v1.0). */
     val q91: String =
@@ -1102,6 +1130,7 @@ object Extended {
     "q89_create_type" -> Oracle.q89,
     "q90_window_clause" -> Oracle.q90,
     "q91_gap_ops" -> Oracle.q91,
+    "q92_constraints" -> Oracle.q92,
     "q61_unnest" -> Oracle.q61,
     "q62_positional" -> Oracle.q62,
     "q63_dotcall" -> Oracle.q63,

@@ -42,5 +42,19 @@ object GapProbe {
     t("slice_over", "SELECT [1,2,3][1:9:2]")
     t("slice_cross", "SELECT [1,2,3,4,5][4:2:1]")
     t("slice_negb", "SELECT [1,2,3,4,5][-4:-1:2]")
+    t("product", "SELECT product(v) FROM a")
+    t("fsum", "SELECT fsum(v) FROM a")
+    t("bit_and", "SELECT bit_and(k) FROM a")
+    t("bit_xor", "SELECT bit_xor(k) FROM a")
+    t("quantile_list", "SELECT quantile_cont(v, [0.25, 0.5]) FROM a")
+    val ex = new graft.component.Executor(s, java.nio.file.Files.createTempDirectory("graft_gap_").toString)
+    def e(label: String, q: String): Unit =
+      try { val r = ex.runStatement(graft.component.Dialect.rewrite(q)); println(s"$label: OK " + r.map(_.collect().mkString(",")).getOrElse("-")) }
+      catch { case ex2: Exception => println(s"$label: ERR " + Option(ex2.getMessage).getOrElse("?").replaceAll("\n"," ").take(90)) }
+    e("ddl_default", "CREATE TABLE dt (a INT DEFAULT 5, b INT NOT NULL, c INT CHECK (c > 0))")
+    e("ins_default", "INSERT INTO dt (b, c) VALUES (1, 2) RETURNING a, b, c")
+    e("ins_defkw", "INSERT INTO dt VALUES (DEFAULT, 2, 3) RETURNING a")
+    e("ins_notnull", "INSERT INTO dt (a, c) VALUES (1, 2)")
+    e("ins_check", "INSERT INTO dt (b, c) VALUES (1, -5)")
   }
 }

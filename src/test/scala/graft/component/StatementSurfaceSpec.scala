@@ -693,7 +693,9 @@ class StatementSurfaceSpec extends SparkSpec {
     ex.runStatement("INSERT INTO ddl_t BY NAME SELECT 'y' AS name, 2 AS id")
     val got = spark.table("ddl_t").collect()
       .map(r => (r.getLong(0), r.getString(1), Option(r.get(2)))).sortBy(_._1)
-    assert(got.toList == List((1L, "x", Some(2.5)), (2L, "y", None)), got.toList)
+    // the missing `w` draws its declared DEFAULT 0 (probed v1.0 — the
+    // earlier NULL expectation pinned a divergence, corrected r15)
+    assert(got.toList == List((1L, "x", Some(2.5)), (2L, "y", Some(0.0))), got.toList)
     // IF NOT EXISTS skips; a parenthesized QUERY is still CTAS, not DDL
     ex.runStatement("CREATE TABLE IF NOT EXISTS ddl_t (zz INT)")
     assert(spark.table("ddl_t").columns.length == 3)
