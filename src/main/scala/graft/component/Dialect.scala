@@ -369,8 +369,8 @@ object Dialect {
         rewriteSeriesTableFns(rewriteFill(rewriteMatchOps(
           StarReplaceSql.rewriteBareExclude(StarReplaceSql.rewriteLike(
           rewriteIntDiv(rewritePow(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
-          FileReads.rewriteTableFunctions(
-            rewritePragma(WindowClauseSql.inline(Macros.rewrite(stmt0)))))))))))))))))))))))
+          FileReads.rewriteTableFunctions(IntrospectSql.rewrite(
+            rewritePragma(WindowClauseSql.inline(Macros.rewrite(stmt0))))))))))))))))))))))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position

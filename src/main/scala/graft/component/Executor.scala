@@ -97,6 +97,25 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     }
   }
 
+  /** The constraint-registry window [[IntrospectSql]] reads through.
+    * Catalog = the session's registered relations minus engine-internal
+    * names; BASE TABLE = a warehouse directory exists (file-read helper
+    * views registered by FileReads list as VIEWs — a documented
+    * impurity vs DuckDB, whose table functions are not cataloged). */
+  private lazy val introspectMeta: IntrospectSql.Meta = new IntrospectSql.Meta {
+    def pk(t: String): Seq[String] = declaredPk.getOrElse(t.toLowerCase, Nil)
+    def notNull(t: String): Seq[String] = tableNotNull.getOrElse(t.toLowerCase, Nil)
+    def defaults(t: String): Map[String, String] =
+      tableDefaults.getOrElse(t.toLowerCase, Map.empty)
+    def isBaseTable(n: String): Boolean =
+      java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(warehouseDir, Names.view(n)))
+    def catalogNames: Seq[String] =
+      spark.catalog.listTables().collect().map(_.name)
+        .filterNot(n => n.startsWith("__graft") || n.startsWith(".staging"))
+        .sorted.toSeq
+  }
+
   /** Drop every piece of key metadata attached to `table` — called when
     * the table object is dropped or replaced (DuckDB drops a table's
     * indexes with it; a replacement table starts with no keys — stale
@@ -217,6 +236,7 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     // inline ([[TypeSql]])
     val (stmt, returning) = ReturningSql.split(TypeSql.substitute(stmtFull))
     FileReads.ensureRegistered(spark, stmt) // read_csv/read_parquet views
+    IntrospectSql.ensureRegistered(spark, stmt, introspectMeta)
     var delta: Option[DataFrame] = None
     stmt match {
     case createView(ifNotExists, name, body) =>

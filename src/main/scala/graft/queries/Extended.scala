@@ -465,6 +465,24 @@ object Extended {
           |ORDER BY doc_id""".stripMargin))
     }),
 
+    // catalog introspection (IDENTICAL multi-statement text both
+    // engines, probed v1.0): information_schema.columns joined against
+    // pragma_table_info — shapes, the numeric precision/radix/scale
+    // rules, constraint flags and default text all compared. Filtered to
+    // the script's own table (the shared Verify session's other temp
+    // views must not leak into the catalog row set). The trailing SELECT
+    // runs through a CTAS wrapper on the Spark leg (the q86 pattern).
+    "q93_introspection" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_q93_wh_").toString
+      val ex = new graft.component.Executor(s, wh)
+      graft.component.Dialect.prepare(Oracle.q93Ddl).foreach(ex.runStatement(_))
+      ex.runStatement(graft.component.Dialect.rewrite(
+        s"CREATE OR REPLACE TABLE q93_out AS ${Oracle.q93Select}"))
+      s.table("q93_out")
+    }),
+
     // bare-DDL constraints (IDENTICAL multi-statement text both engines,
     // probed v1.0): DEFAULT values fill a partial-column INSERT, the
     // declared CHECK passes, NOT NULL is satisfied — the RETURNING rows
@@ -1049,6 +1067,23 @@ object Extended {
         |FROM documents WHERE doc_id % 4 <> 1
         |ORDER BY doc_id""".stripMargin
 
+    /** Shared DuckDB/Spark text — q93 runs this verbatim in both engines
+      * (catalog introspection, probed v1.0). The DDL and the SELECT are
+      * separate pieces: the Spark leg materializes the SELECT through a
+      * CTAS wrapper (the q86 pattern). */
+    val q93Ddl: String =
+      """DROP TABLE IF EXISTS q93_a;
+        |CREATE TABLE q93_a (id BIGINT PRIMARY KEY, d DECIMAL(12,2), s VARCHAR DEFAULT 'z', w DOUBLE NOT NULL)""".stripMargin
+    val q93Select: String =
+      """SELECT c.column_name, c.ordinal_position, c.column_default, c.is_nullable, c.data_type,
+        |       c.numeric_precision, c.numeric_precision_radix, c.numeric_scale,
+        |       p.cid, p."notnull" AS pti_notnull, p.dflt_value, p.pk
+        |FROM information_schema.columns c
+        |JOIN pragma_table_info('q93_a') p ON p.name = c.column_name
+        |WHERE c.table_name = 'q93_a'
+        |ORDER BY c.ordinal_position""".stripMargin
+    val q93: String = q93Ddl + ";\n" + q93Select
+
     /** Shared DuckDB/Spark text — q92 runs this verbatim in both engines
       * (bare-DDL constraint behavior, probed v1.0). */
     val q92: String =
@@ -1131,6 +1166,7 @@ object Extended {
     "q90_window_clause" -> Oracle.q90,
     "q91_gap_ops" -> Oracle.q91,
     "q92_constraints" -> Oracle.q92,
+    "q93_introspection" -> Oracle.q93,
     "q61_unnest" -> Oracle.q61,
     "q62_positional" -> Oracle.q62,
     "q63_dotcall" -> Oracle.q63,
