@@ -278,8 +278,8 @@ object Brackets {
         // keys, so the literal is the supported case.)
         val idx = body.trim
         if (stringBase) s"substr($base, $idx, 1)"
-        else if (idx.matches("[+]?0+")) s"try_element_at($base, nullif(0, 0))"
-        else s"try_element_at($base, $idx)"
+        else if (idx.matches("[+]?0+")) s"duck_subscript($base, nullif(0, 0))"
+        else s"duck_subscript($base, $idx)"
       } else {
         // a SECOND depth-0 `:` is the slice STEP (probed v1.0:
         // `[1:5:2]`=[1,3,5], negative steps walk down `[5:1:-2]`=[5,3,1],
@@ -400,6 +400,21 @@ object Brackets {
       case Seq(a, b) => (body.substring(a + 1, b), mbody.substring(a + 1, b))
       case _ => ("", "")
     }.filter(_._1.trim.nonEmpty).toSeq
+    // a `MAP` keyword immediately before the brace makes this a MAP
+    // literal (probed v1.0: `MAP {'a': 1}`) — Spark spells it
+    // map(k1, v1, ...) and the keys stay EXPRESSIONS (numeric keys keep
+    // their type); plain braces are a STRUCT, whose bare keys quote to
+    // field-name strings
+    val (isMap, start) = {
+      var j = open - 1
+      while (j >= 0 && stmt.charAt(j).isWhitespace) j -= 1
+      val e = j
+      while (j >= 0 && (stmt.charAt(j).isLetterOrDigit || stmt.charAt(j) == '_')) j -= 1
+      if (e > j && stmt.substring(j + 1, e + 1).equalsIgnoreCase("map") &&
+          masked.charAt(j + 1) == stmt.charAt(j + 1))
+        (true, j + 1)
+      else (false, open)
+    }
     val parts = entries.map { case (e, me) =>
       // first depth-0 single `:` separates key from value (`::` casts
       // live in the value)
@@ -417,18 +432,20 @@ object Brackets {
         }
         k += 1
       }
-      if (colon < 0) return None // not a struct literal
+      if (colon < 0) return None // not a struct/map literal
       val key0 = e.substring(0, colon).trim
       val value = e.substring(colon + 1).trim
       if (key0.isEmpty || value.isEmpty) return None
       // bare identifier keys quote to string literals; quoted keys keep
       val key =
-        if (key0.startsWith("'")) key0
+        if (isMap) key0
+        else if (key0.startsWith("'")) key0
         else if (key0.startsWith("\"")) "'" + key0.substring(1, key0.length - 1) + "'"
         else "'" + key0 + "'"
       s"$key, $value"
     }
-    Some(stmt.substring(0, open) + "named_struct(" + parts.mkString(", ") +
+    val fn = if (isMap) "map" else "named_struct"
+    Some(stmt.substring(0, start) + fn + "(" + parts.mkString(", ") +
       ")" + stmt.substring(close + 1))
   }
 }

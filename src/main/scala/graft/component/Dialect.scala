@@ -407,6 +407,12 @@ object Dialect {
         .replaceAll("(?<![~!])~~\\*(?!~)", " ILIKE ")
         .replaceAll("(?<!~)!~~(?![~*])", " NOT LIKE ")
         .replaceAll("(?<![~!])~~(?![~*])", " LIKE ")
+        // DuckDB spells IGNORE/RESPECT NULLS INSIDE the window call's
+        // parens (`lag(x IGNORE NULLS) OVER ...`, probed v1.0); Spark
+        // wants it between the call and OVER — move it out (gated on a
+        // following OVER so aggregate args never shift)
+        .replaceAll("(?i)\\s+(IGNORE|RESPECT)\\s+NULLS\\s*\\)(\\s*OVER\\b)",
+          ") $1 NULLS$2")
         // DuckDB's bare aggregate FILTER shorthand — `count(*) FILTER
         // (cond)` without WHERE (probed v1.0) — takes the keyword Spark
         // requires; the `)` before FILTER keeps the filter() HOF out

@@ -1828,12 +1828,11 @@ object DuckFunctions {
       // API resolves sql.functions BY NAME through the same registry, so
       // the binding must keep the native variadic form working too —
       // dual-mode: exactly two ARRAY args → MapFromArrays, anything
-      // else → Spark's CreateMap pairs. (element_at is deliberately NOT
-      // rebound for the same reason: DuckDB's map-only list-returning
-      // element_at would hijack every Column-API element_at in the
-      // session — t16's per-term tf lookup among them. DuckDB scripts
-      // get the list form under the map_extract spelling; the
-      // element_at type difference is the recorded deviation.)
+      // else → Spark's CreateMap pairs. (The SQL name element_at IS
+      // rebound below to DuckDB's map-only list-returning form — the
+      // registry only affects SQL name resolution, so Column-API
+      // element_at — t16's per-term tf lookup among them — keeps
+      // Spark's native semantics.)
       "map" -> { a =>
         def isArray(e: Expression) = e.resolved &&
           e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
@@ -1842,6 +1841,23 @@ object DuckFunctions {
         else CreateMap(a)
       },
       arity("map_extract", 2)(a => mapExtractList(a.head, a(1))),
+      // element_at stays UNBOUND (Spark semantics): Spark 4's Column-API
+      // functions.element_at resolves BY NAME through this registry, so
+      // DuckDB's map-only list-returning form would hijack every
+      // internal array lookup (s08/t02/t03's included — verified by
+      // attempting the rebind in r15). DuckDB scripts get the list form
+      // under map_extract and the bracket subscript; the element_at
+      // NAME's type difference is the recorded deviation.
+      // bracket subscripts ([[Brackets]]) dispatch on the base type at
+      // resolution: MAP bases take DuckDB's list form ([v] / [] / [NULL]
+      // — probed v1.0), everything else the 1-based NULL-out-of-range
+      // element lookup
+      arity("duck_subscript", 2) { a =>
+        if (a.head.resolved &&
+            a.head.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+          mapExtractList(a.head, a(1))
+        else ElementAt(a.head, a(1), None, failOnError = false)
+      },
 
       // exact histogram: the list_histogram expression over the group's
       // collected values — key TYPE preserved, keys sorted, NULLs

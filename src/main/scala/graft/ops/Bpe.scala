@@ -194,7 +194,7 @@ object Bpe {
           explode(expr(
             "case when size(syms) < 2 then cast(array() as array<struct<l:string,r:string>>) " +
               "else transform(sequence(1, size(syms) - 1), " +
-              "i -> struct(element_at(syms, i) as l, element_at(syms, i + 1) as r)) end"))
+              "i -> struct(list_extract(syms, i) as l, list_extract(syms, i + 1) as r)) end"))
             .as("p"), col("cnt"))
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("c"))
@@ -223,7 +223,7 @@ object Bpe {
        |  syms,
        |  cast(array() as array<string>),
        |  (acc, x) -> if(
-       |    size(acc) > 0 AND element_at(acc, -1) = ${q(l)} AND x = ${q(r)},
+       |    size(acc) > 0 AND list_extract(acc, -1) = ${q(l)} AND x = ${q(r)},
        |    concat(slice(acc, 1, size(acc) - 1), array(${q(l + r)})),
        |    concat(acc, array(x))))""".stripMargin
   }

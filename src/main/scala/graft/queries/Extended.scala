@@ -465,6 +465,19 @@ object Extended {
           |ORDER BY doc_id""".stripMargin))
     }),
 
+    // MAP literals + map subscripts + in-paren IGNORE NULLS (IDENTICAL
+    // text both engines, probed v1.0): MAP {k: v} lowers to map(k, v)
+    // with EXPRESSION keys; subscripts/map_extract on a map return the
+    // LIST form ([v] hit, [] miss — duck_subscript dispatches on the
+    // resolved base type; the element_at NAME stays on Spark semantics,
+    // the recorded deviation); `lag(x IGNORE NULLS)` moves the modifier
+    // to Spark's between-call-and-OVER slot.
+    "q94_map_window" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q94))
+    }),
+
     // catalog introspection (IDENTICAL multi-statement text both
     // engines, probed v1.0): information_schema.columns joined against
     // pragma_table_info — shapes, the numeric precision/radix/scale
@@ -1067,6 +1080,17 @@ object Extended {
         |FROM documents WHERE doc_id % 4 <> 1
         |ORDER BY doc_id""".stripMargin
 
+    /** Shared DuckDB/Spark text — q94 runs this verbatim in both engines
+      * (MAP literal, map subscript list form, in-paren IGNORE NULLS —
+      * all probed v1.0). */
+    val q94: String =
+      """SELECT doc_id,
+        |  (MAP {'a': n_chars % 10, 'b': 1})['a'] AS ma,
+        |  (MAP {'a': 1})['zz'] AS mz,
+        |  map_extract(MAP {'k': lang}, 'k') AS ek,
+        |  lag(CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars END IGNORE NULLS) OVER (ORDER BY doc_id) AS lg
+        |FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id""".stripMargin
+
     /** Shared DuckDB/Spark text — q93 runs this verbatim in both engines
       * (catalog introspection, probed v1.0). The DDL and the SELECT are
       * separate pieces: the Spark leg materializes the SELECT through a
@@ -1167,6 +1191,7 @@ object Extended {
     "q91_gap_ops" -> Oracle.q91,
     "q92_constraints" -> Oracle.q92,
     "q93_introspection" -> Oracle.q93,
+    "q94_map_window" -> Oracle.q94,
     "q61_unnest" -> Oracle.q61,
     "q62_positional" -> Oracle.q62,
     "q63_dotcall" -> Oracle.q63,

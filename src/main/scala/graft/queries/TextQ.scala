@@ -428,8 +428,8 @@ object TextQ {
       val docs = T.documents(s, d)
       val bigramsOf = expr(
         """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),
-          |  i -> concat(element_at(split(text, ' '), i), ' ',
-          |              element_at(split(text, ' '), i + 1)))""".stripMargin)
+          |  i -> concat(list_extract(split(text, ' '), i), ' ',
+          |              list_extract(split(text, ' '), i + 1)))""".stripMargin)
       val db = docs.select(col("doc_id"), explode(bigramsOf).as("bigram"))
       val model = db.groupBy("bigram").agg(count(lit(1)).as("c"))
       val total = db.agg(count(lit(1)).as("total"))
@@ -500,8 +500,8 @@ object TextQ {
       val h = substring(md5(concat(col("doc_id").cast(StringType), lit(":graft"))), 1, 4)
       val bigramsOf = expr(
         """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),
-          |  i -> concat(element_at(split(text, ' '), i), ' ',
-          |              element_at(split(text, ' '), i + 1)))""".stripMargin)
+          |  i -> concat(list_extract(split(text, ' '), i), ' ',
+          |              list_extract(split(text, ' '), i + 1)))""".stripMargin)
       val tb = docs.filter(h < "cccd").select(explode(bigramsOf).as("bigram"))
       val model = tb.groupBy("bigram").agg(count(lit(1)).as("c"))
       val stats = model.agg(sum(col("c")).as("total"), count(lit(1)).as("v"))

@@ -47,6 +47,10 @@ object GapProbe {
     t("bit_and", "SELECT bit_and(k) FROM a")
     t("bit_xor", "SELECT bit_xor(k) FROM a")
     t("quantile_list", "SELECT quantile_cont(v, [0.25, 0.5]) FROM a")
+    t("map_lit", "SELECT MAP {'a': 1, 'b': 2}")
+    t("map_idx", "SELECT (MAP {'a': 1})['a']")
+    t("ignore_inside", "SELECT lag(x IGNORE NULLS) OVER (ORDER BY i) FROM (VALUES (1,1),(2,CAST(NULL AS INT)),(3,3)) t(i,x)")
+    t("last_value_inside", "SELECT last_value(x IGNORE NULLS) OVER (ORDER BY i) FROM (VALUES (1,1),(2,CAST(NULL AS INT))) t(i,x)")
     val ex = new graft.component.Executor(s, java.nio.file.Files.createTempDirectory("graft_gap_").toString)
     def e(label: String, q: String): Unit =
       try { val r = ex.runStatement(graft.component.Dialect.rewrite(q)); println(s"$label: OK " + r.map(_.collect().mkString(",")).getOrElse("-")) }

@@ -37,8 +37,10 @@ class BracketsSpec extends SparkSpec {
       .createOrReplaceTempView("br_t")
     assert(one("SELECT l[1] AS e FROM br_t").getString(0) == "x")
     assert(one("SELECT l[3] AS e FROM br_t").getString(0) == "z")
-    // map subscript; chained subscript on a literal; function-call base
-    assert(one("SELECT m['k'] AS v FROM br_t").getLong(0) == 7L)
+    // map subscript returns the LIST form (probed v1.0: [v] — the
+    // earlier bare-value expectation pinned a divergence, corrected r15);
+    // chained subscript on a literal; function-call base
+    assert(one("SELECT m['k'] AS v FROM br_t").getSeq[Long](0) == Seq(7L))
     assert(one("SELECT ['a', 'b'][2] AS e").getString(0) == "b")
     assert(one("SELECT list_sort(l)[1] AS e FROM br_t").getString(0) == "x")
     // slices: 1-based inclusive bounds, open ends span the list
@@ -128,6 +130,25 @@ class BracketsSpec extends SparkSpec {
     // the words FOR/IN inside string literals never trigger the rewrite
     assert(one("SELECT ['FOR', 'IN'] AS l").getSeq[String](0) ==
       Seq("FOR", "IN"))
+  }
+
+  test("MAP literals and map subscripts match the probed v1.0 list form") {
+    DuckFunctions.register(spark)
+    def one(q: String) = spark.sql(Dialect.rewrite("SELECT " + q + " AS r"))
+      .collect().head
+    // MAP {k: v} -> map(); subscript returns [v] / [] / [NULL]
+    assert(one("(MAP {'a': 1, 'b': 2})['b']").getSeq[Int](0) == Seq(2))
+    assert(one("(MAP {'a': 1})['zz']").getSeq[Int](0) == Seq())
+    assert(one("(MAP {'a': CAST(NULL AS INT)})['a']").getSeq[Any](0) == Seq(null))
+    // numeric keys stay EXPRESSIONS (a struct's bare keys quote instead)
+    assert(one("(MAP {1: 'x', 2: 'y'})[2]").getSeq[String](0) == Seq("y"))
+    assert(one("{'a': 7}.a").getInt(0) == 7)
+    // map_extract carries DuckDB's list form (the element_at NAME keeps
+    // Spark semantics — the recorded Column-API-by-name deviation)
+    assert(one("map_extract(MAP {'k': 5}, 'k')").getSeq[Int](0) == Seq(5))
+    // array subscripts keep the 1-based NULL-out-of-range lookup
+    assert(one("([10,20,30])[2]").getInt(0) == 20)
+    assert(one("([10,20,30])[9]").isNullAt(0))
   }
 
   test("stepped slices [a:b:step] match the probed v1.0 values") {

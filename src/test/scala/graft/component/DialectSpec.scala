@@ -133,6 +133,21 @@ class DialectSpec extends AnyFunSuite {
     assert(ts.schema.head.dataType.typeName.contains("interval"))
   }
 
+  test("in-paren IGNORE/RESPECT NULLS moves between the call and OVER (probed v1.0)") {
+    assert(Dialect.rewrite("SELECT lag(x IGNORE NULLS) OVER (ORDER BY i) FROM t") ==
+      "SELECT lag(x) IGNORE NULLS OVER (ORDER BY i) FROM t")
+    assert(Dialect.rewrite("SELECT first_value(x RESPECT NULLS) OVER w FROM t WINDOW w AS (ORDER BY i)")
+      .contains(") RESPECT NULLS OVER"))
+    // no OVER -> untouched (aggregate args never shift)
+    assert(Dialect.rewrite("SELECT f(x IGNORE NULLS) FROM t") ==
+      "SELECT f(x IGNORE NULLS) FROM t")
+    val out = graft.TestSpark.spark.sql(Dialect.rewrite(
+      "SELECT lag(x IGNORE NULLS) OVER (ORDER BY i) AS r FROM " +
+        "(VALUES (1,1),(2,CAST(NULL AS INT)),(3,3)) t(i,x) ORDER BY i"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getInt(0)).toSeq
+    assert(out == Seq(null, 1, 1))
+  }
+
   test("// integer division lowers to divide() with correct grouping") {
     def r(s: String) = Dialect.rewrite(s)
     assert(r("SELECT 7 // 2") == "SELECT divide(7, 2)")

@@ -346,8 +346,10 @@ class GapExprsSpec extends SparkSpec {
     assert(arr("SELECT map_extract(map(array(1, 2), array('a', 'b')), 9)") == Seq())
     // a PRESENT key with a NULL value yields [NULL], not [] (probed)
     assert(arr("SELECT map_extract(map(array('a'), array(CAST(NULL AS STRING))), 'a')") == Seq(null))
-    // element_at is NOT rebound (Column-API hijack risk — see the map
-    // binding's comment); it keeps Spark's native scalar semantics
+    // element_at stays UNBOUND: Spark 4's Column-API element_at
+    // resolves BY NAME through the registry, so the DuckDB rebind would
+    // hijack every internal array lookup (attempted and reverted r15);
+    // map_extract and bracket subscripts carry the list form instead
     assert(one("SELECT element_at(map(array(1), array('x')), 1)") == "x")
     assert(one("SELECT element_at(array(10, 20), 2)") == 20)
     // Spark's variadic pair form still works through the dual-mode map
