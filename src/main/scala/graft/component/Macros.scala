@@ -12,16 +12,23 @@ import scala.collection.concurrent.TrieMap
   * parenthesize). TABLE macros (`CREATE MACRO m(x) AS TABLE SELECT ...`)
   * ride the SAME machinery: the expansion wraps in parentheses, which in
   * FROM position reads as a derived table — `FROM m(3)` becomes
-  * `FROM (SELECT ... 3 ...)`. Parameter defaults and overloads stay out
-  * of the corpus-driven scope; an unsupported form simply doesn't match
-  * and surfaces as a loud parse error at syntax check, never a silent
-  * difference.
+  * `FROM (SELECT ... 3 ...)`. DEFAULT parameters (`y := 5`, r15) bind by
+  * the probed v1.0 rules: positionals cover exactly the non-default
+  * parameters and named `k := v` arguments bind only to defaults —
+  * violations raise the DuckDB-shaped binder errors. `CREATE FUNCTION`
+  * is the probed full alias; DROP MACRO/FUNCTION deregisters (missing
+  * names error unless IF EXISTS). Overloads stay out of scope (loud
+  * parse error at syntax check, never a silent difference).
   *
   * The definition statement itself rewrites to an inert one-row SELECT
   * so the planner/executor see a dependency-free no-op in its place. */
 object Macros {
 
-  final case class Macro(params: Seq[String], body: String)
+  /** `params` are the positional names; `defaults` the `name := expr`
+    * tail (probed v1.0: named arguments bind ONLY to default parameters,
+    * positionals must cover exactly the non-default ones). */
+  final case class Macro(params: Seq[String], defaults: Seq[(String, String)],
+      body: String)
 
   private val defs = TrieMap[String, Macro]()
 
@@ -33,21 +40,43 @@ object Macros {
     defs.get(name.toLowerCase)
 
   private val createRe =
-    ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?MACRO\\s+" +
+    ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?(?:MACRO|FUNCTION)\\s+" +
       "([A-Za-z_][A-Za-z0-9_]*)\\s*\\(([^)]*)\\)\\s+AS\\s+(.*)$").r
 
-  /** Register a definition (→ inert SELECT) or expand call sites. */
-  def rewrite(stmt: String): String =
+  // DROP MACRO / DROP FUNCTION [TABLE] [IF EXISTS] name (probed v1.0:
+  // FUNCTION is a full alias of MACRO, missing names error, the TABLE
+  // keyword is accepted for table macros)
+  private val dropRe =
+    ("(?is)^\\s*DROP\\s+(?:MACRO|FUNCTION)\\s+(?:TABLE\\s+)?(IF\\s+EXISTS\\s+)?" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*;?\\s*$").r
+
+  /** Register a definition (→ inert SELECT), drop one, or expand call
+    * sites. */
+  def rewrite(stmt: String): String = {
+    dropRe.findFirstMatchIn(stmt).foreach { m =>
+      val had = defs.remove(m.group(2).toLowerCase).isDefined
+      if (!had && m.group(1) == null)
+        throw new UserException(
+          s"Macro Function with name ${m.group(2)} does not exist!")
+      return s"SELECT '${m.group(2)}' AS __graft_macro_dropped"
+    }
     createRe.findFirstMatchIn(stmt.trim.stripSuffix(";")) match {
       case Some(m) =>
-        val params = m.group(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val items = splitTop(m.group(2)).filter(_.nonEmpty)
+        val (defItems, posItems) = items.partition(_.contains(":="))
+        val params = posItems.map(_.trim)
+        val defaults = defItems.map { d =>
+          val Array(n, v) = d.split(":=", 2)
+          (n.trim, v.trim)
+        }
         // TABLE macro: the keyword drops; the body is a query whose
         // parenthesized expansion is a derived table in FROM position
         val body = m.group(3).trim.replaceFirst("(?is)^TABLE\\s+", "")
-        defs.put(m.group(1).toLowerCase, Macro(params, body))
+        defs.put(m.group(1).toLowerCase, Macro(params, defaults, body))
         s"SELECT '${m.group(1)}' AS __graft_macro_registered"
       case None => expand(stmt)
     }
+  }
 
   /** Expand every registered macro call in `stmt` (outside quoted
     * regions), repeatedly so macros may call macros; leftmost call
@@ -66,10 +95,9 @@ object Macros {
         throw new UserException(
           s"macro expansion did not terminate (recursive macro?): $stmt0")
       val masked = Dialect.maskQuoted(stmt)
-      // leftmost registered call that EXPANDS (an arity-mismatched call
-      // is left in place for the loud downstream error, and must not
-      // block expansion of later well-formed calls); qualified names
-      // (a.f()) are column/struct accesses, not macros
+      // leftmost registered call expands; binder-rule violations throw
+      // the probed DuckDB messages (r15 — was leave-alone); qualified
+      // names (a.f()) are column/struct accesses, not macros
       val calls = "(?i)(?<![\\w.])([A-Za-z_][A-Za-z0-9_]*)\\s*\\(".r
         .findAllMatchIn(masked)
         .filter(m => defs.contains(m.group(1).toLowerCase))
@@ -81,13 +109,34 @@ object Macros {
         if (close > open) {
           val argsStr = stmt.substring(open + 1, close)
           val args = splitTop(argsStr)
-          if (args.length == mac.params.length) {
-            val expanded = substitute(mac, args)
-            stmt = stmt.substring(0, m.start) + "(" + expanded + ")" +
-              stmt.substring(close + 1)
-            replacements += 1
-            changed = true
+          // probed v1.0 binding: named `k := v` arguments bind ONLY to
+          // default parameters (unknown name is a binder error);
+          // positionals must cover exactly the non-default parameters
+          val namedRe = "(?s)^\\s*([A-Za-z_]\\w*)\\s*:=\\s*(.*)$".r
+          val (named0, positional) = args.partition(a =>
+            namedRe.findFirstIn(a).isDefined)
+          val named = named0.map { a =>
+            val mm = namedRe.findFirstMatchIn(a).get
+            (mm.group(1), mm.group(2))
           }
+          val defNames = mac.defaults.map(_._1.toLowerCase).toSet
+          named.find(n => !defNames(n._1.toLowerCase)).foreach(n =>
+            throw new UserException(
+              s"Macro ${m.group(1)} does not have default parameter ${n._1}!"))
+          if (positional.length != mac.params.length)
+            throw new UserException(
+              s"Macro function '${m.group(1)}(${mac.params.mkString(", ")})' " +
+                s"requires ${mac.params.length} positional argument(s), but " +
+                s"${positional.length} were provided")
+          val namedMap = named.map { case (k, v) => k.toLowerCase -> v }.toMap
+          val defaultArgs = mac.defaults.map { case (n, dflt) =>
+            namedMap.getOrElse(n.toLowerCase, dflt)
+          }
+          val expanded = substitute(mac, positional ++ defaultArgs)
+          stmt = stmt.substring(0, m.start) + "(" + expanded + ")" +
+            stmt.substring(close + 1)
+          replacements += 1
+          changed = true
         }
       }
     }
@@ -96,7 +145,7 @@ object Macros {
 
   private def substitute(mac: Macro, args: Seq[String]): String = {
     var body = mac.body
-    for ((p, a) <- mac.params.zip(args)) {
+    for ((p, a) <- (mac.params ++ mac.defaults.map(_._1)).zip(args)) {
       val re = ("(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(p) + "\\b").r
       // mask-aware: a parameter name inside a string literal stays put
       val masked = Dialect.maskQuoted(body)

@@ -465,6 +465,21 @@ object Extended {
           |ORDER BY doc_id""".stripMargin))
     }),
 
+    // macro defaults + FUNCTION alias + DROP MACRO (IDENTICAL
+    // multi-statement text both engines, probed v1.0): a default
+    // parameter binds positionally-absent and by `f := v` name; CREATE
+    // FUNCTION is the alias; DROP MACRO IF EXISTS keeps it idempotent.
+    "q95_macro_defaults" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      graft.component.Macros.clear()
+      T.documents(s, d).createOrReplaceTempView("documents")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_q95_wh_").toString
+      val ex = new graft.component.Executor(s, wh)
+      graft.component.Dialect.prepare(Oracle.q95)
+        .flatMap(ex.runStatement(_)).last
+    }),
+
     // MAP literals + map subscripts + in-paren IGNORE NULLS (IDENTICAL
     // text both engines, probed v1.0): MAP {k: v} lowers to map(k, v)
     // with EXPRESSION keys; subscripts/map_extract on a map return the
@@ -1080,6 +1095,16 @@ object Extended {
         |FROM documents WHERE doc_id % 4 <> 1
         |ORDER BY doc_id""".stripMargin
 
+    /** Shared DuckDB/Spark text — q95 runs this verbatim in both engines
+      * (macro default parameters, FUNCTION alias, DROP MACRO). */
+    val q95: String =
+      """DROP MACRO IF EXISTS q95m;
+        |CREATE FUNCTION q95m(x, f := 2) AS x * f + 1;
+        |DROP TABLE IF EXISTS q95_t;
+        |CREATE TABLE q95_t (doc_id BIGINT, a BIGINT, b BIGINT);
+        |INSERT INTO q95_t SELECT doc_id, q95m(n_chars), q95m(n_chars, f := 3) FROM documents WHERE doc_id % 21 = 0
+        |  RETURNING doc_id AS doc_id, a AS a, b AS b""".stripMargin
+
     /** Shared DuckDB/Spark text — q94 runs this verbatim in both engines
       * (MAP literal, map subscript list form, in-paren IGNORE NULLS —
       * all probed v1.0). */
@@ -1192,6 +1217,7 @@ object Extended {
     "q92_constraints" -> Oracle.q92,
     "q93_introspection" -> Oracle.q93,
     "q94_map_window" -> Oracle.q94,
+    "q95_macro_defaults" -> Oracle.q95,
     "q61_unnest" -> Oracle.q61,
     "q62_positional" -> Oracle.q62,
     "q63_dotcall" -> Oracle.q63,

@@ -60,5 +60,13 @@ object GapProbe {
     e("ins_defkw", "INSERT INTO dt VALUES (DEFAULT, 2, 3) RETURNING a")
     e("ins_notnull", "INSERT INTO dt (a, c) VALUES (1, 2)")
     e("ins_check", "INSERT INTO dt (b, c) VALUES (1, -5)")
+    e("mk_macro_def", "CREATE MACRO md(x, y := 5) AS x + y")
+    e("use_macro_def", "CREATE TABLE md_out AS SELECT md(1) AS a, md(1, y := 10) AS b")
+    e("chk_macro_def", "INSERT INTO md_out SELECT a, b FROM md_out RETURNING a, b")
+    e("mk_tbl_macro", "CREATE MACRO topk(n) AS TABLE SELECT k FROM a ORDER BY k LIMIT n")
+    e("use_tbl_macro", "CREATE TABLE tm_out AS SELECT * FROM topk(1)")
+    e("chk_tbl_macro", "INSERT INTO tm_out SELECT * FROM tm_out RETURNING k")
+    e("list_filter", "CREATE TABLE lf AS SELECT list(k) FILTER (k > 1) AS l FROM a")
+    e("chk_lf", "INSERT INTO lf SELECT l FROM lf RETURNING l")
   }
 }

@@ -193,12 +193,32 @@ class StatementSurfaceSpec extends SparkSpec {
     // a macro name inside a string literal is untouched
     val lit = Dialect.rewrite("SELECT 'call add_tax(1, 2) later' AS hint FROM t")
     assert(lit.contains("'call add_tax(1, 2) later'"), lit)
-    // arity mismatch leaves the call alone (loud downstream, not silent)
-    val wrong = Dialect.rewrite("SELECT add_tax(1) FROM t")
-    assert(wrong.contains("add_tax(1)"))
-    // ... and does not block expansion of later well-formed calls
-    val mixed = Dialect.rewrite("SELECT add_tax(1), add_tax(2, 3) FROM t")
-    assert(mixed.contains("add_tax(1)") && !mixed.contains("add_tax(2"), mixed)
+    // arity mismatch raises the DuckDB-shaped binder error (r15 — was a
+    // leave-alone; the probed engine errors, so the loud message wins)
+    val wrong = intercept[UserException](
+      Dialect.rewrite("SELECT add_tax(1) FROM t"))
+    assert(wrong.getMessage.contains("positional argument"))
+    // default parameters (probed v1.0): named `k := v` binds only to
+    // defaults; positionals cover exactly the non-default params
+    Dialect.rewrite("CREATE MACRO with_def(x, y := 5) AS x + y")
+    assert(Dialect.rewrite("SELECT with_def(1) AS a")
+      .contains("((1) + (5))"))
+    assert(Dialect.rewrite("SELECT with_def(1, y := 9) AS a")
+      .contains("((1) + (9))"))
+    val unk = intercept[UserException](
+      Dialect.rewrite("SELECT with_def(1, z := 9)"))
+    assert(unk.getMessage.contains("does not have default parameter z"))
+    val posOver = intercept[UserException](
+      Dialect.rewrite("SELECT with_def(1, 9)"))
+    assert(posOver.getMessage.contains("positional argument"))
+    // CREATE FUNCTION is the probed full alias; DROP MACRO deregisters
+    Dialect.rewrite("CREATE FUNCTION fn_alias(x) AS x * 3")
+    assert(Dialect.rewrite("SELECT fn_alias(2) AS a").contains("((2) * 3)"))
+    Dialect.rewrite("DROP FUNCTION fn_alias")
+    assert(Dialect.rewrite("SELECT fn_alias(2) AS a").contains("fn_alias(2)"))
+    val dm = intercept[UserException](Dialect.rewrite("DROP MACRO fn_alias"))
+    assert(dm.getMessage.contains("does not exist"))
+    Dialect.rewrite("DROP MACRO IF EXISTS fn_alias") // silent
     // many independent calls are NOT mistaken for recursion
     val many = (1 to 40).map(i => s"add_tax($i, 0.1)").mkString("SELECT ", ", ", "")
     assert(!Dialect.rewrite(many).toLowerCase.contains("add_tax("))
