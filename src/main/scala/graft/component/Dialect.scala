@@ -370,7 +370,7 @@ object Dialect {
           StarReplaceSql.rewriteBareExclude(StarReplaceSql.rewriteLike(
           rewriteIntDiv(rewritePow(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
           FileReads.rewriteTableFunctions(IntrospectSql.rewrite(
-            rewritePragma(WindowClauseSql.inline(Macros.rewrite(stmt0))))))))))))))))))))))))
+            rewritePragma(WindowClauseSql.inline(Macros.rewrite(rewriteDollarStrings(stmt0)))))))))))))))))))))))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position
@@ -1520,8 +1520,59 @@ object Dialect {
   }
 
   /** Full script → rewritten single statements. */
+  /** Dollar-quoted strings (`$$...$$`, `$tag$...$tag$` — probed v1.0:
+    * tags nest nothing, backslash is not an escape) convert to standard
+    * single-quoted literals with `''` doubling. Runs on the WHOLE script
+    * BEFORE statement splitting — a `;`, quote or comment marker inside
+    * the dollar body must never be seen by any later scanner. The walk
+    * is quote/comment-aware so a `$$` inside an ordinary literal never
+    * triggers; `$1`/`$name` PREPARE parameters lack the closing `$` and
+    * pass through. An unterminated opener is left whole (loud parse
+    * error downstream, the leave-alone contract). */
+  private[component] def rewriteDollarStrings(script: String): String = {
+    if (script.indexOf('$') < 0) return script
+    val sb = new StringBuilder
+    var i = 0
+    val n = script.length
+    val openRe = "^\\$([A-Za-z_]\\w*)?\\$".r
+    while (i < n) {
+      val c = script.charAt(i)
+      if (c == '\'') {
+        val end = quotedEnd(script, i)
+        sb.append(script.substring(i, end)); i = end
+      } else if (c == '"' || c == '`') {
+        val end = script.indexOf(c, i + 1)
+        val stop = if (end < 0) n else end + 1
+        sb.append(script.substring(i, stop)); i = stop
+      } else if (c == '-' && i + 1 < n && script.charAt(i + 1) == '-') {
+        val end = script.indexOf('\n', i)
+        val stop = if (end < 0) n else end + 1
+        sb.append(script.substring(i, stop)); i = stop
+      } else if (c == '/' && i + 1 < n && script.charAt(i + 1) == '*') {
+        val end = script.indexOf("*/", i + 2)
+        val stop = if (end < 0) n else end + 2
+        sb.append(script.substring(i, stop)); i = stop
+      } else if (c == '$') {
+        openRe.findFirstMatchIn(script.substring(i)) match {
+          case Some(m) =>
+            val delim = m.matched
+            val bodyStart = i + delim.length
+            val close = script.indexOf(delim, bodyStart)
+            if (close < 0) { sb.append(c); i += 1 } // unterminated: leave
+            else {
+              val body = script.substring(bodyStart, close)
+              sb.append("'").append(body.replace("'", "''")).append("'")
+              i = close + delim.length
+            }
+          case None => sb.append(c); i += 1
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def prepare(script: String): List[String] =
-    splitStatements(script).map(s => rewrite(fromFirst(s)))
+    splitStatements(rewriteDollarStrings(script)).map(s => rewrite(fromFirst(s)))
 }
 
 /** SQL-visible table name → valid Spark temp-view identifier. Temp views

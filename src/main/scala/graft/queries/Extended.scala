@@ -1155,7 +1155,8 @@ object Extended {
         |  DATE '2024-03-01' - DATE '2024-01-01' AS dd,
         |  max(CASE WHEN lang ^@ 'e' THEN n_chars END) AS maxe,
         |  [1,2,3,4,5,6,7][2:7:3] AS sl,
-        |  [10,20,30,40,50][5:1:-2] AS sr
+        |  [10,20,30,40,50][5:1:-2] AS sr,
+        |  $$it's; -- fine$$ AS dq
         |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
     /** Shared DuckDB/Spark text — q90 runs this verbatim in both engines

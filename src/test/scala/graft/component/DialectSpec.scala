@@ -133,6 +133,25 @@ class DialectSpec extends AnyFunSuite {
     assert(ts.schema.head.dataType.typeName.contains("interval"))
   }
 
+  test("dollar-quoted strings convert to standard literals (probed v1.0)") {
+    // basic + embedded single quote doubles
+    assert(Dialect.rewrite("SELECT $$it's here$$ AS s") ==
+      "SELECT 'it''s here' AS s")
+    // tagged form; inner $$ is CONTENT (probed: $tag$a$$b$tag$ = a$$b)
+    assert(Dialect.rewrite("SELECT $tag$a$$b$tag$ AS s") ==
+      "SELECT 'a$$b' AS s")
+    // a ; inside the body must not split the script
+    val stmts = Dialect.prepare("SELECT $$a;b$$ AS s; SELECT 2 AS t")
+    assert(stmts.length == 2 && stmts.head.contains("'a;b'"))
+    // $$ inside an ordinary literal never triggers; PREPARE params pass
+    assert(Dialect.rewrite("SELECT '$$' AS s") == "SELECT '$$' AS s")
+    assert(Dialect.rewrite("SELECT $1 + 1").contains("$1"))
+    // executed value
+    val r = graft.TestSpark.spark.sql(Dialect.rewrite(
+      "SELECT $$don't; -- stop$$ AS s")).collect().head.getString(0)
+    assert(r == "don't; -- stop")
+  }
+
   test("in-paren IGNORE/RESPECT NULLS moves between the call and OVER (probed v1.0)") {
     assert(Dialect.rewrite("SELECT lag(x IGNORE NULLS) OVER (ORDER BY i) FROM t") ==
       "SELECT lag(x) IGNORE NULLS OVER (ORDER BY i) FROM t")
