@@ -23,8 +23,30 @@ object Verify {
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+      try {
+        val df = fn(spark, sfDir)
+        // Lint: oracle-paired outputs must not expose top-level LIST /
+        // MAP / DECIMAL columns — the driver's pandas sorter cannot
+        // factorize ndarray cells (r15: q85/q91/q94 `unhashable type`)
+        // and decimal rendering drifts across oracle fetch paths (r15:
+        // q89 hash-fail). Serialize lists/maps via to_json and cast
+        // decimals to DOUBLE in the shared statement text instead.
+        if (SparkEntry.oracleSql.contains(name)) {
+          import org.apache.spark.sql.types.{ArrayType, DecimalType, MapType}
+          val bad = df.schema.fields.collect {
+            case f if f.dataType.isInstanceOf[ArrayType] => s"${f.name}: LIST"
+            case f if f.dataType.isInstanceOf[MapType] => s"${f.name}: MAP"
+            case f if f.dataType.isInstanceOf[DecimalType] =>
+              s"${f.name}: DECIMAL"
+          }
+          if (bad.nonEmpty) throw new IllegalStateException(
+            s"oracle-paired output has driver-unhashable top-level " +
+              s"columns [${bad.mkString(", ")}] — serialize via to_json " +
+              "/ CAST AS DOUBLE in the shared text")
+        }
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -1,0 +1,40 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-16 byte-stability probes: does Spark's `to_json` render
+  * BIGINT / VARCHAR lists byte-identically to DuckDB v1.0's
+  * `to_json(...)::VARCHAR` (`[1,2,3]` / `["en","fr"]`, no spaces)?
+  * Feeds the q85/q91/q94 LIST-column serialization fix (the driver's
+  * pandas sorter cannot factorize ndarray cells, VERDICT r15 #2).
+  */
+object R16Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-r16-probe")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      graft.component.DuckFunctions.register(spark)
+      val r = spark.sql(
+        """SELECT to_json(array(1L,2L,3L)) AS a,
+          |       to_json(array('en','fr')) AS c,
+          |       CAST(to_json(array(1L,2L,3L)) AS STRING) AS b,
+          |       to_json(array(CAST(NULL AS BIGINT), 5L)) AS n
+          |""".stripMargin).collect()(0)
+      println(s"bigint list: '${r.getString(0)}'")
+      println(s"string list: '${r.getString(1)}'")
+      println(s"cast wrap:   '${r.getString(2)}'")
+      println(s"null elem:   '${r.getString(3)}'")
+      // the q91 slice shapes through the Dialect rewrite
+      val q = spark.sql(graft.component.Dialect.rewrite(
+        "SELECT CAST(to_json([1,2,3,4,5,6,7][2:7:3]) AS VARCHAR) AS sl, " +
+          "CAST(to_json([10,20,30,40,50][5:1:-2]) AS VARCHAR) AS sr"))
+      q.collect().foreach(println)
+    } finally spark.stop()
+  }
+}
