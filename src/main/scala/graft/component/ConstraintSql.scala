@@ -40,7 +40,12 @@ object ConstraintSql {
 
   /** Forward-scan one DEFAULT value: quoted literal, parenthesized
     * expression, `ident(args)` call, or a bare token — optionally
-    * followed by `::type` casts. Returns end (exclusive). */
+    * followed by `::type` casts and chained through binary operators
+    * (`1+1`, `'a'||'b'`, `2*3::INT`), so an unparenthesized compound
+    * default is consumed whole and any FOLLOWING constraints still
+    * parse (r16 ADVICE: the one-primary scan silently truncated the
+    * value and dropped trailing NOT NULL/CHECK). Returns end
+    * (exclusive). */
   private def valueEnd(item: String, masked: String, from: Int): Int = {
     var i = from
     while (i < item.length && item.charAt(i).isWhitespace) i += 1
@@ -62,16 +67,35 @@ object ConstraintSql {
           i = if (close > 0) close + 1 else item.length
         }
       }
+      // trailing :: casts bind to the primary
+      while (i + 1 < item.length && item.charAt(i) == ':' &&
+        item.charAt(i + 1) == ':') {
+        i += 2
+        while (i < item.length && (item.charAt(i).isLetterOrDigit ||
+          item.charAt(i) == '_')) i += 1
+        if (i < item.length && item.charAt(i) == '(') {
+          val close = Dialect.matchingParen(masked, i)
+          i = if (close > 0) close + 1 else item.length
+        }
+      }
     }
     onePrimary()
-    // trailing :: casts bind to the value
-    while (i + 1 < item.length && item.charAt(i) == ':' && item.charAt(i + 1) == ':') {
-      i += 2
-      while (i < item.length && (item.charAt(i).isLetterOrDigit ||
-        item.charAt(i) == '_')) i += 1
-      if (i < item.length && item.charAt(i) == '(') {
-        val close = Dialect.matchingParen(masked, i)
-        i = if (close > 0) close + 1 else item.length
+    // binary-operator chain: op then another primary, repeatedly
+    var chained = true
+    while (chained) {
+      var j = i
+      while (j < item.length && item.charAt(j).isWhitespace) j += 1
+      val op =
+        if (j + 1 < item.length && (item.substring(j, j + 2) == "||" ||
+          item.substring(j, j + 2) == "**")) 2
+        else if (j < item.length && "+-*/%^".contains(item.charAt(j)) &&
+          masked.charAt(j) == item.charAt(j)) 1
+        else 0
+      if (op == 0) chained = false
+      else {
+        i = j + op
+        while (i < item.length && item.charAt(i).isWhitespace) i += 1
+        if (i >= item.length) chained = false else onePrimary()
       }
     }
     i
@@ -118,7 +142,15 @@ object ConstraintSql {
       val m = "(?is)^\\s*(NOT\\s+NULL|NULL|DEFAULT|CHECK|PRIMARY\\s+KEY|UNIQUE|REFERENCES|COLLATE|FOREIGN\\s+KEY)\\b".r
         .findFirstMatchIn(rest)
       m match {
-        case None => p = item.length // unknown trailing text: done
+        case None =>
+          // unknown trailing text is NOT silently discarded — a parse
+          // hole here would fill wrong defaults / skip enforcement
+          // (the loud-reject contract; r16 ADVICE)
+          if (rest.trim.nonEmpty) throw new UserException(
+            s"unsupported column-constraint syntax after `$name`: " +
+              s"'${rest.trim.take(60)}' — supported: NOT NULL, DEFAULT, " +
+              "CHECK, PRIMARY KEY, UNIQUE, REFERENCES, COLLATE")
+          p = item.length
         case Some(mm) =>
           mm.group(1).toUpperCase.replaceAll("\\s+", " ") match {
             case "NOT NULL" => notNull = true; skip(mm.end)

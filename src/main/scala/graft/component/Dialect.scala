@@ -1399,7 +1399,15 @@ object Dialect {
         def inOver(re: scala.util.matching.Regex) =
           re.findAllMatchIn(masked).find(m =>
             overSpans.exists { case (s, e) => m.start >= s && m.end <= e })
-        if (inOver("(?i)\\bGROUPS\\s+(BETWEEN\\b|UNBOUNDED\\b|CURRENT\\s+ROW|\\d)".r)
+        // frame-position GROUPS: BETWEEN/UNBOUNDED/CURRENT ROW heads, or
+        // the single-bound form `GROUPS <expr> PRECEDING|FOLLOWING` —
+        // tempered so a COLUMN named `groups` (e.g. in PARTITION BY,
+        // where ORDER/ROWS/RANGE intervenes before any PRECEDING) never
+        // false-positives into the reject (r16 ADVICE: the digit-only
+        // bound pattern let expression bounds die as opaque parse errors)
+        if (inOver(("(?i)\\bGROUPS\\s+(?:BETWEEN\\b|UNBOUNDED\\b|CURRENT\\s+ROW|" +
+            "(?:\\([^()]*\\)|(?!\\b(?:ORDER|ROWS|RANGE|PARTITION|EXCLUDE|OVER)\\b)[^()])*?" +
+            "\\b(?:PRECEDING|FOLLOWING)\\b)").r)
             .isDefined)
           return FrameSql.rewriteGroups(stmt).map(rewritePragma)
             .getOrElse(rejectSentinel("FRAME_GROUPS"))

@@ -1828,11 +1828,11 @@ object DuckFunctions {
       // API resolves sql.functions BY NAME through the same registry, so
       // the binding must keep the native variadic form working too —
       // dual-mode: exactly two ARRAY args → MapFromArrays, anything
-      // else → Spark's CreateMap pairs. (The SQL name element_at IS
-      // rebound below to DuckDB's map-only list-returning form — the
-      // registry only affects SQL name resolution, so Column-API
-      // element_at — t16's per-term tf lookup among them — keeps
-      // Spark's native semantics.)
+      // else → Spark's CreateMap pairs. (element_at stays UNBOUND with
+      // Spark semantics — see the duck_subscript note below; the r15
+      // rebind attempt showed Column-API element_at resolves BY NAME
+      // through this registry, so a DuckDB list-returning rebind would
+      // hijack every internal array lookup.)
       "map" -> { a =>
         def isArray(e: Expression) = e.resolved &&
           e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]

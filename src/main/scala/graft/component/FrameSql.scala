@@ -361,6 +361,14 @@ object FrameSql {
       G(okw, o, c, sp, stmt.substring(o + 1, c))
     }
     if (gs.isEmpty) return None
+    // the wrap is an ALIASLESS subquery: a table-qualified reference
+    // (t.a) in the select list or tail would no longer resolve — a
+    // confusing unresolved-column error instead of the loud reject.
+    // Bail on any qualified identifier in those segments (r16 ADVICE).
+    val qualRe = "[A-Za-z_]\\w*\\s*\\.\\s*[A-Za-z_*]".r
+    if (qualRe.findFirstIn(masked.substring(selStart, fromStart)).isDefined ||
+        qualRe.findFirstIn(masked.substring(tailStart, effEnd)).isDefined)
+      return None
     val inSegment = (g: G) =>
       (g.kw >= selStart && g.close < fromStart) ||
         (g.kw >= tailStart && g.close < effEnd)

@@ -39,9 +39,12 @@ object Macros {
   private[component] def defined(name: String): Option[Macro] =
     defs.get(name.toLowerCase)
 
-  private val createRe =
+  // head only up to the parameter-list open paren: the list itself is
+  // scanned with matchingParen so defaults containing parens
+  // (`y := f(1)`) parse instead of failing the whole regex (r16 ADVICE)
+  private val createHeadRe =
     ("(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMP(?:ORARY)?\\s+)?(?:MACRO|FUNCTION)\\s+" +
-      "([A-Za-z_][A-Za-z0-9_]*)\\s*\\(([^)]*)\\)\\s+AS\\s+(.*)$").r
+      "([A-Za-z_][A-Za-z0-9_]*)\\s*\\(").r
 
   // DROP MACRO / DROP FUNCTION [TABLE] [IF EXISTS] name (probed v1.0:
   // FUNCTION is a full alias of MACRO, missing names error, the TABLE
@@ -60,20 +63,44 @@ object Macros {
           s"Macro Function with name ${m.group(2)} does not exist!")
       return s"SELECT '${m.group(2)}' AS __graft_macro_dropped"
     }
-    createRe.findFirstMatchIn(stmt.trim.stripSuffix(";")) match {
-      case Some(m) =>
-        val items = splitTop(m.group(2)).filter(_.nonEmpty)
+    val trimmed = stmt.trim.stripSuffix(";")
+    createHeadRe.findFirstMatchIn(trimmed) match {
+      case Some(h) =>
+        val name = h.group(1)
+        val masked = Dialect.maskQuoted(trimmed)
+        val open = h.end - 1
+        val close = Dialect.matchingParen(masked, open)
+        if (close < 0) throw new UserException(
+          s"unbalanced parameter list in CREATE MACRO $name")
+        val rest = trimmed.substring(close + 1)
+        val bodyM = "(?is)^\\s*AS\\s+(.*)$".r.findFirstMatchIn(rest)
+          .getOrElse(throw new UserException(
+            s"unsupported CREATE MACRO form for $name — expected " +
+              s"`AS <expression>` after the parameter list, got: " +
+              s"'${rest.trim.take(60)}'"))
+        val items = splitTop(trimmed.substring(open + 1, close))
+          .filter(_.nonEmpty)
         val (defItems, posItems) = items.partition(_.contains(":="))
         val params = posItems.map(_.trim)
+        // probed v1.0: default values must be CONSTANTS — numbers,
+        // strings, NULL, booleans; `y := 1+2`, `y := f(1)`, `y := [1,2]`
+        // all raise `Parser Error: Invalid parameter`. Reproduce the
+        // loud reject instead of registering an unprobed extension.
+        val literalRe =
+          "(?is)^(?:[+-]?\\d+(?:\\.\\d+)?(?:e[+-]?\\d+)?|'(?:[^']|'')*'|NULL|TRUE|FALSE)$".r
         val defaults = defItems.map { d =>
           val Array(n, v) = d.split(":=", 2)
+          if (literalRe.findFirstIn(v.trim).isEmpty)
+            throw new UserException(s"Invalid parameter: '${v.trim}' — " +
+              "macro default values must be constant literals (probed " +
+              "DuckDB rule)")
           (n.trim, v.trim)
         }
         // TABLE macro: the keyword drops; the body is a query whose
         // parenthesized expansion is a derived table in FROM position
-        val body = m.group(3).trim.replaceFirst("(?is)^TABLE\\s+", "")
-        defs.put(m.group(1).toLowerCase, Macro(params, defaults, body))
-        s"SELECT '${m.group(1)}' AS __graft_macro_registered"
+        val body = bodyM.group(1).trim.replaceFirst("(?is)^TABLE\\s+", "")
+        defs.put(name.toLowerCase, Macro(params, defaults, body))
+        s"SELECT '$name' AS __graft_macro_registered"
       case None => expand(stmt)
     }
   }

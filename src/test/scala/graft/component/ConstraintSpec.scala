@@ -111,4 +111,42 @@ class ConstraintSpec extends SparkSpec {
       ddl.replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING"))
     assert(sch.fieldNames.toSeq == Seq("the col", "b", "c", "d"))
   }
+
+  test("unparenthesized compound DEFAULTs parse whole; trailing constraints kept (probed v1.0)") {
+    // parser level: operator chains bind to the value, constraints follow
+    val p = ConstraintSql.parse(Seq(
+      "a INT DEFAULT 1+1 NOT NULL",
+      "s VARCHAR DEFAULT 'a'||'b'",
+      "c INT DEFAULT 2*3 CHECK (c > 0)",
+      "d DOUBLE DEFAULT 2^3",
+      "e INT DEFAULT 1 + 2 * 3 UNIQUE",
+      "f INT DEFAULT -1::INT + 2"))
+    assert(p.cols(0).default.contains("1+1") && p.cols(0).notNull)
+    assert(p.cols(1).default.contains("'a'||'b'"))
+    assert(p.cols(2).default.contains("2*3") &&
+      p.cols(2).checks == Seq("c > 0"))
+    assert(p.cols(3).default.contains("2^3"))
+    assert(p.cols(4).default.contains("1 + 2 * 3") && p.cols(4).unique)
+    assert(p.cols(5).default.contains("-1::INT + 2"))
+    // executor level: DEFAULT keyword draws the computed values (probed
+    // v1.0: 2, 'ab', 6, 8.0) and the trailing NOT NULL is ENFORCED
+    val ex = mkEx()
+    def run(q: String) = ex.runStatement(Dialect.rewrite(q))
+    run("CREATE TABLE c_cd (a INT DEFAULT 1+1 NOT NULL, " +
+      "s VARCHAR DEFAULT 'a'||'b', c INT DEFAULT 2*3 CHECK (c>0), " +
+      "d DOUBLE DEFAULT 2^3)")
+    val r = run("INSERT INTO c_cd VALUES (DEFAULT, DEFAULT, DEFAULT, DEFAULT) " +
+      "RETURNING a, s, c, d").get.collect().head
+    assert((r.getInt(0), r.getString(1), r.getInt(2), r.getDouble(3)) ==
+      ((2, "ab", 6, 8.0)))
+    val nn = intercept[Exception](
+      run("INSERT INTO c_cd VALUES (NULL, 'x', 1, 0.0)"))
+    assert(nn.getMessage.contains("NOT NULL constraint failed: c_cd.a"))
+  }
+
+  test("unknown trailing column text rejects loudly, not silently (r16 ADVICE)") {
+    val e = intercept[UserException](ConstraintSql.parse(Seq(
+      "a INT DEFAULT 1 GIBBERISH HERE")))
+    assert(e.getMessage.contains("unsupported column-constraint syntax"))
+  }
 }

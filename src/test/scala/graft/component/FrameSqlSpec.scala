@@ -222,6 +222,36 @@ class FrameSqlSpec extends SparkSpec {
     rejected(
       "SELECT sum(x) OVER (ORDER BY k GROUPS BETWEEN x PRECEDING AND CURRENT ROW) FROM gx",
       "FRAME_GROUPS")
+    // single-bound EXPRESSION form: previously escaped the digit-only
+    // triage and died as an opaque Spark parse error (r16 ADVICE)
+    rejected(
+      "SELECT sum(x) OVER (ORDER BY k GROUPS x PRECEDING) FROM gx",
+      "FRAME_GROUPS")
+    rejected(
+      "SELECT sum(x) OVER (ORDER BY k GROUPS (1+1) PRECEDING) FROM gx",
+      "FRAME_GROUPS")
+    // table-qualified references in the select list with an offset-bound
+    // GROUPS frame: the aliasless subquery wrap would un-resolve them —
+    // loud reject, not a confusing unresolved-column error (r16 ADVICE)
+    rejected(
+      "SELECT gx.x, sum(gx.x) OVER (ORDER BY k GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) FROM gx",
+      "FRAME_GROUPS")
+  }
+
+  test("single-bound digit GROUPS executes; groups-identifier frames still pass triage") {
+    // `GROUPS 1 PRECEDING` = GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW
+    val out = sql(
+      """SELECT p, k, x, sum(x) OVER (PARTITION BY p ORDER BY k GROUPS 1 PRECEDING) AS s
+        |FROM gx WHERE p = 1 AND x IS NOT NULL ORDER BY k, x""".stripMargin)
+      .collect()
+    assert(out.map(_.get(3)).forall(_ != null))
+    // a column NAMED groups in PARTITION BY with a single-bound ROWS
+    // frame must NOT trip the broadened triage (tempered pattern)
+    spark.sql("SELECT 1 AS groups, 2 AS k, 3 AS x").createOrReplaceTempView("gid")
+    val ok = sql(
+      "SELECT sum(x) OVER (PARTITION BY groups ORDER BY k ROWS 1 PRECEDING) AS s FROM gid")
+      .collect()
+    assert(ok.head.getLong(0) == 3L)
   }
 
   test("columns named groups/exclude outside frames still pass (triage scope regression)") {

@@ -222,6 +222,23 @@ class StatementSurfaceSpec extends SparkSpec {
     // many independent calls are NOT mistaken for recursion
     val many = (1 to 40).map(i => s"add_tax($i, 0.1)").mkString("SELECT ", ", ", "")
     assert(!Dialect.rewrite(many).toLowerCase.contains("add_tax("))
+    // a paren-carrying default no longer fails the whole head regex
+    // (r16 ADVICE): the parameter list scans with matchingParen and the
+    // non-constant default draws the probed v1.0 reject
+    // (`Parser Error: Invalid parameter: '(1 + 2)'` — even `1+2` is out)
+    val ncd = intercept[UserException](
+      Dialect.rewrite("CREATE MACRO bad_def(x, y := f(1)) AS x + y"))
+    assert(ncd.getMessage.contains("Invalid parameter"))
+    val ncd2 = intercept[UserException](
+      Dialect.rewrite("CREATE MACRO bad_def2(x, y := 1+2) AS x + y"))
+    assert(ncd2.getMessage.contains("Invalid parameter"))
+    // constant forms all register (probed v1.0 OK set)
+    Dialect.rewrite("CREATE MACRO ok_def(x, y := -5, s := 'a', n := NULL) AS x")
+    assert(Dialect.rewrite("SELECT ok_def(1) AS a").contains("(1)"))
+    // a missing AS body is a clear message, not an opaque parse error
+    val noAs = intercept[UserException](
+      Dialect.rewrite("CREATE MACRO no_body(x) RETURNS INT"))
+    assert(noAs.getMessage.contains("expected `AS"))
     Macros.clear()
   }
 
