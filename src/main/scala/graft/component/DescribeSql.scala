@@ -77,6 +77,11 @@ object DescribeSql {
   /** Spark type → the DuckDB spelling a migrating user's scripts expect
     * in column_type. */
   private[component] def duckType(dt: DataType): String = dt match {
+    // ENUM columns render their definition (probed v1.0: DESCRIBE /
+    // pragma_table_info / information_schema show `ENUM('a', 'b')`)
+    case dt if graft.functions.EnumExprs.enumNameOf(dt).isDefined =>
+      val n = graft.functions.EnumExprs.enumNameOf(dt).get
+      TypeSql.enumRendered(n).getOrElse(s"ENUM(<$n: dropped>)")
     case ByteType => "TINYINT"
     case ShortType => "SMALLINT"
     case IntegerType => "INTEGER"

@@ -41,10 +41,9 @@ object Dialect {
       "mapping, or read files directly (read_parquet/read_csv/FROM 'path')"),
     "DETACH" -> "DETACH is not supported (no ATTACH to undo)",
     "CREATE_TYPE" -> ("this CREATE TYPE form is not supported: alias " +
-      "types execute (the name substitutes to its base), but ENUM bases " +
-      "compare and sort by definition index and UNION values are " +
-      "tagged — neither has an exact Spark twin; use VARCHAR values " +
-      "(a CHECK-style validation can be a WHERE + loud count assertion)"),
+      "and ENUM types execute, but UNION values are tagged — no exact " +
+      "Spark twin; restructure as a STRUCT with one field per variant " +
+      "or a (tag VARCHAR, value VARCHAR) pair"),
     "ALTER_SEQUENCE" -> ("ALTER SEQUENCE is not supported: re-create the " +
       "sequence (CREATE OR REPLACE SEQUENCE) with the new parameters"),
     "FRAME_GROUPS" -> ("this window frame GROUPS form is not rewritable: " +
@@ -1365,12 +1364,12 @@ object Dialect {
     if ("(?is)^\\s*DETACH\\b".r.findFirstIn(stmt).isDefined)
       return rejectSentinel("DETACH")
     if ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TYPE\\b".r.findFirstIn(stmt).isDefined) {
-      // alias types EXECUTE (TypeSql substitution); ENUM/UNION bases
-      // keep the loud reject — enum columns compare/sort by DEFINITION
-      // INDEX (probed v1.0) and union values are tagged, neither of
-      // which a textual substitution can reproduce exactly
+      // alias types EXECUTE (TypeSql substitution); ENUM bases EXECUTE
+      // via dictionary encoding since r16 (definition-index SMALLINT
+      // struct — [[TypeSql]] + DuckEnumRule); UNION bases keep the loud
+      // reject — tagged values have no Spark twin
       val executable = TypeSql.baseOf(stmt).exists(b =>
-        "(?is)^(ENUM|UNION)\\b".r.findFirstIn(b.trim).isEmpty)
+        "(?is)^UNION\\b".r.findFirstIn(b.trim).isEmpty)
       if (executable) return stmt
       return rejectSentinel("CREATE_TYPE")
     }

@@ -484,7 +484,7 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
 
     case _ if TypeSql.parseDrop(stmt).isDefined =>
       val (tn, ife) = TypeSql.parseDrop(stmt).get
-      TypeSql.drop(tn, ife)
+      TypeSql.drop(tn, ife, Some(spark))
 
     // SET VARIABLE / RESET VARIABLE (DuckDB ≥ 1.1 — [[VariableSql]];
     // getvariable resolves through the function registry)

@@ -41,7 +41,19 @@ object Export {
   }
 
   def exportTable(spark: SparkSession, dataDir: String, out: OutputTable): Unit = {
-    val df = spark.table(s"`${Names.view(out.source)}`")
+    val df0 = spark.table(s"`${Names.view(out.source)}`")
+    // ENUM columns export as their LABELS (probed v1.0: COPY TO csv
+    // writes `ok`, not an index) — the cast-to-string lowers through
+    // DuckEnumRule's decode; every other column is untouched
+    val df =
+      if (df0.schema.exists(f =>
+        graft.functions.EnumExprs.enumNameOf(f.dataType).isDefined))
+        df0.select(df0.schema.fields.map { f =>
+          if (graft.functions.EnumExprs.enumNameOf(f.dataType).isDefined)
+            df0.col(s"`${f.name}`").cast("string").as(f.name)
+          else df0.col(s"`${f.name}`")
+        }.toIndexedSeq: _*)
+      else df0
     val dest = Paths.get(dataDir, "out", "tables", out.source)
     writeSingleCsv(df, dest)
     Manifest.writeOutput(

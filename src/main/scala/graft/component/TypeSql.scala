@@ -3,19 +3,27 @@ package graft.component
 import scala.collection.concurrent.TrieMap
 
 /** `CREATE TYPE name AS <base>` / `DROP TYPE [IF EXISTS] name` — DuckDB
-  * user-defined type ALIASES, executed by textual substitution in type
-  * positions.
+  * user-defined types: ALIASES (textual substitution in type positions)
+  * and, since r16, ENUMs (dictionary encoding).
   *
-  * Scope (the exactly-expressible subset): alias types over any base the
-  * engine's statement pipeline already accepts — the alias substitutes to
-  * its base text and then behaves EXACTLY as if the user had written the
-  * base inline (same parse, same lowering, same loud failure modes).
-  * ENUM bases keep the loud reject: DuckDB enums compare and sort by
-  * DEFINITION INDEX (probed v1.0: a 'sad'<'ok'<'happy' enum column
-  * ORDER BY returns definition order, min/max pick by index), which a
-  * VARCHAR emulation would silently change to lexical. UNION bases
-  * likewise (tagged values have no Spark twin). Both gates live in
-  * [[Dialect.rewritePragma]].
+  * Alias scope (the exactly-expressible subset): alias types over any
+  * base the engine's statement pipeline already accepts — the alias
+  * substitutes to its base text and then behaves EXACTLY as if the user
+  * had written the base inline (same parse, same lowering, same loud
+  * failure modes).
+  *
+  * ENUM bases encode as a single-field struct
+  * `STRUCT<__ge_<name>: SMALLINT>` holding the DEFINITION INDEX — the
+  * probed v1.0 semantics ride Spark natively: struct ordering is by the
+  * index field, so ORDER BY / min / max / same-enum comparisons follow
+  * definition order ('sad'<'ok'<'happy'); enum-vs-VARCHAR comparisons
+  * and string-function arguments DECODE to the label first (probed v1.0:
+  * those compare lexically — `m < 'happy'` is false for 'ok' — and
+  * functions auto-cast to VARCHAR), via
+  * [[graft.functions.GraftExtensions.DuckEnumRule]]. SMALLINT bounds the
+  * label count at 32767 (DuckDB's physical type grows UINT8→UINT16 on
+  * the same boundary shape). UNION bases keep the loud reject in
+  * [[Dialect.rewritePragma]] (tagged values have no Spark twin).
   *
   * Probed v1.0 rules (all pinned in TypeSqlSpec):
   *  - duplicate CREATE TYPE errors ("already exists");
@@ -38,13 +46,19 @@ object TypeSql {
       ifNotExists: Boolean)
 
   private val store = TrieMap[String, String]() // lower name -> base text
+  // lower enum name -> definition-order labels
+  private val enums = TrieMap[String, IndexedSeq[String]]()
+  // lower enum name -> alias type names created over it (probed v1.0:
+  // DROP TYPE of an enum with a dependent alias type errors)
+  private val enumAliasDeps = TrieMap[String, Set[String]]()
 
   private val createRe =
     ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TYPE\\s+" +
       "(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z_]\\w*|\"[^\"]+\")\\s+AS\\s+" +
       "(.+?);?\\s*$").r
   private val dropRe =
-    "(?is)^\\s*DROP\\s+TYPE\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_]\\w*|\"[^\"]+\")\\s*;?\\s*$".r
+    ("(?is)^\\s*DROP\\s+TYPE\\s+(IF\\s+EXISTS\\s+)?([A-Za-z_]\\w*|\"[^\"]+\")" +
+      "\\s*(CASCADE|RESTRICT)?\\s*;?\\s*$").r
 
   private def norm(name: String): String =
     name.stripPrefix("\"").stripSuffix("\"").toLowerCase
@@ -55,10 +69,72 @@ object TypeSql {
         orReplace = m.group(1) != null, ifNotExists = m.group(2) != null))
 
   def parseDrop(stmt: String): Option[(String, Boolean)] =
-    dropRe.findFirstMatchIn(stmt).map(m => (m.group(2), m.group(1) != null))
+    dropRe.findFirstMatchIn(stmt).map { m =>
+      if (m.group(3) != null && m.group(3).equalsIgnoreCase("CASCADE"))
+        throw new UserException(
+          "DROP TYPE ... CASCADE is not supported: drop the dependent " +
+            "tables/types first (RESTRICT is the default behavior)")
+      (m.group(2), m.group(1) != null)
+    }
 
   /** Base text an ENUM/UNION gate can inspect (pre-registration). */
   def baseOf(stmt: String): Option[String] = parseCreate(stmt).map(_.base)
+
+  // ------------------------------------------------------------- enums
+
+  /** The struct field marker carrying an enum column's identity: the
+    * single field `__ge_<name>` (SMALLINT definition index). */
+  def enumFieldName(lowerName: String): String = s"__ge_$lowerName"
+
+  def enumStructText(lowerName: String): String =
+    s"STRUCT<${enumFieldName(lowerName)}: SMALLINT>"
+
+  /** Definition-order labels of a registered enum. */
+  def enumValues(lowerName: String): Option[IndexedSeq[String]] =
+    enums.get(lowerName)
+
+  /** Fast path for the analysis rule: any enums registered this run? */
+  def anyEnums: Boolean = enums.nonEmpty
+
+  /** DuckDB-shaped rendering for introspection surfaces (probed v1.0:
+    * pragma_table_info / information_schema show `ENUM('a', 'b')`). */
+  def enumRendered(lowerName: String): Option[String] =
+    enums.get(lowerName).map(_.map(v =>
+      "'" + v.replace("'", "''") + "'").mkString("ENUM(", ", ", ")"))
+
+  private val enumBaseRe = "(?is)^ENUM\\s*\\((.*)\\)\\s*$".r
+
+  /** Parse an `ENUM ('a', 'b', ...)` base's label list ('' escapes). */
+  def parseEnumBase(base: String): Option[IndexedSeq[String]] =
+    enumBaseRe.findFirstMatchIn(base.trim).map { m =>
+      val inner = m.group(1)
+      val out = IndexedSeq.newBuilder[String]
+      var i = 0
+      while (i < inner.length) {
+        val c = inner.charAt(i)
+        if (c == '\'') {
+          val sb = new StringBuilder
+          i += 1
+          var done = false
+          while (!done && i < inner.length) {
+            val ch = inner.charAt(i)
+            if (ch == '\'' && i + 1 < inner.length && inner.charAt(i + 1) == '\'') {
+              sb.append('\''); i += 2
+            } else if (ch == '\'') { done = true; i += 1 }
+            else { sb.append(ch); i += 1 }
+          }
+          if (!done) throw new UserException(
+            s"unterminated string in ENUM definition: $base")
+          out += sb.toString
+        } else if (c == ',' || c.isWhitespace) i += 1
+        else throw new UserException(
+          s"unsupported ENUM definition element at '${inner.substring(i).take(20)}'" +
+            " — labels must be string literals")
+      }
+      out.result()
+    }
+
+  // ------------------------------------------------------- create/drop
 
   def create(c: Create): Unit = {
     val key = norm(c.name)
@@ -67,22 +143,83 @@ object TypeSql {
       throw new UserException(
         s"""Type with name "${norm(c.name)}" already exists""")
     }
-    // nested aliases resolve at creation (probed v1.0): DROP of the
-    // inner alias later must not break this one. Whole-base aliases
-    // resolve exactly; alias names INSIDE a composite spelling stay
-    // textual (a STRUCT field could legally share an alias's name)
     val base = c.base.trim
-    store.put(key, store.getOrElse(base.toLowerCase, base))
+    parseEnumBase(base) match {
+      case Some(values) =>
+        // probed v1.0: duplicate labels error; empty enums are legal
+        values.groupBy(identity).collectFirst {
+          case (v, vs) if vs.size > 1 => v
+        }.foreach { v =>
+          throw new UserException("Invalid Input Error: Attempted to " +
+            s"create ENUM type with duplicate value $v")
+        }
+        if (values.size > Short.MaxValue)
+          throw new UserException(
+            s"ENUM type $key exceeds the ${Short.MaxValue}-label bound")
+        enums.put(key, values)
+        store.put(key, enumStructText(key))
+      case None =>
+        // nested aliases resolve at creation (probed v1.0): DROP of the
+        // inner alias later must not break this one. Whole-base aliases
+        // resolve exactly; alias names INSIDE a composite spelling stay
+        // textual (a STRUCT field could legally share an alias's name)
+        val resolved = store.getOrElse(base.toLowerCase, base)
+        // alias over an enum: record the dependency (probed v1.0: the
+        // enum's DROP then errors while the alias exists)
+        enums.keys.find(en => resolved == enumStructText(en)).foreach { en =>
+          enumAliasDeps.put(en, enumAliasDeps.getOrElse(en, Set()) + key)
+        }
+        store.put(key, resolved)
+    }
   }
 
-  def drop(name: String, ifExists: Boolean): Unit = {
-    val had = store.remove(norm(name)).isDefined
+  /** Drop a type. For enums, refuse while dependent alias types or (when
+    * a session is supplied) tables with columns of the enum exist —
+    * probed v1.0 dependency behavior. */
+  def drop(name: String, ifExists: Boolean,
+      spark: Option[org.apache.spark.sql.SparkSession] = None): Unit = {
+    val key = norm(name)
+    if (enums.contains(key) && store.contains(key)) {
+      enumAliasDeps.getOrElse(key, Set())
+        .find(a => store.get(a).contains(enumStructText(key)))
+        .foreach { a =>
+          throw new UserException(
+            s"""Cannot drop entry "$key" because there are entries that """ +
+              s"""depend on it.\ntype "$a" depends on type "$key".""")
+        }
+      val field = enumFieldName(key)
+      spark.foreach { s =>
+        import org.apache.spark.sql.types.StructType
+        val dep = s.catalog.listTables().collect().iterator.map(_.name)
+          .find { t =>
+            try s.table(t).schema.exists(f => f.dataType match {
+              case st: StructType =>
+                st.fields.length == 1 && st.fields(0).name == field
+              case _ => false
+            })
+            catch { case _: Throwable => false }
+          }
+        dep.foreach { t =>
+          throw new UserException(
+            s"""Cannot drop entry "$key" because there are entries that """ +
+              s"""depend on it.\ntable "$t" depends on type "$key".""")
+        }
+      }
+    }
+    val had = store.remove(key).isDefined
     if (!had && !ifExists)
       throw new UserException(
         s"Type with name ${norm(name)} does not exist")
+    if (had) {
+      enums.remove(key)
+      enumAliasDeps.remove(key)
+      // this name may itself be an alias recorded as an enum dependent
+      enumAliasDeps.keys.foreach(en =>
+        enumAliasDeps.put(en, enumAliasDeps.getOrElse(en, Set()) - key))
+    }
   }
 
-  def reset(): Unit = store.clear()
+  def reset(): Unit = { store.clear(); enums.clear(); enumAliasDeps.clear() }
 
   /** Replace registered alias names in PROVABLE type positions:
     * `::name`, the type slot of `CAST(... AS name)` / `TRY_CAST`, and

@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftExtensions.checked(name, arity, build)))
     }
     ext.injectResolutionRule(_ => GraftExtensions.DuckDateSubRule)
+    ext.injectResolutionRule(_ => GraftExtensions.DuckEnumRule)
   }
 }
 
@@ -47,6 +48,79 @@ object GraftExtensions {
         case SubtractDates(l, r, _) =>
           Cast(DateDiff(l, r), org.apache.spark.sql.types.LongType)
       }
+  }
+
+  /** ENUM dictionary-encoding lowering (see [[EnumExprs]]): enum columns
+    * are `STRUCT<__ge_<name>: SMALLINT>` definition-index structs, and
+    * this rule maps the probed DuckDB v1.0 coercion matrix onto them at
+    * analysis time:
+    *
+    *  - enum → VARCHAR casts render the LABEL (Spark's native
+    *    struct-to-string cast would silently print `{1}`);
+    *  - VARCHAR → enum casts validate + encode (out-of-domain labels
+    *    raise the conversion error; TRY_CAST yields NULL);
+    *  - enum → same enum is identity; cross-enum re-validates through
+    *    the label (probed: `('sad'::mood2)::mood` = 'sad'); enum → any
+    *    other type goes through the label (probed: `m::INT` raises the
+    *    label's conversion error);
+    *  - every OTHER enum-child type failure — comparisons against
+    *    VARCHAR or a different enum (probed LEXICAL: `m < 'happy'` is
+    *    false for 'ok'), IN lists, CASE/IF branches, string functions
+    *    (`length(m)`, `m || '!'`) — decodes the enum child to its label,
+    *    exactly DuckDB's enum→VARCHAR auto-cast. Same-enum comparisons,
+    *    ORDER BY, min/max and GROUP BY type-check natively on the struct
+    *    and keep DEFINITION-INDEX semantics untouched.
+    */
+  object DuckEnumRule
+      extends org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Expression}
+    import org.apache.spark.sql.types.StringType
+    import EnumExprs.enumNameOf
+
+    private def vals(n: String): Seq[String] =
+      graft.component.TypeSql.enumValues(n).getOrElse(throw new
+          graft.component.UserException(
+        s"enum type $n is not defined in this run's type catalog " +
+          "(a persisted enum column from a previous run needs its " +
+          "CREATE TYPE re-run first)"))
+    private def isEnum(e: Expression): Boolean =
+      e.resolved && scala.util.Try(enumNameOf(e.dataType).isDefined)
+        .getOrElse(false) // some nodes (WindowFrame) have no dataType
+    private def dec(e: Expression): Expression =
+      enumNameOf(e.dataType) match {
+        case Some(n) => EnumExprs.decode(e, vals(n))
+        case None => e
+      }
+
+    override def apply(
+        plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+      if (!graft.component.TypeSql.anyEnums) return plan
+      plan.transformAllExpressions {
+        case Cast(e, _: StringType, _, _) if isEnum(e) => dec(e)
+        case Cast(e, t, _, _) if isEnum(e) && enumNameOf(t).isDefined =>
+          val n = enumNameOf(e.dataType).get
+          val tn = enumNameOf(t).get
+          if (tn == n) e else EnumEncode(dec(e), tn, vals(tn))
+        case Cast(e, t, tz, m) if isEnum(e) =>
+          Cast(dec(e), t, tz, m)
+        case Cast(e, t, _, m)
+            if e.resolved && e.dataType.isInstanceOf[StringType] &&
+              enumNameOf(t).isDefined =>
+          val tn = enumNameOf(t).get
+          EnumEncode(e, tn, vals(tn), lenient = m == EvalMode.TRY)
+        case e if e.childrenResolved && !e.isInstanceOf[Cast] &&
+            e.children.exists(isEnum) &&
+            scala.util.Try(e.checkInputDataTypes().isFailure)
+              .getOrElse(false) =>
+          val e2 = e.withNewChildren(
+            e.children.map(c => if (isEnum(c)) dec(c) else c))
+          if (scala.util.Try(e2.checkInputDataTypes().isSuccess)
+            .getOrElse(false)) e2
+          else e
+      }
+    }
   }
 
   private def checked(name: String, arity: Int,

@@ -500,6 +500,24 @@ object Extended {
     // the script's own table (the shared Verify session's other temp
     // views must not leak into the catalog row set). The trailing SELECT
     // runs through a CTAS wrapper on the Spark leg (the q86 pattern).
+    // CREATE TYPE ENUM (IDENTICAL multi-statement text both engines,
+    // probed v1.0): dictionary encoding — the enum column rides a
+    // definition-index struct; ORDER BY / min / max / dense_rank follow
+    // DEFINITION order while the VARCHAR comparison stays lexical (both
+    // probed; the label order makes a lexical emulation hash-mismatch).
+    "q96_enum" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      graft.component.TypeSql.reset()
+      T.documents(s, d).createOrReplaceTempView("documents")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_q96_wh_").toString
+      val ex = new graft.component.Executor(s, wh)
+      graft.component.Dialect.prepare(Oracle.q96Ddl).foreach(ex.runStatement(_))
+      ex.runStatement(graft.component.Dialect.rewrite(
+        s"CREATE OR REPLACE TABLE q96_out AS ${Oracle.q96Select}"))
+      s.table("q96_out")
+    }),
+
     "q93_introspection" -> ((s, d) => {
       graft.component.DuckFunctions.register(s)
       val wh = java.nio.file.Files
@@ -1098,6 +1116,36 @@ object Extended {
         |FROM documents WHERE doc_id % 4 <> 1
         |ORDER BY doc_id""".stripMargin
 
+    /** Shared DuckDB/Spark text — q96 runs this verbatim in both engines
+      * (CREATE TYPE ENUM, r16: definition-index dictionary encoding).
+      * The label order ('sad','ok','zen','happy') is chosen so DEFINITION
+      * order differs from lexical everywhere it matters: min/max, the
+      * dense_rank over ORDER BY m — a silent lexical emulation would
+      * hash-mismatch. Enum-vs-VARCHAR comparisons are LEXICAL (probed
+      * v1.0: the enum decays to its label), so `lt_h` pins that too.
+      * All enum outputs render through CAST(... AS VARCHAR). */
+    val q96Ddl: String =
+      """DROP TABLE IF EXISTS q96_t;
+        |DROP TYPE IF EXISTS mood96;
+        |CREATE TYPE mood96 AS ENUM ('sad','ok','zen','happy');
+        |CREATE TABLE q96_t (doc_id BIGINT, m mood96);
+        |INSERT INTO q96_t
+        |  SELECT doc_id,
+        |         (CASE WHEN doc_id % 4 = 0 THEN 'sad'
+        |               WHEN doc_id % 4 = 1 THEN 'ok'
+        |               WHEN doc_id % 4 = 2 THEN 'zen'
+        |               ELSE 'happy' END)::mood96
+        |  FROM documents WHERE doc_id % 7 = 0""".stripMargin
+    val q96Select: String =
+      """SELECT doc_id, CAST(m AS VARCHAR) AS lbl,
+        |  CAST(dense_rank() OVER (ORDER BY m) AS BIGINT) AS dr,
+        |  CAST(min(m) OVER () AS VARCHAR) AS mn,
+        |  CAST(max(m) OVER () AS VARCHAR) AS mx,
+        |  m = 'ok' AS eq_ok,
+        |  m < 'happy' AS lt_h
+        |FROM q96_t ORDER BY doc_id""".stripMargin
+    val q96: String = q96Ddl + ";\n" + q96Select
+
     /** Shared DuckDB/Spark text — q95 runs this verbatim in both engines
       * (macro default parameters, FUNCTION alias, DROP MACRO). */
     val q95: String =
@@ -1228,6 +1276,7 @@ object Extended {
     "q93_introspection" -> Oracle.q93,
     "q94_map_window" -> Oracle.q94,
     "q95_macro_defaults" -> Oracle.q95,
+    "q96_enum" -> Oracle.q96,
     "q61_unnest" -> Oracle.q61,
     "q62_positional" -> Oracle.q62,
     "q63_dotcall" -> Oracle.q63,

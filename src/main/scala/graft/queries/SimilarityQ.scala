@@ -127,6 +127,67 @@ object SimilarityQ {
         .orderBy("qid", "rk")
     }),
 
+    // -- PLANTED-TWIN exactness slices (r16): each approximate route gets
+    //    a deterministic regime where it MUST return the true answer —
+    //    the 20 base vectors [100,120) re-presented as queries under
+    //    fresh ids (+1e6, so the ops' self-exclusion doesn't fire). An
+    //    identical vector collides in every LSH table, lands in its own
+    //    IVF/index cell, projects onto itself, and dominates the PQ
+    //    candidate margin (cos 1.0 vs the corpus max 0.37), so rank-1 is
+    //    provably the twin; the rk=1 row is the hashed ledger output.
+    //    The full top-k tails stay approximate by design (rows-only
+    //    siblings s02/s04/s06/s08/s09 + OpsSpec recall pins).
+    "s02b_lsh_planted" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      VectorOps.knnLsh(plantedQueries(emb), emb, "vec_id", "embedding",
+          k = 5, tables = 8, bits = 10)
+        .filter(col("rk") === 1)
+        .select("qid", "nid", "rk")
+        .orderBy("qid")
+    }),
+
+    "s04b_ivf_planted" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      VectorOps.knnIvf(plantedQueries(emb), emb, "vec_id", "embedding",
+          k = 5, lists = 16, nprobe = 4)
+        .filter(col("rk") === 1)
+        .select("qid", "nid", "rk")
+        .orderBy("qid")
+    }),
+
+    "s06b_proj_planted" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      VectorOps.knnProjected(plantedQueries(emb), emb, "vec_id", "embedding",
+          k = 5, outDim = 16)
+        .filter(col("rk") === 1)
+        .select("qid", "nid", "rk")
+        .orderBy("qid")
+    }),
+
+    "s08b_pq_planted" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      VectorOps.knnPq(plantedQueries(emb), emb, "vec_id", "embedding", k = 5)
+        .filter(col("rk") === 1)
+        .select("qid", "nid", "rk")
+        .orderBy("qid")
+    }),
+
+    "s09b_index_planted" -> ((s, d) => {
+      val emb = T.embeddings(s, d)
+      val dir = s09IndexDir.getOrElseUpdate(d, {
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_s09_index_").toString
+        graft.ops.AnnIndex.build(emb, "vec_id", "embedding", out,
+          lists = 16, iters = 3)
+        out
+      })
+      graft.ops.AnnIndex.query(s, dir, plantedQueries(emb),
+          "vec_id", "embedding", k = 5, nprobe = 4)
+        .filter(col("rk") === 1)
+        .select("qid", "nid", "rk")
+        .orderBy("qid")
+    }),
+
     // -- centroid similarity per label: average vector per label, then
     //    each vector's cosine to its own label centroid (exact decimal-free
     //    arithmetic is impossible here ⇒ aggregate stats only, rounded).
@@ -143,6 +204,13 @@ object SimilarityQ {
 
   private val s09IndexDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The planted-twin query set: base vectors [100,120) under fresh ids
+    * (+1,000,000 — outside every SF's id range, so the ops' qid≠nid
+    * exclusion keeps the twin eligible). */
+  private def plantedQueries(emb: org.apache.spark.sql.DataFrame) =
+    emb.filter(col("vec_id") >= 100 && col("vec_id") < 120)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
 
   val oracles: Map[String, String] = Map(
     "s01_knn_brute" ->
@@ -183,12 +251,26 @@ object SimilarityQ {
         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS min_norm,
         |  round(max(sqrt(list_sum(list_transform(embedding,
         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS max_norm
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
 
-    // s02/s04/s06: no oracle — LSH/IVF candidate sets are
-    // hash-impl-specific with no exactness guarantee at their pruning
+    // s02/s04/s06/s08/s09 full top-k: no oracle — LSH/IVF candidate sets
+    // are hash-impl-specific with no exactness guarantee at their pruning
     // strength, and the 16-dim projection measurably cannot cover the
     // exact top-5 on this isotropic corpus (S06Probe); recall/quality vs
-    // s01 is pinned in OpsSpec instead.
+    // s01 is pinned in OpsSpec instead. The r16 planted-twin slices below
+    // ARE exact: an identical vector is guaranteed through every route.
+    "s02b_lsh_planted" -> plantedOracle,
+    "s04b_ivf_planted" -> plantedOracle,
+    "s06b_proj_planted" -> plantedOracle,
+    "s08b_pq_planted" -> plantedOracle,
+    "s09b_index_planted" -> plantedOracle
   )
+
+  /** The planted-twin ground truth, computable from the same parquet:
+    * rank-1 for a duplicated query IS its twin (cosine exactly 1 beats
+    * the corpus max 0.37 — measured, S06Probe/PqProbe). */
+  private lazy val plantedOracle: String =
+    """SELECT vec_id + 1000000 AS qid, vec_id AS nid, CAST(1 AS INT) AS rk
+      |FROM embeddings WHERE vec_id >= 100 AND vec_id < 120
+      |ORDER BY qid""".stripMargin
 }

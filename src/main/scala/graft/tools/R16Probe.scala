@@ -35,6 +35,26 @@ object R16Probe {
         "SELECT CAST(to_json([1,2,3,4,5,6,7][2:7:3]) AS VARCHAR) AS sl, " +
           "CAST(to_json([10,20,30,40,50][5:1:-2]) AS VARCHAR) AS sr"))
       q.collect().foreach(println)
+
+      // enum plan audit: encode/decode/compare must stay inside
+      // whole-stage codegen (EnumEncode has doGenCode; decode is
+      // element_at over a folded literal array)
+      graft.component.TypeSql.reset()
+      val ex = new graft.component.Executor(spark,
+        java.nio.file.Files.createTempDirectory("graft_r16_wh_").toString)
+      def run(sql: String) = ex.runStatement(graft.component.Dialect.rewrite(sql))
+      run("CREATE TYPE pmood AS ENUM ('sad','ok','happy')")
+      run("CREATE TABLE pm_t (id BIGINT, m pmood)")
+      run("INSERT INTO pm_t SELECT id, (CASE WHEN id % 3 = 0 THEN 'sad' " +
+        "WHEN id % 3 = 1 THEN 'ok' ELSE 'happy' END)::pmood FROM range(100000) t(id)")
+      val edf = spark.sql(graft.component.TypeSql.substitute(
+        graft.component.Dialect.rewrite(
+          "SELECT CAST(m AS VARCHAR) AS lbl, count(*) AS n, " +
+            "CAST(min(m) AS VARCHAR) AS mn FROM pm_t " +
+            "WHERE m = 'ok' OR m < 'happy' GROUP BY m")))
+      edf.queryExecution.toRdd.foreachPartition(_ => ())
+      println("==== enum agg plan ====")
+      println(edf.queryExecution.executedPlan.toString)
     } finally spark.stop()
   }
 }

@@ -1821,7 +1821,10 @@ class StatementSurfaceSpec extends SparkSpec {
     assert(Dialect.rewrite("ATTACH 'other.db' AS other") ==
       Dialect.rejectSentinel("ATTACH"))
     assert(Dialect.rewrite("DETACH other") == Dialect.rejectSentinel("DETACH"))
-    assert(Dialect.rewrite("CREATE TYPE mood AS ENUM ('sad', 'ok')") ==
+    // ENUM executes since r16 (TypeSqlSpec matrix); UNION keeps the reject
+    assert(Dialect.rejectedKind(
+      Dialect.rewrite("CREATE TYPE mood AS ENUM ('sad', 'ok')")).isEmpty)
+    assert(Dialect.rewrite("CREATE TYPE u AS UNION(i INTEGER, s VARCHAR)") ==
       Dialect.rejectSentinel("CREATE_TYPE"))
     assert(Dialect.rewrite("ALTER SEQUENCE s RESTART") ==
       Dialect.rejectSentinel("ALTER_SEQUENCE"))
@@ -1896,7 +1899,7 @@ class StatementSurfaceSpec extends SparkSpec {
       """{"parameters": {"blocks": [{"name": "B", "codes": [
         |  {"name": "q", "script": [
         |    "ATTACH 'other.db' AS other",
-        |    "CREATE TYPE mood AS ENUM ('sad', 'ok')",
+        |    "CREATE TYPE u AS UNION(i INTEGER, s VARCHAR)",
         |    "SELECT 1 AS x FROM range(1)"]}
         |]}]}, "storage": {}}""".stripMargin)
     val issues = Actions.syntaxCheck(spark, cfg)

@@ -70,13 +70,128 @@ class TypeSqlSpec extends SparkSpec {
     assert(sel("SELECT CAST(5 AS ty_m) AS v").schema.head.dataType.sql == "STRING")
   }
 
-  test("ENUM and UNION bases keep the loud reject; alias forms pass the dialect") {
-    assert(Dialect.rewrite("CREATE TYPE mood AS ENUM ('sad','ok','happy')") ==
-      Dialect.rejectSentinel("CREATE_TYPE"))
+  test("ENUM executes since r16; UNION keeps the loud reject; alias forms pass") {
+    assert(Dialect.rejectedKind(
+      Dialect.rewrite("CREATE TYPE mood AS ENUM ('sad','ok','happy')")).isEmpty)
     assert(Dialect.rewrite("CREATE TYPE u1 AS UNION(i INTEGER, s VARCHAR)") ==
       Dialect.rejectSentinel("CREATE_TYPE"))
     val passed = Dialect.rewrite("CREATE TYPE ok1 AS DECIMAL(4,1)")
     assert(Dialect.rejectedKind(passed).isEmpty)
+  }
+
+  private def firstMessage(t: Throwable): String = {
+    var c: Throwable = t
+    val sb = new StringBuilder
+    while (c != null) { sb.append(c.getMessage).append(" | "); c = c.getCause }
+    sb.toString
+  }
+
+  test("ENUM matrix: definition-order ORDER BY / min / max; lexical vs VARCHAR (probed v1.0)") {
+    val ex = mkEx()
+    def run(sql: String) = ex.runStatement(Dialect.rewrite(sql))
+    run("CREATE TYPE mood AS ENUM ('sad','ok','happy')")
+    run("CREATE TABLE em_t (id INT, m mood)")
+    run("INSERT INTO em_t VALUES (1,'ok'),(2,'happy'),(3,'sad'),(4,NULL)")
+    // ORDER BY the enum: DEFINITION order sad < ok < happy (probed —
+    // lexical would give happy < ok < sad)
+    val ord = sel("SELECT id FROM em_t WHERE m IS NOT NULL ORDER BY m")
+      .collect().map(_.getInt(0)).toSeq
+    assert(ord == Seq(3, 1, 2))
+    val desc = sel(
+      "SELECT CAST(m AS VARCHAR) AS l FROM em_t WHERE m IS NOT NULL ORDER BY m DESC")
+      .collect().map(_.getString(0)).toSeq
+    assert(desc == Seq("happy", "ok", "sad"))
+    // min/max pick by index (probed: sad / happy — lexical: happy / sad)
+    val mm = sel(
+      "SELECT CAST(min(m) AS VARCHAR) AS mn, CAST(max(m) AS VARCHAR) AS mx FROM em_t")
+      .collect().head
+    assert(mm.getString(0) == "sad" && mm.getString(1) == "happy")
+    // enum vs VARCHAR literal: LEXICAL comparison (probed v1.0 — the
+    // enum decays to its label; 'ok' < 'happy' is FALSE)
+    val lex = sel("SELECT id, m < 'happy' AS lt, m = 'ok' AS eq FROM em_t ORDER BY id")
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) null else r.getBoolean(1),
+        if (r.isNullAt(2)) null else r.getBoolean(2))).toSeq
+    assert(lex == Seq((1, false, true), (2, false, false),
+      (3, false, false), (4, null, null)))
+    // same-enum column comparison: by INDEX (probed: sad<ok, happy>ok)
+    run("CREATE TABLE em_2 (id INT, a mood, b mood)")
+    run("INSERT INTO em_2 VALUES (1,'sad','ok'),(2,'happy','ok')")
+    val cc = sel("SELECT a < b AS x FROM em_2 ORDER BY id")
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(cc == Seq(true, false))
+    // IN list, string functions auto-cast to the label (probed)
+    assert(sel("SELECT id FROM em_t WHERE m IN ('sad','ok') ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 3))
+    val fx = sel("SELECT length(m) AS l, m || '!' AS c FROM em_t WHERE id = 1")
+      .collect().head
+    assert(fx.getInt(0) == 2 && fx.getString(1) == "ok!")
+    // GROUP BY the enum with rendered labels
+    val gb = sel(
+      "SELECT CAST(m AS VARCHAR) AS l, count(*) AS n FROM em_t GROUP BY m")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(gb == Set((null, 1L), ("happy", 1L), ("ok", 1L), ("sad", 1L)))
+    // window aggregate keeps index semantics (min over all rows = 'sad'
+    // by definition index; lexical would pick 'happy')
+    val w = sel("SELECT CAST(min(m) OVER () AS VARCHAR) AS mn FROM em_t")
+      .collect().head
+    assert(w.getString(0) == "sad")
+  }
+
+  test("ENUM casts: validation errors, TRY_CAST NULL, cross-enum, ::INT (probed v1.0)") {
+    val ex = mkEx()
+    def run(sql: String) = ex.runStatement(Dialect.rewrite(sql))
+    run("CREATE TYPE mood AS ENUM ('sad','ok','happy')")
+    run("CREATE TYPE mood2 AS ENUM ('a','sad')")
+    // out-of-domain label raises the conversion error
+    val bad = intercept[Throwable](sel("SELECT 'nope'::mood AS v").collect())
+    assert(firstMessage(bad).contains("Conversion Error"))
+    // TRY_CAST yields NULL instead
+    val tc = sel("SELECT TRY_CAST('nope' AS mood) AS v").collect().head
+    assert(tc.isNullAt(0))
+    // cross-enum cast re-validates via the label (probed: 'sad' lands)
+    val cx = sel("SELECT CAST(('sad'::mood2) AS mood) < 'ok'::mood AS lt")
+      .collect().head
+    assert(cx.getBoolean(0)) // sad(0) < ok(1) by mood's definition index
+    // cross-enum cast of a label missing in the target errors
+    val miss = intercept[Throwable](
+      sel("SELECT ('a'::mood2)::mood AS v").collect())
+    assert(firstMessage(miss).contains("Conversion Error"))
+    // enum::INT goes through the label (probed: conversion error)
+    val ti = intercept[Throwable](sel("SELECT ('ok'::mood)::INT AS v").collect())
+    assert(firstMessage(ti).toLowerCase.contains("cast") ||
+      firstMessage(ti).contains("Conversion"))
+    // INSERT of an invalid label errors at the write
+    run("CREATE TABLE em_v (m mood)")
+    val bi = intercept[Throwable](run("INSERT INTO em_v VALUES ('zzz')"))
+    assert(firstMessage(bi).contains("Conversion Error"))
+  }
+
+  test("ENUM DDL edges: duplicate labels, drop-in-use, alias-over-enum (probed v1.0)") {
+    val ex = mkEx()
+    def run(sql: String) = ex.runStatement(Dialect.rewrite(sql))
+    // duplicate labels error (probed message shape)
+    val dup = intercept[UserException](
+      run("CREATE TYPE em_dup AS ENUM ('a','b','a')"))
+    assert(dup.getMessage.contains("duplicate value a"))
+    // alias over an enum works and blocks the enum's drop (probed)
+    run("CREATE TYPE em_base AS ENUM ('x','y')")
+    run("CREATE TYPE em_alias AS em_base")
+    val dra = intercept[UserException](run("DROP TYPE em_base"))
+    assert(dra.getMessage.contains("depend") &&
+      dra.getMessage.contains("em_alias"))
+    run("DROP TYPE em_alias")
+    // a table using the enum blocks the drop too (probed)
+    run("CREATE TABLE em_dep (m em_base)")
+    val drt = intercept[UserException](run("DROP TYPE em_base"))
+    assert(drt.getMessage.contains("depend") && drt.getMessage.contains("em_dep"))
+    run("DROP TABLE em_dep")
+    run("DROP TYPE em_base")
+    // CASCADE keeps a loud reject (we do not cascade-drop)
+    run("CREATE TYPE em_c AS ENUM ('q')")
+    val cas = intercept[UserException](run("DROP TYPE em_c CASCADE"))
+    assert(cas.getMessage.contains("CASCADE"))
+    run("DROP TYPE em_c")
   }
 
   test("DAG ordering: a later block's cast depends on the CREATE TYPE statement") {
