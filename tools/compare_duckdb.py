@@ -53,6 +53,25 @@ def time_duckdb(sql, sf_dir):
     return dt
 
 
+def duck_noop(sf_dir, n=8):
+    """Duck-leg ambient-load sentinel (the spark leg's load_sentinel twin):
+    a fixed-shape probe — fresh connection + tiny parquet scan-agg — whose
+    median/max spread says whether THIS leg's window was quiet. A pairing
+    is only condition-matched when BOTH legs' sentinels are clean
+    (r15 lesson: a spark leg from a quiet window against duck legs from a
+    loaded one flattered the ratio to 0.58x)."""
+    times = []
+    for _ in range(n):
+        con = duckdb.connect()
+        t0 = time.time()
+        con.execute(f"SELECT count(*), max(n_nationkey) FROM "
+                    f"read_parquet('{sf_dir}/nation.parquet')").fetchall()
+        times.append(time.time() - t0)
+        con.close()
+    return {"probe_med": round(statistics.median(times), 4),
+            "probe_max": round(max(times), 4)}
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     bench_json = sys.argv[2] if len(sys.argv) > 2 else "BENCH_local.json"
@@ -61,6 +80,7 @@ def main():
 
     bench = json.load(open(bench_json))
     oracles = load_oracles()
+    duck_sentinel_pre = duck_noop(sf_dir)
     out = {
         "method": (
             f"DuckDB 1.0.0 (python) runs the identical oracle SQL over the same "
@@ -97,6 +117,12 @@ def main():
         "ratio_cold": round(tot["spark_cold"] / tot["duckdb_cold"], 2),
         "ratio_warm": round(tot["spark_warm_median"] / tot["duckdb_median"], 2),
     }
+    out["duck_load_sentinel"] = {
+        "pre": duck_sentinel_pre, "post": duck_noop(sf_dir),
+        "note": ("fresh-connection nation scan-agg, 8 probes before/after "
+                 "the duck legs; pair with the spark leg's load_sentinel "
+                 "in the bench JSON — commit only when both are clean")}
+    out["spark_load_sentinel"] = bench.get("load_sentinel")
     out["constant_floor_note"] = (
         f"Spark's per-query scheduling floor (noop_sec={bench['noop_sec']}s steady-state) "
         f"times the comparable-query count is constant overhead, not data-path cost "
