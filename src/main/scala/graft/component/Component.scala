@@ -38,6 +38,10 @@ object Component {
     // sequences live per run like DuckDB's in-memory session objects
     // (warehouse passthrough does not persist counters — documented)
     SequenceSql.clear()
+    // user-defined types likewise reset per run; a PASSTHROUGH warehouse
+    // re-attaches its own via `.types.sql` at Executor construction
+    // (DuckDB types live in the database file)
+    TypeSql.reset()
 
     // graft's native SQL functions (dot_f32, simhash64, ...) are available
     // to user scripts, like any engine built-in — plus the DuckDB names

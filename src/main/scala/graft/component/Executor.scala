@@ -63,6 +63,28 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
   private val declaredPk =
     scala.collection.concurrent.TrieMap[String, Seq[String]]()
 
+  // Types ride the warehouse like DuckDB types ride the database file
+  // (the reference's passthrough contract): a `.types.sql` snapshot is
+  // replayed at attach — enum columns persisted by a PREVIOUS run decode
+  // again without re-running their CREATE TYPE. Written on every
+  // create/drop ([[persistTypes]]); per-run TypeSql.reset() in
+  // Component.run keeps non-passthrough runs isolated.
+  locally {
+    val f = java.nio.file.Paths.get(warehouseDir, ".types.sql")
+    if (java.nio.file.Files.exists(f))
+      TypeSql.loadDdl(java.nio.file.Files.readString(f))
+  }
+
+  private def persistTypes(): Unit = {
+    val f = java.nio.file.Paths.get(warehouseDir, ".types.sql")
+    val ddl = TypeSql.exportDdl
+    if (ddl.isEmpty) java.nio.file.Files.deleteIfExists(f)
+    else {
+      java.nio.file.Files.createDirectories(f.getParent)
+      java.nio.file.Files.writeString(f, ddl.mkString("\n") + "\n")
+    }
+  }
+
   /** Bare-DDL column DEFAULTs per table (lowercased sanitized name):
     * column (lowercased) → default expression text. Partial-column
     * INSERTs and the DEFAULT keyword draw from here (probed v1.0). */
@@ -481,10 +503,12 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     // of a missing name errors unless IF EXISTS)
     case _ if TypeSql.parseCreate(stmt).isDefined =>
       TypeSql.create(TypeSql.parseCreate(stmt).get)
+      persistTypes()
 
     case _ if TypeSql.parseDrop(stmt).isDefined =>
       val (tn, ife) = TypeSql.parseDrop(stmt).get
       TypeSql.drop(tn, ife, Some(spark))
+      persistTypes()
 
     // SET VARIABLE / RESET VARIABLE (DuckDB ≥ 1.1 — [[VariableSql]];
     // getvariable resolves through the function registry)
@@ -534,13 +558,22 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
           s"COPY ... FROM: table ${p.target} does not exist " +
             "(create it first — DuckDB requires this too)")
       val existing = spark.table(tgt)
+      // CSV carries enum columns as LABELS: read them as STRING and let
+      // the aligned cast below re-encode (the CSV reader cannot take a
+      // struct read-schema)
+      val csvSchema = org.apache.spark.sql.types.StructType(
+        existing.schema.fields.map { f =>
+          if (graft.functions.EnumExprs.enumNameOf(f.dataType).isDefined)
+            f.copy(dataType = org.apache.spark.sql.types.StringType)
+          else f
+        })
       val added0 = p.format match {
         case "CSV" => spark.read
           // positional mapping under the TARGET's schema (probed DuckDB
           // behavior: a HEADER only skips the first line, its names are
           // ignored); FAILFAST so a malformed row is a loud error, not
           // a silent NULL row
-          .schema(existing.schema)
+          .schema(csvSchema)
           .option("header", p.header.toString)
           .option("sep", p.delimiter)
           .option("quote", p.quote)
@@ -1383,7 +1416,12 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     def ident(n: String): String =
       if (n.matches("[A-Za-z_][A-Za-z0-9_]*")) n else "\"" + n + "\""
     def sqlTypeOf(dt: org.apache.spark.sql.types.DataType): String =
-      dt.sql.replace("STRING", "VARCHAR")
+      // enum columns export under their TYPE NAME (the CREATE TYPE DDL
+      // precedes the tables in schema.sql — the probed DuckDB layout);
+      // the replay substitutes the name back to the index struct
+      graft.functions.EnumExprs.enumNameOf(dt)
+        .filter(n => TypeSql.enumValues(n).isDefined)
+        .getOrElse(dt.sql.replace("STRING", "VARCHAR"))
     val out = Paths.get(e.dir)
     Files.createDirectories(out)
     val tables = Option(Paths.get(warehouseDir).toFile.listFiles())
@@ -1393,6 +1431,7 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     val schema = new StringBuilder
     val load = new StringBuilder
     SequenceSql.exportDdl.foreach(s => schema.append(s).append("\n"))
+    TypeSql.exportDdl.foreach(s => schema.append(s).append("\n"))
     for (t <- tables) {
       val df = spark.read.parquet(Paths.get(warehouseDir, t).toString)
       // DEFAULT / NOT NULL ride the column defs so a replay keeps the
@@ -1419,7 +1458,19 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
         df.write.mode("overwrite").parquet(dataPath)
         load.append(s"COPY ${ident(t)} FROM '$dataPath' (FORMAT 'parquet');\n")
       } else {
-        df.write.mode("overwrite").option("header", "true")
+        // enum columns write their LABELS to CSV (the probed DuckDB
+        // rendering; structs are unwritable there anyway) — the loader's
+        // COPY FROM re-encodes through the VARCHAR→enum cast
+        val csvDf =
+          if (df.schema.exists(f =>
+            graft.functions.EnumExprs.enumNameOf(f.dataType).isDefined))
+            df.select(df.schema.fields.map { f =>
+              if (graft.functions.EnumExprs.enumNameOf(f.dataType).isDefined)
+                df.col(s"`${f.name}`").cast("string").as(f.name)
+              else df.col(s"`${f.name}`")
+            }.toIndexedSeq: _*)
+          else df
+        csvDf.write.mode("overwrite").option("header", "true")
           .option("nullValue", "\\N")
           .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
           .option("dateFormat", "yyyy-MM-dd")

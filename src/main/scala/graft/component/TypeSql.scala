@@ -221,6 +221,36 @@ object TypeSql {
 
   def reset(): Unit = { store.clear(); enums.clear(); enumAliasDeps.clear() }
 
+  /** CREATE TYPE DDL for every registered type — enums first (aliases
+    * may reference them), alias bases rendered back to the enum NAME
+    * where they resolved to one. Feeds EXPORT DATABASE's schema.sql and
+    * the warehouse `.types.sql` passthrough (DuckDB persists types in
+    * the database file — the reference's passthrough contract,
+    * `/root/reference/src/component.py:58-66`). */
+  def exportDdl: Seq[String] = {
+    def ident(n: String): String =
+      if (n.matches("[A-Za-z_]\\w*")) n else "\"" + n + "\""
+    val enumDdl = enums.toSeq.sortBy(_._1).map { case (n, vs) =>
+      s"CREATE TYPE ${ident(n)} AS " +
+        vs.map(v => "'" + v.replace("'", "''") + "'")
+          .mkString("ENUM (", ", ", ")") + ";"
+    }
+    val aliasDdl = store.toSeq.filterNot { case (n, _) => enums.contains(n) }
+      .sortBy(_._1).map { case (n, base) =>
+        val b = enums.keys.find(en => base == enumStructText(en))
+          .map(ident).getOrElse(base)
+        s"CREATE TYPE ${ident(n)} AS $b;"
+      }
+    enumDdl ++ aliasDdl
+  }
+
+  /** Replay a `.types.sql` script (idempotent — OR REPLACE semantics,
+    * a reloaded warehouse must not trip the duplicate error). */
+  def loadDdl(script: String): Unit =
+    Dialect.prepare(script).foreach { st =>
+      parseCreate(st).foreach(c => create(c.copy(orReplace = true)))
+    }
+
   /** Replace registered alias names in PROVABLE type positions:
     * `::name`, the type slot of `CAST(... AS name)` / `TRY_CAST`, and
     * column-definition types inside a plain CREATE TABLE (cols) list.

@@ -194,6 +194,44 @@ class TypeSqlSpec extends SparkSpec {
     run("DROP TYPE em_c")
   }
 
+  test("ENUM types ride EXPORT/IMPORT DATABASE and the warehouse .types.sql passthrough") {
+    TypeSql.reset()
+    DuckFunctions.register(spark)
+    val wh1 = Files.createTempDirectory("graft_etyp1_").toString
+    val ex = new Executor(spark, wh1)
+    def run(q: String) = ex.runStatement(Dialect.rewrite(q))
+    run("CREATE TYPE exmood AS ENUM ('sad','ok','happy')")
+    run("CREATE TYPE exmood_a AS exmood") // alias-over-enum round-trips too
+    run("CREATE TABLE ep_t (id INT, m exmood)")
+    run("INSERT INTO ep_t VALUES (1,'happy'),(2,'sad')")
+    val dump = Files.createTempDirectory("graft_etyp_dump_").toString
+    run(s"EXPORT DATABASE '$dump'")
+    val schemaSql = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dump, "schema.sql"))
+    assert(schemaSql.contains("CREATE TYPE exmood AS ENUM ('sad', 'ok', 'happy');"))
+    assert(schemaSql.contains("CREATE TYPE exmood_a AS exmood;"))
+    assert(schemaSql.contains("exmood")) // column exports under the NAME
+    // IMPORT into a FRESH run (types reset per run, the Component rule)
+    TypeSql.reset()
+    val ex2 = new Executor(spark,
+      Files.createTempDirectory("graft_etyp2_").toString)
+    ex2.runStatement(Dialect.rewrite(s"IMPORT DATABASE '$dump'"))
+    val r = sel("SELECT CAST(min(m) AS VARCHAR) AS mn FROM ep_t")
+      .collect().head
+    assert(r.getString(0) == "sad") // definition-index min survived replay
+    // warehouse passthrough: a new executor over the ORIGINAL warehouse
+    // re-attaches the catalog from .types.sql after a process-level reset
+    TypeSql.reset()
+    new Executor(spark, wh1)
+    assert(TypeSql.enumValues("exmood")
+      .contains(IndexedSeq("sad", "ok", "happy")))
+    val lbl = spark.read.parquet(s"$wh1/ep_t")
+      .select(org.apache.spark.sql.functions.col("m").cast("string"))
+      .collect().map(_.getString(0)).toSet
+    assert(lbl == Set("happy", "sad"))
+    TypeSql.reset()
+  }
+
   test("DAG ordering: a later block's cast depends on the CREATE TYPE statement") {
     // typeDeps makes the cast statement wait for the type's node even
     // though the cast itself is a Spark parse error pre-substitution
