@@ -74,8 +74,8 @@ object GraftExtensions {
   object DuckEnumRule
       extends org.apache.spark.sql.catalyst.rules.Rule[
         org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
-    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Expression}
-    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EqualTo, EvalMode, Expression, GetStructField, In, Literal}
+    import org.apache.spark.sql.types.{ShortType, StringType}
     import EnumExprs.enumNameOf
 
     private def vals(n: String): Seq[String] =
@@ -92,6 +92,22 @@ object GraftExtensions {
         case Some(n) => EnumExprs.decode(e, vals(n))
         case None => e
       }
+
+    /** Label → index literal for an EQUALITY context: labels↔indices are
+      * bijective (duplicates rejected at CREATE), so `m = 'ok'` ⇔
+      * `m.__ge = idx('ok')` — and the index form is a plain nested-field
+      * predicate parquet PUSHES DOWN to row-group stats, where the decode
+      * form (`element_at(...) = 'ok'`) cannot. An out-of-domain label
+      * compares to the impossible index −1 (false for every row, the
+      * same as the label comparison); a null literal stays null. */
+    private def idxLit(label: Any, values: Seq[String]): Literal =
+      if (label == null) Literal(null, ShortType)
+      else {
+        val i = values.indexOf(label.toString)
+        Literal((if (i < 0) -1 else i).toShort, ShortType)
+      }
+    private def isFoldableString(e: Expression): Boolean =
+      e.resolved && e.foldable && e.dataType.isInstanceOf[StringType]
 
     override def apply(
         plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
@@ -110,6 +126,19 @@ object GraftExtensions {
               enumNameOf(t).isDefined =>
           val tn = enumNameOf(t).get
           EnumEncode(e, tn, vals(tn), lenient = m == EvalMode.TRY)
+        // EQUALITY vs a foldable string: lower to the INDEX field — a
+        // pushable nested-field predicate (see idxLit). Semantics equal
+        // to the decode path (bijective labels; null/out-of-domain match)
+        case EqualTo(l, r) if isEnum(l) && isFoldableString(r) =>
+          EqualTo(GetStructField(l, 0),
+            idxLit(r.eval(), vals(enumNameOf(l.dataType).get)))
+        case EqualTo(l, r) if isEnum(r) && isFoldableString(l) =>
+          EqualTo(GetStructField(r, 0),
+            idxLit(l.eval(), vals(enumNameOf(r.dataType).get)))
+        case In(v, list) if isEnum(v) && list.nonEmpty &&
+            list.forall(isFoldableString) =>
+          val values = vals(enumNameOf(v.dataType).get)
+          In(GetStructField(v, 0), list.map(e => idxLit(e.eval(), values)))
         case e if e.childrenResolved && !e.isInstanceOf[Cast] &&
             e.children.exists(isEnum) &&
             scala.util.Try(e.checkInputDataTypes().isFailure)

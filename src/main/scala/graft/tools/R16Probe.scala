@@ -55,6 +55,15 @@ object R16Probe {
       edf.queryExecution.toRdd.foreachPartition(_ => ())
       println("==== enum agg plan ====")
       println(edf.queryExecution.executedPlan.toString)
+
+      // enum equality pushdown: m = 'ok' must reach the parquet scan as
+      // a nested-index-field filter (EqualTo(m.__ge_pmood, 1))
+      val pdf = spark.sql(graft.component.TypeSql.substitute(
+        graft.component.Dialect.rewrite(
+          "SELECT count(*) AS n FROM pm_t WHERE m = 'ok'")))
+      pdf.collect()
+      println("==== enum pushdown plan ====")
+      println(pdf.queryExecution.executedPlan.toString)
     } finally spark.stop()
   }
 }

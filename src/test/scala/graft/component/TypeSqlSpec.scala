@@ -167,6 +167,32 @@ class TypeSqlSpec extends SparkSpec {
     assert(firstMessage(bi).contains("Conversion Error"))
   }
 
+  test("ENUM equality vs string literals lowers to the index field and PUSHES to parquet") {
+    val ex = mkEx()
+    def run(q: String) = ex.runStatement(Dialect.rewrite(q))
+    run("CREATE TYPE pdmood AS ENUM ('sad','ok','happy')")
+    run("CREATE TABLE pd_t (id BIGINT, m pdmood)")
+    run("INSERT INTO pd_t SELECT id, (CASE WHEN id % 3 = 0 THEN 'sad' " +
+      "WHEN id % 3 = 1 THEN 'ok' ELSE 'happy' END)::pdmood FROM range(300) t(id)")
+    // equality and IN lower to the SMALLINT index field — a nested-field
+    // predicate the parquet scan pushes down (element_at decode cannot)
+    val df = sel("SELECT count(*) AS n FROM pd_t WHERE m = 'ok'")
+    assert(df.collect().head.getLong(0) == 100L)
+    val scanText = df.queryExecution.executedPlan.toString
+    assert(scanText.contains("PushedFilters: [IsNotNull(m"),
+      s"expected a pushed enum-index filter in:\n$scanText")
+    val in = sel("SELECT count(*) AS n FROM pd_t WHERE m IN ('sad','happy')")
+    assert(in.collect().head.getLong(0) == 200L)
+    // out-of-domain equality is FALSE (never an error — the label form's
+    // behavior, probed), null-safe
+    assert(sel("SELECT count(*) AS n FROM pd_t WHERE m = 'nope'")
+      .collect().head.getLong(0) == 0L)
+    // ordering comparisons stay LEXICAL via decode (only equality maps
+    // to the index — the probed enum-vs-varchar rule)
+    assert(sel("SELECT count(*) AS n FROM pd_t WHERE m > 'ok'")
+      .collect().head.getLong(0) == 100L) // only 'sad' > 'ok' lexically
+  }
+
   test("ENUM DDL edges: duplicate labels, drop-in-use, alias-over-enum (probed v1.0)") {
     val ex = mkEx()
     def run(sql: String) = ex.runStatement(Dialect.rewrite(sql))
