@@ -305,13 +305,16 @@ object Dialect {
       }.filter(_.nonEmpty).toSeq
     }
     val args = splitSeg(open + 1, obStart)
-    val orderTxt = stmt.substring(obEnd, close).trim
     val keySpecs = splitSeg(obEnd, close).map { piece =>
-      val m = "(?is)^(.*?)(?:\\s+(ASC|DESC))?(\\s+NULLS\\s+(?:FIRST|LAST))?$".r
+      val m = "(?is)^(.*?)(?:\\s+(ASC|DESC))?(?:\\s+NULLS\\s+(FIRST|LAST))?$".r
         .findFirstMatchIn(piece).get
-      if (m.group(3) != null) throw new UserException(
-        s"ordered aggregate $fn: NULLS FIRST/LAST is not supported " +
-          "(min_by/max_by/array_sort skip or natural-order NULL keys)")
+      // explicit NULLS LAST restates DuckDB's default (probed v1.0:
+      // nulls sort LAST under BOTH directions) — the lowering's
+      // null-flag keys already produce it; NULLS FIRST stays out
+      if (Option(m.group(3)).exists(_.equalsIgnoreCase("first")))
+        throw new UserException(
+          s"ordered aggregate $fn: NULLS FIRST is not supported (the " +
+            "lowering reproduces DuckDB's default NULLS LAST)")
       (m.group(1).trim, Option(m.group(2)).exists(_.equalsIgnoreCase("desc")))
     }
     val descs = keySpecs.map(_._2).distinct
@@ -319,19 +322,28 @@ object Dialect {
       s"ordered aggregate $fn: mixed ASC/DESC keys are not supported")
     val desc = descs.headOption.getOrElse(false)
     val keys = keySpecs.map(_._1)
+    // DuckDB sorts NULL keys LAST under both directions (probed v1.0);
+    // a bare min_by/max_by/array_sort key would place them Spark-style.
+    // A boolean null-flag AHEAD of each key reproduces the contract:
+    // ASC → flag `k IS NULL` (false < true ⇒ nulls greatest); DESC (the
+    // lowering reverses or max-picks) → flag `k IS NOT NULL` so the
+    // flip still lands nulls last.
+    def flagged(kx: String): Seq[String] =
+      Seq(s"(($kx) IS ${if (desc) "NOT " else ""}NULL)", kx)
     val out = fn match {
       case "first" | "any_value" | "arbitrary" | "last" =>
         if (args.length != 1) throw new UserException(
           s"ordered aggregate $fn takes one argument, got ${args.length}")
-        val key = if (keys.length == 1) keys.head
-                  else s"struct(${keys.mkString(", ")})"
+        val key = s"struct(${keys.flatMap(flagged).mkString(", ")})"
         val pickMax = (fn == "last") != desc // last+ASC or first+DESC → max
         s"${if (pickMax) "max_by" else "min_by"}(${args.head}, $key)"
       case "array_agg" | "list" =>
         if (args.length != 1) throw new UserException(
           s"ordered aggregate $fn takes one argument, got ${args.length}")
-        val fields = keys.zipWithIndex
-          .map { case (kx, i) => s"'__k$i', $kx" } :+ s"'__v', ${args.head}"
+        val fields = keys.zipWithIndex.flatMap { case (kx, i) =>
+          val Seq(f, k) = flagged(kx)
+          Seq(s"'__n$i', $f", s"'__k$i', $k")
+        } :+ s"'__v', ${args.head}"
         val sorted =
           s"array_sort(array_agg(named_struct(${fields.mkString(", ")})))"
         val dir = if (desc) s"reverse($sorted)" else sorted
@@ -340,9 +352,109 @@ object Dialect {
         if (args.isEmpty || args.length > 2) throw new UserException(
           s"ordered aggregate $fn takes (value[, separator]), got ${args.length}")
         val sep = if (args.length == 2) args(1) else "','"
-        s"listagg(${args.head}, $sep) WITHIN GROUP (ORDER BY $orderTxt)"
+        // explicit NULLS LAST per key — Spark's WITHIN GROUP default
+        // would put null keys first (the probed DuckDB divergence)
+        val ord = keys.map(k =>
+          s"$k${if (desc) " DESC" else ""} NULLS LAST").mkString(", ")
+        s"listagg(${args.head}, $sep) WITHIN GROUP (ORDER BY $ord)"
     }
     stmt.substring(0, fnStart) + out + stmt.substring(close + 1)
+  }
+
+  /** DuckDB's DEFAULT null sort order is NULLS LAST for BOTH directions
+    * (probed v1.0: `ORDER BY x` and `ORDER BY x DESC` both sort NULL
+    * keys last); Spark's ASC default is NULLS FIRST — a silent ROW-SET
+    * divergence wherever order feeds VALUES: ORDER BY + LIMIT, window
+    * functions, rank/range frames. Every ORDER BY item without an
+    * explicit NULLS qualifier and not DESC-ended (the DESC defaults
+    * agree) gains `NULLS LAST`. ORDER BYs inside plain function calls
+    * are left alone — [[rewriteOrderedAgg]]'s lowering owns those (its
+    * null-flag keys reproduce the same contract); OVER window specs and
+    * subqueries in keyword positions (FROM/IN/EXISTS/...) rewrite. */
+  private[component] def rewriteNullsLast(stmt0: String): String = {
+    val masked = maskQuoted(stmt0)
+    val dep = depths(masked)
+    // paren owners that are SQL keywords, not function names — their
+    // parenthesized ORDER BYs are subqueries/window specs and rewrite
+    val keywordOwners = Set("over", "from", "join", "where", "on", "and",
+      "or", "select", "union", "all", "as", "in", "exists", "not", "then",
+      "else", "when", "by", "lateral", "using", "values", "with", "case",
+      "having", "intersect", "except", "distinct", "cross", "inner",
+      "left", "right", "full", "semi", "anti", "end", "between", "like",
+      "ilike", "glob", "asof", "table", "insert", "into", "create",
+      "replace", "view", "limit", "offset", "qualify", "window")
+    val terminators = Set("limit", "offset", "rows", "range", "groups",
+      "exclude", "union", "intersect", "except", "fetch", "window",
+      "having", "qualify")
+    val appendAt = scala.collection.mutable.ListBuffer[Int]()
+    for (m <- "(?i)\\bORDER\\s+BY\\b".r.findAllMatchIn(masked)) {
+      // innermost enclosing '(' of this ORDER BY (-1 = top level)
+      var depth = 0; var j = m.start - 1; var open = -1
+      while (j >= 0 && open < 0) {
+        masked.charAt(j) match {
+          case ')' => depth += 1
+          case '(' => if (depth == 0) open = j else depth -= 1
+          case _ => ()
+        }
+        j -= 1
+      }
+      val owner = if (open < 0) "" else {
+        var k = open - 1
+        while (k >= 0 && masked.charAt(k).isWhitespace) k -= 1
+        val e = k
+        while (k >= 0 && (masked.charAt(k).isLetterOrDigit ||
+          masked.charAt(k) == '_')) k -= 1
+        if (e > k) masked.substring(k + 1, e + 1).toLowerCase else ""
+      }
+      if (open < 0 || owner.isEmpty || keywordOwners(owner)) {
+        val d0 = dep(m.start)
+        var i = m.end
+        var itemStart = -1
+        var lastNonWs = -1
+        var done = false
+        def closeItem(): Unit = if (itemStart >= 0 && lastNonWs >= itemStart) {
+          val item = stmt0.substring(itemStart, lastNonWs + 1)
+          if ("(?is)\\bNULLS\\s+(FIRST|LAST)\\s*$".r.findFirstIn(item).isEmpty &&
+              "(?is)\\bDESC\\s*$".r.findFirstIn(item).isEmpty &&
+              !item.equalsIgnoreCase("ALL"))
+            appendAt += (lastNonWs + 1)
+          itemStart = -1; lastNonWs = -1
+        }
+        while (!done) {
+          if (i >= masked.length || dep(i) < d0) { closeItem(); done = true }
+          else {
+            val ch = masked.charAt(i)
+            if (ch == ',' && dep(i) == d0) { closeItem(); i += 1 }
+            else if (ch == ';' && dep(i) == d0) { closeItem(); done = true }
+            else if (ch.isLetter && dep(i) == d0 && masked.charAt(i) == stmt0.charAt(i)) {
+              var e = i
+              while (e < masked.length && (masked.charAt(e).isLetterOrDigit ||
+                masked.charAt(e) == '_')) e += 1
+              val w = masked.substring(i, e).toLowerCase
+              if (itemStart >= 0 && terminators(w)) { closeItem(); done = true }
+              else {
+                if (itemStart < 0) itemStart = i
+                lastNonWs = e - 1
+                i = e
+              }
+            } else {
+              if (!ch.isWhitespace) {
+                if (itemStart < 0) itemStart = i
+                lastNonWs = i
+              }
+              i += 1
+            }
+          }
+        }
+      }
+    }
+    if (appendAt.isEmpty) stmt0
+    else {
+      val sb = new StringBuilder(stmt0)
+      appendAt.distinct.sorted(Ordering[Int].reverse)
+        .foreach(p => sb.insert(p, " NULLS LAST"))
+      sb.toString
+    }
   }
 
   /** A depth-0 trailing `LIMIT n% [OFFSET m]` (DuckDB percent limit,
@@ -363,13 +475,13 @@ object Dialect {
   /** Rewrite one DuckDB statement into Spark SQL. Textual rewrites
     * (`::VARCHAR`, `* EXCLUDE (`) apply only OUTSIDE quoted regions. */
   def rewrite(stmt0: String): String = {
-    val stmt = rewriteNoData(rewriteTupleSet(rewriteOrderedAgg(rewriteQualify(rewriteDistinctOn(rewriteWithCreate(
+    val stmt = rewriteNullsLast(rewriteNoData(rewriteTupleSet(rewriteOrderedAgg(rewriteQualify(rewriteDistinctOn(rewriteWithCreate(
       Pivot.rewriteUnpivot(UnnestSql.rewrite(rewriteUsingSample(
         rewriteSeriesTableFns(rewriteFill(rewriteMatchOps(
           StarReplaceSql.rewriteBareExclude(StarReplaceSql.rewriteLike(
           rewriteIntDiv(rewritePow(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
           FileReads.rewriteTableFunctions(IntrospectSql.rewrite(
-            rewritePragma(WindowClauseSql.inline(Macros.rewrite(rewriteDollarStrings(stmt0)))))))))))))))))))))))))
+            rewritePragma(WindowClauseSql.inline(Macros.rewrite(rewriteDollarStrings(stmt0))))))))))))))))))))))))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position
@@ -1480,6 +1592,25 @@ object Dialect {
     * `INSERT INTO t BY NAME ...` drops the modifier, and FROM-first
     * bodies (`AS FROM t`, `INSERT INTO t FROM y`) gain `SELECT *`.
     * Matches are located on the quote-masked text — literals survive. */
+  /** Analysis stub for the ALTER TABLE column forms (r16 — ADD/DROP/
+    * RENAME COLUMN, ALTER COLUMN): Spark cannot parse them (USING,
+    * IF EXISTS on a column, ...), and even the parseable ones reference
+    * the table through UnresolvedTable, invisible to the relation walk.
+    * `DELETE FROM t` carries exactly the mutation's DAG contract — the
+    * target is BOTH dependency and output. ADD PRIMARY KEY and
+    * RENAME TO keep their existing analysis. */
+  def alterColumnStub(stmt: String): String = {
+    val re = ("(?is)^\\s*ALTER\\s+TABLE\\s+(?:IF\\s+EXISTS\\s+)?" +
+      "[`\"]?([^`\"\\s;]+)[`\"]?\\s+(?:ADD|DROP|RENAME|ALTER)\\s+(.*)$").r
+    re.findFirstMatchIn(stmt) match {
+      case Some(m)
+          if "(?is)^(?:PRIMARY\\s+KEY\\b|TO\\b)".r
+            .findFirstIn(m.group(2)).isEmpty =>
+        s"DELETE FROM ${m.group(1)}"
+      case _ => stmt
+    }
+  }
+
   def analysisStub(stmt: String): String = {
     def sub(s: String, re: scala.util.matching.Regex)(
         repl: (String, scala.util.matching.Regex.Match) => String): String = {

@@ -49,6 +49,19 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
   // a PK over non-unique data.
   private val addPkStmt =
     """(?is)^\s*ALTER\s+TABLE\s+`?([^`\s;]+)`?\s+ADD\s+PRIMARY\s+KEY\s*\(([^)]+)\)\s*;?\s*$""".r
+  // ALTER TABLE column DDL (all probed v1.0): ADD COLUMN (type +
+  // optional DEFAULT only — v1.0 parser-errors constraints there),
+  // DROP/RENAME COLUMN, ALTER COLUMN TYPE/SET DEFAULT/DROP DEFAULT/
+  // SET NOT NULL/DROP NOT NULL. Dispatched AFTER addPkStmt so
+  // ADD PRIMARY KEY never reads as an ADD COLUMN item.
+  private val addColStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?([^`\s;]+)`?\s+ADD\s+(?:COLUMN\s+)?(IF\s+NOT\s+EXISTS\s+)?(.+?)\s*;?\s*$""".r
+  private val dropColStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?([^`\s;]+)`?\s+DROP\s+(?:COLUMN\s+)?(IF\s+EXISTS\s+)?["`]?([^"`\s;]+)["`]?\s*;?\s*$""".r
+  private val renameColStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?([^`\s;]+)`?\s+RENAME\s+(?:COLUMN\s+)?["`]?([^"`\s;]+)["`]?\s+TO\s+["`]?([^"`\s;]+)["`]?\s*;?\s*$""".r
+  private val alterColStmt =
+    """(?is)^\s*ALTER\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?([^`\s;]+)`?\s+ALTER\s+(?:COLUMN\s+)?["`]?([^"`\s;]+)["`]?\s+(.+?)\s*;?\s*$""".r
 
   // bare DDL: CREATE TABLE t (col TYPE, ...) — an EMPTY table with a
   // declared schema, filled by later INSERTs (the classic DDL+DML script
@@ -142,6 +155,14 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     * the table object is dropped or replaced (DuckDB drops a table's
     * indexes with it; a replacement table starts with no keys — stale
     * keys surviving a CREATE OR REPLACE would mis-target later upserts). */
+  /** One bare type text → Spark DataType (alias/enum names resolve
+    * through the TypeSql store — the ALTER TABLE column paths sit
+    * outside the statement positions TypeSql.substitute covers). */
+  private def parseTypeText(t: String): org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StructType.fromDDL("c " +
+      TypeSql.resolveTypeText(t)
+        .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")).head.dataType
+
   private def clearTableMeta(table: String): Unit = {
     declaredPk.remove(table)
     tableDefaults.remove(table)
@@ -375,6 +396,174 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
           s"ALTER TABLE $name ADD PRIMARY KEY: NULL in key column(s) " +
             s"(${cols.mkString(", ")}) — PRIMARY KEY columns are NOT NULL")
       declaredPk.put(sanitized.toLowerCase, pkCols)
+
+    // ---- ALTER TABLE column DDL (probed v1.0 semantics throughout) ----
+    case addColStmt(name, ifNotExists, itemTxt0) =>
+      val sanitized = Names.view(name)
+      val key = sanitized.toLowerCase
+      if (!spark.catalog.tableExists(s"`$sanitized`"))
+        throw new UserException(
+          s"ALTER TABLE ... ADD COLUMN: $name does not exist")
+      val itemTxt = itemTxt0.trim
+      // ADD PRIMARY KEY is the PREVIOUS case; a spelling that missed it
+      // (e.g. nested parens) must not read as a column named PRIMARY
+      if ("(?is)^(?:PRIMARY\\s+KEY|CONSTRAINT|FOREIGN\\s+KEY|UNIQUE|CHECK)\\b".r
+          .findFirstIn(itemTxt).isDefined)
+        throw new UserException(
+          s"unsupported ALTER TABLE ... ADD form: $itemTxt")
+      val colP = ConstraintSql.parseColumn(itemTxt).getOrElse(
+        throw new UserException(s"cannot parse ADD COLUMN item: $itemTxt"))
+      // probed v1.0: `Parser Error: Adding columns with constraints not
+      // yet supported` — only `name type [DEFAULT expr]` is legal
+      if (colP.notNull || colP.checks.nonEmpty || colP.unique)
+        throw new UserException(
+          "Adding columns with constraints not yet supported")
+      val existing = spark.table(s"`$sanitized`")
+      if (existing.columns.exists(_.equalsIgnoreCase(colP.name))) {
+        if (ifNotExists == null)
+          throw new UserException(
+            s"Catalog Error: Column with name ${colP.name} already exists!")
+      } else {
+        val typeText = colP.cleaned.replaceFirst("^`[^`]*`\\s*", "")
+        val dt = parseTypeText(typeText)
+        // probed: the DEFAULT is EVALUATED for existing rows, and it
+        // persists for future partial-column inserts
+        val value = colP.default.map(d => expr(d).cast(dt))
+          .getOrElse(lit(null).cast(dt))
+        colP.default.foreach { d =>
+          tableDefaults.put(key, tableDefaults.getOrElse(key, Map.empty) +
+            (colP.name.toLowerCase -> d))
+        }
+        register(name, materialize(name, existing.withColumn(colP.name, value)))
+        rebind(key)
+      }
+
+    case dropColStmt(name, ifExists, colName0) =>
+      val sanitized = Names.view(name)
+      val key = sanitized.toLowerCase
+      if (!spark.catalog.tableExists(s"`$sanitized`"))
+        throw new UserException(
+          s"ALTER TABLE ... DROP COLUMN: $name does not exist")
+      val existing = spark.table(s"`$sanitized`")
+      existing.columns.find(_.equalsIgnoreCase(colName0)) match {
+        case None =>
+          if (ifExists == null) throw new UserException(
+            s"""Binder Error: Table "$sanitized" does not have a column """ +
+              s"""with name "$colName0"""")
+        case Some(c) =>
+          // probed v1.0: PK/UNIQUE and CHECK dependencies block the drop
+          val inKey = declaredPk.get(key).exists(_.exists(_.equalsIgnoreCase(c))) ||
+            indexNames.values.exists { case (t, cols) =>
+              t == key && cols.exists(_.equalsIgnoreCase(c)) }
+          if (inKey) throw new UserException(
+            s"""Cannot drop column "$c" because there is a UNIQUE """ +
+              "constraint that depends on it")
+          val depRe = ("(?i)\\b" + java.util.regex.Pattern.quote(c) + "\\b").r
+          if (tableChecks.getOrElse(key, Nil)
+              .exists(ck => depRe.findFirstIn(ck).isDefined))
+            throw new UserException(
+              s"""Cannot drop column "$c" because there is a CHECK """ +
+                "constraint that depends on it")
+          tableDefaults.get(key).foreach(m =>
+            tableDefaults.put(key, m - c.toLowerCase))
+          tableNotNull.get(key).foreach(l =>
+            tableNotNull.put(key, l.filterNot(_.equalsIgnoreCase(c))))
+          register(name, materialize(name, existing.drop(c)))
+          rebind(key)
+      }
+
+    case renameColStmt(name, from, to) =>
+      val sanitized = Names.view(name)
+      val key = sanitized.toLowerCase
+      if (!spark.catalog.tableExists(s"`$sanitized`"))
+        throw new UserException(
+          s"ALTER TABLE ... RENAME COLUMN: $name does not exist")
+      val existing = spark.table(s"`$sanitized`")
+      val c = existing.columns.find(_.equalsIgnoreCase(from)).getOrElse(
+        throw new UserException(
+          s"""Binder Error: Table "$sanitized" does not have a column """ +
+            s"""with name "$from""""))
+      if (existing.columns.exists(_.equalsIgnoreCase(to)))
+        throw new UserException(
+          s"Catalog Error: Column with name $to already exists!")
+      // every registry follows the rename (probed: a CHECK referencing
+      // the column renames WITH it; PK columns rename in place)
+      declaredPk.get(key).foreach(ks => declaredPk.put(key,
+        ks.map(k => if (k.equalsIgnoreCase(c)) to else k)))
+      indexNames.toSeq.foreach { case (n, (t, cols)) =>
+        if (t == key && cols.exists(_.equalsIgnoreCase(c)))
+          indexNames.put(n,
+            (t, cols.map(k => if (k.equalsIgnoreCase(c)) to else k)))
+      }
+      tableDefaults.get(key).foreach { m =>
+        m.get(c.toLowerCase).foreach(d =>
+          tableDefaults.put(key, m - c.toLowerCase + (to.toLowerCase -> d)))
+      }
+      tableNotNull.get(key).foreach(l => tableNotNull.put(key,
+        l.map(k => if (k.equalsIgnoreCase(c)) to else k)))
+      val renRe = ("(?i)\\b" + java.util.regex.Pattern.quote(c) + "\\b").r
+      tableChecks.get(key).foreach(l => tableChecks.put(key, l.map(ck =>
+        renRe.replaceAllIn(ck,
+          java.util.regex.Matcher.quoteReplacement(to)))))
+      register(name, materialize(name, existing.withColumnRenamed(c, to)))
+      rebind(key)
+
+    case alterColStmt(name, colName0, action) =>
+      val sanitized = Names.view(name)
+      val key = sanitized.toLowerCase
+      if (!spark.catalog.tableExists(s"`$sanitized`"))
+        throw new UserException(
+          s"ALTER TABLE ... ALTER COLUMN: $name does not exist")
+      val existing = spark.table(s"`$sanitized`")
+      val c = existing.columns.find(_.equalsIgnoreCase(colName0)).getOrElse(
+        throw new UserException(
+          s"""Binder Error: Table "$sanitized" does not have a column """ +
+            s"""with name "$colName0""""))
+      val typeRe = "(?is)^(?:SET\\s+DATA\\s+)?TYPE\\s+(.+?)(?:\\s+USING\\s+(.+))?$".r
+      action.trim match {
+        case typeRe(typeText, usingTxt) =>
+          // probed v1.0: retype of a PK/UNIQUE or CHECK-referenced
+          // column is a binder error; DEFAULT and NOT NULL survive
+          val inKey = declaredPk.get(key).exists(_.exists(_.equalsIgnoreCase(c))) ||
+            indexNames.values.exists { case (t, cols) =>
+              t == key && cols.exists(_.equalsIgnoreCase(c)) }
+          if (inKey) throw new UserException(
+            "Binder Error: Cannot change the type of a column that has " +
+              "a UNIQUE or PRIMARY KEY constraint specified")
+          val depRe = ("(?i)\\b" + java.util.regex.Pattern.quote(c) + "\\b").r
+          if (tableChecks.getOrElse(key, Nil)
+              .exists(ck => depRe.findFirstIn(ck).isDefined))
+            throw new UserException(
+              "Binder Error: Cannot change the type of a column that " +
+                "has a CHECK constraint specified")
+          val dt = parseTypeText(typeText)
+          val src = Option(usingTxt).map(expr).getOrElse(col(s"`$c`"))
+          register(name,
+            materialize(name, existing.withColumn(c, src.cast(dt))))
+          rebind(key)
+        case a if "(?is)^SET\\s+DEFAULT\\s+.+$".r.findFirstIn(a).isDefined =>
+          val d = a.replaceFirst("(?is)^SET\\s+DEFAULT\\s+", "").trim
+          tableDefaults.put(key, tableDefaults.getOrElse(key, Map.empty) +
+            (c.toLowerCase -> d))
+        case a if "(?is)^DROP\\s+DEFAULT$".r.findFirstIn(a).isDefined =>
+          tableDefaults.get(key).foreach(m =>
+            tableDefaults.put(key, m - c.toLowerCase))
+        case a if "(?is)^SET\\s+NOT\\s+NULL$".r.findFirstIn(a).isDefined =>
+          // probed: existing NULLs fail the constraint at SET time
+          if (existing.filter(col(s"`$c`").isNull).limit(1).collect().nonEmpty)
+            throw new UserException(
+              s"NOT NULL constraint failed: $sanitized.$c")
+          tableNotNull.put(key,
+            (tableNotNull.getOrElse(key, Nil) :+ c).distinct)
+        case a if "(?is)^DROP\\s+NOT\\s+NULL$".r.findFirstIn(a).isDefined =>
+          tableNotNull.get(key).foreach(l =>
+            tableNotNull.put(key, l.filterNot(_.equalsIgnoreCase(c))))
+        case other =>
+          throw new UserException(
+            s"unsupported ALTER COLUMN action: $other — supported: " +
+              "[SET DATA] TYPE t [USING expr], SET/DROP DEFAULT, " +
+              "SET/DROP NOT NULL")
+      }
 
     case renameStmt(ifExists, from, to) =>
       val src = Names.view(from)

@@ -38,7 +38,8 @@ object SqlAnalyzer {
         TypeSql.stub(PositionalSql.stub(AsOfSql.stub(Pivot.staticStub(CopyFrom.stub(
           CopyTo.stub(UnionByNameSql.stub(DescribeSql.stub(SequenceSql.stub(
             ExportDb.stub(UpsertSql.stub(MergeSql.stub(UpdateFromSql.stub(IndexSql.stub(
-              PrepareSql.stub(ReturningSql.stub(Dialect.analysisStub(rewritten))))))))))))))))))
+              PrepareSql.stub(ReturningSql.stub(Dialect.alterColumnStub(
+                Dialect.analysisStub(rewritten)))))))))))))))))))
       fromPlan(plan)
     }.getOrElse(Analysis(Set.empty, Set.empty, OtherStmt)) match {
       case a =>

@@ -96,6 +96,12 @@ object TypeSql {
   /** Fast path for the analysis rule: any enums registered this run? */
   def anyEnums: Boolean = enums.nonEmpty
 
+  /** Resolve a bare type-position text through the alias store (the
+    * ALTER TABLE column paths parse type text OUTSIDE the statement
+    * positions [[substitute]] covers). */
+  def resolveTypeText(t: String): String =
+    store.getOrElse(t.trim.toLowerCase, t.trim)
+
   /** DuckDB-shaped rendering for introspection surfaces (probed v1.0:
     * pragma_table_info / information_schema show `ENUM('a', 'b')`). */
   def enumRendered(lowerName: String): Option[String] =

@@ -133,11 +133,17 @@ object UnionByNameSql {
           case _ => ""
         }.filter(_.nonEmpty).toSeq
         val cols: Seq[Column] = pieces.map { piece =>
-          val m = "(?is)^(.*?)(?:\\s+(ASC|DESC))?\\s*$".r
+          // ASC/DESC and the NULLS qualifier (rewriteNullsLast appends
+          // one) split off — Column sort modifiers, not expression text
+          val m = "(?is)^(.*?)(?:\\s+(ASC|DESC))?(?:\\s+NULLS\\s+(FIRST|LAST))?\\s*$".r
             .findFirstMatchIn(piece).get
           val base = expr(m.group(1))
-          if (Option(m.group(2)).exists(_.equalsIgnoreCase("DESC"))) base.desc
-          else base.asc
+          val desc = Option(m.group(2)).exists(_.equalsIgnoreCase("DESC"))
+          Option(m.group(3)).map(_.toLowerCase) match {
+            case Some("first") => if (desc) base.desc_nulls_first else base.asc_nulls_first
+            case Some("last") => if (desc) base.desc_nulls_last else base.asc_nulls_last
+            case _ => if (desc) base.desc else base.asc
+          }
         }
         unioned.orderBy(cols: _*)
       case None => unioned

@@ -518,6 +518,32 @@ object Extended {
       s.table("q96_out")
     }),
 
+    // default null sort order (IDENTICAL text both engines, probed
+    // v1.0): nulls last under both directions — rewriteNullsLast +
+    // the ordered-agg null-flag keys carry it; the rn≤40 slice and the
+    // ordered string_agg are value-sensitive to the placement.
+    "q98_null_order" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q98))
+    }),
+
+    // ALTER TABLE column DDL (IDENTICAL multi-statement text both
+    // engines, probed v1.0): the executor rebuilds the table through
+    // materialize on each structural ALTER; defaults/renames/retypes
+    // ride the constraint registries. Final SELECT via the CTAS wrapper.
+    "q97_alter_table" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_q97_wh_").toString
+      val ex = new graft.component.Executor(s, wh)
+      graft.component.Dialect.prepare(Oracle.q97Ddl).foreach(ex.runStatement(_))
+      ex.runStatement(graft.component.Dialect.rewrite(
+        s"CREATE OR REPLACE TABLE q97_out AS ${Oracle.q97Select}"))
+      s.table("q97_out")
+    }),
+
     "q93_introspection" -> ((s, d) => {
       graft.component.DuckFunctions.register(s)
       val wh = java.nio.file.Files
@@ -1146,6 +1172,46 @@ object Extended {
         |FROM q96_t ORDER BY doc_id""".stripMargin
     val q96: String = q96Ddl + ";\n" + q96Select
 
+    /** Shared DuckDB/Spark text — q97 runs this verbatim in both engines
+      * (ALTER TABLE column DDL, r16: ADD/DROP/RENAME COLUMN, ALTER
+      * COLUMN retype + USING + SET DEFAULT — all probed v1.0; the ADD
+      * default backfills existing rows, renamed/retyped columns keep
+      * their default for the later partial insert). */
+    val q97Ddl: String =
+      """DROP TABLE IF EXISTS q97_t;
+        |CREATE TABLE q97_t (doc_id BIGINT, v VARCHAR);
+        |INSERT INTO q97_t SELECT doc_id, lang FROM documents WHERE doc_id % 11 = 0;
+        |ALTER TABLE q97_t ADD COLUMN x BIGINT DEFAULT 5;
+        |ALTER TABLE q97_t ADD COLUMN y VARCHAR;
+        |ALTER TABLE q97_t RENAME COLUMN x TO xx;
+        |ALTER TABLE q97_t ALTER COLUMN xx SET DATA TYPE VARCHAR;
+        |ALTER TABLE q97_t ALTER COLUMN xx TYPE BIGINT USING length(xx) + doc_id % 7;
+        |ALTER TABLE q97_t ALTER COLUMN v SET DEFAULT 'zz';
+        |ALTER TABLE q97_t DROP COLUMN y;
+        |INSERT INTO q97_t (doc_id) SELECT doc_id + 1000000 FROM documents WHERE doc_id % 101 = 0""".stripMargin
+    val q97Select: String =
+      "SELECT doc_id, v, xx FROM q97_t ORDER BY doc_id"
+    val q97: String = q97Ddl + ";\n" + q97Select
+
+    /** Shared DuckDB/Spark text — q98 runs this verbatim in both engines
+      * (default NULL SORT ORDER, r16: DuckDB sorts null keys LAST under
+      * both directions while bare Spark puts them FIRST on ASC — the
+      * row_number/rn≤40 slice and the ordered string_agg are both
+      * value-sensitive to the placement, so an unmapped default would
+      * hash-mismatch). */
+    val q98: String =
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0 THEN NULL ELSE n_chars % 23 END AS k,
+        |         lang, source
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT source,
+        |  CAST(min(k) AS BIGINT) AS mn,
+        |  string_agg(lang, '|' ORDER BY k, doc_id) AS sl,
+        |  CAST(sum(CASE WHEN rn <= 40 THEN 1 ELSE 0 END) AS BIGINT) AS in40
+        |FROM (SELECT *, row_number() OVER (ORDER BY k, doc_id) AS rn FROM b)
+        |GROUP BY source ORDER BY source""".stripMargin
+
     /** Shared DuckDB/Spark text — q95 runs this verbatim in both engines
       * (macro default parameters, FUNCTION alias, DROP MACRO). */
     val q95: String =
@@ -1277,6 +1343,8 @@ object Extended {
     "q94_map_window" -> Oracle.q94,
     "q95_macro_defaults" -> Oracle.q95,
     "q96_enum" -> Oracle.q96,
+    "q97_alter_table" -> Oracle.q97,
+    "q98_null_order" -> Oracle.q98,
     "q61_unnest" -> Oracle.q61,
     "q62_positional" -> Oracle.q62,
     "q63_dotcall" -> Oracle.q63,

@@ -153,8 +153,11 @@ class DialectSpec extends AnyFunSuite {
   }
 
   test("in-paren IGNORE/RESPECT NULLS moves between the call and OVER (probed v1.0)") {
+    // (the window key also gains NULLS LAST — the r16 default-null-order
+    // mapping; DuckDB sorts null keys last where bare Spark leads ASC
+    // with them)
     assert(Dialect.rewrite("SELECT lag(x IGNORE NULLS) OVER (ORDER BY i) FROM t") ==
-      "SELECT lag(x) IGNORE NULLS OVER (ORDER BY i) FROM t")
+      "SELECT lag(x) IGNORE NULLS OVER (ORDER BY i NULLS LAST) FROM t")
     assert(Dialect.rewrite("SELECT first_value(x RESPECT NULLS) OVER w FROM t WINDOW w AS (ORDER BY i)")
       .contains(") RESPECT NULLS OVER"))
     // no OVER -> untouched (aggregate args never shift)

@@ -124,7 +124,10 @@ class FrameSqlSpec extends SparkSpec {
     assert(out.map(r => (r.get(0), r.get(1), r.get(3), r.get(4))).toSeq == Seq(
       (1, 1, 3L, 4L), (1, 1, 3L, 4L), (1, 2, 4L, 5L), (1, 3, 3L, 4L), (1, 3, 3L, 4L),
       (2, 5, 1L, 2L), (2, 6, 1L, 2L)))
-    assert(out.map(_.getLong(5)).toSeq == Seq(1L, 2L, 2L, 2L, 1L, 1L, 1L))
+    // cc's window key `k, x` carries the NULL x: DuckDB sorts it LAST
+    // (probed v1.0 — the r16 default-null-order mapping; the pre-r16 pin
+    // [1,2,2,2,1,1,1] was Spark's nulls-first placement, a divergence)
+    assert(out.map(_.getLong(5)).toSeq == Seq(1L, 2L, 2L, 1L, 2L, 1L, 1L))
   }
 
   test("non-rewritable EXCLUDE forms keep the loud reject") {
