@@ -361,6 +361,66 @@ object Dialect {
     stmt.substring(0, fnStart) + out + stmt.substring(close + 1)
   }
 
+  /** DuckDB's numeric→integral casts ROUND where Spark's truncate
+    * (probed v1.0: DECIMAL half-away, DOUBLE half-even, fractional
+    * strings via the decimal path — [[graft.functions.DuckIntCast]]).
+    * Both cast spellings in STATEMENT TEXT route through the
+    * `duck_icast` registry function; internal Column-API casts (int8
+    * quantization, bucketing) keep Spark semantics by design. An
+    * unparsable `::` left extent stays a native cast (loud residual —
+    * Spark re-parses whatever the scan could not). */
+  private val intCastTargets =
+    "TINYINT|INT1|SMALLINT|INT2|SHORT|INTEGER|INT4|SIGNED|BIGINT|INT8|LONG|HUGEINT|INT"
+  private[component] def rewriteIntCasts(stmt0: String): String = {
+    var stmt = stmt0
+    var guard = 0
+    while (guard < 256) {
+      guard += 1
+      val masked = maskQuoted(stmt)
+      var replaced: Option[String] = None
+      // 1) CAST / TRY_CAST type slot
+      val castIt = "(?i)\\b(TRY_)?CAST\\s*\\(".r.findAllMatchIn(masked)
+      while (replaced.isEmpty && castIt.hasNext) {
+        val m = castIt.next()
+        val open = m.end - 1
+        val close = matchingParen(masked, open)
+        if (close > 0) {
+          val inner = masked.substring(open + 1, close)
+          val dep = depths(inner)
+          "(?i)\\bAS\\b".r.findAllMatchIn(inner).toList.reverse
+            .find(a => dep(a.start) == 0).foreach { a =>
+              val slot = stmt.substring(open + 1 + a.end, close).trim
+              if (slot.matches(s"(?i)^(?:$intCastTargets)$$")) {
+                val exprTxt = stmt.substring(open + 1, open + 1 + a.start).trim
+                val lenient = if (m.group(1) != null) ", true" else ""
+                replaced = Some(stmt.substring(0, m.start) +
+                  s"duck_icast($exprTxt, '${slot.toUpperCase}'$lenient)" +
+                  stmt.substring(close + 1))
+              }
+            }
+        }
+      }
+      // 2) :: spelling — one LEFT primary binds (:: is tightest)
+      if (replaced.isEmpty) {
+        val ccIt = s"(?i)::\\s*($intCastTargets)\\b".r.findAllMatchIn(masked)
+        while (replaced.isEmpty && ccIt.hasNext) {
+          val m = ccIt.next()
+          intDivLeftStart(stmt, masked, m.start, chain = false).foreach { ls =>
+            val exprTxt = stmt.substring(ls, m.start).trim
+            replaced = Some(stmt.substring(0, ls) +
+              s"duck_icast($exprTxt, '${m.group(1).toUpperCase}')" +
+              stmt.substring(m.end))
+          }
+        }
+      }
+      replaced match {
+        case Some(s2) => stmt = s2
+        case None => return stmt
+      }
+    }
+    stmt
+  }
+
   /** DuckDB's DEFAULT null sort order is NULLS LAST for BOTH directions
     * (probed v1.0: `ORDER BY x` and `ORDER BY x DESC` both sort NULL
     * keys last); Spark's ASC default is NULLS FIRST — a silent ROW-SET
@@ -475,13 +535,13 @@ object Dialect {
   /** Rewrite one DuckDB statement into Spark SQL. Textual rewrites
     * (`::VARCHAR`, `* EXCLUDE (`) apply only OUTSIDE quoted regions. */
   def rewrite(stmt0: String): String = {
-    val stmt = rewriteNullsLast(rewriteNoData(rewriteTupleSet(rewriteOrderedAgg(rewriteQualify(rewriteDistinctOn(rewriteWithCreate(
+    val stmt = rewriteNullsLast(rewriteIntCasts(rewriteNoData(rewriteTupleSet(rewriteOrderedAgg(rewriteQualify(rewriteDistinctOn(rewriteWithCreate(
       Pivot.rewriteUnpivot(UnnestSql.rewrite(rewriteUsingSample(
         rewriteSeriesTableFns(rewriteFill(rewriteMatchOps(
           StarReplaceSql.rewriteBareExclude(StarReplaceSql.rewriteLike(
           rewriteIntDiv(rewritePow(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
           FileReads.rewriteTableFunctions(IntrospectSql.rewrite(
-            rewritePragma(WindowClauseSql.inline(Macros.rewrite(rewriteDollarStrings(stmt0))))))))))))))))))))))))))
+            rewritePragma(WindowClauseSql.inline(Macros.rewrite(rewriteDollarStrings(stmt0)))))))))))))))))))))))))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position

@@ -1439,6 +1439,11 @@ object DuckFunctions {
       arity("least_common_multiple", 2)(l2),
       arity("strip_accents", 1)(a => graft.functions.StripAccents(a.head)),
 
+      // numeric→integral casts with DuckDB's ROUNDING (Dialect
+      // rewrites `::INT`-family casts in statement text to this;
+      // [[graft.functions.DuckIntCast]] carries the probed matrix)
+      "duck_icast" -> graft.functions.GraftExtensions.duckICastBuilder,
+
       "parse_path" -> { a =>
         require(a.length == 1 || a.length == 2,
           s"parse_path expects 1-2 arguments, got ${a.length}")

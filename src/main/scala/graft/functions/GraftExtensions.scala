@@ -23,6 +23,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
         GraftExtensions.checked(name, arity, build)))
     }
+    // duck_icast rides the EXTENSION registry (not only
+    // DuckFunctions.register): the Dialect rewrites every statement
+    // text's ::INT-family cast to it, so it must resolve in EVERY
+    // session built with these extensions
+    ext.injectFunction((
+      new FunctionIdentifier("duck_icast"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "duck_icast",
+        "duck_icast(x, 'TYPE'[, lenient]) - DuckDB-rounding integral cast"),
+      GraftExtensions.duckICastBuilder))
     ext.injectResolutionRule(_ => GraftExtensions.DuckDateSubRule)
     ext.injectResolutionRule(_ => GraftExtensions.DuckEnumRule)
   }
@@ -150,6 +159,26 @@ object GraftExtensions {
           else e
       }
     }
+  }
+
+  /** Shared builder for duck_icast (see [[DuckIntCast]]); also bound by
+    * DuckFunctions.register for sessions registering by name. */
+  val duckICastBuilder: Seq[Expression] => Expression = { a =>
+    require(a.length == 2 || a.length == 3,
+      s"duck_icast expects (expr, 'TYPE'[, lenient]), got ${a.length}")
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val tn = a(1) match {
+      case Literal(s, _: org.apache.spark.sql.types.StringType) if s != null =>
+        s.toString.toLowerCase
+      case other => throw new IllegalArgumentException(
+        s"duck_icast: target type must be a string literal, got $other")
+    }
+    val t = DuckIntCast.targets.getOrElse(tn,
+      throw new IllegalArgumentException(
+        s"duck_icast: unknown target type $tn"))
+    val lenient = a.length == 3 &&
+      a(2).asInstanceOf[Literal].value == true
+    DuckIntCast(a.head, t, lenient)
   }
 
   private def checked(name: String, arity: Int,

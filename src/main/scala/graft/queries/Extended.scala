@@ -518,6 +518,14 @@ object Extended {
       s.table("q96_out")
     }),
 
+    // numeric→integral cast rounding (IDENTICAL text both engines,
+    // probed v1.0): duck_icast carries the per-source-type rounding.
+    "q99_cast_round" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      T.documents(s, d).createOrReplaceTempView("documents")
+      s.sql(graft.component.Dialect.rewrite(Oracle.q99))
+    }),
+
     // default null sort order (IDENTICAL text both engines, probed
     // v1.0): nulls last under both directions — rewriteNullsLast +
     // the ordered-agg null-flag keys carry it; the rn≤40 slice and the
@@ -1212,6 +1220,23 @@ object Extended {
         |FROM (SELECT *, row_number() OVER (ORDER BY k, doc_id) AS rn FROM b)
         |GROUP BY source ORDER BY source""".stripMargin
 
+    /** Shared DuckDB/Spark text — q99 runs this verbatim in both engines
+      * (numeric→integral CAST ROUNDING, r16: DuckDB rounds where bare
+      * Spark truncates — DOUBLE half-even (`he` hits exact .5s), DECIMAL
+      * half-away (`ha`), fractional strings half-away (`hs`), TRY_CAST
+      * NULL on bad input. Division shapes stay DOUBLE-sourced: DuckDB
+      * types ALL division DOUBLE while Spark keeps decimal/int DECIMAL —
+      * a decimal-division cast would round differently by construction,
+      * recorded residual). */
+    val q99: String =
+      """SELECT doc_id,
+        |  (n_chars / 2)::BIGINT AS he,
+        |  (CAST(n_chars AS DECIMAL(12,2)) + 0.5)::INT AS ha,
+        |  (CAST(n_chars AS VARCHAR) || '.5')::INT AS hs,
+        |  TRY_CAST(lang AS INT) AS tl,
+        |  TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS ok
+        |FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id""".stripMargin
+
     /** Shared DuckDB/Spark text — q95 runs this verbatim in both engines
       * (macro default parameters, FUNCTION alias, DROP MACRO). */
     val q95: String =
@@ -1345,6 +1370,7 @@ object Extended {
     "q96_enum" -> Oracle.q96,
     "q97_alter_table" -> Oracle.q97,
     "q98_null_order" -> Oracle.q98,
+    "q99_cast_round" -> Oracle.q99,
     "q61_unnest" -> Oracle.q61,
     "q62_positional" -> Oracle.q62,
     "q63_dotcall" -> Oracle.q63,

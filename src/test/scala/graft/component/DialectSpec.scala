@@ -30,9 +30,12 @@ class DialectSpec extends AnyFunSuite {
     assert(out.contains("FROM `days_csv`"))
   }
 
-  test("::VARCHAR becomes ::STRING; other casts pass through") {
+  test("::VARCHAR becomes ::STRING; integral casts route to duck_icast (r16 rounding)") {
     assert(Dialect.rewrite("SELECT a::VARCHAR, b::INT FROM t") ==
-      "SELECT a::STRING, b::INT FROM t")
+      "SELECT a::STRING, duck_icast(b, 'INT') FROM t")
+    // non-integral casts pass through
+    assert(Dialect.rewrite("SELECT b::DATE FROM t") ==
+      "SELECT b::DATE FROM t")
   }
 
   test("escaped quote inside string literal survives") {
@@ -88,7 +91,8 @@ class DialectSpec extends AnyFunSuite {
     assert(r("SELECT 2^3//2") == "SELECT divide(power(2, 3), 2)")
     // calls and casts are one primary
     assert(r("SELECT f(x)^2 FROM t") == "SELECT power(f(x), 2) FROM t")
-    assert(r("SELECT x::INT ^ 2 FROM t") == "SELECT power(x::INT, 2) FROM t")
+    assert(r("SELECT x::INT ^ 2 FROM t") ==
+      "SELECT power(duck_icast(x, 'INT'), 2) FROM t")
     // literals keep their carets; regex patterns are quoted → untouched
     assert(r("SELECT 'a^b' AS s") == "SELECT 'a^b' AS s")
     assert(r("SELECT regexp_matches(x, '^ab') FROM t")
@@ -185,7 +189,8 @@ class DialectSpec extends AnyFunSuite {
     // parens, calls, casts, unary sign
     assert(r("SELECT (a + b) // f(x, y) FROM t") ==
       "SELECT divide((a + b), f(x, y)) FROM t")
-    assert(r("SELECT x::INT // 2 FROM t") == "SELECT divide(x::INT, 2) FROM t")
+    assert(r("SELECT x::INT // 2 FROM t") ==
+      "SELECT divide(duck_icast(x, 'INT'), 2) FROM t")
     assert(r("SELECT a // x::DECIMAL(5,2) FROM t") ==
       "SELECT divide(a, x::DECIMAL(5,2)) FROM t")
     assert(r("SELECT -a // 2 FROM t") == "SELECT divide(-a, 2) FROM t")
@@ -256,7 +261,7 @@ class DialectSpec extends AnyFunSuite {
       "SELECT list_reduce(l, (acc, x) ->  acc + x) FROM t")
     // the word inside a literal stays; `::` casts are not lambda colons
     assert(r("SELECT 'lambda x: keep' AS s") == "SELECT 'lambda x: keep' AS s")
-    assert(r("SELECT x::INT FROM t") == "SELECT x::INT FROM t")
+    assert(r("SELECT x::INT FROM t") == "SELECT duck_icast(x, 'INT') FROM t")
   }
 
   test("lint ignores parens and keywords inside literals") {
