@@ -170,6 +170,29 @@ object DuckFunctions {
     }
   }
 
+  /** See the "substring" registration. Probed v1.0 3-arg semantics: a
+    * negative start counts from the END (effStart = len+start+1 —
+    * `(-1,5)`='f', Spark agrees natively), and an effStart ≤ 0 opens a
+    * WINDOW whose positions before 1 don't exist (`(0,3)`='ab',
+    * `(-10,3)`='' — length max(0, effStart+len−1) from position 1,
+    * where Spark would clamp to 'abc'). */
+  private val duckSubstringBuilder: Seq[Expression] => Expression = { a =>
+    require(a.length == 2 || a.length == 3,
+      s"substring expects 2-3 arguments, got ${a.length}")
+    if (a.length == 2) Substring(a.head, a(1), Literal(Int.MaxValue))
+    else {
+      val effStart = CaseWhen(
+        Seq((LessThan(a(1), Literal(0)),
+          Add(Add(Length(a.head), a(1)), Literal(1)))), a(1))
+      CaseWhen(
+        Seq((GreaterThan(effStart, Literal(0)),
+          Substring(a.head, a(1), a(2)))),
+        Substring(a.head, Literal(1),
+          Greatest(Seq(Subtract(Add(effStart, a(2)), Literal(1)),
+            Literal(0)))))
+    }
+  }
+
   private def arity(name: String, n: Int)(build: Seq[Expression] => Expression)
       : (String, Seq[Expression] => Expression) =
     name -> { args =>
@@ -1443,6 +1466,27 @@ object DuckFunctions {
       // rewrites `::INT`-family casts in statement text to this;
       // [[graft.functions.DuckIntCast]] carries the probed matrix)
       "duck_icast" -> graft.functions.GraftExtensions.duckICastBuilder,
+
+      // DuckDB's log() is LOG BASE 10 (the Postgres convention; probed
+      // v1.0: log(100)=2) — Spark's SQL log() is ln, a silent VALUE
+      // divergence on every 1-arg use. The 2-arg log(b, x) matches
+      // Spark's Logarithm argument order (probed: log(2,8)=3).
+      "log" -> { a =>
+        a.length match {
+          case 1 => Log10(a.head)
+          case 2 => Logarithm(a.head, a(1))
+          case n => throw new UserException(
+            s"log expects 1-2 arguments, got $n")
+        }
+      },
+
+      // DuckDB's 3-arg substring keeps the Postgres WINDOW semantics for
+      // non-positive starts (probed v1.0: substring('abcdef',0,3)='ab',
+      // (-10,3)='' — positions before 1 simply don't exist) where Spark
+      // CLAMPS the start to 1 ('abc'). Positive starts agree; the 2-arg
+      // negative-start from-end form agrees too.
+      "substring" -> duckSubstringBuilder,
+      "substr" -> duckSubstringBuilder,
 
       "parse_path" -> { a =>
         require(a.length == 1 || a.length == 2,

@@ -1234,7 +1234,10 @@ object Extended {
         |  (CAST(n_chars AS DECIMAL(12,2)) + 0.5)::INT AS ha,
         |  (CAST(n_chars AS VARCHAR) || '.5')::INT AS hs,
         |  TRY_CAST(lang AS INT) AS tl,
-        |  TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS ok
+        |  TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS ok,
+        |  round(log(n_chars), 6) AS lg,
+        |  round(log(2, n_chars), 6) AS lg2,
+        |  substring(lang, 0, 2) AS s0
         |FROM documents WHERE doc_id % 13 = 0 ORDER BY doc_id""".stripMargin
 
     /** Shared DuckDB/Spark text — q95 runs this verbatim in both engines

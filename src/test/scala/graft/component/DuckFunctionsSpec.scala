@@ -667,4 +667,25 @@ class DuckFunctionsSpec extends SparkSpec {
       "CREATE TABLE o AS SELECT greatest(unpack(COLUMNS('x.*'))) FROM src"))
     assert(an.outputs == Set("o") && an.dependencies == Set("src"), an)
   }
+
+  test("log() is LOG10; substring keeps Postgres window semantics (probed v1.0, r16)") {
+    DuckFunctions.register(spark)
+    def one(q: String) = spark.sql(Dialect.rewrite(s"SELECT $q AS v")).collect().head
+    // DuckDB's log() = log10 (probed: log(100)=2) — Spark's bare log()
+    // is ln, a silent value divergence before the r16 rebind
+    assert(one("log(100)").getDouble(0) == 2.0)
+    assert(one("log(2, 8)").getDouble(0) == 3.0)
+    assert(math.abs(one("ln(100)").getDouble(0) - 4.60517) < 1e-4)
+    assert(one("log2(8)").getDouble(0) == 3.0)
+    // substring: positions before 1 don't exist in the 3-arg window
+    // (probed: (0,3)='ab', (-10,3)=''; Spark's clamp would give 'abc')
+    assert(one("substring('abcdef', 0, 3)").getString(0) == "ab")
+    assert(one("substring('abcdef', -10, 3)").getString(0) == "")
+    // negative starts count from the END (probed: (-1,5)='f')
+    assert(one("substr('abcdef', -1, 5)").getString(0) == "f")
+    assert(one("substr('abcdef', -3, 2)").getString(0) == "de")
+    assert(one("substring('abcdef', 2, 3)").getString(0) == "bcd")
+    assert(one("substring('abcdef', -2)").getString(0) == "ef")
+    assert(one("substring('abcdef', 0)").getString(0) == "abcdef")
+  }
 }
