@@ -497,6 +497,32 @@ object Dialect {
                 lastNonWs = e - 1
                 i = e
               }
+            } else if (ch == ' ' && !stmt0.charAt(i).isWhitespace) {
+              // a masked span: a QUOTED literal is item text (the append
+              // must land AFTER it, not inside); a COMMENT is neither
+              // item text nor an append target
+              val och = stmt0.charAt(i)
+              if (och == '\'') {
+                val e2 = quotedEnd(stmt0, i)
+                if (itemStart < 0) itemStart = i
+                lastNonWs = e2 - 1; i = e2
+              } else if (och == '"' || och == '`') {
+                val p = stmt0.indexOf(och, i + 1)
+                val e2 = if (p < 0) stmt0.length else p + 1
+                if (itemStart < 0) itemStart = i
+                lastNonWs = e2 - 1; i = e2
+              } else if (och == '-' && i + 1 < stmt0.length &&
+                  stmt0.charAt(i + 1) == '-') {
+                val p = stmt0.indexOf('\n', i)
+                i = if (p < 0) stmt0.length else p + 1
+              } else if (och == '/' && i + 1 < stmt0.length &&
+                  stmt0.charAt(i + 1) == '*') {
+                val p = stmt0.indexOf("*/", i + 2)
+                i = if (p < 0) stmt0.length else p + 2
+              } else {
+                if (itemStart < 0) itemStart = i
+                lastNonWs = i; i += 1
+              }
             } else {
               if (!ch.isWhitespace) {
                 if (itemStart < 0) itemStart = i

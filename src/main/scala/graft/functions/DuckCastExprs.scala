@@ -34,6 +34,14 @@ case class DuckIntCast(child: Expression, target: DataType,
           RLike(StringTrim(child), Literal("^[+-]?[0-9]+$")),
           Cast(StringTrim(child), target))),
           Cast(Round(Cast(child, DecimalType(38, 10)), Literal(0)), target))
+      case st if EnumExprs.enumNameOf(st).isDefined =>
+        // enum::INT goes through the LABEL (probed v1.0: the label's
+        // conversion error) — decode, then the string branch above
+        val n = EnumExprs.enumNameOf(st).get
+        graft.component.TypeSql.enumValues(n) match {
+          case Some(vs) => copy(child = EnumExprs.decode(child, vs)).replacement
+          case None => Cast(child, target) // loud unresolvable
+        }
       case _ => Cast(child, target)
     }
     if (lenient) TryEval(inner) else inner

@@ -83,8 +83,8 @@ case class EnumEncode(child: Expression, enumName: String,
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mapRef = ctx.addReferenceObj("enumIdx", index,
-      "java.util.HashMap<UTF8String, java.lang.Short>")
+    // raw type: Janino's parser has no generics support
+    val mapRef = ctx.addReferenceObj("enumIdx", index, "java.util.HashMap")
     val self = ctx.addReferenceObj("enumEnc", this, classOf[EnumEncode].getName)
     nullSafeCodeGen(ctx, ev, c => {
       val missCode =

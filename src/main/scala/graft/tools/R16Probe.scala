@@ -15,6 +15,10 @@ object R16Probe {
       .appName("graft-r16-probe")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
+      // prove the round's custom codegen (EnumEncode) COMPILES — a
+      // Janino failure must fail the probe, not silently fall back
+      .config("spark.sql.codegen.fallback", false)
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

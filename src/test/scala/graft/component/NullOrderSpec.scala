@@ -86,5 +86,17 @@ class NullOrderSpec extends SparkSpec {
     // quoted text never rewrites
     val q = Dialect.rewriteNullsLast("SELECT 'ORDER BY a' AS s FROM t ORDER BY x")
     assert(q.contains("'ORDER BY a'") && q.endsWith("ORDER BY x NULLS LAST"))
+    // an item ENDING in a string literal appends AFTER the literal
+    // (the masked span is spaces — a naive scan would corrupt the item)
+    val lit = Dialect.rewriteNullsLast(
+      "SELECT * FROM t ORDER BY name || '_x' LIMIT 2")
+    assert(lit.contains("name || '_x' NULLS LAST LIMIT 2"), lit)
+    val lit2 = Dialect.rewriteNullsLast("SELECT * FROM t ORDER BY a, 'k' || b")
+    assert(lit2.endsWith("a NULLS LAST, 'k' || b NULLS LAST"), lit2)
+    // a trailing comment is not an append target (the qualifier must
+    // not be swallowed into the comment)
+    val cm = Dialect.rewriteNullsLast(
+      "SELECT * FROM t ORDER BY x -- note\n LIMIT 1")
+    assert(cm.contains("x NULLS LAST"), cm)
   }
 }
