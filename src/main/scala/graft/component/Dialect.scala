@@ -474,9 +474,10 @@ object Dialect {
         var done = false
         def closeItem(): Unit = if (itemStart >= 0 && lastNonWs >= itemStart) {
           val item = stmt0.substring(itemStart, lastNonWs + 1)
+          // `ORDER BY ALL` takes the qualifier too (probed: Spark parses
+          // ALL NULLS LAST and returns DuckDB's row set)
           if ("(?is)\\bNULLS\\s+(FIRST|LAST)\\s*$".r.findFirstIn(item).isEmpty &&
-              "(?is)\\bDESC\\s*$".r.findFirstIn(item).isEmpty &&
-              !item.equalsIgnoreCase("ALL"))
+              "(?is)\\bDESC\\s*$".r.findFirstIn(item).isEmpty)
             appendAt += (lastNonWs + 1)
           itemStart = -1; lastNonWs = -1
         }

@@ -68,6 +68,20 @@ object R16Probe {
       pdf.collect()
       println("==== enum pushdown plan ====")
       println(pdf.queryExecution.executedPlan.toString)
+
+      // does Spark parse ORDER BY ALL with a NULLS qualifier?
+      try {
+        val r = spark.sql(
+          "SELECT k FROM VALUES (1),(CAST(NULL AS INT)),(2) t(k) " +
+            "ORDER BY ALL NULLS LAST LIMIT 2").collect().map(_.get(0)).toSeq
+        println(s"orderByAllNulls: OK $r")
+      } catch { case e: Throwable =>
+        println(s"orderByAllNulls: FAIL ${e.getMessage.take(80)}")
+      }
+      val bare = spark.sql(
+        "SELECT k FROM VALUES (1),(CAST(NULL AS INT)),(2) t(k) " +
+          "ORDER BY ALL LIMIT 2").collect().map(_.get(0)).toSeq
+      println(s"orderByAllBare: $bare")
     } finally spark.stop()
   }
 }

@@ -99,4 +99,13 @@ class NullOrderSpec extends SparkSpec {
       "SELECT * FROM t ORDER BY x -- note\n LIMIT 1")
     assert(cm.contains("x NULLS LAST"), cm)
   }
+
+  test("ORDER BY ALL sorts null keys LAST too (probed v1.0)") {
+    val all = sql(s"SELECT k FROM (VALUES (1),(CAST(NULL AS INT)),(2)) AS t(k) " +
+      "ORDER BY ALL LIMIT 2").collect().map(_.get(0)).toSeq
+    assert(all == Seq(1, 2)) // bare Spark ALL would lead with the NULL
+    val desc = sql(s"SELECT k FROM (VALUES (1),(CAST(NULL AS INT)),(2)) AS t(k) " +
+      "ORDER BY ALL DESC LIMIT 2").collect().map(_.get(0)).toSeq
+    assert(desc == Seq(2, 1))
+  }
 }
