@@ -566,9 +566,9 @@ object Dialect {
       Pivot.rewriteUnpivot(UnnestSql.rewrite(rewriteUsingSample(
         rewriteSeriesTableFns(rewriteFill(rewriteMatchOps(
           StarReplaceSql.rewriteBareExclude(StarReplaceSql.rewriteLike(
-          rewriteIntDiv(rewritePow(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
+          rewriteMod(rewriteDiv(rewriteIntDiv(rewritePow(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
           FileReads.rewriteTableFunctions(IntrospectSql.rewrite(
-            rewritePragma(WindowClauseSql.inline(Macros.rewrite(rewriteDollarStrings(stmt0)))))))))))))))))))))))))))
+            rewritePragma(WindowClauseSql.inline(Macros.rewrite(rewriteDollarStrings(stmt0)))))))))))))))))))))))))))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position
@@ -917,6 +917,125 @@ object Dialect {
           stmt = stmt.substring(0, ls) + s"divide($left, $right)" +
             stmt.substring(re)
         case _ => return stmt
+      }
+    }
+    stmt
+  }
+
+  /** DuckDB types ALL `/` division DOUBLE (probed v1.0:
+    * `typeof(dec(10,2)/dec(10,2))` = DOUBLE; FLOAT/FLOAT stays FLOAT)
+    * and yields NULL on x/0 where Spark keeps DECIMAL for decimal
+    * operands and raises DIVIDE_BY_ZERO under ANSI — both silent/loud
+    * divergences on any migrating script doing `price/qty` over
+    * DECIMAL columns. Every single `/` in statement text routes to the
+    * registry's `duck_div` ([[graft.functions.DuckDiv]], which
+    * dispatches on resolved operand types); operand extents are the
+    * same scans as [[rewriteIntDiv]] (left: a multiplicative chain;
+    * right: one primary). An unparsable extent skips THAT operator and
+    * scans on (Spark's own `/` keeps its semantics there — recorded
+    * residual, never a mis-grouping). Runs after rewriteIntDiv, so
+    * every surviving `/` is single; comments and quoted regions are
+    * masked. Statement-text-only by design: internal Column-API
+    * division keeps Spark semantics (the duck_icast scope rule). */
+  /** The operand scanners see one PRIMARY, but `INTERVAL 2 DAY / 2`'s
+    * left operand is the three-token interval literal — extend a left
+    * extent backwards over `INTERVAL [<digits>]` so the literal travels
+    * whole (`INTERVAL '2 days'` leaves a quoted-span extent, `INTERVAL
+    * 2 DAY` a unit-identifier extent; both extend). A multi-unit
+    * `INTERVAL 2 DAY TO HOUR / 2` stays unextended and fails loudly as
+    * an unresolved identifier — never a silent mis-grouping. */
+  private def extendIntervalLiteral(stmt: String, masked: String, ls: Int): Int = {
+    var j = ls - 1
+    while (j >= 0 && stmt.charAt(j).isWhitespace) j -= 1
+    // optional bare count: INTERVAL 2 DAY (the extent was the unit)
+    var numStart = -1
+    if (j >= 0 && stmt.charAt(j).isDigit && masked.charAt(j) == stmt.charAt(j)) {
+      val e = j
+      while (j >= 0 && stmt.charAt(j).isDigit) j -= 1
+      numStart = j + 1
+      if (e >= numStart) while (j >= 0 && stmt.charAt(j).isWhitespace) j -= 1
+    }
+    if (j >= 7) {
+      val e = j
+      while (j >= 0 && (stmt.charAt(j).isLetter || stmt.charAt(j) == '_')) j -= 1
+      if (e > j && stmt.substring(j + 1, e + 1).equalsIgnoreCase("interval") &&
+          masked.charAt(j + 1) == stmt.charAt(j + 1))
+        return j + 1
+    }
+    ls // no INTERVAL keyword: keep the plain extent
+  }
+
+  private[component] def rewriteDiv(stmt0: String): String = {
+    var stmt = stmt0
+    var from = 0
+    var guard = 0
+    while (guard < 512) {
+      guard += 1
+      val masked = maskQuoted(stmt)
+      var op = -1
+      var i = math.max(from, 0)
+      while (op < 0 && i < masked.length) {
+        if (masked.charAt(i) == '/' &&
+            (i == 0 || masked.charAt(i - 1) != '/') &&
+            (i + 1 >= masked.length || masked.charAt(i + 1) != '/')) op = i
+        i += 1
+      }
+      if (op < 0) return stmt
+      (intDivLeftStart(stmt, masked, op), intDivRightEnd(stmt, masked, op + 1)) match {
+        case (Some(ls0), Some(re)) =>
+          val ls = extendIntervalLiteral(stmt, masked, ls0)
+          val left = stmt.substring(ls, op).trim
+          val right = stmt.substring(op + 1, re).trim
+          stmt = stmt.substring(0, ls) + s"duck_div($left, $right)" +
+            stmt.substring(re)
+          // text before ls is unchanged and already scanned; the
+          // replacement itself contains no bare '/'
+          from = ls
+        case _ => from = op + 1
+      }
+    }
+    stmt
+  }
+
+  /** DuckDB yields NULL on `x % 0` where Spark's ANSI mode raises
+    * DIVIDE_BY_ZERO (probed v1.0) — `%` in statement text routes to the
+    * registry's `duck_mod` ([[graft.functions.DuckMod]]: Spark-identical
+    * operand typing plus the zero → NULL divisor guard). Two `%`
+    * spellings are NOT modulo and must survive untouched: the trailing
+    * percent-LIMIT (`LIMIT 10%`, executed by [[parseLimitPercent]] at
+    * body time) and the sample percentage (`USING SAMPLE 10%`,
+    * `TABLESAMPLE ...%`) — both are a bare NUMERIC LITERAL directly
+    * preceded by the LIMIT/SAMPLE keyword, which is exactly the guard
+    * (a `%` whose right extent is unparsable — end of statement,
+    * OFFSET, a sample-method paren — is also left alone). */
+  private[component] def rewriteMod(stmt0: String): String = {
+    var stmt = stmt0
+    var from = 0
+    var guard = 0
+    while (guard < 512) {
+      guard += 1
+      val masked = maskQuoted(stmt)
+      val op = masked.indexOf('%', math.max(from, 0))
+      if (op < 0) return stmt
+      def isPercentShorthand(ls: Int): Boolean = {
+        if (!stmt.substring(ls, op).trim.matches("[0-9]+(\\.[0-9]+)?"))
+          return false
+        var j = ls - 1
+        while (j >= 0 && stmt.charAt(j).isWhitespace) j -= 1
+        val e = j
+        while (j >= 0 && (stmt.charAt(j).isLetter || stmt.charAt(j) == '_')) j -= 1
+        val w = if (e > j) stmt.substring(j + 1, e + 1).toLowerCase else ""
+        w == "limit" || w == "sample" || w == "tablesample"
+      }
+      (intDivLeftStart(stmt, masked, op), intDivRightEnd(stmt, masked, op + 1)) match {
+        case (Some(ls0), Some(re)) if !isPercentShorthand(ls0) =>
+          val ls = extendIntervalLiteral(stmt, masked, ls0)
+          val left = stmt.substring(ls, op).trim
+          val right = stmt.substring(op + 1, re).trim
+          stmt = stmt.substring(0, ls) + s"duck_mod($left, $right)" +
+            stmt.substring(re)
+          from = ls
+        case _ => from = op + 1
       }
     }
     stmt

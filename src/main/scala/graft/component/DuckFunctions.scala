@@ -1781,19 +1781,17 @@ object DuckFunctions {
       },
 
       // operator spellings as functions; divide() on two integrals is
-      // DuckDB's INTEGER division (probed: divide(7,2)=3, 7.0/2=3.5)
+      // DuckDB's INTEGER division (probed: divide(7,2)=3, 7.0/2=3.5).
+      // divide/duck_div/duck_mod dispatch on RESOLVED child types inside
+      // RuntimeReplaceable (graft.functions.DuckArithExprs, r17): DuckDB
+      // types ALL `/` DOUBLE and yields NULL on /0, //0 and %0 where
+      // Spark's ANSI mode keeps DECIMAL and raises DIVIDE_BY_ZERO.
       arity("add", 2)(a => Add(a.head, a(1))),
       arity("subtract", 2)(a => Subtract(a.head, a(1))),
       arity("multiply", 2)(a => Multiply(a.head, a(1))),
-      arity("divide", 2) { a =>
-        import org.apache.spark.sql.types._
-        def integral(e: Expression) = e.resolved && (e.dataType match {
-          case ByteType | ShortType | IntegerType | LongType => true
-          case _ => false
-        })
-        if (integral(a.head) && integral(a(1))) IntegralDivide(a.head, a(1))
-        else Divide(a.head, a(1))
-      },
+      arity("divide", 2)(a => graft.functions.DuckFloorDiv(a.head, a(1))),
+      arity("duck_div", 2)(a => graft.functions.DuckDiv(a.head, a(1))),
+      arity("duck_mod", 2)(a => graft.functions.DuckMod(a.head, a(1))),
 
       // sequence value functions over the SequenceSql catalog (the
       // statements themselves are executor-dispatched, like COPY)
@@ -2149,6 +2147,13 @@ object DuckFunctions {
     * version-error thrower — the same failure a reference user gets from
     * the version-matched engine (a 1.4.4-pinned run has no
     * weighted_avg), never a silent fallthrough. */
+  /** Every name this registry binds (the r17 differential sweep's
+    * corpus source — tools/function_sweep.py). */
+  def names: Seq[String] =
+    (builders ++ round12Builders ++ jsonBuilders ++ simStatBuilders ++
+      listStatBuilders ++ gapBuilders ++ dtBuilders ++ histBuilders)
+      .map(_._1)
+
   def register(spark: SparkSession,
                compat: String = Versions.Default): Unit =
     (builders ++ round12Builders ++ jsonBuilders ++ simStatBuilders ++

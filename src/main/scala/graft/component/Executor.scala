@@ -277,7 +277,17 @@ class Executor(spark: SparkSession, warehouseDir: String, threads: Int = 4) {
     // User-type aliases substitute to their base text first — after this
     // line the statement is exactly what the user could have written
     // inline ([[TypeSql]])
-    val (stmt, returning) = ReturningSql.split(TypeSql.substitute(stmtFull))
+    val substituted = TypeSql.substitute(stmtFull)
+    // alias substitution runs AFTER the prepare-time rewrite (aliases are
+    // created by earlier statements of the same run), so an alias over an
+    // integral base (`x::myint`) surfaces its `::INTEGER` spelling only
+    // HERE — re-run the rounding-cast pass so it rounds like the engine
+    // instead of truncating (r16 residual (c); idempotent — duck_icast
+    // calls carry their type as a quoted literal, which the pass masks)
+    val recast =
+      if (substituted ne stmtFull) Dialect.rewriteIntCasts(substituted)
+      else substituted
+    val (stmt, returning) = ReturningSql.split(recast)
     FileReads.ensureRegistered(spark, stmt) // read_csv/read_parquet views
     IntrospectSql.ensureRegistered(spark, stmt, introspectMeta)
     var delta: Option[DataFrame] = None

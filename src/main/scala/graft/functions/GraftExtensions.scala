@@ -32,6 +32,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName, "duck_icast",
         "duck_icast(x, 'TYPE'[, lenient]) - DuckDB-rounding integral cast"),
       GraftExtensions.duckICastBuilder))
+    // duck_div/duck_mod ride the extension registry for the same reason:
+    // Dialect.rewriteDiv/rewriteMod route every statement text's `/` and
+    // `%` operator to them (r17 — DuckDB types ALL division DOUBLE and
+    // yields NULL on /0, %0 where ANSI Spark keeps DECIMAL and raises)
+    ext.injectFunction((
+      new FunctionIdentifier("duck_div"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "duck_div",
+        "duck_div(a, b) - DuckDB `/`: DOUBLE result, NULL on zero divisor"),
+      (a: Seq[Expression]) => DuckDiv(a.head, a(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("duck_mod"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "duck_mod",
+        "duck_mod(a, b) - DuckDB `%`: NULL on zero divisor"),
+      (a: Seq[Expression]) => DuckMod(a.head, a(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("divide"),
+      new ExpressionInfo(classOf[GraftExtensions].getName, "divide",
+        "divide(a, b) - DuckDB `//`: integral floor division, NULL on zero"),
+      (a: Seq[Expression]) => DuckFloorDiv(a.head, a(1))))
     ext.injectResolutionRule(_ => GraftExtensions.DuckDateSubRule)
     ext.injectResolutionRule(_ => GraftExtensions.DuckEnumRule)
   }

@@ -31,10 +31,19 @@ import org.apache.spark.sql.functions._
 object KMeans {
 
   /** Train `k` centroids with `iters` Lloyd iterations.
-    * Returns the k×dim codebook (row i = centroid i). */
+    * Returns the k×dim codebook (row i = centroid i).
+    *
+    * `init` warm-starts from a caller-supplied codebook instead of the
+    * hash-ranked seeding — the standard production device when a prior
+    * codebook exists (incremental re-training on a grown corpus, or
+    * domain-known cluster anchors); centroid i keeps meaning "the
+    * cluster seeded by init(i)", which also makes planted-cluster
+    * convergence provable (s07b). */
   def fit(df: DataFrame, idCol: String, vecCol: String,
-          k: Int, iters: Int): Array[Array[Double]] = {
+          k: Int, iters: Int,
+          init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got $k, $iters)")
+    require(init.forall(_.length == k), "init codebook must have k rows")
     // Drop null vectors AND vectors containing null elements: VecBuf.add
     // skips null elements, so an all-null-element group would aggregate to
     // a NULL struct (NPE below), and the seeding row-decode would
@@ -43,14 +52,14 @@ object KMeans {
       .filter(col("__vec").isNotNull &&
         !exists(col("__vec"), _.isNull))
     // deterministic seeding: k smallest (xxhash64(id), id) — TakeOrdered,
-    // no global sort
-    var codebook: Array[Array[Double]] = vecs
+    // no global sort — unless the caller warm-starts
+    var codebook: Array[Array[Double]] = init.getOrElse(vecs
       .orderBy(xxhash64(col("__id")), col("__id"))
       .limit(k).collect()
       .map(_.getSeq[Any](1).map {
         case f: Float => f.toDouble
         case d: Double => d
-      }.toArray)
+      }.toArray))
     require(codebook.nonEmpty, "kmeans: no input vectors")
 
     var it = 0

@@ -536,6 +536,23 @@ object Extended {
       s.sql(graft.component.Dialect.rewrite(Oracle.q98))
     }),
 
+    // division semantics (IDENTICAL multi-statement text both engines,
+    // probed v1.0, r17): duck_div/duck_mod/divide carry the DOUBLE
+    // result typing and the zero → NULL contract; the alias-cast column
+    // exercises the execution-time recast ordering fix.
+    "q100_div_semantics" -> ((s, d) => {
+      graft.component.DuckFunctions.register(s)
+      graft.component.TypeSql.reset()
+      T.documents(s, d).createOrReplaceTempView("documents")
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_q100_wh_").toString
+      val ex = new graft.component.Executor(s, wh)
+      graft.component.Dialect.prepare(Oracle.q100Ddl).foreach(ex.runStatement(_))
+      ex.runStatement(graft.component.Dialect.rewrite(
+        s"CREATE OR REPLACE TABLE q100_out AS ${Oracle.q100Select}"))
+      s.table("q100_out")
+    }),
+
     // ALTER TABLE column DDL (IDENTICAL multi-statement text both
     // engines, probed v1.0): the executor rebuilds the table through
     // materialize on each structural ALTER; defaults/renames/retypes
@@ -1201,6 +1218,40 @@ object Extended {
       "SELECT doc_id, v, xx FROM q97_t ORDER BY doc_id"
     val q97: String = q97Ddl + ";\n" + q97Select
 
+    /** Shared DuckDB/Spark text — q100 runs this verbatim in both
+      * engines (DIVISION SEMANTICS, r17 — the r16 verdict's top
+      * remaining silent-divergence class, all probed v1.0):
+      * DuckDB types ALL `/` DOUBLE where bare Spark keeps DECIMAL for
+      * decimal operands (dd/de), so decimal division feeding an
+      * integral cast rounds on the DOUBLE half-even path (di); x/0,
+      * x//0 and x%0 are NULL where ANSI Spark raises (z1–z3, plus de's
+      * real-data zero divisors); modulo keeps its operand typing (m7,
+      * dm); and an alias type over an integral base rounds through the
+      * execution-time recast (ai — r16 residual (c)). */
+    val q100Ddl: String =
+      """DROP TABLE IF EXISTS q100_t;
+        |DROP TYPE IF EXISTS q100_myint;
+        |CREATE TYPE q100_myint AS INTEGER;
+        |CREATE TABLE q100_t AS
+        |  SELECT doc_id,
+        |         CAST(n_chars AS DECIMAL(12,2)) AS dc,
+        |         CAST(doc_id % 7 AS DECIMAL(10,3)) AS dv,
+        |         n_chars
+        |  FROM documents WHERE doc_id % 11 = 0""".stripMargin
+    val q100Select: String =
+      """SELECT doc_id,
+        |  dc / 4 AS dd,
+        |  dc / dv AS de,
+        |  (dc / 3)::BIGINT AS di,
+        |  n_chars / 0 AS z1,
+        |  n_chars // 0 AS z2,
+        |  n_chars % 0 AS z3,
+        |  n_chars % 7 AS m7,
+        |  CAST(dc % 2.5 AS DOUBLE) AS dm,
+        |  (dc / 2)::q100_myint AS ai
+        |FROM q100_t ORDER BY doc_id""".stripMargin
+    val q100: String = q100Ddl + ";\n" + q100Select
+
     /** Shared DuckDB/Spark text — q98 runs this verbatim in both engines
       * (default NULL SORT ORDER, r16: DuckDB sorts null keys LAST under
       * both directions while bare Spark puts them FIRST on ASC — the
@@ -1372,6 +1423,7 @@ object Extended {
     "q95_macro_defaults" -> Oracle.q95,
     "q96_enum" -> Oracle.q96,
     "q97_alter_table" -> Oracle.q97,
+    "q100_div_semantics" -> Oracle.q100,
     "q98_null_order" -> Oracle.q98,
     "q99_cast_round" -> Oracle.q99,
     "q61_unnest" -> Oracle.q61,

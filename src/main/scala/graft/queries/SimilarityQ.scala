@@ -172,6 +172,33 @@ object SimilarityQ {
         .orderBy("qid")
     }),
 
+    // -- PLANTED-CLUSTER k-means exactness slice (r17, the s02b–s09b
+    //    pattern for the trainer): 4 well-separated synthetic clusters
+    //    derived arithmetically from vec_id (dominant coordinate 8.0 on
+    //    dim = vec_id%4, off-coordinates k/64 — dyadic rationals whose
+    //    double sums are EXACT under any add order), warm-started from
+    //    the basis vectors, so Lloyd provably converges in one pass to
+    //    the per-cluster arithmetic means — which DuckDB computes as
+    //    plain avg() over the same construction, bit-identically. The
+    //    data-seeded variant stays rows-only (s07 — no SQL oracle for
+    //    iterative training); this row hash-checks the assignment +
+    //    mergeable-buffer update machinery end to end.
+    "s07b_kmeans_planted" -> ((s, d) => {
+      val emb = T.embeddings(s, d).filter(col("vec_id").isNotNull)
+      val planted = emb.select(col("vec_id"),
+        array((0 until 8).map(j =>
+          when(col("vec_id") % 4 === j, lit(8.0))
+            .otherwise(((col("vec_id") * (j + 1)) % 8).cast("double") / 64.0)): _*)
+          .as("pv"))
+      val basis = Array.tabulate(4, 8)((c, j) => if (j == c) 8.0 else 0.0)
+      val cb = graft.ops.KMeans.fit(planted, "vec_id", "pv",
+        k = 4, iters = 2, init = Some(basis))
+      import s.implicits._
+      cb.zipWithIndex.flatMap { case (cent, c) =>
+        cent.zipWithIndex.map { case (v, j) => (c, j, v) } }.toSeq
+        .toDF("cluster", "dim", "val").orderBy("cluster", "dim")
+    }),
+
     "s09b_index_planted" -> ((s, d) => {
       val emb = T.embeddings(s, d)
       val dir = s09IndexDir.getOrElseUpdate(d, {
@@ -259,6 +286,23 @@ object SimilarityQ {
     // exact top-5 on this isotropic corpus (S06Probe); recall/quality vs
     // s01 is pinned in OpsSpec instead. The r16 planted-twin slices below
     // ARE exact: an identical vector is guaranteed through every route.
+    // s07b: the converged codebook equals the per-cluster means of the
+    // planted construction — plain SQL avg() over the same arithmetic
+    // (exact dyadic values ⇒ order-free sums ⇒ bit-identical doubles).
+    "s07b_kmeans_planted" ->
+      """WITH p AS (
+        |  SELECT vec_id, CAST(vec_id % 4 AS INT) AS cluster
+        |  FROM embeddings WHERE vec_id IS NOT NULL
+        |), dims AS (SELECT CAST(unnest(range(8)) AS INT) AS dim),
+        |v AS (
+        |  SELECT p.cluster, dims.dim,
+        |         CASE WHEN dims.dim = p.cluster THEN CAST(8.0 AS DOUBLE)
+        |              ELSE CAST((p.vec_id * (dims.dim + 1)) % 8 AS DOUBLE) / 64.0
+        |         END AS x
+        |  FROM p, dims)
+        |SELECT cluster, dim, avg(x) AS val
+        |FROM v GROUP BY cluster, dim ORDER BY cluster, dim""".stripMargin,
+
     "s02b_lsh_planted" -> plantedOracle,
     "s04b_ivf_planted" -> plantedOracle,
     "s06b_proj_planted" -> plantedOracle,

@@ -15,6 +15,10 @@ object R16Probe {
       .appName("graft-r16-probe")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
+      // DuckEnumRule + duck_* registry ride the extensions — without this
+      // line the enum INSERT below cannot even cast (r16 verdict #1: the
+      // probe was committed missing it and did not run standalone)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       // prove the round's custom codegen (EnumEncode) COMPILES — a
       // Janino failure must fail the probe, not silently fall back
       .config("spark.sql.codegen.fallback", false)
