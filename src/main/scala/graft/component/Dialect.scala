@@ -589,6 +589,9 @@ object Dialect {
         // Spark rejects length-less VARCHAR (`CAST(x AS VARCHAR)`, corpus-
         // wide in the reference fixtures); VARCHAR(n) parses natively
         .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
+        // DuckDB's BLOB and its aliases are Spark's BINARY (r17 sweep:
+        // `'ab'::BLOB` must reach to_base64/to_hex as binary)
+        .replaceAll("(?i)\\b(BLOB|BYTEA|VARBINARY)\\b", "BINARY")
         // DuckDB star modifier: SELECT * EXCLUDE (c) ≡ Spark * EXCEPT (c)
         .replaceAll("(?i)\\*\\s*EXCLUDE\\s*\\(", "* EXCEPT(")
         // Spark's PARSER special-cases date_diff/datediff (unquoted unit

@@ -159,14 +159,23 @@ object DuckFunctions {
       val m = Add(Multiply(Subtract(Year(ts), Literal(2000)), Literal(12)),
         Subtract(Month(ts), Literal(1)))
       val bucket = Subtract(m, Pmod(m, Literal(months)))
-      Cast(AddMonths(Literal(10957, DateType), bucket), TimestampType) // 2000-01-01
+      graft.functions.DuckSameDateKind(
+        Cast(AddMonths(Literal(10957, DateType), bucket), TimestampType), // 2000-01-01
+        ts)
     } else {
       require(micros > 0, "time_bucket width must be positive")
+      // an INTERVAL origin offsets the default anchor (probed v1.0)
       val o: Expression = origin
-        .map(e => UnixMicros(Cast(e, TimestampType)))
+        .map {
+          case Literal(v: Long, _: DayTimeIntervalType) =>
+            Literal(946857600000000L + v)
+          case e => UnixMicros(Cast(e, TimestampType))
+        }
         .getOrElse(Literal(946857600000000L)) // 2000-01-03 00:00:00 UTC
       val um = UnixMicros(Cast(ts, TimestampType))
-      MicrosToTimestamp(Subtract(um, Pmod(Subtract(um, o), Literal(micros))))
+      graft.functions.DuckSameDateKind(
+        MicrosToTimestamp(Subtract(um, Pmod(Subtract(um, o), Literal(micros)))),
+        ts)
     }
   }
 
@@ -193,6 +202,43 @@ object DuckFunctions {
     }
   }
 
+  /** strptime with DuckDB's default date: a format with NO year
+    * directive parses into year 1900 there, 1970 here (probed v1.0:
+    * strptime('aBc','aBc') = 1900-01-01) — shift by the 70-year gap. */
+  private def duckParseTs(input: Expression, duckFmt: String): Expression = {
+    val p = new ParseToTimestamp(input, Literal(translateFormat(duckFmt)))
+    if ("%[YyGg]".r.findFirstIn(duckFmt).isDefined) p
+    else TimestampAddYMInterval(p, Literal.create(-840,
+      org.apache.spark.sql.types.YearMonthIntervalType()))
+  }
+
+  /** A literal list-of-format-strings argument (strptime's list form). */
+  private def formatList(e: Expression): Option[Seq[String]] = e match {
+    case CreateArray(elems, _) if elems.nonEmpty =>
+      val strs = elems.collect {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+          s.toString
+      }
+      if (strs.length == elems.length) Some(strs) else None
+    case _ => None
+  }
+
+  /** DuckDB splits the EMPTY string into [''] where Spark's split
+    * returns [] (probed v1.0 — r17 sweep). */
+  private def emptySplit(str: Expression, split: Expression): Expression =
+    If(EqualTo(Length(str), Literal(0)),
+      CreateArray(Seq(Literal(""))), split)
+
+  /** Numeric-list view for the f32/f64 kernels ([[graft.functions.DuckVecArg]]). */
+  private def vecArg(e: Expression): Expression = graft.functions.DuckVecArg(e)
+
+  /** DuckDB's levenshtein/editdist3 measure BYTES, not code points
+    * (probed v1.0: editdist3('héllo','h') = 5) — the latin1 view maps
+    * each UTF-8 byte to one char, so Spark's codegen'd char-level
+    * Levenshtein computes the byte distance exactly. */
+  private def byteView(e: Expression): Expression =
+    StringDecode(Encode(e, Literal("UTF-8")), Literal("ISO-8859-1"))
+
   private def arity(name: String, n: Int)(build: Seq[Expression] => Expression)
       : (String, Seq[Expression] => Expression) =
     name -> { args =>
@@ -217,30 +263,37 @@ object DuckFunctions {
     "list_concat" -> (a => Concat(a)),
     "list_value" -> (a => CreateArray(a)),
     arity("array_to_string", 2)(a => ArrayJoin(a.head, a(1), None)),
-    // 1-based INCLUSIVE [begin, end] → Slice(x, begin, end − begin + 1)
-    arity("list_slice", 3)(a =>
-      Slice(a.head, a(1), Add(Subtract(a(2), a(1)), Literal(1)))),
-    // literal (non-regex) separator split — Spark's split() is regex
-    arity("string_split", 2)(a => StringSplitSQL(a.head, a(1))),
+    // 1-based INCLUSIVE [begin, end]; strings slice by character and
+    // 0/negative/overflowing bounds normalize (probed v1.0 — r17 sweep)
+    arity("list_slice", 3)(a => graft.functions.DuckSlice(a.head, a(1), a(2))),
+    // literal (non-regex) separator split — Spark's split() is regex.
+    // DuckDB splits '' into [''] where Spark's split gives [] (probed)
+    arity("string_split", 2)(a => emptySplit(a.head, StringSplitSQL(a.head, a(1)))),
     // REGEX separator split (DuckDB's _regex twins of the literal split)
-    arity("string_split_regex", 2)(a => StringSplit(a.head, a(1), Literal(-1))),
-    arity("regexp_split_to_array", 2)(a => StringSplit(a.head, a(1), Literal(-1))),
-    // more list_* renames of native array nodes
-    arity("list_extract", 2)(a => ElementAt(a.head, a(1))), // 1-based, like DuckDB
-    arity("list_element", 2)(a => ElementAt(a.head, a(1))),
+    arity("string_split_regex", 2)(a =>
+      emptySplit(a.head, StringSplit(a.head, a(1), Literal(-1)))),
+    arity("regexp_split_to_array", 2)(a =>
+      emptySplit(a.head, StringSplit(a.head, a(1), Literal(-1)))),
+    // more list_* renames of native array nodes; extract accepts strings
+    // (character pick) and yields NULL on out-of-range list indexes
+    arity("list_extract", 2)(a => graft.functions.DuckExtract(a.head, a(1))),
+    arity("list_element", 2)(a => graft.functions.DuckExtract(a.head, a(1))),
     arity("list_min", 1)(a => ArrayMin(a.head)),
     arity("list_max", 1)(a => ArrayMax(a.head)),
     arity("list_reverse", 1)(a => Reverse(a.head)),
     "list_zip" -> (a => ArraysZip(a)),
-    arity("str_split", 2)(a => StringSplitSQL(a.head, a(1))),
-    arity("string_to_array", 2)(a => StringSplitSQL(a.head, a(1))),
+    arity("str_split", 2)(a => emptySplit(a.head, StringSplitSQL(a.head, a(1)))),
+    arity("string_to_array", 2)(a => emptySplit(a.head, StringSplitSQL(a.head, a(1)))),
 
-    // vector math over list columns (graft's codegen'd f32/f64 kernels)
-    arity("list_dot_product", 2)(a => graft.functions.DotF32(a.head, a(1))),
-    arity("list_inner_product", 2)(a => graft.functions.DotF32(a.head, a(1))),
+    // vector math over list columns (graft's codegen'd f32/f64 kernels;
+    // DuckVecArg lets int/decimal lists ride them — probed v1.0 accepts
+    // any numeric list and returns DOUBLE)
+    arity("list_dot_product", 2)(a => graft.functions.DotF32(vecArg(a.head), vecArg(a(1)))),
+    arity("list_inner_product", 2)(a => graft.functions.DotF32(vecArg(a.head), vecArg(a(1)))),
     arity("list_cosine_similarity", 2)(a => {
       import graft.functions.{DotF32, NormF32}
-      Divide(DotF32(a.head, a(1)), Multiply(NormF32(a.head), NormF32(a(1))))
+      Divide(DotF32(vecArg(a.head), vecArg(a(1))),
+        Multiply(NormF32(vecArg(a.head)), NormF32(vecArg(a(1)))))
     }),
 
     // Unicode normalization (graft's Normalizer-backed expression — the
@@ -293,9 +346,17 @@ object DuckFunctions {
     // [[Dialect.rewriteSeriesTableFns]]); Sequence is inclusive with
     // default step 1 — exactly DuckDB's semantics, timestamps included
     "generate_series" -> { a =>
-      require(a.length >= 2 && a.length <= 3,
-        s"generate_series expects 2-3 arguments, got ${a.length}")
-      Sequence(a.head, a(1), a.lift(2))
+      require(a.length >= 1 && a.length <= 3,
+        s"generate_series expects 1-3 arguments, got ${a.length}")
+      if (a.length == 1) {
+        // 1-arg form: [0..n] inclusive, [] for negative n (probed v1.0)
+        val n = Cast(a.head, org.apache.spark.sql.types.LongType)
+        If(LessThan(n, Literal(0L)),
+          Literal.create(Seq.empty[Long],
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType, containsNull = false)),
+          Sequence(Literal(0L), n, None))
+      } else Sequence(a.head, a(1), a.lift(2))
     },
 
     // polymorphic len (string OR list/map — DuckDB's signature; Spark
@@ -319,15 +380,37 @@ object DuckFunctions {
     arity("strpos", 2)(a => StringInstr(a.head, a(1))),
     arity("list_unique", 1)(a => Size(ArrayDistinct(a.head))),
 
-    // epoch extractors
-    arity("epoch_us", 1)(a => UnixMicros(a.head)),
-    arity("epoch_ms", 1)(a => UnixMillis(a.head)),
+    // epoch extractors (DATE and INTERVAL operands too — r17 sweep)
+    arity("epoch_us", 1)(a => graft.functions.DuckEpoch(a.head, "us")),
+    arity("epoch_ms", 1)(a => graft.functions.DuckEpoch(a.head, "ms")),
 
-    // C-style datetime formatting (literal formats only)
-    arity("strftime", 2)(a => DateFormatClass(a.head,
-      Literal(translateFormat(literalString(a(1), "strftime"))))),
-    arity("strptime", 2)(a => new ParseToTimestamp(a.head,
-      Literal(translateFormat(literalString(a(1), "strptime"))))))
+    // C-style datetime formatting. DuckDB binds BOTH argument orders
+    // (probed v1.0: strftime(ts, fmt) and strftime(fmt, ts)); strptime
+    // accepts a LIST of formats tried in order (try_strptime likewise)
+    arity("strftime", 2)(a =>
+      scala.util.Try(literalString(a(1), "strftime")) match {
+        case scala.util.Success(f) =>
+          DateFormatClass(a.head, Literal(translateFormat(f)))
+        case scala.util.Failure(_) =>
+          DateFormatClass(a(1),
+            Literal(translateFormat(literalString(a.head, "strftime"))))
+      }),
+    arity("strptime", 2)(a => formatList(a(1)) match {
+      case Some(fmts) =>
+        // list form: first matching format; none matching raises, the
+        // probed contract (NULL input stays NULL)
+        val tries = fmts.map(f => TryEval(duckParseTs(a.head, f)))
+        val coal = Coalesce(tries)
+        If(IsNull(a.head),
+          Literal.create(null, org.apache.spark.sql.types.TimestampType),
+          If(IsNull(coal),
+            Cast(RaiseError(Literal(
+              "strptime: no format in the list matched the input")),
+              org.apache.spark.sql.types.TimestampType),
+            coal))
+      case None =>
+        duckParseTs(a.head, literalString(a(1), "strptime"))
+    }))
 
   private val round12Builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     // ── round-12 batch: a systematic duckdb_functions() gap scan,
@@ -355,10 +438,9 @@ object DuckFunctions {
     arity("array_length", 1)(a => Size(a.head)),
     arity("array_indexof", 2)(a => ArrayPosition(a.head, a(1))),
     arity("array_has", 2)(a => ArrayContains(a.head, a(1))),
-    arity("array_extract", 2)(a => ElementAt(a.head, a(1))),
+    arity("array_extract", 2)(a => graft.functions.DuckExtract(a.head, a(1))),
     arity("array_reverse_sort", 1)(a => SortArray(a.head, Literal(false))),
-    arity("array_slice", 3)(a =>
-      Slice(a.head, a(1), Add(Subtract(a(2), a(1)), Literal(1)))),
+    arity("array_slice", 3)(a => graft.functions.DuckSlice(a.head, a(1), a(2))),
     "array_zip" -> (a => ArraysZip(a)),
     // 1-based gather: list_select(l, idxs) picks elements at positions
     arity("list_select", 2)(a => {
@@ -374,11 +456,14 @@ object DuckFunctions {
     arity("list_aggr", 2)(a => listAggDispatch(a)),
 
     // vector math: array_* twins + L2 distance via zip_with
-    arity("array_dot_product", 2)(a => graft.functions.DotF32(a.head, a(1))),
-    arity("array_inner_product", 2)(a => graft.functions.DotF32(a.head, a(1))),
+    arity("array_dot_product", 2)(a =>
+      graft.functions.DotF32(vecArg(a.head), vecArg(a(1)))),
+    arity("array_inner_product", 2)(a =>
+      graft.functions.DotF32(vecArg(a.head), vecArg(a(1)))),
     arity("array_cosine_similarity", 2)(a => {
       import graft.functions.{DotF32, NormF32}
-      Divide(DotF32(a.head, a(1)), Multiply(NormF32(a.head), NormF32(a(1))))
+      Divide(DotF32(vecArg(a.head), vecArg(a(1))),
+        Multiply(NormF32(vecArg(a.head)), NormF32(vecArg(a(1)))))
     }),
     arity("list_distance", 2)(a => l2Distance(a.head, a(1))),
     arity("array_distance", 2)(a => l2Distance(a.head, a(1))),
@@ -388,21 +473,34 @@ object DuckFunctions {
     arity("prefix", 2)(a => StartsWith(a.head, a(1))),
     arity("ends_with", 2)(a => EndsWith(a.head, a(1))),
     arity("suffix", 2)(a => EndsWith(a.head, a(1))),
-    arity("strlen", 1)(a => Length(a.head)),
+    // strlen counts BYTES (probed v1.0: strlen('héllo') = 6 — r17 sweep)
+    arity("strlen", 1)(a => OctetLength(a.head)),
     // codepoint of the first character (Spark's Ascii decodes the full
-    // code point, not just 7-bit — probed equal on '€')
-    arity("ord", 1)(a => Ascii(a.head)),
-    arity("unicode", 1)(a => Ascii(a.head)),
+    // code point, not just 7-bit — probed equal on '€'); the EMPTY
+    // string is -1 in DuckDB where Ascii gives 0 (probed — r17 sweep)
+    arity("ord", 1)(a => If(EqualTo(Length(a.head), Literal(0)),
+      Literal(-1), Ascii(a.head))),
+    arity("unicode", 1)(a => If(EqualTo(Length(a.head), Literal(0)),
+      Literal(-1), Ascii(a.head))),
     arity("to_base64", 1)(a => Base64(a.head)),
     arity("from_base64", 1)(a => UnBase64(a.head)),
     arity("to_hex", 1)(a => Hex(a.head)),
     arity("from_hex", 1)(a => Unhex(a.head)),
     arity("sha256", 1)(a => Sha2(a.head, Literal(256))),
     arity("gen_random_uuid", 0)(_ => Uuid()),
-    arity("editdist3", 2)(a => Levenshtein(a.head, a(1))),
-    arity("to_base", 2)(a =>
-      Conv(Cast(a.head, org.apache.spark.sql.types.StringType),
-        Literal(10), a(1))),
+    // BYTE-level edit distance (probed v1.0: editdist3('héllo','h') = 5,
+    // not the 4 code points — r17 sweep); levenshtein gets the same
+    // binding so the shared name doesn't silently resolve char-based
+    arity("editdist3", 2)(a => Levenshtein(byteView(a.head), byteView(a(1)))),
+    arity("levenshtein", 2)(a => Levenshtein(byteView(a.head), byteView(a(1)))),
+    // to_base(v, radix[, min_length]) — the 3-arg form zero-pads (probed)
+    "to_base" -> { a =>
+      require(a.length == 2 || a.length == 3,
+        s"to_base expects 2-3 arguments, got ${a.length}")
+      val base = Conv(Cast(a.head, org.apache.spark.sql.types.StringType),
+        Literal(10), a(1))
+      if (a.length == 3) StringLPad(base, a(2), Literal("0")) else base
+    },
     // whole-string regex match: anchor the pattern
     arity("regexp_full_match", 2)(a => RLike(a.head,
       Concat(Seq(Literal("^(?:"), a(1), Literal(")$"))))),
@@ -428,18 +526,10 @@ object DuckFunctions {
         Literal(null, org.apache.spark.sql.types.BooleanType),
         IsNotNull(GetJsonObject(a.head, Literal("$"))))),
 
-    // math predicates (NULL-propagating, probed)
-    arity("isinf", 1)(a => {
-      val d = Cast(a.head, org.apache.spark.sql.types.DoubleType)
-      If(IsNull(d), Literal(null, org.apache.spark.sql.types.BooleanType),
-        EqualTo(Abs(d), Literal(Double.PositiveInfinity)))
-    }),
-    arity("isfinite", 1)(a => {
-      val d = Cast(a.head, org.apache.spark.sql.types.DoubleType)
-      If(IsNull(d), Literal(null, org.apache.spark.sql.types.BooleanType),
-        And(Not(IsNaN(d)),
-          Not(EqualTo(Abs(d), Literal(Double.PositiveInfinity)))))
-    }),
+    // math predicates (NULL-propagating, probed; DATE/TIMESTAMP operands
+    // are always finite here — r17 sweep, graft.functions.DuckFinite)
+    arity("isinf", 1)(a => graft.functions.DuckFinite(a.head, inf = true)),
+    arity("isfinite", 1)(a => graft.functions.DuckFinite(a.head, inf = false)),
     arity("xor", 2)(a => BitwiseXor(a.head, a(1))),
 
     // date parts (probed DuckDB values: century(2019)=21, decade=201,
@@ -460,11 +550,8 @@ object DuckFunctions {
     arity("millisecond", 1)(a =>
       IntegralDivide(Pmod(UnixMicros(Cast(a.head, org.apache.spark.sql.types.TimestampType)),
         Literal(60000000L)), Literal(1000L))),
-    arity("epoch", 1)(a =>
-      Divide(Cast(UnixMicros(Cast(a.head, org.apache.spark.sql.types.TimestampType)),
-        org.apache.spark.sql.types.DoubleType), Literal(1e6))),
-    arity("epoch_ns", 1)(a =>
-      Multiply(UnixMicros(Cast(a.head, org.apache.spark.sql.types.TimestampType)), Literal(1000L))),
+    arity("epoch", 1)(a => graft.functions.DuckEpoch(a.head, "s")),
+    arity("epoch_ns", 1)(a => graft.functions.DuckEpoch(a.head, "ns")),
     arity("today", 0)(_ => CurrentDate()),
     arity("datetrunc", 2)(a => TruncTimestamp(a.head, a(1))),
 
@@ -1649,13 +1736,17 @@ object DuckFunctions {
         Literal(daysPerUnit.toLong)), org.apache.spark.sql.types.IntegerType),
       Literal(0), Literal(0), Literal(org.apache.spark.sql.types.Decimal(0, 16, 6)))
 
-  /** n × unit microseconds as a DAY-TIME interval (exact decimal secs). */
+  /** n × unit microseconds as a DAY-TIME interval (exact decimal secs).
+    * n stays FRACTIONAL through the arithmetic (probed v1.0, r17 sweep:
+    * to_milliseconds(2.5) is 2500 µs, to_seconds(-0.5) is -500 ms —
+    * the former long-cast truncated both). */
   private def dtIntervalUs(n: Expression, usPerUnit: Long): Expression = {
-    val us = Multiply(Cast(n, org.apache.spark.sql.types.LongType), Literal(usPerUnit))
+    import org.apache.spark.sql.types.{Decimal, DecimalType}
+    val secsPerUnit = Literal(Decimal(
+      BigDecimal(usPerUnit) / BigDecimal(1000000L), 16, 6))
     MakeDTInterval(Literal(0), Literal(0), Literal(0),
-      Cast(Divide(Cast(us, org.apache.spark.sql.types.DecimalType(26, 6)),
-        Literal(org.apache.spark.sql.types.Decimal(1000000L, 16, 0))),
-        org.apache.spark.sql.types.DecimalType(26, 6)))
+      Cast(Multiply(Cast(n, DecimalType(26, 6)), secsPerUnit),
+        DecimalType(26, 6)))
   }
 
   private def dtBuilders: Seq[(String, Seq[Expression] => Expression)] = {
@@ -1742,8 +1833,13 @@ object DuckFunctions {
       arity("julian", 1)(a =>
         Add(Divide(Cast(unixUs(a.head), org.apache.spark.sql.types.DoubleType),
           Literal(86400e6)), Literal(2440588.0))),
-      arity("try_strptime", 2)(a => TryEval(new ParseToTimestamp(a.head,
-        Literal(translateFormat(literalString(a(1), "try_strptime")))))),
+      arity("try_strptime", 2)(a => formatList(a(1)) match {
+        // list form: first matching format, NULL when none match (probed)
+        case Some(fmts) => Coalesce(fmts.map(f =>
+          TryEval(duckParseTs(a.head, f))))
+        case None => TryEval(duckParseTs(a.head,
+          literalString(a(1), "try_strptime")))
+      }),
 
       // banker's rounding (Spark's bround IS half-even)
       arity("round_even", 2)(a => BRound(a.head, a(1))),
@@ -1786,8 +1882,17 @@ object DuckFunctions {
       // RuntimeReplaceable (graft.functions.DuckArithExprs, r17): DuckDB
       // types ALL `/` DOUBLE and yields NULL on /0, //0 and %0 where
       // Spark's ANSI mode keeps DECIMAL and raises DIVIDE_BY_ZERO.
-      arity("add", 2)(a => Add(a.head, a(1))),
-      arity("subtract", 2)(a => Subtract(a.head, a(1))),
+      // unary overloads exist too (probed: add(7)=7, subtract(7)=-7)
+      "add" -> { a =>
+        require(a.length == 1 || a.length == 2,
+          s"add expects 1-2 arguments, got ${a.length}")
+        if (a.length == 1) a.head else Add(a.head, a(1))
+      },
+      "subtract" -> { a =>
+        require(a.length == 1 || a.length == 2,
+          s"subtract expects 1-2 arguments, got ${a.length}")
+        if (a.length == 1) UnaryMinus(a.head) else Subtract(a.head, a(1))
+      },
       arity("multiply", 2)(a => Multiply(a.head, a(1))),
       arity("divide", 2)(a => graft.functions.DuckFloorDiv(a.head, a(1))),
       arity("duck_div", 2)(a => graft.functions.DuckDiv(a.head, a(1))),

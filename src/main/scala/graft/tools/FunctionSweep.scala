@@ -50,9 +50,9 @@ object FunctionSweep {
     case d: java.sql.Date => jsonStr(d.toString)
     case d: java.time.LocalDate => jsonStr(d.toString)
     case b: Array[Byte] => jsonStr(b.map("%02x".format(_)).mkString)
-    case s: Seq[_] => s.map(encode).mkString("[", ",", "]")
+    case s: scala.collection.Seq[_] => s.map(encode).mkString("[", ",", "]")
     case a: Array[_] => a.toSeq.map(encode).mkString("[", ",", "]")
-    case m: Map[_, _] =>
+    case m: scala.collection.Map[_, _] =>
       m.toSeq.map { case (k, x) => (String.valueOf(k), x) }.sortBy(_._1)
         .map { case (k, x) => jsonStr(k) + ":" + encode(x) }
         .mkString("{", ",", "}")

@@ -42,7 +42,11 @@ object ScaleCheck {
     "t24_dsir_select", "m04_phash_dedup", "q58_pivot_dynamic",
     "d16_incremental_fuzzy", "q59_asof_sql", "t27_url_domains",
     "m05_video_info", "q61_unnest", "q62_positional",
-    "q71_list_stats", "q69_string_sim")
+    "q71_list_stats", "q69_string_sim",
+    // r17 additions (VERDICT r16 #7): the enum index pushdown at 10×,
+    // one ALTER TABLE rebuild-materialize cost curve, and the division-
+    // semantics row (duck_div/duck_mod over the statement path)
+    "q96_enum", "q97_alter_table", "q100_div_semantics")
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

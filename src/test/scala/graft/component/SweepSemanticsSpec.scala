@@ -1,0 +1,120 @@
+package graft.component
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+/** Function semantics surfaced by the r17 differential sweep
+  * (tools/function_sweep.py vs DuckDB v1.0 over typed literal grids) —
+  * every expectation is a probed v1.0 value. The sweep artifact itself
+  * is committed as SWEEP_r17.json (0 unexplained rows); this spec pins
+  * the fixes so regressions fail in `sbt test`. */
+class SweepSemanticsSpec extends SparkSpec {
+
+  DuckFunctions.register(spark)
+
+  private def sql(q: String) = spark.sql(Dialect.rewrite(q))
+  private def one(q: String) = sql(s"SELECT $q AS v").collect().head
+
+  test("list_extract family: strings pick characters; list OOB is NULL (probed)") {
+    assert(one("list_extract('héllo wörld', 7)").getString(0) == "w")
+    assert(one("list_extract('héllo', -1)").getString(0) == "o")
+    assert(one("list_extract('abc', 0)").getString(0) == "")
+    assert(one("list_extract('abc', 99)").getString(0) == "")
+    assert(one("array_extract([3,1,2], 7)").isNullAt(0))
+    assert(one("list_element([3,1,2], 0)").isNullAt(0))
+    assert(one("list_extract([3,1,2], -1)").getInt(0) == 2)
+  }
+
+  test("array_slice family: strings slice by character, bounds normalize (probed)") {
+    assert(one("array_slice('héllo wörld', 2, 4)").getString(0) == "éll")
+    assert(one("array_slice('abcdef', -3, -1)").getString(0) == "def")
+    assert(one("array_slice('abcdef', 0, 3)").getString(0) == "abc")
+    assert(one("array_slice('abcdef', 4, 99)").getString(0) == "def")
+    assert(one("list_slice([3,1,2], 0, 2)").getSeq[Int](0) == Seq(3, 1))
+    assert(one("list_slice([3,1,2], -2, -1)").getSeq[Int](0) == Seq(1, 2))
+    assert(one("list_slice([3,1,2], 2, 99)").getSeq[Int](0) == Seq(1, 2))
+  }
+
+  test("byte-measured string functions: strlen, levenshtein/editdist3, ord('') (probed)") {
+    assert(one("strlen('héllo')").getInt(0) == 6) // bytes, not code points
+    assert(one("editdist3('héllo', 'h')").getInt(0) == 5)
+    assert(one("levenshtein('héllo', 'h')").getInt(0) == 5)
+    assert(one("ord('')").getInt(0) == -1)
+    assert(one("unicode('')").getInt(0) == -1)
+    assert(one("ord('é')").getInt(0) == 233) // code point, unchanged
+  }
+
+  test("splits: the empty string yields [''] (probed)") {
+    assert(one("string_split('', 'x')").getSeq[String](0) == Seq(""))
+    assert(one("regexp_split_to_array('', 'x')").getSeq[String](0) == Seq(""))
+    assert(one("str_split('a,b', ',')").getSeq[String](0) == Seq("a", "b"))
+  }
+
+  test("generate_series 1-arg: [0..n] inclusive, [] for negative (probed)") {
+    assert(one("generate_series(3)").getSeq[Long](0) == Seq(0L, 1L, 2L, 3L))
+    assert(one("generate_series(-1)").getSeq[Long](0) == Seq.empty)
+  }
+
+  test("unary add/subtract and 3-arg to_base (probed)") {
+    assert(one("add(7)").getInt(0) == 7)
+    assert(one("subtract(7)").getInt(0) == -7)
+    assert(one("to_base(7, 2, 10)").getString(0) == "0000000111")
+  }
+
+  test("numeric lists ride the vector kernels (probed: any numeric → DOUBLE)") {
+    assert(one("list_dot_product([3,1,2], [3,1,2])").getDouble(0) == 14.0)
+    assert(one("list_cosine_similarity([3,1,2], [3,1,2])").getDouble(0) == 1.0)
+  }
+
+  test("epoch family over DATE and INTERVAL operands (probed)") {
+    assert(one("epoch(DATE '2020-03-15')").getDouble(0) == 1584230400.0)
+    assert(one("epoch_ms(DATE '2020-03-15')").getLong(0) == 1584230400000L)
+    assert(one("epoch(INTERVAL 2 DAY)").getDouble(0) == 172800.0)
+    assert(one("epoch_ms(INTERVAL 90 MINUTE)").getLong(0) == 5400000L)
+    assert(one("epoch_us(INTERVAL 2 DAY)").getLong(0) == 172800000000L)
+    // YM intervals: DuckDB's own inconsistent month constants are the
+    // contract — epoch() uses 365.25-day years, epoch_ms() 30-day months
+    assert(one("epoch(INTERVAL 1 YEAR)").getDouble(0) == 31557600.0)
+    assert(one("epoch_ms(INTERVAL 1 YEAR)").getLong(0) == 31104000000L)
+  }
+
+  test("isfinite/isinf accept DATE and TIMESTAMP (probed: always finite)") {
+    assert(one("isfinite(DATE '2020-03-15')").getBoolean(0))
+    assert(!one("isinf(DATE '2020-03-15')").getBoolean(0))
+    assert(one("isfinite(TIMESTAMP '2020-03-15 13:00:00')").getBoolean(0))
+    assert(!one("isfinite(CAST('inf' AS DOUBLE))").getBoolean(0)) // unchanged
+  }
+
+  test("strftime binds both argument orders; strptime list + 1900 default (probed)") {
+    assert(one("strftime(DATE '2020-03-15', '%Y/%m')").getString(0) == "2020/03")
+    assert(one("strftime('%Y/%m', DATE '2020-03-15')").getString(0) == "2020/03")
+    val lst = one("strptime('15x03x2020', ['%Y-%m-%d', '%dx%mx%Y'])")
+    assert(lst.getTimestamp(0).toString.startsWith("2020-03-15"))
+    assert(one("try_strptime('nope', ['%Y-%m-%d'])").isNullAt(0))
+    // no year directive → DuckDB's 1900 default date
+    assert(one("strptime('aBc', 'aBc')").getTimestamp(0).toString
+      .startsWith("1900-01-01"))
+    val none = intercept[Exception](
+      one("strptime('nope', ['%Y-%m-%d'])").get(0))
+    assert(none.getMessage != null) // none matching raises, probed
+  }
+
+  test("time_bucket: DATE in → DATE out; INTERVAL origin offsets the anchor (probed)") {
+    val d = sql("SELECT time_bucket(INTERVAL 2 DAY, DATE '2020-03-15') AS v")
+    assert(d.schema.head.dataType == DateType)
+    assert(d.collect().head.getDate(0).toString == "2020-03-14")
+    assert(one("time_bucket(INTERVAL 2 DAY, DATE '2020-03-15', INTERVAL 2 DAY)")
+      .getDate(0).toString == "2020-03-14")
+    assert(one("time_bucket(INTERVAL 2 DAY, TIMESTAMP '2020-03-15 13:00:00', INTERVAL 1 DAY)")
+      .getTimestamp(0).toString.startsWith("2020-03-15 00:00:00"))
+  }
+
+  test("BLOB/BYTEA spell Spark's BINARY; fractional interval constructors are exact (probed)") {
+    assert(one("to_base64('ab'::BLOB)").getString(0) == "YWI=")
+    assert(one("to_hex('ab'::BYTEA)").getString(0) == "6162")
+    // to_milliseconds(2.5) is 2500 µs (the long cast truncated to 2000)
+    assert(one("epoch_us(to_milliseconds(2.5))").getLong(0) == 2500L)
+    assert(one("epoch_us(to_seconds(-0.5))").getLong(0) == -500000L)
+    assert(one("epoch_us(to_microseconds(7))").getLong(0) == 7L)
+  }
+}

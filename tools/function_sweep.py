@@ -100,10 +100,50 @@ SKIP = {
 
 # diff explanations recorded in prior rounds or this one — each entry is
 # (function, reason). A diff with an explanation is not "unexplained".
-EXPLAINED = {}
+EXPLAINED = {
+    "list_distinct": "DuckDB returns hash order, Spark first-seen order — "
+                     "the set is equal; element order of DISTINCT is not a "
+                     "contract in either engine",
+}
+
+# loud-error boundaries: the engine REJECTS these shapes with a named
+# remediation where DuckDB accepts them — recorded, not silent
+EXPLAINED_ERRORS = {
+    "century": "interval part extraction unimplemented — loud "
+               "DATATYPE_MISMATCH (date/timestamp parts fully mapped)",
+    "decade": "interval part extraction unimplemented — loud",
+    "millennium": "interval part extraction unimplemented — loud",
+    "microsecond": "interval part extraction unimplemented — loud",
+    "millisecond": "interval part extraction unimplemented — loud",
+    "parse_dirname": "invalid separator token rejected loudly with the "
+                     "valid set named (DuckDB silently ignores it)",
+    "parse_dirpath": "invalid separator token rejected loudly",
+    "parse_filename": "invalid separator token rejected loudly",
+    "parse_path": "invalid separator token rejected loudly",
+    "strftime": "non-literal format strings rejected loudly (codegen'd "
+                "literal formats by design)",
+}
+
+
+def iso_duration_secs(s):
+    """ISO-8601 duration (Spark's interval rendering) -> seconds, using
+    DuckDB's own 30-day-month convention so both legs normalize alike."""
+    import re
+    m = re.fullmatch(
+        r"([+-]?)P(?:(-?\d+)Y)?(?:(-?\d+)M)?(?:(-?\d+)D)?"
+        r"(?:T(?:(-?\d+)H)?(?:(-?\d+)M)?(?:(-?\d+(?:\.\d+)?)S)?)?", s)
+    if not m or s in ("P", "PT"):
+        return None
+    sign = -1 if m.group(1) == "-" else 1
+    y, mo, d, h, mi, se = (float(g) if g else 0.0 for g in m.groups()[1:])
+    return sign * ((y * 12 + mo) * 2592000 + d * 86400 +
+                   h * 3600 + mi * 60 + se)
 
 
 def norm(v):
+    import datetime
+    if isinstance(v, datetime.timedelta):
+        return f"{v.total_seconds():.10g}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -113,6 +153,12 @@ def norm(v):
     if isinstance(v, list):
         return [norm(x) for x in v]
     if isinstance(v, dict):
+        # python-duckdb renders MAP values as {'key': [...], 'value': [...]}
+        # — normalize to a plain key→value dict like the Spark leg
+        if set(v.keys()) == {"key", "value"} and \
+                isinstance(v["key"], list) and isinstance(v["value"], list):
+            return {str(k): norm(x) for k, x in
+                    sorted(zip(v["key"], v["value"]), key=lambda p: str(p[0]))}
         return {k: norm(x) for k, x in sorted(v.items())}
     if isinstance(v, bytes):
         return v.hex()
@@ -194,26 +240,32 @@ def main():
 
     diffs, errors, matched = [], [], 0
     for e, dv in duck.items():
+        fn = e.split("(")[0]
         sv = spark.get(e)
         if sv is None or "error" in sv:
-            errors.append({"expr": e, "duck": dv,
-                           "spark_error": (sv or {}).get("error", "missing")[:200]})
+            err = {"expr": e, "duck": dv,
+                   "spark_error": (sv or {}).get("error", "missing")[:200]}
+            if fn in EXPLAINED_ERRORS:
+                err["explained"] = EXPLAINED_ERRORS[fn]
+            errors.append(err)
         elif norm_spark(sv["value"]) == dv:
             matched += 1
         else:
-            fn = e.split("(")[0]
             d = {"expr": e, "duck": dv, "spark": norm_spark(sv["value"])}
             if fn in EXPLAINED:
                 d["explained"] = EXPLAINED[fn]
             diffs.append(d)
 
+    unexplained = [x for x in diffs + errors if "explained" not in x]
     result = {"checked": len(duck), "matched": matched,
+              "unexplained": len(unexplained),
               "value_diffs": diffs, "spark_errors": errors,
               "skipped": skipped}
     with open(out_json, "w") as f:
         json.dump(result, f, indent=1, default=str)
     print(f"checked {len(duck)} expressions: {matched} matched, "
-          f"{len(diffs)} value diffs, {len(errors)} spark errors "
+          f"{len(diffs)} value diffs, {len(errors)} spark errors, "
+          f"{len(unexplained)} UNEXPLAINED "
           f"({len(skipped)} functions skipped) -> {out_json}")
 
 
@@ -223,6 +275,10 @@ def norm_spark(v):
         return norm(v)
     if isinstance(v, list):
         return [norm_spark(x) for x in v]
+    if isinstance(v, str) and v[:1] in ("P", "-", "+") and "P" in v[:2]:
+        secs = iso_duration_secs(v)
+        if secs is not None:
+            return f"{secs:.10g}"
     return norm(v) if v is not None else "None"
 
 
