@@ -592,6 +592,20 @@ object Dialect {
         // DuckDB's BLOB and its aliases are Spark's BINARY (r17 sweep:
         // `'ab'::BLOB` must reach to_base64/to_hex as binary)
         .replaceAll("(?i)\\b(BLOB|BYTEA|VARBINARY)\\b", "BINARY")
+        // shared-native function names whose DuckDB semantics differ
+        // (r17 sweep) route to duck_-prefixed registry bindings in
+        // STATEMENT TEXT only — the Column API (which resolves the same
+        // names through the session registry) keeps Spark semantics:
+        // date parts extract interval COMPONENTS, dayofweek is 0-based,
+        // 2-arg trims are (string, chars), 1-arg greatest/least/trunc/
+        // factorial exist, make_timestamp(µs), regexp_extract group-0
+        // default, polymorphic length, byte-level levenshtein. The trim
+        // family skips the standard TRIM(BOTH|LEADING|TRAILING ... FROM)
+        // form, which both engines parse at the grammar level.
+        .replaceAll("(?i)\\b(year|month|day|dayofmonth|quarter|hour|minute|second|dayofweek|greatest|least|trunc|factorial|make_timestamp|regexp_extract|length|levenshtein)\\s*\\(",
+          "duck_$1(")
+        .replaceAll("(?i)\\b(trim|ltrim|rtrim)\\s*\\((?!\\s*(?i:BOTH|LEADING|TRAILING)\\b)",
+          "duck_$1(")
         // DuckDB star modifier: SELECT * EXCLUDE (c) ≡ Spark * EXCEPT (c)
         .replaceAll("(?i)\\*\\s*EXCLUDE\\s*\\(", "* EXCEPT(")
         // Spark's PARSER special-cases date_diff/datediff (unquoted unit

@@ -223,6 +223,18 @@ object DuckFunctions {
     case _ => None
   }
 
+  /** Explicit casts for expressions built inside RuntimeReplaceable
+    * fallbacks (replacements are not re-analyzed — no implicit
+    * coercion, no ResolveTimeZone). */
+  private def dateOf(e: Expression): Expression =
+    Cast(e, org.apache.spark.sql.types.DateType,
+      Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+  private def tsOf(e: Expression): Expression =
+    Cast(e, org.apache.spark.sql.types.TimestampType,
+      Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+  private def longOf(e: Expression): Expression =
+    Cast(e, org.apache.spark.sql.types.LongType)
+
   /** DuckDB splits the EMPTY string into [''] where Spark's split
     * returns [] (probed v1.0 — r17 sweep). */
   private def emptySplit(str: Expression, split: Expression): Expression =
@@ -492,7 +504,10 @@ object DuckFunctions {
     // not the 4 code points — r17 sweep); levenshtein gets the same
     // binding so the shared name doesn't silently resolve char-based
     arity("editdist3", 2)(a => Levenshtein(byteView(a.head), byteView(a(1)))),
-    arity("levenshtein", 2)(a => Levenshtein(byteView(a.head), byteView(a(1)))),
+    // the shared `levenshtein` spelling maps in STATEMENT TEXT only
+    // (duck_ prefix — the Column API keeps Spark's code-point distance)
+    arity("duck_levenshtein", 2)(a =>
+      Levenshtein(byteView(a.head), byteView(a(1)))),
     // to_base(v, radix[, min_length]) — the 3-arg form zero-pads (probed)
     "to_base" -> { a =>
       require(a.length == 2 || a.length == 3,
@@ -535,21 +550,26 @@ object DuckFunctions {
     // date parts (probed DuckDB values: century(2019)=21, decade=201,
     // isodow Mon=1..Sun=7, micro/millisecond are WITHIN-MINUTE,
     // epoch is fractional double seconds, yearweek=isoyear*100+week)
-    arity("century", 1)(a =>
-      Add(IntegralDivide(Subtract(Year(a.head), Literal(1)), Literal(100)),
-        Literal(1L))),
-    arity("decade", 1)(a =>
-      IntegralDivide(Year(a.head), Literal(10))),
-    arity("millennium", 1)(a =>
-      Add(IntegralDivide(Subtract(Year(a.head), Literal(1)), Literal(1000)),
-        Literal(1L))),
+    // century/decade/millennium/microsecond/millisecond extract interval
+    // COMPONENTS on interval operands (r17 sweep — DuckIntervalPart); the
+    // fallbacks are the probed calendar formulas with explicit casts
+    arity("century", 1)(a => graft.functions.DuckIntervalPart(a.head,
+      "century", e =>
+        Add(IntegralDivide(longOf(Subtract(Year(dateOf(e)), Literal(1))),
+          Literal(100L)), Literal(1L)))),
+    arity("decade", 1)(a => graft.functions.DuckIntervalPart(a.head,
+      "decade", e => IntegralDivide(longOf(Year(dateOf(e))), Literal(10L)))),
+    arity("millennium", 1)(a => graft.functions.DuckIntervalPart(a.head,
+      "millennium", e =>
+        Add(IntegralDivide(longOf(Subtract(Year(dateOf(e)), Literal(1))),
+          Literal(1000L)), Literal(1L)))),
     arity("isodow", 1)(a => Add(WeekDay(a.head), Literal(1))),
     arity("week", 1)(a => WeekOfYear(a.head)),
-    arity("microsecond", 1)(a =>
-      Pmod(UnixMicros(Cast(a.head, org.apache.spark.sql.types.TimestampType)), Literal(60000000L))),
-    arity("millisecond", 1)(a =>
-      IntegralDivide(Pmod(UnixMicros(Cast(a.head, org.apache.spark.sql.types.TimestampType)),
-        Literal(60000000L)), Literal(1000L))),
+    arity("microsecond", 1)(a => graft.functions.DuckIntervalPart(a.head,
+      "microsecond", e => Pmod(UnixMicros(tsOf(e)), Literal(60000000L)))),
+    arity("millisecond", 1)(a => graft.functions.DuckIntervalPart(a.head,
+      "millisecond", e => IntegralDivide(
+        Pmod(UnixMicros(tsOf(e)), Literal(60000000L)), Literal(1000L)))),
     arity("epoch", 1)(a => graft.functions.DuckEpoch(a.head, "s")),
     arity("epoch_ns", 1)(a => graft.functions.DuckEpoch(a.head, "ns")),
     arity("today", 0)(_ => CurrentDate()),
@@ -2252,17 +2272,125 @@ object DuckFunctions {
     * version-error thrower — the same failure a reference user gets from
     * the version-matched engine (a 1.4.4-pinned run has no
     * weighted_avg), never a silent fallthrough. */
+  /** r17 sweep bindings over SHARED names — DuckDB spellings that
+    * previously resolved through Spark's native registry with silently
+    * different semantics (tools/function_sweep.py caught each; all
+    * probed v1.0). The date-part names gain INTERVAL component
+    * extraction via [[graft.functions.DuckIntervalPart]]; their
+    * non-interval fallbacks are the native constructs with explicit
+    * casts (replacements are not re-analyzed, so no implicit coercion). */
+  private[graft] lazy val sweepBuilders: Seq[(String, Seq[Expression] => Expression)] = {
+    import org.apache.spark.sql.types.{DateType, LongType, TimestampType}
+    import graft.functions.DuckIntervalPart
+    def tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    def asDate(e: Expression) = Cast(e, DateType, tz)
+    def asTs(e: Expression) = Cast(e, TimestampType, tz)
+    Seq(
+      // interval-aware date parts (fallback = the calendar meaning)
+      arity("duck_year", 1)(a => DuckIntervalPart(a.head, "year",
+        e => Year(asDate(e)))),
+      arity("duck_month", 1)(a => DuckIntervalPart(a.head, "month",
+        e => Month(asDate(e)))),
+      arity("duck_day", 1)(a => DuckIntervalPart(a.head, "day",
+        e => DayOfMonth(asDate(e)))),
+      arity("duck_dayofmonth", 1)(a => DuckIntervalPart(a.head, "day",
+        e => DayOfMonth(asDate(e)))),
+      arity("duck_quarter", 1)(a => DuckIntervalPart(a.head, "quarter",
+        e => Quarter(asDate(e)))),
+      arity("duck_hour", 1)(a => DuckIntervalPart(a.head, "hour",
+        e => Hour(asTs(e), tz))),
+      arity("duck_minute", 1)(a => DuckIntervalPart(a.head, "minute",
+        e => Minute(asTs(e), tz))),
+      arity("duck_second", 1)(a => DuckIntervalPart(a.head, "second",
+        e => Second(asTs(e), tz))),
+      // DuckDB's dayofweek is 0-based Sunday (probed: Sunday = 0, BIGINT)
+      // where Spark's is 1-based — a silent off-by-one on every use
+      arity("duck_dayofweek", 1)(a =>
+        Cast(Subtract(DayOfWeek(a.head), Literal(1)), LongType)),
+      // 2-arg trim family: DuckDB is (string, chars); Spark's native
+      // 2-arg form binds (trimStr, string) — a silent argument swap
+      "duck_ltrim" -> { a =>
+        if (a.length == 1) StringTrimLeft(a.head)
+        else StringTrimLeft(a.head, a(1))
+      },
+      "duck_rtrim" -> { a =>
+        if (a.length == 1) StringTrimRight(a.head)
+        else StringTrimRight(a.head, a(1))
+      },
+      "duck_trim" -> { a =>
+        if (a.length == 1) StringTrim(a.head)
+        else StringTrim(a.head, a(1))
+      },
+      // 1-arg greatest/least/trunc are legal in DuckDB (identity /
+      // truncate-toward-zero); factorial(n < 0) is 1, not NULL
+      "duck_greatest" -> (a => if (a.length == 1) a.head else Greatest(a)),
+      "duck_least" -> (a => if (a.length == 1) a.head else Least(a)),
+      "duck_trunc" -> { a =>
+        if (a.length == 1)
+          If(GreaterThanOrEqual(a.head, Literal(0)),
+            Floor(a.head), Ceil(a.head))
+        else TruncDate(a.head, a(1))
+      },
+      arity("duck_factorial", 1)(a =>
+        If(LessThan(a.head, Literal(0)), Literal(1L), Factorial(a.head))),
+      // scalar range(): END-EXCLUSIVE list (probed: range(7) = [0..6],
+      // range(10,0,-2) = [10,8,..,2], wrong-direction bounds → [])
+      "range" -> { a =>
+        require(a.length >= 1 && a.length <= 3,
+          s"range expects 1-3 arguments, got ${a.length}")
+        def lit0 = Literal(0L)
+        val (lo, hi, step) =
+          if (a.length == 1) (lit0: Expression, Cast(a.head, LongType),
+            Literal(1L): Expression)
+          else (Cast(a.head, LongType), Cast(a(1), LongType),
+            if (a.length == 3) Cast(a(2), LongType) else Literal(1L))
+        val emptyArr = Literal.create(Seq.empty[Long],
+          org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))
+        val up = Sequence(lo, Subtract(hi, Literal(1L)), Some(step))
+        val down = Sequence(lo, Add(hi, Literal(1L)), Some(step))
+        CaseWhen(Seq(
+          (And(GreaterThan(step, lit0), LessThan(lo, hi)), up),
+          (And(LessThan(step, lit0), GreaterThan(lo, hi)), down)),
+          Some(emptyArr))
+      },
+      // 1-arg make_timestamp takes MICROSECONDS since the epoch (probed)
+      "duck_make_timestamp" -> { a =>
+        if (a.length == 1) MicrosToTimestamp(Cast(a.head, LongType))
+        else MakeTimestamp(a.head, a(1), a(2), a(3), a(4), a(5), None)
+      },
+      // regexp_extract: 2-arg returns the WHOLE match (group 0); an
+      // out-of-range group index yields '' in DuckDB, never an error
+      "duck_regexp_extract" -> { a =>
+        require(a.length == 2 || a.length == 3,
+          s"regexp_extract expects 2-3 arguments, got ${a.length}")
+        if (a.length == 2) RegExpExtract(a.head, a(1), Literal(0))
+        else If(Or(IsNull(a.head), IsNull(a(1))),
+          Literal.create(null, org.apache.spark.sql.types.StringType),
+          Coalesce(Seq(TryEval(RegExpExtract(a.head, a(1), a(2))),
+            Literal(""))))
+      },
+      // polymorphic length (list → element count, like len)
+      arity("duck_length", 1)(a => graft.functions.PolyLen(a.head)),
+      // Γ / ln|Γ| (C tgamma/lgamma — codegen'd Lanczos)
+      arity("gamma", 1)(a => graft.functions.GammaExpr(
+        Cast(a.head, org.apache.spark.sql.types.DoubleType), ln = false)),
+      arity("lgamma", 1)(a => graft.functions.GammaExpr(
+        Cast(a.head, org.apache.spark.sql.types.DoubleType), ln = true)))
+  }
+
   /** Every name this registry binds (the r17 differential sweep's
     * corpus source — tools/function_sweep.py). */
   def names: Seq[String] =
     (builders ++ round12Builders ++ jsonBuilders ++ simStatBuilders ++
-      listStatBuilders ++ gapBuilders ++ dtBuilders ++ histBuilders)
+      listStatBuilders ++ gapBuilders ++ dtBuilders ++ histBuilders ++
+      sweepBuilders)
       .map(_._1)
 
   def register(spark: SparkSession,
                compat: String = Versions.Default): Unit =
     (builders ++ round12Builders ++ jsonBuilders ++ simStatBuilders ++
-      listStatBuilders ++ gapBuilders ++ dtBuilders ++ histBuilders)
+      listStatBuilders ++ gapBuilders ++ dtBuilders ++ histBuilders ++
+      sweepBuilders)
       .foreach { case (name, build) =>
         val gated: Seq[Expression] => Expression =
           if (Versions.supports(compat, name)) build

@@ -156,6 +156,130 @@ case class DuckSameDateKind(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Date-part functions over INTERVAL operands (r17 sweep, probed v1.0):
+  * DuckDB extracts interval COMPONENTS — `day(INTERVAL 2 DAY)` = 2,
+  * `minute(INTERVAL 90 MINUTE)` = 30, `year(INTERVAL 14 MONTH)` = 1,
+  * `century(INTERVAL 300 YEAR)` = 3 — where the date/timestamp forms
+  * keep their calendar meaning. The non-interval fallback is supplied
+  * by the builder as a FUNCTION (not a child): a pre-built fallback
+  * expression over an interval child could never resolve, and
+  * CheckAnalysis would reject the tree before replacement ran.
+  *
+  * Recorded boundary: Spark's day-time interval is a single micros
+  * field, DuckDB's carries days and micros separately — so
+  * `hour(INTERVAL 26 HOUR)` is 26 there and 2 here (the interval
+  * itself already prints as `1 02:00:00` in Spark). Components of
+  * sub-day literals (the common case) agree. */
+case class DuckIntervalPart(child: Expression, part: String,
+    fallbackFn: Expression => Expression)
+    extends UnaryExpression with RuntimeReplaceable {
+
+  private def tz: Option[String] =
+    Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+
+  override lazy val replacement: Expression = child.dataType match {
+    case _: DayTimeIntervalType =>
+      val us = UnixMicros(
+        TimestampAddInterval(Literal(0L, TimestampType), child, tz))
+      part match {
+        case "day" => IntegralDivide(us, Literal(86400000000L))
+        case "hour" =>
+          Pmod(IntegralDivide(us, Literal(3600000000L)), Literal(24L))
+        case "minute" =>
+          Pmod(IntegralDivide(us, Literal(60000000L)), Literal(60L))
+        case "second" =>
+          Pmod(IntegralDivide(us, Literal(1000000L)), Literal(60L))
+        case "microsecond" => Pmod(us, Literal(60000000L))
+        case "millisecond" =>
+          IntegralDivide(Pmod(us, Literal(60000000L)), Literal(1000L))
+        case "quarter" => Literal(1L) // months component is 0 (probed)
+        case _ => Literal(0L) // year/month/century/decade/millennium
+      }
+    case _: YearMonthIntervalType =>
+      val months = Cast(Add(
+        Multiply(Cast(ExtractANSIIntervalYears(child), IntegerType),
+          Literal(12)),
+        Cast(ExtractANSIIntervalMonths(child), IntegerType)), LongType)
+      part match {
+        case "year" => IntegralDivide(months, Literal(12L))
+        case "month" => Pmod(months, Literal(12L))
+        case "quarter" =>
+          Add(IntegralDivide(Pmod(months, Literal(12L)), Literal(3L)),
+            Literal(1L))
+        case "century" => IntegralDivide(months, Literal(1200L))
+        case "decade" => IntegralDivide(months, Literal(120L))
+        case "millennium" => IntegralDivide(months, Literal(12000L))
+        case _ => Literal(0L) // day/time parts of a year-month interval
+      }
+    case _ => fallbackFn(child)
+  }
+  override protected def withNewChildInternal(c: Expression): DuckIntervalPart =
+    copy(child = c)
+}
+
+/** Γ(x) / ln|Γ(x)| — DuckDB's gamma()/lgamma() (C tgamma/lgamma).
+  * Lanczos (g = 7, 9 terms, ~15 significant digits) with the log form
+  * computed directly so large arguments don't overflow through Γ. */
+object MathFns {
+  private val C = Array(
+    0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+    771.32342877765313, -176.61502916214059, 12.507343278686905,
+    -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+  private val HalfLog2Pi = 0.5 * math.log(2 * math.Pi)
+
+  def gamma(x: Double): Double = {
+    if (x.isNaN) return Double.NaN
+    if (x < 0.5)
+      math.Pi / (math.sin(math.Pi * x) * gamma(1.0 - x)) // reflection
+    else {
+      val z = x - 1.0
+      var a = C(0)
+      var i = 1
+      while (i < 9) { a += C(i) / (z + i); i += 1 }
+      val t = z + 7.5
+      math.sqrt(2 * math.Pi) * math.pow(t, z + 0.5) * math.exp(-t) * a
+    }
+  }
+
+  def lgamma(x: Double): Double = {
+    if (x.isNaN) return Double.NaN
+    if (x < 0.5)
+      math.log(math.Pi / math.abs(math.sin(math.Pi * x))) - lgamma(1.0 - x)
+    else {
+      val z = x - 1.0
+      var a = C(0)
+      var i = 1
+      while (i < 9) { a += C(i) / (z + i); i += 1 }
+      val t = z + 7.5
+      HalfLog2Pi + (z + 0.5) * math.log(t) - t + math.log(a)
+    }
+  }
+}
+
+case class GammaExpr(child: Expression, ln: Boolean)
+    extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"${if (ln) "lgamma" else "gamma"} requires DOUBLE, " +
+        s"got ${child.dataType.simpleString} (builder casts)")
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any =
+    if (ln) MathFns.lgamma(v.asInstanceOf[Double])
+    else MathFns.gamma(v.asInstanceOf[Double])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val fn = if (ln) "lgamma" else "gamma"
+    defineCodeGen(ctx, ev, c => s"graft.functions.MathFns.$fn($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): GammaExpr =
+    copy(child = c)
+}
+
 /** isfinite()/isinf() over numerics, dates and timestamps. */
 case class DuckFinite(child: Expression, inf: Boolean)
     extends UnaryExpression with RuntimeReplaceable {

@@ -51,6 +51,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftExtensions].getName, "divide",
         "divide(a, b) - DuckDB `//`: integral floor division, NULL on zero"),
       (a: Seq[Expression]) => DuckFloorDiv(a.head, a(1))))
+    // the r17 sweep's duck_-prefixed shared-name bindings ride the
+    // extensions for the same reason: the dialect rewrites those names
+    // in EVERY statement text (Column-API spellings stay native)
+    graft.component.DuckFunctions.sweepBuilders.foreach { case (name, build) =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name,
+          s"$name - DuckDB statement-text semantics (r17 sweep)"),
+        build))
+    }
     ext.injectResolutionRule(_ => GraftExtensions.DuckDateSubRule)
     ext.injectResolutionRule(_ => GraftExtensions.DuckEnumRule)
   }

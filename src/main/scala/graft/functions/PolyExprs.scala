@@ -17,6 +17,14 @@ case class PolyLen(child: Expression)
 
   override lazy val replacement: Expression = child.dataType match {
     case _: ArrayType | _: MapType => Cast(Size(child), LongType)
+    // enum columns decode to their LABEL first (replacements are not
+    // re-analyzed, so DuckEnumRule cannot fix this one up — r17, when
+    // the shared `length` name started routing here)
+    case st if EnumExprs.enumNameOf(st).isDefined =>
+      graft.component.TypeSql.enumValues(EnumExprs.enumNameOf(st).get) match {
+        case Some(vs) => Cast(Length(EnumExprs.decode(child, vs)), LongType)
+        case None => Cast(Length(child), LongType) // loud unresolvable
+      }
     case _ => Cast(Length(child), LongType)
   }
 

@@ -66,8 +66,30 @@ object FunctionSweep {
   def main(args: Array[String]): Unit = {
     val namesOnly = args.headOption.contains("--names")
     if (namesOnly) {
+      // names the engine binds itself, PLUS the DuckDB spellings that
+      // resolve through Spark's NATIVE registry without a graft binding
+      // (shared names can diverge silently — levenshtein measured code
+      // points until the r17 sweep caught it; sweep them all)
+      val sharedNatives = Seq(
+        "abs", "sign", "sqrt", "cbrt", "exp", "ln", "log2", "log10",
+        "log", "power", "pow", "round", "floor", "ceil", "ceiling",
+        "sin", "cos", "tan", "asin", "acos", "atan", "atan2", "cot",
+        "degrees", "radians", "pi", "gamma", "lgamma", "factorial",
+        "greatest", "least", "trunc", "mod",
+        "upper", "lower", "trim", "ltrim", "rtrim", "replace", "repeat",
+        "reverse", "concat", "concat_ws", "substr", "substring",
+        "position", "instr", "lpad", "rpad", "left", "right", "ascii",
+        "chr", "format", "printf", "md5", "translate", "bit_length",
+        "length", "contains", "split_part", "string_agg",
+        "regexp_replace", "regexp_extract", "like_escape",
+        "year", "month", "day", "hour", "minute", "second", "weekofyear",
+        "dayofweek", "dayofmonth", "dayofyear", "quarter", "last_day",
+        "date_trunc", "date_part", "date_add", "date_sub", "make_date",
+        "make_timestamp", "to_timestamp", "age",
+        "coalesce", "nullif", "ifnull", "nvl", "typeof",
+        "array_contains", "flatten", "range", "json_valid")
       val all = graft.component.DuckFunctions.names ++
-        Seq("duck_icast", "duck_div", "duck_mod", "divide")
+        Seq("duck_icast", "duck_div", "duck_mod", "divide") ++ sharedNatives
       println(all.distinct.sorted.map(jsonStr).mkString("[", ",", "]"))
       return
     }

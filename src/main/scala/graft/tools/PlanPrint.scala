@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
 object PlanPrint {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

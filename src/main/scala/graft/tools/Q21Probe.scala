@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
 object Q21Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")

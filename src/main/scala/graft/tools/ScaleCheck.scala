@@ -58,6 +58,9 @@ object ScaleCheck {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // DuckEnumRule + the duck_* registry ride the extensions — q96's
+      // enum DDL cannot even cast without it (the R16Probe lesson)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.codegen.cache.maxEntries", "2000")

@@ -21,6 +21,7 @@ object ScaleUp {
     val out = sys.env.getOrElse("GRAFT_SCALEUP_OUT", "target/sf1.0")
     val factor = sys.env.getOrElse("GRAFT_SCALEUP_FACTOR", "10").toInt
     val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

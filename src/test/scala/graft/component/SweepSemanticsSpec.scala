@@ -109,6 +109,73 @@ class SweepSemanticsSpec extends SparkSpec {
       .getTimestamp(0).toString.startsWith("2020-03-15 00:00:00"))
   }
 
+  test("shared-native sweep: dayofweek is 0-based Sunday; 2-arg trims are (string, chars) (probed)") {
+    // both were SILENT divergences: the names resolved through Spark's
+    // native registry with different semantics until the r17 sweep
+    assert(one("dayofweek(DATE '2020-03-15')").getLong(0) == 0L) // Sunday
+    assert(one("dayofweek(DATE '2020-03-16')").getLong(0) == 1L) // Monday
+    assert(one("ltrim('xxhixx', 'x')").getString(0) == "hixx")
+    assert(one("rtrim('xxhixx', 'x')").getString(0) == "xxhi")
+    assert(one("trim('xxhixx', 'x')").getString(0) == "hi")
+    assert(one("trim('  hi  ')").getString(0) == "hi") // 1-arg unchanged
+  }
+
+  test("shared-native sweep: 1-arg greatest/least/trunc/range, make_timestamp(us) (probed)") {
+    assert(one("greatest(7)").getInt(0) == 7)
+    assert(one("least(2.5)").getDecimal(0).doubleValue == 2.5)
+    assert(one("trunc(2.5)").getDecimal(0).longValueExact == 2L) // toward zero
+    assert(one("trunc(-2.5)").getDecimal(0).longValueExact == -2L)
+    assert(one("factorial(-3)").getLong(0) == 1L)
+    // scalar range() is END-EXCLUSIVE (the series TABLE form has its own map)
+    assert(one("range(7)").getSeq[Long](0) == (0L to 6L))
+    assert(one("range(-3)").getSeq[Long](0) == Seq.empty)
+    assert(one("range(0, 10, 3)").getSeq[Long](0) == Seq(0L, 3L, 6L, 9L))
+    assert(one("range(10, 0, -2)").getSeq[Long](0) == Seq(10L, 8L, 6L, 4L, 2L))
+    assert(one("range(7, 7)").getSeq[Long](0) == Seq.empty)
+    assert(one("make_timestamp(7)").getTimestamp(0).getTime == 0L) // 7 µs
+    assert(one("epoch_us(make_timestamp(2500000))").getLong(0) == 2500000L)
+  }
+
+  test("shared-native sweep: regexp_extract group 0 default + '' on bad group (probed)") {
+    assert(one("regexp_extract('hello', 'l+')").getString(0) == "ll")
+    assert(one("regexp_extract('hello', '(l+)(o)', 2)").getString(0) == "o")
+    assert(one("regexp_extract('aBc', 'aBc', 7)").getString(0) == "")
+    assert(one("regexp_extract(NULL, 'x', 7)").isNullAt(0))
+    assert(one("length([3,1,2])").getLong(0) == 3L) // polymorphic length
+  }
+
+  test("shared-native sweep: gamma/lgamma match C tgamma/lgamma to 10 digits (probed)") {
+    def close(q: String, want: Double) = {
+      val got = one(q).getDouble(0)
+      assert(math.abs(got - want) <= math.abs(want) * 1e-12, s"$q: $got != $want")
+    }
+    close("gamma(2.5)", 1.329340388179137)
+    close("gamma(-0.5)", -3.5449077018110318)
+    close("lgamma(2.5)", 0.2846828704729192)
+    close("lgamma(-0.5)", 1.2655121234846454)
+    close("lgamma(0.1)", 2.252712651734206)
+  }
+
+  test("interval COMPONENT extraction through the date-part names (probed)") {
+    assert(one("day(INTERVAL 2 DAY)").getLong(0) == 2L)
+    assert(one("hour(INTERVAL 2 DAY)").getLong(0) == 0L)
+    assert(one("minute(INTERVAL 90 MINUTE)").getLong(0) == 30L)
+    assert(one("second(INTERVAL 90 SECOND)").getLong(0) == 30L)
+    assert(one("microsecond(INTERVAL 90 SECOND)").getLong(0) == 30000000L)
+    assert(one("millisecond(INTERVAL 90 SECOND)").getLong(0) == 30000L)
+    assert(one("year(INTERVAL 14 MONTH)").getLong(0) == 1L)
+    assert(one("month(INTERVAL 14 MONTH)").getLong(0) == 2L)
+    assert(one("quarter(INTERVAL 2 DAY)").getLong(0) == 1L)
+    assert(one("century(INTERVAL 300 YEAR)").getLong(0) == 3L)
+    assert(one("decade(INTERVAL 300 YEAR)").getLong(0) == 30L)
+    assert(one("millennium(INTERVAL 2001 YEAR)").getLong(0) == 2L)
+    // the calendar fallbacks keep their probed values
+    assert(one("century(DATE '2020-03-15')").getLong(0) == 21L)
+    assert(one("decade(DATE '2020-03-15')").getLong(0) == 202L)
+    assert(one("year(DATE '2020-03-15')").getInt(0) == 2020)
+    assert(one("hour(TIMESTAMP '2020-03-15 13:45:30')").getInt(0) == 13)
+  }
+
   test("BLOB/BYTEA spell Spark's BINARY; fractional interval constructors are exact (probed)") {
     assert(one("to_base64('ab'::BLOB)").getString(0) == "YWI=")
     assert(one("to_hex('ab'::BYTEA)").getString(0) == "6162")

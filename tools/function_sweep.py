@@ -104,17 +104,18 @@ EXPLAINED = {
     "list_distinct": "DuckDB returns hash order, Spark first-seen order — "
                      "the set is equal; element order of DISTINCT is not a "
                      "contract in either engine",
+    "make_date": "negative/zero years agree as proleptic values; DuckDB "
+                 "renders the (BC) era suffix, Spark prints the bare "
+                 "proleptic date — rendering only",
+    "repeat": "BLOB repeat: equal bytes; DuckDB renders BLOBs hex, the "
+              "Spark leg's binary→string view prints them raw — rendering",
+    "factorial": "factorial(n>20) is HUGEINT in DuckDB, NULL here (long "
+                 "overflow contract) — n≤20 and negatives match",
 }
 
 # loud-error boundaries: the engine REJECTS these shapes with a named
 # remediation where DuckDB accepts them — recorded, not silent
 EXPLAINED_ERRORS = {
-    "century": "interval part extraction unimplemented — loud "
-               "DATATYPE_MISMATCH (date/timestamp parts fully mapped)",
-    "decade": "interval part extraction unimplemented — loud",
-    "millennium": "interval part extraction unimplemented — loud",
-    "microsecond": "interval part extraction unimplemented — loud",
-    "millisecond": "interval part extraction unimplemented — loud",
     "parse_dirname": "invalid separator token rejected loudly with the "
                      "valid set named (DuckDB silently ignores it)",
     "parse_dirpath": "invalid separator token rejected loudly",
@@ -122,6 +123,9 @@ EXPLAINED_ERRORS = {
     "parse_path": "invalid separator token rejected loudly",
     "strftime": "non-literal format strings rejected loudly (codegen'd "
                 "literal formats by design)",
+    "age": "unbound — DuckDB's age() is Postgres calendar decomposition "
+           "(years/months/days mixed units) with no Spark twin; the "
+           "1-arg form is wall-clock-dependent besides",
 }
 
 
@@ -144,6 +148,15 @@ def norm(v):
     import datetime
     if isinstance(v, datetime.timedelta):
         return f"{v.total_seconds():.10g}"
+    if isinstance(v, datetime.datetime):
+        # match the Spark leg's rendering: UTC-naive, space-separated,
+        # trailing fractional zeros trimmed
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        s = v.isoformat(sep=" ")
+        if "." in s:
+            s = s.rstrip("0").rstrip(".")
+        return s
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
