@@ -602,7 +602,7 @@ object Dialect {
         // default, polymorphic length, byte-level levenshtein. The trim
         // family skips the standard TRIM(BOTH|LEADING|TRAILING ... FROM)
         // form, which both engines parse at the grammar level.
-        .replaceAll("(?i)\\b(year|month|day|dayofmonth|quarter|hour|minute|second|dayofweek|greatest|least|trunc|factorial|make_timestamp|regexp_extract|length|levenshtein)\\s*\\(",
+        .replaceAll("(?i)\\b(year|month|day|dayofmonth|quarter|hour|minute|second|dayofweek|greatest|least|trunc|factorial|make_timestamp|regexp_extract|length|levenshtein|median)\\s*\\(",
           "duck_$1(")
         .replaceAll("(?i)\\b(trim|ltrim|rtrim)\\s*\\((?!\\s*(?i:BOTH|LEADING|TRAILING)\\b)",
           "duck_$1(")

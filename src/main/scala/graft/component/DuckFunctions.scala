@@ -2372,6 +2372,9 @@ object DuckFunctions {
       // polymorphic length (list → element count, like len)
       arity("duck_length", 1)(a => graft.functions.PolyLen(a.head)),
       // Γ / ln|Γ| (C tgamma/lgamma — codegen'd Lanczos)
+      // median over every orderable type (r17 aggregate sweep):
+      // strings/bools lower-middle, dates/timestamps interpolate
+      arity("duck_median", 1)(a => graft.functions.DuckMedian(a.head)),
       arity("gamma", 1)(a => graft.functions.GammaExpr(
         Cast(a.head, org.apache.spark.sql.types.DoubleType), ln = false)),
       arity("lgamma", 1)(a => graft.functions.GammaExpr(

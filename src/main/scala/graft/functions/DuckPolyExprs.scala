@@ -280,6 +280,149 @@ case class GammaExpr(child: Expression, ln: Boolean)
     copy(child = c)
 }
 
+/** median() over every orderable type, DuckDB-style (r17 aggregate
+  * sweep — probed v1.0): numerics interpolate (native Median);
+  * strings/booleans take the LOWER-MIDDLE element (percentile_disc 0.5
+  * semantics: median('a','a','b','c') = 'a', median('b','d') = 'b');
+  * dates/timestamps INTERPOLATE and always return TIMESTAMP
+  * (median(DATE 01-01, DATE 01-03) = TIMESTAMP 01-02). */
+case class DuckMedian(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction
+    with RuntimeReplaceable with RuntimeReplaceableAggregate
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  override lazy val replacement: Expression = child.dataType match {
+    case t if DuckPoly.isNum(t) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Median(child)
+    case _: StringType | BooleanType | DateType | TimestampType |
+         TimestampNTZType =>
+      OrdMedianAgg(child)
+    case _ =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Median(child)
+  }
+  override def prettyName: String = "duck_median"
+  override protected def withNewChildInternal(c: Expression): DuckMedian =
+    copy(child = c)
+}
+
+/** The lower-middle / interpolating median over orderable non-numerics
+  * (see [[DuckMedian]]). Collects the group — the same memory contract
+  * as the engine it mirrors (a rank selection needs the ordered set);
+  * numeric medians never route here. */
+case class OrdMedianAgg(child: Expression,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends org.apache.spark.sql.catalyst.expressions.aggregate
+      .TypedImperativeAggregate[scala.collection.mutable.ArrayBuffer[Any]]
+    with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StringType | BooleanType | DateType | TimestampType |
+           TimestampNTZType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"ord-median over ${t.simpleString} unsupported")
+    }
+
+  override def dataType: DataType = child.dataType match {
+    case DateType | TimestampType => TimestampType
+    case TimestampNTZType => TimestampNTZType
+    case t => t
+  }
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer()
+      : scala.collection.mutable.ArrayBuffer[Any] =
+    scala.collection.mutable.ArrayBuffer.empty[Any]
+
+  override def update(buf: scala.collection.mutable.ArrayBuffer[Any],
+      input: org.apache.spark.sql.catalyst.InternalRow)
+      : scala.collection.mutable.ArrayBuffer[Any] = {
+    val v = child.eval(input)
+    if (v != null) buf += (v match {
+      case s: UTF8String => s.clone() // unsafe-row backed: copy out
+      case other => other
+    })
+    buf
+  }
+
+  override def merge(a: scala.collection.mutable.ArrayBuffer[Any],
+      b: scala.collection.mutable.ArrayBuffer[Any])
+      : scala.collection.mutable.ArrayBuffer[Any] = { a ++= b; a }
+
+  override def eval(buf: scala.collection.mutable.ArrayBuffer[Any]): Any = {
+    if (buf.isEmpty) return null
+    child.dataType match {
+      case _: StringType =>
+        val vs = buf.asInstanceOf[scala.collection.mutable.ArrayBuffer[UTF8String]]
+          .sorted(Ordering.comparatorToOrdering(
+            java.util.Comparator.naturalOrder[UTF8String]()))
+        vs((vs.length - 1) / 2) // lower-middle, probed
+      case BooleanType =>
+        val vs = buf.map(_.asInstanceOf[Boolean]).sorted
+        vs((vs.length - 1) / 2)
+      case dt =>
+        // dates/timestamps interpolate at the micros midpoint (probed)
+        val us =
+          if (dt == DateType)
+            buf.map(_.asInstanceOf[Int].toLong * 86400000000L).sorted
+          else buf.map(_.asInstanceOf[Long]).sorted
+        val n = us.length
+        if (n % 2 == 1) us(n / 2)
+        else {
+          val lo = us(n / 2 - 1); val hi = us(n / 2)
+          lo + (hi - lo) / 2
+        }
+    }
+  }
+
+  override def serialize(buf: scala.collection.mutable.ArrayBuffer[Any])
+      : Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.length)
+    child.dataType match {
+      case _: StringType => buf.foreach { v =>
+        val b = v.asInstanceOf[UTF8String].getBytes
+        out.writeInt(b.length); out.write(b)
+      }
+      case BooleanType => buf.foreach(v => out.writeBoolean(v.asInstanceOf[Boolean]))
+      case DateType => buf.foreach(v => out.writeInt(v.asInstanceOf[Int]))
+      case _ => buf.foreach(v => out.writeLong(v.asInstanceOf[Long]))
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte])
+      : scala.collection.mutable.ArrayBuffer[Any] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      buf += (child.dataType match {
+        case _: StringType =>
+          val b = new Array[Byte](in.readInt()); in.readFully(b)
+          UTF8String.fromBytes(b)
+        case BooleanType => in.readBoolean()
+        case DateType => in.readInt()
+        case _ => in.readLong()
+      })
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): OrdMedianAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): OrdMedianAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): OrdMedianAgg =
+    copy(child = c)
+  override def prettyName: String = "ord_median"
+}
+
 /** isfinite()/isinf() over numerics, dates and timestamps. */
 case class DuckFinite(child: Expression, inf: Boolean)
     extends UnaryExpression with RuntimeReplaceable {

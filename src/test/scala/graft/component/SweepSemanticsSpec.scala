@@ -176,6 +176,29 @@ class SweepSemanticsSpec extends SparkSpec {
     assert(one("hour(TIMESTAMP '2020-03-15 13:45:30')").getInt(0) == 13)
   }
 
+  test("median over orderable non-numerics (probed, r17 aggregate sweep)") {
+    // strings/booleans: LOWER-MIDDLE element; dates/timestamps
+    // INTERPOLATE and return TIMESTAMP; numerics keep native Median
+    def m(values: String) =
+      sql(s"SELECT median(x) AS v FROM (VALUES $values) t(x)").collect().head
+    assert(m("('a'),('a'),('b'),('c')").getString(0) == "a")
+    assert(m("('b'),('d')").getString(0) == "b")
+    assert(m("('a'),('b'),('c')").getString(0) == "b")
+    assert(m("(true),(true),(false)").getBoolean(0))
+    assert(!m("(false),(true)").getBoolean(0))
+    assert(m("(DATE '2020-01-01'),(DATE '2020-01-03')").getTimestamp(0)
+      .toString.startsWith("2020-01-02 00:00:00"))
+    assert(m("(TIMESTAMP '2020-01-01 00:00:00'),(TIMESTAMP '2020-01-01 00:00:01')")
+      .getTimestamp(0).toString.startsWith("2020-01-01 00:00:00.5"))
+    assert(m("(1),(2)").getDouble(0) == 1.5) // numeric path unchanged
+    // distributed: the buffer merges across partitions
+    val dist = spark.range(0, 1001, 1, 8)
+      .selectExpr("format_string('k%04d', id) AS x")
+    dist.createOrReplaceTempView("ordmed_t")
+    assert(sql("SELECT median(x) AS v FROM ordmed_t").collect()
+      .head.getString(0) == "k0500")
+  }
+
   test("BLOB/BYTEA spell Spark's BINARY; fractional interval constructors are exact (probed)") {
     assert(one("to_base64('ab'::BLOB)").getString(0) == "YWI=")
     assert(one("to_hex('ab'::BYTEA)").getString(0) == "6162")

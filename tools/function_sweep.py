@@ -146,6 +146,8 @@ def iso_duration_secs(s):
 
 def norm(v):
     import datetime
+    if isinstance(v, bool):
+        return "true" if v else "false"
     if isinstance(v, datetime.timedelta):
         return f"{v.total_seconds():.10g}"
     if isinstance(v, datetime.datetime):
