@@ -91,6 +91,28 @@ object Actions {
         Seq("+", "-", "*", "/", ">", "<", "=").exists(masked.contains) &&
         !masked.contains("||"))
       issues += "arithmetic on VARCHAR-cast values may fail to bind"
+    // Recorded engine boundary (r18): Spark's day-time interval is ONE
+    // micros field where DuckDB keeps days and micros separate, so a
+    // component function over a single-unit interval LITERAL past its
+    // carry boundary diverges — hour(INTERVAL 26 HOUR) is 26 on DuckDB
+    // and 2 here (day/hour re-split at 24 h). Components of
+    // timestamp-subtraction intervals and sub-carry literals agree.
+    // Surface the divergence when both a component function and an
+    // hour/minute/second interval literal appear in one statement.
+    if (("(?i)\\b(DAY|HOUR|MINUTE|SECOND|DATEPART|DATE_PART|EXTRACT)\\s*\\(" +
+          "[^()]*\\bINTERVAL\\b[^()]*\\b(HOUR|MINUTE|SECOND)S?\\b").r
+          .findFirstIn(masked).isDefined ||
+        // the quoted spelling's unit word lives inside the literal,
+        // which maskQuoted blanks — match it on the raw text, anchored
+        // to the component call so string contents elsewhere can't fire
+        ("(?i)\\b(DAY|HOUR|MINUTE|SECOND|DATEPART|DATE_PART|EXTRACT)\\s*\\(" +
+          "[^()]*\\bINTERVAL\\s*'[^']*\\b(HOUR|MINUTE|SECOND)S?\\b").r
+          .findFirstIn(stmt).isDefined)
+      issues += ("interval component extraction: a single-unit HOUR/" +
+        "MINUTE/SECOND interval literal past its carry boundary (e.g. " +
+        "INTERVAL 26 HOUR) re-splits at 24h/60m/60s here — " +
+        "hour(INTERVAL 26 HOUR) is 26 on DuckDB but 2 on this engine; " +
+        "components of timestamp differences and sub-carry literals agree")
     issues.toList
   }
 

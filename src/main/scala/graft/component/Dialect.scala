@@ -46,6 +46,10 @@ object Dialect {
       "or a (tag VARCHAR, value VARCHAR) pair"),
     "ALTER_SEQUENCE" -> ("ALTER SEQUENCE is not supported: re-create the " +
       "sequence (CREATE OR REPLACE SEQUENCE) with the new parameters"),
+    "ARITH_LIMIT" -> ("statement exceeds the arithmetic-rewrite limit " +
+      "(512 `/`/`%` or 256 `//`/`^` operators in one statement): the " +
+      "engine refuses to run the tail with different division semantics " +
+      "— split the expression across intermediate columns or statements"),
     "FRAME_GROUPS" -> ("this window frame GROUPS form is not rewritable: " +
       "GROUPS executes via a dense_rank re-ordering (any function; " +
       "offset bounds need a plain SELECT block without GROUP BY / " +
@@ -566,9 +570,9 @@ object Dialect {
       Pivot.rewriteUnpivot(UnnestSql.rewrite(rewriteUsingSample(
         rewriteSeriesTableFns(rewriteFill(rewriteMatchOps(
           StarReplaceSql.rewriteBareExclude(StarReplaceSql.rewriteLike(
-          rewriteMod(rewriteDiv(rewriteIntDiv(rewritePow(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
+          rewriteMod(rewriteDiv(rewriteIntDiv(rewritePow(rewriteWindowFilter(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
           FileReads.rewriteTableFunctions(IntrospectSql.rewrite(
-            rewritePragma(WindowClauseSql.inline(Macros.rewrite(rewriteDollarStrings(stmt0)))))))))))))))))))))))))))))
+            rewritePragma(WindowClauseSql.inline(Macros.rewrite(rewriteDollarStrings(stmt0))))))))))))))))))))))))))))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position
@@ -581,6 +585,15 @@ object Dialect {
     // position as usual.
     val isCopyStmt = "(?is)^\\s*COPY\\b".r.findFirstIn(stmt).isDefined
     val isExecuteStmt = "(?is)^\\s*EXECUTE\\b".r.findFirstIn(stmt).isDefined
+    // Plain column-definition DDL (`CREATE TABLE t (b BLOB, ...)`,
+    // ALTER TABLE): every bare BLOB-family word is a TYPE there. In any
+    // other statement the word only maps in cast positions — a COLUMN
+    // legitimately named blob must not silently rename (ADVICE r17).
+    // CTAS does not match (the table name is followed by AS, not `(`),
+    // so its select-list identifiers stay untouched.
+    val isColumnDefDdl = ("(?is)^\\s*(?:CREATE\\s+(?:OR\\s+REPLACE\\s+)?" +
+      "(?:TEMP\\w*\\s+)?TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "(?:\"[^\"]+\"|[\\w.]+)\\s*\\(|ALTER\\s)").r.findFirstIn(stmt).isDefined
     var parenDepth = 0
 
     def flushPlain(): Unit = {
@@ -590,8 +603,17 @@ object Dialect {
         // wide in the reference fixtures); VARCHAR(n) parses natively
         .replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
         // DuckDB's BLOB and its aliases are Spark's BINARY (r17 sweep:
-        // `'ab'::BLOB` must reach to_base64/to_hex as binary)
-        .replaceAll("(?i)\\b(BLOB|BYTEA|VARBINARY)\\b", "BINARY")
+        // `'ab'::BLOB` must reach to_base64/to_hex as binary). TYPE
+        // positions only: after `::`, or after AS when a `)`/`[` follows
+        // (CAST/TRY_CAST — an `AS blob` ALIAS is followed by a keyword
+        // or comma instead); in column-def DDL every bare word is a
+        // type. An identifier named blob elsewhere stays itself
+        // (ADVICE r17: the bare-word rule silently renamed it).
+        .replaceAll(
+          if (isColumnDefDdl) "(?i)\\b(BLOB|BYTEA|VARBINARY)\\b"
+          else "(?i)(?<=::\\s{0,20})(BLOB|BYTEA|VARBINARY)\\b", "BINARY")
+        .replaceAll("(?i)(?<=\\bAS\\s{1,20})(BLOB|BYTEA|VARBINARY)\\b(?=\\s*[)\\[])",
+          "BINARY")
         // shared-native function names whose DuckDB semantics differ
         // (r17 sweep) route to duck_-prefixed registry bindings in
         // STATEMENT TEXT only — the Column API (which resolves the same
@@ -602,9 +624,14 @@ object Dialect {
         // default, polymorphic length, byte-level levenshtein. The trim
         // family skips the standard TRIM(BOTH|LEADING|TRAILING ... FROM)
         // form, which both engines parse at the grammar level.
-        .replaceAll("(?i)\\b(year|month|day|dayofmonth|quarter|hour|minute|second|dayofweek|greatest|least|trunc|factorial|make_timestamp|regexp_extract|length|levenshtein|median)\\s*\\(",
+        // ...skipping DEFINITION sites (ADVICE r17: `WITH median(v) AS
+        // (...)` must not become an unresolvable duck_median CTE): the
+        // name is no call when WITH/RECURSIVE/MACRO precedes it, or when
+        // its paren group is a bare column list followed by `AS (` (a
+        // chained CTE definition)
+        .replaceAll("(?i)(?<!\\bWITH\\s{1,20})(?<!\\bRECURSIVE\\s{1,20})(?<!\\bMACRO\\s{1,20})\\b(year|month|day|dayofmonth|quarter|hour|minute|second|dayofweek|greatest|least|trunc|factorial|make_timestamp|regexp_extract|length|levenshtein|median)\\s*\\((?!(?:\\s*[A-Za-z_]\\w*(?:\\s*,\\s*[A-Za-z_]\\w*)*)?\\s*\\)\\s+AS\\s*\\()",
           "duck_$1(")
-        .replaceAll("(?i)\\b(trim|ltrim|rtrim)\\s*\\((?!\\s*(?i:BOTH|LEADING|TRAILING)\\b)",
+        .replaceAll("(?i)(?<!\\bWITH\\s{1,20})(?<!\\bRECURSIVE\\s{1,20})(?<!\\bMACRO\\s{1,20})\\b(trim|ltrim|rtrim)\\s*\\((?!\\s*(?i:BOTH|LEADING|TRAILING)\\b)(?!(?:\\s*[A-Za-z_]\\w*(?:\\s*,\\s*[A-Za-z_]\\w*)*)?\\s*\\)\\s+AS\\s*\\()",
           "duck_$1(")
         // DuckDB star modifier: SELECT * EXCLUDE (c) ≡ Spark * EXCEPT (c)
         .replaceAll("(?i)\\*\\s*EXCLUDE\\s*\\(", "* EXCEPT(")
@@ -936,7 +963,7 @@ object Dialect {
         case _ => return stmt
       }
     }
-    stmt
+    rejectSentinel("ARITH_LIMIT") // guard exhausted: refuse, never a silent semantic tail
   }
 
   /** DuckDB types ALL `/` division DOUBLE (probed v1.0:
@@ -1011,7 +1038,7 @@ object Dialect {
         case _ => from = op + 1
       }
     }
-    stmt
+    rejectSentinel("ARITH_LIMIT") // guard exhausted: refuse, never a silent semantic tail
   }
 
   /** DuckDB yields NULL on `x % 0` where Spark's ANSI mode raises
@@ -1055,7 +1082,7 @@ object Dialect {
         case _ => from = op + 1
       }
     }
-    stmt
+    rejectSentinel("ARITH_LIMIT") // guard exhausted: refuse, never a silent semantic tail
   }
 
   /** DuckDB's POWER operators `^` and `**` → `power()` calls. This one
@@ -1104,7 +1131,7 @@ object Dialect {
             stmt.substring(op + len)
       }
     }
-    stmt
+    rejectSentinel("ARITH_LIMIT") // guard exhausted: refuse, never a silent semantic tail
   }
 
   /** Regex / glob MATCH operators with no Spark spelling — `~` / `!~`
@@ -1182,6 +1209,111 @@ object Dialect {
     * TIMESTAMP keys onto one DOUBLE axis). Unsupported shapes — named
     * windows, multi-key ORDER BY, explicit frames, missing OVER — leave
     * the text whole for Spark's loud unresolved-function error. */
+  /** WINDOWED aggregate FILTER (r18 window sweep): DuckDB runs
+    * `sum(x) FILTER (WHERE c) OVER (spec)` but Spark's planner rejects
+    * a window aggregate with a filter predicate outright ("not
+    * supported yet"). For NULL-IGNORING aggregates the filter is
+    * exactly argument nulling — `sum(CASE WHEN c THEN x END) OVER
+    * (spec)` — so those rewrite to the CASE form (count(*) counts a
+    * CASE-guarded 1; string_agg guards its value argument and keeps
+    * the separator). Both FILTER spellings are handled (standard
+    * `WHERE c` and DuckDB's bare `c` shorthand — this pass runs before
+    * flushPlain's shorthand regex). Aggregates outside the
+    * null-ignoring list, DISTINCT arguments, and anything else
+    * unparsable stay untouched and fail LOUDLY downstream on Spark's
+    * own named error — never a silent reinterpretation. */
+  private val filterableAggs = Set("sum", "avg", "min", "max", "count",
+    "stddev", "stddev_pop", "stddev_samp", "var_pop", "var_samp",
+    "variance", "median", "bool_and", "bool_or", "product",
+    "first", "last", "first_value", "last_value", "string_agg")
+
+  private[component] def rewriteWindowFilter(stmt0: String): String = {
+    var stmt = stmt0
+    var guard = 0
+    var from = 0
+    while (guard < 256) {
+      guard += 1
+      val masked = maskQuoted(stmt)
+      val m = "(?i)\\bFILTER\\s*\\(".r.findFirstMatchIn(
+        masked.substring(math.min(from, masked.length)))
+        .getOrElse(return stmt)
+      val fi = from + m.start
+      val fOpen = from + m.end - 1
+      val fClose = matchingParen(masked, fOpen)
+      if (fClose < 0) return stmt
+      // must be followed by OVER (a bare aggregate FILTER is native)
+      var j = fClose + 1
+      while (j < stmt.length && stmt.charAt(j).isWhitespace) j += 1
+      val e2 = j
+      while (j < stmt.length && stmt.charAt(j).isLetter) j += 1
+      val isWindow = j > e2 && stmt.substring(e2, j).equalsIgnoreCase("over")
+      // the call directly before FILTER
+      var k = fi - 1
+      while (k >= 0 && stmt.charAt(k).isWhitespace) k -= 1
+      var ok = isWindow && k >= 0 && masked.charAt(k) == ')'
+      var cOpen = -1
+      if (ok) {
+        var d = 0; var q = k
+        while (q >= 0 && cOpen < 0) {
+          val mc = masked.charAt(q)
+          if (mc == ')') d += 1
+          else if (mc == '(') { d -= 1; if (d == 0) cOpen = q }
+          q -= 1
+        }
+        ok = cOpen >= 0
+      }
+      var nStart = -1
+      if (ok) {
+        var q = cOpen - 1
+        val e = q
+        while (q >= 0 && (stmt.charAt(q).isLetterOrDigit || stmt.charAt(q) == '_')) q -= 1
+        nStart = q + 1
+        ok = e >= nStart &&
+          filterableAggs(stmt.substring(nStart, e + 1).toLowerCase)
+      }
+      if (!ok) { from = fOpen + 1 } // leave for Spark's loud reject
+      else {
+        val name = {
+          var q = cOpen - 1
+          while (q >= 0 && (stmt.charAt(q).isLetterOrDigit || stmt.charAt(q) == '_')) q -= 1
+          stmt.substring(q + 1, cOpen).trim
+        }
+        val args = stmt.substring(cOpen + 1, k).trim
+        val cond = stmt.substring(fOpen + 1, fClose).trim
+          .replaceFirst("(?is)^WHERE\\b\\s*", "")
+        if (args.toLowerCase.startsWith("distinct")) { from = fOpen + 1 }
+        else {
+          // top-level comma split: only string_agg keeps a tail (its
+          // separator); other multi-arg shapes stay loud
+          val depth0Comma = {
+            var d = 0; var idx = -1; var q2 = 0
+            while (q2 < args.length && idx < 0) {
+              val c = masked.charAt(cOpen + 1 + q2)
+              if (c == '(') d += 1 else if (c == ')') d -= 1
+              else if (c == ',' && d == 0) idx = q2
+              q2 += 1
+            }
+            idx
+          }
+          val rebuilt =
+            if (args == "*") // count(*): count a guarded constant
+              s"$name(CASE WHEN ($cond) THEN 1 END)"
+            else if (depth0Comma < 0)
+              s"$name(CASE WHEN ($cond) THEN $args END)"
+            else if (name.equalsIgnoreCase("string_agg"))
+              s"$name(CASE WHEN ($cond) THEN ${args.substring(0, depth0Comma).trim} END,${args.substring(depth0Comma + 1)})"
+            else null
+          if (rebuilt == null) { from = fOpen + 1 }
+          else {
+            stmt = stmt.substring(0, nStart) + rebuilt + stmt.substring(fClose + 1)
+            from = nStart
+          }
+        }
+      }
+    }
+    stmt // residual FILTER+OVER shapes fail loudly downstream
+  }
+
   private[component] def rewriteFill(stmt0: String): String = {
     var stmt = stmt0
     var guard = 0
@@ -1305,6 +1437,64 @@ object Dialect {
     var start = -1
     def skipWs(): Unit = { while (i >= 0 && masked.charAt(i) == ' ' &&
       stmt.charAt(i).isWhitespace) i -= 1 }
+    // `name ( ... )` call ending at the current position — the window
+    // function (or FILTER-wrapped aggregate) a consumed OVER clause
+    // belongs to. An aggregate-FILTER paren group chains back to its
+    // call; failure means the operand is unparsable at this level
+    // (None → the operator is skipped, Spark's native semantics — the
+    // documented safe residual) — never a mis-grouping.
+    def consumeCallBack(): Boolean = {
+      skipWs()
+      if (i < 0 || masked.charAt(i) != ')') return false
+      var d = 0; var j = i; var open = -1
+      while (j >= 0 && open < 0) {
+        val mc = masked.charAt(j)
+        if (mc == ')') d += 1
+        else if (mc == '(') { d -= 1; if (d == 0) open = j }
+        j -= 1
+      }
+      if (open < 0) return false
+      i = open - 1
+      skipWs() // the spaced spelling: `FILTER (WHERE ...)`, `count (*)`
+      if (i < 0 || !(stmt.charAt(i).isLetterOrDigit || stmt.charAt(i) == '_'))
+        return false
+      val e = i
+      while (i >= 0 && (stmt.charAt(i).isLetterOrDigit || stmt.charAt(i) == '_')) i -= 1
+      val nm = stmt.substring(i + 1, e + 1).toLowerCase
+      if (nm == "filter") return consumeCallBack() // FILTER (WHERE ...) clause
+      if (signKeyword(nm)) return false
+      start = i + 1
+      true
+    }
+    // word (letters/underscore) ending at the current position, without
+    // moving i — "" if none
+    def peekWordBack(): String = {
+      var j = i
+      while (j >= 0 && masked.charAt(j) == ' ' && stmt.charAt(j).isWhitespace) j -= 1
+      val e = j
+      while (j >= 0 && masked.charAt(j) == stmt.charAt(j) &&
+        (stmt.charAt(j).isLetter || stmt.charAt(j) == '_')) j -= 1
+      if (e > j) stmt.substring(j + 1, e + 1).toLowerCase else ""
+    }
+    // optional `IGNORE|RESPECT NULLS` tokens directly before an OVER
+    // keyword (Spark's spelling; DuckDB's in-paren spelling is moved out
+    // later by flushPlain, so both shapes can reach this scanner)
+    def consumeNullsModifier(): Unit = {
+      if (peekWordBack() == "nulls") {
+        skipWs()
+        val save = i
+        while (i >= 0 && (stmt.charAt(i).isLetter || stmt.charAt(i) == '_')) i -= 1
+        val w = peekWordBack()
+        if (w == "ignore" || w == "respect") {
+          skipWs()
+          while (i >= 0 && (stmt.charAt(i).isLetter || stmt.charAt(i) == '_')) i -= 1
+        } else i = save
+      }
+    }
+    // keyword-paren forms where the paren group is NOT an operand
+    // (ADVICE r17: `y IN (1,2) / 2` mangled into `IN duck_div(...)`)
+    val nonOperandParen = Set("in", "all", "any", "some", "exists",
+      "using", "values", "window", "partition")
     def consumePrimary(): Boolean = {
       skipWs()
       if (i < 0) return false
@@ -1329,11 +1519,29 @@ object Dialect {
         }
         if (open < 0) return false
         start = open; i = open - 1
-        // a function name before the paren belongs to the primary
+        // a function name before the paren belongs to the primary (the
+        // space-separated call spelling too — `count (*)`, `OVER (spec)`:
+        // without the ws skip a spaced OVER read as a bare paren primary,
+        // the ADVICE r17 window mangling)
+        skipWs()
         if (i >= 0 && (stmt.charAt(i).isLetterOrDigit || stmt.charAt(i) == '_')) {
           val e = i
           while (i >= 0 && (stmt.charAt(i).isLetterOrDigit || stmt.charAt(i) == '_')) i -= 1
-          if (signKeyword(stmt.substring(i + 1, e + 1).toLowerCase)) i = e
+          val w = stmt.substring(i + 1, e + 1).toLowerCase
+          if (w == "over") {
+            // window expression (ADVICE r17: treating the OVER spec as
+            // a paren primary mangled `sum(x) OVER (...) / 2`): the
+            // operand is the whole `call [FILTER (...)] [IGNORE NULLS]
+            // OVER (spec)` — consume back to the call or skip
+            consumeNullsModifier()
+            if (!consumeCallBack()) return false
+          } else if (w == "filter") {
+            // aggregate FILTER clause when a call precedes (the
+            // filter() HOF is never a numeric operand, so a failed
+            // call-consume just skips this operator — safe either way)
+            if (!consumeCallBack()) return false
+          } else if (nonOperandParen(w)) return false
+          else if (signKeyword(w)) i = e
           else start = i + 1
         }
         true
@@ -1345,7 +1553,11 @@ object Dialect {
           (stmt.charAt(i).isLetterOrDigit ||
             stmt.charAt(i) == '_' || stmt.charAt(i) == '.')) i -= 1
         start = i + 1
-        !signKeyword(stmt.substring(start, e + 1).toLowerCase)
+        if (signKeyword(stmt.substring(start, e + 1).toLowerCase)) false
+        // a bare name directly after OVER is a NAMED-WINDOW reference
+        // (`rank() OVER w / 2` pre-inline), not the operand — skip
+        else if (peekWordBack() == "over") false
+        else true
       } else false
     }
     def consumeSignIfUnary(): Unit = {
@@ -1464,9 +1676,61 @@ object Dialect {
       skipWs()
       if (i < stmt.length && stmt.charAt(i) == '(') {
         val close = matchingParen(masked, i)
-        if (close < 0) None else Some(postfix(stmt, masked, close + 1))
+        if (close < 0) None
+        else windowSuffix(stmt, masked, postfix(stmt, masked, close + 1))
       } else { i = save; Some(postfix(stmt, masked, i)) }
     } else None
+  }
+
+  /** Extend a call primary's end over an attached window clause —
+    * `[FILTER (...)] [IGNORE|RESPECT NULLS] OVER (spec)` — so
+    * `n / count(*) OVER ()` keeps the whole window expression as the
+    * right operand (ADVICE r17: stopping before OVER split the window
+    * from its function, `duck_div(n, count(*)) OVER ()`). A FILTER
+    * clause with no OVER is an aggregate filter and extends the primary
+    * too. `OVER name` (a named window not yet inlined — WindowClauseSql
+    * inlines every valid one before these scanners run) is unparsable
+    * here → None, the operator is skipped (native Spark semantics, the
+    * documented safe residual). */
+  private def windowSuffix(stmt: String, masked: String,
+      end0: Int): Option[Int] = {
+    // (lower word, end-exclusive) after whitespace, outside quotes
+    def word(from: Int): (String, Int) = {
+      var j = from
+      while (j < stmt.length && masked.charAt(j) == ' ' &&
+        stmt.charAt(j).isWhitespace) j += 1
+      val s = j
+      while (j < stmt.length && masked.charAt(j) == stmt.charAt(j) &&
+        (stmt.charAt(j).isLetter || stmt.charAt(j) == '_')) j += 1
+      (stmt.substring(s, j).toLowerCase, j)
+    }
+    var cur = end0
+    var (w, after) = word(cur)
+    if (w == "filter") {
+      var j = after
+      while (j < stmt.length && stmt.charAt(j).isWhitespace) j += 1
+      if (j < stmt.length && stmt.charAt(j) == '(' && masked.charAt(j) == '(') {
+        val close = matchingParen(masked, j)
+        if (close < 0) return None
+        cur = close + 1
+        val n = word(cur); w = n._1; after = n._2
+      } else return Some(end0) // not a FILTER clause shape: stop at the call
+    }
+    if (w == "ignore" || w == "respect") {
+      val n = word(after)
+      if (n._1 == "nulls") {
+        cur = n._2
+        val n2 = word(cur); w = n2._1; after = n2._2
+      } else return Some(cur)
+    }
+    if (w == "over") {
+      var j = after
+      while (j < stmt.length && stmt.charAt(j).isWhitespace) j += 1
+      if (j < stmt.length && stmt.charAt(j) == '(' && masked.charAt(j) == '(') {
+        val close = matchingParen(masked, j)
+        if (close < 0) None else Some(postfix(stmt, masked, close + 1))
+      } else None // OVER name — named window, skip this operator
+    } else Some(cur)
   }
 
   /** Consume `::type(args)` cast suffixes after a primary. */

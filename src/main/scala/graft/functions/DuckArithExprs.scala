@@ -49,19 +49,17 @@ object DuckArith {
     order(math.max(order.indexOf(a), order.indexOf(b)))
   }
 
-  /** Exact decimal carrier of an integral width (the DecimalType.forType
-    * table: Byte (3,0), Short (5,0), Int (10,0), Long (20,0)). */
+  /** DuckDB's decimal carrier widths for integrals in `%` typing
+    * (probed v1.0 through the result precisions: D(10,2) % BIGINT →
+    * D(21,2) ⇒ BIGINT counts 19 integral digits, INTEGER → D(12,2) ⇒
+    * 10, SMALLINT → D(10,2) ⇒ ≤8, TINYINT likewise — note 19 for
+    * BIGINT, not Spark's forType 20). */
   private[functions] def decimalFor(t: DataType): DecimalType = t match {
     case ByteType => DecimalType(3, 0)
     case ShortType => DecimalType(5, 0)
     case IntegerType => DecimalType(10, 0)
-    case _ => DecimalType(20, 0)
+    case _ => DecimalType(19, 0)
   }
-
-  /** Precision-capped decimal (the DecimalType.bounded rule). */
-  private[functions] def boundedDecimal(p: Int, s: Int): DecimalType =
-    DecimalType(math.min(p, DecimalType.MAX_PRECISION),
-      math.min(s, DecimalType.MAX_SCALE))
 
   /** Divisor with DuckDB's zero → NULL contract, in the divisor's own
     * type (NullIf keeps the type; dividing by NULL is NULL in both
@@ -115,24 +113,29 @@ case class DuckMod(left: Expression, right: Expression)
     case (lt, NullType) if isNum(lt) =>
       Literal.create(null, lt)
     case (lt, rt) if isNum(lt) && isNum(rt) =>
+      // DuckDB's decimal `%` type: the WIDER integral part + the wider
+      // scale (probed v1.0: D(10,2) % D(5,1) → D(10,2), D(4,1) % D(6,3)
+      // → D(6,3), D(10,2) % BIGINT → D(21,2)); past 38 digits the
+      // engine abandons decimal for DOUBLE (probed: D(38,1) % D(38,3)
+      // → DOUBLE) — so does this, instead of clamping. Declared types
+      // now match the oracle exactly, not just the rendered values.
+      def duckModDecimal(p: Int, s: Int): DataType =
+        if (p > DecimalType.MAX_PRECISION) DoubleType else DecimalType(p, s)
       val common = (lt, rt) match {
         case (FloatType, FloatType) => FloatType
         case (DoubleType, _) | (_, DoubleType) |
              (FloatType, _) | (_, FloatType) => DoubleType
         case (d1: DecimalType, d2: DecimalType) =>
-          // Spark's own DecimalPrecision remainder bound: the wider
-          // integral part + the wider scale (values agree with DuckDB;
-          // the declared scale is the shared max-scale rule)
           val s = math.max(d1.scale, d2.scale)
-          boundedDecimal(
+          duckModDecimal(
             math.max(d1.precision - d1.scale, d2.precision - d2.scale) + s, s)
         case (d1: DecimalType, it) if isIntegral(it) =>
           val w = decimalFor(it)
-          boundedDecimal(
+          duckModDecimal(
             math.max(d1.precision - d1.scale, w.precision) + d1.scale, d1.scale)
         case (it, d2: DecimalType) if isIntegral(it) =>
           val w = decimalFor(it)
-          boundedDecimal(
+          duckModDecimal(
             math.max(d2.precision - d2.scale, w.precision) + d2.scale, d2.scale)
         case _ =>
           // both integral: the larger width (ByteType < ... < LongType)

@@ -64,9 +64,15 @@ case class DuckSlice(first: Expression, second: Expression,
   private def bounds(len: Expression): (Expression, Expression) = {
     val b = Cast(second, IntegerType)
     val e = Cast(third, IntegerType)
-    val nb = If(LessThan(b, Literal(0)),
-      Add(Add(len, b), Literal(1)),
-      If(EqualTo(b, Literal(0)), Literal(1), b))
+    // a negative begin that underflows the length clamps to position 1
+    // (probed v1.0: list_slice([1,2,3], -5, 2) = [1,2], array_slice(
+    // 'abcde', -10, 3) = 'abc') — without the clamp the still-negative
+    // bound reaches Spark's Slice/Substring, which count it from the
+    // END (ADVICE r17). A negative end may stay ≤ 0: the length term
+    // then goes non-positive and the slice is empty, the probed result
+    // (list_slice([1,2,3], 1, -5) = []).
+    val nb = Greatest(Seq(Literal(1),
+      If(LessThan(b, Literal(0)), Add(Add(len, b), Literal(1)), b)))
     val ne = If(LessThan(e, Literal(0)),
       Add(Add(len, e), Literal(1)), Least(Seq(e, len)))
     (nb, ne)
@@ -165,11 +171,24 @@ case class DuckSameDateKind(left: Expression, right: Expression)
   * expression over an interval child could never resolve, and
   * CheckAnalysis would reject the tree before replacement ran.
   *
+  * Negative intervals take C-style truncating arithmetic (r18, all
+  * probed v1.0): `hour(ts1 - ts2)` for a −26 h difference is −2 (days
+  * −1), `minute(INTERVAL '-90 minutes')` is −30, `quarter` of ANY
+  * month count is `trunc((months % 12) / 3) + 1` (so every negative
+  * month interval answers 1) — sign-preserving Remainder and
+  * truncating IntegralDivide, never Pmod (which answered +22 for the
+  * −26 h hour).
+  *
   * Recorded boundary: Spark's day-time interval is a single micros
-  * field, DuckDB's carries days and micros separately — so
-  * `hour(INTERVAL 26 HOUR)` is 26 there and 2 here (the interval
-  * itself already prints as `1 02:00:00` in Spark). Components of
-  * sub-day literals (the common case) agree. */
+  * field, DuckDB's carries days and micros separately. DuckDB
+  * normalizes timestamp SUBTRACTION into days+micros (probed: a 26 h
+  * difference has days=1, hour()=2), which the merged-micros split
+  * formula here reproduces exactly — but a SINGLE-UNIT literal past
+  * its carry boundary keeps its unit there (`hour(INTERVAL 26 HOUR)`
+  * = 26, day = 0) where the merged field answers 2 and 1. Components
+  * of subtraction-derived intervals and sub-carry literals (the
+  * common cases) agree; the literal residual is lint-surfaced by
+  * syntax_check. */
 case class DuckIntervalPart(child: Expression, part: String,
     fallbackFn: Expression => Expression)
     extends UnaryExpression with RuntimeReplaceable {
@@ -184,14 +203,14 @@ case class DuckIntervalPart(child: Expression, part: String,
       part match {
         case "day" => IntegralDivide(us, Literal(86400000000L))
         case "hour" =>
-          Pmod(IntegralDivide(us, Literal(3600000000L)), Literal(24L))
+          Remainder(IntegralDivide(us, Literal(3600000000L)), Literal(24L))
         case "minute" =>
-          Pmod(IntegralDivide(us, Literal(60000000L)), Literal(60L))
+          Remainder(IntegralDivide(us, Literal(60000000L)), Literal(60L))
         case "second" =>
-          Pmod(IntegralDivide(us, Literal(1000000L)), Literal(60L))
-        case "microsecond" => Pmod(us, Literal(60000000L))
+          Remainder(IntegralDivide(us, Literal(1000000L)), Literal(60L))
+        case "microsecond" => Remainder(us, Literal(60000000L))
         case "millisecond" =>
-          IntegralDivide(Pmod(us, Literal(60000000L)), Literal(1000L))
+          IntegralDivide(Remainder(us, Literal(60000000L)), Literal(1000L))
         case "quarter" => Literal(1L) // months component is 0 (probed)
         case _ => Literal(0L) // year/month/century/decade/millennium
       }
@@ -202,9 +221,9 @@ case class DuckIntervalPart(child: Expression, part: String,
         Cast(ExtractANSIIntervalMonths(child), IntegerType)), LongType)
       part match {
         case "year" => IntegralDivide(months, Literal(12L))
-        case "month" => Pmod(months, Literal(12L))
+        case "month" => Remainder(months, Literal(12L))
         case "quarter" =>
-          Add(IntegralDivide(Pmod(months, Literal(12L)), Literal(3L)),
+          Add(IntegralDivide(Remainder(months, Literal(12L)), Literal(3L)),
             Literal(1L))
         case "century" => IntegralDivide(months, Literal(1200L))
         case "decade" => IntegralDivide(months, Literal(120L))

@@ -1226,8 +1226,15 @@ object Extended {
       * integral cast rounds on the DOUBLE half-even path (di); x/0,
       * x//0 and x%0 are NULL where ANSI Spark raises (z1–z3, plus de's
       * real-data zero divisors); modulo keeps its operand typing (m7,
-      * dm); and an alias type over an integral base rounds through the
-      * execution-time recast (ai — r16 residual (c)). */
+      * dm) and its BARE decimal RENDERS hash through a VARCHAR view —
+      * dmr/dmi expose the declared scale ('1.05' vs '1.0' would
+      * mismatch; the driver cannot hash raw DECIMAL columns, so the
+      * string render is the hashable scale-sensitive shape). Declared
+      * precisions (DECIMAL(12,2)/DECIMAL(13,3), probed) are pinned in
+      * DivSemanticsSpec — the r17 render residual, closed r18 by
+      * DuckMod's wider-integral-part precision formula. An alias type
+      * over an integral base rounds through the execution-time recast
+      * (ai — r16 residual (c)). */
     val q100Ddl: String =
       """DROP TABLE IF EXISTS q100_t;
         |DROP TYPE IF EXISTS q100_myint;
@@ -1248,6 +1255,8 @@ object Extended {
         |  n_chars % 0 AS z3,
         |  n_chars % 7 AS m7,
         |  CAST(dc % 2.5 AS DOUBLE) AS dm,
+        |  (dc % 2.5)::VARCHAR AS dmr,
+        |  (dv % 3)::VARCHAR AS dmi,
         |  (dc / 2)::q100_myint AS ai
         |FROM q100_t ORDER BY doc_id""".stripMargin
     val q100: String = q100Ddl + ";\n" + q100Select

@@ -63,4 +63,17 @@ class ActionsSpec extends AnyFunSuite {
     assert(hits("SELECT (a FROM t").exists(_.contains("unmatched parentheses")))
     assert(hits("SELECT '(' FROM t").isEmpty)
   }
+
+  test("interval component over an hour/minute/second literal surfaces the carry boundary (r18)") {
+    assert(hits("SELECT hour(INTERVAL 26 HOUR) FROM t")
+      .exists(_.contains("carry boundary")))
+    assert(hits("SELECT minute(INTERVAL '90 minutes') AS m FROM t")
+      .exists(_.contains("carry boundary")))
+    // a component over a timestamp difference (the agreeing case) stays quiet...
+    assert(hits("SELECT hour(ts2 - ts1) FROM t").isEmpty)
+    // ...and so does an interval literal used elsewhere in the statement
+    assert(hits(
+      "SELECT hour(ts) FROM t WHERE ts > now() - INTERVAL 30 MINUTE").isEmpty)
+    assert(hits("SELECT day(INTERVAL 2 DAY) FROM t").isEmpty) // DAY unit: exact
+  }
 }

@@ -80,6 +80,18 @@ class DivSemanticsSpec extends SparkSpec {
     assert(d.schema.head.dataType == DecimalType(12, 2)) // probed DECIMAL(12,2)
     assert(d.collect().head.getDecimal(0).toPlainString == "1.50")
     assert(one("100 % 7 / 2").getDouble(0) == 1.0) // same-precedence chain
+    // bare decimal % DECLARED types match DuckDB's exactly (r18, all
+    // probed): wider integral part + wider scale; BIGINT counts 19
+    // integral digits there; past 38 digits the engine goes DOUBLE
+    val ts = sql("SELECT CAST(5.25 AS DECIMAL(10,2)) % CAST(2.1 AS DECIMAL(5,1)) AS a," +
+      " CAST(5.2 AS DECIMAL(4,1)) % CAST(0.123 AS DECIMAL(6,3)) AS b," +
+      " CAST(5.25 AS DECIMAL(10,2)) % CAST(3 AS BIGINT) AS c," +
+      " CAST(5.2 AS DECIMAL(38,1)) % CAST(0.123 AS DECIMAL(38,3)) AS d")
+    assert(ts.schema.map(_.dataType) == Seq(DecimalType(10, 2),
+      DecimalType(6, 3), DecimalType(21, 2), DoubleType))
+    val r = ts.collect().head
+    assert(r.getDecimal(0).toPlainString == "1.05")
+    assert(r.getDecimal(1).toPlainString == "0.034")
   }
 
   test("decimal division feeding an integral cast rounds on the DOUBLE path") {
@@ -94,6 +106,64 @@ class DivSemanticsSpec extends SparkSpec {
     val v = one("INTERVAL 2 DAY / 2")
     assert(v.get(0) != null) // a real one-day interval, not an error
     assert(one("INTERVAL 2 DAY / 0").isNullAt(0)) // zero → NULL, probed
+  }
+
+  test("window expressions travel whole through the div/mod rewrite (ADVICE r17)") {
+    // left operand IS the window expression, spec included
+    assert(Dialect.rewrite("SELECT sum(x) OVER (PARTITION BY g) / 2 FROM t")
+      .contains("duck_div(sum(x) OVER (PARTITION BY g), 2)"))
+    // right operand keeps its OVER clause (ratio-to-total)
+    assert(Dialect.rewrite("SELECT n / count(*) OVER () FROM t")
+      .contains("duck_div(n, count(*) OVER ())"))
+    // both sides windowed
+    assert(Dialect.rewrite("SELECT sum(x) OVER w1 FROM t") != null) // named, pre-inline: no-op path below
+    assert(Dialect.rewrite( // NULLS LAST: the duck null-order pass fires inside the spec too
+      "SELECT sum(x) OVER (ORDER BY a) % count(*) OVER (ORDER BY a) FROM t")
+      .contains("duck_mod(sum(x) OVER (ORDER BY a NULLS LAST), count(*) OVER (ORDER BY a NULLS LAST))"))
+    // aggregate FILTER clause chains back to its call on the left...
+    assert(Dialect.rewrite("SELECT sum(x) FILTER (WHERE x > 0) / 2 FROM t GROUP BY g")
+      .contains("duck_div(sum(x) FILTER (WHERE x > 0), 2)"))
+    // ...and extends the extent on the right
+    assert(Dialect.rewrite("SELECT n / sum(x) FILTER (WHERE x > 0) FROM t GROUP BY n")
+      .contains("duck_div(n, sum(x) FILTER (WHERE x > 0))"))
+    // FILTER + OVER combined: the windowed-FILTER pass (r18) lowers the
+    // filter to its CASE form first, then the whole window expression
+    // rides the division extent
+    assert(Dialect.rewrite(
+      "SELECT count(*) FILTER (WHERE x > 0) OVER (PARTITION BY g) / 2 FROM t")
+      .contains("duck_div(count(CASE WHEN (x > 0) THEN 1 END) OVER (PARTITION BY g), 2)"))
+    // a NAMED window reference (no WINDOW clause to inline) skips the
+    // operator — Spark's native `/`, never a mangled spec
+    val named = Dialect.rewrite("SELECT rank() OVER w / 2 FROM t")
+    assert(!named.contains("duck_div") && named.contains("OVER w / 2"))
+    // a WINDOW clause inlines first, then the whole expression rewrites
+    val inlined = Dialect.rewrite(
+      "SELECT sum(x) OVER w / 2 FROM t WINDOW w AS (PARTITION BY g)")
+    assert(inlined.contains("duck_div(sum(x) OVER (PARTITION BY g), 2)"))
+    // IN-lists are not operands: the operator is skipped, not mangled
+    val in = Dialect.rewrite("SELECT y IN (1,2) / 2 FROM t")
+    assert(!in.contains("duck_div") && in.contains("IN (1,2) / 2"))
+  }
+
+  test("windowed division evaluates with DuckDB semantics end to end") {
+    import spark.implicits._
+    Seq(("a", 1), ("a", 3), ("b", 2)).toDF("g", "x")
+      .createOrReplaceTempView("divspec_w")
+    val r = sql(
+      """SELECT g, x / sum(x) OVER (PARTITION BY g) AS ratio,
+        |  sum(x) OVER (PARTITION BY g) / 0 AS z
+        |FROM divspec_w ORDER BY g, x""".stripMargin).collect()
+    assert(r(0).getDouble(1) == 0.25 && r(1).getDouble(1) == 0.75 &&
+      r(2).getDouble(1) == 1.0)
+    assert(r.forall(_.isNullAt(2))) // windowed /0 → NULL, probed
+  }
+
+  test("guard exhaustion rejects loudly, never a silent semantic tail") {
+    val big = "SELECT " + (1 to 600).map(i => s"a$i / 2").mkString(", ") + " FROM t"
+    val r = Dialect.rewriteDiv(big)
+    assert(Dialect.rejectedKind(r).contains("ARITH_LIMIT"))
+    val bigMod = "SELECT " + (1 to 600).map(i => s"a$i % 2").mkString(", ") + " FROM t"
+    assert(Dialect.rejectedKind(Dialect.rewriteMod(bigMod)).contains("ARITH_LIMIT"))
   }
 
   test("alias over an integral base rounds through the execution-time recast") {

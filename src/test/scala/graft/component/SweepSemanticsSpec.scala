@@ -33,6 +33,16 @@ class SweepSemanticsSpec extends SparkSpec {
     assert(one("list_slice([3,1,2], 0, 2)").getSeq[Int](0) == Seq(3, 1))
     assert(one("list_slice([3,1,2], -2, -1)").getSeq[Int](0) == Seq(1, 2))
     assert(one("list_slice([3,1,2], 2, 99)").getSeq[Int](0) == Seq(1, 2))
+    // a negative begin that underflows the length clamps to position 1;
+    // a negative end may underflow to an empty slice (ADVICE r17, probed)
+    assert(one("list_slice([1,2,3], -5, 2)").getSeq[Int](0) == Seq(1, 2))
+    assert(one("array_slice('abcde', -10, 3)").getString(0) == "abc")
+    assert(one("list_slice([1,2,3], 1, -5)").getSeq[Int](0) == Seq())
+    assert(one("list_slice([1,2,3], -5, -4)").getSeq[Int](0) == Seq())
+    assert(one("array_slice('abcde', 2, -10)").getString(0) == "")
+    assert(one("array_slice('abcde', -10, -7)").getString(0) == "")
+    assert(one("list_slice([1,2,3], -1, -3)").getSeq[Int](0) == Seq())
+    assert(one("list_slice([1,2,3], 5, 7)").getSeq[Int](0) == Seq())
   }
 
   test("byte-measured string functions: strlen, levenshtein/editdist3, ord('') (probed)") {
@@ -169,11 +179,52 @@ class SweepSemanticsSpec extends SparkSpec {
     assert(one("century(INTERVAL 300 YEAR)").getLong(0) == 3L)
     assert(one("decade(INTERVAL 300 YEAR)").getLong(0) == 30L)
     assert(one("millennium(INTERVAL 2001 YEAR)").getLong(0) == 2L)
+    // negative intervals: C-style TRUNCATING arithmetic, sign of the
+    // dividend — never Pmod (r18, all probed v1.0)
+    assert(one("hour(TIMESTAMP '2020-01-01 00:00:00' - TIMESTAMP '2020-01-02 02:00:00')")
+      .getLong(0) == -2L)
+    assert(one("day(TIMESTAMP '2020-01-01 00:00:00' - TIMESTAMP '2020-01-02 02:00:00')")
+      .getLong(0) == -1L)
+    assert(one("hour(TIMESTAMP '2020-01-02 02:00:00' - TIMESTAMP '2020-01-01 00:00:00')")
+      .getLong(0) == 2L)
+    assert(one("minute(INTERVAL '-90' MINUTE)").getLong(0) == -30L)
+    assert(one("second(INTERVAL '-90' SECOND)").getLong(0) == -30L)
+    assert(one("microsecond(INTERVAL '-90.5' SECOND)").getLong(0) == -30500000L)
+    assert(one("millisecond(INTERVAL '-90.5' SECOND)").getLong(0) == -30500L)
+    assert(one("month(INTERVAL '-26' MONTH)").getLong(0) == -2L)
+    assert(one("year(INTERVAL '-26' MONTH)").getLong(0) == -2L)
+    // quarter of ANY month count: trunc((months % 12) / 3) + 1 — every
+    // negative month interval answers 1 (probed)
+    assert(one("quarter(INTERVAL '-26' MONTH)").getLong(0) == 1L)
+    assert(one("quarter(INTERVAL '-2' MONTH)").getLong(0) == 1L)
+    assert(one("quarter(INTERVAL '5' MONTH)").getLong(0) == 2L)
+    assert(one("century(INTERVAL '-300' YEAR)").getLong(0) == -3L)
+    assert(one("decade(INTERVAL '-300' YEAR)").getLong(0) == -30L)
+    assert(one("millennium(INTERVAL '-2001' YEAR)").getLong(0) == -2L)
     // the calendar fallbacks keep their probed values
     assert(one("century(DATE '2020-03-15')").getLong(0) == 21L)
     assert(one("decade(DATE '2020-03-15')").getLong(0) == 202L)
     assert(one("year(DATE '2020-03-15')").getInt(0) == 2020)
     assert(one("hour(TIMESTAMP '2020-03-15 13:45:30')").getInt(0) == 13)
+  }
+
+  test("shared-name rewrite skips DEFINITION sites (ADVICE r17)") {
+    // a CTE named after a shared function keeps its name...
+    val r = Dialect.rewrite("WITH median(v) AS (SELECT 1) SELECT v FROM median")
+    assert(!r.contains("duck_median"))
+    // ...including a chained definition after a comma
+    val r2 = Dialect.rewrite(
+      "WITH a(x) AS (SELECT 1), trim(v) AS (SELECT 2) SELECT * FROM trim")
+    assert(!r2.contains("duck_trim"))
+    // while genuine CALLS still rewrite, aliased or not
+    assert(Dialect.rewrite("SELECT median(v) AS m FROM t")
+      .contains("duck_median(v) AS m"))
+    assert(Dialect.rewrite(
+      "WITH c AS (SELECT year(d) AS y FROM t) SELECT * FROM c")
+      .contains("duck_year(d)"))
+    // and the function-named CTE actually runs end to end
+    assert(sql("WITH median(v) AS (SELECT 1 AS one) SELECT v FROM median")
+      .collect().head.getInt(0) == 1)
   }
 
   test("median over orderable non-numerics (probed, r17 aggregate sweep)") {
@@ -202,6 +253,14 @@ class SweepSemanticsSpec extends SparkSpec {
   test("BLOB/BYTEA spell Spark's BINARY; fractional interval constructors are exact (probed)") {
     assert(one("to_base64('ab'::BLOB)").getString(0) == "YWI=")
     assert(one("to_hex('ab'::BYTEA)").getString(0) == "6162")
+    // ...but ONLY in type positions (ADVICE r17): an identifier named
+    // blob keeps its name in queries; CAST and column-def DDL still map
+    assert(Dialect.rewrite("SELECT blob FROM t").contains("SELECT blob FROM"))
+    assert(Dialect.rewrite("SELECT a AS blob, b FROM t").contains("AS blob,"))
+    assert(Dialect.rewrite("SELECT CAST(x AS BLOB) FROM t").contains("AS BINARY)"))
+    assert(Dialect.rewrite("SELECT x::VARBINARY FROM t").contains("::BINARY"))
+    assert(Dialect.rewrite("CREATE TABLE tb (b BLOB, c BYTEA)")
+      .matches("(?s).*b BINARY.*c BINARY.*"))
     // to_milliseconds(2.5) is 2500 µs (the long cast truncated to 2000)
     assert(one("epoch_us(to_milliseconds(2.5))").getLong(0) == 2500L)
     assert(one("epoch_us(to_seconds(-0.5))").getLong(0) == -500000L)
