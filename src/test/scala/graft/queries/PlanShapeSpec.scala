@@ -120,4 +120,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(agg.collect().length == 2)
     TypeSql.reset()
   }
+
+  test("windowed FILTER lowers to ONE Window operator, one exchange (r18)") {
+    // the CASE lowering must not change the window plan shape: one
+    // partition exchange, one Window node, whole-stage codegen around it
+    val df = spark.sql(graft.component.Dialect.rewrite(
+      "SELECT l_orderkey, sum(l_quantity) FILTER (WHERE l_quantity > 10)" +
+        " OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS s" +
+        s" FROM parquet.`$sfd/lineitem.parquet`"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert("(?m)^\\s*[^\\n]*\\bWindow\\b".r.findAllIn(plan).length == 1,
+      s"expected ONE Window operator, plan:\n$plan")
+    assert("Exchange ((hash|range)partitioning|SinglePartition)".r
+      .findAllIn(plan).length == 1, s"expected ONE exchange, plan:\n$plan")
+    assert(!plan.toLowerCase.contains("filter predicate"), "native reject leaked")
+    assert(df.limit(5).collect().nonEmpty)
+  }
 }
