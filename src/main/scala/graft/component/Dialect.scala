@@ -568,11 +568,11 @@ object Dialect {
   def rewrite(stmt0: String): String = {
     val stmt = rewriteNullsLast(rewriteIntCasts(rewriteNoData(rewriteTupleSet(rewriteOrderedAgg(rewriteQualify(rewriteDistinctOn(rewriteWithCreate(
       Pivot.rewriteUnpivot(UnnestSql.rewrite(rewriteUsingSample(
-        rewriteSeriesTableFns(rewriteFill(rewriteMatchOps(
+        rewriteSeriesTableFns(rewriteFill(rewriteQuantified(rewriteGroupingId(rewriteMatchOps(
           StarReplaceSql.rewriteBareExclude(StarReplaceSql.rewriteLike(
           rewriteMod(rewriteDiv(rewriteIntDiv(rewritePow(rewriteWindowFilter(JsonArrows.rewrite(DotCall.rewrite(Brackets.rewrite(
           FileReads.rewriteTableFunctions(IntrospectSql.rewrite(
-            rewritePragma(WindowClauseSql.inline(Macros.rewrite(rewriteDollarStrings(stmt0))))))))))))))))))))))))))))))
+            rewritePragma(WindowClauseSql.inline(Macros.rewrite(rewriteDollarStrings(stmt0))))))))))))))))))))))))))))))))
     val out = new StringBuilder
     val plain = new StringBuilder // non-quoted text pending regex rewrites
     // all non-quoted, non-comment text seen so far — table-position
@@ -1209,6 +1209,112 @@ object Dialect {
     * TIMESTAMP keys onto one DOUBLE axis). Unsupported shapes — named
     * windows, multi-key ORDER BY, explicit frames, missing OVER — leave
     * the text whole for Spark's loud unresolved-function error. */
+  /** Multi-argument `GROUPING(a, b, ...)` (r18 clause sweep): DuckDB's
+    * GROUPING takes any number of grouped columns and returns the
+    * bitmask (leftmost = highest bit, probed v1.0); Spark spells that
+    * `grouping_id(a, b, ...)` and its `grouping()` is strictly unary —
+    * same convention, different name. Multi-arg calls route to
+    * grouping_id; unary stays native. `GROUPING SETS (...)` never
+    * matches (the regex requires `(` directly after the name). */
+  private[component] def rewriteGroupingId(stmt0: String): String = {
+    var stmt = stmt0
+    var guard = 0
+    var from = 0
+    while (guard < 128) {
+      guard += 1
+      val masked = maskQuoted(stmt)
+      val m = "(?i)\\bGROUPING\\s*\\(".r.findFirstMatchIn(
+        masked.substring(math.min(from, masked.length)))
+        .getOrElse(return stmt)
+      val nStart = from + m.start
+      val open = from + m.end - 1
+      val close = matchingParen(masked, open)
+      if (close < 0) return stmt
+      var commas = 0
+      var d = 0
+      var i = open + 1
+      while (i < close) {
+        val c = masked.charAt(i)
+        if (c == '(') d += 1 else if (c == ')') d -= 1
+        else if (c == ',' && d == 0) commas += 1
+        i += 1
+      }
+      if (commas > 0) {
+        stmt = stmt.substring(0, nStart) + "grouping_id" +
+          stmt.substring(nStart + "grouping".length)
+        from = nStart + "grouping_id".length
+      } else from = close + 1
+    }
+    stmt
+  }
+
+  /** Quantified comparisons over subqueries — `x op ANY|SOME|ALL
+    * (SELECT ...)` — which Spark's grammar lacks entirely (parse error)
+    * while DuckDB runs the full standard three-valued semantics (all
+    * probed v1.0: `3 = ANY` over a NULL-carrying set is NULL, `5 > ALL`
+    * likewise, `1 > ALL (empty)` is TRUE vacuously, `1 > ANY (empty)`
+    * FALSE). `= ANY/SOME` is exactly `IN` and `<> ALL` exactly `NOT IN`
+    * (identical three-valued truth tables — and the projection-context
+    * nullability of those is owned by NullFaithfulInRule); every other
+    * operator lowers to the standard CASE over two EXISTS probes:
+    * definite witness → true/false, else any UNKNOWN comparison → NULL,
+    * else the vacuous value. The subquery must start with
+    * SELECT/WITH/VALUES — DuckDB's array form `= ANY(array_col)` has no
+    * subquery and stays untouched (loud). Operand extent is the
+    * comparison-level left chain (the match-ops scanner). */
+  private[component] def rewriteQuantified(stmt0: String): String = {
+    var stmt = stmt0
+    var guard = 0
+    var from = 0
+    while (guard < 64) {
+      guard += 1
+      val masked = maskQuoted(stmt)
+      val m = "(?i)\\b(ANY|SOME|ALL)\\s*\\(".r.findFirstMatchIn(
+        masked.substring(math.min(from, masked.length)))
+        .getOrElse(return stmt)
+      val qStart = from + m.start
+      val quant = m.group(1).toLowerCase
+      val open = from + m.end - 1
+      val close = matchingParen(masked, open)
+      var advance = close + 1
+      var done = false
+      if (close < 0) return stmt
+      // the comparison operator directly before the quantifier
+      var j = qStart - 1
+      while (j >= 0 && stmt.charAt(j).isWhitespace) j -= 1
+      val opEnd = j + 1
+      while (j >= 0 && "=!<>".indexOf(stmt.charAt(j)) >= 0) j -= 1
+      val op = stmt.substring(j + 1, opEnd)
+      val sub = stmt.substring(open + 1, close).trim
+      val isQuery =
+        "(?is)^\\s*(SELECT|WITH|VALUES)\\b".r.findFirstIn(sub).isDefined
+      if (Set("=", "!=", "<>", "<", "<=", ">", ">=").contains(op) && isQuery) {
+        intDivLeftStart(stmt, masked, j + 1, additive = true) match {
+          case Some(ls) =>
+            val left = stmt.substring(ls, j + 1).trim
+            val cmp = s"(($left) $op __qv)"
+            val src = s"(SELECT 1 FROM ($sub) __qa(__qv) WHERE"
+            val rebuilt =
+              if (op == "=" && quant != "all") s"$left IN ($sub)"
+              else if ((op == "<>" || op == "!=") && quant == "all")
+                s"$left NOT IN ($sub)"
+              else if (quant == "all")
+                s"CASE WHEN EXISTS $src NOT $cmp) THEN false " +
+                  s"WHEN EXISTS $src ($cmp) IS NULL) THEN NULL ELSE true END"
+              else
+                s"CASE WHEN EXISTS $src $cmp) THEN true " +
+                  s"WHEN EXISTS $src ($cmp) IS NULL) THEN NULL ELSE false END"
+            stmt = stmt.substring(0, ls) + rebuilt + stmt.substring(close + 1)
+            from = 0 // rescan: the rebuilt text shifts every offset
+            done = true
+          case None => // unparsable left extent: leave loudly for Spark
+        }
+      }
+      if (!done) from = advance
+    }
+    stmt
+  }
+
   /** WINDOWED aggregate FILTER (r18 window sweep): DuckDB runs
     * `sum(x) FILTER (WHERE c) OVER (spec)` but Spark's planner rejects
     * a window aggregate with a filter predicate outright ("not

@@ -63,6 +63,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectResolutionRule(_ => GraftExtensions.DuckDateSubRule)
     ext.injectResolutionRule(_ => GraftExtensions.DuckEnumRule)
+    ext.injectResolutionRule(_ => GraftExtensions.DuckNullCondRule)
+    // post-hoc (the batch runs ONCE): the rewrite re-embeds the original
+    // InSubquery inside its null-faithful CASE form, so a fixed-point
+    // resolution batch would re-match it forever
+    ext.injectPostHocResolutionRule(_ => GraftExtensions.NullFaithfulInRule)
   }
 }
 
@@ -264,6 +269,113 @@ object GraftExtensions {
     * any real corpus, so the trade is strictly right at scale. */
   val ExcludedOptimizerRules: String =
     "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+  /** Bare-NULL boolean conditions (r18 clause sweep): DuckDB treats a
+    * NULL condition as not-true everywhere — `CASE WHEN NULL THEN 'y'
+    * ELSE 'n' END` = 'n', `WHERE NULL` filters all rows (probed v1.0) —
+    * while Spark's analyzer REJECTS the untyped NullType condition
+    * (UNEXPECTED_INPUT_TYPE). Cast NullType conditions to BOOLEAN in
+    * CASE/IF branches and Filter conditions; after the cast the type is
+    * BOOLEAN, so the fixed-point batch cannot re-match. Typed boolean
+    * NULLs (nullable columns, nullif(bool, bool)) already analyze
+    * natively in both engines. */
+  object DuckNullCondRule
+      extends org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions.{CaseWhen, Cast, If}
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+    import org.apache.spark.sql.types.{BooleanType, NullType}
+
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      val fixed = plan transform {
+        case f: Filter if f.condition.resolved &&
+            f.condition.dataType == NullType =>
+          f.copy(condition = Cast(f.condition, BooleanType))
+      }
+      fixed.transformAllExpressions {
+        case cw: CaseWhen if cw.branches.exists(b =>
+            b._1.resolved && b._1.dataType == NullType) =>
+          cw.copy(branches = cw.branches.map { case (c, v) =>
+            (if (c.resolved && c.dataType == NullType)
+              Cast(c, BooleanType) else c, v)
+          })
+        case i: If if i.predicate.resolved &&
+            i.predicate.dataType == NullType =>
+          i.copy(predicate = Cast(i.predicate, BooleanType))
+      }
+    }
+  }
+
+  /** NULL-FAITHFUL `IN (subquery)` outside filter positions (r18 clause
+    * sweep): Spark plans a projection-context InSubquery as an
+    * ExistenceJoin whose output is a non-nullable boolean, so
+    * `SELECT 3 IN (SELECT v FROM m)` over an m containing NULL answers
+    * FALSE where the standard (and DuckDB, probed v1.0) answers NULL —
+    * and `NOT (x IN ...)` then answers TRUE where it must stay NULL. A
+    * SILENT divergence wherever null-vs-false is observable.
+    *
+    * The rewrite (single-value, nullable-relevant IN only):
+    * {{{ CASE WHEN x IN (sub) THEN true
+    *          WHEN x IS NULL OR (SELECT max(v IS NULL) FROM sub) THEN NULL
+    *          ELSE false END }}}
+    * (the max() scalar is coalesced to false so an EMPTY sub still
+    * answers false, the probed value). Filter and Join conditions keep
+    * the native planning at NULL-INSENSITIVE positions — conjuncts and
+    * disjuncts reachable through AND/OR, where null and false filter
+    * identically and Spark's null-aware semi/anti joins own the
+    * semantics — but positions under NOT/CASE/functions inside a
+    * condition observe the difference and rewrite like projections.
+    * Non-nullable value over a non-nullable subquery column skips
+    * entirely: the common key-lookup plans stay untouched. */
+  object NullFaithfulInRule
+      extends org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Max}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan}
+    import org.apache.spark.sql.types.BooleanType
+
+    private def nullFaithful(in: InSubquery): Expression = {
+      val v = in.values.head
+      val lq = in.query
+      val col = lq.plan.output.head
+      val hasNull = ScalarSubquery(
+        Aggregate(Nil,
+          Seq(Alias(AggregateExpression(
+            Max(IsNull(col)), Complete, isDistinct = false), "__ge_hasnull")()),
+          lq.plan))
+      If(in, Literal(true),
+        If(Or(IsNull(v), Coalesce(Seq(hasNull, Literal(false)))),
+          Literal.create(null, BooleanType), Literal(false)))
+    }
+
+    private def relevant(in: InSubquery): Boolean =
+      in.resolved && in.values.length == 1 &&
+        (in.values.head.nullable || in.query.plan.output.head.nullable)
+
+    private def rewriteExpr(e: Expression): Expression = e.transformUp {
+      case in: InSubquery if relevant(in) => nullFaithful(in)
+    }
+
+    /** Filter/Join condition: AND/OR spine positions are null-insensitive
+      * (keep native semi/anti planning); anything deeper observes
+      * null-vs-false and rewrites. A bare [NOT] IN conjunct stays native
+      * — Spark's null-aware anti join IS the standard NOT IN. */
+    private def rewriteCond(e: Expression): Expression = e match {
+      case And(l, r) => And(rewriteCond(l), rewriteCond(r))
+      case Or(l, r) => Or(rewriteCond(l), rewriteCond(r))
+      case in: InSubquery => in
+      case n @ Not(_: InSubquery) => n
+      case other => rewriteExpr(other)
+    }
+
+    override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+      case f: Filter => f.copy(condition = rewriteCond(f.condition))
+      case j: Join if j.condition.isDefined =>
+        j.copy(condition = j.condition.map(rewriteCond))
+      case op => op.mapExpressions(rewriteExpr)
+    }
+  }
 
   /** Register on an already-running session (extensions only bind at
     * session construction). */
