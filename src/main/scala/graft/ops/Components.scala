@@ -41,13 +41,16 @@ object Components {
         col(aCol).cast("long").as("dst")))
       .localCheckpoint() // mined pairs must not be recomputed per round
     // round 1 fused into initialization: with identity starting labels the
-    // first step is just min(self, neighbors) — one aggregation over und,
-    // no separate node-distinct relation or its checkpoint
+    // first step is just min(self, neighbors) — one aggregation over und.
+    // NOT checkpointed (r18): it executes exactly once, inside round 1's
+    // materialization — its lineage is one aggregate over the checkpointed
+    // und, and round 1's own checkpoint truncates it. The eager checkpoint
+    // here was one whole driver job spent snapshotting a relation the next
+    // job would have computed in-line anyway.
     var labels: DataFrame = und.groupBy("src")
       .agg(min("dst").as("__mind"))
       .select(col("src").as("id"),
         least(col("src"), col("__mind")).as("label"))
-      .localCheckpoint()
     // One hash-to-min step: each node takes the min label among itself and
     // its neighbors. The self row carries the previous label through the
     // same union + min-agg, so every output row has BOTH the new and the
@@ -62,17 +65,27 @@ object Components {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // two steps per checkpoint+probe: a checkpoint and a convergence
-      // probe are one driver job each, which dominates a round on small
-      // graphs — lineage depth 2 is still flat, and the probe's "prev" is
-      // the label one step back, so convergence (no change across the
-      // LAST step) is detected one step late at worst, never wrongly.
-      val stepped = step(step(labels)).localCheckpoint()
-      converged = stepped.filter(col("label") < col("prev")).limit(1).count() == 0L
+      // One step per round, and the convergence probe IS the
+      // materialization job (r18 — measured on the bench box: each extra
+      // driver action costs the ~0.1 s scheduling floor, which dominates a
+      // round on small graphs). The checkpoint is LAZY: the full-scan
+      // count() computes every partition, which caches them and truncates
+      // lineage exactly like the old eager checkpoint + separate
+      // limit-probe pair, in ONE job instead of two. One step per probe
+      // (was two) is strictly correct — a labeling unchanged by one full
+      // step satisfies label(v) ≤ label(u) on every edge in both
+      // directions, i.e. labels are constant per component and the
+      // component minimum keeps itself — and near-dup graphs (tiny
+      // diameter, mostly pair/triangle clusters) converge in 1-2 steps,
+      // so probing every step exits the loop with half the join/agg
+      // rounds. maxIter still bounds total STEPS (the old loop counted
+      // iter += 2 per double-step round).
+      val stepped = step(labels).localCheckpoint(eager = false)
+      converged = stepped.filter(col("label") < col("prev")).count() == 0L
       labels = stepped.select("id", "label")
-      iter += 2
+      iter += 1
     }
-    labels
+    labels.select("id", "label")
   }
 
   /** Connected components by alternating large-star / small-star

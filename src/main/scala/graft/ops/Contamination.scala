@@ -84,6 +84,12 @@ object Contamination {
     def winnowed(c: org.apache.spark.sql.Column) =
       if (portable) TextExprs.winnowPortable(c, k, window)
       else TextExprs.winnow(c, k, window)
+    // r18 measured dead end: widening the spread gate to 256 KiB (the d07
+    // constant, so the winnow pass parallelizes at sf0.1) regressed d08
+    // warm 0.90 → 1.29 s on a sentinel-clean window — the per-side
+    // exchange cost more than the 264 ms two-task winnow stage it
+    // removed. The default 4 MiB gate stands (the recorded Shingles
+    // sf0.1 A/B, reproduced).
     def fps(df: DataFrame, side: Int) = ScaleOps.spread(df)
       .select(col(idCol).as("id"), lit(side).as("side"),
         explode(winnowed(col(textCol))).as("fp"))

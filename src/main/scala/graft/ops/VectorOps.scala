@@ -110,9 +110,15 @@ object VectorOps {
     val a = v.select(col(idCol).as("a_id"), col(vecCol).as("va"), col("_norm").as("na"))
       .repartition(par) // stream side of the nested-loop join: use all cores
     val b = v.select(col(idCol).as("b_id"), col(vecCol).as("vb"), col("_norm").as("nb"))
-    a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cos", cosineFromParts(dot(col("va"), col("vb")), col("na"), col("nb")))
-      .filter(col("cos") >= threshold)
+    // Both predicates INLINE in the join condition, id test FIRST (r18):
+    // written as a filter above the join, pushdown fused it into the BNLJ
+    // condition as (cosine AND a<b) — the 64-float dot product ran for all
+    // n² ordered pairs and the 1-comparison id test second. And() evaluates
+    // left-to-right with short-circuit, so this order halves the dot
+    // products (plan-pinned in PlanShapeSpec; same predicate set, so the
+    // result relation is identical).
+    a.join(b, col("a_id") < col("b_id") &&
+        cosineFromParts(dot(col("va"), col("vb")), col("na"), col("nb")) >= threshold)
       .select("a_id", "b_id")
   }
 

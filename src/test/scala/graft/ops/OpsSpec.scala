@@ -361,6 +361,19 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("hash-to-min converges over multi-round chains (r18 fused-probe loop)") {
+    // A 12-node chain has diameter 11: the fused materialize+probe loop
+    // (one step per round, lazy checkpoint scanned by the probe count)
+    // must iterate several rounds before the no-change probe fires, and
+    // every node must still label to the component minimum 0. Exercises
+    // the multi-round path the tiny near-dup graphs (1-round convergence)
+    // never reach.
+    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = Components.connected(chain, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 12 && labels.values.forall(_ == 0L))
+  }
+
   test("cluster sizes count component members once each") {
     // path 1-2-3 plus pair 10-11: clusters {1,2,3} and {10,11}
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")

@@ -136,4 +136,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("filter predicate"), "native reject leaked")
     assert(df.limit(5).collect().nonEmpty)
   }
+
+  test("d06 exact cosine: id test precedes the dot product in the BNLJ condition (r18)") {
+    // cosinePairs writes both predicates inline, a_id < b_id FIRST: And()
+    // short-circuits left-to-right, so the 64-float dot product runs only
+    // for the n(n−1)/2 ordered pairs, not all n². A pushed-down filter
+    // formulation re-combined them cosine-first (measured: the whole n²
+    // paid the dot). This pin fails if the condition order regresses.
+    val plan = graft.SparkEntry.queries("d06_embedding_dup")(spark, sfd)
+      .queryExecution.executedPlan.toString
+    val cond = "BroadcastNestedLoopJoin[^\\n]*".r.findFirstIn(plan)
+      .getOrElse(fail(s"no BNLJ in d06 plan:\n$plan"))
+    val idTest = cond.indexOf("a_id")
+    val dotCall = cond.indexOf("dot_f32")
+    assert(idTest >= 0 && dotCall >= 0 && idTest < dotCall,
+      s"expected (a_id < b_id) before dot_f32 in: $cond")
+  }
 }
