@@ -104,8 +104,12 @@ object DedupQ {
     //    reuse, so an uncached input would run the simhash scan twice.
     //    The xxhash64 fast path stays the library default.
     "d05_simhash" -> ((s, d) => {
+      // LAZY checkpoint (r18): nearPairs' hot-bucket audit collect is the
+      // first consumer and scans every fps partition, so it materializes
+      // the checkpoint in its own job — the eager variant spent one extra
+      // driver action snapshotting first (the Components round lesson).
       val fps = SimHash.fingerprintsPortable(T.documents(s, d), "doc_id", "text")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       SimHash.nearPairs(fps, "doc_id", maxDist = 16) // no sort: compare canon-sorts
     }),
 
@@ -115,9 +119,14 @@ object DedupQ {
     //    cut). Quadratic by definition — the correctness oracle for d06b,
     //    the way s01 is for s02/s04. At cosine 0.4 (θ≈66°) no sub-quadratic
     //    method holds recall 1.0, so the exact pass IS the right tool here.
+    //    No trailing ORDER BY (r18, the d03 precedent — compare
+    //    canon-sorts): the range exchange's boundary sampling re-executed
+    //    the ENTIRE quadratic BNLJ a second time (no shuffle boundary
+    //    between the scan and the sort, so the sampling job replays all
+    //    n²/2 dot products just to pick 32 split points for ≤ a few
+    //    thousand output rows).
     "d06_embedding_dup" -> ((s, d) =>
-      VectorOps.cosinePairs(T.embeddings(s, d), "vec_id", "embedding", 0.4)
-        .orderBy("a_id", "b_id")),
+      VectorOps.cosinePairs(T.embeddings(s, d), "vec_id", "embedding", 0.4)),
 
     // -- embedding near-dup via the scale path: LSH bucket candidates +
     //    exact cosine confirm (VectorOps.nearDuplicates — equi-join on
@@ -129,9 +138,11 @@ object DedupQ {
     "d06b_embedding_dup_lsh" -> ((s, d) => {
       val e = T.embeddings(s, d).select("vec_id", "embedding")
       val planted = e.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      // no trailing ORDER BY (r18, d03 precedent): the boundary sampling
+      // re-executed the vector join-back + cosine verify above the last
+      // shuffle stage once more per run
       VectorOps.nearDuplicates(e.unionAll(planted), "vec_id", "embedding",
           threshold = 0.95)
-        .orderBy("a_id", "b_id")
     }),
 
     // -- winnowing fingerprints: docs sharing any window+k-1 byte

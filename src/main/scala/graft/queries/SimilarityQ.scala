@@ -13,9 +13,12 @@ object SimilarityQ {
     // -- brute-force top-5 cosine neighbors for query vectors vec_id < 20.
     "s01_knn_brute" -> ((s, d) => {
       val emb = T.embeddings(s, d)
+      // no trailing ORDER BY (r18, the d03 canon-sort precedent): the
+      // range exchange's boundary sampling re-executed the window top-k
+      // (a full sort of the scored relation) once more per run, to pick
+      // split points for a ~100-row output
       VectorOps.knnBrute(
           emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding", k = 5)
-        .orderBy("qid", "rk")
     }),
 
     // -- LSH-bucketed ANN for the same queries (rows-only check).
@@ -24,8 +27,7 @@ object SimilarityQ {
       VectorOps.knnLsh(
           emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
           k = 5, tables = 8, bits = 10)
-        .select("qid", "nid", "rk")
-        .orderBy("qid", "rk")
+        .select("qid", "nid", "rk") // no tail sort: canon-sort precedent (r18)
     }),
 
     // -- IVF ANN for the same queries (rows-only check; recall pinned in
@@ -35,8 +37,7 @@ object SimilarityQ {
       VectorOps.knnIvf(
           emb.filter(col("vec_id") < 20), emb, "vec_id", "embedding",
           k = 5, lists = 16, nprobe = 4)
-        .select("qid", "nid", "rk")
-        .orderBy("qid", "rk")
+        .select("qid", "nid", "rk") // no tail sort: canon-sort precedent (r18)
     }),
 
     // -- int8-quantized kNN for the same queries: 4× smaller vectors,
@@ -53,7 +54,7 @@ object SimilarityQ {
       VectorOps.rerankExact(
           VectorOps.knnQuantized(q, emb, "vec_id", "embedding", k = 25),
           q, emb, "vec_id", "embedding", k = 5)
-        .orderBy("qid", "rk")
+      // no tail sort: canon-sort precedent (r18)
     }),
 
     // -- kNN in a 16-dim Rademacher projection of the 64-dim embeddings

@@ -596,8 +596,11 @@ object TextQ {
       val ph = graft.ops.Multimodal.perceptualHashes(
           graft.ops.Multimodal.mediaFromDocuments(T.documents(s, d)))
         .withColumnRenamed("phash", "simhash")
-        .localCheckpoint() // nearPairs' strict-width exchanges defeat
-                           // reuse; hashes are the corpus asset anyway
+        // LAZY (r18): nearPairs' hot-bucket collect scans ph first and
+        // materializes the checkpoint in-job (the d05 pattern)
+        .localCheckpoint(eager = false) // nearPairs' strict-width exchanges
+                                        // defeat reuse; hashes are the
+                                        // corpus asset anyway
       val dups = graft.ops.SimHash.nearPairs(ph, "media_id", maxDist = 6)
         .groupBy(col("b_id").as("media_id"))
         .agg(min(col("a_id")).as("dup_of"))
@@ -835,7 +838,10 @@ object TextQ {
           T.documents(s, d).select(col("doc_id"), col("text"),
             (col("doc_id") % 10 === 0).as("is_t")))
         .drop("text")
-        .localCheckpoint()
+        // LAZY (r18): fitFeatures' B-row collect scans every feats
+        // partition first, materializing the checkpoint inside the job
+        // that needs it — the eager snapshot was one extra driver action
+        .localCheckpoint(eager = false)
       val weights = graft.ops.Dsir.fitFeatures(feats, col("is_t"))
       val scored = graft.ops.Dsir
         .scoreFeatures(feats.filter(!col("is_t")), weights)
