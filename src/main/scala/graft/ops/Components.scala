@@ -81,7 +81,23 @@ object Components {
       // rounds. maxIter still bounds total STEPS (the old loop counted
       // iter += 2 per double-step round).
       val stepped = step(labels).localCheckpoint(eager = false)
-      converged = stepped.filter(col("label") < col("prev")).count() == 0L
+      // The probe is an RDD-level fold over the checkpointed internal rows
+      // (schema (id, label, prev), ordinals 0/1/2): ONE single-stage job —
+      // a DataFrame count() would plan a partial/final aggregate with its
+      // own exchange round on every loop round. Computing the scan is what
+      // materializes the lazy checkpoint (and truncates lineage at job
+      // end). A null prev cannot occur (every node has a self row in ls),
+      // but counts as changed defensively — worst case one extra round,
+      // never a wrong early exit.
+      val changed = stepped.queryExecution.toRdd.mapPartitions { it =>
+        var c = 0L
+        while (it.hasNext) {
+          val r = it.next()
+          if (r.isNullAt(2) || r.getLong(1) < r.getLong(2)) c += 1
+        }
+        Iterator.single(c)
+      }.fold(0L)(_ + _)
+      converged = changed == 0L
       labels = stepped.select("id", "label")
       iter += 1
     }
