@@ -35,11 +35,73 @@ object Components {
     * appear; callers wanting them can union the node universe in. */
   def connected(edges: DataFrame, aCol: String, bCol: String,
                 maxIter: Int = 50): DataFrame = {
-    val und = edges
+    // Checkpoint the DIRECTED edge list, not the doubled union (r18): the
+    // union's two branches each re-planned the upstream pair-mining
+    // pipeline, so the old checkpoint ran the mining aggregate TWICE
+    // (ReuseExchange dedupes the shuffle, not the post-shuffle stages —
+    // profiled as two full-width stages per run), and the checkpointed
+    // union carried 2× the mining plan's partitions of near-empty edge
+    // rows that EVERY round's join/agg re-scanned at full task width.
+    // Mining runs once here; its AQE-coalesced output width (bytes-based,
+    // scale-adaptive) becomes the loop's width, so small graphs iterate
+    // on a handful of tasks and 100 TB graphs keep data-sized partitions.
+    val spark = edges.sparkSession
+    val dir = edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .unionAll(edges.select(col(bCol).cast("long").as("src"),
-        col(aCol).cast("long").as("dst")))
       .localCheckpoint() // mined pairs must not be recomputed per round
+    // Small-graph fast path (r18, the Percentiles.exactCont small-input
+    // gate applied to graphs): near-dup graphs at bench/test scale are a
+    // few hundred edges, yet every distributed round costs join + agg +
+    // checkpoint + probe driver actions (~0.1 s scheduling floor each).
+    // Two bounded jobs over the CACHED internal rows decide and feed the
+    // path: a per-partition count (P longs to the driver — bounded at any
+    // scale) and, only when the total fits (≤ maxLocalEdges,
+    // conf-overridable), one collect of the ≤ maxLocalEdges (src, dst)
+    // longs. A driver union-find then labels the graph in microseconds
+    // with zero further jobs. Unions always point the larger root at the
+    // smaller, so find() yields the component-minimum id — bit-identical
+    // to the iterative fixpoint's label contract; over the gate (or if
+    // any edge carries a NULL id — out of the dedup contract, but the
+    // loop's join semantics then differ from a naive skip), the
+    // distributed hash-to-min loop below runs unchanged.
+    val maxLocal = spark.conf.getOption("graft.components.maxLocalEdges")
+      .map(_.toLong).getOrElse(1L << 19)
+    val dirRows = org.apache.spark.sql.GraftSqlBridge.toRdd(dir)
+    val partStats: Array[(Long, Boolean)] = spark.sparkContext.runJob(dirRows,
+      (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+        var c = 0L; var hasNull = false
+        while (it.hasNext) { val r = it.next(); c += 1
+          if (r.isNullAt(0) || r.isNullAt(1)) hasNull = true }
+        (c, hasNull)
+      })
+    if (partStats.map(_._1).sum <= maxLocal && !partStats.exists(_._2)) {
+      val local: Array[(Long, Long)] = dirRows
+        .mapPartitions(it => it.map(r => (r.getLong(0), r.getLong(1))))
+        .collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
+        r
+      }
+      local.foreach { case (a, b) =>
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size)
+      parent.keySet.forEach { id => rows.add(org.apache.spark.sql.Row(id, find(id))) }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.LongType, nullable = false)))
+      return spark.createDataFrame(rows, schema)
+    }
+    // doubling is a cheap map over the cached partitions — recomputing it
+    // per round costs nothing and avoids a second checkpoint action
+    val und = dir.unionAll(dir.select(col("dst").as("src"), col("src").as("dst")))
     // round 1 fused into initialization: with identity starting labels the
     // first step is just min(self, neighbors) — one aggregation over und.
     // NOT checkpointed (r18): it executes exactly once, inside round 1's
@@ -170,9 +232,33 @@ object Components {
     * (id, cluster_id = min id in component, cluster_size) — the size is a
     * window count over one label-keyed exchange (no separate aggregate +
     * join-back; label groups are component-sized, trivially buffered). */
-  def clusters(edges: DataFrame, aCol: String, bCol: String): DataFrame =
-    connected(edges, aCol, bCol)
-      .withColumn("cluster_size", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("label")))
-      .select(col("id"), col("label").as("cluster_id"), col("cluster_size"))
+  def clusters(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val labels = connected(edges, aCol, bCol)
+    labels.queryExecution.logical match {
+      // r18: the small-graph path returns a LocalRelation already on the
+      // driver — counting label multiplicities there costs microseconds,
+      // where the window below plans an exchange + sort job over a
+      // relation the driver just built. Over the gate, unchanged.
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        val spark = edges.sparkSession
+        val sizes = scala.collection.mutable.HashMap.empty[Long, Long]
+        lr.data.foreach { r =>
+          val l = r.getLong(1); sizes.update(l, sizes.getOrElse(l, 0L) + 1L) }
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row](lr.data.size)
+        lr.data.foreach { r =>
+          rows.add(org.apache.spark.sql.Row(r.getLong(0), r.getLong(1),
+            sizes(r.getLong(1))))
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("cluster_size", org.apache.spark.sql.types.LongType, nullable = false)))
+        spark.createDataFrame(rows, schema)
+      case _ =>
+        labels
+          .withColumn("cluster_size", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("label")))
+          .select(col("id"), col("label").as("cluster_id"), col("cluster_size"))
+    }
+  }
 }

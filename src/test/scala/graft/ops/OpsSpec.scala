@@ -367,11 +367,37 @@ class OpsSpec extends SparkSpec {
     // must iterate several rounds before the no-change probe fires, and
     // every node must still label to the component minimum 0. Exercises
     // the multi-round path the tiny near-dup graphs (1-round convergence)
-    // never reach.
-    val chain = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
-    val labels = Components.connected(chain, "a", "b")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels.size == 12 && labels.values.forall(_ == 0L))
+    // never reach. maxLocalEdges=0 forces past the r18 small-graph gate —
+    // without it every test-sized graph would take the union-find path.
+    spark.conf.set("graft.components.maxLocalEdges", "0")
+    try {
+      val chain = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+      val labels = Components.connected(chain, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.size == 12 && labels.values.forall(_ == 0L))
+    } finally spark.conf.unset("graft.components.maxLocalEdges")
+  }
+
+  test("small-graph union-find path matches the distributed loop (r18 gate)") {
+    // The r18 size gate: ≤ maxLocalEdges edges are collected (bounded
+    // limit(N+1)) and labeled by driver union-find. Both paths must
+    // produce the identical (id, min-id-in-component) relation on random
+    // graphs — including multi-component ones with chains.
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 3) {
+      val n = 40
+      val edges = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val df = edges.toDF("a", "b")
+      val small = Components.connected(df, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.conf.set("graft.components.maxLocalEdges", "0")
+      val dist =
+        try Components.connected(df, "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        finally spark.conf.unset("graft.components.maxLocalEdges")
+      assert(small == dist, s"trial $trial")
+    }
   }
 
   test("cluster sizes count component members once each") {
