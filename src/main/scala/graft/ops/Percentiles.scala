@@ -82,12 +82,14 @@ object Percentiles {
       .repartitionByRange(nPart, col("g"), col("v"))
       .sortWithinPartitions("g", "v")
     // built ONCE: both jobs below derive from this RDD, so the second job
-    // finds the shuffle map outputs registered and skips the map stage
-    val rdd = sorted.rdd
+    // finds the shuffle map outputs registered and skips the map stage.
+    // INTERNAL rows in both passes (r18, the Positional/Ranking diet):
+    // df.rdd paid a per-row external decode just to read (g, v).
+    val rdd = org.apache.spark.sql.GraftSqlBridge.toRdd(sorted)
 
     // pass 1: per-(partition, group) NON-NULL row counts (groups are
     // contiguous); groups whose rows are all NULL appear with count 0
-    val countsOpt = TwoPhase.groupCountsCapped(rdd, gIdx = 0, maxGroups,
+    val countsOpt = TwoPhase.groupCountsCapped(rdd, gIdx = 0, gType, maxGroups,
       weight = r => if (r.isNullAt(1)) 0L else 1L)
     if (countsOpt.isEmpty) {
       // High-cardinality fallback: Spark's own percentile aggregate — its
@@ -122,9 +124,11 @@ object Percentiles {
         var base = 0L
         var want: Set[Long] = Set.empty
         it.flatMap { r =>
-          val g = r.get(0)
+          val g = r.get(0, gType)
           if (curG == TwoPhase.Unset || g != curG) {
-            curG = g; local = -1L
+            // copy: the operator reuses the row buffer under a held key
+            curG = org.apache.spark.sql.catalyst.InternalRow.copyValue(g)
+            local = -1L
             base = off.getOrElse((pid, g), 0L)
             want = need.getOrElse(g, Set.empty)
           }
@@ -132,7 +136,7 @@ object Percentiles {
           else {
             local += 1
             val rank = base + local
-            if (want.contains(rank)) Some((g, rank, r.getDouble(1))) else None
+            if (want.contains(rank)) Some((curG, rank, r.getDouble(1))) else None
           }
         }
       }.collect()
@@ -144,9 +148,14 @@ object Percentiles {
     val outSchema = StructType(
       StructField(groupCol, groupField.dataType, groupField.nullable) +:
         fractions.map { case (_, name) => StructField(name, DoubleType, nullable = true) })
-    // one output row per observed group; all-NULL groups yield NULLs
+    // one output row per observed group; all-NULL groups yield NULLs.
+    // group keys travelled as INTERNAL values (UTF8String, Decimal, days
+    // int) — convert back to external once, for this ≤ maxGroups-row
+    // driver-local result
+    val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(gType)
     val rows = totals.toSeq.map { case (g, n) =>
-      if (n == 0L) Row.fromSeq(g +: fractions.map(_ => null))
+      if (n == 0L) Row.fromSeq(toScala(g) +: fractions.map(_ => null))
       else {
         val ranks = byGroup(g)
         val vals = fractions.map { case (p, _) =>
@@ -155,7 +164,7 @@ object Percentiles {
           val hi = ranks(math.ceil(h).toLong)
           lo + (h - math.floor(h)) * (hi - lo) // percentile_cont interpolation
         }
-        Row.fromSeq(g +: vals)
+        Row.fromSeq(toScala(g) +: vals)
       }
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), outSchema)

@@ -62,9 +62,13 @@ object Ranking {
       .repartitionByRange(nPart, sortKeys: _*)
       .sortWithinPartitions(sortKeys: _*)
     val gIdx = df.schema.fieldIndex(groupCol)
-    val rdd = sorted.rdd // one lineage: pass 2 reuses pass 1's shuffle
+    // one lineage: pass 2 reuses pass 1's shuffle. INTERNAL rows end to
+    // end (r18): df.rdd deserialized every column of every row to java
+    // objects in BOTH passes, and createDataFrame re-encoded them — the
+    // Positional diet applied here (row count × width per-row cost gone).
+    val rdd = org.apache.spark.sql.GraftSqlBridge.toRdd(sorted)
 
-    val countsOpt = TwoPhase.groupCountsCapped(rdd, gIdx, maxGroups)
+    val countsOpt = TwoPhase.groupCountsCapped(rdd, gIdx, gType, maxGroups)
     if (countsOpt.isEmpty) {
       // high-cardinality fallback: per-group window, hash-clustered on g
       val w = org.apache.spark.sql.expressions.Window
@@ -80,7 +84,6 @@ object Ranking {
     val outSchema = StructType(df.schema.fields ++
       Seq(StructField(rnName, LongType, nullable = false),
         StructField(nName, LongType, nullable = false)))
-    val width = df.schema.size
     val outRows = rdd.mapPartitionsWithIndex { (pid, it) =>
       val off = bcOffsets.value
       val tot = bcTotals.value
@@ -89,23 +92,24 @@ object Ranking {
       var base = 0L
       var n = 0L
       it.map { r =>
-        val g = r.get(gIdx)
+        val g = r.get(gIdx, gType)
         if (curG == TwoPhase.Unset || g != curG) {
-          curG = g
+          // copy: the operator reuses the row buffer, so a held UTF8String
+          // group key would mutate under the comparison on the next row
+          curG = org.apache.spark.sql.catalyst.InternalRow.copyValue(g)
           local = 0L
           base = off.getOrElse((pid, g), 0L)
           n = tot.getOrElse(g, 0L)
         }
         local += 1
-        val out = new Array[Any](width + 2)
-        var i = 0
-        while (i < width) { out(i) = r.get(i); i += 1 }
-        out(width) = base + local
-        out(width + 1) = n
-        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+        // JoinedRow appends (rn, n) without re-encoding the input columns;
+        // copy() snapshots the reused operator buffer
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow(r.copy(),
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](base + local, n))): org.apache.spark.sql.catalyst.InternalRow
       }
     }
-    spark.createDataFrame(outRows, outSchema)
+    org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(spark, outRows, outSchema)
   }
 
   /** SQL NTILE(k) from a 1-based row number and the group size: the first

@@ -1,13 +1,22 @@
 package graft.ops
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.DataType
 
 /** Shared machinery for two-pass distributed selection/ranking operators
   * ([[Percentiles]], [[Ranking]]): per-(partition, group) counts over a
   * range-sorted RDD, folded into per-group totals and per-partition
   * global-rank offsets on the driver (O(partitions × groups) state,
   * independent of row count).
+  *
+  * The passes run over INTERNAL rows (r18): `df.rdd` deserialized every
+  * value of every row to external java objects just to read one group key
+  * and bump a counter — a per-row decode that scales with row count ×
+  * width (the Positional lesson, applied here). Group values are read
+  * with the typed internal accessor and defensively copied before being
+  * held (operators reuse the UnsafeRow buffer, so an uncopied UTF8String
+  * key would mutate under the map).
   *
   * The driver collect is the one piece that does NOT scale with group
   * cardinality: a FEW-group table (the operators' reason to exist — a
@@ -39,6 +48,9 @@ private[ops] object TwoPhase {
     * budget. `weight` lets a caller count a subset (e.g. non-null values)
     * while still observing every group.
     *
+    * `gType` drives the typed internal read of the group column; the read
+    * value is copied (`InternalRow.copyValue`) before keying the map.
+    *
     * The merge runs as a `treeReduce` (one job, executor-side combine),
     * not a raw `collect`: the per-partition cap alone would still let the
     * driver receive partitions × maxGroups tuples when groups are
@@ -49,8 +61,9 @@ private[ops] object TwoPhase {
     * far above that means the input is not the few-groups shape this plan
     * is for, and the merge collapses to the overflow sentinel (None) so the
     * caller takes its per-group fallback. */
-  def groupCountsCapped(rdd: RDD[Row], gIdx: Int, maxGroups: Int = MaxGroups,
-                        weight: Row => Long = _ => 1L): Option[Array[(Int, Any, Long)]] = {
+  def groupCountsCapped(rdd: RDD[InternalRow], gIdx: Int, gType: DataType,
+                        maxGroups: Int = MaxGroups,
+                        weight: InternalRow => Long = _ => 1L): Option[Array[(Int, Any, Long)]] = {
     val parts = rdd.getNumPartitions
     if (parts == 0) return Some(Array.empty)
     // 2× slack over the contiguous-groups bound: legit range-partitioned
@@ -62,10 +75,10 @@ private[ops] object TwoPhase {
         var overflow = false
         while (!overflow && it.hasNext) {
           val r = it.next()
-          val g = r.get(gIdx)
+          val g = r.get(gIdx, gType)
           if (acc.contains(g)) acc.update(g, acc(g) + weight(r))
           else if (acc.size >= maxGroups) overflow = true // stop scanning: caller falls back
-          else acc.update(g, weight(r))
+          else acc.update(InternalRow.copyValue(g), weight(r))
         }
         Iterator.single(
           if (overflow) None
