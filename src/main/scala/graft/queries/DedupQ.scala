@@ -268,6 +268,9 @@ object DedupQ {
     "d11_boilerplate" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val n = 5
+      // width partitions/4, not partitions: A/B'd again r18 — at full 32
+      // width the two windowed stages' per-task sort/schedule overhead on
+      // this gram mass TRIPLED warm (0.42 → 1.33 s); 8 tasks is the knee
       val w = math.max(1,
         s.conf.get("spark.sql.shuffle.partitions").toInt / 4)
       val docs = T.documents(s, d)

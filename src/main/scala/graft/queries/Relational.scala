@@ -44,7 +44,9 @@ object Relational {
           avgQ(col("l_quantity")).as("avg_qty"),
           avgQ(col("l_extendedprice")).as("avg_price"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
+      // no trailing ORDER BY (r18, d03 precedent): compare canon-sorts;
+      // the sort cost a boundary-sampling job + range exchange to order
+      // a 4-row aggregate
     }),
 
     // -- selective scan: filters + projection pushed to the parquet reader.
@@ -53,7 +55,9 @@ object Relational {
         .filter(col("l_shipdate") >= lit("1999-01-01").cast(TimestampType) &&
           col("l_discount").between(0.02, 0.05) && col("l_quantity") < 10)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
-        .orderBy("l_orderkey", "l_linenumber")
+      // no trailing ORDER BY (r18): no shuffle sits between the scan and
+      // the sort, so the range exchange's boundary sampling re-executed
+      // the ENTIRE scan+filter child once more per run (the d06 case)
     }),
 
     // -- left outer equi-join, dimension side broadcast.
@@ -88,7 +92,7 @@ object Relational {
            else sum(netPrice(col("l_extendedprice"), col("l_discount"))).cast(DoubleType))
             .as("revenue"),
           count(lit(1)).as("n_items"))
-        .orderBy(col("revenue").desc, col("n_name"))
+      // no trailing ORDER BY (r18): 5-row result, compare canon-sorts
     }),
 
     // -- cross join (tiny × tiny; the reference's multiplier idiom, SA:20).

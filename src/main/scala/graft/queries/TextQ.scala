@@ -288,7 +288,7 @@ object TextQ {
         .agg(graft.functions.AggExprs.topKSketch(col("term"), 256).as("top"))
         .select(explode(slice(col("top"), 1, 10)).as("e"))
         .select(col("e.term").as("term"), col("e.cnt").as("cnt"))
-        .orderBy(desc("cnt"), col("term"))
+      // no trailing ORDER BY (r18): 10-row result, compare canon-sorts
     }),
 
     // -- sequence packing for LM training: concatenate the corpus in
@@ -377,7 +377,7 @@ object TextQ {
         .groupBy("domain")
         .agg(count(lit(1)).as("n_urls"),
           countDistinct(col("doc_id")).as("n_docs"))
-        .orderBy("domain")
+      // no trailing ORDER BY (r18): small agg result, compare canon-sorts
     }),
 
     "t13_char_entropy" -> ((s, d) => {

@@ -71,7 +71,7 @@ object TimeSeriesQ {
         .selectExpr("time_bucket(INTERVAL '15 minutes', ts) AS bucket")
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"))
-        .orderBy("bucket")
+      // no trailing ORDER BY (r18): small agg result, compare canon-sorts
     }),
 
     // -- gap-based sessionization (30-min inactivity): lag → flag → running
@@ -117,7 +117,8 @@ object TimeSeriesQ {
         keys = Seq("user_id"), leftTs = "ts", rightTs = "s_ts",
         rightCols = Map("s_eid" -> "ref_event_id"))
         .select("event_id", "user_id", "ts", "value", "ref_event_id")
-        .orderBy("event_id")
+      // no trailing ORDER BY (r18): the range exchange's boundary sampling
+      // re-ran the one-pass as-of fill once more per run; compare canon-sorts
     }),
 
     // -- the same as-of join through the custom Catalyst plan
@@ -134,7 +135,8 @@ object TimeSeriesQ {
         keys = Seq("user_id"), leftTs = "ts", rightTs = "s_ts",
         rightCols = Map("s_eid" -> "ref_event_id"))
         .select("event_id", "user_id", "ts", "value", "ref_event_id")
-        .orderBy("event_id")
+      // no trailing ORDER BY (r18): the range exchange's boundary sampling
+      // re-ran the one-pass as-of fill once more per run; compare canon-sorts
     }),
 
     // -- pure band (range) join, NO equi-key: every event within the two
