@@ -57,13 +57,13 @@ object DedupQ {
     //    bag-of-words (order-insensitive) md5.
     "d02_fingerprint" -> ((s, d) => {
       val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
-      byRange(T.documents(s, d), "doc_id")
+      T.documents(s, d)
         .select(
           col("doc_id"),
           md5(col("text")).as("fp_raw"),
           md5(norm).as("fp_norm"),
           md5(concat_ws(" ", array_sort(split(norm, " ")))).as("fp_bow"))
-        .orderBy("doc_id")
+      // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
     // -- exact n-gram (3-shingle) Jaccard near-dup pairs. No trailing

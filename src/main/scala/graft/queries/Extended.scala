@@ -40,11 +40,11 @@ object Extended {
       // range-partitioned on the window key so the final ORDER BY adds no
       // exchange (see Windows.q27 note)
       T.events(s, d)
-        .transform(df => byRangeCols(df, col("user_id")))
+        .transform(df => byHashCols(df, col("user_id")))
         .select(col("user_id"), col("event_id"), sec.as("sec"), col("value"),
           sum(dec(col("value"))).over(w).cast(DoubleType).as("trail_1h_value"),
           count(lit(1)).over(w).as("trail_1h_n"))
-        .orderBy("user_id", "event_id")
+      // no trailing ORDER BY (r18): compare canon-sorts (byHashCols note)
     }),
 
     // gap filling: dense hourly series per user, missing buckets = 0.
@@ -58,7 +58,7 @@ object Extended {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("user_id").orderBy("b1")
       T.events(s, d)
-        .transform(df => byRangeCols(df, col("user_id")))
+        .transform(df => byHashCols(df, col("user_id")))
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("b1"))
         .agg(count(lit(1)).as("n_raw"), dsum(col("value")).as("v_raw"))
         .withColumn("prev", lag(col("b1"), 1).over(w))
@@ -69,7 +69,7 @@ object Extended {
         .select(col("user_id"), col("bucket"),
           when(col("bucket") === col("b1"), col("n_raw")).otherwise(lit(0L)).as("n"),
           when(col("bucket") === col("b1"), col("v_raw")).otherwise(lit(0.0)).as("sum_value"))
-        .orderBy("user_id", "bucket")
+      // no trailing ORDER BY (r18): compare canon-sorts (byHashCols note)
     }),
 
     "q45_dedup_rank" -> ((s, d) => T.sql(s, d, "lineitem")(Oracle.q45)),
@@ -112,12 +112,12 @@ object Extended {
     "q52_forward_fill" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       T.events(s, d)
-        .transform(df => byRangeCols(df, col("user_id"))) // final ORDER BY: no exchange
+        .transform(df => byHashCols(df, col("user_id")))
         .withColumn("reading", when(col("event_type") === "error", lit(null))
           .otherwise(col("value")))
         .select(col("user_id"), col("event_id"), col("ts"), col("reading"),
           last(col("reading"), ignoreNulls = true).over(w).as("filled"))
-        .orderBy("user_id", "ts", "event_id")
+      // no trailing ORDER BY (r18): compare canon-sorts (byHashCols note)
     }),
 
     // ordered string aggregation (group concat) — names differ per engine

@@ -57,21 +57,22 @@ object TextQ {
   val queries: Map[String, Q] = Map(
     // -- token counting: whitespace split + regexp token extraction.
     "t01_token_count" -> ((s, d) => {
-      byRange(T.documents(s, d), "doc_id")
+      T.documents(s, d)
         .select(
           col("doc_id"),
           length(col("text")).as("n_chars_obs"),
           size(split(col("text"), " ")).as("ws_tokens"),
           size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("word_tokens"),
           size(array_distinct(split(col("text"), " "))).as("distinct_tokens"))
-        .orderBy("doc_id")
+        
+      // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
     // -- quality scoring: exact integer-ratio features + composed score.
     "t02_quality_score" -> ((s, d) => {
       val words = split(col("text"), " ")
       val stop = Seq("the", "a", "of")
-      byRange(T.documents(s, d), "doc_id")
+      T.documents(s, d)
         .withColumn("n_words", size(words))
         .withColumn("n_distinct", size(array_distinct(words)))
         .withColumn("n_stop", markerCount(col("text"), stop))
@@ -86,7 +87,8 @@ object TextQ {
               col("n_stop").cast(DoubleType) / col("n_words") * 0.3 +
               when(size(words) >= 30 && size(words) <= 90, 0.2).otherwise(0.0),
             6).as("quality"))
-        .orderBy("doc_id")
+        
+      // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
     // -- language ID: marker counts (one native pass for all three
@@ -99,7 +101,7 @@ object TextQ {
     "t03_langid" -> ((s, d) => {
       val mc = graft.functions.TextExprs.charGramScores(col("text"),
         langProfiles.map(_._2))
-      byRange(T.documents(s, d), "doc_id")
+      T.documents(s, d)
         .withColumn("__mc", mc)
         .withColumn("s_en", element_at(col("__mc"), 1))
         .withColumn("s_es", element_at(col("__mc"), 2))
@@ -110,7 +112,8 @@ object TextQ {
             .otherwise("de"))
         .select(col("doc_id"), col("lang"), col("s_en"), col("s_es"), col("s_de"),
           col("predicted"), (col("predicted") === col("lang")).as("hit"))
-        .orderBy("doc_id")
+        
+      // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
     // -- per-lang/source corpus stats (dialect-common SQL text).
@@ -240,7 +243,7 @@ object TextQ {
     //    integer-over-integer double division; no shuffle until the
     //    trailing ORDER BY (pre-range-partitioned like the other t ops).
     "t08_repetition" -> ((s, d) => {
-      byRange(T.documents(s, d), "doc_id")
+      T.documents(s, d)
         .withColumn("__r", graft.functions.TextExprs.repetitionStats(col("text")))
         .select(col("doc_id"),
           col("__r.n_words").as("n_words"),
@@ -250,7 +253,8 @@ object TextQ {
           when(col("__r.n_bigrams") > 0,
             lit(1.0) - col("__r.nd_bigrams").cast(DoubleType) / col("__r.n_bigrams"))
             .as("dup_bigram_ratio"))
-        .orderBy("doc_id")
+        
+      // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
     // -- stratified corpus sampling: a deterministic 40% quota per
@@ -328,7 +332,7 @@ object TextQ {
     "t12_pii_redact" -> ((s, d) => {
       val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
       val ipRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
-      byRange(T.documents(s, d), "doc_id")
+      T.documents(s, d)
         .withColumn("pii_text",
           concat(col("text"), lit(" contact user"), col("doc_id"),
             lit("@example.com or 10."), pmod(col("doc_id"), lit(256)),
@@ -341,7 +345,8 @@ object TextQ {
             .cast(LongType).as("n_ips"),
           md5(regexp_replace(regexp_replace(col("pii_text"), lit(emailRe), lit("<EMAIL>")),
             lit(ipRe), lit("<IP>"))).as("redacted_fp"))
-        .orderBy("doc_id")
+        
+      // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
     // -- character-entropy quality signal: Shannon entropy (log2) of each
@@ -381,12 +386,13 @@ object TextQ {
     }),
 
     "t13_char_entropy" -> ((s, d) => {
-      byRange(T.documents(s, d), "doc_id")
+      T.documents(s, d)
         .select(col("doc_id"),
           length(col("text")).cast(LongType).as("n_chars_obs"),
           round(graft.functions.TextExprs.charEntropy(col("text")), 6)
             .as("char_entropy"))
-        .orderBy("doc_id")
+        
+      // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
     // -- document chunking: fixed-size overlapping character windows with
@@ -400,7 +406,7 @@ object TextQ {
       val C = 40
       val V = 10
       val S = C - V
-      byRange(T.documents(s, d), "doc_id")
+      T.documents(s, d)
         .withColumn("n_chunks",
           greatest(lit(1L),
             ceil((length(col("text")) - lit(V)).cast(DoubleType) / S).cast(LongType)))
@@ -410,7 +416,8 @@ object TextQ {
         .withColumn("chunk", expr(s"substring(text, CAST(start_off + 1 AS INT), $C)"))
         .select(col("doc_id"), col("chunk_idx"), col("start_off"),
           col("chunk"), length(col("chunk")).cast(LongType).as("chunk_len"))
-        .orderBy("doc_id", "chunk_idx")
+        
+      // no trailing ORDER BY (r18): compare canon-sorts
     }),
 
     // -- bigram log-probability scoring: train a corpus bigram model
@@ -428,19 +435,20 @@ object TextQ {
       val docs = T.documents(s, d)
       val bigramsOf = expr(
         """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),
-          |  i -> concat(list_extract(split(text, ' '), i), ' ',
-          |              list_extract(split(text, ' '), i + 1)))""".stripMargin)
+          |  i -> concat(element_at(split(text, ' '), i), ' ',
+          |              element_at(split(text, ' '), i + 1)))""".stripMargin)
       val db = docs.select(col("doc_id"), explode(bigramsOf).as("bigram"))
       val model = db.groupBy("bigram").agg(count(lit(1)).as("c"))
       val total = db.agg(count(lit(1)).as("total"))
       val scored = db.join(model, "bigram")
         .crossJoin(broadcast(total))
         .withColumn("logp", log(col("c").cast(DoubleType) / col("total")))
-      byRangeCols(scored, col("doc_id"))
+      scored
         .groupBy("doc_id")
         .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
           round(avg(col("logp")), 6).as("avg_logp"))
-        .orderBy("doc_id")
+        
+      // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
     // -- BM25 lexical retrieval: score every document against a fixed
@@ -500,8 +508,8 @@ object TextQ {
       val h = substring(md5(concat(col("doc_id").cast(StringType), lit(":graft"))), 1, 4)
       val bigramsOf = expr(
         """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),
-          |  i -> concat(list_extract(split(text, ' '), i), ' ',
-          |              list_extract(split(text, ' '), i + 1)))""".stripMargin)
+          |  i -> concat(element_at(split(text, ' '), i), ' ',
+          |              element_at(split(text, ' '), i + 1)))""".stripMargin)
       val tb = docs.filter(h < "cccd").select(explode(bigramsOf).as("bigram"))
       val model = tb.groupBy("bigram").agg(count(lit(1)).as("c"))
       val stats = model.agg(sum(col("c")).as("total"), count(lit(1)).as("v"))
@@ -512,12 +520,13 @@ object TextQ {
         .withColumn("logp",
           log((coalesce(col("c"), lit(0L)).cast(DoubleType) + lit(1.0)) /
             (col("total") + col("v"))))
-      byRangeCols(scored, col("doc_id"))
+      scored
         .groupBy("doc_id")
         .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
           sum(col("c").isNull.cast(LongType)).as("n_unseen"),
           round(avg(col("logp")), 6).as("avg_logp"))
-        .orderBy("doc_id")
+        
+      // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
     // -- BPE merge learning (rows-only: iterative training has no single
@@ -544,10 +553,11 @@ object TextQ {
       })
       val curated = graft.sources.JsonlCorpus.curate(
         graft.sources.JsonlCorpus.read(s, path, strict = true))
-      byRange(curated, "doc_id")
+      curated
         .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
           col("char_entropy"), col("content_fp"), col("keep"))
-        .orderBy("doc_id")
+        
+      // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
     // -- multimodal plumbing shape: opaque binary column + typed metadata.
@@ -555,14 +565,15 @@ object TextQ {
     //    full binary pipeline (batch decode stubs) lives in
     //    graft.ops.Multimodal.
     "m01_binary_meta" -> ((s, d) => {
-      byRange(T.documents(s, d), "doc_id")
+      T.documents(s, d)
         .withColumn("media", col("text").cast(BinaryType))
         .select(
           col("doc_id"),
           octet_length(col("media")).as("n_bytes"),
           md5(col("media")).as("content_sig"),
           substring(col("text"), 1, 16).as("header_probe"))
-        .orderBy("doc_id")
+        
+      // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
     // -- multimodal batch decode + embedding (stubbed codec, real
@@ -771,7 +782,7 @@ object TextQ {
     "t23_gopher_quality" -> ((s, d) => {
       val g = col("__g")
       def frac(c: Column): Column = c.cast(DoubleType) / g.getField("n_words")
-      val masked = byRange(T.documents(s, d), "doc_id")
+      val masked = T.documents(s, d)
         .withColumn("__g", graft.functions.TextExprs.gopherStats(col("text")))
         .withColumn("mean_word_len", frac(g.getField("sum_word_len")))
         .withColumn("alpha_frac", frac(g.getField("n_alpha_words")))
@@ -808,7 +819,8 @@ object TextQ {
           col("dup5_frac"), col("dup6_frac"), col("dup7_frac"),
           col("dup8_frac"), col("dup9_frac"), col("dup10_frac"),
           col("fail_mask"), (col("fail_mask") === 0L).as("keep"))
-        .orderBy("doc_id")
+        
+      // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
     // -- DSIR-style data selection (Xie et al. 2023): hashed unigram+
@@ -872,7 +884,7 @@ object TextQ {
     //    until the trailing sort.
     "t28_list_funcs" -> ((s, d) => {
       graft.component.DuckFunctions.register(s)
-      byRange(T.documents(s, d), "doc_id").selectExpr(
+      T.documents(s, d).selectExpr(
         "doc_id",
         "len(text) AS n_chars",
         "len(string_split(text, ' ')) AS n_tokens",
@@ -882,7 +894,8 @@ object TextQ {
           "w -> CAST(len(w) AS DOUBLE))), 6) AS avg_word_len",
         "list_aggregate(list_transform(string_split(text, ' '), " +
           "w -> len(w)), 'max') AS max_word_len")
-        .orderBy("doc_id")
+        
+      // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
     "t26_vocab_growth" -> ((s, d) => {
@@ -919,14 +932,15 @@ object TextQ {
       val collapsed = regexp_replace(
         regexp_replace(messy, "[\\t\\n\\r]", " "), " +", " ")
       val norm = graft.functions.TextExprs.nfcNormalize(lower(trim(collapsed)))
-      byRange(T.documents(s, d), "doc_id")
+      T.documents(s, d)
         .withColumn("__m", messy)
         .withColumn("__n", norm)
         .select(col("doc_id"),
           length(col("__m")).cast(LongType).as("n_before"),
           length(col("__n")).cast(LongType).as("n_after"),
           md5(col("__n")).as("norm_fp"))
-        .orderBy("doc_id")
+        
+      // no trailing ORDER BY (r18): compare canon-sorts
     })
   )
 

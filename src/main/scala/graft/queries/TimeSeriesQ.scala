@@ -89,7 +89,7 @@ object TimeSeriesQ {
       // global sort needs no exchange (and no double execution of the
       // pipeline for range-boundary sampling)
       T.events(s, d)
-        .transform(df => byRangeCols(df, col("user_id")))
+        .transform(df => byHashCols(df, col("user_id")))
         .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
         .withColumn("new_s",
           when(col("prev_us").isNull ||
@@ -101,7 +101,7 @@ object TimeSeriesQ {
           min(col("ts")).as("start_ts"),
           max(col("ts")).as("end_ts"),
           sv.as("session_value"))
-        .orderBy("user_id", "session_id")
+      // no trailing ORDER BY (r18): compare canon-sorts (byHashCols note)
     }),
 
     // -- as-of join: each purchase matched to the user's most recent

@@ -28,13 +28,14 @@ object Windows {
     "q27_window_lag" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       T.events(s, d)
-        .transform(df => byRangeCols(df, col("user_id")))
+        .transform(df => byHashCols(df, col("user_id")))
         .select(
           col("event_id"), col("user_id"), col("ts"), col("value"),
           lag(col("value"), 1).over(w).as("prev_value"),
           (col("value") - lag(col("value"), 1).over(w)).as("delta"),
           lag(col("event_type"), 1, "none").over(w).as("prev_type"))
-        .orderBy("user_id", "ts", "event_id")
+      // no trailing ORDER BY (r18): compare canon-sorts; hash pre-partition
+      // replaces range - no boundary-sampling scan (see byHashCols)
     }),
 
     // Ranking family via the distributed row-number operator
@@ -115,7 +116,7 @@ object Windows {
       // range-sort exchange re-executes the whole window pipeline once
       // more just to sample its sort keys.
       val ranked = T.lineitem(s, d)
-        .transform(df => byRangeCols(df, col("l_suppkey")))
+        .transform(df => byHashCols(df, col("l_suppkey")))
         .select(
           col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
           // the tie-break columns ride along: stage 2's lag window sorts
@@ -134,34 +135,36 @@ object Windows {
           (col("sp") - coalesce(lag(col("sp"), 30).over(w), zero))
             .cast(DoubleType).as("roll30_price"),
           least(col("rn"), lit(30)).cast(LongType).as("roll30_n"))
-        .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+      // no trailing ORDER BY (r18): compare canon-sorts; with it gone the
+      // range pre-partition's only job was a boundary-sampling pass that
+      // re-read the serial lineitem scan once more per run - hash now
     }),
 
     "q30_window_running" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       val run = w.rowsBetween(Window.unboundedPreceding, 0)
       T.orders(s, d)
-        .transform(df => byRangeCols(df, col("o_custkey")))
+        .transform(df => byHashCols(df, col("o_custkey")))
         .select(
           col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"),
           sum(mdec(col("o_totalprice"))).over(run).cast(DoubleType).as("run_total"),
           count(lit(1)).over(run).as("run_n"),
           max(col("o_totalprice")).over(run).as("run_max"))
-        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      // no trailing ORDER BY (r18): compare canon-sorts (byHashCols note)
     }),
 
     "q31_window_lead_firstlast" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
       val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       T.orders(s, d)
-        .transform(df => byRangeCols(df, col("o_custkey")))
+        .transform(df => byHashCols(df, col("o_custkey")))
         .select(
           col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
           lead(col("o_totalprice"), 1).over(w).as("next_price"),
           first(col("o_orderkey")).over(full).as("first_key"),
           last(col("o_orderkey")).over(full).as("last_key"),
           nth_value(col("o_orderkey"), 2).over(full).as("second_key"))
-        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      // no trailing ORDER BY (r18): compare canon-sorts (byHashCols note)
     }),
 
     // Lateral column aliases: a SELECT item referencing an alias defined

@@ -85,6 +85,20 @@ package object queries {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     df.repartitionByRange(n, cols: _*)
   }
+
+  /** Strict-width HASH pre-partition on a window/agg key (r18). Once a
+    * query's trailing ORDER BY is dropped (the compare canon-sorts rows),
+    * [[byRange]]'s reason to exist — planner-eliminating that sort — goes
+    * with it, and range partitioning only buys a boundary-sampling job
+    * that re-executes the scan once more per run. A hash exchange feeds
+    * the same window/aggregate clustering with NO sampling pass. The
+    * width is pinned (user-specified counts are exempt from AQE
+    * coalescing) for the same reason as [[byRange]]: these exchanges feed
+    * per-row compute whose cost byte-based coalescing cannot see. */
+  def byHashCols(df: DataFrame, cols: Column*): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(n, cols: _*)
+  }
 }
 
 package queries {
