@@ -21,6 +21,11 @@ object Aggregates {
     // both of the slower plans — Spark's multi-distinct Expand (row ×
     // column fan-out, measured 2× slower) and the round-3 separate-branch
     // rewrite (8 exchanges + 3 result joins, warm 0.70 s vs DuckDB 0.16 s).
+    // r18 measured dead end: a strict-width repartition before the agg
+    // (to parallelize the partial phase past the serial one-row-group
+    // scan) DOUBLED warm (0.40 → 0.89 s) — 32 partial hash-set buffers
+    // serialize into the final 3-group merge, which then re-inserts the
+    // same Σ-distinct mass the serial partial did, plus the exchange.
     "q21_count_distinct" -> ((s, d) => {
       val nd = graft.functions.AggExprs.exactDistinct _
       T.lineitem(s, d)
