@@ -37,7 +37,10 @@ object PrefixSum {
     require(df.schema(valueCol).dataType == LongType,
       s"$valueCol must be BIGINT (cast integral columns up), got " +
         df.schema(valueCol).dataType.simpleString)
-    val rdd = sorted.rdd // one lineage: pass 2 reuses pass 1's shuffle
+    // one lineage: pass 2 reuses pass 1's shuffle. INTERNAL rows in both
+    // passes (r18, the Positional/Ranking diet): df.rdd paid a per-row
+    // external decode of every column just to read one long.
+    val rdd = org.apache.spark.sql.GraftSqlBridge.toRdd(sorted)
 
     // pass 1: per-partition totals — O(partitions) driver state
     val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -50,18 +53,17 @@ object PrefixSum {
 
     val outSchema = StructType(df.schema.fields :+
       StructField(outName, LongType, nullable = false))
-    val width = df.schema.size
     val outRows = rdd.mapPartitionsWithIndex { (pid, it) =>
       var run = bcOffsets.value(pid)
       it.map { r =>
-        val out = new Array[Any](width + 1)
-        var i = 0
-        while (i < width) { out(i) = r.get(i); i += 1 }
-        out(width) = run // exclusive: offset BEFORE this row's value
+        val withSum = new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+          r.copy(), // operators reuse the UnsafeRow buffer per row
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](run))): org.apache.spark.sql.catalyst.InternalRow
         if (!r.isNullAt(vIdx)) run += r.getLong(vIdx)
-        Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+        withSum
       }
     }
-    spark.createDataFrame(outRows, outSchema)
+    org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(spark, outRows, outSchema)
   }
 }
