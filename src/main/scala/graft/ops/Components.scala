@@ -67,10 +67,14 @@ object Components {
     val maxLocal = spark.conf.getOption("graft.components.maxLocalEdges")
       .map(_.toLong).getOrElse(1L << 19)
     val dirRows = org.apache.spark.sql.GraftSqlBridge.toRdd(dir)
+    val cap = maxLocal + 1
     val partStats: Array[(Long, Boolean)] = spark.sparkContext.runJob(dirRows,
       (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
         var c = 0L; var hasNull = false
-        while (it.hasNext) { val r = it.next(); c += 1
+        // early exit (r18 review): once ONE partition alone exceeds the
+        // gate the sum certainly does — stop scanning, so at scale the
+        // probe costs ≤ cap rows per task, not a full pass
+        while (c < cap && !hasNull && it.hasNext) { val r = it.next(); c += 1
           if (r.isNullAt(0) || r.isNullAt(1)) hasNull = true }
         (c, hasNull)
       })

@@ -37,8 +37,7 @@ object Extended {
       val sec = expr("unix_micros(ts) div 1000000")
       val w = Window.partitionBy("user_id").orderBy(sec.as("sec"))
         .rangeBetween(-3599, 0)
-      // range-partitioned on the window key so the final ORDER BY adds no
-      // exchange (see Windows.q27 note)
+      // hash pre-partitioned on the window key (r18 byHashCols note)
       T.events(s, d)
         .transform(df => byHashCols(df, col("user_id")))
         .select(col("user_id"), col("event_id"), sec.as("sec"), col("value"),

@@ -14,6 +14,20 @@ import org.apache.spark.sql.types._
   */
 object TextQ {
 
+  /** Word bigrams of `text` (space-split, native expressions only). The
+    * <2-token CASE arm is load-bearing (r18 review): sequence(1, 0)
+    * DESCENDS to [1, 0] in Spark, so without it a 1-token doc evaluates
+    * element_at(.., 0) and throws INVALID_INDEX_OF_ZERO where the old
+    * duck-extract path yielded NULL. The empty-array arm keeps "docs
+    * with <2 words have no bigrams" true by construction on both
+    * engines. Shared by t15/t18; pinned by BigramEdgeSpec. */
+  private[graft] def bigramsOf: org.apache.spark.sql.Column = expr(
+    """CASE WHEN size(split(text, ' ')) > 1 THEN
+      |  transform(sequence(1, size(split(text, ' ')) - 1),
+      |    i -> concat(element_at(split(text, ' '), i), ' ',
+      |                element_at(split(text, ' '), i + 1)))
+      |ELSE array() END""".stripMargin)
+
   /** Corpus row count per data dir — table statistics a resident engine
     * keeps cached (same memoization contract as DedupQ's d08 params):
     * the metadata-only count job runs once per dir, warm runs are free.
@@ -240,8 +254,8 @@ object TextQ {
     //    duplicate-bigram fraction per document — the repetition family
     //    of corpus-curation quality filters. One native pass per row
     //    (graft.functions.RepetitionStats), ratios as exact
-    //    integer-over-integer double division; no shuffle until the
-    //    trailing ORDER BY (pre-range-partitioned like the other t ops).
+    //    integer-over-integer double division; no shuffle at all —
+    //    per-doc compute runs inline on the scan (r18).
     "t08_repetition" -> ((s, d) => {
       T.documents(s, d)
         .withColumn("__r", graft.functions.TextExprs.repetitionStats(col("text")))
@@ -433,10 +447,7 @@ object TextQ {
     //    round(6) is proven by t05's tfidf.
     "t15_bigram_logprob" -> ((s, d) => {
       val docs = T.documents(s, d)
-      val bigramsOf = expr(
-        """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),
-          |  i -> concat(element_at(split(text, ' '), i), ' ',
-          |              element_at(split(text, ' '), i + 1)))""".stripMargin)
+      val bigramsOf = TextQ.bigramsOf
       val db = docs.select(col("doc_id"), explode(bigramsOf).as("bigram"))
       val model = db.groupBy("bigram").agg(count(lit(1)).as("c"))
       val total = db.agg(count(lit(1)).as("total"))
@@ -506,10 +517,7 @@ object TextQ {
     "t18_heldout_logprob" -> ((s, d) => {
       val docs = T.documents(s, d)
       val h = substring(md5(concat(col("doc_id").cast(StringType), lit(":graft"))), 1, 4)
-      val bigramsOf = expr(
-        """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),
-          |  i -> concat(element_at(split(text, ' '), i), ' ',
-          |              element_at(split(text, ' '), i + 1)))""".stripMargin)
+      val bigramsOf = TextQ.bigramsOf
       val tb = docs.filter(h < "cccd").select(explode(bigramsOf).as("bigram"))
       val model = tb.groupBy("bigram").agg(count(lit(1)).as("c"))
       val stats = model.agg(sum(col("c")).as("total"), count(lit(1)).as("v"))

@@ -84,10 +84,9 @@ object TimeSeriesQ {
       val sv =
         if (ME.fastOk(T.events(s, d))) ME.fsum(col("value"))
         else dsum(col("value"))
-      // range-partition on the window key: satisfies the window's
-      // clustering AND the final ORDER BY's distribution, so the trailing
-      // global sort needs no exchange (and no double execution of the
-      // pipeline for range-boundary sampling)
+      // hash pre-partition on the window key at pinned width (r18,
+      // byHashCols note): the tail sort is gone, so range partitioning's
+      // boundary-sampling pass is pure cost
       T.events(s, d)
         .transform(df => byHashCols(df, col("user_id")))
         .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))

@@ -14,7 +14,12 @@ import org.apache.spark.sql.types._
   *    single-threaded DuckDB sum produce the *same* value regardless of
   *    partitioning / merge order. The final value is cast back to DOUBLE
   *    (exactly representable: scaled sums stay far below 2^53).
-  *  - Every query ends in a total ORDER BY over a unique key set.
+  *  - Output row SETS are what the driver compares: it canon-sorts
+  *    columns and rows before hashing (check_correctness.py), so queries
+  *    do NOT end in a trailing ORDER BY (r18 — a tail sort only bought a
+  *    range exchange whose boundary-sampling job re-executed the child).
+  *    Window ORDER BYs still carry unique tie-break key suffixes so both
+  *    engines see a total order wherever order affects VALUES.
   *  - Integer-ish results are kept in BIGINT/INT on both sides (DuckDB
   *    SUM(int) returns HUGEINT — oracles cast it back).
   *  - Genuinely floating-point statistics (stddev/corr/percentile) are
@@ -63,38 +68,16 @@ package object queries {
   def netPrice(price: Column, disc: Column): Column =
     mdec(price) * (lit(1).cast(M) - mdec(disc))
 
-  /** Pre-partition the SOURCE by range on the final ORDER BY key. A
-    * trailing global sort plans a range exchange whose boundary sampling
-    * re-executes the entire child pipeline once before the real run; with
-    * the source range-partitioned up front, the sampling pass touches only
-    * the raw scan, the per-row work runs once, and the final sort needs no
-    * exchange at all (RangePartitioning(k) is a valid prefix of
-    * OrderedDistribution(k, ...); aliases propagate through projections).
-    *
-    * The partition count is pinned to spark.sql.shuffle.partitions: these
-    * exchanges feed per-row compute (windows, regex scoring, decimal
-    * arithmetic), whose cost AQE's byte-based coalescing cannot see — at
-    * sf0.1 it was collapsing a 600k-row window pipeline onto ONE task
-    * because the shuffle was only ~20 MB. A user-specified count is exempt
-    * from coalescing; on a cluster the same conf tracks cluster width. */
-  def byRange(df: DataFrame, cols: String*): DataFrame =
-    byRangeCols(df, cols.map(col): _*)
-
-  /** [[byRange]] over arbitrary Column expressions. */
-  def byRangeCols(df: DataFrame, cols: Column*): DataFrame = {
-    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    df.repartitionByRange(n, cols: _*)
-  }
-
-  /** Strict-width HASH pre-partition on a window/agg key (r18). Once a
-    * query's trailing ORDER BY is dropped (the compare canon-sorts rows),
-    * [[byRange]]'s reason to exist — planner-eliminating that sort — goes
-    * with it, and range partitioning only buys a boundary-sampling job
-    * that re-executes the scan once more per run. A hash exchange feeds
-    * the same window/aggregate clustering with NO sampling pass. The
-    * width is pinned (user-specified counts are exempt from AQE
-    * coalescing) for the same reason as [[byRange]]: these exchanges feed
-    * per-row compute whose cost byte-based coalescing cannot see. */
+  /** Strict-width HASH pre-partition on a window/agg key (r18). The
+    * retired byRange helper (see git history) pre-partitioned by RANGE so
+    * a trailing ORDER BY planner-eliminated; with the tail sorts dropped
+    * (the compare canon-sorts rows), range partitioning only bought a
+    * boundary-sampling job that re-executed the scan once more per run.
+    * A hash exchange feeds the same window/aggregate clustering with NO
+    * sampling pass. The width is pinned (user-specified counts are
+    * exempt from AQE coalescing) because these exchanges feed per-row
+    * compute whose cost byte-based coalescing cannot see — at sf0.1 it
+    * collapsed a 600k-row window pipeline onto ONE ~20 MB task. */
   def byHashCols(df: DataFrame, cols: Column*): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     df.repartition(n, cols: _*)
