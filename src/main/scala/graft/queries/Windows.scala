@@ -84,7 +84,7 @@ object Windows {
     // to least(row_number, k). Same one shuffle + sort; 30× less frame
     // work per row — the shape that survives at 100 TB.
     "q29_window_rolling" -> ((s, d) => {
-      // ORDER BY ties must be impossible for a ROWS frame differential:
+      // ORDER BY ties must be impossible for a ROWS frame computation:
       // (l_orderkey, l_linenumber) WAS the lineitem PK, but the Aug-14
       // testdata regeneration introduced duplicate keys (600k rows,
       // 457k distinct pairs — one group even shares suppkey+shipdate+
@@ -95,49 +95,33 @@ object Windows {
       // still tied after (price, quantity) are interchangeable in every
       // output column, so frame sums are order-independent. Same
       // tie-breakers in the oracle's WINDOW clauses.
-      val w = Window.partitionBy("l_suppkey")
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice"), col("l_quantity"))
-      val run = w.rowsBetween(Window.unboundedPreceding, 0)
-      // DECIMAL(8,2) instead of the usual (18,2): quantity (< 100) and
-      // extendedprice (< 1M) fit, and sum(DECIMAL(8,2)) keeps result
-      // precision at 8+10 = 18 digits, which the DecimalAggregates rule
-      // lowers to UNSCALED LONG arithmetic — exact like any decimal sum
-      // (same values as the oracle's DECIMAL(18,2) sums), minus the boxed
-      // BigDecimal per add that a precision-28 accumulator would pay.
-      val d8 = DecimalType(8, 2)
-      val zero = lit(0).cast(d8)
-      // stage 1: O(1)-per-row running sums + row number (one sort); stage 2
-      // lags over the SAME partitioning/ordering — no extra exchange/sort.
-      // The window is RANGE-partitioned on the key: RangePartitioning
-      // keeps equal keys together (satisfies the window's clustering) AND
-      // is a valid prefix of the final ORDER BY's OrderedDistribution, so
-      // the trailing global sort planner-eliminates — without this, the
-      // range-sort exchange re-executes the whole window pipeline once
-      // more just to sample its sort keys.
-      val ranked = T.lineitem(s, d)
-        .transform(df => byHashCols(df, col("l_suppkey")))
-        .select(
-          col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-          // the tie-break columns ride along: stage 2's lag window sorts
-          // by them too (both stages must see the SAME total order)
-          col("l_extendedprice"), col("l_quantity"),
-          sum(col("l_quantity").cast(d8)).over(run).as("sq"),
-          sum(col("l_extendedprice").cast(d8)).over(run).as("sp"),
-          row_number().over(w).as("rn"))
-      ranked
-        .select(
-          col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
-          (col("sq") - coalesce(lag(col("sq"), 7).over(w), zero))
-            .cast(DoubleType).as("roll7_qty"),
-          ((col("sq") - coalesce(lag(col("sq"), 7).over(w), zero)).cast(DoubleType) /
-            least(col("rn"), lit(7))).as("roll7_avg"),
-          (col("sp") - coalesce(lag(col("sp"), 30).over(w), zero))
-            .cast(DoubleType).as("roll30_price"),
-          least(col("rn"), lit(30)).cast(LongType).as("roll30_n"))
-      // no trailing ORDER BY (r18): compare canon-sorts; with it gone the
-      // range pre-partition's only job was a boundary-sampling pass that
-      // re-read the serial lineitem scan once more per run - hash now
+      //
+      // Single-pass kernel (r19): the r18 shape — running sums + rn in one
+      // Window, lag differences in a second — still paid TWO WindowExec
+      // walks (each buffering every suppkey group) over the one sort.
+      // ops.Rolling keeps the same strict-width hash exchange + sort and
+      // computes the k-row sums in ONE streaming walk with a k-slot ring
+      // buffer per measure. DECIMAL(8,2) measures instead of (18,2):
+      // quantity (< 100) and extendedprice (< 1M) fit, sums stay unscaled-
+      // long exact (precision 18), bit-identical to the oracle's
+      // DECIMAL(18,2) window sums — see Rolling's exactness contract.
+      val rolled = graft.ops.Rolling.lastKSums(
+        T.lineitem(s, d).select(
+          col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice"), col("l_quantity")),
+        "l_suppkey",
+        Seq("l_shipdate", "l_orderkey", "l_linenumber",
+          "l_extendedprice", "l_quantity"),
+        Seq((mdec(col("l_quantity")), 7, "__sq7"),
+          (mdec(col("l_extendedprice")), 30, "__sp30")),
+        rnName = "__rn")
+      rolled.select(
+        col("l_suppkey"), col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("__sq7").as("roll7_qty"),
+        (col("__sq7") / least(col("__rn"), lit(7)).cast(DoubleType)).as("roll7_avg"),
+        col("__sp30").as("roll30_price"),
+        least(col("__rn"), lit(30)).cast(LongType).as("roll30_n"))
+      // no trailing ORDER BY (r18): compare canon-sorts
     }),
 
     "q30_window_running" -> ((s, d) => {

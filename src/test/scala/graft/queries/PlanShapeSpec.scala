@@ -56,8 +56,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles("t19_mixture") == 0)
   }
 
-  test("rolling windows plan one range exchange, ORDER BY planner-eliminated") {
-    assert(shuffles("q29_window_rolling") == 1)
+  test("rolling windows run the single-pass kernel: no planner exchange or window") {
+    // r19: ops.Rolling.lastKSums — the outer plan is a Project over the
+    // kernel's internal-row RDD (its lineage embeds the one strict-width
+    // hash exchange + sort; RollingSpec pins value equivalence). A
+    // re-introduced WindowExec or planner exchange moves these.
+    val plan = graft.SparkEntry.queries("q29_window_rolling")(spark, sfd)
+      .queryExecution.executedPlan.toString
+    assert(shuffles("q29_window_rolling") == 0)
+    assert(plan.contains("ExistingRDD"), "q29 must run the Rolling kernel")
+    assert(!plan.contains("Window"), "q29 must not re-grow a WindowExec pass")
   }
 
   test("bm25 top-k plans zero shuffles: TakeOrderedAndProject over the scan") {
