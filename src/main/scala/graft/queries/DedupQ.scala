@@ -104,12 +104,16 @@ object DedupQ {
     //    reuse, so an uncached input would run the simhash scan twice.
     //    The xxhash64 fast path stays the library default.
     "d05_simhash" -> ((s, d) => {
-      // LAZY checkpoint (r18): nearPairs' hot-bucket audit collect is the
-      // first consumer and scans every fps partition, so it materializes
-      // the checkpoint in its own job — the eager variant spent one extra
-      // driver action snapshotting first (the Components round lesson).
+      // EAGER checkpoint again (r19): the hot-bucket audit collect that
+      // used to be the first consumer (and materialized a LAZY checkpoint
+      // in its own job, the r18 shape) is gone — nearPairs now counts
+      // buckets inside the probe exchange. Without an ordering consumer
+      // the probe and build map stages launch CONCURRENTLY and would each
+      // compute the fingerprints before either caches them; the eager
+      // snapshot costs the one fingerprint-scan job the audit job used to
+      // subsume (minus its explode + aggregate + collect).
       val fps = SimHash.fingerprintsPortable(T.documents(s, d), "doc_id", "text")
-        .localCheckpoint(eager = false)
+        .localCheckpoint(eager = true)
       SimHash.nearPairs(fps, "doc_id", maxDist = 16) // no sort: compare canon-sorts
     }),
 

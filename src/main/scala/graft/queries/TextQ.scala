@@ -615,11 +615,13 @@ object TextQ {
       val ph = graft.ops.Multimodal.perceptualHashes(
           graft.ops.Multimodal.mediaFromDocuments(T.documents(s, d)))
         .withColumnRenamed("phash", "simhash")
-        // LAZY (r18): nearPairs' hot-bucket collect scans ph first and
-        // materializes the checkpoint in-job (the d05 pattern)
-        .localCheckpoint(eager = false) // nearPairs' strict-width exchanges
-                                        // defeat reuse; hashes are the
-                                        // corpus asset anyway
+        // EAGER (r19, the d05 pattern): the hot-bucket collect that used
+        // to materialize a lazy checkpoint first is folded into the probe
+        // exchange, so without the snapshot job the probe/build map
+        // stages would each decode the media concurrently
+        .localCheckpoint(eager = true) // nearPairs' strict-width exchanges
+                                       // defeat reuse; hashes are the
+                                       // corpus asset anyway
       val dups = graft.ops.SimHash.nearPairs(ph, "media_id", maxDist = 6)
         .groupBy(col("b_id").as("media_id"))
         .agg(min(col("a_id")).as("dup_of"))

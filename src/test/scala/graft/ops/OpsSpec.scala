@@ -120,9 +120,16 @@ class OpsSpec extends SparkSpec {
     val mega = (100L to 149L).map(id => (id, 0x1234567890abcdefL))
     val close = Seq((1L, 0x0f0f0f0f0f0f0f0fL), (2L, 0x0f0f0f0f0f0f0f0eL))
     val fps = (mega ++ close).toDF("doc_id", "simhash")
-    val capped = SimHash.nearPairs(fps, "doc_id", maxDist = 3, maxBucket = 10)
+    val cappedDf = SimHash.nearPairs(fps, "doc_id", maxDist = 3, maxBucket = 10)
+    val capped = cappedDf
       .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
     assert(capped == Set((1L, 2L)), s"got $capped")
+    // the in-exchange audit observation (r19) must see the PRE-filter
+    // bucket counts: 4 chunks × 50 rows at t=0 × (|B|-1 = 49) = 9800 —
+    // a 0 here means the cap filter was pushed below CollectMetrics
+    val metric = cappedDf.queryExecution.observedMetrics.get(SimHash.AuditMetric)
+    assert(metric.exists(r => !r.isNullAt(0) && r.getLong(0) == 9800L),
+      s"audit metric: $metric")
     // the audit surface names exactly the planted mega-buckets
     val hot = SimHash.hotBuckets(fps, "doc_id", maxBucket = 10).collect()
     assert(hot.length == SimHash.Chunks && hot.forall(_.getAs[Long]("n") == 50L))
