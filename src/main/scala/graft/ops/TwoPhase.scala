@@ -63,26 +63,46 @@ private[ops] object TwoPhase {
     * caller takes its per-group fallback. */
   def groupCountsCapped(rdd: RDD[InternalRow], gIdx: Int, gType: DataType,
                         maxGroups: Int = MaxGroups,
-                        weight: InternalRow => Long = _ => 1L): Option[Array[(Int, Any, Long)]] = {
+                        weight: InternalRow => Long = _ => 1L): Option[Array[(Int, Any, Long)]] =
+    groupCountsVec(rdd, gIdx, gType, maxGroups, Seq(weight))
+      .map(_.map { case (pid, g, ws) => (pid, g, ws(0)) })
+
+  /** Vector variant (r19, for multi-leg selection — see
+    * [[Percentiles.exactContLegs]]): one pass accumulates EVERY weight
+    * column per (partition, group), so operators whose legs share a sort
+    * (exact + sampled percentiles) pay one counting job instead of one
+    * per leg. Same caps, same overflow semantics as the scalar form —
+    * which now delegates here. */
+  def groupCountsVec(rdd: RDD[InternalRow], gIdx: Int, gType: DataType,
+                     maxGroups: Int = MaxGroups,
+                     weights: Seq[InternalRow => Long]): Option[Array[(Int, Any, Array[Long])]] = {
     val parts = rdd.getNumPartitions
     if (parts == 0) return Some(Array.empty)
+    val nw = weights.length
+    val wArr = weights.toArray
     // 2× slack over the contiguous-groups bound: legit range-partitioned
     // inputs sit far below it; adversarial scatter trips it early.
     val tupleBudget = 2 * (maxGroups + parts)
-    val perPart: RDD[Option[Vector[(Int, Any, Long)]]] =
+    val perPart: RDD[Option[Vector[(Int, Any, Array[Long])]]] =
       rdd.mapPartitionsWithIndex { (pid, it) =>
-        val acc = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        val acc = scala.collection.mutable.LinkedHashMap.empty[Any, Array[Long]]
         var overflow = false
         while (!overflow && it.hasNext) {
           val r = it.next()
           val g = r.get(gIdx, gType)
-          if (acc.contains(g)) acc.update(g, acc(g) + weight(r))
-          else if (acc.size >= maxGroups) overflow = true // stop scanning: caller falls back
-          else acc.update(InternalRow.copyValue(g), weight(r))
+          val cur = acc.getOrElse(g, null)
+          if (cur != null) {
+            var i = 0; while (i < nw) { cur(i) += wArr(i)(r); i += 1 }
+          } else if (acc.size >= maxGroups) overflow = true // stop scanning: caller falls back
+          else {
+            val ws = new Array[Long](nw)
+            var i = 0; while (i < nw) { ws(i) = wArr(i)(r); i += 1 }
+            acc.update(InternalRow.copyValue(g), ws)
+          }
         }
         Iterator.single(
           if (overflow) None
-          else Some(acc.iterator.map { case (g, n) => (pid, g, n) }.toVector))
+          else Some(acc.iterator.map { case (g, ws) => (pid, g, ws) }.toVector))
       }
     val merged = perPart.treeReduce({ (a, b) =>
       (a, b) match {

@@ -165,16 +165,29 @@ object Aggregates {
     // aggregate buffers every value per group in a boxed map — 5.4s at
     // sf0.1 just to report the error.
     "q48_approx_percentile" -> ((s, d) => {
-      val li = T.lineitem(s, d)
-      val sampled = li.filter(
+      // Fused legs (r19): the sample and exact legs used to run TWO
+      // independent exactCont pipelines (two scans, two exchanges) joined
+      // at the end. exactContLegs computes both from ONE scan and ONE
+      // (group, value) sort: the sample filter becomes the leg's flag —
+      // a when(flag, value) aggregate input on the small path (NULLs are
+      // excluded by percentile_cont, so the conditional input IS the
+      // WHERE), a flag column riding the shared shuffle on the two-pass
+      // path. The presence filter reproduces the old inner join's one
+      // effect: a group with zero SAMPLED ROWS had no approx-leg row and
+      // dropped (a group whose sampled values are all NULL kept a row
+      // with NULL ap50 — presence counts rows, not values, exactly that
+      // distinction).
+      val sampleCond =
         conv(substring(md5(concat(col("l_orderkey").cast("string"), lit("-"),
           col("l_linenumber").cast("string"))), 1, 2), 16, 10)
-          .cast("int") < 51)
-      val approx = graft.ops.Percentiles.exactCont(sampled, "l_returnflag",
-        "l_extendedprice", Seq(0.5 -> "ap50", 0.95 -> "ap95"))
-      val exact = graft.ops.Percentiles.exactCont(li, "l_returnflag",
-        "l_extendedprice", Seq(0.5 -> "ex50", 0.95 -> "ex95"))
-      approx.join(exact, "l_returnflag")
+          .cast("int") < 51
+      graft.ops.Percentiles.exactContLegs(T.lineitem(s, d), "l_returnflag",
+          "l_extendedprice",
+          Seq(
+            graft.ops.Percentiles.Leg(Some(sampleCond),
+              Seq(0.5 -> "ap50", 0.95 -> "ap95"), presenceName = Some("__ns")),
+            graft.ops.Percentiles.Leg(None, Seq(0.5 -> "ex50", 0.95 -> "ex95"))))
+        .filter(col("__ns") > 0)
         .withColumn("err50", abs(col("ap50") - col("ex50")) / col("ex50"))
         .withColumn("err95", abs(col("ap95") - col("ex95")) / col("ex95"))
         .select("l_returnflag", "ap50", "ap95", "ex50", "ex95", "err50", "err95")
