@@ -20,10 +20,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // GRAFT_ONLY=q01,q02 restricts the dump for fast local iteration.
     val only = sys.env.get("GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .foreach { case (name, fn) =>
+    def dump(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try {
+        spark.sparkContext.setJobDescription(s"verify: $name")
         val df = fn(spark, sfDir)
         // Lint: oracle-paired outputs must not expose top-level LIST /
         // MAP / DECIMAL columns — the driver's pandas sorter cannot
@@ -50,7 +49,30 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-    }
+    // Overlap independent dumps (r19, guide §2.6): actions were only
+    // sequential because this loop called them sequentially — a small
+    // pool lets the next query's stages back-fill the tail of the
+    // current one's jobs. Per-query output files are independent and
+    // every shared temp view registration (T.sql / the loaders) binds
+    // the SAME content for a given dir, so concurrent registration is
+    // idempotent. The EXTENDED (component/SQL-script) family is the one
+    // exception: its executor registers statement-scoped helper views
+    // under shared names (__graft_is_*, sanitized statement tables), so
+    // those queries keep running sequentially on this thread, in map
+    // order, exactly as before — only the pure-DataFrame families pool.
+    // GRAFT_VERIFY_PAR=1 restores the fully sequential walk.
+    val par = sys.env.getOrElse("GRAFT_VERIFY_PAR", "3").toInt.max(1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    val pending = scala.collection.mutable.ArrayBuffer.empty[java.util.concurrent.Future[_]]
+    val stateful = graft.queries.Extended.queries.keySet
+    SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
+        if (par == 1 || stateful(name)) dump(name, fn)
+        else pending += pool.submit(new Runnable { def run(): Unit = dump(name, fn) })
+      }
+    pending.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
