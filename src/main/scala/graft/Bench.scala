@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
   * instead of masquerading as a regression (the round-4 driver run).
   */
 object Bench {
-  private val headline = Seq(
+  private[graft] val headline = Seq(
     "q01_agg_groupby", "q02_filter_project", "q04_join_multi", "q12_topk",
     "q21_count_distinct", "q23_percentiles", "q28_window_rank",
     "q29_window_rolling", "q33_time_bucket", "q35_sessionization",
@@ -45,6 +45,43 @@ object Bench {
     // per-row fold compute over word-length lists) and the string-
     // distance pair-scoring kernels
     "q71_list_stats", "q69_string_sim")
+
+  /** The size-budgeted LAST stdout line (r17 verdict #1: the driver's
+    * stdout-tail window is ~2,000 chars; an overflowing last line came
+    * back parsed:null and voided the round's bench). Three tiers, first
+    * that fits: full compact line with queries_min_diag; without the min
+    * map; and — new in r19 — with the sentinel's inversion/reran NAME
+    * LISTS truncated to a few names plus a "+N more" marker (a heavily
+    * contaminated run can rerun dozens of rows, and two 47-name lists
+    * alone overflow the window — the same failure class as r17, one tier
+    * deeper). The full detail is printed first AND written to the side
+    * file either way; BenchBudgetSpec pins the worst case under 1,900. */
+  private[graft] def compactLine(
+      total: Double, iters: Int, sfDir: String, qs: String, minDiag: String,
+      totalWarm: Double, failedNames: Seq[String], noopSec: Double, noopCold: Double,
+      probeMed: Double, probeMax: Double, inversionNames: Seq[String],
+      reranNames: Seq[String], budget: Int = 1900): String = {
+    def lst(ns: Seq[String], maxNames: Int): String = {
+      val kept = ns.take(maxNames).map("\"" + _ + "\"")
+      val extra = if (ns.length > maxNames)
+        Seq("\"+" + (ns.length - maxNames) + " more\"") else Nil
+      (kept ++ extra).mkString("[", ",", "]")
+    }
+    // `failed` trims LAST (one tier after the sentinel lists): a failed
+    // row is already visible as -1.000 in the queries map, but names beat
+    // markers while they fit
+    def compact(withMin: Boolean, maxNames: Int, maxFailed: Int): String = {
+      val sent = f"""{"probe_med":$probeMed%.3f,"probe_max":$probeMax%.3f,"inversions":${lst(inversionNames, maxNames)},"reran":${lst(reranNames, maxNames)}}"""
+      val minPart = if (withMin) s""","queries_min_diag":$minDiag""" else ""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$iters,"sf":"$sfDir","queries":$qs$minPart,"total_warm":$totalWarm%.3f,"failed":${lst(failedNames, maxFailed)},"noop_sec":$noopSec%.3f,"noop_cold_sec":$noopCold%.3f,"load_sentinel":$sent}"""
+    }
+    Seq(compact(withMin = true, Int.MaxValue, Int.MaxValue),
+        compact(withMin = false, Int.MaxValue, Int.MaxValue),
+        compact(withMin = false, 3, Int.MaxValue),
+        compact(withMin = false, 3, 3))
+      .find(_.length <= budget)
+      .getOrElse(compact(withMin = false, 0, 0))
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -312,11 +349,10 @@ object Bench {
     // side file either way.
     val minDiag = results.filter(r => r.ok && r.cold > 2 * r.min + 0.02)
       .map(r => "\"" + r.name + "\":" + f"${r.min}%.3f").mkString("{", ",", "}")
-    def compact(withMin: Boolean): String = {
-      val minPart = if (withMin) s""","queries_min_diag":$minDiag""" else ""
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":$iters,"sf":"$sfDir","queries":$qs$minPart,"total_warm":$totalWarm%.3f,"failed":$failed,"noop_sec":$noopSec%.3f,"noop_cold_sec":$noopCold%.3f,"load_sentinel":$sentinel}"""
-    }
-    val lastLine = { val l = compact(true); if (l.length <= 1900) l else compact(false) }
+    val lastLine = compactLine(total, iters, sfDir, qs, minDiag, totalWarm,
+      results.collect { case r if !r.ok => r.name }, noopSec, noopCold, probeMed, probeMax,
+      results.collect { case r if r.ok && r.warm > r.cold * 1.10 + 0.02 => r.name },
+      rerunNames.toSeq)
     println(detail)
     spark.stop()
     // The compact copy goes LAST, after shutdown: the final bytes on
