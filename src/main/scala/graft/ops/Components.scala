@@ -35,6 +35,59 @@ object Components {
     * appear; callers wanting them can union the node universe in. */
   def connected(edges: DataFrame, aCol: String, bCol: String,
                 maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    val (dir, small) = prepare(edges, aCol, bCol)
+    small match {
+      case Some(labels) =>
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row](labels.length)
+        labels.foreach { case (id, l) => rows.add(org.apache.spark.sql.Row(id, l)) }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.LongType, nullable = false)))
+        spark.createDataFrame(rows, schema)
+      case None => hashToMin(dir, maxIter)
+    }
+  }
+
+  /** Conf read with a clear failure (r18 ADVICE: a malformed value used to
+    * surface as a bare NumberFormatException deep inside connected()). */
+  private def confLong(spark: org.apache.spark.sql.SparkSession,
+                       key: String, default: Long): Long =
+    spark.conf.getOption(key).map { v =>
+      try v.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(s"conf $key must be a LONG, got '$v'") }
+    }.getOrElse(default)
+
+  /** Checkpoint the DIRECTED edge list once and decide the path: returns
+    * the cached edges plus, when the graph fits the small gate, the
+    * driver union-find labeling — computed HERE so [[connected]] and
+    * [[clusters]] both consume it explicitly (r18 ADVICE: clusters used
+    * to sniff connected()'s logical plan for a LocalRelation, an implicit
+    * coupling any future projection would silently deactivate).
+    *
+    * Small-graph fast path (r18, the Percentiles.exactCont small-input
+    * gate applied to graphs): near-dup graphs at bench/test scale are a
+    * few hundred edges, yet every distributed round costs join + agg +
+    * checkpoint + probe driver actions (~0.1 s scheduling floor each).
+    * ONE bounded job (r19 — probe and collect were two jobs in r18)
+    * counts each partition up to cap = maxLocalEdges+1 rows AND
+    * materializes the (src, dst) longs while under it; the driver
+    * union-find then labels the graph in microseconds with zero further
+    * jobs. Worst-case driver receipt is maxProbeParts × cap pairs
+    * (~8 MB/partition), and the job is skipped outright when the cached
+    * edge list has more than `graft.components.maxProbeParts` partitions
+    * — the checkpoint width is AQE-byte-coalesced, so a many-partition
+    * edge list is far over the gate anyway (r18 ADVICE: the probe was an
+    * always-on extra job even for obviously-over graphs). Unions always
+    * point the larger root at the smaller, so find() yields the
+    * component-minimum id — bit-identical to the iterative fixpoint's
+    * label contract; over the gate (or if any edge carries a NULL id —
+    * out of the dedup contract) the distributed hash-to-min loop runs
+    * unchanged. */
+  private def prepare(edges: DataFrame, aCol: String, bCol: String)
+      : (DataFrame, Option[Array[(Long, Long)]]) = {
+    val spark = edges.sparkSession
     // Checkpoint the DIRECTED edge list, not the doubled union (r18): the
     // union's two branches each re-planned the upstream pair-mining
     // pipeline, so the old checkpoint ran the mining aggregate TWICE
@@ -45,64 +98,74 @@ object Components {
     // Mining runs once here; its AQE-coalesced output width (bytes-based,
     // scale-adaptive) becomes the loop's width, so small graphs iterate
     // on a handful of tasks and 100 TB graphs keep data-sized partitions.
-    val spark = edges.sparkSession
     val dir = edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .localCheckpoint() // mined pairs must not be recomputed per round
-    // Small-graph fast path (r18, the Percentiles.exactCont small-input
-    // gate applied to graphs): near-dup graphs at bench/test scale are a
-    // few hundred edges, yet every distributed round costs join + agg +
-    // checkpoint + probe driver actions (~0.1 s scheduling floor each).
-    // Two bounded jobs over the CACHED internal rows decide and feed the
-    // path: a per-partition count (P longs to the driver — bounded at any
-    // scale) and, only when the total fits (≤ maxLocalEdges,
-    // conf-overridable), one collect of the ≤ maxLocalEdges (src, dst)
-    // longs. A driver union-find then labels the graph in microseconds
-    // with zero further jobs. Unions always point the larger root at the
-    // smaller, so find() yields the component-minimum id — bit-identical
-    // to the iterative fixpoint's label contract; over the gate (or if
-    // any edge carries a NULL id — out of the dedup contract, but the
-    // loop's join semantics then differ from a naive skip), the
-    // distributed hash-to-min loop below runs unchanged.
-    val maxLocal = spark.conf.getOption("graft.components.maxLocalEdges")
-      .map(_.toLong).getOrElse(1L << 19)
+    val maxLocal = confLong(spark, "graft.components.maxLocalEdges", 1L << 19)
+    val maxProbeParts = confLong(spark, "graft.components.maxProbeParts", 8L)
     val dirRows = org.apache.spark.sql.GraftSqlBridge.toRdd(dir)
+    if (dirRows.getNumPartitions > maxProbeParts) return (dir, None)
     val cap = maxLocal + 1
-    val partStats: Array[(Long, Boolean)] = spark.sparkContext.runJob(dirRows,
+    val perPart: Array[(Long, Boolean, Array[Long])] = spark.sparkContext.runJob(dirRows,
       (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
         var c = 0L; var hasNull = false
-        // early exit (r18 review): once ONE partition alone exceeds the
-        // gate the sum certainly does — stop scanning, so at scale the
-        // probe costs ≤ cap rows per task, not a full pass
-        while (c < cap && !hasNull && it.hasNext) { val r = it.next(); c += 1
-          if (r.isNullAt(0) || r.isNullAt(1)) hasNull = true }
-        (c, hasNull)
+        // interleaved (src, dst) pairs; bounded by cap rows — once ONE
+        // partition alone exceeds the gate the sum certainly does, so the
+        // scan stops and the buffer is dropped
+        val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+        while (c < cap && !hasNull && it.hasNext) {
+          val r = it.next(); c += 1
+          if (r.isNullAt(0) || r.isNullAt(1)) hasNull = true
+          else { buf += r.getLong(0); buf += r.getLong(1) }
+        }
+        val keep = !hasNull && c <= maxLocal
+        (c, hasNull, if (keep) buf.result() else Array.empty[Long])
       })
-    if (partStats.map(_._1).sum <= maxLocal && !partStats.exists(_._2)) {
-      val local: Array[(Long, Long)] = dirRows
-        .mapPartitions(it => it.map(r => (r.getLong(0), r.getLong(1))))
-        .collect()
-      val parent = new java.util.HashMap[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.get(r) != r) r = parent.get(r)
-        var c = x // path compression
-        while (parent.get(c) != r) { val nxt = parent.get(c); parent.put(c, r); c = nxt }
-        r
-      }
-      local.foreach { case (a, b) =>
+    if (perPart.map(_._1).sum <= maxLocal && !perPart.exists(_._2))
+      (dir, Some(unionFindLabels(perPart.iterator.map(_._3))))
+    else (dir, None)
+  }
+
+  /** Driver union-find over interleaved (src, dst) pair arrays: returns
+    * (id, label = component minimum). Unions point the larger root at the
+    * smaller, so find() IS the component minimum. Map access is
+    * null-guarded (r18 ADVICE: a missing boxed key would silently unbox
+    * to 0L and corrupt labels instead of failing loudly). */
+  private def unionFindLabels(pairArrays: Iterator[Array[Long]]): Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
+    def get(x: Long): Long = {
+      val p = parent.get(x)
+      require(p != null, s"union-find: node $x missing from parent map")
+      p.longValue()
+    }
+    def find(x: Long): Long = {
+      var r = x
+      while (get(r) != r) r = get(r)
+      var c = x // path compression
+      while (get(c) != r) { val nxt = get(c); parent.put(c, r); c = nxt }
+      r
+    }
+    pairArrays.foreach { arr =>
+      var i = 0
+      while (i < arr.length) {
+        val a = arr(i); val b = arr(i + 1)
         if (!parent.containsKey(a)) parent.put(a, a)
         if (!parent.containsKey(b)) parent.put(b, b)
-        val (ra, rb) = (find(a), find(b))
+        val ra = find(a); val rb = find(b)
         if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        i += 2
       }
-      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size)
-      parent.keySet.forEach { id => rows.add(org.apache.spark.sql.Row(id, find(id))) }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
-        org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.LongType, nullable = false)))
-      return spark.createDataFrame(rows, schema)
     }
+    val out = new Array[(Long, Long)](parent.size)
+    var i = 0
+    val it = parent.keySet.iterator()
+    while (it.hasNext) { val id = it.next().longValue(); out(i) = (id, find(id)); i += 1 }
+    out
+  }
+
+  /** The distributed hash-to-min loop over the checkpointed directed
+    * edges — the over-the-gate (100 TB) path, unchanged from r18. */
+  private def hashToMin(dir: DataFrame, maxIter: Int): DataFrame = {
     // doubling is a cheap map over the cached partitions — recomputing it
     // per round costs nothing and avoids a second checkpoint action
     val und = dir.unionAll(dir.select(col("dst").as("src"), col("src").as("dst")))
@@ -237,29 +300,28 @@ object Components {
     * window count over one label-keyed exchange (no separate aggregate +
     * join-back; label groups are component-sized, trivially buffered). */
   def clusters(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val labels = connected(edges, aCol, bCol)
-    labels.queryExecution.logical match {
-      // r18: the small-graph path returns a LocalRelation already on the
-      // driver — counting label multiplicities there costs microseconds,
-      // where the window below plans an exchange + sort job over a
-      // relation the driver just built. Over the gate, unchanged.
-      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
-        val spark = edges.sparkSession
+    val spark = edges.sparkSession
+    val (dir, small) = prepare(edges, aCol, bCol)
+    small match {
+      // r18/r19: below the gate the labeling is already on the driver —
+      // counting label multiplicities there costs microseconds, where the
+      // window below plans an exchange + sort job over a relation the
+      // driver just built. prepare() hands the small path over explicitly
+      // (no more logical-plan sniffing). Over the gate, unchanged.
+      case Some(labels) =>
         val sizes = scala.collection.mutable.HashMap.empty[Long, Long]
-        lr.data.foreach { r =>
-          val l = r.getLong(1); sizes.update(l, sizes.getOrElse(l, 0L) + 1L) }
-        val rows = new java.util.ArrayList[org.apache.spark.sql.Row](lr.data.size)
-        lr.data.foreach { r =>
-          rows.add(org.apache.spark.sql.Row(r.getLong(0), r.getLong(1),
-            sizes(r.getLong(1))))
+        labels.foreach { case (_, l) => sizes.update(l, sizes.getOrElse(l, 0L) + 1L) }
+        val rows = new java.util.ArrayList[org.apache.spark.sql.Row](labels.length)
+        labels.foreach { case (id, l) =>
+          rows.add(org.apache.spark.sql.Row(id, l, sizes(l)))
         }
         val schema = org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField("cluster_id", org.apache.spark.sql.types.LongType, nullable = false),
           org.apache.spark.sql.types.StructField("cluster_size", org.apache.spark.sql.types.LongType, nullable = false)))
         spark.createDataFrame(rows, schema)
-      case _ =>
-        labels
+      case None =>
+        hashToMin(dir, maxIter = 50)
           .withColumn("cluster_size", count(lit(1)).over(
             org.apache.spark.sql.expressions.Window.partitionBy("label")))
           .select(col("id"), col("label").as("cluster_id"), col("cluster_size"))

@@ -78,7 +78,7 @@ object TextQ {
           size(split(col("text"), " ")).as("ws_tokens"),
           size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).as("word_tokens"),
           size(array_distinct(split(col("text"), " "))).as("distinct_tokens"))
-        
+
       // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
@@ -101,7 +101,7 @@ object TextQ {
               col("n_stop").cast(DoubleType) / col("n_words") * 0.3 +
               when(size(words) >= 30 && size(words) <= 90, 0.2).otherwise(0.0),
             6).as("quality"))
-        
+
       // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
@@ -126,7 +126,7 @@ object TextQ {
             .otherwise("de"))
         .select(col("doc_id"), col("lang"), col("s_en"), col("s_es"), col("s_de"),
           col("predicted"), (col("predicted") === col("lang")).as("hit"))
-        
+
       // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
@@ -267,7 +267,7 @@ object TextQ {
           when(col("__r.n_bigrams") > 0,
             lit(1.0) - col("__r.nd_bigrams").cast(DoubleType) / col("__r.n_bigrams"))
             .as("dup_bigram_ratio"))
-        
+
       // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
@@ -359,7 +359,7 @@ object TextQ {
             .cast(LongType).as("n_ips"),
           md5(regexp_replace(regexp_replace(col("pii_text"), lit(emailRe), lit("<EMAIL>")),
             lit(ipRe), lit("<IP>"))).as("redacted_fp"))
-        
+
       // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
@@ -405,7 +405,7 @@ object TextQ {
           length(col("text")).cast(LongType).as("n_chars_obs"),
           round(graft.functions.TextExprs.charEntropy(col("text")), 6)
             .as("char_entropy"))
-        
+
       // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
@@ -430,7 +430,7 @@ object TextQ {
         .withColumn("chunk", expr(s"substring(text, CAST(start_off + 1 AS INT), $C)"))
         .select(col("doc_id"), col("chunk_idx"), col("start_off"),
           col("chunk"), length(col("chunk")).cast(LongType).as("chunk_len"))
-        
+
       // no trailing ORDER BY (r18): compare canon-sorts
     }),
 
@@ -458,7 +458,7 @@ object TextQ {
         .groupBy("doc_id")
         .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
           round(avg(col("logp")), 6).as("avg_logp"))
-        
+
       // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
@@ -533,7 +533,7 @@ object TextQ {
         .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
           sum(col("c").isNull.cast(LongType)).as("n_unseen"),
           round(avg(col("logp")), 6).as("avg_logp"))
-        
+
       // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
@@ -564,7 +564,7 @@ object TextQ {
       curated
         .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
           col("char_entropy"), col("content_fp"), col("keep"))
-        
+
       // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
@@ -580,7 +580,7 @@ object TextQ {
           octet_length(col("media")).as("n_bytes"),
           md5(col("media")).as("content_sig"),
           substring(col("text"), 1, 16).as("header_probe"))
-        
+
       // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
@@ -829,7 +829,7 @@ object TextQ {
           col("dup5_frac"), col("dup6_frac"), col("dup7_frac"),
           col("dup8_frac"), col("dup9_frac"), col("dup10_frac"),
           col("fail_mask"), (col("fail_mask") === 0L).as("keep"))
-        
+
       // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
@@ -904,7 +904,7 @@ object TextQ {
           "w -> CAST(len(w) AS DOUBLE))), 6) AS avg_word_len",
         "list_aggregate(list_transform(string_split(text, ' '), " +
           "w -> len(w)), 'max') AS max_word_len")
-        
+
       // no trailing ORDER BY (r18): compare canon-sorts, scan-inline shape
     }),
 
@@ -949,7 +949,7 @@ object TextQ {
           length(col("__m")).cast(LongType).as("n_before"),
           length(col("__n")).cast(LongType).as("n_after"),
           md5(col("__n")).as("norm_fp"))
-        
+
       // no trailing ORDER BY (r18): compare canon-sorts
     })
   )
