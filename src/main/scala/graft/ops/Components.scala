@@ -70,21 +70,24 @@ object Components {
     * gate applied to graphs): near-dup graphs at bench/test scale are a
     * few hundred edges, yet every distributed round costs join + agg +
     * checkpoint + probe driver actions (~0.1 s scheduling floor each).
-    * ONE bounded job (r19 — probe and collect were two jobs in r18)
-    * counts each partition up to cap = maxLocalEdges+1 rows AND
-    * materializes the (src, dst) longs while under it; the driver
-    * union-find then labels the graph in microseconds with zero further
-    * jobs. Worst-case driver receipt is maxProbeParts × cap pairs
-    * (~8 MB/partition), and the job is skipped outright when the cached
-    * edge list has more than `graft.components.maxProbeParts` partitions
-    * — the checkpoint width is AQE-byte-coalesced, so a many-partition
-    * edge list is far over the gate anyway (r18 ADVICE: the probe was an
-    * always-on extra job even for obviously-over graphs). Unions always
-    * point the larger root at the smaller, so find() yields the
-    * component-minimum id — bit-identical to the iterative fixpoint's
-    * label contract; over the gate (or if any edge carries a NULL id —
-    * out of the dedup contract) the distributed hash-to-min loop runs
-    * unchanged. */
+    * The r18 shape ran TWO bounded jobs (count probe, then collect);
+    * r19 merges them: the probe task counts up to cap = maxLocalEdges+1
+    * rows (early exit — once one partition alone exceeds the gate the
+    * sum certainly does) AND materializes the (src, dst) longs while
+    * under a per-partition budget of maxLocalEdges/P, so the driver
+    * receipt is bounded by ~maxLocalEdges pairs TOTAL no matter how the
+    * over-gate case is distributed. A SKEWED small graph (under the gate
+    * overall but one partition over the budget) falls back to the r18
+    * second collect job — correctness never depends on the budget. NOTE:
+    * partition count is deliberately NOT used to skip the probe (the r18
+    * advice sketch): strict-width exchanges upstream are AQE-exempt, so
+    * a 32-partition edge list can still be a 1k-edge graph — measured on
+    * d09 at sf0.1, where a partition-count skip silently disabled the
+    * gate and regressed the row 60%. Unions always point the larger root
+    * at the smaller, so find() yields the component-minimum id —
+    * bit-identical to the iterative fixpoint's label contract; over the
+    * gate (or if any edge carries a NULL id — out of the dedup contract)
+    * the distributed hash-to-min loop runs unchanged. */
   private def prepare(edges: DataFrame, aCol: String, bCol: String)
       : (DataFrame, Option[Array[(Long, Long)]]) = {
     val spark = edges.sparkSession
@@ -95,35 +98,42 @@ object Components {
     // profiled as two full-width stages per run), and the checkpointed
     // union carried 2× the mining plan's partitions of near-empty edge
     // rows that EVERY round's join/agg re-scanned at full task width.
-    // Mining runs once here; its AQE-coalesced output width (bytes-based,
-    // scale-adaptive) becomes the loop's width, so small graphs iterate
-    // on a handful of tasks and 100 TB graphs keep data-sized partitions.
     val dir = edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .localCheckpoint() // mined pairs must not be recomputed per round
     val maxLocal = confLong(spark, "graft.components.maxLocalEdges", 1L << 19)
-    val maxProbeParts = confLong(spark, "graft.components.maxProbeParts", 8L)
     val dirRows = org.apache.spark.sql.GraftSqlBridge.toRdd(dir)
-    if (dirRows.getNumPartitions > maxProbeParts) return (dir, None)
+    val parts = dirRows.getNumPartitions
+    if (parts == 0) return (dir, Some(Array.empty))
     val cap = maxLocal + 1
+    val budget = math.max(1L, maxLocal / parts)
     val perPart: Array[(Long, Boolean, Array[Long])] = spark.sparkContext.runJob(dirRows,
       (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
         var c = 0L; var hasNull = false
-        // interleaved (src, dst) pairs; bounded by cap rows — once ONE
-        // partition alone exceeds the gate the sum certainly does, so the
-        // scan stops and the buffer is dropped
         val buf = new scala.collection.mutable.ArrayBuilder.ofLong
         while (c < cap && !hasNull && it.hasNext) {
           val r = it.next(); c += 1
           if (r.isNullAt(0) || r.isNullAt(1)) hasNull = true
-          else { buf += r.getLong(0); buf += r.getLong(1) }
+          else if (c <= budget) { buf += r.getLong(0); buf += r.getLong(1) }
         }
-        val keep = !hasNull && c <= maxLocal
-        (c, hasNull, if (keep) buf.result() else Array.empty[Long])
+        (c, hasNull, if (!hasNull && c <= budget) buf.result() else Array.empty[Long])
       })
-    if (perPart.map(_._1).sum <= maxLocal && !perPart.exists(_._2))
+    if (perPart.map(_._1).sum > maxLocal || perPart.exists(_._2)) (dir, None)
+    else if (perPart.forall(p => p._1 == 0L || p._3.nonEmpty))
+      // every nonempty partition fit its budget: the probe already
+      // carried the whole graph — zero further jobs
       (dir, Some(unionFindLabels(perPart.iterator.map(_._3))))
-    else (dir, None)
+    else {
+      // under the gate but skewed past the per-partition budget: one
+      // bounded collect (≤ maxLocalEdges rows total), the r18 shape
+      val local: Array[Array[Long]] = spark.sparkContext.runJob(dirRows,
+        (it: Iterator[org.apache.spark.sql.catalyst.InternalRow]) => {
+          val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+          it.foreach { r => buf += r.getLong(0); buf += r.getLong(1) }
+          buf.result()
+        })
+      (dir, Some(unionFindLabels(local.iterator)))
+    }
   }
 
   /** Driver union-find over interleaved (src, dst) pair arrays: returns

@@ -407,6 +407,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("skewed small graph (one partition over the probe budget) still gates") {
+    // r19 merged probe: rows materialize only up to maxLocalEdges/P per
+    // partition; a small-but-skewed graph must fall back to the bounded
+    // collect, not to the distributed loop. All 30 edges in one of 8
+    // partitions with maxLocalEdges=35 → budget 4 < 30.
+    val rnd = new scala.util.Random(43)
+    val edges = Seq.fill(30)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter { case (a, b) => a != b }
+    val skewed = spark.createDataFrame(
+      spark.sparkContext.parallelize(0 until 8, 8)
+        .flatMap(i => if (i == 0) edges.map(e => org.apache.spark.sql.Row(e._1, e._2)) else Nil),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType))))
+    spark.conf.set("graft.components.maxLocalEdges", "35")
+    val gated =
+      try Components.connected(skewed, "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("graft.components.maxLocalEdges")
+    val reference = Components.connected(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gated == reference)
+  }
+
   test("cluster sizes count component members once each") {
     // path 1-2-3 plus pair 10-11: clusters {1,2,3} and {10,11}
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
