@@ -54,7 +54,7 @@ object ScaleCheck {
     val iters = sys.env.getOrElse("GRAFT_BENCH_N", "3").toInt.max(2)
     val outFile = sys.env.getOrElse("GRAFT_SCALE_OUT", "SCALE_local.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = graft.SessionTuning.shuffleIo(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -68,7 +68,7 @@ object ScaleCheck {
       // match graft.Bench's session exactly so base walls are comparable
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
