@@ -79,9 +79,19 @@ object Shingles {
     // per-row probe count, not key bytes, at this pair mass. The 21%
     // that WAS on the table was the trailing ORDER BY's re-executed
     // final aggregate; the d03 ledger query now omits it (the driver
-    // compare canon-sorts rows). d03 is hereafter classified
-    // done-at-floor: ~0.79 s warm against DuckDB's fused single-process
-    // 0.30 s on a pair mass this corpus makes pathological.
+    // compare canon-sorts rows). d03 was classified done-at-floor r7-r18:
+    // ~0.79 s warm against DuckDB's fused single-process 0.30 s.
+    //
+    // Round-19 reopened it for the 32-core cold anti-scaling (driver
+    // cold 2.5 s at 32 cores vs 0.68 s at 8, PERF_r18 ratio 0.27 —
+    // fleet-worst) and found the cause OUTSIDE this operator: jstack
+    // sampling showed the dominant task-time sink was
+    // BypassMergeSortShuffleWriter's per-reduce-partition file creates
+    // (32×32 = 1,024 per exchange — quadratic in core count). Fixed at
+    // the session layer (graft.SessionTuning: sort-path writer + tmpfs
+    // local dirs), NOT here: d03 warm 0.76 → ~0.39-0.55 s and the
+    // 8c/32c cold ratio flipped to 2.6× in favor of 32 cores. The
+    // posting-list/pair-agg shape itself stands as adjudicated.
     val all = ScaleOps.spread(docs)
       .select(col(idCol), shingles(col(textCol), k).as("__sh"))
       .select(col(idCol), size(col("__sh")).cast("long").as("n_sh"),
