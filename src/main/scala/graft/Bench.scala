@@ -319,7 +319,7 @@ object Bench {
     // run is scheduler jitter, not contamination — flagging it would make
     // the sentinel cry wolf on every clean run of a sub-noop-floor query.
     val inversions = results.collect {
-      case r if r.ok && r.warm > r.cold * 1.10 + 0.02 => "\"" + r.name + "\""
+      case r if inverted(r) => "\"" + r.name + "\""
     }.mkString("[", ",", "]")
     // probe_med/probe_max describe the MAIN pass (so contamination that
     // triggered re-runs stays visible); "reran" names rows whose final
@@ -351,7 +351,9 @@ object Bench {
       .map(r => "\"" + r.name + "\":" + f"${r.min}%.3f").mkString("{", ",", "}")
     val lastLine = compactLine(total, iters, sfDir, qs, minDiag, totalWarm,
       results.collect { case r if !r.ok => r.name }, noopSec, noopCold, probeMed, probeMax,
-      results.collect { case r if r.ok && r.warm > r.cold * 1.10 + 0.02 => r.name },
+      // same `inverted` predicate as the detail line's sentinel — the two
+      // surfaces must never disagree about which rows were contaminated
+      results.collect { case r if inverted(r) => r.name },
       rerunNames.toSeq)
     println(detail)
     spark.stop()

@@ -28,6 +28,9 @@ import org.apache.spark.sql.SparkSession
   *    `spark.shuffle.compress=false` already documents. Env-overridable;
   *    falls back to the JVM default (java.io.tmpdir) when /dev/shm is
   *    unavailable. Cluster deployments size real local disks instead.
+  *    Capacity note: tmpfs shares RAM (128 GiB box, shuffle+spill bytes
+  *    at these SFs are MBs); a run expected to shuffle beyond tmpfs
+  *    headroom should set GRAFT_LOCAL_DIR to a disk path.
   */
 object SessionTuning {
   def shuffleIo(b: SparkSession.Builder): SparkSession.Builder = {

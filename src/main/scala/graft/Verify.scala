@@ -61,18 +61,23 @@ object Verify {
     // those queries keep running sequentially on this thread, in map
     // order, exactly as before — only the pure-DataFrame families pool.
     // GRAFT_VERIFY_PAR=1 restores the fully sequential walk.
-    val par = sys.env.getOrElse("GRAFT_VERIFY_PAR", "3").toInt.max(1)
+    // malformed values fall back to the default instead of crashing the
+    // binary whose output gates the round's correctness (the
+    // Components.confLong lesson applied to an env var)
+    val par = sys.env.get("GRAFT_VERIFY_PAR").flatMap(_.toIntOption)
+      .getOrElse(3).max(1)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
-    val pending = scala.collection.mutable.ArrayBuffer.empty[java.util.concurrent.Future[_]]
-    val stateful = graft.queries.Extended.queries.keySet
-    SparkEntry.queries
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .foreach { case (name, fn) =>
-        if (par == 1 || stateful(name)) dump(name, fn)
-        else pending += pool.submit(new Runnable { def run(): Unit = dump(name, fn) })
-      }
-    pending.foreach(_.get())
-    pool.shutdown()
+    try {
+      val pending = scala.collection.mutable.ArrayBuffer.empty[java.util.concurrent.Future[_]]
+      val stateful = graft.queries.Extended.queries.keySet
+      SparkEntry.queries
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .foreach { case (name, fn) =>
+          if (par == 1 || stateful(name)) dump(name, fn)
+          else pending += pool.submit(new Runnable { def run(): Unit = dump(name, fn) })
+        }
+      pending.foreach(_.get())
+    } finally pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -206,13 +206,16 @@ object Percentiles {
           }
           if (r.isNullAt(1)) None
           else {
-            val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Any, Long, Double)]
+            // matches are O(groups × fractions) out of the whole input:
+            // allocate only ON a match (a per-row buffer would be an
+            // allocation per non-null row on the >256 MiB hot walk)
+            var out: List[(Int, Any, Long, Double)] = Nil
             var i = 0
             while (i < nLegs) {
               if (inLeg(r, i)) {
                 local(i) += 1
                 val rank = base(i) + local(i)
-                if (want(i).contains(rank)) out += ((i, curG, rank, r.getDouble(1)))
+                if (want(i).contains(rank)) out = (i, curG, rank, r.getDouble(1)) :: out
               }
               i += 1
             }

@@ -64,6 +64,13 @@ object Rolling {
     val schema = sorted.schema
     val keyIdx = schema.fieldIndex(keyCol)
     val keyDt = schema(keyCol).dataType
+    // group boundaries are detected with JVM equality on the internal key
+    // value — reject types whose equality is unreliable for that (the
+    // Percentiles/Ranking guard): Array[Byte] compares by reference, and
+    // -0.0 != 0.0 where SQL window partitioning normalizes them
+    require(!keyDt.isInstanceOf[BinaryType] && keyDt != DoubleType && keyDt != FloatType,
+      s"group column $keyCol: $keyDt has unreliable JVM equality for group-boundary " +
+        "detection; use an integral/string/date key")
     val nm = measures.length
     val mIdx = new Array[Int](nm)
     val prec = new Array[Int](nm)
@@ -79,6 +86,13 @@ object Rolling {
           s"lastKSums measure ${measures(i)._3} must be DECIMAL(p<=18), got " +
             other.simpleString)
       }
+      // the ring sums are plain longs: k values of up to 10^p unscaled
+      // must fit — enforce the scaladoc's overflow bound loudly instead
+      // of wrapping silently (the window plan this replaces widens to
+      // DECIMAL(p+10) and stays exact)
+      require(BigInt(ks(i)) * BigInt(10).pow(prec(i)) <= BigInt(Long.MaxValue),
+        s"lastKSums measure ${measures(i)._3}: k=${ks(i)} rows of DECIMAL(${prec(i)}," +
+          s"${scl(i)}) can overflow the 64-bit rolling sum; lower k or the precision")
       mIdx(i) = schema.fieldIndex(s"__roll_m$i")
       i += 1
     }
@@ -135,7 +149,12 @@ object Rolling {
         new JoinedRow(r.copy(), new GenericInternalRow(out)): InternalRow
       }
     }
+    // drop the internal measure projections so the output honors the
+    // scaladoc contract (caller's columns + outNames + rnName); a caller
+    // selecting '*' must not see surprise DECIMAL helper columns (the
+    // Verify oracle lint rejects top-level decimals)
     org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(spark, rdd, outSchema)
+      .drop(measures.indices.map(i => s"__roll_m$i"): _*)
   }
 
   /** cast(DECIMAL(_, scale) AS DOUBLE) on an unscaled long: both the IEEE
